@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for this engine.
+
+Local test runs use ``local[$SPARK_GRAFT_CPUS]``; the same configs are the
+ones we'd set cluster-side (AQE on, sensible shuffle partitioning, Arrow
+for the Pandas-UDF slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hgraphstorage_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Create (or reuse) a SparkSession.
+
+    Scale notes: on a real cluster ``spark.sql.shuffle.partitions`` should be
+    ~2-3x total cores (or left to AQE coalescing, which we enable); in
+    local mode we match the core count so tiny test shuffles don't fan out
+    into hundreds of empty tasks.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,101 @@
+"""Immutable graph snapshot — the engine's unit of state.
+
+The reference mutates fixed-length records in place and threads adjacency
+through linked lists (``HGraphStorage/src/.../Types.hs:62-111``). On Spark
+the natural equivalent is an immutable triple of DataFrames; every mutation
+produces a *new* snapshot (SURVEY.md §7 design stance), which is what makes
+MVCC/snapshot isolation (``LowLevelDB/src/.../MVCC.hs:271-298``) free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hgraphstorage_spark import schemas
+
+
+@dataclass(frozen=True)
+class GraphSnapshot:
+    """nodes(id,label) / edges(id,src,dst,label) / props(long format).
+
+    ``version`` is the MVCC commit id of this snapshot (reference
+    ``txCommittedID``, ``MVCC.hs:220-225``): snapshot N is what a
+    transaction started after commit N sees.
+    """
+
+    nodes: DataFrame
+    edges: DataFrame
+    props: DataFrame
+    version: int = 0
+    # index registry: name -> (labels tuple, prop names tuple); index data
+    # lives in `indexes` as DataFrames conforming to INDEX_SCHEMA
+    index_registry: tuple = field(default_factory=tuple)
+    indexes: dict = field(default_factory=dict)
+    # ID high-water marks (reference ``MaxIDs`` singleton record,
+    # ``Types.hs:296-304``): deleted ids are never reused (divergence from
+    # the reference's free lists — SURVEY.md §7). None = unknown (bulk
+    # load); computed lazily on first row-level insert.
+    max_node_id: int | None = None
+    max_edge_id: int | None = None
+
+    # -- reference A1: maintained counters (STMGraph nbNodes/nbEdges,
+    # STMGraph/src/.../API.hs:49-53). Spark-side these are actions.
+    def nb_nodes(self) -> int:
+        return self.nodes.count()
+
+    def nb_edges(self) -> int:
+        return self.edges.count()
+
+    def node_props(self) -> DataFrame:
+        return self.props.filter(F.col("owner_kind") == schemas.NODE_KIND)
+
+    def edge_props(self) -> DataFrame:
+        return self.props.filter(F.col("owner_kind") == schemas.EDGE_KIND)
+
+    def with_version(self, version: int) -> "GraphSnapshot":
+        return replace(self, version=version)
+
+    def cache(self) -> "GraphSnapshot":
+        """Pin all three tables in memory (reference S5 bulk `load`)."""
+        self.nodes.cache()
+        self.edges.cache()
+        self.props.cache()
+        return self
+
+    def unpersist(self) -> "GraphSnapshot":
+        self.nodes.unpersist()
+        self.edges.unpersist()
+        self.props.unpersist()
+        return self
+
+    # -- persistence (reference S1 open/close + S7 checkpoint): parquet dirs
+    def write(self, path: str, mode: str = "overwrite") -> None:
+        """Persist the snapshot. At scale: nodes/edges partitioned by label so
+        type-whitelist traversals prune files (SURVEY.md §4 partition pruning);
+        props are written as-is — readers filter on owner_kind/name which
+        parquet row-group stats handle.
+        """
+        self.nodes.write.mode(mode).partitionBy("label").parquet(f"{path}/nodes")
+        self.edges.write.mode(mode).partitionBy("label").parquet(f"{path}/edges")
+        self.props.write.mode(mode).parquet(f"{path}/props")
+
+    @staticmethod
+    def read(spark: SparkSession, path: str, version: int = 0) -> "GraphSnapshot":
+        return GraphSnapshot(
+            nodes=spark.read.parquet(f"{path}/nodes").select("id", "label"),
+            edges=spark.read.parquet(f"{path}/edges").select("id", "src", "dst", "label"),
+            props=spark.read.parquet(f"{path}/props"),
+            version=version,
+        )
+
+    @staticmethod
+    def empty(spark: SparkSession) -> "GraphSnapshot":
+        return GraphSnapshot(
+            nodes=spark.createDataFrame([], schemas.NODES_SCHEMA),
+            edges=spark.createDataFrame([], schemas.EDGES_SCHEMA),
+            props=spark.createDataFrame([], schemas.PROPS_SCHEMA),
+            version=0,
+        )
