@@ -1,0 +1,37 @@
+"""Large-scale training-data pipeline operators (north-star extensions).
+
+Not reference capabilities (SURVEY.md §7 M7): deduplication, similarity
+search, text analysis, multimodal columns — DataFrame→DataFrame operators
+designed partition-parallel for 100 TB inputs.
+"""
+
+from hgraphstorage_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from hgraphstorage_spark.pipeline.similarity import cosine_topk, lsh_bucket_topk
+from hgraphstorage_spark.pipeline.text import (
+    fingerprint,
+    language_id,
+    quality_stats,
+    token_counts,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "lsh_bucket_topk",
+    "fingerprint",
+    "language_id",
+    "quality_stats",
+    "token_counts",
+]

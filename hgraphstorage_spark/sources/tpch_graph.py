@@ -19,7 +19,7 @@ DTInteger is exact; FIXTURES.md §6 pins the cents encoding).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hgraphstorage_spark import schemas
@@ -113,6 +113,15 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphSnapshot:
     region, nation, customer = t["region"], t["nation"], t["customer"]
     supplier, part, orders, lineitem = t["supplier"], t["part"], t["orders"], t["lineitem"]
 
+    # lineitem has no unique natural key (duplicate rows exist in the
+    # synthetic data) — assign a within-order sequence deterministically so
+    # the DuckDB oracle reproduces edge ids bit-for-bit. The window shuffles
+    # on l_orderkey only (dense, bounded partition: ≤ ~20 rows each).
+    seq_window = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    lineitem = lineitem.withColumn("_seq", F.row_number().over(seq_window))
+
     nodes = (
         region.select(node_id("Region", F.col("r_regionkey")), F.lit("Region").alias("label"))
         .unionByName(nation.select(node_id("Nation", F.col("n_nationkey")), F.lit("Nation").alias("label")))
@@ -122,7 +131,7 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphSnapshot:
         .unionByName(orders.select(node_id("Order", F.col("o_orderkey")), F.lit("Order").alias("label")))
     )
 
-    li_key = F.col("l_orderkey") * 16 + F.col("l_linenumber")
+    li_key = F.col("l_orderkey") * 32 + F.col("_seq")
 
     def edge(label: str, df: DataFrame, key, src_label: str, src_key, dst_label: str, dst_key) -> DataFrame:
         return df.select(

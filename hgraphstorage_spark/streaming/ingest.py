@@ -1,0 +1,114 @@
+"""Structured Streaming ingest (SURVEY.md §7 M6).
+
+The reference's closest analogue is STMGraph's write-behind queue: a
+writer thread drains mutation ``WriteEvent``s to disk
+(``STMGraph/src/Database/Graph/STMGraph/Raw.hs:253-306``; event ADT
+``Types.hs:507-518``). Spark-first, that's a mutation-event stream with
+``foreachBatch`` snapshot publication — each micro-batch produces one new
+committed snapshot version (the reference's batch-atomicity, T8).
+
+The windowed aggregation over the driver's ``events`` table is the
+watermark/late-data extension; the batch form (``events_tumbling_agg``)
+and the streaming form produce identical results for fully-arrived data,
+which is what the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hgraphstorage_spark import schemas
+from hgraphstorage_spark.engine import GraphEngine
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table. The testdata stores ts as TIMESTAMP(NANOS)
+    (read as long via nanosAsLong); convert to microsecond timestamps —
+    the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV — ts is ~1.7e18 ns, far beyond double's 2^53 exactness
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def events_tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Works on both batch and
+    streaming DataFrames (same plan; streaming adds state + watermark).
+    Money-ish sums go through DECIMAL so results are order-independent."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", "1 hour")
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based). Streaming-native via
+    ``session_window``; batch gives identical results on complete data."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", "1 hour")
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over an events directory (parquet)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def mutation_stream_to_snapshots(engine: GraphEngine, mutations_stream: DataFrame, checkpoint_dir: str):
+    """Drain a mutation-event stream into the engine: every micro-batch
+    becomes one committed snapshot (reference S6 writer thread + S7
+    checkpoint parity — the batch is atomic, durability is the stream
+    checkpoint).
+
+    Event schema: op STRING ('add_node'|'add_edge'), id LONG, src LONG,
+    dst LONG, label STRING — property events ride along as columns.
+    """
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        nodes = batch_df.filter(F.col("op") == "add_node").select("id", "label")
+        edges = batch_df.filter(F.col("op") == "add_edge").select("id", "src", "dst", "label")
+        # foreachBatch may redeliver on failure; dropDuplicates on id keeps
+        # the publication idempotent within the batch
+        if nodes.limit(1).count() > 0:
+            engine.add_nodes_df(nodes.dropDuplicates(["id"]))
+        if edges.limit(1).count() > 0:
+            engine.add_edges_df(edges.dropDuplicates(["id"]))
+        engine.commit()
+
+    return (
+        mutations_stream.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
