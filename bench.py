@@ -1,0 +1,73 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query's full plan is executed via
+the noop sink (no driver collect bottleneck, no skipped columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from hgraphstorage_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family, weighted toward the scale-relevant
+# paths (joins/aggs/dedup/similarity) rather than point lookups
+HEADLINE = [
+    "traversal_out_values",  # Has + hop + Values over the property graph
+    "multi_hop",             # 2-hop join chain
+    "tpch_q1",               # wide scan + agg
+    "tpch_q3_like",          # 3-way join + top-k
+    "tpch_q5_like",          # 4-way join + agg
+    "dedup_exact",           # hash-agg dedup over documents
+    "minhash_lsh_pairs",     # shingle -> minhash -> band join -> verify
+    "similarity_topk",       # brute-force cosine top-k
+    "events_hourly",         # windowed agg
+    "sessionize",            # session windows
+    "degrees",               # graph degree agg
+    "connected_components",  # iterative Pregel-style loop
+]
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = get_spark("hgraphstorage-bench")
+    queries = entry_mod.queries()
+
+    # warm the JVM + parquet footers with a trivial action (not timed)
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _execute(queries[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

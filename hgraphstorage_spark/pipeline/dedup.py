@@ -38,23 +38,38 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _shingles(text_col, n: int) -> F.Column:
-    """Distinct character n-grams of the normalized text (array<string>).
+def _parallel(df: DataFrame) -> DataFrame:
+    """Spread a small-file input across the cluster before CPU-heavy narrow
+    stages. A single parquet file arrives as one partition — shingling 100k
+    docs on one core wastes the other 31 (or the other 31,999). No-op when
+    the scan already has enough splits."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
-    Built-ins only: sequence + transform + substring. Documents shorter
-    than n yield a single shingle (the whole text).
+
+def _shingles(text_col, n: int) -> F.Column:
+    """Distinct word n-grams of the normalized text (array<string>).
+
+    Word-level shingles (the standard for document near-dup, cf. the
+    n-gram dedup literature) are ~word_len× fewer than character shingles
+    and build in O(words) via slice+concat — character substr would be
+    O(chars²) per document. Documents with < n words yield one shingle.
     """
-    normalized = F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
-    length = F.length(normalized)
-    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: normalized.substr(i, F.lit(n))))
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n_sh)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
 
 
 def shingle_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
     """(id, shingle) long format — the input to minhash / jaccard."""
-    return docs.select(
+    return _parallel(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
     )
 
@@ -62,16 +77,27 @@ def shingle_docs(
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5, k: int = 64
 ) -> DataFrame:
-    """k-permutation MinHash signature per document.
+    """k-permutation MinHash signature per document — zero-shuffle.
 
-    hash_i(shingle) = xxhash64(shingle, seed=i); signature element i is the
-    min over the doc's shingles. One explode + one groupBy — the shuffle
-    key is doc_id (dense, unskewed).
+    Classic 2-universal construction: two base hashes per shingle
+    (xxhash64 with different seeds) reduced mod a 31-bit prime, then
+    hash_i = (h1 + i·h2) mod P — overflow-free under ANSI arithmetic
+    (i·h2 < 2^37). The expensive string hashing happens exactly twice per
+    shingle; the k permutations are integer arithmetic inside a
+    hash-aggregate with map-side partial combine, so the shuffle carries
+    one k-wide row per (doc, partition), not the shingles.
     Returns (doc_id, sig ARRAY<BIGINT> length k).
     """
-    exploded = shingle_docs(docs, text_col, id_col, n)
-    mins = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)]
-    agg = exploded.groupBy("doc_id").agg(*mins)
+    P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+    hashed = shingle_docs(docs, text_col, id_col, n).select(
+        "doc_id",
+        F.pmod(F.xxhash64("shingle"), F.lit(P)).alias("a"),
+        F.pmod(F.xxhash64("shingle", F.lit(1)), F.lit(P)).alias("b"),
+    )
+    mins = [
+        F.min(F.pmod(F.col("a") + F.lit(i) * F.col("b"), F.lit(P))).alias(f"h{i}") for i in range(k)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*mins)
     return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
 
@@ -120,35 +146,29 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = _jaccard_of_pairs(candidates, shingle_docs(docs, text_col, id_col, n))
-    return verified.filter(F.col("jaccard") >= threshold)
-
-
-def _jaccard_of_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
-    """Exact Jaccard for given (doc_a, doc_b) pairs from a (doc_id, shingle)
-    table: |A∩B| via join-count, |A∪B| = |A|+|B|-|A∩B|."""
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"], "inner")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+    # exact-Jaccard verify on candidates only: join shingle *arrays* back in
+    # (the candidate set is tiny relative to the corpus — broadcast it) and
+    # compare with array_intersect per row, no explode
+    sh = _parallel(docs).select(F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("sh"))
+    verified = (
+        F.broadcast(candidates)
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+                ),
+                6,
             )
             .cast("decimal(18,6)")
             .alias("jaccard"),
         )
     )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def ngram_jaccard_pairs(

@@ -70,38 +70,38 @@ def edge_id(label: str, key_col) -> F.Column:
     return (F.lit(EDGE_CODE[label] * EDGE_BASE) + key_col.cast("long")).alias("id")
 
 
-def _prop_struct(name: str, dtype: str, col: F.Column):
-    null_text = F.lit(None).cast("string")
-    return F.struct(
-        F.lit(name).alias("name"),
-        F.lit(dtype).alias("dtype"),
-        (col.cast("string") if dtype == schemas.DT_TEXT else null_text).alias("text_v"),
-        (col.cast("decimal(38,0)") if dtype == schemas.DT_INTEGER else F.lit(None).cast("decimal(38,0)")).alias(
-            "int_v"
-        ),
-        F.lit(None).cast("binary").alias("bin_v"),
-        (col.cast("string") if dtype == schemas.DT_JSON else null_text).alias("json_v"),
-    )
-
-
 def _props_long(df: DataFrame, owner_id: F.Column, kind: str, specs) -> DataFrame:
-    """One scan → long-format props via array-of-structs + explode (no join,
-    no shuffle; preserves single-pass reads at 100 TB)."""
-    structs = [_prop_struct(name, dtype, col) for name, dtype, col in specs]
-    return (
-        df.select(owner_id.alias("owner_id"), F.explode(F.array(*structs)).alias("p"))
-        .select(
-            "owner_id",
-            F.lit(kind).alias("owner_kind"),
-            F.col("p.name").alias("name"),
-            F.col("p.dtype").alias("dtype"),
-            F.lit(0).alias("seq"),
-            F.col("p.text_v").alias("text_v"),
-            F.col("p.int_v").alias("int_v"),
-            F.col("p.bin_v").alias("bin_v"),
-            F.col("p.json_v").alias("json_v"),
+    """One union branch PER PROPERTY NAME (literal `name` column, no
+    explode): a traversal's ``Has``/``Values`` filter on name constant-folds
+    to false in the untouched branches, so Catalyst's empty-relation
+    propagation prunes their scans entirely — `Has(c_mktsegment=…)` reads
+    exactly one column of one table, never the lineitem props. Each branch
+    is a narrow projection of a (column-pruned) parquet scan; unions are
+    plan concatenation, not work."""
+    null_text = F.lit(None).cast("string")
+    branches = []
+    for name, dtype, col in specs:
+        branches.append(
+            df.select(
+                owner_id.alias("owner_id"),
+                F.lit(kind).alias("owner_kind"),
+                F.lit(name).alias("name"),
+                F.lit(dtype).alias("dtype"),
+                F.lit(0).alias("seq"),
+                (col.cast("string") if dtype == schemas.DT_TEXT else null_text).alias("text_v"),
+                (
+                    col.cast("decimal(38,0)")
+                    if dtype == schemas.DT_INTEGER
+                    else F.lit(None).cast("decimal(38,0)")
+                ).alias("int_v"),
+                F.lit(None).cast("binary").alias("bin_v"),
+                (col.cast("string") if dtype == schemas.DT_JSON else null_text).alias("json_v"),
+            )
         )
-    )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def _cents(col) -> F.Column:
