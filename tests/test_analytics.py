@@ -1,0 +1,79 @@
+"""Analytics tests: degrees, connected components, PageRank, BFS."""
+
+from __future__ import annotations
+
+import pytest
+
+from hgraphstorage_spark import GraphEngine
+from hgraphstorage_spark.analytics import bfs, connected_components, degrees, pagerank
+
+from tests.conftest import bag
+
+
+@pytest.fixture(scope="module")
+def two_component_engine(spark):
+    """Component A: 1-2-3 chain (+ isolated two-cycle 2↔3), component B:
+    4-5, isolated node 6."""
+    eng = GraphEngine(spark)
+    eng.add_nodes([("N", {}) for _ in range(6)])
+    eng.add_edges(
+        [
+            (1, 2, "e", {}),
+            (2, 3, "e", {}),
+            (3, 2, "e", {}),
+            (4, 5, "e", {}),
+        ]
+    )
+    eng.commit()
+    return eng
+
+
+class TestDegrees:
+    def test_degrees(self, two_component_engine):
+        rows = {r["id"]: r for r in degrees(two_component_engine.current).collect()}
+        assert (rows[1]["out_deg"], rows[1]["in_deg"], rows[1]["deg"]) == (1, 0, 1)
+        assert (rows[2]["out_deg"], rows[2]["in_deg"]) == (1, 2)
+        assert (rows[6]["out_deg"], rows[6]["in_deg"], rows[6]["deg"]) == (0, 0, 0)
+
+
+class TestConnectedComponents:
+    def test_components(self, two_component_engine):
+        comp = {r["id"]: r["component"] for r in connected_components(two_component_engine.current).collect()}
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[4] == comp[5] == 4
+        assert comp[6] == 6
+
+
+class TestPageRank:
+    def test_ranks_sum_to_one_and_order(self, two_component_engine):
+        ranks = {r["id"]: r["rank"] for r in pagerank(two_component_engine.current, iterations=15).collect()}
+        assert abs(sum(ranks.values()) - 1.0) < 1e-6
+        # 2 and 3 feed each other; both should outrank source 1
+        assert ranks[2] > ranks[1]
+        assert ranks[3] > ranks[1]
+
+    def test_star_graph_center_wins(self, spark):
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(5)])
+        eng.add_edges([(i, 1, "e", {}) for i in range(2, 6)])
+        eng.commit()
+        ranks = {r["id"]: r["rank"] for r in pagerank(eng.current, iterations=10).collect()}
+        assert ranks[1] == max(ranks.values())
+
+
+class TestBfs:
+    def test_hops(self, two_component_engine):
+        reached = {r["id"]: r["hops"] for r in bfs(two_component_engine.current, 1, max_hops=5).collect()}
+        assert reached == {1: 0, 2: 1, 3: 2}
+
+    def test_unreachable_not_included(self, two_component_engine):
+        reached = {r["id"] for r in bfs(two_component_engine.current, 4, max_hops=5).collect()}
+        assert reached == {4, 5}
+
+    def test_label_filter(self, spark):
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(3)])
+        eng.add_edges([(1, 2, "a", {}), (2, 3, "b", {})])
+        eng.commit()
+        reached = {r["id"] for r in bfs(eng.current, 1, max_hops=5, labels=("a",)).collect()}
+        assert reached == {1, 2}

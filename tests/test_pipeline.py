@@ -1,0 +1,166 @@
+"""Pipeline-operator tests: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hgraphstorage_spark.pipeline import (
+    cosine_topk,
+    exact_dedup,
+    exact_dup_groups,
+    fingerprint,
+    language_id,
+    lsh_bucket_topk,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_stats,
+    simhash,
+    token_counts,
+)
+from hgraphstorage_spark.pipeline.dedup import hamming64
+
+from tests.conftest import bag
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy"), "en"),  # near dup of 0
+        (3, "der hund und die katze spielen in der garten unter der sonne heute", "de"),
+        (4, "completely different content about spark engines and distributed query planning", "en"),
+        (5, "", "en"),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_id(self, docs):
+        kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+        assert kept == [0, 2, 3, 4, 5]  # doc 1 removed, rep = min id 0
+
+    def test_dup_groups(self, docs):
+        groups = exact_dup_groups(docs).collect()
+        assert len(groups) == 1
+        assert (groups[0]["keep_id"], groups[0]["n_dups"]) == (0, 2)
+
+    def test_minhash_identical_docs_identical_sigs(self, docs):
+        sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, k=16).collect()}
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[4]
+
+    def test_minhash_lsh_finds_near_dups(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): float(r["jaccard"])
+            for r in minhash_lsh_pairs(docs, threshold=0.35, k=32, bands=16).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        # one word changed out of 17 → 5-word-shingle jaccard ≈ 0.44
+        assert (0, 2) in pairs and 0.35 <= pairs[(0, 2)] < 1.0
+        assert (0, 4) not in pairs and (0, 3) not in pairs
+
+    def test_ngram_jaccard_blocked(self, docs):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): float(r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3, block_col="lang").collect()
+        }
+        assert (0, 1) in pairs
+        assert (0, 2) in pairs
+        # blocking: doc 3 is 'de' — never compared
+        assert not any(3 in p for p in pairs)
+
+    def test_simhash_hamming(self, spark, docs):
+        sh = simhash(docs)
+        a = sh.alias("a")
+        b = sh.alias("b")
+        dist = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+                hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+            )
+            .collect()
+        )
+        dmap = {(r["da"], r["db"]): r["d"] for r in dist}
+        assert dmap[(0, 1)] == 0  # identical docs
+        assert dmap[(0, 2)] < dmap[(0, 4)]  # near dup closer than unrelated
+
+
+class TestSimilarity:
+    def test_bruteforce_topk(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        top = cosine_topk(emb, query_id=0, k=5).collect()
+        assert len(top) == 5
+        scores = [float(r["score"]) for r in top]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["vec_id"] != 0 for r in top)
+
+    def test_lsh_results_subset_scored_identically(self, spark):
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = {r["vec_id"]: float(r["score"]) for r in cosine_topk(emb, 0, k=200).collect()}
+        approx = lsh_bucket_topk(emb, 0, k=10, bits=4).collect()
+        assert len(approx) > 0
+        for r in approx:  # same cosine values where they overlap
+            if r["vec_id"] in exact:
+                assert abs(float(r["score"]) - exact[r["vec_id"]]) < 1e-9
+
+
+class TestText:
+    def test_token_counts(self, docs):
+        rows = {r["doc_id"]: r for r in token_counts(docs).collect()}
+        assert rows[0]["n_tokens"] == 17
+        assert rows[5]["n_tokens"] == 0
+        assert rows[5]["n_chars"] == 0
+
+    def test_quality_stats_null_on_empty(self, docs):
+        rows = {r["doc_id"]: r for r in quality_stats(docs).collect()}
+        assert rows[5]["chars_per_token"] is None
+        assert rows[0]["punct_ratio"] is not None and float(rows[0]["punct_ratio"]) == 0.0
+
+    def test_language_id(self, docs):
+        rows = {r["doc_id"]: r["lang_guess"] for r in language_id(docs).collect()}
+        assert rows[0] == "en"
+        assert rows[3] == "de"
+        assert rows[5] == "und"
+
+    def test_fingerprint_invariant_to_whitespace(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "  hello world "), (3, "other")], "doc_id long, text string"
+        )
+        fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+        assert fps[1] == fps[2] != fps[3]
+
+
+class TestMultimodal:
+    def test_extract_features_fake_decode(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import extract_features, synthetic_media
+
+        media = synthetic_media(spark, 32)
+        feats = extract_features(media, fake_decode=True).collect()
+        assert len(feats) == 32
+        assert all(r["decode_ok"] for r in feats)
+        assert all(len(r["feature"]) == 8 for r in feats)
+        # deterministic: same payload → same feature
+        again = extract_features(synthetic_media(spark, 32), fake_decode=True).collect()
+        assert sorted((r["media_id"], tuple(r["feature"])) for r in feats) == sorted(
+            (r["media_id"], tuple(r["feature"])) for r in again
+        )
+
+    def test_real_mode_marks_decode_failed(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import extract_features, synthetic_media
+
+        feats = extract_features(synthetic_media(spark, 6), fake_decode=False).collect()
+        assert all(not r["decode_ok"] for r in feats)
+
+    def test_frame_sample_plan_metadata_only(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import frame_sample_plan, synthetic_media
+
+        plan = frame_sample_plan(synthetic_media(spark, 9), every_ms=1000)
+        rows = plan.collect()
+        assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
+        assert len({r["media_id"] for r in rows}) == 3  # only videos

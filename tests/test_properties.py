@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) — the reference's QuickCheck layer
+(``STMGraph/test/.../TypesSpec.hs:37-78``): value serialization round-trips
+and traversal-algebra laws."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hgraphstorage_spark import schemas
+
+# -- value round-trips (no Spark needed) ------------------------------------
+
+values = st.one_of(
+    st.text(max_size=50),
+    st.integers(min_value=-(10**30), max_value=10**30),
+    st.binary(max_size=50),
+    st.dictionaries(st.text(max_size=8), st.integers(-100, 100), max_size=4),
+)
+
+
+@given(values)
+def test_value_columns_roundtrip(v):
+    """toBin/toValue round-trip (``FileOps.hs:281-308``): splitting a value
+    into typed columns and reading back the canonical string is loss-free
+    per dtype."""
+    row = schemas.value_columns(v)
+    dt = row["dtype"]
+    assert dt == schemas.infer_dtype(v)
+    populated = [k for k in ("text_v", "int_v", "bin_v", "json_v") if row[k] is not None]
+    assert len(populated) == 1
+    if dt == schemas.DT_TEXT:
+        assert row["text_v"] == v
+    elif dt == schemas.DT_INTEGER:
+        assert int(row["int_v"]) == v
+    elif dt == schemas.DT_BINARY:
+        assert row["bin_v"] == bytes(v)
+    else:
+        assert json.loads(row["json_v"]) == v
+
+
+@given(values)
+def test_canonical_string_distinguishes_dtype_not_needed(v):
+    s = schemas.canonical_string(v)
+    assert isinstance(s, str)
+
+
+@given(st.integers(-(10**30), 10**30))
+def test_integer_text_same_name_different_property(i):
+    """(name, dtype) is the property key (``Types.hs:338``): the integer i
+    and the text str(i) must land in different columns."""
+    as_int = schemas.value_columns(i)
+    as_text = schemas.value_columns(str(i))
+    assert as_int["dtype"] != as_text["dtype"]
+
+
+# -- traversal algebra laws (small random graphs on Spark) -------------------
+
+edge_lists = st.lists(
+    st.tuples(st.integers(1, 6), st.integers(1, 6), st.sampled_from(["a", "b"])),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_both_is_in_plus_out(spark, edges):
+    """Both ≡ In <> Out as bags (``API.hs:308-313``)."""
+    from hgraphstorage_spark import GraphEngine, T
+
+    eng = GraphEngine(spark)
+    eng.add_nodes([("N", {}) for _ in range(6)])
+    eng.add_edges([(s, d, lbl, {}) for s, d, lbl in edges])
+    eng.commit()
+    both = sorted(eng.traverse(T().nid(1).both("a")).ids())
+    inn = eng.traverse(T().nid(1).in_("a")).ids()
+    out = eng.traverse(T().nid(1).out("a")).ids()
+    assert both == sorted(inn + out)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_has_then_out_subset_of_out(spark, edges):
+    """Filter-then-traverse ⊆ traverse (monotonicity of Has)."""
+    from collections import Counter
+
+    from hgraphstorage_spark import GraphEngine, T
+
+    eng = GraphEngine(spark)
+    eng.add_nodes([("N", {"k": i}) for i in range(1, 7)])
+    eng.add_edges([(s, d, lbl, {}) for s, d, lbl in edges])
+    eng.commit()
+    filtered = Counter(eng.traverse(T().ns().has("k", 1).out("a")).ids())
+    full = Counter(eng.traverse(T().ns().out("a")).ids())
+    assert all(filtered[k] <= full[k] for k in filtered)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_oute_then_out_equals_out(spark, edges):
+    """edgesToNodes ∘ OutE ≡ Out (``API.hs:367-374``)."""
+    from hgraphstorage_spark import GraphEngine, T
+
+    eng = GraphEngine(spark)
+    eng.add_nodes([("N", {}) for _ in range(6)])
+    eng.add_edges([(s, d, lbl, {}) for s, d, lbl in edges])
+    eng.commit()
+    via_edges = sorted(eng.traverse(T().nid(2).out_e("a").out()).ids())
+    direct = sorted(eng.traverse(T().nid(2).out("a")).ids())
+    assert via_edges == direct

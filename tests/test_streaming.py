@@ -1,0 +1,94 @@
+"""Streaming tests: windowed aggregation parity (stream == batch) and the
+mutation-stream → snapshot publication sink (reference S6/S7 parity)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from hgraphstorage_spark import GraphEngine
+from hgraphstorage_spark.streaming import (
+    events_tumbling_agg,
+    load_events,
+    mutation_stream_to_snapshots,
+)
+
+from tests.conftest import bag
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="hgs_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class TestWindowedAgg:
+    def test_stream_equals_batch(self, spark, tmpdir):
+        """Micro-batched file stream over the events table must produce the
+        same windowed aggregate as the batch query (complete data)."""
+        batch = load_events(spark, "/root/testdata/sf0.001")
+        # write as several files so the stream sees multiple micro-batches
+        batch.repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/events")
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/events")
+        )
+        q = (
+            events_tumbling_agg(stream, "1 hour")
+            .writeStream.format("memory")
+            .queryName("agg_out")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmpdir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = bag(
+            spark.table("agg_out").select("window_start", "event_type", "n_events", "total_value")
+        )
+        want = bag(
+            events_tumbling_agg(batch, "1 hour").select(
+                "window_start", "event_type", "n_events", "total_value"
+            )
+        )
+        assert got == want
+
+
+class TestMutationStream:
+    def test_snapshots_published_per_batch(self, spark, tmpdir):
+        """Reference S6 writer-thread parity: mutation events drained in
+        micro-batches, each producing one committed snapshot version."""
+        rows = [
+            {"op": "add_node", "id": i, "src": None, "dst": None, "label": "N"} for i in range(1, 5)
+        ] + [
+            {"op": "add_edge", "id": 1, "src": 1, "dst": 2, "label": "e"},
+            {"op": "add_edge", "id": 2, "src": 2, "dst": 3, "label": "e"},
+        ]
+        df = spark.createDataFrame(rows, "op string, id long, src long, dst long, label string")
+        df.repartition(2).write.mode("overwrite").parquet(f"{tmpdir}/mutations")
+
+        stream = (
+            spark.readStream.schema("op string, id long, src long, dst long, label string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/mutations")
+        )
+        eng = GraphEngine(spark)
+        q = mutation_stream_to_snapshots(eng, stream, f"{tmpdir}/ckpt2")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert eng.committed.nb_nodes() == 4
+        assert eng.committed.nb_edges() == 2
+        # one committed version per non-empty micro-batch
+        assert len(eng.versions) >= 2
