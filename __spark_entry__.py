@@ -251,6 +251,33 @@ def q_bfs(spark, sf_dir):
     return reached.groupBy("hops").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def q_hackage_one_step(spark, sf_dir):
+    """S8 + J1 parity: the reference's benchmark workload — bulk-load a
+    Hackage-style graph, index-lookup 'pkg_0' (the ≥111-version 'yesod'
+    analog), one-step query over versions edges."""
+    from hgraphstorage_spark import T
+    from hgraphstorage_spark.compiler import compile_traversal
+    from hgraphstorage_spark.sources.hackage import load_hackage_graph
+
+    snap = load_hackage_graph(spark, 1000)
+    res = compile_traversal(snap, T().ns().has("name", "pkg_0").out("versions"))
+    return res.df.agg(F.count(F.lit(1)).alias("n_versions"))
+
+
+def q_hackage_depends_top(spark, sf_dir):
+    """Most-depended-on packages over the synthetic Hackage graph."""
+    from hgraphstorage_spark.sources.hackage import load_hackage_graph
+
+    snap = load_hackage_graph(spark, 1000)
+    return (
+        snap.edges.filter(F.col("label") == "depends")
+        .groupBy(F.col("dst").alias("pkg_id"))
+        .agg(F.count(F.lit(1)).alias("n_dependents"))
+        .orderBy(F.col("n_dependents").desc(), F.col("pkg_id").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytical queries (scan/agg/join operator coverage at scale)
 
@@ -429,6 +456,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "connected_components": q_connected_components,
         "bfs": q_bfs,
+        "hackage_one_step": q_hackage_one_step,
+        "hackage_depends_top": q_hackage_depends_top,
         "tpch_q1": q_tpch_q1,
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
@@ -600,6 +629,14 @@ FROM scored
             UNION ALL
             SELECT 2, count(DISTINCT l_partkey)::BIGINT
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 0
+        """,
+        "hackage_one_step": "SELECT 120::BIGINT AS n_versions",
+        "hackage_depends_top": """
+            WITH pkgs AS (SELECT unnest(generate_series(0, 999)) AS i),
+            v AS (SELECT i, unnest(generate_series(0, CASE WHEN i = 0 THEN 119 ELSE (i*i) % 113 END)) AS j FROM pkgs),
+            d AS (SELECT (i*31 + j) % 1000 AS tgt FROM v WHERE (i*31 + j) % 1000 <> i)
+            SELECT (1000000000 + tgt)::BIGINT AS pkg_id, count(*)::BIGINT AS n_dependents
+            FROM d GROUP BY tgt ORDER BY n_dependents DESC, pkg_id LIMIT 10
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

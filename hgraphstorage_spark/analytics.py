@@ -119,6 +119,59 @@ def pagerank(
     return ranks
 
 
+def pregel(
+    snap: GraphSnapshot,
+    initial,
+    message,
+    aggregate,
+    update,
+    max_iter: int = 20,
+    directed: bool = True,
+    check_convergence: bool = True,
+) -> DataFrame:
+    """Generic DataFrame-Pregel (the GraphX ``Pregel`` operator shape,
+    re-expressed over (nodes, edges) DataFrames).
+
+    - ``initial(nodes) -> Column``: initial vertex state
+    - ``message(state_col) -> Column``: message sent along each edge from
+      the source's state (directed) — evaluated against the joined
+      (edge ⋈ src-state) row
+    - ``aggregate(msg_col) -> Column``: aggregate expression combining
+      inbound messages per vertex (e.g. ``F.min``, ``F.sum``)
+    - ``update(old_col, agg_col) -> Column``: new state from old state +
+      aggregated message (agg is NULL when no messages arrived)
+
+    Each superstep = one join + one aggregate + one state join, with
+    ``localCheckpoint`` truncating lineage. Convergence = no state changed
+    (one tiny count per superstep; disable for fixed-iteration algorithms).
+    Returns (id, state).
+    """
+    edges = snap.edges.select("src", "dst")
+    if not directed:
+        edges = edges.unionAll(snap.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    state = snap.nodes.select("id", initial(snap.nodes).alias("state")).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(state.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), message(F.col("state")).alias("msg"))
+            .groupBy("id")
+            .agg(aggregate(F.col("msg")).alias("agg_msg"))
+        )
+        new_state = (
+            state.join(msgs, "id", "left")
+            .select("id", F.col("state").alias("old"), update(F.col("state"), F.col("agg_msg")).alias("state"))
+            .localCheckpoint()
+        )
+        if check_convergence:
+            changed = new_state.filter(~F.col("state").eqNullSafe(F.col("old"))).limit(1).count()
+            state = new_state.select("id", "state")
+            if changed == 0:
+                break
+        else:
+            state = new_state.select("id", "state")
+    return state
+
+
 def bfs(snap: GraphSnapshot, source_id: int, max_hops: int = 10, labels: tuple = ()) -> DataFrame:
     """Multi-hop BFS: (id, hops) for nodes reachable from source within
     max_hops along (optionally label-filtered) out-edges. Iterated frontier
