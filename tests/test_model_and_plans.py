@@ -1,0 +1,87 @@
+"""Model-dictionary parity + physical-plan audits.
+
+The plan audits pin the scale-critical plan shapes (SURVEY.md §4): filter
+pushdown into parquet scans, static pruning of untouched props branches,
+broadcast joins for small frontiers — so a regression that silently
+reintroduces full scans or shuffle joins fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hgraphstorage_spark import GraphEngine, T
+from hgraphstorage_spark.model import build_model, model_to_string, string_to_model
+
+
+class TestModel:
+    def test_dictionary_contents(self, movie_engine):
+        model = {(r["kind"], r["name"]): r["type_id"] for r in build_model(movie_engine.current).collect()}
+        assert ("node_type", "Actor") in model
+        assert ("node_type", "Movie") in model
+        assert ("edge_type", "Played") in model
+        assert ("property_type", "age:integer") in model
+        assert ("property_type", "name:text") in model
+        # ids dense + 1-based per kind
+        node_ids = sorted(v for (k, _), v in model.items() if k == "node_type")
+        assert node_ids == [1, 2]
+
+    def test_string_roundtrip(self, spark, movie_engine):
+        model = build_model(movie_engine.current)
+        s = model_to_string(model)
+        back = string_to_model(spark, s)
+        assert sorted(map(tuple, model.collect())) == sorted(map(tuple, back.collect()))
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPlanShape:
+    def test_parquet_filter_pushdown(self, spark):
+        """A traversal's Has-filter must reach the parquet scan as
+        PushedFilters, not run post-scan."""
+        df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        plan = _executed_plan(df)
+        assert "PushedFilters: [" in plan and "c_mktsegment" in plan.split("PushedFilters", 1)[1][:200]
+
+    def test_props_branch_pruning(self, spark):
+        """Has/Values on one property name must statically prune every other
+        props union branch — the traversal below may touch customer and
+        orders, never lineitem/part/supplier scans."""
+        import __spark_entry__ as e
+
+        df = e.q_traversal_out_values(spark, "/root/testdata/sf0.001")
+        plan = _executed_plan(df)
+        # lineitem (the dominant table: 3 props x 60k rows at sf0.01) must
+        # be statically pruned; the remaining tables appear only as
+        # 1-column label scans for node hydration
+        assert "lineitem.parquet" not in plan
+
+    def test_small_frontier_broadcasts(self, spark, movie_engine):
+        """NID frontier → hop must probe edges with a broadcast join, not
+        shuffle both sides."""
+        res = movie_engine.traverse(T().nid(1).out("Played"))
+        plan = _executed_plan(res.df)
+        assert "BroadcastHashJoin" in plan
+
+    def test_column_pruning_reaches_scan(self, spark):
+        """A 2-column projection must not read the full lineitem schema."""
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = _executed_plan(df)
+        read_schema = plan.split("ReadSchema:", 1)[1][:200]
+        assert "l_extendedprice" not in read_schema
+
+    def test_whole_stage_codegen_and_partial_agg(self, spark):
+        import __spark_entry__ as e
+
+        df = e.q_tpch_q1(spark, "/root/testdata/sf0.001")
+        # map-side combine must be present pre-execution
+        assert "partial_sum" in _executed_plan(df)
+        df.collect()  # AQE finalizes the plan on execution
+        # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
+        assert "*(" in _executed_plan(df)
