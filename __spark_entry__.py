@@ -332,6 +332,87 @@ def q_tpch_q5_like(spark, sf_dir):
     )
 
 
+def q_window_top_order(spark, sf_dir):
+    """Window functions: each customer's highest-value order (row_number
+    over partitionBy/orderBy — deterministic tie-break on orderkey)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("top_price"),
+        )
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Grouping sets: rollup over (returnflag, linestatus) with grouping ids."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(8,6)"
+    )
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum(revenue).cast("decimal(30,8)").alias("revenue"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "cnt",
+        )
+    )
+
+
+def q_distinct_agg(spark, sf_dir):
+    """Distinct + approx-distinct aggregates per order priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """Anti join: customers who never placed an order."""
+    cust, orders = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_semi_join(spark, sf_dir):
+    """Semi join: parts that ship in quantity >= 45 somewhere."""
+    part, li = _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 45).select(F.col("l_partkey").alias("p_partkey"))
+    return part.join(big, "p_partkey", "left_semi").select("p_partkey", "p_name")
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: nations having customers INTERSECT nations having
+    suppliers, minus (EXCEPT) nations in region 0."""
+    cust, supp = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    with_cust = cust.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    with_supp = supp.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    in_region0 = nation.filter(F.col("n_regionkey") == 0).select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    return with_cust.intersect(with_supp).exceptAll(in_region0)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    from hgraphstorage_spark.pipeline.text import bpe_ish_token_counts
+
+    return bpe_ish_token_counts(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (north-star extensions)
 
@@ -377,6 +458,21 @@ def q_similarity_lsh(spark, sf_dir):
     from hgraphstorage_spark.pipeline import lsh_bucket_topk
 
     return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, bits=4)
+
+
+def q_similarity_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (approximate — rows-only check)."""
+    from hgraphstorage_spark.pipeline.similarity import ivf_topk
+
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, nlist=16, nprobe=4)
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-resistant two-phase aggregation — must equal the plain GROUP BY."""
+    from hgraphstorage_spark.operators import salted_count_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_count_by(li, ["l_returnflag"], salt=16).select("l_returnflag", "cnt")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -461,6 +557,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
+        "window_top_order": q_window_top_order,
+        "rollup_revenue": q_rollup_revenue,
+        "distinct_agg": q_distinct_agg,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "set_ops": q_set_ops,
+        "bpe_token_counts": q_bpe_token_counts,
         "dedup_exact": q_dedup_exact,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
@@ -468,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
+        "salted_agg": q_salted_agg,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_buckets": q_simhash_buckets,
@@ -661,6 +766,44 @@ FROM scored
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
+        "window_top_order": """
+            SELECT o_custkey, o_orderkey, top_price FROM (
+              SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS top_price,
+                     row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn = 1
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(30,8)) AS revenue,
+                   count(*)::BIGINT AS cnt
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "distinct_agg": """
+            SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_customers,
+                   count(*)::BIGINT AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "semi_join": """
+            SELECT p_partkey, p_name FROM part
+            WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45)
+        """,
+        "set_ops": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+            EXCEPT ALL
+            SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::INT AS n_bpe_tokens
+            FROM documents
+        """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "text_token_counts": r"""
             SELECT doc_id, len(text)::INT AS n_chars,
@@ -692,6 +835,7 @@ FROM scored
             FROM e, q WHERE vec_id <> 0
             ORDER BY score DESC, vec_id LIMIT 10
         """,
+        "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
         "events_hourly": """
             SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
                    count(*)::BIGINT AS n_events,

@@ -1,0 +1,20 @@
+"""Engine scalar/vector function surface.
+
+The reference has no scalar-function library (SURVEY.md §2.6) — its only
+scalar computations are serialization casts, covered by schemas/compiler.
+This package re-exports the engine-level functions built on top of Spark's
+built-ins so users have one import point."""
+
+from hgraphstorage_spark.compiler import value_str
+from hgraphstorage_spark.pipeline.dedup import hamming64
+from hgraphstorage_spark.pipeline.similarity import cosine
+from hgraphstorage_spark.schemas import canonical_string, infer_dtype, value_columns
+
+__all__ = [
+    "value_str",
+    "hamming64",
+    "cosine",
+    "canonical_string",
+    "infer_dtype",
+    "value_columns",
+]

@@ -81,6 +81,72 @@ def signature_bits(vec: Column, dims: int, bits: int) -> Column:
     return sig
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition vectors into `nlist` inverted
+    lists by nearest centroid, probe the query's `nprobe` nearest lists.
+
+    Centroids are chosen deterministically (the vectors with the `nlist`
+    smallest ids — a real deployment would k-means offline and persist).
+    Assignment is one pass over the data against broadcast centroids
+    (max_by over a small exploded array); at scale the assigned table is
+    written bucketed by `list_id` so a query scans nlist/nprobe fewer
+    bytes. Returns (vec_id, score DECIMAL(18,6), list_id).
+    """
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .groupBy()
+        .agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    )
+    # nearest centroid per vector: explode the (small) centroid array and
+    # keep the argmax-cosine via max_by
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_vec"),
+            F.explode("cents").alias("c"),
+        )
+        .select("vec_id", "_vec", F.col("c.cid").alias("cid"), cosine(F.col("_vec"), F.col("c.cvec")).alias("csim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("list_id"),
+            F.first("_vec").alias("_vec"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") == query_id).select(F.col("_vec").alias("_qvec"))
+    # the query's nprobe nearest centroid lists
+    probe_lists = (
+        q.crossJoin(F.broadcast(cents))
+        .select(F.explode("cents").alias("c"), F.col("_qvec"))
+        .select(F.col("c.cid").alias("list_id"), cosine(F.col("_qvec"), F.col("c.cvec")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("list_id").asc())
+        .limit(nprobe)
+        .select("list_id")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(probe_lists), "list_id", "left_semi")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("_vec"), F.col("_qvec")), 6).cast("decimal(18,6)").alias("score"),
+            "list_id",
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_id: int,

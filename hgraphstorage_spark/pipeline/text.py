@@ -36,6 +36,22 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-style pre-tokenization count: letter runs, single digits, and
+    single punctuation marks each count as one token (the GPT-2-style
+    pre-tokenizer shape, ASCII-simplified so Java regex and RE2 agree).
+    Whitespace never tokenizes."""
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality-scoring features: length, token count, mean token length,
     non-alphanumeric ratio. All exact-arithmetic so oracles match:

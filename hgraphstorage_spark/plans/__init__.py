@@ -1,0 +1,8 @@
+from hgraphstorage_spark.plans.audit import (
+    executed_plan,
+    has_broadcast_join,
+    pushed_filters,
+    scanned_files,
+)
+
+__all__ = ["executed_plan", "has_broadcast_join", "pushed_filters", "scanned_files"]
