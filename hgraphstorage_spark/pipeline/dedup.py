@@ -65,40 +65,97 @@ def _shingles(text_col, n: int) -> F.Column:
     )
 
 
+def shingle_hashes(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """(doc_id, sh ARRAY<BIGINT>) — distinct word-n-gram shingles as 64-bit
+    hashes; the shared input of minhash / simhash / jaccard-verify.
+
+    Hash each word once, then combine n word-hashes per shingle with one
+    more xxhash64 — O(words) integer work, no n-word string concatenation.
+    Jaccard over these hash sets equals Jaccard over the string shingles
+    up to 64-bit collisions (negligible). `try_element_at` pads the final
+    shingle of sub-n-word documents with nulls (deterministic).
+
+    The word-hash array is materialized in its OWN projection: Catalyst
+    does no common-subexpression elimination inside higher-order-function
+    lambdas, so referencing the `transform(words, xxhash64)` expression
+    from the shingle lambda would recompute the whole word array per
+    element — O(words²) per doc. As a multi-use non-cheap alias it
+    survives CollapseProject and is evaluated once.
+    """
+    word_hashes = _parallel(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: F.xxhash64(w)
+        ).alias("_wh"),
+    )
+    wh = F.col("_wh")
+    n_sh = F.greatest(F.size(wh) - (n - 1), F.lit(1))
+    return word_hashes.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.xxhash64(*[F.try_element_at(wh, i + j) for j in range(n)]),
+            )
+        ).alias("sh"),
+    )
+
+
 def shingle_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
-    """(id, shingle) long format — the input to minhash / jaccard."""
+    """(id, shingle) long format — the input to jaccard co-grouping."""
     return _parallel(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
     )
 
 
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _with_signature(sh_df: DataFrame, k: int) -> DataFrame:
+    """Append `sig ARRAY<BIGINT>[k]` (k-permutation MinHash) to a
+    (doc_id, sh, …) frame — pure narrow integer work, zero shuffle.
+
+    Classic 2-universal construction: two base hashes per shingle reduced
+    mod a 31-bit prime, then hash_i = (h1 + i·h2) mod P — overflow-free
+    under ANSI arithmetic (i·h2 < 2^37). The per-shingle (a, b) struct
+    array is materialized in its own projection so the k array_min passes
+    read an attribute instead of re-evaluating the transform k times (no
+    CSE inside lambdas; multi-use non-cheap alias blocks CollapseProject).
+    """
+    P = MINHASH_P
+    with_ab = sh_df.withColumn(
+        "_ab",
+        F.transform(
+            F.col("sh"),
+            lambda h: F.struct(
+                F.pmod(h, F.lit(P)).alias("a"),
+                F.pmod(F.xxhash64(h, F.lit(1)), F.lit(P)).alias("b"),
+            ),
+        ),
+    )
+    ab = F.col("_ab")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(ab, lambda s: F.pmod(s["a"] + F.lit(i) * s["b"], F.lit(P))))
+            for i in range(k)
+        ]
+    )
+    return with_ab.withColumn("sig", sig).drop("_ab")
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5, k: int = 64
 ) -> DataFrame:
-    """k-permutation MinHash signature per document — zero-shuffle.
-
-    Classic 2-universal construction: two base hashes per shingle
-    (xxhash64 with different seeds) reduced mod a 31-bit prime, then
-    hash_i = (h1 + i·h2) mod P — overflow-free under ANSI arithmetic
-    (i·h2 < 2^37). The expensive string hashing happens exactly twice per
-    shingle; the k permutations are integer arithmetic inside a
-    hash-aggregate with map-side partial combine, so the shuffle carries
-    one k-wide row per (doc, partition), not the shingles.
+    """MinHash signature per document — narrow projections only (shingle
+    hashing + k permutations in whole-stage codegen; the explode+groupBy
+    shuffle of the naive formulation is gone entirely).
     Returns (doc_id, sig ARRAY<BIGINT> length k).
     """
-    P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
-    hashed = shingle_docs(docs, text_col, id_col, n).select(
-        "doc_id",
-        F.pmod(F.xxhash64("shingle"), F.lit(P)).alias("a"),
-        F.pmod(F.xxhash64("shingle", F.lit(1)), F.lit(P)).alias("b"),
-    )
-    mins = [
-        F.min(F.pmod(F.col("a") + F.lit(i) * F.col("b"), F.lit(P))).alias(f"h{i}") for i in range(k)
-    ]
-    agg = hashed.groupBy("doc_id").agg(*mins)
-    return agg.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+    return _with_signature(shingle_hashes(docs, text_col, id_col, n), k).select("doc_id", "sig")
 
 
 def minhash_lsh_pairs(
@@ -120,7 +177,13 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, text_col, id_col, n, k)
+    # ONE pass hashes text into shingle sets; signatures derive narrowly.
+    # Persisted because three plan branches consume it (banding + both
+    # verify sides) — at scale this is the "signature table" a real
+    # pipeline would checkpoint; it is ~8(k + |shingles|) bytes/doc, far
+    # smaller than the text it replaces.
+    base = _with_signature(shingle_hashes(docs, text_col, id_col, n), k)
+    base.persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -130,7 +193,7 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+    banded = base.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
     a = banded.alias("a")
@@ -146,10 +209,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verify on candidates only: join shingle *arrays* back in
-    # (the candidate set is tiny relative to the corpus — broadcast it) and
-    # compare with array_intersect per row, no explode
-    sh = _parallel(docs).select(F.col(id_col).alias("doc_id"), _shingles(F.col(text_col), n).alias("sh"))
+    # exact-Jaccard verify on candidates only: join the hashed shingle sets
+    # back in (the candidate set is tiny relative to the corpus — broadcast
+    # it) and compare with integer array_intersect per row, no explode
+    sh = base.select("doc_id", "sh")
     verified = (
         F.broadcast(candidates)
         .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
@@ -182,7 +245,11 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs ≥ threshold. Quadratic within a block —
     use `block_col` (e.g. lang) or run on LSH candidates at scale.
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
-    sh = shingle_docs(docs, text_col, id_col, n)
+    # explode hashed shingles: the co-group join shuffles 8-byte keys, not
+    # n-word strings
+    sh = shingle_hashes(docs, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
     if block_col is not None:
         blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("_blk"))
         sh = sh.join(blocks, "doc_id")
@@ -222,27 +289,26 @@ def ngram_jaccard_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4) -> DataFrame:
-    """64-bit SimHash over character n-grams: per bit, sum +1/-1 weighted by
-    shingle-hash bit; sign of the sum gives the fingerprint bit. Built-ins
-    only (aggregate over a bit-count array). Returns (doc_id, simhash BIGINT).
+    """64-bit SimHash over word n-grams: per bit, sum +1/-1 weighted by
+    shingle-hash bit; sign of the sum gives the fingerprint bit. A single
+    narrow projection — per bit i the +1 majority is `2·|{h: bit_i(h)=1}| >
+    |shingles|`, computed with array `filter`/`size`, so there is no
+    explode and no shuffle at all. Returns (doc_id, simhash BIGINT).
     Near-dup detection = small Hamming distance (see tests)."""
-    sh = shingle_docs(docs, text_col, id_col, n)
-    h = sh.withColumn("h", F.xxhash64("shingle"))
-    # per-bit +1/-1 contributions, summed per doc
-    bit_sums = [
-        F.sum(F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
-    ]
-    agg = h.groupBy("doc_id").agg(*bit_sums)
-    # assemble the word from sign bits: sum of 2^i for positive bit sums
-    terms = [
-        F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0)
-        for i in range(64)
-    ]
-    word = terms[0]
-    for t in terms[1:]:
-        word = word + t
-    return agg.select("doc_id", word.alias("simhash"))
+    sh = shingle_hashes(docs, text_col, id_col, n)
+
+    def bit_term(i: int):
+        ones = F.size(
+            F.filter(F.col("sh"), lambda x: F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1)
+        )
+        majority = (2 * ones) > F.size(F.col("sh"))
+        val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
+        return F.when(majority, val).otherwise(F.lit(0).cast("long"))
+
+    word = bit_term(0)
+    for i in range(1, 64):
+        word = word + bit_term(i)
+    return sh.select("doc_id", word.alias("simhash"))
 
 
 def hamming64(col_a, col_b) -> F.Column:
