@@ -475,6 +475,20 @@ def q_salted_agg(spark, sf_dir):
     return salted_count_by(li, ["l_returnflag"], salt=16).select("l_returnflag", "cnt")
 
 
+def q_embed_near_dup(spark, sf_dir):
+    """All-pairs embedding-cosine near-duplicates (exact — oracle-checked)."""
+    from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_exact
+
+    return embedding_near_dup_exact(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+def q_embed_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (approximate — rows-only check)."""
+    from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """Near-dup pairs via MinHash-LSH (approximate candidates, exact verify)."""
     from hgraphstorage_spark.pipeline import minhash_lsh_pairs
@@ -572,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
+        "embed_near_dup": q_embed_near_dup,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "salted_agg": q_salted_agg,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -834,6 +850,16 @@ FROM scored
                    CAST(round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS DECIMAL(18,6)) AS score
             FROM e, q WHERE vec_id <> 0
             ORDER BY score DESC, vec_id LIMIT 10
+        """,
+        "embed_near_dup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT vec_a, vec_b, score FROM (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     CAST(round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                       AS DECIMAL(18,6)) AS score
+              FROM e a, e b WHERE a.vec_id < b.vec_id)
+            WHERE score >= 0.35
         """,
         "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
         "events_hourly": """

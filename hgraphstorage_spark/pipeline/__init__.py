@@ -13,7 +13,12 @@ from hgraphstorage_spark.pipeline.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from hgraphstorage_spark.pipeline.similarity import cosine_topk, lsh_bucket_topk
+from hgraphstorage_spark.pipeline.similarity import (
+    cosine_topk,
+    embedding_near_dup_exact,
+    embedding_near_dup_lsh,
+    lsh_bucket_topk,
+)
 from hgraphstorage_spark.pipeline.text import (
     fingerprint,
     language_id,
@@ -29,6 +34,8 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",
+    "embedding_near_dup_exact",
+    "embedding_near_dup_lsh",
     "lsh_bucket_topk",
     "fingerprint",
     "language_id",

@@ -61,6 +61,104 @@ def cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def embedding_near_dup_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs embedding-cosine near-duplicates: (vec_a, vec_b, score)
+    with vec_a < vec_b and cosine ≥ threshold — the exact baseline.
+
+    Norms are precomputed per vector (n sqrt-aggregates, not n²; its own
+    projection level — no CSE inside lambdas), so each pair costs one dot
+    product. The self-join is O(n²): correct at any size, affordable to
+    ~10⁵ vectors; beyond that use `embedding_near_dup_lsh` and verify only
+    its candidates. The score formula (dot/(norm·norm), round 6) matches
+    the DuckDB oracle's association order bit-for-bit.
+    """
+    prepped = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    a, b = prepped.alias("a"), prepped.alias("b")
+    return (
+        a.join(b, F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    dims: int = 64,
+    bits: int = 4,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at scale: `tables` independent random-hyperplane
+    hash tables; vectors sharing a (table, bucket) pair become candidates;
+    exact cosine verifies. Linear in n + candidate pairs — the join key
+    (table_id, bucket) replaces the O(n²) pair enumeration. Recall grows
+    with `tables` (1-(1-p^bits)^tables for collision prob p); missed pairs
+    are the documented approximation. Same output shape as the exact op.
+    """
+    prepped = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", _norm(F.col("v")))
+    prepped.persist()
+    buckets = prepped.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        signature_bits(F.col("v"), dims, bits, seed=t * 1000).alias("bucket"),
+                    )
+                    for t in range(tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", "tb.table_id", "tb.bucket")
+    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+    candidates = (
+        ba.join(
+            bb,
+            (F.col("ba.table_id") == F.col("bb.table_id"))
+            & (F.col("ba.bucket") == F.col("bb.bucket"))
+            & (F.col("ba.vid") < F.col("bb.vid")),
+        )
+        .select(F.col("ba.vid").alias("vec_a"), F.col("bb.vid").alias("vec_b"))
+        .distinct()
+    )
+    va = prepped.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
+    vb = prepped.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6)
+            .cast("decimal(18,6)")
+            .alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def _plane_component(plane: int, dim: int) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     xxhash64(plane, dim) scaled. Same value on any executor — the plane
@@ -69,13 +167,14 @@ def _plane_component(plane: int, dim: int) -> Column:
     return (h % 1_000_003).cast("double") / 1_000_003.0
 
 
-def signature_bits(vec: Column, dims: int, bits: int) -> Column:
-    """Random-hyperplane signature: bit i = sign(dot(vec, plane_i))."""
+def signature_bits(vec: Column, dims: int, bits: int, seed: int = 0) -> Column:
+    """Random-hyperplane signature: bit i = sign(dot(vec, plane_i)).
+    Different `seed`s give independent plane sets (hash tables)."""
     sig = F.lit(0).cast("long")
     for p in range(bits):
         dot = sum(
-            [vec[d].cast("double") * _plane_component(p, d) for d in range(1, dims)],
-            vec[0].cast("double") * _plane_component(p, 0),
+            [vec[d].cast("double") * _plane_component(seed + p, d) for d in range(1, dims)],
+            vec[0].cast("double") * _plane_component(seed + p, 0),
         )
         sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig

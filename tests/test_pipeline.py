@@ -110,6 +110,30 @@ class TestSimilarity:
                 assert abs(float(r["score"]) - exact[r["vec_id"]]) < 1e-9
 
 
+class TestEmbeddingNearDup:
+    def test_exact_pairs_symmetric_threshold(self, spark):
+        from hgraphstorage_spark.pipeline import embedding_near_dup_exact
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        pairs = embedding_near_dup_exact(emb, threshold=0.3).collect()
+        assert len(pairs) > 0
+        for r in pairs:
+            assert r["vec_a"] < r["vec_b"]
+            assert float(r["score"]) >= 0.3
+
+    def test_lsh_subset_of_exact_with_recall(self, spark):
+        from hgraphstorage_spark.pipeline import (
+            embedding_near_dup_exact,
+            embedding_near_dup_lsh,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        exact = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_exact(emb, 0.3).collect()}
+        approx = {(r["vec_a"], r["vec_b"]) for r in embedding_near_dup_lsh(emb, 0.3).collect()}
+        assert approx <= exact  # verify step guarantees no false positives
+        assert len(approx) >= len(exact) // 2  # tuned for high recall
+
+
 class TestText:
     def test_token_counts(self, docs):
         rows = {r["doc_id"]: r for r in token_counts(docs).collect()}
