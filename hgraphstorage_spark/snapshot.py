@@ -74,20 +74,25 @@ class GraphSnapshot:
     # -- persistence (reference S1 open/close + S7 checkpoint): parquet dirs
     def write(self, path: str, mode: str = "overwrite") -> None:
         """Persist the snapshot. At scale: nodes/edges partitioned by label so
-        type-whitelist traversals prune files (SURVEY.md §4 partition pruning);
-        props are written as-is — readers filter on owner_kind/name which
-        parquet row-group stats handle.
+        type-whitelist traversals prune files; props partitioned by
+        (owner_kind, name) so a ``Has``/``Values`` on one property name reads
+        only that name's files (SURVEY.md §4 partition pruning). Property
+        names are schema-like (low cardinality), so the file count stays
+        bounded.
         """
         self.nodes.write.mode(mode).partitionBy("label").parquet(f"{path}/nodes")
         self.edges.write.mode(mode).partitionBy("label").parquet(f"{path}/edges")
-        self.props.write.mode(mode).parquet(f"{path}/props")
+        self.props.write.mode(mode).partitionBy("owner_kind", "name").parquet(f"{path}/props")
 
     @staticmethod
     def read(spark: SparkSession, path: str, version: int = 0) -> "GraphSnapshot":
+        prop_cols = [f.name for f in schemas.PROPS_SCHEMA.fields]
         return GraphSnapshot(
             nodes=spark.read.parquet(f"{path}/nodes").select("id", "label"),
             edges=spark.read.parquet(f"{path}/edges").select("id", "src", "dst", "label"),
-            props=spark.read.parquet(f"{path}/props"),
+            # reselect: partition columns come back last and as read-schema
+            # strings; restore canonical order
+            props=spark.read.parquet(f"{path}/props").select(*prop_cols),
             version=version,
         )
 

@@ -5,8 +5,10 @@ from hgraphstorage_spark.streaming.ingest import (
     read_event_stream,
     sessionize,
 )
+from hgraphstorage_spark.streaming.stateful import running_label_counts
 
 __all__ = [
+    "running_label_counts",
     "events_tumbling_agg",
     "load_events",
     "mutation_stream_to_snapshots",

@@ -63,6 +63,57 @@ class TestWindowedAgg:
         assert got == want
 
 
+class TestStatefulCounts:
+    def test_running_counts_stream_equals_batch(self, spark, tmpdir):
+        """Reference A1 parity (maintained nbNodes/nbEdges counters,
+        STMGraph Raw.hs:424-479) as a custom stateful operator: the final
+        per-key running count from the stream must equal the batch sum of
+        deltas."""
+        from hgraphstorage_spark.streaming import running_label_counts
+
+        rows = (
+            [{"op": "add_node", "label": "Person"} for _ in range(5)]
+            + [{"op": "add_node", "label": "Movie"} for _ in range(3)]
+            + [{"op": "del_node", "label": "Person"}]
+            + [{"op": "add_edge", "label": "acted_in"} for _ in range(4)]
+            + [{"op": "del_edge", "label": "acted_in"}]
+        )
+        df = spark.createDataFrame(rows, "op string, label string")
+        df.repartition(3).write.mode("overwrite").parquet(f"{tmpdir}/muts")
+
+        stream = (
+            spark.readStream.schema("op string, label string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/muts")
+        )
+        q = (
+            running_label_counts(stream)
+            .writeStream.format("memory")
+            .queryName("counts_out")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_counts")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # update-mode memory sink appends every emission; the LAST row per
+        # key is the final running count
+        import pandas as pd
+
+        emitted = spark.table("counts_out").toPandas()
+        final = emitted.groupby(["kind", "label"]).last()["n"].to_dict()
+        want = {
+            (r["kind"], r["label"]): r["n"]
+            for r in running_label_counts(df).collect()
+        }
+        assert final == want
+        assert want[("node", "Person")] == 4
+        assert want[("edge", "acted_in")] == 3
+
+
 class TestMutationStream:
     def test_snapshots_published_per_batch(self, spark, tmpdir):
         """Reference S6 writer-thread parity: mutation events drained in
