@@ -1,3 +1,14 @@
+from hgraphstorage_spark.operators.bucketing import (
+    edges_by_dst,
+    read_bucketed,
+    write_bucketed,
+)
 from hgraphstorage_spark.operators.skew import salted_count_by, salted_join
 
-__all__ = ["salted_count_by", "salted_join"]
+__all__ = [
+    "edges_by_dst",
+    "read_bucketed",
+    "salted_count_by",
+    "salted_join",
+    "write_bucketed",
+]

@@ -56,6 +56,33 @@ class TestIvf:
         assert full == exact
 
 
+class TestBucketing:
+    def test_colocated_traversal_join_has_no_exchange(self, spark):
+        """The dual-orientation bucketed layout (reference dual adjacency
+        chains, Types.hs:62-111) must give traversal joins with NO shuffle:
+        nodes.id == edges.src joins bucket-to-bucket."""
+        from hgraphstorage_spark.operators import read_bucketed, write_bucketed, edges_by_dst
+        from hgraphstorage_spark.sources import load_tpch_graph
+
+        snap = load_tpch_graph(spark, "/root/testdata/sf0.001")
+        write_bucketed(snap, "bkt_test", buckets=8)
+        try:
+            b = read_bucketed(spark, "bkt_test")
+            joined = b.nodes.hint("merge").join(b.edges, b.nodes.id == b.edges.src)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == snap.edges.count()
+
+            # In-hop orientation: join on dst against the dst-bucketed copy
+            e_dst = edges_by_dst(spark, "bkt_test")
+            joined_in = b.nodes.hint("merge").join(e_dst, b.nodes.id == e_dst.dst)
+            plan_in = joined_in._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan_in, plan_in
+        finally:
+            for t in ("bkt_test_nodes", "bkt_test_edges_src", "bkt_test_edges_dst", "bkt_test_props"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 class TestPlanHelpers:
     def test_scanned_files(self, spark):
         df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
