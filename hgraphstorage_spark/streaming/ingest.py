@@ -76,6 +76,17 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_dedup(events: DataFrame, key_cols: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Exact dedup on a stream: keep the first row per key, with state
+    bounded by the watermark (keys older than the watermark are evicted —
+    a late duplicate beyond it would re-emit; that is the documented
+    watermark trade-off). Batch DataFrames get plain dropDuplicates so
+    stream==batch parity is testable on complete data."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(key_cols)
+    return events.dropDuplicates(key_cols)
+
+
 def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over an events directory (parquet)."""
     return (

@@ -188,3 +188,23 @@ class TestMultimodal:
         rows = plan.collect()
         assert all(r["frame_ts_ms"] % 1000 == 0 for r in rows)
         assert len({r["media_id"] for r in rows}) == 3  # only videos
+
+    def test_resize_images_aspect_preserving(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import resize_images, synthetic_media
+
+        media = synthetic_media(spark, 30)  # images have width 64+i, height 48+i
+        out = {r["media_id"]: r for r in resize_images(media, 64, 64, fake_decode=True).collect()}
+        assert len(out) == 10  # only image rows
+        for mid, r in out.items():
+            assert r["resize_ok"]
+            assert r["width"] <= 64 and r["height"] <= 64
+            # aspect preserved within integer truncation
+            src_w, src_h = 64 + mid, 48 + mid
+            assert abs(r["width"] / r["height"] - src_w / src_h) < 0.1
+
+    def test_resize_real_mode_marks_failed(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import resize_images, synthetic_media
+
+        out = resize_images(synthetic_media(spark, 9), fake_decode=False).collect()
+        assert len(out) == 3
+        assert all(not r["resize_ok"] for r in out)

@@ -63,6 +63,43 @@ class TestWindowedAgg:
         assert got == want
 
 
+class TestStreamDedup:
+    def test_stream_dedup_equals_batch(self, spark, tmpdir):
+        """Exact dedup on a stream (dropDuplicatesWithinWatermark) keeps one
+        row per key — same distinct key set as the batch dropDuplicates."""
+        from hgraphstorage_spark.streaming import stream_dedup
+
+        batch = load_events(spark, "/root/testdata/sf0.001")
+        # inject exact duplicates so dedup has work to do
+        dup = batch.unionAll(batch.limit(50))
+        dup.repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/dupev")
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/dupev")
+        )
+        q = (
+            # watermark delay must exceed the table's 30-day time span:
+            # files arrive in arbitrary order, and rows older than the
+            # advanced watermark would be EVICTED, not deduped
+            stream_dedup(stream, ["event_id"], watermark="60 days")
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_dedup")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = {r["event_id"] for r in spark.table("dedup_out").select("event_id").collect()}
+        want = {r["event_id"] for r in stream_dedup(dup, ["event_id"]).select("event_id").collect()}
+        assert got == want
+
+
 class TestStatefulCounts:
     def test_running_counts_stream_equals_batch(self, spark, tmpdir):
         """Reference A1 parity (maintained nbNodes/nbEdges counters,
