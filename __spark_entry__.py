@@ -242,6 +242,21 @@ def q_connected_components(spark, sf_dir):
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def q_connected_components_alt(spark, sf_dir):
+    """Analytics: alternating large-star/small-star CC — same result as
+    HashMin (shared oracle), O(log n) rounds at scale."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import connected_components_alternating
+
+    snap = _graph(spark, sf_dir)
+    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
+    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
+    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    comp = connected_components_alternating(sub)
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
 def q_bfs(spark, sf_dir):
     """Analytics: BFS frontier sizes from customer 0 over placed/contains."""
     from hgraphstorage_spark.analytics import bfs
@@ -565,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": q_snapshot_time_travel,
         "degrees": q_degrees,
         "connected_components": q_connected_components,
+        "connected_components_alt": q_connected_components_alt,
         "bfs": q_bfs,
         "hackage_one_step": q_hackage_one_step,
         "hackage_depends_top": q_hackage_depends_top,
@@ -598,7 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     C, O, P, S, N, R = (str(NODE[k]) for k in ("Customer", "Order", "Part", "Supplier", "Nation", "Region"))
     E_PLACED, E_CONTAINS = str(EDGE["placed"]), str(EDGE["contains"])
 
@@ -889,3 +905,11 @@ FROM scored
         # multimodal_features: deliberately omitted → driver records rows-only
         # checks (approximate or non-SQL-expressible operators)
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # alternative implementations of the same semantics share the primary
+    # implementation's oracle
+    sql["connected_components_alt"] = sql["connected_components"]
+    return sql

@@ -44,6 +44,40 @@ class TestConnectedComponents:
         assert comp[6] == 6
 
 
+class TestAlternatingComponents:
+    def test_equals_hashmin_on_mixed_graph(self, spark):
+        """Path (high diameter — the case HashMin handles in O(diameter)
+        rounds and alternating in O(log n)), a clique, and an isolated
+        node: both algorithms must produce identical assignments."""
+        from hgraphstorage_spark.analytics import connected_components_alternating
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(24)])
+        path = [(i, i + 1, "e", {}) for i in range(1, 16)]  # 1..16 path
+        clique = [
+            (a, b, "e", {}) for a in range(17, 22) for b in range(17, 22) if a < b
+        ]  # 17..21 clique; 22,23,24 isolated
+        eng.add_edges(path + clique)
+        eng.commit()
+        snap = eng.committed
+
+        alt = {r["id"]: r["component"] for r in connected_components_alternating(snap).collect()}
+        hm = {r["id"]: r["component"] for r in connected_components(snap, max_iter=20).collect()}
+        assert alt == hm
+        assert alt[16] == 1 and alt[21] == 17 and alt[23] == 23
+
+    def test_two_component_graph(self, two_component_engine):
+        from hgraphstorage_spark.analytics import connected_components_alternating
+
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components_alternating(two_component_engine.committed).collect()
+        }
+        assert comp[1] == comp[2] == comp[3] == 1
+        assert comp[4] == comp[5] == 4
+        assert comp[6] == 6
+
+
 class TestPageRank:
     def test_ranks_sum_to_one_and_order(self, two_component_engine):
         ranks = {r["id"]: r["rank"] for r in pagerank(two_component_engine.current, iterations=15).collect()}
