@@ -111,3 +111,43 @@ def test_oute_then_out_equals_out(spark, edges):
     via_edges = sorted(eng.traverse(T().nid(2).out_e("a").out()).ids())
     direct = sorted(eng.traverse(T().nid(2).out("a")).ids())
     assert via_edges == direct
+
+
+# -- dedup hashing laws ------------------------------------------------------
+
+doc_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=0, max_size=60), min_size=2, max_size=6
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=doc_texts)
+def test_hashed_shingle_jaccard_equals_string_jaccard(spark, texts):
+    """Jaccard over hashed word-shingles ≡ Jaccard over string shingles
+    (the hash is injective modulo 64-bit collisions): validates replacing
+    the string pipeline with the integer pipeline in dedup."""
+    import re
+
+    from hgraphstorage_spark.pipeline.dedup import shingle_hashes
+
+    n = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = {r["doc_id"]: set(r["sh"]) for r in shingle_hashes(docs, n=n).collect()}
+
+    def string_shingles(t: str) -> set:
+        words = re.split(r"\s+", t.strip().lower())
+        if len(words) <= n:
+            return {tuple(words + [None] * (n - len(words)))[:n]} if words else set()
+        return {tuple(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+    for i, ti in enumerate(texts):
+        for j, tj in enumerate(texts):
+            if i >= j:
+                continue
+            a, b = sh[i], sh[j]
+            jac_hash = len(a & b) / len(a | b) if a | b else 1.0
+            sa, sb = string_shingles(ti), string_shingles(tj)
+            jac_str = len(sa & sb) / len(sa | sb) if sa | sb else 1.0
+            assert abs(jac_hash - jac_str) < 1e-9, (ti, tj)
