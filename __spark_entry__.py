@@ -153,6 +153,21 @@ def q_multi_hop(spark, sf_dir):
     return res.df.groupBy(F.col("id").alias("part_id")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_motif_two_hop(spark, sf_dir):
+    """Motif finding (GraphFrames-style find): 2-hop pattern match counts
+    per edge-label pair."""
+    from hgraphstorage_spark.motif import find_motif
+
+    snap = _graph(spark, sf_dir)
+    return (
+        find_motif(snap, "(a)-[e1]->(b); (b)-[e2]->(c)")
+        .groupBy(
+            F.col("e1.label").alias("label1"), F.col("e2.label").alias("label2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
 def q_query_step(spark, sf_dir):
     """J1 queryStep: one-hop OUT from customer 5 over placed edges."""
     from hgraphstorage_spark.query_step import Direction, query_step
@@ -571,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "traversal_oute_props": q_traversal_oute_props,
         "edges_to_nodes": q_edges_to_nodes,
         "multi_hop": q_multi_hop,
+        "motif_two_hop": q_motif_two_hop,
         "query_step": q_query_step,
         "nb_counts": q_nb_counts,
         "prop_names": q_prop_names,
@@ -692,6 +708,18 @@ FROM scored
             SELECT ({P} + l_partkey)::BIGINT AS part_id, count(*)::BIGINT AS cnt
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_custkey = 3 GROUP BY l_partkey
+        """,
+        "motif_two_hop": f"""
+            WITH e AS (
+              SELECT ({C} + c_custkey)::BIGINT AS src, ({N} + c_nationkey)::BIGINT AS dst, 'custLocatedIn' AS label FROM customer
+              UNION ALL SELECT ({S} + s_suppkey), ({N} + s_nationkey), 'suppLocatedIn' FROM supplier
+              UNION ALL SELECT ({N} + n_nationkey), ({R} + n_regionkey), 'nationLocatedIn' FROM nation
+              UNION ALL SELECT ({C} + o_custkey), ({O} + o_orderkey), 'placed' FROM orders
+              UNION ALL SELECT ({O} + l_orderkey), ({P} + l_partkey), 'contains' FROM lineitem
+              UNION ALL SELECT ({P} + l_partkey), ({S} + l_suppkey), 'suppliedBy' FROM lineitem
+            )
+            SELECT a.label AS label1, b.label AS label2, count(*)::BIGINT AS n_matches
+            FROM e a JOIN e b ON a.dst = b.src GROUP BY 1, 2
         """,
         "query_step": f"""
             SELECT ({E_PLACED} + o_orderkey)::BIGINT AS rel_id,
