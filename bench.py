@@ -29,6 +29,7 @@ HEADLINE = [
     "tpch_q5_like",          # 4-way join + agg
     "dedup_exact",           # hash-agg dedup over documents
     "minhash_lsh_pairs",     # shingle -> minhash -> band join -> verify
+    "embed_near_dup",        # blocked-GEMM all-pairs cosine + exact verify
     "similarity_topk",       # brute-force cosine top-k
     "events_hourly",         # windowed agg
     "sessionize",            # session windows
