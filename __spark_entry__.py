@@ -153,6 +153,27 @@ def q_multi_hop(spark, sf_dir):
     return res.df.groupBy(F.col("id").alias("part_id")).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def q_hackage_etl(spark, sf_dir):
+    """Reference bench parity ('Write Hackage', HGraphStorage/perf/
+    Main.hs:17-24): bulk-build the synthetic dependency graph at 50k
+    packages (~2.9M version nodes, ~5.8M edges, ~2.9M props) and account
+    every record per kind — the bulk-ingest throughput benchmark."""
+    from hgraphstorage_spark.sources.hackage import load_hackage_graph
+
+    snap = load_hackage_graph(spark, 50000)
+    return (
+        snap.nodes.groupBy(F.col("label").alias("kind")).agg(F.count(F.lit(1)).alias("cnt"))
+        .unionByName(
+            snap.edges.groupBy(F.col("label").alias("kind")).agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        .unionByName(
+            snap.props.select(F.lit("prop").alias("kind")).groupBy("kind").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+        )
+    )
+
+
 def q_motif_two_hop(spark, sf_dir):
     """Motif finding (GraphFrames-style find): 2-hop pattern match counts
     per edge-label pair."""
@@ -587,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_to_nodes": q_edges_to_nodes,
         "multi_hop": q_multi_hop,
         "motif_two_hop": q_motif_two_hop,
+        "hackage_etl": q_hackage_etl,
         "query_step": q_query_step,
         "nb_counts": q_nb_counts,
         "prop_names": q_prop_names,
@@ -708,6 +730,15 @@ FROM scored
             SELECT ({P} + l_partkey)::BIGINT AS part_id, count(*)::BIGINT AS cnt
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE o_custkey = 3 GROUP BY l_partkey
+        """,
+        "hackage_etl": """
+            WITH pkgs AS (SELECT unnest(generate_series(0, 49999)) AS i),
+            v AS (SELECT i, unnest(generate_series(0, CASE WHEN i = 0 THEN 119 ELSE (i*i) % 113 END)) AS j FROM pkgs)
+            SELECT 'Package' AS kind, 50000::BIGINT AS cnt
+            UNION ALL SELECT 'Version', count(*)::BIGINT FROM v
+            UNION ALL SELECT 'versions', count(*)::BIGINT FROM v
+            UNION ALL SELECT 'depends', count(*)::BIGINT FROM v WHERE (i*31 + j) % 50000 <> i
+            UNION ALL SELECT 'prop', (50000 + (SELECT count(*) FROM v))::BIGINT
         """,
         "motif_two_hop": f"""
             WITH e AS (

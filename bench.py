@@ -35,6 +35,7 @@ HEADLINE = [
     "sessionize",            # session windows
     "degrees",               # graph degree agg
     "connected_components",  # iterative Pregel-style loop
+    "hackage_etl",           # bulk-ingest throughput (reference 'Write Hackage')
 ]
 
 
