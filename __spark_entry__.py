@@ -329,6 +329,54 @@ def q_hackage_depends_top(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Analytics: per-package triangle counts over the package-level
+    projection of the Hackage depends graph (degree-ordered wedge join —
+    the only synthetic graph here with triangles)."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import triangle_count
+    from hgraphstorage_spark.sources.hackage import PKG_BASE, VER_BASE, load_hackage_graph
+
+    snap = load_hackage_graph(spark, 1000)
+    # project version->package depends edges to package->package
+    dep = snap.edges.filter(F.col("label") == "depends").select(
+        F.col("id"),
+        (F.floor((F.col("src") - VER_BASE) / 256) + PKG_BASE).cast("long").alias("src"),
+        F.col("dst"),
+        F.lit("pkg_depends").alias("label"),
+    )
+    sub = replace(snap, nodes=snap.nodes.filter(F.col("label") == "Package"), edges=dep)
+    return triangle_count(sub)
+
+
+def q_shortest_paths(spark, sf_dir):
+    """Analytics: multi-source BFS distances to every Region landmark over
+    the undirected location subgraph, reported as (landmark, dist) sizes."""
+    from hgraphstorage_spark.analytics import shortest_paths
+
+    snap = _graph(spark, sf_dir)
+    landmarks = [NODE["Region"] + r for r in range(5)]
+    sp = shortest_paths(
+        snap, landmarks, max_hops=3, labels=("custLocatedIn", "suppLocatedIn", "nationLocatedIn")
+    )
+    return sp.groupBy("landmark", "dist").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def q_label_propagation(spark, sf_dir):
+    """Analytics: deterministic synchronous LPA communities over the
+    location subgraph (rows-only: iterative fixpoint, not SQL-expressible)."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import label_propagation
+
+    snap = _graph(spark, sf_dir)
+    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
+    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
+    comm = label_propagation(replace(snap, nodes=loc_nodes, edges=loc_edges), max_iter=3)
+    return comm.groupBy("community").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style analytical queries (scan/agg/join operator coverage at scale)
 
@@ -498,6 +546,18 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    from hgraphstorage_spark.pipeline import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_quality_filter(spark, sf_dir):
+    from hgraphstorage_spark.pipeline import quality_filter
+
+    return quality_filter(_t(spark, sf_dir, "documents"))
+
+
 def q_similarity_topk(spark, sf_dir):
     from hgraphstorage_spark.pipeline import cosine_topk
 
@@ -620,6 +680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": q_connected_components,
         "connected_components_alt": q_connected_components_alt,
         "bfs": q_bfs,
+        "triangle_count": q_triangle_count,
+        "shortest_paths": q_shortest_paths,
+        "label_propagation": q_label_propagation,
         "hackage_one_step": q_hackage_one_step,
         "hackage_depends_top": q_hackage_depends_top,
         "tpch_q1": q_tpch_q1,
@@ -635,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_token_counts": q_text_token_counts,
         "text_quality": q_text_quality,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
@@ -826,6 +891,32 @@ FROM scored
             SELECT 2, count(DISTINCT l_partkey)::BIGINT
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 0
         """,
+        "triangle_count": """
+            WITH pkgs AS (SELECT unnest(generate_series(0, 999)) AS i),
+            vv AS (SELECT i, unnest(generate_series(0, CASE WHEN i = 0 THEN 119 ELSE (i*i) % 113 END)) AS j FROM pkgs),
+            und AS (SELECT DISTINCT least(i, (i*31 + j) % 1000) AS u, greatest(i, (i*31 + j) % 1000) AS w
+                    FROM vv WHERE (i*31 + j) % 1000 <> i),
+            tri AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+                    FROM und e1 JOIN und e2 ON e2.u = e1.w
+                    JOIN und e3 ON e3.u = e1.u AND e3.w = e2.w),
+            roles AS (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+            cnt AS (SELECT n, count(*) AS t FROM roles GROUP BY n)
+            SELECT (1000000000 + i)::BIGINT AS id, COALESCE(t, 0)::BIGINT AS triangles
+            FROM pkgs LEFT JOIN cnt ON n = i
+        """,
+        "shortest_paths": f"""
+            SELECT ({R} + r_regionkey)::BIGINT AS landmark, 0 AS dist, 1::BIGINT AS n_nodes FROM region
+            UNION ALL
+            SELECT ({R} + n_regionkey)::BIGINT, 1, count(*)::BIGINT FROM nation GROUP BY n_regionkey
+            UNION ALL
+            SELECT landmark, 2, sum(cnt)::BIGINT FROM (
+              SELECT ({R} + n_regionkey)::BIGINT AS landmark, count(*) AS cnt
+              FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_regionkey
+              UNION ALL
+              SELECT ({R} + n_regionkey)::BIGINT, count(*)
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_regionkey
+            ) GROUP BY landmark
+        """,
         "hackage_one_step": "SELECT 120::BIGINT AS n_versions",
         "hackage_depends_top": """
             WITH pkgs AS (SELECT unnest(generate_series(0, 999)) AS i),
@@ -913,6 +1004,46 @@ FROM scored
                    CASE WHEN n_tokens > 0 THEN CAST(round(n_chars::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) END AS chars_per_token,
                    CASE WHEN n_chars > 0 THEN CAST(round(n_punct::DOUBLE / n_chars, 6) AS DECIMAL(18,6)) END AS punct_ratio
             FROM base
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents
+            ),
+            hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+            ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+            dfreq AS (SELECT tok, count(*) AS df FROM hist GROUP BY tok),
+            scored AS (
+              SELECT doc_id, tok AS term, n * ln(nd::DOUBLE / df) AS tfidf_raw
+              FROM hist JOIN dfreq USING (tok), ndocs
+            ),
+            ranked AS (
+              SELECT doc_id, term, tfidf_raw,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term) AS rnk
+              FROM scored
+            )
+            SELECT doc_id, term, CAST(round(tfidf_raw, 6) AS DECIMAL(18,6)) AS tfidf, rnk::INT AS rank
+            FROM ranked WHERE rnk <= 3
+        """,
+        "quality_filter": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents
+            ),
+            hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+            m AS (
+              SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_n,
+                     CAST(round(sum(n * len(tok))::DOUBLE / sum(n), 6) AS DECIMAL(18,6)) AS mean_tok_len
+              FROM hist GROUP BY doc_id
+            ),
+            r AS (
+              SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens, mean_tok_len,
+                     CAST(round(top_n::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) AS top_term_ratio
+              FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+            )
+            SELECT doc_id, n_tokens, mean_tok_len, top_term_ratio,
+                   COALESCE(n_tokens >= 10 AND n_tokens <= 100000
+                            AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+                            AND top_term_ratio <= 0.25, FALSE) AS passes
+            FROM r
         """,
         "lang_id": lang_markers_sql,
         "fingerprint": r"""

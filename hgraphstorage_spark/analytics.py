@@ -240,6 +240,135 @@ def pregel(
     return state
 
 
+def triangle_count(snap: GraphSnapshot) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph, by
+    degree-ordered edge orientation (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11).
+
+    Orienting every edge from the lower-(degree, id) endpoint to the
+    higher bounds each node's oriented out-degree by O(sqrt(m)), so the
+    wedge join materializes O(m^1.5) rows worst-case instead of
+    sum(deg^2) — the difference between feasible and not on a skewed
+    100 TB graph (a celebrity node with 10^7 neighbors would otherwise
+    produce 10^14 wedges). Returns (id, triangles) for every node in the
+    snapshot, 0 for triangle-free nodes.
+    """
+    und = (
+        snap.edges.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): lower endpoint -> higher endpoint
+    with_deg = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("b"),
+    ).select("a", F.col("b.v").alias("b"), F.col("b.dv").alias("rank_b"))
+    # wedges at a: unordered pairs (b, c) of a's oriented neighbors,
+    # ordered by the same (deg, id) rank so the closing edge (b -> c)
+    # can only be oriented one way
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, "a").filter(
+        (F.col("e1.rank_b") < F.col("e2.rank_b"))
+        | ((F.col("e1.rank_b") == F.col("e2.rank_b")) & (F.col("e1.b") < F.col("e2.b")))
+    ).select("a", F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tris = wedges.join(closing, ["b", "c"], "left_semi")
+    roles = (
+        tris.select(F.col("a").alias("id"))
+        .unionAll(tris.select(F.col("b").alias("id")))
+        .unionAll(tris.select(F.col("c").alias("id")))
+    )
+    counts = roles.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    return snap.nodes.select("id").join(counts, "id", "left").select(
+        "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
+def shortest_paths(
+    snap: GraphSnapshot,
+    landmarks: list,
+    max_hops: int = 10,
+    labels: tuple = (),
+    directed: bool = False,
+) -> DataFrame:
+    """Hop distance from every reachable node to each landmark (the
+    GraphFrames ``shortestPaths`` shape). Returns (id, landmark, dist);
+    unreachable (node, landmark) pairs are absent.
+
+    All landmarks run in ONE multi-source BFS: state rows are
+    (id, landmark, dist) and each round expands the whole frontier with a
+    single edge join + min-aggregate, so the edge table is scanned once
+    per hop rather than once per landmark per hop."""
+    edges = snap.edges
+    if labels:
+        edges = edges.filter(F.col("label").isin(list(labels)))
+    edges = edges.select("src", "dst")
+    if not directed:
+        edges = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    spark = snap.nodes.sparkSession
+    seeds = spark.createDataFrame([(x, x, 0) for x in landmarks], "id long, landmark long, dist int")
+    visited = seeds.localCheckpoint()
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.withColumnRenamed("id", "src")
+            .join(edges, "src")
+            .select(F.col("dst").alias("id"), "landmark")
+            .distinct()
+            .join(visited.select("id", "landmark"), ["id", "landmark"], "left_anti")
+            .select("id", "landmark", F.lit(hop).alias("dist"))
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def label_propagation(snap: GraphSnapshot, max_iter: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007; the GraphFrames ``labelPropagation`` shape). Each round every
+    node adopts the most frequent label among its (undirected) neighbors,
+    ties broken by the smallest label — deterministic, unlike the
+    randomized original. Fixed iteration count (sync LPA may oscillate on
+    bipartite structures rather than converge). Returns (id, community).
+
+    Per round: one edge join + two aggregates (count per (node, label),
+    then arg-max via ``max_by`` on a (count, -label) struct) — no windows,
+    so partial aggregation stays map-side."""
+    nbrs = snap.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
+        snap.edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    )
+    state = snap.nodes.select("id", F.col("id").alias("community")).localCheckpoint()
+    for _ in range(max_iter):
+        votes = (
+            nbrs.join(state.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"), "community")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        winner = votes.groupBy("id").agg(
+            F.max_by("community", F.struct(F.col("n"), (-F.col("community")).alias("tb"))).alias("new_community")
+        )
+        state = (
+            state.join(winner, "id", "left")
+            .select("id", F.coalesce("new_community", F.col("community")).alias("community"))
+            .localCheckpoint()
+        )
+    return state
+
+
 def bfs(snap: GraphSnapshot, source_id: int, max_hops: int = 10, labels: tuple = ()) -> DataFrame:
     """Multi-hop BFS: (id, hops) for nodes reachable from source within
     max_hops along (optionally label-filtered) out-edges. Iterated frontier

@@ -22,7 +22,9 @@ from hgraphstorage_spark.pipeline.similarity import (
 from hgraphstorage_spark.pipeline.text import (
     fingerprint,
     language_id,
+    quality_filter,
     quality_stats,
+    tfidf_top_terms,
     token_counts,
 )
 
@@ -39,6 +41,8 @@ __all__ = [
     "lsh_bucket_topk",
     "fingerprint",
     "language_id",
+    "quality_filter",
     "quality_stats",
+    "tfidf_top_terms",
     "token_counts",
 ]

@@ -104,6 +104,96 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _token_histogram(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok, n) — per-document token frequencies. One explode + one
+    partial-aggregated shuffle keyed by (doc, token); document length is
+    bounded, so the key space is fine-grained and skew-free at any corpus
+    size."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    return toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF
+    (idf = ln(N / df), raw term counts as tf). Returns
+    (doc_id, term, tfidf DECIMAL(18,6) rounded, rank).
+
+    Shape at scale: token histogram (one shuffle on (doc, token)), a small
+    document-frequency aggregate shuffled on token, a broadcast-friendly
+    join back, and a per-document window — everything partitions on
+    high-cardinality keys. Ties rank by term text, so the output is fully
+    deterministic and SQL-reproducible."""
+    from pyspark.sql import Window
+
+    hist = _token_histogram(docs, text_col, id_col)
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    df_ = hist.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = hist.join(df_, "tok").select(
+        F.col(id_col),
+        F.col("tok").alias("term"),
+        (F.col("n") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf_raw"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf_raw").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.round("tfidf_raw", 6).cast("decimal(18,6)").alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_top_term_ratio: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style composite quality rules (Rae et al. 2021 §A1.1, the
+    public heuristics): token-count bounds, mean token length bounds, and
+    a repetition bound — the most frequent token may account for at most
+    ``max_top_term_ratio`` of the document. Returns per-document metrics
+    plus a ``passes`` flag (keep the frame unfiltered so callers can audit
+    rejections; ``.filter('passes')`` is the pipeline step).
+
+    Metrics derive from one token histogram, so the whole operator is two
+    aggregations — no UDFs, no windows."""
+    hist = _token_histogram(docs, text_col, id_col)
+    metrics = hist.groupBy(id_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.max("n").alias("top_n"),
+        F.round(
+            (F.sum(F.col("n") * F.length("tok")) / F.sum("n")).cast("double"), 6
+        ).cast("decimal(18,6)").alias("mean_tok_len"),
+    )
+    top_ratio = F.round((F.col("top_n") / F.col("n_tokens")).cast("double"), 6).cast("decimal(18,6)")
+    with_ratio = docs.select(F.col(id_col)).join(metrics, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "mean_tok_len",
+        top_ratio.alias("top_term_ratio"),
+    )
+    passes = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_tok_len") >= min_mean_tok_len)
+        & (F.col("mean_tok_len") <= max_mean_tok_len)
+        & (F.col("top_term_ratio") <= max_top_term_ratio)
+    )
+    return with_ratio.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of lowercased, whitespace-normalized text.
     (The rolling-hash variant for shingling lives in dedup.py.)"""

@@ -111,3 +111,54 @@ class TestBfs:
         eng.commit()
         reached = {r["id"] for r in bfs(eng.current, 1, max_hops=5, labels=("a",)).collect()}
         assert reached == {1, 2}
+
+
+class TestTriangleCount:
+    def test_counts(self, spark):
+        """K4 on 1-4 (each node in 3 triangles, 4 total), a dangling edge
+        (5-6), an isolated node 7; parallel + reverse edges collapse."""
+        from hgraphstorage_spark.analytics import triangle_count
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(7)])
+        k4 = [(a, b, "e", {}) for a in range(1, 5) for b in range(1, 5) if a < b]
+        eng.add_edges(k4 + [(2, 1, "e", {}), (1, 2, "e", {}), (5, 6, "e", {})])
+        eng.commit()
+        t = {r["id"]: r["triangles"] for r in triangle_count(eng.committed).collect()}
+        assert t == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+class TestShortestPaths:
+    def test_multi_landmark(self, two_component_engine):
+        from hgraphstorage_spark.analytics import shortest_paths
+
+        sp = shortest_paths(two_component_engine.current, [1, 4], max_hops=5)
+        d = {(r["id"], r["landmark"]): r["dist"] for r in sp.collect()}
+        # undirected: component A reaches landmark 1, B reaches 4, never cross
+        assert d[(1, 1)] == 0 and d[(2, 1)] == 1 and d[(3, 1)] == 2
+        assert d[(4, 4)] == 0 and d[(5, 4)] == 1
+        assert (6, 1) not in d and (1, 4) not in d
+
+    def test_directed(self, two_component_engine):
+        from hgraphstorage_spark.analytics import shortest_paths
+
+        sp = shortest_paths(two_component_engine.current, [2], max_hops=5, directed=True)
+        d = {r["id"]: r["dist"] for r in sp.collect()}
+        # edges 2->3 and 3->2: only 3 is reachable from 2; 1 is upstream
+        assert d == {2: 0, 3: 1}
+
+
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        from hgraphstorage_spark.analytics import label_propagation
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(10)])
+        c1 = [(a, b, "e", {}) for a in range(1, 6) for b in range(1, 6) if a < b]
+        c2 = [(a, b, "e", {}) for a in range(6, 11) for b in range(6, 11) if a < b]
+        eng.add_edges(c1 + c2 + [(5, 6, "e", {})])
+        eng.commit()
+        comm = {r["id"]: r["community"] for r in label_propagation(eng.committed, max_iter=4).collect()}
+        assert len({comm[i] for i in range(1, 6)}) == 1
+        assert len({comm[i] for i in range(6, 11)}) == 1
+        assert comm[1] != comm[10]

@@ -152,6 +152,38 @@ class TestText:
         assert rows[3] == "de"
         assert rows[5] == "und"
 
+    def test_tfidf_rare_terms_outrank_stopwords(self, docs):
+        from hgraphstorage_spark.pipeline import tfidf_top_terms
+
+        rows = tfidf_top_terms(docs, k=3).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], float(r["tfidf"])))
+        # 'the' appears in 3 of 6 docs; doc 4's unique vocabulary must win
+        top4 = [t for _, t, _ in sorted(by_doc[4])]
+        assert "the" not in top4
+        assert all(r[0][2] >= r[-1][2] for r in [sorted(by_doc[4])])
+        # empty doc contributes no terms
+        assert 5 not in by_doc
+
+    def test_quality_filter_rules(self, spark):
+        from hgraphstorage_spark.pipeline import quality_filter
+
+        df = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over a lazy dog near the old river bank"),
+                (1, "spam spam spam spam spam spam spam spam spam spam ham ham"),  # repetition
+                (2, "too short"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+        assert rows[0]["passes"] is True
+        assert rows[1]["passes"] is False and float(rows[1]["top_term_ratio"]) > 0.25
+        assert rows[2]["passes"] is False  # below min_tokens
+        assert rows[3]["passes"] is False and rows[3]["n_tokens"] == 0
+
     def test_fingerprint_invariant_to_whitespace(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello  World"), (2, "  hello world "), (3, "other")], "doc_id long, text string"
