@@ -56,6 +56,13 @@ def main() -> None:
     # (HackageTest opens the store once, then runs lookups).
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     entry_mod._graph(spark, SF_DIR)
+    # warm the Python-worker pool + Arrow path the same way the JVM is
+    # warmed: pandas-UDF queries should measure steady-state executor
+    # throughput, not the one-time pyspark.daemon fork (a long-lived
+    # cluster pays that once per executor lifetime)
+    spark.range(64).repartition(32).groupBy("id").applyInPandas(
+        lambda p: p, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -138,11 +138,15 @@ def _with_signature(sh_df: DataFrame, k: int) -> DataFrame:
         ),
     )
     ab = F.col("_ab")
-    sig = F.array(
-        *[
-            F.array_min(F.transform(ab, lambda s: F.pmod(s["a"] + F.lit(i) * s["b"], F.lit(P))))
-            for i in range(k)
-        ]
+    # one nested higher-order expression, not k unrolled array_min branches:
+    # the permutation index is a runtime sequence value, so the expression
+    # tree (and its Janino codegen) is O(1) in k instead of O(k) — at k=64
+    # the unrolled form costs ~2s of one-time optimizer+compile wall
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(ab, lambda s: F.pmod(s["a"] + i.cast("long") * s["b"], F.lit(P)))
+        ),
     )
     return with_ab.withColumn("sig", sig).drop("_ab")
 
@@ -184,16 +188,21 @@ def minhash_lsh_pairs(
     # smaller than the text it replaces.
     base = _with_signature(shingle_hashes(docs, text_col, id_col, n), k)
     base.persist()
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias(
-                "band_hash"
-            ),
-        )
-        for b in range(bands)
-    ]
-    banded = base.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+    # band hash = xxhash64 fold over the band's signature slice; a single
+    # nested HOF keeps the expression tree O(1) in `bands` (cf. the
+    # signature construction above)
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.aggregate(
+                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.xxhash64(acc, x),
+            ).alias("band_hash"),
+        ),
+    )
+    banded = base.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
     a = banded.alias("a")
@@ -296,18 +305,27 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: 
     explode and no shuffle at all. Returns (doc_id, simhash BIGINT).
     Near-dup detection = small Hamming distance (see tests)."""
     sh = shingle_hashes(docs, text_col, id_col, n)
-
-    def bit_term(i: int):
-        ones = F.size(
-            F.filter(F.col("sh"), lambda x: F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        majority = (2 * ones) > F.size(F.col("sh"))
-        val = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
-        return F.when(majority, val).otherwise(F.lit(0).cast("long"))
-
-    word = bit_term(0)
-    for i in range(1, 64):
-        word = word + bit_term(i)
+    # single fold over the 64 bit positions (runtime sequence, not 64
+    # unrolled when-branches — keeps optimizer+codegen wall flat in the
+    # word width); `call_function` because the Python shiftright/shiftleft
+    # wrappers only take int literals, while the SQL functions take any
+    # expression. Bits are disjoint so bitwise OR assembles the word.
+    one = F.lit(1).cast("long")
+    word = F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.when(
+            2
+            * F.size(
+                F.filter(
+                    F.col("sh"),
+                    lambda x: F.call_function("shiftright", x, i).bitwiseAND(one) == 1,
+                )
+            )
+            > F.size(F.col("sh")),
+            acc.bitwiseOR(F.call_function("shiftleft", one, i)),
+        ).otherwise(acc),
+    )
     return sh.select("doc_id", word.alias("simhash"))
 
 

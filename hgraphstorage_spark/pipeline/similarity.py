@@ -142,7 +142,7 @@ def embedding_near_dup_exact(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    blocks: int = 16,
+    blocks: int | None = None,
 ) -> DataFrame:
     """All-pairs embedding-cosine near-duplicates: (vec_a, vec_b, score)
     with vec_a < vec_b and cosine ≥ threshold — exact results.
@@ -154,7 +154,20 @@ def embedding_near_dup_exact(
     of the (tiny) candidate set using the left-fold dot/(norm·norm)
     formula whose association order matches the DuckDB oracle
     bit-for-bit at round-6.
+
+    `blocks` sizes the GEMM grid; by default it adapts: at least enough
+    that blocks·(blocks+1)/2 tasks cover every core (a smaller grid
+    serializes the one-time Python-worker spin-up through a handful of
+    tasks), and at most one block per ~4k vectors so each task is a BLAS
+    call big enough to amortize its Arrow+Python overhead (1M vectors →
+    ~256 blocks ≈ 33k tasks across the cluster). The row count comes from
+    a cheap count job, far cheaper than mis-sizing the grid by 100×.
     """
+    if blocks is None:
+        n = embeddings.count()
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        min_blocks = max(1, int((2 * par) ** 0.5))
+        blocks = max(min_blocks, min(64, -(-n // 4096)))
     prepped = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -239,25 +252,40 @@ def embedding_near_dup_lsh(
     )
 
 
-def _plane_component(plane: int, dim: int) -> Column:
+def _plane_component(plane: Column, dim: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
     xxhash64(plane, dim) scaled. Same value on any executor — the plane
-    matrix never materializes."""
-    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    matrix never materializes. `plane`/`dim` are int columns (hash values
+    are type-sensitive; keep them IntegerType)."""
+    h = F.xxhash64(plane, dim)
     return (h % 1_000_003).cast("double") / 1_000_003.0
 
 
 def signature_bits(vec: Column, dims: int, bits: int, seed: int = 0) -> Column:
     """Random-hyperplane signature: bit i = sign(dot(vec, plane_i)).
-    Different `seed`s give independent plane sets (hash tables)."""
-    sig = F.lit(0).cast("long")
-    for p in range(bits):
-        dot = sum(
-            [vec[d].cast("double") * _plane_component(seed + p, d) for d in range(1, dims)],
-            vec[0].cast("double") * _plane_component(seed + p, 0),
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    Different `seed`s give independent plane sets (hash tables).
+
+    Two nested folds over runtime sequences (planes × dims) rather than
+    bits·dims unrolled product terms: the expression tree — and the
+    one-time optimizer/Janino wall it costs — stays O(1) in both
+    parameters. The inner fold's ascending-dim float addition order
+    matches the unrolled form bit-for-bit.
+    """
+    one = F.lit(1).cast("long")
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: F.when(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                F.lit(0.0),
+                lambda dacc, d: dacc
+                + F.element_at(vec, d + 1).cast("double") * _plane_component(p + F.lit(seed), d),
+            )
+            > 0,
+            acc.bitwiseOR(F.call_function("shiftleft", one, p)),
+        ).otherwise(acc),
+    )
 
 
 def ivf_topk(
