@@ -95,12 +95,19 @@ class _State:
 
     # -- helpers ---------------------------------------------------------
     def ensure_label(self) -> None:
-        """Hydrate node labels (deferred join against the nodes table)."""
+        """Hydrate node labels: a pure projection when the snapshot's id
+        scheme encodes the type (``label_from_id``), else a deferred join
+        against the nodes table."""
         if self.kind == KIND_NODES and not self.has_label_col:
-            frontier = self.df
-            if self.small_frontier:
-                frontier = F.broadcast(frontier)
-            self.df = frontier.join(self.snapshot.nodes, "id", "inner").select("id", "label")
+            if self.snapshot.label_from_id is not None:
+                self.df = self.df.select(
+                    "id", self.snapshot.label_from_id(F.col("id")).alias("label")
+                )
+            else:
+                frontier = self.df
+                if self.small_frontier:
+                    frontier = F.broadcast(frontier)
+                self.df = frontier.join(self.snapshot.nodes, "id", "inner").select("id", "label")
             self.has_label_col = True
 
     def to_empty(self, as_kind: str) -> None:

@@ -71,6 +71,7 @@ def add_nodes(
         nodes=snap.nodes.unionByName(new_nodes),
         props=snap.props.unionByName(new_props) if new_props is not None else snap.props,
         max_node_id=max(ids) if ids else snap.max_node_id,
+        label_from_id=None,  # new ids need not follow the source's encoding
     )
     return out, ids
 
@@ -83,6 +84,7 @@ def add_nodes_df(snap: GraphSnapshot, nodes: DataFrame, props: DataFrame | None 
         nodes=snap.nodes.unionByName(nodes.select("id", "label")),
         props=snap.props.unionByName(props) if props is not None else snap.props,
         max_node_id=None,  # unknown until recomputed
+        label_from_id=None,
     )
 
 
@@ -112,6 +114,7 @@ def add_edges(
         edges=snap.edges.unionByName(new_edges),
         props=snap.props.unionByName(new_props) if new_props is not None else snap.props,
         max_edge_id=max(ids) if ids else snap.max_edge_id,
+        label_from_id=None,  # new edges may reference out-of-scheme endpoints
     )
     return out, ids
 
@@ -122,6 +125,7 @@ def add_edges_df(snap: GraphSnapshot, edges: DataFrame, props: DataFrame | None 
         edges=snap.edges.unionByName(edges.select("id", "src", "dst", "label")),
         props=snap.props.unionByName(props) if props is not None else snap.props,
         max_edge_id=None,  # unknown until recomputed
+        label_from_id=None,
     )
 
 
@@ -145,6 +149,7 @@ def update_node(snap: GraphSnapshot, node_id: int, label: str, props: Mapping[st
         snap,
         nodes=snap.nodes.filter(F.col("id") != node_id).unionByName(new_node),
         props=new_props,
+        label_from_id=None,  # relabel can break the id->label encoding
     )
 
 

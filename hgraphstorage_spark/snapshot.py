@@ -40,6 +40,15 @@ class GraphSnapshot:
     # load); computed lazily on first row-level insert.
     max_node_id: int | None = None
     max_edge_id: int | None = None
+    # Optional derived-label rule: a callable (id Column) -> label Column,
+    # set by sources whose id scheme encodes the node type (the Spark
+    # analogue of the reference packing ``oType`` into every fixed record,
+    # ``Types.hs:62-68``). When present, hydrating a hop frontier's labels
+    # is a projection instead of a join against the full nodes table — at
+    # 100 TB that join is the difference between probing an id range and
+    # shuffling the node set. Mutations that can break the encoding
+    # (adding/relabeling nodes) must clear it.
+    label_from_id: object = None
 
     # -- reference A1: maintained counters (STMGraph nbNodes/nbEdges,
     # STMGraph/src/.../API.hs:49-53). Spark-side these are actions.

@@ -220,7 +220,21 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphSnapshot:
         )
     )
 
-    return GraphSnapshot(nodes=nodes, edges=edges, props=props)
+    return GraphSnapshot(
+        nodes=nodes, edges=edges, props=props, label_from_id=label_from_id
+    )
+
+
+def label_from_id(id_col: F.Column) -> F.Column:
+    """Node label from the id's range — the deterministic id scheme packs
+    NODE_CODE into the top digits, so hydrating a hop target's label is a
+    projection (and a `has_label` filter becomes an id-range predicate
+    parquet row-group stats can prune), never a join against the node set."""
+    code = (id_col / F.lit(NODE_BASE)).cast("int")
+    mapping = F.create_map(
+        *[F.lit(x) for label, c in NODE_CODE.items() for x in (c, label)]
+    )
+    return mapping[code]
 
 
 # DuckDB-side mirrors of the id formulas, for oracle SQL construction
