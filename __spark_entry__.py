@@ -572,7 +572,7 @@ def q_similarity_lsh(spark, sf_dir):
 
 
 def q_similarity_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (approximate — rows-only check)."""
+    """IVF-bucketed ANN — deterministic centroids/probes, oracle-checked."""
     from hgraphstorage_spark.pipeline.similarity import ivf_topk
 
     return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, nlist=16, nprobe=4)
@@ -608,7 +608,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard near-dup pairs (blocked by lang)."""
+    """Exact 3-gram Jaccard near-dup pairs (blocked by lang) — oracle-checked
+    (hashed-shingle Jaccard equals string-shingle Jaccard; see tests)."""
     from hgraphstorage_spark.pipeline import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5, block_col="lang")
@@ -1091,9 +1092,62 @@ FROM scored
                    sum(CAST(value AS DECIMAL(18,2))) AS total_value
             FROM sessions GROUP BY user_id, sid
         """,
-        # minhash_lsh_pairs / ngram_jaccard / simhash_buckets / similarity_lsh /
-        # multimodal_features: deliberately omitted → driver records rows-only
-        # checks (approximate or non-SQL-expressible operators)
+        "ngram_jaccard": r"""
+            WITH w AS (
+              SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, lang,
+                     array_to_string(list_slice(words, i, i + 2), ' ') AS shingle
+              FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   CAST(round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS DECIMAL(18,6)) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.doc_a = sa.doc_id
+            JOIN sizes sb ON inter.doc_b = sb.doc_id
+            WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5
+        """,
+        "similarity_ivf": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            assigned AS (
+              SELECT vec_id, v,
+                     (SELECT cid FROM (
+                        SELECT cid, list_dot_product(e.v, cv)
+                               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cs
+                        FROM cents ORDER BY cs DESC, cid ASC LIMIT 1) s) AS list_id
+              FROM e
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            probe AS (
+              SELECT cid AS list_id FROM cents, q
+              ORDER BY list_dot_product(qv, cv)
+                       / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                       cid ASC
+              LIMIT 4
+            )
+            SELECT vec_id,
+                   CAST(round(list_dot_product(v, qv)
+                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                     AS DECIMAL(18,6)) AS score,
+                   list_id
+            FROM assigned JOIN probe USING (list_id), q
+            WHERE vec_id <> 0
+            ORDER BY score DESC, vec_id ASC LIMIT 10
+        """,
+        # minhash_lsh_pairs / simhash_buckets / similarity_lsh /
+        # embed_near_dup_lsh / label_propagation / multimodal_features:
+        # deliberately omitted → driver records rows-only checks (LSH
+        # banding/bucketing is xxhash64-based and sub-100%-recall by design,
+        # so no exact SQL equivalent exists)
     }
 
 
