@@ -293,6 +293,60 @@ def q_connected_components_alt(spark, sf_dir):
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Analytics: PageRank (3 fixed iterations, dangling redistribution)
+    over the location subgraph — deterministic, oracle-checked against
+    unrolled SQL."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import pagerank
+
+    snap = _graph(spark, sf_dir)
+    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
+    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
+    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    pr = pagerank(sub, alpha=0.85, iterations=3, dangling=True)
+    return pr.select("id", F.round("rank", 6).cast("decimal(18,6)").alias("rank"))
+
+
+def _pagerank_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled-iteration DuckDB PageRank over the location subgraph,
+    mirroring analytics.pagerank: rank = (1-a)/n + a*dangling/n +
+    a*sum(in rank/out_deg). Float sums agree with Spark's partial-agg
+    order at round-6 (error ~1e-15 vs quantum 5e-7)."""
+    head = """
+        WITH nodes AS (
+          SELECT 1000000000000 + r_regionkey AS id FROM region
+          UNION ALL SELECT 2000000000000 + n_nationkey FROM nation
+          UNION ALL SELECT 3000000000000 + c_custkey FROM customer
+          UNION ALL SELECT 4000000000000 + s_suppkey FROM supplier
+        ),
+        edges AS (
+          SELECT 3000000000000 + c_custkey AS src, 2000000000000 + c_nationkey AS dst FROM customer
+          UNION ALL SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey FROM supplier
+          UNION ALL SELECT 2000000000000 + n_nationkey, 1000000000000 + n_regionkey FROM nation
+        ),
+        outd AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        r0 AS (SELECT id, 1.0 / n AS rank FROM nodes, nn)"""
+    parts = [head]
+    for i in range(iterations):
+        parts.append(f""",
+        d{i} AS (SELECT coalesce(sum(rank), 0) AS m FROM r{i}
+                 LEFT JOIN outd ON r{i}.id = outd.src WHERE outd.src IS NULL),
+        c{i} AS (SELECT e.dst AS id, sum(r.rank / o.d) AS mass
+                 FROM edges e JOIN r{i} r ON e.src = r.id JOIN outd o ON e.src = o.src
+                 GROUP BY e.dst),
+        r{i + 1} AS (
+          SELECT nodes.id,
+                 (0.15 / n + 0.85 * d{i}.m / n) + 0.85 * coalesce(c{i}.mass, 0) AS rank
+          FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+          LEFT JOIN c{i} ON nodes.id = c{i}.id)""")
+    parts.append(f"""
+        SELECT id, CAST(round(rank, 6) AS DECIMAL(18,6)) AS rank FROM r{iterations}""")
+    return "".join(parts)
+
+
 def q_bfs(spark, sf_dir):
     """Analytics: BFS frontier sizes from customer 0 over placed/contains."""
     from hgraphstorage_spark.analytics import bfs
@@ -680,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         "connected_components": q_connected_components,
         "connected_components_alt": q_connected_components_alt,
+        "pagerank": q_pagerank,
         "bfs": q_bfs,
         "triangle_count": q_triangle_count,
         "shortest_paths": q_shortest_paths,
@@ -1156,4 +1211,5 @@ def oracle_sql() -> dict[str, str]:
     # alternative implementations of the same semantics share the primary
     # implementation's oracle
     sql["connected_components_alt"] = sql["connected_components"]
+    sql["pagerank"] = _pagerank_oracle_sql(3)
     return sql
