@@ -47,9 +47,12 @@ def connected_components(snap: GraphSnapshot, max_iter: int = 50) -> DataFrame:
     Converges in O(diameter) rounds; each round is two shuffles (join +
     agg). ``localCheckpoint`` truncates the growing plan per round.
     """
-    # undirected neighbor list via both edge directions
-    nbrs = snap.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
-        snap.edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    # undirected neighbor list via both edge directions — materialized once
+    # (localCheckpoint), else every round re-scans the edge source
+    nbrs = (
+        snap.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(snap.edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .persist()
     )
     comp = snap.nodes.select("id", F.col("id").alias("component")).localCheckpoint()
     for _ in range(max_iter):
@@ -73,6 +76,7 @@ def connected_components(snap: GraphSnapshot, max_iter: int = 50) -> DataFrame:
         comp = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    nbrs.unpersist()
     return comp
 
 
@@ -217,6 +221,10 @@ def pregel(
     edges = snap.edges.select("src", "dst")
     if not directed:
         edges = edges.unionAll(snap.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # cache the static input once (persist: evictable, spills at scale —
+    # the GraphX idiom); an uncached plan would re-scan the edge source
+    # every superstep
+    edges = edges.persist()
     state = snap.nodes.select("id", initial(snap.nodes).alias("state")).localCheckpoint()
     for _ in range(max_iter):
         msgs = (
@@ -237,6 +245,7 @@ def pregel(
                 break
         else:
             state = new_state.select("id", "state")
+    edges.unpersist()
     return state
 
 
@@ -316,6 +325,7 @@ def shortest_paths(
     edges = edges.select("src", "dst")
     if not directed:
         edges = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.persist()  # joined every hop
     spark = snap.nodes.sparkSession
     seeds = spark.createDataFrame([(x, x, 0) for x in landmarks], "id long, landmark long, dist int")
     visited = seeds.localCheckpoint()
@@ -334,6 +344,7 @@ def shortest_paths(
             break
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
+    edges.unpersist()
     return visited
 
 
@@ -348,8 +359,10 @@ def label_propagation(snap: GraphSnapshot, max_iter: int = 5) -> DataFrame:
     Per round: one edge join + two aggregates (count per (node, label),
     then arg-max via ``max_by`` on a (count, -label) struct) — no windows,
     so partial aggregation stays map-side."""
-    nbrs = snap.edges.select(F.col("src").alias("a"), F.col("dst").alias("b")).unionAll(
-        snap.edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    nbrs = (
+        snap.edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionAll(snap.edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .persist()  # static per-round input: cache once, not one scan/round
     )
     state = snap.nodes.select("id", F.col("id").alias("community")).localCheckpoint()
     for _ in range(max_iter):
@@ -366,6 +379,7 @@ def label_propagation(snap: GraphSnapshot, max_iter: int = 5) -> DataFrame:
             .select("id", F.coalesce("new_community", F.col("community")).alias("community"))
             .localCheckpoint()
         )
+    nbrs.unpersist()
     return state
 
 
@@ -376,7 +390,7 @@ def bfs(snap: GraphSnapshot, source_id: int, max_hops: int = 10, labels: tuple =
     edges = snap.edges
     if labels:
         edges = edges.filter(F.col("label").isin(list(labels)))
-    edges = edges.select("src", "dst")
+    edges = edges.select("src", "dst").persist()  # probed every hop
     spark = snap.nodes.sparkSession
     visited = spark.createDataFrame([(source_id, 0)], "id long, hops int").localCheckpoint()
     frontier = visited
@@ -394,4 +408,5 @@ def bfs(snap: GraphSnapshot, source_id: int, max_hops: int = 10, labels: tuple =
             break
         visited = visited.unionAll(nxt).localCheckpoint()
         frontier = nxt
+    edges.unpersist()
     return visited
