@@ -26,5 +26,15 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-pruning predicates each FileScan applies (empty string for
+    unpartitioned scans) — the evidence that a label / property-name filter
+    skips whole directories of a persisted snapshot."""
+    plan = executed_plan(df)
+    # capture to end of line: filters may nest brackets
+    # (dynamicpruningexpression(input[0, bigint, true]...))
+    return re.findall(r"PartitionFilters: \[(.*)", plan)
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)

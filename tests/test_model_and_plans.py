@@ -85,3 +85,33 @@ class TestPlanShape:
         df.collect()  # AQE finalizes the plan on execution
         # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
         assert "*(" in _executed_plan(df)
+
+    def test_persisted_snapshot_partition_pruning(self, spark, tmp_path):
+        """The persisted layout (nodes/edges by label, props by
+        (owner_kind, name) — snapshot.write) must turn label filters and
+        Has/Values name filters into PartitionFilters: a 100 TB snapshot
+        answers a one-label / one-property query by reading only those
+        directories."""
+        from hgraphstorage_spark.compiler import compile_traversal
+        from hgraphstorage_spark.plans.audit import partition_filters
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+        from hgraphstorage_spark.sources import load_tpch_graph
+
+        spark.catalog.clearCache()  # cached scans would hide PartitionFilters
+        # default 100-char metadata truncation can cut predicates mid-token
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        src = load_tpch_graph(spark, "/root/testdata/sf0.001")
+        path = str(tmp_path / "snap")
+        src.write(path)
+        snap = GraphSnapshot.read(spark, path)
+
+        nodes = snap.nodes.filter(F.col("label") == "Customer")
+        assert any("Customer" in f for f in partition_filters(nodes))
+
+        res = compile_traversal(
+            snap, T().ns().has_label("Customer").has("c_mktsegment", "BUILDING").values("c_name")
+        )
+        pf = [f for f in partition_filters(res.df) if f]
+        # every props scan restricts the name partition; no unpruned scan
+        # of the full props tree remains
+        assert pf and all(("c_mktsegment" in f) or ("c_name" in f) or ("label" in f) for f in pf)
