@@ -213,6 +213,19 @@ def q_prop_names(spark, sf_dir):
     return snap.node_props().select("name").distinct()
 
 
+def q_index_build(spark, sf_dir):
+    """X1/X2 bulk index build — the analogue of the reference's only saved
+    benchmark (trie bulk insert of 235,886 word keys,
+    LowLevelDB/perf/TrieBench.hs:19-59 / BASELINE.md): retroactively index
+    every Order node's o_totalprice (150k keys at sf0.1) into the
+    (owner_id, label, name, key) index shape. One filtered props scan +
+    one join + a narrow projection — no shuffle beyond the join."""
+    from hgraphstorage_spark.engine import build_index
+
+    snap = _graph(spark, sf_dir)
+    return build_index(snap, ["Order"], ["o_totalprice"])
+
+
 def q_index_lookup(spark, sf_dir):
     """X1+X3: build index on Customer.c_name, point lookup."""
     from hgraphstorage_spark.engine import build_index
@@ -727,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_step": q_query_step,
         "nb_counts": q_nb_counts,
         "prop_names": q_prop_names,
+        "index_build": q_index_build,
         "index_lookup": q_index_lookup,
         "index_prefix": q_index_prefix,
         "mutation_cascade": q_mutation_cascade,
@@ -894,6 +908,12 @@ FROM scored
             SELECT * FROM (VALUES ('r_name'), ('n_name'), ('c_name'), ('c_acctbal'), ('c_mktsegment'),
                 ('s_name'), ('s_acctbal'), ('p_name'), ('p_brand'), ('p_type'), ('p_size'),
                 ('p_retailprice'), ('o_orderstatus'), ('o_orderpriority'), ('o_totalprice')) AS t(name)
+        """,
+        "index_build": f"""
+            SELECT ({O} + o_orderkey)::BIGINT AS owner_id, 'Order' AS label,
+                   'o_totalprice' AS name,
+                   CAST(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0)) AS VARCHAR) AS key
+            FROM orders
         """,
         "index_lookup": f"""
             SELECT ({C} + c_custkey)::BIGINT AS owner_id, c_name AS key

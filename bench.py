@@ -36,6 +36,7 @@ HEADLINE = [
     "degrees",               # graph degree agg
     "connected_components",  # iterative Pregel-style loop
     "hackage_etl",           # bulk-ingest throughput (reference 'Write Hackage')
+    "index_build",           # bulk index build (reference trie-insert baseline)
 ]
 
 
