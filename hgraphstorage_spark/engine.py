@@ -78,11 +78,19 @@ def check_unique(index_df: DataFrame, index_name: str) -> None:
 class GraphEngine:
     """Engine session: a ledger of committed snapshots + staged mutations."""
 
+    # row-level mutations buffer as plan branches; past this many staged
+    # mutations the plan is compacted (materialized) — the Spark analogue
+    # of the reference's write buffering (GraphSettings buffer modes,
+    # HGraphStorage/src/.../Types.hs:430-439): per-record plan growth would
+    # otherwise make the Nth single-row add pay an N-branch union
+    COMPACT_EVERY = 64
+
     def __init__(self, spark: SparkSession, snapshot: GraphSnapshot | None = None):
         self.spark = spark
         base = snapshot if snapshot is not None else GraphSnapshot.empty(spark)
         self._ledger: list[GraphSnapshot] = [base.with_version(0)]
         self._staged: GraphSnapshot | None = None
+        self._stage_count = 0
 
     # -- snapshot access (MVCC reads) -------------------------------------
     @property
@@ -133,6 +141,22 @@ class GraphEngine:
     # -- mutations (staged until commit) ----------------------------------
     def _stage(self, snap: GraphSnapshot) -> None:
         self._staged = snap
+        self._stage_count += 1
+        if self._stage_count % self.COMPACT_EVERY == 0:
+            self.compact()
+
+    def compact(self) -> None:
+        """Materialize the staged snapshot's plans (localCheckpoint), so a
+        long row-at-a-time mutation session stays O(1) per call instead of
+        re-evaluating an ever-deeper union chain."""
+        if self._staged is None:
+            return
+        self._staged = replace(
+            self._staged,
+            nodes=self._staged.nodes.localCheckpoint(),
+            edges=self._staged.edges.localCheckpoint(),
+            props=self._staged.props.localCheckpoint(),
+        )
 
     def add_nodes(self, rows, ids=None) -> list[int]:
         snap, new_ids = mutations.add_nodes(self.current, rows, ids)

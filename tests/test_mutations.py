@@ -73,6 +73,27 @@ class TestCrud:
         assert props["name"] == ["Forrest Gump"]  # untouched
 
 
+class TestCompaction:
+    def test_long_mutation_session_compacts_and_preserves_state(self, spark):
+        """Row-at-a-time sessions cross the COMPACT_EVERY threshold: the
+        staged plan is materialized, and every row (nodes, edges, props)
+        survives compaction + commit."""
+        eng = GraphEngine(spark)
+        n = GraphEngine.COMPACT_EVERY + 8
+        for i in range(n):
+            eng.add_node("N", {"k": i})
+        ids = list(range(1, n + 1))
+        for a, b in zip(ids, ids[1:]):
+            eng.add_edge(a, b, "next")
+        eng.commit()
+        snap = eng.current
+        assert snap.nb_nodes() == n
+        assert snap.nb_edges() == n - 1
+        assert snap.props.count() == n
+        res = eng.traverse(T().nid(ids[0]).out("next"))
+        assert [r["id"] for r in res.df.collect()] == [ids[1]]
+
+
 class TestVersioning:
     def test_commit_bumps_version(self, spark):
         eng = GraphEngine(spark)
