@@ -100,6 +100,57 @@ class TestStreamDedup:
         assert got == want
 
 
+    def test_watermark_evicts_dedup_state(self, spark, tmpdir):
+        """The watermark bounds dedup state (the trade-off stream_dedup
+        documents): a duplicate arriving while the key is in state is
+        dropped; after the watermark passes key_ts + delay the state is
+        evicted and a (non-late) duplicate re-emits."""
+        import datetime as dt
+
+        from hgraphstorage_spark.streaming import stream_dedup
+
+        base = dt.datetime(2026, 1, 1, 12, 0, 0)
+        schema = "event_id long, ts timestamp"
+
+        def feed(rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+                f"{tmpdir}/wmev"
+            )
+
+        feed([(1, base)])  # batch 1: first sighting of key 1
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/wmev")
+        )
+        q = (
+            stream_dedup(stream, ["event_id"], watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("wm_dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_wm")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 2: in-state duplicate (deduped) + a 15:00 row that
+            # advances the watermark to 14:00, evicting key 1 (12:00 + 1h)
+            feed([(1, base + dt.timedelta(minutes=5)), (2, base + dt.timedelta(hours=3))])
+            q.processAllAvailable()
+            # batch 3: key 1 again at 14:30 — not late (>= watermark), but
+            # its state is gone, so it re-emits
+            feed([(1, base + dt.timedelta(hours=2, minutes=30))])
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        counts = {
+            r["event_id"]: r["n"]
+            for r in spark.table("wm_dedup_out").groupBy("event_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts == {1: 2, 2: 1}
+
+
 class TestStatefulCounts:
     def test_running_counts_stream_equals_batch(self, spark, tmpdir):
         """Reference A1 parity (maintained nbNodes/nbEdges counters,
