@@ -189,6 +189,19 @@ def q_motif_two_hop(spark, sf_dir):
     )
 
 
+def q_filter_relations(spark, sf_dir):
+    """P2 filterRelations: full edge scan with endpoint hydration, counted
+    per (label, src_label, dst_label)."""
+    from hgraphstorage_spark.query_step import filter_relations
+
+    snap = _graph(spark, sf_dir)
+    return (
+        filter_relations(snap)
+        .groupBy("label", "src_label", "dst_label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def q_query_step(spark, sf_dir):
     """J1 queryStep: one-hop OUT from customer 5 over placed edges."""
     from hgraphstorage_spark.query_step import Direction, query_step
@@ -737,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_hop": q_multi_hop,
         "motif_two_hop": q_motif_two_hop,
         "hackage_etl": q_hackage_etl,
+        "filter_relations": q_filter_relations,
         "query_step": q_query_step,
         "nb_counts": q_nb_counts,
         "prop_names": q_prop_names,
@@ -908,6 +922,14 @@ FROM scored
             SELECT * FROM (VALUES ('r_name'), ('n_name'), ('c_name'), ('c_acctbal'), ('c_mktsegment'),
                 ('s_name'), ('s_acctbal'), ('p_name'), ('p_brand'), ('p_type'), ('p_size'),
                 ('p_retailprice'), ('o_orderstatus'), ('o_orderpriority'), ('o_totalprice')) AS t(name)
+        """,
+        "filter_relations": """
+            SELECT 'custLocatedIn' AS label, 'Customer' AS src_label, 'Nation' AS dst_label, count(*)::BIGINT AS cnt FROM customer
+            UNION ALL SELECT 'suppLocatedIn', 'Supplier', 'Nation', count(*) FROM supplier
+            UNION ALL SELECT 'nationLocatedIn', 'Nation', 'Region', count(*) FROM nation
+            UNION ALL SELECT 'placed', 'Customer', 'Order', count(*) FROM orders
+            UNION ALL SELECT 'contains', 'Order', 'Part', count(*) FROM lineitem
+            UNION ALL SELECT 'suppliedBy', 'Part', 'Supplier', count(*) FROM lineitem
         """,
         "index_build": f"""
             SELECT ({O} + o_orderkey)::BIGINT AS owner_id, 'Order' AS label,

@@ -46,13 +46,25 @@ def filter_objects(snap: GraphSnapshot, predicate: Column | None = None) -> Data
 def filter_relations(snap: GraphSnapshot, predicate: Column | None = None) -> DataFrame:
     """P2: edge scan with populated endpoint labels — the reference
     hydrates from/to objects per edge (``API.hs:349-351``); here two joins
-    in one plan. Columns: id, src, dst, label, src_label, dst_label."""
-    n = snap.nodes
-    df = (
-        snap.edges.join(
-            n.select(F.col("id").alias("src"), F.col("label").alias("src_label")), "src", "inner"
-        ).join(n.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")), "dst", "inner")
-    ).select("id", "src", "dst", "label", "src_label", "dst_label")
+    in one plan (or two pure projections when the snapshot's id scheme
+    encodes labels, ``label_from_id``).
+    Columns: id, src, dst, label, src_label, dst_label."""
+    if snap.label_from_id is not None:
+        df = snap.edges.select(
+            "id",
+            "src",
+            "dst",
+            "label",
+            snap.label_from_id(F.col("src")).alias("src_label"),
+            snap.label_from_id(F.col("dst")).alias("dst_label"),
+        )
+    else:
+        n = snap.nodes
+        df = (
+            snap.edges.join(
+                n.select(F.col("id").alias("src"), F.col("label").alias("src_label")), "src", "inner"
+            ).join(n.select(F.col("id").alias("dst"), F.col("label").alias("dst_label")), "dst", "inner")
+        ).select("id", "src", "dst", "label", "src_label", "dst_label")
     return df.filter(predicate) if predicate is not None else df
 
 
