@@ -86,6 +86,18 @@ class TestPlanShape:
         # '*(n)' prefixes mark whole-stage-codegen spans in the final plan
         assert "*(" in _executed_plan(df)
 
+    def test_label_from_id_matches_stored_labels(self, spark):
+        """The derived-label rule must agree with the stored label column
+        for every node — guards the id scheme and the projection rewrite
+        against drifting apart."""
+        from hgraphstorage_spark.sources import load_tpch_graph
+
+        snap = load_tpch_graph(spark, "/root/testdata/sf0.001")
+        mismatch = snap.nodes.filter(
+            snap.label_from_id(F.col("id")) != F.col("label")
+        ).limit(1).count()
+        assert mismatch == 0
+
     def test_persisted_snapshot_partition_pruning(self, spark, tmp_path):
         """The persisted layout (nodes/edges by label, props by
         (owner_kind, name) — snapshot.write) must turn label filters and
