@@ -35,12 +35,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def events_tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
+def events_tumbling_agg(events: DataFrame, window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
     """Tumbling-window counts/sums per event_type. Works on both batch and
-    streaming DataFrames (same plan; streaming adds state + watermark).
+    streaming DataFrames (same plan; streaming adds state + watermark —
+    size ``watermark`` to the source's out-of-orderness).
     Money-ish sums go through DECIMAL so results are order-independent."""
     if events.isStreaming:
-        events = events.withWatermark("ts", "1 hour")
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
@@ -58,11 +59,13 @@ def events_tumbling_agg(events: DataFrame, window: str = "1 hour") -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def sessionize(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
     """Session windows per user (gap-based). Streaming-native via
-    ``session_window``; batch gives identical results on complete data."""
+    ``session_window``; batch gives identical results on complete data.
+    ``watermark`` bounds session state and the tolerated event lateness —
+    size it to the source's out-of-orderness."""
     if events.isStreaming:
-        events = events.withWatermark("ts", "1 hour")
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))

@@ -63,6 +63,37 @@ class TestWindowedAgg:
         assert got == want
 
 
+class TestSessionize:
+    def test_stream_equals_batch(self, spark, tmpdir):
+        """Session windows on a micro-batched stream must match the batch
+        result on complete data (watermark sized past the table's
+        out-of-orderness so no row is dropped as late)."""
+        from hgraphstorage_spark.streaming import sessionize
+
+        batch = load_events(spark, "/root/testdata/sf0.001")
+        batch.repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/sess_ev")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/sess_ev")
+        )
+        q = (
+            sessionize(stream, watermark="60 days")
+            .writeStream.format("memory")
+            .queryName("sess_parity_out")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_sess")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = bag(spark.table("sess_parity_out"))
+        want = bag(sessionize(batch))
+        assert got == want
+
+
 class TestStreamDedup:
     def test_stream_dedup_equals_batch(self, spark, tmpdir):
         """Exact dedup on a stream (dropDuplicatesWithinWatermark) keeps one
