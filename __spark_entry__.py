@@ -727,6 +727,43 @@ def q_sessionize(spark, sf_dir):
     return sessionize(ev, "30 minutes").select("session_start", "user_id", "n_events", "total_value")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 5-gram overlap of corpus docs against an
+    eval slice (doc_id % 50 == 0); benchmark shingle set is broadcast."""
+    from hgraphstorage_spark.pipeline.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, n=5)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic md5-bucket train/val/test split (80/10/10) — stable
+    across runs, partitionings, and engines."""
+    from hgraphstorage_spark.pipeline.sampling import hash_split
+
+    return hash_split(_t(spark, sf_dir, "documents"))
+
+
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: each click gets the latest prior (or same-instant)
+    view of the same user — union+window plan, one shuffle, no non-equi join."""
+    from hgraphstorage_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id", "value")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "ts", "user_id", "value")
+    out = asof_join(clicks, views, on="ts", by=["user_id"], value_cols=["event_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("click_value"),
+        F.col("event_id_asof").alias("view_event_id"),
+        F.col("value_asof").cast("decimal(18,2)").alias("view_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -798,6 +835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
+        "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1240,6 +1280,40 @@ FROM scored
             WHERE vec_id <> 0
             ORDER BY score DESC, vec_id ASC LIMIT 10
         """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(words, i, i + 4), ' ') AS shingle
+              FROM w, unnest(generate_series(1, greatest(len(words) - 4, 1))) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corpus GROUP BY 1),
+            hits AS (
+              SELECT c.doc_id, count(*)::BIGINT AS n_overlap
+              FROM corpus c JOIN bench USING (shingle) GROUP BY 1
+            )
+            SELECT s.doc_id, s.n_shingles,
+                   coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+                   coalesce(h.n_overlap, 0) >= 1 AS contaminated
+            FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "asof_join": """
+            WITH clicks AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value
+                            FROM events WHERE event_type = 'click'),
+                 views  AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value
+                            FROM events WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   CAST(c.value AS DECIMAL(18,2)) AS click_value,
+                   v.event_id AS view_event_id,
+                   CAST(v.value AS DECIMAL(18,2)) AS view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
         # minhash_lsh_pairs / simhash_buckets / similarity_lsh /
         # embed_near_dup_lsh / label_propagation / multimodal_features:
         # deliberately omitted → driver records rows-only checks (LSH
@@ -1254,4 +1328,13 @@ def oracle_sql() -> dict[str, str]:
     # implementation's oracle
     sql["connected_components_alt"] = sql["connected_components"]
     sql["pagerank"] = _pagerank_oracle_sql(3)
+    # generated from the same threshold helper the Spark operator uses, so
+    # the two sides cannot drift
+    from hgraphstorage_spark.pipeline.sampling import hash_split_case_sql
+
+    sql["hash_split"] = (
+        "SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8) AS bucket, "
+        + hash_split_case_sql()
+        + " AS split FROM documents"
+    )
     return sql

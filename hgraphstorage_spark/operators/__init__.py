@@ -1,3 +1,4 @@
+from hgraphstorage_spark.operators.asof import asof_join
 from hgraphstorage_spark.operators.bucketing import (
     edges_by_dst,
     read_bucketed,
@@ -6,6 +7,7 @@ from hgraphstorage_spark.operators.bucketing import (
 from hgraphstorage_spark.operators.skew import salted_count_by, salted_join
 
 __all__ = [
+    "asof_join",
     "edges_by_dst",
     "read_bucketed",
     "salted_count_by",

@@ -5,6 +5,7 @@ search, text analysis, multimodal columns — DataFrame→DataFrame operators
 designed partition-parallel for 100 TB inputs.
 """
 
+from hgraphstorage_spark.pipeline.contamination import decontaminate
 from hgraphstorage_spark.pipeline.dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -19,6 +20,7 @@ from hgraphstorage_spark.pipeline.similarity import (
     embedding_near_dup_lsh,
     lsh_bucket_topk,
 )
+from hgraphstorage_spark.pipeline.sampling import hash_split
 from hgraphstorage_spark.pipeline.text import (
     fingerprint,
     language_id,
@@ -29,6 +31,8 @@ from hgraphstorage_spark.pipeline.text import (
 )
 
 __all__ = [
+    "decontaminate",
+    "hash_split",
     "exact_dedup",
     "exact_dup_groups",
     "minhash_signatures",

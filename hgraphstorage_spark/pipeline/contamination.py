@@ -1,0 +1,69 @@
+"""Benchmark decontamination: flag corpus documents that share word
+n-grams with a held-out benchmark/eval set.
+
+The standard pre-training hygiene step (cf. GPT-3 appendix C / PaLM §7:
+13-gram overlap): any training document containing an n-gram that also
+appears in an evaluation set is flagged (and usually dropped) so eval
+scores are not inflated by memorized test data.
+
+Scale design: the benchmark side is tiny relative to the corpus (MBs of
+eval sets vs ~100 TB of training text), so its distinct shingle set is
+BROADCAST — the corpus side is one narrow shingle pass plus a broadcast
+hash join and a partial-aggregated count keyed by doc_id. No shuffle of
+corpus text, no skew (shingle keys only fan in per-document).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hgraphstorage_spark.pipeline.dedup import _shingles
+
+
+def _shingle_long(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document, long format."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per corpus document: how many of its distinct word ``n``-grams occur
+    anywhere in ``benchmark``, and whether that reaches ``min_hits``.
+
+    Returns (doc_id, n_shingles, n_overlap, contaminated) for every corpus
+    document — unfiltered so callers can audit; the pipeline step is
+    ``.filter(~col('contaminated'))``.
+
+    Both sides shingle with the same normalization as the dedup operators
+    (lowercase, whitespace split — dedup.py ``_shingles``), so a document
+    equal to a benchmark document always flags.
+    """
+    corpus_sh = _shingle_long(corpus, n, text_col, id_col)
+    bench_sh = (
+        _shingle_long(benchmark, n, text_col, id_col).select("shingle").distinct()
+    )
+    overlap = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from hgraphstorage_spark.operators import salted_count_by, salted_join
@@ -92,3 +94,42 @@ class TestPlanHelpers:
         a = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         b = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
         assert has_broadcast_join(a.join(F.broadcast(b), a.l_orderkey == b.r_regionkey))
+
+
+class TestAsofJoin:
+    """Point-in-time join semantics (operators/asof.py): inclusive ties,
+    per-key isolation, NULL when nothing precedes — pinned against
+    DuckDB's ASOF JOIN in test_oracle_parity.py::asof_join."""
+
+    @pytest.fixture()
+    def frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 20, 200.0), (1, 5, 50.0), (2, 10, 300.0)],
+            "user_id long, ts long, value double",
+        )
+        right = spark.createDataFrame(
+            [(1, 10, "a"), (1, 15, "b"), (2, 99, "z")],
+            "user_id long, ts long, tag string",
+        )
+        return left, right
+
+    def test_latest_at_or_before(self, spark, frames):
+        from hgraphstorage_spark.operators.asof import asof_join
+
+        left, right = frames
+        out = {
+            (r["user_id"], r["ts"]): (r["tag_asof"], r["ts_asof"])
+            for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+        }
+        assert out[(1, 10)] == ("a", 10)  # tie: same-instant right row matches
+        assert out[(1, 20)] == ("b", 15)  # latest preceding, not first
+        assert out[(1, 5)] == (None, None)  # nothing at-or-before
+        assert out[(2, 10)] == (None, None)  # other user's rows invisible
+
+    def test_left_rows_and_columns_preserved(self, spark, frames):
+        from hgraphstorage_spark.operators.asof import asof_join
+
+        left, right = frames
+        out = asof_join(left, right, on="ts", by=["user_id"])
+        assert out.count() == left.count()
+        assert [c for c in left.columns if c not in out.columns] == []

@@ -240,3 +240,78 @@ class TestMultimodal:
         out = resize_images(synthetic_media(spark, 9), fake_decode=False).collect()
         assert len(out) == 3
         assert all(not r["resize_ok"] for r in out)
+
+
+class TestDecontaminate:
+    """Benchmark n-gram decontamination (pipeline/contamination.py)."""
+
+    def test_exact_dup_of_benchmark_flags(self, spark, docs):
+        from hgraphstorage_spark.pipeline.contamination import decontaminate
+
+        bench = docs.filter(F.col("doc_id") == 0)
+        corpus = docs.filter(F.col("doc_id") != 0)
+        out = {r["doc_id"]: r.asDict() for r in decontaminate(corpus, bench, n=3).collect()}
+        assert out[1]["contaminated"]  # exact dup: every shingle overlaps
+        assert out[1]["n_overlap"] == out[1]["n_shingles"]
+        assert out[2]["contaminated"]  # near dup: partial overlap
+        assert 0 < out[2]["n_overlap"] < out[2]["n_shingles"]
+        assert not out[3]["contaminated"] and out[3]["n_overlap"] == 0
+        assert not out[4]["contaminated"]
+
+    def test_min_hits_threshold(self, spark, docs):
+        from hgraphstorage_spark.pipeline.contamination import decontaminate
+
+        bench = docs.filter(F.col("doc_id") == 0)
+        corpus = docs.filter(F.col("doc_id").isin(2, 4))
+        strict = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(corpus, bench, n=3, min_hits=10**6).collect()
+        }
+        assert strict == {2: False, 4: False}
+
+    def test_every_corpus_doc_reported(self, spark, docs):
+        from hgraphstorage_spark.pipeline.contamination import decontaminate
+
+        bench = docs.filter(F.col("doc_id") == 0)
+        corpus = docs.filter(F.col("doc_id") != 0)
+        assert decontaminate(corpus, bench).count() == corpus.count()
+
+
+class TestHashSplit:
+    """Deterministic hash-based splitting (pipeline/sampling.py)."""
+
+    def test_total_and_deterministic(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import hash_split
+
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        a = bag(hash_split(df), ["doc_id", "split"])
+        b = bag(hash_split(df.repartition(7)), ["doc_id", "split"])
+        assert a == b  # partitioning/order never changes assignment
+        assert len(a) == 1000
+
+    def test_fractions_roughly_honored(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import hash_split
+
+        df = spark.range(5000).withColumnRenamed("id", "doc_id")
+        counts = {
+            r["split"]: r["n"]
+            for r in hash_split(df).groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert abs(counts["train"] / 5000 - 0.8) < 0.03
+        assert abs(counts["val"] / 5000 - 0.1) < 0.02
+        assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+    def test_salt_gives_independent_split(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import hash_split
+
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = dict(bag(hash_split(df, salt="a"), ["doc_id", "split"]))
+        b = dict(bag(hash_split(df, salt="b"), ["doc_id", "split"]))
+        assert a != b
+
+    def test_bad_fractions_rejected(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import hash_split
+
+        df = spark.range(10).withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            hash_split(df, {"train": 0.5, "test": 0.4})
