@@ -727,6 +727,22 @@ def q_sessionize(spark, sf_dir):
     return sessionize(ev, "30 minutes").select("session_start", "user_id", "n_events", "total_value")
 
 
+def q_events_percentiles(spark, sf_dir):
+    """Exact grouped percentiles (p50/p95) per event type — same linear
+    interpolation as ANSI percentile_cont, so the oracle matches exactly."""
+    from hgraphstorage_spark.functions.stats import grouped_percentiles
+
+    return grouped_percentiles(_t(spark, sf_dir, "events"), "event_type", "value")
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 top-10 for a 3-term query over documents; histogram shuffle +
+    broadcast term stats + partial top-k."""
+    from hgraphstorage_spark.pipeline.search import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), "spark join window", k=10)
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of corpus docs against an
     eval slice (doc_id % 50 == 0); benchmark shingle set is broadcast."""
@@ -838,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "asof_join": q_asof_join,
+        "events_percentiles": q_events_percentiles,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1301,6 +1319,41 @@ FROM scored
                    coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
                    coalesce(h.n_overlap, 0) >= 1 AS contaminated
             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "events_percentiles": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS mean,
+                   CAST(round(quantile_cont(value, 0.5), 6) AS DECIMAL(18,6)) AS p50,
+                   CAST(round(quantile_cont(value, 0.95), 6) AS DECIMAL(18,6)) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "bm25_search": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              FROM documents
+            ),
+            hist AS (
+              SELECT doc_id, tok, count(*)::DOUBLE AS tf
+              FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM hist GROUP BY 1),
+            scalars AS (SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n_docs FROM dl),
+            matched AS (SELECT * FROM hist WHERE tok IN ('join', 'spark', 'window')),
+            dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM matched GROUP BY 1),
+            scored AS (
+              SELECT m.doc_id,
+                     CAST(round(sum(
+                       ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                       * m.tf * 2.2
+                       / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                     ), 6) AS DECIMAL(18,6)) AS score
+              FROM matched m
+              JOIN dfreq f USING (tok) JOIN dl d USING (doc_id), scalars s
+              GROUP BY m.doc_id
+            )
+            SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+            FROM scored ORDER BY score DESC, doc_id LIMIT 10
         """,
         "asof_join": """
             WITH clicks AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value

@@ -1,0 +1,50 @@
+"""Grouped distribution statistics.
+
+Exact percentiles (``F.percentile``, linear interpolation — the same
+definition as ANSI ``percentile_cont`` / DuckDB ``quantile_cont``, so
+oracles match bit-for-bit before rounding) and the approximate scale
+path (``percentile_approx``, a bounded-memory KLL-style sketch that
+merges associatively across partitions).
+
+Scale note: exact grouped percentiles buffer each group's values in the
+aggregation — fine for bounded groups (event types, labels), wrong for
+100 TB high-cardinality values per group. At that scale call with
+``exact=False``; the sketch is one map-side-combined shuffle with O(1/ε)
+state per group regardless of input size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.95),
+    exact: bool = True,
+) -> DataFrame:
+    """Per group: row count, mean, and one column per requested percentile
+    (``p50``-style names). Values rounded to DECIMAL(18,6) so results are
+    engine-portable."""
+
+    def _name(p: float) -> str:
+        s = f"{p * 100:g}".replace(".", "_")
+        return f"p{s}"
+
+    fn = F.percentile if exact else (lambda c, p: F.percentile_approx(c, p, 10_000))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(value_col), 6).cast("decimal(18,6)").alias("mean"),
+        *[
+            F.round(fn(F.col(value_col), F.lit(p)), 6)
+            .cast("decimal(18,6)")
+            .alias(_name(p))
+            for p in percentiles
+        ],
+    ]
+    return df.groupBy(group_col).agg(*aggs)

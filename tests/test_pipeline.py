@@ -315,3 +315,63 @@ class TestHashSplit:
         df = spark.range(10).withColumnRenamed("id", "doc_id")
         with pytest.raises(ValueError):
             hash_split(df, {"train": 0.5, "test": 0.4})
+
+
+class TestStats:
+    """Grouped percentiles (functions/stats.py)."""
+
+    def test_exact_percentiles_known_values(self, spark):
+        from hgraphstorage_spark.functions.stats import grouped_percentiles
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0), ("b", 5.0)],
+            "g string, v double",
+        )
+        out = {r["g"]: r.asDict() for r in grouped_percentiles(df, "g", "v").collect()}
+        assert float(out["a"]["p50"]) == 2.5  # linear interpolation
+        assert float(out["a"]["p95"]) == 8.95
+        assert out["a"]["n"] == 4 and float(out["a"]["mean"]) == 4.0
+        assert float(out["b"]["p50"]) == 5.0
+
+    def test_approx_close_to_exact(self, spark):
+        from hgraphstorage_spark.functions.stats import grouped_percentiles
+
+        df = spark.range(1000).select(F.lit("g").alias("g"), F.col("id").cast("double").alias("v"))
+        exact = grouped_percentiles(df, "g", "v").collect()[0]
+        approx = grouped_percentiles(df, "g", "v", exact=False).collect()[0]
+        assert abs(float(exact["p50"]) - float(approx["p50"])) <= 1.0
+
+
+class TestBM25:
+    """BM25 relevance search (pipeline/search.py)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "spark spark spark engine"),        # high tf on one term
+            (1, "spark window join engine"),        # all three query terms
+            (2, "window seat on the train"),        # one term
+            (3, "completely unrelated text here"),  # no terms
+            (4, "join join window"),                # two terms, high tf
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_multi_term_match_beats_single(self, corpus):
+        from hgraphstorage_spark.pipeline.search import bm25_search
+
+        out = bm25_search(corpus, "spark join window", k=10).collect()
+        assert out[0]["doc_id"] == 1  # covers all terms -> top
+        ids = [r["doc_id"] for r in out]
+        assert 3 not in ids  # zero-match docs never returned
+        assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+    def test_k_limits(self, corpus):
+        from hgraphstorage_spark.pipeline.search import bm25_search
+
+        assert bm25_search(corpus, "spark join window", k=2).count() == 2
+
+    def test_empty_query_rejected(self, corpus):
+        from hgraphstorage_spark.pipeline.search import bm25_search
+
+        with pytest.raises(ValueError):
+            bm25_search(corpus, "   ")
