@@ -727,6 +727,24 @@ def q_sessionize(spark, sf_dir):
     return sessionize(ev, "30 minutes").select("session_start", "user_id", "n_events", "total_value")
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval join: each click × views of the same user within the prior
+    30 minutes — equi join on user with time-range condition (batch form of
+    the watermarked stream-stream join; stream==batch pinned in tests)."""
+    from hgraphstorage_spark.streaming import load_events
+    from hgraphstorage_spark.streaming.joins import interval_join
+
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter("event_type = 'click'").select("event_id", "ts", "user_id")
+    views = ev.filter("event_type = 'view'").select("event_id", "ts", "user_id", "value")
+    return interval_join(clicks, views, lookback="30 minutes").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("event_id_r").alias("view_event_id"),
+        F.col("value_r").cast("decimal(18,2)").alias("view_value"),
+    )
+
+
 def q_events_percentiles(spark, sf_dir):
     """Exact grouped percentiles (p50/p95) per event type — same linear
     interpolation as ANSI percentile_cont, so the oracle matches exactly."""
@@ -856,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "events_percentiles": q_events_percentiles,
         "bm25_search": q_bm25_search,
+        "interval_join": q_interval_join,
     }
 
 
@@ -1319,6 +1338,17 @@ FROM scored
                    coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
                    coalesce(h.n_overlap, 0) >= 1 AS contaminated
             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "interval_join": """
+            SELECT c.event_id AS click_event_id, c.user_id,
+                   v.event_id AS view_event_id,
+                   CAST(v.value AS DECIMAL(18,2)) AS view_value
+            FROM (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value FROM events
+                  WHERE event_type = 'view') v
+              ON c.user_id = v.user_id
+             AND v.ts BETWEEN c.ts - INTERVAL 30 MINUTE AND c.ts
         """,
         "events_percentiles": """
             SELECT event_type, count(*)::BIGINT AS n,

@@ -262,3 +262,64 @@ class TestMutationStream:
         assert eng.committed.nb_edges() == 2
         # one committed version per non-empty micro-batch
         assert len(eng.versions) >= 2
+
+
+class TestIntervalJoin:
+    def test_batch_semantics(self, spark):
+        """Inclusive bounds: right.ts in [left.ts - lookback, left.ts]."""
+        from hgraphstorage_spark.streaming.joins import interval_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 7)], "event_id long, ts string, user_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [
+                (10, "2024-01-01 09:30:00", 7),  # exactly lookback ago -> in
+                (11, "2024-01-01 09:29:59", 7),  # too old -> out
+                (12, "2024-01-01 10:00:00", 7),  # same instant -> in
+                (13, "2024-01-01 10:00:01", 7),  # future -> out
+                (14, "2024-01-01 09:45:00", 8),  # other user -> out
+            ],
+            "event_id long, ts string, user_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = sorted(
+            r["event_id_r"]
+            for r in interval_join(left, right, lookback="30 minutes").collect()
+        )
+        assert got == [10, 12]
+
+    def test_stream_equals_batch(self, spark, tmpdir):
+        """Stream-stream interval join (watermarked, append) must equal the
+        batch join on complete data."""
+        from hgraphstorage_spark.streaming.joins import interval_join
+
+        batch = load_events(spark, "/root/testdata/sf0.001")
+        clicks_b = batch.filter("event_type = 'click'").select("event_id", "ts", "user_id")
+        views_b = batch.filter("event_type = 'view'").select("event_id", "ts", "user_id", "value")
+        batch.repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/events")
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{tmpdir}/events")
+        )
+        clicks_s = stream.filter("event_type = 'click'").select("event_id", "ts", "user_id")
+        views_s = stream.filter("event_type = 'view'").select("event_id", "ts", "user_id", "value")
+        q = (
+            interval_join(clicks_s, views_s, watermark="24 hours")
+            .writeStream.format("memory")
+            .queryName("ij_out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_ij")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        cols = ["event_id", "user_id", "event_id_r"]
+        got = bag(spark.table("ij_out").select(*cols))
+        want = bag(interval_join(clicks_b, views_b).select(*cols))
+        assert len(want) > 0
+        assert got == want
