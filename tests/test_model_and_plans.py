@@ -127,3 +127,51 @@ class TestPlanShape:
         # every props scan restricts the name partition; no unpruned scan
         # of the full props tree remains
         assert pf and all(("c_mktsegment" in f) or ("c_name" in f) or ("label" in f) for f in pf)
+
+
+class TestNewOperatorPlans:
+    """Plan-shape audits for the pipeline/temporal operators: the scale
+    guarantees their docstrings claim must be visible in the executed plan."""
+
+    def test_decontaminate_broadcasts_benchmark(self, spark):
+        from hgraphstorage_spark.pipeline.contamination import decontaminate
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = decontaminate(
+            docs.filter(F.col("doc_id") % 50 != 0), docs.filter(F.col("doc_id") % 50 == 0), n=5
+        )
+        assert "BroadcastHashJoin" in executed_plan(out)
+
+    def test_asof_join_single_shuffle(self, spark):
+        from hgraphstorage_spark.operators.asof import asof_join
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        cl = ev.filter("event_type='click'").select("event_id", "ts", "user_id", "value")
+        vw = ev.filter("event_type='view'").select("event_id", "ts", "user_id", "value")
+        plan = executed_plan(asof_join(cl, vw, on="ts", by=["user_id"], value_cols=["value"]))
+        # union+window: exactly one exchange (on user_id), and no join
+        # operator at all — the non-equi-join blowup is designed out
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+
+    def test_bm25_broadcasts_term_stats(self, spark):
+        from hgraphstorage_spark.pipeline.search import bm25_search
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(bm25_search(docs, "spark join window"))
+        assert "BroadcastHashJoin" in plan  # per-term df joins broadcast
+        # the only nested-loop is the 1-row (N, avgdl) scalar cross join
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+    def test_interval_join_is_equi_not_nested_loop(self, spark):
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.streaming import interval_join, load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        cl = ev.filter("event_type='click'").select("event_id", "ts", "user_id")
+        vw = ev.filter("event_type='view'").select("event_id", "ts", "user_id", "value")
+        plan = executed_plan(interval_join(cl, vw))
+        assert "BroadcastNestedLoopJoin" not in plan  # equi on key, range as residual
