@@ -373,6 +373,47 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     return "".join(parts)
 
 
+def q_k_core(spark, sf_dir):
+    """Analytics: 3-core of the full graph (iterative peel to fixpoint;
+    oracle unrolls more rounds than convergence needs — extra rounds are
+    no-ops at the fixpoint)."""
+    from hgraphstorage_spark.analytics import k_core
+
+    return k_core(_graph(spark, sf_dir), k=3)
+
+
+def _k_core_oracle_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled peeling rounds over the FK-derived undirected simple graph.
+    Valid whenever ``rounds`` >= the convergence round count at the tested
+    scale (sf0.01 converges in 4; extra rounds are fixpoint no-ops)."""
+    C, O, P, S, N, R = (str(NODE[x]) for x in ("Customer", "Order", "Part", "Supplier", "Nation", "Region"))
+    sql = f"""
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM (
+            SELECT ({C} + c_custkey)::BIGINT AS s, ({N} + c_nationkey)::BIGINT AS d FROM customer
+            UNION ALL SELECT ({S} + s_suppkey), ({N} + s_nationkey) FROM supplier
+            UNION ALL SELECT ({N} + n_nationkey), ({R} + n_regionkey) FROM nation
+            UNION ALL SELECT ({C} + o_custkey), ({O} + o_orderkey) FROM orders
+            UNION ALL SELECT ({O} + l_orderkey), ({P} + l_partkey) FROM lineitem
+            UNION ALL SELECT ({P} + l_partkey), ({S} + l_suppkey) FROM lineitem
+          ) WHERE s <> d
+        )"""
+    for i in range(1, rounds + 1):
+        sql += f""",
+        d{i} AS MATERIALIZED (
+          SELECT id, count(*)::BIGINT AS deg
+          FROM (SELECT a AS id FROM e{i-1} UNION ALL SELECT b FROM e{i-1}) GROUP BY 1
+        ),
+        e{i} AS MATERIALIZED (
+          SELECT c.a, c.b FROM e{i-1} c
+          JOIN d{i} da ON c.a = da.id JOIN d{i} db ON c.b = db.id
+          WHERE da.deg >= {k} AND db.deg >= {k}
+        )"""
+    sql += f"""
+        SELECT id, deg FROM d{rounds} WHERE deg >= {k}"""
+    return sql
+
+
 def q_bfs(spark, sf_dir):
     """Analytics: BFS frontier sizes from customer 0 over placed/contains."""
     from hgraphstorage_spark.analytics import bfs
@@ -836,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bfs": q_bfs,
         "triangle_count": q_triangle_count,
+        "k_core": q_k_core,
         "shortest_paths": q_shortest_paths,
         "label_propagation": q_label_propagation,
         "hackage_one_step": q_hackage_one_step,
@@ -1411,6 +1453,7 @@ def oracle_sql() -> dict[str, str]:
     # implementation's oracle
     sql["connected_components_alt"] = sql["connected_components"]
     sql["pagerank"] = _pagerank_oracle_sql(3)
+    sql["k_core"] = _k_core_oracle_sql(3, 6)
     # generated from the same threshold helper the Spark operator uses, so
     # the two sides cannot drift
     from hgraphstorage_spark.pipeline.sampling import hash_split_case_sql

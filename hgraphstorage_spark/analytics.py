@@ -410,3 +410,45 @@ def bfs(snap: GraphSnapshot, source_id: int, max_hops: int = 10, labels: tuple =
         frontier = nxt
     edges.unpersist()
     return visited
+
+
+def k_core(snap: GraphSnapshot, k: int = 3, max_rounds: int = 100) -> DataFrame:
+    """The k-core: the maximal subgraph in which every node has undirected
+    degree >= k (over the simple graph — distinct neighbor pairs, edge
+    direction and multiplicity ignored). Returns (id, deg) of the
+    surviving nodes with their within-core degree.
+
+    Iterative peeling: drop all nodes with degree < k, recompute, repeat.
+    The fixpoint is unique regardless of peel order, so the result is
+    deterministic and SQL-oracle-able by unrolling rounds. Peeling all
+    violating nodes per round (not one at a time) converges in few
+    synchronized rounds — the standard distributed formulation.
+
+    Per round: one partial-aggregated degree shuffle + two anti-joins to
+    drop edges with a peeled endpoint; ``localCheckpoint`` truncates the
+    per-round lineage. At 100 TB the edge set shrinks monotonically, so
+    round cost decreases; AQE picks broadcast for the late small rounds.
+    """
+    e = (
+        snap.edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .unionAll(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint()
+        )
+        bad = deg.filter(F.col("deg") < k).select("id")
+        if bad.limit(1).count() == 0:
+            return deg
+        e = (
+            e.join(bad.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("id", "b"), "b", "left_anti")
+            .localCheckpoint()
+        )
+    return deg

@@ -162,3 +162,37 @@ class TestLabelPropagation:
         assert len({comm[i] for i in range(1, 6)}) == 1
         assert len({comm[i] for i in range(6, 11)}) == 1
         assert comm[1] != comm[10]
+
+
+class TestKCore:
+    def test_triangle_with_tail(self, spark):
+        """Triangle 1-2-3 plus pendant 3-4: the 2-core is exactly the
+        triangle; direction/multiplicity are ignored (3->2 duplicate edge
+        and reversed 2->1 must not inflate degrees)."""
+        from hgraphstorage_spark.analytics import k_core
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(4)])
+        eng.add_edges(
+            [
+                (1, 2, "e", {}),
+                (2, 1, "e", {}),  # reverse duplicate: same undirected edge
+                (2, 3, "e", {}),
+                (3, 2, "e", {}),
+                (3, 1, "e", {}),
+                (3, 4, "e", {}),  # pendant: degree 1, peeled at k=2
+            ]
+        )
+        eng.commit()
+        out = {r["id"]: r["deg"] for r in k_core(eng.current, k=2).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_empty_core(self, spark):
+        """A path graph has no 2-core — peeling must drain to empty."""
+        from hgraphstorage_spark.analytics import k_core
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(3)])
+        eng.add_edges([(1, 2, "e", {}), (2, 3, "e", {})])
+        eng.commit()
+        assert k_core(eng.current, k=2).count() == 0
