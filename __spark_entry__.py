@@ -821,6 +821,34 @@ def q_hash_split(spark, sf_dir):
     return hash_split(_t(spark, sf_dir, "documents"))
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (keep 50% en, 100% zh,
+    25% de, 75% everything else) — map-only, pushdown-friendly."""
+    from hgraphstorage_spark.pipeline.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(docs, "lang", {"en": 0.5, "zh": 1.0, "de": 0.25}, default=0.75)
+    return out.select("doc_id", "lang")
+
+
+def q_mix_corpus(spark, sf_dir):
+    """Training-mix weighting: 2.5 epochs of src0, 0.5 of src1, drop src2,
+    1 epoch of the rest — replication + fractional hash-sample."""
+    from hgraphstorage_spark.pipeline.sampling import mix_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_corpus(docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0})
+
+
+def q_rolling_features(spark, sf_dir):
+    """Trailing-1h per-user event features at every event (RANGE window
+    over epoch-microseconds — exact boundary parity across engines)."""
+    from hgraphstorage_spark.functions.timeseries import rolling_event_features
+    from hgraphstorage_spark.streaming import load_events
+
+    return rolling_event_features(load_events(spark, sf_dir), window_seconds=3600)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time join: each click gets the latest prior (or same-instant)
     view of the same user — union+window plan, one shuffle, no non-equi join."""
@@ -917,6 +945,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": q_events_percentiles,
         "bm25_search": q_bm25_search,
         "interval_join": q_interval_join,
+        "stratified_sample": q_stratified_sample,
+        "mix_corpus": q_mix_corpus,
+        "rolling_features": q_rolling_features,
     }
 
 
@@ -1380,6 +1411,38 @@ FROM scored
                    coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
                    coalesce(h.n_overlap, 0) >= 1 AS contaminated
             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8) <=
+                  CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN 'ffffffff'
+                            WHEN 'de' THEN '40000000' ELSE 'c0000000' END
+        """,
+        "mix_corpus": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                                 WHEN 'src2' THEN 0 ELSE 1 END AS n_full,
+                     CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '80000000'
+                                 WHEN 'src2' THEN '00000000' ELSE '00000000' END AS fb
+              FROM documents
+            )
+            SELECT doc_id, source, epoch::INT AS epoch FROM (
+              SELECT doc_id, source, unnest(generate_series(1, n_full)) AS epoch FROM w
+              UNION ALL
+              SELECT doc_id, source, n_full + 1 FROM w
+              WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) < fb
+            )
+        """,
+        "rolling_features": """
+            SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+                   (count(*) OVER w)::BIGINT AS n_win,
+                   sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_win,
+                   CAST(round((sum(CAST(value AS DECIMAL(18,2))) OVER w)
+                              / (count(*) OVER w), 6) AS DECIMAL(18,6)) AS mean_win
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         """,
         "interval_join": """
             SELECT c.event_id AS click_event_id, c.user_id,

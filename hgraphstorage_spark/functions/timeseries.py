@@ -1,0 +1,46 @@
+"""Rolling time-window features over an event stream — the
+feature-engineering companion to the as-of join: at every event, the
+aggregates of the same key's events in the trailing window (count, sum,
+mean over the last hour), computed with a RANGE window frame.
+
+Scale design: one shuffle on the key, one per-partition sort by time —
+the same cost envelope as any keyed window. The frame is RANGE over
+epoch-microseconds (integer), so boundary semantics are exact and
+identical across engines (DuckDB: ``RANGE BETWEEN n PRECEDING`` over
+``epoch_us``). Sums go through DECIMAL so results are independent of
+within-frame order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_event_features(
+    events: DataFrame,
+    window_seconds: int = 3600,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per event: count / sum / mean of the same key's events within the
+    trailing ``window_seconds`` (inclusive of the current event).
+    Returns (id, by, ts, n_win, sum_win, mean_win)."""
+    us = F.unix_micros(F.col(ts_col))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col(value_col).cast("decimal(18,2)")).over(w)
+    return events.select(
+        id_col,
+        by,
+        ts_col,
+        n.alias("n_win"),
+        s.alias("sum_win"),
+        F.round(s / n, 6).cast("decimal(18,6)").alias("mean_win"),
+    )

@@ -57,6 +57,91 @@ def hash_split(
     return df.select(F.col(id_col), bucket.alias("bucket"), expr.alias("split"))
 
 
+def _bucket(id_col: str, salt: str) -> F.Column:
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, 8
+    )
+
+
+def _bound_hex(fraction: float) -> str:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def _frac_bound_hex(fraction: float) -> str:
+    """Exclusive upper bound for a [0,1) fraction (use with ``<``)."""
+    return format(min(int(fraction * _SPACE), _SPACE - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, id_col: str = "doc_id", salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by hash bucket — the
+    reproducible replacement for ``df.sample`` (which depends on partition
+    iteration order). Map-only: the predicate pushes into the scan."""
+    if fraction >= 1.0:
+        return df
+    return df.filter(_bucket(id_col, salt) <= F.lit(_bound_hex(fraction)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each value of ``strata_col``
+    keeps its own fraction (the training-mix downsampling step — e.g.
+    keep 10% of crawl, 100% of curated). Unlisted strata keep
+    ``default``. Same bucket mechanics as ``hash_sample``; still
+    map-only, no shuffle, no per-stratum passes."""
+    bound = F.lit(_bound_hex(default))
+    for value, frac in fractions.items():
+        bound = F.when(F.col(strata_col) == value, F.lit(_bound_hex(frac))).otherwise(bound)
+    return df.filter(_bucket(id_col, salt) <= bound)
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    default_weight: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted corpus mixing: stratum weight w repeats every row
+    floor(w) times (``epoch`` = 1..floor(w)) and keeps a deterministic
+    frac(w) hash-sample once more (``epoch`` = floor(w)+1) — the standard
+    way to express "2.5 epochs of wiki, 0.5 epochs of crawl" as a
+    dataset. Output = input columns + ``epoch INT``; fully deterministic,
+    so downstream shuffles/splits see a stable dataset.
+
+    Scale shape: two narrow branches (an explode bounded by max(w) and a
+    filtered projection) unioned — no shuffle, no joins."""
+    n_full = F.lit(int(default_weight))
+    # strict < against floor(frac·space): fraction 0 keeps nothing exactly
+    frac_bound = F.lit(_frac_bound_hex(default_weight - int(default_weight)))
+    for value, w in weights.items():
+        if w < 0:
+            raise ValueError("weights must be >= 0")
+        n_full = F.when(F.col(strata_col) == value, F.lit(int(w))).otherwise(n_full)
+        frac_bound = F.when(
+            F.col(strata_col) == value, F.lit(_frac_bound_hex(w - int(w)))
+        ).otherwise(frac_bound)
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]); empty when w < 1
+    epochs = F.when(n_full >= 1, F.sequence(F.lit(1), n_full)).otherwise(
+        F.array().cast("array<int>")
+    )
+    full = df.select("*", F.explode(epochs).alias("epoch"))
+    fractional = df.filter(_bucket(id_col, salt) < frac_bound).select(
+        "*", (n_full + 1).cast("int").alias("epoch")
+    )
+    return full.unionByName(fractional)
+
+
 def hash_split_case_sql(
     fractions: dict[str, float] | None = None,
     id_col: str = "doc_id",

@@ -375,3 +375,78 @@ class TestBM25:
 
         with pytest.raises(ValueError):
             bm25_search(corpus, "   ")
+
+
+class TestSamplingOps:
+    """hash_sample / stratified_hash_sample / mix_corpus (pipeline/sampling.py)."""
+
+    def test_hash_sample_fraction_and_stability(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import hash_sample
+
+        df = spark.range(4000).withColumnRenamed("id", "doc_id")
+        kept = hash_sample(df, 0.25)
+        assert abs(kept.count() / 4000 - 0.25) < 0.03
+        assert bag(kept) == bag(hash_sample(df.repartition(5), 0.25))
+        assert hash_sample(df, 1.0).count() == 4000
+
+    def test_stratified_fractions(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import stratified_hash_sample
+
+        df = spark.range(3000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+        )
+        out = stratified_hash_sample(df, "s", {"a": 1.0, "b": 0.2})
+        counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+        assert counts["a"] == 1500  # fraction 1.0 keeps everything
+        assert abs(counts["b"] / 1500 - 0.2) < 0.05
+
+    def test_mix_corpus_epochs(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import mix_corpus
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 4 == 0, "rep")      # weight 2.5
+            .when(F.col("id") % 4 == 1, "drop")      # weight 0
+            .otherwise("keep")                        # default 1.0
+            .alias("source"),
+        )
+        out = mix_corpus(df, {"rep": 2.5, "drop": 0.0})
+        by_src = {
+            (r["source"], r["epoch"]): r["n"]
+            for r in out.groupBy("source", "epoch").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src[("rep", 1)] == 500 and by_src[("rep", 2)] == 500  # 2 full epochs
+        assert abs(by_src[("rep", 3)] / 500 - 0.5) < 0.1  # fractional half epoch
+        assert not any(s == "drop" for s, _ in by_src)  # weight 0 emits nothing
+        assert by_src[("keep", 1)] == 1000 and ("keep", 2) not in by_src
+
+    def test_mix_deterministic(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import mix_corpus
+
+        df = spark.range(300).select(F.col("id").alias("doc_id"), F.lit("s").alias("source"))
+        a = bag(mix_corpus(df, {"s": 1.5}), ["doc_id", "epoch"])
+        assert a == bag(mix_corpus(df.repartition(7), {"s": 1.5}), ["doc_id", "epoch"])
+
+
+class TestRollingFeatures:
+    def test_trailing_window(self, spark):
+        """Events at 0/30/90 min: the 1h window at t=90 sees 30+90 only;
+        boundaries are inclusive and per-user."""
+        from hgraphstorage_spark.functions.timeseries import rolling_event_features
+
+        rows = [
+            (1, "2024-01-01 10:00:00", 7, 10.0),
+            (2, "2024-01-01 10:30:00", 7, 20.0),
+            (3, "2024-01-01 11:30:00", 7, 40.0),
+            (4, "2024-01-01 10:45:00", 8, 5.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["event_id"]: r for r in rolling_event_features(ev).collect()}
+        assert (out[1]["n_win"], float(out[1]["sum_win"])) == (1, 10.0)
+        assert (out[2]["n_win"], float(out[2]["sum_win"])) == (2, 30.0)  # 10:00 in (inclusive)
+        assert (out[3]["n_win"], float(out[3]["sum_win"])) == (2, 60.0)  # 10:00 aged out
+        assert (out[4]["n_win"], float(out[4]["sum_win"])) == (1, 5.0)   # other user isolated
+        assert float(out[3]["mean_win"]) == 30.0
