@@ -849,6 +849,29 @@ def q_rolling_features(spark, sf_dir):
     return rolling_event_features(load_events(spark, sf_dir), window_seconds=3600)
 
 
+def q_funnel(spark, sf_dir):
+    """view→click→purchase funnel per user: first completion time of each
+    step, each within 24h of the previous step's first completion."""
+    from hgraphstorage_spark.functions.timeseries import funnel
+    from hgraphstorage_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    return funnel(ev, ["view", "click", "purchase"], within_seconds=86400)
+
+
+def q_pivot_events(spark, sf_dir):
+    """Per-user event-type count matrix via pivot (explicit value list →
+    deterministic columns; missing combinations are 0)."""
+    from hgraphstorage_spark.streaming import load_events
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = load_events(spark, sf_dir)
+    wide = ev.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time join: each click gets the latest prior (or same-instant)
     view of the same user — union+window plan, one shuffle, no non-equi join."""
@@ -948,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mix_corpus": q_mix_corpus,
         "rolling_features": q_rolling_features,
+        "funnel": q_funnel,
+        "pivot_events": q_pivot_events,
     }
 
 
@@ -1411,6 +1436,27 @@ FROM scored
                    coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
                    coalesce(h.n_overlap, 0) >= 1 AS contaminated
             FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        """,
+        "funnel": """
+            WITH ev AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(ts) AS t2 FROM ev e JOIN s1 USING (user_id)
+                   WHERE event_type = 'click' AND ts > t1 AND ts <= t1 + INTERVAL 86400 SECOND
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(ts) AS t3 FROM ev e JOIN s2 USING (user_id)
+                   WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 86400 SECOND
+                   GROUP BY 1)
+            SELECT s1.user_id, t1, t2, t3
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   (count(*) FILTER (event_type = 'click'))::BIGINT AS click,
+                   (count(*) FILTER (event_type = 'error'))::BIGINT AS error,
+                   (count(*) FILTER (event_type = 'purchase'))::BIGINT AS purchase,
+                   (count(*) FILTER (event_type = 'signup'))::BIGINT AS signup,
+                   (count(*) FILTER (event_type = 'view'))::BIGINT AS view
+            FROM events GROUP BY user_id
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -44,3 +44,46 @@ def rolling_event_features(
         s.alias("sum_win"),
         F.round(s / n, 6).cast("decimal(18,6)").alias("mean_win"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_seconds: int = 86400,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: per key, the first time each step in ``steps`` was
+    completed, where step i must happen strictly after step i-1's first
+    completion and within ``within_seconds`` of it (rolling window).
+    Returns (by, t1..tn TIMESTAMP) with NULLs from the first missed step
+    on — keep partial funnels so conversion = count(t_i not null)/count.
+
+    Scale shape: one filtered min-aggregate plus one key-equi join per
+    step — k-1 shuffles on the (high-cardinality) key for a k-step
+    funnel, no windows over full history, no row explosion. Deterministic
+    (min over exact timestamps), so SQL-oracle-able step by step.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    base = events.select(by, ts_col, type_col)
+    out = (
+        base.filter(F.col(type_col) == steps[0])
+        .groupBy(by)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i-1}"
+        nxt = (
+            base.filter(F.col(type_col) == step)
+            .join(out.select(by, prev), by)
+            .filter(
+                (F.col(ts_col) > F.col(prev))
+                & (F.col(ts_col) <= F.col(prev) + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+            )
+            .groupBy(by)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        out = out.join(nxt, by, "left")
+    return out

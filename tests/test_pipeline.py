@@ -450,3 +450,42 @@ class TestRollingFeatures:
         assert (out[3]["n_win"], float(out[3]["sum_win"])) == (2, 60.0)  # 10:00 aged out
         assert (out[4]["n_win"], float(out[4]["sum_win"])) == (1, 5.0)   # other user isolated
         assert float(out[3]["mean_win"]) == 30.0
+
+
+class TestFunnel:
+    def test_ordered_within_window(self, spark):
+        """Step must be strictly after the previous step's first completion
+        and within the window; out-of-order or too-late steps don't count."""
+        from hgraphstorage_spark.functions.timeseries import funnel
+
+        rows = [
+            # user 1: clean view(10:00) -> click(10:30) -> purchase(11:00)
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:30:00", "click"),
+            (1, "2024-01-01 11:00:00", "purchase"),
+            # user 2: click BEFORE first view -> step 2 unmatched
+            (2, "2024-01-01 09:00:00", "click"),
+            (2, "2024-01-01 10:00:00", "view"),
+            # user 3: click more than 1h after view -> outside window
+            (3, "2024-01-01 10:00:00", "view"),
+            (3, "2024-01-01 12:00:00", "click"),
+            # user 4: two views; funnel anchors on the FIRST view
+            (4, "2024-01-01 08:00:00", "view"),
+            (4, "2024-01-01 10:00:00", "view"),
+            (4, "2024-01-01 08:30:00", "click"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r["user_id"]: r for r in funnel(ev, ["view", "click", "purchase"], 3600).collect()}
+        assert out[1]["t2"] is not None and out[1]["t3"] is not None
+        assert out[2]["t2"] is None
+        assert out[3]["t2"] is None
+        assert str(out[4]["t1"]).startswith("2024-01-01 08:00") and out[4]["t2"] is not None
+
+    def test_requires_two_steps(self, spark):
+        from hgraphstorage_spark.functions.timeseries import funnel
+
+        ev = spark.createDataFrame([(1, "2024-01-01", "view")], "user_id long, ts string, event_type string")
+        with pytest.raises(ValueError):
+            funnel(ev, ["view"])
