@@ -151,3 +151,46 @@ def test_hashed_shingle_jaccard_equals_string_jaccard(spark, texts):
             sa, sb = string_shingles(ti), string_shingles(tj)
             jac_str = len(sa & sb) / len(sa | sb) if sa | sb else 1.0
             assert abs(jac_hash - jac_str) < 1e-9, (ti, tj)
+
+
+# --- as-of join law: union+window plan == naive argmax join -----------------
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),      # key
+        st.integers(0, 50),     # ts
+        st.booleans(),          # side: True = left
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=asof_events)
+def test_asof_equals_naive_argmax(spark, rows):
+    """The linear union+window as-of join must equal the quadratic
+    definition: for each left row, the right row with the greatest
+    ts <= left.ts of the same key (None if no such row)."""
+    from hgraphstorage_spark.operators.asof import asof_join
+
+    lefts = [(i, k, t) for i, (k, t, is_l) in enumerate(rows) if is_l]
+    rights = [(i, k, t) for i, (k, t, is_l) in enumerate(rows) if not is_l]
+    if not lefts or not rights:
+        return
+    # unique right value per (key, ts) so argmax is well-defined
+    best = {}
+    for i, k, t in rights:
+        best[(k, t)] = max(best.get((k, t), -1), i)
+    rights = [(i, k, t) for (k, t), i in best.items()]
+
+    ldf = spark.createDataFrame(lefts, "rid long, k long, ts long")
+    rdf = spark.createDataFrame(rights, "val long, k long, ts long")
+    got = {
+        r["rid"]: r["val_asof"]
+        for r in asof_join(ldf, rdf, on="ts", by=["k"], value_cols=["val"]).collect()
+    }
+    for rid, k, t in lefts:
+        cands = [(rt, v) for v, rk, rt in rights if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[rid] == want, (rid, k, t, got[rid], want)
