@@ -18,15 +18,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hgraphstorage_spark.pipeline.dedup import _shingles
+from hgraphstorage_spark.pipeline.dedup import _parallel
 
 
 def _shingle_long(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams per document, long format."""
-    return docs.select(
+    """(doc_id, shingle) — distinct word n-grams per document, long format.
+
+    The word array is materialized in its OWN projection before the
+    shingle lambda references it: Catalyst does no common-subexpression
+    elimination inside higher-order-function lambdas, so an inlined
+    split() would re-tokenize the document once per shingle — O(words²)
+    per doc (the same pitfall shingle_hashes documents). `_parallel`
+    spreads a single-file scan across cores before the CPU-heavy stage.
+    """
+    words = _parallel(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_shingles(F.col(text_col), n)).alias("shingle"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
     )
+    w = F.col("_w")
+    n_sh = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    sh = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n_sh), lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+    )
+    return words.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def decontaminate(
