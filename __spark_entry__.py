@@ -840,6 +840,15 @@ def q_mix_corpus(spark, sf_dir):
     return mix_corpus(docs, {"src0": 2.5, "src1": 0.5, "src2": 0.0})
 
 
+def q_per_group_cap(spark, sf_dir):
+    """Per-domain cap: keep ≤10 docs per source, chosen by hash order —
+    deterministic, engine-portable (unlike reservoir sampling)."""
+    from hgraphstorage_spark.pipeline.sampling import per_group_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return per_group_cap(docs, "source", 10)
+
+
 def q_rolling_features(spark, sf_dir):
     """Trailing-1h per-user event features at every event (RANGE window
     over epoch-microseconds — exact boundary parity across engines)."""
@@ -973,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features": q_rolling_features,
         "funnel": q_funnel,
         "pivot_events": q_pivot_events,
+        "per_group_cap": q_per_group_cap,
     }
 
 
@@ -1463,6 +1473,16 @@ FROM scored
             WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8) <=
                   CASE lang WHEN 'en' THEN '80000000' WHEN 'zh' THEN 'ffffffff'
                             WHEN 'de' THEN '40000000' ELSE 'c0000000' END
+        """,
+        "per_group_cap": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':cap'), 1, 8), doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 10
         """,
         "mix_corpus": """
             WITH w AS (

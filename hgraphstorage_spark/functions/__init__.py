@@ -6,12 +6,17 @@ This package re-exports the engine-level functions built on top of Spark's
 built-ins so users have one import point."""
 
 from hgraphstorage_spark.compiler import value_str
+from hgraphstorage_spark.functions.stats import grouped_percentiles
+from hgraphstorage_spark.functions.timeseries import funnel, rolling_event_features
 from hgraphstorage_spark.pipeline.dedup import hamming64
 from hgraphstorage_spark.pipeline.similarity import cosine
 from hgraphstorage_spark.schemas import canonical_string, infer_dtype, value_columns
 
 __all__ = [
     "value_str",
+    "grouped_percentiles",
+    "funnel",
+    "rolling_event_features",
     "hamming64",
     "cosine",
     "canonical_string",

@@ -142,6 +142,32 @@ def mix_corpus(
     return full.unionByName(fractional)
 
 
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen deterministically (the
+    ``k`` smallest hash buckets, ties broken by id) — the per-domain cap
+    step of a crawl pipeline ("≤ N pages per site"), reproducible across
+    runs and engines, unlike per-partition reservoir sampling.
+
+    One shuffle on the group key; the within-group sort is bounded by the
+    group size. For pathological groups (one domain = billions of rows) a
+    pre-filter ``hash_sample`` pass cuts the sort input first.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(_bucket(id_col, salt), F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def hash_split_case_sql(
     fractions: dict[str, float] | None = None,
     id_col: str = "doc_id",

@@ -489,3 +489,22 @@ class TestFunnel:
         ev = spark.createDataFrame([(1, "2024-01-01", "view")], "user_id long, ts string, event_type string")
         with pytest.raises(ValueError):
             funnel(ev, ["view"])
+
+
+class TestPerGroupCap:
+    def test_cap_and_determinism(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import per_group_cap
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("g")
+        )
+        out = per_group_cap(df, "g", 7)
+        counts = [r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()]
+        assert counts == [7, 7, 7]
+        assert bag(out) == bag(per_group_cap(df.repartition(9), "g", 7))
+
+    def test_small_groups_kept_whole(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import per_group_cap
+
+        df = spark.range(4).select(F.col("id").alias("doc_id"), F.lit("g").alias("g"))
+        assert per_group_cap(df, "g", 10).count() == 4
