@@ -373,6 +373,61 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     return "".join(parts)
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Analytics: personalized PageRank from Customer 1 over the location
+    subgraph (teleport + dangling mass return to the seed)."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import pagerank
+
+    snap = _graph(spark, sf_dir)
+    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
+    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
+    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    pr = pagerank(sub, alpha=0.85, iterations=3, dangling=True, reset_to=[NODE["Customer"] + 1])
+    # report only nonzero-rank nodes: the seed's forward cone (plus seed)
+    return pr.filter(F.col("rank") > 0).select(
+        "id", F.round("rank", 6).cast("decimal(18,6)").alias("rank")
+    )
+
+
+def _ppr_oracle_sql(iterations: int = 3, seed: int = 0) -> str:
+    """Unrolled personalized PageRank mirroring analytics.pagerank with
+    reset_to=[seed]: p(v) = 1 at the seed, 0 elsewhere."""
+    head = f"""
+        WITH nodes AS (
+          SELECT 1000000000000 + r_regionkey AS id FROM region
+          UNION ALL SELECT 2000000000000 + n_nationkey FROM nation
+          UNION ALL SELECT 3000000000000 + c_custkey FROM customer
+          UNION ALL SELECT 4000000000000 + s_suppkey FROM supplier
+        ),
+        edges AS (
+          SELECT 3000000000000 + c_custkey AS src, 2000000000000 + c_nationkey AS dst FROM customer
+          UNION ALL SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey FROM supplier
+          UNION ALL SELECT 2000000000000 + n_nationkey, 1000000000000 + n_regionkey FROM nation
+        ),
+        outd AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+        r0 AS (SELECT id, CASE WHEN id = {seed} THEN 1.0 ELSE 0.0 END AS rank FROM nodes)"""
+    parts = [head]
+    for i in range(iterations):
+        parts.append(f""",
+        d{i} AS (SELECT coalesce(sum(rank), 0) AS m FROM r{i}
+                 LEFT JOIN outd ON r{i}.id = outd.src WHERE outd.src IS NULL),
+        c{i} AS (SELECT e.dst AS id, sum(r.rank / o.d) AS mass
+                 FROM edges e JOIN r{i} r ON e.src = r.id JOIN outd o ON e.src = o.src
+                 GROUP BY e.dst),
+        r{i + 1} AS (
+          SELECT nodes.id,
+                 (0.15 + 0.85 * d{i}.m) * (CASE WHEN nodes.id = {seed} THEN 1.0 ELSE 0.0 END)
+                 + 0.85 * coalesce(c{i}.mass, 0) AS rank
+          FROM nodes CROSS JOIN d{i}
+          LEFT JOIN c{i} ON nodes.id = c{i}.id)""")
+    parts.append(f"""
+        SELECT id, CAST(round(rank, 6) AS DECIMAL(18,6)) AS rank FROM r{iterations}
+        WHERE rank > 0""")
+    return "".join(parts)
+
+
 def q_k_core(spark, sf_dir):
     """Analytics: 3-core of the full graph (iterative peel to fixpoint;
     oracle unrolls more rounds than convergence needs — extra rounds are
@@ -938,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "triangle_count": q_triangle_count,
         "k_core": q_k_core,
+        "personalized_pagerank": q_personalized_pagerank,
         "shortest_paths": q_shortest_paths,
         "label_propagation": q_label_propagation,
         "hackage_one_step": q_hackage_one_step,
@@ -1582,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
     # implementation's oracle
     sql["connected_components_alt"] = sql["connected_components"]
     sql["pagerank"] = _pagerank_oracle_sql(3)
+    sql["personalized_pagerank"] = _ppr_oracle_sql(3, NODE["Customer"] + 1)
     sql["k_core"] = _k_core_oracle_sql(3, 6)
     # generated from the same threshold helper the Spark operator uses, so
     # the two sides cannot drift

@@ -149,10 +149,19 @@ def connected_components_alternating(snap: GraphSnapshot, max_iter: int = 30) ->
 
 
 def pagerank(
-    snap: GraphSnapshot, alpha: float = 0.85, iterations: int = 10, dangling: bool = True
+    snap: GraphSnapshot,
+    alpha: float = 0.85,
+    iterations: int = 10,
+    dangling: bool = True,
+    reset_to: list | None = None,
 ) -> DataFrame:
     """PageRank with fixed iteration count (deterministic). Returns
     (id, rank DOUBLE), ranks summing to ~1.
+
+    ``reset_to`` personalizes: the (1-α) teleport and the dangling mass
+    return to the given seed node ids (uniformly across them) instead of
+    all nodes — ranks become proximity-to-seeds scores (PPR). ``None`` =
+    classic uniform PageRank.
 
     Per iteration: contributions shuffle on dst + one aggregate for the
     dangling mass. Out-degrees are computed once and cached; lineage is
@@ -167,7 +176,11 @@ def pagerank(
     # (src, dst, out_deg) resolved once
     links = edges.join(out_deg.withColumnRenamed("id", "src"), "src").localCheckpoint()
 
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    if reset_to is None:
+        p = F.lit(1.0 / n)
+    else:
+        p = F.when(F.col("id").isin(reset_to), F.lit(1.0 / len(reset_to))).otherwise(F.lit(0.0))
+    ranks = nodes.select("id", p.alias("rank"))
     for _ in range(iterations):
         contribs = (
             links.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -182,10 +195,15 @@ def pagerank(
             )
         else:
             dangling_mass = 0.0
-        base = (1.0 - alpha) / n + alpha * dangling_mass / n
+        in_term = F.lit(alpha) * F.coalesce("in_mass", F.lit(0.0))
+        if reset_to is None:
+            # scalar base folded in Python — bit-identical to the classic form
+            base = F.lit((1.0 - alpha) / n + alpha * dangling_mass / n)
+        else:
+            base = (F.lit(1.0 - alpha) + F.lit(alpha * dangling_mass)) * p
         ranks = (
             nodes.join(contribs, "id", "left")
-            .select("id", (F.lit(base) + F.lit(alpha) * F.coalesce("in_mass", F.lit(0.0))).alias("rank"))
+            .select("id", (base + in_term).alias("rank"))
             .localCheckpoint()
         )
     return ranks

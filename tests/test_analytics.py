@@ -196,3 +196,33 @@ class TestKCore:
         eng.add_edges([(1, 2, "e", {}), (2, 3, "e", {})])
         eng.commit()
         assert k_core(eng.current, k=2).count() == 0
+
+
+class TestPersonalizedPageRank:
+    def test_mass_stays_in_seed_cone(self, spark):
+        """Chain 1->2->3 with an isolated node 4: PPR from 1 gives node 4
+        exactly zero and keeps total mass ~1 (dangling returns to seed)."""
+        from hgraphstorage_spark.analytics import pagerank
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(4)])
+        eng.add_edges([(1, 2, "e", {}), (2, 3, "e", {})])
+        eng.commit()
+        pr = {r["id"]: r["rank"] for r in pagerank(eng.current, iterations=30, reset_to=[1]).collect()}
+        assert pr[4] == 0.0
+        assert abs(sum(pr.values()) - 1.0) < 1e-9
+        # near the fixpoint (short chains oscillate for the first ~dozen
+        # rounds as the returned dangling mass cycles): seed outranks tail
+        assert pr[1] > pr[3] > 0
+
+    def test_uniform_unchanged(self, spark):
+        """reset_to=None must equal the classic formulation exactly (the
+        shared oracle pins this; here: ranks positive everywhere)."""
+        from hgraphstorage_spark.analytics import pagerank
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(3)])
+        eng.add_edges([(1, 2, "e", {})])
+        eng.commit()
+        pr = pagerank(eng.current, iterations=2)
+        assert pr.filter("rank <= 0").count() == 0
