@@ -32,11 +32,14 @@ def interval_join(
     lookback: str = "30 minutes",
     watermark: str = "1 hour",
     suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner interval join: left rows × right rows of the same ``by`` key
-    with ``right.on`` in ``[left.on - lookback, left.on]`` (inclusive).
+    """Interval join: left rows × right rows of the same ``by`` key with
+    ``right.on`` in ``[left.on - lookback, left.on]`` (inclusive).
     Right columns come back suffixed. Works on two batch frames or two
-    streaming frames (watermarked)."""
+    streaming frames (watermarked). ``how='left_outer'`` keeps unmatched
+    left rows (on streams they emit once the watermark passes their
+    match window — the standard outer stream-stream join semantics)."""
     by = list(by)
     if left.isStreaming:
         left = left.withWatermark(on, watermark)
@@ -50,4 +53,5 @@ def interval_join(
     for c in by:
         cond = cond & (left[c] == r[c])
     cond = cond & rts.between(F.col(on) - F.expr(f"INTERVAL {lookback}"), F.col(on))
-    return left.join(r, cond).drop(*[r[c] for c in by])
+    joined = left.join(r, cond, how)
+    return joined.drop(*[r[c] for c in by])

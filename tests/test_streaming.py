@@ -323,3 +323,19 @@ class TestIntervalJoin:
         want = bag(interval_join(clicks_b, views_b).select(*cols))
         assert len(want) > 0
         assert got == want
+
+    def test_left_outer_keeps_unmatched(self, spark):
+        from hgraphstorage_spark.streaming.joins import interval_join
+
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:00:00", 9)],
+            "event_id long, ts string, user_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        right = spark.createDataFrame(
+            [(10, "2024-01-01 09:50:00", 7)], "event_id long, ts string, user_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r["event_id"]: r["event_id_r"]
+            for r in interval_join(left, right, how="left_outer").collect()
+        }
+        assert out == {1: 10, 2: None}
