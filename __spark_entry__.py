@@ -645,6 +645,33 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
+def q_cube_revenue(spark, sf_dir):
+    """Grouping sets: full cube over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(8,6)"
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(revenue).cast("decimal(30,8)").alias("revenue"), F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "cnt",
+        )
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention over events (distinct users per cohort ×
+    periods-since-first-event)."""
+    from hgraphstorage_spark.functions.timeseries import retention_cohorts
+    from hgraphstorage_spark.streaming import load_events
+
+    return retention_cohorts(load_events(spark, sf_dir))
+
+
 def q_distinct_agg(spark, sf_dir):
     """Distinct + approx-distinct aggregates per order priority."""
     orders = _t(spark, sf_dir, "orders")
@@ -1003,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_like": q_tpch_q5_like,
         "window_top_order": q_window_top_order,
         "rollup_revenue": q_rollup_revenue,
+        "cube_revenue": q_cube_revenue,
+        "retention_cohorts": q_retention_cohorts,
         "distinct_agg": q_distinct_agg,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -1514,6 +1543,24 @@ FROM scored
                    GROUP BY 1)
             SELECT s1.user_id, t1, t2, t3
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "cube_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,6))) AS DECIMAL(30,8)) AS revenue,
+                   count(*)::BIGINT AS cnt
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "retention_cohorts": """
+            WITH f AS (SELECT user_id, min(ts::TIMESTAMP) AS first_ts FROM events GROUP BY 1),
+            a AS (
+              SELECT e.user_id, date_trunc('week', f.first_ts)::TIMESTAMP AS cohort_week,
+                     floor((epoch_us(e.ts::TIMESTAMP) - epoch_us(f.first_ts))
+                           / (7 * 86400 * 1000000.0))::BIGINT AS period
+              FROM events e JOIN f USING (user_id)
+            )
+            SELECT cohort_week, period, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM a GROUP BY 1, 2
         """,
         "pivot_events": """
             SELECT user_id,

@@ -87,3 +87,35 @@ def funnel(
         )
         out = out.join(nxt, by, "left")
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their first
+    event (``cohort_week``), counted distinct in each ``period_days``
+    bucket since that first event. (cohort_week, period, n_users).
+
+    Two shuffles on the key (first-event agg + the join back) and one on
+    (cohort, period) with partial aggregation. Periods derive from
+    epoch-microsecond arithmetic (exact in doubles up to 2^53), so any
+    engine reproduces the bucketing bit-for-bit.
+    """
+    first = events.groupBy(by).agg(F.min(ts_col).alias("_first_ts"))
+    period_us = period_days * 86_400 * 1_000_000
+    period = F.floor(
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_first_ts"))) / F.lit(period_us)
+    )
+    return (
+        events.join(first, by)
+        .select(
+            F.date_trunc("week", F.col("_first_ts")).alias("cohort_week"),
+            period.alias("period"),
+            F.col(by),
+        )
+        .groupBy("cohort_week", "period")
+        .agg(F.count_distinct(F.col(by)).alias("n_users"))
+    )

@@ -508,3 +508,28 @@ class TestPerGroupCap:
 
         df = spark.range(4).select(F.col("id").alias("doc_id"), F.lit("g").alias("g"))
         assert per_group_cap(df, "g", 10).count() == 4
+
+
+class TestRetentionCohorts:
+    def test_periods_and_cohorts(self, spark):
+        """User first seen in week W is active in period 0 always; a
+        return 8 days later lands in period 1; users never mix cohorts."""
+        from hgraphstorage_spark.functions.timeseries import retention_cohorts
+
+        rows = [
+            (7, "2024-01-02 10:00:00"),  # cohort week of 2024-01-01
+            (7, "2024-01-10 10:00:00"),  # 8 days later -> period 1
+            (8, "2024-01-09 09:00:00"),  # cohort week of 2024-01-08
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        got = {
+            (str(r["cohort_week"]), r["period"]): r["n_users"]
+            for r in retention_cohorts(ev).collect()
+        }
+        assert got == {
+            ("2024-01-01 00:00:00", 0): 1,
+            ("2024-01-01 00:00:00", 1): 1,
+            ("2024-01-08 00:00:00", 0): 1,
+        }
