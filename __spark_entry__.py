@@ -781,6 +781,14 @@ def q_similarity_ivf(spark, sf_dir):
     return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, nlist=16, nprobe=4)
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (long format) — the k-means/IVF
+    training step; shuffle keyed by (label, dim)."""
+    from hgraphstorage_spark.pipeline import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-resistant two-phase aggregation — must equal the plain GROUP BY."""
     from hgraphstorage_spark.operators import salted_count_by
@@ -1046,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "label_centroids": q_label_centroids,
         "similarity_ivf": q_similarity_ivf,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -1434,6 +1443,12 @@ FROM scored
                        AS DECIMAL(18,6)) AS score
               FROM e a, e b WHERE a.vec_id < b.vec_id)
             WHERE score >= 0.35
+        """,
+        "label_centroids": """
+            SELECT label, i - 1 AS pos,
+                   CAST(round(avg(embedding[i]::DOUBLE), 6) AS DECIMAL(18,6)) AS m
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY label, i
         """,
         "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
         "events_hourly": """

@@ -18,6 +18,7 @@ from hgraphstorage_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_dup_exact,
     embedding_near_dup_lsh,
+    label_centroids,
     lsh_bucket_topk,
 )
 from hgraphstorage_spark.pipeline.sampling import hash_split

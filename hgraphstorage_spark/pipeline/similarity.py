@@ -387,3 +387,20 @@ def lsh_bucket_topk(
         .orderBy(F.col("score").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label centroid of the embedding vectors, long format
+    (label, pos, m DECIMAL(18,6)) — one row per vector dimension. The
+    k-means/IVF training building block (a full Lloyd iteration is
+    assign-to-nearest + this).
+
+    Long format on purpose: one partial-aggregated shuffle keyed by
+    (label, dim) — fine-grained, skew-free at any corpus size — and
+    engine-portable comparison without nested-array normalization."""
+    pos = emb.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    return pos.groupBy(label_col, "pos").agg(
+        F.round(F.avg("v"), 6).cast("decimal(18,6)").alias("m")
+    )

@@ -533,3 +533,15 @@ class TestRetentionCohorts:
             ("2024-01-01 00:00:00", 1): 1,
             ("2024-01-08 00:00:00", 0): 1,
         }
+
+
+class TestLabelCentroids:
+    def test_known_means(self, spark):
+        from hgraphstorage_spark.pipeline import label_centroids
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], 1), (1, [3.0, 2.0], 1), (2, [5.0, 5.0], 2)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        got = {(r["label"], r["pos"]): float(r["m"]) for r in label_centroids(emb).collect()}
+        assert got == {(1, 0): 2.0, (1, 1): 1.0, (2, 0): 5.0, (2, 1): 5.0}
