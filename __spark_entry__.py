@@ -789,6 +789,15 @@ def q_label_centroids(spark, sf_dir):
     return label_centroids(_t(spark, sf_dir, "embeddings"))
 
 
+def q_kmeans(spark, sf_dir):
+    """Two Lloyd k-means rounds (8 lists, cosine) — broadcast-centroid
+    assignment + (list, dim)-keyed centroid update; oracle unrolls the
+    same two rounds."""
+    from hgraphstorage_spark.pipeline.similarity import kmeans_iterations
+
+    return kmeans_iterations(_t(spark, sf_dir, "embeddings"), nlist=8, iterations=2)
+
+
 def q_salted_agg(spark, sf_dir):
     """Skew-resistant two-phase aggregation — must equal the plain GROUP BY."""
     from hgraphstorage_spark.operators import salted_count_by
@@ -1055,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "label_centroids": q_label_centroids,
+        "kmeans": q_kmeans,
         "similarity_ivf": q_similarity_ivf,
         "embed_near_dup": q_embed_near_dup,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
@@ -1443,6 +1453,30 @@ FROM scored
                        AS DECIMAL(18,6)) AS score
               FROM e a, e b WHERE a.vec_id < b.vec_id)
             WHERE score >= 0.35
+        """,
+        "kmeans": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+            a0 AS (
+              SELECT vec_id, v,
+                     (SELECT cid FROM (
+                        SELECT cid, list_dot_product(e.v, cv)
+                               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cs
+                        FROM c0 ORDER BY cs DESC, cid ASC LIMIT 1) s) AS list_id
+              FROM e
+            ),
+            m1 AS MATERIALIZED (
+              SELECT list_id, i, avg(v[i]) AS m
+              FROM a0, unnest(generate_series(1, len(v))) AS t(i)
+              GROUP BY 1, 2
+            ),
+            c1 AS MATERIALIZED (SELECT list_id AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1)
+            SELECT vec_id,
+                   (SELECT cid FROM (
+                      SELECT cid, list_dot_product(a0.v, cv)
+                             / (sqrt(list_dot_product(a0.v, a0.v)) * sqrt(list_dot_product(cv, cv))) AS cs
+                      FROM c1 ORDER BY cs DESC, cid ASC LIMIT 1) s) AS list_id
+            FROM a0
         """,
         "label_centroids": """
             SELECT label, i - 1 AS pos,

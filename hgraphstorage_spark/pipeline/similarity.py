@@ -404,3 +404,68 @@ def label_centroids(
     return pos.groupBy(label_col, "pos").agg(
         F.round(F.avg("v"), 6).cast("decimal(18,6)").alias("m")
     )
+
+
+def kmeans_iterations(
+    embeddings: DataFrame,
+    nlist: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means over cosine similarity: deterministic init (the
+    ``nlist`` smallest-id vectors), then ``iterations`` rounds of
+    assign-to-nearest with a centroid update between rounds — the
+    offline training step behind ``ivf_topk``'s inverted lists.
+    Returns the final assignment (vec_id, list_id).
+
+    Scale shape per round: one pass over the data against BROADCAST
+    centroids (explode-the-small-side + max_by argmax, no shuffle of the
+    vectors), then a centroid update keyed by (list, dim) — the same
+    fine-grained skew-free aggregation as ``label_centroids``. A cluster
+    that loses all members disappears (standard Lloyd degeneracy; a
+    production run would re-seed it).
+    """
+
+    def assign(cent_rows: DataFrame) -> DataFrame:
+        cents = cent_rows.groupBy().agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+        return (
+            embeddings.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("_vec"),
+                F.explode("cents").alias("c"),
+            )
+            .select(
+                "vec_id",
+                F.col("c.cid").alias("cid"),
+                cosine(F.col("_vec"), F.col("c.cvec")).alias("csim"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("list_id"))
+        )
+
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    assigned = assign(cents)
+    vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    for _ in range(iterations - 1):
+        new_cents = (
+            assigned.join(vecs, "vec_id")
+            .select("list_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cvec")
+            )
+            .select(F.col("list_id").alias("cid"), "cvec")
+            .localCheckpoint()
+        )
+        assigned = assign(new_cents)
+    return assigned

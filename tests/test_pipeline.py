@@ -545,3 +545,21 @@ class TestLabelCentroids:
         )
         got = {(r["label"], r["pos"]): float(r["m"]) for r in label_centroids(emb).collect()}
         assert got == {(1, 0): 2.0, (1, 1): 1.0, (2, 0): 5.0, (2, 1): 5.0}
+
+
+class TestKMeans:
+    def test_two_direction_clusters(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import kmeans_iterations
+
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.1]),
+                (1, [0.1, 1.0]),
+                (2, [1.0, -0.1]),
+                (3, [-0.1, 1.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        got = {r["vec_id"]: r["list_id"] for r in kmeans_iterations(emb, nlist=2, iterations=2).collect()}
+        assert got[0] == got[2] == 0  # x-direction cluster keeps seed 0
+        assert got[1] == got[3] == 1  # y-direction cluster keeps seed 1
