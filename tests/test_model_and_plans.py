@@ -175,3 +175,14 @@ class TestNewOperatorPlans:
         vw = ev.filter("event_type='view'").select("event_id", "ts", "user_id", "value")
         plan = executed_plan(interval_join(cl, vw))
         assert "BroadcastNestedLoopJoin" not in plan  # equi on key, range as residual
+
+    def test_kmeans_assignment_broadcasts_centroids(self, spark):
+        """The Lloyd assignment pass must broadcast the centroid set and
+        never shuffle the vector table for the argmax."""
+        from hgraphstorage_spark.pipeline.similarity import kmeans_iterations
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = executed_plan(kmeans_iterations(emb, nlist=4, iterations=2))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
