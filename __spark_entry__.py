@@ -541,7 +541,7 @@ def q_shortest_paths(spark, sf_dir):
 
 def q_label_propagation(spark, sf_dir):
     """Analytics: deterministic synchronous LPA communities over the
-    location subgraph (rows-only: iterative fixpoint, not SQL-expressible)."""
+    location subgraph (oracle: unrolled 3-round SQL, tie-break-exact)."""
     from dataclasses import replace
 
     from hgraphstorage_spark.analytics import label_propagation
@@ -835,6 +835,68 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5, block_col="lang")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: exact Jaccard pairs → fixed-round HashMin
+    components → canonical representative per cluster (the last stage of a
+    near-dedup pipeline). Oracle unrolls the same 3 rounds in SQL."""
+    from hgraphstorage_spark.pipeline import ngram_jaccard_pairs
+    from hgraphstorage_spark.pipeline.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang")
+    cl = dedup_clusters(docs, pairs, rounds=3)
+    return (
+        cl.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Tokenizer-training vocabulary: top-50 tokens by corpus count with
+    document frequency (deterministic tie-break by token)."""
+    from hgraphstorage_spark.pipeline.text import vocabulary
+
+    return vocabulary(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style line-level dedup adapted to the newline-free
+    corpus: global first-occurrence dedup of 10-word chunks + document
+    reassembly (fingerprinted for a compact exact compare)."""
+    from hgraphstorage_spark.pipeline.text import chunk_dedup
+
+    cd = chunk_dedup(_t(spark, sf_dir, "documents"), chunk_words=10)
+    return cd.select("doc_id", "n_chunks", "n_kept", F.md5("text_dedup").alias("dedup_fp"))
+
+
+def q_agg_messages(spark, sf_dir):
+    """GraphX aggregateMessages primitive: per location-subgraph node,
+    count of arriving messages and min neighbor id (messages flow both
+    directions along the edge), restricted to Region/Nation receivers."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import aggregate_messages
+
+    snap = _graph(spark, sf_dir)
+    loc = replace(
+        snap,
+        edges=snap.edges.filter(
+            F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"])
+        ),
+    )
+    res = aggregate_messages(
+        loc,
+        {"n_msgs": F.count, "min_nbr": F.min},
+        msg_to_dst=F.col("src.id"),
+        msg_to_src=F.col("dst.id"),
+    )
+    return res.filter(F.col("id") < 3 * 10**12)
+
+
 def q_simhash_buckets(spark, sf_dir):
     """SimHash fingerprints (rows-only: bucket distribution is checked)."""
     from hgraphstorage_spark.pipeline import simhash
@@ -1071,6 +1133,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
+        "vocab_topk": q_vocab_topk,
+        "chunk_dedup": q_chunk_dedup,
+        "agg_messages": q_agg_messages,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -1531,6 +1597,52 @@ FROM scored
             JOIN sizes sb ON inter.doc_b = sb.doc_id
             WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5
         """,
+        "vocab_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+              FROM documents
+            ),
+            hist AS (
+              SELECT token, count(*)::BIGINT AS n_total, count(DISTINCT doc_id)::BIGINT AS doc_freq
+              FROM toks WHERE len(token) > 0 GROUP BY token
+            )
+            SELECT token, n_total, doc_freq,
+                   row_number() OVER (ORDER BY n_total DESC, token)::INT AS rank
+            FROM hist ORDER BY n_total DESC, token LIMIT 50
+        """,
+        "chunk_dedup": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(list_slice(words, i*10 + 1, i*10 + 10), ' ') AS chunk
+              FROM w, unnest(generate_series(0, (len(words) + 9) // 10 - 1)) AS t(i)
+            ),
+            marked AS (
+              SELECT doc_id, pos, chunk,
+                     row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+              FROM ch
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS dedup_fp
+            FROM marked GROUP BY doc_id
+        """,
+        "agg_messages": """
+            SELECT (2000000000000 + n_nationkey)::BIGINT AS id,
+                   (1 + (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+                      + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey))::BIGINT AS n_msgs,
+                   (1000000000000 + n_regionkey)::BIGINT AS min_nbr
+            FROM nation
+            UNION ALL
+            SELECT (1000000000000 + r_regionkey)::BIGINT,
+                   (SELECT count(*) FROM nation WHERE n_regionkey = r_regionkey)::BIGINT,
+                   (SELECT 2000000000000 + min(n_nationkey) FROM nation WHERE n_regionkey = r_regionkey)::BIGINT
+            FROM region
+            WHERE EXISTS (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey)
+        """,
         "similarity_ivf": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
@@ -1721,11 +1833,116 @@ FROM scored
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         # minhash_lsh_pairs / simhash_buckets / similarity_lsh /
-        # embed_near_dup_lsh / label_propagation / multimodal_features:
+        # embed_near_dup_lsh / multimodal_features:
         # deliberately omitted → driver records rows-only checks (LSH
         # banding/bucketing is xxhash64-based and sub-100%-recall by design,
         # so no exact SQL equivalent exists)
     }
+
+
+def _dedup_clusters_oracle_sql(rounds: int) -> str:
+    """Unrolled-SQL oracle for near-dup clustering: the ngram_jaccard pair
+    CTEs (same as that query's oracle) feeding `rounds` HashMin rounds."""
+    ctes = [
+        r"""wds AS (
+          SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+          FROM documents
+        )""",
+        """sh AS (
+          SELECT DISTINCT doc_id, lang,
+                 array_to_string(list_slice(words, i, i + 2), ' ') AS shingle
+          FROM wds, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
+        )""",
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)",
+        """inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )""",
+        """pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON inter.doc_a = sa.doc_id
+          JOIN sizes sb ON inter.doc_b = sb.doc_id
+          WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5
+        )""",
+        "und AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "l0 AS (SELECT doc_id, doc_id AS cluster FROM documents)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""nm{r} AS (
+              SELECT u.a AS doc_id, min(l{p}.cluster) AS nmin
+              FROM und u JOIN l{p} ON u.b = l{p}.doc_id GROUP BY u.a
+            )"""
+        )
+        ctes.append(
+            f"""l{r} AS (
+              SELECT l{p}.doc_id, least(l{p}.cluster, COALESCE(nm{r}.nmin, l{p}.cluster)) AS cluster
+              FROM l{p} LEFT JOIN nm{r} USING (doc_id)
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT cluster, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        FROM l{rounds} GROUP BY cluster HAVING count(*) > 1"""
+    )
+
+
+def _lpa_oracle_sql(rounds: int) -> str:
+    """Unrolled-SQL oracle for deterministic synchronous LPA over the
+    location subgraph (same technique as the kmeans/k-core oracles): one
+    votes/winner/state CTE triple per round. Tie-break parity: Spark's
+    ``max_by(community, struct(n, -community))`` == ``row_number() OVER
+    (ORDER BY n DESC, community)`` = 1."""
+    ctes = [
+        """e AS (
+          SELECT (3000000000000 + c_custkey)::BIGINT AS src, (2000000000000 + c_nationkey)::BIGINT AS dst FROM customer
+          UNION ALL
+          SELECT (4000000000000 + s_suppkey)::BIGINT, (2000000000000 + s_nationkey)::BIGINT FROM supplier
+          UNION ALL
+          SELECT (2000000000000 + n_nationkey)::BIGINT, (1000000000000 + n_regionkey)::BIGINT FROM nation
+        )""",
+        "und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e)",
+        """l0 AS (
+          SELECT id, id AS community FROM (
+            SELECT (1000000000000 + r_regionkey)::BIGINT AS id FROM region
+            UNION ALL SELECT (2000000000000 + n_nationkey)::BIGINT FROM nation
+            UNION ALL SELECT (3000000000000 + c_custkey)::BIGINT FROM customer
+            UNION ALL SELECT (4000000000000 + s_suppkey)::BIGINT FROM supplier
+          )
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""v{r} AS (
+              SELECT u.a AS id, l.community, count(*) AS n
+              FROM und u JOIN l{p} l ON u.b = l.id GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+              SELECT id, community FROM (
+                SELECT id, community,
+                       row_number() OVER (PARTITION BY id ORDER BY n DESC, community) AS rn
+                FROM v{r}) WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""l{r} AS (
+              SELECT l{p}.id, COALESCE(w{r}.community, l{p}.community) AS community
+              FROM l{p} LEFT JOIN w{r} USING (id)
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT community, count(*)::BIGINT AS n_nodes FROM l{rounds} GROUP BY community"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1736,6 +1953,8 @@ def oracle_sql() -> dict[str, str]:
     sql["pagerank"] = _pagerank_oracle_sql(3)
     sql["personalized_pagerank"] = _ppr_oracle_sql(3, NODE["Customer"] + 1)
     sql["k_core"] = _k_core_oracle_sql(3, 6)
+    sql["label_propagation"] = _lpa_oracle_sql(3)
+    sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
     # generated from the same threshold helper the Spark operator uses, so
     # the two sides cannot drift
     from hgraphstorage_spark.pipeline.sampling import hash_split_case_sql

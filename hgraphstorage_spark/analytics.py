@@ -470,3 +470,51 @@ def k_core(snap: GraphSnapshot, k: int = 3, max_rounds: int = 100) -> DataFrame:
             .localCheckpoint()
         )
     return deg
+
+
+def aggregate_messages(
+    snap: GraphSnapshot,
+    agg_exprs: dict,
+    msg_to_dst: F.Column | None = None,
+    msg_to_src: F.Column | None = None,
+) -> DataFrame:
+    """The GraphX ``aggregateMessages`` primitive (GraphFrames
+    ``AggregateMessages`` shape): build the triplet view — ``src`` /
+    ``edge`` / ``dst`` structs — send a Column-expressed message along each
+    edge to either endpoint, and aggregate arriving messages per node.
+
+    ``msg_to_dst`` / ``msg_to_src`` are Columns over the struct fields
+    (``F.col("src.id")``, ``F.col("edge.label")``, ``F.col("dst.id")``);
+    ``agg_exprs`` maps output names to functions of the message column,
+    e.g. ``{"n_msgs": F.count, "min_nbr": F.min}``. Returns (id, *aggs)
+    for nodes that received at least one message.
+
+    Shape at scale: two hash joins to hydrate the triplet view (only the
+    node columns the messages actually reference survive pruning), then
+    one shuffle keyed by receiving node id with map-side partial
+    aggregation. Every Pregel-style algorithm above (degrees, CC,
+    PageRank, SSSP) is a loop over exactly this primitive."""
+    if msg_to_dst is None and msg_to_src is None:
+        raise ValueError("at least one of msg_to_dst / msg_to_src is required")
+    nodes = snap.nodes
+    edges = snap.edges
+    triplet = (
+        edges.select(F.struct(*edges.columns).alias("edge"))
+        .join(
+            nodes.select(F.struct(*nodes.columns).alias("src")),
+            F.col("edge.src") == F.col("src.id"),
+        )
+        .join(
+            nodes.select(F.struct(*nodes.columns).alias("dst")),
+            F.col("edge.dst") == F.col("dst.id"),
+        )
+    )
+    parts = []
+    if msg_to_dst is not None:
+        parts.append(triplet.select(F.col("dst.id").alias("id"), msg_to_dst.alias("msg")))
+    if msg_to_src is not None:
+        parts.append(triplet.select(F.col("src.id").alias("id"), msg_to_src.alias("msg")))
+    inbox = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+    return inbox.groupBy("id").agg(
+        *[fn(F.col("msg")).alias(name) for name, fn in agg_exprs.items()]
+    )

@@ -332,3 +332,43 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: 
 def hamming64(col_a, col_b) -> F.Column:
     """Hamming distance between two 64-bit words (bit_count of xor)."""
     return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", rounds: int = 3
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters and pick one canonical
+    document per cluster — the standard last stage of a near-dedup
+    pipeline (pairs from `minhash_lsh_pairs` / `ngram_jaccard_pairs` /
+    `embedding_near_dup_*`). HashMin label spread over the pair graph for
+    a fixed number of rounds (the alternating-star trick in
+    analytics.connected_components_alt covers adversarially-deep graphs;
+    dup clusters are shallow, so plain HashMin converges in 2-3 rounds).
+    Returns (doc_id, cluster, keep) for every document; keep is True for
+    the cluster representative (min doc_id).
+
+    Shape at scale: per round one join keyed by doc_id plus a min-agg —
+    both partial-aggregated, keys are document ids (uniform). State is
+    localCheckpointed per round to truncate lineage. Deterministic, so
+    SQL-oracle-able by unrolling rounds."""
+    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    state = docs.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster"))
+    for _ in range(rounds):
+        nbr_min = (
+            und.join(
+                state.select(F.col("doc_id").alias("b"), F.col("cluster").alias("nc")), "b"
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("nc").alias("nmin"))
+        )
+        state = (
+            state.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+    return state.withColumn("keep", F.col("doc_id") == F.col("cluster"))

@@ -199,3 +199,83 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     (The rolling-hash variant for shingling lives in dedup.py.)"""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
+
+
+def vocabulary(
+    docs: DataFrame, top_k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary for tokenizer training: top-k tokens by total
+    count with document frequency. Returns (token, n_total, doc_freq, rank),
+    rank ties broken by token text (deterministic).
+
+    Shape at scale: one explode, then a single shuffle keyed by token with
+    map-side partial aggregation (count + count_distinct via one
+    two-level agg: first (token, doc) pairs — the explode output is
+    pre-grouped per doc, so partials collapse hard — then token). The
+    final top-k is a TakeOrdered over the token-count table, which is
+    vocabulary-sized, not corpus-sized."""
+    toks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    per_doc = toks.groupBy("token", "_doc").agg(F.count(F.lit(1)).alias("n"))
+    hist = per_doc.groupBy("token").agg(
+        F.sum("n").alias("n_total"), F.count(F.lit(1)).alias("doc_freq")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_total").desc(), F.col("token"))
+    return (
+        hist.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def chunk_dedup(
+    docs: DataFrame, chunk_words: int = 10, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Line-level exact dedup (C4/RefinedWeb-style), adapted to the
+    newline-free corpus: split each document into consecutive
+    ``chunk_words``-word chunks, keep only the globally-first occurrence of
+    every distinct chunk (ordered by (doc_id, position)), and reassemble
+    each document from its surviving chunks. Returns
+    (doc_id, n_chunks, n_kept, text_dedup).
+
+    Shape at scale: chunking is a narrow projection (split + slice — no
+    explode until the chunk table); the only wide ops are one window over
+    chunk text (high-cardinality key, skew-free: identical chunks are
+    exactly the duplicates being removed) and the per-document regroup.
+    First-occurrence semantics need a global total order — (doc_id, pos)
+    is that order, with no driver-side coordination."""
+    cw = chunk_words
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_chunks = ((F.size(words) + F.lit(cw - 1)) / F.lit(cw)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("pos", "chunk")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    marked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from hgraphstorage_spark import GraphEngine
 from hgraphstorage_spark.analytics import bfs, connected_components, degrees, pagerank
@@ -226,3 +227,40 @@ class TestPersonalizedPageRank:
         eng.commit()
         pr = pagerank(eng.current, iterations=2)
         assert pr.filter("rank <= 0").count() == 0
+
+
+class TestAggregateMessages:
+    def test_bidirectional_count_and_min(self, spark):
+        from hgraphstorage_spark.analytics import aggregate_messages
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "B")], "id long, label string"
+        )
+        edges = spark.createDataFrame(
+            [(10, 1, 3, "e"), (11, 2, 3, "e")], "id long, src long, dst long, label string"
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        res = aggregate_messages(
+            snap,
+            {"n_msgs": F.count, "min_nbr": F.min},
+            msg_to_dst=F.col("src.id"),
+            msg_to_src=F.col("dst.id"),
+        )
+        got = {r["id"]: (r["n_msgs"], r["min_nbr"]) for r in res.collect()}
+        # node 3 receives src ids {1, 2}; nodes 1 and 2 each receive dst id 3
+        assert got == {1: (1, 3), 2: (1, 3), 3: (2, 1)}
+
+    def test_requires_a_message(self, spark):
+        import pytest as _pytest
+
+        from hgraphstorage_spark.analytics import aggregate_messages
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        snap = GraphSnapshot(
+            nodes=spark.createDataFrame([(1, "A")], "id long, label string"),
+            edges=spark.createDataFrame([], "id long, src long, dst long, label string"),
+            props=None,
+        )
+        with _pytest.raises(ValueError):
+            aggregate_messages(snap, {"n": F.count})

@@ -563,3 +563,68 @@ class TestKMeans:
         got = {r["vec_id"]: r["list_id"] for r in kmeans_iterations(emb, nlist=2, iterations=2).collect()}
         assert got[0] == got[2] == 0  # x-direction cluster keeps seed 0
         assert got[1] == got[3] == 1  # y-direction cluster keeps seed 1
+
+
+class TestVocabulary:
+    def test_top_k_with_doc_freq(self, spark):
+        from hgraphstorage_spark.pipeline.text import vocabulary
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "a c"), (3, "b b b")], "doc_id long, text string"
+        )
+        rows = {r["token"]: r for r in vocabulary(docs, top_k=2).collect()}
+        assert set(rows) == {"b", "a"}  # b: 4 total, a: 3 total
+        assert rows["b"]["n_total"] == 4 and rows["b"]["doc_freq"] == 2
+        assert rows["a"]["n_total"] == 3 and rows["a"]["doc_freq"] == 2
+        assert rows["b"]["rank"] == 1 and rows["a"]["rank"] == 2
+
+    def test_tie_break_by_token(self, spark):
+        from hgraphstorage_spark.pipeline.text import vocabulary
+
+        docs = spark.createDataFrame([(1, "z y x")], "doc_id long, text string")
+        ranks = [r["token"] for r in vocabulary(docs, top_k=3).orderBy("rank").collect()]
+        assert ranks == ["x", "y", "z"]
+
+
+class TestChunkDedup:
+    def test_duplicate_chunk_kept_once_globally(self, spark):
+        from hgraphstorage_spark.pipeline.text import chunk_dedup
+
+        # 4-word chunks: doc 1 = [c1, c2], doc 2 = [c1 again, c3]
+        c1 = "w1 w2 w3 w4"
+        c2 = "a b c d"
+        c3 = "e f g h"
+        docs = spark.createDataFrame(
+            [(1, f"{c1} {c2}"), (2, f"{c1} {c3}")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r for r in chunk_dedup(docs, chunk_words=4).collect()}
+        assert got[1]["n_chunks"] == 2 and got[1]["n_kept"] == 2
+        assert got[1]["text_dedup"] == f"{c1} {c2}"
+        # doc 2 loses the repeated first chunk (doc 1 owns the first occurrence)
+        assert got[2]["n_chunks"] == 2 and got[2]["n_kept"] == 1
+        assert got[2]["text_dedup"] == c3
+
+    def test_within_doc_duplicates_collapse(self, spark):
+        from hgraphstorage_spark.pipeline.text import chunk_dedup
+
+        docs = spark.createDataFrame([(7, "x y x y")], "doc_id long, text string")
+        row = chunk_dedup(docs, chunk_words=2).collect()[0]
+        assert row["n_chunks"] == 2 and row["n_kept"] == 1
+        assert row["text_dedup"] == "x y"
+
+
+class TestDedupClusters:
+    def test_chain_forms_one_cluster(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import dedup_clusters
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: r for r in dedup_clusters(docs, pairs, rounds=3).collect()}
+        assert {got[i]["cluster"] for i in (1, 2, 3)} == {1}
+        assert {got[i]["cluster"] for i in (4, 5)} == {4}
+        assert got[1]["keep"] and got[4]["keep"]
+        assert not got[2]["keep"] and not got[3]["keep"] and not got[5]["keep"]
+        # singleton keeps itself
+        assert got[5]["cluster"] == 4  # 5 joined 4's cluster
