@@ -897,6 +897,15 @@ def q_agg_messages(spark, sf_dir):
     return res.filter(F.col("id") < 3 * 10**12)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (2048-token windows, 16
+    hash-shards): where every document lands in the packed LM training
+    stream. Deterministic — md5 sharding + doc_id order."""
+    from hgraphstorage_spark.pipeline.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), max_tokens=2048)
+
+
 def q_simhash_buckets(spark, sf_dir):
     """SimHash fingerprints (rows-only: bucket distribution is checked)."""
     from hgraphstorage_spark.pipeline import simhash
@@ -1137,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "chunk_dedup": q_chunk_dedup,
         "agg_messages": q_agg_messages,
+        "pack_sequences": q_pack_sequences,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -1629,6 +1639,25 @@ FROM scored
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                    md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS dedup_fp
             FROM marked GROUP BY doc_id
+        """,
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     substr(md5(doc_id::VARCHAR || ':pack'), 1, 1) AS shard,
+                     (CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS strt
+              FROM d
+            )
+            SELECT doc_id, shard, n_tokens,
+                   (strt // 2048)::BIGINT AS seq_id,
+                   (strt % 2048)::BIGINT AS tok_offset
+            FROM c
         """,
         "agg_messages": """
             SELECT (2000000000000 + n_nationkey)::BIGINT AS id,

@@ -182,3 +182,47 @@ def hash_split_case_sql(
         f"WHEN {bucket} <= '{bound}' THEN '{name}'" for name, bound in thresholds[:-1]
     )
     return f"CASE {whens} ELSE '{thresholds[-1][0]}' END"
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_chars: int = 1,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing for LM training: lay documents
+    end-to-end in a deterministic order and cut fixed-size token windows,
+    recording where each document lands. Returns
+    (id, shard, n_tokens, seq_id, tok_offset): document ``id`` starts at
+    token ``tok_offset`` of packed sequence ``seq_id`` within ``shard``
+    (documents straddle sequence boundaries, as in standard
+    concatenation packing).
+
+    A single global order would serialize the cumulative sum, so packing
+    is shard-parallel: shard = first ``shard_chars`` hex digits of
+    md5(id:salt) — 16^shard_chars independent packers, deterministic and
+    engine-reproducible (same trick as `hash_split`; at 100 TB raise
+    shard_chars so each shard's window fits an executor). One shuffle on
+    shard, one running-sum window within it; token counting is narrow."""
+    from hgraphstorage_spark.pipeline.text import _n_tokens
+    from pyspark.sql import Window
+
+    shard = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))), 1, shard_chars
+    )
+    d = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        _n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_start")
+    return d.select(id_col, "shard", "n_tokens", start).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(F.col("_start") / F.lit(max_tokens)).alias("seq_id"),
+        (F.col("_start") % F.lit(max_tokens)).alias("tok_offset"),
+    )

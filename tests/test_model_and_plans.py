@@ -186,3 +186,57 @@ class TestNewOperatorPlans:
         plan = executed_plan(kmeans_iterations(emb, nlist=4, iterations=2))
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_vocabulary_partial_aggregates_before_shuffle(self, spark):
+        """The token histogram must partial-aggregate map-side; the only
+        single-partition exchange allowed is the vocabulary-sized top-k
+        window."""
+        from hgraphstorage_spark.pipeline.text import vocabulary
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(vocabulary(docs, top_k=50))
+        assert "partial_count" in plan or "partial count" in plan.lower()
+        # corpus-sized data shuffles on (token[, doc]) hash keys only
+        assert plan.count("Exchange hashpartitioning") >= 1
+
+    def test_chunk_dedup_two_shuffles(self, spark):
+        """First-occurrence window (keyed by chunk) + per-doc regroup =
+        exactly two hash exchanges; chunking itself must stay narrow."""
+        from hgraphstorage_spark.pipeline.text import chunk_dedup
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(chunk_dedup(docs, chunk_words=10))
+        assert plan.count("Exchange hashpartitioning") == 2
+        assert "Exchange SinglePartition" not in plan
+
+    def test_aggregate_messages_no_cartesian(self, spark):
+        """Triplet hydration is two equi-joins; the inbox agg partial-
+        aggregates. No nested-loop join may appear."""
+        from hgraphstorage_spark.analytics import aggregate_messages
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources import load_tpch_graph
+
+        snap = load_tpch_graph(spark, "/root/testdata/sf0.001")
+        res = aggregate_messages(
+            snap,
+            {"n_msgs": F.count, "min_nbr": F.min},
+            msg_to_dst=F.col("src.id"),
+            msg_to_src=F.col("dst.id"),
+        )
+        plan = executed_plan(res)
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+        assert "partial_count" in plan or "partial_min" in plan
+
+    def test_pack_sequences_single_shard_shuffle(self, spark):
+        """Packing shuffles once on the shard key; everything before the
+        window (token count, shard assignment) is narrow."""
+        from hgraphstorage_spark.pipeline.sampling import pack_sequences
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(pack_sequences(docs))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange SinglePartition" not in plan
+        assert "Join" not in plan

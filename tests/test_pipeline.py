@@ -628,3 +628,33 @@ class TestDedupClusters:
         assert not got[2]["keep"] and not got[3]["keep"] and not got[5]["keep"]
         # singleton keeps itself
         assert got[5]["cluster"] == 4  # 5 joined 4's cluster
+
+
+class TestPackSequences:
+    def test_packing_layout(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "d e"), (3, "f g h i")], "doc_id long, text string"
+        )
+        # single shard (0 hex chars = constant '') → one global stream
+        rows = {
+            r["doc_id"]: r
+            for r in pack_sequences(docs, max_tokens=4, shard_chars=0).collect()
+        }
+        # layout by doc_id order: doc1 tokens [0,3), doc2 [3,5), doc3 [5,9)
+        assert (rows[1]["seq_id"], rows[1]["tok_offset"]) == (0, 0)
+        assert (rows[2]["seq_id"], rows[2]["tok_offset"]) == (0, 3)
+        assert (rows[3]["seq_id"], rows[3]["tok_offset"]) == (1, 1)
+        assert rows[3]["n_tokens"] == 4
+
+    def test_sharding_is_deterministic_and_partitioned(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import pack_sequences
+
+        docs = spark.createDataFrame([(i, "w " * 5) for i in range(100)], "doc_id long, text string")
+        a = {(r["doc_id"], r["shard"], r["seq_id"], r["tok_offset"])
+             for r in pack_sequences(docs).collect()}
+        b = {(r["doc_id"], r["shard"], r["seq_id"], r["tok_offset"])
+             for r in pack_sequences(docs.repartition(7)).collect()}
+        assert a == b  # layout independent of input partitioning
+        assert len({s for (_, s, _, _) in a}) > 1  # really sharded
