@@ -62,6 +62,8 @@ def connected_components(snap: GraphSnapshot, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # lazy checkpoint: the convergence count below is the materializing
+        # action, so each round runs one job, not two (eager + count)
         updated = (
             comp.join(nbr_min, "id", "left")
             .select(
@@ -71,7 +73,7 @@ def connected_components(snap: GraphSnapshot, max_iter: int = 50) -> DataFrame:
                 ),
                 "component",
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = updated.filter(F.col("new_component") < F.col("component")).limit(1).count()
         comp = updated.select("id", F.col("new_component").alias("component"))
         if changed == 0:
@@ -356,11 +358,11 @@ def shortest_paths(
             .distinct()
             .join(visited.select("id", "landmark"), ["id", "landmark"], "left_anti")
             .select("id", "landmark", F.lit(hop).alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the count below
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     edges.unpersist()
     return visited
@@ -420,11 +422,11 @@ def bfs(snap: GraphSnapshot, source_id: int, max_hops: int = 10, labels: tuple =
             .distinct()
             .join(visited, "id", "left_anti")
             .select("id", F.lit(hop).alias("hops"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the count below
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
     edges.unpersist()
     return visited
@@ -459,7 +461,7 @@ def k_core(snap: GraphSnapshot, k: int = 3, max_rounds: int = 100) -> DataFrame:
             .unionAll(e.select(F.col("b").alias("id")))
             .groupBy("id")
             .agg(F.count(F.lit(1)).alias("deg"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by the count below
         )
         bad = deg.filter(F.col("deg") < k).select("id")
         if bad.limit(1).count() == 0:
@@ -467,7 +469,7 @@ def k_core(snap: GraphSnapshot, k: int = 3, max_rounds: int = 100) -> DataFrame:
         e = (
             e.join(bad.withColumnRenamed("id", "a"), "a", "left_anti")
             .join(bad.withColumnRenamed("id", "b"), "b", "left_anti")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)  # materialized by next round's count
         )
     return deg
 
