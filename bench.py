@@ -64,6 +64,19 @@ def main() -> None:
     spark.range(64).repartition(32).groupBy("id").applyInPandas(
         lambda p: p, "id long"
     ).write.format("noop").mode("overwrite").save()
+    # run every headline query once at the smallest SF (not timed): first
+    # execution pays whole-stage-codegen javac + JIT + cogroup-worker
+    # spin-up, one-time costs a long-lived cluster amortizes away
+    # (criterion warms the reference's benchmarks the same way). The
+    # generated-code cache keys on the code string, so the sf0.001 pass
+    # warms exactly the classes the timed sf0.1 pass runs; Catalyst
+    # planning of the sf0.1 plans is NOT cached and stays in the timings.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            _execute(queries[name](spark, warm_dir))
+        except Exception:
+            pass  # a warm-up failure must not kill the benchmark
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
