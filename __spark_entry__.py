@@ -897,6 +897,20 @@ def q_agg_messages(spark, sf_dir):
     return res.filter(F.col("id") < 3 * 10**12)
 
 
+def q_random_walks(spark, sf_dir):
+    """Deterministic random walks (DeepWalk corpus step) from every 50th
+    customer: Customer →placed→ Order →contains→ Part →suppliedBy→
+    Supplier, successor chosen by min md5(walk:step:nbr). Oracle unrolls
+    the same 3 steps."""
+    from hgraphstorage_spark.analytics import random_walks
+
+    snap = _graph(spark, sf_dir)
+    starts = snap.nodes.filter(
+        (F.col("label") == "Customer") & (F.col("id") % 50 == 0)
+    ).select("id")
+    return random_walks(snap, starts, walk_len=3)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (2048-token windows, 16
     hash-shards): where every document lands in the packed LM training
@@ -1147,6 +1161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "agg_messages": q_agg_messages,
         "pack_sequences": q_pack_sequences,
+        "random_walks": q_random_walks,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -1921,6 +1936,45 @@ def _dedup_clusters_oracle_sql(rounds: int) -> str:
     )
 
 
+def _random_walks_oracle_sql(steps: int) -> str:
+    """Unrolled-SQL oracle for deterministic random walks: per step, the
+    min-(md5, dst) successor via row_number. Tie-break parity: Spark's
+    ``min(struct(md5, dst))`` == ``ORDER BY md5, dst`` rn=1."""
+    ctes = [
+        """e AS (
+          SELECT (3000000000000 + c_custkey)::BIGINT AS src, (2000000000000 + c_nationkey)::BIGINT AS dst FROM customer
+          UNION ALL SELECT (4000000000000 + s_suppkey)::BIGINT, (2000000000000 + s_nationkey)::BIGINT FROM supplier
+          UNION ALL SELECT (2000000000000 + n_nationkey)::BIGINT, (1000000000000 + n_regionkey)::BIGINT FROM nation
+          UNION ALL SELECT (3000000000000 + o_custkey)::BIGINT, (6000000000000 + o_orderkey)::BIGINT FROM orders
+          UNION ALL SELECT (6000000000000 + l_orderkey)::BIGINT, (5000000000000 + l_partkey)::BIGINT FROM lineitem
+          UNION ALL SELECT (5000000000000 + l_partkey)::BIGINT, (4000000000000 + l_suppkey)::BIGINT FROM lineitem
+        )""",
+        """s0 AS (
+          SELECT (3000000000000 + c_custkey)::BIGINT AS walk_id,
+                 (3000000000000 + c_custkey)::BIGINT AS node
+          FROM customer WHERE c_custkey % 50 = 0
+        )""",
+    ]
+    for r in range(1, steps + 1):
+        p = r - 1
+        ctes.append(
+            f"""s{r} AS (
+              SELECT walk_id, dst AS node FROM (
+                SELECT s{p}.walk_id, e.dst,
+                       row_number() OVER (
+                         PARTITION BY s{p}.walk_id
+                         ORDER BY md5(s{p}.walk_id::VARCHAR || ':walk:{r}:' || e.dst::VARCHAR), e.dst
+                       ) AS rn
+                FROM s{p} JOIN e ON e.src = s{p}.node
+              ) WHERE rn = 1
+            )"""
+        )
+    finals = ["SELECT walk_id, 0::INT AS step, node FROM s0"] + [
+        f"SELECT walk_id, {r}::INT AS step, node FROM s{r}" for r in range(1, steps + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
 def _lpa_oracle_sql(rounds: int) -> str:
     """Unrolled-SQL oracle for deterministic synchronous LPA over the
     location subgraph (same technique as the kmeans/k-core oracles): one
@@ -1984,6 +2038,7 @@ def oracle_sql() -> dict[str, str]:
     sql["k_core"] = _k_core_oracle_sql(3, 6)
     sql["label_propagation"] = _lpa_oracle_sql(3)
     sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
+    sql["random_walks"] = _random_walks_oracle_sql(3)
     # generated from the same threshold helper the Spark operator uses, so
     # the two sides cannot drift
     from hgraphstorage_spark.pipeline.sampling import hash_split_case_sql

@@ -520,3 +520,54 @@ def aggregate_messages(
     return inbox.groupBy("id").agg(
         *[fn(F.col("msg")).alias(name) for name, fn in agg_exprs.items()]
     )
+
+
+def random_walks(
+    snap: GraphSnapshot,
+    start_nodes: DataFrame,
+    walk_len: int = 3,
+    labels: tuple = (),
+    salt: str = "walk",
+) -> DataFrame:
+    """Graph sampling by deterministic random walks (the DeepWalk/node2vec
+    corpus-generation step, with the RNG replaced by a content hash so
+    runs are reproducible and engine-verifiable). One walk per start
+    node; at each step the walker moves to the out-neighbor minimizing
+    md5(walk_id:step:neighbor) — a uniform-ish choice that needs no
+    seeded RNG state, is independent of partitioning, and unrolls to SQL.
+    Walks at a sink node simply stop. Returns (walk_id, step, node),
+    step 0 = the start node.
+
+    Shape at scale: per step one equi-join frontier↔edges (frontier
+    shrinks or holds; edges scanned via the src-keyed join) and one
+    min-by aggregate keyed by walk_id. No windows, no driver loops;
+    walk_len is the only sequential dimension."""
+    edges = snap.edges
+    if labels:
+        edges = edges.filter(F.col("label").isin(list(labels)))
+    edges = edges.select("src", "dst")
+    frontier = start_nodes.select(
+        F.col("id").alias("walk_id"), F.col("id").alias("node")
+    )
+    out = [frontier.select("walk_id", F.lit(0).alias("step"), "node")]
+    for step in range(1, walk_len + 1):
+        score = F.md5(
+            F.concat(
+                F.col("walk_id").cast("string"),
+                F.lit(f":{salt}:{step}:"),
+                F.col("dst").cast("string"),
+            )
+        )
+        picked = (
+            frontier.join(edges, frontier.node == edges.src)
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(score.alias("s"), F.col("dst").alias("d"))).alias("c"))
+            .select("walk_id", F.col("c.d").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        out.append(picked.select("walk_id", F.lit(step).alias("step"), "node"))
+        frontier = picked
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionAll(part)
+    return res

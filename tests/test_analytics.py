@@ -264,3 +264,50 @@ class TestAggregateMessages:
         )
         with _pytest.raises(ValueError):
             aggregate_messages(snap, {"n": F.count})
+
+
+class TestRandomWalks:
+    def test_walks_are_deterministic_and_stop_at_sinks(self, spark):
+        from hgraphstorage_spark.analytics import random_walks
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame(
+            [(1, "A"), (2, "A"), (3, "A"), (4, "A")], "id long, label string"
+        )
+        # 1 -> {2, 3}; 2 -> 4; 3 and 4 are sinks
+        edges = spark.createDataFrame(
+            [(10, 1, 2, "e"), (11, 1, 3, "e"), (12, 2, 4, "e")],
+            "id long, src long, dst long, label string",
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        starts = nodes.filter(F.col("id") == 1).select("id")
+        a = {(r["walk_id"], r["step"], r["node"]) for r in random_walks(snap, starts, walk_len=3).collect()}
+        b = {(r["walk_id"], r["step"], r["node"]) for r in random_walks(snap, starts, walk_len=3).collect()}
+        assert a == b  # fully deterministic
+        steps = sorted((s, n) for (_, s, n) in a)
+        assert steps[0] == (0, 1)
+        # whatever branch the hash picks, a sink is reached and the walk
+        # emits no rows past it
+        assert len(a) <= 4
+        nodes_at = {s: n for (_, s, n) in a}
+        if nodes_at[1] == 3:
+            assert 2 not in {s for (_, s, _) in a}  # stopped at sink 3
+        else:
+            assert nodes_at[1] == 2 and nodes_at[2] == 4
+
+    def test_salt_changes_choices_but_not_start(self, spark):
+        from hgraphstorage_spark.analytics import random_walks
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(i, "A") for i in range(1, 12)], "id long, label string")
+        edges = spark.createDataFrame(
+            [(100 + i, 1, i, "e") for i in range(2, 12)],
+            "id long, src long, dst long, label string",
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        starts = nodes.filter(F.col("id") == 1).select("id")
+        picks = set()
+        for salt in ("a", "b", "c", "d"):
+            rows = random_walks(snap, starts, walk_len=1, salt=salt).collect()
+            picks.add({r["step"]: r["node"] for r in rows}[1])
+        assert len(picks) > 1  # different salts explore different branches
