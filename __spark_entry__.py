@@ -945,6 +945,24 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: events joined to the customer dimension
+    (broadcast — the stream side never shuffles), revenue per market
+    segment × event type. Same plan batch or streaming (stream==batch
+    parity in tests/test_streaming.py)."""
+    from hgraphstorage_spark.streaming import enrich_with_dimension, load_events
+
+    ev = load_events(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enr = enrich_with_dimension(ev, cust, on="user_id")
+    return enr.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     from hgraphstorage_spark.streaming import load_events, sessionize
 
@@ -1165,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "stream_enrich": q_stream_enrich,
         "sessionize": q_sessionize,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
@@ -1581,6 +1600,13 @@ FROM scored
                    count(*)::BIGINT AS n_events,
                    sum(CAST(value AS DECIMAL(18,2))) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "stream_enrich": """
+            SELECT c_mktsegment, event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2
         """,
         "sessionize": """
             WITH ev AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value FROM events),

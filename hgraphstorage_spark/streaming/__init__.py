@@ -6,10 +6,11 @@ from hgraphstorage_spark.streaming.ingest import (
     sessionize,
     stream_dedup,
 )
-from hgraphstorage_spark.streaming.joins import interval_join
+from hgraphstorage_spark.streaming.joins import enrich_with_dimension, interval_join
 from hgraphstorage_spark.streaming.stateful import running_label_counts
 
 __all__ = [
+    "enrich_with_dimension",
     "interval_join",
     "running_label_counts",
     "stream_dedup",

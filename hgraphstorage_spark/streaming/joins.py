@@ -55,3 +55,26 @@ def interval_join(
     cond = cond & rts.between(F.col(on) - F.expr(f"INTERVAL {lookback}"), F.col(on))
     joined = left.join(r, cond, how)
     return joined.drop(*[r[c] for c in by])
+
+
+def enrich_with_dimension(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    attributes to an event stream. The static side is re-planned per
+    micro-batch (so a refreshed dimension snapshot is picked up) and — as
+    a broadcast-eligible small side — joined without shuffling the
+    stream: at 100 TB/day of events the stream stays narrow and only the
+    dimension table moves. Works identically on batch DataFrames (same
+    plan, minus the micro-batch loop).
+
+    `dim_cols` selects which dimension attributes to carry (default: all
+    but the key). Stateless — no watermark needed, unlike stream-stream
+    joins (`interval_join`)."""
+    cols = dim_cols if dim_cols is not None else [c for c in dim.columns if c != on]
+    small = dim.select(on, *cols)
+    return events.join(F.broadcast(small), on, how)

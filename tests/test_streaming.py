@@ -339,3 +339,57 @@ class TestIntervalJoin:
             for r in interval_join(left, right, how="left_outer").collect()
         }
         assert out == {1: 10, 2: None}
+
+
+class TestStreamStaticEnrich:
+    def test_stream_equals_batch(self, spark, tmpdir):
+        """Stream-static enrichment must match the batch join, and the
+        static side must broadcast (the stream side never shuffles for
+        the join)."""
+        from hgraphstorage_spark.streaming import enrich_with_dimension, load_events
+
+        batch = load_events(spark, "/root/testdata/sf0.001")
+        batch.repartition(3).write.mode("overwrite").parquet(f"{tmpdir}/events")
+        dim = (
+            spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        )
+
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/events")
+        )
+        q = (
+            enrich_with_dimension(stream, dim, on="user_id")
+            .writeStream.format("memory")
+            .queryName("enrich_out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_enrich")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        got = bag(spark.table("enrich_out").select("event_id", "user_id", "c_mktsegment"))
+        want = bag(
+            enrich_with_dimension(batch, dim, on="user_id").select(
+                "event_id", "user_id", "c_mktsegment"
+            )
+        )
+        assert got == want
+
+    def test_dimension_broadcasts(self, spark):
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.streaming import enrich_with_dimension, load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        dim = (
+            spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        )
+        plan = executed_plan(enrich_with_dimension(ev, dim, on="user_id"))
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # stream side stays narrow
