@@ -761,6 +761,13 @@ def q_quality_filter(spark, sf_dir):
     return quality_filter(_t(spark, sf_dir, "documents"))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM quality score per document (CCNet-style signal)."""
+    from hgraphstorage_spark.pipeline.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_similarity_topk(spark, sf_dir):
     from hgraphstorage_spark.pipeline import cosine_topk
 
@@ -1164,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "unigram_logprob": q_unigram_logprob,
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
         "label_centroids": q_label_centroids,
@@ -1647,6 +1655,19 @@ FROM scored
             JOIN sizes sa ON inter.doc_a = sa.doc_id
             JOIN sizes sb ON inter.doc_b = sb.doc_id
             WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.5
+        """,
+        "unigram_logprob": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              FROM documents
+            ),
+            t AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
+            vocab AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+            tot AS (SELECT sum(c) AS n FROM vocab)
+            SELECT doc_id,
+                   CAST(round(avg(ln(c::DOUBLE / n)), 6) AS DECIMAL(18,6)) AS mean_logprob
+            FROM t JOIN vocab USING (tok), tot
+            GROUP BY doc_id
         """,
         "vocab_topk": r"""
             WITH toks AS (

@@ -279,3 +279,29 @@ def chunk_dedup(
             ).alias("text_dedup"),
         )
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-unigram language-model score per document (the CCNet-style
+    quality signal, with the external LM replaced by the corpus's own
+    unigram distribution): mean over tokens of ln P(token), P estimated
+    from corpus counts. Atypical/garbage documents score low. Returns
+    (doc_id, mean_logprob DECIMAL(18,6), rounded for engine-exact
+    reproducibility).
+
+    Shape at scale: one token explode feeding two aggregates — the vocab
+    count (token-keyed shuffle, partial-aggregated) and the per-doc mean
+    (doc-keyed). The vocab and its scalar total are broadcast back onto
+    the token stream, so the corpus-sized side is never shuffled twice."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = toks.join(F.broadcast(vocab), "tok").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6)
+        .cast("decimal(18,6)")
+        .alias("mean_logprob")
+    )

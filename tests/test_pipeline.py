@@ -658,3 +658,19 @@ class TestPackSequences:
              for r in pack_sequences(docs.repartition(7)).collect()}
         assert a == b  # layout independent of input partitioning
         assert len({s for (_, s, _, _) in a}) > 1  # really sharded
+
+
+class TestUnigramLogprob:
+    def test_repeated_common_token_scores_higher(self, spark):
+        from hgraphstorage_spark.pipeline.text import unigram_logprob
+
+        # corpus: 'a' appears 4/6 times, 'b' and 'z' once each
+        docs = spark.createDataFrame(
+            [(1, "a a a"), (2, "a b"), (3, "z")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: float(r["mean_logprob"]) for r in unigram_logprob(docs).collect()}
+        import math
+
+        assert abs(got[1] - round(math.log(4 / 6), 6)) < 1e-6
+        assert abs(got[3] - round(math.log(1 / 6), 6)) < 1e-6
+        assert got[1] > got[2] > got[3]  # common-word doc scores highest
