@@ -904,6 +904,21 @@ def q_agg_messages(spark, sf_dir):
     return res.filter(F.col("id") < 3 * 10**12)
 
 
+def q_scc(spark, sf_dir):
+    """Strongly connected components (forward-coloring / backward-marking)
+    over the synthetic Hackage dependency graph at 20 packages — the
+    package↔version dependency cycles form one giant SCC plus singleton
+    versions. sf-independent (the generator is deterministic); the oracle
+    computes TRUE SCCs via a DuckDB recursive-CTE transitive closure, so
+    this checks the fixpoint algorithm against an independent definition
+    of the answer, not an unrolled copy of itself."""
+    from hgraphstorage_spark.analytics import strongly_connected_components
+    from hgraphstorage_spark.sources.hackage import load_hackage_graph
+
+    snap = load_hackage_graph(spark, n_packages=20)
+    return strongly_connected_components(snap)
+
+
 def q_random_walks(spark, sf_dir):
     """Deterministic random walks (DeepWalk corpus step) from every 50th
     customer: Customer →placed→ Order →contains→ Part →suppliedBy→
@@ -1188,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_messages": q_agg_messages,
         "pack_sequences": q_pack_sequences,
         "random_walks": q_random_walks,
+        "scc": q_scc,
         "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
@@ -1421,6 +1437,36 @@ FROM scored
               SELECT ({R} + n_regionkey)::BIGINT, count(*)
               FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_regionkey
             ) GROUP BY landmark
+        """,
+        "scc": """
+            WITH RECURSIVE
+            pkgs AS (SELECT unnest(generate_series(0, 19)) AS i),
+            v AS (SELECT i, unnest(generate_series(0, CASE WHEN i = 0 THEN 119 ELSE (i*i) % 113 END)) AS j FROM pkgs),
+            e AS (
+              SELECT (1000000000 + i)::BIGINT AS src, (2000000000 + i*256 + j)::BIGINT AS dst FROM v
+              UNION ALL
+              SELECT (2000000000 + i*256 + j)::BIGINT, (1000000000 + (i*31 + j) % 20)::BIGINT
+              FROM v WHERE (i*31 + j) % 20 <> i
+            ),
+            n AS (
+              SELECT (1000000000 + i)::BIGINT AS id FROM pkgs
+              UNION ALL
+              SELECT (2000000000 + i*256 + j)::BIGINT FROM v
+            ),
+            reach AS (
+              SELECT src AS a, dst AS b FROM e
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+            ),
+            mutual AS (
+              SELECT r1.a AS id, r1.b AS m
+              FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT id, min(m)::BIGINT AS scc FROM (
+              SELECT id, id AS m FROM n
+              UNION ALL
+              SELECT id, m FROM mutual
+            ) GROUP BY id
         """,
         "hackage_one_step": "SELECT 120::BIGINT AS n_versions",
         "hackage_depends_top": """

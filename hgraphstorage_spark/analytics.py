@@ -571,3 +571,75 @@ def random_walks(
     for part in out[1:]:
         res = res.unionAll(part)
     return res
+
+
+def strongly_connected_components(
+    snap: GraphSnapshot, max_outer: int = 20, max_prop: int = 50
+) -> DataFrame:
+    """Strongly connected components of the directed graph by the
+    forward-coloring / backward-marking algorithm (Orzan 2004; the shape
+    GraphX's SCC uses). Returns (id, scc) with scc = min node id of the
+    component.
+
+    Outer round: (1) propagate ``color = max id of any node that can
+    reach v`` forward to fixpoint — O(diameter) rounds of one join + one
+    max-aggregate; (2) each color class has exactly one root (color(r)=r);
+    mark everything that reaches its root backward *within its color
+    class* — those marked form whole SCCs; (3) assign, remove, repeat on
+    the residual. Every step is an id-keyed join/agg (partial-aggregated,
+    skew bounded by in-degree); per-round state is localCheckpointed with
+    the convergence count as the materializing action."""
+    spark = snap.nodes.sparkSession
+    edges_all = snap.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    remaining = snap.nodes.select("id").localCheckpoint()
+    assigned = spark.createDataFrame([], "id long, scc long")
+    for _ in range(max_outer):
+        if remaining.limit(1).count() == 0:
+            break
+        e = (
+            edges_all.join(remaining.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(remaining.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        # (1) forward max-color propagation to fixpoint
+        color = remaining.select("id", F.col("id").alias("color"))
+        for _p in range(max_prop):
+            pushed = (
+                e.join(color.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.max("c_src").alias("c_in"))
+            )
+            nxt = (
+                color.join(pushed, "id", "left")
+                .select(
+                    "id",
+                    F.greatest(F.col("color"), F.coalesce("c_in", F.col("color"))).alias("new_color"),
+                    "color",
+                )
+                .localCheckpoint(eager=False)
+            )
+            changed = nxt.filter(F.col("new_color") != F.col("color")).limit(1).count()
+            color = nxt.select("id", F.col("new_color").alias("color"))
+            if changed == 0:
+                break
+        # (2) backward marking from each root within its color class
+        marked = color.filter(F.col("id") == F.col("color")).localCheckpoint()
+        while True:
+            pre = (
+                e.join(marked.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"), "color")
+                .distinct()
+                .join(color.withColumnRenamed("color", "own_color"), "id")
+                .filter(F.col("own_color") == F.col("color"))
+                .select("id", "color")
+                .join(marked, "id", "left_anti")
+                .localCheckpoint(eager=False)
+            )
+            if pre.limit(1).count() == 0:
+                break
+            marked = marked.unionAll(pre).localCheckpoint(eager=False)
+        # (3) an SCC's members share the root's color; scc id = min member id
+        scc_min = marked.groupBy("color").agg(F.min("id").alias("scc"))
+        assigned = assigned.unionAll(marked.join(scc_min, "color").select("id", "scc")).localCheckpoint()
+        remaining = remaining.join(marked.select("id"), "id", "left_anti").localCheckpoint()
+    return assigned

@@ -311,3 +311,39 @@ class TestRandomWalks:
             rows = random_walks(snap, starts, walk_len=1, salt=salt).collect()
             picks.add({r["step"]: r["node"] for r in rows}[1])
         assert len(picks) > 1  # different salts explore different branches
+
+
+class TestStronglyConnectedComponents:
+    def test_cycles_bridge_singleton(self, spark):
+        from hgraphstorage_spark.analytics import strongly_connected_components
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(i, "N") for i in range(1, 8)], "id long, label string")
+        edges = spark.createDataFrame(
+            [
+                (10, 1, 2, "e"), (11, 2, 3, "e"), (12, 3, 1, "e"),  # SCC {1,2,3}
+                (13, 3, 4, "e"),                                     # bridge (no merge)
+                (14, 4, 5, "e"), (15, 5, 4, "e"),                    # SCC {4,5}
+                (16, 6, 1, "e"),                                     # 6 feeds the cycle, stays singleton
+                (17, 7, 7, "e"),                                     # self-loop only
+            ],
+            "id long, src long, dst long, label string",
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        got = {r["id"]: r["scc"] for r in strongly_connected_components(snap).collect()}
+        assert got[1] == got[2] == got[3] == 1
+        assert got[4] == got[5] == 4
+        assert got[6] == 6 and got[7] == 7
+
+    def test_dag_is_all_singletons(self, spark):
+        from hgraphstorage_spark.analytics import strongly_connected_components
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(i, "N") for i in range(1, 6)], "id long, label string")
+        edges = spark.createDataFrame(
+            [(10 + i, i, i + 1, "e") for i in range(1, 5)],
+            "id long, src long, dst long, label string",
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        got = {r["id"]: r["scc"] for r in strongly_connected_components(snap).collect()}
+        assert got == {i: i for i in range(1, 6)}
