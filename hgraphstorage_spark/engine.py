@@ -238,3 +238,25 @@ class GraphEngine:
     def traverse(self, t: Traversal, version: int | None = None) -> TraversalResult:
         snap = self.current if version is None else self.snapshot_at(version)
         return compile_traversal(snap, t)
+
+    def register_views(self, prefix: str = "graph", version: int | None = None) -> None:
+        """Expose the (pinned) snapshot as SQL temp views —
+        ``{prefix}_nodes`` / ``{prefix}_edges`` / ``{prefix}_props`` — so
+        the whole Spark SQL surface works over the graph directly
+        (``spark.sql("SELECT label, count(*) FROM graph_nodes GROUP BY
+        label")``). Views capture the snapshot's lazy plan, so Catalyst
+        still prunes/pushes down through them; re-register after commits
+        to move the views forward (MVCC: a registered view is a pinned
+        read, like any snapshot reference)."""
+        snap = self.current if version is None else self.snapshot_at(version)
+        snap.nodes.createOrReplaceTempView(f"{prefix}_nodes")
+        snap.edges.createOrReplaceTempView(f"{prefix}_edges")
+        if snap.props is not None:
+            snap.props.createOrReplaceTempView(f"{prefix}_props")
+
+    def sql(self, query: str, prefix: str = "graph", version: int | None = None):
+        """Run a SQL query against the snapshot's views (registering them
+        first). The HGraphStorage surface is programmatic (Traversal /
+        query_step); this is the Spark-native extension of it."""
+        self.register_views(prefix=prefix, version=version)
+        return self.spark.sql(query)

@@ -159,3 +159,35 @@ class TestTraversalOverMutations:
         movie_engine.commit()
         res = movie_engine.traverse(T().nid(1).out("Played").values("name"))
         assert bag(res.df.select("value")) == [("Forrest Gump",)]
+
+
+class TestSqlSurface:
+    def test_views_and_sql(self, movie_engine):
+        got = {
+            r["label"]: r["n"]
+            for r in movie_engine.sql(
+                "SELECT label, count(*) AS n FROM graph_nodes GROUP BY label"
+            ).collect()
+        }
+        assert got == {"Actor": 1, "Movie": 2}
+        joined = movie_engine.sql(
+            """SELECT n2.id AS movie_id
+               FROM graph_edges e
+               JOIN graph_nodes n1 ON e.src = n1.id
+               JOIN graph_nodes n2 ON e.dst = n2.id
+               WHERE n1.label = 'Actor' AND e.label = 'Played'"""
+        )
+        assert {r["movie_id"] for r in joined.collect()} == {2, 3}
+
+    def test_views_pin_a_version(self, movie_engine):
+        v = movie_engine.versions[-1]
+        movie_engine.delete_nodes([1])
+        movie_engine.commit()
+        # pinned old version still sees the actor
+        n_old = movie_engine.sql(
+            "SELECT count(*) AS n FROM graph_nodes WHERE label = 'Actor'", version=v
+        ).collect()[0]["n"]
+        n_new = movie_engine.sql(
+            "SELECT count(*) AS n FROM graph_nodes WHERE label = 'Actor'"
+        ).collect()[0]["n"]
+        assert (n_old, n_new) == (1, 0)
