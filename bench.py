@@ -28,10 +28,12 @@ HEADLINE = [
     "tpch_q3_like",          # 3-way join + top-k
     "tpch_q5_like",          # 4-way join + agg
     "dedup_exact",           # hash-agg dedup over documents
+    "chunk_dedup",           # C4-style chunk-level dedup + reassembly
     "minhash_lsh_pairs",     # shingle -> minhash -> band join -> verify
     "embed_near_dup",        # blocked-GEMM all-pairs cosine + exact verify
     "similarity_topk",       # brute-force cosine top-k
     "events_hourly",         # windowed agg
+    "stream_enrich",         # broadcast stream-static enrichment join
     "sessionize",            # session windows
     "degrees",               # graph degree agg
     "connected_components",  # iterative Pregel-style loop
