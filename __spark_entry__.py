@@ -985,6 +985,24 @@ def q_stream_enrich(spark, sf_dir):
     )
 
 
+def q_events_json(spark, sf_dir):
+    """JSON property querying (the DTJSON value type the reference stores
+    opaquely — STMGraph Types.hs:214-215 — here actually queryable):
+    schema'd from_json extraction stays in whole-stage codegen, no UDF."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), StructType([StructField("k", IntegerType())]))["k"]
+    return (
+        ev.select((k % 10).alias("k_mod"), F.col("value"))
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     from hgraphstorage_spark.streaming import load_events, sessionize
 
@@ -1208,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "stream_enrich": q_stream_enrich,
+        "events_json": q_events_json,
         "sessionize": q_sessionize,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
@@ -1654,6 +1673,12 @@ FROM scored
                    count(*)::BIGINT AS n_events,
                    sum(CAST(value AS DECIMAL(18,2))) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_json": """
+            SELECT (json_extract(props, '$.k')::INT) % 10 AS k_mod,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+            FROM events GROUP BY 1
         """,
         "stream_enrich": """
             SELECT c_mktsegment, event_type,
