@@ -347,3 +347,37 @@ class TestStronglyConnectedComponents:
         snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
         got = {r["id"]: r["scc"] for r in strongly_connected_components(snap).collect()}
         assert got == {i: i for i in range(1, 6)}
+
+    @pytest.mark.parametrize("seed", [7, 23, 99])
+    def test_matches_bruteforce_on_random_digraphs(self, spark, seed):
+        """Cross-check against an independent definition: mutual
+        reachability via Python Floyd-Warshall on seeded random digraphs."""
+        import random
+
+        from hgraphstorage_spark.analytics import strongly_connected_components
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        rng = random.Random(seed)
+        n = 8
+        edge_list = [(a, b) for a in range(1, n + 1) for b in range(1, n + 1)
+                     if a != b and rng.random() < 0.25]
+        reach = {(a, b) for (a, b) in edge_list}
+        for k in range(1, n + 1):
+            for a in range(1, n + 1):
+                for b in range(1, n + 1):
+                    if (a, k) in reach and (k, b) in reach:
+                        reach.add((a, b))
+        want = {
+            v: min([v] + [u for u in range(1, n + 1)
+                          if (v, u) in reach and (u, v) in reach])
+            for v in range(1, n + 1)
+        }
+
+        nodes = spark.createDataFrame([(i, "N") for i in range(1, n + 1)], "id long, label string")
+        edges = spark.createDataFrame(
+            [(100 + i, a, b, "e") for i, (a, b) in enumerate(edge_list)],
+            "id long, src long, dst long, label string",
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        got = {r["id"]: r["scc"] for r in strongly_connected_components(snap).collect()}
+        assert got == want
