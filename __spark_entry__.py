@@ -526,6 +526,31 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(sub)
 
 
+def q_link_prediction(spark, sf_dir):
+    """Analytics: common-neighbor / Jaccard / Adamic-Adar link-prediction
+    scores over the package-level Hackage depends projection, top-50
+    candidate pairs (oracle: same wedge enumeration in SQL; AA terms are
+    per-row-rounded DECIMAL(28,12) so the sum is order-independent)."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import link_prediction
+    from hgraphstorage_spark.sources.hackage import PKG_BASE, VER_BASE, load_hackage_graph
+
+    snap = load_hackage_graph(spark, 1000)
+    dep = snap.edges.filter(F.col("label") == "depends").select(
+        F.col("id"),
+        (F.floor((F.col("src") - VER_BASE) / 256) + PKG_BASE).cast("long").alias("src"),
+        F.col("dst"),
+        F.lit("pkg_depends").alias("label"),
+    )
+    sub = replace(snap, nodes=snap.nodes.filter(F.col("label") == "Package"), edges=dep)
+    return (
+        link_prediction(sub)
+        .orderBy(F.col("common_neighbors").desc(), F.col("adamic_adar").desc(), "u", "v")
+        .limit(50)
+    )
+
+
 def q_shortest_paths(spark, sf_dir):
     """Analytics: multi-source BFS distances to every Region landmark over
     the undirected location subgraph, reported as (landmark, dist) sizes."""
@@ -1179,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bfs": q_bfs,
         "triangle_count": q_triangle_count,
+        "link_prediction": q_link_prediction,
         "k_core": q_k_core,
         "personalized_pagerank": q_personalized_pagerank,
         "shortest_paths": q_shortest_paths,
@@ -1443,6 +1469,30 @@ FROM scored
             cnt AS (SELECT n, count(*) AS t FROM roles GROUP BY n)
             SELECT (1000000000 + i)::BIGINT AS id, COALESCE(t, 0)::BIGINT AS triangles
             FROM pkgs LEFT JOIN cnt ON n = i
+        """,
+        "link_prediction": """
+            WITH pkgs AS (SELECT unnest(generate_series(0, 999)) AS i),
+            vv AS (SELECT i, unnest(generate_series(0, CASE WHEN i = 0 THEN 119 ELSE (i*i) % 113 END)) AS j FROM pkgs),
+            und AS (SELECT DISTINCT least(i, (i*31 + j) % 1000) AS u, greatest(i, (i*31 + j) % 1000) AS v
+                    FROM vv WHERE (i*31 + j) % 1000 <> i),
+            adj AS (SELECT u AS w, v AS n FROM und UNION ALL SELECT v AS w, u AS n FROM und),
+            deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+            adjt AS (SELECT a.w, a.n, CAST(round(1.0/ln(d.deg), 12) AS DECIMAL(28,12)) AS aa
+                     FROM adj a JOIN deg d ON a.w = d.w),
+            wedges AS (SELECT a1.n AS u, a2.n AS v, a1.aa
+                       FROM adjt a1 JOIN adjt a2 ON a1.w = a2.w AND a1.n < a2.n),
+            scores AS (SELECT u, v, count(*) AS common_neighbors,
+                              CAST(sum(aa) AS DECIMAL(28,12)) AS adamic_adar
+                       FROM wedges GROUP BY u, v),
+            cand AS (SELECT s.* FROM scores s
+                     WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = s.u AND e.v = s.v))
+            SELECT (1000000000 + c.u)::BIGINT AS u, (1000000000 + c.v)::BIGINT AS v,
+                   c.common_neighbors::BIGINT AS common_neighbors,
+                   CAST(round(c.common_neighbors * 1.0 / (du.deg + dv.deg - c.common_neighbors), 6)
+                        AS DECIMAL(18,6)) AS jaccard,
+                   c.adamic_adar
+            FROM cand c JOIN deg du ON du.w = c.u JOIN deg dv ON dv.w = c.v
+            ORDER BY common_neighbors DESC, adamic_adar DESC, u, v LIMIT 50
         """,
         "shortest_paths": f"""
             SELECT ({R} + r_regionkey)::BIGINT AS landmark, 0 AS dist, 1::BIGINT AS n_nodes FROM region

@@ -643,3 +643,67 @@ def strongly_connected_components(
         assigned = assigned.unionAll(marked.join(scc_min, "color").select("id", "scc")).localCheckpoint()
         remaining = remaining.join(marked.select("id"), "id", "left_anti").localCheckpoint()
     return assigned
+
+
+def link_prediction(
+    snap: GraphSnapshot, max_hub_degree: int | None = None
+) -> DataFrame:
+    """Common-neighbor link-prediction scores for every non-adjacent node
+    pair at distance 2 in the undirected simple graph: common-neighbor
+    count, Jaccard coefficient, and Adamic-Adar (sum over common
+    neighbors w of 1/ln deg(w)) — the classic unsupervised features for
+    edge-completion / recommendation training sets. A north-star
+    extension (the reference's only join-shaped ops are one-hop
+    traversals, SURVEY.md §2.3); semantics follow Liben-Nowell & Kleinberg
+    2003.
+
+    Returns (u, v, common_neighbors, jaccard, adamic_adar) with u < v.
+
+    Scale shape: wedge enumeration through the common neighbor w — one
+    self-join of the adjacency list keyed on w, then one (u, v)-keyed
+    aggregation; no per-pair set intersection. A hub of degree d emits
+    d^2/2 wedges, so at 100 TB pass ``max_hub_degree`` to drop
+    celebrity-node wedge centers (standard practice: a common neighbor
+    of degree 10^7 contributes 1/ln(10^7) ~= 0.06 signal but 10^14
+    wedges); exact by default so the oracle can reproduce it.
+
+    Determinism: each Adamic-Adar term 1/ln(deg) is rounded to 12 decimal
+    places and summed as DECIMAL(28,12) — the one rounding happens on a
+    per-row double (bit-identical everywhere) and the decimal sum is
+    exact, so the result is independent of partitioning / summation
+    order. Jaccard is a single double division rounded to 6.
+    """
+    und = (
+        snap.edges.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = und.select(F.col("u").alias("w"), F.col("v").alias("n")).unionAll(
+        und.select(F.col("v").alias("w"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    centers = deg if max_hub_degree is None else deg.filter(F.col("deg") <= max_hub_degree)
+    term = F.round(F.lit(1.0) / F.log(F.col("deg")), 12).cast("decimal(28,12)")
+    adj_t = adj.join(centers.select("w", term.alias("aa_term")), "w")
+    a1, a2 = adj_t.alias("a1"), adj_t.alias("a2")
+    wedges = a1.join(a2, "w").filter(F.col("a1.n") < F.col("a2.n")).select(
+        F.col("a1.n").alias("u"), F.col("a2.n").alias("v"), F.col("a1.aa_term").alias("aa_term")
+    )
+    scores = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("aa_term").cast("decimal(28,12)").alias("adamic_adar"),
+    )
+    cand = scores.join(und, ["u", "v"], "left_anti")
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("dv"))
+    return cand.join(du, "u").join(dv, "v").select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round(
+            F.col("common_neighbors") / (F.col("du") + F.col("dv") - F.col("common_neighbors")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("jaccard"),
+        "adamic_adar",
+    )

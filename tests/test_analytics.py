@@ -381,3 +381,36 @@ class TestStronglyConnectedComponents:
         snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
         got = {r["id"]: r["scc"] for r in strongly_connected_components(snap).collect()}
         assert got == want
+
+
+class TestLinkPrediction:
+    def test_square_graph_scores(self, spark):
+        """Square 1-2-4-3-1: the two diagonals are the only distance-2
+        pairs; every degree is 2, so AA = 2/ln(2), jaccard = 1."""
+        from decimal import Decimal
+
+        from hgraphstorage_spark.analytics import link_prediction
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(4)])
+        eng.add_edges([(1, 2, "e", {}), (1, 3, "e", {}), (2, 4, "e", {}), (3, 4, "e", {})])
+        eng.commit()
+        rows = {(r["u"], r["v"]): r for r in link_prediction(eng.current).collect()}
+        assert set(rows) == {(1, 4), (2, 3)}
+        for r in rows.values():
+            assert r["common_neighbors"] == 2
+            assert r["jaccard"] == Decimal("1.000000")
+            # 2 * round(1/ln(2), 12)
+            assert r["adamic_adar"] == Decimal("2.885390081778")
+
+    def test_existing_edges_excluded_and_hub_cap(self, spark):
+        from hgraphstorage_spark.analytics import link_prediction
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(5)])
+        # star through hub 1 (deg 4): all leaf pairs are distance-2
+        eng.add_edges([(1, k, "e", {}) for k in (2, 3, 4, 5)])
+        eng.commit()
+        full = link_prediction(eng.current)
+        assert full.count() == 6  # C(4,2) leaf pairs; (1,k) pairs are edges
+        assert link_prediction(eng.current, max_hub_degree=3).count() == 0
