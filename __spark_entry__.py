@@ -983,6 +983,26 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synthetic_media(spark, 64), fake_decode=True)
 
 
+def q_range_join(spark, sf_dir):
+    """Banded range join: events bucketed into 50 value bands of width 10
+    via interval containment — planned as a hash equi-join on the band
+    bucket (asserted no-nested-loop in tests), not BroadcastNestedLoop.
+    Oracle: the naive BETWEEN theta join in DuckDB."""
+    from hgraphstorage_spark.operators import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(50).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    joined = range_join(ev, "value", bands, "lo", "hi", bucket_width=10.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from hgraphstorage_spark.streaming import events_tumbling_agg, load_events
 
@@ -1251,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
+        "range_join": q_range_join,
         "stream_enrich": q_stream_enrich,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
@@ -1718,6 +1739,14 @@ FROM scored
             GROUP BY label, i
         """,
         "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
+        "range_join": """
+            WITH bands AS (SELECT unnest(generate_series(0, 49)) AS band_id),
+            b AS (SELECT band_id, band_id * 10.0 AS lo, (band_id + 1) * 10.0 AS hi FROM bands)
+            SELECT b.band_id::BIGINT AS band_id, count(*)::BIGINT AS n_events,
+                   sum(CAST(e.value AS DECIMAL(18,2))) AS total_value
+            FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY b.band_id
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
                    count(*)::BIGINT AS n_events,

@@ -4,10 +4,12 @@ from hgraphstorage_spark.operators.bucketing import (
     read_bucketed,
     write_bucketed,
 )
+from hgraphstorage_spark.operators.rangejoin import range_join
 from hgraphstorage_spark.operators.skew import salted_count_by, salted_join
 
 __all__ = [
     "asof_join",
+    "range_join",
     "edges_by_dst",
     "read_bucketed",
     "salted_count_by",

@@ -133,3 +133,57 @@ class TestAsofJoin:
         out = asof_join(left, right, on="ts", by=["user_id"])
         assert out.count() == left.count()
         assert [c for c in left.columns if c not in out.columns] == []
+
+
+class TestRangeJoin:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        facts = spark.createDataFrame(
+            [(1, 0.5), (2, 9.99), (3, 10.0), (4, 25.0), (5, 99.0)], "fid long, p double"
+        )
+        # overlapping + gap intervals: [0,10), [5,15), [20,30)
+        intervals = spark.createDataFrame(
+            [(100, 0.0, 10.0), (200, 5.0, 15.0), (300, 20.0, 30.0)],
+            "iid long, lo double, hi double",
+        )
+        return facts, intervals
+
+    def test_matches_naive_theta_join(self, spark, frames):
+        from hgraphstorage_spark.operators import range_join
+
+        facts, intervals = frames
+        got = sorted(
+            (r["fid"], r["iid"])
+            for r in range_join(facts, "p", intervals, "lo", "hi", bucket_width=4.0).collect()
+        )
+        naive = sorted(
+            (r["fid"], r["iid"])
+            for r in facts.crossJoin(intervals)
+            .filter((F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+            .collect()
+        )
+        assert got == naive
+        # sanity on the semantics themselves: half-open boundary excluded,
+        # overlap duplicates, gap row absent
+        assert (3, 100) not in got and (3, 200) in got
+        assert got.count((2, 100)) == 1 and got.count((2, 200)) == 1
+        assert all(fid != 5 for fid, _ in got)
+
+    def test_left_outer_keeps_uncovered_facts(self, spark, frames):
+        from hgraphstorage_spark.operators import range_join
+
+        facts, intervals = frames
+        out = range_join(facts, "p", intervals, "lo", "hi", bucket_width=4.0, how="left_outer")
+        rows = {(r["fid"], r["iid"]) for r in out.collect()}
+        assert (5, None) in rows  # 99.0 covered by nothing
+        assert out.filter(F.col("fid") == 5).count() == 1
+        inner_n = range_join(facts, "p", intervals, "lo", "hi", bucket_width=4.0).count()
+        assert out.count() == inner_n + 1
+
+    def test_plans_as_equi_join_not_nested_loop(self, spark, frames):
+        from hgraphstorage_spark.operators import range_join
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        facts, intervals = frames
+        plan = executed_plan(range_join(facts, "p", intervals, "lo", "hi", bucket_width=4.0))
+        assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
