@@ -1003,6 +1003,34 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Canonical text normalization over documents: lowercase, strip
+    punctuation to spaces, collapse whitespace; md5 of the normalized
+    form is the exact-dedup key. Narrow map, no shuffle."""
+    from hgraphstorage_spark.pipeline.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalize_text(docs).select("doc_id", "n_chars_norm", "norm_md5")
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic negative edge sampling over the package-level
+    Hackage depends projection: 3 non-edge destinations per source via
+    an integer Weyl hash (oracle reproduces the draw exactly)."""
+    from hgraphstorage_spark.pipeline.sampling import negative_edge_sampling
+    from hgraphstorage_spark.sources.hackage import PKG_BASE, VER_BASE, load_hackage_graph
+
+    snap = load_hackage_graph(spark, 1000)
+    dep = snap.edges.filter(F.col("label") == "depends").select(
+        (F.floor((F.col("src") - VER_BASE) / 256) + PKG_BASE).cast("long").alias("src"),
+        F.col("dst"),
+    )
+    cands = spark.range(1000).select(
+        F.col("id").alias("cand_idx"), (F.col("id") + PKG_BASE).alias("cand_id")
+    )
+    return negative_edge_sampling(dep, cands, k=3, oversample=2)
+
+
 def q_events_hourly(spark, sf_dir):
     from hgraphstorage_spark.streaming import events_tumbling_agg, load_events
 
@@ -1272,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "events_hourly": q_events_hourly,
         "range_join": q_range_join,
+        "normalize_text": q_normalize_text,
+        "negative_sampling": q_negative_sampling,
         "stream_enrich": q_stream_enrich,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
@@ -1739,6 +1769,30 @@ FROM scored
             GROUP BY label, i
         """,
         "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
+        "normalize_text": """
+            SELECT doc_id, length(t)::BIGINT AS n_chars_norm, md5(t) AS norm_md5
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                             '\\s+', ' ', 'g')) AS t
+                  FROM documents)
+        """,
+        "negative_sampling": """
+            WITH pkgs AS (SELECT unnest(generate_series(0, 999)) AS i),
+            vv AS (SELECT i, unnest(generate_series(0, CASE WHEN i = 0 THEN 119 ELSE (i*i) % 113 END)) AS j FROM pkgs),
+            e AS (SELECT DISTINCT (1000000000 + i)::BIGINT AS src,
+                         (1000000000 + (i*31 + j) % 1000)::BIGINT AS dst
+                  FROM vv WHERE (i*31 + j) % 1000 <> i),
+            srcs AS (SELECT DISTINCT src FROM e),
+            tries AS (SELECT src, unnest(generate_series(0, 5)) AS i FROM srcs),
+            prop AS (SELECT src, i,
+                            1000000000 + ((src * 2654435761 + (i + 1) * 40503) % 1000) AS cand
+                     FROM tries),
+            ok AS (SELECT p.* FROM prop p WHERE p.cand <> p.src
+                   AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = p.src AND e.dst = p.cand)),
+            dedup AS (SELECT src, cand, min(i) AS i FROM ok GROUP BY src, cand),
+            ranked AS (SELECT src, cand, row_number() OVER (PARTITION BY src ORDER BY i) AS rank FROM dedup)
+            SELECT src, cand::BIGINT AS neg_dst, rank::BIGINT AS rank FROM ranked WHERE rank <= 3
+        """,
         "range_join": """
             WITH bands AS (SELECT unnest(generate_series(0, 49)) AS band_id),
             b AS (SELECT band_id, band_id * 10.0 AS lo, (band_id + 1) * 10.0 AS hi FROM bands)

@@ -226,3 +226,56 @@ def pack_sequences(
         F.floor(F.col("_start") / F.lit(max_tokens)).alias("seq_id"),
         (F.col("_start") % F.lit(max_tokens)).alias("tok_offset"),
     )
+
+
+def negative_edge_sampling(
+    edges: DataFrame,
+    candidates: DataFrame,
+    k: int = 3,
+    oversample: int = 2,
+    salt: int = 1,
+) -> DataFrame:
+    """Deterministic negative sampling for link-prediction training: for
+    every distinct ``src`` in ``edges (src, dst)``, propose ``k``
+    candidate destinations that are NOT observed edges and not the
+    source itself. ``candidates`` is the destination pool as
+    ``(cand_idx, cand_id)`` with ``cand_idx`` dense in [0, N).
+
+    Candidate choice is a Weyl-style integer hash
+    ``(src * 2654435761 + (i + salt) * 40503) mod N`` — pure int64
+    arithmetic, so any SQL engine reproduces the sample exactly and
+    resampling = changing ``salt``, never touching data. Each source
+    draws ``k * oversample`` tries, drops positives/self/duplicates,
+    and keeps the first ``k`` by try order (row_number).
+
+    Scale shape: distinct-src reduce, a narrow explode of k*oversample
+    tries per source, one broadcastable join against the candidate pool
+    (dimension-sized), one anti-join against the observed edges on
+    (src, dst) — the only corpus-keyed shuffle — and a per-src window
+    over ≤ k*oversample rows. No candidate-pool-sized blow-up.
+    """
+    from pyspark.sql import Window
+
+    n = candidates.count()
+    if n == 0:
+        raise ValueError("candidate pool is empty")
+    srcs = edges.select("src").distinct()
+    tries = srcs.select(
+        "src", F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias("i")
+    )
+    h = F.pmod(F.col("src") * F.lit(2654435761) + (F.col("i") + F.lit(salt)) * F.lit(40503), F.lit(n))
+    proposed = tries.select("src", "i", h.alias("cand_idx")).join(
+        F.broadcast(candidates), "cand_idx"
+    )
+    ok = proposed.filter(F.col("cand_id") != F.col("src")).join(
+        edges.select("src", F.col("dst").alias("cand_id")).distinct(),
+        ["src", "cand_id"],
+        "left_anti",
+    )
+    dedup = ok.groupBy("src", "cand_id").agg(F.min("i").alias("i"))
+    w = Window.partitionBy("src").orderBy("i")
+    return (
+        dedup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", F.col("cand_id").alias("neg_dst"), F.col("rank").cast("long").alias("rank"))
+    )

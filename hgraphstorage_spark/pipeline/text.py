@@ -305,3 +305,28 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         .cast("decimal(18,6)")
         .alias("mean_logprob")
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization — the first step of every dedup /
+    fingerprint pipeline (C4/CCNet normalize before hashing): lowercase,
+    strip non-alphanumeric characters to spaces, collapse whitespace
+    runs, trim. Returns (doc_id, text_norm, n_chars_norm, norm_md5) —
+    the md5 doubles as an exact-dedup key over the normalized form.
+
+    Narrow map only (regex + hash per row, whole-stage codegen, no
+    shuffle); ASCII character classes so Java regex and RE2/DuckDB agree
+    byte-for-byte."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        norm.alias("text_norm"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )

@@ -674,3 +674,61 @@ class TestUnigramLogprob:
         assert abs(got[1] - round(math.log(4 / 6), 6)) < 1e-6
         assert abs(got[3] - round(math.log(1 / 6), 6)) < 1e-6
         assert got[1] > got[2] > got[3]  # common-word doc scores highest
+
+
+class TestNormalizeText:
+    def test_canonical_form_and_md5(self, spark):
+        import hashlib
+
+        from hgraphstorage_spark.pipeline.text import normalize_text
+
+        docs = spark.createDataFrame(
+            [(1, "  Hello,   WORLD!! 42 "), (2, "a-b_c"), (3, "...")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+        assert rows[1]["text_norm"] == "hello world 42"
+        assert rows[2]["text_norm"] == "a b c"
+        assert rows[3]["text_norm"] == ""
+        for r in rows.values():
+            assert r["n_chars_norm"] == len(r["text_norm"])
+            assert r["norm_md5"] == hashlib.md5(r["text_norm"].encode()).hexdigest()
+
+
+class TestNegativeEdgeSampling:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        edges = spark.createDataFrame(
+            [(10, 11), (10, 12), (11, 12)], "src long, dst long"
+        )
+        cands = spark.createDataFrame(
+            [(i, 10 + i) for i in range(8)], "cand_idx long, cand_id long"
+        )
+        return edges, cands
+
+    def test_no_positives_no_self_k_ranked(self, spark, frames):
+        from hgraphstorage_spark.pipeline.sampling import negative_edge_sampling
+
+        edges, cands = frames
+        out = negative_edge_sampling(edges, cands, k=2, oversample=4).collect()
+        pos = {(10, 11), (10, 12), (11, 12)}
+        by_src = {}
+        for r in out:
+            assert (r["src"], r["neg_dst"]) not in pos
+            assert r["neg_dst"] != r["src"]
+            by_src.setdefault(r["src"], []).append(r["rank"])
+        for ranks in by_src.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= 2
+
+    def test_deterministic_and_salt_sensitive(self, spark, frames):
+        from hgraphstorage_spark.pipeline.sampling import negative_edge_sampling
+
+        edges, cands = frames
+        a = sorted(map(tuple, negative_edge_sampling(edges, cands, k=2).collect()))
+        b = sorted(map(tuple, negative_edge_sampling(edges, cands, k=2).collect()))
+        assert a == b
+        c = sorted(map(tuple, negative_edge_sampling(edges, cands, k=2, salt=5).collect()))
+        assert a != c
+        # pin the draw itself (hand-computed from the hash definition)
+        assert a == [(10, 16, 2), (10, 17, 1), (11, 10, 1), (11, 17, 2)]
