@@ -1003,6 +1003,26 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_approx_distinct(spark, sf_dir):
+    """Grouped distinct users per event type, exact + HLL++ sketch. The
+    sketch is the 100 TB path (fixed-size state, associative merge); the
+    oracle checks the exact column bit-for-bit and pins the sketch
+    inside its error envelope (HLL++ is deterministic, so the boolean is
+    stable)."""
+    from hgraphstorage_spark.functions.stats import grouped_distinct_counts
+
+    ev = _t(spark, sf_dir, "events")
+    d = grouped_distinct_counts(ev, "event_type", "user_id", rsd=0.05)
+    return d.select(
+        "event_type",
+        "n_distinct",
+        (
+            F.abs(F.col("n_distinct_approx") - F.col("n_distinct"))
+            <= F.ceil(F.col("n_distinct") * 0.15)
+        ).alias("approx_ok"),
+    )
+
+
 def q_normalize_text(spark, sf_dir):
     """Canonical text normalization over documents: lowercase, strip
     punctuation to spaces, collapse whitespace; md5 of the normalized
@@ -1302,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "normalize_text": q_normalize_text,
         "negative_sampling": q_negative_sampling,
+        "approx_distinct": q_approx_distinct,
         "stream_enrich": q_stream_enrich,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
@@ -1769,6 +1790,11 @@ FROM scored
             GROUP BY label, i
         """,
         "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
+        "approx_distinct": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct,
+                   TRUE AS approx_ok
+            FROM events GROUP BY event_type
+        """,
         "normalize_text": """
             SELECT doc_id, length(t)::BIGINT AS n_chars_norm, md5(t) AS norm_md5
             FROM (SELECT doc_id,

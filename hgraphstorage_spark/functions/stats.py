@@ -48,3 +48,28 @@ def grouped_percentiles(
         ],
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def grouped_distinct_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+    exact: bool = True,
+) -> DataFrame:
+    """Per group: distinct-value count, exact and/or HyperLogLog++
+    approximate.
+
+    The scale story mirrors ``grouped_percentiles``: exact
+    ``count(DISTINCT)`` shuffles every distinct (group, value) pair —
+    fine until value cardinality per group is huge; the HLL++ sketch
+    (``approx_count_distinct``) is fixed-size per group, merges
+    associatively map-side, and is what you run at 100 TB. Both columns
+    are returned when ``exact=True`` so callers can calibrate; HLL++ is
+    deterministic (fixed xxhash64 seed, no sampling), so results are
+    stable run-to-run and testable.
+    """
+    aggs = [F.approx_count_distinct(value_col, rsd=rsd).alias("n_distinct_approx")]
+    if exact:
+        aggs.insert(0, F.countDistinct(value_col).alias("n_distinct"))
+    return df.groupBy(group_col).agg(*aggs)

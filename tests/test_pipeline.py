@@ -732,3 +732,26 @@ class TestNegativeEdgeSampling:
         assert a != c
         # pin the draw itself (hand-computed from the hash definition)
         assert a == [(10, 16, 2), (10, 17, 1), (11, 10, 1), (11, 17, 2)]
+
+
+class TestGroupedDistinctCounts:
+    def test_exact_and_approx_agree_on_small_groups(self, spark):
+        from hgraphstorage_spark.functions.stats import grouped_distinct_counts
+
+        df = spark.createDataFrame(
+            [(g, v % (10 * (g + 1))) for g in range(3) for v in range(200)],
+            "g int, v int",
+        )
+        rows = {r["g"]: r for r in grouped_distinct_counts(df, "g", "v").collect()}
+        assert {g: r["n_distinct"] for g, r in rows.items()} == {0: 10, 1: 20, 2: 30}
+        for r in rows.values():
+            # HLL++ at rsd=0.05 is exact-ish at these cardinalities and
+            # deterministic, so a tight bound is stable
+            assert abs(r["n_distinct_approx"] - r["n_distinct"]) <= max(1, r["n_distinct"] // 10)
+
+    def test_approx_only_mode(self, spark):
+        from hgraphstorage_spark.functions.stats import grouped_distinct_counts
+
+        df = spark.createDataFrame([(1, 1), (1, 2)], "g int, v int")
+        out = grouped_distinct_counts(df, "g", "v", exact=False)
+        assert out.columns == ["g", "n_distinct_approx"]
