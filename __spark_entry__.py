@@ -1003,6 +1003,27 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Connector surface: documents -> JSONL shards -> schema'd read-back
+    (no inference scan), aggregated per (lang, source). Oracle reads the
+    original parquet — equality proves the round trip lost nothing."""
+    import tempfile
+
+    from hgraphstorage_spark.sources import read_jsonl, write_jsonl
+
+    docs = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="spark_graft_jsonl_") + "/docs"
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark, path, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """Grouped distinct users per event type, exact + HLL++ sketch. The
     sketch is the 100 TB path (fixed-size state, associative merge); the
@@ -1323,6 +1344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "negative_sampling": q_negative_sampling,
         "approx_distinct": q_approx_distinct,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "stream_enrich": q_stream_enrich,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
@@ -1790,6 +1812,11 @@ FROM scored
             GROUP BY label, i
         """,
         "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
+        "jsonl_roundtrip": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars, min(doc_id)::BIGINT AS min_doc_id
+            FROM documents GROUP BY lang, source
+        """,
         "approx_distinct": """
             SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct,
                    TRUE AS approx_ok

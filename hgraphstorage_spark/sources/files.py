@@ -1,0 +1,90 @@
+"""File-format connectors beyond parquet (JSONL / CSV) and small-file
+compaction.
+
+The reference's only storage is its own fixed-record binary files
+(SURVEY.md §2.1 S1); parquet snapshots are this engine's equivalent.
+These connectors are the interchange surface a training-data pipeline
+needs around that: corpora arrive as JSONL shards and leave as JSONL
+shards, dimension drops arrive as CSV.
+
+Scale rules encoded here rather than left to callers:
+
+- **Always pass a schema on read.** Schema inference scans the whole
+  input once before the real job — at 100 TB that doubles the read. The
+  wrappers REQUIRE a schema/DDL string.
+- **Prefer splittable layouts.** One giant ``.json.gz`` is one task
+  (gzip is not splittable); many medium shards parallelize. ``compact``
+  exists for the inverse problem — a directory of millions of tiny
+  files, where per-file open/footer overhead dominates and the driver's
+  file listing itself becomes the bottleneck.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read newline-delimited JSON with an explicit schema (DDL string or
+    StructType). Malformed lines land in ``_corrupt_record``-free
+    PERMISSIVE nulls by default; pass through ``.option`` on the returned
+    reader chain if stricter modes are needed."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, partition_by: tuple = (), compression: str | None = None
+) -> None:
+    """Write newline-delimited JSON. ``partition_by`` produces the
+    ``key=value`` directory layout downstream readers can prune;
+    ``compression`` (e.g. 'gzip', 'zstd') trades scan parallelism for
+    size — compressed JSONL shards are only splittable shard-by-shard,
+    so keep shards modest."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: str, header: bool = True, sep: str = ","
+) -> DataFrame:
+    """CSV with explicit schema (no inference scan)."""
+    return spark.read.schema(schema).option("header", header).option("sep", sep).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
+
+
+def input_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes under ``path``, via the Hadoop FileSystem API —
+    works for any supported scheme (local, HDFS, object stores), not just
+    local paths."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(hconf)
+    return fs.getContentSummary(p).getLength()
+
+
+def compact_parquet(
+    spark: SparkSession, src: str, dst: str, target_file_mb: int = 128
+) -> int:
+    """Rewrite a parquet directory into ``ceil(bytes / target)`` files of
+    roughly ``target_file_mb`` each; returns the file count written.
+
+    The maintenance op every long-lived ingest needs: streaming /
+    incremental commits accrete small files until task scheduling and
+    footer reads dominate scan time. Uses ``repartition`` (round-robin,
+    no key) so output files are uniformly sized regardless of input
+    skew."""
+    total = input_bytes(spark, src)
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    df.repartition(n).write.mode("overwrite").parquet(dst)
+    return n

@@ -1,0 +1,63 @@
+"""JSONL/CSV connector round-trips and parquet compaction."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from hgraphstorage_spark.sources import (
+    compact_parquet,
+    input_bytes,
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+
+
+class TestJsonl:
+    def test_roundtrip_preserves_rows_and_schema(self, spark, tmp_path):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "docs_jsonl")
+        write_jsonl(docs, path)
+        back = read_jsonl(spark, path, "doc_id long, text string, lang string, source string, n_chars long")
+        assert back.count() == docs.count()
+        a = sorted(tuple(r) for r in docs.select(*sorted(docs.columns)).collect())
+        b = sorted(tuple(r) for r in back.select(*sorted(docs.columns)).collect())
+        assert a == b
+
+    def test_partitioned_layout_prunes(self, spark, tmp_path):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "docs_by_lang")
+        write_jsonl(docs, path, partition_by=("lang",))
+        assert glob.glob(f"{path}/lang=*"), "expected key=value directories"
+        back = read_jsonl(spark, path, "doc_id long, text string, source string, n_chars long, lang string")
+        one = back.filter(F.col("lang") == "en")
+        assert one.count() == docs.filter(F.col("lang") == "en").count()
+
+
+class TestCsv:
+    def test_roundtrip(self, spark, tmp_path):
+        nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        path = str(tmp_path / "nation_csv")
+        write_csv(nation, path)
+        back = read_csv(spark, path, "n_nationkey long, n_name string, n_regionkey long, n_comment string")
+        assert back.count() == 25
+        assert sorted(r["n_name"] for r in back.collect()) == sorted(
+            r["n_name"] for r in nation.collect()
+        )
+
+
+class TestCompaction:
+    def test_many_small_files_become_few(self, spark, tmp_path):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        src = str(tmp_path / "fragmented")
+        docs.repartition(40).write.parquet(src)
+        assert len(glob.glob(f"{src}/part-*.parquet")) == 40
+        dst = str(tmp_path / "compacted")
+        total_mb = max(1, input_bytes(spark, src) // (1024 * 1024))
+        n = compact_parquet(spark, src, dst, target_file_mb=max(1, int(total_mb)))
+        files = glob.glob(f"{dst}/part-*.parquet")
+        assert len(files) == n <= 2
+        assert spark.read.parquet(dst).count() == docs.count()
