@@ -1003,6 +1003,15 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Corpus-bigram LM score per document (order-sensitive complement
+    to unigram_logprob); MLE conditional probabilities, vocab-sized
+    broadcasts, doc-keyed mean."""
+    from hgraphstorage_spark.pipeline.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """Connector surface: documents -> JSONL shards -> schema'd read-back
     (no inference scan), aggregated per (lang, source). Oracle reads the
@@ -1345,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "approx_distinct": q_approx_distinct,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "bigram_logprob": q_bigram_logprob,
         "stream_enrich": q_stream_enrich,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
@@ -1812,6 +1822,23 @@ FROM scored
             GROUP BY label, i
         """,
         "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
+        "bigram_logprob": r"""
+            WITH docs_w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS w
+              FROM documents
+            ),
+            idx AS (SELECT doc_id, w, unnest(generate_series(2, len(w))) AS i
+                    FROM docs_w WHERE len(w) >= 2),
+            pairs AS (SELECT doc_id, w[i-1] AS w1, w[i] AS w2 FROM idx),
+            big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+            ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   CAST(round(avg(ln(c2::DOUBLE / c1)), 6) AS DECIMAL(18,6)) AS mean_logprob
+            FROM pairs JOIN big USING (w1, w2) JOIN ctx USING (w1)
+            GROUP BY doc_id
+        """,
         "jsonl_roundtrip": """
             SELECT lang, source, count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS total_chars, min(doc_id)::BIGINT AS min_doc_id

@@ -330,3 +330,42 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         F.length(norm).alias("n_chars_norm"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-bigram language-model score per document: mean over bigram
+    positions of ln P(w_i | w_{i-1}), probabilities MLE-estimated from
+    the corpus itself (P = c(w1,w2) / c1(w1) with c1 counted over
+    context positions, so every observed bigram has P <= 1 and the
+    score is finite). The order-sensitive complement to
+    ``unigram_logprob``: repetitive or shuffled text scores low even
+    when its unigram mix looks normal. Docs with < 2 tokens produce no
+    row. Returns (doc_id, n_bigrams, mean_logprob DECIMAL(18,6)).
+
+    Shape at scale: tokenization is narrow (word arrays built per row,
+    pairs exploded in place); the bigram and context tables are
+    vocab-sized aggregates broadcast back onto the pair stream; the
+    per-doc mean is a doc-keyed aggregate with map-side combine over
+    co-located pairs — same two-broadcast shape as ``unigram_logprob``.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    docs_w = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    idx = F.when(F.size("w") >= 2, F.sequence(F.lit(2), F.size("w"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = docs_w.select("doc_id", F.col("w"), F.explode(idx).alias("i")).select(
+        "doc_id",
+        F.element_at(F.col("w"), F.col("i") - 1).alias("w1"),
+        F.element_at(F.col("w"), F.col("i")).alias("w2"),
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = pairs.join(F.broadcast(big), ["w1", "w2"]).join(F.broadcast(ctx), "w1")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6)
+        .cast("decimal(18,6)")
+        .alias("mean_logprob"),
+    )

@@ -755,3 +755,34 @@ class TestGroupedDistinctCounts:
         df = spark.createDataFrame([(1, 1), (1, 2)], "g int, v int")
         out = grouped_distinct_counts(df, "g", "v", exact=False)
         assert out.columns == ["g", "n_distinct_approx"]
+
+
+class TestBigramLogprob:
+    def test_repetition_scores_high_shuffle_scores_low(self, spark):
+        from hgraphstorage_spark.pipeline.text import bigram_logprob
+
+        df = spark.createDataFrame(
+            [
+                (0, "a b a b a b a b"),     # perfectly predictable bigrams
+                (1, "a a b b b a a b"),     # same unigrams, mixed order
+                (2, "one"),                 # < 2 tokens: no row
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+        assert set(rows) == {0, 1}
+        assert rows[0]["n_bigrams"] == 7 and rows[1]["n_bigrams"] == 7
+        assert rows[0]["mean_logprob"] > rows[1]["mean_logprob"]
+
+    def test_single_doc_chain_probability(self, spark):
+        import math
+        from decimal import Decimal
+
+        from hgraphstorage_spark.pipeline.text import bigram_logprob
+
+        df = spark.createDataFrame([(0, "x y x z")], "doc_id long, text string")
+        r = bigram_logprob(df).collect()[0]
+        # bigrams: (x,y) 1, (y,x) 1, (x,z) 1; contexts: x->2, y->1
+        expect = (math.log(1 / 2) + math.log(1 / 1) + math.log(1 / 2)) / 3
+        assert r["mean_logprob"] == Decimal(str(round(expect, 6)))
