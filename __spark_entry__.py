@@ -564,6 +564,19 @@ def q_shortest_paths(spark, sf_dir):
     return sp.groupBy("landmark", "dist").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def q_harmonic_centrality(spark, sf_dir):
+    """Analytics: landmark-approximated harmonic centrality (sum of
+    1/dist to the 5 Region landmarks) over the undirected location
+    subgraph; decimal-exact terms so the oracle matches bit-for-bit."""
+    from hgraphstorage_spark.analytics import harmonic_centrality
+
+    snap = _graph(spark, sf_dir)
+    landmarks = [NODE["Region"] + r for r in range(5)]
+    return harmonic_centrality(
+        snap, landmarks, max_hops=3, labels=("custLocatedIn", "suppLocatedIn", "nationLocatedIn")
+    )
+
+
 def q_label_propagation(spark, sf_dir):
     """Analytics: deterministic synchronous LPA communities over the
     location subgraph (oracle: unrolled 3-round SQL, tie-break-exact)."""
@@ -1003,6 +1016,29 @@ def q_range_join(spark, sf_dir):
     )
 
 
+def q_pattern_scan(spark, sf_dir):
+    """PII-style pattern scan over the events props payload: digit-run
+    match counts aggregated per event type (the scan half of a
+    scan-then-redact sweep; redaction is pinned by unit tests)."""
+    from hgraphstorage_spark.pipeline.text import pattern_scan
+
+    ev = _t(spark, sf_dir, "events")
+    scanned = pattern_scan(ev, "props", {"digit_run": r"[0-9]+"})
+    return scanned.groupBy("event_type").agg(
+        F.sum("n_digit_run").alias("total_digit_runs"),
+        F.sum(F.when(F.col("n_digit_run") > 0, 1).otherwise(0)).alias("events_with_digits"),
+    )
+
+
+def q_sliding_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (window 32, stride 16) over
+    documents — narrow map, no shuffle; md5 per window is the chunk
+    dedup key."""
+    from hgraphstorage_spark.pipeline.text import sliding_chunks
+
+    return sliding_chunks(_t(spark, sf_dir, "documents"), window=32, stride=16)
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Corpus-bigram LM score per document (order-sensitive complement
     to unigram_logprob); MLE conditional probabilities, vocab-sized
@@ -1303,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "triangle_count": q_triangle_count,
         "link_prediction": q_link_prediction,
+        "harmonic_centrality": q_harmonic_centrality,
         "k_core": q_k_core,
         "personalized_pagerank": q_personalized_pagerank,
         "shortest_paths": q_shortest_paths,
@@ -1355,6 +1392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "bigram_logprob": q_bigram_logprob,
+        "sliding_chunks": q_sliding_chunks,
+        "pattern_scan": q_pattern_scan,
         "stream_enrich": q_stream_enrich,
         "events_json": q_events_json,
         "sessionize": q_sessionize,
@@ -1611,6 +1650,15 @@ FROM scored
               FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_regionkey
             ) GROUP BY landmark
         """,
+        "harmonic_centrality": f"""
+            SELECT ({R} + r_regionkey)::BIGINT AS id, CAST(0 AS DECIMAL(28,12)) AS harmonic FROM region
+            UNION ALL
+            SELECT ({N} + n_nationkey)::BIGINT, CAST(1 AS DECIMAL(28,12)) FROM nation
+            UNION ALL
+            SELECT ({C} + c_custkey)::BIGINT, CAST(0.5 AS DECIMAL(28,12)) FROM customer
+            UNION ALL
+            SELECT ({S} + s_suppkey)::BIGINT, CAST(0.5 AS DECIMAL(28,12)) FROM supplier
+        """,
         "scc": """
             WITH RECURSIVE
             pkgs AS (SELECT unnest(generate_series(0, 19)) AS i),
@@ -1822,6 +1870,29 @@ FROM scored
             GROUP BY label, i
         """,
         "salted_agg": "SELECT l_returnflag, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag",
+        "pattern_scan": """
+            SELECT event_type,
+                   sum(len(regexp_extract_all(props, '[0-9]+')))::BIGINT AS total_digit_runs,
+                   sum(CASE WHEN len(regexp_extract_all(props, '[0-9]+')) > 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS events_with_digits
+            FROM events GROUP BY event_type
+        """,
+        "sliding_chunks": r"""
+            WITH dw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS w
+              FROM documents
+            ),
+            idx AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 16)) AS ci
+                    FROM dw WHERE len(w) >= 1),
+            ch AS (SELECT doc_id, ci AS chunk_idx,
+                          w[ci*16 + 1 : least(ci*16 + 32, len(w))] AS c
+                   FROM idx)
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, len(c)::BIGINT AS n_tokens,
+                   md5(array_to_string(c, ' ')) AS chunk_md5
+            FROM ch
+        """,
         "bigram_logprob": r"""
             WITH docs_w AS (
               SELECT doc_id,

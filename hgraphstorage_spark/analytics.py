@@ -707,3 +707,29 @@ def link_prediction(
         .alias("jaccard"),
         "adamic_adar",
     )
+
+
+def harmonic_centrality(
+    snap: GraphSnapshot,
+    landmarks: list,
+    max_hops: int = 10,
+    labels: tuple = (),
+    directed: bool = False,
+) -> DataFrame:
+    """Landmark-approximated harmonic centrality: for every node, the sum
+    of 1/dist over the landmark set (self-distance-0 contributes 0) —
+    the standard scalable stand-in for exact closeness, which would need
+    all-pairs BFS. Exact when ``landmarks`` is every node. Returns
+    (id, harmonic DECIMAL(28,12)).
+
+    Each 1/dist term is rounded once to 12 decimals and summed as
+    DECIMAL so the result is summation-order-independent (same
+    determinism contract as ``link_prediction``); the distances come
+    from the one-pass multi-source BFS of ``shortest_paths``.
+    """
+    sp = shortest_paths(snap, landmarks, max_hops=max_hops, labels=labels, directed=directed)
+    term = F.when(
+        F.col("dist") > 0,
+        F.round(F.lit(1.0) / F.col("dist"), 12).cast("decimal(28,12)"),
+    ).otherwise(F.lit(0).cast("decimal(28,12)"))
+    return sp.groupBy("id").agg(F.sum(term).cast("decimal(28,12)").alias("harmonic"))

@@ -369,3 +369,88 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .cast("decimal(18,6)")
         .alias("mean_logprob"),
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    for RAG indexing / LM eval (``pack_sequences`` is the disjoint
+    concat-and-chunk counterpart; this keeps ``window - stride`` tokens
+    of overlap so no span is split across a boundary without context).
+
+    Chunks start at token 1, 1+stride, 1+2*stride, ... while the start
+    is in range; the final chunks may be shorter than ``window``. Empty
+    docs produce no rows. Returns (doc_id, chunk_idx, n_tokens,
+    chunk_md5) — md5 of the space-joined window, which downstream
+    chunk-level dedup keys on.
+
+    Narrow map only: the word array is built once per row and the chunk
+    index explodes in place; no shuffle at any size.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    docs_w = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
+    n = F.size("w")
+    idx = F.when(n >= 1, F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_idx") * stride + 1, window)
+    return (
+        docs_w.select("doc_id", F.col("w"), F.explode(idx).alias("chunk_idx"))
+        .select("doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), chunk.alias("c"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("c").alias("n_tokens"),
+            F.md5(F.array_join(F.col("c"), " ")).alias("chunk_md5"),
+        )
+    )
+
+
+# ASCII-only patterns, valid in both Java regex and RE2, so scans are
+# engine-portable. Real deployments extend this dict.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\. ]{7,}[0-9]",
+    "number_run": r"[0-9]{4,}",
+}
+
+
+def pattern_scan(
+    df: DataFrame, col: str, patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Append one ``n_<name>`` match-count column per pattern — the scan
+    half of a PII / contamination sweep (count first, redact what the
+    counts justify). Narrow map, whole-stage codegen, no Python."""
+    patterns = patterns or PII_PATTERNS
+    out = df
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0)))
+        )
+    return out
+
+
+def redact(
+    df: DataFrame,
+    col: str,
+    patterns: dict[str, str] | None = None,
+    placeholder: str = "[REDACTED]",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Replace every pattern match with ``placeholder`` (applied in dict
+    order, so overlapping patterns resolve deterministically). Writes
+    ``out_col`` (default: overwrite ``col``). Narrow map."""
+    patterns = patterns or PII_PATTERNS
+    expr = F.col(col)
+    for pat in patterns.values():
+        expr = F.regexp_replace(expr, pat, placeholder)
+    return df.withColumn(out_col or col, expr)

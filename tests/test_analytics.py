@@ -414,3 +414,22 @@ class TestLinkPrediction:
         full = link_prediction(eng.current)
         assert full.count() == 6  # C(4,2) leaf pairs; (1,k) pairs are edges
         assert link_prediction(eng.current, max_hub_degree=3).count() == 0
+
+
+class TestHarmonicCentrality:
+    def test_path_graph_values(self, spark):
+        from decimal import Decimal
+
+        from hgraphstorage_spark.analytics import harmonic_centrality
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(4)])
+        eng.add_edges([(1, 2, "e", {}), (2, 3, "e", {}), (3, 4, "e", {})])
+        eng.commit()
+        h = {r["id"]: r["harmonic"] for r in harmonic_centrality(eng.current, [1, 4]).collect()}
+        third = Decimal("0.333333333333")
+        # node 2: dist 1 to landmark 1, dist 2 to landmark 4
+        assert h[2] == Decimal("1.5")
+        # endpoints: dist 0 to self (no contribution) + dist 3 across
+        assert h[1] == third and h[4] == third
+        assert h[3] == Decimal("1.5")

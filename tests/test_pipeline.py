@@ -786,3 +786,64 @@ class TestBigramLogprob:
         # bigrams: (x,y) 1, (y,x) 1, (x,z) 1; contexts: x->2, y->1
         expect = (math.log(1 / 2) + math.log(1 / 1) + math.log(1 / 2)) / 3
         assert r["mean_logprob"] == Decimal(str(round(expect, 6)))
+
+
+class TestSlidingChunks:
+    def test_window_stride_coverage(self, spark):
+        import hashlib
+
+        from hgraphstorage_spark.pipeline.text import sliding_chunks
+
+        toks = [f"t{i}" for i in range(10)]
+        df = spark.createDataFrame([(0, " ".join(toks)), (1, "")], "doc_id long, text string")
+        rows = sorted(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_md5"])
+            for r in sliding_chunks(df, window=4, stride=3).collect()
+        )
+        # starts at 0,3,6,9 -> lengths 4,4,4,1
+        assert [(i, n) for i, n, _ in rows] == [(0, 4), (1, 4), (2, 4), (3, 1)]
+        expect0 = hashlib.md5(" ".join(toks[0:4]).encode()).hexdigest()
+        expect3 = hashlib.md5("t9".encode()).hexdigest()
+        assert rows[0][2] == expect0 and rows[3][2] == expect3
+
+    def test_overlap_means_shared_tokens(self, spark):
+        from hgraphstorage_spark.pipeline.text import sliding_chunks
+
+        df = spark.createDataFrame([(0, "a b c d e f")], "doc_id long, text string")
+        out = sliding_chunks(df, window=4, stride=2)
+        # starts 0,2,4: total tokens counted with overlap > doc length
+        assert out.agg(F.sum("n_tokens")).first()[0] == 4 + 4 + 2
+
+
+class TestPatternScanRedact:
+    @pytest.fixture(scope="class")
+    def pii_df(self, spark):
+        return spark.createDataFrame(
+            [
+                (0, "contact a.user@example.com or +1 (555) 123-4567 ok"),
+                (1, "card 1234567890123456 twice 98765432"),
+                (2, "clean text only"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_scan_counts(self, pii_df):
+        from hgraphstorage_spark.pipeline.text import pattern_scan
+
+        rows = {r["doc_id"]: r for r in pattern_scan(pii_df, "text").collect()}
+        assert rows[0]["n_email"] == 1 and rows[0]["n_phone"] == 1
+        assert rows[1]["n_number_run"] == 2
+        assert rows[2]["n_email"] == rows[2]["n_phone"] == rows[2]["n_number_run"] == 0
+
+    def test_redact_removes_all_matches(self, pii_df):
+        from hgraphstorage_spark.pipeline.text import pattern_scan, redact
+
+        red = redact(pii_df, "text", out_col="clean")
+        scans = pattern_scan(red, "clean")
+        total = scans.agg(
+            F.sum(F.col("n_email") + F.col("n_phone") + F.col("n_number_run"))
+        ).first()[0]
+        assert total == 0
+        kept = {r["doc_id"]: r["clean"] for r in red.collect()}
+        assert "a.user@example.com" not in kept[0] and "[REDACTED]" in kept[0]
+        assert kept[2] == "clean text only"
