@@ -645,6 +645,28 @@ def q_tpch_q5_like(spark, sf_dir):
     )
 
 
+def q_ntile_deciles(spark, sf_dir):
+    """Window functions: users bucketed into spend deciles (ntile over a
+    deterministic total order), reporting each decile's size and spend
+    range — the distribution-bucketing surface (ANSI NTILE parity)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value")
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("total_value").alias("min_spend"),
+            F.max("total_value").alias("max_spend"),
+        )
+    )
+
+
 def q_window_top_order(spark, sf_dir):
     """Window functions: each customer's highest-value order (row_number
     over partitionBy/orderBy — deterministic tie-break on orderkey)."""
@@ -1350,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_like": q_tpch_q3_like,
         "tpch_q5_like": q_tpch_q5_like,
         "window_top_order": q_window_top_order,
+        "ntile_deciles": q_ntile_deciles,
         "rollup_revenue": q_rollup_revenue,
         "cube_revenue": q_cube_revenue,
         "retention_cohorts": q_retention_cohorts,
