@@ -35,6 +35,11 @@ def get_spark(app_name: str = "hgraphstorage_spark", shuffle_partitions: int | N
         # the events testdata table stores TIMESTAMP(NANOS) which the Spark
         # reader rejects; read as long and convert (streaming.load_events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet timestamps without a timezone otherwise read as
+        # TIMESTAMP_NTZ (Spark 4 infers NTZ), which unix_micros/window
+        # reject or shift; with the session tz pinned to UTC above, plain
+        # TIMESTAMP has identical wall-clock values to DuckDB's naive-as-UTC
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
