@@ -1070,6 +1070,15 @@ def q_bigram_logprob(spark, sf_dir):
     return bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (top-2-gram fraction, duplicated
+    3-gram fraction) per document — all-narrow plan: tokens -> n-gram
+    array -> sort -> one-pass run-length aggregate, zero shuffle."""
+    from hgraphstorage_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_jsonl_roundtrip(spark, sf_dir):
     """Connector surface: documents -> JSONL shards -> schema'd read-back
     (no inference scan), aggregated per (lang, source). Oracle reads the
@@ -1414,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "approx_distinct": q_approx_distinct,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "repetition_stats": q_repetition_stats,
         "bigram_logprob": q_bigram_logprob,
         "sliding_chunks": q_sliding_chunks,
         "pattern_scan": q_pattern_scan,
@@ -1932,6 +1942,36 @@ FROM scored
                    CAST(round(avg(ln(c2::DOUBLE / c1)), 6) AS DECIMAL(18,6)) AS mean_logprob
             FROM pairs JOIN big USING (w1, w2) JOIN ctx USING (w1)
             GROUP BY doc_id
+        """,
+        "repetition_stats": r"""
+            WITH dw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> len(t) > 0) AS w
+              FROM documents
+            ),
+            base AS (SELECT doc_id, w, len(w) AS n_tokens FROM dw),
+            g2 AS (SELECT doc_id, array_to_string(w[i : i + 1], ' ') AS g
+                   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+                         FROM base WHERE len(w) >= 2)),
+            c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+            top2 AS (SELECT doc_id, max(c) AS maxrun FROM c2 GROUP BY doc_id),
+            g3 AS (SELECT doc_id, array_to_string(w[i : i + 2], ' ') AS g
+                   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+                         FROM base WHERE len(w) >= 3)),
+            c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+            dup3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                     FROM c3 GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens::BIGINT AS n_tokens,
+                   CASE WHEN b.n_tokens > 0
+                        THEN (2 * coalesce(t.maxrun, 0))::DOUBLE / b.n_tokens
+                        ELSE 0.0 END AS top2_frac,
+                   CASE WHEN b.n_tokens > 0
+                        THEN (3 * coalesce(d.dup, 0))::DOUBLE / b.n_tokens
+                        ELSE 0.0 END AS dup3_frac
+            FROM base b
+            LEFT JOIN top2 t ON b.doc_id = t.doc_id
+            LEFT JOIN dup3 d ON b.doc_id = d.doc_id
         """,
         "jsonl_roundtrip": """
             SELECT lang, source, count(*)::BIGINT AS n_docs,

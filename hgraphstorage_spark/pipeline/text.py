@@ -454,3 +454,86 @@ def redact(
     for pat in patterns.values():
         expr = F.regexp_replace(expr, pat, placeholder)
     return df.withColumn(out_col or col, expr)
+
+
+def _ngram_run_stats(sorted_col: str, n_tokens_col: str):
+    """One-pass run-length scan over a SORTED n-gram array: returns a
+    struct(maxrun, dup_occ) where maxrun is the count of the most frequent
+    n-gram and dup_occ the number of occurrences belonging to n-grams seen
+    more than once. ``F.aggregate`` keeps the whole scan inside one
+    projection — per-document work, zero shuffle, linear in tokens."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("dup"),
+        F.lit(0).alias("maxrun"),
+    )
+
+    def merge(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        closing = ~same & (acc["run"] > 1)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(closing, acc["dup"] + acc["run"]).otherwise(acc["dup"]).alias("dup"),
+            F.when(~same, F.greatest(acc["maxrun"], acc["run"])).otherwise(acc["maxrun"]).alias("maxrun"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            F.greatest(acc["maxrun"], acc["run"]).alias("maxrun"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"]).otherwise(acc["dup"]).alias("dup"),
+        )
+
+    return F.aggregate(F.col(sorted_col), init, merge, finish)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): per document, the fraction of
+    tokens covered by the single most frequent ``top_n``-gram
+    (``top{n}_frac``) and by all duplicated ``dup_n``-grams
+    (``dup{n}_frac``). High values flag boilerplate / degenerate text a
+    training pipeline should drop.
+
+    Entirely narrow: tokens -> n-gram array -> array_sort -> one-pass
+    run-length aggregate, all inside whole-stage codegen with NO shuffle
+    and no Python — the filter runs at scan speed on a 100 TB corpus.
+    Each array is its own projection level (Catalyst does no subexpression
+    elimination inside higher-order-function lambdas)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    df = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("n_tokens")
+    )
+    for n, name in ((top_n, "_top"), (dup_n, "_dup")):
+        grams = F.when(
+            F.col("n_tokens") >= n,
+            F.transform(
+                # one-arg lambda: a second parameter would make pyspark
+                # pass the array index into it (transform's (x, i) form)
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        df = df.withColumn(f"{name}_grams", grams)
+        df = df.withColumn(f"{name}_sorted", F.array_sort(F.col(f"{name}_grams")))
+        df = df.withColumn(f"{name}_stats", _ngram_run_stats(f"{name}_sorted", "n_tokens"))
+    def frac(numer) -> F.Column:
+        return F.when(
+            F.col("n_tokens") > 0, numer.cast("double") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0))
+
+    return df.select(
+        id_col,
+        "n_tokens",
+        frac(F.lit(top_n) * F.col("_top_stats.maxrun")).alias(f"top{top_n}_frac"),
+        frac(F.lit(dup_n) * F.col("_dup_stats.dup")).alias(f"dup{dup_n}_frac"),
+    )

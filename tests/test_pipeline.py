@@ -788,6 +788,45 @@ class TestBigramLogprob:
         assert r["mean_logprob"] == Decimal(str(round(expect, 6)))
 
 
+class TestRepetitionStats:
+    def test_known_fractions(self, spark):
+        from hgraphstorage_spark.pipeline.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                # "a b" bigram appears 3x out of 5 bigrams -> top2 = 2*3/6
+                (0, "a b a b a b"),
+                # all tokens distinct -> every n-gram unique
+                (1, "a b c d e f g h"),
+                (2, "one"),
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert rows[0]["n_tokens"] == 6
+        assert rows[0]["top2_frac"] == pytest.approx(2 * 3 / 6)
+        # doc 0 trigrams: "a b a","b a b","a b a","b a b" -> all 4 duplicated
+        assert rows[0]["dup3_frac"] == pytest.approx(3 * 4 / 6)
+        assert rows[1]["top2_frac"] == pytest.approx(2 * 1 / 8)
+        assert rows[1]["dup3_frac"] == 0.0
+        # short/empty docs produce zero signals, not nulls or errors
+        assert rows[2]["top2_frac"] == 0.0 and rows[2]["dup3_frac"] == 0.0
+        assert rows[3]["n_tokens"] == 0 and rows[3]["top2_frac"] == 0.0
+
+    def test_duplicated_grams_count_all_occurrences(self, spark):
+        from hgraphstorage_spark.pipeline.text import repetition_stats
+
+        # Gopher counts tokens in ALL occurrences of duplicated n-grams,
+        # not just the extra copies
+        df = spark.createDataFrame([(0, "x y z x y z x y w")], "doc_id long, text string")
+        r = repetition_stats(df).collect()[0]
+        # trigrams: xyz,yzx,zxy,xyz,yzx,zxy,xyw -> 6 occurrences duplicated
+        assert r["dup3_frac"] == pytest.approx(3 * 6 / 9)
+        # top bigram "x y" 3x of 8
+        assert r["top2_frac"] == pytest.approx(2 * 3 / 9)
+
+
 class TestSlidingChunks:
     def test_window_stride_coverage(self, spark):
         import hashlib
