@@ -165,9 +165,11 @@ def pagerank(
     all nodes — ranks become proximity-to-seeds scores (PPR). ``None`` =
     classic uniform PageRank.
 
-    Per iteration: contributions shuffle on dst + one aggregate for the
-    dangling mass. Out-degrees are computed once and cached; lineage is
-    truncated per iteration.
+    Per iteration: contributions shuffle on dst, and the dangling-mass
+    aggregate is folded into the same plan as a broadcast 1-row crossJoin
+    — one Spark job per iteration, no driver-side collect in the loop.
+    Out-degrees are computed once and cached; lineage is truncated per
+    iteration.
     """
     nodes = snap.nodes.select("id").localCheckpoint()
     n = nodes.count()
@@ -190,22 +192,26 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_mass"))
         )
+        joined = nodes.join(contribs, "id", "left")
         if dangling:
-            dangling_mass = (
-                ranks.join(out_deg, "id", "left_anti").agg(F.sum("rank").alias("m")).collect()[0]["m"]
-                or 0.0
+            # 1-row dangling aggregate stays in-plan: broadcast crossJoin
+            # instead of a driver collect, so each iteration is one job
+            dm = (
+                ranks.join(out_deg, "id", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
+            joined = joined.crossJoin(F.broadcast(dm))
+            dm_col = F.col("_dm")
         else:
-            dangling_mass = 0.0
+            dm_col = F.lit(0.0)
         in_term = F.lit(alpha) * F.coalesce("in_mass", F.lit(0.0))
         if reset_to is None:
-            # scalar base folded in Python — bit-identical to the classic form
-            base = F.lit((1.0 - alpha) / n + alpha * dangling_mass / n)
+            # same IEEE op order as the scalar form: (1-a)/n + (a*dm)/n
+            base = F.lit((1.0 - alpha) / n) + F.lit(alpha) * dm_col / F.lit(float(n))
         else:
-            base = (F.lit(1.0 - alpha) + F.lit(alpha * dangling_mass)) * p
+            base = (F.lit(1.0 - alpha) + F.lit(alpha) * dm_col) * p
         ranks = (
-            nodes.join(contribs, "id", "left")
-            .select("id", (base + in_term).alias("rank"))
+            joined.select("id", (base + in_term).alias("rank"))
             .localCheckpoint()
         )
     return ranks

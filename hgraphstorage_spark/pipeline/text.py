@@ -456,7 +456,7 @@ def redact(
     return df.withColumn(out_col or col, expr)
 
 
-def _ngram_run_stats(sorted_col: str, n_tokens_col: str):
+def _ngram_run_stats(sorted_col: str):
     """One-pass run-length scan over a SORTED n-gram array: returns a
     struct(maxrun, dup_occ) where maxrun is the count of the most frequent
     n-gram and dup_occ the number of occurrences belonging to n-grams seen
@@ -502,6 +502,19 @@ def repetition_stats(
     (``dup{n}_frac``). High values flag boilerplate / degenerate text a
     training pipeline should drop.
 
+    NOTE — occurrence-counting approximation: fractions are computed as
+    ``n * occurrences / n_tokens`` over *overlapping* n-grams, so a
+    degenerate document ("a a a ...") can score above 1.0. The paper's
+    exact covered-token fraction would dedupe overlapping spans; this
+    cheaper signal is monotone in it, but thresholds calibrated against
+    the paper's definition must be re-calibrated for this scale (e.g. the
+    paper's dup3_frac<=0.18 cut is NOT directly portable).
+
+    Tokenization splits on Java-regex ``\\s+``, which includes ``\\x0B``
+    (vertical tab); RE2-based engines (DuckDB) exclude it from ``\\s``.
+    Use an explicit class like ``[ \\t\\n\\r\\f\\x0B]+`` on both sides if
+    your corpus can contain vertical tabs.
+
     Entirely narrow: tokens -> n-gram array -> array_sort -> one-pass
     run-length aggregate, all inside whole-stage codegen with NO shuffle
     and no Python — the filter runs at scan speed on a 100 TB corpus.
@@ -525,7 +538,7 @@ def repetition_stats(
         ).otherwise(F.array().cast("array<string>"))
         df = df.withColumn(f"{name}_grams", grams)
         df = df.withColumn(f"{name}_sorted", F.array_sort(F.col(f"{name}_grams")))
-        df = df.withColumn(f"{name}_stats", _ngram_run_stats(f"{name}_sorted", "n_tokens"))
+        df = df.withColumn(f"{name}_stats", _ngram_run_stats(f"{name}_sorted"))
     def frac(numer) -> F.Column:
         return F.when(
             F.col("n_tokens") > 0, numer.cast("double") / F.col("n_tokens")
@@ -533,7 +546,8 @@ def repetition_stats(
 
     return df.select(
         id_col,
-        "n_tokens",
+        # long, matching the BIGINT the oracle (and any downstream sum) uses
+        F.col("n_tokens").cast("long").alias("n_tokens"),
         frac(F.lit(top_n) * F.col("_top_stats.maxrun")).alias(f"top{top_n}_frac"),
         frac(F.lit(dup_n) * F.col("_dup_stats.dup")).alias(f"dup{dup_n}_frac"),
     )

@@ -29,9 +29,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (read as long via nanosAsLong); convert to microsecond timestamps —
     the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer DIV — ts is ~1.7e18 ns, far beyond double's 2^53 exactness
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Sessions we don't control (the correctness driver builds its own)
+        # may read parquet timestamps as TIMESTAMP_NTZ; unix_micros & friends
+        # need TIMESTAMP. The cast is wall-clock-preserving under UTC session tz
+        # and matches DuckDB's naive-as-UTC reading of the same files.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
