@@ -48,6 +48,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _canon(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-canonical projection: cast the named DECIMAL columns to their
+    fixed-scale string rendering (identical in Spark and DuckDB), keeping
+    every other column as-is. See driver-hash notes in queries()."""
+    return df.select(
+        *[F.col(c).cast("string").alias(c) if c in cols else F.col(c) for c in df.columns]
+    )
+
+
+def _canon_ts(df: DataFrame, *cols: str) -> DataFrame:
+    """Same, for TIMESTAMP columns: explicit second-precision formatting on
+    the Spark side pairs with strftime in the oracle SQL."""
+    return df.select(
+        *[
+            F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c) if c in cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 NODE = {"Region": 10**12, "Nation": 2 * 10**12, "Customer": 3 * 10**12, "Supplier": 4 * 10**12, "Part": 5 * 10**12, "Order": 6 * 10**12}
 EDGE = {"custLocatedIn": 10**14, "suppLocatedIn": 2 * 10**14, "nationLocatedIn": 3 * 10**14, "placed": 4 * 10**14, "contains": 5 * 10**14, "suppliedBy": 6 * 10**14}
 
@@ -886,20 +906,20 @@ def q_fingerprint(spark, sf_dir):
 def q_tfidf_top_terms(spark, sf_dir):
     from hgraphstorage_spark.pipeline import tfidf_top_terms
 
-    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+    return _canon(tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3), "tfidf")
 
 
 def q_quality_filter(spark, sf_dir):
     from hgraphstorage_spark.pipeline import quality_filter
 
-    return quality_filter(_t(spark, sf_dir, "documents"))
+    return _canon(quality_filter(_t(spark, sf_dir, "documents")), "mean_tok_len", "top_term_ratio")
 
 
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-unigram LM quality score per document (CCNet-style signal)."""
     from hgraphstorage_spark.pipeline.text import unigram_logprob
 
-    return unigram_logprob(_t(spark, sf_dir, "documents"))
+    return _canon(unigram_logprob(_t(spark, sf_dir, "documents")), "mean_logprob")
 
 
 def q_similarity_topk(spark, sf_dir):
@@ -921,7 +941,7 @@ def q_similarity_ivf(spark, sf_dir):
     """IVF-bucketed ANN — deterministic centroids/probes, oracle-checked."""
     from hgraphstorage_spark.pipeline.similarity import ivf_topk
 
-    return ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, nlist=16, nprobe=4)
+    return _canon(ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, nlist=16, nprobe=4), "score")
 
 
 def q_label_centroids(spark, sf_dir):
@@ -929,7 +949,7 @@ def q_label_centroids(spark, sf_dir):
     training step; shuffle keyed by (label, dim)."""
     from hgraphstorage_spark.pipeline import label_centroids
 
-    return label_centroids(_t(spark, sf_dir, "embeddings"))
+    return _canon(label_centroids(_t(spark, sf_dir, "embeddings")), "m")
 
 
 def q_kmeans(spark, sf_dir):
@@ -953,7 +973,7 @@ def q_embed_near_dup(spark, sf_dir):
     """All-pairs embedding-cosine near-duplicates (exact — oracle-checked)."""
     from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_exact
 
-    return embedding_near_dup_exact(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return _canon(embedding_near_dup_exact(_t(spark, sf_dir, "embeddings"), threshold=0.35), "score")
 
 
 def q_embed_near_dup_lsh(spark, sf_dir):
@@ -975,7 +995,10 @@ def q_ngram_jaccard(spark, sf_dir):
     (hashed-shingle Jaccard equals string-shingle Jaccard; see tests)."""
     from hgraphstorage_spark.pipeline import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5, block_col="lang")
+    return _canon(
+        ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), n=3, threshold=0.5, block_col="lang"),
+        "jaccard",
+    )
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -1087,11 +1110,24 @@ def q_simhash_buckets(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: Arrow-batched decode (deterministic fake) over
-    a synthetic binary media table (rows-only check)."""
-    from hgraphstorage_spark.pipeline.multimodal import extract_features, synthetic_media
+    """Multimodal decode: REAL pure-Python container probing (PNG/JPEG
+    dimensions, WAV duration, corrupt-payload detection) over Arrow
+    batches of a deterministic binary media table. The oracle reconstructs
+    the expected codec/dimension/ok rows from the generator arithmetic, so
+    a wrong header writer OR parser breaks the match."""
+    from hgraphstorage_spark.pipeline.multimodal import probe_metadata, synthetic_media
 
-    return extract_features(synthetic_media(spark, 64), fake_decode=True)
+    # NULL-free sentinels: unparseable payloads report codec 'none' / -1
+    # dims so the driver's row-sorted value compare never orders NULLs
+    return probe_metadata(synthetic_media(spark, 64)).select(
+        "media_id",
+        "kind",
+        F.coalesce("codec", F.lit("none")).alias("codec"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        "decode_ok",
+    )
 
 
 def q_range_join(spark, sf_dir):
@@ -1108,9 +1144,12 @@ def q_range_join(spark, sf_dir):
         ((F.col("id") + 1) * 10.0).alias("hi"),
     )
     joined = range_join(ev, "value", bands, "lo", "hi", bucket_width=10.0)
-    return joined.groupBy("band_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    return _canon(
+        joined.groupBy("band_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        ),
+        "total_value",
     )
 
 
@@ -1143,7 +1182,7 @@ def q_bigram_logprob(spark, sf_dir):
     broadcasts, doc-keyed mean."""
     from hgraphstorage_spark.pipeline.text import bigram_logprob
 
-    return bigram_logprob(_t(spark, sf_dir, "documents"))
+    return _canon(bigram_logprob(_t(spark, sf_dir, "documents")), "mean_logprob")
 
 
 def q_repetition_stats(spark, sf_dir):
@@ -1228,9 +1267,10 @@ def q_events_hourly(spark, sf_dir):
     from hgraphstorage_spark.streaming import events_tumbling_agg, load_events
 
     ev = load_events(spark, sf_dir)
-    return events_tumbling_agg(ev, "1 hour").select(
+    out = events_tumbling_agg(ev, "1 hour").select(
         "window_start", "event_type", "n_events", "total_value"
     )
+    return _canon_ts(_canon(out, "total_value"), "window_start")
 
 
 def q_stream_enrich(spark, sf_dir):
@@ -1245,9 +1285,12 @@ def q_stream_enrich(spark, sf_dir):
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
     enr = enrich_with_dimension(ev, cust, on="user_id")
-    return enr.groupBy("c_mktsegment", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+    return _canon(
+        enr.groupBy("c_mktsegment", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        ),
+        "total_value",
     )
 
 
@@ -1259,13 +1302,14 @@ def q_events_json(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     k = F.from_json(F.col("props"), StructType([StructField("k", IntegerType())]))["k"]
-    return (
+    return _canon(
         ev.select((k % 10).alias("k_mod"), F.col("value"))
         .groupBy("k_mod")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
-        )
+        ),
+        "total_value",
     )
 
 
@@ -1273,7 +1317,8 @@ def q_sessionize(spark, sf_dir):
     from hgraphstorage_spark.streaming import load_events, sessionize
 
     ev = load_events(spark, sf_dir)
-    return sessionize(ev, "30 minutes").select("session_start", "user_id", "n_events", "total_value")
+    out = sessionize(ev, "30 minutes").select("session_start", "user_id", "n_events", "total_value")
+    return _canon_ts(_canon(out, "total_value"), "session_start")
 
 
 def q_interval_join(spark, sf_dir):
@@ -1290,7 +1335,7 @@ def q_interval_join(spark, sf_dir):
         F.col("event_id").alias("click_event_id"),
         "user_id",
         F.col("event_id_r").alias("view_event_id"),
-        F.col("value_r").cast("decimal(18,2)").alias("view_value"),
+        F.col("value_r").cast("decimal(18,2)").cast("string").alias("view_value"),
     )
 
 
@@ -1299,7 +1344,10 @@ def q_events_percentiles(spark, sf_dir):
     interpolation as ANSI percentile_cont, so the oracle matches exactly."""
     from hgraphstorage_spark.functions.stats import grouped_percentiles
 
-    return grouped_percentiles(_t(spark, sf_dir, "events"), "event_type", "value")
+    return _canon(
+        grouped_percentiles(_t(spark, sf_dir, "events"), "event_type", "value"),
+        "mean", "p50", "p95",
+    )
 
 
 def q_bm25_search(spark, sf_dir):
@@ -1365,7 +1413,8 @@ def q_rolling_features(spark, sf_dir):
     from hgraphstorage_spark.functions.timeseries import rolling_event_features
     from hgraphstorage_spark.streaming import load_events
 
-    return rolling_event_features(load_events(spark, sf_dir), window_seconds=3600)
+    out = rolling_event_features(load_events(spark, sf_dir), window_seconds=3600)
+    return _canon_ts(_canon(out, "sum_win", "mean_win"), "ts")
 
 
 def q_funnel(spark, sf_dir):
@@ -1375,7 +1424,9 @@ def q_funnel(spark, sf_dir):
     from hgraphstorage_spark.streaming import load_events
 
     ev = load_events(spark, sf_dir)
-    return funnel(ev, ["view", "click", "purchase"], within_seconds=86400)
+    return _canon_ts(
+        funnel(ev, ["view", "click", "purchase"], within_seconds=86400), "t1", "t2", "t3"
+    )
 
 
 def q_pivot_events(spark, sf_dir):
@@ -1403,9 +1454,9 @@ def q_asof_join(spark, sf_dir):
     return out.select(
         "event_id",
         "user_id",
-        F.col("value").cast("decimal(18,2)").alias("click_value"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("click_value"),
         F.col("event_id_asof").alias("view_event_id"),
-        F.col("value_asof").cast("decimal(18,2)").alias("view_value"),
+        F.col("value_asof").cast("decimal(18,2)").cast("string").alias("view_value"),
     )
 
 
@@ -1480,8 +1531,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
         "mix_corpus": q_mix_corpus,
+        "multimodal_features": q_multimodal_features,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window: expanded
         # per-node analytics, streaming, and secondary SQL surface, all
@@ -1517,7 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "random_walks": q_random_walks,
         "simhash_buckets": q_simhash_buckets,
-        "multimodal_features": q_multimodal_features,
+        "stratified_sample": q_stratified_sample,
         "events_hourly": q_events_hourly,
         "range_join": q_range_join,
         "normalize_text": q_normalize_text,
@@ -1937,7 +1988,7 @@ FROM scored
                      row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_raw DESC, term) AS rnk
               FROM scored
             )
-            SELECT doc_id, term, CAST(round(tfidf_raw, 6) AS DECIMAL(18,6)) AS tfidf, rnk::INT AS rank
+            SELECT doc_id, term, CAST(round(tfidf_raw, 6) AS DECIMAL(18,6))::VARCHAR AS tfidf, rnk::INT AS rank
             FROM ranked WHERE rnk <= 3
         """,
         "quality_filter": r"""
@@ -1955,7 +2006,9 @@ FROM scored
                      CAST(round(top_n::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) AS top_term_ratio
               FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
             )
-            SELECT doc_id, n_tokens, mean_tok_len, top_term_ratio,
+            SELECT doc_id, n_tokens,
+                   mean_tok_len::VARCHAR AS mean_tok_len,
+                   top_term_ratio::VARCHAR AS top_term_ratio,
                    COALESCE(n_tokens >= 10 AND n_tokens <= 100000
                             AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
                             AND top_term_ratio <= 0.25, FALSE) AS passes
@@ -1976,7 +2029,7 @@ FROM scored
         """,
         "embed_near_dup": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-            SELECT vec_a, vec_b, score FROM (
+            SELECT vec_a, vec_b, score::VARCHAR AS score FROM (
               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                      CAST(round(list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
@@ -2010,7 +2063,7 @@ FROM scored
         """,
         "label_centroids": """
             SELECT label, i - 1 AS pos,
-                   CAST(round(avg(embedding[i]::DOUBLE), 6) AS DECIMAL(18,6)) AS m
+                   CAST(round(avg(embedding[i]::DOUBLE), 6) AS DECIMAL(18,6))::VARCHAR AS m
             FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
             GROUP BY label, i
         """,
@@ -2051,7 +2104,7 @@ FROM scored
             big AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
             ctx AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
             SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                   CAST(round(avg(ln(c2::DOUBLE / c1)), 6) AS DECIMAL(18,6)) AS mean_logprob
+                   CAST(round(avg(ln(c2::DOUBLE / c1)), 6) AS DECIMAL(18,6))::VARCHAR AS mean_logprob
             FROM pairs JOIN big USING (w1, w2) JOIN ctx USING (w1)
             GROUP BY doc_id
         """,
@@ -2095,6 +2148,19 @@ FROM scored
                    TRUE AS approx_ok
             FROM events GROUP BY event_type
         """,
+        "multimodal_features": """
+            WITH s AS (SELECT unnest(generate_series(0, 63)) AS i)
+            SELECT i::BIGINT AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   COALESCE(CASE WHEN i % 3 = 0 AND i % 15 <> 0 THEN
+                                     (CASE WHEN i % 6 = 0 THEN 'png' ELSE 'jpeg' END)
+                                 WHEN i % 3 = 1 THEN 'wav' END, 'none') AS codec,
+                   COALESCE(CASE WHEN i % 3 = 0 AND i % 15 <> 0 THEN 64 + i END, -1)::INT AS width,
+                   COALESCE(CASE WHEN i % 3 = 0 AND i % 15 <> 0 THEN 48 + i END, -1)::INT AS height,
+                   COALESCE(CASE WHEN i % 3 = 1 THEN 5000 + i * 100 END, -1)::BIGINT AS duration_ms,
+                   ((i % 3 = 0 AND i % 15 <> 0) OR i % 3 = 1) AS decode_ok
+            FROM s
+        """,
         "normalize_text": """
             SELECT doc_id, length(t)::BIGINT AS n_chars_norm, md5(t) AS norm_md5
             FROM (SELECT doc_id,
@@ -2123,26 +2189,27 @@ FROM scored
             WITH bands AS (SELECT unnest(generate_series(0, 49)) AS band_id),
             b AS (SELECT band_id, band_id * 10.0 AS lo, (band_id + 1) * 10.0 AS hi FROM bands)
             SELECT b.band_id::BIGINT AS band_id, count(*)::BIGINT AS n_events,
-                   sum(CAST(e.value AS DECIMAL(18,2))) AS total_value
+                   sum(CAST(e.value AS DECIMAL(18,2)))::VARCHAR AS total_value
             FROM events e JOIN b ON e.value >= b.lo AND e.value < b.hi
             GROUP BY b.band_id
         """,
         "events_hourly": """
-            SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+            SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
                    count(*)::BIGINT AS n_events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                   sum(CAST(value AS DECIMAL(18,2)))::VARCHAR AS total_value
             FROM events GROUP BY 1, 2
         """,
         "events_json": """
             SELECT (json_extract(props, '$.k')::INT) % 10 AS k_mod,
                    count(*)::BIGINT AS n_events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                   sum(CAST(value AS DECIMAL(18,2)))::VARCHAR AS total_value
             FROM events GROUP BY 1
         """,
         "stream_enrich": """
             SELECT c_mktsegment, event_type,
                    count(*)::BIGINT AS n_events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                   sum(CAST(value AS DECIMAL(18,2)))::VARCHAR AS total_value
             FROM events LEFT JOIN customer ON user_id = c_custkey
             GROUP BY 1, 2
         """,
@@ -2158,9 +2225,9 @@ FROM scored
                      sum(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC ROWS UNBOUNDED PRECEDING) AS sid
               FROM marked
             )
-            SELECT min(ts) AS session_start, user_id,
+            SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, user_id,
                    count(*)::BIGINT AS n_events,
-                   sum(CAST(value AS DECIMAL(18,2))) AS total_value
+                   sum(CAST(value AS DECIMAL(18,2)))::VARCHAR AS total_value
             FROM sessions GROUP BY user_id, sid
         """,
         "ngram_jaccard": r"""
@@ -2180,7 +2247,7 @@ FROM scored
               WHERE a.doc_id < b.doc_id GROUP BY 1, 2
             )
             SELECT doc_a, doc_b,
-                   CAST(round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS DECIMAL(18,6)) AS jaccard
+                   CAST(round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS DECIMAL(18,6))::VARCHAR AS jaccard
             FROM inter
             JOIN sizes sa ON inter.doc_a = sa.doc_id
             JOIN sizes sb ON inter.doc_b = sb.doc_id
@@ -2195,7 +2262,7 @@ FROM scored
             vocab AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
             tot AS (SELECT sum(c) AS n FROM vocab)
             SELECT doc_id,
-                   CAST(round(avg(ln(c::DOUBLE / n)), 6) AS DECIMAL(18,6)) AS mean_logprob
+                   CAST(round(avg(ln(c::DOUBLE / n)), 6) AS DECIMAL(18,6))::VARCHAR AS mean_logprob
             FROM t JOIN vocab USING (tok), tot
             GROUP BY doc_id
         """,
@@ -2283,14 +2350,15 @@ FROM scored
                        cid ASC
               LIMIT 4
             )
-            SELECT vec_id,
-                   CAST(round(list_dot_product(v, qv)
-                       / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
-                     AS DECIMAL(18,6)) AS score,
-                   list_id
-            FROM assigned JOIN probe USING (list_id), q
-            WHERE vec_id <> 0
-            ORDER BY score DESC, vec_id ASC LIMIT 10
+            SELECT vec_id, score::VARCHAR AS score, list_id FROM (
+              SELECT vec_id,
+                     CAST(round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                       AS DECIMAL(18,6)) AS score,
+                     list_id
+              FROM assigned JOIN probe USING (list_id), q
+              WHERE vec_id <> 0
+              ORDER BY score DESC, vec_id ASC LIMIT 10)
         """,
         "decontaminate": r"""
             WITH w AS (
@@ -2323,7 +2391,10 @@ FROM scored
             s3 AS (SELECT e.user_id, min(ts) AS t3 FROM ev e JOIN s2 USING (user_id)
                    WHERE event_type = 'purchase' AND ts > t2 AND ts <= t2 + INTERVAL 86400 SECOND
                    GROUP BY 1)
-            SELECT s1.user_id, t1, t2, t3
+            SELECT s1.user_id,
+                   strftime(t1, '%Y-%m-%d %H:%M:%S') AS t1,
+                   strftime(t2, '%Y-%m-%d %H:%M:%S') AS t2,
+                   strftime(t3, '%Y-%m-%d %H:%M:%S') AS t3
             FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         """,
         "cube_revenue": """
@@ -2386,11 +2457,12 @@ FROM scored
             )
         """,
         "rolling_features": """
-            SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+            SELECT event_id, user_id,
+                   strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS ts,
                    (count(*) OVER w)::BIGINT AS n_win,
-                   sum(CAST(value AS DECIMAL(18,2))) OVER w AS sum_win,
+                   (sum(CAST(value AS DECIMAL(18,2))) OVER w)::VARCHAR AS sum_win,
                    CAST(round((sum(CAST(value AS DECIMAL(18,2))) OVER w)
-                              / (count(*) OVER w), 6) AS DECIMAL(18,6)) AS mean_win
+                              / (count(*) OVER w), 6) AS DECIMAL(18,6))::VARCHAR AS mean_win
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts::TIMESTAMP)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -2398,7 +2470,7 @@ FROM scored
         "interval_join": """
             SELECT c.event_id AS click_event_id, c.user_id,
                    v.event_id AS view_event_id,
-                   CAST(v.value AS DECIMAL(18,2)) AS view_value
+                   CAST(v.value AS DECIMAL(18,2))::VARCHAR AS view_value
             FROM (SELECT event_id, ts::TIMESTAMP AS ts, user_id FROM events
                   WHERE event_type = 'click') c
             JOIN (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value FROM events
@@ -2408,9 +2480,9 @@ FROM scored
         """,
         "events_percentiles": """
             SELECT event_type, count(*)::BIGINT AS n,
-                   CAST(round(avg(value), 6) AS DECIMAL(18,6)) AS mean,
-                   CAST(round(quantile_cont(value, 0.5), 6) AS DECIMAL(18,6)) AS p50,
-                   CAST(round(quantile_cont(value, 0.95), 6) AS DECIMAL(18,6)) AS p95
+                   CAST(round(avg(value), 6) AS DECIMAL(18,6))::VARCHAR AS mean,
+                   CAST(round(quantile_cont(value, 0.5), 6) AS DECIMAL(18,6))::VARCHAR AS p50,
+                   CAST(round(quantile_cont(value, 0.95), 6) AS DECIMAL(18,6))::VARCHAR AS p95
             FROM events GROUP BY event_type
         """,
         "bm25_search": r"""
@@ -2447,14 +2519,14 @@ FROM scored
                  views  AS (SELECT event_id, ts::TIMESTAMP AS ts, user_id, value
                             FROM events WHERE event_type = 'view')
             SELECT c.event_id, c.user_id,
-                   CAST(c.value AS DECIMAL(18,2)) AS click_value,
+                   CAST(c.value AS DECIMAL(18,2))::VARCHAR AS click_value,
                    v.event_id AS view_event_id,
-                   CAST(v.value AS DECIMAL(18,2)) AS view_value
+                   CAST(v.value AS DECIMAL(18,2))::VARCHAR AS view_value
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
         # minhash_lsh_pairs / simhash_buckets / similarity_lsh /
-        # embed_near_dup_lsh / multimodal_features:
+        # embed_near_dup_lsh:
         # deliberately omitted → driver records rows-only checks (LSH
         # banding/bucketing is xxhash64-based and sub-100%-recall by design,
         # so no exact SQL equivalent exists)

@@ -30,7 +30,11 @@ HEADLINE = [
     "dedup_exact",           # hash-agg dedup over documents
     "chunk_dedup",           # C4-style chunk-level dedup + reassembly
     "minhash_lsh_pairs",     # shingle -> minhash -> band join -> verify
-    "embed_near_dup",        # blocked-GEMM all-pairs cosine + exact verify
+    # the 100 TB-shaped embedding near-dup path: banded LSH candidates +
+    # exact verify (linear in n + candidates). The O(n^2) exact variant
+    # (embed_near_dup) stays out of the headline — it is the small-N
+    # verification baseline, not the scale path.
+    "embed_near_dup_lsh",
     "similarity_topk",       # brute-force cosine top-k
     "events_hourly",         # windowed agg
     "stream_enrich",         # broadcast stream-static enrichment join

@@ -62,17 +62,27 @@ class TraversalError(Exception):
 @dataclass
 class TraversalResult:
     """Reference ``Result`` (``APITypes.hs:189-197``): Nodes | Edges |
-    Properties names infos | Empty | Error — as a typed DataFrame.
+    Properties names infos | Empty | Unknown | Error — as a typed
+    DataFrame.
 
     - nodes: (id, label)
     - edges: (id, src, dst, label)
     - properties: long format (id, kind, label, name, seq, dtype, value)
     - empty: empty DataFrame with the schema of ``empty_as`` kind
+    - error: ``kind == KIND_ERROR`` with the message in ``error`` — the
+      reference's ``SError`` absorbed through composition and surfaced as
+      an ``Error`` *result* (``APITypes.hs:149-150``, ``API.hs:346``),
+      not an exception
     """
 
     kind: str
     df: DataFrame
     names: tuple | None = None  # requested names for Values; None = all
+    error: str | None = None  # set iff kind == KIND_ERROR
+
+    @property
+    def is_error(self) -> bool:
+        return self.kind == KIND_ERROR
 
     def ids(self) -> list:
         return [r["id"] for r in self.df.select("id").collect()]
@@ -146,15 +156,37 @@ def _label_filter(df: DataFrame, labels: tuple) -> DataFrame:
     return df.filter(F.col("label").isin(list(labels)))
 
 
-def compile_traversal(snapshot: GraphSnapshot, t: tr.Traversal) -> TraversalResult:
+def compile_traversal(
+    snapshot: GraphSnapshot, t: tr.Traversal, strict: bool = False
+) -> TraversalResult:
+    """Compile a traversal to a typed DataFrame result.
+
+    Error contract follows the reference monoid: an invalid (state, step)
+    combination ABSORBS the rest of the composition and returns an
+    ``Error``-kind result carrying the message (``SError`` absorption,
+    ``APITypes.hs:149-150``; surfaced by ``stateToResult`` as ``Error``,
+    ``:196``). ``strict=True`` opts into raising ``TraversalError``
+    instead — the fail-fast mode for programmatic callers that prefer
+    exceptions over sentinel results.
+    """
     st = _State(snapshot)
-    for step in t.steps:
-        if st.kind == KIND_EMPTY:
-            break  # reference SEmpty short-circuit (API.hs:253)
-        _apply(st, step)
+    try:
+        for step in t.steps:
+            if st.kind == KIND_EMPTY:
+                break  # reference SEmpty short-circuit (API.hs:253)
+            _apply(st, step)
+    except TraversalError as e:
+        if strict:
+            raise
+        return TraversalResult(
+            KIND_ERROR, snapshot.nodes.limit(0).select("id", "label"), error=str(e)
+        )
 
     if st.kind == KIND_UNKNOWN:
-        raise TraversalError("traversal produced no result (start with ns()/es())")
+        # reference stateToResult SUnknown = Unknown (APITypes.hs:194)
+        if strict:
+            raise TraversalError("traversal produced no result (start with ns()/es())")
+        return TraversalResult(KIND_UNKNOWN, snapshot.nodes.limit(0).select("id", "label"))
     if st.kind == KIND_NODES:
         st.ensure_label()
         return TraversalResult(KIND_NODES, st.df.select("id", "label"))

@@ -38,6 +38,13 @@ class DuplicateIndexKey(Exception):
     ``HGraphStorage/src/.../API.hs:217-229``)."""
 
 
+class WriteConflict(Exception):
+    """First-committer-wins: a concurrent transaction committed a write to
+    the same entity after this transaction started (the write-lock
+    outcome of the reference's per-record version chains,
+    ``LowLevelDB/src/.../MVCC.hs:200-225``)."""
+
+
 def build_index(snap: GraphSnapshot, labels: Sequence[str], prop_names: Sequence[str]) -> DataFrame:
     """Retroactive index build (reference ``addIndex`` full fold,
     ``API.hs:494-516``): scan props once, project canonical string keys.
@@ -75,6 +82,154 @@ def check_unique(index_df: DataFrame, index_name: str) -> None:
         )
 
 
+class Transaction:
+    """A concurrent transaction over a ``GraphEngine`` (reference
+    ``newTx``/``commit``/``rollback``, ``LowLevelDB/src/.../MVCC.hs`` and
+    the interleavings of ``MVCCSpec.hs:102-165``).
+
+    Snapshot isolation, the reference's visibility rule mapped to
+    immutable snapshots:
+
+    - reads come from the committed version pinned at ``begin()`` plus the
+      transaction's OWN staged writes — commits by other transactions
+      after start are never visible (``"doesn't see data added committed
+      after it started"``), and rows they delete remain visible
+      (``"still sees data deleted and committed after it started"``);
+    - writes stage privately as both a snapshot (for reads-own-writes) and
+      a replayable mutation log;
+    - ``commit()`` replays the log onto the CURRENT ledger head, so
+      non-conflicting concurrent committers all land (the Wikipedia
+      example's tx1/tx3). Conflicts resolve first-committer-wins:
+      a write-set intersection with any commit that landed after this
+      transaction started raises ``WriteConflict``, and unique indexes are
+      re-checked against the merged state (``DuplicateIndexKey``).
+    """
+
+    def __init__(self, engine: "GraphEngine"):
+        self._engine = engine
+        self.start_version = engine.committed.version
+        self._base = engine.committed
+        self._staged: GraphSnapshot = self._base
+        self._log: list = []  # (replay_fn, written_ids)
+        self.written_ids: set[int] = set()
+        self._done: str | None = None
+        # type-dictionary notes, applied to the engine model on commit
+        # (rolled-back transactions never touch the shared dictionary)
+        self._type_notes: list[tuple[str, str]] = []
+
+    # -- reads -------------------------------------------------------------
+    @property
+    def snapshot(self) -> GraphSnapshot:
+        """Pinned base + own staged writes (both halves of the reference
+        visibility predicate, ``MVCC.hs:271-298``)."""
+        self._check_open()
+        return self._staged
+
+    def traverse(self, t: Traversal) -> TraversalResult:
+        return compile_traversal(self.snapshot, t)
+
+    # -- writes ------------------------------------------------------------
+    def _check_open(self) -> None:
+        if self._done is not None:
+            raise RuntimeError(f"transaction already {self._done}")
+
+    def _apply(self, fn, written_ids) -> None:
+        """Stage a mutation and record it for commit-time replay. ``fn``
+        must be a pure snapshot -> snapshot function so replay onto a
+        different ledger head produces the same delta (ids are pinned at
+        first application, never re-generated at replay)."""
+        self._check_open()
+        self._staged = fn(self._staged)
+        self._log.append(fn)
+        self.written_ids.update(written_ids)
+
+    def add_nodes(self, rows, ids=None) -> list[int]:
+        # ids come from the ENGINE-wide allocator (the reference's shared
+        # TxManager counter): two live transactions can never mint the same
+        # id, so their inserts are non-conflicting by construction. The
+        # reservation is pinned here, making commit-time replay stable.
+        rows = list(rows)
+        self._note_types("node_type", ((label, props) for label, props in rows))
+        new_ids = ids if ids is not None else self._engine._reserve_node_ids(len(rows), self._staged)
+        self._apply(lambda s, r=rows, i=list(new_ids): mutations.add_nodes(s, r, i)[0], new_ids)
+        return new_ids
+
+    def _note_types(self, kind: str, labeled_props) -> None:
+        from hgraphstorage_spark import schemas
+
+        for label, props in labeled_props:
+            self._type_notes.append((kind, label))
+            for name, value in (props or {}).items():
+                for v in value if isinstance(value, list) else [value]:
+                    self._type_notes.append(("property_type", f"{name}:{schemas.infer_dtype(v)}"))
+
+    def add_node(self, label: str, props: Mapping[str, object] | None = None) -> int:
+        return self.add_nodes([(label, props or {})])[0]
+
+    def add_edges(self, rows, ids=None) -> list[int]:
+        rows = list(rows)
+        self._note_types("edge_type", ((label, props) for _s, _d, label, props in rows))
+        new_ids = ids if ids is not None else self._engine._reserve_edge_ids(len(rows), self._staged)
+        self._apply(lambda s, r=rows, i=list(new_ids): mutations.add_edges(s, r, i)[0], new_ids)
+        return new_ids
+
+    def add_edge(self, src: int, dst: int, label: str, props: Mapping[str, object] | None = None) -> int:
+        return self.add_edges([(src, dst, label, props or {})])[0]
+
+    def update_node(self, node_id: int, label: str, props: Mapping[str, object]) -> None:
+        self._apply(lambda s: mutations.update_node(s, node_id, label, props), [node_id])
+
+    def delete_nodes(self, node_ids: list[int]) -> None:
+        self._apply(lambda s: mutations.delete_nodes(s, node_ids), node_ids)
+
+    def delete_edges(self, edge_ids: list[int]) -> None:
+        self._apply(lambda s: mutations.delete_edges(s, edge_ids), edge_ids)
+
+    def set_properties(self, owner_id: int, owner_kind: str, props: Mapping[str, object]) -> None:
+        self._apply(lambda s: mutations.set_properties(s, owner_id, owner_kind, props), [owner_id])
+
+    # -- outcome -----------------------------------------------------------
+    def commit(self) -> int:
+        """First-committer-wins publish (reference ``commit``,
+        ``MVCC.hs:220-225``). Raises ``WriteConflict`` if an intervening
+        commit wrote any entity this transaction wrote; raises
+        ``DuplicateIndexKey`` if the merged state violates a unique index
+        (both leave the transaction open for rollback/inspection)."""
+        self._check_open()
+        eng = self._engine
+        if not self._log:
+            self._done = "committed"
+            return eng.committed.version
+        head = eng.committed
+        if head.version != self.start_version:
+            for version, written in eng._commit_writes:
+                if version > self.start_version and written & self.written_ids:
+                    raise WriteConflict(
+                        f"entities {sorted(written & self.written_ids)[:5]} were written by "
+                        f"version {version} after this transaction started at "
+                        f"version {self.start_version}"
+                    )
+            merged = head
+            for fn in self._log:
+                merged = fn(merged)
+        else:
+            merged = self._staged
+        merged = eng._rebuild_indexes(merged)
+        for reg_name, _labels, _prop_names in merged.index_registry:
+            check_unique(merged.indexes[reg_name], reg_name)
+        new_version = head.version + 1
+        eng._ledger.append(merged.with_version(new_version))
+        eng._commit_writes.append((new_version, set(self.written_ids)))
+        for kind, name in self._type_notes:  # M8 upsert, first-use order
+            eng.model.note(kind, name)
+        self._done = "committed"
+        return new_version
+
+    def rollback(self) -> None:
+        self._check_open()
+        self._done = "rolled back"
+
+
 class GraphEngine:
     """Engine session: a ledger of committed snapshots + staged mutations."""
 
@@ -91,6 +246,39 @@ class GraphEngine:
         self._ledger: list[GraphSnapshot] = [base.with_version(0)]
         self._staged: GraphSnapshot | None = None
         self._stage_count = 0
+        # (version, written entity ids) per concurrent-transaction commit,
+        # the conflict-detection trail for first-committer-wins
+        self._commit_writes: list[tuple[int, set[int]]] = []
+        # engine-wide id high-water marks spanning live transactions
+        self._id_high: dict[str, int] = {}
+        # maintained type dictionary (reference M8 upsert — ids in
+        # first-use order, not derived lexicographically after the fact)
+        from hgraphstorage_spark.model import ModelDict
+
+        self.model = ModelDict()
+        if snapshot is not None:
+            self.model.dirty = True  # fold pre-loaded types in on access
+
+    def begin(self) -> Transaction:
+        """Open a concurrent transaction pinned at the current committed
+        version (reference ``newTx``). Any number may be live at once;
+        each stages privately and commits first-committer-wins."""
+        return Transaction(self)
+
+    # -- engine-wide id allocation (shared across live transactions) -------
+    def _reserve_ids(self, kind: str, count: int, df: DataFrame, snap_max) -> list[int]:
+        current_max = snap_max if snap_max is not None else (
+            (df.agg(F.max("id").alias("m")).collect()[0]["m"]) or 0
+        )
+        base = max(self._id_high.get(kind, 0), current_max)
+        self._id_high[kind] = base + count
+        return list(range(base + 1, base + count + 1))
+
+    def _reserve_node_ids(self, count: int, snap: GraphSnapshot) -> list[int]:
+        return self._reserve_ids("node", count, snap.nodes, snap.max_node_id)
+
+    def _reserve_edge_ids(self, count: int, snap: GraphSnapshot) -> list[int]:
+        return self._reserve_ids("edge", count, snap.edges, snap.max_edge_id)
 
     # -- snapshot access (MVCC reads) -------------------------------------
     @property
@@ -158,7 +346,30 @@ class GraphEngine:
             props=self._staged.props.localCheckpoint(),
         )
 
+    def model_df(self) -> DataFrame:
+        """The maintained type dictionary as a DataFrame (reference M8);
+        folds in any bulk-ingested types first."""
+        if self.model.dirty:
+            self.model.fold_snapshot(self.current)
+        return self.model.to_df(self.spark)
+
+    def _note_node_types(self, rows) -> None:
+        for label, props in rows:
+            self.model.note("node_type", label)
+            for name, value in (props or {}).items():
+                for v in value if isinstance(value, list) else [value]:
+                    self.model.note_property(name, v)
+
+    def _note_edge_types(self, rows) -> None:
+        for _src, _dst, label, props in rows:
+            self.model.note("edge_type", label)
+            for name, value in (props or {}).items():
+                for v in value if isinstance(value, list) else [value]:
+                    self.model.note_property(name, v)
+
     def add_nodes(self, rows, ids=None) -> list[int]:
+        rows = list(rows)
+        self._note_node_types(rows)
         snap, new_ids = mutations.add_nodes(self.current, rows, ids)
         self._stage(snap)
         return new_ids
@@ -167,6 +378,8 @@ class GraphEngine:
         return self.add_nodes([(label, props or {})])[0]
 
     def add_edges(self, rows, ids=None) -> list[int]:
+        rows = list(rows)
+        self._note_edge_types(rows)
         snap, new_ids = mutations.add_edges(self.current, rows, ids)
         self._stage(snap)
         return new_ids
@@ -175,9 +388,11 @@ class GraphEngine:
         return self.add_edges([(src, dst, label, props or {})])[0]
 
     def add_nodes_df(self, nodes: DataFrame, props: DataFrame | None = None) -> None:
+        self.model.dirty = True  # labels live in the DataFrame; fold lazily
         self._stage(mutations.add_nodes_df(self.current, nodes, props))
 
     def add_edges_df(self, edges: DataFrame, props: DataFrame | None = None) -> None:
+        self.model.dirty = True
         self._stage(mutations.add_edges_df(self.current, edges, props))
 
     def update_node(self, node_id: int, label: str, props: Mapping[str, object]) -> None:

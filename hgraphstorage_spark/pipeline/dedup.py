@@ -41,10 +41,16 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def _parallel(df: DataFrame) -> DataFrame:
     """Spread a small-file input across the cluster before CPU-heavy narrow
     stages. A single parquet file arrives as one partition — shingling 100k
-    docs on one core wastes the other 31 (or the other 31,999). No-op when
-    the scan already has enough splits."""
+    docs on one core wastes the other 31 (or the other 31,999). Uses file
+    metadata (no ``df.rdd`` conversion, which would freeze the plan and
+    bypass AQE); repartitions only when the scan has fewer files than
+    cores — a multi-file scan already splits by maxPartitionBytes."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df
 

@@ -194,7 +194,7 @@ def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.35,
     dims: int = 64,
-    bits: int = 4,
+    bits: int | None = None,
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -205,7 +205,17 @@ def embedding_near_dup_lsh(
     (table_id, bucket) replaces the O(n²) pair enumeration. Recall grows
     with `tables` (1-(1-p^bits)^tables for collision prob p); missed pairs
     are the documented approximation. Same output shape as the exact op.
+
+    ``bits=None`` adapts the bucket grain to the input: bits ≈
+    log2(n / 64), so expected bucket size stays ~64 vectors and the
+    candidate count stays LINEAR in n as data grows — fixed bits would
+    make buckets (and the per-bucket quadratic join) grow with n, which
+    is exactly the failure mode LSH exists to avoid. Raising `tables`
+    buys back the recall that finer buckets cost, at linear cost.
     """
+    if bits is None:
+        n = embeddings.count()
+        bits = max(4, (max(n, 1) // 64).bit_length())
     prepped = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),

@@ -1,0 +1,93 @@
+"""Strict replica of the driver's value-hash gate for the 50-query
+correctness window.
+
+The round-1 lesson: the driver compares PANDAS-materialized results, where
+engine-specific type mapping (Spark DECIMAL → decimal.Decimal objects,
+DuckDB DECIMAL → float64) makes exactly-equal values stringify differently
+("2525.00" vs "2525.0") and fail the hash despite passing an
+order-insensitive typed-value compare. This test materializes BOTH sides
+through pandas and hashes raw ``str()`` renderings with NO numeric
+normalization — if it passes, no representation drift can hide between our
+local compare and the driver's.
+
+Only the first 50 ``queries()`` entries run here (those are the ones the
+driver hashes); the full typed-value compare over all queries lives in
+``test_oracle_parity.py``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+WINDOW = list(QUERIES)[:50]
+
+
+def _cell(v) -> str:
+    # floats: both sides arrive as numpy/python float64; repr is identical
+    # for identical bits. Everything else: raw str(), NO normalization.
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    return repr(v)
+
+
+def _hash_frame(pdf) -> str:
+    cols = sorted(pdf.columns)
+    rows = sorted(tuple(_cell(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None))
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+@pytest.mark.parametrize("name", [n for n in WINDOW if n in ORACLES])
+def test_window_query_pandas_hash_matches(spark, name):
+    spdf = QUERIES[name](spark, SF_DIR).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    ddf = con.sql(ORACLES[name]).df()
+    assert sorted(spdf.columns) == sorted(ddf.columns), (
+        f"{name}: columns {sorted(spdf.columns)} vs {sorted(ddf.columns)}"
+    )
+    assert len(spdf) == len(ddf), f"{name}: {len(spdf)} vs {len(ddf)} rows"
+    hs, hd = _hash_frame(spdf), _hash_frame(ddf)
+    if hs != hd:
+        cols = sorted(spdf.columns)
+        s_rows = sorted(tuple(_cell(v) for v in r) for r in spdf[cols].itertuples(index=False, name=None))
+        d_rows = sorted(tuple(_cell(v) for v in r) for r in ddf[cols].itertuples(index=False, name=None))
+        diffs = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+        pytest.fail(f"{name}: pandas-level hash mismatch; first diffs {diffs}")
+
+
+def test_window_covers_required_operators():
+    """The driver checks only the first 50 entries — pin the composition so
+    a refactor can't silently push the north-star operators out."""
+    must_be_in_window = {
+        # round-1 red rows, fixed + canonicalized
+        "tpch_q1", "tpch_q3_like", "tpch_q5_like", "window_top_order",
+        "ntile_deciles", "rollup_revenue", "cube_revenue", "retention_cohorts",
+        "pagerank", "personalized_pagerank", "link_prediction", "harmonic_centrality",
+        # LLM-pipeline categories the driver must see green
+        "dedup_exact", "minhash_lsh_pairs", "chunk_dedup", "dedup_clusters",
+        "similarity_topk", "embed_near_dup_lsh", "kmeans",
+        "text_quality", "lang_id", "text_token_counts", "repetition_stats",
+        "bm25_search", "decontaminate", "hash_split", "mix_corpus",
+        "multimodal_features", "graph_summary",
+    }
+    missing = must_be_in_window - set(WINDOW)
+    assert not missing, f"pushed out of the driver window: {sorted(missing)}"

@@ -191,3 +191,219 @@ class TestSqlSurface:
             "SELECT count(*) AS n FROM graph_nodes WHERE label = 'Actor'"
         ).collect()[0]["n"]
         assert (n_old, n_new) == (1, 0)
+
+
+class TestConcurrentTransactions:
+    """Ports of the reference's live-interleaving MVCC cases
+    (LowLevelDB/test/.../MVCCSpec.hs:102-165) onto engine.begin()
+    transactions — N simultaneous staged snapshots, first-committer-wins."""
+
+    @staticmethod
+    def _k(snap):
+        return bag(snap.props.filter("name = 'k'").select("text_v"), ["text_v"])
+
+    def test_tx_does_not_see_uncommitted_data(self, spark):
+        # MVCCSpec.hs:102-108
+        eng = GraphEngine(spark)
+        tx1 = eng.begin()
+        tx1.add_node("Row", {"k": "foo"})
+        tx2 = eng.begin()
+        assert self._k(tx2.snapshot) == []
+        assert self._k(tx1.snapshot) == [("foo",)]  # reads-own-writes
+
+    def test_tx_does_not_see_data_committed_after_start(self, spark):
+        # MVCCSpec.hs:109-119 — snapshot isolation: the commit lands, the
+        # concurrently-started reader still doesn't see it
+        eng = GraphEngine(spark)
+        tx1 = eng.begin()
+        tx1.add_node("Row", {"k": "foo"})
+        tx2 = eng.begin()
+        assert self._k(tx2.snapshot) == []
+        tx1.commit()
+        assert self._k(tx2.snapshot) == []
+        tx2.rollback()
+        assert self._k(eng.committed) == [("foo",)]
+
+    def test_tx_still_sees_data_deleted_after_start(self, spark):
+        # MVCCSpec.hs:120-133
+        eng = GraphEngine(spark)
+        setup = eng.begin()
+        nid = setup.add_node("Row", {"k": "foo"})
+        setup.commit()
+        tx2 = eng.begin()
+        tx2.delete_nodes([nid])
+        tx3 = eng.begin()
+        assert self._k(tx3.snapshot) == [("foo",)]
+        tx2.commit()
+        assert self._k(tx3.snapshot) == [("foo",)]  # pinned read survives
+        tx3.rollback()
+        assert self._k(eng.committed) == []
+
+    def test_wikipedia_example_with_live_transactions(self, spark):
+        # MVCCSpec.hs:134-165 with tx2 held OPEN across tx3's commit
+        eng = GraphEngine(spark)
+        tx0 = eng.begin()
+        rs1 = tx0.add_node("Row", {"k": "Foo"})
+        rs2 = tx0.add_node("Row", {"k": "Bar"})
+        tx0.commit()
+        tx1 = eng.begin()
+        tx1.update_node(rs1, "Row", {"k": "Hello"})
+        assert self._k(tx1.snapshot) == [("Bar",), ("Hello",)]
+        tx1.commit()
+        tx2 = eng.begin()
+        assert self._k(tx2.snapshot) == [("Bar",), ("Hello",)]
+        tx3 = eng.begin()
+        tx3.delete_nodes([rs2])
+        rs3 = tx3.add_node("Row", {"k": "Foo-Bar"})
+        tx3.commit()
+        # tx2 still pinned: sees Bar, sees Hello, does not see Foo-Bar
+        assert self._k(tx2.snapshot) == [("Bar",), ("Hello",)]
+        assert rs3 not in [r["id"] for r in tx2.snapshot.nodes.collect()]
+        assert self._k(eng.committed) == [("Foo-Bar",), ("Hello",)]
+
+    def test_non_conflicting_concurrent_commits_both_land(self, spark):
+        eng = GraphEngine(spark)
+        tx1 = eng.begin()
+        tx2 = eng.begin()
+        tx1.add_node("Row", {"k": "from-tx1"})
+        tx2.add_node("Row", {"k": "from-tx2"})
+        v1 = tx1.commit()
+        v2 = tx2.commit()  # replays onto tx1's head, no shared entities
+        assert (v1, v2) == (1, 2)
+        assert self._k(eng.committed) == [("from-tx1",), ("from-tx2",)]
+
+    def test_write_write_conflict_first_committer_wins(self, spark):
+        from hgraphstorage_spark.engine import WriteConflict
+
+        eng = GraphEngine(spark)
+        setup = eng.begin()
+        nid = setup.add_node("Row", {"k": "orig"})
+        setup.commit()
+        tx1 = eng.begin()
+        tx2 = eng.begin()
+        tx1.update_node(nid, "Row", {"k": "tx1-wins"})
+        tx2.update_node(nid, "Row", {"k": "tx2-loses"})
+        tx1.commit()
+        with pytest.raises(WriteConflict):
+            tx2.commit()
+        tx2.rollback()
+        assert self._k(eng.committed) == [("tx1-wins",)]
+
+    def test_unique_index_first_committer_wins(self, spark):
+        from hgraphstorage_spark.engine import DuplicateIndexKey
+
+        eng = GraphEngine(spark)
+        eng.add_index("by_k", labels=("Row",), prop_names=("k",))
+        tx1 = eng.begin()
+        tx2 = eng.begin()
+        tx1.add_node("Row", {"k": "same-key"})
+        tx2.add_node("Row", {"k": "same-key"})  # different entity, same key
+        tx1.commit()
+        with pytest.raises(DuplicateIndexKey):
+            tx2.commit()  # merged state violates uniqueness
+        tx2.rollback()
+
+    def test_closed_tx_rejects_further_use(self, spark):
+        eng = GraphEngine(spark)
+        tx = eng.begin()
+        tx.add_node("Row", {"k": "x"})
+        tx.commit()
+        with pytest.raises(RuntimeError):
+            tx.add_node("Row", {"k": "y"})
+        with pytest.raises(RuntimeError):
+            tx.commit()
+
+
+class TestErrorAbsorption:
+    """Reference SError composition parity (``APITypes.hs:149-150``,
+    ``API.hs:346``): an invalid (state, step) combination yields an
+    Error-kind RESULT that absorbs the rest of the traversal; raising is
+    the opt-in strict mode."""
+
+    def test_invalid_step_returns_error_result(self, movie_engine):
+        from hgraphstorage_spark.compiler import KIND_ERROR
+
+        # EID over a nodes state is an unhandled (state, step) combo
+        res = movie_engine.traverse(T().ns().eid(1))
+        assert res.kind == KIND_ERROR and res.is_error
+        assert "EID" in res.error
+        assert res.count() == 0  # typed empty DataFrame, still usable
+
+    def test_error_absorbs_subsequent_steps(self, movie_engine):
+        from hgraphstorage_spark.compiler import KIND_ERROR
+
+        # like `SError e mappend _ = SError e`: later valid steps cannot
+        # resurrect the traversal, and the FIRST failure is reported
+        res = movie_engine.traverse(T().ns().eid(1).has_label("Movie").values("name"))
+        assert res.kind == KIND_ERROR
+        assert "EID" in res.error
+
+    def test_oute_on_edges_state_is_error(self, movie_engine):
+        # edge state can hop to nodes (edgesToNodes) but not to edges
+        res = movie_engine.traverse(T().es().out_e("Played"))
+        assert res.is_error
+        assert "OutE" in res.error
+
+    def test_unknown_state_yields_unknown_result(self, movie_engine):
+        from hgraphstorage_spark.compiler import KIND_UNKNOWN
+
+        res = movie_engine.traverse(T())  # no ns()/es() seed
+        assert res.kind == KIND_UNKNOWN
+        assert res.error is None
+
+    def test_strict_mode_raises(self, movie_engine):
+        from hgraphstorage_spark.compiler import TraversalError, compile_traversal
+
+        with pytest.raises(TraversalError):
+            compile_traversal(movie_engine.current, T().ns().eid(1), strict=True)
+        with pytest.raises(TraversalError):
+            compile_traversal(movie_engine.current, T(), strict=True)
+
+
+class TestModelMaintenance:
+    """M8 type-id upsert parity: the dictionary is MAINTAINED as writes
+    arrive (first-use order, reference FileOps.hs:113-148 fold), not
+    re-derived lexicographically per call."""
+
+    def test_first_use_order_ids(self, spark):
+        eng = GraphEngine(spark)
+        eng.add_node("Zebra", {"z": "1"})
+        eng.add_node("Aardvark", {"a": 2})
+        eng.commit()
+        # Zebra was seen first -> id 1, despite sorting after Aardvark
+        assert eng.model.lookup("node_type", "Zebra") == 1
+        assert eng.model.lookup("node_type", "Aardvark") == 2
+        assert eng.model.name_of("node_type", 1) == "Zebra"
+        # property types key on name:dtype
+        assert eng.model.lookup("property_type", "z:text") == 1
+        assert eng.model.lookup("property_type", "a:integer") == 2
+
+    def test_upsert_is_stable(self, spark):
+        eng = GraphEngine(spark)
+        eng.add_node("A", {})
+        eng.add_node("A", {})  # re-use: same id, no growth
+        assert eng.model.lookup("node_type", "A") == 1
+        rows = eng.model_df().collect()
+        assert len([r for r in rows if r["kind"] == "node_type"]) == 1
+
+    def test_bulk_ingest_folds_lazily(self, spark):
+        eng = GraphEngine(spark)
+        eng.add_node("Seen", {})
+        nodes = spark.createDataFrame([(1000, "Bulk")], "id long, label string")
+        eng.add_nodes_df(nodes)
+        eng.commit()
+        df = {(r["kind"], r["name"]) for r in eng.model_df().collect()}
+        assert ("node_type", "Bulk") in df and ("node_type", "Seen") in df
+        # first-use still wins for the interactively-seen label
+        assert eng.model.lookup("node_type", "Seen") == 1
+
+    def test_rolled_back_tx_leaves_model_untouched(self, spark):
+        eng = GraphEngine(spark)
+        tx = eng.begin()
+        tx.add_node("Ghost", {})
+        tx.rollback()
+        assert eng.model.lookup("node_type", "Ghost") is None
+        tx2 = eng.begin()
+        tx2.add_node("Real", {})
+        tx2.commit()
+        assert eng.model.lookup("node_type", "Real") == 1

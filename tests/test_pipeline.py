@@ -207,11 +207,65 @@ class TestMultimodal:
             (r["media_id"], tuple(r["feature"])) for r in again
         )
 
-    def test_real_mode_marks_decode_failed(self, spark):
+    def test_real_mode_probes_headers(self, spark):
+        """Real mode: container headers parse from actual bytes — valid
+        PNG/JPEG/WAV payloads decode_ok, corrupt images and raw video
+        streams (no parser) fail honestly."""
         from hgraphstorage_spark.pipeline.multimodal import extract_features, synthetic_media
 
-        feats = extract_features(synthetic_media(spark, 6), fake_decode=False).collect()
-        assert all(not r["decode_ok"] for r in feats)
+        feats = {r["media_id"]: r for r in extract_features(synthetic_media(spark, 30), fake_decode=False).collect()}
+        for i, r in feats.items():
+            kind = ["image", "audio", "video"][i % 3]
+            if kind == "video" or (kind == "image" and i % 15 == 0):
+                assert not r["decode_ok"], i
+            else:
+                assert r["decode_ok"], i
+                if kind == "image":
+                    assert r["feature"][0] == float(64 + i)  # width from real header
+                    assert r["feature"][1] == float(48 + i)
+
+    def test_parse_media_header_formats(self):
+        from hgraphstorage_spark.pipeline.multimodal import (
+            jpeg_header_bytes,
+            parse_media_header,
+            png_bytes,
+            wav_bytes,
+        )
+
+        assert parse_media_header(png_bytes(640, 480)) == ("png", 640, 480, None)
+        assert parse_media_header(jpeg_header_bytes(123, 77)) == ("jpeg", 123, 77, None)
+        assert parse_media_header(wav_bytes(2500)) == ("wav", None, None, 2500)
+        assert parse_media_header(b"garbage-not-a-container") is None
+        assert parse_media_header(None) is None
+        # the PNG is a complete valid file: walk chunks, inflate the IDAT
+        import struct
+        import zlib
+
+        png = png_bytes(4, 2)
+        pos, idat = 8, b""
+        while pos < len(png):
+            (length,) = struct.unpack(">I", png[pos : pos + 4])
+            ctype = png[pos + 4 : pos + 8]
+            data = png[pos + 8 : pos + 8 + length]
+            crc = struct.unpack(">I", png[pos + 8 + length : pos + 12 + length])[0]
+            assert crc == zlib.crc32(ctype + data)  # every chunk CRC holds
+            if ctype == b"IDAT":
+                idat += data
+            pos += 12 + length
+        scanlines = zlib.decompress(idat)
+        assert len(scanlines) == 2 * (1 + 4)  # height × (filter byte + width)
+
+    def test_probe_metadata_catches_lying_meta(self, spark):
+        """Declared meta says every image is a healthy png; the probe reads
+        bytes and flags the corrupt ones (media_id % 15 == 0)."""
+        from hgraphstorage_spark.pipeline.multimodal import probe_metadata, synthetic_media
+
+        rows = {r["media_id"]: r for r in probe_metadata(synthetic_media(spark, 31)).collect()}
+        assert not rows[0]["decode_ok"] and rows[0]["codec"] is None  # corrupt
+        assert rows[15]["decode_ok"] is False
+        assert rows[6]["codec"] == "png" and rows[6]["width"] == 70
+        assert rows[3]["codec"] == "jpeg" and rows[3]["height"] == 51
+        assert rows[1]["codec"] == "wav" and rows[1]["duration_ms"] == 5100
 
     def test_frame_sample_plan_metadata_only(self, spark):
         from hgraphstorage_spark.pipeline.multimodal import frame_sample_plan, synthetic_media
