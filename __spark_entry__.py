@@ -1460,6 +1460,60 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget mixture: per-source token budgets filled in
+    deterministic hash order (the 'sample 50k web tokens, 20k src1
+    tokens' pretraining-mixture spec); oracle = same cumsum in SQL."""
+    from hgraphstorage_spark.pipeline.sampling import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_mix(docs, {"src0": 50_000, "src1": 20_000}, default_budget=5_000)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: cosine k-means clusters, then
+    within-cluster near-identical vectors (round-6 cosine >= 0.35) drop
+    to one lowest-id representative. Oracle reproduces the same two
+    k-means rounds + the within-cluster pair rule in SQL."""
+    from hgraphstorage_spark.pipeline.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"), nlist=8, iterations=2, threshold=0.35)
+
+
+def q_pipeline_report(spark, sf_dir):
+    """End-to-end curation accounting: documents surviving each stage of
+    a Gopher-quality -> exact-dedup -> decontamination pipeline, plus the
+    final intersection — the composed form of the individual operators,
+    checked as one unit so stage wiring (not just stages) is verified."""
+    from hgraphstorage_spark.pipeline import exact_dedup, quality_filter
+    from hgraphstorage_spark.pipeline.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_filter(docs).select("doc_id", "passes")
+    kept = exact_dedup(docs).select("doc_id")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    clean = decontaminate(corpus, bench, n=5).filter(~F.col("contaminated")).select("doc_id")
+    final = q.filter("passes").select("doc_id").join(kept, "doc_id").join(clean, "doc_id")
+
+    def s(name, df):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    parts = [
+        s("total", docs),
+        s("quality_pass", q.filter("passes")),
+        s("exact_unique", kept),
+        s("decontam_clean", clean),
+        s("final", final),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1588,6 +1642,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "pivot_events": q_pivot_events,
         "per_group_cap": q_per_group_cap,
+        "semantic_dedup": q_semantic_dedup,
+        "pipeline_report": q_pipeline_report,
+        "token_budget_mix": q_token_budget_mix,
     }
 
 
@@ -2456,6 +2513,24 @@ FROM scored
               WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8) < fb
             )
         """,
+        "token_budget_mix": r"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     (CASE WHEN len(trim(text)) = 0 THEN 0
+                           ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+                     substr(md5(doc_id::VARCHAR || ':budget'), 1, 8) AS h,
+                     CASE source WHEN 'src0' THEN 50000 WHEN 'src1' THEN 20000 ELSE 5000 END AS b
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, source, n_tokens, b,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM d
+            )
+            SELECT doc_id, source, n_tokens, cum_tokens
+            FROM c WHERE cum_tokens - n_tokens < b
+        """,
         "rolling_features": """
             SELECT event_id, user_id,
                    strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -2697,6 +2772,49 @@ def oracle_sql() -> dict[str, str]:
         + hash_split_case_sql()
         + " AS split FROM documents"
     )
+    # semantic_dedup: the kmeans oracle's assignment CTEs + the
+    # within-cluster pair rule (shares text with sql["kmeans"] by
+    # construction so the two cannot drift)
+    kmeans_body = sql["kmeans"].rstrip()
+    assert kmeans_body.lstrip().startswith("WITH"), "kmeans oracle shape changed"
+    final_select = kmeans_body.rindex("SELECT vec_id,")
+    sql["semantic_dedup"] = (
+        kmeans_body[:final_select].rstrip().rstrip(",")
+        + """,
+            a1 AS MATERIALIZED (
+              SELECT vec_id, v,
+                     (SELECT cid FROM (
+                        SELECT cid, list_dot_product(a0.v, cv)
+                               / (sqrt(list_dot_product(a0.v, a0.v)) * sqrt(list_dot_product(cv, cv))) AS cs
+                        FROM c1 ORDER BY cs DESC, cid ASC LIMIT 1) s) AS list_id
+              FROM a0
+            ),
+            dup AS (
+              SELECT DISTINCT b.vec_id
+              FROM a1 a JOIN a1 b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+              WHERE CAST(round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                      AS DECIMAL(18,6)) >= 0.35
+            )
+            SELECT vec_id, list_id, vec_id NOT IN (SELECT vec_id FROM dup) AS keep FROM a1"""
+    )
+    # pipeline_report: per-stage survivor counts composed from the SAME
+    # oracle bodies as the individual stage queries
+    sql["pipeline_report"] = f"""
+        SELECT 'total' AS stage, count(*)::BIGINT AS n_docs FROM documents
+        UNION ALL
+        SELECT 'quality_pass', count(*)::BIGINT FROM ({sql["quality_filter"]}) WHERE passes
+        UNION ALL
+        SELECT 'exact_unique', count(*)::BIGINT FROM ({sql["dedup_exact"]})
+        UNION ALL
+        SELECT 'decontam_clean', count(*)::BIGINT FROM ({sql["decontaminate"]}) WHERE NOT contaminated
+        UNION ALL
+        SELECT 'final', count(*)::BIGINT
+        FROM ({sql["quality_filter"]}) q
+        JOIN ({sql["dedup_exact"]}) k USING (doc_id)
+        JOIN ({sql["decontaminate"]}) c USING (doc_id)
+        WHERE q.passes AND NOT c.contaminated
+    """
     # graph_summary: scalar per iterative algorithm, composed from the same
     # oracle bodies the per-node queries use (subquery-wrapped), so the
     # compressed check cannot drift from the full ones

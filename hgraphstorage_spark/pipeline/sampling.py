@@ -279,3 +279,52 @@ def negative_edge_sampling(
         .filter(F.col("rank") <= k)
         .select("src", F.col("cand_id").alias("neg_dst"), F.col("rank").cast("long").alias("rank"))
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    strata_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Token-budget corpus mixing: instead of epoch weights (`mix_corpus`),
+    each stratum gets a TOKEN budget ("80M web tokens, 15M book tokens…" —
+    how pretraining mixtures are actually specified). Documents are taken
+    in deterministic md5-hash order within their stratum — an unbiased,
+    reproducible shuffle — and kept while the stratum's inclusive running
+    token total stays within budget; the first document that crosses the
+    line is kept too (budgets are met, never undershot by a whole doc).
+
+    Returns the kept rows as (id, stratum, n_tokens, cum_tokens).
+
+    Scale shape: one narrow token count + ONE window shuffle partitioned
+    by stratum (the running sum); no joins, no driver state. Strata are
+    few and the window partitions by stratum — at extreme per-stratum row
+    counts, pre-aggregate ranges or sub-salt the cumsum; at 100 TB the
+    shuffle carries only (id, stratum, n_tokens) — not text.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long")
+    budget = F.lit(int(default_budget))
+    for value, b in budgets.items():
+        if b < 0:
+            raise ValueError("budgets must be >= 0")
+        budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(budget)
+    w = Window.partitionBy(strata_col).orderBy(_bucket(id_col, salt), id_col)
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            n_tokens.alias("n_tokens"),
+        )
+        .select(id_col, strata_col, "n_tokens", cum.alias("cum_tokens"), budget.alias("_budget"))
+        .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("_budget"))
+        .select(id_col, strata_col, "n_tokens", "cum_tokens")
+    )

@@ -940,3 +940,57 @@ class TestPatternScanRedact:
         kept = {r["doc_id"]: r["clean"] for r in red.collect()}
         assert "a.user@example.com" not in kept[0] and "[REDACTED]" in kept[0]
         assert kept[2] == "clean text only"
+
+
+class TestSemanticDedup:
+    def test_identical_vectors_dedup_to_lowest_id(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import semantic_dedup
+
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 0
+            (2, [0.99, 0.14, 0.0, 0.0]), # near dup of 0 (cos ~0.99)
+            (3, [0.0, 1.0, 0.0, 0.0]),   # distinct direction
+            (4, [0.0, 0.0, 1.0, 0.0]),   # distinct direction
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r for r in semantic_dedup(emb, nlist=2, iterations=1, threshold=0.9).collect()}
+        assert out[0]["keep"] is True          # lowest id survives
+        assert out[1]["keep"] is False         # exact dup dropped
+        assert out[2]["keep"] is False         # near dup dropped
+        # vectors in other clusters / below threshold survive
+        assert out[3]["keep"] is True and out[4]["keep"] is True
+
+    def test_threshold_bounds_dropping(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import semantic_dedup
+
+        rows = [(i, [1.0 if j == i else 0.0 for j in range(4)]) for i in range(4)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(emb, nlist=2, iterations=1, threshold=0.99).collect()
+        assert all(r["keep"] for r in out)  # orthogonal: nothing drops
+
+
+class TestTokenBudgetMix:
+    def test_budget_met_never_undershot(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import token_budget_mix
+
+        rows = [(i, " ".join(["w"] * 10), "a" if i < 20 else "b") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = token_budget_mix(df, {"a": 35, "b": 400}, default_budget=0).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        # 'a': 10-token docs against a 35-token budget -> 4 docs (the
+        # crossing doc is kept: 30 < 35 <= 40)
+        assert sum(r["n_tokens"] for r in by_src["a"]) == 40
+        # 'b': budget 400 >= total 200 -> everything kept
+        assert len(by_src["b"]) == 20
+
+    def test_deterministic_selection(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import token_budget_mix
+
+        rows = [(i, " ".join(["w"] * (i + 1)), "s") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        a = sorted(r["doc_id"] for r in token_budget_mix(df, {"s": 100}).collect())
+        b = sorted(r["doc_id"] for r in token_budget_mix(df, {"s": 100}).collect())
+        assert a == b and len(a) > 0
