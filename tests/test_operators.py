@@ -187,3 +187,53 @@ class TestRangeJoin:
         facts, intervals = frames
         plan = executed_plan(range_join(facts, "p", intervals, "lo", "hi", bucket_width=4.0))
         assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+class TestNewOpPlans:
+    """Plan audits for the round-2 operators: the shapes that must hold at
+    100x data — Arrow-batched GEMM stages, no cartesian products, bounded
+    shuffles."""
+
+    def test_lsh_near_dup_plan_is_gemm_not_self_join(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_lsh
+        from hgraphstorage_spark.plans import executed_plan
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = executed_plan(embedding_near_dup_lsh(emb))
+        # candidates come from per-bucket Arrow GEMM, not an O(bucket^2)
+        # JVM self-join; no cartesian anywhere
+        assert "FlatMapGroupsInPandas" in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    def test_semantic_dedup_plan(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import semantic_dedup
+        from hgraphstorage_spark.plans import executed_plan
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = executed_plan(semantic_dedup(emb))
+        assert "FlatMapGroupsInPandas" in plan  # per-cluster GEMM
+        # the only nested-loop joins allowed are kmeans' deliberate 1-row
+        # broadcast of the collected centroid list (BuildRight, Cross)
+        assert "CartesianProduct" not in plan
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "BuildRight, Cross" in line
+
+    def test_token_budget_mix_single_shuffle(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import token_budget_mix
+        from hgraphstorage_spark.plans import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(token_budget_mix(docs, {"src0": 1000}))
+        # one hash-partitioned exchange for the per-source cumsum window;
+        # AQE may add read stages but no join/cartesian appears
+        assert plan.count("hashpartitioning") <= 1
+        assert "Join" not in plan and "CartesianProduct" not in plan
+
+    def test_probe_metadata_is_one_arrow_stage(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import probe_metadata, synthetic_media
+        from hgraphstorage_spark.plans import executed_plan
+
+        plan = executed_plan(probe_metadata(synthetic_media(spark, 12)))
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan  # pure narrow map over batches
