@@ -1460,6 +1460,16 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_quality_filter_narrow(spark, sf_dir):
+    """Zero-shuffle streaming-safe Gopher filter — must equal the
+    histogram variant exactly (shares its oracle)."""
+    from hgraphstorage_spark.pipeline.text import quality_filter_narrow
+
+    return _canon(
+        quality_filter_narrow(_t(spark, sf_dir, "documents")), "mean_tok_len", "top_term_ratio"
+    )
+
+
 def q_token_budget_mix(spark, sf_dir):
     """Token-budget mixture: per-source token budgets filled in
     deterministic hash order (the 'sample 50k web tokens, 20k src1
@@ -1645,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pipeline_report": q_pipeline_report,
         "token_budget_mix": q_token_budget_mix,
+        "quality_filter_narrow": q_quality_filter_narrow,
     }
 
 
@@ -2772,6 +2783,9 @@ def oracle_sql() -> dict[str, str]:
         + hash_split_case_sql()
         + " AS split FROM documents"
     )
+    # the narrow (zero-shuffle, streaming-safe) quality filter must equal
+    # the histogram variant exactly — one oracle serves both
+    sql["quality_filter_narrow"] = sql["quality_filter"]
     # semantic_dedup: the kmeans oracle's assignment CTEs + the
     # within-cluster pair rule (shares text with sql["kmeans"] by
     # construction so the two cannot drift)

@@ -213,9 +213,6 @@ def embedding_near_dup_lsh(
     is exactly the failure mode LSH exists to avoid. Raising `tables`
     buys back the recall that finer buckets cost, at linear cost.
     """
-    if bits is None:
-        n = embeddings.count()
-        bits = max(4, (max(n, 1) // 64).bit_length())
     import pandas as pd
 
     prepped = embeddings.select(
@@ -223,6 +220,10 @@ def embedding_near_dup_lsh(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
     prepped.persist()
+    if bits is None:
+        # sizing count doubles as the cache-warming job: one scan total
+        n = prepped.count()
+        bits = max(4, (max(n, 1) // 64).bit_length())
     buckets = prepped.select(
         "vid",
         "v",

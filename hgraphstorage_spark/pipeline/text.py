@@ -194,6 +194,61 @@ def quality_filter(
     return with_ratio.withColumn("passes", F.coalesce(passes, F.lit(False)))
 
 
+def quality_filter_narrow(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_top_term_ratio: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``quality_filter`` computed in ONE narrow projection — identical
+    output (same metrics, same rounding, pinned by tests), zero shuffle:
+    tokens array → total-length fold (mean length) → sorted-array max run
+    (the most frequent token's count, via the same one-pass run-length
+    aggregate ``repetition_stats`` uses). Two consequences at scale:
+
+    - the filter runs at parquet-scan speed on 100 TB (the histogram
+      variant pays one (doc, token)-keyed shuffle);
+    - it is STREAMING-SAFE: per-row projections compose with readStream
+      (arbitrary groupBy mid-stream is not allowed), so the same quality
+      gate runs in a Structured Streaming ingest unchanged.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+    )
+    df = (
+        docs.select(F.col(id_col), toks.alias("_toks"))
+        .select(id_col, "_toks", F.size("_toks").alias("_n"))
+        .withColumn("_total_len", F.aggregate("_toks", F.lit(0), lambda acc, x: acc + F.length(x)))
+        .withColumn("_stats", _ngram_run_stats(F.array_sort("_toks")))
+    )
+    mean = F.when(
+        F.col("_n") > 0,
+        F.round((F.col("_total_len") / F.col("_n")).cast("double"), 6).cast("decimal(18,6)"),
+    )
+    top_ratio = F.when(
+        F.col("_n") > 0,
+        F.round((F.col("_stats.maxrun") / F.col("_n")).cast("double"), 6).cast("decimal(18,6)"),
+    )
+    out = df.select(
+        id_col,
+        F.col("_n").cast("long").alias("n_tokens"),
+        mean.alias("mean_tok_len"),
+        top_ratio.alias("top_term_ratio"),
+    )
+    passes = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("mean_tok_len") >= min_mean_tok_len)
+        & (F.col("mean_tok_len") <= max_mean_tok_len)
+        & (F.col("top_term_ratio") <= max_top_term_ratio)
+    )
+    return out.withColumn("passes", F.coalesce(passes, F.lit(False)))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of lowercased, whitespace-normalized text.
     (The rolling-hash variant for shingling lives in dedup.py.)"""
@@ -456,7 +511,7 @@ def redact(
     return df.withColumn(out_col or col, expr)
 
 
-def _ngram_run_stats(sorted_col: str):
+def _ngram_run_stats(sorted_col):
     """One-pass run-length scan over a SORTED n-gram array: returns a
     struct(maxrun, dup_occ) where maxrun is the count of the most frequent
     n-gram and dup_occ the number of occurrences belonging to n-grams seen
@@ -485,7 +540,8 @@ def _ngram_run_stats(sorted_col: str):
             F.when(acc["run"] > 1, acc["dup"] + acc["run"]).otherwise(acc["dup"]).alias("dup"),
         )
 
-    return F.aggregate(F.col(sorted_col), init, merge, finish)
+    col = F.col(sorted_col) if isinstance(sorted_col, str) else sorted_col
+    return F.aggregate(col, init, merge, finish)
 
 
 def repetition_stats(

@@ -994,3 +994,43 @@ class TestTokenBudgetMix:
         a = sorted(r["doc_id"] for r in token_budget_mix(df, {"s": 100}).collect())
         b = sorted(r["doc_id"] for r in token_budget_mix(df, {"s": 100}).collect())
         assert a == b and len(a) > 0
+
+
+class TestQualityFilterNarrow:
+    def test_identical_to_histogram_variant(self, spark):
+        from hgraphstorage_spark.pipeline import quality_filter
+        from hgraphstorage_spark.pipeline.text import quality_filter_narrow
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, quality_filter(docs).collect()))
+        b = sorted(map(tuple, quality_filter_narrow(docs).collect()))
+        assert a == b  # same metrics, same rounding, same flags
+
+    def test_zero_shuffle_plan(self, spark):
+        from hgraphstorage_spark.pipeline.text import quality_filter_narrow
+        from hgraphstorage_spark.plans import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(quality_filter_narrow(docs))
+        assert "Exchange" not in plan  # scan-speed: one narrow projection
+
+    def test_streaming_safe(self, spark, tmpdir):
+        from hgraphstorage_spark.pipeline.text import quality_filter_narrow
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+        src = str(tmpdir.join("docs_src"))
+        docs.write.parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        out = quality_filter_narrow(stream)
+        assert out.isStreaming  # the projection composes with readStream
+        q = (
+            out.writeStream.format("memory")
+            .queryName("qfn_stream")
+            .option("checkpointLocation", str(tmpdir.join("ckpt")))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.sql("SELECT * FROM qfn_stream").collect()))
+        want = sorted(map(tuple, quality_filter_narrow(docs).collect()))
+        assert got == want  # stream == batch on complete data
