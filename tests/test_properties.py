@@ -194,3 +194,55 @@ def test_asof_equals_naive_argmax(spark, rows):
         cands = [(rt, v) for v, rk, rt in rights if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[rid] == want, (rid, k, t, got[rid], want)
+
+
+# -- round-2 pure helpers ----------------------------------------------------
+
+
+@given(st.integers(1, 512), st.integers(1, 512))
+def test_png_header_roundtrip(w, h):
+    """Any dimensions written into a generated PNG parse back exactly."""
+    from hgraphstorage_spark.pipeline.multimodal import parse_media_header, png_bytes
+
+    assert parse_media_header(png_bytes(w, h)) == ("png", w, h, None)
+
+
+@given(st.integers(1, 65000), st.integers(1, 65000))
+def test_jpeg_header_roundtrip(w, h):
+    from hgraphstorage_spark.pipeline.multimodal import jpeg_header_bytes, parse_media_header
+
+    assert parse_media_header(jpeg_header_bytes(w, h)) == ("jpeg", w, h, None)
+
+
+@given(st.integers(0, 20_000))
+def test_wav_duration_roundtrip(ms):
+    from hgraphstorage_spark.pipeline.multimodal import parse_media_header, wav_bytes
+
+    assert parse_media_header(wav_bytes(ms)) == ("wav", None, None, ms)
+
+
+@given(st.binary(max_size=64))
+def test_parse_media_header_never_raises(payload):
+    """Arbitrary bytes: the probe returns None or a parse, never throws —
+    the property that makes decode_ok=false honest on corrupt payloads."""
+    from hgraphstorage_spark.pipeline.multimodal import parse_media_header
+
+    result = parse_media_header(payload)
+    assert result is None or (isinstance(result, tuple) and len(result) == 4)
+
+
+@given(st.lists(st.text(st.characters(categories=("Ll",)), min_size=1, max_size=4), max_size=30))
+def test_modeldict_first_use_order_and_idempotence(names):
+    """M8 upsert law: ids are dense in first-use order and re-noting an
+    existing name never changes or grows the dictionary."""
+    from hgraphstorage_spark.model import ModelDict
+
+    m = ModelDict()
+    first_ids = {}
+    for n in names:
+        got = m.note("node_type", n)
+        if n not in first_ids:
+            first_ids[n] = got
+        assert m.note("node_type", n) == first_ids[n]  # idempotent
+    distinct = list(dict.fromkeys(names))
+    assert [first_ids[n] for n in distinct] == list(range(1, len(distinct) + 1))
