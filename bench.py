@@ -28,7 +28,9 @@ HEADLINE = [
     "tpch_q3_like",          # 3-way join + top-k
     "tpch_q5_like",          # 4-way join + agg
     "dedup_exact",           # hash-agg dedup over documents
+    "quality_filter_narrow", # zero-shuffle Gopher quality gate (scan speed)
     "chunk_dedup",           # C4-style chunk-level dedup + reassembly
+    "semantic_dedup",        # SemDeDup: k-means clusters + in-cluster GEMM
     "minhash_lsh_pairs",     # shingle -> minhash -> band join -> verify
     # the 100 TB-shaped embedding near-dup path: banded LSH candidates +
     # exact verify (linear in n + candidates). The O(n^2) exact variant

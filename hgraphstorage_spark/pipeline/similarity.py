@@ -163,15 +163,19 @@ def embedding_near_dup_exact(
     ~256 blocks ≈ 33k tasks across the cluster). The row count comes from
     a cheap count job, far cheaper than mis-sizing the grid by 100×.
     """
-    if blocks is None:
-        n = embeddings.count()
-        par = embeddings.sparkSession.sparkContext.defaultParallelism
-        min_blocks = max(1, int((2 * par) ** 0.5))
-        blocks = max(min_blocks, min(64, -(-n // 4096)))
     prepped = embeddings.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
+    prepped = prepped.persist()
+    if blocks is None:
+        # sizing count runs on the persisted projection, so it doubles as
+        # the cache-warming job for the 3 downstream uses (blocked GEMM +
+        # both sides of the verify join) — one scan of the raw input total
+        n = prepped.count()
+        par = embeddings.sparkSession.sparkContext.defaultParallelism
+        min_blocks = max(1, int((2 * par) ** 0.5))
+        blocks = max(min_blocks, min(64, -(-n // 4096)))
     candidates = _blocked_pair_candidates(prepped, threshold, blocks)
     va = prepped.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     vb = prepped.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
