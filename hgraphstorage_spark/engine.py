@@ -245,6 +245,7 @@ class GraphEngine:
         base = snapshot if snapshot is not None else GraphSnapshot.empty(spark)
         self._ledger: list[GraphSnapshot] = [base.with_version(0)]
         self._staged: GraphSnapshot | None = None
+        self._staged_base_version: int | None = None
         self._stage_count = 0
         # (version, written entity ids) per concurrent-transaction commit,
         # the conflict-detection trail for first-committer-wins
@@ -307,19 +308,35 @@ class GraphEngine:
     def commit(self) -> int:
         """Promote staged state to a new committed version (T5). Enforces
         unique indexes against the full post-commit state first — commit
-        fails atomically on violation."""
+        fails atomically on violation.
+
+        This is the implicit single-writer path; mixing it with live
+        ``begin()`` transactions is guarded: if a transaction committed
+        after this implicit staging began, promoting the (older-based)
+        staged snapshot would silently erase that commit, so the engine
+        raises ``WriteConflict`` instead (rollback and replay, or use
+        transactions for all concurrent writers)."""
         if self._staged is None:
             return self._ledger[-1].version  # no writes: nothing to do (GC'd tx)
+        if self._staged_base_version is not None and self._staged_base_version != self._ledger[-1].version:
+            raise WriteConflict(
+                f"a transaction committed version {self._ledger[-1].version} after this "
+                f"implicit staging began at version {self._staged_base_version}; promoting "
+                "the staged snapshot would overwrite it — rollback and replay, or use "
+                "engine.begin() transactions for every concurrent writer"
+            )
         staged = self._rebuild_indexes(self._staged)
         for reg_name, labels, prop_names in staged.index_registry:
             check_unique(staged.indexes[reg_name], reg_name)
         new_version = self._ledger[-1].version + 1
         self._ledger.append(staged.with_version(new_version))
         self._staged = None
+        self._staged_base_version = None
         return new_version
 
     def rollback(self) -> None:
         self._staged = None
+        self._staged_base_version = None
 
     def checkpoint(self, path: str) -> None:
         """Reference S7 ``checkpoint``: force-materialize the committed
@@ -328,6 +345,9 @@ class GraphEngine:
 
     # -- mutations (staged until commit) ----------------------------------
     def _stage(self, snap: GraphSnapshot) -> None:
+        if self._staged is None:
+            # pin the ledger head this implicit write run is based on
+            self._staged_base_version = self._ledger[-1].version
         self._staged = snap
         self._stage_count += 1
         if self._stage_count % self.COMPACT_EVERY == 0:

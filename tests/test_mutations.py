@@ -407,3 +407,36 @@ class TestModelMaintenance:
         tx2.add_node("Real", {})
         tx2.commit()
         assert eng.model.lookup("node_type", "Real") == 1
+
+
+class TestMixedWriterGuard:
+    def test_implicit_commit_refuses_to_erase_tx_commit(self, spark):
+        """Implicit staging based on version N must not publish over a
+        transaction that committed N+1 in the meantime (lost update)."""
+        from hgraphstorage_spark.engine import WriteConflict
+
+        eng = GraphEngine(spark)
+        eng.add_node("Implicit", {})       # implicit staging begins at v0
+        tx = eng.begin()
+        tx.add_node("Concurrent", {})
+        tx.commit()                        # v1 lands
+        with pytest.raises(WriteConflict):
+            eng.commit()                   # would silently erase v1
+        eng.rollback()
+        assert self_keys(eng) == [("Concurrent",)]
+
+    def test_implicit_commit_fine_when_no_interleaving(self, spark):
+        eng = GraphEngine(spark)
+        eng.add_node("A", {"k": "a"})
+        assert eng.commit() == 1
+        tx = eng.begin()
+        tx.add_node("B", {"k": "b"})
+        tx.commit()
+        eng.add_node("C", {"k": "c"})      # staged on the post-tx head
+        assert eng.commit() == 3
+
+
+def self_keys(eng):
+    return sorted(
+        (r["label"],) for r in eng.committed.nodes.select("label").collect()
+    )
