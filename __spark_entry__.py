@@ -977,17 +977,34 @@ def q_embed_near_dup(spark, sf_dir):
 
 
 def q_embed_near_dup_lsh(spark, sf_dir):
-    """LSH-bucketed embedding near-dup (approximate — rows-only check)."""
+    """LSH-bucketed embedding near-dup, deterministic md5-plane mode —
+    fully oracle-checked: the DuckDB oracle replays the integer-exact
+    bucketing (same `md5_plane_int` helper emits both sides' plane
+    literals) and the exact re-score. Sub-100% recall is irrelevant to
+    checkability — the output is a deterministic function of the hash
+    family. xxhash64 planes + adaptive bits stay the non-oracle default
+    (`tests/test_lsh_modes.py` pins mode equivalence on small N)."""
     from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_lsh
 
-    return embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return _canon(
+        embedding_near_dup_lsh(
+            _t(spark, sf_dir, "embeddings"), threshold=0.35, bits=5, tables=8, plane_mode="md5"
+        ),
+        "score",
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """Near-dup pairs via MinHash-LSH (approximate candidates, exact verify)."""
+    """Near-dup pairs via MinHash-LSH, deterministic md5 hash mode —
+    fully oracle-checked: the DuckDB oracle replays word/shingle hashing,
+    the k permutations, banding, and the exact-Jaccard verify with the
+    same md5-derived hash family (see `md5_long`)."""
     from hgraphstorage_spark.pipeline import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+    return _canon(
+        minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.6, hash_mode="md5"),
+        "jaccard",
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -2611,11 +2628,11 @@ FROM scored
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND c.ts >= v.ts
         """,
-        # minhash_lsh_pairs / simhash_buckets / similarity_lsh /
-        # embed_near_dup_lsh:
-        # deliberately omitted → driver records rows-only checks (LSH
-        # banding/bucketing is xxhash64-based and sub-100%-recall by design,
-        # so no exact SQL equivalent exists)
+        # simhash_buckets / similarity_lsh: rows-only checks (xxhash64
+        # bucketing has no SQL equivalent). minhash_lsh_pairs and
+        # embed_near_dup_lsh DO have oracles — their window queries run in
+        # deterministic md5 hash mode (generators below); sub-100% recall
+        # never blocked checkability, only the non-portable hash did.
     }
 
 
@@ -2669,6 +2686,105 @@ def _dedup_clusters_oracle_sql(rounds: int) -> str:
                sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END)::BIGINT AS n_kept
         FROM l{rounds} GROUP BY cluster HAVING count(*) > 1"""
     )
+
+
+def _minhash_lsh_oracle_sql(
+    n: int = 5, k: int = 64, bands: int = 16, threshold: float = 0.6
+) -> str:
+    """DuckDB replay of `minhash_lsh_pairs(hash_mode="md5")`: the md5_long
+    hash family (word → shingle → permutation → band) is engine-portable,
+    so the whole LSH pipeline — not just the verify — is oracle-checked.
+    Nested-lambda list ops mirror the Spark HOFs one-for-one."""
+    P = 2_147_483_647
+    rpb = k // bands
+    wh_idx = ", ".join(f"whs[i+{j}]" for j in range(n))  # [i+0..i+n-1], NULL-padded OOB
+    return rf"""
+        WITH wds AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+          FROM documents
+        ),
+        wh AS (SELECT doc_id, list_transform(words, w -> md5(w)) AS whs FROM wds),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(whs) - {n - 1}, 1)),
+            i -> ('0x' || substr(md5(concat_ws(':', {wh_idx})), 1, 15))::BIGINT
+          )) AS shs FROM wh
+        ),
+        ab AS (
+          SELECT doc_id, list_transform(shs, h -> {{'a': h % {P},
+            'b': (h >> 29) % {P}}}) AS abs
+          FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id, list_transform(generate_series(0, {k - 1}),
+            i -> list_min(list_transform(abs, s -> (s.a + i * s.b) % {P}))) AS sig
+          FROM ab
+        ),
+        banded AS (
+          SELECT doc_id, b AS band_id,
+                 md5(array_to_string(list_slice(sig, {rpb}*b + 1, {rpb}*b + {rpb}), ':')) AS band_hash
+          FROM sigs, unnest(generate_series(0, {bands - 1})) AS t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ),
+        j AS (
+          SELECT doc_a, doc_b,
+                 CAST(round(len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
+                   AS DECIMAL(18,6)) AS jaccard
+          FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id JOIN sh sb ON cand.doc_b = sb.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard::VARCHAR AS jaccard FROM j WHERE jaccard >= {threshold}
+    """
+
+
+def _embed_lsh_oracle_sql(
+    threshold: float = 0.35, dims: int = 64, bits: int = 5, tables: int = 8
+) -> str:
+    """DuckDB replay of `embedding_near_dup_lsh(plane_mode="md5")`. The
+    plane literals are emitted by the SAME `md5_plane_int` helper the
+    Spark operator embeds in its plan (the hash_split no-drift pattern);
+    the fixed-point bucket dot products are integer-exact (< 2^53) in any
+    engine's arithmetic, so bucketing replays bit-for-bit."""
+    from hgraphstorage_spark.pipeline.similarity import PLANE_SCALE, md5_plane_int
+
+    table_selects = []
+    for t in range(tables):
+        bit_cases = " + ".join(
+            "CASE WHEN list_dot_product(qv, ["
+            + ", ".join(str(md5_plane_int(t * 1000 + p, d)) for d in range(dims))
+            + f"]::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END"
+            for p in range(bits)
+        )
+        table_selects.append(
+            f"SELECT vec_id, {t} AS table_id, ({bit_cases})::BIGINT AS bucket FROM q"
+        )
+    bk = "\nUNION ALL\n".join(table_selects)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (
+          SELECT vec_id, v,
+                 list_transform(v, x -> floor(x * {PLANE_SCALE})::DOUBLE) AS qv
+          FROM e
+        ),
+        bk AS ({bk}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bk a JOIN bk b
+            ON a.table_id = b.table_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        s AS (
+          SELECT vec_a, vec_b,
+                 CAST(round(list_dot_product(ea.v, eb.v)
+                      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)
+                   AS DECIMAL(18,6)) AS score
+          FROM cand JOIN e ea ON cand.vec_a = ea.vec_id JOIN e eb ON cand.vec_b = eb.vec_id
+        )
+        SELECT vec_a, vec_b, score::VARCHAR AS score FROM s WHERE score >= {threshold}
+    """
 
 
 def _random_walks_oracle_sql(steps: int) -> str:
@@ -2774,6 +2890,9 @@ def oracle_sql() -> dict[str, str]:
     sql["label_propagation"] = _lpa_oracle_sql(3)
     sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
     sql["random_walks"] = _random_walks_oracle_sql(3)
+    # LSH md5-mode replays — parameters must match the q_ entries
+    sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
+    sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     # generated from the same threshold helper the Spark operator uses, so
     # the two sides cannot drift
     from hgraphstorage_spark.pipeline.sampling import hash_split_case_sql

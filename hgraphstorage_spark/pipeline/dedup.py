@@ -44,13 +44,19 @@ def _parallel(df: DataFrame) -> DataFrame:
     docs on one core wastes the other 31 (or the other 31,999). Uses file
     metadata (no ``df.rdd`` conversion, which would freeze the plan and
     bypass AQE); repartitions only when the scan has fewer files than
-    cores — a multi-file scan already splits by maxPartitionBytes."""
+    cores — a multi-file scan already splits by maxPartitionBytes.
+
+    ``inputFiles() == []`` means a non-file plan (in-memory, derived) —
+    UNKNOWN parallelism, not "one file": such plans inherit their parents'
+    partitioning, so forcing a repartition there would add a full shuffle
+    to inputs that are usually already spread. Only a known small file
+    count (0 < n < target) triggers the spread."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < target:
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
@@ -72,7 +78,11 @@ def _shingles(text_col, n: int) -> F.Column:
 
 
 def shingle_hashes(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sh ARRAY<BIGINT>) — distinct word-n-gram shingles as 64-bit
     hashes; the shared input of minhash / simhash / jaccard-verify.
@@ -89,22 +99,32 @@ def shingle_hashes(
     from the shingle lambda would recompute the whole word array per
     element — O(words²) per doc. As a multi-use non-cheap alias it
     survives CollapseProject and is evaluated once.
+
+    ``hash_mode="md5"`` swaps both hash layers for the engine-portable
+    ``md5_long`` family (word hash = md5 hex string, shingle hash = 60-bit
+    md5 fold of the ':'-joined word hashes) so a DuckDB oracle can replay
+    the banding exactly; xxhash64 stays the fast path.
     """
+    if hash_mode == "md5":
+        word_hash = lambda w: F.md5(w)  # noqa: E731
+        combine = lambda wh, i: md5_long(  # noqa: E731
+            *[F.try_element_at(wh, i + j) for j in range(n)]
+        )
+    else:
+        word_hash = lambda w: F.xxhash64(w)  # noqa: E731
+        combine = lambda wh, i: F.xxhash64(  # noqa: E731
+            *[F.try_element_at(wh, i + j) for j in range(n)]
+        )
     word_hashes = _parallel(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.transform(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda w: F.xxhash64(w)
-        ).alias("_wh"),
+        F.transform(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), word_hash).alias("_wh"),
     )
     wh = F.col("_wh")
     n_sh = F.greatest(F.size(wh) - (n - 1), F.lit(1))
     return word_hashes.select(
         "doc_id",
         F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_sh),
-                lambda i: F.xxhash64(*[F.try_element_at(wh, i + j) for j in range(n)]),
-            )
+            F.transform(F.sequence(F.lit(1), n_sh), lambda i: combine(wh, i))
         ).alias("sh"),
     )
 
@@ -121,7 +141,22 @@ def shingle_docs(
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
 
-def _with_signature(sh_df: DataFrame, k: int) -> DataFrame:
+def md5_long(*cols) -> F.Column:
+    """60-bit non-negative hash: first 15 hex chars of md5 over the
+    ':'-joined string renderings of the inputs, as BIGINT.
+
+    This is the engine-portable hash used by ``hash_mode="md5"``: DuckDB
+    computes the identical value as
+    ``('0x' || substr(md5(a || ':' || b), 1, 15))::BIGINT`` — which makes
+    LSH banding oracle-checkable (the xxhash64 fast path has no SQL
+    equivalent outside Spark). ``concat_ws`` skips NULLs identically on
+    both engines, matching ``try_element_at`` padding."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *[c.cast("string") for c in cols])), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _with_signature(sh_df: DataFrame, k: int, hash_mode: str = "xxhash64") -> DataFrame:
     """Append `sig ARRAY<BIGINT>[k]` (k-permutation MinHash) to a
     (doc_id, sh, …) frame — pure narrow integer work, zero shuffle.
 
@@ -133,13 +168,22 @@ def _with_signature(sh_df: DataFrame, k: int) -> DataFrame:
     CSE inside lambdas; multi-use non-cheap alias blocks CollapseProject).
     """
     P = MINHASH_P
+    if hash_mode == "md5":
+        # b from the UPPER bits of the same 60-bit shingle hash (a uses
+        # bits 0-30; h>>29 uses 29-59 — independent enough for the
+        # 2-universal family) — pure integer math, no second md5: a
+        # per-shingle md5 here measured +2 s on the sf0.1 bench, and
+        # DuckDB replays `(h >> 29) % P` trivially
+        second = lambda h: F.pmod(F.shiftright(h, 29), F.lit(P))  # noqa: E731
+    else:
+        second = lambda h: F.pmod(F.xxhash64(h, F.lit(1)), F.lit(P))  # noqa: E731
     with_ab = sh_df.withColumn(
         "_ab",
         F.transform(
             F.col("sh"),
             lambda h: F.struct(
                 F.pmod(h, F.lit(P)).alias("a"),
-                F.pmod(F.xxhash64(h, F.lit(1)), F.lit(P)).alias("b"),
+                second(h).alias("b"),
             ),
         ),
     )
@@ -158,14 +202,21 @@ def _with_signature(sh_df: DataFrame, k: int) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5, k: int = 64
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 64,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document — narrow projections only (shingle
     hashing + k permutations in whole-stage codegen; the explode+groupBy
     shuffle of the naive formulation is gone entirely).
     Returns (doc_id, sig ARRAY<BIGINT> length k).
     """
-    return _with_signature(shingle_hashes(docs, text_col, id_col, n), k).select("doc_id", "sig")
+    return _with_signature(
+        shingle_hashes(docs, text_col, id_col, n, hash_mode), k, hash_mode
+    ).select("doc_id", "sig")
 
 
 def minhash_lsh_pairs(
@@ -176,6 +227,7 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH + exact-Jaccard verify.
 
@@ -185,6 +237,11 @@ def minhash_lsh_pairs(
     3. verify candidates with exact shingle-set Jaccard; keep ≥ threshold.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``hash_mode="md5"`` uses the `md5_long` hash family end-to-end (word,
+    shingle, permutation, and band hashing), making the whole operator a
+    deterministic function DuckDB can replay — the driver's oracle runs
+    that mode. xxhash64 stays the (default) fast path; same plan shape.
     """
     rows_per_band = k // bands
     # ONE pass hashes text into shingle sets; signatures derive narrowly.
@@ -192,20 +249,27 @@ def minhash_lsh_pairs(
     # verify sides) — at scale this is the "signature table" a real
     # pipeline would checkpoint; it is ~8(k + |shingles|) bytes/doc, far
     # smaller than the text it replaces.
-    base = _with_signature(shingle_hashes(docs, text_col, id_col, n), k)
+    base = _with_signature(shingle_hashes(docs, text_col, id_col, n, hash_mode), k, hash_mode)
     base.persist()
-    # band hash = xxhash64 fold over the band's signature slice; a single
-    # nested HOF keeps the expression tree O(1) in `bands` (cf. the
-    # signature construction above)
+    # band hash = fold over the band's signature slice; a single nested
+    # HOF keeps the expression tree O(1) in `bands` (cf. the signature
+    # construction above). md5 mode hashes the ':'-joined slice instead
+    # (== DuckDB md5(array_to_string(list_slice(...), ':'))).
+    if hash_mode == "md5":
+        band_fold = lambda sl: F.md5(  # noqa: E731
+            F.concat_ws(":", F.transform(sl, lambda x: x.cast("string")))
+        )
+    else:
+        band_fold = lambda sl: F.aggregate(  # noqa: E731
+            sl, F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x)
+        )
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band_id"),
-            F.aggregate(
-                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                F.lit(0).cast("long"),
-                lambda acc, x: F.xxhash64(acc, x),
-            ).alias("band_hash"),
+            band_fold(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                "band_hash"
+            ),
         ),
     )
     banded = base.select("doc_id", F.explode(band_structs).alias("b")).select(

@@ -35,7 +35,7 @@ def _norm(a: Column) -> Column:
 def _blocked_pair_candidates(
     prepped: DataFrame, threshold: float, blocks: int = 16
 ) -> DataFrame:
-    """All (vec_a < vec_b) pairs with cosine ≥ threshold−1e-9, via blocked
+    """All (vec_a < vec_b) pairs with cosine ≥ threshold−5.1e-7, via blocked
     GEMM: vectors hash into `blocks` row-blocks, each of the
     blocks·(blocks+1)/2 block pairs is one cogroup task running a numpy
     matmul (BLAS) over its two sub-matrices. This is the classic
@@ -43,8 +43,9 @@ def _blocked_pair_candidates(
     compute embarrassingly parallel, no driver collect, no O(n²) JVM
     expression evaluation (which is ~50x slower than BLAS here).
 
-    The 1e-9 slack admits float-summation-order differences; callers
-    re-score candidates with the exact-order formula.
+    The slack admits float-summation-order differences plus the round-6
+    half-ULP of the exact keep rule; callers re-score candidates with the
+    exact-order formula.
     Input: (vid, v ARRAY<DOUBLE>, nrm). Output: (vec_a, vec_b).
     """
     import pandas as pd
@@ -71,7 +72,7 @@ def _blocked_pair_candidates(
         )
     )
 
-    eps = 1e-9
+    eps = 5.1e-7
 
     def block_pairs(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -202,6 +203,7 @@ def embedding_near_dup_lsh(
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_mode: str = "xxhash64",
 ) -> DataFrame:
     """Embedding near-dup at scale: `tables` independent random-hyperplane
     hash tables; vectors sharing a (table, bucket) pair become candidates;
@@ -216,6 +218,11 @@ def embedding_near_dup_lsh(
     make buckets (and the per-bucket quadratic join) grow with n, which
     is exactly the failure mode LSH exists to avoid. Raising `tables`
     buys back the recall that finer buckets cost, at linear cost.
+
+    ``plane_mode="md5"`` buckets on `quantized_bucket` (integer-exact
+    md5-derived planes over the fixed-point vector) so a DuckDB oracle
+    can replay bucketing exactly; pass fixed ``bits`` with it (a static
+    oracle can't depend on a runtime count). xxhash64 stays the default.
     """
     import pandas as pd
 
@@ -228,23 +235,41 @@ def embedding_near_dup_lsh(
         # sizing count doubles as the cache-warming job: one scan total
         n = prepped.count()
         bits = max(4, (max(n, 1) // 64).bit_length())
-    buckets = prepped.select(
+    else:
+        # fixed bits still needs the warm: three plan branches (bucketing
+        # + both verify sides) consume `prepped`, and without a
+        # materializing action first they can race to recompute the
+        # projection (measured ~2.5× on the bench when this was skipped)
+        prepped.count()
+    if plane_mode == "md5":
+        # _qv in its OWN projection: no CSE inside HOF lambdas, so an
+        # inline qv expression would re-run the whole fixed-point
+        # transform per (table × bit × dim) element_at — O(dims²·bits·
+        # tables) per row (measured 10× on the bench). As a multi-use
+        # non-cheap alias it survives CollapseProject, evaluated once.
+        bucket_src = prepped.withColumn("_qv", quantize_fixed_point(F.col("v")))
+        sig = lambda t: quantized_bucket("_qv", dims, bits, seed=t * 1000)  # noqa: E731
+    else:
+        bucket_src = prepped
+        sig = lambda t: signature_bits(F.col("v"), dims, bits, seed=t * 1000)  # noqa: E731
+    buckets = bucket_src.select(
         "vid",
         "v",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(t).alias("table_id"),
-                        signature_bits(F.col("v"), dims, bits, seed=t * 1000).alias("bucket"),
-                    )
+                    F.struct(F.lit(t).alias("table_id"), sig(t).alias("bucket"))
                     for t in range(tables)
                 ]
             )
         ).alias("tb"),
     ).select("vid", "v", "tb.table_id", "tb.bucket")
 
-    eps = 1e-9
+    # slack covers BLAS float-summation-order drift AND the round-6
+    # half-ULP of the exact keep rule (round(s,6) >= thr admits true
+    # cosine down to thr - 5e-7): a pair the oracle keeps must reach the
+    # exact re-score, so the prefilter cannot cut tighter than that
+    eps = 5.1e-7
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         # per-(table, bucket) BLAS: one small normalized GEMM instead of
@@ -286,6 +311,67 @@ def embedding_near_dup_lsh(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+PLANE_SCALE = 65536  # fixed-point quantization scale for md5 plane mode
+_PLANE_MOD = 2_000_006
+
+
+def md5_plane_int(plane: int, dim: int) -> int:
+    """Deterministic integer hyperplane component in [-1_000_003, 1_000_003],
+    derived from md5 over "plane:dim" — computed once driver-side (the
+    plane matrix is bits×dims ≈ a few hundred ints) and embedded as
+    literals in BOTH the Spark plan and the DuckDB oracle, generated by
+    this same function so the two sides cannot drift (the `hash_split`
+    oracle pattern)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:15], 16)
+    return (h % _PLANE_MOD) - (_PLANE_MOD // 2)
+
+
+def quantize_fixed_point(vec: Column) -> Column:
+    """floor(x·65536) per component → ARRAY<BIGINT>. floor is bit-identical
+    on every engine (unlike round, whose half-way rule differs between
+    Spark HALF_UP and DuckDB half-away-from-zero), so the quantized vector
+    — and everything derived from it — is engine-exact."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * PLANE_SCALE).cast("long"))
+
+
+def quantized_bucket(qv: str, dims: int, bits: int, seed: int = 0) -> Column:
+    """Integer-exact random-hyperplane bucket for ``plane_mode="md5"``:
+    bit p = sign(Σ_d qv[d]·plane(seed+p, d)) over the fixed-point vector.
+
+    All-integer dot products (|term| < 2^41, |sum| < 2^47) are order-free
+    and overflow-free — even an engine that sums in doubles gets the exact
+    integer (< 2^53). That removes the float-summation-order hazard that
+    would make a float-dot bucket bit flip near zero between engines;
+    this is what makes the LSH op oracle-checkable.
+
+    Plane rows are array LITERALS (folded to constants by Catalyst), so
+    each bit is one `F.aggregate` over the dims with two element_at
+    lookups per term — measured at parity with the xxhash64 signature
+    fold on the bench, and O(bits) py4j calls to build (a fully unrolled
+    bits·dims Add chain costs ~15 s of driver-side Column construction).
+
+    Built as ONE generated-SQL expression (`F.expr`): the equivalent
+    Column-API construction (bits aggregates × 64-literal arrays per
+    table) costs ~2 s of py4j round trips PER CALL on the driver — the
+    SQL string is assembled in Python and parsed JVM-side in one call.
+
+    IMPORTANT: pass the NAME of a materialized ATTRIBUTE (own
+    projection), not an inline expression — no CSE inside HOF lambdas,
+    so an inline quantize expression would be re-evaluated per fold
+    element."""
+    parts = []
+    for p in range(bits):
+        arr = ",".join(str(md5_plane_int(seed + p, d)) for d in range(dims))
+        parts.append(
+            f"(CASE WHEN aggregate(sequence(0,{dims - 1}), 0L,"
+            f" (acc, d) -> acc + element_at({qv}, d+1) * element_at(array({arr}), d+1))"
+            f" > 0 THEN {1 << p}L ELSE 0L END)"
+        )
+    return F.expr("(" + " + ".join(parts) + ")")
 
 
 def _plane_component(plane: Column, dim: Column) -> Column:
@@ -542,7 +628,8 @@ def semantic_dedup(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
     clustered = assign.join(prepped, "vec_id")
-    eps = 1e-9
+    # same prefilter slack rationale as embedding_near_dup_lsh
+    eps = 5.1e-7
 
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
