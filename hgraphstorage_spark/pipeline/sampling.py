@@ -289,6 +289,7 @@ def token_budget_mix(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "budget",
+    range_chars: int = 1,
 ) -> DataFrame:
     """Token-budget corpus mixing: instead of epoch weights (`mix_corpus`),
     each stratum gets a TOKEN budget ("80M web tokens, 15M book tokens…" —
@@ -300,11 +301,21 @@ def token_budget_mix(
 
     Returns the kept rows as (id, stratum, n_tokens, cum_tokens).
 
-    Scale shape: one narrow token count + ONE window shuffle partitioned
-    by stratum (the running sum); no joins, no driver state. Strata are
-    few and the window partitions by stratum — at extreme per-stratum row
-    counts, pre-aggregate ranges or sub-salt the cumsum; at 100 TB the
-    shuffle carries only (id, stratum, n_tokens) — not text.
+    Scale shape — two-pass distributed prefix sum, NO serial stage. A
+    single window partitioned by stratum would push every row of a
+    stratum through ONE task's sort (> 10^10 rows per task at 100 TB with
+    a handful of sources). Instead the stratum's hash order is cut into
+    16^``range_chars`` contiguous ranges (range = leading hex digits of
+    the SAME md5 bucket the ordering uses, so ranges partition the order):
+    (1) per-(stratum, range) token sums — a tiny partial-aggregated
+    shuffle; (2) exclusive range offsets via a window over that
+    strata×16^k-row frame (driver-size); (3) broadcast the offsets back
+    and run the cumsum within each (stratum, range) partition. Integer
+    sums are associative, so offset + in-range running sum equals the
+    global running sum EXACTLY — same output, same oracle, but the
+    largest sort is 1/16^k of a stratum and parallelism scales with
+    ``range_chars`` (raise it at larger corpora). The wide shuffles carry
+    only (id, stratum, n_tokens) — never text.
     """
     from pyspark.sql import Window
 
@@ -316,15 +327,33 @@ def token_budget_mix(
         if b < 0:
             raise ValueError("budgets must be >= 0")
         budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(budget)
-    w = Window.partitionBy(strata_col).orderBy(_bucket(id_col, salt), id_col)
-    cum = F.sum("n_tokens").over(w)
+    bucket = _bucket(id_col, salt)
+    base = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        n_tokens.alias("n_tokens"),
+        bucket.alias("_bkt"),
+        F.substring(bucket, 1, range_chars).alias("_rng"),
+        budget.alias("_budget"),
+    )
+    # pass 1: per-range totals (strata × 16^range_chars rows — tiny)
+    range_sums = base.groupBy(strata_col, "_rng").agg(F.sum("n_tokens").alias("_rsum"))
+    # exclusive offsets: lowercase-hex string order == numeric order, so
+    # ordering ranges by _rng matches the row order ranges cut from
+    wo = (
+        Window.partitionBy(strata_col)
+        .orderBy("_rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = range_sums.select(
+        strata_col, "_rng", F.coalesce(F.sum("_rsum").over(wo), F.lit(0)).alias("_off")
+    )
+    # pass 2: in-range cumsum + broadcast offset = exact global cumsum
+    wi = Window.partitionBy(strata_col, "_rng").orderBy("_bkt", id_col)
+    cum = F.sum("n_tokens").over(wi) + F.col("_off")
     return (
-        df.select(
-            F.col(id_col),
-            F.col(strata_col),
-            n_tokens.alias("n_tokens"),
-        )
-        .select(id_col, strata_col, "n_tokens", cum.alias("cum_tokens"), budget.alias("_budget"))
+        base.join(F.broadcast(offsets), [strata_col, "_rng"])
+        .select(id_col, strata_col, "n_tokens", cum.alias("cum_tokens"), "_budget")
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("_budget"))
         .select(id_col, strata_col, "n_tokens", "cum_tokens")
     )

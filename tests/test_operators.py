@@ -219,16 +219,25 @@ class TestNewOpPlans:
             if "BroadcastNestedLoopJoin" in line:
                 assert "BuildRight, Cross" in line
 
-    def test_token_budget_mix_single_shuffle(self, spark):
+    def test_token_budget_mix_no_serial_cumsum(self, spark):
         from hgraphstorage_spark.pipeline.sampling import token_budget_mix
         from hgraphstorage_spark.plans import executed_plan
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = executed_plan(token_budget_mix(docs, {"src0": 1000}))
-        # one hash-partitioned exchange for the per-source cumsum window;
-        # AQE may add read stages but no join/cartesian appears
-        assert plan.count("hashpartitioning") <= 1
-        assert "Join" not in plan and "CartesianProduct" not in plan
+        # the data-sized cumsum window (the one ordering by _bkt) must
+        # partition by (stratum, range): a stratum-only partition spec
+        # there would push every row of a stratum through ONE task's sort
+        # — the 100 TB serial-stage failure this op is designed to avoid.
+        # The offsets window (tiny, strata × 16^k rows) partitions by
+        # stratum alone by design.
+        big_windows = [ln for ln in plan.splitlines() if "Window" in ln and "_bkt" in ln]
+        assert big_windows, "expected a cumsum window ordered by the hash bucket"
+        assert all("_rng" in ln for ln in big_windows)
+        # range offsets come back via broadcast — never a shuffled join of
+        # the data against the offset frame
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
     def test_probe_metadata_is_one_arrow_stage(self, spark):
         from hgraphstorage_spark.pipeline.multimodal import probe_metadata, synthetic_media
