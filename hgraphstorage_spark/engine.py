@@ -203,7 +203,18 @@ class Transaction:
         head = eng.committed
         if head.version != self.start_version:
             for version, written in eng._commit_writes:
-                if version > self.start_version and written & self.written_ids:
+                if version <= self.start_version:
+                    continue
+                if written is None:
+                    # a bulk DataFrame ingest published after we started;
+                    # its write-set is unenumerated (collecting it would
+                    # defeat the bulk path), so conservatively conflict
+                    raise WriteConflict(
+                        f"version {version} was a bulk ingest with an unenumerated "
+                        f"write-set, committed after this transaction started at "
+                        f"version {self.start_version}"
+                    )
+                if written & self.written_ids:
                     raise WriteConflict(
                         f"entities {sorted(written & self.written_ids)[:5]} were written by "
                         f"version {version} after this transaction started at "
@@ -247,9 +258,15 @@ class GraphEngine:
         self._staged: GraphSnapshot | None = None
         self._staged_base_version: int | None = None
         self._stage_count = 0
-        # (version, written entity ids) per concurrent-transaction commit,
-        # the conflict-detection trail for first-committer-wins
-        self._commit_writes: list[tuple[int, set[int]]] = []
+        # (version, written entity ids) per commit — transaction AND
+        # implicit path alike — the conflict-detection trail for
+        # first-committer-wins. ``None`` = unenumerated write-set (bulk
+        # DataFrame ingest): conflicts with every later transaction.
+        self._commit_writes: list[tuple[int, set[int] | None]] = []
+        # entity ids written on the implicit staging path since the last
+        # implicit commit; None once a bulk-df write makes the set
+        # unenumerable
+        self._staged_writes: set[int] | None = set()
         # engine-wide id high-water marks spanning live transactions
         self._id_high: dict[str, int] = {}
         # maintained type dictionary (reference M8 upsert — ids in
@@ -330,13 +347,22 @@ class GraphEngine:
             check_unique(staged.indexes[reg_name], reg_name)
         new_version = self._ledger[-1].version + 1
         self._ledger.append(staged.with_version(new_version))
+        # record the write-set: a transaction that started before this
+        # implicit commit must see it in the conflict trail, or its replay
+        # would silently overwrite these entities (first-committer-wins
+        # applies to BOTH write paths)
+        self._commit_writes.append(
+            (new_version, set(self._staged_writes) if self._staged_writes is not None else None)
+        )
         self._staged = None
         self._staged_base_version = None
+        self._staged_writes = set()
         return new_version
 
     def rollback(self) -> None:
         self._staged = None
         self._staged_base_version = None
+        self._staged_writes = set()
 
     def checkpoint(self, path: str) -> None:
         """Reference S7 ``checkpoint``: force-materialize the committed
@@ -344,11 +370,15 @@ class GraphEngine:
         self.committed.write(path)
 
     # -- mutations (staged until commit) ----------------------------------
-    def _stage(self, snap: GraphSnapshot) -> None:
+    def _stage(self, snap: GraphSnapshot, written_ids=()) -> None:
         if self._staged is None:
             # pin the ledger head this implicit write run is based on
             self._staged_base_version = self._ledger[-1].version
         self._staged = snap
+        if written_ids is None:
+            self._staged_writes = None  # bulk df write: set unenumerable
+        elif self._staged_writes is not None:
+            self._staged_writes.update(written_ids)
         self._stage_count += 1
         if self._stage_count % self.COMPACT_EVERY == 0:
             self.compact()
@@ -388,10 +418,16 @@ class GraphEngine:
                     self.model.note_property(name, v)
 
     def add_nodes(self, rows, ids=None) -> list[int]:
+        # ids come from the ENGINE-wide allocator, same as the transaction
+        # path: a live begin() transaction may already have reserved ids
+        # past this snapshot's max, and allocating from the snapshot alone
+        # would mint duplicates once both commit
         rows = list(rows)
         self._note_node_types(rows)
+        if ids is None:
+            ids = self._reserve_node_ids(len(rows), self.current)
         snap, new_ids = mutations.add_nodes(self.current, rows, ids)
-        self._stage(snap)
+        self._stage(snap, new_ids)
         return new_ids
 
     def add_node(self, label: str, props: Mapping[str, object] | None = None) -> int:
@@ -400,8 +436,10 @@ class GraphEngine:
     def add_edges(self, rows, ids=None) -> list[int]:
         rows = list(rows)
         self._note_edge_types(rows)
+        if ids is None:
+            ids = self._reserve_edge_ids(len(rows), self.current)
         snap, new_ids = mutations.add_edges(self.current, rows, ids)
-        self._stage(snap)
+        self._stage(snap, new_ids)
         return new_ids
 
     def add_edge(self, src: int, dst: int, label: str, props: Mapping[str, object] | None = None) -> int:
@@ -409,23 +447,23 @@ class GraphEngine:
 
     def add_nodes_df(self, nodes: DataFrame, props: DataFrame | None = None) -> None:
         self.model.dirty = True  # labels live in the DataFrame; fold lazily
-        self._stage(mutations.add_nodes_df(self.current, nodes, props))
+        self._stage(mutations.add_nodes_df(self.current, nodes, props), written_ids=None)
 
     def add_edges_df(self, edges: DataFrame, props: DataFrame | None = None) -> None:
         self.model.dirty = True
-        self._stage(mutations.add_edges_df(self.current, edges, props))
+        self._stage(mutations.add_edges_df(self.current, edges, props), written_ids=None)
 
     def update_node(self, node_id: int, label: str, props: Mapping[str, object]) -> None:
-        self._stage(mutations.update_node(self.current, node_id, label, props))
+        self._stage(mutations.update_node(self.current, node_id, label, props), [node_id])
 
     def delete_nodes(self, node_ids: list[int]) -> None:
-        self._stage(mutations.delete_nodes(self.current, node_ids))
+        self._stage(mutations.delete_nodes(self.current, node_ids), node_ids)
 
     def delete_edges(self, edge_ids: list[int]) -> None:
-        self._stage(mutations.delete_edges(self.current, edge_ids))
+        self._stage(mutations.delete_edges(self.current, edge_ids), edge_ids)
 
     def set_properties(self, owner_id: int, owner_kind: str, props: Mapping[str, object]) -> None:
-        self._stage(mutations.set_properties(self.current, owner_id, owner_kind, props))
+        self._stage(mutations.set_properties(self.current, owner_id, owner_kind, props), [owner_id])
 
     # -- indexes -----------------------------------------------------------
     def add_index(self, name: str, labels: Sequence[str] = (), prop_names: Sequence[str] = ()) -> None:

@@ -435,6 +435,61 @@ class TestMixedWriterGuard:
         eng.add_node("C", {"k": "c"})      # staged on the post-tx head
         assert eng.commit() == 3
 
+    def test_tx_conflicts_with_prior_implicit_commit(self, spark):
+        """The opposite interleaving of the erase guard: a transaction that
+        commits AFTER an implicit commit wrote the same entity must lose
+        (first-committer-wins covers both write paths)."""
+        from hgraphstorage_spark.engine import WriteConflict
+
+        eng = GraphEngine(spark)
+        nid = eng.add_node("Doc", {"k": "v0"})
+        eng.commit()                          # v1
+        tx = eng.begin()                      # pinned at v1
+        tx.update_node(nid, "Doc", {"k": "tx"})
+        eng.update_node(nid, "Doc", {"k": "implicit"})
+        eng.commit()                          # v2 writes nid
+        with pytest.raises(WriteConflict):
+            tx.commit()                       # overlapping write-set → lose
+
+    def test_tx_survives_disjoint_implicit_commit(self, spark):
+        eng = GraphEngine(spark)
+        a = eng.add_node("A", {})
+        eng.commit()
+        tx = eng.begin()
+        tx.update_node(a, "A", {"k": "tx"})
+        eng.add_node("B", {})                 # disjoint implicit write
+        eng.commit()
+        tx.commit()                           # replays cleanly onto v2
+        assert self_keys(eng) == [("A",), ("B",)]
+
+    def test_tx_conflicts_with_bulk_ingest_commit(self, spark):
+        """Bulk DataFrame ingests have unenumerated write-sets; a
+        transaction that raced one must conservatively conflict."""
+        from hgraphstorage_spark.engine import WriteConflict
+
+        eng = GraphEngine(spark)
+        tx = eng.begin()
+        tx.add_node("T", {})
+        nodes = spark.createDataFrame([(1000, "Bulk")], "id long, label string")
+        eng.add_nodes_df(nodes)
+        eng.commit()
+        with pytest.raises(WriteConflict):
+            tx.commit()
+
+    def test_no_duplicate_ids_across_mixed_writers(self, spark):
+        """Implicit id allocation goes through the engine-wide reservation:
+        a live transaction's reserved id can never be re-minted by the
+        implicit path (and vice versa)."""
+        eng = GraphEngine(spark)
+        tx = eng.begin()
+        a = tx.add_node("FromTx", {})
+        b = eng.add_node("FromImplicit", {})  # must see tx's reservation
+        assert a != b
+        eng.commit()
+        tx.commit()                           # disjoint ids → both land
+        ids = sorted(r["id"] for r in eng.committed.nodes.collect())
+        assert ids == sorted({a, b}) and len(ids) == 2
+
 
 def self_keys(eng):
     return sorted(
