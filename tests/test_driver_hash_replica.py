@@ -80,7 +80,7 @@ def test_window_covers_required_operators():
     must_be_in_window = {
         # round-1 red rows, fixed + canonicalized
         "tpch_q1", "tpch_q3_like", "tpch_q5_like", "window_top_order",
-        "ntile_deciles", "rollup_revenue", "cube_revenue", "retention_cohorts",
+        "ntile_deciles", "rollup_revenue", "streaming_summary", "retention_cohorts",
         "pagerank", "personalized_pagerank", "link_prediction", "harmonic_centrality",
         # LLM-pipeline categories the driver must see green
         "dedup_exact", "minhash_lsh_pairs", "chunk_dedup", "dedup_clusters",
