@@ -2362,7 +2362,9 @@ FROM scored
             SELECT i::BIGINT AS media_id,
                    CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    COALESCE(CASE WHEN i % 3 = 0 AND i % 15 <> 0 THEN
-                                     (CASE WHEN i % 6 = 0 THEN 'png' ELSE 'jpeg' END)
+                                     (CASE WHEN i % 6 = 0 THEN 'png'
+                                           WHEN i % 12 = 9 THEN 'bmp'
+                                           ELSE 'jpeg' END)
                                  WHEN i % 3 = 1 THEN 'wav' END, 'none') AS codec,
                    COALESCE(CASE WHEN i % 3 = 0 AND i % 15 <> 0 THEN 64 + i END, -1)::INT AS width,
                    COALESCE(CASE WHEN i % 3 = 0 AND i % 15 <> 0 THEN 48 + i END, -1)::INT AS height,

@@ -80,16 +80,36 @@ def parse_media_header(payload: bytes | None) -> tuple[str, int | None, int | No
         return ("png", w, h, None)
     if b[:2] == b"\xff\xd8":  # JPEG SOI; walk segments to a SOFn frame header
         p = 2
-        while p + 9 < len(b):
+        while p + 1 < len(b):
             if b[p] != 0xFF:
                 return None
+            # 0xFF fill bytes may pad before any marker (ITU T.81 B.1.1.2)
+            while p + 1 < len(b) and b[p + 1] == 0xFF:
+                p += 1
+            if p + 1 >= len(b):
+                return None
             marker = b[p + 1]
-            if marker in (0xC0, 0xC1, 0xC2):  # baseline/extended/progressive
+            # all SOFn variants carry the frame dimensions at the same
+            # offsets; 0xC4 (DHT) / 0xC8 (JPG) / 0xCC (DAC) are not frames
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if p + 9 > len(b):
+                    return None
                 h, w = struct.unpack(">HH", b[p + 5 : p + 9])
                 return ("jpeg", w, h, None)
             if marker == 0xD9:  # EOI before any frame header
                 return None
+            if marker == 0xDA:  # SOS before SOF: entropy data is unwalkable
+                return None
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+                p += 2
+                continue
+            if marker == 0x00:  # stuffed byte — not a marker; malformed here
+                return None
+            if p + 4 > len(b):
+                return None
             seg_len = struct.unpack(">H", b[p + 2 : p + 4])[0]
+            if seg_len < 2:
+                return None
             p += 2 + seg_len
         return None
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
@@ -147,10 +167,13 @@ def jpeg_header_bytes(width: int, height: int) -> bytes:
     )
 
 
-def wav_bytes(duration_ms: int, byte_rate: int = 8000) -> bytes:
-    """Complete, valid PCM WAV of silence with exact ``duration_ms``
-    (byte_rate 8000 → 8 bytes/ms, so the duration round-trips exactly)."""
-    data = b"\x00" * (duration_ms * byte_rate // 1000)
+def wav_bytes(duration_ms: int, byte_rate: int = 8000, pattern: bool = False) -> bytes:
+    """Complete, valid PCM WAV with exact ``duration_ms`` (byte_rate 8000 →
+    8 bytes/ms, so the duration round-trips exactly). ``pattern=True``
+    fills a deterministic 8-bit sawtooth instead of silence, so
+    sample-level stats are content-derived and reproducible."""
+    n = duration_ms * byte_rate // 1000
+    data = bytes((j * 17) % 256 for j in range(n)) if pattern else b"\x00" * n
     fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
     return (
         b"RIFF"
@@ -159,6 +182,102 @@ def wav_bytes(duration_ms: int, byte_rate: int = 8000) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+def bmp_array_bytes(px: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 array (BGR channel order, as BMP stores
+    it) as a complete 24-bit uncompressed bottom-up BMP."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1].reshape(h, w * 3)  # bottom-up row order
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    off = 14 + 40
+    return b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off) + info + data
+
+
+def bmp_bytes(width: int, height: int, pixel_fn=None) -> bytes:
+    """Complete, valid 24-bit uncompressed BMP. ``pixel_fn(x, y) -> (b, g,
+    r)`` defaults to a deterministic gradient, so pixel-level stats are
+    content-derived and test-reproducible."""
+    import numpy as np
+
+    if pixel_fn is None:
+        pixel_fn = lambda x, y: ((x * 7 + y * 13) % 256, (x * 3 + y * 5) % 256, (x + y) % 256)  # noqa: E731
+    px = np.zeros((height, width, 3), dtype=np.uint8)
+    for y in range(height):
+        for x in range(width):
+            px[y, x] = pixel_fn(x, y)
+    return bmp_array_bytes(px)
+
+
+def decode_bmp_pixels(payload: bytes | None) -> "np.ndarray | None":
+    """REAL pixel decode for the uncompressed BMP family (BI_RGB, 8/24/32
+    bpp) — pure numpy, no media libraries. Returns an (H, W, C) uint8
+    array in stored channel order (BGR[A]; 8-bit returns C=1 raw palette
+    indices), top row first, or None when the payload is not a BMP this
+    decoder covers (compressed/16-bit variants stay honestly stubbed)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 54:
+        return None
+    b = bytes(payload)
+    if b[:2] != b"BM":
+        return None
+    off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    comp = struct.unpack("<I", b[30:34])[0]
+    if comp != 0 or bpp not in (8, 24, 32) or w <= 0 or h == 0:
+        return None
+    top_down, height = h < 0, abs(h)
+    stride = ((bpp * w + 31) // 32) * 4
+    if off + stride * height > len(b):
+        return None
+    arr = np.frombuffer(b, dtype=np.uint8, count=stride * height, offset=off).reshape(
+        height, stride
+    )
+    nch = bpp // 8
+    arr = arr[:, : w * nch].reshape(height, w, nch)
+    return np.ascontiguousarray(arr if top_down else arr[::-1])
+
+
+def decode_wav_samples(payload: bytes | None) -> "np.ndarray | None":
+    """REAL sample decode for PCM WAV (8-bit unsigned / 16-bit signed) —
+    pure numpy. Returns float64 samples normalized to [-1, 1] (channels
+    interleaved), or None for non-PCM / other bit depths."""
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        return None
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    p, fmt, data = 12, None, None
+    while p + 8 <= len(b):
+        cid = b[p : p + 4]
+        size = struct.unpack("<I", b[p + 4 : p + 8])[0]
+        body = b[p + 8 : p + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        p += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    audio_fmt, _nch, _rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        return None
+    if bits == 8:
+        return (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    n = len(data) // 2
+    return np.frombuffer(data, dtype="<i2", count=n).astype(np.float64) / 32768.0
 
 
 PROBED_SCHEMA = T.StructType(
@@ -209,12 +328,19 @@ def probe_metadata(media: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes, kind: str, fake: bool) -> list[float] | None:
-    """Feature extraction per blob. Real mode derives an 8-dim feature from
-    the REAL parsed container header (dimensions / aspect / duration +
-    payload digest); pixel/sample-level features would need PIL/librosa/
-    ffmpeg and raise NotImplementedError for payloads no header parser
-    accepts. ``fake=True`` keeps the legacy deterministic md5 feature so
-    plumbing tests run on arbitrary bytes."""
+    """Feature extraction per blob. Real mode is tiered by codec:
+
+    - **BMP / PCM-WAV: fully real.** Pixels / samples are decoded in pure
+      numpy (``decode_bmp_pixels`` / ``decode_wav_samples``) and the last
+      four feature dims are content statistics (mean, min, max, std/rms of
+      the actual pixel or sample values) — no digest fakery.
+    - **PNG / JPEG / GIF headers: dimensions are real** (parsed bytes),
+      the tail dims fall back to a payload digest — pixel decode for
+      compressed codecs needs PIL/ffmpeg, absent here.
+    - No recognized container → NotImplementedError (honest stub).
+
+    ``fake=True`` keeps the legacy deterministic md5 feature so plumbing
+    tests run on arbitrary bytes."""
     if payload is None:
         return None
     digest = hashlib.md5(bytes(payload)).digest()
@@ -225,13 +351,35 @@ def _decode_stub(payload: bytes, kind: str, fake: bool) -> list[float] | None:
         raise NotImplementedError(
             "no container header recognized; pixel-level decode requires media libs not present here"
         )
-    _, w, h, d = parsed
-    return [
+    codec, w, h, d = parsed
+    head = [
         float(w or 0),
         float(h or 0),
         float(w) / float(h) if w and h else 0.0,
         float(d or 0) / 1000.0,
-    ] + [b / 255.0 for b in digest[:4]]
+    ]
+    if codec == "bmp":
+        px = decode_bmp_pixels(payload)
+        if px is not None:
+            import numpy as np  # noqa: F401
+
+            vals = px.astype("float64") / 255.0
+            return head + [
+                float(vals.mean()),
+                float(vals.min()),
+                float(vals.max()),
+                float(vals.std()),
+            ]
+    if codec == "wav":
+        x = decode_wav_samples(payload)
+        if x is not None and x.size:
+            return head + [
+                float(x.mean()),
+                float(x.min()),
+                float(x.max()),
+                float((x**2).mean() ** 0.5),  # RMS
+            ]
+    return head + [b / 255.0 for b in digest[:4]]
 
 
 def extract_features(media: DataFrame, fake_decode: bool = False) -> DataFrame:
@@ -278,11 +426,14 @@ def resize_images(
     Same execution shape as `extract_features`: metadata-only pre-filter
     (images already small enough pass through without payload decode —
     checked from the meta struct, prunable at plan time), then
-    ``mapInPandas`` over Arrow batches for the rest. The pixel work is
-    STUBBED (no PIL here): real mode raises, fake mode returns the
-    original bytes with the computed target dimensions — the partitioning,
-    batch shape, and dimension arithmetic are real and tested.
+    ``mapInPandas`` over Arrow batches for the rest. Pixel work is tiered:
+    **24-bit uncompressed BMP resizes for REAL** (numpy nearest-neighbor
+    over the decoded pixel array, re-encoded as a valid BMP); compressed
+    codecs (PNG/JPEG) stay STUBBED (no PIL here) — real mode marks them
+    failed, fake mode returns the original bytes with the computed target
+    dimensions so the partitioning/batch-shape plumbing stays testable.
     """
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,6 +442,18 @@ def resize_images(
                 if payload is None or pd.isna(w) or pd.isna(h):
                     out_payload.append(None), out_w.append(None), out_h.append(None)
                     oks.append(False)
+                    continue
+                px = None if fake_decode else decode_bmp_pixels(payload)
+                if px is not None and px.shape[2] == 3:
+                    # real path: use the DECODED dims (declared meta can lie)
+                    sh, sw = px.shape[:2]
+                    scale = min(max_w / sw, max_h / sh, 1.0)
+                    tw, th = max(1, int(sw * scale)), max(1, int(sh * scale))
+                    yi = (np.arange(th) * sh) // th  # nearest-neighbor grid
+                    xi = (np.arange(tw) * sw) // tw
+                    out_payload.append(bmp_array_bytes(px[yi][:, xi]))
+                    out_w.append(tw), out_h.append(th)
+                    oks.append(True)
                     continue
                 scale = min(max_w / int(w), max_h / int(h), 1.0)
                 tw, th = max(1, int(int(w) * scale)), max(1, int(int(h) * scale))
@@ -333,10 +496,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media table with REAL payload bytes: images carry
-    actual PNG files / JPEG headers (every 15th image is corrupt garbage —
-    its declared meta lies, which the header probe must catch), audio rows
-    are complete PCM WAVs, video rows are opaque raw streams (no
-    pure-Python container to probe — decode_ok stays false, honestly)."""
+    actual PNG files / 24-bit BMPs with real pixel gradients / JPEG
+    headers (every 15th image is corrupt garbage — its declared meta lies,
+    which the header probe must catch), audio rows are complete PCM WAVs
+    with a deterministic sawtooth waveform, video rows are opaque raw
+    streams (no pure-Python container to probe — decode_ok stays false,
+    honestly)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -345,10 +510,12 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 payload = hashlib.sha256(str(i).encode()).digest() * 4
             elif i % 6 == 0:
                 payload = png_bytes(64 + i, 48 + i)
+            elif i % 12 == 9:  # real pixels: the fully-decodable family
+                payload = bmp_bytes(64 + i, 48 + i)
             else:
                 payload = jpeg_header_bytes(64 + i, 48 + i)
         elif kind == "audio":
-            payload = wav_bytes(5000 + i * 100)
+            payload = wav_bytes(5000 + i * 100, pattern=True)
         else:
             payload = hashlib.sha256(str(i).encode()).digest() * 4
         meta = {

@@ -289,11 +289,106 @@ class TestMultimodal:
             assert abs(r["width"] / r["height"] - src_w / src_h) < 0.1
 
     def test_resize_real_mode_marks_failed(self, spark):
+        """Compressed codecs (png/jpeg) and corrupt payloads stay honestly
+        failed in real mode — the first 9 media rows contain no BMP."""
         from hgraphstorage_spark.pipeline.multimodal import resize_images, synthetic_media
 
         out = resize_images(synthetic_media(spark, 9), fake_decode=False).collect()
         assert len(out) == 3
         assert all(not r["resize_ok"] for r in out)
+
+    def test_resize_real_bmp_nearest_neighbor(self, spark):
+        """24-bit BMP resize is REAL end-to-end: the output payload is a
+        valid BMP whose pixels equal the numpy nearest-neighbor resample
+        of the decoded source."""
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            bmp_bytes,
+            decode_bmp_pixels,
+            resize_images,
+            synthetic_media,
+        )
+
+        out = {
+            r["media_id"]: r
+            for r in resize_images(synthetic_media(spark, 30), 64, 64, fake_decode=False).collect()
+        }
+        bmp_ids = [i for i in range(30) if i % 3 == 0 and i % 15 != 0 and i % 12 == 9]
+        assert bmp_ids == [9, 21]
+        for i in bmp_ids:
+            r = out[i]
+            assert r["resize_ok"], i
+            got = decode_bmp_pixels(r["payload"])
+            src = decode_bmp_pixels(bmp_bytes(64 + i, 48 + i))
+            sh, sw = src.shape[:2]
+            scale = min(64 / sw, 64 / sh, 1.0)
+            tw, th = max(1, int(sw * scale)), max(1, int(sh * scale))
+            assert (r["width"], r["height"]) == (tw, th)
+            yi, xi = (np.arange(th) * sh) // th, (np.arange(tw) * sw) // tw
+            assert np.array_equal(got, src[yi][:, xi])
+        # non-BMP images remain honestly failed
+        assert not out[3]["resize_ok"] and not out[6]["resize_ok"]
+
+    def test_real_content_features_bmp_wav(self, spark):
+        """extract_features real mode: BMP pixel stats and WAV sample stats
+        are content-derived — they match numpy computed directly on the
+        generated payloads."""
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            bmp_bytes,
+            decode_wav_samples,
+            extract_features,
+            synthetic_media,
+            wav_bytes,
+        )
+
+        feats = {
+            r["media_id"]: r
+            for r in extract_features(synthetic_media(spark, 24), fake_decode=False).collect()
+        }
+        # media_id 9: BMP 73x57 — mean/min/max/std of the gradient pixels
+        from hgraphstorage_spark.pipeline.multimodal import decode_bmp_pixels
+
+        px = decode_bmp_pixels(bmp_bytes(64 + 9, 48 + 9)).astype("float64") / 255.0
+        f9 = feats[9]["feature"]
+        assert f9[:2] == [73.0, 57.0]
+        for got, want in zip(f9[4:], [px.mean(), px.min(), px.max(), px.std()]):
+            assert abs(got - want) < 1e-6, (got, want)
+        # media_id 1: WAV sawtooth — mean/min/max/rms of the real samples
+        x = decode_wav_samples(wav_bytes(5100, pattern=True))
+        f1 = feats[1]["feature"]
+        assert abs(f1[3] - 5.1) < 1e-6  # duration seconds (float32 column)
+        for got, want in zip(f1[4:], [x.mean(), x.min(), x.max(), (x**2).mean() ** 0.5]):
+            assert abs(got - want) < 1e-6, (got, want)
+
+    def test_jpeg_marker_walk_robustness(self):
+        """Fill bytes, RSTn/TEM standalone markers, and non-baseline SOFn
+        variants all parse; SOS-before-SOF and stuffed-zero garbage fail
+        cleanly."""
+        import struct
+
+        from hgraphstorage_spark.pipeline.multimodal import parse_media_header
+
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+        sof_body = struct.pack(">BHHB", 8, 57, 73, 1) + b"\x01\x11\x00"
+        app0 = seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        # fill bytes before the marker + a SOF1 (extended sequential) frame
+        j1 = b"\xff\xd8" + app0 + b"\xff\xff\xff" + seg(0xC1, sof_body) + b"\xff\xd9"
+        assert parse_media_header(j1) == ("jpeg", 73, 57, None)
+        # standalone TEM and RST markers between segments, then SOF7
+        j2 = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd3" + app0 + seg(0xC7, sof_body) + b"\xff\xd9"
+        assert parse_media_header(j2) == ("jpeg", 73, 57, None)
+        # DHT (0xC4) must NOT be taken for a frame header; SOF2 after it is
+        j3 = b"\xff\xd8" + seg(0xC4, b"\x00" * 8) + seg(0xC2, sof_body) + b"\xff\xd9"
+        assert parse_media_header(j3) == ("jpeg", 73, 57, None)
+        # SOS before any SOF: entropy stream is unwalkable — honest None
+        assert parse_media_header(b"\xff\xd8" + seg(0xDA, b"\x00" * 4) + b"\x12\x34") is None
+        # stuffed zero where a marker should be: malformed
+        assert parse_media_header(b"\xff\xd8\xff\x00\x12\x34\x56\x78\x9a\xbc") is None
 
 
 class TestDecontaminate:

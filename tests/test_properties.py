@@ -200,6 +200,7 @@ def test_asof_equals_naive_argmax(spark, rows):
 
 
 @given(st.integers(1, 512), st.integers(1, 512))
+@settings(deadline=None)
 def test_png_header_roundtrip(w, h):
     """Any dimensions written into a generated PNG parse back exactly."""
     from hgraphstorage_spark.pipeline.multimodal import parse_media_header, png_bytes
@@ -208,6 +209,7 @@ def test_png_header_roundtrip(w, h):
 
 
 @given(st.integers(1, 65000), st.integers(1, 65000))
+@settings(deadline=None)
 def test_jpeg_header_roundtrip(w, h):
     from hgraphstorage_spark.pipeline.multimodal import jpeg_header_bytes, parse_media_header
 
@@ -215,13 +217,65 @@ def test_jpeg_header_roundtrip(w, h):
 
 
 @given(st.integers(0, 20_000))
+@settings(deadline=None)
 def test_wav_duration_roundtrip(ms):
     from hgraphstorage_spark.pipeline.multimodal import parse_media_header, wav_bytes
 
     assert parse_media_header(wav_bytes(ms)) == ("wav", None, None, ms)
 
 
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**31 - 1))
+@settings(deadline=None)
+def test_bmp_pixel_roundtrip(w, h, seed):
+    """Any pixel content written into a generated 24-bit BMP decodes back
+    bit-exactly (including rows needing stride padding) — the property
+    that makes extract_features' BMP stats content-derived, not fake."""
+    import numpy as np
+
+    from hgraphstorage_spark.pipeline.multimodal import (
+        bmp_array_bytes,
+        decode_bmp_pixels,
+        parse_media_header,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = bmp_array_bytes(px)
+    assert parse_media_header(payload) == ("bmp", w, h, None)
+    back = decode_bmp_pixels(payload)
+    assert back is not None and back.shape == (h, w, 3)
+    assert np.array_equal(back, px)
+
+
+@given(st.integers(1, 2_000))
+@settings(deadline=None)
+def test_wav_sample_roundtrip(ms):
+    """The deterministic sawtooth written by wav_bytes(pattern=True) reads
+    back sample-exact through decode_wav_samples (8-bit unsigned PCM)."""
+    import numpy as np
+
+    from hgraphstorage_spark.pipeline.multimodal import decode_wav_samples, wav_bytes
+
+    x = decode_wav_samples(wav_bytes(ms, pattern=True))
+    n = ms * 8000 // 1000
+    assert x is not None and x.size == n
+    want = (np.array([(j * 17) % 256 for j in range(n)], dtype=np.float64) - 128.0) / 128.0
+    assert np.array_equal(x, want)
+
+
 @given(st.binary(max_size=64))
+@settings(deadline=None)
+def test_decoders_never_raise(payload):
+    """Arbitrary bytes through the pixel/sample decoders: None or a valid
+    array, never an exception."""
+    from hgraphstorage_spark.pipeline.multimodal import decode_bmp_pixels, decode_wav_samples
+
+    for out in (decode_bmp_pixels(payload), decode_wav_samples(payload)):
+        assert out is None or out.size >= 0
+
+
+@given(st.binary(max_size=64))
+@settings(deadline=None)
 def test_parse_media_header_never_raises(payload):
     """Arbitrary bytes: the probe returns None or a parse, never throws —
     the property that makes decode_ok=false honest on corrupt payloads."""
