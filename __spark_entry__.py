@@ -1338,6 +1338,16 @@ def q_sessionize(spark, sf_dir):
     return _canon_ts(_canon(out, "total_value"), "session_start")
 
 
+def q_repetition_exact(spark, sf_dir):
+    """Gopher repetition with the paper's EXACT covered-token fractions
+    (overlapping spans deduped by interval union) — paper thresholds like
+    dup3 ≤ 0.18 apply as published. Fractions are integer-ratio doubles,
+    so both engines compute identical IEEE values."""
+    from hgraphstorage_spark.pipeline.text import repetition_stats_exact
+
+    return repetition_stats_exact(_t(spark, sf_dir, "documents"))
+
+
 def q_streaming_summary(spark, sf_dir):
     """Compressed driver-checkable evidence for the §2.10 streaming
     extension (the graph_summary trick): the three streaming operator
@@ -1742,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-node analytics, streaming, and secondary SQL surface, all
         # oracle-compared locally in tests/test_oracle_parity.py
         "cube_revenue": q_cube_revenue,
+        "repetition_exact": q_repetition_exact,
         "degrees": q_degrees,
         "connected_components": q_connected_components,
         "connected_components_alt": q_connected_components_alt,
@@ -2159,22 +2170,22 @@ FROM scored
             SELECT n_nationkey FROM nation WHERE n_regionkey = 0
         """,
         "bpe_token_counts": r"""
-            SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::INT AS n_bpe_tokens
+            SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]'))::INT AS n_bpe_tokens
             FROM documents
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         "text_token_counts": r"""
             SELECT doc_id, len(text)::INT AS n_chars,
                    CASE WHEN len(trim(text)) = 0 THEN 0
-                        ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END::INT AS n_tokens
+                        ELSE array_length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END::INT AS n_tokens
             FROM documents
         """,
         "text_quality": r"""
             WITH base AS (
               SELECT doc_id, len(text) AS n_chars,
                      CASE WHEN len(trim(text)) = 0 THEN 0
-                          ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-                     len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+                          ELSE array_length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+                     len(regexp_replace(text, '[a-zA-Z0-9 \t\n\x0b\f\r]', '', 'g')) AS n_punct
               FROM documents)
             SELECT doc_id, n_chars::INT AS n_chars, n_tokens::INT AS n_tokens,
                    (CASE WHEN n_tokens > 0 THEN CAST(round(n_chars::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) END)::VARCHAR AS chars_per_token,
@@ -2183,7 +2194,7 @@ FROM scored
         """,
         "tfidf_top_terms": r"""
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok FROM documents
             ),
             hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
             ndocs AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
@@ -2202,7 +2213,7 @@ FROM scored
         """,
         "quality_filter": r"""
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok FROM documents
             ),
             hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
             m AS (
@@ -2225,7 +2236,7 @@ FROM scored
         """,
         "lang_id": lang_markers_sql,
         "fingerprint": r"""
-            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fp FROM documents
         """,
         "similarity_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2287,7 +2298,7 @@ FROM scored
         "sliding_chunks": r"""
             WITH dw AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                                  t -> len(t) > 0) AS w
               FROM documents
             ),
@@ -2303,7 +2314,7 @@ FROM scored
         "bigram_logprob": r"""
             WITH docs_w AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                                  t -> len(t) > 0) AS w
               FROM documents
             ),
@@ -2320,7 +2331,7 @@ FROM scored
         "repetition_stats": r"""
             WITH dw AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                                  t -> len(t) > 0) AS w
               FROM documents
             ),
@@ -2375,8 +2386,8 @@ FROM scored
         "normalize_text": """
             SELECT doc_id, length(t)::BIGINT AS n_chars_norm, md5(t) AS norm_md5
             FROM (SELECT doc_id,
-                         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
-                                             '\\s+', ' ', 'g')) AS t
+                         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\x0b\\f\\r]', ' ', 'g'),
+                                             '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t
                   FROM documents)
         """,
         "negative_sampling": """
@@ -2480,9 +2491,56 @@ FROM scored
             UNION ALL SELECT 'counter_net', sum(n)::VARCHAR FROM counters
             UNION ALL SELECT 'counter_max', max(n)::VARCHAR FROM counters
         """,
+        # repetition_exact: the naive relational rendering of the exact
+        # covered-token fractions — explode position-indexed grams, pick
+        # the top gram (ties: lexicographically smallest), union covered
+        # positions via DISTINCT unnest of each occurrence's span
+        "repetition_exact": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
+                                 x -> len(x) > 0) AS words
+              FROM documents
+            ), sized AS (SELECT doc_id, words, len(words) AS n_tokens FROM base),
+            g2 AS (
+              SELECT doc_id, i, array_to_string(list_slice(words, i, i + 1), ' ') AS g
+              FROM sized, unnest(generate_series(1, n_tokens - 1)) t(i) WHERE n_tokens >= 2
+            ),
+            g3 AS (
+              SELECT doc_id, i, array_to_string(list_slice(words, i, i + 2), ' ') AS g
+              FROM sized, unnest(generate_series(1, n_tokens - 2)) t(i) WHERE n_tokens >= 3
+            ),
+            top2 AS (
+              SELECT doc_id, g FROM (
+                SELECT doc_id, g,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+                FROM g2 GROUP BY doc_id, g) WHERE rn = 1
+            ),
+            cov2 AS (
+              SELECT a.doc_id, count(DISTINCT s.j) AS covered
+              FROM g2 a JOIN top2 ON a.doc_id = top2.doc_id AND a.g = top2.g,
+                   unnest(generate_series(a.i, a.i + 1)) s(j)
+              GROUP BY a.doc_id
+            ),
+            dup3 AS (SELECT doc_id, g FROM g3 GROUP BY doc_id, g HAVING count(*) >= 2),
+            cov3 AS (
+              SELECT a.doc_id, count(DISTINCT s.j) AS covered
+              FROM g3 a JOIN dup3 ON a.doc_id = dup3.doc_id AND a.g = dup3.g,
+                   unnest(generate_series(a.i, a.i + 2)) s(j)
+              GROUP BY a.doc_id
+            )
+            SELECT s.doc_id, s.n_tokens::BIGINT AS n_tokens,
+                   CASE WHEN s.n_tokens > 0
+                        THEN COALESCE(cov2.covered, 0)::DOUBLE / s.n_tokens ELSE 0.0 END AS top2_covered_frac,
+                   CASE WHEN s.n_tokens > 0
+                        THEN COALESCE(cov3.covered, 0)::DOUBLE / s.n_tokens ELSE 0.0 END AS dup3_covered_frac
+            FROM sized s
+            LEFT JOIN cov2 ON s.doc_id = cov2.doc_id
+            LEFT JOIN cov3 ON s.doc_id = cov3.doc_id
+        """,
         "ngram_jaccard": r"""
             WITH w AS (
-              SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
               FROM documents
             ),
             sh AS (
@@ -2505,7 +2563,7 @@ FROM scored
         """,
         "unigram_logprob": r"""
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
               FROM documents
             ),
             t AS (SELECT doc_id, tok FROM toks WHERE len(tok) > 0),
@@ -2518,7 +2576,7 @@ FROM scored
         """,
         "vocab_topk": r"""
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS token
               FROM documents
             ),
             hist AS (
@@ -2531,7 +2589,7 @@ FROM scored
         """,
         "chunk_dedup": r"""
             WITH w AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
               FROM documents
             ),
             ch AS (
@@ -2554,7 +2612,7 @@ FROM scored
               SELECT doc_id,
                      substr(md5(doc_id::VARCHAR || ':pack'), 1, 1) AS shard,
                      (CASE WHEN len(trim(text)) = 0 THEN 0
-                           ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens
+                           ELSE array_length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END)::BIGINT AS n_tokens
               FROM documents
             ),
             c AS (
@@ -2612,7 +2670,7 @@ FROM scored
         """,
         "decontaminate": r"""
             WITH w AS (
-              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
               FROM documents
             ),
             sh AS (
@@ -2710,7 +2768,7 @@ FROM scored
             WITH d AS (
               SELECT doc_id, source,
                      (CASE WHEN len(trim(text)) = 0 THEN 0
-                           ELSE array_length(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+                           ELSE array_length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END)::BIGINT AS n_tokens,
                      substr(md5(doc_id::VARCHAR || ':budget'), 1, 8) AS h,
                      CASE source WHEN 'src0' THEN 50000 WHEN 'src1' THEN 20000 ELSE 5000 END AS b
               FROM documents
@@ -2755,7 +2813,7 @@ FROM scored
         """,
         "bm25_search": r"""
             WITH toks AS (
-              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
               FROM documents
             ),
             hist AS (
@@ -2806,7 +2864,7 @@ def _dedup_clusters_oracle_sql(rounds: int) -> str:
     CTEs (same as that query's oracle) feeding `rounds` HashMin rounds."""
     ctes = [
         r"""wds AS (
-          SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+          SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
           FROM documents
         )""",
         """sh AS (
@@ -2865,7 +2923,7 @@ def _minhash_lsh_oracle_sql(
     wh_idx = ", ".join(f"whs[i+{j}]" for j in range(n))  # [i+0..i+n-1], NULL-padded OOB
     return rf"""
         WITH wds AS (
-          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
           FROM documents
         ),
         wh AS (SELECT doc_id, list_transform(words, w -> md5(w)) AS whs FROM wds),

@@ -502,10 +502,18 @@ class GraphEngine:
         idx = self.current.indexes[index_name]
         return idx.filter(F.col("key") == schemas.canonical_string(value)).select("owner_id", "label", "name", "key")
 
-    def index_prefix(self, index_name: str, prefix: str) -> DataFrame:
-        """Prefix scan (reference trie ``prefix``/``prefixF``, X4)."""
+    def index_prefix(self, index_name: str, prefix: str, ordered: bool = False) -> DataFrame:
+        """Prefix scan (reference trie ``prefix``/``prefixF``, X4).
+
+        ``ordered=True`` returns rows in depth-first trie order — i.e.
+        lexicographic key order, the enumeration the reference's trie
+        traversal produces (``LowLevelDB/test/.../TrieSpec.hs:89-95``);
+        ties on equal keys break by owner_id for determinism. The default
+        unordered bag is the declared divergence (SURVEY.md §7): on a
+        cluster an orderBy is a real sort, so callers opt in."""
         idx = self.current.indexes[index_name]
-        return idx.filter(F.col("key").startswith(prefix)).select("owner_id", "label", "name", "key")
+        out = idx.filter(F.col("key").startswith(prefix)).select("owner_id", "label", "name", "key")
+        return out.orderBy("key", "owner_id") if ordered else out
 
     # -- queries -----------------------------------------------------------
     def traverse(self, t: Traversal, version: int | None = None) -> TraversalResult:

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hgraphstorage_spark.pipeline.text import WS_RE
+
 from hgraphstorage_spark.pipeline.dedup import _parallel
 
 
@@ -33,7 +35,7 @@ def _shingle_long(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFr
     """
     words = _parallel(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_w"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE).alias("_w"),
     )
     w = F.col("_w")
     n_sh = F.greatest(F.size(w) - (n - 1), F.lit(1))

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hgraphstorage_spark.pipeline.text import WS_RE
+
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per identical text value."""
@@ -69,7 +71,7 @@ def _shingles(text_col, n: int) -> F.Column:
     and build in O(words) via slice+concat — character substr would be
     O(chars²) per document. Documents with < n words yield one shingle.
     """
-    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    words = F.split(F.lower(F.trim(text_col)), WS_RE)
     n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n_sh)
     return F.array_distinct(
@@ -117,7 +119,7 @@ def shingle_hashes(
         )
     word_hashes = _parallel(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.transform(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), word_hash).alias("_wh"),
+        F.transform(F.split(F.lower(F.trim(F.col(text_col))), WS_RE), word_hash).alias("_wh"),
     )
     wh = F.col("_wh")
     n_sh = F.greatest(F.size(wh) - (n - 1), F.lit(1))

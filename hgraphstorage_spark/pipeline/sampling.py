@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hgraphstorage_spark.pipeline.text import WS_RE
+
 _SPACE = 16 ** 8  # bucket space: first 8 hex digits of the md5
 
 
@@ -321,7 +323,7 @@ def token_budget_mix(
 
     n_tokens = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+"))).cast("long")
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), WS_RE))).cast("long")
     budget = F.lit(int(default_budget))
     for value, b in budgets.items():
         if b < 0:

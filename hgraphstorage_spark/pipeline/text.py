@@ -10,6 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The tokenization whitespace class, spelled out explicitly. This is
+# exactly Java-regex ``\s`` ([ \t\n\x0B\f\r]) — but RE2-based engines
+# (DuckDB, Go) EXCLUDE \x0B from ``\s``, so writing ``\s`` on both sides
+# silently diverges on vertical tabs. Every tokenizer here and every SQL
+# oracle uses this same explicit class (oracles as '[ \t\n\x0b\f\r]+').
+WS_RE = r"[ \t\n\x0B\f\r]+"
+
 # Marker substrings per language for the n-gram/stopword heuristic.
 # Counting occurrences of " <marker> " in lowercased text; ASCII-safe and
 # expressible identically in ANSI SQL (the oracle mirrors this table).
@@ -24,7 +31,7 @@ LANG_MARKERS = {
 def _n_tokens(col) -> F.Column:
     """Whitespace token count; empty/blank text = 0 tokens."""
     trimmed = F.trim(col)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, WS_RE)))
 
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -36,7 +43,7 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_ish_token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -61,7 +68,7 @@ def quality_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     n_tokens = _n_tokens(text)
     # non [a-zA-Z0-9 whitespace] characters (ASCII heuristic — deterministic
     # in both Spark and the SQL oracle)
-    n_punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9 \t\n\x0B\f\r]", ""))
     return docs.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -110,7 +117,7 @@ def _token_histogram(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bounded, so the key space is fine-grained and skew-free at any corpus
     size."""
     toks = docs.select(
-        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("tok")
     ).filter(F.length("tok") > 0)
     return toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
 
@@ -217,7 +224,7 @@ def quality_filter_narrow(
       gate runs in a Structured Streaming ingest unchanged.
     """
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
     )
     df = (
         docs.select(F.col(id_col), toks.alias("_toks"))
@@ -252,7 +259,7 @@ def quality_filter_narrow(
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 of lowercased, whitespace-normalized text.
     (The rolling-hash variant for shingling lives in dedup.py.)"""
-    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_RE, " ")
     return docs.select(F.col(id_col), F.md5(normalized).alias("fp"))
 
 
@@ -271,7 +278,7 @@ def vocabulary(
     vocabulary-sized, not corpus-sized."""
     toks = docs.select(
         F.col(id_col).alias("_doc"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("token"),
     ).filter(F.length("token") > 0)
     per_doc = toks.groupBy("token", "_doc").agg(F.count(F.lit(1)).alias("n"))
     hist = per_doc.groupBy("token").agg(
@@ -303,7 +310,7 @@ def chunk_dedup(
     First-occurrence semantics need a global total order — (doc_id, pos)
     is that order, with no driver-side coordination."""
     cw = chunk_words
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     n_chunks = ((F.size(words) + F.lit(cw - 1)) / F.lit(cw)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -350,7 +357,7 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     the token stream, so the corpus-sized side is never shuffled twice."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("n"))
@@ -374,8 +381,8 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     byte-for-byte."""
     norm = F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", " "),
-            r"\s+",
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 \t\n\x0B\f\r]", " "),
+            WS_RE,
             " ",
         )
     )
@@ -404,7 +411,7 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     co-located pairs — same two-broadcast shape as ``unigram_logprob``.
     """
     words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
     )
     docs_w = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
     idx = F.when(F.size("w") >= 2, F.sequence(F.lit(2), F.size("w"))).otherwise(
@@ -450,7 +457,7 @@ def sliding_chunks(
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
     words = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
     )
     docs_w = docs.select(F.col(id_col).alias("doc_id"), words.alias("w"))
     n = F.size("w")
@@ -544,6 +551,134 @@ def _ngram_run_stats(sorted_col):
     return F.aggregate(col, init, merge, finish)
 
 
+def _ngram_run_argmax(sorted_col):
+    """Argmax by run length over a SORTED n-gram array: returns a
+    struct(count, gram) for the most frequent n-gram, ties resolving to
+    the lexicographically smallest (the first max run in sorted order —
+    strict ``>`` keeps the earliest). Same one-pass ``F.aggregate`` shape
+    as ``_ngram_run_stats``: per-document, zero shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("gram"),
+    )
+
+    def merge(acc, x):
+        same = x.eqNullSafe(acc["prev"])
+        run2 = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        better = run2 > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["gram"]).alias("gram"),
+        )
+
+    def finish(acc):
+        return F.struct(acc["best"].alias("count"), acc["gram"].alias("gram"))
+
+    col = F.col(sorted_col) if isinstance(sorted_col, str) else sorted_col
+    return F.aggregate(col, init, merge, finish)
+
+
+def _covered_tokens(flags_col, n: int):
+    """Union length of the token spans ``[i, i+n-1]`` whose gram-start
+    flag is true. Flags arrive in start order, so the union is a running
+    (end, covered) interval fold — one ``F.aggregate`` pass, linear in
+    tokens, no shuffle."""
+    col = F.col(flags_col) if isinstance(flags_col, str) else flags_col
+    # transform's two-arg lambda receives (element, index) — empty-safe,
+    # unlike zipping with sequence() (sequence(0, -1) yields [0, -1])
+    pairs = F.transform(col, lambda f, i: F.struct(f.alias("f"), i.alias("i")))
+    init = F.struct(F.lit(-1).alias("end"), F.lit(0).alias("cov"))
+
+    def merge(acc, s):
+        new_end = s["i"] + F.lit(n - 1)
+        inc = new_end - F.greatest(acc["end"], s["i"] - 1)
+        return F.struct(
+            F.when(s["f"], new_end).otherwise(acc["end"]).alias("end"),
+            F.when(s["f"], acc["cov"] + inc).otherwise(acc["cov"]).alias("cov"),
+        )
+
+    return F.aggregate(pairs, init, merge, lambda acc: acc["cov"])
+
+
+def repetition_stats_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher repetition signals with the paper's EXACT covered-token
+    fractions (Rae et al. 2021, Table A1): overlapping spans are deduped
+    via interval union, so a degenerate "a a a ..." document scores
+    exactly 1.0 — paper-calibrated thresholds (e.g. dup3 ≤ 0.18) apply as
+    published, unlike the cheaper occurrence-counting ``repetition_stats``.
+
+    ``top{n}_covered_frac``: fraction of token positions covered by any
+    occurrence of the single most frequent top_n-gram (ties resolve to
+    the lexicographically smallest). ``dup{n}_covered_frac``: fraction
+    covered by any dup_n-gram occurring more than once.
+
+    Execution shape matches ``repetition_stats``: tokens → position-
+    indexed gram array → sorted copy → run-length argmax / duplicate set
+    → per-position membership flags → one-pass interval union. All
+    narrow higher-order functions in whole-stage codegen — zero shuffle,
+    zero Python, scan-speed on a 100 TB corpus. Each array gets its own
+    projection level (no CSE inside HOF lambdas)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
+    )
+    df = docs.select(F.col(id_col), toks.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("n_tokens")
+    )
+
+    def grams(n):
+        return F.when(
+            F.col("n_tokens") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("_toks", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # top_n: flag positions holding the most frequent gram
+    df = df.withColumn("_tg", grams(top_n))
+    df = df.withColumn("_top", _ngram_run_argmax(F.array_sort("_tg"))["gram"])
+    df = df.withColumn("_tflags", F.transform("_tg", lambda g: g == F.col("_top")))
+    df = df.withColumn("_tcov", _covered_tokens("_tflags", top_n))
+    # dup_n: flag positions whose gram occurs >= 2 times (neighbors in the
+    # sorted copy; F.get is NULL-safe at both ends, unlike element_at)
+    df = df.withColumn("_dg", grams(dup_n))
+    df = df.withColumn("_ds", F.array_sort("_dg"))
+    df = df.withColumn(
+        "_dset",
+        F.array_distinct(
+            F.filter(
+                "_ds",
+                lambda x, i: x.eqNullSafe(F.get(F.col("_ds"), i - 1))
+                | x.eqNullSafe(F.get(F.col("_ds"), i + 1)),
+            )
+        ),
+    )
+    df = df.withColumn("_dflags", F.transform("_dg", lambda g: F.array_contains(F.col("_dset"), g)))
+    df = df.withColumn("_dcov", _covered_tokens("_dflags", dup_n))
+
+    def frac(c) -> F.Column:
+        return F.when(
+            F.col("n_tokens") > 0, c.cast("double") / F.col("n_tokens")
+        ).otherwise(F.lit(0.0))
+
+    return df.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        frac(F.col("_tcov")).alias(f"top{top_n}_covered_frac"),
+        frac(F.col("_dcov")).alias(f"dup{dup_n}_covered_frac"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -560,16 +695,13 @@ def repetition_stats(
 
     NOTE — occurrence-counting approximation: fractions are computed as
     ``n * occurrences / n_tokens`` over *overlapping* n-grams, so a
-    degenerate document ("a a a ...") can score above 1.0. The paper's
-    exact covered-token fraction would dedupe overlapping spans; this
-    cheaper signal is monotone in it, but thresholds calibrated against
-    the paper's definition must be re-calibrated for this scale (e.g. the
-    paper's dup3_frac<=0.18 cut is NOT directly portable).
+    degenerate document ("a a a ...") can score above 1.0. This cheaper
+    signal is monotone in the paper's exact covered-token fraction;
+    thresholds calibrated against the paper's definition belong on
+    ``repetition_stats_exact`` (above), which dedupes overlapping spans.
 
-    Tokenization splits on Java-regex ``\\s+``, which includes ``\\x0B``
-    (vertical tab); RE2-based engines (DuckDB) exclude it from ``\\s``.
-    Use an explicit class like ``[ \\t\\n\\r\\f\\x0B]+`` on both sides if
-    your corpus can contain vertical tabs.
+    Tokenization uses the explicit ``WS_RE`` whitespace class, identical
+    on both engines (see the constant's note on RE2 ``\\s`` vs ``\\x0B``).
 
     Entirely narrow: tokens -> n-gram array -> array_sort -> one-pass
     run-length aggregate, all inside whole-stage codegen with NO shuffle
@@ -577,7 +709,7 @@ def repetition_stats(
     Each array is its own projection level (Catalyst does no subexpression
     elimination inside higher-order-function lambdas)."""
     toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
     )
     df = docs.select(F.col(id_col), toks.alias("_toks")).select(
         id_col, "_toks", F.size("_toks").alias("n_tokens")

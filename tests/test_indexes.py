@@ -38,6 +38,18 @@ class TestIndex:
         assert bag(actor_engine.index_prefix("LastName", "H"), ["owner_id"]) == [(1,)]
         assert actor_engine.index_prefix("LastName", "Hx").count() == 0
 
+    def test_prefix_scan_ordered_depth_first(self, spark):
+        """TrieSpec.hs:89-95 parity: ordered=True enumerates keys in
+        depth-first (lexicographic) trie order."""
+        eng = GraphEngine(spark)
+        eng.add_nodes(
+            [("W", {"k": key}) for key in ["abd", "ab", "abc", "b", "abcd", "aa"]]
+        )
+        eng.commit()
+        eng.add_index("K", labels=["W"], prop_names=["k"])
+        keys = [r["key"] for r in eng.index_prefix("K", "a", ordered=True).collect()]
+        assert keys == ["aa", "ab", "abc", "abcd", "abd"]
+
     def test_duplicate_key_rejected_on_commit(self, actor_engine):
         # APITest.hs duplicate-key rejection on insert
         actor_engine.add_index("LastName", labels=["Actor"], prop_names=["lastName"])

@@ -391,6 +391,55 @@ class TestMultimodal:
         assert parse_media_header(b"\xff\xd8\xff\x00\x12\x34\x56\x78\x9a\xbc") is None
 
 
+class TestRepetitionExact:
+    def test_hand_computed_covered_fractions(self, spark):
+        """Paper-exact covered-token fractions on hand-worked fixtures:
+        overlapping spans dedupe (doc 0 scores exactly 1.0, not >1 like
+        the occurrence-counting approximation)."""
+        from hgraphstorage_spark.pipeline.text import repetition_stats_exact
+
+        rows = [
+            (0, "a a a a a a"),        # top2 'a a' + dup3 'a a a' cover everything
+            (1, "x y x y z q"),        # 'x y' at 0,2 covers tokens 0-3 -> 4/6; no dup 3-gram
+            (2, "p q r p q r p q r"),  # dup3 'p q r' covers all 9; top2 'p q' covers 6/9
+            (3, "one"),                # too short for any gram
+            (4, ""),                   # zero tokens
+            (5, "b b c b b"),          # top2 'b b' at 0,3 covers 0,1,3,4 -> 4/5
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_stats_exact(df).collect()}
+        want = {
+            0: (6, 1.0, 1.0),
+            1: (6, 4 / 6, 0.0),
+            2: (9, 6 / 9, 1.0),
+            3: (1, 0.0, 0.0),
+            4: (0, 0.0, 0.0),
+            5: (5, 4 / 5, 0.0),
+        }
+        for i, (n, top2, dup3) in want.items():
+            r = got[i]
+            assert r["n_tokens"] == n, i
+            assert r["top2_covered_frac"] == top2, i
+            assert r["dup3_covered_frac"] == dup3, i
+
+    def test_tie_breaks_lexicographically(self, spark):
+        """Two grams tied at max frequency: the lexicographically smallest
+        wins on both engines (SQL: ORDER BY count DESC, g ASC)."""
+        from hgraphstorage_spark.pipeline.text import repetition_stats_exact
+
+        df = spark.createDataFrame([(0, "z w z w a b a b")], "doc_id long, text string")
+        r = repetition_stats_exact(df).collect()[0]
+        # 'a b' and 'z w' both occur twice; 'a b' (positions 4,6) wins,
+        # covering tokens 4..7 -> 4/8 either way here, but the *gram*
+        # choice matters when coverage differs — pin via a skewed case
+        assert r["top2_covered_frac"] == 0.5
+        df2 = spark.createDataFrame([(0, "z w z w a b a b a b")], "doc_id long, text string")
+        r2 = repetition_stats_exact(df2).collect()[0]
+        # 'a b' occurs 3x (covers 4..9 = 6/10); if 'z w' (2x, 4/10) were
+        # picked the fraction would differ
+        assert r2["top2_covered_frac"] == 0.6
+
+
 class TestDecontaminate:
     """Benchmark n-gram decontamination (pipeline/contamination.py)."""
 
