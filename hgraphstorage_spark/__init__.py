@@ -18,7 +18,8 @@ disk-based Haskell property-graph engines) as an idiomatic Spark engine:
 
 from hgraphstorage_spark.session import get_spark
 from hgraphstorage_spark.snapshot import GraphSnapshot
-from hgraphstorage_spark.engine import GraphEngine, DuplicateIndexKey
+from hgraphstorage_spark.engine import GraphEngine, DuplicateIndexKey, WriteConflict
+from hgraphstorage_spark.store import DurableGraphEngine, open_graph
 from hgraphstorage_spark.traversal import (
     T,
     Traversal,
@@ -42,7 +43,10 @@ __all__ = [
     "get_spark",
     "GraphSnapshot",
     "GraphEngine",
+    "DurableGraphEngine",
+    "open_graph",
     "DuplicateIndexKey",
+    "WriteConflict",
     "T",
     "Traversal",
     "Ns",

@@ -110,7 +110,8 @@ class Transaction:
         self.start_version = engine.committed.version
         self._base = engine.committed
         self._staged: GraphSnapshot = self._base
-        self._log: list = []  # (replay_fn, written_ids)
+        self._log: list = []  # replay fns (pure snapshot -> snapshot)
+        self._ops: list = []  # serializable op descriptors (durable ledger)
         self.written_ids: set[int] = set()
         self._done: str | None = None
         # type-dictionary notes, applied to the engine model on commit
@@ -133,14 +134,18 @@ class Transaction:
         if self._done is not None:
             raise RuntimeError(f"transaction already {self._done}")
 
-    def _apply(self, fn, written_ids) -> None:
+    def _apply(self, fn, written_ids, op=None) -> None:
         """Stage a mutation and record it for commit-time replay. ``fn``
         must be a pure snapshot -> snapshot function so replay onto a
         different ledger head produces the same delta (ids are pinned at
-        first application, never re-generated at replay)."""
+        first application, never re-generated at replay). ``op`` is the
+        JSON-serializable descriptor a durable ledger persists (every
+        row-level transaction op has one)."""
         self._check_open()
         self._staged = fn(self._staged)
         self._log.append(fn)
+        if op is not None and self._ops is not None:
+            self._ops.append(op)
         self.written_ids.update(written_ids)
 
     def add_nodes(self, rows, ids=None) -> list[int]:
@@ -151,7 +156,11 @@ class Transaction:
         rows = list(rows)
         self._note_types("node_type", ((label, props) for label, props in rows))
         new_ids = ids if ids is not None else self._engine._reserve_node_ids(len(rows), self._staged)
-        self._apply(lambda s, r=rows, i=list(new_ids): mutations.add_nodes(s, r, i)[0], new_ids)
+        self._apply(
+            lambda s, r=rows, i=list(new_ids): mutations.add_nodes(s, r, i)[0],
+            new_ids,
+            op=["add_nodes", [[label, dict(props or {})] for label, props in rows], list(new_ids)],
+        )
         return new_ids
 
     def _note_types(self, kind: str, labeled_props) -> None:
@@ -170,23 +179,47 @@ class Transaction:
         rows = list(rows)
         self._note_types("edge_type", ((label, props) for _s, _d, label, props in rows))
         new_ids = ids if ids is not None else self._engine._reserve_edge_ids(len(rows), self._staged)
-        self._apply(lambda s, r=rows, i=list(new_ids): mutations.add_edges(s, r, i)[0], new_ids)
+        self._apply(
+            lambda s, r=rows, i=list(new_ids): mutations.add_edges(s, r, i)[0],
+            new_ids,
+            op=[
+                "add_edges",
+                [[src, dst, label, dict(props or {})] for src, dst, label, props in rows],
+                list(new_ids),
+            ],
+        )
         return new_ids
 
     def add_edge(self, src: int, dst: int, label: str, props: Mapping[str, object] | None = None) -> int:
         return self.add_edges([(src, dst, label, props or {})])[0]
 
     def update_node(self, node_id: int, label: str, props: Mapping[str, object]) -> None:
-        self._apply(lambda s: mutations.update_node(s, node_id, label, props), [node_id])
+        self._apply(
+            lambda s: mutations.update_node(s, node_id, label, props),
+            [node_id],
+            op=["update_node", node_id, label, dict(props)],
+        )
 
     def delete_nodes(self, node_ids: list[int]) -> None:
-        self._apply(lambda s: mutations.delete_nodes(s, node_ids), node_ids)
+        self._apply(
+            lambda s: mutations.delete_nodes(s, node_ids),
+            node_ids,
+            op=["delete_nodes", list(node_ids)],
+        )
 
     def delete_edges(self, edge_ids: list[int]) -> None:
-        self._apply(lambda s: mutations.delete_edges(s, edge_ids), edge_ids)
+        self._apply(
+            lambda s: mutations.delete_edges(s, edge_ids),
+            edge_ids,
+            op=["delete_edges", list(edge_ids)],
+        )
 
     def set_properties(self, owner_id: int, owner_kind: str, props: Mapping[str, object]) -> None:
-        self._apply(lambda s: mutations.set_properties(s, owner_id, owner_kind, props), [owner_id])
+        self._apply(
+            lambda s: mutations.set_properties(s, owner_id, owner_kind, props),
+            [owner_id],
+            op=["set_properties", owner_id, owner_kind, dict(props)],
+        )
 
     # -- outcome -----------------------------------------------------------
     def commit(self) -> int:
@@ -200,37 +233,44 @@ class Transaction:
         if not self._log:
             self._done = "committed"
             return eng.committed.version
-        head = eng.committed
-        if head.version != self.start_version:
-            for version, written in eng._commit_writes:
-                if version <= self.start_version:
-                    continue
-                if written is None:
-                    # a bulk DataFrame ingest published after we started;
-                    # its write-set is unenumerated (collecting it would
-                    # defeat the bulk path), so conservatively conflict
-                    raise WriteConflict(
-                        f"version {version} was a bulk ingest with an unenumerated "
-                        f"write-set, committed after this transaction started at "
-                        f"version {self.start_version}"
-                    )
-                if written & self.written_ids:
-                    raise WriteConflict(
-                        f"entities {sorted(written & self.written_ids)[:5]} were written by "
-                        f"version {version} after this transaction started at "
-                        f"version {self.start_version}"
-                    )
-            merged = head
-            for fn in self._log:
-                merged = fn(merged)
-        else:
-            merged = self._staged
-        merged = eng._rebuild_indexes(merged)
-        for reg_name, _labels, _prop_names in merged.index_registry:
-            check_unique(merged.indexes[reg_name], reg_name)
-        new_version = head.version + 1
-        eng._ledger.append(merged.with_version(new_version))
-        eng._commit_writes.append((new_version, set(self.written_ids)))
+        while True:
+            # pull commits other engines/processes published (durable
+            # ledger); in-memory engines are already current
+            eng._refresh()
+            head = eng.committed
+            if head.version != self.start_version:
+                for version, written in eng._entries_after(self.start_version):
+                    if written is None:
+                        # a bulk DataFrame ingest published after we
+                        # started; its write-set is unenumerated
+                        # (collecting it would defeat the bulk path), so
+                        # conservatively conflict
+                        raise WriteConflict(
+                            f"version {version} was a bulk ingest with an unenumerated "
+                            f"write-set, committed after this transaction started at "
+                            f"version {self.start_version}"
+                        )
+                    if written & self.written_ids:
+                        raise WriteConflict(
+                            f"entities {sorted(written & self.written_ids)[:5]} were written by "
+                            f"version {version} after this transaction started at "
+                            f"version {self.start_version}"
+                        )
+                merged = head
+                for fn in self._log:
+                    merged = fn(merged)
+            else:
+                merged = self._staged
+            merged = eng._rebuild_indexes(merged)
+            for reg_name, _labels, _prop_names in merged.index_registry:
+                check_unique(merged.indexes[reg_name], reg_name)
+            new_version = head.version + 1
+            if eng._try_publish(
+                merged.with_version(new_version), set(self.written_ids), self._ops, "tx"
+            ):
+                break
+            # CAS lost: someone claimed new_version between our conflict
+            # check and publish — loop re-checks against the new entries
         for kind, name in self._type_notes:  # M8 upsert, first-use order
             eng.model.note(kind, name)
         self._done = "committed"
@@ -254,7 +294,9 @@ class GraphEngine:
     def __init__(self, spark: SparkSession, snapshot: GraphSnapshot | None = None):
         self.spark = spark
         base = snapshot if snapshot is not None else GraphSnapshot.empty(spark)
-        self._ledger: list[GraphSnapshot] = [base.with_version(0)]
+        # a pre-loaded snapshot keeps its version id (a durable engine
+        # reopens at the persisted head, not at 0)
+        self._ledger: list[GraphSnapshot] = [base if snapshot is not None else base.with_version(0)]
         self._staged: GraphSnapshot | None = None
         self._staged_base_version: int | None = None
         self._stage_count = 0
@@ -267,6 +309,9 @@ class GraphEngine:
         # implicit commit; None once a bulk-df write makes the set
         # unenumerable
         self._staged_writes: set[int] | None = set()
+        # serializable op descriptors mirroring _staged_writes; None once
+        # a bulk-df write makes the log unrepresentable as metadata
+        self._staged_ops: list | None = []
         # engine-wide id high-water marks spanning live transactions
         self._id_high: dict[str, int] = {}
         # maintained type dictionary (reference M8 upsert — ids in
@@ -281,7 +326,26 @@ class GraphEngine:
         """Open a concurrent transaction pinned at the current committed
         version (reference ``newTx``). Any number may be live at once;
         each stages privately and commits first-committer-wins."""
+        self._refresh()
         return Transaction(self)
+
+    # -- publish hooks (overridden by the durable ledger, store.py) --------
+    def _refresh(self) -> None:
+        """Pull commits published by other engine instances. In-memory
+        engines are single-process: nothing to pull."""
+
+    def _entries_after(self, version: int) -> list[tuple[int, set[int] | None]]:
+        """The first-committer-wins conflict trail: (version, write-set)
+        for every commit after ``version``."""
+        return [(v, w) for v, w in self._commit_writes if v > version]
+
+    def _try_publish(self, snapshot: GraphSnapshot, writes, ops, kind: str) -> bool:
+        """Claim ``snapshot.version`` as the next committed version.
+        In-memory: single-process, the claim always succeeds. Durable
+        engines CAS against the file ledger and may lose the race."""
+        self._ledger.append(snapshot)
+        self._commit_writes.append((snapshot.version, writes))
+        return True
 
     # -- engine-wide id allocation (shared across live transactions) -------
     def _reserve_ids(self, kind: str, count: int, df: DataFrame, snap_max) -> list[int]:
@@ -335,34 +399,46 @@ class GraphEngine:
         transactions for all concurrent writers)."""
         if self._staged is None:
             return self._ledger[-1].version  # no writes: nothing to do (GC'd tx)
+        self._refresh()
         if self._staged_base_version is not None and self._staged_base_version != self._ledger[-1].version:
             raise WriteConflict(
-                f"a transaction committed version {self._ledger[-1].version} after this "
-                f"implicit staging began at version {self._staged_base_version}; promoting "
-                "the staged snapshot would overwrite it — rollback and replay, or use "
-                "engine.begin() transactions for every concurrent writer"
+                f"a concurrent writer committed version {self._ledger[-1].version} after "
+                f"this implicit staging began at version {self._staged_base_version}; "
+                "promoting the staged snapshot would overwrite it — rollback and replay, "
+                "or use engine.begin() transactions for every concurrent writer"
             )
         staged = self._rebuild_indexes(self._staged)
         for reg_name, labels, prop_names in staged.index_registry:
             check_unique(staged.indexes[reg_name], reg_name)
         new_version = self._ledger[-1].version + 1
-        self._ledger.append(staged.with_version(new_version))
-        # record the write-set: a transaction that started before this
-        # implicit commit must see it in the conflict trail, or its replay
-        # would silently overwrite these entities (first-committer-wins
-        # applies to BOTH write paths)
-        self._commit_writes.append(
-            (new_version, set(self._staged_writes) if self._staged_writes is not None else None)
+        # publish with the write-set: a transaction that started before
+        # this implicit commit must see it in the conflict trail, or its
+        # replay would silently overwrite these entities
+        # (first-committer-wins applies to BOTH write paths)
+        ok = self._try_publish(
+            staged.with_version(new_version),
+            set(self._staged_writes) if self._staged_writes is not None else None,
+            list(self._staged_ops) if self._staged_ops is not None else None,
+            "implicit",
         )
+        if not ok:
+            # durable CAS lost between refresh and publish: the implicit
+            # path has no replay log isolation, so surface the conflict
+            raise WriteConflict(
+                f"another process claimed version {new_version} concurrently; "
+                "rollback and replay, or use engine.begin() transactions"
+            )
         self._staged = None
         self._staged_base_version = None
         self._staged_writes = set()
+        self._staged_ops = []
         return new_version
 
     def rollback(self) -> None:
         self._staged = None
         self._staged_base_version = None
         self._staged_writes = set()
+        self._staged_ops = []
 
     def checkpoint(self, path: str) -> None:
         """Reference S7 ``checkpoint``: force-materialize the committed
@@ -370,15 +446,21 @@ class GraphEngine:
         self.committed.write(path)
 
     # -- mutations (staged until commit) ----------------------------------
-    def _stage(self, snap: GraphSnapshot, written_ids=()) -> None:
+    def _stage(self, snap: GraphSnapshot, written_ids=(), op=None) -> None:
         if self._staged is None:
             # pin the ledger head this implicit write run is based on
             self._staged_base_version = self._ledger[-1].version
         self._staged = snap
         if written_ids is None:
             self._staged_writes = None  # bulk df write: set unenumerable
-        elif self._staged_writes is not None:
-            self._staged_writes.update(written_ids)
+            self._staged_ops = None  # and the op log is the data itself
+        else:
+            if self._staged_writes is not None:
+                self._staged_writes.update(written_ids)
+            if self._staged_ops is not None:
+                # a write without an op descriptor can't be replayed from
+                # metadata — degrade to materialization, never to loss
+                self._staged_ops = self._staged_ops + [op] if op is not None else None
         self._stage_count += 1
         if self._stage_count % self.COMPACT_EVERY == 0:
             self.compact()
@@ -427,7 +509,11 @@ class GraphEngine:
         if ids is None:
             ids = self._reserve_node_ids(len(rows), self.current)
         snap, new_ids = mutations.add_nodes(self.current, rows, ids)
-        self._stage(snap, new_ids)
+        self._stage(
+            snap,
+            new_ids,
+            op=["add_nodes", [[label, dict(props or {})] for label, props in rows], list(new_ids)],
+        )
         return new_ids
 
     def add_node(self, label: str, props: Mapping[str, object] | None = None) -> int:
@@ -439,7 +525,15 @@ class GraphEngine:
         if ids is None:
             ids = self._reserve_edge_ids(len(rows), self.current)
         snap, new_ids = mutations.add_edges(self.current, rows, ids)
-        self._stage(snap, new_ids)
+        self._stage(
+            snap,
+            new_ids,
+            op=[
+                "add_edges",
+                [[src, dst, label, dict(props or {})] for src, dst, label, props in rows],
+                list(new_ids),
+            ],
+        )
         return new_ids
 
     def add_edge(self, src: int, dst: int, label: str, props: Mapping[str, object] | None = None) -> int:
@@ -454,36 +548,65 @@ class GraphEngine:
         self._stage(mutations.add_edges_df(self.current, edges, props), written_ids=None)
 
     def update_node(self, node_id: int, label: str, props: Mapping[str, object]) -> None:
-        self._stage(mutations.update_node(self.current, node_id, label, props), [node_id])
+        self._stage(
+            mutations.update_node(self.current, node_id, label, props),
+            [node_id],
+            op=["update_node", node_id, label, dict(props)],
+        )
 
     def delete_nodes(self, node_ids: list[int]) -> None:
-        self._stage(mutations.delete_nodes(self.current, node_ids), node_ids)
+        self._stage(
+            mutations.delete_nodes(self.current, node_ids),
+            node_ids,
+            op=["delete_nodes", list(node_ids)],
+        )
 
     def delete_edges(self, edge_ids: list[int]) -> None:
-        self._stage(mutations.delete_edges(self.current, edge_ids), edge_ids)
+        self._stage(
+            mutations.delete_edges(self.current, edge_ids),
+            edge_ids,
+            op=["delete_edges", list(edge_ids)],
+        )
 
     def set_properties(self, owner_id: int, owner_kind: str, props: Mapping[str, object]) -> None:
-        self._stage(mutations.set_properties(self.current, owner_id, owner_kind, props), [owner_id])
+        self._stage(
+            mutations.set_properties(self.current, owner_id, owner_kind, props),
+            [owner_id],
+            op=["set_properties", owner_id, owner_kind, dict(props)],
+        )
 
     # -- indexes -----------------------------------------------------------
     def add_index(self, name: str, labels: Sequence[str] = (), prop_names: Sequence[str] = ()) -> None:
         """Register + retroactively build an index (reference X1). Raises
         DuplicateIndexKey if existing data violates uniqueness
         (``APITest.hs:158-165`` retroactive-indexing scenario)."""
-        snap = self.current
-        registry = snap.index_registry + ((name, tuple(labels), tuple(prop_names)),)
-        idx = build_index(snap, labels, prop_names)
-        check_unique(idx, name)
-        indexes = dict(snap.indexes)
-        indexes[name] = idx
-        staged = replace(snap, index_registry=registry, indexes=indexes)
-        if self._staged is None:
-            # registering an index on a clean engine commits immediately
-            # (the reference persists the registry on addIndex, API.hs:509)
+        op = ["add_index", name, list(labels), list(prop_names)]
+        if self._staged is not None:
+            snap = self.current
+            registry = snap.index_registry + ((name, tuple(labels), tuple(prop_names)),)
+            idx = build_index(snap, labels, prop_names)
+            check_unique(idx, name)
+            indexes = dict(snap.indexes)
+            indexes[name] = idx
+            self._staged = replace(snap, index_registry=registry, indexes=indexes)
+            if self._staged_ops is not None:
+                self._staged_ops.append(op)
+            return
+        # registering an index on a clean engine commits immediately (the
+        # reference persists the registry on addIndex, API.hs:509); retry
+        # on a lost durable CAS — index registration replays cleanly
+        while True:
+            self._refresh()
+            snap = self.current
+            registry = snap.index_registry + ((name, tuple(labels), tuple(prop_names)),)
+            idx = build_index(snap, labels, prop_names)
+            check_unique(idx, name)
+            indexes = dict(snap.indexes)
+            indexes[name] = idx
+            staged = replace(snap, index_registry=registry, indexes=indexes)
             new_version = self._ledger[-1].version + 1
-            self._ledger.append(staged.with_version(new_version))
-        else:
-            self._staged = staged
+            if self._try_publish(staged.with_version(new_version), set(), [op], "index"):
+                return
 
     def _rebuild_indexes(self, snap: GraphSnapshot) -> GraphSnapshot:
         """Index maintenance on commit (reference M1/M2 delta maintenance,

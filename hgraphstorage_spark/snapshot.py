@@ -94,14 +94,38 @@ class GraphSnapshot:
         self.props.write.mode(mode).partitionBy("owner_kind", "name").parquet(f"{path}/props")
 
     @staticmethod
+    def _read_table(spark: SparkSession, path: str, schema, cols):
+        """Read one snapshot table; an EMPTY table written partitioned
+        leaves a schema-less directory (no part files), which parquet
+        cannot infer — fall back to the canonical empty DataFrame, but
+        only when the directory really exists (a wrong path must still
+        raise, not silently read as empty)."""
+        import os
+
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path).select(*cols)
+        except AnalysisException:
+            if not os.path.isdir(path.removeprefix("file:")):
+                raise
+            return spark.createDataFrame([], schema)
+
+    @staticmethod
     def read(spark: SparkSession, path: str, version: int = 0) -> "GraphSnapshot":
         prop_cols = [f.name for f in schemas.PROPS_SCHEMA.fields]
+        # reselect: partition columns come back last and as read-schema
+        # strings; restore canonical order
         return GraphSnapshot(
-            nodes=spark.read.parquet(f"{path}/nodes").select("id", "label"),
-            edges=spark.read.parquet(f"{path}/edges").select("id", "src", "dst", "label"),
-            # reselect: partition columns come back last and as read-schema
-            # strings; restore canonical order
-            props=spark.read.parquet(f"{path}/props").select(*prop_cols),
+            nodes=GraphSnapshot._read_table(
+                spark, f"{path}/nodes", schemas.NODES_SCHEMA, ["id", "label"]
+            ),
+            edges=GraphSnapshot._read_table(
+                spark, f"{path}/edges", schemas.EDGES_SCHEMA, ["id", "src", "dst", "label"]
+            ),
+            props=GraphSnapshot._read_table(
+                spark, f"{path}/props", schemas.PROPS_SCHEMA, prop_cols
+            ),
             version=version,
         )
 

@@ -1,0 +1,281 @@
+"""Durable version ledger + cross-process MVCC.
+
+The reference persists transaction state in a trie-backed manager
+(``LowLevelDB/src/Database/LowLevelDB/MVCC.hs:126-157``) so a database
+survives close/reopen (``STMGraph/test/.../RawSpec.hs:45-59``) and many
+concurrent writers interleave safely (``RawSpec.hs:60-76``, 10 async
+writers × 25 ops). Spark-first, durability is a **write-ahead ledger of
+committed versions** on shared storage:
+
+- ``{root}/ledger/v{N:012d}.json`` — exactly one file per committed
+  version. Publishing is **compare-and-swap**: the entry is written to a
+  unique temp file and ``os.link``-ed to its final name — POSIX link(2)
+  fails with EEXIST if version N already exists, so exactly one committer
+  wins each version; losers re-check first-committer-wins conflicts
+  against the new entries and retry at N+1. (On HDFS/S3 the same CAS is
+  rename-without-overwrite / conditional PUT.)
+- Each entry carries EITHER a serialized **mutation-op log** (row-level
+  commits — tiny JSON, replayed on open) OR a **materialized snapshot
+  path** (bulk DataFrame ingests, whose op log would be the data itself,
+  plus every ``checkpoint_every``-th commit so replay chains stay
+  bounded — the classic log+checkpoint recovery design).
+- Open/refresh reconstructs state: read the latest materialized snapshot
+  at-or-below the head, replay the ops of later entries, rebuild indexes
+  from the persisted registry.
+
+Write-sets ride in each entry, so first-committer-wins holds ACROSS
+processes exactly as it does in-process: a transaction in engine B
+conflicts with a commit engine A published after B's start version.
+
+Scale notes: ledger entries are metadata (ids + op descriptors), never
+data; materialized snapshots go through ``GraphSnapshot.write``'s
+partitioned parquet layout; reconstruction reads one snapshot + replays
+a bounded op suffix. Id allocation stays per-engine — concurrent
+processes inserting fresh entities should partition the id space (pass
+explicit ids) or treat ``WriteConflict`` as the retry signal, the same
+contract the reference's STM retry loop exposes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+from dataclasses import replace
+from typing import Mapping, Sequence
+
+from pyspark.sql import SparkSession
+
+from hgraphstorage_spark import mutations
+from hgraphstorage_spark.snapshot import GraphSnapshot
+
+
+# -- op serialization --------------------------------------------------------
+# bytes are the one property type JSON can't carry; tag them. (A literal
+# JSON property {"__bytes__": ...} would be mis-decoded — documented.)
+
+
+def _enc(v):
+    if isinstance(v, (bytes, bytearray)):
+        return {"__bytes__": bytes(v).hex()}
+    if isinstance(v, (list, tuple)):
+        return [_enc(x) for x in v]
+    if isinstance(v, Mapping):
+        return {k: _enc(x) for k, x in v.items()}
+    return v
+
+
+def _dec(v):
+    if isinstance(v, dict):
+        if set(v) == {"__bytes__"}:
+            return bytes.fromhex(v["__bytes__"])
+        return {k: _dec(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_dec(x) for x in v]
+    return v
+
+
+def apply_op(snap: GraphSnapshot, op: list) -> GraphSnapshot:
+    """Replay one serialized mutation op (see the engine's write methods
+    for where each descriptor is recorded)."""
+    name, args = op[0], [_dec(a) for a in op[1:]]
+    if name == "add_nodes":
+        return mutations.add_nodes(snap, [tuple(r) for r in args[0]], list(args[1]))[0]
+    if name == "add_edges":
+        return mutations.add_edges(snap, [tuple(r) for r in args[0]], list(args[1]))[0]
+    if name == "update_node":
+        return mutations.update_node(snap, args[0], args[1], args[2])
+    if name == "delete_nodes":
+        return mutations.delete_nodes(snap, list(args[0]))
+    if name == "delete_edges":
+        return mutations.delete_edges(snap, list(args[0]))
+    if name == "set_properties":
+        return mutations.set_properties(snap, args[0], args[1], args[2])
+    if name == "add_index":
+        registry = snap.index_registry + ((args[0], tuple(args[1]), tuple(args[2])),)
+        return replace(snap, index_registry=registry)
+    raise ValueError(f"unknown ledger op {name!r}")
+
+
+# -- the file ledger ---------------------------------------------------------
+
+
+class VersionLedger:
+    """File-per-version commit ledger with atomic CAS publish. Pure
+    metadata — safe to drive from any process on a shared filesystem."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.ledger_dir = os.path.join(root, "ledger")
+        self.versions_dir = os.path.join(root, "versions")
+        os.makedirs(self.ledger_dir, exist_ok=True)
+        os.makedirs(self.versions_dir, exist_ok=True)
+
+    def _path(self, version: int) -> str:
+        return os.path.join(self.ledger_dir, f"v{version:012d}.json")
+
+    def head_version(self) -> int:
+        versions = [
+            int(name[1:13])
+            for name in os.listdir(self.ledger_dir)
+            if name.startswith("v") and name.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def read_entries(self, after: int = 0) -> list[dict]:
+        """All committed entries with version > ``after``, version order."""
+        out = []
+        for name in sorted(os.listdir(self.ledger_dir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:13])
+            if v > after:
+                with open(os.path.join(self.ledger_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def try_publish(self, version: int, payload: dict) -> bool:
+        """Atomically claim ``version``. The payload is fully written to a
+        private temp file first, then link(2)-ed into place — readers can
+        never observe a partial entry, and EEXIST means another committer
+        won this version (caller re-checks conflicts and retries)."""
+        payload = dict(payload, version=version)
+        fd, tmp = tempfile.mkstemp(dir=self.ledger_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._path(version))
+                return True
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
+
+    def new_snapshot_dir(self, version: int) -> tuple[str, str]:
+        """A collision-free materialization target: two committers racing
+        for version N must never write the same parquet dir, so the dir
+        name carries a uuid and the winning entry records which one is
+        live (losers leave unreferenced orphans, reclaimable by vacuum)."""
+        rel = os.path.join("versions", f"v{version:012d}-{uuid.uuid4().hex[:8]}")
+        return rel, os.path.join(self.root, rel)
+
+
+class DurableGraphEngine:
+    """A ``GraphEngine`` whose commits publish to a :class:`VersionLedger`
+    — reopening the same root (same or different process) sees every
+    committed version, and first-committer-wins holds across engines.
+
+    Import placement: defined via a factory below to avoid a circular
+    import with ``engine`` (which this module extends).
+    """
+
+    def __new__(cls, spark: SparkSession, root: str, checkpoint_every: int = 16):
+        return _durable_engine_cls()(spark, root, checkpoint_every)
+
+
+def _durable_engine_cls():
+    from hgraphstorage_spark.engine import GraphEngine
+
+    class _DurableGraphEngine(GraphEngine):
+        def __init__(self, spark: SparkSession, root: str, checkpoint_every: int = 16):
+            self.ledger = VersionLedger(root)
+            self.root = root
+            self.checkpoint_every = checkpoint_every
+            head = self.ledger.head_version()
+            snap = self._reconstruct(spark, head) if head > 0 else None
+            super().__init__(spark, snapshot=snap)
+            if snap is not None:
+                self._ledger[-1] = snap  # keep the reconstructed version id
+
+        # -- state reconstruction (open / refresh / time travel) ----------
+        def _reconstruct(self, spark: SparkSession, version: int) -> GraphSnapshot:
+            entries = [e for e in self.ledger.read_entries() if e["version"] <= version]
+            base_idx, snap = -1, GraphSnapshot.empty(spark)
+            for i in range(len(entries) - 1, -1, -1):
+                if entries[i].get("snapshot"):
+                    base_idx = i
+                    snap = GraphSnapshot.read(
+                        spark,
+                        os.path.join(self.root, entries[i]["snapshot"]),
+                        version=entries[i]["version"],
+                    )
+                    break
+            for e in entries[base_idx + 1 :]:
+                for op in e.get("ops") or []:
+                    snap = apply_op(snap, op)
+            registry = tuple(
+                (name, tuple(labels), tuple(props))
+                for name, labels, props in (entries[-1]["registry"] if entries else [])
+            )
+            snap = replace(snap, index_registry=registry)
+            snap = self._rebuild_indexes(snap) if registry else snap
+            return snap.with_version(version)
+
+        def _refresh(self) -> None:
+            head = self.ledger.head_version()
+            if head > self._ledger[-1].version:
+                self._ledger.append(self._reconstruct(self.spark, head))
+
+        def snapshot_at(self, version: int) -> GraphSnapshot:
+            for s in self._ledger:
+                if s.version == version:
+                    return s
+            if 0 < version <= self.ledger.head_version():
+                return self._reconstruct(self.spark, version)
+            if version == 0:
+                return GraphSnapshot.empty(self.spark)
+            raise KeyError(f"no committed snapshot version {version}")
+
+        @property
+        def versions(self) -> list[int]:
+            return [0] + [e["version"] for e in self.ledger.read_entries()]
+
+        # -- conflict trail + publish (the cross-process halves) ----------
+        def _entries_after(self, version: int):
+            return [
+                (e["version"], set(e["writes"]) if e["writes"] is not None else None)
+                for e in self.ledger.read_entries(after=version)
+            ]
+
+        def _try_publish(self, snapshot: GraphSnapshot, writes, ops, kind: str) -> bool:
+            v = snapshot.version
+            payload = {
+                "kind": kind,
+                "writes": sorted(writes) if writes is not None else None,
+                "ops": None,
+                "snapshot": None,
+                "registry": [
+                    [name, list(labels), list(props)]
+                    for name, labels, props in snapshot.index_registry
+                ],
+            }
+            materialize = ops is None or v % self.checkpoint_every == 0
+            if materialize:
+                rel, full = self.ledger.new_snapshot_dir(v)
+                snapshot.write(full)
+                payload["snapshot"] = rel
+            else:
+                payload["ops"] = [_enc(list(op)) for op in ops]
+            if not self.ledger.try_publish(v, payload):
+                return False
+            if materialize:
+                # swap in the parquet-backed plan: bounded lineage for this
+                # process, and identical to what any other process reads
+                reread = GraphSnapshot.read(self.spark, full, version=v)
+                reread = replace(reread, index_registry=snapshot.index_registry)
+                reread = self._rebuild_indexes(reread) if snapshot.index_registry else reread
+                snapshot = reread
+            self._ledger.append(snapshot)
+            return True
+
+    return _DurableGraphEngine
+
+
+def open_graph(spark: SparkSession, root: str, checkpoint_every: int = 16):
+    """Open (or create) a durable graph store at ``root`` — the reference's
+    ``open``/``close`` session surface (S1) with a persistent ledger."""
+    return DurableGraphEngine(spark, root, checkpoint_every)
