@@ -931,10 +931,16 @@ def q_similarity_topk(spark, sf_dir):
 
 
 def q_similarity_lsh(spark, sf_dir):
-    """ANN scale path: LSH-bucketed top-k (approximate — rows-only check)."""
+    """ANN scale path: LSH-bucketed top-k. md5 plane mode makes the
+    bucketing integer-exact on both engines, so the approximate result is
+    still a DETERMINISTIC function of the hash family — fully
+    oracle-checked (xxhash64 planes remain the fast-path default)."""
     from hgraphstorage_spark.pipeline import lsh_bucket_topk
 
-    return lsh_bucket_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, bits=4)
+    out = lsh_bucket_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=10, bits=4, plane_mode="md5"
+    )
+    return _canon(out, "score")
 
 
 def q_similarity_ivf(spark, sf_dir):
@@ -1119,10 +1125,12 @@ def q_pack_sequences(spark, sf_dir):
 
 
 def q_simhash_buckets(spark, sf_dir):
-    """SimHash fingerprints (rows-only: bucket distribution is checked)."""
+    """SimHash fingerprints in md5 hash mode — the 60-bit md5_long
+    shingle family replays in SQL, so every fingerprint bit is
+    oracle-checked (xxhash64 remains the fast-path default)."""
     from hgraphstorage_spark.pipeline import simhash
 
-    sh = simhash(_t(spark, sf_dir, "documents"))
+    sh = simhash(_t(spark, sf_dir, "documents"), hash_mode="md5")
     return sh.select("doc_id", "simhash")
 
 
@@ -3010,6 +3018,68 @@ def _embed_lsh_oracle_sql(
     """
 
 
+def _simhash_oracle_sql(n: int = 4) -> str:
+    """DuckDB replay of `simhash(hash_mode="md5")`: identical shingle CTEs
+    to the minhash oracle (same md5_long family), then per-bit majority —
+    bit i set iff strictly more than half the shingle hashes carry it.
+    Disjoint bit values sum to the same word Spark assembles by OR."""
+    wh_idx = ", ".join(f"whs[i+{j}]" for j in range(n))
+    return rf"""
+        WITH wds AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        wh AS (SELECT doc_id, list_transform(words, w -> md5(w)) AS whs FROM wds),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(whs) - {n - 1}, 1)),
+            i -> ('0x' || substr(md5(concat_ws(':', {wh_idx})), 1, 15))::BIGINT
+          )) AS shs FROM wh
+        ),
+        bits AS (
+          SELECT doc_id, i,
+                 CASE WHEN 2 * len(list_filter(shs, h -> (h >> i) & 1 = 1)) > len(shs)
+                      THEN (1::BIGINT << i) ELSE 0::BIGINT END AS bit
+          FROM sh, unnest(generate_series(0, 63)) t(i)
+        )
+        SELECT doc_id, sum(bit)::BIGINT AS simhash FROM bits GROUP BY doc_id
+    """
+
+
+def _similarity_lsh_oracle_sql(query_id: int = 0, k: int = 10, bits: int = 4, dims: int = 64) -> str:
+    """DuckDB replay of `lsh_bucket_topk(plane_mode="md5")`: the plane
+    literals come from the SAME `md5_plane_int` helper the Spark plan
+    embeds (hash_split no-drift pattern); fixed-point bucket dot products
+    are integer-exact, and the cosine re-score matches the
+    similarity_topk oracle's ascending-dim double arithmetic."""
+    from hgraphstorage_spark.pipeline.similarity import PLANE_SCALE, md5_plane_int
+
+    bit_cases = " + ".join(
+        "CASE WHEN list_dot_product(qv, ["
+        + ", ".join(str(md5_plane_int(p, d)) for d in range(dims))
+        + f"]::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(bits)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id, v,
+                     list_transform(v, x -> floor(x * {PLANE_SCALE})::DOUBLE) AS qv
+              FROM e),
+        bk AS (SELECT vec_id, ({bit_cases})::BIGINT AS bucket FROM q),
+        qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = {query_id}),
+        qq AS (SELECT v AS query_v FROM e WHERE vec_id = {query_id})
+        SELECT vec_id, score::VARCHAR AS score, bucket FROM (
+          SELECT e.vec_id,
+                 CAST(round(list_dot_product(e.v, query_v)
+                      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(query_v, query_v))), 6)
+                   AS DECIMAL(18,6)) AS score,
+                 bk.bucket
+          FROM bk JOIN e ON bk.vec_id = e.vec_id, qb, qq
+          WHERE bk.bucket = qb.qbucket AND e.vec_id <> {query_id}
+          ORDER BY score DESC, e.vec_id LIMIT {k})
+    """
+
+
 def _random_walks_oracle_sql(steps: int) -> str:
     """Unrolled-SQL oracle for deterministic random walks: per step, the
     min-(md5, dst) successor via row_number. Tie-break parity: Spark's
@@ -3116,6 +3186,8 @@ def oracle_sql() -> dict[str, str]:
     # LSH md5-mode replays — parameters must match the q_ entries
     sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
+    sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
+    sql["similarity_lsh"] = _similarity_lsh_oracle_sql(query_id=0, k=10, bits=4, dims=64)
     # generated from the same threshold helper the Spark operator uses, so
     # the two sides cannot drift
     from hgraphstorage_spark.pipeline.sampling import hash_split_case_sql

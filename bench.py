@@ -29,6 +29,7 @@ HEADLINE = [
     "tpch_q5_like",          # 4-way join + agg
     "dedup_exact",           # hash-agg dedup over documents
     "quality_filter_narrow", # zero-shuffle Gopher quality gate (scan speed)
+    "repetition_exact",      # paper-exact covered fractions (narrow HOF interval union)
     "chunk_dedup",           # C4-style chunk-level dedup + reassembly
     "semantic_dedup",        # SemDeDup: k-means clusters + in-cluster GEMM
     "minhash_lsh_pairs",     # shingle -> minhash -> band join -> verify

@@ -369,14 +369,24 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 4) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
     """64-bit SimHash over word n-grams: per bit, sum +1/-1 weighted by
     shingle-hash bit; sign of the sum gives the fingerprint bit. A single
     narrow projection — per bit i the +1 majority is `2·|{h: bit_i(h)=1}| >
     |shingles|`, computed with array `filter`/`size`, so there is no
     explode and no shuffle at all. Returns (doc_id, simhash BIGINT).
-    Near-dup detection = small Hamming distance (see tests)."""
-    sh = shingle_hashes(docs, text_col, id_col, n)
+    Near-dup detection = small Hamming distance (see tests).
+
+    ``hash_mode="md5"`` feeds 60-bit ``md5_long`` shingle hashes (bits
+    60-63 then stay 0) so a DuckDB oracle replays the fingerprint
+    bit-for-bit; xxhash64 stays the fast path."""
+    sh = shingle_hashes(docs, text_col, id_col, n, hash_mode)
     # single fold over the 64 bit positions (runtime sequence, not 64
     # unrolled when-branches — keeps optimizer+codegen wall flat in the
     # word width); `call_function` because the Python shiftright/shiftleft

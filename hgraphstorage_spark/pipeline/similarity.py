@@ -484,17 +484,34 @@ def lsh_bucket_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_mode: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH bucket.
 
     Recall < 1 by design (bucket may miss true neighbors); at scale,
     bucket the table once (write partitioned by `bucket`) and reuse.
-    Returns (vec_id, score DECIMAL(18,6), bucket)."""
-    with_sig = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_vec"),
-        signature_bits(F.col(vec_col), dims, bits).alias("bucket"),
-    )
+    Returns (vec_id, score DECIMAL(18,6), bucket).
+
+    ``plane_mode="md5"`` buckets with the integer-exact fixed-point
+    hyperplanes (`quantized_bucket`) so a DuckDB oracle replays the
+    bucketing bit-for-bit; xxhash64 planes stay the fast path."""
+    if plane_mode == "md5":
+        with_sig = (
+            embeddings.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("_vec"),
+                # own projection: no CSE inside HOF lambdas (see
+                # quantized_bucket docstring)
+                quantize_fixed_point(F.col(vec_col)).alias("_qv"),
+            )
+            .select("vec_id", "_vec", quantized_bucket("_qv", dims, bits).alias("bucket"))
+        )
+    else:
+        with_sig = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_vec"),
+            signature_bits(F.col(vec_col), dims, bits).alias("bucket"),
+        )
     q = with_sig.filter(F.col("vec_id") == query_id).select(
         F.col("_vec").alias("_qvec"), F.col("bucket").alias("_qbucket")
     )
