@@ -234,6 +234,33 @@ def _durable_engine_cls():
         def versions(self) -> list[int]:
             return [0] + [e["version"] for e in self.ledger.read_entries()]
 
+        def vacuum(self) -> list[str]:
+            """Delete orphaned snapshot materializations — dirs written by
+            committers that lost their CAS race. Safe rule: an orphan
+            ``v{N}-uuid`` with N <= head can never become referenced
+            (version N is already claimed by a different entry); an
+            in-flight committer for head+1 is untouched. Returns the
+            removed relative paths."""
+            import shutil
+
+            head = self.ledger.head_version()
+            live = {
+                e["snapshot"] for e in self.ledger.read_entries() if e.get("snapshot")
+            }
+            removed = []
+            for name in os.listdir(self.ledger.versions_dir):
+                rel = os.path.join("versions", name)
+                if rel in live or not name.startswith("v"):
+                    continue
+                try:
+                    v = int(name[1:13])
+                except ValueError:
+                    continue
+                if v <= head:
+                    shutil.rmtree(os.path.join(self.ledger.versions_dir, name), ignore_errors=True)
+                    removed.append(rel)
+            return removed
+
         # -- conflict trail + publish (the cross-process halves) ----------
         def _entries_after(self, version: int):
             return [

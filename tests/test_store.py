@@ -192,6 +192,57 @@ class TestDurableEngine:
         ks = sorted(int(r["int_v"]) for r in b.current.props.filter("name = 'k'").collect())
         assert ks == list(range(7))
 
+    def test_vacuum_removes_only_orphans(self, spark, root):
+        """Lost-race materializations are reclaimable; referenced
+        snapshots and potential in-flight (head+1) dirs survive."""
+        a = DurableGraphEngine(spark, root, checkpoint_every=1)  # every commit materializes
+        a.add_node("P", {"k": 1})
+        a.commit()
+        head = a.ledger.head_version()
+        # fake a lost race at the current head and an in-flight dir ahead
+        _, lost = a.ledger.new_snapshot_dir(head)
+        os.makedirs(lost)
+        _, inflight = a.ledger.new_snapshot_dir(head + 1)
+        os.makedirs(inflight)
+        removed = a.vacuum()
+        assert [os.path.basename(p) for p in removed] == [os.path.basename(lost)]
+        assert os.path.isdir(inflight)  # not yet losable — untouched
+        b = DurableGraphEngine(spark, root)  # referenced snapshot still reads
+        assert b.committed.nb_nodes() == 1
+
+    def test_streaming_ingest_into_durable_store(self, spark, root, tmp_path):
+        """S6 + durability composed: the mutation-stream sink publishes one
+        DURABLE version per micro-batch — a reopened engine sees the full
+        ingested graph without replaying the stream."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from hgraphstorage_spark.streaming import mutation_stream_to_snapshots
+
+        rows = [
+            {"op": "add_node", "id": i, "src": None, "dst": None, "label": "N"}
+            for i in range(1, 5)
+        ] + [
+            {"op": "add_edge", "id": 1, "src": 1, "dst": 2, "label": "e"},
+            {"op": "add_edge", "id": 2, "src": 2, "dst": 3, "label": "e"},
+        ]
+        df = spark.createDataFrame(rows, "op string, id long, src long, dst long, label string")
+        df.repartition(2).write.mode("overwrite").parquet(f"{tmp_path}/muts")
+        stream = (
+            spark.readStream.schema("op string, id long, src long, dst long, label string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp_path}/muts")
+        )
+        eng = DurableGraphEngine(spark, root)
+        q = mutation_stream_to_snapshots(eng, stream, f"{tmp_path}/ckpt")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        reopened = DurableGraphEngine(spark, root)
+        assert reopened.committed.nb_nodes() == 4
+        assert reopened.committed.nb_edges() == 2
+        assert reopened.committed.version >= 2  # one version per micro-batch
+
     def test_cross_process_engine_commit(self, spark, root):
         """A REAL second process (own JVM, own SparkSession) opens the
         store, commits a version, and this process refreshes to see it —
