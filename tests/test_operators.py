@@ -246,3 +246,18 @@ class TestNewOpPlans:
         plan = executed_plan(probe_metadata(synthetic_media(spark, 12)))
         assert "MapInPandas" in plan
         assert "Exchange" not in plan  # pure narrow map over batches
+
+    def test_repetition_exact_is_shuffle_free(self, spark):
+        """The paper-exact covered fractions stay a pure narrow projection
+        (HOF interval union) — scan-speed on a 100 TB corpus, no Exchange,
+        no Python."""
+        from hgraphstorage_spark.pipeline.text import repetition_stats_exact
+        from hgraphstorage_spark.plans import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(repetition_stats_exact(docs))
+        assert "Exchange" not in plan
+        assert "Pandas" not in plan and "PythonUDF" not in plan
+        # one Project straight over the parquet scan, reading only the two
+        # columns the op needs
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
