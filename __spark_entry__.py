@@ -1346,6 +1346,26 @@ def q_sessionize(spark, sf_dir):
     return _canon_ts(_canon(out, "total_value"), "session_start")
 
 
+def q_fuzzy_pairs(spark, sf_dir):
+    """Blocked-Levenshtein fuzzy duplicate pairs (entity-resolution
+    blocking: shared 12-char normalized prefix + adjacent length-band
+    probes). levenshtein is defined identically on both engines, so the
+    oracle replays the operator verbatim — no hash mode needed."""
+    from hgraphstorage_spark.pipeline.dedup import fuzzy_dup_pairs
+
+    return fuzzy_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_exact_substring(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2021): corpus-wide removal of every
+    token span >= n that occurs more than once, in the engine-portable
+    md5 hash mode so DuckDB replays the identical gram hashes. All
+    outputs exact (longs + reassembled token stream)."""
+    from hgraphstorage_spark.pipeline.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=8, hash_mode="md5")
+
+
 def q_repetition_exact(spark, sf_dir):
     """Gopher repetition with the paper's EXACT covered-token fractions
     (overlapping spans deduped by interval union) — paper thresholds like
@@ -1816,6 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_report": q_pipeline_report,
         "token_budget_mix": q_token_budget_mix,
         "quality_filter_narrow": q_quality_filter_narrow,
+        "exact_substring": q_exact_substring,
+        "fuzzy_pairs": q_fuzzy_pairs,
     }
 
 
@@ -3018,6 +3040,51 @@ def _embed_lsh_oracle_sql(
     """
 
 
+def _exact_substring_oracle_sql(n: int = 8) -> str:
+    """DuckDB replay of ``exact_substring_dedup(hash_mode="md5")``: same
+    tokenization, same md5_long gram hash, duplicated-hash set by
+    HAVING count >= 2, covered length via the gaps-and-islands running
+    max (relational rendering of the Spark-side interval-union fold),
+    kept text as the NOT EXISTS anti-join of token positions against
+    duplicated spans."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
+                             t -> length(t) > 0) AS tk
+          FROM documents
+        ), sized AS (SELECT doc_id, tk, len(tk) AS nt FROM toks),
+        grams AS (
+          SELECT doc_id, i::INT AS pos,
+                 ('0x' || substr(md5(array_to_string(tk[i : i+{n}-1], ' ')), 1, 15))::BIGINT AS h
+          FROM sized, UNNEST(range(1, nt - {n} + 2)) AS t(i)
+        ), dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+        starts AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)),
+        spans AS (
+          SELECT doc_id, pos AS s, pos + {n} - 1 AS e,
+                 max(pos + {n} - 1) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+          FROM starts
+        ), cov AS (
+          SELECT doc_id, sum(greatest(0, e - greatest(coalesce(pe, 0), s - 1))) AS dup_tokens
+          FROM spans GROUP BY doc_id
+        ), tokens AS (
+          SELECT doc_id, i::INT AS i, tk[i] AS tok
+          FROM sized, UNNEST(range(1, nt + 1)) AS t(i)
+        ), kept AS (
+          SELECT t.doc_id, t.i, t.tok FROM tokens t
+          WHERE NOT EXISTS (SELECT 1 FROM starts s
+                            WHERE s.doc_id = t.doc_id AND s.pos BETWEEN t.i - {n} + 1 AND t.i)
+        )
+        SELECT d.doc_id, d.nt::BIGINT AS n_tokens,
+               coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+               coalesce(k.kept_text, '') AS kept_text
+        FROM sized d LEFT JOIN cov c USING (doc_id)
+        LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS kept_text
+                   FROM kept GROUP BY doc_id) k USING (doc_id)
+    """
+
+
 def _simhash_oracle_sql(n: int = 4) -> str:
     """DuckDB replay of `simhash(hash_mode="md5")`: identical shingle CTEs
     to the minhash oracle (same md5_long family), then per-bit majority —
@@ -3187,6 +3254,19 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
+    sql["exact_substring"] = _exact_substring_oracle_sql(n=8)
+    # fuzzy_pairs: verbatim replay — same blocking, same levenshtein
+    sql["fuzzy_pairs"] = """
+        WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        b AS (SELECT doc_id, t, substr(t, 1, 12) AS pfx, (length(t) // 16) AS lb FROM n),
+        pr AS (SELECT doc_id, t, pfx, lb AS pb FROM b
+               UNION ALL SELECT doc_id, t, pfx, lb + 1 FROM b),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.t AS ta, c.t AS tb
+                 FROM pr a JOIN pr c
+                 ON a.pfx = c.pfx AND a.pb = c.pb AND a.doc_id < c.doc_id)
+        SELECT doc_a, doc_b, levenshtein(ta, tb)::BIGINT AS dist FROM cand
+        WHERE levenshtein(ta, tb) <= 12
+    """
     sql["similarity_lsh"] = _similarity_lsh_oracle_sql(query_id=0, k=10, bits=4, dims=64)
     # generated from the same threshold helper the Spark operator uses, so
     # the two sides cannot drift

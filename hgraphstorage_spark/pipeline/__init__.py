@@ -9,6 +9,8 @@ from hgraphstorage_spark.pipeline.contamination import decontaminate
 from hgraphstorage_spark.pipeline.dedup import (
     exact_dedup,
     exact_dup_groups,
+    exact_substring_dedup,
+    fuzzy_dup_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -36,6 +38,8 @@ __all__ = [
     "hash_split",
     "exact_dedup",
     "exact_dup_groups",
+    "exact_substring_dedup",
+    "fuzzy_dup_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

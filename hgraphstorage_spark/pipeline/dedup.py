@@ -454,3 +454,191 @@ def dedup_clusters(
             .localCheckpoint()
         )
     return state.withColumn("keep", F.col("doc_id") == F.col("cluster"))
+
+
+def fuzzy_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 12,
+    prefix_len: int = 12,
+    len_band: int = 16,
+) -> DataFrame:
+    """Record-linkage-style fuzzy duplicate pairs: blocked Levenshtein
+    over the normalized (lowercased, trimmed) text.
+
+    Blocking contract (the deterministic recall boundary, stated rather
+    than hidden): two documents are compared iff they share the first
+    ``prefix_len`` normalized characters AND their lengths differ by at
+    most ``len_band`` — each row is probed into its ``len//len_band``
+    bucket and the next one, so same-prefix pairs within one band width
+    always meet in some bucket; same-prefix pairs further apart in
+    length than ``len_band`` are (documented) misses, as are pairs that
+    diverge inside the prefix. This is standard prefix + sorted-length
+    blocking from the entity-resolution literature.
+
+    Scale shape: the block key (prefix, bucket) is a plain equi-join key
+    — one shuffle, no cartesian; per-block work is quadratic only within
+    a block, and blocks are bounded by real prefix collisions (skewed
+    corpora should raise ``prefix_len``). Candidates are DISTINCT'd
+    before the O(len^2) ``levenshtein`` verify so each pair is scored
+    once even when it meets in both probe buckets. Both engines define
+    levenshtein identically (unit-cost insert/delete/substitute), so the
+    operator is oracle-checkable as-is — no hash-mode split needed.
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b and dist <= max_dist.
+    """
+    norm = F.lower(F.trim(F.col(text_col)))
+    base = (
+        _parallel(docs)
+        .select(F.col(id_col).alias("doc_id"), norm.alias("t"))
+        .withColumn("pfx", F.substring("t", 1, prefix_len))
+        .withColumn("lb", F.floor(F.length("t") / len_band))
+    )
+    probes = base.withColumn("pb", F.explode(F.array(F.col("lb"), F.col("lb") + 1)))
+    a, b = probes.alias("a"), probes.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.pb") == F.col("b.pb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", §4.1): remove every token span of
+    length >= n that occurs more than once ANYWHERE in the corpus
+    (cross-document or within-document), keeping the non-duplicated
+    remainder of each document.
+
+    The paper builds a corpus-wide suffix array on one big machine; the
+    Spark-first equivalent works on the n-token gram stream (a span of
+    length >= n duplicates iff every length-n window inside it
+    duplicates, so flagging duplicated n-gram starts and taking the
+    interval union of their [s, s+n-1] spans marks exactly the maximal
+    duplicated regions the suffix-array walk would):
+
+    1. narrow: tokens -> position-indexed n-gram hashes (64-bit, hashed
+       BEFORE the shuffle so shuffled rows are (id, pos, long), never
+       strings);
+    2. one hash-aggregate shuffle on gram hash -> occurrence counts
+       (map-side partial combine applies; keys are uniform by
+       construction, no skew);
+    3. join the duplicated-hash set back (AQE picks broadcast when the
+       dup set is small, as it is on mostly-unique corpora) and
+       collect per-document start positions — output is linear in
+       duplicated occurrences, never O(n^2);
+    4. per-document interval union + gap slicing as one narrow
+       ``F.aggregate`` pass (same machinery as
+       ``text.repetition_stats_exact``): zero Python, linear in tokens.
+
+    Matching (and the kept text) is over the lowercased
+    whitespace-tokenized stream — reassembly joins kept tokens with
+    single spaces, the token-level analogue of the paper's byte-level
+    cut. With ``hash_mode="md5"`` the gram hash is the engine-portable
+    ``md5_long``, making the whole operator DuckDB-oracle-checkable;
+    xxhash64 stays the fast path.
+
+    Returns (doc_id, n_tokens, dup_tokens, kept_text): dup_tokens is the
+    exact union length of duplicated spans, kept_text the surviving
+    token stream ('' when the whole document is duplicated)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
+    )
+    base = (
+        _parallel(docs)
+        .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+        .withColumn("n_tokens", F.size("_toks"))
+    )
+
+    if hash_mode == "md5":
+        ghash = lambda g: md5_long(g)  # noqa: E731
+    else:
+        ghash = F.xxhash64
+    gram_hashes = F.when(
+        F.col("n_tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+            lambda i: ghash(F.concat_ws(" ", F.slice("_toks", i, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+    grams = base.select(
+        "doc_id", F.posexplode(gram_hashes).alias("_p0", "h")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "h")
+    dup_hashes = grams.groupBy("h").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") >= 2
+    ).select("h")
+    starts = (
+        grams.join(dup_hashes, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+
+    df = base.join(starts, "doc_id", "left").withColumn(
+        "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+    )
+
+    # One fold over the sorted starts: running covered-interval union
+    # (cov = union length) plus the complement gaps as (pos, len) slices.
+    gap = lambda b, e: F.struct(b.alias("pos"), (e - b + 1).alias("len"))  # noqa: E731
+    init = F.struct(
+        F.lit(0).alias("end"),
+        F.lit(0).alias("cov"),
+        F.array().cast("array<struct<pos:int,len:int>>").alias("gaps"),
+    )
+
+    def merge(acc, s):
+        e2 = s + F.lit(n - 1)
+        return F.struct(
+            F.greatest(acc["end"], e2).alias("end"),
+            (acc["cov"] + F.greatest(F.lit(0), e2 - F.greatest(acc["end"], s - 1))).alias("cov"),
+            F.when(
+                s > acc["end"] + 1,
+                F.concat(acc["gaps"], F.array(gap(acc["end"] + 1, s - 1))),
+            ).otherwise(acc["gaps"]).alias("gaps"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["cov"].alias("cov"),
+            F.when(
+                acc["end"] < F.col("n_tokens"),
+                F.concat(acc["gaps"], F.array(gap(acc["end"] + 1, F.col("n_tokens")))),
+            ).otherwise(acc["gaps"]).alias("gaps"),
+        )
+
+    df = df.withColumn("_u", F.aggregate("_starts", init, merge, finish))
+    kept = F.concat_ws(
+        " ",
+        F.flatten(
+            F.transform(F.col("_u")["gaps"], lambda g: F.slice("_toks", g["pos"], g["len"]))
+        ),
+    )
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("_u")["cov"].cast("long").alias("dup_tokens"),
+        kept.alias("kept_text"),
+    )

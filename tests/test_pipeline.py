@@ -21,7 +21,7 @@ from hgraphstorage_spark.pipeline import (
 )
 from hgraphstorage_spark.pipeline.dedup import hamming64
 
-from tests.conftest import bag
+from tests.conftest import SF_DIR, bag
 
 
 @pytest.fixture(scope="module")
@@ -809,6 +809,80 @@ class TestChunkDedup:
         row = chunk_dedup(docs, chunk_words=2).collect()[0]
         assert row["n_chunks"] == 2 and row["n_kept"] == 1
         assert row["text_dedup"] == "x y"
+
+
+class TestExactSubstring:
+    """ExactSubstr dedup (Lee et al. 2021): corpus-wide duplicated token
+    spans >= n removed, remainder reassembled."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (0, "a b c d e f g h"),          # shares "a b c d e" with doc 1
+            (1, "z1 a b c d e z2 z3"),
+            (2, "p q r s p q r s"),          # internal repeat: fully covered
+            (3, "u v w"),                     # shorter than n: untouched
+            (4, ""),                          # empty
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("mode", ["xxhash64", "md5"])
+    def test_spans_removed(self, corpus, mode):
+        from hgraphstorage_spark.pipeline.dedup import exact_substring_dedup
+
+        got = {
+            r["doc_id"]: r
+            for r in exact_substring_dedup(corpus, n=4, hash_mode=mode).collect()
+        }
+        assert len(got) == 5
+        # cross-doc: dup 4-gram starts {1,2} in doc 0 cover tokens 1..5
+        assert (got[0]["dup_tokens"], got[0]["kept_text"]) == (5, "f g h")
+        # doc 1: starts {2,3} cover 2..6, unique prefix/suffix survive
+        assert (got[1]["dup_tokens"], got[1]["kept_text"]) == (5, "z1 z2 z3")
+        # within-doc repeat: "p q r s" at 1 and 5 -> whole doc covered
+        assert (got[2]["dup_tokens"], got[2]["kept_text"]) == (8, "")
+        # below n tokens: no grams, nothing removed
+        assert (got[3]["dup_tokens"], got[3]["kept_text"]) == (0, "u v w")
+        assert (got[4]["n_tokens"], got[4]["dup_tokens"], got[4]["kept_text"]) == (0, 0, "")
+
+    def test_modes_agree_on_real_docs(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import exact_substring_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        fast = exact_substring_dedup(docs, n=8).orderBy("doc_id").collect()
+        port = exact_substring_dedup(docs, n=8, hash_mode="md5").orderBy("doc_id").collect()
+        assert fast == port
+
+
+class TestFuzzyPairs:
+    def test_blocking_and_distance(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import fuzzy_dup_pairs
+
+        rows = [
+            (0, "customer record alpha one"),
+            (1, "customer record alpha two"),    # same prefix, dist 3 ("one"->"two")
+            (2, "Customer Record ALPHA one"),    # case-normalized: exact dup of 0
+            (3, "customer record alpha " + "x " * 40),  # same prefix, length >> band: blocked out
+            (4, "different prefix entirely yes"),        # prefix miss
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["dist"]
+            for r in fuzzy_dup_pairs(docs, max_dist=5, prefix_len=12, len_band=16).collect()
+        }
+        assert got[(0, 2)] == 0
+        assert got[(0, 1)] == 3 and got[(1, 2)] == 3
+        assert not any(3 in p or 4 in p for p in got)
+
+    def test_pairs_scored_once_across_probe_buckets(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import fuzzy_dup_pairs
+
+        # identical rows meet in BOTH probe buckets; distinct keeps one pair
+        docs = spark.createDataFrame(
+            [(0, "same text here"), (1, "same text here")], "doc_id long, text string"
+        )
+        got = fuzzy_dup_pairs(docs, max_dist=1).collect()
+        assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in got] == [(0, 1, 0)]
 
 
 class TestDedupClusters:
