@@ -1546,6 +1546,18 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=5)
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Fixed-memory Bloom-filter decontamination (same eval slice as
+    q_decontaminate): md5-derived bit positions, so DuckDB replays the
+    filter bit-for-bit — false positives and all."""
+    from hgraphstorage_spark.pipeline.contamination import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return bloom_decontaminate(corpus, bench, n=5, m_bits=1 << 20, k_hashes=4)
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic md5-bucket train/val/test split (80/10/10) — stable
     across runs, partitionings, and engines."""
@@ -1838,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_narrow": q_quality_filter_narrow,
         "exact_substring": q_exact_substring,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "bloom_decontaminate": q_bloom_decontaminate,
     }
 
 
@@ -3255,6 +3268,41 @@ def oracle_sql() -> dict[str, str]:
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
     sql["exact_substring"] = _exact_substring_oracle_sql(n=8)
+    # bloom_decontaminate: bit-for-bit replay of the md5-position Bloom
+    # filter (m=2^20, k=4) over the same eval slice as `decontaminate`
+    sql["bloom_decontaminate"] = r"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(words, i, i + 4), ' ') AS shingle
+          FROM w, unnest(generate_series(1, greatest(len(words) - 4, 1))) AS t(i)
+        ),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+        corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        bits AS (
+          SELECT DISTINCT ('0x' || substr(md5(shingle || ':' || i), 1, 15))::BIGINT % 1048576 AS bit
+          FROM bench, unnest(generate_series(0, 3)) AS t(i)
+        ),
+        probes AS (
+          SELECT doc_id, shingle,
+                 ('0x' || substr(md5(shingle || ':' || i), 1, 15))::BIGINT % 1048576 AS bit
+          FROM corpus, unnest(generate_series(0, 3)) AS t(i)
+        ),
+        full_hits AS (
+          SELECT p.doc_id, p.shingle
+          FROM probes p JOIN bits USING (bit)
+          GROUP BY 1, 2 HAVING count(*) = 4
+        ),
+        hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM full_hits GROUP BY 1),
+        sizes AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM corpus GROUP BY 1)
+        SELECT s.doc_id, s.n_shingles,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               coalesce(h.n_hits, 0) >= 1 AS contaminated
+        FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
     # fuzzy_pairs: verbatim replay — same blocking, same levenshtein
     sql["fuzzy_pairs"] = """
         WITH n AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),

@@ -5,7 +5,7 @@ search, text analysis, multimodal columns — DataFrame→DataFrame operators
 designed partition-parallel for 100 TB inputs.
 """
 
-from hgraphstorage_spark.pipeline.contamination import decontaminate
+from hgraphstorage_spark.pipeline.contamination import bloom_decontaminate, decontaminate
 from hgraphstorage_spark.pipeline.dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -34,6 +34,7 @@ from hgraphstorage_spark.pipeline.text import (
 )
 
 __all__ = [
+    "bloom_decontaminate",
     "decontaminate",
     "hash_split",
     "exact_dedup",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from hgraphstorage_spark.pipeline.text import WS_RE
 
-from hgraphstorage_spark.pipeline.dedup import _parallel
+from hgraphstorage_spark.pipeline.dedup import _parallel, md5_long
 
 
 def _shingle_long(docs: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
@@ -82,4 +82,69 @@ def decontaminate(
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) >= min_hits).alias("contaminated"),
         )
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-filter decontamination: the fixed-memory scale path for the
+    same hygiene step as ``decontaminate``.
+
+    ``decontaminate`` broadcasts the benchmark's distinct shingle STRINGS
+    — fine for MB-scale eval sets, but the broadcast grows with eval
+    text. Here the benchmark is folded into an ``m_bits`` Bloom filter
+    (the classic fixed-size membership sketch): each eval shingle sets
+    ``k_hashes`` bit positions ``md5_long(shingle, i) % m_bits``, and a
+    corpus shingle counts as a hit iff ALL k of its positions are set.
+    The broadcast side is now the distinct set-bit table — at most
+    ``k * |eval shingles|`` integers regardless of shingle length, and
+    never more than ``m_bits`` — so the filter's memory is CAPPED by
+    construction, the property that matters when the eval suite grows
+    from MBs to GBs against a 100 TB corpus.
+
+    One-sided error, stated: every true overlap is flagged (no false
+    negatives — a real shingle match sets identical positions); a
+    non-overlapping shingle false-positives with rate ~(1-e^{-kN/m})^k.
+    The md5-derived positions make the whole operator deterministic and
+    DuckDB-replayable (same oracle-portable hash as the LSH md5 modes).
+
+    Returns (doc_id, n_shingles, n_hits, contaminated): n_hits counts
+    the document's distinct shingles whose k positions are all set.
+    """
+    probe_idx = F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1))).alias("i")
+    bits = (
+        _shingle_long(benchmark, n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+        .select("shingle", probe_idx)
+        .select(F.pmod(md5_long(F.col("shingle"), F.col("i")), F.lit(m_bits)).alias("bit"))
+        .distinct()
+    )
+    corpus_sh = _shingle_long(corpus, n, text_col, id_col)
+    probes = corpus_sh.select("doc_id", "shingle", probe_idx).select(
+        "doc_id",
+        "shingle",
+        F.pmod(md5_long(F.col("shingle"), F.col("i")), F.lit(m_bits)).alias("bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("_set"))
+        .filter(F.col("_set") == k_hashes)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) >= 1).alias("contaminated"),
     )

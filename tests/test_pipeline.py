@@ -475,6 +475,56 @@ class TestDecontaminate:
         assert decontaminate(corpus, bench).count() == corpus.count()
 
 
+class TestBloomDecontaminate:
+    """Fixed-memory Bloom-filter variant of decontaminate."""
+
+    def test_no_false_negatives_and_large_m_equals_exact(self, spark, docs):
+        from hgraphstorage_spark.pipeline.contamination import (
+            bloom_decontaminate,
+            decontaminate,
+        )
+
+        bench = docs.filter(F.col("doc_id") == 0)
+        corpus = docs.filter(F.col("doc_id") != 0)
+        exact = {r["doc_id"]: r.asDict() for r in decontaminate(corpus, bench, n=3).collect()}
+        bloom = {
+            r["doc_id"]: r.asDict()
+            for r in bloom_decontaminate(corpus, bench, n=3, m_bits=1 << 20, k_hashes=4).collect()
+        }
+        assert set(bloom) == set(exact)
+        for d, row in exact.items():
+            # Bloom never misses a true overlap...
+            if row["contaminated"]:
+                assert bloom[d]["contaminated"], d
+        # ...and at m=2^20 over a handful of shingles there are no false
+        # positives either: flags and counts coincide with the exact op
+        assert {d: r["contaminated"] for d, r in bloom.items()} == {
+            d: r["contaminated"] for d, r in exact.items()
+        }
+        assert {d: r["n_hits"] for d, r in bloom.items()} == {
+            d: r["n_overlap"] for d, r in exact.items()
+        }
+
+    def test_tiny_filter_false_positives_are_superset(self, spark, docs):
+        from hgraphstorage_spark.pipeline.contamination import (
+            bloom_decontaminate,
+            decontaminate,
+        )
+
+        bench = docs.filter(F.col("doc_id") == 0)
+        corpus = docs.filter(F.col("doc_id") != 0)
+        exact = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(corpus, bench, n=3).collect()
+        }
+        # m=16 bits saturates: hit counts can only grow, never shrink
+        tiny = {
+            r["doc_id"]: r["contaminated"]
+            for r in bloom_decontaminate(corpus, bench, n=3, m_bits=16, k_hashes=2).collect()
+        }
+        assert all(tiny[d] for d, c in exact.items() if c)
+
+
 class TestHashSplit:
     """Deterministic hash-based splitting (pipeline/sampling.py)."""
 
