@@ -958,6 +958,24 @@ def q_label_centroids(spark, sf_dir):
     return _canon(label_centroids(_t(spark, sf_dir, "embeddings")), "m")
 
 
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension corpus stats of the embedding column (quantizer /
+    scaler training step). mean/std round-canonicalized; min/max exact."""
+    from hgraphstorage_spark.pipeline.similarity import embedding_stats
+
+    return _canon(embedding_stats(_t(spark, sf_dir, "embeddings")), "mean", "std")
+
+
+def q_sq_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) approximate top-k cosine search: per-dim
+    min/max ranges -> 8-bit codes -> search on reconstructed vectors.
+    Reconstruction is pure per-element IEEE arithmetic, bit-identical in
+    DuckDB, so the oracle replays the quantizer exactly."""
+    from hgraphstorage_spark.pipeline.similarity import sq_topk
+
+    return _canon(sq_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10), "score")
+
+
 def q_kmeans(spark, sf_dir):
     """Two Lloyd k-means rounds (8 lists, cosine) — broadcast-centroid
     assignment + (list, dim)-keyed centroid update; oracle unrolls the
@@ -1851,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": q_exact_substring,
         "fuzzy_pairs": q_fuzzy_pairs,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "embedding_stats": q_embedding_stats,
+        "sq_topk": q_sq_topk,
     }
 
 
@@ -3302,6 +3322,45 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    # embedding_stats / sq_topk: per-dimension moments and the SQ8
+    # quantizer replayed with identical per-element IEEE arithmetic
+    sql["embedding_stats"] = """
+        WITH p AS (
+          SELECT (t.i - 1)::INT AS pos, embedding[t.i]::DOUBLE AS v
+          FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        )
+        SELECT pos, count(*)::BIGINT AS n,
+               CAST(round(avg(v), 6) AS DECIMAL(18,6))::VARCHAR AS mean,
+               CAST(round(stddev_pop(v), 6) AS DECIMAL(18,6))::VARCHAR AS std,
+               min(v) AS vmin, max(v) AS vmax
+        FROM p GROUP BY pos
+    """
+    sql["sq_topk"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        r AS (
+          SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM (
+            SELECT t.i AS pos, min(embedding[t.i]::DOUBLE) AS mn, max(embedding[t.i]::DOUBLE) AS mx
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY t.i)
+        ),
+        rec AS (
+          SELECT vec_id,
+                 list_transform(range(1, len(v) + 1),
+                   i -> CASE WHEN mxs[i] > mns[i]
+                             THEN mns[i] + round((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0)
+                                  * (mxs[i] - mns[i]) / 255.0
+                             ELSE mns[i] END) AS rv
+          FROM e, r
+        ),
+        q AS (SELECT rv AS qv FROM rec WHERE vec_id = 0)
+        SELECT vec_id, score::VARCHAR AS score FROM (
+          SELECT vec_id,
+                 CAST(round(list_dot_product(rv, qv)
+                     / (sqrt(list_dot_product(rv, rv)) * sqrt(list_dot_product(qv, qv))), 6)
+                   AS DECIMAL(18,6)) AS score
+          FROM rec, q WHERE vec_id <> 0
+          ORDER BY score DESC, vec_id LIMIT 10)
     """
     # fuzzy_pairs: verbatim replay — same blocking, same levenshtein
     sql["fuzzy_pairs"] = """

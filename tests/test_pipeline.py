@@ -110,6 +110,79 @@ class TestSimilarity:
                 assert abs(float(r["score"]) - exact[r["vec_id"]]) < 1e-9
 
 
+class TestEmbeddingStatsAndSQ:
+    def test_stats_match_numpy(self, spark):
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.similarity import embedding_stats
+
+        rng = [[float(i + j) for j in range(4)] for i in range(6)]
+        emb = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+        )
+        got = {r["pos"]: r for r in embedding_stats(emb).collect()}
+        X = np.array(rng)
+        for d in range(4):
+            assert got[d]["n"] == 6
+            assert float(got[d]["mean"]) == round(X[:, d].mean(), 6)
+            assert float(got[d]["std"]) == round(X[:, d].std(), 6)
+            assert got[d]["vmin"] == X[:, d].min() and got[d]["vmax"] == X[:, d].max()
+
+    def test_sq_topk_ranking_and_quantization(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import cosine_topk, sq_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        exact = [r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()]
+        approx = [r["vec_id"] for r in sq_topk(emb, 0, 10, bits=8).collect()]
+        # 8-bit reconstruction error is ~1e-2: high overlap with exact
+        assert len(set(exact) & set(approx)) >= 7
+        # 1-bit codes still produce a full deterministic result set
+        coarse = sq_topk(emb, 0, 10, bits=1).collect()
+        assert len(coarse) == 10
+
+    def test_sq_constant_dimension_safe(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import sq_topk
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 5.0]), (1, [1.0, 7.0]), (2, [1.0, -3.0])],
+            "vec_id long, embedding array<float>",
+        )
+        got = sq_topk(emb, 0, 2, bits=8).collect()
+        assert [r["vec_id"] for r in got] == [1, 2]  # same-direction first
+
+
+class TestPCA:
+    def test_fit_and_project_match_numpy(self, spark):
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.similarity import pca_fit, pca_project
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(4)
+        mean, comps, ev = pca_fit(emb, k=6)
+        X = np.vstack([r["embedding"] for r in emb.orderBy("vec_id").collect()]).astype(float)
+        w, v = np.linalg.eigh(np.cov(X.T, bias=True))
+        order = np.argsort(w)[::-1][:6]
+        ref = v[:, order].T
+        flip = np.sign(ref[np.arange(6), np.abs(ref).argmax(axis=1)])
+        flip[flip == 0] = 1.0
+        ref = ref * flip[:, None]
+        assert np.allclose(mean, X.mean(axis=0), atol=1e-9)
+        assert np.allclose(ev, w[order], atol=1e-9)
+        assert np.allclose(comps, ref, atol=1e-7)
+        proj = pca_project(emb, k=6, fit=(mean, comps, ev)).orderBy("vec_id").collect()
+        P = np.vstack([r["proj"] for r in proj])
+        assert np.allclose(P, (X - X.mean(axis=0)) @ ref.T, atol=1e-6)
+        # projected variance per component equals its eigenvalue
+        assert np.allclose(P.var(axis=0), ev, rtol=1e-6)
+
+    def test_empty_input_raises(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import pca_fit
+
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            pca_fit(empty, k=2)
+
+
 class TestEmbeddingNearDup:
     def test_exact_pairs_symmetric_threshold(self, spark):
         from hgraphstorage_spark.pipeline import embedding_near_dup_exact
