@@ -1384,6 +1384,14 @@ def q_exact_substring(spark, sf_dir):
     return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=8, hash_mode="md5")
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy (bits/char) — run-length fold over
+    the sorted char array, zero shuffle; relational oracle."""
+    from hgraphstorage_spark.pipeline.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q_repetition_exact(spark, sf_dir):
     """Gopher repetition with the paper's EXACT covered-token fractions
     (overlapping spans deduped by interval union) — paper thresholds like
@@ -1620,6 +1628,17 @@ def q_rolling_features(spark, sf_dir):
 
     out = rolling_event_features(load_events(spark, sf_dir), window_seconds=3600)
     return _canon_ts(_canon(out, "sum_win", "mean_win"), "ts")
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA of event values over the trailing 20 events
+    (recursive alpha=0.3 fold; window-order collect + left fold is the
+    identical IEEE sequence as DuckDB's list_reduce)."""
+    from hgraphstorage_spark.functions.timeseries import ewma_features
+    from hgraphstorage_spark.streaming import load_events
+
+    out = ewma_features(load_events(spark, sf_dir), alpha=0.3, lags=20)
+    return _canon_ts(_canon(out, "ewma"), "ts")
 
 
 def q_funnel(spark, sf_dir):
@@ -1871,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "embedding_stats": q_embedding_stats,
         "sq_topk": q_sq_topk,
+        "ewma": q_ewma,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -3322,6 +3343,31 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    # char_entropy: relational rendering of the run-length entropy fold
+    sql["char_entropy"] = """
+        WITH ch AS (
+          SELECT doc_id, substr(text, t.i, 1) AS c
+          FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+        ), cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
+        agg AS (SELECT doc_id, sum(k * log2(k)) AS s, sum(k) AS n FROM cnt GROUP BY 1)
+        SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+               CAST(round(CASE WHEN a.n > 0 THEN log2(a.n) - a.s / a.n ELSE 0 END, 6)
+                 AS DECIMAL(18,6)) AS entropy
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    # ewma: identical recursive fold via list_reduce over the same frame
+    sql["ewma"] = """
+        WITH v AS (
+          SELECT event_id, user_id, ts,
+                 list(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+          FROM events
+        )
+        SELECT event_id, user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS ts,
+               CAST(round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+                 AS DECIMAL(18,6))::VARCHAR AS ewma
+        FROM v
     """
     # embedding_stats / sq_topk: per-dimension moments and the SQ8
     # quantizer replayed with identical per-element IEEE arithmetic

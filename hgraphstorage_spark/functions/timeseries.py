@@ -119,3 +119,46 @@ def retention_cohorts(
         .groupBy("cohort_week", "period")
         .agg(F.count_distinct(F.col(by)).alias("n_users"))
     )
+
+
+def ewma_features(
+    events: DataFrame,
+    alpha: float = 0.3,
+    lags: int = 20,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per event: exponentially-weighted moving average of the same key's
+    trailing ``lags`` values (the standard recursive EWMA
+    ``y_i = alpha*v_i + (1-alpha)*y_{i-1}``, initialized at the window's
+    first value). Returns (id, by, ts, ewma DECIMAL(18,6)).
+
+    Truncating at ``lags`` events bounds state AND makes the operator
+    engine-portable: weights below (1-alpha)^lags are dropped on both
+    sides identically instead of depending on unbounded history. The
+    frame values are collected in window order and folded left — one
+    keyed shuffle + per-partition sort (the cost envelope of any keyed
+    window), then pure narrow arithmetic. The fold is the identical IEEE
+    sequence in DuckDB's ``list_reduce``, so results match exactly
+    (round-6 canon guards the principle anyway). Ordering ties break on
+    the event id for cross-engine determinism."""
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(ts_col), F.col(id_col))
+        .rowsBetween(-(lags - 1), 0)
+    )
+    vals = F.collect_list(F.col(value_col).cast("double")).over(w)
+    a, b = float(alpha), 1.0 - float(alpha)
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(F.lit(a) * x + F.lit(b) * acc),
+    )
+    return events.select(
+        id_col,
+        by,
+        ts_col,
+        F.round(ewma, 6).cast("decimal(18,6)").alias("ewma"),
+    )

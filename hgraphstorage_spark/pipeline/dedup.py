@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hgraphstorage_spark.pipeline.text import WS_RE
+from hgraphstorage_spark.pipeline.text import WS_RE, _parallel
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -38,29 +38,6 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         .filter(F.col("n_dups") > 1)
         .select("keep_id", "n_dups")
     )
-
-
-def _parallel(df: DataFrame) -> DataFrame:
-    """Spread a small-file input across the cluster before CPU-heavy narrow
-    stages. A single parquet file arrives as one partition — shingling 100k
-    docs on one core wastes the other 31 (or the other 31,999). Uses file
-    metadata (no ``df.rdd`` conversion, which would freeze the plan and
-    bypass AQE); repartitions only when the scan has fewer files than
-    cores — a multi-file scan already splits by maxPartitionBytes.
-
-    ``inputFiles() == []`` means a non-file plan (in-memory, derived) —
-    UNKNOWN parallelism, not "one file": such plans inherit their parents'
-    partitioning, so forcing a repartition there would add a full shuffle
-    to inputs that are usually already spread. Only a known small file
-    count (0 < n < target) triggers the spread."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if 0 < n_files < target:
-        return df.repartition(target)
-    return df
 
 
 def _shingles(text_col, n: int) -> F.Column:

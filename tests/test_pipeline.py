@@ -464,6 +464,53 @@ class TestMultimodal:
         assert parse_media_header(b"\xff\xd8\xff\x00\x12\x34\x56\x78\x9a\xbc") is None
 
 
+class TestCharEntropy:
+    def test_hand_computed(self, spark):
+        from hgraphstorage_spark.pipeline.text import char_entropy
+
+        docs = spark.createDataFrame(
+            [(0, "aabb"), (1, "aaaa"), (2, "abcd"), (3, "")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["n_chars"], float(r["entropy"])) for r in char_entropy(docs).collect()}
+        assert got[0] == (4, 1.0)   # two symbols, equal: 1 bit
+        assert got[1] == (4, 0.0)   # degenerate
+        assert got[2] == (4, 2.0)   # uniform over 4
+        assert got[3] == (0, 0.0)   # empty
+
+
+class TestCompressionStats:
+    def test_matches_python_zlib(self, spark, docs):
+        import zlib
+
+        from hgraphstorage_spark.pipeline.text import compression_stats
+
+        raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+        got = {r["doc_id"]: r for r in compression_stats(docs).collect()}
+        assert set(got) == set(raw)
+        for d, t in raw.items():
+            b = t.encode("utf-8")
+            assert got[d]["n_bytes"] == len(b)
+            assert got[d]["n_compressed"] == len(zlib.compress(b, 6))
+            if b:
+                assert float(got[d]["ratio"]) == round(got[d]["n_compressed"] / len(b), 6)
+            else:
+                assert got[d]["ratio"] is None
+
+    def test_repetitive_compresses_below_random(self, spark):
+        from hgraphstorage_spark.pipeline.text import compression_stats
+
+        import random
+
+        rng = random.Random(7)
+        rand = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+        docs = spark.createDataFrame(
+            [(0, "spam ham " * 250), (1, rand)], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: float(r["ratio"]) for r in compression_stats(docs).collect()}
+        assert got[0] < 0.1 < got[1]
+
+
 class TestRepetitionExact:
     def test_hand_computed_covered_fractions(self, spark):
         """Paper-exact covered-token fractions on hand-worked fixtures:
@@ -771,6 +818,39 @@ class TestRollingFeatures:
         assert (out[3]["n_win"], float(out[3]["sum_win"])) == (2, 60.0)  # 10:00 aged out
         assert (out[4]["n_win"], float(out[4]["sum_win"])) == (1, 5.0)   # other user isolated
         assert float(out[3]["mean_win"]) == 30.0
+
+
+class TestEwma:
+    def test_recursive_fold_hand_computed(self, spark):
+        from hgraphstorage_spark.functions.timeseries import ewma_features
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 7, 10.0),
+            (2, "2024-01-01 00:01:00", 7, 20.0),
+            (3, "2024-01-01 00:02:00", 7, 30.0),
+            (4, "2024-01-01 00:00:30", 8, 5.0),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["event_id"]: float(r["ewma"]) for r in ewma_features(ev, alpha=0.5).collect()}
+        assert got[1] == 10.0            # init = first value
+        assert got[2] == 15.0            # 0.5*20 + 0.5*10
+        assert got[3] == 22.5            # 0.5*30 + 0.5*15
+        assert got[4] == 5.0             # separate key
+
+    def test_lag_truncation(self, spark):
+        from hgraphstorage_spark.functions.timeseries import ewma_features
+
+        rows = [(i, f"2024-01-01 00:{i:02d}:00", 1, float(i)) for i in range(10)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r["event_id"]: float(r["ewma"]) for r in ewma_features(ev, alpha=0.5, lags=2).collect()}
+        # with lags=2 each row sees only (prev, current): 0.5*v + 0.5*prev
+        assert got[0] == 0.0
+        for i in range(1, 10):
+            assert got[i] == 0.5 * i + 0.5 * (i - 1)
 
 
 class TestFunnel:
