@@ -727,6 +727,37 @@ def q_tpch_q5_like(spark, sf_dir):
     )
 
 
+def q_tpch_q2_like(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part) on the available
+    tables: for each part of a brand, the supplier offering the minimum
+    unit price (l_extendedprice / l_quantity) — the correlated-subquery
+    pattern expressed as a rank-1 window, the idiomatic Spark rewrite
+    (one shuffle keyed by part instead of a re-scanning subquery).
+    Deterministic ties: (unit_price, s_suppkey) ascending."""
+    from pyspark.sql import Window
+
+    li, part = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    supp, nation = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    unit = F.round(
+        F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double"), 6
+    ).cast("decimal(18,6)")
+    offers = (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#1")), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", unit.alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("unit_price").asc(), F.col("s_suppkey").asc())
+    return (
+        offers.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            F.col("unit_price").cast("string").alias("unit_price"),
+        )
+    )
+
+
 def q_ntile_deciles(spark, sf_dir):
     """Window functions: users bucketed into spend deciles (ntile over a
     deterministic total order), reporting each decile's size and spend
@@ -1572,6 +1603,14 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=5)
 
 
+def q_cross_source_overlap(spark, sf_dir):
+    """Per-source-pair duplicated-content matrix (shared distinct 5-grams
+    + Jaccard) — the governance read before setting mixing weights."""
+    from hgraphstorage_spark.pipeline.dedup import cross_source_overlap
+
+    return _canon(cross_source_overlap(_t(spark, sf_dir, "documents"), n=5), "jaccard")
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Fixed-memory Bloom-filter decontamination (same eval slice as
     q_decontaminate): md5-derived bit positions, so DuckDB replays the
@@ -1892,6 +1931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "ewma": q_ewma,
         "char_entropy": q_char_entropy,
+        "tpch_q2_like": q_tpch_q2_like,
+        "cross_source_overlap": q_cross_source_overlap,
     }
 
 
@@ -3343,6 +3384,43 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    # tpch_q2_like: the correlated min-per-group as ANSI row_number
+    sql["tpch_q2_like"] = """
+        WITH offers AS (
+          SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+                 CAST(round(l.l_extendedprice::DOUBLE / l.l_quantity, 6) AS DECIMAL(18,6)) AS unit_price
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+        )
+        SELECT p_partkey, p_name, s_suppkey, s_name, n_name, unit_price::VARCHAR AS unit_price
+        FROM (SELECT *, row_number() OVER (PARTITION BY p_partkey
+                    ORDER BY unit_price ASC, s_suppkey ASC) AS rk FROM offers)
+        WHERE rk = 1
+    """
+    # cross_source_overlap: same shingle sets, pair join in SQL
+    sql["cross_source_overlap"] = r"""
+        WITH w AS (
+          SELECT source, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT source, array_to_string(list_slice(words, i, i + 4), ' ') AS g
+          FROM w, unnest(generate_series(1, greatest(len(words) - 4, 1))) AS t(i)
+        ),
+        sizes AS (SELECT source, count(*) AS ng FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS shared_ngrams
+          FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b, p.shared_ngrams,
+               CAST(round(p.shared_ngrams::DOUBLE / (sa.ng + sb.ng - p.shared_ngrams), 6)
+                 AS DECIMAL(18,6))::VARCHAR AS jaccard
+        FROM pairs p JOIN sizes sa ON p.source_a = sa.source
+                     JOIN sizes sb ON p.source_b = sb.source
     """
     # char_entropy: relational rendering of the run-length entropy fold
     sql["char_entropy"] = """

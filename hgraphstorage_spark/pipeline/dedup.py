@@ -433,6 +433,68 @@ def dedup_clusters(
     return state.withColumn("keep", F.col("doc_id") == F.col("cluster"))
 
 
+def cross_source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Curation governance: how much duplicated content each PAIR of
+    sources shares — the matrix a pipeline owner reads before deciding
+    mixing weights (two crawls of the same sites should not both get
+    full weight).
+
+    Measured at the n-gram level (distinct word n-grams per source, the
+    `decontaminate` normalization): for each unordered source pair
+    (a < b), the number of shared distinct n-grams and the Jaccard of
+    the two sources' n-gram sets. One shuffle keyed by n-gram hash
+    (uniform), per-source set sizes from the same aggregate, pair fan-in
+    bounded by sources-per-gram (tiny); no text ever shuffles twice.
+    Returns (source_a, source_b, shared_ngrams, jaccard DECIMAL(18,6)).
+    """
+    sh = (
+        _parallel(docs)
+        .select(F.col(source_col).alias("src"), _shingles(F.col(text_col), n).alias("_sh"))
+        .select("src", F.explode("_sh").alias("g"))
+        .distinct()
+    )
+    per_gram = sh.groupBy("g").agg(F.sort_array(F.collect_set("src")).alias("srcs"))
+    pairs = per_gram.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a, i: F.transform(
+                        F.slice("srcs", i + 2, F.size("srcs")), lambda b: F.struct(a.alias("a"), b.alias("b"))
+                    ),
+                )
+            )
+        ).alias("p")
+    ).groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")).agg(
+        F.count(F.lit(1)).alias("shared_ngrams")
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_ngrams",
+            F.round(
+                F.col("shared_ngrams").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared_ngrams")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )
+
+
 def fuzzy_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -1057,6 +1057,29 @@ class TestExactSubstring:
         assert fast == port
 
 
+class TestCrossSourceOverlap:
+    def test_pairwise_jaccard(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import cross_source_overlap
+
+        shared = "one two three four five six"
+        rows = [
+            (0, shared + " alpha beta gamma delta", "A"),
+            (1, shared + " epsilon zeta eta theta", "B"),
+            (2, "totally different words here now ok", "C"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {
+            (r["source_a"], r["source_b"]): (r["shared_ngrams"], float(r["jaccard"]))
+            for r in cross_source_overlap(docs, n=3).collect()
+        }
+        # A and B share the 3-grams inside "one two three four five six": 4
+        assert got[("A", "B")][0] == 4
+        # each source has 8 distinct 3-grams -> jaccard 4/12
+        assert got[("A", "B")][1] == round(4 / 12, 6)
+        # C shares nothing: no pair rows with C
+        assert not any("C" in p for p in got)
+
+
 class TestFuzzyPairs:
     def test_blocking_and_distance(self, spark):
         from hgraphstorage_spark.pipeline.dedup import fuzzy_dup_pairs
