@@ -30,7 +30,11 @@ HEADLINE = [
     "dedup_exact",           # hash-agg dedup over documents
     "quality_filter_narrow", # zero-shuffle Gopher quality gate (scan speed)
     "repetition_exact",      # paper-exact covered fractions (narrow HOF interval union)
+    "char_entropy",          # run-length entropy fold (scan speed)
     "chunk_dedup",           # C4-style chunk-level dedup + reassembly
+    "exact_substring",       # ExactSubstr corpus dedup (gram shuffle + interval union)
+    "fuzzy_pairs",           # blocked-Levenshtein record linkage
+    "cross_source_overlap",  # per-source-pair shared-ngram matrix
     "semantic_dedup",        # SemDeDup: k-means clusters + in-cluster GEMM
     "minhash_lsh_pairs",     # shingle -> minhash -> band join -> verify
     # the 100 TB-shaped embedding near-dup path: banded LSH candidates +

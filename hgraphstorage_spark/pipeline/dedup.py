@@ -40,19 +40,31 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def _shingles(text_col, n: int) -> F.Column:
-    """Distinct word n-grams of the normalized text (array<string>).
+def _words(text_col) -> F.Column:
+    """The shared shingle tokenization (normalize + whitespace split)."""
+    return F.split(F.lower(F.trim(text_col)), WS_RE)
+
+
+def _shingle_col(words_col: F.Column, n: int) -> F.Column:
+    """Distinct word n-grams (array<string>) from a words array that MUST
+    be a materialized column of its own projection, not an inline
+    ``split`` expression: Column trees are duplicated at construction and
+    Catalyst does no CSE inside higher-order-function lambdas, so an
+    inline split re-tokenizes the document once per shingle — O(words²)
+    per doc (measured 4x the whole scan on cross_source_overlap before
+    the split was hoisted). The words attribute is referenced by both
+    ``size`` and the lambda, which keeps CollapseProject from re-inlining
+    it (multi-use non-cheap alias).
 
     Word-level shingles (the standard for document near-dup, cf. the
     n-gram dedup literature) are ~word_len× fewer than character shingles
     and build in O(words) via slice+concat — character substr would be
     O(chars²) per document. Documents with < n words yield one shingle.
     """
-    words = F.split(F.lower(F.trim(text_col)), WS_RE)
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    n_sh = F.greatest(F.size(words_col) - (n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), n_sh)
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words_col, i, n)))
     )
 
 
@@ -111,9 +123,13 @@ def shingle_hashes(
 def shingle_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
-    """(id, shingle) long format — the input to jaccard co-grouping."""
-    return _parallel(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    """(id, shingle) long format — the input to jaccard co-grouping.
+    explode_outer dodges InferFiltersFromGenerate (see
+    ``cross_source_overlap``); the shingle array is never empty."""
+    return (
+        _parallel(docs)
+        .select(F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w"))
+        .select("doc_id", F.explode_outer(_shingle_col(F.col("_w"), n)).alias("shingle"))
     )
 
 
@@ -453,28 +469,55 @@ def cross_source_overlap(
     bounded by sources-per-gram (tiny); no text ever shuffles twice.
     Returns (source_a, source_b, shared_ngrams, jaccard DECIMAL(18,6)).
     """
+    # ONE heavy shuffle: gram-keyed collect_set dedups (src, gram) pairs
+    # map-side, so the explode never needs its own distinct pass. The
+    # per-source set sizes and the pair counts come out of a SINGLE
+    # second aggregation — each gram emits its source pairs plus one
+    # (src, NULL) singleton per member, so the gram-level frame (and the
+    # whole shingle scan behind it) is computed exactly once; Spark finds
+    # no ReusedExchange across separate branches here, so two consumers
+    # would scan the corpus twice.
+    # explode_OUTER on purpose: plain explode makes InferFiltersFromGenerate
+    # synthesize `size(_sh) > 0` and push it below the repartition with the
+    # whole shingle expression INLINED — the entire corpus re-shingles
+    # single-threaded in the scan stage (measured: over half the runtime).
+    # The shingle array is never empty (>= 1 by construction), so outer
+    # explode is value-identical and the inferred filter disappears.
     sh = (
         _parallel(docs)
-        .select(F.col(source_col).alias("src"), _shingles(F.col(text_col), n).alias("_sh"))
-        .select("src", F.explode("_sh").alias("g"))
-        .distinct()
+        .select(F.col(source_col).alias("src"), _words(F.col(text_col)).alias("_w"))
+        .select("src", _shingle_col(F.col("_w"), n).alias("_sh"))
+        .select("src", F.explode_outer("_sh").alias("g"))
     )
     per_gram = sh.groupBy("g").agg(F.sort_array(F.collect_set("src")).alias("srcs"))
-    pairs = per_gram.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "srcs",
-                    lambda a, i: F.transform(
-                        F.slice("srcs", i + 2, F.size("srcs")), lambda b: F.struct(a.alias("a"), b.alias("b"))
-                    ),
-                )
-            )
-        ).alias("p")
-    ).groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")).agg(
-        F.count(F.lit(1)).alias("shared_ngrams")
+    pair_structs = F.flatten(
+        F.transform(
+            "srcs",
+            lambda a, i: F.transform(
+                F.slice("srcs", i + 2, F.size("srcs")),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
     )
-    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    singleton_structs = F.transform(
+        "srcs", lambda s: F.struct(s.alias("a"), F.lit(None).cast("string").alias("b"))
+    )
+    counts = (
+        per_gram.select(F.explode(F.concat(pair_structs, singleton_structs)).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # <= sources^2 rows, but three consumers below (pairs + both size
+        # sides): truncate the corpus-scanning lineage so it runs once
+        .localCheckpoint(eager=False)
+    )
+    pairs = counts.filter(F.col("b").isNotNull()).select(
+        F.col("a").alias("source_a"),
+        F.col("b").alias("source_b"),
+        F.col("cnt").alias("shared_ngrams"),
+    )
+    sizes = counts.filter(F.col("b").isNull()).select(
+        F.col("a").alias("src"), F.col("cnt").alias("n_grams")
+    )
     sa = sizes.select(F.col("src").alias("source_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("src").alias("source_b"), F.col("n_grams").alias("nb"))
     return (
