@@ -57,6 +57,24 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release_state(spark) -> None:
+    """Drop every cached DataFrame and persisted/localCheckpointed RDD.
+
+    Several operators legitimately persist intermediates (LSH prep,
+    semantic-dedup assignments) or truncate lineage via localCheckpoint
+    (iterative graph loops, multi-consumer aggregates). In a real
+    pipeline each job's session ends and the blocks die with it; in this
+    single-session benchmark they would otherwise accumulate across 24
+    queries and tax the tail queries' GC — measured as 4-6x noise on
+    whichever queries run last. Runs between timings, outside the
+    timers."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     spark = get_spark("hgraphstorage-bench")
@@ -90,12 +108,14 @@ def main() -> None:
             _execute(queries[name](spark, warm_dir))
         except Exception:
             pass  # a warm-up failure must not kill the benchmark
+    _release_state(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         _execute(queries[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        _release_state(spark)
 
     total = round(sum(timings.values()), 3)
     print(
