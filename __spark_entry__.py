@@ -1603,6 +1603,15 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=5)
 
 
+def q_skew_report(spark, sf_dir):
+    """Key-distribution diagnostic: top-5 heaviest sources with global
+    fraction — the pre-join skew audit as a first-class operator."""
+    from hgraphstorage_spark.operators import skew_report
+
+    out = skew_report(_t(spark, sf_dir, "documents"), ["source"], k=5)
+    return _canon(out.withColumn("rank", F.col("rank").cast("long")), "frac")
+
+
 def q_cross_source_overlap(spark, sf_dir):
     """Per-source-pair duplicated-content matrix (shared distinct 5-grams
     + Jaccard) — the governance read before setting mixing weights."""
@@ -1933,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "tpch_q2_like": q_tpch_q2_like,
         "cross_source_overlap": q_cross_source_overlap,
+        "skew_report": q_skew_report,
     }
 
 
@@ -3384,6 +3394,15 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    sql["skew_report"] = """
+        WITH c AS (SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+        t AS (SELECT sum(cnt)::DOUBLE AS total FROM c),
+        top AS (SELECT source, cnt FROM c ORDER BY cnt DESC, source LIMIT 5)
+        SELECT (row_number() OVER (ORDER BY cnt DESC, source))::BIGINT AS rank,
+               source, cnt,
+               CAST(round(cnt / total, 6) AS DECIMAL(18,6))::VARCHAR AS frac
+        FROM top, t
     """
     # tpch_q2_like: the correlated min-per-group as ANSI row_number
     sql["tpch_q2_like"] = """

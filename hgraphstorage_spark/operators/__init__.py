@@ -5,7 +5,7 @@ from hgraphstorage_spark.operators.bucketing import (
     write_bucketed,
 )
 from hgraphstorage_spark.operators.rangejoin import range_join
-from hgraphstorage_spark.operators.skew import salted_count_by, salted_join
+from hgraphstorage_spark.operators.skew import salted_count_by, salted_join, skew_report
 
 __all__ = [
     "asof_join",
@@ -14,5 +14,6 @@ __all__ = [
     "read_bucketed",
     "salted_count_by",
     "salted_join",
+    "skew_report",
     "write_bucketed",
 ]

@@ -38,3 +38,31 @@ def salted_join(
     )
     out = big_salted.join(small_exploded, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_report(df: DataFrame, key_cols: list[str], k: int = 10) -> DataFrame:
+    """Key-distribution diagnostic: the top-k heaviest keys with their row
+    counts and global fraction — the number you read BEFORE choosing a
+    join strategy (broadcast? salt? AQE skew split?). A key holding >1%
+    of 100 TB is a straggler task in any keyed shuffle.
+
+    One partial-aggregated count shuffle; the top-k is a TakeOrdered
+    (never a full sort) and the grand total folds off the same counts —
+    both subtrees reuse the one exchange. Deterministic ties by key.
+    Returns (rank, <key_cols>, cnt, frac DECIMAL(18,6))."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.groupBy().agg(F.sum("cnt").alias("_total"))
+    top = counts.orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols]).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            *key_cols,
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("_total"), 6).cast("decimal(18,6)").alias("frac"),
+        )
+    )

@@ -261,3 +261,47 @@ class TestNewOpPlans:
         # one Project straight over the parquet scan, reading only the two
         # columns the op needs
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+class TestSkewReport:
+    def test_top_keys_and_fractions(self, spark):
+        from hgraphstorage_spark.operators import skew_report
+
+        rows = [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"] * 1]
+        df = spark.createDataFrame(rows, "k string")
+        got = skew_report(df, ["k"], k=2).collect()
+        assert [(r["rank"], r["k"], r["cnt"], float(r["frac"])) for r in got] == [
+            (1, "a", 6, 0.6),
+            (2, "b", 3, 0.3),
+        ]
+
+    def test_deterministic_ties(self, spark):
+        from hgraphstorage_spark.operators import skew_report
+
+        df = spark.createDataFrame([("x",), ("y",), ("z",)], "k string")
+        got = [r["k"] for r in skew_report(df, ["k"], k=3).collect()]
+        assert got == ["x", "y", "z"]  # equal counts -> key order
+
+
+class TestWriteLayout:
+    def test_partition_pruning_and_content(self, spark, tmp_path):
+        from hgraphstorage_spark.sources.files import write_layout
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "layout")
+        write_layout(docs, path, partition_by=["lang"], sort_by=["source", "doc_id"])
+        back = spark.read.parquet(path)
+        # content round-trips (modulo column order: partition col moves last)
+        assert bag(back.select(*docs.columns)) == bag(docs)
+        # a partition filter prunes at plan time: the scan carries a
+        # PartitionFilters predicate on lang and returns only that slice
+        from hgraphstorage_spark.plans import partition_filters
+
+        langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+        one = sorted(langs)[0]
+        pruned = spark.read.parquet(path).filter(F.col("lang") == one)
+        pf = [f for f in partition_filters(pruned) if "lang" in f]
+        assert pf, "expected a lang partition filter on the scan"
+        assert pruned.count() == docs.filter(F.col("lang") == one).count()
+        # one file per partition directory (no small-file explosion)
+        assert len(spark.read.parquet(path).inputFiles()) == len(langs)
