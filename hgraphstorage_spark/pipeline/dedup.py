@@ -380,28 +380,48 @@ def simhash(
     60-63 then stay 0) so a DuckDB oracle replays the fingerprint
     bit-for-bit; xxhash64 stays the fast path."""
     sh = shingle_hashes(docs, text_col, id_col, n, hash_mode)
-    # single fold over the 64 bit positions (runtime sequence, not 64
-    # unrolled when-branches — keeps optimizer+codegen wall flat in the
-    # word width); `call_function` because the Python shiftright/shiftleft
-    # wrappers only take int literals, while the SQL functions take any
-    # expression. Bits are disjoint so bitwise OR assembles the word.
+    return sh.select("doc_id", simhash_word(F.col("sh")).alias("simhash"))
+
+
+def simhash_word(sh_col: F.Column) -> F.Column:
+    """The 64-bit SimHash majority fold over a shingle-hash array column —
+    a single fold over the 64 bit positions (runtime sequence, not 64
+    unrolled when-branches — keeps optimizer+codegen wall flat in the
+    word width); `call_function` because the Python shiftright/shiftleft
+    wrappers only take int literals, while the SQL functions take any
+    expression. Bits are disjoint so bitwise OR assembles the word.
+    Shared by batch ``simhash`` and ``streaming.stream_near_dedup``."""
     one = F.lit(1).cast("long")
-    word = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(0), F.lit(63)),
         F.lit(0).cast("long"),
         lambda acc, i: F.when(
             2
             * F.size(
                 F.filter(
-                    F.col("sh"),
+                    sh_col,
                     lambda x: F.call_function("shiftright", x, i).bitwiseAND(one) == 1,
                 )
             )
-            > F.size(F.col("sh")),
+            > F.size(sh_col),
             acc.bitwiseOR(F.call_function("shiftleft", one, i)),
         ).otherwise(acc),
     )
-    return sh.select("doc_id", word.alias("simhash"))
+
+
+def shingle_combine(wh_col: F.Column, n: int) -> F.Column:
+    """Distinct shingle hashes (xxhash64 family) from a MATERIALIZED
+    word-hash array column — the column form of ``shingle_hashes``'s
+    fast path, for callers that must keep their other columns (e.g.
+    streaming frames). Same materialization contract as ``_shingle_col``:
+    pass an attribute, not an inline expression."""
+    n_sh = F.greatest(F.size(wh_col) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.xxhash64(*[F.try_element_at(wh_col, i + j) for j in range(n)]),
+        )
+    )
 
 
 def hamming64(col_a, col_b) -> F.Column:

@@ -5,6 +5,7 @@ from hgraphstorage_spark.streaming.ingest import (
     read_event_stream,
     sessionize,
     stream_dedup,
+    stream_near_dedup,
 )
 from hgraphstorage_spark.streaming.joins import enrich_with_dimension, interval_join
 from hgraphstorage_spark.streaming.stateful import running_label_counts
@@ -14,6 +15,7 @@ __all__ = [
     "interval_join",
     "running_label_counts",
     "stream_dedup",
+    "stream_near_dedup",
     "events_tumbling_agg",
     "load_events",
     "mutation_stream_to_snapshots",

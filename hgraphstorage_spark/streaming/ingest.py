@@ -133,3 +133,55 @@ def mutation_stream_to_snapshots(engine: GraphEngine, mutations_stream: DataFram
         .outputMode("update")
         .start()
     )
+
+
+def stream_near_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    n: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: keep the first document per
+    64-bit SimHash fingerprint within the watermark.
+
+    SimHash maps near-identical texts (reordered words, minor edits that
+    leave most shingles intact) to the SAME 64-bit word with high
+    probability, so first-per-fingerprint is the streaming analogue of
+    fingerprint-bucket dedup. The fingerprint is the same narrow,
+    zero-shuffle expression as batch ``pipeline.dedup.simhash``
+    (word-hash projection -> shingle combine -> 64-bit majority fold),
+    so the plan stays stateless until the dedup itself; state is one
+    64-bit key per unique fingerprint, evicted past the watermark (the
+    ``stream_dedup`` bounded-state contract — a near-dup arriving later
+    than the watermark re-emits; documented trade-off).
+
+    This intentionally does NOT claim MinHash-LSH recall: banded LSH
+    needs any-of-k-band matching, which per-key streaming state cannot
+    express without a two-phase shuffle; fingerprint equality (Hamming
+    0) is the honest bounded-state operator — near-dups at Hamming 1-3
+    pass through for the batch LSH pass downstream.
+
+    Batch DataFrames run the identical expression with plain
+    dropDuplicates, so stream==batch parity is testable on complete
+    data. All input columns survive."""
+    from hgraphstorage_spark.pipeline.dedup import shingle_combine, simhash_word
+    from hgraphstorage_spark.pipeline.text import WS_RE
+
+    with_wh = docs.withColumn(
+        "_wh",
+        F.transform(
+            F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda w: F.xxhash64(w)
+        ),
+    )
+    with_fp = with_wh.withColumn("_sh", shingle_combine(F.col("_wh"), n)).withColumn(
+        "_fp", simhash_word(F.col("_sh"))
+    )
+    out_cols = docs.columns
+    if with_fp.isStreaming:
+        return (
+            with_fp.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_fp"])
+            .select(*out_cols)
+        )
+    return with_fp.dropDuplicates(["_fp"]).select(*out_cols)

@@ -393,3 +393,57 @@ class TestStreamStaticEnrich:
         plan = executed_plan(enrich_with_dimension(ev, dim, on="user_id"))
         assert "BroadcastHashJoin" in plan
         assert "Exchange hashpartitioning" not in plan  # stream side stays narrow
+
+
+class TestStreamNearDedup:
+    def _docs(self, spark):
+        rows = [
+            (0, "2024-01-01 00:00:00", "the quick brown fox jumps over the lazy dog tonight"),
+            # word-identical reorder of 0's tail words -> same shingle set
+            (1, "2024-01-01 00:05:00", "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "2024-01-01 00:10:00", "completely different text about spark query planning"),
+            (3, "2024-01-01 00:15:00", "another unrelated document mentioning graph storage"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, ts string, text string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_stream_equals_batch(self, spark, tmpdir):
+        from hgraphstorage_spark.streaming import stream_near_dedup
+
+        docs = self._docs(spark)
+        docs.repartition(2).write.mode("overwrite").parquet(f"{tmpdir}/neardup")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/neardup")
+        )
+        q = (
+            stream_near_dedup(stream, watermark="60 days")
+            .writeStream.format("memory")
+            .queryName("neardup_out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_neardup")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["doc_id"] for r in spark.table("neardup_out").collect()}
+        batch_kept = {r["doc_id"] for r in stream_near_dedup(docs).collect()}
+        # identical fingerprints collapse to one representative each
+        assert len(got) == len(batch_kept) == 3
+        assert 2 in got and 3 in got and len(got & {0, 1}) == 1
+
+    def test_fingerprint_matches_batch_simhash(self, spark):
+        """The streaming fingerprint is the same bits as pipeline.simhash."""
+        from hgraphstorage_spark.pipeline.dedup import simhash
+        from hgraphstorage_spark.streaming import stream_near_dedup
+
+        docs = self._docs(spark)
+        fps = {r["doc_id"]: r["simhash"] for r in simhash(docs, n=4).collect()}
+        kept = {r["doc_id"] for r in stream_near_dedup(docs).collect()}
+        # batch path drops exactly the doc whose fingerprint repeats
+        assert fps[0] == fps[1] and fps[0] != fps[2]
+        assert kept == {min(0, 1), 2, 3} or kept == {0, 2, 3} or kept == {1, 2, 3}
