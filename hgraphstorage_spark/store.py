@@ -131,8 +131,14 @@ class VersionLedger:
                 continue
             v = int(name[1:13])
             if v > after:
-                with open(os.path.join(self.ledger_dir, name)) as f:
-                    out.append(json.load(f))
+                try:
+                    with open(os.path.join(self.ledger_dir, name)) as f:
+                        out.append(json.load(f))
+                except FileNotFoundError:
+                    # a concurrent compact() unlinked it between listdir and
+                    # open — by the safety rule it was older than a
+                    # checkpoint this reader will find anyway
+                    continue
         return out
 
     def try_publish(self, version: int, payload: dict) -> bool:
@@ -194,6 +200,11 @@ def _durable_engine_cls():
         # -- state reconstruction (open / refresh / time travel) ----------
         def _reconstruct(self, spark: SparkSession, version: int) -> GraphSnapshot:
             entries = [e for e in self.ledger.read_entries() if e["version"] <= version]
+            if not entries and version > 0:
+                raise KeyError(
+                    f"version {version} predates the compaction horizon "
+                    "(its ledger entries were folded into a later checkpoint)"
+                )
             base_idx, snap = -1, GraphSnapshot.empty(spark)
             for i in range(len(entries) - 1, -1, -1):
                 if entries[i].get("snapshot"):
@@ -260,6 +271,43 @@ def _durable_engine_cls():
                     shutil.rmtree(os.path.join(self.ledger.versions_dir, name), ignore_errors=True)
                     removed.append(rel)
             return removed
+
+        def compact(self) -> dict:
+            """Bound the ledger: drop every entry OLDER than the newest
+            checkpointed (snapshot-bearing) entry, then vacuum the
+            snapshot dirs nothing references anymore. The reference keeps
+            full history in its trie-backed manager; an unbounded op-log
+            on a 100 TB store is an operational liability, so truncation
+            is explicit and the trade is stated: time travel to versions
+            before the horizon raises ``KeyError`` afterwards (the data
+            needed to rebuild them is folded into the checkpoint).
+
+            Concurrency-safe by the same argument as ``vacuum``: entries
+            below an existing checkpoint can never be needed to
+            reconstruct any version >= the horizon, and concurrent
+            readers tolerate the listdir/open race (``read_entries``
+            skips vanished files). Returns {"horizon", "removed_entries",
+            "removed_dirs"}."""
+            entries = self.ledger.read_entries()
+            horizon = max(
+                (e["version"] for e in entries if e.get("snapshot")), default=0
+            )
+            removed = 0
+            if horizon:
+                for e in entries:
+                    if e["version"] < horizon:
+                        try:
+                            os.unlink(self.ledger._path(e["version"]))
+                            removed += 1
+                        except FileNotFoundError:
+                            pass
+            dirs = self.vacuum()
+            # drop in-memory pins below the horizon too (they hold plans
+            # over parquet dirs vacuum may have removed)
+            self._ledger = [
+                s for s in self._ledger if s.version == 0 or s.version >= horizon
+            ] or [GraphSnapshot.empty(self.spark)]
+            return {"horizon": horizon, "removed_entries": removed, "removed_dirs": dirs}
 
         # -- conflict trail + publish (the cross-process halves) ----------
         def _entries_after(self, version: int):

@@ -192,6 +192,36 @@ class TestDurableEngine:
         ks = sorted(int(r["int_v"]) for r in b.current.props.filter("name = 'k'").collect())
         assert ks == list(range(7))
 
+    def test_compact_bounds_ledger_and_keeps_state(self, spark, root):
+        """compact() folds history before the newest checkpoint: entries
+        below the horizon vanish, data and post-horizon time travel
+        survive (also across reopen), pre-horizon time travel raises."""
+        a = DurableGraphEngine(spark, root, checkpoint_every=3)
+        for i in range(7):
+            a.add_node("P", {"k": i})
+            a.commit()
+        assert len(a.ledger.read_entries()) == 7
+        report = a.compact()
+        assert report["horizon"] == 6  # newest snapshot-bearing entry
+        assert report["removed_entries"] == 5  # v1..v5 folded away
+        left = [e["version"] for e in a.ledger.read_entries()]
+        assert left == [6, 7]
+        # current state intact in this engine and on reopen
+        assert a.committed.nb_nodes() == 7
+        b = DurableGraphEngine(spark, root, checkpoint_every=3)
+        assert b.committed.nb_nodes() == 7
+        # post-horizon time travel still works; pre-horizon raises
+        assert b.snapshot_at(6).nb_nodes() == 6
+        with pytest.raises(KeyError):
+            b.snapshot_at(2)
+        # old checkpoint dirs are unreferenced after entry removal: gone
+        dirs = os.listdir(os.path.join(root, "versions"))
+        assert all(int(d[1:13]) >= 6 for d in dirs)
+        # committing after compaction continues normally
+        b.add_node("P", {"k": 99})
+        b.commit()
+        assert b.ledger.head_version() == 8
+
     def test_vacuum_removes_only_orphans(self, spark, root):
         """Lost-race materializations are reclaimable; referenced
         snapshots and potential in-flight (head+1) dirs survive."""
