@@ -1603,6 +1603,22 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=5)
 
 
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval: RRF fusion of the BM25 top-50
+    and the cosine top-50 (rrf_k=60). Both pools are partial top-k
+    reductions; the fusion joins two <= 50-row frames."""
+    from hgraphstorage_spark.pipeline.search import hybrid_search
+
+    out = hybrid_search(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        "spark join window",
+        query_vec_id=0,
+        k=10,
+    )
+    return _canon(out, "rrf")
+
+
 def q_skew_report(spark, sf_dir):
     """Key-distribution diagnostic: top-5 heaviest sources with global
     fraction — the pre-join skew audit as a first-class operator."""
@@ -1943,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_like": q_tpch_q2_like,
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report": q_skew_report,
+        "hybrid_search": q_hybrid_search,
     }
 
 
@@ -3394,6 +3411,55 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    # hybrid_search: RRF fusion of the bm25 pool and the cosine pool,
+    # both replayed with the same tie rules
+    sql["hybrid_search"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+          FROM documents
+        ),
+        hist AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM hist GROUP BY 1),
+        scalars AS (SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n_docs FROM dl),
+        matched AS (SELECT * FROM hist WHERE tok IN ('join', 'spark', 'window')),
+        dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM matched GROUP BY 1),
+        scored AS (
+          SELECT m.doc_id,
+                 CAST(round(sum(
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * m.tf * 2.2 / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                 ), 6) AS DECIMAL(18,6)) AS score
+          FROM matched m JOIN dfreq f USING (tok) JOIN dl d USING (doc_id), scalars s
+          GROUP BY m.doc_id
+        ),
+        lex AS (
+          SELECT doc_id AS _id, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS lex_rank
+          FROM scored ORDER BY score DESC, doc_id LIMIT 50
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        semtop AS (
+          SELECT vec_id,
+                 CAST(round(list_dot_product(v, qv)
+                     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                   AS DECIMAL(18,6)) AS score
+          FROM e, q WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 50
+        ),
+        sem AS (SELECT vec_id AS _id,
+                       row_number() OVER (ORDER BY score DESC, vec_id)::INT AS sem_rank
+                FROM semtop),
+        fused AS (
+          SELECT coalesce(lex._id, sem._id) AS doc_id,
+                 CAST(round(coalesce(1.0 / (60.0 + lex_rank), 0)
+                          + coalesce(1.0 / (60.0 + sem_rank), 0), 6) AS DECIMAL(18,6)) AS rrf,
+                 lex_rank, sem_rank
+          FROM lex FULL OUTER JOIN sem ON lex._id = sem._id
+        ),
+        topk AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+        SELECT doc_id, rrf::VARCHAR AS rrf, lex_rank, sem_rank,
+               row_number() OVER (ORDER BY rrf DESC, doc_id)::INT AS rank
+        FROM topk
     """
     sql["skew_report"] = """
         WITH c AS (SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),

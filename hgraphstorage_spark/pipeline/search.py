@@ -66,3 +66,60 @@ def bm25_search(
     topk = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return topk.select(id_col, "score", F.row_number().over(w).alias("rank"))
+
+
+def hybrid_search(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query: str,
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion:
+    fuse the BM25 top-``pool`` for ``query`` with the cosine top-``pool``
+    neighbors of ``query_vec_id``, scoring each document
+    ``sum(1 / (rrf_k + rank_i))`` over the lists it appears in (RRF,
+    Cormack et al. 2009 — the standard scale-free fusion; no score
+    normalization to get wrong across engines).
+
+    Shape at scale: both retrievers are already top-``pool`` partial
+    reductions (never a global sort of the corpus), so the fusion joins
+    two <= pool-row frames — driver-light, broadcast-trivial. Fully
+    deterministic (both pools tie-break on id; RRF terms are exact IEEE
+    on both engines), hence oracle-checkable end to end.
+
+    Returns (doc_id, rrf DECIMAL(18,6), lex_rank, sem_rank, rank) —
+    NULL lex/sem rank when a document appears in only one list."""
+    from hgraphstorage_spark.pipeline.similarity import cosine_topk
+
+    lex = bm25_search(docs, query, k=pool, id_col=id_col).select(
+        F.col(id_col).alias("_id"), F.col("rank").alias("lex_rank")
+    )
+    sem_top = cosine_topk(embeddings, query_vec_id, k=pool, id_col=vec_id_col)
+    w = Window.orderBy(F.col("score").desc(), F.col(vec_id_col).asc())
+    sem = sem_top.select(
+        F.col(vec_id_col).alias("_id"), F.row_number().over(w).alias("sem_rank")
+    )
+    term = lambda r: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(float(rrf_k)) + r), F.lit(0.0)
+    )
+    fused = (
+        lex.join(sem, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(term(F.col("lex_rank")) + term(F.col("sem_rank")), 6)
+            .cast("decimal(18,6)")
+            .alias("rrf"),
+            "lex_rank",
+            "sem_rank",
+        )
+    )
+    topk = fused.orderBy(F.col("rrf").desc(), F.col(id_col)).limit(k)
+    wr = Window.orderBy(F.col("rrf").desc(), F.col(id_col))
+    return topk.select(
+        id_col, "rrf", "lex_rank", "sem_rank", F.row_number().over(wr).alias("rank")
+    )

@@ -1478,3 +1478,30 @@ class TestQualityFilterNarrow:
         got = sorted(map(tuple, spark.sql("SELECT * FROM qfn_stream").collect()))
         want = sorted(map(tuple, quality_filter_narrow(docs).collect()))
         assert got == want  # stream == batch on complete data
+
+
+class TestHybridSearch:
+    def test_rrf_fuses_both_lists(self, spark):
+        from hgraphstorage_spark.pipeline.search import hybrid_search
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        got = hybrid_search(docs, emb, "spark join window", query_vec_id=0, k=10).collect()
+        assert len(got) == 10
+        # ranks are 1..10 in rrf order
+        assert [r["rank"] for r in got] == list(range(1, 11))
+        rrfs = [float(r["rrf"]) for r in got]
+        assert rrfs == sorted(rrfs, reverse=True)
+        # RRF math: a doc in both lists carries both terms
+        for r in got:
+            want = sum(1.0 / (60 + x) for x in (r["lex_rank"], r["sem_rank"]) if x is not None)
+            assert abs(float(r["rrf"]) - want) < 1e-6
+
+    def test_single_list_docs_still_rank(self, spark):
+        from hgraphstorage_spark.pipeline.search import hybrid_search
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        got = hybrid_search(docs, emb, "spark join window", query_vec_id=0, k=50, pool=5).collect()
+        assert any(r["lex_rank"] is None for r in got)
+        assert any(r["sem_rank"] is None for r in got)
