@@ -1603,6 +1603,15 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=5)
 
 
+def q_percentile_band(spark, sf_dir):
+    """Winsorizing length gate: keep docs inside the [5%, 95%] n_chars
+    percentile band (exact percentile_cont semantics both engines)."""
+    from hgraphstorage_spark.functions.stats import percentile_band_filter
+
+    out = percentile_band_filter(_t(spark, sf_dir, "documents"), "n_chars", 0.05, 0.95)
+    return out.select("doc_id", "n_chars", "p_lo", "p_hi")
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid lexical+semantic retrieval: RRF fusion of the BM25 top-50
     and the cosine top-50 (rrf_k=60). Both pools are partial top-k
@@ -1960,6 +1969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_overlap": q_cross_source_overlap,
         "skew_report": q_skew_report,
         "hybrid_search": q_hybrid_search,
+        "percentile_band": q_percentile_band,
     }
 
 
@@ -3411,6 +3421,12 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    sql["percentile_band"] = """
+        WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS p_lo,
+                          quantile_cont(n_chars, 0.95) AS p_hi FROM documents)
+        SELECT d.doc_id, d.n_chars, b.p_lo, b.p_hi FROM documents d, b
+        WHERE d.n_chars BETWEEN b.p_lo AND b.p_hi
     """
     # hybrid_search: RRF fusion of the bm25 pool and the cosine pool,
     # both replayed with the same tie rules

@@ -73,3 +73,32 @@ def grouped_distinct_counts(
     if exact:
         aggs.insert(0, F.countDistinct(value_col).alias("n_distinct"))
     return df.groupBy(group_col).agg(*aggs)
+
+
+def percentile_band_filter(
+    df: DataFrame,
+    metric_col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+) -> DataFrame:
+    """Winsorizing outlier gate: keep rows whose ``metric_col`` lies
+    inside the corpus's [lo, hi] percentile band — the standard curation
+    step for dropping pathological lengths/scores without hand-tuned
+    absolute thresholds (thresholds that are wrong again after the next
+    crawl shifts the distribution).
+
+    Exact interpolated percentiles (ANSI ``percentile_cont`` semantics,
+    identical interpolation formula in DuckDB's ``quantile_cont``) so
+    the gate is oracle-checkable; at 100 TB swap in
+    ``approx_percentile`` for a fixed-memory sketch — the operator shape
+    (1-row aggregate re-entering as a broadcast) is unchanged. Returns
+    the input rows with ``p_lo``/``p_hi`` bound columns attached.
+    """
+    bounds = df.agg(
+        F.expr(f"percentile({metric_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({metric_col}, {hi})").alias("p_hi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .filter(F.col(metric_col).between(F.col("p_lo"), F.col("p_hi")))
+    )

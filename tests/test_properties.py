@@ -300,3 +300,46 @@ def test_modeldict_first_use_order_and_idempotence(names):
         assert m.note("node_type", n) == first_ids[n]  # idempotent
     distinct = list(dict.fromkeys(names))
     assert [first_ids[n] for n in distinct] == list(range(1, len(distinct) + 1))
+
+
+# --- ExactSubstr law: Spark plan == brute-force Python reference ------------
+
+substr_corpora = st.lists(
+    st.lists(st.sampled_from("abc"), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=substr_corpora)
+def test_exact_substring_matches_bruteforce(spark, texts):
+    """exact_substring_dedup == a brute-force reference that counts every
+    n-gram occurrence corpus-wide, unions covered spans per doc, and
+    rebuilds the kept token stream — exercising overlapping spans,
+    within-doc + cross-doc duplication, and sub-n documents together."""
+    from hgraphstorage_spark.pipeline.dedup import exact_substring_dedup
+
+    n = 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["kept_text"])
+        for r in exact_substring_dedup(docs, n=n).collect()
+    }
+
+    toks = {i: [w for w in t.strip().lower().split() if w] for i, t in enumerate(texts)}
+    from collections import Counter
+
+    counts = Counter()
+    for tk in toks.values():
+        for s in range(len(tk) - n + 1):
+            counts[tuple(tk[s : s + n])] += 1
+    for i, tk in toks.items():
+        covered = set()
+        for s in range(len(tk) - n + 1):
+            if counts[tuple(tk[s : s + n])] >= 2:
+                covered.update(range(s, s + n))
+        kept = " ".join(w for j, w in enumerate(tk) if j not in covered)
+        assert got[i] == (len(tk), len(covered), kept), (i, texts)
