@@ -1603,6 +1603,37 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, n=5)
 
 
+def q_cluster_split(spark, sf_dir):
+    """Leakage-safe split: hash_split keyed on the near-dup CLUSTER id so
+    connected near-duplicates never straddle train/test. Oracle composes
+    the dedup_clusters rounds with the shared hash_split CASE helper."""
+    from hgraphstorage_spark.pipeline import ngram_jaccard_pairs
+    from hgraphstorage_spark.pipeline.sampling import cluster_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang")
+    return cluster_safe_split(docs, pairs, rounds=3)
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus accounting (docs, tokens, chars, mean tokens) —
+    the input to any token-budget mixing decision."""
+    docs = _t(spark, sf_dir, "documents")
+    from hgraphstorage_spark.pipeline.text import _n_tokens
+
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("_chars"),
+        _n_tokens(F.col("text")).alias("_toks"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").cast("long").alias("total_tokens"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("_toks"), 6).cast("decimal(18,6)").cast("string").alias("mean_tokens"),
+    )
+
+
 def q_percentile_band(spark, sf_dir):
     """Winsorizing length gate: keep docs inside the [5%, 95%] n_chars
     percentile band (exact percentile_cont semantics both engines)."""
@@ -1970,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "hybrid_search": q_hybrid_search,
         "percentile_band": q_percentile_band,
+        "cluster_split": q_cluster_split,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -3021,9 +3054,11 @@ FROM scored
     }
 
 
-def _dedup_clusters_oracle_sql(rounds: int) -> str:
-    """Unrolled-SQL oracle for near-dup clustering: the ngram_jaccard pair
-    CTEs (same as that query's oracle) feeding `rounds` HashMin rounds."""
+def _dedup_cluster_ctes(rounds: int) -> list[str]:
+    """The shared CTE chain: ngram_jaccard pairs (same as that query's
+    oracle) feeding ``rounds`` HashMin rounds; ``l{rounds}`` holds the
+    final (doc_id, cluster) labels. Reused by the dedup_clusters and
+    cluster_safe_split oracles so they cannot drift."""
     ctes = [
         r"""wds AS (
           SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
@@ -3063,13 +3098,32 @@ def _dedup_clusters_oracle_sql(rounds: int) -> str:
               FROM l{p} LEFT JOIN nm{r} USING (doc_id)
             )"""
         )
+    return ctes
+
+
+def _dedup_clusters_oracle_sql(rounds: int) -> str:
+    """Unrolled-SQL oracle for near-dup clustering."""
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_dedup_cluster_ctes(rounds))
         + f"""
         SELECT cluster, count(*)::BIGINT AS n_docs,
                sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END)::BIGINT AS n_kept
         FROM l{rounds} GROUP BY cluster HAVING count(*) > 1"""
+    )
+
+
+def _cluster_safe_split_oracle_sql(rounds: int) -> str:
+    """Same cluster labels, then the hash_split CASE keyed on the CLUSTER
+    id — generated from the same threshold helper the Spark side uses."""
+    from hgraphstorage_spark.pipeline.sampling import hash_split_case_sql
+
+    case = hash_split_case_sql(id_col="cluster")
+    return (
+        "WITH "
+        + ",\n".join(_dedup_cluster_ctes(rounds))
+        + f"""
+        SELECT doc_id, cluster, {case} AS split FROM l{rounds}"""
     )
 
 
@@ -3381,6 +3435,20 @@ def oracle_sql() -> dict[str, str]:
     sql["k_core"] = _k_core_oracle_sql(3, 6)
     sql["label_propagation"] = _lpa_oracle_sql(3)
     sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
+    sql["cluster_split"] = _cluster_safe_split_oracle_sql(3)
+    sql["corpus_report"] = r"""
+        WITH p AS (
+          SELECT source, length(text) AS chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE array_length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END AS toks
+          FROM documents
+        )
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(toks)::BIGINT AS total_tokens,
+               sum(chars)::BIGINT AS total_chars,
+               CAST(round(avg(toks), 6) AS DECIMAL(18,6))::VARCHAR AS mean_tokens
+        FROM p GROUP BY source
+    """
     sql["random_walks"] = _random_walks_oracle_sql(3)
     # LSH md5-mode replays — parameters must match the q_ entries
     sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)

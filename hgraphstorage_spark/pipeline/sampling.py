@@ -359,3 +359,35 @@ def token_budget_mix(
         .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("_budget"))
         .select(id_col, strata_col, "n_tokens", "cum_tokens")
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+    rounds: int = 3,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents ALWAYS
+    land in the same split.
+
+    A plain per-document ``hash_split`` leaks — two near-identical
+    documents straddling train and test inflate eval scores exactly like
+    benchmark contamination. Here documents are first clustered over the
+    near-dup ``pairs`` graph (``dedup_clusters`` HashMin rounds) and the
+    deterministic md5 split is keyed on the CLUSTER id, so every member
+    of a connected near-dup chain moves as one unit. Same cost envelope
+    as the clustering itself; the split assignment is a narrow map.
+
+    Returns (doc_id, cluster, split)."""
+    from hgraphstorage_spark.pipeline.dedup import dedup_clusters
+
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    thresholds = split_thresholds(fractions)
+    cl = dedup_clusters(docs, pairs, id_col=id_col, rounds=rounds)
+    bucket = _bucket("cluster", salt)
+    expr = F.lit(thresholds[-1][0])
+    for name, bound in reversed(thresholds[:-1]):
+        expr = F.when(bucket <= F.lit(bound), F.lit(name)).otherwise(expr)
+    return cl.select(id_col, "cluster", expr.alias("split"))

@@ -1505,3 +1505,27 @@ class TestHybridSearch:
         got = hybrid_search(docs, emb, "spark join window", query_vec_id=0, k=50, pool=5).collect()
         assert any(r["lex_rank"] is None for r in got)
         assert any(r["sem_rank"] is None for r in got)
+
+
+class TestClusterSafeSplit:
+    def test_near_dups_share_split(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import cluster_safe_split
+
+        docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: r for r in cluster_safe_split(docs, pairs).collect()}
+        assert len(got) == 20
+        # chained near-dups move as one unit
+        assert got[0]["split"] == got[1]["split"] == got[2]["split"]
+        assert got[0]["cluster"] == got[1]["cluster"] == got[2]["cluster"] == 0
+        assert got[5]["split"] == got[6]["split"] and got[5]["cluster"] == 5
+        # split keyed on cluster id: singleton docs match hash_split of
+        # their own id (cluster == doc_id)
+        from hgraphstorage_spark.pipeline.sampling import hash_split
+
+        singles = hash_split(docs).collect()
+        want = {r["doc_id"]: r["split"] for r in singles}
+        for d in (3, 4, 7, 19):
+            assert got[d]["split"] == want[d]
