@@ -240,3 +240,97 @@ class TestNewOperatorPlans:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Exchange SinglePartition" not in plan
         assert "Join" not in plan
+
+
+class TestRound3OperatorPlans:
+    """Plan-shape audits for the round-3 operators."""
+
+    def test_exact_substring_one_gram_shuffle(self, spark):
+        """Gram hashes are longs BEFORE the shuffle (no string shuffle);
+        the dup-set join back is the only other exchange family."""
+        from hgraphstorage_spark.pipeline.dedup import exact_substring_dedup
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(exact_substring_dedup(docs, n=8))
+        assert "partial_count" in plan  # dup-hash counting combines map-side
+        assert "CartesianProduct" not in plan
+
+    def test_cross_source_overlap_no_inferred_filter_rescan(self, spark):
+        """Regression: InferFiltersFromGenerate must NOT push the shingle
+        expression below the repartition as a size()>0 filter — that
+        re-shingled the corpus single-threaded in the scan stage."""
+        from hgraphstorage_spark.pipeline.dedup import cross_source_overlap
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(cross_source_overlap(docs))
+        import re
+
+        assert not re.search(r"Filter \(size\(array_distinct", plan)
+
+    def test_fuzzy_pairs_blocked_equi_join(self, spark):
+        """Blocking is a plain equi-join on (prefix, bucket): hash join,
+        no nested loop, candidates distinct'd before levenshtein."""
+        from hgraphstorage_spark.pipeline.dedup import fuzzy_dup_pairs
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(fuzzy_dup_pairs(docs))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    def test_bloom_decontaminate_broadcasts_bits(self, spark):
+        from hgraphstorage_spark.pipeline.contamination import bloom_decontaminate
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = bloom_decontaminate(
+            docs.filter(F.col("doc_id") % 50 != 0),
+            docs.filter(F.col("doc_id") % 50 == 0),
+            n=5,
+        )
+        assert "BroadcastHashJoin" in executed_plan(out)
+
+    def test_sq_topk_broadcasts_ranges_and_query(self, spark):
+        """The quantizer ranges and the query vector re-enter as 1-row
+        broadcasts — the corpus is scanned, never shuffled."""
+        from hgraphstorage_spark.pipeline.similarity import sq_topk
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = executed_plan(sq_topk(emb, query_id=0, k=5))
+        assert "BroadcastNestedLoopJoin" in plan  # the two 1-row cross joins
+        assert "SortMergeJoin" not in plan
+        assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+    def test_ewma_single_keyed_exchange(self, spark):
+        from hgraphstorage_spark.functions.timeseries import ewma_features
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.streaming import load_events
+
+        plan = executed_plan(ewma_features(load_events(spark, "/root/testdata/sf0.001")))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange SinglePartition" not in plan
+
+    def test_char_entropy_zero_shuffle(self, spark):
+        from hgraphstorage_spark.pipeline.text import char_entropy
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(char_entropy(docs))
+        # one round-robin spread of the single-file scan; no hash exchange
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
+
+    def test_hybrid_search_fuses_small_frames(self, spark):
+        """Both retriever pools are top-k reductions; the fusion join and
+        rank windows run on <= pool rows (SinglePartition allowed there,
+        never on the corpus side)."""
+        from hgraphstorage_spark.pipeline.search import hybrid_search
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = executed_plan(hybrid_search(docs, emb, "spark join window", 0, k=5, pool=20))
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
