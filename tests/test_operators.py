@@ -247,20 +247,30 @@ class TestNewOpPlans:
         assert "MapInPandas" in plan
         assert "Exchange" not in plan  # pure narrow map over batches
 
-    def test_repetition_exact_is_shuffle_free(self, spark):
-        """The paper-exact covered fractions stay a pure narrow projection
-        (HOF interval union) — scan-speed on a 100 TB corpus, no Exchange,
-        no Python."""
+    def test_repetition_exact_no_keyed_shuffle_no_python(self, spark):
+        """The paper-exact covered fractions are narrow HOF work — the
+        data never shuffles BY KEY and never leaves the JVM. The one
+        allowed Exchange is the round-robin spread of a small-file scan
+        (a single parquet file arrives as one partition; without the
+        spread the whole corpus folds on one core — measured 20x the
+        operator's runtime). On a many-file 100 TB scan `_parallel` is a
+        no-op and the plan is exchange-free."""
         from hgraphstorage_spark.pipeline.text import repetition_stats_exact
         from hgraphstorage_spark.plans import executed_plan
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = executed_plan(repetition_stats_exact(docs))
-        assert "Exchange" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Exchange SinglePartition" not in plan
         assert "Pandas" not in plan and "PythonUDF" not in plan
-        # one Project straight over the parquet scan, reading only the two
-        # columns the op needs
+        # the scan reads only the two columns the op needs
         assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+        # non-file (in-memory/derived) inputs stay exchange-free entirely:
+        # their parallelism is unknown, so _parallel must not force a
+        # shuffle onto plans that usually inherit a spread already
+        local = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        plan2 = executed_plan(repetition_stats_exact(local))
+        assert "Exchange" not in plan2
 
 
 class TestSkewReport:
