@@ -664,3 +664,67 @@ class GraphEngine:
         query_step); this is the Spark-native extension of it."""
         self.register_views(prefix=prefix, version=version)
         return self.spark.sql(query)
+
+
+def snapshot_diff(a: GraphSnapshot, b: GraphSnapshot) -> dict[str, DataFrame]:
+    """What changed between two committed versions — the MVCC surface a
+    version-chain store owes its users (the reference keeps per-record
+    version chains, ``LowLevelDB MVCC.hs``; on immutable snapshots the
+    chain is recovered by set difference).
+
+    Returns DataFrames keyed: nodes_added / nodes_removed (id, label),
+    edges_added / edges_removed (id, src, dst, label), props_changed —
+    properties whose (owner, name, value-set) differ, as
+    (owner_id, owner_kind, name, change) with change in
+    {'added', 'removed'}; an updated value appears as one removed + one
+    added row (long-format props have no identity beyond their value).
+
+    All five are exceptAll set differences keyed on stable ids — plain
+    shuffles Catalyst plans as hash joins; nothing is collected."""
+    node_cols = ["id", "label"]
+    edge_cols = ["id", "src", "dst", "label"]
+    prop_cols = [c for c in a.props.columns]
+    return {
+        "nodes_added": b.nodes.select(node_cols).exceptAll(a.nodes.select(node_cols)),
+        "nodes_removed": a.nodes.select(node_cols).exceptAll(b.nodes.select(node_cols)),
+        "edges_added": b.edges.select(edge_cols).exceptAll(a.edges.select(edge_cols)),
+        "edges_removed": a.edges.select(edge_cols).exceptAll(b.edges.select(edge_cols)),
+        "props_added": b.props.select(prop_cols).exceptAll(a.props.select(prop_cols)),
+        "props_removed": a.props.select(prop_cols).exceptAll(b.props.select(prop_cols)),
+    }
+
+
+def entity_history(engine: "GraphEngine", owner_id: int) -> list[dict]:
+    """The version-chain view for ONE entity: for every committed version,
+    the entity's property state if it changed at that version — the
+    reference's per-record chain walk (``readRecord`` following
+    ``recordPrev``), reconstructed from the snapshot ledger.
+
+    Intended for point debugging (one entity, V versions): each step is
+    a broadcast-filtered props lookup on a pinned snapshot, collected as
+    a tiny list of {version, props} dicts; versions where nothing about
+    the entity changed are skipped."""
+    out: list[dict] = []
+    prev: dict | None = None
+    for v in engine.versions:
+        if v == 0:
+            continue
+        snap = engine.snapshot_at(v)
+        from hgraphstorage_spark.compiler import value_str
+
+        rows = (
+            snap.props.filter(F.col("owner_id") == owner_id)
+            .select("name", value_str().alias("v"))
+            .collect()
+        )
+        state: dict = {}
+        for r in rows:
+            state.setdefault(r["name"], []).append(r["v"])
+        state = {k: sorted(vs) for k, vs in state.items()}
+        exists = bool(rows) or snap.nodes.filter(F.col("id") == owner_id).limit(1).count() > 0
+        entry = {"version": v, "exists": exists, "props": state}
+        key = (exists, tuple(sorted((k, tuple(v)) for k, v in state.items())))
+        if prev != key:
+            out.append(entry)
+            prev = key
+    return out

@@ -495,3 +495,46 @@ def self_keys(eng):
     return sorted(
         (r["label"],) for r in eng.committed.nodes.select("label").collect()
     )
+
+
+class TestVersionDiff:
+    def test_snapshot_diff_tracks_all_change_kinds(self, spark, movie_engine):
+        from hgraphstorage_spark.engine import snapshot_diff
+
+        eng = movie_engine
+        v1 = eng.committed
+        nid = eng.add_node("Actor", {"name": "Meg Ryan", "age": 55})
+        eng.delete_edges([2])
+        eng.update_node(1, "Actor", {"name": "Tom Hanks", "age": 61})
+        eng.commit()
+        v2 = eng.committed
+        d = snapshot_diff(v1, v2)
+        assert [(r["id"], r["label"]) for r in d["nodes_added"].collect()] == [(nid, "Actor")]
+        assert d["nodes_removed"].count() == 0
+        assert d["edges_added"].count() == 0
+        assert [r["id"] for r in d["edges_removed"].collect()] == [2]
+        added = {(r["owner_id"], r["name"]) for r in d["props_added"].collect()}
+        removed = {(r["owner_id"], r["name"]) for r in d["props_removed"].collect()}
+        assert (nid, "name") in added and (nid, "age") in added
+        # age 60 -> 61: one removed + one added row for owner 1
+        assert (1, "age") in added and (1, "age") in removed
+        # reverse direction flips added/removed
+        rd = snapshot_diff(v2, v1)
+        assert [r["id"] for r in rd["nodes_removed"].collect()] == [nid]
+        assert [r["id"] for r in rd["edges_added"].collect()] == [2]
+
+    def test_entity_history_walks_versions(self, spark, movie_engine):
+        from hgraphstorage_spark.engine import entity_history
+
+        eng = movie_engine
+        eng.update_node(1, "Actor", {"name": "Tom Hanks", "age": 61})
+        eng.commit()
+        eng.update_node(1, "Actor", {"name": "Tom Hanks", "age": 62})
+        eng.commit()
+        hist = entity_history(eng, 1)
+        ages = [h["props"].get("age") for h in hist]
+        assert ages == [["60"], ["61"], ["62"]]
+        assert all(h["exists"] for h in hist)
+        # an untouched entity has a single history entry
+        hist2 = entity_history(eng, 2)
+        assert len(hist2) == 1 and hist2[0]["props"]["year"] == ["1990"]
