@@ -1634,6 +1634,14 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Centroid-cosine outlier gate over embeddings (bottom 5% of the
+    round-canonicalized mean-vector cosine; exact percentile)."""
+    from hgraphstorage_spark.pipeline.similarity import embedding_outliers
+
+    return _canon(embedding_outliers(_t(spark, sf_dir, "embeddings")), "score")
+
+
 def q_percentile_band(spark, sf_dir):
     """Winsorizing length gate: keep docs inside the [5%, 95%] n_chars
     percentile band (exact percentile_cont semantics both engines)."""
@@ -2006,6 +2014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_band": q_percentile_band,
         "cluster_split": q_cluster_split,
         "corpus_report": q_corpus_report,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -3492,6 +3501,23 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    sql["embedding_outliers"] = """
+        WITH m AS (
+          SELECT list(mm ORDER BY pos) AS mv FROM (
+            SELECT t.i AS pos, round(avg(embedding[t.i]::DOUBLE), 6) AS mm
+            FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+            GROUP BY t.i)
+        ),
+        s AS (
+          SELECT vec_id,
+                 CAST(round(list_dot_product(embedding::DOUBLE[], mv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(mv, mv))), 6) AS DECIMAL(18,6)) AS score
+          FROM embeddings, m
+        ),
+        t AS (SELECT CAST(quantile_cont(score, 0.05) AS DECIMAL(18,6)) AS thr FROM s)
+        SELECT vec_id, score::VARCHAR AS score, score <= thr AS outlier FROM s, t
     """
     sql["percentile_band"] = """
         WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS p_lo,

@@ -887,3 +887,44 @@ def pca_project(
         .withColumn("_c", centered)
         .select("vec_id", proj.alias("proj"))
     )
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    bottom_frac: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space hygiene gate: cosine of every vector to the corpus
+    MEAN vector, flagging the least-typical ``bottom_frac`` — the cheap
+    first-pass screen for mis-embedded/garbage rows before they poison
+    ANN indexes or k-means seeds.
+
+    The mean vector comes from the same d-rows-per-partition aggregate
+    as ``embedding_stats`` and re-enters as a broadcast 1-row array,
+    ROUNDED to 6 decimals first — that canonicalization is what makes
+    the per-row cosine (pure element-order IEEE arithmetic) identical in
+    any engine despite float-sum reduction-order differences in the mean
+    itself. The threshold is the exact ``bottom_frac`` percentile of the
+    rounded scores (percentile_cont semantics). Flag rule:
+    score <= threshold.
+
+    Returns (vec_id, score DECIMAL(18,6), outlier BOOLEAN)."""
+    mean_vec = (
+        emb.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_ms"))
+        .select(F.transform("_ms", lambda s: s["m"]).alias("mv"))
+    )
+    scored = emb.crossJoin(F.broadcast(mean_vec)).select(
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine(F.col(vec_col), F.col("mv")), 6).cast("decimal(18,6)").alias("score"),
+    )
+    thr = scored.agg(
+        F.expr(f"percentile(score, {bottom_frac})").cast("decimal(18,6)").alias("thr")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "vec_id", "score", (F.col("score") <= F.col("thr")).alias("outlier")
+    )
