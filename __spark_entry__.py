@@ -1634,6 +1634,23 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
+def q_weighted_sp(spark, sf_dir):
+    """Weighted shortest paths from every region over the located-in
+    tree (deterministic edge weights (id % 7) + 1), 3 Bellman-Ford
+    rounds — cost layers are exact integer sums in the oracle."""
+    from hgraphstorage_spark.analytics import weighted_shortest_paths
+
+    snap = _graph(spark, sf_dir)
+    landmarks = [NODE["Region"] + r for r in range(5)]
+    return weighted_shortest_paths(
+        snap,
+        landmarks,
+        weight_col=(F.col("id") % 7) + 1,
+        rounds=3,
+        labels=("custLocatedIn", "suppLocatedIn", "nationLocatedIn"),
+    )
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Centroid-cosine outlier gate over embeddings (bottom 5% of the
     round-canonicalized mean-vector cosine; exact percentile)."""
@@ -2015,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "corpus_report": q_corpus_report,
         "embedding_outliers": q_embedding_outliers,
+        "weighted_sp": q_weighted_sp,
     }
 
 
@@ -3501,6 +3519,27 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    # weighted_sp: on the located-in tree every (node, landmark) pair has
+    # one path, so the 3-round Bellman-Ford cost is the exact layer sum
+    sql["weighted_sp"] = """
+        WITH r AS (SELECT (1000000000000 + r_regionkey)::BIGINT AS id,
+                          (1000000000000 + r_regionkey)::BIGINT AS landmark,
+                          0::BIGINT AS cost FROM region),
+        n AS (SELECT (2000000000000 + n_nationkey)::BIGINT AS id,
+                     (1000000000000 + n_regionkey)::BIGINT AS landmark,
+                     (((300000000000000 + n_nationkey) % 7) + 1)::BIGINT AS cost,
+                     n_nationkey FROM nation),
+        c AS (SELECT (3000000000000 + c_custkey)::BIGINT AS id, n.landmark,
+                     (n.cost + ((100000000000000 + c_custkey) % 7) + 1)::BIGINT AS cost
+              FROM customer JOIN n ON c_nationkey = n.n_nationkey),
+        s AS (SELECT (4000000000000 + s_suppkey)::BIGINT AS id, n.landmark,
+                     (n.cost + ((200000000000000 + s_suppkey) % 7) + 1)::BIGINT AS cost
+              FROM supplier JOIN n ON s_nationkey = n.n_nationkey)
+        SELECT id, landmark, cost FROM r
+        UNION ALL SELECT id, landmark, cost FROM n
+        UNION ALL SELECT id, landmark, cost FROM c
+        UNION ALL SELECT id, landmark, cost FROM s
     """
     sql["embedding_outliers"] = """
         WITH m AS (

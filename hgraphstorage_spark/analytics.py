@@ -739,3 +739,56 @@ def harmonic_centrality(
         F.round(F.lit(1.0) / F.col("dist"), 12).cast("decimal(28,12)"),
     ).otherwise(F.lit(0).cast("decimal(28,12)"))
     return sp.groupBy("id").agg(F.sum(term).cast("decimal(28,12)").alias("harmonic"))
+
+
+def weighted_shortest_paths(
+    snap: GraphSnapshot,
+    landmarks: list,
+    weight_col=None,
+    rounds: int = 4,
+    labels: tuple = (),
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths by synchronous
+    Bellman-Ford relaxation: ``rounds`` rounds of
+    state ⋈ edges → cost + w → min per (node, landmark).
+
+    Exact for every shortest path using <= ``rounds`` edges (the
+    fixed-round form that keeps the operator deterministic and
+    SQL-oracle-able, like ``k_core``/``label_propagation``); run with
+    rounds >= the graph diameter for full convergence. All landmarks
+    relax in ONE frame — the edge table is scanned once per round, not
+    once per landmark. Costs stay integral (LONG) when the weight column
+    is integral, so no float-order concerns. State is localCheckpointed
+    per round to truncate lineage; unreachable pairs are absent.
+
+    ``weight_col``: Column over the edge rows (default 1 = hop count).
+    Returns (id, landmark, cost)."""
+    edges = snap.edges
+    if labels:
+        edges = edges.filter(F.col("label").isin(list(labels)))
+    w = (weight_col if weight_col is not None else F.lit(1)).cast("long")
+    ed = edges.select("src", "dst", w.alias("w"))
+    if not directed:
+        ed = ed.unionAll(
+            ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    ed = ed.persist()
+    spark = snap.nodes.sparkSession
+    state = spark.createDataFrame(
+        [(x, x, 0) for x in landmarks], "id long, landmark long, cost long"
+    ).localCheckpoint()
+    for _ in range(rounds):
+        relaxed = (
+            state.withColumnRenamed("id", "src")
+            .join(ed, "src")
+            .select(F.col("dst").alias("id"), "landmark", (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        state = (
+            state.unionAll(relaxed)
+            .groupBy("id", "landmark")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=False)
+        )
+    ed.unpersist()
+    return state

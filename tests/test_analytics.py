@@ -433,3 +433,41 @@ class TestHarmonicCentrality:
         # endpoints: dist 0 to self (no contribution) + dist 3 across
         assert h[1] == third and h[4] == third
         assert h[3] == Decimal("1.5")
+
+
+class TestWeightedShortestPaths:
+    def test_relaxation_prefers_cheaper_longer_path(self, spark):
+        """The Bellman property: a 2-edge path of total weight 5 beats a
+        direct edge of weight 10 — needs >= 2 relaxation rounds."""
+        from hgraphstorage_spark.analytics import weighted_shortest_paths
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(3)])
+        eng.add_edges(
+            [
+                (1, 3, "direct", {}),   # edge id 1 -> weight 10
+                (1, 2, "hop", {}),      # edge id 2 -> weight 2
+                (2, 3, "hop", {}),      # edge id 3 -> weight 3
+            ]
+        )
+        eng.commit()
+        weights = {1: 10, 2: 2, 3: 3}
+        w = F.lit(None).cast("long")
+        for eid, wt in weights.items():
+            w = F.when(F.col("id") == eid, F.lit(wt)).otherwise(w)
+        out = weighted_shortest_paths(
+            eng.current, [1], weight_col=w, rounds=3, directed=True
+        )
+        got = {r["id"]: r["cost"] for r in out.collect()}
+        assert got == {1: 0, 2: 2, 3: 5}
+        # one round can only see the direct edge
+        one = weighted_shortest_paths(eng.current, [1], weight_col=w, rounds=1, directed=True)
+        assert {r["id"]: r["cost"] for r in one.collect()}[3] == 10
+
+    def test_default_weight_equals_hop_bfs(self, spark, two_component_engine):
+        from hgraphstorage_spark.analytics import weighted_shortest_paths
+
+        out = weighted_shortest_paths(two_component_engine.current, [1], rounds=4)
+        got = {r["id"]: r["cost"] for r in out.collect()}
+        assert got == {1: 0, 2: 1, 3: 2}
+        assert 4 not in got and 6 not in got  # unreachable pairs absent
