@@ -1634,6 +1634,24 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Refresh-crawl dedup: odd doc_ids (the new batch) probe even
+    doc_ids (the seen corpus) through the asymmetric banded LSH join;
+    md5 hash mode so the oracle replays every layer."""
+    from hgraphstorage_spark.pipeline.dedup import incremental_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    return _canon(
+        incremental_near_dup(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            threshold=0.6,
+            hash_mode="md5",
+        ),
+        "jaccard",
+    )
+
+
 def q_weighted_sp(spark, sf_dir):
     """Weighted shortest paths from every region over the located-in
     tree (deterministic edge weights (id % 7) + 1), 3 Bellman-Ford
@@ -2033,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "embedding_outliers": q_embedding_outliers,
         "weighted_sp": q_weighted_sp,
+        "incremental_near_dup": q_incremental_near_dup,
     }
 
 
@@ -3210,6 +3229,59 @@ def _minhash_lsh_oracle_sql(
     """
 
 
+def _incremental_lsh_oracle_sql(
+    n: int = 5, k: int = 64, bands: int = 16, threshold: float = 0.6
+) -> str:
+    """DuckDB replay of ``incremental_near_dup(hash_mode="md5")`` with
+    new = odd doc_ids probing seen = even doc_ids: identical CTE chain to
+    the symmetric oracle, asymmetric candidate join."""
+    P = 2_147_483_647
+    rpb = k // bands
+    wh_idx = ", ".join(f"whs[i+{j}]" for j in range(n))
+    return rf"""
+        WITH wds AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        wh AS (SELECT doc_id, list_transform(words, w -> md5(w)) AS whs FROM wds),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(whs) - {n - 1}, 1)),
+            i -> ('0x' || substr(md5(concat_ws(':', {wh_idx})), 1, 15))::BIGINT
+          )) AS shs FROM wh
+        ),
+        ab AS (
+          SELECT doc_id, list_transform(shs, h -> {{'a': h % {P},
+            'b': (h >> 29) % {P}}}) AS abs
+          FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id, list_transform(generate_series(0, {k - 1}),
+            i -> list_min(list_transform(abs, s -> (s.a + i * s.b) % {P}))) AS sig
+          FROM ab
+        ),
+        banded AS (
+          SELECT doc_id, b AS band_id,
+                 md5(array_to_string(list_slice(sig, {rpb}*b + 1, {rpb}*b + {rpb}), ':')) AS band_hash
+          FROM sigs, unnest(generate_series(0, {bands - 1})) AS t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS seen_id
+          FROM banded a JOIN banded b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        ),
+        j AS (
+          SELECT cand.doc_id, cand.seen_id,
+                 CAST(round(len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
+                   AS DECIMAL(18,6)) AS jaccard
+          FROM cand JOIN sh sa ON cand.doc_id = sa.doc_id JOIN sh sb ON cand.seen_id = sb.doc_id
+        )
+        SELECT doc_id, seen_id, jaccard::VARCHAR AS jaccard FROM j WHERE jaccard >= {threshold}
+    """
+
+
 def _embed_lsh_oracle_sql(
     threshold: float = 0.35, dims: int = 64, bits: int = 5, tables: int = 8
 ) -> str:
@@ -3482,6 +3554,7 @@ def oracle_sql() -> dict[str, str]:
     sql["random_walks"] = _random_walks_oracle_sql(3)
     # LSH md5-mode replays — parameters must match the q_ entries
     sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
+    sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
     sql["exact_substring"] = _exact_substring_oracle_sql(n=8)

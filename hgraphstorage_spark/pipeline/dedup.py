@@ -214,6 +214,33 @@ def minhash_signatures(
     ).select("doc_id", "sig")
 
 
+def _banded(base: DataFrame, rows_per_band: int, bands: int, hash_mode: str) -> DataFrame:
+    """(doc_id, band_id, band_hash) from a signature frame. Band hash =
+    fold over the band's signature slice; a single nested HOF keeps the
+    expression tree O(1) in ``bands``. md5 mode hashes the ':'-joined
+    slice instead (== DuckDB md5(array_to_string(list_slice(...), ':')))."""
+    if hash_mode == "md5":
+        band_fold = lambda sl: F.md5(  # noqa: E731
+            F.concat_ws(":", F.transform(sl, lambda x: x.cast("string")))
+        )
+    else:
+        band_fold = lambda sl: F.aggregate(  # noqa: E731
+            sl, F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x)
+        )
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            band_fold(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
+                "band_hash"
+            ),
+        ),
+    )
+    return base.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -246,30 +273,7 @@ def minhash_lsh_pairs(
     # smaller than the text it replaces.
     base = _with_signature(shingle_hashes(docs, text_col, id_col, n, hash_mode), k, hash_mode)
     base.persist()
-    # band hash = fold over the band's signature slice; a single nested
-    # HOF keeps the expression tree O(1) in `bands` (cf. the signature
-    # construction above). md5 mode hashes the ':'-joined slice instead
-    # (== DuckDB md5(array_to_string(list_slice(...), ':'))).
-    if hash_mode == "md5":
-        band_fold = lambda sl: F.md5(  # noqa: E731
-            F.concat_ws(":", F.transform(sl, lambda x: x.cast("string")))
-        )
-    else:
-        band_fold = lambda sl: F.aggregate(  # noqa: E731
-            sl, F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x)
-        )
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            band_fold(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)).alias(
-                "band_hash"
-            ),
-        ),
-    )
-    banded = base.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
-    )
+    banded = _banded(base, rows_per_band, bands, hash_mode)
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (
@@ -306,6 +310,71 @@ def minhash_lsh_pairs(
         )
     )
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Refresh-crawl dedup: which NEW documents near-duplicate anything in
+    the SEEN corpus — the incremental form of ``minhash_lsh_pairs`` (a
+    fresh crawl against last month's corpus must not re-pair the seen
+    side with itself, which at 100 TB dwarfs the new batch).
+
+    Same signature/banding machinery, but the band join is ASYMMETRIC:
+    new bands probe seen bands only, so the candidate count scales with
+    |new| x collision rate, never |seen|^2. In production the seen
+    side's signature table is the persisted artifact of the original
+    dedup run (8(k+|shingles|) bytes/doc) — the text never re-shingles.
+    Verification is exact Jaccard on the hashed shingle sets, as in the
+    symmetric op.
+
+    Returns (doc_id, seen_id, jaccard): one row per flagged (new, seen)
+    pair at >= threshold; the caller drops flagged docs with a left_anti
+    join on doc_id."""
+    rows_per_band = k // bands
+    base_new = _with_signature(
+        shingle_hashes(new_docs, text_col, id_col, n, hash_mode), k, hash_mode
+    ).persist()
+    base_seen = _with_signature(
+        shingle_hashes(seen_docs, text_col, id_col, n, hash_mode), k, hash_mode
+    ).persist()
+    bn = _banded(base_new, rows_per_band, bands, hash_mode).alias("a")
+    bs = _banded(base_seen, rows_per_band, bands, hash_mode).alias("b")
+    candidates = (
+        bn.join(
+            bs,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("seen_id"))
+        .distinct()
+    )
+    sh_new = base_new.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
+    sh_seen = base_seen.select(F.col("doc_id").alias("seen_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        F.broadcast(candidates)
+        .join(sh_new, "doc_id")
+        .join(sh_seen, "seen_id")
+        .select(
+            "doc_id",
+            "seen_id",
+            F.round(
+                inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(

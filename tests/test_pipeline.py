@@ -1529,3 +1529,45 @@ class TestClusterSafeSplit:
         want = {r["doc_id"]: r["split"] for r in singles}
         for d in (3, 4, 7, 19):
             assert got[d]["split"] == want[d]
+
+
+class TestIncrementalNearDup:
+    def test_new_probes_seen_only(self, spark, docs):
+        from hgraphstorage_spark.pipeline.dedup import incremental_near_dup
+
+        # seen corpus: docs 0 and 4; new batch: near-dup of 0 (doc 2),
+        # exact dup of 0 (doc 1), unrelated (doc 3)
+        seen = docs.filter(F.col("doc_id").isin(0, 4))
+        new = docs.filter(F.col("doc_id").isin(1, 2, 3))
+        got = {
+            (r["doc_id"], r["seen_id"]): float(r["jaccard"])
+            for r in incremental_near_dup(new, seen, threshold=0.35, k=32, bands=16).collect()
+        }
+        assert got[(1, 0)] == 1.0           # exact dup flagged against seen
+        assert 0.35 <= got[(2, 0)] < 1.0    # near dup flagged
+        assert not any(d == 3 for d, _ in got)      # unrelated new doc clean
+        # seen docs never pair with each other (asymmetric join)
+        assert all(s in (0, 4) and d in (1, 2, 3) for d, s in got)
+
+    def test_matches_symmetric_pairs_across_split(self, spark):
+        """Against a real corpus split, the asymmetric op finds exactly the
+        symmetric op's (odd, even) pairs."""
+        from hgraphstorage_spark.pipeline.dedup import (
+            incremental_near_dup,
+            minhash_lsh_pairs,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sym = minhash_lsh_pairs(docs, threshold=0.5).collect()
+        want = {
+            tuple(sorted((r["doc_a"], r["doc_b"])))
+            for r in sym
+            if (r["doc_a"] % 2) != (r["doc_b"] % 2)
+        }
+        inc = incremental_near_dup(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            threshold=0.5,
+        ).collect()
+        got = {tuple(sorted((r["doc_id"], r["seen_id"]))) for r in inc}
+        assert got == want
