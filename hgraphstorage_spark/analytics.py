@@ -792,3 +792,112 @@ def weighted_shortest_paths(
         )
     ed.unpersist()
     return state
+
+
+def betweenness(
+    snap: GraphSnapshot,
+    landmarks: list,
+    max_hops: int = 10,
+    labels: tuple = (),
+    directed: bool = False,
+) -> DataFrame:
+    """Landmark-sampled betweenness centrality (Brandes 2001): exact
+    source-dependency accumulation for the given ``landmarks``; summing
+    over a uniform landmark sample is the standard unbiased estimator of
+    full betweenness (Brandes-Pich 2007) — exact when ``landmarks`` is
+    every node.
+
+    Forward phase: one layered multi-source BFS carrying shortest-path
+    COUNTS (sigma) — per hop, one edge join + a (landmark, node) keyed
+    sum, all landmarks in one frame. Backward phase: dependency
+    delta(v) = sum over successors w of sigma_v/sigma_w * (1 + delta_w),
+    processed one DISTANCE LAYER at a time from the deepest layer in —
+    each layer is one join against the successor layer's deltas. Rounds
+    are bounded by the reached diameter; every layer frame is
+    localCheckpointed. Betweenness = sum of deltas over landmarks,
+    endpoints excluded (unreached nodes are absent).
+
+    Ratios are doubles rounded to 9 decimals at the final sum
+    (deterministic per-(landmark, node) addition order is NOT required:
+    the per-landmark delta is computed layer-local before the final
+    keyed sum, whose float-order variance is absorbed by round-6 canon
+    in callers that need cross-engine equality).
+
+    Returns (id, betweenness DECIMAL(18,6))."""
+    edges = snap.edges
+    if labels:
+        edges = edges.filter(F.col("label").isin(list(labels)))
+    # SIMPLE-graph semantics (the textbook definition): parallel edges
+    # collapse, self-loops drop — otherwise sigma counts each parallel
+    # edge as a distinct shortest path
+    ed = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if not directed:
+        ed = ed.unionAll(ed.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ed = ed.distinct().persist()
+    spark = snap.nodes.sparkSession
+    visited = spark.createDataFrame(
+        [(x, x, 0, 1) for x in landmarks], "lm long, id long, dist int, sigma long"
+    ).localCheckpoint()
+    frontier = visited
+    depth = 0
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.withColumnRenamed("id", "src")
+            .join(ed, "src")
+            .groupBy("lm", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("lm", "id"), ["lm", "id"], "left_anti")
+            .select("lm", "id", F.lit(hop).alias("dist"), "sigma")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+        depth = hop
+    # backward: deltas per layer, deepest first
+    delta = (
+        visited.filter(F.col("dist") == depth)
+        .select("lm", "id", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=False)
+    )
+    acc = delta
+    for d in range(depth - 1, -1, -1):
+        layer = visited.filter(F.col("dist") == d)
+        succ = (
+            visited.filter(F.col("dist") == d + 1)
+            .withColumnRenamed("id", "sid")
+            .withColumnRenamed("sigma", "ssigma")
+            .join(
+                delta.select("lm", F.col("id").alias("sid"), F.col("delta").alias("sdelta")),
+                ["lm", "sid"],
+            )
+        )
+        contrib = (
+            layer.withColumnRenamed("id", "src")
+            .join(ed, "src")
+            .join(
+                succ.select("lm", F.col("sid").alias("dst"), "ssigma", "sdelta"),
+                ["lm", "dst"],
+            )
+            .groupBy("lm", F.col("src").alias("id"))
+            .agg(
+                F.sum(
+                    F.col("sigma").cast("double")
+                    / F.col("ssigma")
+                    * (F.lit(1.0) + F.col("sdelta"))
+                ).alias("c")
+            )
+        )
+        delta = (
+            layer.select("lm", "id", "sigma")
+            .join(contrib, ["lm", "id"], "left")
+            .select("lm", "id", F.coalesce("c", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=False)
+        )
+        acc = acc.unionAll(delta)
+    return (
+        acc.filter(F.col("id") != F.col("lm"))
+        .groupBy("id")
+        .agg(F.round(F.sum("delta"), 6).cast("decimal(18,6)").alias("betweenness"))
+    )

@@ -471,3 +471,27 @@ class TestWeightedShortestPaths:
         got = {r["id"]: r["cost"] for r in out.collect()}
         assert got == {1: 0, 2: 1, 3: 2}
         assert 4 not in got and 6 not in got  # unreachable pairs absent
+
+
+class TestBetweenness:
+    def test_star_center_carries_all_pairs(self, spark):
+        from hgraphstorage_spark.analytics import betweenness
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(5)])
+        eng.add_edges([(1, i, "e", {}) for i in range(2, 6)])
+        eng.commit()
+        got = {r["id"]: float(r["betweenness"]) for r in betweenness(eng.current, [1, 2, 3, 4, 5]).collect()}
+        # center: C(4,2) unordered leaf pairs x 2 source directions = 12
+        assert got[1] == 12.0
+        assert all(got.get(v, 0.0) == 0.0 for v in (2, 3, 4, 5))
+
+    def test_landmark_subset_is_partial_sum(self, spark, two_component_engine):
+        from hgraphstorage_spark.analytics import betweenness
+
+        full = {r["id"]: float(r["betweenness"])
+                for r in betweenness(two_component_engine.current, [1, 2, 3, 4, 5, 6]).collect()}
+        part = {r["id"]: float(r["betweenness"])
+                for r in betweenness(two_component_engine.current, [1]).collect()}
+        for v, c in part.items():
+            assert c <= full.get(v, 0.0) + 1e-9

@@ -343,3 +343,61 @@ def test_exact_substring_matches_bruteforce(spark, texts):
                 covered.update(range(s, s + n))
         kept = " ".join(w for j, w in enumerate(tk) if j not in covered)
         assert got[i] == (len(tk), len(covered), kept), (i, texts)
+
+
+# --- Brandes law: layered Spark betweenness == reference Brandes ------------
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_betweenness_matches_reference_brandes(spark, edges):
+    """The layered forward-sigma / backward-delta frames equal textbook
+    Brandes (queue + predecessor lists) with every node as a landmark —
+    on arbitrary small multigraph shapes including cycles, self-loops,
+    parallel edges, and disconnected nodes."""
+    import collections
+
+    from hgraphstorage_spark import GraphEngine
+    from hgraphstorage_spark.analytics import betweenness
+
+    eng = GraphEngine(spark)
+    eng.add_nodes([("N", {}) for _ in range(6)])
+    eng.add_edges([(s, d, lbl, {}) for s, d, lbl in edges])
+    eng.commit()
+    nodes = list(range(1, 7))
+    got = {r["id"]: float(r["betweenness"]) for r in betweenness(eng.current, nodes).collect()}
+
+    # reference: unweighted Brandes over the undirected simple graph
+    adj = {v: set() for v in nodes}
+    for s, d, _ in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    C = {v: 0.0 for v in nodes}
+    for s in nodes:
+        S = []
+        P = collections.defaultdict(list)
+        sigma = {v: 0 for v in nodes}
+        sigma[s] = 1
+        dist = {v: -1 for v in nodes}
+        dist[s] = 0
+        Q = collections.deque([s])
+        while Q:
+            v = Q.popleft()
+            S.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    Q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                C[w] += delta[w]
+    for v in nodes:
+        assert abs(got.get(v, 0.0) - round(C[v], 6)) < 1e-6, (v, edges)
