@@ -1634,6 +1634,27 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
+def q_betweenness(spark, sf_dir):
+    """Brandes betweenness from the 5 region landmarks over the
+    located-in forest. Trees make the dependency closed-form — every
+    shortest path from a region to a customer/supplier passes through
+    exactly its nation — so the oracle is the exact per-nation
+    descendant count, while the Spark side runs the real layered
+    forward-sigma/backward-delta frames."""
+    from hgraphstorage_spark.analytics import betweenness
+
+    snap = _graph(spark, sf_dir)
+    landmarks = [NODE["Region"] + r for r in range(5)]
+    return _canon(
+        betweenness(
+            snap,
+            landmarks,
+            labels=("custLocatedIn", "suppLocatedIn", "nationLocatedIn"),
+        ),
+        "betweenness",
+    )
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Refresh-crawl dedup: odd doc_ids (the new batch) probe even
     doc_ids (the seen corpus) through the asymmetric banded LSH join;
@@ -2052,6 +2073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "weighted_sp": q_weighted_sp,
         "incremental_near_dup": q_incremental_near_dup,
+        "betweenness": q_betweenness,
     }
 
 
@@ -3592,6 +3614,24 @@ def oracle_sql() -> dict[str, str]:
                coalesce(h.n_hits, 0)::BIGINT AS n_hits,
                coalesce(h.n_hits, 0) >= 1 AS contaminated
         FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """
+    # betweenness: on the located-in forest, every region-to-leaf
+    # shortest path passes through exactly one nation, so the Brandes
+    # dependency from region landmarks is the nation's leaf count;
+    # leaves and regions (endpoints) score 0 and are absent
+    sql["betweenness"] = """
+        SELECT (2000000000000 + n_nationkey)::BIGINT AS id,
+               CAST(round(COALESCE(c.cnt, 0) + COALESCE(s.cnt, 0), 6)
+                 AS DECIMAL(18,6))::VARCHAR AS betweenness
+        FROM nation
+        LEFT JOIN (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1) c
+               ON c_nationkey = n_nationkey
+        LEFT JOIN (SELECT s_nationkey, count(*) AS cnt FROM supplier GROUP BY 1) s
+               ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT (3000000000000 + c_custkey)::BIGINT, '0.000000' FROM customer
+        UNION ALL
+        SELECT (4000000000000 + s_suppkey)::BIGINT, '0.000000' FROM supplier
     """
     # weighted_sp: on the located-in tree every (node, landmark) pair has
     # one path, so the 3-round Bellman-Ford cost is the exact layer sum
