@@ -557,6 +557,25 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(sub)
 
 
+def q_clustering(spark, sf_dir):
+    """Per-node local clustering coefficient (triangles / C(deg,2)) over
+    the same package-level Hackage projection as triangle_count."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import clustering_coefficient
+    from hgraphstorage_spark.sources.hackage import PKG_BASE, VER_BASE, load_hackage_graph
+
+    snap = load_hackage_graph(spark, 1000)
+    dep = snap.edges.filter(F.col("label") == "depends").select(
+        F.col("id"),
+        (F.floor((F.col("src") - VER_BASE) / 256) + PKG_BASE).cast("long").alias("src"),
+        F.col("dst"),
+        F.lit("pkg_depends").alias("label"),
+    )
+    sub = replace(snap, nodes=snap.nodes.filter(F.col("label") == "Package"), edges=dep)
+    return _canon(clustering_coefficient(sub), "coeff")
+
+
 def q_link_prediction(spark, sf_dir):
     """Analytics: common-neighbor / Jaccard / Adamic-Adar link-prediction
     scores over the package-level Hackage depends projection, top-50
@@ -2074,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sp": q_weighted_sp,
         "incremental_near_dup": q_incremental_near_dup,
         "betweenness": q_betweenness,
+        "clustering": q_clustering,
     }
 
 
@@ -3619,6 +3639,27 @@ def oracle_sql() -> dict[str, str]:
     # shortest path passes through exactly one nation, so the Brandes
     # dependency from region landmarks is the nation's leaf count;
     # leaves and regions (endpoints) score 0 and are absent
+    # clustering: triangle CTEs + degree + the C(deg,2) ratio
+    sql["clustering"] = """
+        WITH pkgs AS (SELECT unnest(generate_series(0, 999)) AS i),
+        vv AS (SELECT i, unnest(generate_series(0, CASE WHEN i = 0 THEN 119 ELSE (i*i) % 113 END)) AS j FROM pkgs),
+        und AS (SELECT DISTINCT least(i, (i*31 + j) % 1000) AS u, greatest(i, (i*31 + j) % 1000) AS w
+                FROM vv WHERE (i*31 + j) % 1000 <> i),
+        tri AS (SELECT e1.u AS a, e1.w AS b, e2.w AS c
+                FROM und e1 JOIN und e2 ON e2.u = e1.w
+                JOIN und e3 ON e3.u = e1.u AND e3.w = e2.w),
+        roles AS (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        cnt AS (SELECT n, count(*) AS t FROM roles GROUP BY n),
+        adj AS (SELECT u AS w, w AS n FROM und UNION ALL SELECT w, u FROM und),
+        deg AS (SELECT w, count(*) AS d FROM adj GROUP BY w)
+        SELECT (1000000000 + i)::BIGINT AS id,
+               COALESCE(t, 0)::BIGINT AS triangles,
+               COALESCE(d, 0)::BIGINT AS deg,
+               CASE WHEN COALESCE(d, 0) >= 2
+                    THEN CAST(round(COALESCE(t, 0)::DOUBLE / (d * (d - 1) / 2.0), 6) AS DECIMAL(18,6))::VARCHAR
+                    ELSE '0.000000' END AS coeff
+        FROM pkgs LEFT JOIN cnt ON n = i LEFT JOIN deg ON w = i
+    """
     sql["betweenness"] = """
         SELECT (2000000000000 + n_nationkey)::BIGINT AS id,
                CAST(round(COALESCE(c.cnt, 0) + COALESCE(s.cnt, 0), 6)

@@ -901,3 +901,40 @@ def betweenness(
         .groupBy("id")
         .agg(F.round(F.sum("delta"), 6).cast("decimal(18,6)").alias("betweenness"))
     )
+
+
+def clustering_coefficient(snap: GraphSnapshot) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph: triangles / C(deg, 2) — the standard cohesion metric next to
+    triangle counts (same Suri-Vassilvitskii wedge machinery underneath,
+    so the skew bound carries over; the extra work is one broadcast-size
+    degree join). Nodes with deg < 2 score 0. Returns
+    (id, triangles, deg, coeff DECIMAL(18,6))."""
+    tri = triangle_count(snap)
+    und = (
+        snap.edges.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pairs = (F.col("deg") * (F.col("deg") - 1) / 2).cast("double")
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            "triangles",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.round(F.col("triangles").cast("double") / pairs, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+            .alias("coeff"),
+        )
+    )

@@ -495,3 +495,20 @@ class TestBetweenness:
                 for r in betweenness(two_component_engine.current, [1]).collect()}
         for v, c in part.items():
             assert c <= full.get(v, 0.0) + 1e-9
+
+
+class TestClusteringCoefficient:
+    def test_triangle_plus_tail(self, spark):
+        from hgraphstorage_spark.analytics import clustering_coefficient
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(4)])
+        # triangle 1-2-3 plus tail 3-4
+        eng.add_edges([(1, 2, "e", {}), (2, 3, "e", {}), (3, 1, "e", {}), (3, 4, "e", {})])
+        eng.commit()
+        got = {r["id"]: r for r in clustering_coefficient(eng.current).collect()}
+        assert float(got[1]["coeff"]) == 1.0 and got[1]["deg"] == 2
+        assert float(got[2]["coeff"]) == 1.0
+        # node 3: deg 3, one triangle of C(3,2)=3 possible
+        assert got[3]["deg"] == 3 and float(got[3]["coeff"]) == round(1 / 3, 6)
+        assert float(got[4]["coeff"]) == 0.0 and got[4]["triangles"] == 0
