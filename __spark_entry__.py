@@ -1434,6 +1434,14 @@ def q_exact_substring(spark, sf_dir):
     return exact_substring_dedup(_t(spark, sf_dir, "documents"), n=8, hash_mode="md5")
 
 
+def q_stopword_stats(spark, sf_dir):
+    """Gopher stopword signal: distinct list-word hits + token fraction,
+    one zero-shuffle narrow fold."""
+    from hgraphstorage_spark.pipeline.text import stopword_stats
+
+    return _canon(stopword_stats(_t(spark, sf_dir, "documents")), "stopword_frac")
+
+
 def q_char_entropy(spark, sf_dir):
     """Character-level Shannon entropy (bits/char) — run-length fold over
     the sorted char array, zero shuffle; relational oracle."""
@@ -2094,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_near_dup": q_incremental_near_dup,
         "betweenness": q_betweenness,
         "clustering": q_clustering,
+        "stopword_stats": q_stopword_stats,
     }
 
 
@@ -3812,6 +3821,23 @@ def oracle_sql() -> dict[str, str]:
                  AS DECIMAL(18,6))::VARCHAR AS jaccard
         FROM pairs p JOIN sizes sa ON p.source_a = sa.source
                      JOIN sizes sb ON p.source_b = sb.source
+    """
+    sql["stopword_stats"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
+                             x -> length(x) > 0) AS tk
+          FROM documents
+        ), h AS (
+          SELECT doc_id, tk,
+                 list_filter(tk, x -> list_contains(['the','be','to','of','and','that','have','with'], x)) AS hits
+          FROM t
+        )
+        SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+               len(list_distinct(hits))::BIGINT AS n_distinct_stopwords,
+               CAST(round(CASE WHEN len(tk) > 0 THEN len(hits)::DOUBLE / len(tk) ELSE 0 END, 6)
+                 AS DECIMAL(18,6))::VARCHAR AS stopword_frac
+        FROM h
     """
     # char_entropy: relational rendering of the run-length entropy fold
     sql["char_entropy"] = """

@@ -880,3 +880,39 @@ def compression_stats(
             F.round(F.col("n_compressed") / F.col("n_bytes"), 6).cast("decimal(18,6)"),
         ).alias("ratio"),
     )
+
+
+STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def stopword_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher's stopword signal (Rae et al. 2021, Table A1: documents
+    must contain >= 2 of a small English stopword list): per document,
+    how many distinct list words appear and the fraction of tokens that
+    are list words. Natural text scores high; keyword spam, code, and
+    non-English text score near zero.
+
+    Zero shuffle: one narrow pass folds the token array against the
+    8-word list with array ops — no explode, no Python. The marker
+    counting composes with language_id's approach; the same expression
+    renders in ANSI SQL for the oracle."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    df = _parallel(docs).select(F.col(id_col), toks.alias("_toks"))
+    hits = F.filter(F.col("_toks"), lambda t: F.array_contains(sw, t))
+    return df.select(
+        id_col,
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(hits)).cast("long").alias("n_distinct_stopwords"),
+        F.when(
+            F.size("_toks") > 0,
+            F.round(F.size(hits).cast("double") / F.size("_toks"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+        .alias("stopword_frac"),
+    )

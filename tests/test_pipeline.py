@@ -1571,3 +1571,21 @@ class TestIncrementalNearDup:
         ).collect()
         got = {tuple(sorted((r["doc_id"], r["seen_id"]))) for r in inc}
         assert got == want
+
+
+class TestStopwordStats:
+    def test_hand_computed(self, spark):
+        from hgraphstorage_spark.pipeline.text import stopword_stats
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the cat and the dog"),   # hits: the, and, the -> 2 distinct, 3/5
+                (1, "x y z"),                  # none
+                (2, ""),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in stopword_stats(docs).collect()}
+        assert (got[0]["n_distinct_stopwords"], float(got[0]["stopword_frac"])) == (2, 0.6)
+        assert (got[1]["n_distinct_stopwords"], float(got[1]["stopword_frac"])) == (0, 0.0)
+        assert (got[2]["n_tokens"], float(got[2]["stopword_frac"])) == (0, 0.0)
