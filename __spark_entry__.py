@@ -1750,6 +1750,29 @@ def q_hybrid_search(spark, sf_dir):
     return _canon(out, "rrf")
 
 
+def q_table_profile(spark, sf_dir):
+    """ANALYZE-style profile of orders (nulls, exact distinct, min/max
+    per column, long format) — one wide partial-aggregated pass."""
+    from hgraphstorage_spark.functions.stats import table_profile
+
+    return table_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
+def q_fk_check(spark, sf_dir):
+    """Referential integrity: lineitem orderkeys without an order plus a
+    seeded violation so the check provably fires (one left_anti join)."""
+    from hgraphstorage_spark.functions.stats import fk_violations
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    bad = li.unionAll(
+        li.sparkSession.createDataFrame([(10**9,)], "l_orderkey long")
+    )
+    return fk_violations(bad, _t(spark, sf_dir, "orders"), "l_orderkey", "o_orderkey")
+
+
 def q_skew_report(spark, sf_dir):
     """Key-distribution diagnostic: top-5 heaviest sources with global
     fraction — the pre-join skew audit as a first-class operator."""
@@ -2103,6 +2126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "clustering": q_clustering,
         "stopword_stats": q_stopword_stats,
+        "table_profile": q_table_profile,
+        "fk_check": q_fk_check,
     }
 
 
@@ -3821,6 +3846,37 @@ def oracle_sql() -> dict[str, str]:
                  AS DECIMAL(18,6))::VARCHAR AS jaccard
         FROM pairs p JOIN sizes sa ON p.source_a = sa.source
                      JOIN sizes sb ON p.source_b = sb.source
+    """
+    sql["table_profile"] = """
+        WITH w AS (
+          SELECT count(*)::BIGINT AS n,
+                 (count(*) FILTER (o_orderkey IS NULL))::BIGINT AS k_nulls,
+                 count(DISTINCT o_orderkey)::BIGINT AS k_d,
+                 min(o_orderkey)::VARCHAR AS k_mn, max(o_orderkey)::VARCHAR AS k_mx,
+                 (count(*) FILTER (o_custkey IS NULL))::BIGINT AS c_nulls,
+                 count(DISTINCT o_custkey)::BIGINT AS c_d,
+                 min(o_custkey)::VARCHAR AS c_mn, max(o_custkey)::VARCHAR AS c_mx,
+                 (count(*) FILTER (o_orderstatus IS NULL))::BIGINT AS s_nulls,
+                 count(DISTINCT o_orderstatus)::BIGINT AS s_d,
+                 min(o_orderstatus) AS s_mn, max(o_orderstatus) AS s_mx,
+                 (count(*) FILTER (o_totalprice IS NULL))::BIGINT AS t_nulls,
+                 count(DISTINCT o_totalprice)::BIGINT AS t_d,
+                 min(o_totalprice)::VARCHAR AS t_mn, max(o_totalprice)::VARCHAR AS t_mx
+          FROM orders)
+        SELECT 'o_orderkey' AS col, n AS n_rows, k_nulls AS n_nulls, k_d AS n_distinct,
+               k_mn AS min_v, k_mx AS max_v FROM w
+        UNION ALL SELECT 'o_custkey', n, c_nulls, c_d, c_mn, c_mx FROM w
+        UNION ALL SELECT 'o_orderstatus', n, s_nulls, s_d, s_mn, s_mx FROM w
+        UNION ALL SELECT 'o_totalprice', n, t_nulls, t_d, t_mn, t_mx FROM w
+    """
+    sql["fk_check"] = """
+        WITH bad AS (
+          SELECT DISTINCT l_orderkey FROM lineitem
+          UNION ALL SELECT 1000000000
+        )
+        SELECT l_orderkey FROM bad
+        WHERE l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = bad.l_orderkey)
     """
     sql["stopword_stats"] = r"""
         WITH t AS (

@@ -102,3 +102,49 @@ def percentile_band_filter(
         df.crossJoin(F.broadcast(bounds))
         .filter(F.col(metric_col).between(F.col("p_lo"), F.col("p_hi")))
     )
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """The ANALYZE-style data profile, long format: per column its null
+    count, exact distinct count, and min/max (string-rendered) — the
+    first query run against any unfamiliar table, and the freshness/
+    sanity check a pipeline owner schedules after every load.
+
+    One pass per column batched into a single wide aggregate (Catalyst
+    partial-aggregates every branch map-side; the exchange carries one
+    row per partition), then unpivoted to long format driver-side-free.
+    Exact countDistinct keeps it oracle-checkable — swap
+    approx_count_distinct at 100 TB where the ±2% sketch is the right
+    trade (same plan shape, fixed memory)."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        "__n AS n_rows",
+        f"stack({len(cols)}, {stack}) AS (col, n_nulls, n_distinct, min_v, max_v)",
+    ).select("col", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
+
+
+def fk_violations(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Referential-integrity check: child rows whose key has no parent —
+    the other standing data-quality query. One left_anti join (broadcast
+    when the parent is a dimension); NULL keys are excluded (SQL FK
+    semantics: NULL references nothing and violates nothing). Returns
+    the violating child rows unmodified."""
+    return child.filter(F.col(child_key).isNotNull()).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key,
+        "left_anti",
+    )

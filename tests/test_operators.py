@@ -315,3 +315,25 @@ class TestWriteLayout:
         assert pruned.count() == docs.filter(F.col("lang") == one).count()
         # one file per partition directory (no small-file explosion)
         assert len(spark.read.parquet(path).inputFiles()) == len(langs)
+
+
+class TestDataQuality:
+    def test_table_profile_counts(self, spark):
+        from hgraphstorage_spark.functions.stats import table_profile
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b")], "k long, s string"
+        )
+        got = {r["col"]: r for r in table_profile(df).collect()}
+        assert got["k"]["n_rows"] == 3 and got["k"]["n_nulls"] == 0
+        assert got["k"]["n_distinct"] == 2
+        assert (got["k"]["min_v"], got["k"]["max_v"]) == ("1", "2")
+        assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+
+    def test_fk_violations_null_and_orphan(self, spark):
+        from hgraphstorage_spark.functions.stats import fk_violations
+
+        child = spark.createDataFrame([(1,), (2,), (None,), (9,)], "fk long")
+        parent = spark.createDataFrame([(1,), (2,)], "pk long")
+        got = [r["fk"] for r in fk_violations(child, parent, "fk", "pk").collect()]
+        assert got == [9]  # NULL references nothing and violates nothing
