@@ -1941,12 +1941,20 @@ def q_pipeline_report(spark, sf_dir):
     from hgraphstorage_spark.pipeline.contamination import decontaminate
 
     docs = _t(spark, sf_dir, "documents")
+    from hgraphstorage_spark.functions.stats import percentile_band_filter
+
     q = quality_filter(docs).select("doc_id", "passes")
     kept = exact_dedup(docs).select("doc_id")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     clean = decontaminate(corpus, bench, n=5).filter(~F.col("contaminated")).select("doc_id")
-    final = q.filter("passes").select("doc_id").join(kept, "doc_id").join(clean, "doc_id")
+    banded = percentile_band_filter(docs, "n_chars", 0.05, 0.95).select("doc_id")
+    final = (
+        q.filter("passes").select("doc_id")
+        .join(kept, "doc_id")
+        .join(clean, "doc_id")
+        .join(banded, "doc_id")
+    )
 
     def s(name, df):
         return df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")).select(
@@ -1958,6 +1966,7 @@ def q_pipeline_report(spark, sf_dir):
         s("quality_pass", q.filter("passes")),
         s("exact_unique", kept),
         s("decontam_clean", clean),
+        s("length_band", banded),
         s("final", final),
     ]
     out = parts[0]
@@ -4021,10 +4030,13 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT 'decontam_clean', count(*)::BIGINT FROM ({sql["decontaminate"]}) WHERE NOT contaminated
         UNION ALL
+        SELECT 'length_band', count(*)::BIGINT FROM ({sql["percentile_band"]})
+        UNION ALL
         SELECT 'final', count(*)::BIGINT
         FROM ({sql["quality_filter"]}) q
         JOIN ({sql["dedup_exact"]}) k USING (doc_id)
         JOIN ({sql["decontaminate"]}) c USING (doc_id)
+        JOIN ({sql["percentile_band"]}) b USING (doc_id)
         WHERE q.passes AND NOT c.contaminated
     """
     # graph_summary: scalar per iterative algorithm, composed from the same
