@@ -651,11 +651,18 @@ def fuzzy_dup_pairs(
     Scale shape: the block key (prefix, bucket) is a plain equi-join key
     — one shuffle, no cartesian; per-block work is quadratic only within
     a block, and blocks are bounded by real prefix collisions (skewed
-    corpora should raise ``prefix_len``). Candidates are DISTINCT'd
-    before the O(len^2) ``levenshtein`` verify so each pair is scored
-    once even when it meets in both probe buckets. Both engines define
-    levenshtein identically (unit-cost insert/delete/substitute), so the
-    operator is oracle-checkable as-is — no hash-mode split needed.
+    corpora should raise ``prefix_len``). A length-difference residual
+    predicate (necessary for dist <= max_dist) prunes dense blocks for
+    free, each pair is scored exactly once via the greatest-bucket
+    meeting rule (no candidate re-shuffle), and the edit-distance kernel
+    is the BOUNDED threshold form — O(len * max_dist) per pair, not
+    O(len^2). Kept pairs' distances equal the unbounded form, and both
+    engines define levenshtein identically (unit-cost
+    insert/delete/substitute), so the oracle replays the operator with
+    plain full levenshtein — no hash-mode split needed. Note the output
+    itself is quadratic in near-identical copies per blocking family;
+    corpora dominated by copies should cap via the cluster path
+    (``dedup_clusters`` / ``cluster_safe_split``).
 
     Returns (doc_a, doc_b, dist) with doc_a < doc_b and dist <= max_dist.
     """
