@@ -526,3 +526,100 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         }
         rows.append({"media_id": i, "kind": kind, "payload": payload, "meta": meta})
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def dhash_bits(px: "np.ndarray") -> int:
+    """64-bit difference hash (dHash) of a decoded pixel array: grayscale
+    -> 9x8 area downsample -> horizontal gradient sign per cell. The
+    standard perceptual image fingerprint: stable under resize,
+    re-encode, and small edits; near-duplicates differ in a few bits
+    (compare with ``pipeline.dedup.hamming64``). Deterministic pure
+    numpy (integer block means, no interpolation ambiguity)."""
+    import numpy as np
+
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # area downsample to 8 rows x 9 cols via block means over index bins
+    rows = np.linspace(0, h, 9).astype(int)
+    cols = np.linspace(0, w, 10).astype(int)
+    small = np.empty((8, 9))
+    for i in range(8):
+        for j in range(9):
+            block = gray[rows[i] : max(rows[i + 1], rows[i] + 1),
+                         cols[j] : max(cols[j + 1], cols[j] + 1)]
+            small[i, j] = block.mean()
+    bits = 0
+    k = 0
+    for i in range(8):
+        for j in range(8):
+            if small[i, j + 1] > small[i, j]:
+                bits |= 1 << k
+            k += 1
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed 64-bit
+
+
+def wav_energy_bits(x: "np.ndarray") -> int:
+    """64-bit audio energy fingerprint for decoded PCM samples: RMS
+    energy over 65 equal windows, one bit per consecutive-window energy
+    increase — the time-domain analogue of dHash (robust to gain changes
+    since only the energy ORDER matters). Deterministic pure numpy."""
+    import numpy as np
+
+    n = x.size
+    if n == 0:
+        return 0
+    bounds = np.linspace(0, n, 66).astype(int)
+    e = np.empty(65)
+    for i in range(65):
+        seg = x[bounds[i] : max(bounds[i + 1], bounds[i] + 1)]
+        e[i] = float((seg**2).mean())
+    bits = 0
+    for k in range(64):
+        if e[k + 1] > e[k]:
+            bits |= 1 << k
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("fingerprint", T.LongType(), True),
+        T.StructField("fp_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def media_fingerprints(media: DataFrame) -> DataFrame:
+    """Perceptual fingerprints per blob, Arrow batch at a time: dHash for
+    REAL-decodable images (uncompressed BMP), the energy signature for
+    REAL-decodable audio (PCM WAV). Compressed codecs yield NULL with
+    fp_ok=false — the same honest-decode tiering as ``extract_features``
+    (no media libs here). Near-dup media = small ``hamming64`` distance
+    between fingerprints; bucket on the fingerprint for exact-match
+    streaming dedup (``stream_near_dedup`` shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, oks = [], []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                fp = None
+                px = decode_bmp_pixels(payload)
+                if px is not None:
+                    fp = dhash_bits(px)
+                else:
+                    x = decode_wav_samples(payload)
+                    if x is not None:
+                        fp = wav_energy_bits(x)
+                fps.append(fp)
+                oks.append(fp is not None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "fingerprint": pd.array(fps, dtype="Int64"),
+                    "fp_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FINGERPRINT_SCHEMA)

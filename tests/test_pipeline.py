@@ -1589,3 +1589,52 @@ class TestStopwordStats:
         assert (got[0]["n_distinct_stopwords"], float(got[0]["stopword_frac"])) == (2, 0.6)
         assert (got[1]["n_distinct_stopwords"], float(got[1]["stopword_frac"])) == (0, 0.0)
         assert (got[2]["n_tokens"], float(got[2]["stopword_frac"])) == (0, 0.0)
+
+
+class TestMediaFingerprints:
+    def test_decodable_families_fingerprint(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import media_fingerprints, synthetic_media
+
+        fps = {r["media_id"]: r for r in media_fingerprints(synthetic_media(spark, 64)).collect()}
+        assert len(fps) == 64
+        oks = [m for m, r in fps.items() if r["fp_ok"]]
+        # every PCM WAV and every BMP fingerprints; compressed/corrupt don't
+        assert oks and all(fps[m]["fingerprint"] is not None for m in oks)
+        audio_ok = [m for m in oks if fps[m]["kind"] == "audio"]
+        assert audio_ok  # PCM WAVs are always decodable
+        assert all(not fps[m]["fp_ok"] for m, r in fps.items() if r["kind"] == "video")
+
+    def test_dhash_stable_under_resize_and_sensitive_to_content(self, spark):
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.dedup import hamming64
+        from hgraphstorage_spark.pipeline.multimodal import (
+            bmp_array_bytes,
+            decode_bmp_pixels,
+            dhash_bits,
+        )
+
+        rng = np.random.RandomState(3)
+        base = (np.indices((64, 96)).sum(axis=0) % 256).astype(np.uint8)
+        img = np.stack([base] * 3, axis=2)
+        h1 = dhash_bits(decode_bmp_pixels(bmp_array_bytes(img)))
+        # 2x downsampled version of the same content: identical gradient signs
+        small = img[::2, ::2]
+        h2 = dhash_bits(decode_bmp_pixels(bmp_array_bytes(small)))
+        d_same = bin((h1 ^ h2) & (2**64 - 1)).count("1")
+        # unrelated noise image
+        noise = rng.randint(0, 256, size=img.shape).astype(np.uint8)
+        h3 = dhash_bits(decode_bmp_pixels(bmp_array_bytes(noise)))
+        d_diff = bin((h1 ^ h3) & (2**64 - 1)).count("1")
+        assert d_same <= 4 < d_diff
+
+    def test_wav_energy_bits_gain_invariant(self, spark):
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import wav_energy_bits
+
+        rng = np.random.RandomState(5)
+        x = np.sin(np.linspace(0, 60, 6500)) * np.linspace(0.2, 1.0, 6500)
+        assert wav_energy_bits(x) == wav_energy_bits(x * 0.5)  # gain-invariant
+        assert wav_energy_bits(x) != wav_energy_bits(rng.randn(6500))
+        assert wav_energy_bits(np.array([])) == 0
