@@ -1750,6 +1750,14 @@ def q_hybrid_search(spark, sf_dir):
     return _canon(out, "rrf")
 
 
+def q_source_calibrated(spark, sf_dir):
+    """Per-source quantile calibration of n_chars (percent_rank within
+    source) — the cross-crawl score-fairness transform."""
+    from hgraphstorage_spark.pipeline.sampling import per_source_percent_rank
+
+    return _canon(per_source_percent_rank(_t(spark, sf_dir, "documents"), "n_chars"), "pct_rank")
+
+
 def q_table_profile(spark, sf_dir):
     """ANALYZE-style profile of orders (nulls, exact distinct, min/max
     per column, long format) — one wide partial-aggregated pass."""
@@ -2137,6 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_stats": q_stopword_stats,
         "table_profile": q_table_profile,
         "fk_check": q_fk_check,
+        "source_calibrated": q_source_calibrated,
     }
 
 
@@ -3855,6 +3864,12 @@ def oracle_sql() -> dict[str, str]:
                  AS DECIMAL(18,6))::VARCHAR AS jaccard
         FROM pairs p JOIN sizes sa ON p.source_a = sa.source
                      JOIN sizes sb ON p.source_b = sb.source
+    """
+    sql["source_calibrated"] = """
+        SELECT doc_id, source, n_chars,
+               CAST(round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id), 6)
+                 AS DECIMAL(18,6))::VARCHAR AS pct_rank
+        FROM documents
     """
     sql["table_profile"] = """
         WITH w AS (

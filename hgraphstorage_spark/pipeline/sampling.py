@@ -391,3 +391,34 @@ def cluster_safe_split(
     for name, bound in reversed(thresholds[:-1]):
         expr = F.when(bucket <= F.lit(bound), F.lit(name)).otherwise(expr)
     return cl.select(id_col, "cluster", expr.alias("split"))
+
+
+def per_source_percent_rank(
+    df: DataFrame,
+    metric_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source quantile calibration of a quality metric: each row's
+    ``percent_rank`` within its own source — the fix for the classic
+    curation bias where one crawl's scorer runs hot and a global
+    threshold silently drops an entire source. Filtering on the
+    calibrated rank ("keep every source's top 60%") compares documents
+    only against their own source's distribution.
+
+    One keyed window (shuffle on source + per-partition sort) — the
+    standard cost envelope; ANSI percent_rank semantics make it
+    engine-identical, with (metric, id) ordering so ties are
+    deterministic. Returns (id, source, metric, pct_rank DECIMAL(18,6)).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(metric_col).asc(), F.col(id_col).asc()
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(metric_col),
+        F.round(F.percent_rank().over(w), 6).cast("decimal(18,6)").alias("pct_rank"),
+    )

@@ -334,3 +334,34 @@ class TestRound3OperatorPlans:
         plan = executed_plan(hybrid_search(docs, emb, "spark join window", 0, k=5, pool=20))
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestLatestOperatorPlans:
+    # (weighted_shortest_paths / betweenness return localCheckpointed
+    # frames — lineage is truncated by design, so their plans cannot be
+    # audited post-hoc; their guarantees are pinned behaviorally in
+    # test_analytics/test_properties instead)
+
+    def test_table_profile_single_wide_pass(self, spark):
+        from hgraphstorage_spark.functions.stats import table_profile
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        plan = executed_plan(table_profile(orders, ["o_orderkey", "o_custkey"]))
+        # one scan feeds the whole profile
+        assert plan.count("FileScan parquet") == 1
+
+    def test_incremental_near_dup_no_seen_self_join(self, spark):
+        """The asymmetric band join must never pair the seen side with
+        itself: two distinct banded subtrees, one equi-join, no cartesian."""
+        from hgraphstorage_spark.pipeline.dedup import incremental_near_dup
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = incremental_near_dup(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+            threshold=0.5,
+        )
+        plan = executed_plan(out)
+        assert "CartesianProduct" not in plan
