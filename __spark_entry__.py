@@ -1856,6 +1856,15 @@ def q_rolling_features(spark, sf_dir):
     return _canon_ts(_canon(out, "sum_win", "mean_win"), "ts")
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov matrix of event types (counts + row-normalized
+    probabilities) — the behavioral-sequence summary."""
+    from hgraphstorage_spark.functions.timeseries import event_transitions
+    from hgraphstorage_spark.streaming import load_events
+
+    return _canon(event_transitions(load_events(spark, sf_dir)), "prob")
+
+
 def q_ewma(spark, sf_dir):
     """Per-user EWMA of event values over the trailing 20 events
     (recursive alpha=0.3 fold; window-order collect + left fold is the
@@ -2146,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -3930,6 +3940,20 @@ def oracle_sql() -> dict[str, str]:
                CAST(round(CASE WHEN a.n > 0 THEN log2(a.n) - a.s / a.n ELSE 0 END, 6)
                  AS DECIMAL(18,6)) AS entropy
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+    sql["event_transitions"] = """
+        WITH p AS (
+          SELECT user_id, event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events
+        ), c AS (
+          SELECT from_type, to_type, count(*)::BIGINT AS n
+          FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6)
+                 AS DECIMAL(18,6))::VARCHAR AS prob
+        FROM c
     """
     # ewma: identical recursive fold via list_reduce over the same frame
     sql["ewma"] = """

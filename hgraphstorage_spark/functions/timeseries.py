@@ -162,3 +162,39 @@ def ewma_features(
         ts_col,
         F.round(ewma, 6).cast("decimal(18,6)").alias("ewma"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    consecutive event pair within a key's timeline, counts and row-
+    normalized probabilities — the standard behavioral-sequence summary
+    (what follows a 'view'? how often does 'error' self-loop?).
+
+    One keyed window (lead over (ts, id) order — deterministic ties)
+    produces the pairs narrowly; the (from, to) count aggregate
+    partial-combines map-side, and the per-from totals come from a
+    window over the tiny counts frame. Returns
+    (from_type, to_type, n, prob DECIMAL(18,6))."""
+    w = Window.partitionBy(by).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (
+        events.select(
+            F.col(by),
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tw = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(tw), 6).cast("decimal(18,6)").alias("prob"),
+    )

@@ -1638,3 +1638,27 @@ class TestMediaFingerprints:
         assert wav_energy_bits(x) == wav_energy_bits(x * 0.5)  # gain-invariant
         assert wav_energy_bits(x) != wav_energy_bits(rng.randn(6500))
         assert wav_energy_bits(np.array([])) == 0
+
+
+class TestEventTransitions:
+    def test_counts_and_row_normalization(self, spark):
+        from hgraphstorage_spark.functions.timeseries import event_transitions
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1, "a"),
+            (2, "2024-01-01 00:01:00", 1, "b"),
+            (3, "2024-01-01 00:02:00", 1, "a"),
+            (4, "2024-01-01 00:03:00", 1, "b"),
+            (5, "2024-01-01 00:00:00", 2, "a"),
+            (6, "2024-01-01 00:01:00", 2, "a"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(r["from_type"], r["to_type"]): (r["n"], float(r["prob"]))
+               for r in event_transitions(ev).collect()}
+        # user1: a->b, b->a, a->b; user2: a->a. No cross-user pair.
+        assert got[("a", "b")] == (2, round(2 / 3, 6))
+        assert got[("a", "a")] == (1, round(1 / 3, 6))
+        assert got[("b", "a")] == (1, 1.0)
+        assert len(got) == 3
