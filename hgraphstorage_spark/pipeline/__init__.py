@@ -7,10 +7,12 @@ designed partition-parallel for 100 TB inputs.
 
 from hgraphstorage_spark.pipeline.contamination import bloom_decontaminate, decontaminate
 from hgraphstorage_spark.pipeline.dedup import (
+    cross_source_overlap,
     exact_dedup,
     exact_dup_groups,
     exact_substring_dedup,
     fuzzy_dup_pairs,
+    incremental_near_dup,
     minhash_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -39,8 +41,10 @@ __all__ = [
     "hash_split",
     "exact_dedup",
     "exact_dup_groups",
+    "cross_source_overlap",
     "exact_substring_dedup",
     "fuzzy_dup_pairs",
+    "incremental_near_dup",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

@@ -115,3 +115,41 @@ def write_layout(
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def snapshot_to_jsonl(snap, path: str) -> None:
+    """Interchange export of a graph snapshot: nodes / edges / props as
+    JSONL directories under ``path`` — the engine-neutral backup/exchange
+    format (any tool that reads JSON lines can consume a dump; parquet
+    stays the performance format, this is the portability one). Binary
+    property values go out base64 (JSON-safe), restored on import."""
+    from pyspark.sql import functions as F
+
+    write_jsonl(snap.nodes, f"{path}/nodes")
+    write_jsonl(snap.edges, f"{path}/edges")
+    props = snap.props.withColumn("bin_v", F.base64(F.col("bin_v")))
+    write_jsonl(props, f"{path}/props")
+
+
+def snapshot_from_jsonl(spark: SparkSession, path: str, version: int = 0):
+    """Round-trip import of :func:`snapshot_to_jsonl` output. Schemas are
+    declared (JSONL carries no types — the same contract as read_jsonl)."""
+    from pyspark.sql import functions as F
+
+    from hgraphstorage_spark import schemas
+    from hgraphstorage_spark.snapshot import GraphSnapshot
+
+    from pyspark.sql import types as T
+
+    nodes = read_jsonl(spark, f"{path}/nodes", schemas.NODES_SCHEMA)
+    edges = read_jsonl(spark, f"{path}/edges", schemas.EDGES_SCHEMA)
+    props_schema = T.StructType(
+        [
+            T.StructField(f.name, T.StringType() if f.name == "bin_v" else f.dataType, True)
+            for f in schemas.PROPS_SCHEMA.fields
+        ]
+    )
+    props = read_jsonl(spark, f"{path}/props", props_schema).withColumn(
+        "bin_v", F.unbase64(F.col("bin_v"))
+    )
+    return GraphSnapshot(nodes=nodes, edges=edges, props=props, version=version)

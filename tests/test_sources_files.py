@@ -61,3 +61,24 @@ class TestCompaction:
         files = glob.glob(f"{dst}/part-*.parquet")
         assert len(files) == n <= 2
         assert spark.read.parquet(dst).count() == docs.count()
+
+
+class TestSnapshotInterchange:
+    def test_jsonl_roundtrip_including_binary_props(self, spark, tmp_path):
+        from hgraphstorage_spark import GraphEngine
+        from hgraphstorage_spark.sources.files import snapshot_from_jsonl, snapshot_to_jsonl
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {"name": "a", "blob": b"\x00\xff\x10"}), ("N", {"name": "b"})])
+        eng.add_edges([(1, 2, "e", {"w": 7})])
+        eng.commit()
+        snap = eng.committed
+        path = str(tmp_path / "dump")
+        snapshot_to_jsonl(snap, path)
+        back = snapshot_from_jsonl(spark, path, version=snap.version)
+        assert sorted(map(tuple, back.nodes.collect())) == sorted(map(tuple, snap.nodes.collect()))
+        assert sorted(map(tuple, back.edges.collect())) == sorted(map(tuple, snap.edges.collect()))
+        # binary survives base64 round trip byte-exact
+        blob = back.props.filter("name = 'blob'").collect()[0]["bin_v"]
+        assert bytes(blob) == b"\x00\xff\x10"
+        assert back.props.count() == snap.props.count()
