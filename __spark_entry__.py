@@ -468,6 +468,47 @@ def q_k_core(spark, sf_dir):
     return k_core(_graph(spark, sf_dir), k=3)
 
 
+def _k_truss_oracle_sql(k: int = 4, rounds: int = 4) -> str:
+    """Unrolled k-truss peeling over the synthetic Hackage package graph
+    (same und CTE as the triangle oracle): per round, ordered triangle
+    enumeration -> per-edge support -> drop below k-2. Valid whenever
+    ``rounds`` >= the convergence round count (extra rounds no-op); a
+    final support pass on the fixpoint yields the output supports."""
+    need = k - 2
+    sql = """
+        WITH pkgs AS (SELECT unnest(generate_series(0, 999)) AS i),
+        vv AS (SELECT i, unnest(generate_series(0, CASE WHEN i = 0 THEN 119 ELSE (i*i) % 113 END)) AS j FROM pkgs),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(i, (i*31 + j) % 1000) AS u, greatest(i, (i*31 + j) % 1000) AS w
+          FROM vv WHERE (i*31 + j) % 1000 <> i
+        )"""
+    for i in range(1, rounds + 2):  # one extra pass for the final supports
+        p = i - 1
+        sql += f""",
+        t{i} AS MATERIALIZED (
+          SELECT e1.u AS a, e1.w AS b, e2.w AS c
+          FROM e{p} e1 JOIN e{p} e2 ON e2.u = e1.w
+          JOIN e{p} e3 ON e3.u = e1.u AND e3.w = e2.w
+        ),
+        s{i} AS MATERIALIZED (
+          SELECT u, w, count(*)::BIGINT AS sup FROM (
+            SELECT a AS u, b AS w FROM t{i}
+            UNION ALL SELECT a, c FROM t{i}
+            UNION ALL SELECT b, c FROM t{i}
+          ) GROUP BY u, w
+        ),
+        e{i} AS MATERIALIZED (
+          SELECT e.u, e.w FROM e{p} e
+          LEFT JOIN s{i} s ON e.u = s.u AND e.w = s.w
+          WHERE COALESCE(s.sup, 0) >= {need}
+        )"""
+    last = rounds + 1
+    return sql + f"""
+        SELECT (1000000000 + e.u)::BIGINT AS a, (1000000000 + e.w)::BIGINT AS b,
+               COALESCE(s.sup, 0)::BIGINT AS support
+        FROM e{rounds} e LEFT JOIN s{last} s ON e.u = s.u AND e.w = s.w"""
+
+
 def _k_core_oracle_sql(k: int = 3, rounds: int = 6) -> str:
     """Unrolled peeling rounds over the FK-derived undirected simple graph.
     Valid whenever ``rounds`` >= the convergence round count at the tested
@@ -555,6 +596,25 @@ def q_triangle_count(spark, sf_dir):
     )
     sub = replace(snap, nodes=snap.nodes.filter(F.col("label") == "Package"), edges=dep)
     return triangle_count(sub)
+
+
+def q_k_truss(spark, sf_dir):
+    """4-truss of the package-level Hackage projection: edges in >= 2
+    triangles after synchronized peeling; oracle unrolls the rounds."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import k_truss
+    from hgraphstorage_spark.sources.hackage import PKG_BASE, VER_BASE, load_hackage_graph
+
+    snap = load_hackage_graph(spark, 1000)
+    dep = snap.edges.filter(F.col("label") == "depends").select(
+        F.col("id"),
+        (F.floor((F.col("src") - VER_BASE) / 256) + PKG_BASE).cast("long").alias("src"),
+        F.col("dst"),
+        F.lit("pkg_depends").alias("label"),
+    )
+    sub = replace(snap, nodes=snap.nodes.filter(F.col("label") == "Package"), edges=dep)
+    return k_truss(sub, k=4)
 
 
 def q_clustering(spark, sf_dir):
@@ -2152,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "clustering": q_clustering,
         "stopword_stats": q_stopword_stats,
+        "k_truss": q_k_truss,
         "table_profile": q_table_profile,
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
@@ -3639,6 +3700,7 @@ def oracle_sql() -> dict[str, str]:
     sql["pagerank"] = _pagerank_oracle_sql(3)
     sql["personalized_pagerank"] = _ppr_oracle_sql(3, NODE["Customer"] + 1)
     sql["k_core"] = _k_core_oracle_sql(3, 6)
+    sql["k_truss"] = _k_truss_oracle_sql(k=4, rounds=4)
     sql["label_propagation"] = _lpa_oracle_sql(3)
     sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
     sql["cluster_split"] = _cluster_safe_split_oracle_sql(3)

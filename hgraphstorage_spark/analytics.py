@@ -275,6 +275,35 @@ def pregel(
     return state
 
 
+def _oriented_triangles(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Every triangle of the undirected simple graph exactly once, as
+    (a, b, c), via degree-ordered orientation (Suri-Vassilvitskii):
+    orient each edge from the lower-(deg, id) endpoint to the higher,
+    enumerate wedges at the low vertex, keep those whose closing edge
+    exists. Bounds per-node oriented out-degree by O(sqrt(m)) — the skew
+    guarantee triangle_count documents; shared with ``k_truss``.
+    Input: und (a<b pairs as u, v), deg (id, deg)."""
+    with_deg = (
+        und.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    lo_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = with_deg.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("b"),
+    ).select("a", F.col("b.v").alias("b"), F.col("b.dv").alias("rank_b"))
+    # wedges at a: unordered pairs (b, c) of a's oriented neighbors,
+    # ordered by the same (deg, id) rank so the closing edge (b -> c)
+    # can only be oriented one way
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(e2, "a").filter(
+        (F.col("e1.rank_b") < F.col("e2.rank_b"))
+        | ((F.col("e1.rank_b") == F.col("e2.rank_b")) & (F.col("e1.b") < F.col("e2.b")))
+    ).select("a", F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    return wedges.join(closing, ["b", "c"], "left_semi")
+
+
 def triangle_count(snap: GraphSnapshot) -> DataFrame:
     """Per-node triangle counts over the undirected simple graph, by
     degree-ordered edge orientation (Suri & Vassilvitskii, "Counting
@@ -299,26 +328,7 @@ def triangle_count(snap: GraphSnapshot) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
-    # orient by (deg, id): lower endpoint -> higher endpoint
-    with_deg = (
-        und.join(deg.select(F.col("id").alias("u"), F.col("deg").alias("du")), "u")
-        .join(deg.select(F.col("id").alias("v"), F.col("deg").alias("dv")), "v")
-    )
-    lo_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    oriented = with_deg.select(
-        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(lo_first, F.struct("dv", "v")).otherwise(F.struct(F.col("du").alias("dv"), F.col("u").alias("v"))).alias("b"),
-    ).select("a", F.col("b.v").alias("b"), F.col("b.dv").alias("rank_b"))
-    # wedges at a: unordered pairs (b, c) of a's oriented neighbors,
-    # ordered by the same (deg, id) rank so the closing edge (b -> c)
-    # can only be oriented one way
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, "a").filter(
-        (F.col("e1.rank_b") < F.col("e2.rank_b"))
-        | ((F.col("e1.rank_b") == F.col("e2.rank_b")) & (F.col("e1.b") < F.col("e2.b")))
-    ).select("a", F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
-    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tris = wedges.join(closing, ["b", "c"], "left_semi")
+    tris = _oriented_triangles(und, deg)
     roles = (
         tris.select(F.col("a").alias("id"))
         .unionAll(tris.select(F.col("b").alias("id")))
@@ -938,3 +948,52 @@ def clustering_coefficient(snap: GraphSnapshot) -> DataFrame:
             .alias("coeff"),
         )
     )
+
+
+def k_truss(snap: GraphSnapshot, k: int = 3, max_rounds: int = 50) -> DataFrame:
+    """The k-truss: the maximal subgraph in which every EDGE participates
+    in >= k-2 triangles (Cohen 2008) — the edge-level cohesion measure
+    beside the node-level k-core (strictly stronger: the k-truss is a
+    subgraph of the (k-1)-core). Returns (a, b, support) for surviving
+    edges over the undirected simple graph, support measured within the
+    final subgraph.
+
+    Synchronized peeling, the same distributed formulation as ``k_core``:
+    per round, count each edge's triangles via the degree-ordered
+    oriented enumeration (shared ``_oriented_triangles`` — the
+    O(sqrt(m)) skew bound applies every round), drop all edges below
+    k-2, repeat to the unique fixpoint (order-independent, hence
+    deterministic and SQL-oracle-able by unrolling rounds). The edge set
+    shrinks monotonically, so later rounds cost less; lineage is
+    truncated per round."""
+    e = (
+        snap.edges.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    need = k - 2
+    merged = None
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        tris = _oriented_triangles(e, deg)
+        tri_edges = (
+            tris.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .unionAll(tris.select(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")))
+            .unionAll(tris.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")))
+        )
+        sup = tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support"))
+        merged = (
+            e.join(sup, ["u", "v"], "left")
+            .select("u", "v", F.coalesce("support", F.lit(0)).cast("long").alias("support"))
+            .localCheckpoint(eager=False)  # materialized by the count below
+        )
+        if merged.filter(F.col("support") < need).limit(1).count() == 0:
+            break
+        e = merged.filter(F.col("support") >= need).select("u", "v").localCheckpoint()
+    return merged.select(F.col("u").alias("a"), F.col("v").alias("b"), "support")

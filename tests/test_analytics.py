@@ -512,3 +512,31 @@ class TestClusteringCoefficient:
         # node 3: deg 3, one triangle of C(3,2)=3 possible
         assert got[3]["deg"] == 3 and float(got[3]["coeff"]) == round(1 / 3, 6)
         assert float(got[4]["coeff"]) == 0.0 and got[4]["triangles"] == 0
+
+
+class TestKTruss:
+    def test_clique_and_pendant(self, spark):
+        from hgraphstorage_spark.analytics import k_truss
+
+        eng = GraphEngine(spark)
+        eng.add_nodes([("N", {}) for _ in range(7)])
+        # 4-clique on 1-4, pendant triangle (4,5,6), tail (6,7)
+        eng.add_edges([(s, d, "e", {}) for s, d in
+                       [(1,2),(1,3),(1,4),(2,3),(2,4),(3,4),(4,5),(4,6),(5,6),(6,7)]])
+        eng.commit()
+        t4 = {(r["a"], r["b"]): r["support"] for r in k_truss(eng.current, k=4).collect()}
+        # only the clique survives; every clique edge sits in 2 triangles
+        assert t4 == {(1,2): 2, (1,3): 2, (1,4): 2, (2,3): 2, (2,4): 2, (3,4): 2}
+        t3 = {(r["a"], r["b"]): r["support"] for r in k_truss(eng.current, k=3).collect()}
+        # triangles survive at k=3, the triangle-free tail edge does not
+        assert (6, 7) not in t3 and t3[(4, 5)] == 1 and len(t3) == 9
+
+    def test_truss_within_core(self, spark, two_component_engine):
+        """k-truss ⊆ (k-1)-core endpoints (Cohen 2008)."""
+        from hgraphstorage_spark.analytics import k_core, k_truss
+
+        snap = two_component_engine.current
+        t3 = k_truss(snap, k=3).collect()
+        core2 = {r["id"] for r in k_core(snap, k=2).collect()}
+        for r in t3:
+            assert r["a"] in core2 and r["b"] in core2
