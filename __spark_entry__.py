@@ -712,11 +712,12 @@ def q_graph_summary(spark, sf_dir):
     """Compressed driver-checkable evidence for the iterative graph
     analytics: one (metric, value) scalar per algorithm — connected
     components (both Pregel variants feed the same result), degrees, BFS,
-    triangle counting, k-core, label propagation, SCC, and multi-source
-    shortest paths. The full per-node variants remain as their own
+    triangle counting, k-core, k-truss, label propagation, SCC,
+    multi-source and weighted shortest paths, betweenness, and local
+    clustering. The full per-node variants remain as their own
     queries past the driver's 50-query window and are value-compared in
     tests/test_oracle_parity.py; this row keeps each algorithm inside the
-    driver's correctness window without spending eight slots."""
+    driver's correctness window without spending a dozen slots."""
 
     def s(name, df):
         return df.select(F.lit(name).alias("metric"), F.col("value").cast("long").alias("value"))
@@ -734,6 +735,20 @@ def q_graph_summary(spark, sf_dir):
         s("lpa_communities", q_label_propagation(spark, sf_dir).agg(F.count(F.lit(1)).alias("value"))),
         s("scc_components", q_scc(spark, sf_dir).agg(F.countDistinct("scc").alias("value"))),
         s("sp_reached", q_shortest_paths(spark, sf_dir).agg(F.sum("n_nodes").alias("value"))),
+        s("k_truss4_edges", q_k_truss(spark, sf_dir).agg(F.count(F.lit(1)).alias("value"))),
+        s(
+            "betweenness_sum",
+            q_betweenness(spark, sf_dir).agg(
+                F.sum(F.col("betweenness").cast("double")).alias("value")
+            ),
+        ),
+        s(
+            "clustering_nonzero",
+            q_clustering(spark, sf_dir)
+            .filter(F.col("coeff").cast("double") > 0)
+            .agg(F.count(F.lit(1)).alias("value")),
+        ),
+        s("wsp_cost_total", q_weighted_sp(spark, sf_dir).agg(F.sum("cost").alias("value"))),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -4155,6 +4170,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'lpa_communities', count(*)::BIGINT FROM ({sql['label_propagation']})",
             f"SELECT 'scc_components', count(DISTINCT scc)::BIGINT FROM ({sql['scc']})",
             f"SELECT 'sp_reached', sum(n_nodes)::BIGINT FROM ({sql['shortest_paths']})",
+            f"SELECT 'k_truss4_edges', count(*)::BIGINT FROM ({sql['k_truss']})",
+            f"SELECT 'betweenness_sum', sum(betweenness::DOUBLE)::BIGINT FROM ({sql['betweenness']})",
+            f"SELECT 'clustering_nonzero', count(*)::BIGINT FROM ({sql['clustering']}) WHERE coeff::DOUBLE > 0",
+            f"SELECT 'wsp_cost_total', sum(cost)::BIGINT FROM ({sql['weighted_sp']})",
         ]
     )
     return sql
