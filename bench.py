@@ -27,6 +27,7 @@ HEADLINE = [
     "tpch_q1",               # wide scan + agg
     "tpch_q3_like",          # 3-way join + top-k
     "tpch_q5_like",          # 4-way join + agg
+    "tpch_q2_like",          # correlated min-per-group as rank-1 window
     "dedup_exact",           # hash-agg dedup over documents
     "quality_filter_narrow", # zero-shuffle Gopher quality gate (scan speed)
     "repetition_exact",      # paper-exact covered fractions (narrow HOF interval union)
@@ -43,6 +44,7 @@ HEADLINE = [
     # verification baseline, not the scale path.
     "embed_near_dup_lsh",
     "similarity_topk",       # brute-force cosine top-k
+    "hybrid_search",         # BM25 + cosine RRF fusion
     "events_hourly",         # windowed agg
     "stream_enrich",         # broadcast stream-static enrichment join
     "sessionize",            # session windows
