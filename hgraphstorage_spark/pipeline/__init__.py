@@ -22,8 +22,13 @@ from hgraphstorage_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_dup_exact,
     embedding_near_dup_lsh,
+    embedding_outliers,
+    embedding_stats,
     label_centroids,
     lsh_bucket_topk,
+    pca_fit,
+    pca_project,
+    sq_topk,
 )
 from hgraphstorage_spark.pipeline.sampling import hash_split
 from hgraphstorage_spark.pipeline.text import (
@@ -52,7 +57,12 @@ __all__ = [
     "cosine_topk",
     "embedding_near_dup_exact",
     "embedding_near_dup_lsh",
+    "embedding_outliers",
+    "embedding_stats",
     "lsh_bucket_topk",
+    "pca_fit",
+    "pca_project",
+    "sq_topk",
     "fingerprint",
     "language_id",
     "quality_filter",

@@ -1662,3 +1662,30 @@ class TestEventTransitions:
         assert got[("a", "a")] == (1, round(1 / 3, 6))
         assert got[("b", "a")] == (1, 1.0)
         assert len(got) == 3
+
+
+class TestEmbeddingOutliers:
+    def test_flags_planted_outlier(self, spark):
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.similarity import embedding_outliers
+
+        rng = np.random.RandomState(11)
+        base = rng.randn(8) * 0.05 + 1.0
+        rows = [(i, (base + rng.randn(8) * 0.01).tolist()) for i in range(39)]
+        rows.append((99, (-base).tolist()))  # anti-aligned: clear outlier
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r for r in embedding_outliers(emb, bottom_frac=0.05).collect()}
+        assert got[99]["outlier"]
+        assert sum(1 for r in got.values() if r["outlier"]) <= 2
+
+
+class TestPerSourcePercentRank:
+    def test_rank_within_source_only(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import per_source_percent_rank
+
+        rows = [(0, "A", 10), (1, "A", 20), (2, "A", 30), (3, "B", 5)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, m long")
+        got = {r["doc_id"]: float(r["pct_rank"]) for r in per_source_percent_rank(df, "m").collect()}
+        assert got[0] == 0.0 and got[1] == 0.5 and got[2] == 1.0
+        assert got[3] == 0.0  # singleton source ranks alone
