@@ -401,3 +401,52 @@ def test_betweenness_matches_reference_brandes(spark, edges):
                 C[w] += delta[w]
     for v in nodes:
         assert abs(got.get(v, 0.0) - round(C[v], 6)) < 1e-6, (v, edges)
+
+
+# --- fuzzy-pair law: blocked plan == brute-force blocking contract ----------
+
+fuzzy_corpora = st.lists(
+    st.text(alphabet="ab x", min_size=0, max_size=20), min_size=2, max_size=6
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=fuzzy_corpora)
+def test_fuzzy_pairs_match_bruteforce_contract(spark, texts):
+    """fuzzy_dup_pairs == the documented contract evaluated naively:
+    pairs sharing the normalized prefix whose length buckets are within
+    one probe step, kept at Levenshtein <= max_dist — including the
+    bounded-kernel and single-meeting dedup paths."""
+    from hgraphstorage_spark.pipeline.dedup import fuzzy_dup_pairs
+
+    P, BAND, D = 3, 4, 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in fuzzy_dup_pairs(docs, max_dist=D, prefix_len=P, len_band=BAND).collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    norm = [t.strip().lower() for t in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = norm[i], norm[j]
+            if a[:P] != b[:P]:
+                continue
+            if abs(len(a) // BAND - len(b) // BAND) > 1:
+                continue
+            d = lev(a, b)
+            if d <= D:
+                want[(i, j)] = d
+    assert got == want, (texts, got, want)
