@@ -288,11 +288,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verify on candidates only: join the hashed shingle sets
-    # back in (the candidate set is tiny relative to the corpus — broadcast
-    # it) and compare with integer array_intersect per row, no explode
+    # back in and compare with integer array_intersect per row, no explode.
+    # NO broadcast hint: on mostly-unique corpora the candidate set is tiny
+    # and AQE will broadcast it at runtime, but on a copy-dense corpus (the
+    # workload dedup exists for) candidates scale with duplicate density —
+    # ~1e9 pairs at 100 TB would blow the 8 GB broadcast ceiling and the
+    # driver before it. AQE picks the strategy from the measured size.
     sh = base.select("doc_id", "sh")
     verified = (
-        F.broadcast(candidates)
+        candidates
         .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .select(
@@ -360,8 +364,10 @@ def incremental_near_dup(
     sh_new = base_new.select(F.col("doc_id"), F.col("sh").alias("sh_a"))
     sh_seen = base_seen.select(F.col("doc_id").alias("seen_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # No broadcast hint on candidates (see minhash_lsh_pairs): the flagged
+    # set scales with |new| x duplicate density — AQE decides at runtime.
     return (
-        F.broadcast(candidates)
+        candidates
         .join(sh_new, "doc_id")
         .join(sh_seen, "seen_id")
         .select(

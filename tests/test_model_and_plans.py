@@ -365,3 +365,33 @@ class TestLatestOperatorPlans:
         )
         plan = executed_plan(out)
         assert "CartesianProduct" not in plan
+
+    def test_lsh_candidate_join_is_aqe_decided_not_forced(self, spark):
+        """VERDICT r3 #1: the exact-Jaccard verify join on the candidate
+        set must carry NO mandatory broadcast hint — candidates scale with
+        duplicate density and a forced broadcast dies on copy-dense 100 TB
+        corpora. With autoBroadcastJoinThreshold=-1 a hint-free plan falls
+        back to SortMergeJoin; a hinted plan would still BroadcastHashJoin."""
+        from hgraphstorage_spark.pipeline.dedup import (
+            incremental_near_dup,
+            minhash_lsh_pairs,
+        )
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            for out in (
+                minhash_lsh_pairs(docs, threshold=0.5),
+                incremental_near_dup(
+                    docs.filter(F.col("doc_id") % 2 == 1),
+                    docs.filter(F.col("doc_id") % 2 == 0),
+                    threshold=0.5,
+                ),
+            ):
+                plan = executed_plan(out)
+                assert "BroadcastHashJoin" not in plan, plan
+                assert "SortMergeJoin" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
