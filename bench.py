@@ -33,16 +33,16 @@ HEADLINE = [
     "repetition_exact",      # paper-exact covered fractions (narrow HOF interval union)
     "char_entropy",          # run-length entropy fold (scan speed)
     "chunk_dedup",           # C4-style chunk-level dedup + reassembly
-    "exact_substring",       # ExactSubstr corpus dedup (gram shuffle + interval union)
+    "exact_substring_fast",  # ExactSubstr corpus dedup (gram shuffle + interval union)
     "fuzzy_pairs",           # blocked-Levenshtein record linkage
     "cross_source_overlap",  # per-source-pair shared-ngram matrix
     "semantic_dedup",        # SemDeDup: k-means clusters + in-cluster GEMM
-    "minhash_lsh_pairs",     # shingle -> minhash -> band join -> verify
+    "minhash_lsh_pairs_fast",  # shingle -> minhash -> band join -> verify
     # the 100 TB-shaped embedding near-dup path: banded LSH candidates +
     # exact verify (linear in n + candidates). The O(n^2) exact variant
     # (embed_near_dup) stays out of the headline — it is the small-N
     # verification baseline, not the scale path.
-    "embed_near_dup_lsh",
+    "embed_near_dup_lsh_fast",
     "similarity_topk",       # brute-force cosine top-k
     "hybrid_search",         # BM25 + cosine RRF fusion
     "events_hourly",         # windowed agg
@@ -53,6 +53,39 @@ HEADLINE = [
     "hackage_etl",           # bulk-ingest throughput (reference 'Write Hackage')
     "index_build",           # bulk index build (reference trie-insert baseline)
 ]
+
+
+# The driver window runs the three LSH/dedup queries in md5 hash mode so
+# DuckDB can replay them; the ENGINE's default is xxhash64 (JVM-native long
+# hashing, no string md5 round-trip). The headline times the fast path a
+# user actually runs; the md5 oracle-mode twins are timed too and reported
+# under "md5_oracle_mode" so both modes stay visible (VERDICT r3 task 2).
+def _fast_variants() -> dict:
+    from hgraphstorage_spark.pipeline import minhash_lsh_pairs
+    from hgraphstorage_spark.pipeline.dedup import exact_substring_dedup
+    from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_lsh
+
+    def minhash_fast(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(docs, threshold=0.6)  # hash_mode="xxhash64"
+
+    def embed_lsh_fast(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_near_dup_lsh(emb, threshold=0.35, bits=5, tables=8)
+
+    def exact_substring_fast(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return exact_substring_dedup(docs, n=8)
+
+    return {
+        "minhash_lsh_pairs_fast": minhash_fast,
+        "embed_near_dup_lsh_fast": embed_lsh_fast,
+        "exact_substring_fast": exact_substring_fast,
+    }
+
+
+# md5 oracle-mode twins (the driver-window entries), timed for comparability
+MD5_TWINS = ["minhash_lsh_pairs", "embed_near_dup_lsh", "exact_substring"]
 
 
 def _execute(df) -> None:
@@ -80,7 +113,8 @@ def _release_state(spark) -> None:
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     spark = get_spark("hgraphstorage-bench")
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    queries.update(_fast_variants())
 
     # warm-up (not timed): JVM + parquet footers, and the snapshot open —
     # deriving the property graph from the TPC-H tables is the analogue of
@@ -105,7 +139,7 @@ def main() -> None:
     # warms exactly the classes the timed sf0.1 pass runs; Catalyst
     # planning of the sf0.1 plans is NOT cached and stays in the timings.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in HEADLINE + MD5_TWINS:
         try:
             _execute(queries[name](spark, warm_dir))
         except Exception:
@@ -116,15 +150,17 @@ def main() -> None:
     # shared box carry one-off 3-8x spikes (CPU steal / GC pauses measured
     # on identical code); min-of-2 reports the steady-state a long-lived
     # cluster actually sees, the same reason criterion reports best-of
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    def _time(name: str) -> float:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             _execute(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
             _release_state(spark)
-        timings[name] = round(best, 3)
+        return round(best, 3)
+
+    timings = {name: _time(name) for name in HEADLINE}
+    md5_timings = {name: _time(name) for name in MD5_TWINS}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -134,6 +170,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "md5_oracle_mode": md5_timings,
                 "sf": sf,
             }
         )

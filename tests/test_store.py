@@ -21,7 +21,24 @@ import tempfile
 import pytest
 
 from hgraphstorage_spark import DurableGraphEngine, WriteConflict
-from hgraphstorage_spark.store import VersionLedger, _dec, _enc
+from hgraphstorage_spark.store import (
+    LinkCas,
+    RenameNoReplaceCas,
+    VersionLedger,
+    _dec,
+    _enc,
+)
+
+
+def _cas(name: str):
+    return LinkCas() if name == "link" else RenameNoReplaceCas()
+
+
+# Both publish primitives must satisfy the identical protocol: link(2) for
+# POSIX shared filesystems, rename-without-overwrite (renameat2
+# RENAME_NOREPLACE locally; HDFS/ABFS atomic rename in production) for
+# stores without hard links. Every CAS-protocol test runs against both.
+CAS_BACKENDS = ["link", "rename-noreplace"]
 
 
 @pytest.fixture()
@@ -34,8 +51,8 @@ def root():
 # -- the pure-file CAS protocol (no Spark) -----------------------------------
 
 
-def _ledger_writer(root: str, wid: int, n_ops: int, out):
-    ledger = VersionLedger(root)
+def _ledger_writer(root: str, wid: int, n_ops: int, out, cas_name: str = "link"):
+    ledger = VersionLedger(root, cas=_cas(cas_name))
     mine = []
     for k in range(n_ops):
         while True:
@@ -46,15 +63,16 @@ def _ledger_writer(root: str, wid: int, n_ops: int, out):
     out.put((wid, mine))
 
 
+@pytest.mark.parametrize("cas_name", CAS_BACKENDS)
 class TestLedgerCAS:
-    def test_ten_writers_twenty_five_ops(self, root):
+    def test_ten_writers_twenty_five_ops(self, root, cas_name):
         """RawSpec.hs:60-76 parity at the protocol layer: 10 OS processes
         × 25 publishes each. The CAS must serialize them into exactly 250
         dense versions with no lost or duplicated claim."""
         n_writers, n_ops = 10, 25
         q = mp.Queue()
         procs = [
-            mp.Process(target=_ledger_writer, args=(root, w, n_ops, q))
+            mp.Process(target=_ledger_writer, args=(root, w, n_ops, q, cas_name))
             for w in range(n_writers)
         ]
         for p in procs:
@@ -73,20 +91,41 @@ class TestLedgerCAS:
         seen = {(e["writer"], e["op"]) for e in entries}
         assert len(seen) == 250
 
-    def test_partial_entry_never_visible(self, root):
+    def test_partial_entry_never_visible(self, root, cas_name):
         """Entries become visible atomically: a reader scanning while a
         writer publishes sees only complete JSON."""
-        ledger = VersionLedger(root)
+        ledger = VersionLedger(root, cas=_cas(cas_name))
         for v in range(1, 30):
             assert ledger.try_publish(v, {"writes": list(range(v)), "ops": []})
             for e in ledger.read_entries():
                 assert e["writes"] == list(range(e["version"]))  # parses whole
 
-    def test_lost_cas_returns_false(self, root):
-        ledger = VersionLedger(root)
+    def test_lost_cas_returns_false(self, root, cas_name):
+        ledger = VersionLedger(root, cas=_cas(cas_name))
         assert ledger.try_publish(1, {"writes": []})
         assert not ledger.try_publish(1, {"writes": [99]})
         assert ledger.read_entries()[0]["writes"] == []  # winner kept
+
+
+def test_mixed_cas_backends_interoperate(root):
+    """A link(2) publisher and a rename-noreplace publisher racing the
+    SAME ledger still serialize into dense, unique versions — the two
+    primitives are different syscalls over the same contract."""
+    q = mp.Queue()
+    procs = [
+        mp.Process(
+            target=_ledger_writer,
+            args=(root, w, 10, q, "link" if w % 2 == 0 else "rename-noreplace"),
+        )
+        for w in range(6)
+    ]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in range(6)]
+    for p in procs:
+        p.join(timeout=60)
+    claimed = sorted(v for _, mine in results for v in mine)
+    assert claimed == list(range(1, 61))
 
 
 class TestOpSerialization:
@@ -129,6 +168,27 @@ class TestDurableEngine:
         ta.commit()
         with pytest.raises(WriteConflict):
             tb.commit()
+
+    def test_first_committer_wins_rename_cas_engines(self, spark, root):
+        """Same MVCC contract on a store without hard links: both engines
+        publish via rename-without-overwrite and the loser still sees the
+        conflict (VERDICT r3 task 3 done-condition)."""
+        a = DurableGraphEngine(spark, root, cas=RenameNoReplaceCas())
+        ids = a.add_nodes([("P", {"k": 1}), ("P", {"k": 2})])
+        a.commit()
+        b = DurableGraphEngine(spark, root, cas=RenameNoReplaceCas())
+        ta, tb = a.begin(), b.begin()
+        ta.update_node(ids[0], "P", {"k": 10})
+        tb.update_node(ids[0], "P", {"k": 20})
+        ta.commit()
+        with pytest.raises(WriteConflict):
+            tb.commit()
+        # a third engine (rename CAS) reconstructs the winner's value
+        from hgraphstorage_spark.query_step import list_properties
+
+        c = DurableGraphEngine(spark, root, cas=RenameNoReplaceCas())
+        rows = list_properties(c.committed, ids[0]).collect()
+        assert [(r["name"], r["values"]) for r in rows] == [("k", ["10"])]
 
     def test_non_overlapping_concurrent_commits_both_land(self, spark, root):
         a = DurableGraphEngine(spark, root)
