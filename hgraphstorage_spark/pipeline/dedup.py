@@ -640,6 +640,9 @@ def fuzzy_dup_pairs(
     max_dist: int = 12,
     prefix_len: int = 12,
     len_band: int = 16,
+    max_pairs_per_doc: int | None = None,
+    emit: str = "pairs",
+    cluster_rounds: int = 8,
 ) -> DataFrame:
     """Record-linkage-style fuzzy duplicate pairs: blocked Levenshtein
     over the normalized (lowercased, trimmed) text.
@@ -665,13 +668,32 @@ def fuzzy_dup_pairs(
     O(len^2). Kept pairs' distances equal the unbounded form, and both
     engines define levenshtein identically (unit-cost
     insert/delete/substitute), so the oracle replays the operator with
-    plain full levenshtein — no hash-mode split needed. Note the output
-    itself is quadratic in near-identical copies per blocking family;
-    corpora dominated by copies should cap via the cluster path
-    (``dedup_clusters`` / ``cluster_safe_split``).
+    plain full levenshtein — no hash-mode split needed.
 
-    Returns (doc_a, doc_b, dist) with doc_a < doc_b and dist <= max_dist.
+    The raw pair output is quadratic in near-identical copies per
+    blocking family. Two in-operator mitigations (VERDICT r3 task 4):
+
+    - ``max_pairs_per_doc=k`` keeps, for each ``doc_a``, only its k
+      candidates NEAREST BY LENGTH (ties to the smallest ``doc_b``)
+      BEFORE the edit-distance kernel runs — both kernel work and output
+      become O(n·k) instead of O(copies²). The cap ranks an id+length
+      frame (8-byte keys), never reshuffles texts; dedup still works
+      because transitive near-identical copies chain through the cluster
+      stage. Deterministic, so still oracle-able.
+    - ``emit="clusters"`` routes the (possibly capped) pairs through
+      ``dedup_clusters`` and returns (doc_id, cluster, keep) — one row
+      per DOCUMENT, never quadratic, which is what a dedup pipeline
+      consumes anyway. Under the cap a copy family's pair graph is a
+      banded chain (each doc keeps its k length-nearest), so HashMin
+      needs ~family_size/k rounds, not the 2-3 a clique needs —
+      ``cluster_rounds`` defaults to 8 (pair-graph diameter <= 8, i.e.
+      families up to ~8*k copies) and is the knob for deeper chains.
+
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b and dist <= max_dist
+    (``emit="pairs"``), or (doc_id, cluster, keep) (``emit="clusters"``).
     """
+    if emit not in ("pairs", "clusters"):
+        raise ValueError(f"emit must be 'pairs' or 'clusters', got {emit!r}")
     norm = F.lower(F.trim(F.col(text_col)))
     base = (
         _parallel(docs)
@@ -681,8 +703,7 @@ def fuzzy_dup_pairs(
     )
     probes = base.withColumn("pb", F.explode(F.array(F.col("lb"), F.col("lb") + 1)))
     a, b = probes.alias("a"), probes.alias("b")
-    cand = a.join(
-        b,
+    block_cond = (
         (F.col("a.pfx") == F.col("b.pfx"))
         & (F.col("a.pb") == F.col("b.pb"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -695,26 +716,68 @@ def fuzzy_dup_pairs(
         # at greatest(lb_a, lb_b) makes it exactly once WITHOUT a
         # distinct — the previous distinct() re-shuffled every candidate
         # WITH both full texts attached (~GBs on a copy-dense corpus)
-        & (F.col("a.pb") == F.greatest(F.col("a.lb"), F.col("b.lb"))),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.t").alias("ta"),
-        F.col("b.t").alias("tb"),
+        & (F.col("a.pb") == F.greatest(F.col("a.lb"), F.col("b.lb")))
     )
+    if max_pairs_per_doc is None:
+        cand = a.join(b, block_cond).select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+        )
+    else:
+        # cap BEFORE the kernel, on an id+length frame: the block join and
+        # the rank window shuffle 8-byte columns only; texts join back in
+        # for just the surviving O(n*k) pairs
+        from pyspark.sql import Window
+
+        slim = probes.select("doc_id", "pfx", "lb", "pb", F.length("t").alias("ln"))
+        sa, sb = slim.alias("a"), slim.alias("b")
+        slim_cond = (
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.pb") == F.col("b.pb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= max_dist)
+            & (F.col("a.pb") == F.greatest(F.col("a.lb"), F.col("b.lb")))
+        )
+        capped = (
+            sa.join(sb, slim_cond)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.abs(F.col("a.ln") - F.col("b.ln")).alias("_ld"),
+            )
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("doc_a").orderBy("_ld", "doc_b")
+                ),
+            )
+            .filter(F.col("_rn") <= max_pairs_per_doc)
+            .select("doc_a", "doc_b")
+        )
+        texts = base.select("doc_id", "t")
+        cand = capped.join(
+            texts.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a"
+        ).join(
+            texts.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")), "doc_b"
+        )
     # BOUNDED levenshtein: the threshold form computes only the |2d+1|
     # diagonal band and early-exits, O(len*d) instead of O(len^2) per
     # pair — measured 18x on a block-dense corpus (16x perturbed copies
     # sharing prefixes). Returns -1 above the threshold; kept pairs'
     # distances are identical to the unbounded form, so the oracle (which
     # computes full levenshtein and filters) is unchanged.
-    return (
+    pairs = (
         cand.withColumn(
             "dist", F.levenshtein("ta", "tb", max_dist).cast("long")
         )
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("doc_a", "doc_b", "dist")
     )
+    if emit == "clusters":
+        return dedup_clusters(docs, pairs, id_col=id_col, rounds=cluster_rounds)
+    return pairs
 
 
 def exact_substring_dedup(

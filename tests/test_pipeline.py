@@ -1110,6 +1110,55 @@ class TestFuzzyPairs:
         got = fuzzy_dup_pairs(docs, max_dist=1).collect()
         assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in got] == [(0, 1, 0)]
 
+    def test_max_pairs_per_doc_bounds_copy_dense_output(self, spark):
+        """README's copy-dense protocol in miniature: 16 near-identical
+        copies of each of 8 families -> uncapped output is quadratic
+        (C(16,2)=120 pairs/family); the cap bounds it to k per doc_a and
+        keeps exactly the k length-nearest candidates."""
+        from hgraphstorage_spark.pipeline.dedup import fuzzy_dup_pairs
+
+        rows = []
+        for fam in range(8):
+            for c in range(16):
+                # same 12-char prefix per family, tiny tail perturbation
+                rows.append((fam * 100 + c, f"{fam:012d} common body text" + " x" * c))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = fuzzy_dup_pairs(docs, max_dist=40, len_band=64).collect()
+        assert len(uncapped) == 8 * 120
+        capped = fuzzy_dup_pairs(docs, max_dist=40, len_band=64, max_pairs_per_doc=3).collect()
+        per_a = {}
+        for r in capped:
+            per_a[r["doc_a"]] = per_a.get(r["doc_a"], 0) + 1
+        assert max(per_a.values()) <= 3
+        assert len(capped) < len(uncapped)
+        # capped pairs are a subset of uncapped, with identical distances
+        unc = {(r["doc_a"], r["doc_b"]): r["dist"] for r in uncapped}
+        assert all(unc[(r["doc_a"], r["doc_b"])] == r["dist"] for r in capped)
+
+    def test_emit_clusters_one_row_per_doc(self, spark):
+        """emit='clusters' output is linear in documents: each copy family
+        collapses to one cluster with one keeper, even under the cap
+        (transitive chaining through dedup_clusters)."""
+        from hgraphstorage_spark.pipeline.dedup import fuzzy_dup_pairs
+
+        rows = []
+        for fam in range(4):
+            for c in range(16):
+                rows.append((fam * 100 + c, f"{fam:012d} common body text" + " x" * c))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = fuzzy_dup_pairs(docs, max_dist=40, len_band=64, max_pairs_per_doc=3, emit="clusters")
+        out = got.collect()
+        assert len(out) == len(rows)  # one row per document
+        clusters = {}
+        for r in out:
+            clusters.setdefault(r["cluster"], []).append(r)
+        assert len(clusters) == 4
+        for members in clusters.values():
+            assert sum(1 for m in members if m["keep"]) == 1
+            assert min(m["doc_id"] for m in members) == [
+                m["doc_id"] for m in members if m["keep"]
+            ][0]
+
 
 class TestDedupClusters:
     def test_chain_forms_one_cluster(self, spark):
