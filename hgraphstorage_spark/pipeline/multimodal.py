@@ -8,9 +8,13 @@ Arrow-batched UDF signatures) is real and tested. Decoding has two tiers:
   (duration), so ``decode_ok``, ``codec``, ``width``, ``height`` and
   ``duration_ms`` come from the actual payload bytes — no media libraries
   needed.
-- **Pixel/sample-level decode is STUBBED** — PIL/librosa/ffmpeg are not in
-  this container. Those hooks raise NotImplementedError (real mode) or
-  produce a deterministic fake (test mode), clearly marked.
+- **Pixel/sample-level decode is tiered**: uncompressed BMP, 8-bit
+  non-interlaced PNG (full filter reconstruction, pure stdlib-zlib +
+  numpy) and PCM WAV decode for REAL with no media libraries; JPEG/GIF
+  decode for real when Pillow is installed (optional-import tier,
+  ``_pil_image_module``); everything else raises NotImplementedError
+  (real mode) or produces a deterministic fake (test mode), clearly
+  marked.
 
 Design for 100 TB of media:
 - binary payloads stay opaque in parquet (no driver round-trips);
@@ -135,21 +139,49 @@ def parse_media_header(payload: bytes | None) -> tuple[str, int | None, int | No
     return None
 
 
-def png_bytes(width: int, height: int) -> bytes:
-    """Complete, valid 8-bit grayscale PNG (zlib-deflated zero scanlines) —
-    a real payload for tests and synthetic corpora, stdlib only."""
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    raw = ctype + data
+    return struct.pack(">I", len(data)) + raw + struct.pack(">I", zlib.crc32(raw))
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        raw = ctype + data
-        return struct.pack(">I", len(data)) + raw + struct.pack(">I", zlib.crc32(raw))
 
+def png_bytes(width: int, height: int, pattern: bool = False) -> bytes:
+    """Complete, valid 8-bit grayscale PNG — a real payload for tests and
+    synthetic corpora, stdlib only. ``pattern=True`` fills a deterministic
+    gradient instead of zeros, so pixel-level stats are content-derived."""
+    if pattern:
+        scanlines = b"".join(
+            b"\x00" + bytes((x * 7 + y * 13) % 256 for x in range(width))
+            for y in range(height)
+        )
+    else:
+        scanlines = (b"\x00" + b"\x00" * width) * height
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    scanlines = (b"\x00" + b"\x00" * width) * height
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(scanlines))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scanlines))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_array_bytes(px: "np.ndarray") -> bytes:
+    """Encode an (H, W[, C]) uint8 array as a complete valid PNG (8-bit,
+    filter 0, C in {1: gray, 2: gray+alpha, 3: RGB, 4: RGBA}) — the
+    re-encode half of the pure-numpy PNG path (stdlib zlib only)."""
+    import numpy as np
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    body = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    body[:, 1:] = px.reshape(h, w * c)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body.tobytes()))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -248,6 +280,142 @@ def decode_bmp_pixels(payload: bytes | None) -> "np.ndarray | None":
     return np.ascontiguousarray(arr if top_down else arr[::-1])
 
 
+def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
+    """REAL pixel decode for PNG — pure stdlib zlib + numpy, no media
+    libraries. Covers 8-bit-depth, non-interlaced images in color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — the
+    overwhelming majority of web PNGs. Full filter reconstruction (None/
+    Sub/Up/Average/Paeth per scanline, RFC 2083 §6). Returns an
+    (H, W, C) uint8 array (palette expanded to RGB), top row first, or
+    None for payloads outside this coverage (16-bit depth, interlaced —
+    honestly tiered out, not silently wrong)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 45:
+        return None
+    b = bytes(payload)
+    if b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    depth, color_type, comp, filt, interlace = b[24:29]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or w == 0 or h == 0:
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        return None
+    # walk chunks: concatenate IDAT, keep PLTE for palette expansion
+    p, idat, plte = 8, [], None
+    while p + 8 <= len(b):
+        clen = struct.unpack(">I", b[p : p + 4])[0]
+        ctype = b[p + 4 : p + 8]
+        body = b[p + 8 : p + 8 + clen]
+        if ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IEND":
+            break
+        p += 12 + clen  # len + type + crc
+    if not idat or (color_type == 3 and (plte is None or len(plte) % 3)):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (1 + stride):
+        return None
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(
+        h, 1 + stride
+    )
+    ftypes, data = lines[:, 0], lines[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    bpp = channels  # bytes per pixel at depth 8
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft, cur = int(ftypes[y]), data[y].copy()
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            rec = cur
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) >> 1
+                else:  # Paeth
+                    pa0 = left + up - ul
+                    pa, pb, pc = abs(pa0 - left), abs(pa0 - up), abs(pa0 - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            return None  # invalid filter type
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if color_type == 3:  # expand palette indices to RGB
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            return None
+        px = pal[idx]
+    return np.ascontiguousarray(px)
+
+
+def _pil_image_module():
+    """Feature-detect Pillow. Returns the PIL.Image module or None — the
+    tier gate for compressed codecs (JPEG/GIF) this container can't decode
+    in pure numpy. Monkeypatchable in tests to pin both tiers."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
+    """Tiered image decode to an (H, W, C) uint8 array, or None:
+
+    - BMP (uncompressed) and PNG (8-bit non-interlaced): REAL pure-numpy
+      decode, always available.
+    - JPEG / GIF and everything else: real decode via Pillow WHEN
+      INSTALLED (optional-import tier); None otherwise — same honest
+      contract, never a fake.
+
+    Channel order note: BMP arrays come back in stored BGR[A] order, PNG/
+    PIL in RGB[A]; fine for the channel-agnostic stats/fingerprint
+    consumers here — color-sensitive callers should branch on the codec.
+    """
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        px = decode_png_pixels(b)
+        if px is not None:
+            return px
+        # fall through: a PNG outside pure-numpy coverage may still PIL-decode
+    pil = _pil_image_module()
+    if pil is not None:
+        import io
+
+        import numpy as np
+
+        try:
+            with pil.open(io.BytesIO(b)) as im:
+                return np.ascontiguousarray(np.asarray(im.convert("RGB")))
+        except Exception:
+            return None
+    return None
+
+
 def decode_wav_samples(payload: bytes | None) -> "np.ndarray | None":
     """REAL sample decode for PCM WAV (8-bit unsigned / 16-bit signed) —
     pure numpy. Returns float64 samples normalized to [-1, 1] (channels
@@ -330,13 +498,14 @@ def probe_metadata(media: DataFrame) -> DataFrame:
 def _decode_stub(payload: bytes, kind: str, fake: bool) -> list[float] | None:
     """Feature extraction per blob. Real mode is tiered by codec:
 
-    - **BMP / PCM-WAV: fully real.** Pixels / samples are decoded in pure
-      numpy (``decode_bmp_pixels`` / ``decode_wav_samples``) and the last
-      four feature dims are content statistics (mean, min, max, std/rms of
-      the actual pixel or sample values) — no digest fakery.
-    - **PNG / JPEG / GIF headers: dimensions are real** (parsed bytes),
-      the tail dims fall back to a payload digest — pixel decode for
-      compressed codecs needs PIL/ffmpeg, absent here.
+    - **BMP / PNG / PCM-WAV: fully real.** Pixels / samples are decoded in
+      pure numpy (``decode_bmp_pixels`` / ``decode_png_pixels`` /
+      ``decode_wav_samples``) and the last four feature dims are content
+      statistics (mean, min, max, std/rms of the actual pixel or sample
+      values) — no digest fakery.
+    - **JPEG / GIF: real via Pillow when installed** (optional-import
+      tier, ``_pil_image_module``); without it, dimensions are real
+      (parsed bytes) and the tail dims fall back to a payload digest.
     - No recognized container → NotImplementedError (honest stub).
 
     ``fake=True`` keeps the legacy deterministic md5 feature so plumbing
@@ -358,11 +527,9 @@ def _decode_stub(payload: bytes, kind: str, fake: bool) -> list[float] | None:
         float(w) / float(h) if w and h else 0.0,
         float(d or 0) / 1000.0,
     ]
-    if codec == "bmp":
-        px = decode_bmp_pixels(payload)
+    if codec in ("bmp", "png", "jpeg", "gif"):
+        px = decode_image_pixels(payload)
         if px is not None:
-            import numpy as np  # noqa: F401
-
             vals = px.astype("float64") / 255.0
             return head + [
                 float(vals.mean()),
@@ -426,12 +593,14 @@ def resize_images(
     Same execution shape as `extract_features`: metadata-only pre-filter
     (images already small enough pass through without payload decode —
     checked from the meta struct, prunable at plan time), then
-    ``mapInPandas`` over Arrow batches for the rest. Pixel work is tiered:
-    **24-bit uncompressed BMP resizes for REAL** (numpy nearest-neighbor
-    over the decoded pixel array, re-encoded as a valid BMP); compressed
-    codecs (PNG/JPEG) stay STUBBED (no PIL here) — real mode marks them
-    failed, fake mode returns the original bytes with the computed target
-    dimensions so the partitioning/batch-shape plumbing stays testable.
+    ``mapInPandas`` over Arrow batches for the rest. Pixel work is tiered
+    through ``decode_image_pixels``: **uncompressed BMP and 8-bit PNG
+    resize for REAL** (numpy nearest-neighbor over the decoded array;
+    BMP re-encodes as BMP, everything else as PNG via
+    ``png_array_bytes``), JPEG/GIF resize for real when Pillow is
+    installed; otherwise real mode marks them failed and fake mode
+    returns the original bytes with the computed target dimensions so
+    the partitioning/batch-shape plumbing stays testable.
     """
     import numpy as np
 
@@ -443,15 +612,22 @@ def resize_images(
                     out_payload.append(None), out_w.append(None), out_h.append(None)
                     oks.append(False)
                     continue
-                px = None if fake_decode else decode_bmp_pixels(payload)
-                if px is not None and px.shape[2] == 3:
+                px = None if fake_decode else decode_image_pixels(payload)
+                if px is not None:
                     # real path: use the DECODED dims (declared meta can lie)
                     sh, sw = px.shape[:2]
                     scale = min(max_w / sw, max_h / sh, 1.0)
                     tw, th = max(1, int(sw * scale)), max(1, int(sh * scale))
                     yi = (np.arange(th) * sh) // th  # nearest-neighbor grid
                     xi = (np.arange(tw) * sw) // tw
-                    out_payload.append(bmp_array_bytes(px[yi][:, xi]))
+                    small = px[yi][:, xi]
+                    is_bmp = bytes(payload)[:2] == b"BM"
+                    enc = (
+                        bmp_array_bytes(small)
+                        if is_bmp and small.shape[2] == 3
+                        else png_array_bytes(small)
+                    )
+                    out_payload.append(enc)
                     out_w.append(tw), out_h.append(th)
                     oks.append(True)
                     continue
@@ -459,7 +635,7 @@ def resize_images(
                 tw, th = max(1, int(int(w) * scale)), max(1, int(int(h) * scale))
                 if not fake_decode:
                     out_payload.append(None), out_w.append(tw), out_h.append(th)
-                    oks.append(False)  # NotImplemented: pixel decode needs PIL
+                    oks.append(False)  # NotImplemented: this codec needs PIL
                     continue
                 out_payload.append(bytes(payload)), out_w.append(tw), out_h.append(th)
                 oks.append(True)
@@ -592,10 +768,11 @@ FINGERPRINT_SCHEMA = T.StructType(
 
 def media_fingerprints(media: DataFrame) -> DataFrame:
     """Perceptual fingerprints per blob, Arrow batch at a time: dHash for
-    REAL-decodable images (uncompressed BMP), the energy signature for
-    REAL-decodable audio (PCM WAV). Compressed codecs yield NULL with
-    fp_ok=false — the same honest-decode tiering as ``extract_features``
-    (no media libs here). Near-dup media = small ``hamming64`` distance
+    REAL-decodable images (uncompressed BMP + 8-bit PNG pure-numpy;
+    JPEG/GIF when Pillow is installed), the energy signature for
+    REAL-decodable audio (PCM WAV). Codecs outside the decode tier yield
+    NULL with fp_ok=false — the same honest tiering as
+    ``extract_features``. Near-dup media = small ``hamming64`` distance
     between fingerprints; bucket on the fingerprint for exact-match
     streaming dedup (``stream_near_dedup`` shape)."""
 
@@ -604,7 +781,7 @@ def media_fingerprints(media: DataFrame) -> DataFrame:
             fps, oks = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 fp = None
-                px = decode_bmp_pixels(payload)
+                px = decode_image_pixels(payload)
                 if px is not None:
                     fp = dhash_bits(px)
                 else:

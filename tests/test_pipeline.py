@@ -361,14 +361,17 @@ class TestMultimodal:
             src_w, src_h = 64 + mid, 48 + mid
             assert abs(r["width"] / r["height"] - src_w / src_h) < 0.1
 
-    def test_resize_real_mode_marks_failed(self, spark):
-        """Compressed codecs (png/jpeg) and corrupt payloads stay honestly
-        failed in real mode — the first 9 media rows contain no BMP."""
+    def test_resize_real_mode_tiering(self, spark):
+        """Real-mode tiering over the first 9 media rows: the PNG row
+        (media_id 6) now resizes for REAL via the pure-numpy PNG path;
+        JPEG (no Pillow here) and corrupt payloads stay honestly failed."""
         from hgraphstorage_spark.pipeline.multimodal import resize_images, synthetic_media
 
-        out = resize_images(synthetic_media(spark, 9), fake_decode=False).collect()
+        out = {r["media_id"]: r for r in resize_images(synthetic_media(spark, 9), fake_decode=False).collect()}
         assert len(out) == 3
-        assert all(not r["resize_ok"] for r in out)
+        assert not out[0]["resize_ok"]  # corrupt garbage
+        assert not out[3]["resize_ok"]  # jpeg: needs Pillow, absent
+        assert out[6]["resize_ok"]      # png: pure-numpy real resize
 
     def test_resize_real_bmp_nearest_neighbor(self, spark):
         """24-bit BMP resize is REAL end-to-end: the output payload is a
@@ -400,8 +403,8 @@ class TestMultimodal:
             assert (r["width"], r["height"]) == (tw, th)
             yi, xi = (np.arange(th) * sh) // th, (np.arange(tw) * sw) // tw
             assert np.array_equal(got, src[yi][:, xi])
-        # non-BMP images remain honestly failed
-        assert not out[3]["resize_ok"] and not out[6]["resize_ok"]
+        # jpeg (no Pillow) remains honestly failed; png resizes for real
+        assert not out[3]["resize_ok"] and out[6]["resize_ok"]
 
     def test_real_content_features_bmp_wav(self, spark):
         """extract_features real mode: BMP pixel stats and WAV sample stats
@@ -1738,3 +1741,195 @@ class TestPerSourcePercentRank:
         got = {r["doc_id"]: float(r["pct_rank"]) for r in per_source_percent_rank(df, "m").collect()}
         assert got[0] == 0.0 and got[1] == 0.5 and got[2] == 1.0
         assert got[3] == 0.0  # singleton source ranks alone
+
+
+class TestPngDecodeAndPilTier:
+    """Round-4 media tiering (VERDICT r3 task 6): real pure-numpy PNG
+    decode + optional-import Pillow tier for JPEG, pinned both ways."""
+
+    def test_png_roundtrip_all_channel_counts(self):
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            decode_png_pixels,
+            png_array_bytes,
+        )
+
+        rng = np.random.RandomState(7)
+        for c in (1, 2, 3, 4):
+            px = rng.randint(0, 256, size=(13, 9, c), dtype=np.uint8)
+            got = decode_png_pixels(png_array_bytes(px))
+            assert got is not None and np.array_equal(got, px), c
+
+    def test_png_all_filter_types_reconstruct(self):
+        """Hand-filter scanlines with every PNG filter type (Sub/Up/
+        Average/Paeth) and assert the decoder reconstructs the original
+        pixels — RFC 2083 §6 reference arithmetic implemented
+        independently here."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            _png_chunk,
+            decode_png_pixels,
+        )
+
+        rng = np.random.RandomState(3)
+        h, w, c = 6, 5, 3
+        px = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8).astype(int)
+        flat = px.reshape(h, w * c)
+
+        def paeth(a, b, cc):
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+        raw = b""
+        for y in range(h):
+            ft = [0, 1, 2, 3, 4, 1][y]
+            prev = flat[y - 1] if y > 0 else np.zeros(w * c, dtype=int)
+            line = bytearray([ft])
+            for x in range(w * c):
+                cur = int(flat[y][x])
+                left = int(flat[y][x - c]) if x >= c else 0
+                up = int(prev[x])
+                ul = int(prev[x - c]) if x >= c else 0
+                pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1, 4: paeth(left, up, ul)}[ft]
+                line.append((cur - pred) & 0xFF)
+            raw += bytes(line)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(payload)
+        assert got is not None and np.array_equal(got, px.astype(np.uint8))
+
+    def test_png_palette_expansion(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            _png_chunk,
+            decode_png_pixels,
+        )
+
+        pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+        idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+        ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", pal)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(payload)
+        assert got.shape == (2, 3, 3)
+        assert got[0, 0].tolist() == [255, 0, 0] and got[1, 0].tolist() == [0, 0, 255]
+
+    def test_png_out_of_tier_returns_none(self):
+        """16-bit depth and interlaced PNGs are OUTSIDE pure-numpy
+        coverage: honest None, never silently-wrong pixels."""
+        import struct
+        import zlib
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            _png_chunk,
+            decode_png_pixels,
+        )
+
+        for depth, interlace in ((16, 0), (8, 1)):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 0, 0, 0, interlace)
+            payload = (
+                b"\x89PNG\r\n\x1a\n"
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 12))
+                + _png_chunk(b"IEND", b"")
+            )
+            assert decode_png_pixels(payload) is None
+
+    def test_png_features_content_derived(self, spark):
+        """extract_features real mode on a pattern PNG: the stats equal
+        numpy on the generator gradient — PNG is now in the fully-real
+        tier alongside BMP/WAV."""
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            png_bytes,
+        )
+
+        w, h = 31, 17
+        payload = png_bytes(w, h, pattern=True)
+        media = spark.createDataFrame(
+            [{"media_id": 0, "kind": "image", "payload": payload,
+              "meta": {"codec": "png", "width": w, "height": h, "duration_ms": None}}],
+            MEDIA_SCHEMA,
+        )
+        f = extract_features(media, fake_decode=False).collect()[0]
+        assert f["decode_ok"]
+        px = np.array(
+            [[(x * 7 + y * 13) % 256 for x in range(w)] for y in range(h)], dtype=float
+        ) / 255.0
+        got = f["feature"]
+        assert got[:2] == [float(w), float(h)]
+        for g, want in zip(got[4:], [px.mean(), px.min(), px.max(), px.std()]):
+            assert abs(g - want) < 1e-6
+
+    def test_jpeg_tier_pinned_both_ways(self, monkeypatch):
+        """Without Pillow a JPEG yields no pixels; with Pillow (faked here
+        — the real module is absent in this container) decode_image_pixels
+        returns the PIL-decoded array. Pins the optional-import contract
+        in both states."""
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline import multimodal as mm
+
+        jpeg = mm.jpeg_header_bytes(8, 6)
+        monkeypatch.setattr(mm, "_pil_image_module", lambda: None)
+        assert mm.decode_image_pixels(jpeg) is None
+
+        fixed = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+
+        class _Im:
+            def convert(self, mode):
+                assert mode == "RGB"
+                return fixed
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        class _FakePil:
+            @staticmethod
+            def open(fp):
+                return _Im()
+
+        monkeypatch.setattr(mm, "_pil_image_module", lambda: _FakePil)
+        got = mm.decode_image_pixels(jpeg)
+        assert got is not None and np.array_equal(got, fixed)
+
+    def test_fingerprints_cover_png(self, spark):
+        """media_fingerprints now fingerprints PNG rows (pure-numpy dHash)
+        — only JPEG-family and corrupt rows remain fp_ok=false without
+        Pillow."""
+        from hgraphstorage_spark.pipeline.multimodal import (
+            media_fingerprints,
+            synthetic_media,
+        )
+
+        out = {r["media_id"]: r for r in media_fingerprints(synthetic_media(spark, 24)).collect()}
+        assert out[6]["fp_ok"] and out[18]["fp_ok"]        # png rows
+        assert out[9]["fp_ok"] and out[21]["fp_ok"]        # bmp rows
+        assert not out[0]["fp_ok"] and not out[3]["fp_ok"]  # corrupt, jpeg
