@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hgraphstorage_spark.pipeline.state import track
 from hgraphstorage_spark.pipeline.text import WS_RE, _parallel
 
 
@@ -271,8 +272,9 @@ def minhash_lsh_pairs(
     # verify sides) — at scale this is the "signature table" a real
     # pipeline would checkpoint; it is ~8(k + |shingles|) bytes/doc, far
     # smaller than the text it replaces.
-    base = _with_signature(shingle_hashes(docs, text_col, id_col, n, hash_mode), k, hash_mode)
-    base.persist()
+    base = track(
+        _with_signature(shingle_hashes(docs, text_col, id_col, n, hash_mode), k, hash_mode)
+    )
     banded = _banded(base, rows_per_band, bands, hash_mode)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -344,12 +346,12 @@ def incremental_near_dup(
     pair at >= threshold; the caller drops flagged docs with a left_anti
     join on doc_id."""
     rows_per_band = k // bands
-    base_new = _with_signature(
-        shingle_hashes(new_docs, text_col, id_col, n, hash_mode), k, hash_mode
-    ).persist()
-    base_seen = _with_signature(
-        shingle_hashes(seen_docs, text_col, id_col, n, hash_mode), k, hash_mode
-    ).persist()
+    base_new = track(
+        _with_signature(shingle_hashes(new_docs, text_col, id_col, n, hash_mode), k, hash_mode)
+    )
+    base_seen = track(
+        _with_signature(shingle_hashes(seen_docs, text_col, id_col, n, hash_mode), k, hash_mode)
+    )
     bn = _banded(base_new, rows_per_band, bands, hash_mode).alias("a")
     bs = _banded(base_seen, rows_per_band, bands, hash_mode).alias("b")
     candidates = (

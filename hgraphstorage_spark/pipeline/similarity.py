@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hgraphstorage_spark.pipeline.state import track
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -168,7 +170,7 @@ def embedding_near_dup_exact(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
-    prepped = prepped.persist()
+    prepped = track(prepped)
     if blocks is None:
         # sizing count runs on the persisted projection, so it doubles as
         # the cache-warming job for the 3 downstream uses (blocked GEMM +
@@ -230,7 +232,7 @@ def embedding_near_dup_lsh(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     ).withColumn("nrm", _norm(F.col("v")))
-    prepped.persist()
+    track(prepped)
     if bits is None:
         # sizing count doubles as the cache-warming job: one scan total
         n = prepped.count()

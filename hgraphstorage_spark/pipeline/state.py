@@ -1,0 +1,67 @@
+"""Deterministic release of pipeline-persisted intermediates.
+
+Several operators legitimately ``persist()`` an intermediate that multiple
+plan branches consume (LSH signature tables, quantized embedding preps) or
+``localCheckpoint()`` iterative state. Per job that is correct — the
+session's end releases the blocks. A LONG-LIVED service calling these
+operators in a loop, though, accumulates executor storage unless it
+releases blocks between calls (VERDICT r3 task 7).
+
+Every pipeline operator that persists an intermediate registers it here
+via :func:`track`. Callers with a loop wrap each materialization in
+:func:`released`::
+
+    with released(minhash_lsh_pairs(docs)) as pairs:
+        pairs.write.parquet(out)       # action runs with blocks warm
+    # exiting unpersists every intermediate the op registered
+
+or call :func:`release_tracked` at their own cadence. Releases are
+non-blocking (``unpersist(False)``) and idempotent; an unpersist on an
+already-released or dead DataFrame is swallowed.
+
+Scope note: the registry is process-global by design (the simple contract
+a bench/service loop needs). ``released`` releases everything tracked at
+EXIT time — don't interleave the construction of two tracked operators
+across a ``released`` boundary; build-act-release each one.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for later deterministic release."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def tracked_count() -> int:
+    return len(_TRACKED)
+
+
+def release_tracked() -> int:
+    """Unpersist every registered intermediate (LIFO); returns how many."""
+    n = 0
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist(False)
+            n += 1
+        except Exception:
+            pass  # session gone or block already dropped — release is best-effort
+    return n
+
+
+@contextmanager
+def released(df: DataFrame):
+    """Yield ``df`` for its action, then release all tracked intermediates."""
+    try:
+        yield df
+    finally:
+        release_tracked()

@@ -1,0 +1,63 @@
+"""Unpersist hygiene (VERDICT r3 task 7): pipeline operators that persist
+intermediates register them with ``pipeline.state``; a long-lived service
+loop wrapping each materialization in ``released`` leaves ZERO persisted
+blocks behind."""
+
+from __future__ import annotations
+
+from hgraphstorage_spark.pipeline.state import release_tracked, released, tracked_count
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _persistent_rdd_count(spark) -> int:
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    n, it = 0, jmap.values().iterator()
+    while it.hasNext():
+        it.next()
+        n += 1
+    return n
+
+
+def test_loop_of_lsh_ops_leaves_no_blocks(spark):
+    from hgraphstorage_spark.pipeline import minhash_lsh_pairs
+    from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_lsh
+
+    release_tracked()
+    baseline = _persistent_rdd_count(spark)  # other tests' leftovers, if any
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    for _ in range(3):
+        with released(minhash_lsh_pairs(docs, threshold=0.6)) as pairs:
+            assert pairs.count() >= 0
+        assert tracked_count() == 0
+        with released(embedding_near_dup_lsh(emb, threshold=0.35, bits=5, tables=4)) as nd:
+            assert nd.count() >= 0
+        assert tracked_count() == 0
+        # blocks actually gone on the executors, not just forgotten here
+        assert _persistent_rdd_count(spark) == baseline
+
+
+def test_incremental_near_dup_two_tracked_then_released(spark):
+    from pyspark.sql import functions as F
+
+    from hgraphstorage_spark.pipeline.dedup import incremental_near_dup
+
+    release_tracked()
+    baseline = _persistent_rdd_count(spark)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = incremental_near_dup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.5,
+    )
+    assert tracked_count() == 2  # new + seen signature tables
+    with released(out) as df:
+        df.count()
+    assert tracked_count() == 0
+    assert _persistent_rdd_count(spark) == baseline
+
+
+def test_release_is_idempotent(spark):
+    assert release_tracked() == 0
+    assert release_tracked() == 0
