@@ -2106,7 +2106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_nodes_by_label": q_scan_nodes_by_label,
         "filter_objects_has": q_filter_objects_has,
         "filter_relations": q_filter_relations,
-        "get_object": q_get_object,
+        # r4 window refresh (VERDICT r3 task 8): get_object / nb_counts /
+        # prop_names — trivially stable since r1 — rotate past the window
+        # (still oracle-compared in pytest); their slots carry operators
+        # the driver has never hashed: the asymmetric refresh-crawl LSH,
+        # SQ8 quantized ANN, and layered-Brandes betweenness
+        "incremental_near_dup": q_incremental_near_dup,
+        "sq_topk": q_sq_topk,
         "list_properties": q_list_properties,
         "traversal_out_values": q_traversal_out_values,
         "traversal_in": q_traversal_in,
@@ -2115,8 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_to_nodes": q_edges_to_nodes,
         "multi_hop": q_multi_hop,
         "query_step": q_query_step,
-        "nb_counts": q_nb_counts,
-        "prop_names": q_prop_names,
+        "betweenness": q_betweenness,
         "index_build": q_index_build,
         "index_lookup": q_index_lookup,
         "index_prefix": q_index_prefix,
@@ -2211,7 +2216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs": q_fuzzy_pairs,
         "bloom_decontaminate": q_bloom_decontaminate,
         "embedding_stats": q_embedding_stats,
-        "sq_topk": q_sq_topk,
         "ewma": q_ewma,
         "char_entropy": q_char_entropy,
         "tpch_q2_like": q_tpch_q2_like,
@@ -2223,8 +2227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": q_corpus_report,
         "embedding_outliers": q_embedding_outliers,
         "weighted_sp": q_weighted_sp,
-        "incremental_near_dup": q_incremental_near_dup,
-        "betweenness": q_betweenness,
         "clustering": q_clustering,
         "stopword_stats": q_stopword_stats,
         "k_truss": q_k_truss,
@@ -2232,6 +2234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
         "event_transitions": q_event_transitions,
+        # r4: rotated out of the window (stable since r1; still oracled)
+        "get_object": q_get_object,
+        "nb_counts": q_nb_counts,
+        "prop_names": q_prop_names,
     }
 
 

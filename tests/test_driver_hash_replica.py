@@ -88,6 +88,8 @@ def test_window_covers_required_operators():
         "text_quality", "lang_id", "text_token_counts", "repetition_stats",
         "bm25_search", "decontaminate", "hash_split", "mix_corpus",
         "multimodal_features", "graph_summary",
+        # r4 rotation: operators the driver had never hashed before
+        "incremental_near_dup", "sq_topk", "betweenness", "exact_substring",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
