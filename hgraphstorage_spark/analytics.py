@@ -833,6 +833,12 @@ def betweenness(
     keyed sum, whose float-order variance is absorbed by round-6 canon
     in callers that need cross-engine equality).
 
+    Truncation semantics: when ``max_hops`` cuts a BFS short while
+    reachable nodes remain, the result is a truncated-horizon estimate
+    (paths longer than max_hops contribute nothing, and upstream deltas
+    are accordingly smaller) and a ``RuntimeWarning`` is emitted; with
+    ``max_hops`` >= the reached diameter the accumulation is exact.
+
     Returns (id, betweenness DECIMAL(18,6))."""
     edges = snap.edges
     if labels:
@@ -861,10 +867,35 @@ def betweenness(
             .localCheckpoint(eager=False)
         )
         if nxt.limit(1).count() == 0:
+            frontier = None  # clean fixpoint: no unvisited successors remain
             break
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
         frontier = nxt
         depth = hop
+    if frontier is not None:
+        # max_hops exhausted with a live frontier: if it still has
+        # unvisited successors, the deepest layer's deltas seed at 0
+        # despite real downstream paths, silently UNDERCOUNTING every
+        # upstream delta — surface the truncation instead (ADVICE r3)
+        more = (
+            frontier.withColumnRenamed("id", "src")
+            .join(ed, "src")
+            .select("lm", F.col("dst").alias("id"))
+            .join(visited.select("lm", "id"), ["lm", "id"], "left_anti")
+            .limit(1)
+            .count()
+        )
+        if more:
+            import warnings
+
+            warnings.warn(
+                f"betweenness: BFS truncated at max_hops={max_hops} with reachable "
+                "nodes beyond — deltas are a TRUNCATED-HORIZON estimate (upstream "
+                "dependencies undercounted). Raise max_hops to cover the diameter "
+                "for the exact Brandes accumulation.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     # backward: deltas per layer, deepest first
     delta = (
         visited.filter(F.col("dist") == depth)
@@ -973,7 +1004,7 @@ def k_truss(snap: GraphSnapshot, k: int = 3, max_rounds: int = 50) -> DataFrame:
         .localCheckpoint()
     )
     need = k - 2
-    merged = None
+    merged, converged = None, False
     for _ in range(max_rounds):
         deg = (
             e.select(F.col("u").alias("id"))
@@ -994,6 +1025,15 @@ def k_truss(snap: GraphSnapshot, k: int = 3, max_rounds: int = 50) -> DataFrame:
             .localCheckpoint(eager=False)  # materialized by the count below
         )
         if merged.filter(F.col("support") < need).limit(1).count() == 0:
+            converged = True
             break
         e = merged.filter(F.col("support") >= need).select("u", "v").localCheckpoint()
+    if not converged:
+        # the last merged frame still holds sub-threshold edges (supports
+        # were counted BEFORE the final filter) — returning it would
+        # silently violate the k-truss invariant the docstring promises
+        raise RuntimeError(
+            f"k_truss did not reach its fixpoint within max_rounds={max_rounds}; "
+            "raise max_rounds (peeling needs at most one round per removed layer)"
+        )
     return merged.select(F.col("u").alias("a"), F.col("v").alias("b"), "support")

@@ -672,14 +672,14 @@ def snapshot_diff(a: GraphSnapshot, b: GraphSnapshot) -> dict[str, DataFrame]:
     version chains, ``LowLevelDB MVCC.hs``; on immutable snapshots the
     chain is recovered by set difference).
 
-    Returns DataFrames keyed: nodes_added / nodes_removed (id, label),
-    edges_added / edges_removed (id, src, dst, label), props_changed —
-    properties whose (owner, name, value-set) differ, as
-    (owner_id, owner_kind, name, change) with change in
-    {'added', 'removed'}; an updated value appears as one removed + one
-    added row (long-format props have no identity beyond their value).
+    Returns six DataFrames keyed: nodes_added / nodes_removed (id,
+    label), edges_added / edges_removed (id, src, dst, label), and
+    props_added / props_removed — each carrying the FULL props columns
+    of rows present on one side only. An updated property value appears
+    as one props_removed row + one props_added row (long-format props
+    have no identity beyond their value).
 
-    All five are exceptAll set differences keyed on stable ids — plain
+    All six are exceptAll set differences keyed on stable ids — plain
     shuffles Catalyst plans as hash joins; nothing is collected."""
     node_cols = ["id", "label"]
     edge_cols = ["id", "src", "dst", "label"]

@@ -142,8 +142,16 @@ def stream_near_dedup(
     watermark: str = "1 hour",
     n: int = 4,
 ) -> DataFrame:
-    """Streaming NEAR-duplicate suppression: keep the first document per
-    64-bit SimHash fingerprint within the watermark.
+    """Streaming NEAR-duplicate suppression: one representative document
+    per 64-bit SimHash fingerprint within the watermark.
+
+    Keeper semantics, stated precisely: the STREAM keeps the first
+    arrival per fingerprint (arrival order is the stream's physical
+    order); the BATCH branch keeps the earliest (ts, then all remaining
+    columns as tie-break) row per fingerprint via a deterministic
+    window — so batch output is a pure function of the data. Stream and
+    batch therefore agree on the fingerprint SET always, and on the
+    chosen representative whenever arrival order follows event time.
 
     SimHash maps near-identical texts (reordered words, minor edits that
     leave most shingles intact) to the SAME 64-bit word with high
@@ -162,9 +170,9 @@ def stream_near_dedup(
     0) is the honest bounded-state operator — near-dups at Hamming 1-3
     pass through for the batch LSH pass downstream.
 
-    Batch DataFrames run the identical expression with plain
-    dropDuplicates, so stream==batch parity is testable on complete
-    data. All input columns survive."""
+    Batch DataFrames run the identical fingerprint expression; parity
+    at the fingerprint-set level is testable on complete data. All
+    input columns survive."""
     from hgraphstorage_spark.pipeline.dedup import shingle_combine, simhash_word
     from hgraphstorage_spark.pipeline.text import WS_RE
 
@@ -184,4 +192,17 @@ def stream_near_dedup(
             .dropDuplicatesWithinWatermark(["_fp"])
             .select(*out_cols)
         )
-    return with_fp.dropDuplicates(["_fp"]).select(*out_cols)
+    # deterministic batch keeper: earliest ts per fingerprint, remaining
+    # columns as total tie-break (dropDuplicates would keep an ARBITRARY
+    # row — partition-order-dependent)
+    from pyspark.sql import Window
+
+    others = [F.col(c) for c in out_cols if c != ts_col]
+    w = Window.partitionBy("_fp").orderBy(
+        F.col(ts_col), *( [F.xxhash64(*others)] if others else [] )
+    )
+    return (
+        with_fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*out_cols)
+    )

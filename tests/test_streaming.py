@@ -444,6 +444,27 @@ class TestStreamNearDedup:
         docs = self._docs(spark)
         fps = {r["doc_id"]: r["simhash"] for r in simhash(docs, n=4).collect()}
         kept = {r["doc_id"] for r in stream_near_dedup(docs).collect()}
-        # batch path drops exactly the doc whose fingerprint repeats
+        # batch path drops exactly the doc whose fingerprint repeats,
+        # keeping the EARLIEST-ts row deterministically (ADVICE r3: the
+        # keeper is a window min, not dropDuplicates' arbitrary row)
         assert fps[0] == fps[1] and fps[0] != fps[2]
-        assert kept == {min(0, 1), 2, 3} or kept == {0, 2, 3} or kept == {1, 2, 3}
+        assert kept == {0, 2, 3}
+
+    def test_batch_keeper_is_earliest_ts(self, spark):
+        """Deterministic batch keeper: same fingerprint, shuffled input
+        order — the minimum-ts row always survives."""
+        from hgraphstorage_spark.streaming import stream_near_dedup
+
+        rows = [
+            (7, "2024-01-01 02:00:00", "identical text payload for keeper check"),
+            (5, "2024-01-01 01:00:00", "identical text payload for keeper check"),
+            (9, "2024-01-01 03:00:00", "identical text payload for keeper check"),
+        ]
+        docs = (
+            spark.createDataFrame(rows, "doc_id long, ts string, text string")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .repartition(3)
+        )
+        for _ in range(3):
+            kept = [r["doc_id"] for r in stream_near_dedup(docs).collect()]
+            assert kept == [5]
