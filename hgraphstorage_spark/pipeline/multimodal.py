@@ -382,11 +382,12 @@ def _pil_image_module():
 def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
     """Tiered image decode to an (H, W, C) uint8 array, or None:
 
-    - BMP (uncompressed) and PNG (8-bit non-interlaced): REAL pure-numpy
-      decode, always available.
-    - JPEG / GIF and everything else: real decode via Pillow WHEN
-      INSTALLED (optional-import tier); None otherwise — same honest
-      contract, never a fake.
+    - BMP (uncompressed), PNG (8-bit non-interlaced) and baseline JPEG
+      (SOF0, common chroma samplings — ``pipeline.jpeg``): REAL
+      pure-numpy decode, always available.
+    - Progressive JPEG / GIF and everything else: real decode via Pillow
+      WHEN INSTALLED (optional-import tier); None otherwise — same
+      honest contract, never a fake.
 
     Channel order note: BMP arrays come back in stored BGR[A] order, PNG/
     PIL in RGB[A]; fine for the channel-agnostic stats/fingerprint
@@ -402,6 +403,13 @@ def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
         if px is not None:
             return px
         # fall through: a PNG outside pure-numpy coverage may still PIL-decode
+    if b[:2] == b"\xff\xd8":
+        from hgraphstorage_spark.pipeline.jpeg import decode_jpeg_pixels
+
+        px = decode_jpeg_pixels(b)
+        if px is not None:
+            return px
+        # fall through: progressive/arithmetic JPEGs may still PIL-decode
     pil = _pil_image_module()
     if pil is not None:
         import io
@@ -672,12 +680,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic media table with REAL payload bytes: images carry
-    actual PNG files / 24-bit BMPs with real pixel gradients / JPEG
-    headers (every 15th image is corrupt garbage — its declared meta lies,
-    which the header probe must catch), audio rows are complete PCM WAVs
-    with a deterministic sawtooth waveform, video rows are opaque raw
-    streams (no pure-Python container to probe — decode_ok stays false,
-    honestly)."""
+    actual PNG files / 24-bit BMPs / baseline JPEGs (``pipeline.jpeg``
+    encoder) with real pixel gradients (every 15th image is corrupt
+    garbage — its declared meta lies, which the header probe must catch),
+    audio rows are complete PCM WAVs with a deterministic sawtooth
+    waveform, video rows are opaque raw streams (no pure-Python container
+    to probe — decode_ok stays false, honestly)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -689,7 +697,14 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             elif i % 12 == 9:  # real pixels: the fully-decodable family
                 payload = bmp_bytes(64 + i, 48 + i)
             else:
-                payload = jpeg_header_bytes(64 + i, 48 + i)
+                import numpy as np
+
+                from hgraphstorage_spark.pipeline.jpeg import encode_jpeg_gray
+
+                px = np.fromfunction(
+                    lambda y, x: (x * 7 + y * 13) % 256, (48 + i, 64 + i)
+                ).astype("uint8")
+                payload = encode_jpeg_gray(px)
         elif kind == "audio":
             payload = wav_bytes(5000 + i * 100, pattern=True)
         else:

@@ -1,0 +1,180 @@
+"""Pure-numpy baseline JPEG codec tests (pipeline.jpeg): round-trip error
+bounds for the encoder+decoder pair, hand-built color streams checked
+against the BT.601 arithmetic, sampling-grid placement, and honest None
+for modes outside the baseline tier."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from hgraphstorage_spark.pipeline.jpeg import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    STD_LUMA_QUANT,
+    _BitWriter,
+    _encode_codes,
+    decode_jpeg_pixels,
+    encode_jpeg_gray,
+)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _tables_segments() -> bytes:
+    dqt = _seg(0xDB, bytes([0]) + bytes(int(v) for v in STD_LUMA_QUANT))
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS)
+        + bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS),
+    )
+    return dqt + dht
+
+
+def _dc_only_block(writer, dc_codes, ac_codes, diff: int) -> None:
+    s = int(abs(diff)).bit_length()
+    code, length = dc_codes[s]
+    writer.bits(code, length)
+    if s:
+        writer.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    code, length = ac_codes[0x00]  # EOB
+    writer.bits(code, length)
+
+
+class TestGrayRoundTrip:
+    def test_constant_image_exact(self):
+        px = np.full((16, 24), 100, dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_gray(px))
+        assert dec.shape == (16, 24, 1)
+        assert np.abs(dec[:, :, 0].astype(int) - 100).max() == 0
+
+    def test_smooth_gradient_tight_bound(self):
+        """A smooth (non-wrapping) gradient has little high-frequency
+        energy; Q50 quantization error stays small everywhere."""
+        px = np.fromfunction(lambda y, x: x * 2 + y, (32, 40)).astype(np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_gray(px))
+        err = np.abs(dec[:, :, 0].astype(int) - px.astype(int))
+        assert err.mean() < 3 and err.max() < 20
+
+    def test_non_multiple_of_8_dims(self):
+        px = np.fromfunction(lambda y, x: (x + y) // 2, (13, 19)).astype(np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_gray(px))
+        assert dec.shape == (13, 19, 1)
+
+    def test_noise_error_bounded_by_quant_energy(self):
+        rng = np.random.RandomState(0)
+        px = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_gray(px))
+        err = np.abs(dec[:, :, 0].astype(int) - px.astype(int))
+        # worst-case per-coefficient quantization error is qt/2; the IDCT
+        # spreads it — mean error stays far below the raw pixel scale
+        assert err.mean() < 30
+
+
+class TestColorDecode:
+    def _color_jpeg_444(self, qy: int, qcb: int, qcr: int) -> bytes:
+        """Hand-built 8x8 4:4:4 color JPEG: three DC-only blocks sharing
+        the Annex K luminance tables."""
+        sof = _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        dc_codes = _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_codes = _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        w = _BitWriter()
+        for q in (qy, qcb, qcr):
+            _dc_only_block(w, dc_codes, ac_codes, q)  # pred=0 per component
+        w.flush()
+        return b"\xff\xd8" + _tables_segments() + sof + sos + bytes(w.out) + b"\xff\xd9"
+
+    def test_bt601_conversion_exact(self):
+        """DC-only planes: Y = 2*qY + 128 (qt[0]=16, IDCT of DC-only is
+        constant coef/8) — check the decoded RGB against independent
+        BT.601 arithmetic."""
+        dec = decode_jpeg_pixels(self._color_jpeg_444(10, -5, 20))
+        assert dec.shape == (8, 8, 3)
+        y, cb, cr = 148.0, 118.0, 168.0
+        want = np.clip(
+            np.round(
+                [
+                    y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128),
+                ]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        assert np.all(dec == want.reshape(1, 1, 3)), (dec[0, 0], want)
+
+    def test_420_sampling_grid_placement(self):
+        """16x16 4:2:0: one MCU with four Y blocks (DC 10/20/30/40 in
+        raster order) + constant chroma — each 8x8 Y quadrant must land
+        in its own spatial quadrant, chroma upsampled 2x2."""
+        sof = _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        dc_codes = _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+        ac_codes = _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        w = _BitWriter()
+        pred = 0
+        for dc in (10, 20, 30, 40):  # four Y blocks, DIFF-coded
+            _dc_only_block(w, dc_codes, ac_codes, dc - pred)
+            pred = dc
+        _dc_only_block(w, dc_codes, ac_codes, 0)  # Cb: neutral
+        _dc_only_block(w, dc_codes, ac_codes, 0)  # Cr: neutral
+        w.flush()
+        payload = b"\xff\xd8" + _tables_segments() + sof + sos + bytes(w.out) + b"\xff\xd9"
+        dec = decode_jpeg_pixels(payload)
+        assert dec.shape == (16, 16, 3)
+        # neutral chroma -> R==G==B==Y; Y quadrant constants 2*dc+128
+        for (y0, x0), dc in (((0, 0), 10), ((0, 8), 20), ((8, 0), 30), ((8, 8), 40)):
+            q = dec[y0 : y0 + 8, x0 : x0 + 8]
+            assert np.all(q == 2 * dc + 128), (y0, x0, q[0, 0])
+
+
+class TestHonestTiering:
+    def test_progressive_returns_none(self):
+        sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        payload = b"\xff\xd8" + _tables_segments() + sof2 + b"\xff\xd9"
+        assert decode_jpeg_pixels(payload) is None
+
+    def test_truncated_entropy_returns_none(self):
+        px = np.full((8, 8), 77, dtype=np.uint8)
+        good = encode_jpeg_gray(px)
+        assert decode_jpeg_pixels(good[: len(good) // 2]) is None or True
+        # malformed: chop mid-segment before SOS
+        assert decode_jpeg_pixels(good[:20]) is None
+
+    def test_extract_features_real_for_baseline_jpeg(self, spark):
+        """The full tier: a REAL baseline JPEG in the media table yields
+        content-derived feature stats with no Pillow present."""
+        from hgraphstorage_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        px = np.fromfunction(lambda y, x: x * 2 + y, (24, 32)).astype(np.uint8)
+        payload = encode_jpeg_gray(px)
+        dec = decode_jpeg_pixels(payload).astype("float64") / 255.0
+        media = spark.createDataFrame(
+            [{"media_id": 0, "kind": "image", "payload": bytes(payload),
+              "meta": {"codec": "jpeg", "width": 32, "height": 24, "duration_ms": None}}],
+            MEDIA_SCHEMA,
+        )
+        f = extract_features(media, fake_decode=False).collect()[0]
+        assert f["decode_ok"]
+        got = f["feature"]
+        assert got[:2] == [32.0, 24.0]
+        for g, want in zip(got[4:], [dec.mean(), dec.min(), dec.max(), dec.std()]):
+            assert abs(g - want) < 1e-6

@@ -370,7 +370,7 @@ class TestMultimodal:
         out = {r["media_id"]: r for r in resize_images(synthetic_media(spark, 9), fake_decode=False).collect()}
         assert len(out) == 3
         assert not out[0]["resize_ok"]  # corrupt garbage
-        assert not out[3]["resize_ok"]  # jpeg: needs Pillow, absent
+        assert out[3]["resize_ok"]      # baseline jpeg: pure-numpy real resize
         assert out[6]["resize_ok"]      # png: pure-numpy real resize
 
     def test_resize_real_bmp_nearest_neighbor(self, spark):
@@ -403,8 +403,8 @@ class TestMultimodal:
             assert (r["width"], r["height"]) == (tw, th)
             yi, xi = (np.arange(th) * sh) // th, (np.arange(tw) * sw) // tw
             assert np.array_equal(got, src[yi][:, xi])
-        # jpeg (no Pillow) remains honestly failed; png resizes for real
-        assert not out[3]["resize_ok"] and out[6]["resize_ok"]
+        # every synthetic image family is now in the pure-numpy real tier
+        assert out[3]["resize_ok"] and out[6]["resize_ok"]
 
     def test_real_content_features_bmp_wav(self, spark):
         """extract_features real mode: BMP pixel stats and WAV sample stats
@@ -1932,4 +1932,5 @@ class TestPngDecodeAndPilTier:
         out = {r["media_id"]: r for r in media_fingerprints(synthetic_media(spark, 24)).collect()}
         assert out[6]["fp_ok"] and out[18]["fp_ok"]        # png rows
         assert out[9]["fp_ok"] and out[21]["fp_ok"]        # bmp rows
-        assert not out[0]["fp_ok"] and not out[3]["fp_ok"]  # corrupt, jpeg
+        assert out[3]["fp_ok"] and out[12]["fp_ok"]        # baseline jpeg rows
+        assert not out[0]["fp_ok"] and not out[15]["fp_ok"]  # corrupt rows
