@@ -439,6 +439,78 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_col: str | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle-set containment:
+    ``containment(A in B) = |A ∩ B| / |A|`` — the signal Jaccard
+    structurally misses. A short document quoted whole inside a long one
+    has containment 1.0 but Jaccard |A|/|B| ≈ 0; quote/boilerplate
+    inclusion and page-within-site duplication are containment problems
+    (Broder's original resemblance/containment pair, SEQUENCES 1997).
+
+    Returns (doc_a, doc_b, containment_a, containment_b, jaccard) for
+    pairs where max(containment) >= threshold, doc_a < doc_b —
+    containment_a is how much of A lies inside B.
+
+    Same inverted-index shape as ``ngram_jaccard_pairs``: explode hashed
+    shingles (8-byte keys), count shared shingles per co-occurring pair
+    (map-side partial agg; pairs are bounded by real shingle
+    collisions), join per-doc set sizes back. Quadratic only within a
+    shared-shingle group — block with ``block_col`` or run on LSH
+    candidates at crawl scale.
+    """
+    sh = shingle_hashes(docs, text_col, id_col, n).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    if block_col is not None:
+        blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("_blk"))
+        sh = sh.join(blocks, "doc_id")
+        keys = ["_blk", "shingle"]
+        a = sh.select(F.col("doc_id").alias("doc_a"), "_blk", "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "_blk", "shingle")
+    else:
+        keys = ["shingle"]
+        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter").cast("double") / F.col("sz_a"), 6)
+            .cast("decimal(18,6)")
+            .alias("containment_a"),
+            F.round(F.col("inter").cast("double") / F.col("sz_b"), 6)
+            .cast("decimal(18,6)")
+            .alias("containment_b"),
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )
+    return out.filter(
+        F.greatest("containment_a", "containment_b") >= F.lit(threshold).cast("decimal(18,6)")
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

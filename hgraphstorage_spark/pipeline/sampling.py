@@ -106,6 +106,49 @@ def stratified_hash_sample(
     return df.filter(_bucket(id_col, salt) <= bound)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    strata_col: str | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis 2006): each row draws key = u^(1/w) with u a deterministic
+    hash-uniform in (0,1]; the k largest keys are an exact weighted
+    sample without replacement — the standard one-pass distributed
+    algorithm (quality-weighted corpus subsetting, importance-sampled
+    eval sets). Deterministic: u derives from md5(id||salt) (the same
+    engine-portable 60-bit family as ``hash_split``), so the selection
+    is a pure function of the data, and a SQL oracle replays it.
+
+    Rows with weight <= 0 are excluded (zero-weight rows cannot be
+    sampled; negative weights are undefined). Global mode plans as
+    ``TakeOrderedAndProject`` — per-partition partial top-k, one k-row
+    final merge, no global sort. With ``strata_col``, a per-stratum
+    window takes k rows per stratum (keys hash-uniform -> skew-free).
+
+    Returns the sampled rows (all input columns).
+    """
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    # u in (0, 1]: (h + 1) / 2^60 over the 60-bit md5 family
+    u = (md5_long(F.col(id_col), F.lit(salt)) + 1) / F.lit(float(1 << 60))
+    key = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    ranked = df.filter(F.col(weight_col) > 0).withColumn("_sk", key)
+    if strata_col is None:
+        return ranked.orderBy(F.col("_sk").desc(), F.col(id_col)).limit(k).drop("_sk")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.col("_sk").desc(), F.col(id_col))
+    return (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_sk", "_rn")
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, float],

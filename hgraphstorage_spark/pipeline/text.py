@@ -366,6 +366,80 @@ def chunk_dedup(
     )
 
 
+def boilerplate_dedup(
+    docs: DataFrame,
+    unit: str = "line",
+    chunk_words: int = 10,
+    min_count: int = 3,
+    min_chars: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the RefinedWeb / MassiveText
+    line-dedup rule): drop EVERY occurrence of any unit whose exact form
+    appears >= ``min_count`` times across the corpus, then reassemble.
+    Distinct from ``chunk_dedup``'s first-occurrence-keeps semantics —
+    navigation chrome, cookie banners and license headers should vanish
+    from ALL documents, including the first one crawled.
+
+    ``unit="line"`` splits on newlines (the paper semantics);
+    ``unit="chunk"`` falls back to consecutive ``chunk_words``-word
+    chunks for newline-free corpora. Units shorter than ``min_chars``
+    after trimming are exempt (blank separators survive).
+
+    Shape at scale: unit counting shuffles 8-byte xxhash64 keys only
+    (map-side partial agg); the boilerplate set joins back by hash with
+    the strategy left to AQE (the set is tiny on clean corpora,
+    corpus-scale on crawl dumps — exactly the minhash broadcast lesson);
+    one per-document regroup reassembles. Output equals the
+    string-keyed contract up to 64-bit collisions, so the oracle
+    replays it keyed on the unit strings themselves.
+
+    Returns (doc_id, n_units, n_kept, text_dedup).
+    """
+    if unit == "line":
+        units = F.split(F.col(text_col), "\n")
+        joiner = "\n"
+    elif unit == "chunk":
+        cw = chunk_words
+        words = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+        n_units = ((F.size(words) + F.lit(cw - 1)) / F.lit(cw)).cast("int")
+        units = F.transform(
+            F.sequence(F.lit(0), n_units - 1),
+            lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
+        )
+        joiner = " "
+    else:
+        raise ValueError(f"unit must be 'line' or 'chunk', got {unit!r}")
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(units).alias("pos", "u")
+    ).withColumn("eligible", F.length(F.trim(F.col("u"))) >= min_chars)
+    exploded = exploded.withColumn("h", F.xxhash64("u"))
+    boiler = (
+        exploded.filter("eligible")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h", F.lit(True).alias("_boiler"))
+    )
+    marked = exploded.join(boiler, "h", "left").withColumn(
+        "keep", ~(F.col("eligible") & F.coalesce("_boiler", F.lit(False)))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("pos", "u")))
+                ),
+                lambda x: x["u"],
+            ),
+            joiner,
+        ).alias("text_dedup"),
+    )
+
+
 def unigram_logprob(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus-unigram language-model score per document (the CCNet-style
     quality signal, with the external LM replaced by the corpus's own

@@ -1934,3 +1934,145 @@ class TestPngDecodeAndPilTier:
         assert out[9]["fp_ok"] and out[21]["fp_ok"]        # bmp rows
         assert out[3]["fp_ok"] and out[12]["fp_ok"]        # baseline jpeg rows
         assert not out[0]["fp_ok"] and not out[15]["fp_ok"]  # corrupt rows
+
+
+class TestBoilerplateDedup:
+    def test_line_mode_removes_all_occurrences(self, spark):
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+        banner = "subscribe to our newsletter"
+        rows = [
+            (0, f"{banner}\nunique alpha content\n{banner}"),
+            (1, f"real article body one\n{banner}"),
+            (2, f"{banner}\nreal article body two"),
+            (3, "no banner here at all\nsecond line"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in boilerplate_dedup(docs, min_count=3).collect()}
+        # banner appears 4x corpus-wide -> vanishes from EVERY doc
+        assert got[0]["text_dedup"] == "unique alpha content"
+        assert got[1]["text_dedup"] == "real article body one"
+        assert got[2]["text_dedup"] == "real article body two"
+        assert got[3]["text_dedup"] == "no banner here at all\nsecond line"
+        assert got[0]["n_units"] == 3 and got[0]["n_kept"] == 1
+        # below threshold: "second line" (1x) survives
+        assert got[3]["n_kept"] == 2
+
+    def test_short_units_exempt(self, spark):
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+        rows = [(i, "a\nbody text %d\na" % i) for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        # 'a' repeats 8x but is under min_chars=3 -> exempt everywhere
+        got = boilerplate_dedup(docs, min_count=3, min_chars=3).collect()
+        assert all(r["n_kept"] == 3 for r in got)
+
+    def test_chunk_mode_on_newline_free_corpus(self, spark):
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+        common = "one two three four five"
+        rows = [(i, f"{common} unique{i} tail{i}") for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in boilerplate_dedup(
+            docs, unit="chunk", chunk_words=5, min_count=3
+        ).collect()}
+        # the shared 5-word chunk appears 5x -> removed from all docs
+        for i in range(5):
+            assert got[i]["text_dedup"] == f"unique{i} tail{i}"
+
+    def test_differs_from_chunk_dedup_first_keeper(self, spark):
+        """chunk_dedup KEEPS the first occurrence; boilerplate_dedup
+        removes them all — pin the semantic difference."""
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup, chunk_dedup
+
+        common = "one two three four five"
+        rows = [(i, common) for i in range(3)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cd = {r["doc_id"]: r["n_kept"] for r in chunk_dedup(docs, chunk_words=5).collect()}
+        bp = {r["doc_id"]: r["n_kept"] for r in boilerplate_dedup(
+            docs, unit="chunk", chunk_words=5, min_count=3
+        ).collect()}
+        assert sum(cd.values()) == 1  # first doc keeps the chunk
+        assert sum(bp.values()) == 0  # boilerplate removes all three
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_detected(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import containment_pairs
+
+        short = "alpha beta gamma delta epsilon zeta"
+        long_doc = short + " plus a very long unrelated tail " + " ".join(
+            f"word{i}" for i in range(60)
+        )
+        rows = [(0, short), (1, long_doc), (2, "entirely different content here")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(
+            docs, n=3, threshold=0.8
+        ).collect()}
+        r = got[(0, 1)]
+        assert float(r["containment_a"]) == 1.0  # every shingle of 0 is in 1
+        assert float(r["containment_b"]) < 0.3   # but 1 is mostly NOT in 0
+        assert float(r["jaccard"]) < 0.3         # jaccard alone would miss it
+        assert not any(2 in p for p in got)
+
+    def test_symmetric_dups_score_both_high(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import containment_pairs
+
+        t = "one two three four five six seven eight"
+        docs = spark.createDataFrame([(0, t), (1, t)], "doc_id long, text string")
+        r = containment_pairs(docs, n=3, threshold=0.8).collect()[0]
+        assert float(r["containment_a"]) == float(r["containment_b"]) == 1.0
+        assert float(r["jaccard"]) == 1.0
+
+
+class TestWeightedSample:
+    def _docs(self, spark):
+        rows = [(i, "text %d" % i, float((i * 37) % 19 + 1)) for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, text string, w double")
+
+    def test_matches_reference_implementation(self, spark):
+        """The selection equals an independent Python replay of the
+        Efraimidis-Spirakis keys over the same md5-uniform draws."""
+        import hashlib
+
+        from hgraphstorage_spark.pipeline.sampling import weighted_sample
+
+        docs = self._docs(spark)
+        got = sorted(r["doc_id"] for r in weighted_sample(docs, "w", 25).collect())
+        keys = {}
+        for i in range(200):
+            h = int(hashlib.md5(f"{i}:wsample".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            keys[i] = u ** (1.0 / float((i * 37) % 19 + 1))
+        want = sorted(sorted(keys, key=lambda i: (-keys[i], i))[:25])
+        assert got == want
+
+    def test_deterministic_and_k_rows(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import weighted_sample
+
+        docs = self._docs(spark)
+        a = sorted(r["doc_id"] for r in weighted_sample(docs, "w", 40).collect())
+        b = sorted(r["doc_id"] for r in weighted_sample(docs, "w", 40).collect())
+        assert a == b and len(a) == 40
+
+    def test_zero_weight_never_sampled_and_heavy_always(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import weighted_sample
+
+        rows = [(0, "heavy", 1e12)] + [(i, "z", 0.0) for i in range(1, 50)] + [
+            (i, "light", 1e-12) for i in range(50, 100)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, w double")
+        got = [r["doc_id"] for r in weighted_sample(docs, "w", 10).collect()]
+        assert 0 in got
+        assert not any(1 <= d < 50 for d in got)  # zero weight excluded
+
+    def test_stratified_k_per_stratum(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import weighted_sample
+
+        rows = [(i, "s%d" % (i % 3), float(i % 7 + 1)) for i in range(90)]
+        docs = spark.createDataFrame(rows, "doc_id long, src string, w double")
+        got = weighted_sample(docs, "w", 5, strata_col="src").collect()
+        from collections import Counter
+
+        counts = Counter(r["src"] for r in got)
+        assert counts == {"s0": 5, "s1": 5, "s2": 5}
