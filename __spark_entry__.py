@@ -1931,6 +1931,46 @@ def q_rolling_features(spark, sf_dir):
     return _canon_ts(_canon(out, "sum_win", "mean_win"), "ts")
 
 
+def q_boilerplate_dedup(spark, sf_dir):
+    """Corpus-level boilerplate removal (RefinedWeb line rule, chunk mode
+    for the newline-free corpus): every 10-word chunk occurring >= 3
+    times corpus-wide vanishes from ALL documents. Oracle replays by
+    chunk string (hash-keyed counting is output-equivalent)."""
+    from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+    out = boilerplate_dedup(_t(spark, sf_dir, "documents"), unit="chunk", min_count=3)
+    return out.select(
+        "doc_id", "n_units", "n_kept", F.md5("text_dedup").alias("dedup_fp")
+    )
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment pairs (Broder resemblance/
+    containment): |A∩B|/|A| per direction + jaccard, blocked by lang."""
+    from hgraphstorage_spark.pipeline.dedup import containment_pairs
+
+    return _canon(
+        containment_pairs(
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.5, block_col="lang"
+        ),
+        "containment_a",
+        "containment_b",
+        "jaccard",
+    )
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sample: top-50 docs by
+    u^(1/n_chars) over md5-uniform draws — plans as
+    TakeOrderedAndProject (partial top-k, no global sort)."""
+    from hgraphstorage_spark.pipeline.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", 50).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov matrix of event types (counts + row-normalized
     probabilities) — the behavioral-sequence summary."""
@@ -2234,6 +2274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
         "event_transitions": q_event_transitions,
+        "boilerplate_dedup": q_boilerplate_dedup,
+        "containment_pairs": q_containment_pairs,
+        "weighted_sample": q_weighted_sample,
         # r4: rotated out of the window (stable since r1; still oracled)
         "get_object": q_get_object,
         "nb_counts": q_nb_counts,
@@ -4182,4 +4225,67 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'wsp_cost_total', sum(cost)::BIGINT FROM ({sql['weighted_sp']})",
         ]
     )
+    # boilerplate_dedup: replay keyed on the chunk STRING (the engine's
+    # xxhash64 keying is output-equivalent up to 64-bit collisions)
+    sql["boilerplate_dedup"] = r"""
+        WITH w AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        ch AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(list_slice(words, i*10 + 1, i*10 + 10), ' ') AS u
+          FROM w, unnest(generate_series(0, (len(words) + 9) // 10 - 1)) AS t(i)
+        ),
+        el AS (SELECT *, len(trim(u)) >= 1 AS eligible FROM ch),
+        boiler AS (
+          SELECT u FROM el WHERE eligible GROUP BY u HAVING count(*) >= 3
+        ),
+        marked AS (
+          SELECT el.doc_id, el.pos, el.u,
+                 NOT (el.eligible AND boiler.u IS NOT NULL) AS keep
+          FROM el LEFT JOIN boiler ON el.u = boiler.u
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_units,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN keep THEN u END, ' ' ORDER BY pos), '')) AS dedup_fp
+        FROM marked GROUP BY doc_id
+    """
+    # containment_pairs: the ngram_jaccard replay + per-side containment
+    sql["containment_pairs"] = r"""
+        WITH w AS (
+          SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, lang,
+                 array_to_string(list_slice(words, i, i + 2), ' ') AS shingle
+          FROM w, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(round(i::DOUBLE / sa.sz, 6) AS DECIMAL(18,6))::VARCHAR AS containment_a,
+               CAST(round(i::DOUBLE / sb.sz, 6) AS DECIMAL(18,6))::VARCHAR AS containment_b,
+               CAST(round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS DECIMAL(18,6))::VARCHAR AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE greatest(round(i::DOUBLE / sa.sz, 6), round(i::DOUBLE / sb.sz, 6)) >= 0.5
+    """
+    # weighted_sample: exact replay of the Efraimidis-Spirakis keys over
+    # the shared md5-uniform family
+    sql["weighted_sample"] = r"""
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 pow((('0x' || substr(md5(doc_id::VARCHAR || ':wsample'), 1, 15))::BIGINT + 1)
+                       / 1152921504606846976.0,
+                     1.0 / n_chars::DOUBLE) AS k
+          FROM documents WHERE n_chars > 0
+        ) ORDER BY k DESC, doc_id LIMIT 50
+    """
     return sql

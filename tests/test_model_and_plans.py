@@ -395,3 +395,34 @@ class TestLatestOperatorPlans:
                 assert "SortMergeJoin" in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_weighted_sample_partial_topk_no_global_sort(self, spark):
+        """Global weighted_sample plans as TakeOrderedAndProject (per-
+        partition heads, one k-row merge) — never a full Exchange+Sort."""
+        from hgraphstorage_spark.pipeline.sampling import weighted_sample
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(weighted_sample(docs, "n_chars", 50))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_boilerplate_dedup_hash_keyed_count_shuffle(self, spark):
+        """The corpus count shuffles 8-byte xxhash64 keys (map-side
+        partial); no unit-string exchange for counting, no cartesian."""
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(boilerplate_dedup(docs, unit="chunk", min_count=3))
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_containment_pairs_no_cartesian(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import containment_pairs
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(containment_pairs(docs, threshold=0.5, block_col="lang"))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "partial_count" in plan
