@@ -1971,6 +1971,25 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_lsh_recall_report(spark, sf_dir):
+    """LSH parameter validation: measured banded-LSH recall vs exact
+    ground truth on a deterministic half-sample, beside the theoretical
+    S-curve value — the pre-flight check a 100 TB dedup runs. md5 hash
+    mode so the oracle replays BOTH pair pipelines."""
+    from hgraphstorage_spark.pipeline.dedup import lsh_recall_report
+
+    return _canon(
+        lsh_recall_report(
+            _t(spark, sf_dir, "documents"),
+            threshold=0.6,
+            sample_fraction=0.5,
+            hash_mode="md5",
+        ),
+        "recall",
+        "theoretical_recall",
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov matrix of event types (counts + row-normalized
     probabilities) — the behavioral-sequence summary."""
@@ -2277,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_dedup": q_boilerplate_dedup,
         "containment_pairs": q_containment_pairs,
         "weighted_sample": q_weighted_sample,
+        "lsh_recall_report": q_lsh_recall_report,
         # r4: rotated out of the window (stable since r1; still oracled)
         "get_object": q_get_object,
         "nb_counts": q_nb_counts,
@@ -4276,6 +4296,53 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON inter.doc_a = sa.doc_id
         JOIN sizes sb ON inter.doc_b = sb.doc_id
         WHERE greatest(round(i::DOUBLE / sa.sz, 6), round(i::DOUBLE / sb.sz, 6)) >= 0.5
+    """
+    # lsh_recall_report: compose the full md5-mode minhash replay and the
+    # exact n-gram truth over the SAME deterministic half-sample
+    _mh_smp = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6).replace(
+        "FROM documents", "FROM smp"
+    )
+    _theo = 1.0 - (1.0 - 0.6 ** 4) ** 16
+    sql["lsh_recall_report"] = rf"""
+        WITH smp AS (
+          SELECT * FROM documents
+          WHERE substr(md5(doc_id::VARCHAR || ':lshcal'), 1, 8) <= '80000000'
+        ),
+        truth AS (
+          WITH w AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+            FROM smp
+          ),
+          tsh AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(words, i, i + 4), ' ') AS shingle
+            FROM w, unnest(generate_series(1, greatest(len(words) - 4, 1))) AS t(i)
+          ),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM tsh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM tsh a JOIN tsh b ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+          )
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON inter.doc_a = sa.doc_id
+          JOIN sizes sb ON inter.doc_b = sb.doc_id
+          WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 6) >= 0.6
+        ),
+        found AS ( {_mh_smp} ),
+        matched AS (
+          SELECT t.* FROM truth t JOIN found f
+            ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+        )
+        SELECT
+          (SELECT count(*) FROM smp)::BIGINT AS n_sample_docs,
+          (SELECT count(*) FROM truth)::BIGINT AS true_pairs,
+          (SELECT count(*) FROM matched)::BIGINT AS found_pairs,
+          CAST(round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                          ELSE (SELECT count(*) FROM matched)::DOUBLE
+                               / (SELECT count(*) FROM truth) END, 6)
+               AS DECIMAL(18,6))::VARCHAR AS recall,
+          CAST(round({_theo!r}::DOUBLE, 6) AS DECIMAL(18,6))::VARCHAR AS theoretical_recall
     """
     # weighted_sample: exact replay of the Efraimidis-Spirakis keys over
     # the shared md5-uniform family

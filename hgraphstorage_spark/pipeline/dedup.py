@@ -439,6 +439,64 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def lsh_recall_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    sample_fraction: float = 0.1,
+    salt: str = "lshcal",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Measure banded-LSH recall on a deterministic hash-sample BEFORE
+    the corpus-scale run — the parameter-validation step a 100 TB dedup
+    owes its operator: exact (quadratic, sample-bounded) Jaccard pairs
+    are ground truth; ``minhash_lsh_pairs`` with the candidate (k,
+    bands) runs on the same sample; their ratio is the measured recall,
+    reported beside the theoretical S-curve value at the threshold
+    (1 - (1 - t^(k/b))^b). Verified LSH pairs are a subset of the true
+    pairs (the verify step is exact), so precision is 1 by
+    construction and recall is the one open number.
+
+    One row: (n_sample_docs, true_pairs, found_pairs, recall,
+    theoretical_recall). Deterministic — sampling is the md5-bucket
+    family of ``hash_sample``, both pair sets are pure functions of the
+    data."""
+    from hgraphstorage_spark.pipeline.sampling import _bound_hex, _bucket
+
+    sample = (
+        docs
+        if sample_fraction >= 1.0
+        else docs.filter(_bucket(id_col, salt) <= F.lit(_bound_hex(sample_fraction)))
+    )
+    truth = ngram_jaccard_pairs(sample, text_col, id_col, n=n, threshold=threshold)
+    found = minhash_lsh_pairs(
+        sample, text_col, id_col, n=n, k=k, bands=bands, threshold=threshold, hash_mode=hash_mode
+    ).select("doc_a", "doc_b")
+    joined = truth.join(found, ["doc_a", "doc_b"], "left_semi")
+    r = k // bands
+    theo = 1.0 - (1.0 - threshold ** r) ** bands
+    counts = sample.select(F.count(F.lit(1)).alias("n_sample_docs")).crossJoin(
+        truth.select(F.count(F.lit(1)).alias("true_pairs"))
+    ).crossJoin(joined.select(F.count(F.lit(1)).alias("found_pairs")))
+    return counts.select(
+        "n_sample_docs",
+        "true_pairs",
+        "found_pairs",
+        F.round(
+            F.when(F.col("true_pairs") > 0, F.col("found_pairs") / F.col("true_pairs"))
+            .otherwise(F.lit(1.0)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("recall"),
+        F.round(F.lit(theo), 6).cast("decimal(18,6)").alias("theoretical_recall"),
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
