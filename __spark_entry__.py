@@ -1990,6 +1990,16 @@ def q_lsh_recall_report(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (Jégou 2011): 8 subspaces x 16
+    deterministic sampled codewords, exact-decimal ADC ranking — the 32x
+    scan-byte cut beyond SQ8's 4x. Fully oracle-replayed (md5-sampled
+    anchors, fixed-order IEEE folds, decimal sums)."""
+    from hgraphstorage_spark.pipeline.similarity import pq_topk
+
+    return _canon(pq_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10), "adc_dist")
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov matrix of event types (counts + row-normalized
     probabilities) — the behavioral-sequence summary."""
@@ -2297,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "weighted_sample": q_weighted_sample,
         "lsh_recall_report": q_lsh_recall_report,
+        "pq_topk": q_pq_topk,
         # r4: rotated out of the window (stable since r1; still oracled)
         "get_object": q_get_object,
         "nb_counts": q_nb_counts,
@@ -4343,6 +4354,54 @@ def oracle_sql() -> dict[str, str]:
                                / (SELECT count(*) FROM truth) END, 6)
                AS DECIMAL(18,6))::VARCHAR AS recall,
           CAST(round({_theo!r}::DOUBLE, 6) AS DECIMAL(18,6))::VARCHAR AS theoretical_recall
+    """
+    # pq_topk: full PQ replay — md5-sampled anchors, explicit left-assoc
+    # L2 folds (matches Spark's aggregate() order), decimal ADC sums
+    _l2 = " + ".join(f"(sub[{i}]-cw[{i}])*(sub[{i}]-cw[{i}])" for i in range(1, 9))
+    sql["pq_topk"] = rf"""
+        WITH rec AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        ),
+        hh AS (
+          SELECT vec_id, v,
+                 ('0x' || substr(md5(vec_id::VARCHAR || ':pqseed'), 1, 15))::BIGINT AS h
+          FROM rec
+        ),
+        anchors AS (
+          SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) - 1 AS c
+          FROM hh ORDER BY h, vec_id LIMIT 16
+        ),
+        cb AS (
+          SELECT c, j, list_slice(v, j*8 + 1, j*8 + 8) AS cw
+          FROM anchors, unnest(generate_series(0, 7)) AS t(j)
+        ),
+        subs AS (
+          SELECT vec_id, j, list_slice(v, j*8 + 1, j*8 + 8) AS sub
+          FROM rec, unnest(generate_series(0, 7)) AS t(j)
+        ),
+        dists AS (
+          SELECT vec_id, subs.j AS j, cb.c AS c, {_l2} AS d
+          FROM subs JOIN cb ON subs.j = cb.j
+        ),
+        codes AS (
+          SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        lut AS (
+          SELECT j, c, CAST(round(d, 6) AS DECIMAL(18,6)) AS cell
+          FROM dists WHERE vec_id = 0
+        ),
+        adc AS (
+          SELECT codes.vec_id, sum(cell) AS adc_dist
+          FROM codes JOIN lut ON codes.j = lut.j AND codes.code = lut.c
+          WHERE codes.vec_id <> 0
+          GROUP BY codes.vec_id
+        )
+        SELECT vec_id, CAST(adc_dist AS DECIMAL(18,6))::VARCHAR AS adc_dist
+        FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     """
     # weighted_sample: exact replay of the Efraimidis-Spirakis keys over
     # the shared md5-uniform family

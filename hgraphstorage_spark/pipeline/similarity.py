@@ -714,6 +714,110 @@ def embedding_stats(
     )
 
 
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_salt: str = "pqseed",
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al. 2011, the
+    FAISS "PQ" scan path): split d dims into ``m`` subspaces, quantize
+    each subvector to its nearest of ``ksub`` codewords, search with
+    asymmetric distance computation (ADC) — the query stays exact, every
+    database vector costs ``m`` one-byte table lookups.
+
+    Why it matters at 100 TB: SQ8 cuts scan bytes 4x; PQ with m=8,
+    ksub<=256 stores 8 BYTES per 64-dim float32 vector — a 32x cut, the
+    difference between scanning embeddings from disk and scanning them
+    from page cache.
+
+    Codebooks are DETERMINISTIC sampled anchors: per subspace, the
+    subvectors of the ``ksub`` vectors with smallest
+    (md5(id||salt), id) — the standard k-means init, with zero Lloyd
+    rounds so the whole operator is a pure function of the data (run
+    ``kmeans_iterations`` per subspace offline for tighter cells; the
+    scan shape is identical). Distances fold left-to-right per
+    subvector (fixed IEEE order); ADC cell distances round to 6
+    decimals and sum as DECIMAL — exact, order-independent addition, so
+    the ranking is engine-portable and the DuckDB oracle replays it
+    bit-for-bit.
+
+    Plan shape: anchors = one k-row TakeOrdered; codebook (m*ksub rows)
+    broadcast-joins the exploded subvector stream; encode aggregates
+    min(struct(dist, c)) with map-side partials; ADC is a second
+    broadcast join + exact decimal sum; final top-k is
+    TakeOrderedAndProject. No shuffle ever carries a float vector wider
+    than one subspace.
+
+    Returns (vec_id, adc_dist DECIMAL(18,6)): the k nearest by ADC
+    squared-L2, query excluded, ties on vec_id.
+    """
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # deterministic anchor sample: ksub smallest (md5(id||salt), id)
+    anchors = (
+        base.withColumn("_h", md5_long(F.col("vid"), F.lit(seed_salt)))
+        .orderBy("_h", "vid")
+        .limit(ksub)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_h", "vid")  # ksub rows: single tiny partition
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    dsub = F.floor(F.size("v") / m).cast("int")
+    codebook = (
+        anchors.withColumn("c", F.row_number().over(w) - 1)
+        .select("c", F.explode(subspaces).alias("j"), "v", dsub.alias("_d"))
+        .select("j", "c", F.slice("v", F.col("j") * F.col("_d") + 1, F.col("_d")).alias("cw"))
+    )
+    subs = base.select(
+        "vid", F.explode(subspaces).alias("j"), "v", dsub.alias("_d")
+    ).select("vid", "j", F.slice("v", F.col("j") * F.col("_d") + 1, F.col("_d")).alias("sub"))
+
+    def l2sq(a, b):
+        # left fold in array order: fixed IEEE summation sequence
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    codes = (
+        subs.join(F.broadcast(codebook), "j")
+        .groupBy("vid", "j")
+        .agg(F.min(F.struct(l2sq(F.col("sub"), F.col("cw")).alias("d"), F.col("c"))).alias("mc"))
+        .select("vid", "j", F.col("mc.c").alias("code"))
+    )
+    qsubs = subs.filter(F.col("vid") == query_id).select("j", F.col("sub").alias("qsub"))
+    lut = (
+        qsubs.join(codebook, "j")
+        .select(
+            F.col("j").alias("lj"),
+            F.col("c").alias("lc"),
+            F.round(l2sq(F.col("qsub"), F.col("cw")), 6).cast("decimal(18,6)").alias("cell"),
+        )
+    )
+    adc = (
+        codes.filter(F.col("vid") != query_id)
+        .join(F.broadcast(lut), (F.col("j") == F.col("lj")) & (F.col("code") == F.col("lc")))
+        .groupBy("vid")
+        .agg(F.sum("cell").alias("adc_dist"))
+    )
+    return (
+        adc.select(F.col("vid").alias(id_col), F.col("adc_dist").cast("decimal(18,6)"))
+        .orderBy("adc_dist", id_col)
+        .limit(k)
+    )
+
+
 def sq_topk(
     emb: DataFrame,
     query_id: int,
