@@ -450,3 +450,97 @@ def test_fuzzy_pairs_match_bruteforce_contract(spark, texts):
             if d <= D:
                 want[(i, j)] = d
     assert got == want, (texts, got, want)
+
+
+# --- boilerplate-dedup law: hash-keyed plan == string-keyed brute force -----
+
+bp_corpora = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", ""]), min_size=0, max_size=4).map(
+        "\n".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=bp_corpora)
+def test_boilerplate_dedup_matches_bruteforce(spark, texts):
+    """boilerplate_dedup(line mode) == the rule evaluated naively: every
+    eligible line whose corpus count >= min_count vanishes everywhere;
+    short lines are exempt; order is preserved."""
+    from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+    MIN_COUNT, MIN_CHARS = 2, 1
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_units"], r["n_kept"], r["text_dedup"])
+        for r in boilerplate_dedup(
+            docs, min_count=MIN_COUNT, min_chars=MIN_CHARS
+        ).collect()
+    }
+    from collections import Counter
+
+    counts = Counter(
+        u
+        for t in texts
+        for u in t.split("\n")
+        if len(u.strip()) >= MIN_CHARS
+    )
+    boiler = {u for u, c in counts.items() if c >= MIN_COUNT}
+    for i, t in enumerate(texts):
+        units = t.split("\n")
+        kept = [
+            u
+            for u in units
+            if not (len(u.strip()) >= MIN_CHARS and u in boiler)
+        ]
+        assert got[i] == (len(units), len(kept), "\n".join(kept)), (i, texts)
+
+
+# --- containment law: hashed-shingle plan == string-set brute force ---------
+
+cont_corpora = st.lists(
+    st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=8).map(
+        " ".join
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=cont_corpora)
+def test_containment_pairs_match_bruteforce(spark, texts):
+    from hgraphstorage_spark.pipeline.dedup import containment_pairs
+
+    N, T = 2, 0.5
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            float(r["containment_a"]),
+            float(r["containment_b"]),
+        )
+        for r in containment_pairs(docs, n=N, threshold=T).collect()
+    }
+
+    def shingles(t):
+        ws = t.strip().lower().split()
+        n_sh = max(len(ws) - (N - 1), 1)
+        return {" ".join(ws[i : i + N]) for i in range(n_sh)}
+
+    sets = [shingles(t) for t in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(sets[i] & sets[j])
+            if inter == 0:
+                continue
+            ca, cb = round(inter / len(sets[i]), 6), round(inter / len(sets[j]), 6)
+            if max(ca, cb) >= T:
+                want[(i, j)] = (ca, cb)
+    assert got == want, (texts, got, want)
