@@ -7,6 +7,7 @@ designed partition-parallel for 100 TB inputs.
 
 from hgraphstorage_spark.pipeline.contamination import bloom_decontaminate, decontaminate
 from hgraphstorage_spark.pipeline.dedup import (
+    containment_pairs,
     cross_source_overlap,
     exact_dedup,
     exact_dup_groups,
@@ -14,6 +15,7 @@ from hgraphstorage_spark.pipeline.dedup import (
     fuzzy_dup_pairs,
     incremental_near_dup,
     minhash_signatures,
+    lsh_recall_report,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
@@ -28,10 +30,13 @@ from hgraphstorage_spark.pipeline.similarity import (
     lsh_bucket_topk,
     pca_fit,
     pca_project,
+    pq_topk,
     sq_topk,
 )
-from hgraphstorage_spark.pipeline.sampling import hash_split
+from hgraphstorage_spark.pipeline.sampling import hash_split, weighted_sample
+from hgraphstorage_spark.pipeline.state import release_tracked, released
 from hgraphstorage_spark.pipeline.text import (
+    boilerplate_dedup,
     fingerprint,
     language_id,
     quality_filter,
@@ -44,6 +49,13 @@ __all__ = [
     "bloom_decontaminate",
     "decontaminate",
     "hash_split",
+    "weighted_sample",
+    "boilerplate_dedup",
+    "containment_pairs",
+    "lsh_recall_report",
+    "pq_topk",
+    "release_tracked",
+    "released",
     "exact_dedup",
     "exact_dup_groups",
     "cross_source_overlap",
