@@ -357,6 +357,145 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+# Annex K.1 chrominance quant table (natural order -> zigzag)
+_STD_CHROMA_QUANT_NATURAL = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+STD_CHROMA_QUANT = _STD_CHROMA_QUANT_NATURAL[ZIGZAG]
+
+# Annex K.3 chrominance Huffman tables
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _encode_block(writer, block, qt, dc_codes, ac_codes, pred: int) -> int:
+    """DCT + quantize + huffman-encode one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coefs = _B @ block @ _B.T
+    zz = coefs.reshape(64)[ZIGZAG]
+    q = np.round(zz / qt).astype(np.int64)
+    diff = int(q[0]) - pred
+    s = _category(diff)
+    code, length = dc_codes[s]
+    writer.bits(code, length)
+    if s:
+        writer.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = int(np.nonzero(q[1:])[0][-1]) + 1 if np.any(q[1:]) else 0
+    for kk in range(1, last_nz + 1):
+        v = int(q[kk])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            writer.bits(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        writer.bits(code, length)
+        writer.bits(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]
+        writer.bits(code, length)
+    return int(q[0])
+
+
+def encode_jpeg_rgb(px: "np.ndarray") -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a complete baseline 4:2:0
+    color JPEG (SOF0; Annex K luma + chroma tables; BT.601 RGB->YCbCr;
+    chroma downsampled by 2x2 block means). Lossy as JPEG is; the
+    decoder round-trips it within quantization+subsampling error."""
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape[:2]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def pad_to(a, mh, mw):
+        ph, pw = a.shape
+        out = np.empty((mh, mw))
+        out[:ph, :pw] = a
+        out[ph:, :pw] = a[ph - 1 : ph, :]
+        out[:, pw:] = out[:, pw - 1 : pw]
+        return out
+
+    mh, mw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    y = pad_to(y, mh, mw)
+    # 2x2 block-mean chroma downsample on the padded planes
+    cbs = pad_to(cb, mh, mw).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+    crs = pad_to(cr, mh, mw).reshape(mh // 2, 2, mw // 2, 2).mean(axis=(1, 3))
+    dc_l = _encode_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_l = _encode_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    dc_c = _encode_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ac_c = _encode_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    for my in range(mh // 16):
+        for mx in range(mw // 16):
+            for by in range(2):  # four Y blocks, raster order
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    pred[0] = _encode_block(
+                        writer, y[y0 : y0 + 8, x0 : x0 + 8] - 128.0,
+                        STD_LUMA_QUANT, dc_l, ac_l, pred[0],
+                    )
+            cy, cx = my * 8, mx * 8
+            pred[1] = _encode_block(
+                writer, cbs[cy : cy + 8, cx : cx + 8] - 128.0,
+                STD_CHROMA_QUANT, dc_c, ac_c, pred[1],
+            )
+            pred[2] = _encode_block(
+                writer, crs[cy : cy + 8, cx : cx + 8] - 128.0,
+                STD_CHROMA_QUANT, dc_c, ac_c, pred[2],
+            )
+    writer.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in STD_LUMA_QUANT)) + seg(
+        0xDB, bytes([1]) + bytes(int(v) for v in STD_CHROMA_QUANT)
+    )
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dht = (
+        seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+        + seg(0xC4, bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+        + seg(0xC4, bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(writer.out) + b"\xff\xd9"
+
+
 def encode_jpeg_gray(px: "np.ndarray") -> bytes:
     """Encode an (H, W) uint8 grayscale array as a complete baseline JPEG
     (SOF0, Annex K luminance quant + Huffman tables, 4:4:4 single

@@ -178,3 +178,52 @@ class TestHonestTiering:
         assert got[:2] == [32.0, 24.0]
         for g, want in zip(got[4:], [dec.mean(), dec.min(), dec.max(), dec.std()]):
             assert abs(g - want) < 1e-6
+
+
+class TestColorEncoder:
+    def test_constant_color_near_exact(self):
+        from hgraphstorage_spark.pipeline.jpeg import decode_jpeg_pixels, encode_jpeg_rgb
+
+        px = np.full((16, 16, 3), (200, 60, 90), dtype=np.uint8)
+        dec = decode_jpeg_pixels(encode_jpeg_rgb(px))
+        assert dec.shape == (16, 16, 3)
+        assert np.abs(dec.astype(int) - px.astype(int)).max() <= 2
+
+    def test_smooth_gradient_bounded_err(self):
+        from hgraphstorage_spark.pipeline.jpeg import decode_jpeg_pixels, encode_jpeg_rgb
+
+        px = np.zeros((33, 45, 3), dtype=np.uint8)
+        for y in range(33):
+            for x in range(45):
+                px[y, x] = (min(255, x * 4), min(255, y * 6), 128)
+        dec = decode_jpeg_pixels(encode_jpeg_rgb(px))
+        assert dec.shape == px.shape
+        err = np.abs(dec.astype(int) - px.astype(int))
+        assert err.mean() < 6 and err.max() < 40  # quant + 4:2:0 subsample
+
+    def test_full_tier_color_jpeg(self, spark):
+        """A real 4:2:0 color JPEG flows through extract_features /
+        media_fingerprints / resize_images as fully-real decode."""
+        from hgraphstorage_spark.pipeline.jpeg import encode_jpeg_rgb
+        from hgraphstorage_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            media_fingerprints,
+            resize_images,
+        )
+
+        px = np.fromfunction(
+            lambda y, x, c: (x * 3 + y * 5 + c * 40) % 256, (40, 56, 3)
+        ).astype(np.uint8)
+        payload = bytes(encode_jpeg_rgb(px))
+        media = spark.createDataFrame(
+            [{"media_id": 0, "kind": "image", "payload": payload,
+              "meta": {"codec": "jpeg", "width": 56, "height": 40, "duration_ms": None}}],
+            MEDIA_SCHEMA,
+        )
+        f = extract_features(media, fake_decode=False).collect()[0]
+        assert f["decode_ok"] and f["feature"][:2] == [56.0, 40.0]
+        fp = media_fingerprints(media).collect()[0]
+        assert fp["fp_ok"] and fp["fingerprint"] is not None
+        rz = resize_images(media, 16, 16, fake_decode=False).collect()[0]
+        assert rz["resize_ok"] and rz["width"] <= 16 and rz["height"] <= 16
