@@ -540,3 +540,45 @@ class TestKTruss:
         core2 = {r["id"] for r in k_core(snap, k=2).collect()}
         for r in t3:
             assert r["a"] in core2 and r["b"] in core2
+
+
+class TestDiameterEstimate:
+    def test_path_graph_exact(self, spark):
+        """A 6-node path: double sweep finds the true diameter 5 from
+        any seed."""
+        from hgraphstorage_spark.analytics import diameter_estimate
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(i, "N") for i in range(6)], "id long, label string")
+        edges = spark.createDataFrame(
+            [(i, i, i + 1, "E") for i in range(5)], "id long, src long, dst long, label string"
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        row = diameter_estimate(snap).collect()[0]
+        assert row["seed_id"] == 0
+        assert row["diameter_estimate"] == 5
+        assert {row["peripheral_id"], row["far_id"]} == {0, 5}
+
+    def test_star_graph(self, spark):
+        from hgraphstorage_spark.analytics import diameter_estimate
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(i, "N") for i in range(5)], "id long, label string")
+        edges = spark.createDataFrame(
+            [(i, 0, i, "E") for i in range(1, 5)], "id long, src long, dst long, label string"
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        row = diameter_estimate(snap).collect()[0]
+        assert row["diameter_estimate"] == 2  # leaf -> hub -> leaf
+
+    def test_isolated_seed(self, spark):
+        from hgraphstorage_spark.analytics import diameter_estimate
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(0, "N"), (5, "N"), (6, "N")], "id long, label string")
+        edges = spark.createDataFrame(
+            [(0, 5, 6, "E")], "id long, src long, dst long, label string"
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        row = diameter_estimate(snap).collect()[0]
+        assert row["seed_id"] == 0 and row["diameter_estimate"] <= 0
