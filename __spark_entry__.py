@@ -2000,6 +2000,23 @@ def q_pq_topk(spark, sf_dir):
     return _canon(pq_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10), "adc_dist")
 
 
+def q_script_stats(spark, sf_dir):
+    """Unicode-script histogram (the pre-lang-id routing signal): per-doc
+    Latin/Cyrillic/Han/Arabic/digit/space fractions, zero-shuffle narrow
+    projection; oracle replays via RE2 script classes."""
+    from hgraphstorage_spark.pipeline.text import script_stats
+
+    return _canon(
+        script_stats(_t(spark, sf_dir, "documents")),
+        "latin_frac",
+        "cyrillic_frac",
+        "han_frac",
+        "arabic_frac",
+        "digit_frac",
+        "space_frac",
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov matrix of event types (counts + row-normalized
     probabilities) — the behavioral-sequence summary."""
@@ -2308,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "lsh_recall_report": q_lsh_recall_report,
         "pq_topk": q_pq_topk,
+        "script_stats": q_script_stats,
         # r4: rotated out of the window (stable since r1; still oracled)
         "get_object": q_get_object,
         "nb_counts": q_nb_counts,
@@ -4402,6 +4420,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST(adc_dist AS DECIMAL(18,6))::VARCHAR AS adc_dist
         FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """
+    # script_stats: RE2 \p{Script} classes match Java's \p{IsScript}
+    def _sfrac(cls: str) -> str:
+        return (
+            rf"CAST(round((length(text) - length(regexp_replace(text, '[\p{{{cls}}}]', '', 'g')))::DOUBLE"
+            rf" / greatest(length(text), 1), 6) AS DECIMAL(18,6))::VARCHAR"
+        )
+
+    sql["script_stats"] = rf"""
+        SELECT doc_id, length(text)::BIGINT AS n_chars,
+               {_sfrac('Latin')} AS latin_frac,
+               {_sfrac('Cyrillic')} AS cyrillic_frac,
+               {_sfrac('Han')} AS han_frac,
+               {_sfrac('Arabic')} AS arabic_frac,
+               CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                    / greatest(length(text), 1), 6) AS DECIMAL(18,6))::VARCHAR AS digit_frac,
+               CAST(round((length(text) - length(regexp_replace(text, '[ \t\n\x0b\f\r]', '', 'g')))::DOUBLE
+                    / greatest(length(text), 1), 6) AS DECIMAL(18,6))::VARCHAR AS space_frac
+        FROM documents
     """
     # weighted_sample: exact replay of the Efraimidis-Spirakis keys over
     # the shared md5-uniform family

@@ -366,6 +366,43 @@ def chunk_dedup(
     )
 
 
+def script_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Unicode-script histogram per document: the character-class signal
+    that ROUTES documents before language ID (at crawl scale, script
+    detection splits the corpus into per-script pipelines; n-gram lang-id
+    like ``language_id`` then only has to separate languages within a
+    script). Fractions of Latin / Cyrillic / Han (CJK) / Arabic and of
+    digits and whitespace, over total characters.
+
+    Pure narrow projection, zero shuffle: each class count is
+    length(text) - length(regexp_replace(text, class, '')) — Java's
+    \\p{Is<Script>} classes JVM-side; the oracle replays with RE2's
+    \\p{<Script>} spelling, which matches the same codepoints.
+
+    Returns (doc_id, n_chars, latin_frac, cyrillic_frac, han_frac,
+    arabic_frac, digit_frac, space_frac) with fractions rounded to 6
+    decimals (DECIMAL(18,6)); empty documents report zero fractions."""
+
+    def frac(pattern: str):
+        cnt = F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+        return (
+            F.round(cnt.cast("double") / F.greatest(F.length(text), F.lit(1)), 6)
+            .cast("decimal(18,6)")
+        )
+
+    text = F.col(text_col)
+    return _parallel(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text).cast("long").alias("n_chars"),
+        frac(r"[\p{IsLatin}]").alias("latin_frac"),
+        frac(r"[\p{IsCyrillic}]").alias("cyrillic_frac"),
+        frac(r"[\p{IsHan}]").alias("han_frac"),
+        frac(r"[\p{IsArabic}]").alias("arabic_frac"),
+        frac(r"[0-9]").alias("digit_frac"),
+        frac(r"[ \t\n\x0B\f\r]").alias("space_frac"),
+    )
+
+
 def boilerplate_dedup(
     docs: DataFrame,
     unit: str = "line",

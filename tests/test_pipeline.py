@@ -2076,3 +2076,30 @@ class TestWeightedSample:
 
         counts = Counter(r["src"] for r in got)
         assert counts == {"s0": 5, "s1": 5, "s2": 5}
+
+
+class TestScriptStats:
+    def test_mixed_scripts_hand_computed(self, spark):
+        from hgraphstorage_spark.pipeline.text import script_stats
+
+        rows = [
+            (0, "hello world 123"),
+            (1, "привет мир"),  # привет мир
+            (2, "你好世界 hello"),  # 你好世界 hello
+            (3, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in script_stats(docs).collect()}
+        assert float(got[0]["latin_frac"]) == round(10 / 15, 6)
+        assert float(got[0]["digit_frac"]) == round(3 / 15, 6)
+        assert float(got[1]["cyrillic_frac"]) == 0.9
+        assert float(got[2]["han_frac"]) == 0.4 and float(got[2]["latin_frac"]) == 0.5
+        assert got[3]["n_chars"] == 0 and float(got[3]["latin_frac"]) == 0.0
+
+    def test_zero_shuffle(self, spark):
+        from hgraphstorage_spark.pipeline.text import script_stats
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(script_stats(docs))
+        assert "Exchange" not in plan.replace("Exchange RoundRobinPartitioning", "")
