@@ -2202,14 +2202,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "list_properties": q_list_properties,
         "traversal_out_values": q_traversal_out_values,
         "traversal_in": q_traversal_in,
-        "traversal_both": q_traversal_both,
+        # traversal_both overlaps traversal_in/out (bag-union semantics
+        # stay pinned in pytest); its slot carries the r4 boilerplate
+        # removal operator so the driver hashes it directly
+        "boilerplate_dedup": q_boilerplate_dedup,
         "traversal_oute_props": q_traversal_oute_props,
         "edges_to_nodes": q_edges_to_nodes,
         "multi_hop": q_multi_hop,
         "query_step": q_query_step,
         "betweenness": q_betweenness,
         "index_build": q_index_build,
-        "index_lookup": q_index_lookup,
+        # index_lookup is subsumed by index_build + index_prefix coverage
+        # (and stays pytest-oracled); its slot carries the r4 PQ ANN
+        "pq_topk": q_pq_topk,
         "index_prefix": q_index_prefix,
         "mutation_cascade": q_mutation_cascade,
         "snapshot_time_travel": q_snapshot_time_travel,
@@ -2320,13 +2325,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
         "event_transitions": q_event_transitions,
-        "boilerplate_dedup": q_boilerplate_dedup,
         "containment_pairs": q_containment_pairs,
         "weighted_sample": q_weighted_sample,
         "lsh_recall_report": q_lsh_recall_report,
-        "pq_topk": q_pq_topk,
         "script_stats": q_script_stats,
         # r4: rotated out of the window (stable since r1; still oracled)
+        "traversal_both": q_traversal_both,
+        "index_lookup": q_index_lookup,
         "get_object": q_get_object,
         "nb_counts": q_nb_counts,
         "prop_names": q_prop_names,

@@ -90,6 +90,7 @@ def test_window_covers_required_operators():
         "multimodal_features", "graph_summary",
         # r4 rotation: operators the driver had never hashed before
         "incremental_near_dup", "sq_topk", "betweenness", "exact_substring",
+        "boilerplate_dedup", "pq_topk",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
