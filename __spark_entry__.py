@@ -2017,6 +2017,25 @@ def q_script_stats(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training shuffle order: rank under
+    md5(id||':epoch:'||e) — reproducible permutation, fresh per epoch."""
+    from hgraphstorage_spark.pipeline.sampling import epoch_shuffle
+
+    return epoch_shuffle(_t(spark, sf_dir, "documents"), epoch=2).select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+def q_length_batches(spark, sf_dir):
+    """Length-bucketed batch assignment (padding-minimizing batching):
+    docs ordered by (n_chars desc, id), cut into 32-doc batches, with
+    per-row padding cost vs the batch max."""
+    from hgraphstorage_spark.pipeline.sampling import length_bucketed_batches
+
+    return length_bucketed_batches(_t(spark, sf_dir, "documents"), batch_size=32)
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov matrix of event types (counts + row-normalized
     probabilities) — the behavioral-sequence summary."""
@@ -2329,6 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "lsh_recall_report": q_lsh_recall_report,
         "script_stats": q_script_stats,
+        "epoch_shuffle": q_epoch_shuffle,
+        "length_batches": q_length_batches,
         # r4: rotated out of the window (stable since r1; still oracled)
         "traversal_both": q_traversal_both,
         "index_lookup": q_index_lookup,
@@ -4425,6 +4446,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, CAST(adc_dist AS DECIMAL(18,6))::VARCHAR AS adc_dist
         FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """
+    sql["epoch_shuffle"] = """
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY md5(doc_id::VARCHAR || ':epoch:2'), doc_id
+               )::BIGINT AS shuffle_rank
+        FROM documents
+    """
+    sql["length_batches"] = """
+        WITH ranked AS (
+          SELECT doc_id, n_chars::BIGINT AS length,
+                 ((row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) // 32)::BIGINT AS batch_id
+          FROM documents
+        )
+        SELECT doc_id, length, batch_id,
+               max(length) OVER (PARTITION BY batch_id) AS batch_max,
+               (max(length) OVER (PARTITION BY batch_id) - length)::BIGINT AS padding
+        FROM ranked
     """
     # script_stats: RE2 \p{Script} classes match Java's \p{IsScript}
     def _sfrac(cls: str) -> str:

@@ -33,11 +33,17 @@ from hgraphstorage_spark.pipeline.similarity import (
     pq_topk,
     sq_topk,
 )
-from hgraphstorage_spark.pipeline.sampling import hash_split, weighted_sample
+from hgraphstorage_spark.pipeline.sampling import (
+    epoch_shuffle,
+    hash_split,
+    length_bucketed_batches,
+    weighted_sample,
+)
 from hgraphstorage_spark.pipeline.state import release_tracked, released
 from hgraphstorage_spark.pipeline.text import (
     boilerplate_dedup,
     fingerprint,
+    script_stats,
     language_id,
     quality_filter,
     quality_stats,
@@ -50,7 +56,10 @@ __all__ = [
     "decontaminate",
     "hash_split",
     "weighted_sample",
+    "epoch_shuffle",
+    "length_bucketed_batches",
     "boilerplate_dedup",
+    "script_stats",
     "containment_pairs",
     "lsh_recall_report",
     "pq_topk",

@@ -149,6 +149,58 @@ def weighted_sample(
     )
 
 
+def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-epoch global shuffle order: append
+    ``shuffle_rank`` = the row's position under ORDER BY
+    md5(id || ':epoch:' || epoch) — a fresh, reproducible permutation
+    per epoch, the data-ordering step LLM training shards need (same
+    epoch -> same order on any cluster; no RNG state to ship).
+
+    Plan shape: one range-partition sort keyed on the 16-hex-char hash
+    prefix of the SLIM (hash, id) projection — rows stay where they are;
+    only the rank column shuffles back by id. Writers that want physical
+    order instead should ``repartitionByRange`` on the same key.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":epoch:{epoch}")))
+    w = Window.orderBy(key.asc(), F.col(id_col))
+    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    batch_size: int,
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch assignment: order documents by (length desc,
+    id) and cut consecutive runs of ``batch_size`` into batches — the
+    standard padding-minimizing batching for variable-length training
+    (similar lengths batch together, so per-batch padding waste =
+    batch_max - each length stays small).
+
+    Returns the input ids with (batch_id, batch_max, padding) where
+    padding = batch_max - length, the per-row padding cost a packing
+    report aggregates. Deterministic; one slim global sort (the rank
+    runs over (length, id) pairs, never the payload).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("length").desc(), F.col("doc_id"))
+    ranked = df.select(
+        F.col(id_col).alias("doc_id"), F.col(length_col).cast("long").alias("length")
+    ).withColumn("batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("long"))
+    wb = Window.partitionBy("batch_id")
+    return ranked.select(
+        "doc_id",
+        "length",
+        "batch_id",
+        F.max("length").over(wb).alias("batch_max"),
+        (F.max("length").over(wb) - F.col("length")).alias("padding"),
+    )
+
+
 def mix_corpus(
     df: DataFrame,
     weights: dict[str, float],

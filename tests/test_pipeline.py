@@ -2103,3 +2103,60 @@ class TestScriptStats:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = executed_plan(script_stats(docs))
         assert "Exchange" not in plan.replace("Exchange RoundRobinPartitioning", "")
+
+
+class TestEpochShuffle:
+    def test_reproducible_and_epoch_varying(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import epoch_shuffle
+
+        docs = spark.createDataFrame([(i, "t%d" % i) for i in range(50)], "doc_id long, text string")
+        a = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle(docs, 1).collect()}
+        b = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle(docs, 1).collect()}
+        c = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle(docs, 2).collect()}
+        assert a == b                       # same epoch -> same permutation
+        assert a != c                       # different epoch -> different order
+        assert sorted(a.values()) == list(range(1, 51))  # a real permutation
+
+    def test_matches_md5_order(self, spark):
+        import hashlib
+
+        from hgraphstorage_spark.pipeline.sampling import epoch_shuffle
+
+        docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+        got = {r["doc_id"]: r["shuffle_rank"] for r in epoch_shuffle(docs, 3).collect()}
+        want_order = sorted(range(20), key=lambda i: (hashlib.md5(f"{i}:epoch:3".encode()).hexdigest(), i))
+        assert got == {i: rank + 1 for rank, i in enumerate(want_order)}
+
+
+class TestLengthBucketedBatches:
+    def test_batches_cut_in_length_order(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import length_bucketed_batches
+
+        rows = [(i, 100 - i) for i in range(10)]  # lengths 100..91
+        docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = sorted(
+            (r["doc_id"], r["batch_id"], r["batch_max"], r["padding"])
+            for r in length_bucketed_batches(docs, batch_size=4).collect()
+        )
+        # ranks by length desc: doc 0 (100) .. doc 9 (91); batches [0-3][4-7][8-9]
+        assert [g[1] for g in got] == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
+        assert got[0] == (0, 0, 100, 0)
+        assert got[3] == (3, 0, 100, 3)   # length 97, batch max 100
+        assert got[4] == (4, 1, 96, 0)
+        assert got[9] == (9, 2, 92, 1)
+
+    def test_padding_less_than_random_batching(self, spark):
+        """The whole point: length-sorted batches waste less padding than
+        id-ordered batches on a length-diverse corpus."""
+        from hgraphstorage_spark.pipeline.sampling import length_bucketed_batches
+
+        rows = [(i, (i * 97) % 1000 + 10) for i in range(200)]
+        docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        out = length_bucketed_batches(docs, batch_size=16).collect()
+        sorted_waste = sum(r["padding"] for r in out)
+        by_id = sorted(rows)
+        naive_waste = 0
+        for b in range(0, 200, 16):
+            chunk = [l for _, l in by_id[b : b + 16]]
+            naive_waste += sum(max(chunk) - l for l in chunk)
+        assert sorted_waste < naive_waste / 4
