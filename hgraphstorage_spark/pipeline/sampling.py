@@ -149,6 +149,41 @@ def weighted_sample(
     )
 
 
+def _global_rank(df: DataFrame, order_cols: list, rank_name: str) -> DataFrame:
+    """Distributed global row_number over a TOTAL order (``order_cols``
+    must be tie-free): range-repartition on the keys, rank within each
+    partition, then add broadcast exclusive per-partition offsets — the
+    two-pass prefix-sum pattern (see ``token_budget_mix``). An
+    un-partitioned ``Window.orderBy`` would instead collapse ALL rows
+    into one WindowExec partition — correct at test scale, dead at
+    100 TB."""
+    from pyspark.sql import Window
+
+    rp = df.repartitionByRange(*order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = rp.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    )
+    # one row per partition: the offset frame is tiny by construction, so
+    # the single-partition cumsum window is over ~hundreds of rows
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, (F.col("_off") + F.col("_lrn")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
 def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFrame:
     """Deterministic per-epoch global shuffle order: append
     ``shuffle_rank`` = the row's position under ORDER BY
@@ -156,16 +191,18 @@ def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFram
     per epoch, the data-ordering step LLM training shards need (same
     epoch -> same order on any cluster; no RNG state to ship).
 
-    Plan shape: one range-partition sort keyed on the 16-hex-char hash
-    prefix of the SLIM (hash, id) projection — rows stay where they are;
-    only the rank column shuffles back by id. Writers that want physical
-    order instead should ``repartitionByRange`` on the same key.
+    Plan shape: the rank is the distributed two-pass form
+    (:func:`_global_rank` — range partition + local rank + broadcast
+    offsets), never a single-partition window; the permutation is
+    independent of partition boundaries because (hash, id) is a total
+    order. Writers that want physical order should
+    ``repartitionByRange`` on the same key.
     """
-    from pyspark.sql import Window
-
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":epoch:{epoch}")))
-    w = Window.orderBy(key.asc(), F.col(id_col))
-    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+    with_key = df.withColumn("_ek", key)
+    return _global_rank(
+        with_key, [F.col("_ek").asc(), F.col(id_col).asc()], "shuffle_rank"
+    ).drop("_ek")
 
 
 def length_bucketed_batches(
@@ -182,15 +219,19 @@ def length_bucketed_batches(
 
     Returns the input ids with (batch_id, batch_max, padding) where
     padding = batch_max - length, the per-row padding cost a packing
-    report aggregates. Deterministic; one slim global sort (the rank
-    runs over (length, id) pairs, never the payload).
+    report aggregates. Deterministic; the global rank runs over the SLIM
+    (length, id) projection in the distributed two-pass form
+    (:func:`_global_rank`), and the per-batch max is a partitioned
+    window on the batch id (uniform ~batch_size rows per key).
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("length").desc(), F.col("doc_id"))
-    ranked = df.select(
+    slim = df.select(
         F.col(id_col).alias("doc_id"), F.col(length_col).cast("long").alias("length")
-    ).withColumn("batch_id", ((F.row_number().over(w) - 1) / batch_size).cast("long"))
+    )
+    ranked = _global_rank(
+        slim, [F.col("length").desc(), F.col("doc_id").asc()], "_grn"
+    ).withColumn("batch_id", ((F.col("_grn") - 1) / batch_size).cast("long")).drop("_grn")
     wb = Window.partitionBy("batch_id")
     return ranked.select(
         "doc_id",

@@ -426,3 +426,21 @@ class TestLatestOperatorPlans:
         plan = executed_plan(containment_pairs(docs, threshold=0.5, block_col="lang"))
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
         assert "partial_count" in plan
+
+    def test_epoch_shuffle_no_data_singlepartition_window(self, spark):
+        """The global rank is the two-pass distributed form: the DATA
+        path range-partitions and ranks per partition; the only
+        single-partition exchange feeds the tiny one-row-per-partition
+        offset frame, which enters broadcast."""
+        from hgraphstorage_spark.pipeline.sampling import epoch_shuffle
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(epoch_shuffle(docs, epoch=1))
+        assert "Exchange rangepartitioning" in plan
+        assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+        # the single-partition exchange exists only under the broadcast
+        # (offset) branch, never on the ranked data path: the final
+        # window/sort above the range exchange must not be SinglePartition
+        data_branch = plan.split("BroadcastExchange")[0]
+        assert "Exchange SinglePartition" not in data_branch
