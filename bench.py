@@ -87,6 +87,19 @@ def _fast_variants() -> dict:
 # md5 oracle-mode twins (the driver-window entries), timed for comparability
 MD5_TWINS = ["minhash_lsh_pairs", "embed_near_dup_lsh", "exact_substring"]
 
+# round-4 operators: timed and reported under "r4_ops" WITHOUT joining the
+# headline set, so headline totals stay comparable across rounds
+R4_OPS = [
+    "boilerplate_dedup",
+    "containment_pairs",
+    "weighted_sample",
+    "pq_topk",
+    "script_stats",
+    "lsh_recall_report",
+    "epoch_shuffle",
+    "length_batches",
+]
+
 
 def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -139,7 +152,7 @@ def main() -> None:
     # warms exactly the classes the timed sf0.1 pass runs; Catalyst
     # planning of the sf0.1 plans is NOT cached and stays in the timings.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + MD5_TWINS:
+    for name in HEADLINE + MD5_TWINS + R4_OPS:
         try:
             _execute(queries[name](spark, warm_dir))
         except Exception:
@@ -161,6 +174,7 @@ def main() -> None:
 
     timings = {name: _time(name) for name in HEADLINE}
     md5_timings = {name: _time(name) for name in MD5_TWINS}
+    r4_timings = {name: _time(name) for name in R4_OPS}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -171,6 +185,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "md5_oracle_mode": md5_timings,
+                "r4_ops": r4_timings,
                 "sf": sf,
             }
         )
