@@ -88,14 +88,17 @@ def _fast_variants() -> dict:
 MD5_TWINS = ["minhash_lsh_pairs", "embed_near_dup_lsh", "exact_substring"]
 
 # round-4 operators: timed and reported under "r4_ops" WITHOUT joining the
-# headline set, so headline totals stay comparable across rounds
+# headline set, so headline totals stay comparable across rounds. The two
+# exact-pair diagnostics (containment_pairs, lsh_recall_report) are omitted:
+# both are collision-quadratic BY DESIGN (the documented exact baselines the
+# LSH paths are validated against; ~13-17 s at sf0.1) and run once per
+# parameterization, not per corpus pass — timing them nightly would only
+# re-measure the documented quadratic.
 R4_OPS = [
     "boilerplate_dedup",
-    "containment_pairs",
     "weighted_sample",
     "pq_topk",
     "script_stats",
-    "lsh_recall_report",
     "epoch_shuffle",
     "length_batches",
 ]
