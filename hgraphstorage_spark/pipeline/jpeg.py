@@ -220,6 +220,10 @@ def decode_jpeg_pixels(payload: bytes | None) -> "np.ndarray | None":
                 if prec != 8:
                     return None
                 h, w = struct.unpack(">HH", body[1:5])
+                # untrusted-payload ceiling (see multimodal.MAX_DECODE_PIXELS):
+                # header-declared dims must never drive an unbounded alloc
+                if w * h > 64_000_000:
+                    return None
                 nc = body[5]
                 comps = []
                 for ci in range(nc):

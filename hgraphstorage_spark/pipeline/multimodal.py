@@ -280,6 +280,12 @@ def decode_bmp_pixels(payload: bytes | None) -> "np.ndarray | None":
     return np.ascontiguousarray(arr if top_down else arr[::-1])
 
 
+# Untrusted-payload ceiling: a crawl blob's header can declare any
+# dimensions; decoding must never allocate unboundedly on an executor.
+# 64 MP * 4 channels = 256 MB worst case per in-flight blob — bounded.
+MAX_DECODE_PIXELS = 64_000_000
+
+
 def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
     """REAL pixel decode for PNG — pure stdlib zlib + numpy, no media
     libraries. Covers 8-bit-depth, non-interlaced images in color types
@@ -288,7 +294,13 @@ def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
     Sub/Up/Average/Paeth per scanline, RFC 2083 §6). Returns an
     (H, W, C) uint8 array (palette expanded to RGB), top row first, or
     None for payloads outside this coverage (16-bit depth, interlaced —
-    honestly tiered out, not silently wrong)."""
+    honestly tiered out, not silently wrong).
+
+    Hardened for untrusted corpora: declared dimensions above
+    ``MAX_DECODE_PIXELS`` return None before any allocation, and IDAT
+    inflation is bounded to exactly the expected scanline bytes
+    (``decompressobj`` with max_length), so a decompression bomb cannot
+    expand past the header's own claim."""
     import numpy as np
 
     if payload is None or len(payload) < 45:
@@ -299,6 +311,8 @@ def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
     w, h = struct.unpack(">II", b[16:24])
     depth, color_type, comp, filt, interlace = b[24:29]
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or w == 0 or h == 0:
+        return None
+    if w * h > MAX_DECODE_PIXELS:
         return None
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
@@ -318,12 +332,15 @@ def decode_png_pixels(payload: bytes | None) -> "np.ndarray | None":
         p += 12 + clen  # len + type + crc
     if not idat or (color_type == 3 and (plte is None or len(plte) % 3)):
         return None
+    stride = w * channels
+    expected = h * (1 + stride)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # bounded inflate: never expand beyond the scanline bytes the
+        # header itself promises (decompression-bomb guard)
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) < h * (1 + stride):
+    if len(raw) < expected:
         return None
     lines = np.frombuffer(raw, dtype=np.uint8, count=h * (1 + stride)).reshape(
         h, 1 + stride

@@ -227,3 +227,57 @@ class TestColorEncoder:
         assert fp["fp_ok"] and fp["fingerprint"] is not None
         rz = resize_images(media, 16, 16, fake_decode=False).collect()[0]
         assert rz["resize_ok"] and rz["width"] <= 16 and rz["height"] <= 16
+
+
+class TestUntrustedPayloadHardening:
+    def test_jpeg_giant_declared_dims_rejected_fast(self):
+        import struct
+        import time
+
+        from hgraphstorage_spark.pipeline.jpeg import decode_jpeg_pixels
+
+        sof = _seg(0xC0, struct.pack(">BHHB", 8, 60000, 60000, 1) + bytes([1, 0x11, 0]))
+        payload = b"\xff\xd8" + _tables_segments() + sof + _seg(0xDA, bytes([1, 1, 0, 0, 63, 0])) + b"\x00" * 64 + b"\xff\xd9"
+        t0 = time.perf_counter()
+        assert decode_jpeg_pixels(payload) is None
+        assert time.perf_counter() - t0 < 1.0  # rejected before any MCU work
+
+    def test_png_giant_declared_dims_rejected(self):
+        import struct
+        import zlib
+
+        from hgraphstorage_spark.pipeline.multimodal import _png_chunk, decode_png_pixels
+
+        ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert decode_png_pixels(payload) is None
+
+    def test_png_decompression_bomb_bounded(self):
+        """An IDAT that inflates to ~100 MB behind a small declared image
+        must not expand past the header's own scanline budget — the
+        decode returns pixels for the declared region only (bounded
+        inflate), never the bomb."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import _png_chunk, decode_png_pixels
+
+        w = h = 4  # declared 4x4 gray: 4*(1+4)=20 expected bytes
+        bomb = zlib.compress(b"\x00" * 100_000_000, 9)  # ~100 MB inflated
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", bomb)
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png_pixels(payload)
+        assert got is not None and got.shape == (4, 4, 1)
+        assert np.all(got == 0)
