@@ -2036,6 +2036,19 @@ def q_length_batches(spark, sf_dir):
     return length_bucketed_batches(_t(spark, sf_dir, "documents"), batch_size=32)
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN (Jégou 2011, the FAISS billion-scale
+    default): coarse list routing + residual PQ codes + per-probed-list
+    ADC — rows cut nlist/nprobe-fold AND bytes cut 32-fold. Fully
+    oracle-replayed (deterministic md5 anchors, fixed-order folds,
+    decimal sums)."""
+    from hgraphstorage_spark.pipeline.similarity import ivfpq_topk
+
+    return _canon(
+        ivfpq_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10), "adc_dist"
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov matrix of event types (counts + row-normalized
     probabilities) — the behavioral-sequence summary."""
@@ -2350,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_stats": q_script_stats,
         "epoch_shuffle": q_epoch_shuffle,
         "length_batches": q_length_batches,
+        "ivfpq_topk": q_ivfpq_topk,
         # r4: rotated out of the window (stable since r1; still oracled)
         "traversal_both": q_traversal_both,
         "index_lookup": q_index_lookup,
@@ -4445,6 +4459,93 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY codes.vec_id
         )
         SELECT vec_id, CAST(adc_dist AS DECIMAL(18,6))::VARCHAR AS adc_dist
+        FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    """
+    # ivfpq_topk: full IVF-PQ replay — md5 coarse anchors, residual PQ
+    # codebooks, per-probed-list ADC; all L2 sums written left-assoc to
+    # match Spark's aggregate() fold order
+    _l2v = " + ".join(f"(v[{i}]-cv[{i}])*(v[{i}]-cv[{i}])" for i in range(1, 65))
+    _l2q = " + ".join(f"(q[{i}]-cv[{i}])*(q[{i}]-cv[{i}])" for i in range(1, 65))
+    _l2s = " + ".join(f"(sub[{i}]-cw[{i}])*(sub[{i}]-cw[{i}])" for i in range(1, 9))
+    sql["ivfpq_topk"] = rf"""
+        WITH rec AS (
+          SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        ),
+        chh AS (
+          SELECT vec_id, v,
+                 ('0x' || substr(md5(vec_id::VARCHAR || ':ivfseed'), 1, 15))::BIGINT AS h
+          FROM rec
+        ),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, v AS cv
+          FROM (SELECT * FROM chh ORDER BY h, vec_id LIMIT 8)
+        ),
+        cd AS (SELECT vec_id, cidx, {_l2v} AS d FROM rec, cents),
+        asg AS (
+          SELECT vec_id, cidx AS list_id FROM (
+            SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn
+            FROM cd
+          ) WHERE rn = 1
+        ),
+        res AS (
+          SELECT rec.vec_id, asg.list_id,
+                 list_transform(generate_series(1, 64), i -> rec.v[i] - cents.cv[i]) AS r
+          FROM rec JOIN asg USING (vec_id) JOIN cents ON asg.list_id = cents.cidx
+        ),
+        phh AS (
+          SELECT vec_id, r,
+                 ('0x' || substr(md5(vec_id::VARCHAR || ':pqseed'), 1, 15))::BIGINT AS h
+          FROM res
+        ),
+        anchors AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS c, r
+          FROM (SELECT * FROM phh ORDER BY h, vec_id LIMIT 16)
+        ),
+        cb AS (
+          SELECT c, j, list_slice(r, j*8 + 1, j*8 + 8) AS cw
+          FROM anchors, unnest(generate_series(0, 7)) AS t(j)
+        ),
+        subs AS (
+          SELECT vec_id, list_id, j, list_slice(r, j*8 + 1, j*8 + 8) AS sub
+          FROM res, unnest(generate_series(0, 7)) AS t(j)
+        ),
+        dists AS (
+          SELECT vec_id, list_id, subs.j AS j, cb.c AS c, {_l2s} AS d
+          FROM subs JOIN cb ON subs.j = cb.j
+        ),
+        codes AS (
+          SELECT vec_id, list_id, j, c AS code FROM (
+            SELECT vec_id, list_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rn
+            FROM dists
+          ) WHERE rn = 1
+        ),
+        qv AS (SELECT v AS q FROM rec WHERE vec_id = 0),
+        pd AS (SELECT cidx, cv, {_l2q} AS d FROM cents, qv),
+        probes AS (SELECT cidx, cv FROM pd ORDER BY d, cidx LIMIT 2),
+        qres AS (
+          SELECT cidx AS list_id,
+                 list_transform(generate_series(1, 64), i -> q[i] - cv[i]) AS rq
+          FROM probes, qv
+        ),
+        qsubs AS (
+          SELECT list_id, j, list_slice(rq, j*8 + 1, j*8 + 8) AS sub
+          FROM qres, unnest(generate_series(0, 7)) AS t(j)
+        ),
+        lut AS (
+          SELECT list_id, qsubs.j AS j, cb.c AS c,
+                 CAST(round({_l2s.replace('sub[', 'qsubs.sub[')}, 6) AS DECIMAL(18,6)) AS cell
+          FROM qsubs JOIN cb ON qsubs.j = cb.j
+        ),
+        adc AS (
+          SELECT codes.vec_id, codes.list_id, sum(cell) AS adc_dist
+          FROM codes JOIN lut
+            ON codes.list_id = lut.list_id AND codes.j = lut.j AND codes.code = lut.c
+          WHERE codes.vec_id <> 0
+          GROUP BY codes.vec_id, codes.list_id
+        )
+        SELECT vec_id, list_id, CAST(adc_dist AS DECIMAL(18,6))::VARCHAR AS adc_dist
         FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     """
     sql["epoch_shuffle"] = """

@@ -28,6 +28,7 @@ from hgraphstorage_spark.pipeline.similarity import (
     embedding_stats,
     label_centroids,
     lsh_bucket_topk,
+    ivfpq_topk,
     pca_fit,
     pca_project,
     pq_topk,
@@ -63,6 +64,7 @@ __all__ = [
     "containment_pairs",
     "lsh_recall_report",
     "pq_topk",
+    "ivfpq_topk",
     "release_tracked",
     "released",
     "exact_dedup",

@@ -101,3 +101,94 @@ def test_recall_reasonable_vs_exact(spark):
     exact_ids = {i for _, i in exact}
     got_ids = {r["vec_id"] for r in pq_topk(emb, query_id=0, k=10).collect()}
     assert len(exact_ids & got_ids) >= 3, (exact_ids, got_ids)
+
+
+# -- IVF-PQ composite ---------------------------------------------------------
+
+
+def _reference_ivfpq(embs, qid, k, nlist=8, nprobe=2, m=8, ksub=16):
+    """Independent replay of ivfpq_topk: md5 coarse anchors, residual PQ
+    codebooks from md5 anchors, per-probed-list ADC with Decimal sums."""
+    ch = {i: int(hashlib.md5(f"{i}:ivfseed".encode()).hexdigest()[:15], 16) for i in embs}
+    cent_ids = sorted(embs, key=lambda i: (ch[i], i))[:nlist]
+    cents = {idx: embs[i] for idx, i in enumerate(cent_ids)}
+    d = len(next(iter(embs.values())))
+    dsub = d // m
+
+    def l2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    assign = {
+        i: min(range(nlist), key=lambda c: (l2(v, cents[c]), c)) for i, v in embs.items()
+    }
+    resid = {i: [float(x) - float(y) for x, y in zip(v, cents[assign[i]])] for i, v in embs.items()}
+    ph = {i: int(hashlib.md5(f"{i}:pqseed".encode()).hexdigest()[:15], 16) for i in embs}
+    anchor_ids = sorted(embs, key=lambda i: (ph[i], i))[:ksub]
+
+    def sub(r, j):
+        return r[j * dsub : (j + 1) * dsub]
+
+    cw = {(j, c): sub(resid[anchor_ids[c]], j) for j in range(m) for c in range(ksub)}
+    codes = {
+        i: [min(range(ksub), key=lambda c: (l2(sub(r, j), cw[(j, c)]), c)) for j in range(m)]
+        for i, r in resid.items()
+    }
+    q = embs[qid]
+    probe_lists = sorted(range(nlist), key=lambda c: (l2(q, cents[c]), c))[:nprobe]
+    def cell(a, b):
+        return Decimal(repr(l2(a, b))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    luts = {
+        l: [[cell(sub([float(x) - float(y) for x, y in zip(q, cents[l])], j), cw[(j, c)])
+             for c in range(ksub)] for j in range(m)]
+        for l in probe_lists
+    }
+    scores = {}
+    for i in embs:
+        if i == qid or assign[i] not in luts:
+            continue
+        lut = luts[assign[i]]
+        scores[i] = (sum(lut[j][codes[i][j]] for j in range(m)), assign[i])
+    top = sorted(scores.items(), key=lambda kv: (kv[1][0], kv[0]))[:k]
+    return [(i, l, s) for i, (s, l) in top]
+
+
+def test_ivfpq_matches_reference_exactly(spark):
+    from hgraphstorage_spark.pipeline.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    embs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    got = [
+        (r["vec_id"], r["list_id"], r["adc_dist"])
+        for r in ivfpq_topk(emb, query_id=0, k=10).collect()
+    ]
+    want = _reference_ivfpq(embs, qid=0, k=10)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    assert [str(g[2]) for g in got] == [str(w[2]) for w in want]
+
+
+def test_ivfpq_prunes_to_probed_lists(spark):
+    """The inner LUT join IS the IVF pruning: every result comes from the
+    query's nprobe nearest lists."""
+    from hgraphstorage_spark.pipeline.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = ivfpq_topk(emb, query_id=5, k=20, nprobe=2).collect()
+    assert len({r["list_id"] for r in out}) <= 2
+
+
+def test_ivfpq_plan_broadcasts_small_frames(spark):
+    from hgraphstorage_spark.pipeline.similarity import ivfpq_topk
+    from hgraphstorage_spark.plans.audit import executed_plan
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = executed_plan(ivfpq_topk(emb, query_id=0, k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
