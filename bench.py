@@ -98,6 +98,7 @@ R4_OPS = [
     "boilerplate_dedup",
     "weighted_sample",
     "pq_topk",
+    "ivfpq_topk",
     "script_stats",
     "epoch_shuffle",
     "length_batches",
