@@ -238,6 +238,12 @@ def decode_jpeg_pixels(payload: bytes | None) -> "np.ndarray | None":
                 if frame is None:
                     return None
                 ns = body[0]
+                # interleaved-only coverage: a scan over fewer components
+                # than the frame declares (multi-SOS baseline) would decode
+                # only the first scan over the full MCU grid — silently
+                # wrong pixels. Tier out to Pillow instead.
+                if ns != len(frame[2]):
+                    return None
                 scan = []  # (comp_index, dc_table, ac_table)
                 for si in range(ns):
                     cs, tt = body[1 + 2 * si : 3 + 2 * si]

@@ -647,11 +647,16 @@ def resize_images(
                     xi = (np.arange(tw) * sw) // tw
                     small = px[yi][:, xi]
                     is_bmp = bytes(payload)[:2] == b"BM"
-                    enc = (
-                        bmp_array_bytes(small)
-                        if is_bmp and small.shape[2] == 3
-                        else png_array_bytes(small)
-                    )
+                    if is_bmp and small.shape[2] == 3:
+                        enc = bmp_array_bytes(small)
+                    else:
+                        # BMP arrays arrive in stored BGR[A] order; PNG is
+                        # RGB[A] — swap before crossing container formats
+                        if is_bmp and small.shape[2] == 4:
+                            small = small[..., [2, 1, 0, 3]]
+                        elif is_bmp and small.shape[2] == 3:
+                            small = small[..., [2, 1, 0]]
+                        enc = png_array_bytes(small)
                     out_payload.append(enc)
                     out_w.append(tw), out_h.append(th)
                     oks.append(True)

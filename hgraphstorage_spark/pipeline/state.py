@@ -19,37 +19,50 @@ or call :func:`release_tracked` at their own cadence. Releases are
 non-blocking (``unpersist(False)``) and idempotent; an unpersist on an
 already-released or dead DataFrame is swallowed.
 
-Scope note: the registry is process-global by design (the simple contract
-a bench/service loop needs). ``released`` releases everything tracked at
+Scope note: the registry is THREAD-LOCAL (ADVICE r4): in a
+multi-threaded service, one thread's ``released`` block releasing only
+what that thread tracked cannot unpersist intermediates another
+in-flight operator on a sibling thread is still computing on. Within a
+thread, ``released`` still releases everything that thread tracked at
 EXIT time — don't interleave the construction of two tracked operators
 across a ``released`` boundary; build-act-release each one.
 """
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+_LOCAL = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    reg = getattr(_LOCAL, "tracked", None)
+    if reg is None:
+        reg = _LOCAL.tracked = []
+    return reg
 
 
 def track(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for later deterministic release."""
     df.persist()
-    _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
 def tracked_count() -> int:
-    return len(_TRACKED)
+    return len(_tracked())
 
 
 def release_tracked() -> int:
-    """Unpersist every registered intermediate (LIFO); returns how many."""
+    """Unpersist every intermediate registered by THIS thread (LIFO);
+    returns how many."""
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    reg = _tracked()
+    while reg:
+        df = reg.pop()
         try:
             df.unpersist(False)
             n += 1

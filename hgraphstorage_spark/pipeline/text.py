@@ -432,14 +432,17 @@ def boilerplate_dedup(
     string-keyed contract up to 64-bit collisions, so the oracle
     replays it keyed on the unit strings themselves.
 
-    Returns (doc_id, n_units, n_kept, text_dedup).
+    Returns (doc_id, n_units, n_kept, text_dedup). NULL text passes
+    through as one empty (ineligible) unit — every input doc_id appears
+    in the output, with text_dedup = '' for NULL/empty inputs.
     """
+    text = F.coalesce(F.col(text_col), F.lit(""))
     if unit == "line":
-        units = F.split(F.col(text_col), "\n")
+        units = F.split(text, "\n")
         joiner = "\n"
     elif unit == "chunk":
         cw = chunk_words
-        words = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+        words = F.split(F.lower(F.trim(text)), WS_RE)
         n_units = ((F.size(words) + F.lit(cw - 1)) / F.lit(cw)).cast("int")
         units = F.transform(
             F.sequence(F.lit(0), n_units - 1),

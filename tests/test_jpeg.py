@@ -281,3 +281,33 @@ class TestUntrustedPayloadHardening:
         got = decode_png_pixels(payload)
         assert got is not None and got.shape == (4, 4, 1)
         assert np.all(got == 0)
+
+
+class TestNonInterleavedScan:
+    def test_multi_scan_baseline_tiers_out(self):
+        """ADVICE r4: a baseline JPEG whose SOS covers fewer components
+        than the frame declares (non-interleaved / multi-scan) must
+        return None — decoding only the first scan over the full MCU
+        grid would be silently wrong (zeroed chroma)."""
+        h = w = 16
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[..., 0] = 200
+        from hgraphstorage_spark.pipeline.jpeg import encode_jpeg_rgb
+
+        buf = encode_jpeg_rgb(px)
+        assert decode_jpeg_pixels(buf) is not None  # sanity: interleaved ok
+        i = buf.find(b"\xff\xda")
+        assert i > 0
+        seg_len = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+        # rewrite the SOS to declare ONLY the first (Y) component; the
+        # entropy stream is untouched — the guard fires before decode
+        patched = (
+            buf[:i]
+            + b"\xff\xda"
+            + struct.pack(">H", 8)
+            + bytes([1])
+            + buf[i + 5 : i + 7]
+            + b"\x00\x3f\x00"
+            + buf[i + 2 + seg_len :]
+        )
+        assert decode_jpeg_pixels(patched) is None

@@ -2160,3 +2160,53 @@ class TestLengthBucketedBatches:
             chunk = [l for _, l in by_id[b : b + 16]]
             naive_waste += sum(max(chunk) - l for l in chunk)
         assert sorted_waste < naive_waste / 4
+
+
+class TestAdviceR4Fixes:
+    def test_boilerplate_null_text_passes_through(self, spark):
+        """ADVICE r4: NULL-text docs must appear in the output (as one
+        empty ineligible unit), not silently vanish via posexplode."""
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+        rows = [(0, "alpha\nbeta"), (1, None), (2, "")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in boilerplate_dedup(docs, min_count=3).collect()}
+        assert set(got) == {0, 1, 2}
+        assert got[1]["text_dedup"] == ""
+        assert got[1]["n_units"] == 1 and got[1]["n_kept"] == 1
+        assert got[2]["text_dedup"] == ""
+        assert got[0]["text_dedup"] == "alpha\nbeta"
+
+    def test_resize_32bit_bmp_to_png_swaps_channels(self, spark):
+        """ADVICE r4: a 32-bit BMP (stored BGRA) re-encoded as PNG (RGBA)
+        must swap channel order — an external PNG consumer sees true red
+        where the source stored red."""
+        import struct as _s
+
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            decode_png_pixels,
+            resize_images,
+        )
+
+        w, h = 8, 6
+        rowdata = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            for x in range(w):
+                b_, g, r, a = (x * 10) % 256, (y * 10) % 256, 200, 255
+                rowdata += bytes([b_, g, r, a])
+        hdr = b"BM" + _s.pack("<IHHI", 54 + len(rowdata), 0, 0, 54)
+        info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(rowdata), 0, 0, 0, 0)
+        bmp32 = hdr + info + rowdata
+        media = spark.createDataFrame(
+            [(0, "image", bytearray(bmp32), ("bmp", w, h, None))], MEDIA_SCHEMA
+        )
+        out = resize_images(media, 64, 64, fake_decode=False).collect()[0]
+        assert out["resize_ok"] and (out["width"], out["height"]) == (w, h)
+        png = decode_png_pixels(out["payload"])
+        assert png.shape == (h, w, 4)
+        assert np.all(png[..., 0] == 200)                       # R plane
+        assert np.all(png[0, :, 2] == (np.arange(w) * 10) % 256)  # B plane
+        assert np.all(png[..., 3] == 255)

@@ -61,3 +61,32 @@ def test_incremental_near_dup_two_tracked_then_released(spark):
 def test_release_is_idempotent(spark):
     assert release_tracked() == 0
     assert release_tracked() == 0
+
+
+def test_registry_is_thread_scoped(spark):
+    """ADVICE r4: one thread's release must not unpersist intermediates a
+    sibling thread tracked — the registry is threading.local."""
+    import threading
+
+    from hgraphstorage_spark.pipeline.state import track
+
+    main_df = track(spark.range(10))
+    try:
+        assert tracked_count() == 1
+        worker_counts = {}
+
+        def worker():
+            track(spark.range(20))
+            worker_counts["before"] = tracked_count()
+            worker_counts["released"] = release_tracked()
+            worker_counts["after"] = tracked_count()
+
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        # the worker saw ONLY its own df, and its release left ours alone
+        assert worker_counts == {"before": 1, "released": 1, "after": 0}
+        assert tracked_count() == 1
+        assert main_df.storageLevel.useMemory  # still persisted
+    finally:
+        assert release_tracked() == 1
