@@ -853,18 +853,46 @@ def q_tpch_q2_like(spark, sf_dir):
 
 
 def q_ntile_deciles(spark, sf_dir):
-    """Window functions: users bucketed into spend deciles (ntile over a
-    deterministic total order), reporting each decile's size and spend
-    range — the distribution-bucketing surface (ANSI NTILE parity)."""
-    from pyspark.sql import Window
+    """Window functions: users bucketed into spend deciles (ANSI NTILE
+    parity), reporting each decile's size and spend range.
+
+    VERDICT r4 task 2: NTILE is not rank-limited, so Spark's
+    WindowGroupLimit rewrite never applies — a bare
+    ``ntile(10).over(Window.orderBy(...))`` funnels the WHOLE user
+    dimension through one WindowExec partition. Instead the global rank
+    comes from the distributed two-pass prefix-sum
+    (:func:`hgraphstorage_spark.pipeline.sampling._global_rank`: range
+    partition + local rank + broadcast offsets) and the decile is the
+    exact ANSI NTILE bucket computed from (rank, n): with q = n div 10,
+    r = n mod 10, the first r buckets take q+1 rows, the rest q — so the
+    result is bit-identical to the DuckDB ``ntile(10)`` oracle while the
+    plan's only single-partition exchange carries the ~one-row-per-
+    partition offset frame."""
+    from hgraphstorage_spark.pipeline.sampling import _global_rank
 
     ev = _t(spark, sf_dir, "events")
     spend = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value")
     )
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    ranked = _global_rank(
+        spend, [F.col("total_value").desc(), F.col("user_id").asc()], "_rk"
+    )
+    n_df = spend.agg(F.count(F.lit(1)).alias("_n"))
+    rk = F.col("_rk")
+    q = (F.col("_n") / 10).cast("long")
+    r = F.col("_n") % 10
+    # greatest(q,1): the otherwise-branch is only REACHED when q >= 1
+    # (rk > r*(q+1) is impossible at q=0 since r = n there), but guard
+    # the division so no evaluation order can divide by zero
+    qs = F.greatest(q, F.lit(1))
+    decile = (
+        F.when(rk <= r * (q + 1), F.lit(1) + ((rk - 1) / (q + 1)).cast("long"))
+        .otherwise(r + 1 + ((rk - 1 - r * (q + 1)) / qs).cast("long"))
+        .cast("int")
+    )
     return (
-        spend.withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(n_df))
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_users"),

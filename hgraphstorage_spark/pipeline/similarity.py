@@ -182,8 +182,11 @@ def embedding_near_dup_exact(
     candidates = _blocked_pair_candidates(prepped, threshold, blocks)
     va = prepped.select(F.col("vid").alias("vec_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a"))
     vb = prepped.select(F.col("vid").alias("vec_b"), F.col("v").alias("v_b"), F.col("nrm").alias("n_b"))
+    # no forced broadcast (VERDICT r4 task 3): candidate pairs scale with
+    # duplicate density — a copy-dense corpus blows a mandatory broadcast.
+    # AQE picks broadcast when the candidate set is actually small.
     return (
-        F.broadcast(candidates)
+        candidates
         .join(va, "vec_a")
         .join(vb, "vec_b")
         .select(

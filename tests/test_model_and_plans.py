@@ -444,3 +444,40 @@ class TestLatestOperatorPlans:
         # window/sort above the range exchange must not be SinglePartition
         data_branch = plan.split("BroadcastExchange")[0]
         assert "Exchange SinglePartition" not in data_branch
+
+    def test_ntile_deciles_no_data_singlepartition_window(self, spark):
+        """VERDICT r4 task 2: the decile bucketing must use the two-pass
+        distributed rank — no bare ntile() funneling the user dimension
+        through one WindowExec partition. The only single-partition
+        exchange allowed is the tiny offset/count frame feeding a
+        broadcast."""
+        import __spark_entry__ as entry_mod
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        plan = executed_plan(entry_mod.q_ntile_deciles(spark, "/root/testdata/sf0.001"))
+        assert "ntile" not in plan.lower()
+        assert "Exchange rangepartitioning" in plan
+        data_branch = plan.split("BroadcastExchange")[0]
+        assert "Exchange SinglePartition" not in data_branch
+
+    def test_embed_exact_candidate_join_is_aqe_decided_not_forced(self, spark):
+        """VERDICT r4 task 3: same contract as the LSH ops — the exact
+        all-pairs verify join must carry no mandatory broadcast hint.
+        Under autoBroadcastJoinThreshold=-1 a hint-free plan falls back to
+        SortMergeJoin; a hinted one would still BroadcastHashJoin."""
+        from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_exact
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = executed_plan(embedding_near_dup_exact(emb, threshold=0.3))
+            # the candidate-set verify joins (on vec_a / vec_b) must not be
+            # forced broadcasts; the bounded blocks^2 grid frames inside
+            # _blocked_pair_candidates may broadcast — they are tiny by
+            # construction, not data-sized
+            assert "BroadcastHashJoin [vec_" not in plan, plan
+            assert "SortMergeJoin [vec_a" in plan and "SortMergeJoin [vec_b" in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
