@@ -4435,11 +4435,12 @@ def oracle_sql() -> dict[str, str]:
           (SELECT count(*) FROM smp)::BIGINT AS n_sample_docs,
           (SELECT count(*) FROM truth)::BIGINT AS true_pairs,
           (SELECT count(*) FROM matched)::BIGINT AS found_pairs,
-          CAST(round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+          CAST(round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN NULL
                           ELSE (SELECT count(*) FROM matched)::DOUBLE
                                / (SELECT count(*) FROM truth) END, 6)
                AS DECIMAL(18,6))::VARCHAR AS recall,
-          CAST(round({_theo!r}::DOUBLE, 6) AS DECIMAL(18,6))::VARCHAR AS theoretical_recall
+          CAST(round({_theo!r}::DOUBLE, 6) AS DECIMAL(18,6))::VARCHAR AS theoretical_recall,
+          ((SELECT count(*) FROM truth) > 0) AS sample_ok
     """
     # pq_topk: full PQ replay — md5-sampled anchors, explicit left-assoc
     # L2 folds (matches Spark's aggregate() order), decimal ADC sums

@@ -385,6 +385,28 @@ def incremental_near_dup(
     )
 
 
+def _cap_doc_freq(sh: DataFrame, keys: list, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``
+    from an exploded (doc_id, [block,] shingle) index — the Broder-era
+    hot-shingle mitigation (VERDICT r4 task 4): one shingle shared by k
+    docs creates a k² candidate group, and a shingle that common is
+    boilerplate carrying no similarity signal. One count-agg (map-side
+    partial) + a semi-join on the SAME key the self-join shuffles on.
+
+    Callers keep per-doc set sizes from the UNCAPPED index, so capping
+    only shrinks intersection counts: every capped score <= its uncapped
+    score, hence capped output pairs ⊆ uncapped output pairs at any
+    threshold (the conservative direction — full precision, bounded
+    candidate fan-out)."""
+    hot = (
+        sh.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select(*keys)
+    )
+    return sh.join(hot, keys, "left_semi")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -392,9 +414,13 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold. Quadratic within a block —
-    use `block_col` (e.g. lang) or run on LSH candidates at scale.
+    use `block_col` (e.g. lang), run on LSH candidates at scale, and/or
+    cap hot shingles with ``max_doc_freq`` (see :func:`_cap_doc_freq`:
+    shingles in more than that many docs leave the candidate index, so
+    scores only shrink — capped pairs ⊆ uncapped pairs).
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
     # explode hashed shingles: the co-group join shuffles 8-byte keys, not
     # n-word strings
@@ -404,25 +430,21 @@ def ngram_jaccard_pairs(
     if block_col is not None:
         blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("_blk"))
         sh = sh.join(blocks, "doc_id")
-        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("_blk"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("_blk"), "shingle")
-        inter = (
-            a.join(b, ["_blk", "shingle"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        keys = ["_blk", "shingle"]
     else:
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("inter"))
-        )
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        keys = ["shingle"]
+    # sizes come from the UNCAPPED shingle sets (the cap shrinks only the
+    # numerator, keeping capped ⊆ uncapped)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    idx = sh if max_doc_freq is None else _cap_doc_freq(sh, keys, max_doc_freq)
+    a = idx.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = idx.select(F.col("doc_id").alias("doc_b"), *keys)
+    inter = (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     out = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
@@ -462,8 +484,12 @@ def lsh_recall_report(
     construction and recall is the one open number.
 
     One row: (n_sample_docs, true_pairs, found_pairs, recall,
-    theoretical_recall). Deterministic — sampling is the md5-bucket
-    family of ``hash_sample``, both pair sets are pure functions of the
+    theoretical_recall, sample_ok). When the sample holds ZERO true
+    pairs the measurement is vacuous — ``recall`` is NULL and
+    ``sample_ok`` false (VERDICT r4 task 9: an undersized sample must
+    not read as perfect recall; grow ``sample_fraction`` until
+    ``sample_ok``). Deterministic — sampling is the md5-bucket family
+    of ``hash_sample``, both pair sets are pure functions of the
     data."""
     from hgraphstorage_spark.pipeline.sampling import _bound_hex, _bucket
 
@@ -488,12 +514,13 @@ def lsh_recall_report(
         "found_pairs",
         F.round(
             F.when(F.col("true_pairs") > 0, F.col("found_pairs") / F.col("true_pairs"))
-            .otherwise(F.lit(1.0)),
+            .otherwise(F.lit(None).cast("double")),
             6,
         )
         .cast("decimal(18,6)")
         .alias("recall"),
         F.round(F.lit(theo), 6).cast("decimal(18,6)").alias("theoretical_recall"),
+        (F.col("true_pairs") > 0).alias("sample_ok"),
     )
 
 
@@ -504,6 +531,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_col: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle-set containment:
     ``containment(A in B) = |A ∩ B| / |A|`` — the signal Jaccard
@@ -520,8 +548,12 @@ def containment_pairs(
     shingles (8-byte keys), count shared shingles per co-occurring pair
     (map-side partial agg; pairs are bounded by real shingle
     collisions), join per-doc set sizes back. Quadratic only within a
-    shared-shingle group — block with ``block_col`` or run on LSH
-    candidates at crawl scale.
+    shared-shingle group — block with ``block_col``, run on LSH
+    candidates at crawl scale, and/or cap hot shingles with
+    ``max_doc_freq`` (see :func:`_cap_doc_freq`: a shingle shared by
+    more than that many docs leaves the candidate index before the
+    self-join; sizes stay uncapped, so scores only shrink and capped
+    pairs ⊆ uncapped pairs).
     """
     sh = shingle_hashes(docs, text_col, id_col, n).select(
         "doc_id", F.explode("sh").alias("shingle")
@@ -530,19 +562,18 @@ def containment_pairs(
         blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("_blk"))
         sh = sh.join(blocks, "doc_id")
         keys = ["_blk", "shingle"]
-        a = sh.select(F.col("doc_id").alias("doc_a"), "_blk", "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "_blk", "shingle")
     else:
         keys = ["shingle"]
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    idx = sh if max_doc_freq is None else _cap_doc_freq(sh, keys, max_doc_freq)
+    a = idx.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = idx.select(F.col("doc_id").alias("doc_b"), *keys)
     inter = (
         a.join(b, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     out = (
         inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")

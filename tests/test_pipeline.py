@@ -2210,3 +2210,52 @@ class TestAdviceR4Fixes:
         assert np.all(png[..., 0] == 200)                       # R plane
         assert np.all(png[0, :, 2] == (np.arange(w) * 10) % 256)  # B plane
         assert np.all(png[..., 3] == 255)
+
+
+class TestHotShingleCap:
+    def test_copy_dense_corpus_bounded_candidates(self, spark):
+        """VERDICT r4 task 4: on a corpus where one boilerplate sentence
+        spans every document, the uncapped inverted index pairs all
+        C(n,2) docs; max_doc_freq drops the boilerplate shingles before
+        the self-join, so the candidate fan-out collapses."""
+        from hgraphstorage_spark.pipeline.dedup import containment_pairs, ngram_jaccard_pairs
+
+        n_docs = 40
+        common = "the quick brown fox jumps over the lazy dog"
+        rows = [(i, f"{common} unique{i} alpha{i} beta{i} gamma{i}") for i in range(n_docs)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        uncapped = ngram_jaccard_pairs(docs, n=3, threshold=0.01).count()
+        assert uncapped == n_docs * (n_docs - 1) // 2  # all-pairs blowup
+        capped = ngram_jaccard_pairs(docs, n=3, threshold=0.01, max_doc_freq=5).count()
+        assert capped == 0  # boilerplate shingles carry no signal
+        assert containment_pairs(docs, n=3, threshold=0.01, max_doc_freq=5).count() == 0
+
+    def test_cap_keeps_true_near_dups(self, spark):
+        """Genuine near-duplicate pairs (shared content in FEW docs)
+        survive the cap untouched."""
+        from hgraphstorage_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta"),
+            (2, "totally different words here now then"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(docs, n=2, threshold=0.5, max_doc_freq=10).collect()
+        }
+        assert got == {(0, 1)}
+
+
+def test_lsh_recall_report_zero_true_pairs_honest(spark):
+    """VERDICT r4 task 9: a sample with no true pairs yields recall NULL
+    and sample_ok=false — never a fake 'perfect recall' 1.0."""
+    from hgraphstorage_spark.pipeline.dedup import lsh_recall_report
+
+    rows = [(i, f"completely distinct document number {i} about topic{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = lsh_recall_report(docs, threshold=0.9, sample_fraction=1.0).collect()[0]
+    assert r["true_pairs"] == 0
+    assert r["recall"] is None
+    assert r["sample_ok"] is False

@@ -544,3 +544,35 @@ def test_containment_pairs_match_bruteforce(spark, texts):
             if max(ca, cb) >= T:
                 want[(i, j)] = (ca, cb)
     assert got == want, (texts, got, want)
+
+
+# --- hot-shingle cap law: capped output ⊆ uncapped output -------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=cont_corpora, cap=st.integers(1, 4))
+def test_max_doc_freq_capped_subset_of_uncapped(spark, texts, cap):
+    """VERDICT r4 task 4: dropping hot shingles from the candidate index
+    (sizes stay uncapped) can only SHRINK intersection counts, so for any
+    cap and threshold the capped pair set is a subset of the uncapped one
+    and every surviving score is <= its uncapped score."""
+    from hgraphstorage_spark.pipeline.dedup import containment_pairs, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for fn, score_col, kw in (
+        (ngram_jaccard_pairs, "jaccard", dict(n=2, threshold=0.25)),
+        (containment_pairs, "containment_a", dict(n=2, threshold=0.4)),
+    ):
+        capped = {
+            (r["doc_a"], r["doc_b"]): float(r[score_col])
+            for r in fn(docs, max_doc_freq=cap, **kw).collect()
+        }
+        uncapped = {
+            (r["doc_a"], r["doc_b"]): float(r[score_col])
+            for r in fn(docs, **kw).collect()
+        }
+        assert set(capped) <= set(uncapped), (fn.__name__, capped, uncapped)
+        for pair, s in capped.items():
+            assert s <= uncapped[pair] + 1e-9, (fn.__name__, pair)
