@@ -2248,26 +2248,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "link_prediction": q_link_prediction,
         "harmonic_centrality": q_harmonic_centrality,
-        # -- SURVEY §2 reference-surface core (13-31) --
-        "scan_nodes_by_label": q_scan_nodes_by_label,
+        # -- SURVEY §2 reference-surface core + r4/r5 rotation (13-31) --
+        # r5 window refresh (VERDICT r4 task 1): scan_nodes_by_label /
+        # filter_relations / list_properties / traversal_in /
+        # traversal_oute_props / edges_to_nodes / index_prefix — all
+        # trivially stable since r1 — rotate past the window (still
+        # oracle-compared every pytest run); their slots carry the seven
+        # r4 operators the driver has never hashed: Broder containment,
+        # Efraimidis-Spirakis weighted sampling, the LSH recall
+        # pre-flight, unicode-script routing stats, epoch shuffle,
+        # length-bucketed batching, and IVF-PQ ANN
         "filter_objects_has": q_filter_objects_has,
-        "filter_relations": q_filter_relations,
-        # r4 window refresh (VERDICT r3 task 8): get_object / nb_counts /
-        # prop_names — trivially stable since r1 — rotate past the window
-        # (still oracle-compared in pytest); their slots carry operators
-        # the driver has never hashed: the asymmetric refresh-crawl LSH,
-        # SQ8 quantized ANN, and layered-Brandes betweenness
         "incremental_near_dup": q_incremental_near_dup,
         "sq_topk": q_sq_topk,
-        "list_properties": q_list_properties,
+        "containment_pairs": q_containment_pairs,
+        "weighted_sample": q_weighted_sample,
+        "lsh_recall_report": q_lsh_recall_report,
+        "script_stats": q_script_stats,
+        "epoch_shuffle": q_epoch_shuffle,
+        "length_batches": q_length_batches,
+        "ivfpq_topk": q_ivfpq_topk,
         "traversal_out_values": q_traversal_out_values,
-        "traversal_in": q_traversal_in,
         # traversal_both overlaps traversal_in/out (bag-union semantics
         # stay pinned in pytest); its slot carries the r4 boilerplate
         # removal operator so the driver hashes it directly
         "boilerplate_dedup": q_boilerplate_dedup,
-        "traversal_oute_props": q_traversal_oute_props,
-        "edges_to_nodes": q_edges_to_nodes,
         "multi_hop": q_multi_hop,
         "query_step": q_query_step,
         "betweenness": q_betweenness,
@@ -2275,7 +2280,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # index_lookup is subsumed by index_build + index_prefix coverage
         # (and stays pytest-oracled); its slot carries the r4 PQ ANN
         "pq_topk": q_pq_topk,
-        "index_prefix": q_index_prefix,
         "mutation_cascade": q_mutation_cascade,
         "snapshot_time_travel": q_snapshot_time_travel,
         # -- bulk ingest + compressed graph analytics (32-33) --
@@ -2385,19 +2389,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
         "event_transitions": q_event_transitions,
-        "containment_pairs": q_containment_pairs,
-        "weighted_sample": q_weighted_sample,
-        "lsh_recall_report": q_lsh_recall_report,
-        "script_stats": q_script_stats,
-        "epoch_shuffle": q_epoch_shuffle,
-        "length_batches": q_length_batches,
-        "ivfpq_topk": q_ivfpq_topk,
-        # r4: rotated out of the window (stable since r1; still oracled)
+        # r4/r5: rotated out of the window (stable since r1; still
+        # value-compared against their oracles every pytest run)
         "traversal_both": q_traversal_both,
         "index_lookup": q_index_lookup,
         "get_object": q_get_object,
         "nb_counts": q_nb_counts,
         "prop_names": q_prop_names,
+        "scan_nodes_by_label": q_scan_nodes_by_label,
+        "filter_relations": q_filter_relations,
+        "list_properties": q_list_properties,
+        "traversal_in": q_traversal_in,
+        "traversal_oute_props": q_traversal_oute_props,
+        "edges_to_nodes": q_edges_to_nodes,
+        "index_prefix": q_index_prefix,
     }
 
 

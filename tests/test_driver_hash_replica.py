@@ -91,6 +91,10 @@ def test_window_covers_required_operators():
         # r4 rotation: operators the driver had never hashed before
         "incremental_near_dup", "sq_topk", "betweenness", "exact_substring",
         "boilerplate_dedup", "pq_topk",
+        # r5 rotation (VERDICT r4 task 1): the seven r4 operators past
+        # the r4 window, now under the driver hash for the first time
+        "containment_pairs", "weighted_sample", "lsh_recall_report",
+        "script_stats", "epoch_shuffle", "length_batches", "ivfpq_topk",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
