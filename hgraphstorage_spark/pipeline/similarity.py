@@ -717,96 +717,134 @@ def embedding_stats(
     )
 
 
-def pq_topk(
+def _pq_l2sq(a, b):
+    """Squared-L2 as a LEFT FOLD in array order — fixed IEEE summation
+    sequence, so every engine replays the same float bits."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_subvectors(frame, m: int, vec: str, keys: list[str]):
+    """Explode ``frame[vec]`` into ``m`` contiguous subvectors:
+    (*keys, j, sub). dsub = floor(d / m); trailing dims beyond m*dsub are
+    ignored (standard PQ convention for non-divisible d)."""
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    dsub = F.floor(F.size(vec) / m).cast("int")
+    return frame.select(
+        *keys, F.explode(subspaces).alias("j"), F.col(vec).alias("_v"), dsub.alias("_d")
+    ).select(*keys, "j", F.slice("_v", F.col("j") * F.col("_d") + 1, F.col("_d")).alias("sub"))
+
+
+def _pq_default_codebook(frame, m: int, ksub: int, vec: str, salt: str):
+    """Deterministic sampled-anchor codebook: per subspace, the
+    subvectors of the ``ksub`` rows with smallest (md5(vid||salt), vid) —
+    the standard k-means init with zero Lloyd rounds, a pure function of
+    the data. Returns (j, c, cw)."""
+    from pyspark.sql import Window
+
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    w = Window.orderBy("_h", "vid")  # ksub rows: single tiny partition
+    anchors = (
+        frame.withColumn("_h", md5_long(F.col("vid"), F.lit(salt)))
+        .orderBy("_h", "vid")
+        .limit(ksub)
+        .withColumn("c", F.row_number().over(w) - 1)
+    )
+    return _pq_subvectors(anchors, m, vec, ["c"]).select(
+        "j", "c", F.col("sub").alias("cw")
+    )
+
+
+def _normalize_codebook(codebook: DataFrame) -> DataFrame:
+    """Accept a user/trained codebook (j, c, cw) with any numeric array
+    element type; canonicalize to the DOUBLE arrays the ADC fold expects."""
+    return codebook.select(
+        F.col("j").cast("int").alias("j"),
+        F.col("c").cast("int").alias("c"),
+        F.transform(F.col("cw"), lambda x: x.cast("double")).alias("cw"),
+    )
+
+
+def pq_build(
     emb: DataFrame,
-    query_id: int,
-    k: int = 10,
     m: int = 8,
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_salt: str = "pqseed",
-) -> DataFrame:
-    """Product-quantization approximate top-k (Jégou et al. 2011, the
-    FAISS "PQ" scan path): split d dims into ``m`` subspaces, quantize
-    each subvector to its nearest of ``ksub`` codewords, search with
-    asymmetric distance computation (ADC) — the query stays exact, every
-    database vector costs ``m`` one-byte table lookups.
+    codebook: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """PQ build phase (VERDICT r4 tasks 5+7): returns ``(codebook,
+    codes)`` — codebook (j, c, cw ARRAY<DOUBLE>), codes (vid, j, code),
+    i.e. ``m`` sub-byte codes per vector, the 32x scan-byte cut.
 
-    Why it matters at 100 TB: SQ8 cuts scan bytes 4x; PQ with m=8,
-    ksub<=256 stores 8 BYTES per 64-dim float32 vector — a 32x cut, the
-    difference between scanning embeddings from disk and scanning them
-    from page cache.
+    Persist ``codes``+``codebook`` (write to parquet / register as an
+    engine index) and repeated queries amortize the corpus-wide encode:
+    :func:`pq_query` reads ONLY the codes table plus one query row — no
+    re-encode on the second query.
 
-    Codebooks are DETERMINISTIC sampled anchors: per subspace, the
-    subvectors of the ``ksub`` vectors with smallest
-    (md5(id||salt), id) — the standard k-means init, with zero Lloyd
-    rounds so the whole operator is a pure function of the data (run
-    ``kmeans_iterations`` per subspace offline for tighter cells; the
-    scan shape is identical). Distances fold left-to-right per
-    subvector (fixed IEEE order); ADC cell distances round to 6
-    decimals and sum as DECIMAL — exact, order-independent addition, so
-    the ranking is engine-portable and the DuckDB oracle replays it
-    bit-for-bit.
+    ``codebook`` accepts a TRAINED codebook (j, c, cw) — e.g. from
+    :func:`pq_train_codebook` — the first accuracy knob a real ANN
+    deployment turns; default is the deterministic sampled-anchor
+    codebook (zero training rounds, DuckDB-replayable).
 
-    Plan shape: anchors = one k-row TakeOrdered; codebook (m*ksub rows)
-    broadcast-joins the exploded subvector stream; encode aggregates
-    min(struct(dist, c)) with map-side partials; ADC is a second
-    broadcast join + exact decimal sum; final top-k is
-    TakeOrderedAndProject. No shuffle ever carries a float vector wider
-    than one subspace.
-
-    Returns (vec_id, adc_dist DECIMAL(18,6)): the k nearest by ADC
-    squared-L2, query excluded, ties on vec_id.
+    Plan shape: codebook (m*ksub rows) broadcast-joins the exploded
+    subvector stream; encode aggregates min(struct(dist, c)) with
+    map-side partials. No shuffle carries a float vector wider than one
+    subspace.
     """
-    from hgraphstorage_spark.pipeline.dedup import md5_long
-
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    # deterministic anchor sample: ksub smallest (md5(id||salt), id)
-    anchors = (
-        base.withColumn("_h", md5_long(F.col("vid"), F.lit(seed_salt)))
-        .orderBy("_h", "vid")
-        .limit(ksub)
+    cb = (
+        _pq_default_codebook(base, m, ksub, "v", seed_salt)
+        if codebook is None
+        else _normalize_codebook(codebook)
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("_h", "vid")  # ksub rows: single tiny partition
-    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
-    dsub = F.floor(F.size("v") / m).cast("int")
-    codebook = (
-        anchors.withColumn("c", F.row_number().over(w) - 1)
-        .select("c", F.explode(subspaces).alias("j"), "v", dsub.alias("_d"))
-        .select("j", "c", F.slice("v", F.col("j") * F.col("_d") + 1, F.col("_d")).alias("cw"))
-    )
-    subs = base.select(
-        "vid", F.explode(subspaces).alias("j"), "v", dsub.alias("_d")
-    ).select("vid", "j", F.slice("v", F.col("j") * F.col("_d") + 1, F.col("_d")).alias("sub"))
-
-    def l2sq(a, b):
-        # left fold in array order: fixed IEEE summation sequence
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
+    subs = _pq_subvectors(base, m, "v", ["vid"])
     codes = (
-        subs.join(F.broadcast(codebook), "j")
+        subs.join(F.broadcast(cb), "j")
         .groupBy("vid", "j")
-        .agg(F.min(F.struct(l2sq(F.col("sub"), F.col("cw")).alias("d"), F.col("c"))).alias("mc"))
+        .agg(F.min(F.struct(_pq_l2sq(F.col("sub"), F.col("cw")).alias("d"), F.col("c"))).alias("mc"))
         .select("vid", "j", F.col("mc.c").alias("code"))
     )
-    qsubs = subs.filter(F.col("vid") == query_id).select("j", F.col("sub").alias("qsub"))
-    lut = (
-        qsubs.join(codebook, "j")
-        .select(
-            F.col("j").alias("lj"),
-            F.col("c").alias("lc"),
-            F.round(l2sq(F.col("qsub"), F.col("cw")), 6).cast("decimal(18,6)").alias("cell"),
-        )
+    return cb, codes
+
+
+def pq_query(
+    emb: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ query phase: asymmetric distance computation against a
+    prebuilt ``codes`` table (from :func:`pq_build`, possibly read back
+    from parquet / the index registry). The query vector is the ONE row
+    of ``emb`` with ``query_id`` (predicate-pushed scan); the corpus is
+    touched only through its 8-byte codes — this is what makes repeated
+    queries cheap at 100 TB.
+
+    Returns (vec_id, adc_dist DECIMAL(18,6)): k nearest by ADC squared
+    L2, query excluded, ties on vec_id; decimal cell rounding keeps the
+    ranking engine-portable (same contract as :func:`pq_topk`)."""
+    qbase = emb.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    qsubs = _pq_subvectors(qbase, m, "v", ["vid"]).select("j", F.col("sub").alias("qsub"))
+    lut = qsubs.join(codebook, "j").select(
+        F.col("j").alias("lj"),
+        F.col("c").alias("lc"),
+        F.round(_pq_l2sq(F.col("qsub"), F.col("cw")), 6).cast("decimal(18,6)").alias("cell"),
     )
     adc = (
         codes.filter(F.col("vid") != query_id)
@@ -821,71 +859,208 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def pq_topk(
     emb: DataFrame,
     query_id: int,
     k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_salt: str = "pqseed",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (Jégou et al. 2011, the
+    FAISS "PQ" scan path): split d dims into ``m`` subspaces, quantize
+    each subvector to its nearest of ``ksub`` codewords, search with
+    asymmetric distance computation (ADC) — the query stays exact, every
+    database vector costs ``m`` one-byte table lookups.
+
+    Why it matters at 100 TB: SQ8 cuts scan bytes 4x; PQ with m=8,
+    ksub<=256 stores 8 BYTES per 64-dim float32 vector — a 32x cut, the
+    difference between scanning embeddings from disk and scanning them
+    from page cache.
+
+    One-shot composition of :func:`pq_build` + :func:`pq_query` — a
+    deployment that issues many queries builds once, persists the codes
+    table, and calls :func:`pq_query` per query (no re-encode).
+
+    Codebooks default to DETERMINISTIC sampled anchors (zero Lloyd
+    rounds — the whole operator is a pure function of the data, and the
+    DuckDB oracle replays it bit-for-bit); pass ``codebook`` (e.g. from
+    :func:`pq_train_codebook`) for trained cells — the scan shape is
+    identical. Distances fold left-to-right per subvector (fixed IEEE
+    order); ADC cell distances round to 6 decimals and sum as DECIMAL —
+    exact, order-independent addition, so the ranking is
+    engine-portable.
+
+    Plan shape: anchors = one k-row TakeOrdered; codebook (m*ksub rows)
+    broadcast-joins the exploded subvector stream; encode aggregates
+    min(struct(dist, c)) with map-side partials; ADC is a second
+    broadcast join + exact decimal sum; final top-k is
+    TakeOrderedAndProject. No shuffle ever carries a float vector wider
+    than one subspace.
+
+    Returns (vec_id, adc_dist DECIMAL(18,6)): the k nearest by ADC
+    squared-L2, query excluded, ties on vec_id.
+    """
+    cb, codes = pq_build(emb, m, ksub, id_col, vec_col, seed_salt, codebook)
+    return pq_query(emb, cb, codes, query_id, k, m, id_col, vec_col)
+
+
+def pq_train_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_salt: str = "pqseed",
+) -> DataFrame:
+    """Per-subspace Lloyd k-means codebook training — the offline step
+    that turns :func:`pq_topk`'s sampled anchors into trained cells.
+    Init = the deterministic sampled-anchor codebook (so iterations=0
+    reproduces the default exactly), then per round: assign every
+    subvector to its nearest codeword (broadcast codebook, map-side
+    partial argmin) and recenter each codeword to the element-wise mean
+    of its members (keyed by (j, c, dim) — the same fine-grained
+    skew-free aggregation as ``label_centroids``). A codeword that loses
+    all members disappears (standard Lloyd degeneracy; surviving codes
+    keep their ids, which is all ADC needs). Returns (j, c, cw) — feed
+    into ``pq_build``/``pq_topk`` via their ``codebook`` argument.
+
+    Scale shape per round: one pass over the exploded subvectors against
+    a broadcast m*ksub-row codebook; the update shuffle carries
+    (j, c, pos) keys — m*ksub*dsub rows per map partition after partial
+    aggregation, independent of corpus size."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    subs = _pq_subvectors(base, m, "v", ["vid"])
+    cb = _pq_default_codebook(base, m, ksub, "v", seed_salt)
+    for _ in range(iterations):
+        assigned = (
+            subs.join(F.broadcast(cb), "j")
+            .groupBy("vid", "j")
+            .agg(F.min(F.struct(_pq_l2sq(F.col("sub"), F.col("cw")).alias("d"), F.col("c"))).alias("mc"))
+            .select("vid", "j", F.col("mc.c").alias("c"))
+        )
+        cb = (
+            subs.join(assigned, ["vid", "j"])
+            .select("j", "c", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("j", "c", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("j", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+                ).alias("cw")
+            )
+        )
+    return cb
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
     nlist: int = 8,
-    nprobe: int = 2,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_salt: str = "ivfseed",
+) -> DataFrame:
+    """Lloyd k-means (squared-L2) coarse-centroid training for
+    :func:`ivfpq_topk`'s ``centroids`` argument. Init = the nlist
+    md5-smallest vectors (iterations=0 reproduces the default routing
+    exactly); per round, assign against broadcast centroids and recenter
+    to the element-wise member mean keyed by (cidx, dim). Returns
+    (cidx, cvec)."""
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    from pyspark.sql import Window
+
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    w = Window.orderBy("_h", "vid")
+    cents = (
+        base.withColumn("_h", md5_long(F.col("vid"), F.lit(coarse_salt)))
+        .orderBy("_h", "vid")
+        .limit(nlist)
+        .withColumn("cidx", F.row_number().over(w) - 1)
+        .select("cidx", F.col("v").alias("cvec"))
+    )
+    for _ in range(iterations):
+        asg = (
+            base.crossJoin(F.broadcast(cents))
+            .select("vid", "v", _pq_l2sq(F.col("v"), F.col("cvec")).alias("d"), "cidx")
+            .groupBy("vid")
+            .agg(F.min(F.struct("d", "cidx")).alias("mc"), F.first("v").alias("v"))
+            .select("vid", F.col("mc.cidx").alias("cidx"), "v")
+        )
+        cents = (
+            asg.select("cidx", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cidx", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cidx")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
+def ivfpq_build(
+    emb: DataFrame,
+    nlist: int = 8,
     m: int = 8,
     ksub: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     coarse_salt: str = "ivfseed",
     pq_salt: str = "pqseed",
-) -> DataFrame:
-    """IVF-PQ composite ANN (Jégou et al. 2011, the FAISS billion-scale
-    default): a coarse quantizer routes every vector to one of ``nlist``
-    inverted lists, vectors are PQ-encoded on their RESIDUAL to the list
-    centroid, and a query probes only its ``nprobe`` nearest lists with
-    an ADC table per probed list.
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ build phase: returns ``(centroids, codebook, codes)`` —
+    centroids (cidx, cvec) route vectors to inverted lists, the PQ
+    codebook (j, c, cw) quantizes RESIDUALS to the list centroid, codes
+    (vid, list_id, j, code) is the persisted index state (8 B/vector +
+    a 4-byte list id).
 
-    Why the composition matters at 100 TB: IVF alone cuts the scanned
-    ROWS nlist/nprobe-fold; PQ alone cuts the scanned BYTES 32-fold;
-    together a query touches (nprobe/nlist) x (8 bytes / 256 bytes) of
-    the corpus — 2-3 orders of magnitude less I/O than a flat scan.
-    Residual encoding (not raw-vector PQ) keeps the codebook's dynamic
-    range centered per list — the accuracy trick the paper established.
-
-    Determinism contract mirrors :func:`pq_topk`: coarse centroids are
-    the ``nlist`` md5-smallest vectors, PQ codewords the ``ksub``
-    md5-smallest residuals (zero training rounds — run k-means offline
-    for tighter cells; scan shape is identical), every L2 folds
-    left-to-right, ADC cells round to 6 decimals and sum as DECIMAL, so
-    the whole operator replays in SQL exactly.
-
-    Returns (vec_id, list_id, adc_dist DECIMAL(18,6)): top-k among the
-    probed lists, query excluded, ties on vec_id.
-    """
-    from pyspark.sql import Window
-
-    from hgraphstorage_spark.pipeline.dedup import md5_long
-
+    ``centroids`` (e.g. :func:`ivf_train_centroids`) and ``codebook``
+    (e.g. :func:`pq_train_codebook` over residuals) accept trained
+    inputs; defaults are the deterministic md5-sampled anchors. Persist
+    the three frames and :func:`ivfpq_query` never re-encodes the
+    corpus."""
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
+    if centroids is None:
+        from pyspark.sql import Window
 
-    def l2sq(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
+        from hgraphstorage_spark.pipeline.dedup import md5_long
+
+        wc = Window.orderBy("_h", "vid")
+        cents = (
+            base.withColumn("_h", md5_long(F.col("vid"), F.lit(coarse_salt)))
+            .orderBy("_h", "vid")
+            .limit(nlist)
+            .withColumn("cidx", F.row_number().over(wc) - 1)
+            .select("cidx", F.col("v").alias("cvec"))
         )
-
-    # coarse centroids: nlist md5-smallest vectors, indexed 0..nlist-1
-    wc = Window.orderBy("_h", "vid")
-    cents = (
-        base.withColumn("_h", md5_long(F.col("vid"), F.lit(coarse_salt)))
-        .orderBy("_h", "vid")
-        .limit(nlist)
-        .withColumn("cidx", F.row_number().over(wc) - 1)
-        .select("cidx", F.col("v").alias("cvec"))
-    )
-    # assign: argmin L2 to the broadcast centroids, tie to smallest index
+    else:
+        cents = centroids.select(
+            F.col("cidx").cast("int").alias("cidx"),
+            F.transform(F.col("cvec"), lambda x: x.cast("double")).alias("cvec"),
+        )
     asg = (
         base.crossJoin(F.broadcast(cents))
-        .select("vid", l2sq(F.col("v"), F.col("cvec")).alias("d"), "cidx")
+        .select("vid", _pq_l2sq(F.col("v"), F.col("cvec")).alias("d"), "cidx")
         .groupBy("vid")
         .agg(F.min(F.struct("d", "cidx")).alias("mc"))
         .select("vid", F.col("mc.cidx").alias("list_id"))
@@ -899,36 +1074,45 @@ def ivfpq_topk(
             "vid", "list_id", F.zip_with("v", "cvec", lambda x, y: x - y).alias("r")
         )
     )
-    # PQ codebook on residuals of the ksub md5-smallest vectors
-    wp = Window.orderBy("_h", "vid")
-    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
-    dsub = F.floor(F.size("r") / m).cast("int")
-    anchors = (
-        withres.withColumn("_h", md5_long(F.col("vid"), F.lit(pq_salt)))
-        .orderBy("_h", "vid")
-        .limit(ksub)
-        .withColumn("c", F.row_number().over(wp) - 1)
+    cb = (
+        _pq_default_codebook(withres, m, ksub, "r", pq_salt)
+        if codebook is None
+        else _normalize_codebook(codebook)
     )
-    cb = anchors.select(
-        "c", F.explode(subspaces).alias("j"), "r", dsub.alias("_d")
-    ).select("j", "c", F.slice("r", F.col("j") * F.col("_d") + 1, F.col("_d")).alias("cw"))
-    subs = withres.select(
-        "vid", "list_id", F.explode(subspaces).alias("j"), "r", dsub.alias("_d")
-    ).select(
-        "vid", "list_id", "j",
-        F.slice("r", F.col("j") * F.col("_d") + 1, F.col("_d")).alias("sub"),
-    )
+    subs = _pq_subvectors(withres, m, "r", ["vid", "list_id"])
     codes = (
         subs.join(F.broadcast(cb), "j")
         .groupBy("vid", "list_id", "j")
-        .agg(F.min(F.struct(l2sq(F.col("sub"), F.col("cw")).alias("d"), F.col("c"))).alias("mc"))
+        .agg(F.min(F.struct(_pq_l2sq(F.col("sub"), F.col("cw")).alias("d"), F.col("c"))).alias("mc"))
         .select("vid", "list_id", "j", F.col("mc.c").alias("code"))
     )
-    # query side: nprobe nearest lists, one residual + LUT per probed list
-    q = base.filter(F.col("vid") == query_id).select(F.col("v").alias("qv"))
+    return cents, cb, codes
+
+
+def ivfpq_query(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ query phase against prebuilt index frames (from
+    :func:`ivfpq_build`, possibly read back from parquet): probe the
+    ``nprobe`` nearest lists, build one residual ADC table per probed
+    list, scan only those lists' codes. The corpus enters the plan ONLY
+    through ``codes`` — the probed-list inner join is the row pruning,
+    the 8-byte codes are the byte pruning."""
+    q = emb.filter(F.col(id_col) == query_id).select(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv")
+    )
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("cidx", "cvec", l2sq(F.col("qv"), F.col("cvec")).alias("d"), "qv")
+        q.crossJoin(F.broadcast(centroids))
+        .select("cidx", "cvec", _pq_l2sq(F.col("qv"), F.col("cvec")).alias("d"), "qv")
         .orderBy("d", "cidx")
         .limit(nprobe)
     )
@@ -936,6 +1120,7 @@ def ivfpq_topk(
         F.col("cidx").alias("list_id"),
         F.zip_with("qv", "cvec", lambda x, y: x - y).alias("rq"),
     )
+    subspaces = F.sequence(F.lit(0), F.lit(m - 1))
     lut = (
         qres.select(
             "list_id",
@@ -947,15 +1132,14 @@ def ivfpq_topk(
             "list_id", "j",
             F.slice("rq", F.col("j") * F.col("_d") + 1, F.col("_d")).alias("qsub"),
         )
-        .join(F.broadcast(cb), "j")
+        .join(F.broadcast(codebook), "j")
         .select(
             F.col("list_id").alias("ll"),
             F.col("j").alias("lj"),
             F.col("c").alias("lc"),
-            F.round(l2sq(F.col("qsub"), F.col("cw")), 6).cast("decimal(18,6)").alias("cell"),
+            F.round(_pq_l2sq(F.col("qsub"), F.col("cw")), 6).cast("decimal(18,6)").alias("cell"),
         )
     )
-    # ADC over probed lists only (the inner join IS the list pruning)
     adc = (
         codes.filter(F.col("vid") != query_id)
         .join(
@@ -974,6 +1158,52 @@ def ivfpq_topk(
         .orderBy("adc_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_salt: str = "ivfseed",
+    pq_salt: str = "pqseed",
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ composite ANN (Jégou et al. 2011, the FAISS billion-scale
+    default): a coarse quantizer routes every vector to one of ``nlist``
+    inverted lists, vectors are PQ-encoded on their RESIDUAL to the list
+    centroid, and a query probes only its ``nprobe`` nearest lists with
+    an ADC table per probed list.
+
+    Why the composition matters at 100 TB: IVF alone cuts the scanned
+    ROWS nlist/nprobe-fold; PQ alone cuts the scanned BYTES 32-fold;
+    together a query touches (nprobe/nlist) x (8 bytes / 256 bytes) of
+    the corpus — 2-3 orders of magnitude less I/O than a flat scan.
+    Residual encoding (not raw-vector PQ) keeps the codebook's dynamic
+    range centered per list — the accuracy trick the paper established.
+
+    One-shot composition of :func:`ivfpq_build` + :func:`ivfpq_query`;
+    a deployment builds once, persists (centroids, codebook, codes), and
+    issues queries against the stored index. ``centroids``/``codebook``
+    accept trained frames (:func:`ivf_train_centroids`,
+    :func:`pq_train_codebook`); the defaults stay the deterministic
+    md5-sampled anchors, every L2 folds left-to-right, ADC cells round
+    to 6 decimals and sum as DECIMAL, so the default operator replays in
+    SQL exactly.
+
+    Returns (vec_id, list_id, adc_dist DECIMAL(18,6)): top-k among the
+    probed lists, query excluded, ties on vec_id.
+    """
+    cents, cb, codes = ivfpq_build(
+        emb, nlist, m, ksub, id_col, vec_col, coarse_salt, pq_salt, centroids, codebook
+    )
+    return ivfpq_query(emb, cents, cb, codes, query_id, k, nprobe, m, id_col, vec_col)
 
 
 def sq_topk(
