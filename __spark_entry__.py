@@ -1999,6 +1999,44 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR (Xie et al. 2023) importance weights: every document scored
+    by log p_target/p_raw over hashed word uni+bigram features, target =
+    the src0 sub-corpus — the pretraining data-selection signal.
+    Bucket hashes are the md5 family; per-bucket log-ratios round to 6
+    decimals before an exact DECIMAL per-doc sum, so DuckDB replays the
+    weights bit-for-bit."""
+    from hgraphstorage_spark.pipeline.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return _canon(dsir_weights(docs, target, n_buckets=512), "log_weight")
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR selection: Gumbel-top-50 resampling without replacement over
+    the importance weights (sampling ∝ exp(log_weight) via the
+    Gumbel-max trick, noise derived from md5(id) — fully deterministic,
+    plans as TakeOrderedAndProject)."""
+    from hgraphstorage_spark.pipeline.sampling import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return _canon(
+        dsir_sample(docs, target, k=50, n_buckets=512), "log_weight", "gumbel_key"
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training step: the top-20 BPE merge candidates
+    (Sennrich 2016) — corpus-frequency-weighted adjacent symbol-pair
+    counts over the char+</w> vocabulary. The corpus is scanned once
+    (word histogram); pair statistics run on the vocabulary only."""
+    from hgraphstorage_spark.pipeline.text import bpe_merge_counts
+
+    return bpe_merge_counts(_t(spark, sf_dir, "documents"), top_k=20)
+
+
 def q_lsh_recall_report(spark, sf_dir):
     """LSH parameter validation: measured banded-LSH recall vs exact
     ground truth on a deterministic half-sample, beside the theoretical
@@ -2389,6 +2427,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
         "event_transitions": q_event_transitions,
+        # r5 additions (past the window; full DuckDB oracles in pytest)
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
+        "bpe_merges": q_bpe_merges,
         # r4/r5: rotated out of the window (stable since r1; still
         # value-compared against their oracles every pytest run)
         "traversal_both": q_traversal_both,
@@ -4629,5 +4671,84 @@ def oracle_sql() -> dict[str, str]:
                      1.0 / n_chars::DOUBLE) AS k
           FROM documents WHERE n_chars > 0
         ) ORDER BY k DESC, doc_id LIMIT 50
+    """
+    # DSIR: hashed uni+bigram bucket models, 6-decimal log-ratios summed
+    # as exact DECIMAL per doc — the full replay of dsir_weights
+    _dsir_grams = r"""
+          SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(list_concat(words,
+              CASE WHEN len(words) >= 2
+                   THEN list_transform(generate_series(1, len(words) - 1),
+                                       i -> words[i] || ' ' || words[i + 1])
+                   ELSE [] END)) AS g
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+                  FROM documents {pred})
+          ) WHERE len(g) > 0
+    """
+    _dsir_core = rf"""
+        WITH rawb AS (
+          SELECT doc_id, ('0x' || substr(md5(g || ':dsir'), 1, 15))::BIGINT % 512 AS b
+          FROM ({_dsir_grams.format(pred="")})
+        ),
+        tgtb AS (
+          SELECT doc_id, ('0x' || substr(md5(g || ':dsir'), 1, 15))::BIGINT % 512 AS b
+          FROM ({_dsir_grams.format(pred="WHERE source = 'src0'")})
+        ),
+        cr AS (SELECT b, count(*) AS n FROM rawb GROUP BY b),
+        ct AS (SELECT b, count(*) AS n FROM tgtb GROUP BY b),
+        tot AS (SELECT (SELECT count(*) FROM rawb) AS tr, (SELECT count(*) FROM tgtb) AS tt),
+        ratio AS (
+          SELECT coalesce(cr.b, ct.b) AS b,
+                 CAST(round(ln((coalesce(ct.n, 0) + 1)::DOUBLE / (tot.tt + 512))
+                          - ln((coalesce(cr.n, 0) + 1)::DOUBLE / (tot.tr + 512)), 6)
+                      AS DECIMAL(18,6)) AS lr
+          FROM cr FULL OUTER JOIN ct ON cr.b = ct.b, tot
+        ),
+        wts AS (
+          SELECT rawb.doc_id, count(*)::BIGINT AS n_grams,
+                 CAST(sum(lr) AS DECIMAL(18,6)) AS lw
+          FROM rawb JOIN ratio ON rawb.b = ratio.b GROUP BY rawb.doc_id
+        )
+    """
+    sql["dsir_weights"] = (
+        _dsir_core + "SELECT doc_id, n_grams, lw::VARCHAR AS log_weight FROM wts"
+    )
+    sql["dsir_sample"] = (
+        _dsir_core
+        + r"""
+        SELECT doc_id, lw::VARCHAR AS log_weight,
+               CAST(round(lw::DOUBLE - ln(-ln(
+                 (('0x' || substr(md5(doc_id::VARCHAR || ':dsir:gumbel'), 1, 15))::BIGINT + 0.5)
+                   / 1152921504606846976.0)), 6) AS DECIMAL(18,6))::VARCHAR AS gumbel_key
+        FROM wts
+        ORDER BY CAST(round(lw::DOUBLE - ln(-ln(
+                 (('0x' || substr(md5(doc_id::VARCHAR || ':dsir:gumbel'), 1, 15))::BIGINT + 0.5)
+                   / 1152921504606846976.0)), 6) AS DECIMAL(18,6)) DESC, doc_id
+        LIMIT 50
+    """
+    )
+    # BPE merge candidates: pair counts over the word histogram
+    sql["bpe_merges"] = r"""
+        WITH words AS (
+          SELECT w, count(*) AS n FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS w
+            FROM documents
+          ) WHERE len(w) > 0 GROUP BY w
+        ),
+        syms AS (
+          SELECT n,
+                 list_concat(list_transform(generate_series(1, len(w)), i -> w[i:i]),
+                             ['</w>']) AS s
+          FROM words
+        ),
+        pairs AS (
+          SELECT s[i] AS sym_a, s[i + 1] AS sym_b, n
+          FROM syms, unnest(generate_series(1, len(s) - 1)) AS t(i)
+        ),
+        counts AS (SELECT sym_a, sym_b, sum(n)::BIGINT AS n_pairs FROM pairs GROUP BY 1, 2)
+        SELECT sym_a, sym_b, n_pairs,
+               (row_number() OVER (ORDER BY n_pairs DESC, sym_a, sym_b))::INT AS rank
+        FROM counts QUALIFY rank <= 20
     """
     return sql

@@ -399,10 +399,11 @@ def _pil_image_module():
 def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
     """Tiered image decode to an (H, W, C) uint8 array, or None:
 
-    - BMP (uncompressed), PNG (8-bit non-interlaced) and baseline JPEG
-      (SOF0, common chroma samplings — ``pipeline.jpeg``): REAL
+    - BMP (uncompressed), PNG (8-bit non-interlaced), baseline JPEG
+      (SOF0, common chroma samplings — ``pipeline.jpeg``) and GIF87a/89a
+      first frames (``pipeline.gif``: full LZW + interlace): REAL
       pure-numpy decode, always available.
-    - Progressive JPEG / GIF and everything else: real decode via Pillow
+    - Progressive JPEG and everything else: real decode via Pillow
       WHEN INSTALLED (optional-import tier); None otherwise — same
       honest contract, never a fake.
 
@@ -427,6 +428,13 @@ def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
         if px is not None:
             return px
         # fall through: progressive/arithmetic JPEGs may still PIL-decode
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from hgraphstorage_spark.pipeline.gif import decode_gif_pixels
+
+        px = decode_gif_pixels(b)
+        if px is not None:
+            return px
+        # fall through: out-of-coverage GIFs may still PIL-decode
     pil = _pil_image_module()
     if pil is not None:
         import io

@@ -558,3 +558,134 @@ def per_source_percent_rank(
         F.col(metric_col),
         F.round(F.percent_rank().over(w), 6).cast("decimal(18,6)").alias("pct_rank"),
     )
+
+
+def _dsir_ngrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exploded hashed-n-gram features for DSIR: lowercased whitespace
+    word unigrams + bigrams, one output row per gram occurrence —
+    (doc_id, gram STRING). Bigrams join their words with a space (the
+    engine-portable rendering a SQL oracle reproduces)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+    # guard: sequence(1, 0) would DESCEND ([1, 0]) — single-word docs get
+    # an explicitly empty bigram array instead
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(words, bigrams)).alias("gram"),
+    ).filter(F.length("gram") > 0)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-n-gram distribution is —
+    log w(x) = sum over gram occurrences of
+    log p_target(bucket) - log p_raw(bucket), with hashed word
+    uni+bigram features in ``n_buckets`` buckets and add-one smoothing.
+    The standard pretraining-data selection signal: resample raw docs
+    with probability ∝ exp(log_weight) to approximate the target
+    distribution (see :func:`dsir_sample`).
+
+    Returns (doc_id, n_grams, log_weight DECIMAL(18,6)). Determinism /
+    oracle contract: buckets come from the 60-bit md5 family
+    (``md5_long(gram, salt) % n_buckets``) and each bucket's log-ratio
+    rounds to 6 decimals BEFORE the per-doc sum, which runs as exact
+    DECIMAL addition — order-independent, so DuckDB replays the weights
+    bit-for-bit (the same canonicalization every similarity op here
+    uses).
+
+    Scale shape: two bucket-count aggregations (map-side partials; the
+    exchange is <= n_buckets rows per partition), the <= n_buckets-row
+    log-ratio table broadcast-joins the exploded gram stream, and one
+    per-doc sum — no shuffle ever carries more than (doc_id, 8-byte
+    bucket, decimal). The raw-model pass and the scoring pass share the
+    same exploded frame.
+    """
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+    from hgraphstorage_spark.pipeline.state import track
+
+    def bucketed(frame: DataFrame) -> DataFrame:
+        grams = _dsir_ngrams(frame, text_col, id_col)
+        return grams.withColumn("bucket", F.pmod(md5_long(F.col("gram"), F.lit(salt)), F.lit(n_buckets)))
+
+    # persisted: raw feeds its bucket counts, its gram total AND the final
+    # scoring join; tgt feeds counts + total — one tokenize pass each
+    raw = track(bucketed(docs))
+    tgt = track(bucketed(target_docs))
+    raw_counts = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    raw_total = raw.agg(F.count(F.lit(1)).alias("tr"))
+    tgt_total = tgt.agg(F.count(F.lit(1)).alias("tt"))
+    ratios = (
+        raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce("ct", F.lit(0)) + 1).cast("double") / (F.col("tt") + n_buckets))
+                - F.log((F.coalesce("cr", F.lit(0)) + 1).cast("double") / (F.col("tr") + n_buckets)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("log_ratio"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("log_ratio").cast("decimal(18,6)").alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection step: Gumbel-top-k resampling WITHOUT replacement
+    over the importance weights — key = log_weight + Gumbel(0,1) with
+    the Gumbel noise derived deterministically from md5(id||salt)
+    (g = -ln(-ln(u)), u in (0,1)), take the k largest keys. Equivalent
+    to sampling k docs without replacement with probability
+    ∝ exp(log_weight) (the Gumbel-max trick), and a pure function of
+    the data, so a SQL oracle replays the exact selection.
+
+    Returns (doc_id, log_weight, gumbel_key DECIMAL(18,6)), the k
+    selected docs. Plans as TakeOrderedAndProject over the weight
+    frame — per-partition partial top-k, one k-row merge, no global
+    sort."""
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    weights = dsir_weights(docs, target_docs, n_buckets, text_col, id_col, salt)
+    # u in (0,1): (h + 0.5) / 2^60 keeps both log args strictly positive
+    u = (md5_long(F.col("doc_id"), F.lit(salt + ":gumbel")) + 0.5) / F.lit(float(1 << 60))
+    key = F.round(F.col("log_weight").cast("double") - F.log(-F.log(u)), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        weights.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "log_weight", "gumbel_key")
+    )

@@ -297,8 +297,10 @@ def vocabulary(
     map-side partial aggregation (count + count_distinct via one
     two-level agg: first (token, doc) pairs — the explode output is
     pre-grouped per doc, so partials collapse hard — then token). The
-    final top-k is a TakeOrdered over the token-count table, which is
-    vocabulary-sized, not corpus-sized."""
+    final top-k is a row_number+filter window that Spark 4's
+    WindowGroupLimit rewrite executes as a partial per-partition top-k
+    (same effect as a TakeOrdered, different mechanism) over the
+    token-count table, which is vocabulary-sized, not corpus-sized."""
     toks = docs.select(
         F.col(id_col).alias("_doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("token"),
@@ -1030,3 +1032,168 @@ def stopword_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
         .cast("decimal(18,6)")
         .alias("stopword_frac"),
     )
+
+
+def _word_histogram(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(word, n) corpus word-frequency histogram — the vocabulary-sized
+    frame BPE statistics run over (one corpus pass, map-side partials;
+    every later BPE step touches only this histogram, never the corpus —
+    the trick that makes tokenizer training tractable at 100 TB)."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_EOW = "</w>"
+
+
+def _initial_symbols(word: F.Column) -> F.Column:
+    """Character symbol sequence of a word + the end-of-word marker —
+    the BPE starting alphabet (Sennrich et al. 2016). Built with
+    substr-per-position (engine-portable; split-on-empty-regex differs
+    across engines)."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: F.substring(word, i, F.lit(1))
+    )
+    return F.concat(chars, F.array(F.lit(_EOW)))
+
+
+def _adjacent_pair_structs(syms: F.Column) -> F.Column:
+    """array<struct(sym_a, sym_b)> of adjacent symbol pairs; explicitly
+    empty for 1-symbol sequences (sequence(1, 0) would DESCEND)."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("sym_a"),
+                F.element_at(syms, i + 1).alias("sym_b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<sym_a:string,sym_b:string>>"))
+
+
+def bpe_merge_counts(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The statistic one BPE training iteration maximizes (Sennrich et
+    al. 2016, "Neural Machine Translation of Rare Words with Subword
+    Units"): corpus-frequency-weighted counts of ADJACENT symbol pairs
+    over the initial character vocabulary (chars + an end-of-word
+    marker). The top pair is the next merge a BPE tokenizer would learn.
+
+    Returns the ``top_k`` candidate merges
+    (sym_a, sym_b, n_pairs, rank), rank ties broken by (sym_a, sym_b).
+
+    Scale shape: the corpus is touched ONCE (word histogram, map-side
+    partial agg, word-keyed exchange bounded by vocabulary size); pair
+    explosion and counting run over the histogram — O(vocab * avg word
+    length), independent of corpus row count. The top-k is the
+    row_number+filter form Spark 4 rewrites into a partial per-partition
+    top-k (WindowGroupLimit), same as :func:`vocabulary`."""
+    from pyspark.sql import Window
+
+    hist = _word_histogram(docs, text_col, id_col)
+    syms = hist.select("n", _initial_symbols(F.col("word")).alias("syms"))
+    pairs = syms.select(
+        "n",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("sym_a"),
+                    F.element_at(F.col("syms"), i + 1).alias("sym_b"),
+                ),
+            )
+        ).alias("p"),
+    ).select(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"), "n")
+    counts = pairs.groupBy("sym_a", "sym_b").agg(F.sum("n").alias("n_pairs"))
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("sym_a"), F.col("sym_b"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= top_k
+    )
+
+
+def _apply_merge(syms: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right non-overlapping fusion of adjacent (a, b)
+    into a+b — one pure array fold, no UDF. Runs over the vocabulary
+    histogram only."""
+    merged = F.lit(a + b)
+
+    def step(acc, s):
+        # try_element_at: NULL (never an ANSI error) on the empty
+        # accumulator of the first fold step; NULL == a is false-ish
+        hit = (
+            (F.size(acc) > 0)
+            & (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (s == F.lit(b))
+        )
+        return F.when(
+            hit,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Full BPE merge-rule training (Sennrich et al. 2016): repeat
+    ``n_merges`` times — count adjacent symbol pairs over the word
+    histogram, take the most frequent pair (ties broken by
+    (sym_a, sym_b), so training is a deterministic pure function of the
+    corpus), fuse it greedily left-to-right everywhere. Returns
+    ``(merges, vocab)``: merges = [(step, sym_a, sym_b, n_pairs), ...]
+    as a list of Rows in learn order (the merge table a BPE tokenizer
+    ships), vocab = the final (word, n, syms) DataFrame.
+
+    Scale notes: every iteration runs on the VOCABULARY histogram (one
+    corpus pass total); the per-round driver action collects exactly one
+    row (the argmax pair — same bounded-action shape as the iterative
+    graph loops); lineage is cut with localCheckpoint per round, so
+    n_merges does not stack plans."""
+    from pyspark.sql import Window
+
+    hist = _word_histogram(docs, text_col, id_col)
+    vocab = hist.select(
+        "word", "n", _initial_symbols(F.col("word")).alias("syms")
+    ).localCheckpoint()
+    merges = []
+    for step_i in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "n", F.explode(_adjacent_pair_structs(F.col("syms"))).alias("p")
+        ).select(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"), "n")
+        best = (
+            pairs.groupBy("sym_a", "sym_b")
+            .agg(F.sum("n").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), F.col("sym_a"), F.col("sym_b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        merges.append(
+            {
+                "step": step_i,
+                "sym_a": row["sym_a"],
+                "sym_b": row["sym_b"],
+                "n_pairs": row["n_pairs"],
+            }
+        )
+        vocab = vocab.select(
+            "word", "n", _apply_merge(F.col("syms"), row["sym_a"], row["sym_b"]).alias("syms")
+        ).localCheckpoint()
+    return merges, vocab
