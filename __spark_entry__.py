@@ -2010,7 +2010,7 @@ def q_dsir_weights(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == "src0")
-    return _canon(dsir_weights(docs, target, n_buckets=512), "log_weight")
+    return _canon(dsir_weights(docs, target, n_buckets=512, hash_mode="md5"), "log_weight")
 
 
 def q_dsir_sample(spark, sf_dir):
@@ -2023,7 +2023,9 @@ def q_dsir_sample(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("source") == "src0")
     return _canon(
-        dsir_sample(docs, target, k=50, n_buckets=512), "log_weight", "gumbel_key"
+        dsir_sample(docs, target, k=50, n_buckets=512, hash_mode="md5"),
+        "log_weight",
+        "gumbel_key",
     )
 
 

@@ -77,10 +77,24 @@ def _fast_variants() -> dict:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return exact_substring_dedup(docs, n=8)
 
+    from pyspark.sql import functions as _F
+
+    from hgraphstorage_spark.pipeline.sampling import dsir_sample, dsir_weights
+
+    def dsir_weights_fast(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dsir_weights(docs, docs.filter(_F.col("source") == "src0"), n_buckets=512)
+
+    def dsir_sample_fast(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dsir_sample(docs, docs.filter(_F.col("source") == "src0"), k=50, n_buckets=512)
+
     return {
         "minhash_lsh_pairs_fast": minhash_fast,
         "embed_near_dup_lsh_fast": embed_lsh_fast,
         "exact_substring_fast": exact_substring_fast,
+        "dsir_weights_fast": dsir_weights_fast,
+        "dsir_sample_fast": dsir_sample_fast,
     }
 
 
@@ -102,6 +116,17 @@ R4_OPS = [
     "script_stats",
     "epoch_shuffle",
     "length_batches",
+]
+
+# round-5 operators, same contract as r4_ops (timed, outside the headline).
+# dsir_* time the xxhash64 fast path (the engine default); the md5
+# oracle-mode driver query (dsir_weights) is timed alongside for
+# comparability, same dual-mode reporting as the LSH ops.
+R5_OPS = [
+    "dsir_weights_fast",
+    "dsir_sample_fast",
+    "dsir_weights",
+    "bpe_merges",
 ]
 
 
@@ -156,7 +181,7 @@ def main() -> None:
     # warms exactly the classes the timed sf0.1 pass runs; Catalyst
     # planning of the sf0.1 plans is NOT cached and stays in the timings.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + MD5_TWINS + R4_OPS:
+    for name in HEADLINE + MD5_TWINS + R4_OPS + R5_OPS:
         try:
             _execute(queries[name](spark, warm_dir))
         except Exception:
@@ -179,6 +204,7 @@ def main() -> None:
     timings = {name: _time(name) for name in HEADLINE}
     md5_timings = {name: _time(name) for name in MD5_TWINS}
     r4_timings = {name: _time(name) for name in R4_OPS}
+    r5_timings = {name: _time(name) for name in R5_OPS}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -190,6 +216,7 @@ def main() -> None:
                 "queries": timings,
                 "md5_oracle_mode": md5_timings,
                 "r4_ops": r4_timings,
+                "r5_ops": r5_timings,
                 "sf": sf,
             }
         )

@@ -564,7 +564,12 @@ def _dsir_ngrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exploded hashed-n-gram features for DSIR: lowercased whitespace
     word unigrams + bigrams, one output row per gram occurrence —
     (doc_id, gram STRING). Bigrams join their words with a space (the
-    engine-portable rendering a SQL oracle reproduces)."""
+    engine-portable rendering a SQL oracle reproduces). ``_parallel``
+    spreads single-file inputs across cores BEFORE the CPU-heavy
+    tokenize+hash stage (same reason as ``shingle_hashes``)."""
+    from hgraphstorage_spark.pipeline.text import _parallel
+
+    docs = _parallel(docs)
     words = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     # guard: sequence(1, 0) would DESCEND ([1, 0]) — single-word docs get
     # an explicitly empty bigram array instead
@@ -588,6 +593,7 @@ def dsir_weights(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "dsir",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
@@ -600,12 +606,14 @@ def dsir_weights(
     distribution (see :func:`dsir_sample`).
 
     Returns (doc_id, n_grams, log_weight DECIMAL(18,6)). Determinism /
-    oracle contract: buckets come from the 60-bit md5 family
-    (``md5_long(gram, salt) % n_buckets``) and each bucket's log-ratio
-    rounds to 6 decimals BEFORE the per-doc sum, which runs as exact
-    DECIMAL addition — order-independent, so DuckDB replays the weights
-    bit-for-bit (the same canonicalization every similarity op here
-    uses).
+    oracle contract: both hash modes are pure functions of the data;
+    ``hash_mode="md5"`` buckets with the engine-portable 60-bit md5
+    family (``md5_long(gram, salt) % n_buckets``) so DuckDB replays the
+    weights bit-for-bit, while the default ``xxhash64`` is the fast path
+    (JVM-native long hashing, no per-gram md5 string round-trip — the
+    same dual-mode contract as ``minhash_lsh_pairs``). Each bucket's
+    log-ratio rounds to 6 decimals BEFORE the per-doc sum, which runs as
+    exact DECIMAL addition — order-independent.
 
     Scale shape: two bucket-count aggregations (map-side partials; the
     exchange is <= n_buckets rows per partition), the <= n_buckets-row
@@ -619,7 +627,14 @@ def dsir_weights(
 
     def bucketed(frame: DataFrame) -> DataFrame:
         grams = _dsir_ngrams(frame, text_col, id_col)
-        return grams.withColumn("bucket", F.pmod(md5_long(F.col("gram"), F.lit(salt)), F.lit(n_buckets)))
+        h = (
+            md5_long(F.col("gram"), F.lit(salt))
+            if hash_mode == "md5"
+            else F.xxhash64(F.col("gram"), F.lit(salt))
+        )
+        # project the gram STRING away immediately: everything downstream
+        # (counts, totals, scoring join) needs only the 8-byte bucket
+        return grams.select("doc_id", F.pmod(h, F.lit(n_buckets)).alias("bucket"))
 
     # persisted: raw feeds its bucket counts, its gram total AND the final
     # scoring join; tgt feeds counts + total — one tokenize pass each
@@ -662,6 +677,7 @@ def dsir_sample(
     text_col: str = "text",
     id_col: str = "doc_id",
     salt: str = "dsir",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """DSIR selection step: Gumbel-top-k resampling WITHOUT replacement
     over the importance weights — key = log_weight + Gumbel(0,1) with
@@ -677,7 +693,9 @@ def dsir_sample(
     sort."""
     from hgraphstorage_spark.pipeline.dedup import md5_long
 
-    weights = dsir_weights(docs, target_docs, n_buckets, text_col, id_col, salt)
+    weights = dsir_weights(docs, target_docs, n_buckets, text_col, id_col, salt, hash_mode)
+    # the Gumbel draw stays md5-derived in BOTH modes: it keys on doc_id
+    # (cheap, one per doc) and keeps the selection SQL-replayable
     # u in (0,1): (h + 0.5) / 2^60 keeps both log args strictly positive
     u = (md5_long(F.col("doc_id"), F.lit(salt + ":gumbel")) + 0.5) / F.lit(float(1 << 60))
     key = F.round(F.col("log_weight").cast("double") - F.log(-F.log(u)), 6).cast(

@@ -1040,7 +1040,7 @@ def _word_histogram(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     every later BPE step touches only this histogram, never the corpus —
     the trick that makes tokenizer training tractable at 100 TB)."""
     return (
-        docs.select(
+        _parallel(docs).select(
             F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("word")
         )
         .filter(F.length("word") > 0)

@@ -73,7 +73,7 @@ def test_dsir_weights_match_reference(spark):
 
     got = {
         r["doc_id"]: (r["n_grams"], str(r["log_weight"]))
-        for r in dsir_weights(_mkdocs(spark, RAW), _mkdocs(spark, TGT), n_buckets=64).collect()
+        for r in dsir_weights(_mkdocs(spark, RAW), _mkdocs(spark, TGT), n_buckets=64, hash_mode="md5").collect()
     }
     want = {i: (n, str(s)) for i, (n, s) in _ref_dsir(RAW, TGT, 64).items()}
     assert got == want
@@ -86,7 +86,7 @@ def test_dsir_ranks_target_like_docs_higher(spark):
 
     w = {
         r["doc_id"]: float(r["log_weight"])
-        for r in dsir_weights(_mkdocs(spark, RAW), _mkdocs(spark, TGT), n_buckets=64).collect()
+        for r in dsir_weights(_mkdocs(spark, RAW), _mkdocs(spark, TGT), n_buckets=64, hash_mode="md5").collect()
     }
     cooking = {1, 3}
     other = {0, 2, 4}
@@ -105,7 +105,7 @@ def test_dsir_sample_matches_gumbel_reference(spark):
     want = sorted(keys.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     got = [
         (r["doc_id"], Decimal(str(r["gumbel_key"])))
-        for r in dsir_sample(_mkdocs(spark, RAW), _mkdocs(spark, TGT), k=3, n_buckets=64).collect()
+        for r in dsir_sample(_mkdocs(spark, RAW), _mkdocs(spark, TGT), k=3, n_buckets=64, hash_mode="md5").collect()
     ]
     assert got == want
 
@@ -193,3 +193,22 @@ def test_bpe_train_learns_frequent_subword(spark):
     syms = {r["word"]: list(r["syms"]) for r in vocab.collect()}
     assert len(syms["low"]) <= 2, syms["low"]
     assert len(syms["wide"]) <= 2, syms["wide"]
+
+
+def test_dsir_fast_mode_deterministic_and_same_shape(spark):
+    """The xxhash64 fast path (default): same schema and row coverage as
+    md5 mode, deterministic across runs, and the same target-vs-other
+    separation (bucket family changes, the signal does not)."""
+    from hgraphstorage_spark.pipeline.sampling import dsir_weights
+
+    a = {
+        r["doc_id"]: (r["n_grams"], str(r["log_weight"]))
+        for r in dsir_weights(_mkdocs(spark, RAW), _mkdocs(spark, TGT), n_buckets=64).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_grams"], str(r["log_weight"]))
+        for r in dsir_weights(_mkdocs(spark, RAW), _mkdocs(spark, TGT), n_buckets=64).collect()
+    }
+    assert a == b and set(a) == set(RAW)
+    w = {i: float(lw) for i, (_, lw) in a.items()}
+    assert min(w[i] for i in (1, 3)) > max(w[i] for i in (0, 2, 4)), w
