@@ -312,9 +312,14 @@ def vocabulary(
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("n_total").desc(), F.col("token"))
+    # filter on the RAW row_number, cast afterward: a cast inside the
+    # filtered column defeats the limit-pushdown pattern match, turning
+    # the TakeOrderedAndProject partial top-k back into a full global
+    # single-partition window
     return (
-        hist.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_k)
+        hist.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select("token", "n_total", "doc_freq", F.col("_rn").cast("int").alias("rank"))
     )
 
 
@@ -1117,8 +1122,12 @@ def bpe_merge_counts(
     ).select(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"), "n")
     counts = pairs.groupBy("sym_a", "sym_b").agg(F.sum("n").alias("n_pairs"))
     w = Window.orderBy(F.col("n_pairs").desc(), F.col("sym_a"), F.col("sym_b"))
-    return counts.withColumn("rank", F.row_number().over(w).cast("int")).filter(
-        F.col("rank") <= top_k
+    # raw row_number in the filter (cast after): keeps the limit-pushdown
+    # (TakeOrderedAndProject) rewrite eligible — see vocabulary()
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select("sym_a", "sym_b", "n_pairs", F.col("_rn").cast("int").alias("rank"))
     )
 
 

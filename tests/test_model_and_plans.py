@@ -481,3 +481,39 @@ class TestLatestOperatorPlans:
             assert "SortMergeJoin [vec_a" in plan and "SortMergeJoin [vec_b" in plan
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_dsir_weights_plan_shape(self, spark):
+        """DSIR at scale: the ratio table joins back BROADCAST (it is
+        <= n_buckets rows), gram counting partial-aggregates map-side,
+        no cartesian anywhere, and the tokenize stage is spread across
+        cores (round-robin repartition of the single-file scan — asserted
+        on the pre-persist ngram stage; the persisted op plan hides it
+        behind InMemoryTableScan)."""
+        from hgraphstorage_spark.pipeline.sampling import _dsir_ngrams, dsir_weights
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = dsir_weights(docs, docs.filter(F.col("source") == "src0"), n_buckets=128)
+        plan = executed_plan(out)
+        assert "BroadcastHashJoin" in plan
+        assert "partial_count" in plan
+        assert "CartesianProduct" not in plan
+        ngram_plan = executed_plan(_dsir_ngrams(docs, "text", "doc_id"))
+        assert "RoundRobinPartitioning" in ngram_plan  # _parallel spread
+
+    def test_bpe_merge_counts_runs_on_vocabulary_not_corpus(self, spark):
+        """The corpus is scanned once into a word histogram (map-side
+        partial count); the pair explosion reads the HISTOGRAM — one
+        documents scan in the whole plan, and the global top-k window
+        collapses into TakeOrderedAndProject (limit pushed below the
+        window; r5 fixed the rank cast that used to block it)."""
+        from hgraphstorage_spark.pipeline.text import bpe_merge_counts
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(bpe_merge_counts(docs, top_k=10))
+        scans = [l for l in plan.splitlines() if "FileScan" in l and "documents" in l]
+        assert len(set(scans)) == 1, plan
+        assert "partial_count" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange SinglePartition" not in plan
