@@ -10,8 +10,10 @@ Arrow-batched UDF signatures) is real and tested. Decoding has two tiers:
   needed.
 - **Pixel/sample-level decode is tiered**: uncompressed BMP, 8-bit
   non-interlaced PNG (full filter reconstruction, pure stdlib-zlib +
-  numpy) and PCM WAV decode for REAL with no media libraries; JPEG/GIF
-  decode for real when Pillow is installed (optional-import tier,
+  numpy), baseline AND progressive JPEG (``pipeline.jpeg``), GIF87a/89a
+  first frames (``pipeline.gif``) and PCM WAV decode for REAL with no
+  media libraries; remaining exotics (arithmetic/12-bit JPEG, interlaced
+  PNG) decode for real when Pillow is installed (optional-import tier,
   ``_pil_image_module``); everything else raises NotImplementedError
   (real mode) or produces a deterministic fake (test mode), clearly
   marked.
@@ -399,13 +401,13 @@ def _pil_image_module():
 def decode_image_pixels(payload: bytes | None) -> "np.ndarray | None":
     """Tiered image decode to an (H, W, C) uint8 array, or None:
 
-    - BMP (uncompressed), PNG (8-bit non-interlaced), baseline JPEG
-      (SOF0, common chroma samplings — ``pipeline.jpeg``) and GIF87a/89a
-      first frames (``pipeline.gif``: full LZW + interlace): REAL
-      pure-numpy decode, always available.
-    - Progressive JPEG and everything else: real decode via Pillow
-      WHEN INSTALLED (optional-import tier); None otherwise — same
-      honest contract, never a fake.
+    - BMP (uncompressed), PNG (8-bit non-interlaced), baseline AND
+      progressive JPEG (SOF0/SOF2, common chroma samplings —
+      ``pipeline.jpeg``) and GIF87a/89a first frames (``pipeline.gif``:
+      full LZW + interlace): REAL pure-numpy decode, always available.
+    - Everything else (arithmetic/12-bit JPEG, interlaced PNG, ...):
+      real decode via Pillow WHEN INSTALLED (optional-import tier);
+      None otherwise — same honest contract, never a fake.
 
     Channel order note: BMP arrays come back in stored BGR[A] order, PNG/
     PIL in RGB[A]; fine for the channel-agnostic stats/fingerprint

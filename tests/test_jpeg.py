@@ -144,7 +144,9 @@ class TestColorDecode:
 
 
 class TestHonestTiering:
-    def test_progressive_returns_none(self):
+    def test_scanless_progressive_returns_none(self):
+        """SOF2 with tables but ZERO scans carries no coefficients —
+        must tier out, not return a black frame."""
         sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
         payload = b"\xff\xd8" + _tables_segments() + sof2 + b"\xff\xd9"
         assert decode_jpeg_pixels(payload) is None
@@ -311,3 +313,66 @@ class TestNonInterleavedScan:
             + buf[i + 2 + seg_len :]
         )
         assert decode_jpeg_pixels(patched) is None
+
+
+
+class TestProgressive:
+    """SOF2 decode validated against REAL encoder output with the JVM
+    ImageIO decoder (Spark's image source) as independent ground truth —
+    covers single-component DC scans, spectral-selection AC bands, and
+    full successive approximation (grayscale.jpg: DC Al=1 first + DC
+    refine, AC first Al=2 + two AC refinement passes)."""
+
+    FIXTURES = [
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg",
+        "/usr/lib/google-cloud-sdk/platform/gsutil/third_party/pyparsing/docs/_static/pyparsingClassDiagram_3.0.9.jpg",
+    ]
+
+    def test_real_progressive_matches_imageio(self, spark):
+        import os
+
+        import pytest
+
+        paths = [p for p in self.FIXTURES[:3] if os.path.exists(p)]
+        if not paths:
+            pytest.skip("no progressive fixtures on this system")
+        for p in paths:
+            row = spark.read.format("image").load(p).select("image.*").collect()[0]
+            ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+                row["height"], row["width"], row["nChannels"]
+            )
+            mine = decode_jpeg_pixels(open(p, "rb").read())
+            assert mine is not None, p
+            ref_rgb = ref[..., ::-1] if row["nChannels"] == 3 else ref
+            assert mine.shape == ref_rgb.shape, (p, mine.shape, ref_rgb.shape)
+            d = np.abs(mine.astype(int) - ref_rgb.astype(int))
+            # IDCT rounding differences only: near-exact agreement
+            assert d.mean() < 1.0 and d.max() <= 16, (p, d.mean(), d.max())
+
+    def test_progressive_truncated_returns_none_or_partial(self):
+        import os
+
+        p = self.FIXTURES[2]
+        if not os.path.exists(p):
+            import pytest
+
+            pytest.skip("fixture missing")
+        b = open(p, "rb").read()
+        # chop before the first SOS: no coefficients -> None
+        sos = b.find(b"\xff\xda")
+        assert decode_jpeg_pixels(b[:sos]) is None
+
+    def test_decode_image_pixels_routes_progressive(self):
+        import os
+
+        p = self.FIXTURES[0]
+        if not os.path.exists(p):
+            import pytest
+
+            pytest.skip("fixture missing")
+        from hgraphstorage_spark.pipeline.multimodal import decode_image_pixels
+
+        px = decode_image_pixels(open(p, "rb").read())
+        assert px is not None and px.shape == (58, 493, 3)
