@@ -1206,3 +1206,52 @@ def bpe_train(
             "word", "n", _apply_merge(F.col("syms"), row["sym_a"], row["sym_b"]).alias("syms")
         ).localCheckpoint()
     return merges, vocab
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with LEARNED BPE merge rules (the encode step pairing
+    :func:`bpe_train`): per word, start from chars + the end-of-word
+    marker and apply each merge rule in learn order, greedy
+    left-to-right — the reference BPE segmenter semantics for a merge
+    list. ``merges`` is the list returned by ``bpe_train`` (dicts with
+    sym_a/sym_b) or (sym_a, sym_b) tuples.
+
+    Returns (doc_id, n_words, n_tokens) — n_tokens counts post-merge
+    symbols (end-of-word markers fused into their tokens), the number a
+    trained-tokenizer budget planner needs.
+
+    Scale shape: the merge folds run on the DISTINCT-WORD frame
+    (vocabulary-sized — each rule is one pure array fold, no UDF); the
+    corpus is touched for word extraction only, and per-word token
+    counts broadcast-or-shuffle join back onto the per-doc word counts.
+    Keep the rule list modest per call (each rule adds one fold to the
+    expression tree); production tokenizers segment with a dedicated
+    encoder anyway — this operator is the corpus-statistics companion.
+    """
+    rules = [
+        (m["sym_a"], m["sym_b"]) if isinstance(m, dict) else (m[0], m[1])
+        for m in merges
+    ]
+    words = _parallel(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("word"),
+    ).filter(F.length("word") > 0)
+    per_doc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    vocab = per_doc.select("word").distinct()
+    syms = _initial_symbols(F.col("word"))
+    for a, b in rules:
+        syms = _apply_merge(syms, a, b)
+    sized = vocab.select("word", F.size(syms).alias("_wt"))
+    return (
+        per_doc.join(sized, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("_wt")).alias("n_tokens"),
+        )
+    )

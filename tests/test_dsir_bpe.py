@@ -212,3 +212,27 @@ def test_dsir_fast_mode_deterministic_and_same_shape(spark):
     assert a == b and set(a) == set(RAW)
     w = {i: float(lw) for i, (_, lw) in a.items()}
     assert min(w[i] for i in (1, 3)) > max(w[i] for i in (0, 2, 4)), w
+
+
+def test_bpe_apply_matches_reference_tokenization(spark):
+    """Train on the corpus, then encode it: per-doc token counts must
+    equal the pure-Python greedy merge application."""
+    from hgraphstorage_spark.pipeline.text import bpe_apply, bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(BPE_TEXTS)], "doc_id long, text string"
+    )
+    merges, _ = bpe_train(docs, n_merges=6)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_apply(docs, merges).collect()
+    }
+    _, vocab = _ref_bpe(BPE_TEXTS, 6)
+    want = {}
+    for i, t in enumerate(BPE_TEXTS):
+        ws = _words(t)
+        want[i] = (len(ws), sum(len(vocab[w]) for w in ws))
+    assert got == want
+    # training must compress: fewer tokens than raw chars+markers
+    raw = {i: sum(len(w) + 1 for w in _words(t)) for i, t in enumerate(BPE_TEXTS)}
+    assert all(got[i][1] < raw[i] for i in got)
