@@ -376,3 +376,34 @@ class TestProgressive:
 
         px = decode_image_pixels(open(p, "rb").read())
         assert px is not None and px.shape == (58, 493, 3)
+
+
+class TestBaselineVsImageIO:
+    def test_real_baseline_photos_match_imageio(self, spark):
+        """Baseline decoder vs the JVM ImageIO decoder on real-encoder
+        photo output (4:2:0 color, APP segments, multiple DHTs). Chroma
+        upsampling differs (nearest here vs fancy there), so edges may
+        differ by a few levels — the luma-dominated mean must stay tight."""
+        import glob
+        import os
+
+        import pytest
+
+        paths = [
+            p
+            for p in glob.glob(
+                "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/*.jpg"
+            )
+            if os.path.exists(p)
+        ][:2]
+        if not paths:
+            pytest.skip("no baseline photo fixtures")
+        for p in paths:
+            row = spark.read.format("image").load(p).select("image.*").collect()[0]
+            ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+                row["height"], row["width"], row["nChannels"]
+            )[..., ::-1]
+            mine = decode_jpeg_pixels(open(p, "rb").read())
+            assert mine is not None and mine.shape == ref.shape, p
+            d = np.abs(mine.astype(int) - ref.astype(int))
+            assert d.mean() < 2.0 and np.percentile(d, 99) <= 8, (p, d.mean())
