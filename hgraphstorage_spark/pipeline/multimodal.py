@@ -847,3 +847,79 @@ def media_fingerprints(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FINGERPRINT_SCHEMA)
+
+
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("spectral_centroid", T.DoubleType(), True),
+        T.StructField("spectral_bandwidth", T.DoubleType(), True),
+        T.StructField("spectral_rolloff", T.DoubleType(), True),
+        T.StructField("spectral_flatness", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_spectral_features(
+    media: DataFrame, n_fft: int = 256, hop: int = 128
+) -> DataFrame:
+    """REAL spectral features per audio row — the routing/quality signal
+    an audio-curation pipeline gates on (speech/music/noise
+    discrimination, clipped or silent uploads): decode PCM samples
+    (``decode_wav_samples``), frame with a Hann window, magnitude rfft,
+    then the standard spectrogram summary statistics over the mean power
+    spectrum — spectral centroid, bandwidth, 85% rolloff (all in
+    normalized frequency, 0..0.5 = Nyquist) and flatness
+    (geometric/arithmetic mean ratio — ~1 for noise, ~0 for tones).
+
+    All pure numpy inside ``mapInPandas`` Arrow batches — the same
+    bounded-memory executor shape as every media operator here;
+    deterministic, rounded to 6 decimals. Non-WAV / non-PCM payloads
+    come back decode_ok=false with NULL features (honest tier-out)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(n_fft)
+        freqs = np.arange(n_fft // 2 + 1) / n_fft  # normalized bins
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "n_frames", "spectral_centroid",
+                                   "spectral_bandwidth", "spectral_rolloff",
+                                   "spectral_flatness", "decode_ok")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                x = None if payload is None else decode_wav_samples(payload)
+                if x is None or len(x) < n_fft:
+                    for k in ("n_frames", "spectral_centroid", "spectral_bandwidth",
+                              "spectral_rolloff", "spectral_flatness"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                n_frames = 1 + (len(x) - n_fft) // hop
+                idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+                spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1))
+                power = (spec ** 2).mean(axis=0)
+                total = power.sum()
+                if total <= 0:
+                    centroid = bandwidth = rolloff = 0.0
+                    flatness = 1.0
+                else:
+                    p = power / total
+                    centroid = float((freqs * p).sum())
+                    bandwidth = float(np.sqrt((((freqs - centroid) ** 2) * p).sum()))
+                    rolloff = float(freqs[np.searchsorted(np.cumsum(p), 0.85)])
+                    eps = 1e-12
+                    flatness = float(
+                        np.exp(np.log(power + eps).mean()) / (power.mean() + eps)
+                    )
+                out["n_frames"].append(n_frames)
+                out["spectral_centroid"].append(round(centroid, 6))
+                out["spectral_bandwidth"].append(round(bandwidth, 6))
+                out["spectral_rolloff"].append(round(rolloff, 6))
+                out["spectral_flatness"].append(round(flatness, 6))
+                out["decode_ok"].append(True)
+            yield pd.DataFrame(out)
+
+    audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return audio.mapInPandas(run, schema=AUDIO_SPECTRAL_SCHEMA)

@@ -2259,3 +2259,47 @@ def test_lsh_recall_report_zero_true_pairs_honest(spark):
     assert r["true_pairs"] == 0
     assert r["recall"] is None
     assert r["sample_ok"] is False
+
+
+class TestAudioSpectral:
+    def test_sawtooth_wav_features_match_numpy(self, spark):
+        """Spectral features of the deterministic sawtooth WAVs equal a
+        direct numpy STFT computed outside Spark; a periodic waveform is
+        tonal (low flatness), and corrupt rows tier out honestly."""
+        import numpy as np
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            audio_spectral_features,
+            decode_wav_samples,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 12)
+        got = {r["media_id"]: r for r in audio_spectral_features(media).collect()}
+        audio_rows = {r["media_id"]: r["payload"] for r in media.filter("kind='audio'").collect()}
+        assert set(got) == set(audio_rows)
+        n_fft, hop = 256, 128
+        win, freqs = np.hanning(n_fft), np.arange(129) / n_fft
+        for mid, payload in audio_rows.items():
+            x = decode_wav_samples(bytes(payload))
+            n_frames = 1 + (len(x) - n_fft) // hop
+            idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+            power = (np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1)) ** 2).mean(axis=0)
+            p = power / power.sum()
+            r = got[mid]
+            assert r["decode_ok"] and r["n_frames"] == n_frames
+            assert abs(r["spectral_centroid"] - (freqs * p).sum()) < 1e-5
+            assert r["spectral_flatness"] < 0.5  # periodic -> tonal
+
+    def test_non_wav_audio_rows_tier_out(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            audio_spectral_features,
+        )
+
+        media = spark.createDataFrame(
+            [(0, "audio", bytearray(b"garbage-not-a-wav-payload"), (None, None, None, None))],
+            MEDIA_SCHEMA,
+        )
+        r = audio_spectral_features(media).collect()[0]
+        assert r["decode_ok"] is False and r["spectral_centroid"] is None
