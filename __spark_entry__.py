@@ -1195,6 +1195,26 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup keeper: same 3-round HashMin clusters as
+    dedup_clusters, but each multi-doc cluster keeps its LONGEST
+    document (n_chars as the quality proxy; ties to smallest id) — the
+    keep-the-cleanest-copy policy. One cluster-keyed argmax, no window.
+    Oracle unrolls the rounds and replays the argmax."""
+    from hgraphstorage_spark.pipeline import ngram_jaccard_pairs
+    from hgraphstorage_spark.pipeline.dedup import dedup_clusters, dedup_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang")
+    cl = dedup_clusters(docs, pairs, rounds=3)
+    kb = dedup_keep_best(cl, docs, "n_chars")
+    sizes = kb.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        kb.join(sizes.filter(F.col("_n") > 1), "cluster")
+        .select("doc_id", "cluster", F.col("quality").cast("long").alias("quality"), "keep")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: exact Jaccard pairs → fixed-round HashMin
     components → canonical representative per cluster (the last stage of a
@@ -2431,6 +2451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         # r5 additions (past the window; full DuckDB oracles in pytest)
         "dsir_weights": q_dsir_weights,
+        "dedup_keep_best": q_dedup_keep_best,
         "dsir_sample": q_dsir_sample,
         "bpe_merges": q_bpe_merges,
         # r4/r5: rotated out of the window (stable since r1; still
@@ -3933,6 +3954,20 @@ def oracle_sql() -> dict[str, str]:
     sql["k_truss"] = _k_truss_oracle_sql(k=4, rounds=4)
     sql["label_propagation"] = _lpa_oracle_sql(3)
     sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
+    sql["dedup_keep_best"] = (
+        "WITH "
+        + ",\n".join(_dedup_cluster_ctes(3))
+        + """,
+        q AS (
+          SELECT l3.doc_id, l3.cluster, d.n_chars AS quality
+          FROM l3 JOIN documents d ON l3.doc_id = d.doc_id
+        ),
+        sz AS (SELECT cluster, count(*) AS n FROM q GROUP BY cluster)
+        SELECT q.doc_id, q.cluster, q.quality,
+               (row_number() OVER (PARTITION BY q.cluster
+                                   ORDER BY q.quality DESC, q.doc_id) = 1) AS keep
+        FROM q JOIN sz ON q.cluster = sz.cluster WHERE sz.n > 1"""
+    )
     sql["cluster_split"] = _cluster_safe_split_oracle_sql(3)
     sql["corpus_report"] = r"""
         WITH p AS (

@@ -1066,3 +1066,33 @@ def exact_substring_dedup(
         F.col("_u")["cov"].cast("long").alias("dup_tokens"),
         kept.alias("kept_text"),
     )
+
+
+def dedup_keep_best(
+    clusters: DataFrame,
+    docs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keeper policy over near-dup clusters: within each
+    cluster keep the HIGHEST-``quality_col`` document (ties to the
+    smallest id) — the curation policy real pipelines want instead of
+    :func:`dedup_clusters`' min-id representative (keep the cleanest
+    copy of a page, drop the OCR-noisy one). ``clusters`` is
+    ``dedup_clusters`` output (doc_id, cluster, ...); ``docs`` supplies
+    the quality signal.
+
+    Returns (doc_id, cluster, quality, keep). Shape at scale: one
+    cluster-keyed argmax via max(struct(quality, -id)) — map-side
+    partial agg, no window — plus two id-keyed joins; every key is
+    uniform."""
+    q = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality"))
+    st = clusters.select("doc_id", "cluster").join(q, "doc_id")
+    best = st.groupBy("cluster").agg(
+        F.max(F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("negid"))).alias("m")
+    )
+    return (
+        st.join(best, "cluster")
+        .withColumn("keep", F.col("doc_id") == -F.col("m.negid"))
+        .drop("m")
+    )

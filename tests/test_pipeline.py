@@ -2303,3 +2303,27 @@ class TestAudioSpectral:
         )
         r = audio_spectral_features(media).collect()[0]
         assert r["decode_ok"] is False and r["spectral_centroid"] is None
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """The keeper policy: highest quality wins (not min id); ties break
+    to smallest id; every cluster keeps exactly one document."""
+    from hgraphstorage_spark.pipeline.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)],
+        "doc_id long, cluster long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 90), (3, 90), (10, 7), (11, 3), (20, 1)],
+        "doc_id long, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in dedup_keep_best(clusters, docs, "n_chars").collect()}
+    kept = {i for i, r in got.items() if r["keep"]}
+    # cluster 1: quality tie 90 between 2 and 3 -> smallest id 2 (NOT min id 1)
+    assert kept == {2, 10, 20}
+    per_cluster = {}
+    for r in got.values():
+        per_cluster.setdefault(r["cluster"], 0)
+        per_cluster[r["cluster"]] += int(r["keep"])
+    assert all(v == 1 for v in per_cluster.values())
