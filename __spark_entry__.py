@@ -2318,7 +2318,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Efraimidis-Spirakis weighted sampling, the LSH recall
         # pre-flight, unicode-script routing stats, epoch shuffle,
         # length-bucketed batching, and IVF-PQ ANN
-        "filter_objects_has": q_filter_objects_has,
+        # r5 late rotation: filter_objects_has / traversal_out_values /
+        # multi_hop / query_step (r1-stable, pytest-pinned at
+        # tests/test_traversal.py + test_oracle_parity.py) move past the
+        # window; their slots carry the four round-5 operators so the
+        # driver hashes DSIR importance weights, Gumbel-top-k DSIR
+        # sampling, BPE merge training, and the quality-aware dedup
+        # keeper on first contact
+        "dsir_weights": q_dsir_weights,
         "incremental_near_dup": q_incremental_near_dup,
         "sq_topk": q_sq_topk,
         "containment_pairs": q_containment_pairs,
@@ -2328,13 +2335,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "length_batches": q_length_batches,
         "ivfpq_topk": q_ivfpq_topk,
-        "traversal_out_values": q_traversal_out_values,
+        "dsir_sample": q_dsir_sample,
         # traversal_both overlaps traversal_in/out (bag-union semantics
         # stay pinned in pytest); its slot carries the r4 boilerplate
         # removal operator so the driver hashes it directly
         "boilerplate_dedup": q_boilerplate_dedup,
-        "multi_hop": q_multi_hop,
-        "query_step": q_query_step,
+        "bpe_merges": q_bpe_merges,
+        "dedup_keep_best": q_dedup_keep_best,
         "betweenness": q_betweenness,
         "index_build": q_index_build,
         # index_lookup is subsumed by index_build + index_prefix coverage
@@ -2449,11 +2456,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
         "event_transitions": q_event_transitions,
-        # r5 additions (past the window; full DuckDB oracles in pytest)
-        "dsir_weights": q_dsir_weights,
-        "dedup_keep_best": q_dedup_keep_best,
-        "dsir_sample": q_dsir_sample,
-        "bpe_merges": q_bpe_merges,
+        # r5 late rotation: the r1-stable query-step/traversal rows whose
+        # window slots now carry the round-5 operators (all still
+        # oracle-compared every pytest run)
+        "filter_objects_has": q_filter_objects_has,
+        "traversal_out_values": q_traversal_out_values,
+        "multi_hop": q_multi_hop,
+        "query_step": q_query_step,
         # r4/r5: rotated out of the window (stable since r1; still
         # value-compared against their oracles every pytest run)
         "traversal_both": q_traversal_both,

@@ -95,6 +95,9 @@ def test_window_covers_required_operators():
         # the r4 window, now under the driver hash for the first time
         "containment_pairs", "weighted_sample", "lsh_recall_report",
         "script_stats", "epoch_shuffle", "length_batches", "ivfpq_topk",
+        # r5 late rotation: the four round-5 operators, in-window so the
+        # driver hashes them the round they were built
+        "dsir_weights", "dsir_sample", "bpe_merges", "dedup_keep_best",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
