@@ -2049,6 +2049,48 @@ def q_dsir_sample(spark, sf_dir):
     )
 
 
+def q_dsir_stream(spark, sf_dir):
+    """Streaming DSIR scoring ACTUALLY RUN as a structured stream: the
+    (bucket, log_ratio) model trains offline (``dsir_ratio_table``,
+    md5 mode), then the documents table streams through
+    ``dsir_stream_score`` as multi-file micro-batches → parquet sink.
+    Per-doc scores are a pure function of (text, model), so stream
+    output equals batch scoring exactly — the oracle replays the batch
+    math and any state/batching defect surfaces as a hash mismatch."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.pipeline.sampling import dsir_ratio_table
+    from hgraphstorage_spark.streaming import dsir_stream_score
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    ratios = dsir_ratio_table(docs, target, n_buckets=512, hash_mode="md5").cache()
+    ratios.count()
+    tmp = tempfile.mkdtemp(prefix="hgs_dsir_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/docs")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/docs")
+        )
+        q = dsir_stream_score(
+            stream, ratios, f"{tmp}/ckpt", f"{tmp}/scores", n_buckets=512, hash_mode="md5"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(f"{tmp}/scores").select("doc_id", "n_grams", "log_weight")
+        result = _canon(out, "log_weight")
+        result = spark.createDataFrame(result.collect(), result.schema)
+    finally:
+        ratios.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training step: the top-20 BPE merge candidates
     (Sennrich 2016) — corpus-frequency-weighted adjacent symbol-pair
@@ -2456,6 +2498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,
         "event_transitions": q_event_transitions,
+        # r5: streaming DSIR scoring (real structured stream; oracle
+        # replays the batch math — stream==batch is the contract)
+        "dsir_stream": q_dsir_stream,
         # r5 late rotation: the r1-stable query-step/traversal rows whose
         # window slots now carry the round-5 operators (all still
         # oracle-compared every pytest run)
@@ -4760,6 +4805,9 @@ def oracle_sql() -> dict[str, str]:
     sql["dsir_weights"] = (
         _dsir_core + "SELECT doc_id, n_grams, lw::VARCHAR AS log_weight FROM wts"
     )
+    # streaming scorer: per-doc scores are a pure function of
+    # (text, model), so the stream replays the identical batch math
+    sql["dsir_stream"] = sql["dsir_weights"]
     sql["dsir_sample"] = (
         _dsir_core
         + r"""

@@ -622,29 +622,43 @@ def dsir_weights(
     bucket, decimal). The raw-model pass and the scoring pass share the
     same exploded frame.
     """
-    from hgraphstorage_spark.pipeline.dedup import md5_long
     from hgraphstorage_spark.pipeline.state import track
-
-    def bucketed(frame: DataFrame) -> DataFrame:
-        grams = _dsir_ngrams(frame, text_col, id_col)
-        h = (
-            md5_long(F.col("gram"), F.lit(salt))
-            if hash_mode == "md5"
-            else F.xxhash64(F.col("gram"), F.lit(salt))
-        )
-        # project the gram STRING away immediately: everything downstream
-        # (counts, totals, scoring join) needs only the 8-byte bucket
-        return grams.select("doc_id", F.pmod(h, F.lit(n_buckets)).alias("bucket"))
 
     # persisted: raw feeds its bucket counts, its gram total AND the final
     # scoring join; tgt feeds counts + total — one tokenize pass each
-    raw = track(bucketed(docs))
-    tgt = track(bucketed(target_docs))
+    raw = track(_dsir_bucketed(docs, text_col, id_col, salt, hash_mode, n_buckets))
+    tgt = track(_dsir_bucketed(target_docs, text_col, id_col, salt, hash_mode, n_buckets))
+    ratios = _dsir_ratios(raw, tgt, n_buckets)
+    return _dsir_score_bucketed(raw, ratios)
+
+
+def _dsir_bucketed(
+    frame: DataFrame, text_col: str, id_col: str, salt: str, hash_mode: str, n_buckets: int
+) -> DataFrame:
+    """(doc_id, bucket) — one row per gram occurrence, gram hashed into
+    ``n_buckets``. The gram STRING is projected away immediately:
+    everything downstream (counts, totals, scoring join) needs only the
+    8-byte bucket."""
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    grams = _dsir_ngrams(frame, text_col, id_col)
+    h = (
+        md5_long(F.col("gram"), F.lit(salt))
+        if hash_mode == "md5"
+        else F.xxhash64(F.col("gram"), F.lit(salt))
+    )
+    return grams.select("doc_id", F.pmod(h, F.lit(n_buckets)).alias("bucket"))
+
+
+def _dsir_ratios(raw: DataFrame, tgt: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, log_ratio DECIMAL(18,6)) from two bucketed gram frames:
+    add-one-smoothed log p_target(bucket) - log p_raw(bucket), rounded
+    to 6 decimals so downstream per-doc sums are exact DECIMAL."""
     raw_counts = raw.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt_counts = tgt.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     raw_total = raw.agg(F.count(F.lit(1)).alias("tr"))
     tgt_total = tgt.agg(F.count(F.lit(1)).alias("tt"))
-    ratios = (
+    return (
         raw_counts.join(tgt_counts, "bucket", "full_outer")
         .crossJoin(F.broadcast(raw_total))
         .crossJoin(F.broadcast(tgt_total))
@@ -659,13 +673,63 @@ def dsir_weights(
             .alias("log_ratio"),
         )
     )
+
+
+def _dsir_score_bucketed(bucketed: DataFrame, ratios: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, log_weight) — broadcast the <= n_buckets-row
+    ratio table onto the exploded gram stream, one per-doc DECIMAL sum."""
     return (
-        raw.join(F.broadcast(ratios), "bucket")
+        bucketed.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum("log_ratio").cast("decimal(18,6)").alias("log_weight"),
         )
+    )
+
+
+def dsir_ratio_table(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The OFFLINE-TRAINING half of DSIR: the (bucket, log_ratio) model
+    table alone, computed from a raw reference corpus + a target corpus
+    exactly as :func:`dsir_weights` does internally. Persist this tiny
+    frame (<= n_buckets rows) once, then score any number of NEW
+    documents — batch via :func:`dsir_score`, streams via
+    :func:`hgraphstorage_spark.streaming.dsir_stream_score` — without
+    re-reading the training corpora. The train/apply split a production
+    selection pipeline runs (score incoming crawl against a fixed
+    model), same contract as the PQ/IVF-PQ build/query split."""
+    raw = _dsir_bucketed(docs, text_col, id_col, salt, hash_mode, n_buckets)
+    tgt = _dsir_bucketed(target_docs, text_col, id_col, salt, hash_mode, n_buckets)
+    return _dsir_ratios(raw, tgt, n_buckets)
+
+
+def dsir_score(
+    docs: DataFrame,
+    ratios: DataFrame,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The APPLY half of DSIR: score documents against a FIXED
+    (bucket, log_ratio) model from :func:`dsir_ratio_table` —
+    per-doc score = exact DECIMAL sum of the log-ratios of the doc's
+    hashed gram buckets. ``salt``/``hash_mode``/``n_buckets`` must match
+    the table's training call. Pure per-doc function of (text, model):
+    the same doc gets the same score in any batch or stream slice.
+    Scale shape: tokenize + one broadcast join + per-doc partial sum —
+    no shuffle wider than (doc_id, bucket)."""
+    return _dsir_score_bucketed(
+        _dsir_bucketed(docs, text_col, id_col, salt, hash_mode, n_buckets), ratios
     )
 
 

@@ -1,4 +1,5 @@
 from hgraphstorage_spark.streaming.ingest import (
+    dsir_stream_score,
     events_tumbling_agg,
     load_events,
     mutation_stream_to_snapshots,
@@ -11,6 +12,7 @@ from hgraphstorage_spark.streaming.joins import enrich_with_dimension, interval_
 from hgraphstorage_spark.streaming.stateful import running_label_counts
 
 __all__ = [
+    "dsir_stream_score",
     "enrich_with_dimension",
     "interval_join",
     "running_label_counts",

@@ -206,3 +206,51 @@ def stream_near_dedup(
         .filter(F.col("_rn") == 1)
         .select(*out_cols)
     )
+
+
+def dsir_stream_score(
+    stream_docs: DataFrame,
+    ratios: DataFrame,
+    checkpoint_dir: str,
+    sink_path: str,
+    n_buckets: int = 8192,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+    hash_mode: str = "xxhash64",
+):
+    """Streaming DSIR scoring: apply a FIXED offline-trained
+    (bucket, log_ratio) model (``pipeline.sampling.dsir_ratio_table``)
+    to an incoming document stream — the online half of the
+    train/apply split a production selection pipeline runs (score
+    arriving crawl shards against yesterday's importance model, route
+    by score downstream).
+
+    Shape: ``foreachBatch`` — every micro-batch is a complete static
+    frame (a document is atomic within one row, so per-doc scores need
+    NO cross-batch state), and the batch scorer
+    (``pipeline.sampling.dsir_score``) runs unchanged JVM-side:
+    tokenize → bucket → broadcast-join the <= n_buckets-row model →
+    per-doc DECIMAL sum. Stream output therefore equals batch scoring
+    of the same rows EXACTLY (tested), unlike watermark-dependent
+    operators. Scores append to ``sink_path`` as parquet; delivery is
+    at-least-once on failure (foreachBatch redelivery), with batch_id
+    recorded so downstream consumers can drop replayed batches.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    from hgraphstorage_spark.pipeline.sampling import dsir_score
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        scores = dsir_score(
+            batch_df, ratios, n_buckets, text_col, id_col, salt, hash_mode
+        )
+        scores.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink_path
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

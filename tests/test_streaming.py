@@ -468,3 +468,56 @@ class TestStreamNearDedup:
         for _ in range(3):
             kept = [r["doc_id"] for r in stream_near_dedup(docs).collect()]
             assert kept == [5]
+
+
+class TestDsirStream:
+    def test_train_apply_split_equals_fused(self, spark):
+        """dsir_score over a dsir_ratio_table must reproduce dsir_weights
+        exactly — the train/apply split is a pure refactor of the fused
+        operator."""
+        from hgraphstorage_spark.pipeline import (
+            dsir_ratio_table,
+            dsir_score,
+            dsir_weights,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.filter(F.col("source") == "src0")
+        ratios = dsir_ratio_table(docs, target, n_buckets=256)
+        got = bag(dsir_score(docs, ratios, n_buckets=256))
+        want = bag(dsir_weights(docs, target, n_buckets=256))
+        assert got == want and len(got) > 0
+
+    def test_stream_scores_equal_batch(self, spark, tmpdir):
+        """Multi-micro-batch streaming scoring against a fixed ratio table
+        equals batch scoring of the same rows EXACTLY (per-doc pure
+        function; no watermark dependence), and the stream really ran as
+        more than one batch."""
+        from hgraphstorage_spark.pipeline import dsir_ratio_table, dsir_score
+        from hgraphstorage_spark.streaming import dsir_stream_score
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.filter(F.col("source") == "src0")
+        ratios = dsir_ratio_table(docs, target, n_buckets=256).cache()
+        ratios.count()
+
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/docs")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/docs")
+        )
+        q = dsir_stream_score(
+            stream, ratios, f"{tmpdir}/ckpt", f"{tmpdir}/scores", n_buckets=256
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = spark.read.parquet(f"{tmpdir}/scores")
+        assert out.select("batch_id").distinct().count() > 1
+        got = bag(out.select("doc_id", "n_grams", "log_weight"))
+        want = bag(dsir_score(docs, ratios, n_buckets=256))
+        assert got == want and len(got) > 0
+        ratios.unpersist()
