@@ -1325,6 +1325,19 @@ def q_simhash_buckets(spark, sf_dir):
     return sh.select("doc_id", "simhash")
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate PAIRS (Manku/Jain/Sarma WWW'07): band the
+    64-bit fingerprint 4×16 bits; band equality is a LOSSLESS candidate
+    filter for Hamming <= 3 (pigeonhole), one xor-popcount verifies.
+    md5 hash mode so DuckDB replays fingerprints, banding, and
+    verification bit-for-bit."""
+    from hgraphstorage_spark.pipeline.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_distance=3, hash_mode="md5"
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode: REAL pure-Python container probing (PNG/JPEG
     dimensions, WAV duration, corrupt-payload detection) over Arrow
@@ -2501,6 +2514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: streaming DSIR scoring (real structured stream; oracle
         # replays the batch math — stream==batch is the contract)
         "dsir_stream": q_dsir_stream,
+        # r5: Manku-banded SimHash near-dup pairs (lossless at d<=3)
+        "simhash_pairs": q_simhash_pairs,
         # r5 late rotation: the r1-stable query-step/traversal rows whose
         # window slots now carry the round-5 operators (all still
         # oracle-compared every pytest run)
@@ -4042,6 +4057,28 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
+    # Manku-banded near-dup pairs over the same fingerprint CTEs: band
+    # extraction (shift+mask keeps only the banded 16 bits regardless of
+    # sign fill), lossless pigeonhole blocking, xor-popcount verify
+    sql["simhash_pairs"] = (
+        "WITH fp AS ("
+        + _simhash_oracle_sql(n=4)
+        + r"""),
+        banded AS (
+          SELECT doc_id, b, (simhash >> (16 * b)) & 65535 AS bval
+          FROM fp, unnest(generate_series(0, 3)) t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+          FROM banded a JOIN banded c ON a.b = c.b AND a.bval = c.bval
+                                     AND a.doc_id < c.doc_id
+        )
+        SELECT cand.doc_a, cand.doc_b,
+               bit_count(xor(fa.simhash, fb.simhash))::BIGINT AS hamming
+        FROM cand JOIN fp fa ON cand.doc_a = fa.doc_id
+                  JOIN fp fb ON cand.doc_b = fb.doc_id
+        WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 3"""
+    )
     sql["exact_substring"] = _exact_substring_oracle_sql(n=8)
     # bloom_decontaminate: bit-for-bit replay of the md5-position Bloom
     # filter (m=2^20, k=4) over the same eval slice as `decontaminate`

@@ -1096,3 +1096,83 @@ def dedup_keep_best(
         .withColumn("keep", F.col("doc_id") == -F.col("m.negid"))
         .drop("m")
     )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS (Manku/Jain/Sarma, WWW'07 — Google's
+    web-crawl near-dup detector): band the 64-bit fingerprint into
+    ``bands`` disjoint bit ranges; by pigeonhole, any two fingerprints
+    within Hamming distance ``bands - 1`` (default 3) agree EXACTLY on
+    at least one band, so band equality is a lossless candidate filter
+    for ``hamming <= bands - 1`` — unlike probabilistic MinHash-LSH
+    recall, this blocking scheme misses nothing at the default radius.
+    Candidates verify with one xor-popcount.
+
+    Returns (doc_a, doc_b, hamming BIGINT), doc_a < doc_b, hamming <=
+    ``max_distance``. Set ``max_distance > bands - 1`` only with more
+    bands (the pigeonhole guarantee is per-band-count).
+
+    Scale shape: fingerprinting is a narrow zero-shuffle projection
+    (``simhash``); the candidate self-join keys on (band, 16-bit value)
+    — an 8-byte shuffle key, AQE-decided strategy; the verify is one
+    integer xor per candidate, no re-tokenization. Degenerate corpora
+    (many empty/boilerplate docs collapsing to one fingerprint) create
+    hot band values — ``max_band_freq`` drops band values appearing in
+    more than that many docs BEFORE the self-join (capped pairs ⊆
+    uncapped pairs, same contract as ``max_doc_freq``); real near-dup
+    groups above the cap surface through ``dedup_exact`` on the
+    fingerprint instead. ``hash_mode="md5"`` keeps the whole pipeline
+    DuckDB-replayable."""
+    if 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    from hgraphstorage_spark.pipeline.state import track
+
+    w = 64 // bands
+    mask = (1 << w) - 1
+    # persisted, not just for reuse across the three consumers: without
+    # the lineage cut, the joins' inferred isnotnull(simhash) constraint
+    # is pushed below the _parallel repartition and evaluates the FULL
+    # interpreted simhash fold per row on the single-partition scan —
+    # a >100x slowdown (same trap as InferFiltersFromGenerate in
+    # shingle_docs). The persisted frame computes each fingerprint once,
+    # in parallel.
+    fps = track(simhash(docs, text_col, id_col, n, hash_mode))
+    banded = fps.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.call_function(
+                    "shiftrightunsigned", F.col("simhash"), b * F.lit(w)
+                ).bitwiseAND(F.lit(mask)),
+            )
+        ).alias("band", "bval"),
+    )
+    if max_band_freq is not None:
+        banded = _cap_doc_freq(banded, ["band", "bval"], max_band_freq)
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bval")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bval")
+    cands = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb"))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")).cast("long"))
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )

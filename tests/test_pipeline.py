@@ -2327,3 +2327,64 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
         per_cluster.setdefault(r["cluster"], 0)
         per_cluster[r["cluster"]] += int(r["keep"])
     assert all(v == 1 for v in per_cluster.values())
+
+
+class TestSimhashNearDupPairs:
+    def test_lossless_at_pigeonhole_radius(self, spark):
+        """With 4 bands, band-equality blocking is LOSSLESS for hamming
+        <= 3 (pigeonhole): the banded operator must equal the brute-force
+        all-pairs filter exactly on real documents."""
+        from hgraphstorage_spark.pipeline.dedup import hamming64, simhash, simhash_near_dup_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(docs, max_distance=3).collect()
+        }
+        fps = simhash(docs).cache()
+        fps.count()
+        a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+        b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+        brute = (
+            a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("hamming", hamming64(F.col("sa"), F.col("sb")).cast("long"))
+            .filter(F.col("hamming") <= 3)
+        )
+        want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+        fps.unpersist()
+        assert got == want
+
+    def test_identical_docs_pair_at_zero(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import simhash_near_dup_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog again and again"),
+             (2, "the quick brown fox jumps over the lazy dog again and again"),
+             (3, "completely unrelated text about database storage engines")],
+            "doc_id long, text string",
+        )
+        rows = simhash_near_dup_pairs(docs, max_distance=3).collect()
+        assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in rows} == {(1, 2, 0)}
+
+    def test_band_freq_cap_is_subset(self, spark):
+        """Capped pairs ⊆ uncapped pairs (the hot-band mitigation only
+        removes candidates, never invents them)."""
+        from hgraphstorage_spark.pipeline.dedup import simhash_near_dup_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        uncapped = {
+            (r["doc_a"], r["doc_b"]) for r in simhash_near_dup_pairs(docs).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_near_dup_pairs(docs, max_band_freq=5).collect()
+        }
+        assert capped <= uncapped
+
+    def test_bands_must_divide_word(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import simhash_near_dup_pairs
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            simhash_near_dup_pairs(docs, bands=5)
