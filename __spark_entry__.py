@@ -1325,6 +1325,18 @@ def q_simhash_buckets(spark, sf_dir):
     return sh.select("doc_id", "simhash")
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity routing (Wenzek 2020): docs scored by mean
+    negative log-likelihood under the src0-trained add-one unigram LM,
+    each language split into head/middle/tail thirds by deterministic
+    percent_rank. The oracle replays model, scores, and split."""
+    from hgraphstorage_spark.pipeline import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    return _canon(perplexity_buckets(docs, target), "avg_nll")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-duplicate PAIRS (Manku/Jain/Sarma WWW'07): band the
     64-bit fingerprint 4×16 bits; band equality is a LOSSLESS candidate
@@ -2516,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_stream": q_dsir_stream,
         # r5: Manku-banded SimHash near-dup pairs (lossless at d<=3)
         "simhash_pairs": q_simhash_pairs,
+        # r5: CCNet perplexity head/middle/tail routing
+        "perplexity_buckets": q_perplexity_buckets,
         # r5 late rotation: the r1-stable query-step/traversal rows whose
         # window slots now carry the round-5 operators (all still
         # oracle-compared every pytest run)
@@ -4057,6 +4071,40 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
+    # CCNet perplexity bucketing: add-one unigram LM on src0, per-lang
+    # percent_rank thirds (ties broken by doc_id — deterministic)
+    sql["perplexity_buckets"] = r"""
+        WITH tk AS (
+          SELECT doc_id, lang, tok FROM (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+            FROM documents
+          ) WHERE len(tok) > 0
+        ),
+        tv AS (
+          SELECT tok, count(*) AS c FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+            FROM documents WHERE source = 'src0'
+          ) WHERE len(tok) > 0 GROUP BY tok
+        ),
+        tot AS (SELECT sum(c) AS t, count(*) AS v FROM tv),
+        pd AS (
+          SELECT tk.doc_id, tk.lang, count(*)::BIGINT AS n_tokens,
+                 CAST(round(avg(-ln((coalesce(tv.c, 0) + 1)::DOUBLE / (tot.t + tot.v))), 6)
+                      AS DECIMAL(18,6)) AS nll
+          FROM tk LEFT JOIN tv USING (tok), tot
+          GROUP BY tk.doc_id, tk.lang
+        ),
+        pr AS (
+          SELECT doc_id, lang, n_tokens, nll,
+                 percent_rank() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS p
+          FROM pd
+        )
+        SELECT doc_id, lang, n_tokens, nll::VARCHAR AS avg_nll,
+               CASE WHEN p < CAST(1 AS DOUBLE) / 3 THEN 'head'
+                    WHEN p < CAST(2 AS DOUBLE) / 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM pr"""
     # Manku-banded near-dup pairs over the same fingerprint CTEs: band
     # extraction (shift+mask keeps only the banded 16 bits regardless of
     # sign fill), lossless pigeonhole blocking, xor-popcount verify

@@ -1255,3 +1255,81 @@ def bpe_apply(
             F.sum(F.col("n") * F.col("_wt")).alias("n_tokens"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document's mean negative log-likelihood under a
+    language model trained on a TARGET corpus, then split each language
+    into head / middle / tail thirds by per-language perplexity rank —
+    the pretraining curation routing signal (CCNet trains head on
+    Wikipedia KenLM; the add-one-smoothed target unigram model is the
+    engine-native stand-in, same substitution as ``unigram_logprob``).
+    head = most target-like (lowest perplexity).
+
+    Per token: nll = -ln((c_tok + 1) / (T + V)) with c_tok the target
+    count (0 for OOV), T total target tokens, V target vocab size.
+    Docs with zero tokens produce no row (the ``bigram_logprob``
+    convention). Buckets come from ANSI ``percent_rank`` over
+    (avg_nll, id) within the language — deterministic ties, the
+    ``per_source_percent_rank`` calibration contract — so the split is
+    a pure function of the data and SQL-replayable.
+
+    Returns (doc_id, lang, n_tokens, avg_nll DECIMAL(18,6), bucket).
+
+    Scale shape: one token explode; the target vocabulary is a
+    token-keyed partial aggregate (vocabulary-sized — Heaps-sublinear
+    in corpus size) joined back onto the token stream with the strategy
+    left to AQE; the per-doc mean is a doc-keyed map-side partial; the
+    only sort is one keyed window per language (the standard
+    calibration envelope — for a corpus dominated by a single language
+    route the ranking through ``sampling._global_rank`` instead)."""
+    words = lambda c: F.explode(F.split(F.lower(F.trim(c)), WS_RE))  # noqa: E731
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        words(F.col(text_col)).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tvocab = (
+        target_docs.select(words(F.col(text_col)).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = tvocab.agg(F.sum("c").alias("t"), F.count(F.lit(1)).alias("v"))
+    scored = toks.join(tvocab, "tok", "left").crossJoin(F.broadcast(totals))
+    per_doc = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.avg(
+                -F.log(
+                    (F.coalesce("c", F.lit(0)) + 1).cast("double")
+                    / (F.col("t") + F.col("v"))
+                )
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("avg_nll"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+    pr = F.percent_rank().over(w)
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "avg_nll",
+        F.when(pr < F.lit(1.0 / 3), F.lit("head"))
+        .when(pr < F.lit(2.0 / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

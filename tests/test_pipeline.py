@@ -2388,3 +2388,45 @@ class TestSimhashNearDupPairs:
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError):
             simhash_near_dup_pairs(docs, bands=5)
+
+
+class TestPerplexityBuckets:
+    def test_thirds_and_ordering(self, spark):
+        """Every language splits into thirds ordered head <= middle <=
+        tail by avg_nll; zero-token docs produce no row; all scored docs
+        appear exactly once."""
+        from hgraphstorage_spark.pipeline import perplexity_buckets
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.filter(F.col("source") == "src0")
+        rows = perplexity_buckets(docs, target).collect()
+        assert len(rows) == docs.filter(F.length(F.trim("text")) > 0).count()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        for lang, rs in by_lang.items():
+            buckets = {b: [float(r["avg_nll"]) for r in rs if r["bucket"] == b]
+                       for b in ("head", "middle", "tail")}
+            n = len(rs)
+            if n >= 3:
+                assert all(buckets.values()), f"{lang}: empty bucket"
+                assert max(buckets["head"]) <= min(buckets["middle"]) or n < 6
+                assert max(buckets["middle"]) <= min(buckets["tail"]) or n < 6
+            assert abs(len(buckets["head"]) - n / 3) <= 1
+
+    def test_oov_scores_worse_than_target_text(self, spark):
+        """A doc of pure OOV gibberish must land at strictly higher
+        avg_nll than a doc repeating the target's most common words."""
+        from hgraphstorage_spark.pipeline import perplexity_buckets
+
+        target = spark.createDataFrame(
+            [(100, "the cat sat on the mat", "en")],
+            "doc_id long, text string, lang string",
+        )
+        docs = spark.createDataFrame(
+            [(1, "the the cat cat", "en"), (2, "zxqv wvut qqzz ppfff", "en")],
+            "doc_id long, text string, lang string",
+        )
+        got = {r["doc_id"]: r for r in perplexity_buckets(docs, target).collect()}
+        assert float(got[2]["avg_nll"]) > float(got[1]["avg_nll"])
+        assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 4
