@@ -1132,43 +1132,85 @@ def simhash_near_dup_pairs(
     groups above the cap surface through ``dedup_exact`` on the
     fingerprint instead. ``hash_mode="md5"`` keeps the whole pipeline
     DuckDB-replayable."""
+    return hamming_near_dup_pairs(
+        simhash(docs, text_col, id_col, n, hash_mode),
+        fp_col="simhash",
+        max_distance=max_distance,
+        bands=bands,
+        max_band_freq=max_band_freq,
+    )
+
+
+def hamming_near_dup_pairs(
+    fps: DataFrame,
+    fp_col: str = "fingerprint",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    bands: int = 4,
+    max_band_freq: int | None = None,
+    block_col: str | None = None,
+) -> DataFrame:
+    """The generic banded-Hamming pair core over ANY 64-bit fingerprint
+    column — SimHash words (:func:`simhash_near_dup_pairs`), image
+    dHash / audio energy hashes
+    (:func:`~hgraphstorage_spark.pipeline.multimodal.media_near_dup_pairs`),
+    or caller-supplied signatures. Same Manku pigeonhole guarantee:
+    band equality is lossless for ``hamming <= bands - 1``.
+    ``block_col`` restricts pairs to equal block values (e.g. media
+    kind, so an image dHash never pairs with a numerically-close audio
+    hash from a different signature family).
+
+    Returns (doc_a, doc_b, hamming BIGINT), doc_a < doc_b under
+    ``id_col``'s values.
+
+    Scale shape: candidate self-join keys on (block, band, 16-bit
+    value) — an 8-byte shuffle key, AQE-decided strategy; verify is
+    one integer xor per candidate. ``max_band_freq`` bounds hot-band
+    fan-out (capped ⊆ uncapped, the ``max_doc_freq`` contract)."""
     if 64 % bands:
         raise ValueError(f"bands must divide 64, got {bands}")
+    from pyspark import StorageLevel
     from hgraphstorage_spark.pipeline.state import track
 
     w = 64 // bands
     mask = (1 << w) - 1
-    # persisted, not just for reuse across the three consumers: without
-    # the lineage cut, the joins' inferred isnotnull(simhash) constraint
-    # is pushed below the _parallel repartition and evaluates the FULL
-    # interpreted simhash fold per row on the single-partition scan —
+    # persisted (unless the caller already did), not just for reuse
+    # across the three consumers: without the lineage cut, the joins'
+    # inferred isnotnull(fingerprint) constraint is pushed below any
+    # upstream repartition and re-evaluates the FULL fingerprint
+    # expression per row on the narrow pre-shuffle plan — for simhash
+    # that is the interpreted 64-bit fold on the single-partition scan,
     # a >100x slowdown (same trap as InferFiltersFromGenerate in
-    # shingle_docs). The persisted frame computes each fingerprint once,
-    # in parallel.
-    fps = track(simhash(docs, text_col, id_col, n, hash_mode))
+    # shingle_docs). Persisted, each fingerprint computes once, in
+    # parallel.
+    if fps.storageLevel == StorageLevel.NONE:
+        fps = track(fps)
+    blk = [block_col] if block_col else []
+    keys = blk + ["band", "bval"]
     banded = fps.select(
-        "doc_id",
+        F.col(id_col).alias("doc_id"),
+        *blk,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.call_function(
-                    "shiftrightunsigned", F.col("simhash"), b * F.lit(w)
+                    "shiftrightunsigned", F.col(fp_col), b * F.lit(w)
                 ).bitwiseAND(F.lit(mask)),
             )
         ).alias("band", "bval"),
     )
     if max_band_freq is not None:
-        banded = _cap_doc_freq(banded, ["band", "bval"], max_band_freq)
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bval")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bval")
+        banded = _cap_doc_freq(banded, keys, max_band_freq)
+    a = banded.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = banded.select(F.col("doc_id").alias("doc_b"), *keys)
     cands = (
-        a.join(b, ["band", "bval"])
+        a.join(b, keys)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    fa = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa"))
-    fb = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb"))
+    fa = fps.select(F.col(id_col).alias("doc_a"), F.col(fp_col).alias("_sa"))
+    fb = fps.select(F.col(id_col).alias("doc_b"), F.col(fp_col).alias("_sb"))
     return (
         cands.join(fa, "doc_a")
         .join(fb, "doc_b")

@@ -849,6 +849,46 @@ def media_fingerprints(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FINGERPRINT_SCHEMA)
 
 
+def media_near_dup_pairs(
+    media: DataFrame,
+    max_distance: int = 3,
+    bands: int = 4,
+    max_band_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate MEDIA pairs: perceptual fingerprints
+    (:func:`media_fingerprints` — image dHash over decoded pixels,
+    audio energy signature over PCM frames) through the generic
+    banded-Hamming pair core (``dedup.hamming_near_dup_pairs``, Manku
+    WWW'07 pigeonhole blocking — lossless at hamming <= bands-1).
+    Pairs form only within the same ``kind`` (image dHash never pairs
+    with a numerically-close audio hash); undecodable payloads
+    (fp_ok=false) never pair. Near-dup images = re-encodes, resizes,
+    minor edits of the same picture — the image-side analogue of text
+    MinHash dedup.
+
+    Returns (media_a, media_b, hamming BIGINT), media_a < media_b.
+
+    Scale shape: fingerprinting is one Arrow-batched mapInPandas pass;
+    everything after is integer-keyed joins on 8-byte band keys — no
+    pixel data ever shuffles."""
+    from hgraphstorage_spark.pipeline.dedup import hamming_near_dup_pairs
+
+    fps = media_fingerprints(media).filter(F.col("fp_ok"))
+    return (
+        hamming_near_dup_pairs(
+            fps,
+            fp_col="fingerprint",
+            id_col="media_id",
+            max_distance=max_distance,
+            bands=bands,
+            max_band_freq=max_band_freq,
+            block_col="kind",
+        )
+        .withColumnRenamed("doc_a", "media_a")
+        .withColumnRenamed("doc_b", "media_b")
+    )
+
+
 AUDIO_SPECTRAL_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -2430,3 +2430,68 @@ class TestPerplexityBuckets:
         got = {r["doc_id"]: r for r in perplexity_buckets(docs, target).collect()}
         assert float(got[2]["avg_nll"]) > float(got[1]["avg_nll"])
         assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 4
+
+
+class TestMediaNearDup:
+    def test_duplicate_images_pair_cross_kind_never(self, spark):
+        """Identical BMP payloads pair at hamming 0; image fingerprints
+        never pair with audio rows even if numerically close; undecodable
+        payloads never appear."""
+        from hgraphstorage_spark.pipeline.multimodal import (
+            MEDIA_SCHEMA,
+            bmp_bytes,
+            media_near_dup_pairs,
+            wav_bytes,
+        )
+
+        rows = [
+            {"media_id": 1, "kind": "image", "payload": bmp_bytes(32, 24),
+             "meta": {"codec": "bmp", "width": 32, "height": 24, "duration_ms": None}},
+            {"media_id": 2, "kind": "image", "payload": bmp_bytes(32, 24),
+             "meta": {"codec": "bmp", "width": 32, "height": 24, "duration_ms": None}},
+            {"media_id": 3, "kind": "image", "payload": bmp_bytes(40, 30, pixel_fn=lambda x, y: (255 - x, y, x)),
+             "meta": {"codec": "bmp", "width": 40, "height": 30, "duration_ms": None}},
+            {"media_id": 4, "kind": "audio", "payload": wav_bytes(4000, pattern=True),
+             "meta": {"codec": "wav", "width": None, "height": None, "duration_ms": 4000}},
+            {"media_id": 5, "kind": "audio", "payload": wav_bytes(4000, pattern=True),
+             "meta": {"codec": "wav", "width": None, "height": None, "duration_ms": 4000}},
+            {"media_id": 6, "kind": "video", "payload": b"\x00" * 64,
+             "meta": {"codec": "h264", "width": None, "height": None, "duration_ms": 1000}},
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {(r["media_a"], r["media_b"]): r["hamming"]
+               for r in media_near_dup_pairs(media).collect()}
+        assert got.get((1, 2)) == 0          # identical images
+        assert got.get((4, 5)) == 0          # identical audio
+        assert all(not (a in (4, 5)) or (b in (4, 5)) for a, b in got)  # no cross-kind
+        assert all(6 not in p for p in got)  # undecodable video never pairs
+
+    def test_matches_brute_force_on_synthetic_media(self, spark):
+        """Banded pairs == brute-force hamming<=3 filter over the
+        decodable synthetic media fingerprints (pigeonhole losslessness,
+        media edition)."""
+        from hgraphstorage_spark.pipeline.dedup import hamming64
+        from hgraphstorage_spark.pipeline.multimodal import (
+            media_fingerprints,
+            media_near_dup_pairs,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, n=48)
+        fps = media_fingerprints(media).filter(F.col("fp_ok")).cache()
+        fps.count()
+        a = fps.select(F.col("media_id").alias("media_a"), F.col("kind").alias("ka"),
+                       F.col("fingerprint").alias("fa"))
+        b = fps.select(F.col("media_id").alias("media_b"), F.col("kind").alias("kb"),
+                       F.col("fingerprint").alias("fb"))
+        brute = (
+            a.crossJoin(b)
+            .filter((F.col("media_a") < F.col("media_b")) & (F.col("ka") == F.col("kb")))
+            .withColumn("hamming", hamming64(F.col("fa"), F.col("fb")).cast("long"))
+            .filter(F.col("hamming") <= 3)
+        )
+        want = {(r["media_a"], r["media_b"], r["hamming"]) for r in brute.collect()}
+        got = {(r["media_a"], r["media_b"], r["hamming"])
+               for r in media_near_dup_pairs(media).collect()}
+        fps.unpersist()
+        assert got == want
