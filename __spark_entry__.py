@@ -708,6 +708,23 @@ def q_label_propagation(spark, sf_dir):
     return comm.groupBy("community").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity Q of the 3-round LPA communities over the
+    location subgraph — the community-quality score; the oracle replays
+    BOTH the LPA rounds and the closed-form Q (12-decimal per-community
+    terms, exact DECIMAL sum)."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import label_propagation, modularity
+
+    snap = _graph(spark, sf_dir)
+    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
+    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
+    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    comm = label_propagation(sub, max_iter=3)
+    return _canon(modularity(sub, comm), "modularity")
+
+
 def q_graph_summary(spark, sf_dir):
     """Compressed driver-checkable evidence for the iterative graph
     analytics: one (metric, value) scalar per algorithm — connected
@@ -1906,6 +1923,30 @@ def q_source_calibrated(spark, sf_dir):
     return _canon(per_source_percent_rank(_t(spark, sf_dir, "documents"), "n_chars"), "pct_rank")
 
 
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation over the lineitem numeric columns in
+    one partial-agg pass; exact-decimal co-moment sums make the
+    closed-form corr a pure function of the data."""
+    from hgraphstorage_spark.functions.stats import correlation_matrix
+
+    return _canon(
+        correlation_matrix(
+            _t(spark, sf_dir, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        "corr",
+    )
+
+
+def q_numeric_histogram(spark, sf_dir):
+    """Equi-width 12-bin histogram of events.value — 1-row bounds
+    aggregate broadcast back, bin-keyed count; pure-double bin edges
+    replay identically in SQL."""
+    from hgraphstorage_spark.functions.stats import numeric_histogram
+
+    return numeric_histogram(_t(spark, sf_dir, "events"), "value", n_bins=12)
+
+
 def q_table_profile(spark, sf_dir):
     """ANALYZE-style profile of orders (nulls, exact distinct, min/max
     per column, long format) — one wide partial-aggregated pass."""
@@ -2521,6 +2562,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "table_profile": q_table_profile,
         "fk_check": q_fk_check,
+        # r5: profiling family additions
+        "corr_matrix": q_corr_matrix,
+        "numeric_histogram": q_numeric_histogram,
+        # r5: community-quality score over the LPA partition
+        "modularity": q_modularity,
         "source_calibrated": q_source_calibrated,
         "event_transitions": q_event_transitions,
         # r5: streaming DSIR scoring (real structured stream; oracle
@@ -4026,6 +4072,44 @@ def _lpa_oracle_sql(rounds: int) -> str:
     )
 
 
+def _modularity_oracle_sql(rounds: int) -> str:
+    """Newman Q over the LPA(rounds) communities: reuse the LPA CTE chain
+    (via the e/und/l{r} names inside `_lpa_oracle_sql`'s text), then the
+    closed-form with 12-decimal per-community terms summed as exact
+    DECIMAL — identical IEEE inner ops to analytics.modularity."""
+    lpa = _lpa_oracle_sql(rounds)
+    ctes = lpa[len("WITH ") : lpa.rindex("\nSELECT")]
+    return (
+        "WITH "
+        + ctes
+        + f""",
+        m AS (SELECT count(*)::BIGINT AS m FROM e),
+        lc AS (
+          SELECT ca.community, count(*)::BIGINT AS l
+          FROM e JOIN l{rounds} ca ON e.src = ca.id
+                 JOIN l{rounds} cb ON e.dst = cb.id
+          WHERE ca.community = cb.community GROUP BY ca.community
+        ),
+        deg AS (SELECT a AS id, count(*)::BIGINT AS d FROM und GROUP BY a),
+        dc AS (
+          SELECT l{rounds}.community, sum(coalesce(deg.d, 0))::BIGINT AS dsum
+          FROM l{rounds} LEFT JOIN deg ON l{rounds}.id = deg.id
+          GROUP BY l{rounds}.community
+        ),
+        terms AS (
+          SELECT CAST(round(
+                   coalesce(lc.l, 0)::DOUBLE / m.m::DOUBLE
+                 - (dc.dsum::DOUBLE / (2.0 * m.m::DOUBLE))
+                 * (dc.dsum::DOUBLE / (2.0 * m.m::DOUBLE)), 12)
+                 AS DECIMAL(28,12)) AS t
+          FROM dc LEFT JOIN lc USING (community), m
+        )
+        SELECT count(*)::BIGINT AS n_communities,
+               CAST(round(sum(t), 6) AS DECIMAL(18,6))::VARCHAR AS modularity
+        FROM terms"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_base()
     # alternative implementations of the same semantics share the primary
@@ -4036,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
     sql["k_core"] = _k_core_oracle_sql(3, 6)
     sql["k_truss"] = _k_truss_oracle_sql(k=4, rounds=4)
     sql["label_propagation"] = _lpa_oracle_sql(3)
+    sql["modularity"] = _modularity_oracle_sql(3)
     sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
     sql["dedup_keep_best"] = (
         "WITH "
@@ -4377,6 +4462,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_orderkey FROM bad
         WHERE l_orderkey IS NOT NULL
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = bad.l_orderkey)
+    """
+    # correlation matrix: identical exact-decimal co-moment sums feed the
+    # identical closed-form in doubles; listwise NULL deletion both sides
+    _corr_pairs = [
+        ("l_discount", "l_extendedprice"),
+        ("l_discount", "l_quantity"),
+        ("l_discount", "l_tax"),
+        ("l_extendedprice", "l_quantity"),
+        ("l_extendedprice", "l_tax"),
+        ("l_quantity", "l_tax"),
+    ]
+    _d6 = lambda c: f"CAST(round({c}::DOUBLE, 6) AS DECIMAL(18,6))"  # noqa: E731
+    _corr_one = (
+        lambda a, b: f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"CAST(round((n::DOUBLE * p_{a}_{b}::DOUBLE - s_{a}::DOUBLE * s_{b}::DOUBLE) / "
+        f"nullif(sqrt(n::DOUBLE * p_{a}_{a}::DOUBLE - s_{a}::DOUBLE * s_{a}::DOUBLE) * "
+        f"sqrt(n::DOUBLE * p_{b}_{b}::DOUBLE - s_{b}::DOUBLE * s_{b}::DOUBLE), 0.0), 6) "
+        f"AS DECIMAL(18,6))::VARCHAR AS corr FROM w"
+    )
+    _corr_cols = sorted({c for p in _corr_pairs for c in p})
+    sql["corr_matrix"] = (
+        "WITH clean AS (SELECT * FROM lineitem WHERE "
+        + " AND ".join(f"{c} IS NOT NULL" for c in _corr_cols)
+        + "), w AS (SELECT count(*) AS n, "
+        + ", ".join(f"sum({_d6(c)}) AS s_{c}" for c in _corr_cols)
+        + ", "
+        + ", ".join(
+            # operands widen to (19,6) so DuckDB's product type is
+            # (38,12) — int128 arithmetic — instead of overflowing the
+            # (36,12) int64 path; the VALUES are identical to Spark's
+            # (18,6)x(18,6) decimal products
+            f"sum(CAST({_d6(a)} AS DECIMAL(19,6)) * CAST({_d6(b)} AS DECIMAL(19,6))) AS p_{a}_{b}"
+            for i, a in enumerate(_corr_cols)
+            for b in _corr_cols[i:]
+        )
+        + " FROM clean) "
+        + " UNION ALL ".join(_corr_one(a, b) for a, b in _corr_pairs)
+    )
+    sql["numeric_histogram"] = r"""
+        WITH b AS (
+          SELECT min(value::DOUBLE) AS lo, max(value::DOUBLE) AS hi
+          FROM events WHERE value IS NOT NULL
+        ),
+        binned AS (
+          SELECT CASE WHEN b.hi = b.lo THEN 1
+                      ELSE least(12, (floor((value::DOUBLE - b.lo) * 12 / (b.hi - b.lo)) + 1)::INT)
+                 END AS bin, b.lo, b.hi
+          FROM events, b WHERE value IS NOT NULL
+        )
+        SELECT bin,
+               round(lo + (bin - 1) * ((hi - lo) / 12), 6) AS lo_edge,
+               round(lo + bin * ((hi - lo) / 12), 6) AS hi_edge,
+               count(*)::BIGINT AS n
+        FROM binned GROUP BY bin, lo, hi
     """
     sql["stopword_stats"] = r"""
         WITH t AS (

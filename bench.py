@@ -89,12 +89,19 @@ def _fast_variants() -> dict:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return dsir_sample(docs, docs.filter(_F.col("source") == "src0"), k=50, n_buckets=512)
 
+    from hgraphstorage_spark.pipeline.dedup import simhash_near_dup_pairs
+
+    def simhash_pairs_fast(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return simhash_near_dup_pairs(docs, max_distance=3)  # xxhash64
+
     return {
         "minhash_lsh_pairs_fast": minhash_fast,
         "embed_near_dup_lsh_fast": embed_lsh_fast,
         "exact_substring_fast": exact_substring_fast,
         "dsir_weights_fast": dsir_weights_fast,
         "dsir_sample_fast": dsir_sample_fast,
+        "simhash_pairs_fast": simhash_pairs_fast,
     }
 
 
@@ -127,7 +134,14 @@ R5_OPS = [
     "dsir_sample_fast",
     "dsir_weights",
     "bpe_merges",
+    "simhash_pairs_fast",
+    "perplexity_buckets",
 ]
+# dedup_keep_best is omitted for the same reason as containment_pairs: its
+# driver query feeds the keeper argmax (itself one cluster-keyed partial
+# agg, cheap) from the EXACT ngram-Jaccard pair diagnostic, which is
+# collision-quadratic by design (35 s at sf0.1, all in pair generation —
+# the production path feeds it from minhash_lsh_pairs, already timed).
 
 
 def _execute(df) -> None:

@@ -1088,3 +1088,67 @@ def diameter_estimate(
         [(seed, peripheral, far, int(d2))],
         "seed_id long, peripheral_id long, far_id long, diameter_estimate int",
     )
+
+
+def modularity(snap: GraphSnapshot, communities: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment (Newman & Girvan
+    2004) over the UNDIRECTED view of the snapshot's edges — the quality
+    score that turns ``label_propagation`` / ``connected_components`` /
+    ``kmeans``-style partitions into a comparable number (Q ≈ 0: no
+    better than random; Q > 0.3: strong structure).
+
+        Q = Σ_c [ l_c / m − (d_c / 2m)² ]
+
+    with m the stored-edge count, l_c the intra-community edge count,
+    d_c the community's (in+out) degree sum. ``communities`` is
+    (id, community); nodes absent from any edge contribute degree 0.
+
+    Determinism: every per-community term rounds to 12 decimals and
+    sums as exact DECIMAL (order-independent — a plain double Σ over
+    communities would depend on partitioning), then rounds to 6; the
+    inner arithmetic is identical IEEE double ops in any engine, so the
+    score is SQL-replayable.
+
+    Returns one row (n_communities, modularity DECIMAL(18,6)).
+
+    Shape at scale: two id-keyed joins to tag edge endpoints, one
+    union-degree aggregate, two community-keyed partial aggs, and the
+    1-row edge count broadcast — no window, no collect."""
+    e = snap.edges.select("src", "dst")
+    m_frame = e.agg(F.count(F.lit(1)).alias("_m"))
+    comm = communities.select("id", "community")
+    ca = comm.select(F.col("id").alias("src"), F.col("community").alias("_ca"))
+    cb = comm.select(F.col("id").alias("dst"), F.col("community").alias("_cb"))
+    lc = (
+        e.join(ca, "src")
+        .join(cb, "dst")
+        .filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("_l"))
+    )
+    und = e.select(F.col("src").alias("id")).unionAll(e.select(F.col("dst").alias("id")))
+    deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("_d"))
+    dc = (
+        comm.join(deg, "id", "left")
+        .groupBy("community")
+        .agg(F.sum(F.coalesce("_d", F.lit(0))).alias("_dsum"))
+    )
+    md = F.col("_m").cast("double")
+    terms = (
+        dc.join(lc, "community", "left")
+        .crossJoin(F.broadcast(m_frame))
+        .select(
+            F.round(
+                F.coalesce("_l", F.lit(0)).cast("double") / md
+                - (F.col("_dsum").cast("double") / (F.lit(2.0) * md))
+                * (F.col("_dsum").cast("double") / (F.lit(2.0) * md)),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("_t"),
+        )
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.round(F.sum("_t"), 6).cast("decimal(18,6)").alias("modularity"),
+    )

@@ -148,3 +148,101 @@ def fk_violations(
         child_key,
         "left_anti",
     )
+
+
+def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation over numeric columns — the
+    feature-redundancy screen run before any modeling / mixing-weight
+    work — in ONE partial-aggregated pass (no shuffle wider than one
+    row per partition).
+
+    Determinism contract: every input rounds to 6 decimals and casts to
+    DECIMAL(18,6); all co-moment sums (Σx, Σx², Σxy) run as EXACT
+    decimal addition — order-independent, so the closed-form
+    corr = (nΣxy − ΣxΣy) / √(nΣx² − (Σx)²) / √(nΣy² − (Σy)²)
+    computed from those sums is a pure function of the data and
+    replays bit-for-bit in SQL. Rows with a NULL in ANY of ``columns``
+    are excluded (listwise deletion) so one co-moment pass serves every
+    pair; corr is NULL for a zero-variance column (SQL NULL division).
+
+    Returns (col_a, col_b, corr DECIMAL(18,6)), col_a < col_b
+    lexicographically."""
+    cols = list(columns)
+    clean = df.dropna(subset=cols)
+    dec = lambda c: F.round(F.col(c).cast("double"), 6).cast("decimal(18,6)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(dec(c)).alias(f"_s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum((dec(a) * dec(b)).cast("decimal(38,12)")).alias(f"_p_{a}_{b}"))
+    wide = clean.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> F.Column:
+        n = F.col("_n").cast("double")
+        sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        saa = F.col(f"_p_{a}_{a}").cast("double")
+        sbb = F.col(f"_p_{b}_{b}").cast("double")
+        sab = F.col(f"_p_{a}_{b}").cast("double")
+        num = n * sab - sa * sb
+        den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        return F.round(num / F.nullif(den, F.lit(0.0)), 6).cast("decimal(18,6)")
+
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(min(a, b)).alias("col_a"),
+                F.lit(max(a, b)).alias("col_b"),
+                corr_expr(a, b).alias("corr"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return wide.select(F.explode(rows).alias("_r")).select("_r.col_a", "_r.col_b", "_r.corr")
+
+
+def numeric_histogram(df: DataFrame, column: str, n_bins: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column: a 1-row min/max
+    aggregate broadcast back onto the scan, then one bin-keyed count —
+    two narrow passes, n_bins output rows, the distribution sketch every
+    profiling dashboard draws.
+
+    bin = 1 + floor((x − lo) · n_bins / (hi − lo)) clamped into
+    [1, n_bins] (the max value lands in the last bin, the ANSI
+    width_bucket interior convention); a constant column puts every row
+    in bin 1. NULLs are excluded. Bin edges are pure double arithmetic
+    from (lo, hi) — identical IEEE ops in any engine, so the layout is
+    SQL-replayable. Returns (bin, lo_edge, hi_edge, n) for non-empty
+    bins."""
+    x = F.col(column).cast("double")
+    bounds = df.filter(x.isNotNull()).agg(
+        F.min(x).alias("_lo"), F.max(x).alias("_hi")
+    )
+    binned = (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(1))
+            .otherwise(
+                F.least(
+                    F.lit(n_bins),
+                    (F.floor((x - F.col("_lo")) * n_bins / (F.col("_hi") - F.col("_lo"))) + 1).cast("int"),
+                )
+            )
+            .alias("bin"),
+            "_lo",
+            "_hi",
+        )
+    )
+    w = (F.col("_hi") - F.col("_lo")) / n_bins
+    return (
+        binned.groupBy("bin", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.col("_lo") + (F.col("bin") - 1) * w, 6).alias("lo_edge"),
+            F.round(F.col("_lo") + F.col("bin") * w, 6).alias("hi_edge"),
+            "n",
+        )
+    )

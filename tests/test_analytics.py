@@ -582,3 +582,43 @@ class TestDiameterEstimate:
         snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
         row = diameter_estimate(snap).collect()[0]
         assert row["seed_id"] == 0 and row["diameter_estimate"] <= 0
+
+
+class TestModularity:
+    def test_two_cliques_score_high_random_split_zero(self, spark):
+        """Two disconnected triangles under their natural communities
+        score Q = 0.5 (textbook value); the all-one-community partition
+        scores exactly 0."""
+        from dataclasses import replace
+
+        from hgraphstorage_spark.analytics import modularity
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame(
+            [(i, "N") for i in range(1, 7)], "id long, label string"
+        )
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)], "src long, dst long"
+        ).withColumn("label", F.lit("e")).withColumn("id", F.monotonically_increasing_id())
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        good = spark.createDataFrame(
+            [(i, 1 if i <= 3 else 2) for i in range(1, 7)], "id long, community long"
+        )
+        r = modularity(snap, good).collect()[0]
+        assert r["n_communities"] == 2 and float(r["modularity"]) == 0.5
+        one = good.select("id", F.lit(1).alias("community"))
+        r1 = modularity(snap, one).collect()[0]
+        assert r1["n_communities"] == 1 and float(r1["modularity"]) == 0.0
+
+    def test_isolated_nodes_contribute_zero_degree(self, spark):
+        from hgraphstorage_spark.analytics import modularity
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(1, "N"), (2, "N"), (9, "N")], "id long, label string")
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long") \
+            .withColumn("label", F.lit("e")).withColumn("id", F.lit(0).cast("long"))
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        comm = spark.createDataFrame([(1, 1), (2, 1), (9, 9)], "id long, community long")
+        r = modularity(snap, comm).collect()[0]
+        # community {1,2}: l=1, d=2, m=1 -> 1/1 - (2/2)^2 = 0; community {9}: 0
+        assert r["n_communities"] == 2 and float(r["modularity"]) == 0.0

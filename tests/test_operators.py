@@ -337,3 +337,63 @@ class TestDataQuality:
         parent = spark.createDataFrame([(1,), (2,)], "pk long")
         got = [r["fk"] for r in fk_violations(child, parent, "fk", "pk").collect()]
         assert got == [9]  # NULL references nothing and violates nothing
+
+
+class TestCorrelationMatrix:
+    def test_known_correlations(self, spark):
+        from hgraphstorage_spark.functions.stats import correlation_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 2.0, -1.0, 5.0), (2.0, 4.0, -2.0, 5.0), (3.0, 6.0, -3.0, 5.0)],
+            "a double, b double, c double, d double",
+        )
+        got = {(r["col_a"], r["col_b"]): r["corr"]
+               for r in correlation_matrix(df, ["a", "b", "c", "d"]).collect()}
+        assert float(got[("a", "b")]) == 1.0      # perfectly correlated
+        assert float(got[("a", "c")]) == -1.0     # perfectly anti-correlated
+        assert got[("a", "d")] is None            # zero variance -> NULL
+        assert len(got) == 6
+
+    def test_matches_numpy_on_lineitem(self, spark):
+        import numpy as np
+
+        from hgraphstorage_spark.functions.stats import correlation_matrix
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        cols = ["l_quantity", "l_extendedprice", "l_discount"]
+        got = {(r["col_a"], r["col_b"]): float(r["corr"])
+               for r in correlation_matrix(li, cols).collect()}
+        pdf = li.select(cols).toPandas().dropna()
+        for (a, b), v in got.items():
+            ref = np.corrcoef(pdf[a], pdf[b])[0, 1]
+            assert abs(v - ref) < 1e-5, f"{a},{b}: {v} vs {ref}"
+
+    def test_null_rows_excluded_listwise(self, spark):
+        from hgraphstorage_spark.functions.stats import correlation_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (None, 100.0), (50.0, None)],
+            "a double, b double",
+        )
+        got = correlation_matrix(df, ["a", "b"]).collect()[0]
+        assert float(got["corr"]) == 1.0  # null rows never perturb the fit
+
+
+class TestNumericHistogram:
+    def test_partition_of_rows_and_monotone_edges(self, spark):
+        from hgraphstorage_spark.functions.stats import numeric_histogram
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rows = sorted(numeric_histogram(ev, "value", n_bins=12).collect(),
+                      key=lambda r: r["bin"])
+        assert sum(r["n"] for r in rows) == ev.filter(F.col("value").isNotNull()).count()
+        assert all(1 <= r["bin"] <= 12 for r in rows)
+        for x, y in zip(rows, rows[1:]):
+            assert x["bin"] < y["bin"] and x["lo_edge"] < y["lo_edge"]
+
+    def test_constant_column_single_bin(self, spark):
+        from hgraphstorage_spark.functions.stats import numeric_histogram
+
+        df = spark.createDataFrame([(7.0,)] * 5, "x double")
+        rows = numeric_histogram(df, "x", n_bins=10).collect()
+        assert len(rows) == 1 and rows[0]["bin"] == 1 and rows[0]["n"] == 5
