@@ -517,3 +517,50 @@ class TestLatestOperatorPlans:
         assert "partial_count" in plan
         assert "TakeOrderedAndProject" in plan
         assert "Exchange SinglePartition" not in plan
+
+    def test_simhash_pairs_reads_persisted_fingerprints(self, spark):
+        """The banded pair op must read the CACHED fingerprint frame in
+        every join branch — without the lineage cut, the joins' inferred
+        isnotnull(simhash) constraint re-runs the interpreted 64-bit fold
+        below the repartition on the single-partition scan (measured
+        188 s -> 8 s at sf0.001)."""
+        from hgraphstorage_spark.pipeline.dedup import simhash_near_dup_pairs
+        from hgraphstorage_spark.pipeline.state import release_tracked
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        try:
+            plan = executed_plan(simhash_near_dup_pairs(docs, max_distance=3))
+            assert "InMemoryTableScan" in plan
+            assert "CartesianProduct" not in plan
+        finally:
+            release_tracked()
+
+    def test_perplexity_buckets_window_is_lang_partitioned(self, spark):
+        """The only window runs PARTITIONED by lang (the calibration
+        envelope) — never an unpartitioned data-sized WindowExec."""
+        from hgraphstorage_spark.pipeline import perplexity_buckets
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(perplexity_buckets(docs, docs.filter(F.col("source") == "src0")))
+        assert "Window" in plan and "hashpartitioning(lang" in plan
+        # every Window node carries the lang partition spec on its own
+        # line; the single-partition exchanges in this plan feed only the
+        # 1-row totals aggregate, never a window
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "windowspecdefinition(lang" in line, line
+
+    def test_correlation_matrix_single_agg_pass_no_window(self, spark):
+        """All co-moments ride ONE partial-aggregated pass: no window, no
+        join, a single shuffle (the 1-row final aggregate)."""
+        from hgraphstorage_spark.functions.stats import correlation_matrix
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plan = executed_plan(
+            correlation_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
+        )
+        assert "Window" not in plan and "Join" not in plan
+        assert "partial_count" in plan or "partial_sum" in plan
