@@ -6,6 +6,7 @@ from hgraphstorage_spark.streaming.ingest import (
     read_event_stream,
     sessionize,
     stream_dedup,
+    stream_embed_dedup,
     stream_near_dedup,
 )
 from hgraphstorage_spark.streaming.joins import enrich_with_dimension, interval_join
@@ -17,6 +18,7 @@ __all__ = [
     "interval_join",
     "running_label_counts",
     "stream_dedup",
+    "stream_embed_dedup",
     "stream_near_dedup",
     "events_tumbling_agg",
     "load_events",

@@ -254,3 +254,59 @@ def dsir_stream_score(
         .outputMode("update")
         .start()
     )
+
+
+def stream_embed_dedup(
+    embs: DataFrame,
+    dims: int,
+    bits: int = 16,
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    seed: int = 0,
+) -> DataFrame:
+    """Streaming EMBEDDING near-duplicate suppression: one representative
+    vector per ``bits``-bit random-hyperplane signature within the
+    watermark — the embedding-space analogue of :func:`stream_near_dedup`
+    (same keeper contract: stream keeps the first arrival per signature;
+    a batch frame keeps the earliest (ts, row-hash) via a deterministic
+    window, so batch output is a pure function of the data and the two
+    agree on the signature SET always).
+
+    The signature is ``pipeline.similarity.signature_bits`` — the SAME
+    narrow zero-shuffle expression the batch LSH ops bucket on, with
+    planes derived from xxhash64(plane, dim) so no plane matrix is ever
+    stored or shipped. Two vectors at angle θ share the full signature
+    with probability (1 − θ/π)^bits: near-identical embeddings (re-runs
+    of the same content through the same encoder, θ ≈ 0) collapse with
+    high probability, genuinely different ones survive. This is
+    deliberately signature-EQUALITY dedup, the honest bounded-state
+    operator — any-of-k-band LSH recall needs a two-phase shuffle no
+    per-key streaming state can express (the ``stream_near_dedup``
+    argument); borderline pairs pass through for the batch
+    ``embedding_near_dup_lsh`` pass downstream. State: one ``bits``-bit
+    key per live signature, evicted past the watermark. All input
+    columns survive."""
+    from hgraphstorage_spark.pipeline.similarity import signature_bits
+
+    with_sig = embs.withColumn(
+        "_sig", signature_bits(F.col(vec_col), dims=dims, bits=bits, seed=seed)
+    )
+    out_cols = embs.columns
+    if with_sig.isStreaming:
+        return (
+            with_sig.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_sig"])
+            .select(*out_cols)
+        )
+    from pyspark.sql import Window
+
+    others = [F.col(c) for c in out_cols if c != ts_col]
+    w = Window.partitionBy("_sig").orderBy(
+        F.col(ts_col), *([F.xxhash64(*others)] if others else [])
+    )
+    return (
+        with_sig.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*out_cols)
+    )

@@ -521,3 +521,78 @@ class TestDsirStream:
         want = bag(dsir_score(docs, ratios, n_buckets=256))
         assert got == want and len(got) > 0
         ratios.unpersist()
+
+
+class TestStreamEmbedDedup:
+    def _embs(self, spark):
+        base = [0.5, -0.25, 1.0, 0.125, -0.75, 0.3, 0.9, -0.1]
+        near = [v * 1.0001 for v in base]             # same direction
+        far = [-v for v in base]                      # opposite direction
+        other = [1.0, 1.0, -1.0, 0.5, 0.5, -0.5, 0.25, 2.0]
+        rows = [
+            (0, "2024-01-01 00:00:00", base),
+            (1, "2024-01-01 00:05:00", near),
+            (2, "2024-01-01 00:10:00", far),
+            (3, "2024-01-01 00:15:00", other),
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, ts string, embedding array<float>"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_stream_equals_batch_signature_sets(self, spark, tmpdir):
+        from hgraphstorage_spark.streaming import stream_embed_dedup
+
+        embs = self._embs(spark)
+        embs.repartition(2).write.mode("overwrite").parquet(f"{tmpdir}/embdedup")
+        stream = (
+            spark.readStream.schema(embs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/embdedup")
+        )
+        q = (
+            stream_embed_dedup(stream, dims=8, bits=16, watermark="60 days")
+            .writeStream.format("memory")
+            .queryName("embdedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_embdedup")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r["vec_id"] for r in spark.table("embdedup_out").collect()}
+        batch_kept = {r["vec_id"] for r in stream_embed_dedup(embs, dims=8, bits=16).collect()}
+        # colinear vectors share every plane sign -> one of {0,1} kept;
+        # opposite/unrelated vectors survive; stream agrees with batch on count
+        assert len(got) == len(batch_kept) == 3
+        assert 2 in got and 3 in got and len(got & {0, 1}) == 1
+
+    def test_signature_matches_batch_lsh_bits(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import signature_bits
+        from hgraphstorage_spark.streaming import stream_embed_dedup
+
+        embs = self._embs(spark)
+        sigs = {
+            r["vec_id"]: r["s"]
+            for r in embs.select(
+                "vec_id", signature_bits(F.col("embedding"), dims=8, bits=16).alias("s")
+            ).collect()
+        }
+        kept = {r["vec_id"] for r in stream_embed_dedup(embs, dims=8, bits=16).collect()}
+        assert sigs[0] == sigs[1] != sigs[2]
+        assert kept == {0, 2, 3}  # earliest-ts keeper
+
+    def test_batch_keeper_deterministic_under_shuffle(self, spark):
+        from hgraphstorage_spark.streaming import stream_embed_dedup
+
+        v = [0.1] * 8
+        rows = [(7, "2024-01-01 02:00:00", v), (5, "2024-01-01 01:00:00", v),
+                (9, "2024-01-01 03:00:00", v)]
+        embs = (
+            spark.createDataFrame(rows, "vec_id long, ts string, embedding array<float>")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .repartition(3)
+        )
+        kept = [r["vec_id"] for r in stream_embed_dedup(embs, dims=8, bits=16).collect()]
+        assert kept == [5]
