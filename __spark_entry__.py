@@ -1342,6 +1342,21 @@ def q_simhash_buckets(spark, sf_dir):
     return sh.select("doc_id", "simhash")
 
 
+def q_content_type(spark, sf_dir):
+    """Content-type routing signals (code/markdown/quote/bullet line
+    fractions + URL count) — the structural complement to script_stats;
+    zero-shuffle line classes, ASCII regexes replayed by RE2."""
+    from hgraphstorage_spark.pipeline import content_type_stats
+
+    return _canon(
+        content_type_stats(_t(spark, sf_dir, "documents")),
+        "code_frac",
+        "header_frac",
+        "quote_frac",
+        "bullet_frac",
+    )
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity routing (Wenzek 2020): docs scored by mean
     negative log-likelihood under the src0-trained add-one unigram LM,
@@ -2576,6 +2591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         # r5: CCNet perplexity head/middle/tail routing
         "perplexity_buckets": q_perplexity_buckets,
+        # r5: structural content-type routing signals
+        "content_type": q_content_type,
         # r5 late rotation: the r1-stable query-step/traversal rows whose
         # window slots now carry the round-5 operators (all still
         # oracle-compared every pytest run)
@@ -4156,6 +4173,19 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
+    sql["content_type"] = r"""
+        WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls, text FROM documents)
+        SELECT doc_id, len(ls)::BIGINT AS n_lines,
+               CAST(round(len(list_filter(ls, x -> regexp_matches(x, '^(    |\t)|[;{}]$')))::DOUBLE
+                          / greatest(len(ls), 1), 6) AS DECIMAL(18,6))::VARCHAR AS code_frac,
+               CAST(round(len(list_filter(ls, x -> regexp_matches(x, '^#')))::DOUBLE
+                          / greatest(len(ls), 1), 6) AS DECIMAL(18,6))::VARCHAR AS header_frac,
+               CAST(round(len(list_filter(ls, x -> regexp_matches(x, '^>')))::DOUBLE
+                          / greatest(len(ls), 1), 6) AS DECIMAL(18,6))::VARCHAR AS quote_frac,
+               CAST(round(len(list_filter(ls, x -> regexp_matches(x, '^(- |\* )')))::DOUBLE
+                          / greatest(len(ls), 1), 6) AS DECIMAL(18,6))::VARCHAR AS bullet_frac,
+               (len(regexp_split_to_array(text, 'https?://')) - 1)::BIGINT AS n_urls
+        FROM l"""
     # CCNet perplexity bucketing: add-one unigram LM on src0, per-lang
     # percent_rank thirds (ties broken by doc_id — deterministic)
     sql["perplexity_buckets"] = r"""

@@ -1333,3 +1333,45 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def content_type_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-type routing signals per document — the structural
+    complement to :func:`script_stats`: before a corpus splits into
+    prose / code / markup pipelines, count the LINE-level tells. Per
+    doc: total lines, and the fraction of lines that look like code
+    (leading indent of 4+ spaces or a tab, or ending in ``;`` ``{``
+    ``}``), markdown headers (leading ``#``), blockquotes (leading
+    ``>``), bullet list items (leading ``-`` or ``*`` + space), plus
+    the URL count over the whole text (links-per-line is the classic
+    boilerplate/navigation tell).
+
+    Zero shuffle: lines split per row, every class counted with one
+    ``F.filter``/``size`` over the array — ASCII-only regexes so Java
+    and RE2/DuckDB agree byte-for-byte. Fractions round to 6 decimals;
+    an empty document reports one empty line (split contract) and zero
+    fractions.
+
+    Returns (doc_id, n_lines, code_frac, header_frac, quote_frac,
+    bullet_frac, n_urls)."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def lfrac(pattern: str):
+        n = F.size(F.filter(lines, lambda l: l.rlike(pattern)))
+        return (
+            F.round(n.cast("double") / F.greatest(F.size(lines), F.lit(1)), 6)
+            .cast("decimal(18,6)")
+        )
+
+    urls = F.size(F.split(F.col(text_col), r"https?://", -1)) - 1
+    return _parallel(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        lfrac(r"^(    |\t)|[;{}]$").alias("code_frac"),
+        lfrac(r"^#").alias("header_frac"),
+        lfrac(r"^>").alias("quote_frac"),
+        lfrac(r"^(- |\* )").alias("bullet_frac"),
+        urls.cast("long").alias("n_urls"),
+    )

@@ -2495,3 +2495,29 @@ class TestMediaNearDup:
                for r in media_near_dup_pairs(media).collect()}
         fps.unpersist()
         assert got == want
+
+
+class TestContentTypeStats:
+    def test_line_classes_and_urls(self, spark):
+        from hgraphstorage_spark.pipeline import content_type_stats
+
+        doc = "\n".join([
+            "# Title",
+            "prose line",
+            "    indented code;",
+            "\tmore code {",
+            "> a quote",
+            "- bullet one",
+            "* bullet two",
+            "see https://example.com and http://other.org",
+        ])
+        docs = spark.createDataFrame([(1, doc), (2, "")], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in content_type_stats(docs).collect()}
+        r = got[1]
+        assert r["n_lines"] == 8 and r["n_urls"] == 2
+        assert float(r["code_frac"]) == round(2 / 8, 6)
+        assert float(r["header_frac"]) == round(1 / 8, 6)
+        assert float(r["quote_frac"]) == round(1 / 8, 6)
+        assert float(r["bullet_frac"]) == round(2 / 8, 6)
+        # empty doc: one empty line (split contract), zero everything
+        assert got[2]["n_lines"] == 1 and float(got[2]["code_frac"]) == 0.0
