@@ -1375,3 +1375,49 @@ def content_type_stats(
         lfrac(r"^(- |\* )").alias("bullet_frac"),
         urls.cast("long").alias("n_urls"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer-evaluation report: per language, BPE fertility
+    (mean tokens per word) and chars per token under learned merge
+    rules — the standard check for which languages a vocabulary
+    under-serves (high fertility = more tokens per word = higher
+    training/inference cost and worse effective context for that
+    language; the number multilingual tokenizer papers tabulate).
+
+    ``merges`` as in :func:`bpe_apply`. chars counts the full document
+    text (whitespace included — the raw-bytes-per-token view a budget
+    planner wants). Ratios round to 6 decimals (DECIMAL(18,6)) from
+    exact integer sums, so the report is a pure function of the data.
+
+    Returns (lang, n_docs, n_words, n_tokens, fertility,
+    chars_per_token).
+
+    Scale shape: rides :func:`bpe_apply`'s vocabulary-sized merge folds;
+    this adds one id-keyed join and a per-language partial agg."""
+    enc = bpe_apply(docs, merges, text_col, id_col)
+    meta = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+    )
+    ratio = lambda a, b: (  # noqa: E731
+        F.round(F.sum(a).cast("double") / F.sum(b).cast("double"), 6).cast("decimal(18,6)")
+    )
+    return (
+        enc.join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            ratio("n_tokens", "n_words").alias("fertility"),
+            ratio("_chars", "n_tokens").alias("chars_per_token"),
+        )
+    )

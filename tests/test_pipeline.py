@@ -2521,3 +2521,25 @@ class TestContentTypeStats:
         assert float(r["bullet_frac"]) == round(2 / 8, 6)
         # empty doc: one empty line (split contract), zero everything
         assert got[2]["n_lines"] == 1 and float(got[2]["code_frac"]) == 0.0
+
+
+def test_tokenizer_fertility_exact_small_case(spark):
+    """Two merges on a known corpus: fertility and chars/token follow
+    from hand-computed token counts; per-language grouping holds."""
+    from hgraphstorage_spark.pipeline import bpe_train, tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower", "en"), (2, "low lowest", "en"), (3, "niedrig", "de")],
+        "doc_id long, text string, lang string",
+    )
+    merges, _vocab = bpe_train(docs, n_merges=2)
+    out = {r["lang"]: r for r in tokenizer_fertility(docs, merges).collect()}
+    en, de = out["en"], out["de"]
+    assert en["n_docs"] == 2 and de["n_docs"] == 1
+    assert en["n_words"] == 5 and de["n_words"] == 1
+    # exactness: fertility = round(n_tokens/n_words, 6) from integer sums
+    assert float(en["fertility"]) == round(en["n_tokens"] / en["n_words"], 6)
+    assert float(de["chars_per_token"]) == round(7 / de["n_tokens"], 6)
+    # 'low' appears 3x: with 2 merges learned on this corpus it must
+    # tokenize shorter than character count; fertility reflects that
+    assert en["n_tokens"] < sum(len(w) + 1 for w in "low low lower low lowest".split())
