@@ -1342,6 +1342,21 @@ def q_simhash_buckets(spark, sf_dir):
     return sh.select("doc_id", "simhash")
 
 
+def q_quality_reasons(spark, sf_dir):
+    """Audit-grade quality gate: per-doc metrics + the sorted list of
+    violated Gopher-style rules (empty = passes) — per-reason counts are
+    the threshold-tuning view. Same narrow projection as
+    quality_filter_narrow; the oracle derives reasons from the SAME rule
+    expressions."""
+    from hgraphstorage_spark.pipeline import quality_reject_reasons
+
+    return _canon(
+        quality_reject_reasons(_t(spark, sf_dir, "documents")),
+        "mean_tok_len",
+        "top_term_ratio",
+    )
+
+
 def q_content_type(spark, sf_dir):
     """Content-type routing signals (code/markdown/quote/bullet line
     fractions + URL count) — the structural complement to script_stats;
@@ -2593,6 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         # r5: structural content-type routing signals
         "content_type": q_content_type,
+        # r5: quality gate with per-rule rejection reasons
+        "quality_reasons": q_quality_reasons,
         # r5 late rotation: the r1-stable query-step/traversal rows whose
         # window slots now carry the round-5 operators (all still
         # oracle-compared every pytest run)
@@ -4173,6 +4190,37 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
+    # reasons derive from the SAME r CTE + rule expressions as
+    # quality_filter's oracle (NULL metrics drop out of the list)
+    sql["quality_reasons"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok FROM documents
+        ),
+        hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+        m AS (
+          SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_n,
+                 CAST(round(sum(n * len(tok))::DOUBLE / sum(n), 6) AS DECIMAL(18,6)) AS mean_tok_len
+          FROM hist GROUP BY doc_id
+        ),
+        r AS (
+          SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens, mean_tok_len,
+                 CAST(round(top_n::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) AS top_term_ratio
+          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               mean_tok_len::VARCHAR AS mean_tok_len,
+               top_term_ratio::VARCHAR AS top_term_ratio,
+               COALESCE(n_tokens >= 10 AND n_tokens <= 100000
+                        AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+                        AND top_term_ratio <= 0.25, FALSE) AS passes,
+               COALESCE(array_to_string(list_sort(list_filter([
+                 CASE WHEN mean_tok_len > 12.0 THEN 'mean_tok_len_high' END,
+                 CASE WHEN mean_tok_len < 2.0 THEN 'mean_tok_len_low' END,
+                 CASE WHEN n_tokens < 10 THEN 'too_few_tokens' END,
+                 CASE WHEN n_tokens > 100000 THEN 'too_many_tokens' END,
+                 CASE WHEN top_term_ratio > 0.25 THEN 'top_term_ratio_high' END
+               ], x -> x IS NOT NULL)), ','), '') AS reasons
+        FROM r"""
     sql["content_type"] = r"""
         WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls, text FROM documents)
         SELECT doc_id, len(ls)::BIGINT AS n_lines,

@@ -1421,3 +1421,56 @@ def tokenizer_fertility(
             ratio("_chars", "n_tokens").alias("chars_per_token"),
         )
     )
+
+
+def quality_reject_reasons(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_top_term_ratio: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit-grade quality gate: :func:`quality_filter_narrow`'s metrics
+    plus ``reasons`` — a sorted, comma-joined list naming every violated
+    rule (empty = passes). A bare pass/fail bit makes threshold tuning
+    blind; per-reason rejection counts are what a curation dashboard
+    plots and what turns "we dropped 12% of src3" into an explanation.
+
+    Same narrow zero-shuffle projection as the underlying filter (the
+    reasons column is pure CASE logic over already-computed metrics);
+    token-less documents have NULL length metrics and fail only the
+    ``too_few_tokens`` rule (NULL comparisons drop out of the list —
+    SQL semantics, identical in the oracle).
+
+    Returns (doc_id, n_tokens, mean_tok_len, top_term_ratio, passes,
+    reasons)."""
+    m = quality_filter_narrow(
+        docs,
+        min_tokens,
+        max_tokens,
+        min_mean_tok_len,
+        max_mean_tok_len,
+        max_top_term_ratio,
+        text_col,
+        id_col,
+    )
+    checks = [
+        ("mean_tok_len_high", F.col("mean_tok_len") > max_mean_tok_len),
+        ("mean_tok_len_low", F.col("mean_tok_len") < min_mean_tok_len),
+        ("too_few_tokens", F.col("n_tokens") < min_tokens),
+        ("too_many_tokens", F.col("n_tokens") > max_tokens),
+        ("top_term_ratio_high", F.col("top_term_ratio") > max_top_term_ratio),
+    ]
+    reasons = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(*[F.when(cond, F.lit(name)) for name, cond in checks]),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        ",",
+    )
+    return m.withColumn("reasons", reasons)

@@ -2543,3 +2543,25 @@ def test_tokenizer_fertility_exact_small_case(spark):
     # 'low' appears 3x: with 2 merges learned on this corpus it must
     # tokenize shorter than character count; fertility reflects that
     assert en["n_tokens"] < sum(len(w) + 1 for w in "low low lower low lowest".split())
+
+
+def test_quality_reject_reasons_names_each_violation(spark):
+    from hgraphstorage_spark.pipeline import quality_reject_reasons
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten ok fine"),  # passes
+            (2, "tiny doc"),                                # too few tokens
+            (3, " ".join(["sesquipedalianism"] * 20)),      # long tokens + repetition
+            (4, ""),                                        # empty: only too_few
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_reject_reasons(docs).collect()}
+    assert got[1]["passes"] and got[1]["reasons"] == ""
+    # 2 tokens, each unique: ratio 0.5 > 0.25 fires alongside the count rule
+    assert got[2]["reasons"] == "too_few_tokens,top_term_ratio_high"
+    assert got[3]["reasons"] == "mean_tok_len_high,top_term_ratio_high"
+    assert got[4]["reasons"] == "too_few_tokens" and not got[4]["passes"]
+    # invariant: reasons empty iff passes
+    assert all((r["reasons"] == "") == r["passes"] for r in got.values())
