@@ -1399,10 +1399,11 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal decode: REAL pure-Python container probing (PNG/JPEG
-    dimensions, WAV duration, corrupt-payload detection) over Arrow
-    batches of a deterministic binary media table. The oracle reconstructs
-    the expected codec/dimension/ok rows from the generator arithmetic, so
-    a wrong header writer OR parser breaks the match."""
+    dimensions, WAV duration, MP4 mvhd/tkhd duration+dimensions,
+    corrupt-payload detection) over Arrow batches of a deterministic
+    binary media table. The oracle reconstructs the expected
+    codec/dimension/ok rows from the generator arithmetic, so a wrong
+    header writer OR parser breaks the match."""
     from hgraphstorage_spark.pipeline.multimodal import probe_metadata, synthetic_media
 
     # NULL-free sentinels: unparseable payloads report codec 'none' / -1
@@ -3199,11 +3200,16 @@ FROM scored
                                      (CASE WHEN i % 6 = 0 THEN 'png'
                                            WHEN i % 12 = 9 THEN 'bmp'
                                            ELSE 'jpeg' END)
-                                 WHEN i % 3 = 1 THEN 'wav' END, 'none') AS codec,
-                   COALESCE(CASE WHEN i % 3 = 0 AND i % 15 <> 0 THEN 64 + i END, -1)::INT AS width,
-                   COALESCE(CASE WHEN i % 3 = 0 AND i % 15 <> 0 THEN 48 + i END, -1)::INT AS height,
-                   COALESCE(CASE WHEN i % 3 = 1 THEN 5000 + i * 100 END, -1)::BIGINT AS duration_ms,
-                   ((i % 3 = 0 AND i % 15 <> 0) OR i % 3 = 1) AS decode_ok
+                                 WHEN i % 3 = 1 THEN 'wav'
+                                 WHEN i % 3 = 2 AND i % 15 <> 2 THEN 'mp4' END, 'none') AS codec,
+                   COALESCE(CASE WHEN (i % 3 = 0 AND i % 15 <> 0)
+                                   OR (i % 3 = 2 AND i % 15 <> 2) THEN 64 + i END, -1)::INT AS width,
+                   COALESCE(CASE WHEN (i % 3 = 0 AND i % 15 <> 0)
+                                   OR (i % 3 = 2 AND i % 15 <> 2) THEN 48 + i END, -1)::INT AS height,
+                   COALESCE(CASE WHEN i % 3 = 1 THEN 5000 + i * 100
+                                 WHEN i % 3 = 2 AND i % 15 <> 2 THEN 5000 + i * 100 END, -1)::BIGINT AS duration_ms,
+                   ((i % 3 = 0 AND i % 15 <> 0) OR i % 3 = 1
+                    OR (i % 3 = 2 AND i % 15 <> 2)) AS decode_ok
             FROM s
         """,
         "normalize_text": """

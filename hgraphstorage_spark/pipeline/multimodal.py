@@ -124,6 +124,8 @@ def parse_media_header(payload: bytes | None) -> tuple[str, int | None, int | No
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         return ("bmp", w, abs(h), None)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        return _parse_mp4(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         # walk chunks for fmt (byte rate) + data (payload size)
         p, byte_rate, data_size = 12, None, None
@@ -139,6 +141,99 @@ def parse_media_header(payload: bytes | None) -> tuple[str, int | None, int | No
             return ("wav", None, None, data_size * 1000 // byte_rate)
         return None
     return None
+
+
+def _parse_mp4(b: bytes) -> tuple[str, int | None, int | None, int | None] | None:
+    """ISO-BMFF (MP4, ISO/IEC 14496-12) container probe: walk the box
+    tree for mvhd (timescale/duration → duration_ms) and the first tkhd
+    (16.16 fixed-point presentation width/height). Handles version 0 and
+    1 full boxes, 64-bit ``largesize`` and size-0 (to-end) boxes;
+    malformed sizes bail to None — the same never-silently-wrong tiering
+    as every other probe. No sample data is touched: this is the
+    metadata pass that prunes a 100 TB video corpus before any decode."""
+    w = h = dur = None
+    have_moov = False
+
+    def walk(start: int, end: int, depth: int) -> None:
+        nonlocal w, h, dur, have_moov
+        if depth > 4:
+            return
+        p = start
+        while p + 8 <= end:
+            (size,) = struct.unpack(">I", b[p : p + 4])
+            typ = b[p + 4 : p + 8]
+            hdr = 8
+            if size == 1:
+                if p + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", b[p + 8 : p + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - p
+            if size < hdr or p + size > end:
+                return
+            body = p + hdr
+            if typ == b"moov":
+                have_moov = True
+                walk(body, p + size, depth + 1)
+            elif typ == b"trak":
+                walk(body, p + size, depth + 1)
+            elif typ == b"mvhd" and body + 4 <= p + size:
+                ver = b[body]
+                if ver == 0 and body + 20 <= p + size:
+                    ts, du = struct.unpack(">II", b[body + 12 : body + 20])
+                elif ver == 1 and body + 32 <= p + size:
+                    (ts,) = struct.unpack(">I", b[body + 20 : body + 24])
+                    (du,) = struct.unpack(">Q", b[body + 24 : body + 32])
+                else:
+                    ts = du = 0
+                if ts:
+                    dur = du * 1000 // ts
+            elif typ == b"tkhd" and body + 4 <= p + size and w is None:
+                ver = b[body]
+                off = body + 4 + (32 if ver == 1 else 20) + 8 + 8 + 36
+                if off + 8 <= p + size:
+                    wi, he = struct.unpack(">II", b[off : off + 8])
+                    if wi and he:
+                        w, h = wi >> 16, he >> 16
+            p += size
+
+    walk(0, len(b), 0)
+    return ("mp4", w, h, dur) if have_moov else None
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def mp4_bytes(width: int, height: int, duration_ms: int, timescale: int = 1000) -> bytes:
+    """Minimal REAL ISO-BMFF skeleton (ftyp + moov[mvhd + trak[tkhd]])
+    with genuine timescale/duration and 16.16 fixed-point dimensions —
+    the test/synthetic counterpart of :func:`_parse_mp4` (a wrong writer
+    OR parser breaks their round trip)."""
+    dur = duration_ms * timescale // 1000
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x10000, 0x100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    return ftyp + _box(b"moov", mvhd + _box(b"trak", tkhd))
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -716,8 +811,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     encoder) with real pixel gradients (every 15th image is corrupt
     garbage — its declared meta lies, which the header probe must catch),
     audio rows are complete PCM WAVs with a deterministic sawtooth
-    waveform, video rows are opaque raw streams (no pure-Python container
-    to probe — decode_ok stays false, honestly)."""
+    waveform, video rows are real ISO-BMFF (MP4) skeletons with genuine
+    mvhd duration + tkhd dimensions (every 15th-from-2 video is corrupt
+    garbage; sample data is absent by design — the probe is a metadata
+    pass, pixel decode for video honestly tiers out)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -739,8 +836,10 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 payload = encode_jpeg_gray(px)
         elif kind == "audio":
             payload = wav_bytes(5000 + i * 100, pattern=True)
-        else:
+        elif i % 15 == 2:  # corrupt video: declared mp4, payload is garbage
             payload = hashlib.sha256(str(i).encode()).digest() * 4
+        else:  # real ISO-BMFF skeleton: mvhd duration + tkhd dimensions
+            payload = mp4_bytes(64 + i, 48 + i, 5000 + i * 100)
         meta = {
             "codec": {"image": "png", "audio": "wav", "video": "h264"}[kind],
             "width": 64 + i if kind != "audio" else None,

@@ -282,18 +282,18 @@ class TestMultimodal:
 
     def test_real_mode_probes_headers(self, spark):
         """Real mode: container headers parse from actual bytes — valid
-        PNG/JPEG/WAV payloads decode_ok, corrupt images and raw video
-        streams (no parser) fail honestly."""
+        PNG/JPEG/WAV/MP4 payloads decode_ok, corrupt images and corrupt
+        videos fail honestly."""
         from hgraphstorage_spark.pipeline.multimodal import extract_features, synthetic_media
 
         feats = {r["media_id"]: r for r in extract_features(synthetic_media(spark, 30), fake_decode=False).collect()}
         for i, r in feats.items():
             kind = ["image", "audio", "video"][i % 3]
-            if kind == "video" or (kind == "image" and i % 15 == 0):
+            if (kind == "image" and i % 15 == 0) or (kind == "video" and i % 15 == 2):
                 assert not r["decode_ok"], i
             else:
                 assert r["decode_ok"], i
-                if kind == "image":
+                if kind in ("image", "video"):
                     assert r["feature"][0] == float(64 + i)  # width from real header
                     assert r["feature"][1] == float(48 + i)
 
@@ -339,6 +339,11 @@ class TestMultimodal:
         assert rows[6]["codec"] == "png" and rows[6]["width"] == 70
         assert rows[3]["codec"] == "jpeg" and rows[3]["height"] == 51
         assert rows[1]["codec"] == "wav" and rows[1]["duration_ms"] == 5100
+        # videos: real ISO-BMFF probed (mvhd duration + tkhd dims); the
+        # corrupt one (i % 15 == 2) flagged
+        assert rows[5]["codec"] == "mp4" and rows[5]["width"] == 69
+        assert rows[5]["duration_ms"] == 5500 and rows[5]["decode_ok"]
+        assert not rows[2]["decode_ok"] and rows[2]["codec"] is None
 
     def test_frame_sample_plan_metadata_only(self, spark):
         from hgraphstorage_spark.pipeline.multimodal import frame_sample_plan, synthetic_media
@@ -2565,3 +2570,22 @@ def test_quality_reject_reasons_names_each_violation(spark):
     assert got[4]["reasons"] == "too_few_tokens" and not got[4]["passes"]
     # invariant: reasons empty iff passes
     assert all((r["reasons"] == "") == r["passes"] for r in got.values())
+
+
+def test_mp4_probe_round_trip_and_malformed():
+    """ISO-BMFF probe: writer/parser round trip (either side wrong breaks
+    it), truncation and missing-moov bail to None, v1 mvhd parses."""
+    import struct
+
+    from hgraphstorage_spark.pipeline.multimodal import mp4_bytes, parse_media_header
+
+    assert parse_media_header(mp4_bytes(1920, 1080, 90000)) == ("mp4", 1920, 1080, 90000)
+    b = mp4_bytes(640, 360, 12345)
+    assert parse_media_header(b[: len(b) // 2]) is None      # truncated moov
+    assert parse_media_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00") is None  # no moov
+    # version-1 mvhd (64-bit times): hand-build and confirm duration math
+    mvhd1 = struct.pack(">I", 8 + 4 + 8 + 8 + 4 + 8) + b"mvhd" + b"\x01\x00\x00\x00" \
+        + b"\x00" * 16 + struct.pack(">I", 600) + struct.pack(">Q", 1200)
+    moov = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
+    assert parse_media_header(ftyp + moov) == ("mp4", None, None, 2000)
