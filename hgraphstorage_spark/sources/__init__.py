@@ -7,6 +7,7 @@ from hgraphstorage_spark.sources.files import (
     write_jsonl,
 )
 from hgraphstorage_spark.sources.tpch_graph import load_tpch_graph, load_tables
+from hgraphstorage_spark.sources.warc import read_warc, warc_to_documents, html_to_text
 
 __all__ = [
     "compact_parquet",
@@ -17,4 +18,7 @@ __all__ = [
     "read_jsonl",
     "write_csv",
     "write_jsonl",
+    "read_warc",
+    "warc_to_documents",
+    "html_to_text",
 ]

@@ -1,0 +1,241 @@
+"""WARC (Web ARChive, ISO 28500) connector — the Common Crawl ingest
+path. A web-scale training pipeline STARTS here: crawl dumps arrive as
+``.warc`` / ``.warc.gz`` shards, and the first Spark job turns response
+records into a ``documents``-shaped table for the quality / dedup /
+selection operators downstream.
+
+Pure-Python record parsing (the format is line headers + Content-Length
+counted payload + CRLF CRLF), Arrow-batched over ``binaryFile`` rows —
+no external warc library. Gzipped shards use the Common Crawl member
+layout (one gzip member per record, concatenated): ``zlib`` decompresses
+members in a loop; a whole-file gzip stream decodes identically.
+
+Scale rules encoded here:
+
+- **WARC shards are NOT splittable** (gzip members, length-prefixed
+  records): one shard = one task. Crawl dumps ship as ~1 GB shards for
+  exactly this reason — parallelism comes from shard COUNT. The reader
+  uses ``binaryFile`` so Spark lists/distributes shards, never splits.
+- **Strip transfer headers early.** ``warc_to_documents`` drops the HTTP
+  envelope and keeps decoded text only, so downstream shuffles never
+  carry raw payload bytes.
+- The HTML→text step here is the honest regex baseline (script/style
+  drop, tag strip, entity decode, whitespace collapse); production
+  extraction quality (boilerplate removal) is ``pipeline.text
+  .boilerplate_dedup``'s job downstream.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import re
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("record_id", T.StringType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("warc_date", T.StringType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("content_length", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the Common Crawl
+    record-per-member layout; a single whole-file member is the trivial
+    case). Truncated trailing garbage raises — corrupt shards should
+    fail loudly at the shard level, not pass partial data silently."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        try:
+            out.append(d.decompress(data[pos:]))
+            out.append(d.flush())
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC shard: {e}") from e
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("corrupt gzip member in WARC shard")
+        pos += consumed
+    return b"".join(out)
+
+
+def parse_warc_records(data: bytes) -> list[dict]:
+    """Parse uncompressed WARC bytes into record dicts: header fields
+    (case-insensitive names, values as sent) + the exact
+    ``Content-Length``-counted payload. Malformed framing raises — a
+    shard either parses completely or is rejected."""
+    records = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        line_end = data.index(b"\r\n", pos)
+        version = data[pos:line_end]
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"expected WARC version line at offset {pos}")
+        pos = line_end + 2
+        headers: dict[str, str] = {}
+        while True:
+            line_end = data.index(b"\r\n", pos)
+            line = data[pos:line_end]
+            pos = line_end + 2
+            if not line:
+                break
+            name, _, value = line.partition(b":")
+            headers[name.strip().lower().decode("ascii")] = value.strip().decode(
+                "utf-8", "replace"
+            )
+        length = int(headers.get("content-length", "0"))
+        payload = data[pos : pos + length]
+        if len(payload) != length:
+            raise ValueError("truncated WARC payload")
+        pos += length
+        records.append({"headers": headers, "payload": payload})
+    return records
+
+
+def warc_bytes(records: list[dict], compress: bool = False) -> bytes:
+    """Write records as a WARC shard — the test/fixture counterpart of
+    :func:`parse_warc_records` (a wrong writer OR parser breaks their
+    round trip). Each record: dict with ``headers`` (name->value; the
+    WARC-Type/WARC-Target-URI/... fields) and ``payload`` bytes.
+    ``compress=True`` emits one gzip member PER RECORD (the Common
+    Crawl layout)."""
+    out = []
+    for rec in records:
+        payload = rec["payload"]
+        headers = dict(rec["headers"])
+        headers["Content-Length"] = str(len(payload))
+        buf = b"WARC/1.0\r\n"
+        for k, v in headers.items():
+            buf += f"{k}: {v}\r\n".encode()
+        buf += b"\r\n" + payload + b"\r\n\r\n"
+        if compress:
+            g = io.BytesIO()
+            with gzip.GzipFile(fileobj=g, mode="wb", mtime=0) as z:
+                z.write(buf)
+            buf = g.getvalue()
+        out.append(buf)
+    return b"".join(out)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC shard(s) into one row per record. ``binaryFile`` lists
+    and distributes shards (one task per shard — WARC is not
+    splittable); parsing runs Arrow-batched on executors. ``.gz``
+    shards (by name or magic) are member-decompressed first."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select(
+        F.col("path").alias("shard"), "content"
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for shard, content in zip(pdf["shard"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = _gunzip_members(data)
+                for rec in parse_warc_records(data):
+                    h = rec["headers"]
+                    rows.append(
+                        {
+                            "shard": shard,
+                            "record_id": h.get("warc-record-id"),
+                            "warc_type": h.get("warc-type"),
+                            "target_uri": h.get("warc-target-uri"),
+                            "warc_date": h.get("warc-date"),
+                            "content_type": h.get("content-type"),
+                            "content_length": int(h.get("content-length", "0")),
+                            "payload": rec["payload"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in WARC_SCHEMA.fields],
+            )
+
+    return files.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+_TAG_DROP = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
+_TAGS = re.compile(r"(?s)<[^>]+>")
+_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " "}
+
+
+def html_to_text(html: str) -> str:
+    """Baseline HTML→text: drop script/style subtrees, strip tags,
+    decode the common entities, collapse whitespace. Deliberately the
+    simple deterministic baseline (what CCNet calls the raw extraction
+    tier) — boilerplate lines are removed downstream by
+    ``pipeline.text.boilerplate_dedup``."""
+    s = _TAG_DROP.sub(" ", html)
+    s = _TAGS.sub(" ", s)
+    for k, v in _ENTITIES.items():
+        s = s.replace(k, v)
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def warc_to_documents(records: DataFrame) -> DataFrame:
+    """Response records → a ``documents``-shaped frame:
+    (doc_id, url, fetch_date, text, n_chars), with doc_id the xxhash64
+    of the (uri, date) pair — deterministic and collision-safe at crawl
+    scale. The HTTP response envelope (status line + headers, up to the
+    first blank line) is stripped; the body decodes as UTF-8 with
+    replacement; HTML bodies pass through :func:`html_to_text`.
+
+    Shape: one narrow mapInPandas over the record frame (the payload
+    column never shuffles — doc rows carry text only)."""
+    import pandas as pd
+
+    resp = records.filter(F.col("warc_type") == "response")
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            texts = []
+            for payload in pdf["payload"]:
+                body = bytes(payload)
+                if body[:5] in (b"HTTP/",):
+                    sep = body.find(b"\r\n\r\n")
+                    if sep >= 0:
+                        body = body[sep + 4 :]
+                text = body.decode("utf-8", "replace")
+                if "<" in text and ">" in text:
+                    text = html_to_text(text)
+                texts.append(text)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["target_uri"],
+                    "fetch_date": pdf["warc_date"],
+                    "text": texts,
+                }
+            )
+
+    docs = resp.mapInPandas(
+        run, schema="url string, fetch_date string, text string"
+    )
+    return docs.select(
+        F.xxhash64("url", "fetch_date").alias("doc_id"),
+        "url",
+        "fetch_date",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+    )
