@@ -1218,3 +1218,49 @@ def hamming_near_dup_pairs(
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def url_normalized(col) -> F.Column:
+    """Canonical URL form for crawl dedup — the FIRST dedup a web corpus
+    runs (two fetches of one page differ only in scheme/www/tracking
+    noise): lowercase, scheme and leading www. dropped, fragment
+    dropped, utm_*/fbclid/gclid tracking parameters dropped, dangling
+    ?/& separators and trailing slashes trimmed. Pure narrow regex
+    chain (whole-stage codegen, zero shuffle); ASCII classes so any
+    regex engine agrees."""
+    u = F.lower(F.trim(col))
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return F.regexp_replace(u, r"/+$", "")
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup on the normalized URL: one row per canonical URL,
+    keeping the earliest ``ts_col`` (re-crawls keep the first fetch;
+    ties and the no-timestamp case break on a deterministic row hash —
+    never dropDuplicates' arbitrary partition-order row). All input
+    columns survive, plus ``url_norm``.
+
+    Shape: one url_norm-keyed window (the standard keeper envelope —
+    same pattern as ``streaming.stream_near_dedup``'s batch branch);
+    URL keys are near-uniform, no skew mitigation needed."""
+    from pyspark.sql import Window
+
+    with_norm = docs.withColumn("url_norm", url_normalized(F.col(url_col)))
+    others = [F.col(c) for c in docs.columns if c != ts_col]
+    order = ([F.col(ts_col)] if ts_col else []) + (
+        [F.xxhash64(*others)] if others else []
+    )
+    w = Window.partitionBy("url_norm").orderBy(*order)
+    return (
+        with_norm.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

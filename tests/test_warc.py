@@ -8,6 +8,7 @@ import shutil
 import tempfile
 
 import pytest
+from pyspark.sql import functions as F
 
 from hgraphstorage_spark.sources.warc import (
     _gunzip_members,
@@ -130,3 +131,68 @@ class TestWarcSpark:
         # doc_id deterministic across the two shards: same (url, date) -> same id
         ids = [r["doc_id"] for r in docs if r["url"] == "http://example.com/a"]
         assert len(ids) == 2 and len(set(ids)) == 1
+
+
+class TestUrlDedup:
+    def test_normalization_rules(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import url_normalized
+
+        cases = [
+            ("https://www.Example.com/Page/?utm_source=x&a=1#frag", "example.com/page/?a=1"),
+            ("http://example.com/page?a=1&utm_campaign=y", "example.com/page?a=1"),
+            ("https://example.com/page?utm_medium=z", "example.com/page"),
+            ("example.com/dir/", "example.com/dir"),
+            ("https://example.com/?fbclid=abc", "example.com"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r["n"] for r in df.select(url_normalized(F.col("url")).alias("n")).collect()]
+        assert got == [want for _, want in cases]
+
+    def test_url_dedup_keeps_earliest_fetch(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import url_dedup
+
+        rows = [
+            (1, "https://www.site.com/a?utm_source=x", "2024-01-02"),
+            (2, "http://site.com/a", "2024-01-01"),
+            (3, "https://site.com/b", "2024-01-01"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, fetch_date string")
+        kept = {r["doc_id"]: r for r in url_dedup(docs, ts_col="fetch_date").collect()}
+        assert set(kept) == {2, 3}  # 1 and 2 collapse; earliest fetch wins
+        assert kept[2]["url_norm"] == "site.com/a"
+
+    def test_end_to_end_crawl_pipeline(self, spark, warc_dir=None):
+        """WARC shard -> documents -> url dedup -> quality reasons: the
+        full crawl ingest story on real bytes."""
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.pipeline import quality_reject_reasons
+        from hgraphstorage_spark.pipeline.dedup import url_dedup
+        from hgraphstorage_spark.sources.warc import read_warc, warc_bytes, warc_to_documents
+
+        d = tempfile.mkdtemp(prefix="hgs_crawl_")
+        try:
+            body = ("HTTP/1.1 200 OK\r\n\r\n<html><body><p>"
+                    + " ".join(f"word{i}" for i in range(40))
+                    + "</p></body></html>").encode()
+            recs = []
+            for i, (uri, date) in enumerate([
+                ("http://site.com/a", "2024-01-01T00:00:00Z"),
+                ("https://www.site.com/a?utm_source=x", "2024-01-02T00:00:00Z"),
+                ("http://site.com/b", "2024-01-01T00:00:00Z"),
+            ]):
+                recs.append({"headers": {"WARC-Type": "response",
+                                         "WARC-Record-ID": f"<urn:uuid:{i}>",
+                                         "WARC-Target-URI": uri, "WARC-Date": date,
+                                         "Content-Type": "application/http; msgtype=response"},
+                             "payload": body})
+            with open(f"{d}/crawl.warc.gz", "wb") as f:
+                f.write(warc_bytes(recs, compress=True))
+            docs = warc_to_documents(read_warc(spark, d))
+            deduped = url_dedup(docs, ts_col="fetch_date")
+            assert deduped.count() == 2  # the utm re-crawl collapsed
+            q = quality_reject_reasons(deduped)
+            assert all(r["passes"] for r in q.collect())  # 40-word prose passes
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
