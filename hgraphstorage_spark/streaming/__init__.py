@@ -10,13 +10,14 @@ from hgraphstorage_spark.streaming.ingest import (
     stream_near_dedup,
 )
 from hgraphstorage_spark.streaming.joins import enrich_with_dimension, interval_join
-from hgraphstorage_spark.streaming.stateful import running_label_counts
+from hgraphstorage_spark.streaming.stateful import running_label_counts, stream_heavy_hitters
 
 __all__ = [
     "dsir_stream_score",
     "enrich_with_dimension",
     "interval_join",
     "running_label_counts",
+    "stream_heavy_hitters",
     "stream_dedup",
     "stream_embed_dedup",
     "stream_near_dedup",

@@ -67,3 +67,75 @@ def running_label_counts(mutations: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_OUTPUT_SCHEMA = "shard INT, item STRING, count_lb BIGINT"
+HH_STATE_SCHEMA = "items ARRAY<STRING>, counts ARRAY<BIGINT>"
+
+
+def stream_heavy_hitters(
+    items: DataFrame,
+    capacity: int = 64,
+    item_col: str = "item",
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: a Misra-Gries summary
+    (Misra & Gries 1982; the Frequent algorithm) per hash shard,
+    maintained across micro-batches by ``applyInPandasWithState`` — the
+    fixed-memory answer to "which domains / event types / tokens
+    dominate this stream?" when exact per-key streaming counts would
+    grow state without bound.
+
+    Guarantee (classic): within a shard that has seen N items, every
+    reported ``count_lb`` satisfies true − N/(capacity+1) <= count_lb <=
+    true, and any item with true frequency > N/(capacity+1) is present.
+    With fewer distinct items than ``capacity`` the counts are EXACT —
+    which is what the stream==batch parity test pins.
+
+    Scale shape: items hash into ``shards`` state groups so summaries
+    update in parallel (state per shard = ``capacity`` (item, count)
+    pairs, constant); each micro-batch pre-aggregates Arrow-side
+    (``value_counts``) before touching the summary. Batch frames return
+    exact per-shard counts (the parity twin). Emits the full current
+    summary per shard per micro-batch (update mode)."""
+    tagged = items.select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(shards)).cast("int").alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    if not items.isStreaming:
+        return tagged.groupBy("shard", "item").agg(
+            F.count(F.lit(1)).cast("long").alias("count_lb")
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            it, ct = state.get
+            summary = dict(zip(it, ct))
+        else:
+            summary = {}
+        for pdf in pdf_iter:
+            for item, w in pdf["item"].value_counts().items():
+                summary[item] = summary.get(item, 0) + int(w)
+                if len(summary) > capacity:
+                    m = min(summary.values())
+                    summary = {k2: v - m for k2, v in summary.items() if v > m}
+        state.update((list(summary.keys()), [int(v) for v in summary.values()]))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(summary),
+                "item": list(summary.keys()),
+                "count_lb": [int(v) for v in summary.values()],
+            }
+        )
+
+    return tagged.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=HH_OUTPUT_SCHEMA,
+        stateStructType=HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -596,3 +596,73 @@ class TestStreamEmbedDedup:
         )
         kept = [r["vec_id"] for r in stream_embed_dedup(embs, dims=8, bits=16).collect()]
         assert kept == [5]
+
+
+class TestStreamHeavyHitters:
+    def test_under_capacity_stream_counts_exact(self, spark, tmpdir):
+        """Distinct items < capacity => Misra-Gries never decrements and
+        the final streamed summary equals the exact batch counts."""
+        from hgraphstorage_spark.streaming import stream_heavy_hitters
+
+        rows = [(f"item{i % 5}",) for i in range(200)]
+        batch = spark.createDataFrame(rows, "item string")
+        batch.repartition(3).write.mode("overwrite").parquet(f"{tmpdir}/hh")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/hh")
+        )
+        q = (
+            stream_heavy_hitters(stream, capacity=16, shards=4)
+            .writeStream.format("memory")
+            .queryName("hh_out")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_hh")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # LAST emission per (shard, item) is the final summary
+        import pandas as pd  # noqa: F401
+
+        pdf = spark.table("hh_out").toPandas()
+        final = pdf.groupby(["shard", "item"]).last().reset_index()
+        got = {(r.shard, r.item): r.count_lb for r in final.itertuples()}
+        want = {
+            (r["shard"], r["item"]): r["count_lb"]
+            for r in stream_heavy_hitters(batch, capacity=16, shards=4).collect()
+        }
+        assert got == want and sum(want.values()) == 200
+
+    def test_over_capacity_undercount_bound(self, spark, tmpdir):
+        """capacity=2 with a dominant item: the heavy item survives and
+        count_lb <= true <= count_lb + N/(capacity+1) per shard."""
+        from hgraphstorage_spark.streaming import stream_heavy_hitters
+
+        rows = [("big",)] * 60 + [(f"rare{i}",) for i in range(30)]
+        batch = spark.createDataFrame(rows, "item string")
+        batch.coalesce(1).write.mode("overwrite").parquet(f"{tmpdir}/hh2")
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/hh2")
+        )
+        q = (
+            stream_heavy_hitters(stream, capacity=2, shards=1)
+            .writeStream.format("memory")
+            .queryName("hh2_out")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_hh2")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pdf = spark.table("hh2_out").toPandas()
+        final = pdf.groupby(["shard", "item"]).last().reset_index()
+        got = {r.item: r.count_lb for r in final.itertuples()}
+        assert "big" in got                      # any item > N/(k+1) must survive
+        assert got["big"] <= 60 <= got["big"] + 90 // 3
