@@ -2444,9 +2444,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_summary": q_streaming_summary,
         "retention_cohorts": q_retention_cohorts,
         "pagerank": q_pagerank,
-        "personalized_pagerank": q_personalized_pagerank,
-        "link_prediction": q_link_prediction,
-        "harmonic_centrality": q_harmonic_centrality,
+        # r5 second rotation: personalized_pagerank / link_prediction /
+        # harmonic_centrality move past the window — their families stay
+        # driver-hashed via pagerank + graph_summary (which compresses
+        # every analytics algorithm to a checked scalar) — and their
+        # slots carry three second-half r5 operators
+        "simhash_pairs": q_simhash_pairs,
+        "perplexity_buckets": q_perplexity_buckets,
+        "quality_reasons": q_quality_reasons,
         # -- SURVEY §2 reference-surface core + r4/r5 rotation (13-31) --
         # r5 window refresh (VERDICT r4 task 1): scan_nodes_by_label /
         # filter_relations / list_properties / traversal_in /
@@ -2481,7 +2486,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_dedup": q_boilerplate_dedup,
         "bpe_merges": q_bpe_merges,
         "dedup_keep_best": q_dedup_keep_best,
-        "betweenness": q_betweenness,
+        # betweenness: driver-hashed green in r4+r5; its slot carries the
+        # content-type routing signals (betweenness stays pytest-oracled
+        # and inside graph_summary's checked scalar)
+        "content_type": q_content_type,
         "index_build": q_index_build,
         # index_lookup is subsumed by index_build + index_prefix coverage
         # (and stays pytest-oracled); its slot carries the r4 PQ ANN
@@ -2603,14 +2611,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: streaming DSIR scoring (real structured stream; oracle
         # replays the batch math — stream==batch is the contract)
         "dsir_stream": q_dsir_stream,
-        # r5: Manku-banded SimHash near-dup pairs (lossless at d<=3)
-        "simhash_pairs": q_simhash_pairs,
-        # r5: CCNet perplexity head/middle/tail routing
-        "perplexity_buckets": q_perplexity_buckets,
-        # r5: structural content-type routing signals
-        "content_type": q_content_type,
-        # r5: quality gate with per-rule rejection reasons
-        "quality_reasons": q_quality_reasons,
+        # r5 second rotation: driver-hashed-green graph rows whose window
+        # slots now carry the second-half r5 operators (all still
+        # oracle-compared every pytest run; graph_summary keeps their
+        # algorithms under the driver hash)
+        "personalized_pagerank": q_personalized_pagerank,
+        "link_prediction": q_link_prediction,
+        "harmonic_centrality": q_harmonic_centrality,
+        "betweenness": q_betweenness,
         # r5 late rotation: the r1-stable query-step/traversal rows whose
         # window slots now carry the round-5 operators (all still
         # oracle-compared every pytest run)
