@@ -207,3 +207,47 @@ def test_embed_lsh_modes_statistical_agreement(spark):
     ratio = len(xx) / len(md5)
     assert 0.5 <= ratio <= 2.0, (len(xx), len(md5))
     assert len(xx & md5) > 0
+
+
+def test_simhash_pairs_modes_agree_20k_docs(spark):
+    """Large-N evidence for the banded SimHash pair op at ~20k docs.
+    Unlike MinHash (whose exact-Jaccard verify is mode-independent),
+    SimHash's fingerprint IS the metric, so near-threshold pairs
+    legitimately differ between hash families — the invariants that must
+    hold are: (1) every planted EXACT-duplicate pair (identical text ⇒
+    identical shingle set ⇒ hamming 0 in any family) is found by BOTH
+    modes, and (2) the near-dup pair populations are the same order of
+    magnitude."""
+    from hgraphstorage_spark.pipeline.dedup import simhash_near_dup_pairs
+    from hgraphstorage_spark.pipeline.state import release_tracked
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    # two IDENTICAL copies per doc (ids 2k, 2k+1) + the variant families
+    twins = docs.crossJoin(spark.range(2).select(F.col("id").alias("_v"))).select(
+        (F.col("doc_id") * 2 + F.col("_v")).alias("doc_id"), "text"
+    )
+    planted = {
+        (2 * r["doc_id"], 2 * r["doc_id"] + 1)
+        for r in docs.select("doc_id").collect()
+        if r["doc_id"] is not None
+    }
+    variants = _variant_corpus(spark, copies=4)
+    try:
+        for corpus, expect_planted in ((twins, True), (variants, False)):
+            xx = {
+                (r.doc_a, r.doc_b)
+                for r in simhash_near_dup_pairs(corpus, max_distance=3).collect()
+            }
+            md5 = {
+                (r.doc_a, r.doc_b)
+                for r in simhash_near_dup_pairs(
+                    corpus, max_distance=3, hash_mode="md5"
+                ).collect()
+            }
+            if expect_planted:
+                assert planted <= xx and planted <= md5
+            else:
+                assert len(xx) >= 1000 and len(md5) >= 1000
+                assert 0.5 <= len(xx) / len(md5) <= 2.0, (len(xx), len(md5))
+    finally:
+        release_tracked()
