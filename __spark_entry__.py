@@ -2181,6 +2181,9 @@ def q_dsir_stream(spark, sf_dir):
             q.stop()
         out = spark.read.parquet(f"{tmp}/scores").select("doc_id", "n_grams", "log_weight")
         result = _canon(out, "log_weight")
+        # localized so the temp sink can be removed before returning; the
+        # frame is per-doc scores at the driver-check SF (bounded) — a
+        # production run consumes the parquet sink directly instead
         result = spark.createDataFrame(result.collect(), result.schema)
     finally:
         ratios.unpersist()

@@ -98,7 +98,9 @@ def stream_heavy_hitters(
     (``value_counts``) before touching the summary. Batch frames return
     exact per-shard counts (the parity twin). Emits the full current
     summary per shard per micro-batch (update mode)."""
-    tagged = items.select(
+    # NULL items drop in BOTH paths (pandas value_counts would silently
+    # drop them stream-side only — the parity twin must agree)
+    tagged = items.filter(F.col(item_col).isNotNull()).select(
         F.pmod(F.xxhash64(F.col(item_col)), F.lit(shards)).cast("int").alias("shard"),
         F.col(item_col).cast("string").alias("item"),
     )
