@@ -1264,3 +1264,26 @@ def url_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain crawl accounting: docs per registrable host (the
+    authority component of the normalized URL) — the input to per-domain
+    caps (``sampling.per_group_cap`` on ``domain``) and the first place
+    crawl skew shows up (one SEO farm = one hot domain). Returns
+    (domain, n_docs, n_urls) sorted nowhere (caller orders).
+
+    One hash-agg shuffle on the domain key, map-side partial."""
+    dom = F.regexp_extract(url_normalized(F.col(url_col)), r"^([^/?]+)", 1)
+    return (
+        docs.select(F.col(id_col), dom.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(id_col).alias("n_urls"),
+        )
+    )

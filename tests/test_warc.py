@@ -196,3 +196,16 @@ class TestUrlDedup:
             assert all(r["passes"] for r in q.collect())  # 40-word prose passes
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_domain_stats_counts_registrable_hosts(spark):
+    from hgraphstorage_spark.pipeline.dedup import domain_stats
+
+    rows = [
+        (1, "https://www.site.com/a"),
+        (2, "http://site.com/b?utm_source=x"),
+        (3, "https://other.org/"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in domain_stats(docs).collect()}
+    assert got == {"site.com": (2, 2), "other.org": (1, 1)}
