@@ -1342,6 +1342,15 @@ def q_simhash_buckets(spark, sf_dir):
     return sh.select("doc_id", "simhash")
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: declared-vs-predicted confusion counts —
+    the trust check before routing on the lang-id signal. Oracle
+    composes from the SAME lang_id replay text."""
+    from hgraphstorage_spark.pipeline import lang_confusion
+
+    return lang_confusion(_t(spark, sf_dir, "documents"))
+
+
 def q_quality_reasons(spark, sf_dir):
     """Audit-grade quality gate: per-doc metrics + the sorted list of
     violated Gopher-style rules (empty = passes) — per-reason counts are
@@ -2614,6 +2623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: streaming DSIR scoring (real structured stream; oracle
         # replays the batch math — stream==batch is the contract)
         "dsir_stream": q_dsir_stream,
+        # r5: lang-id evaluation confusion matrix
+        "lang_confusion": q_lang_confusion,
         # r5 second rotation: driver-hashed-green graph rows whose window
         # slots now carry the second-half r5 operators (all still
         # oracle-compared every pytest run; graph_summary keeps their
@@ -4172,6 +4183,13 @@ def oracle_sql() -> dict[str, str]:
     sql["k_truss"] = _k_truss_oracle_sql(k=4, rounds=4)
     sql["label_propagation"] = _lpa_oracle_sql(3)
     sql["modularity"] = _modularity_oracle_sql(3)
+    # declared-vs-predicted confusion composed from the SAME lang_id text
+    sql["lang_confusion"] = (
+        f"WITH p AS ({sql['lang_id']}) "
+        "SELECT d.lang AS declared, p.lang_guess AS predicted, "
+        "count(*)::BIGINT AS n "
+        "FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2"
+    )
     sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
     sql["dedup_keep_best"] = (
         "WITH "

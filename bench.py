@@ -136,6 +136,11 @@ R5_OPS = [
     "bpe_merges",
     "simhash_pairs_fast",
     "perplexity_buckets",
+    "content_type",
+    "quality_reasons",
+    "corr_matrix",
+    "numeric_histogram",
+    "modularity",
 ]
 # dedup_keep_best is omitted for the same reason as containment_pairs: its
 # driver query feeds the keeper argmax (itself one cluster-keyed partial

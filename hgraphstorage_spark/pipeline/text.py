@@ -1474,3 +1474,26 @@ def quality_reject_reasons(
         ",",
     )
     return m.withColumn("reasons", reasons)
+
+
+def lang_confusion(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-ID evaluation view: the confusion matrix of declared
+    language vs :func:`language_id`'s prediction — the first diagnostic
+    run before trusting a lang-id signal for routing (which languages
+    the heuristic confuses, how much 'und' slips through). Returns
+    (declared, predicted, n), exact counts.
+
+    One id-keyed join + a tiny keyed aggregate over the narrow
+    zero-shuffle predictor; the matrix is |langs|² rows."""
+    pred = language_id(docs, text_col, id_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("declared"))
+        .join(pred.withColumnRenamed(id_col, "doc_id"), "doc_id")
+        .groupBy("declared", F.col("lang_guess").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
