@@ -153,8 +153,9 @@ def fk_violations(
 def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
     """Pairwise Pearson correlation over numeric columns — the
     feature-redundancy screen run before any modeling / mixing-weight
-    work — in ONE partial-aggregated pass (no shuffle wider than one
-    row per partition).
+    work — in ONE partial-aggregated pass. The only data-sized exchange
+    is the small-file-input spread (projected to the selected columns);
+    the aggregate itself ships one row per partition.
 
     Determinism contract: every input rounds to 6 decimals and casts to
     DECIMAL(18,6); all co-moment sums (Σx, Σx², Σxy) run as EXACT
@@ -167,8 +168,13 @@ def correlation_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
 
     Returns (col_a, col_b, corr DECIMAL(18,6)), col_a < col_b
     lexicographically."""
+    from hgraphstorage_spark.pipeline.text import _parallel
+
     cols = list(columns)
-    clean = df.dropna(subset=cols)
+    # single-file scans arrive as ONE partition and would run every
+    # decimal co-moment on one core (measured 7 s -> sub-second at
+    # sf0.1); spread before the CPU-heavy aggregate
+    clean = _parallel(df.select(*cols)).dropna(subset=cols)
     dec = lambda c: F.round(F.col(c).cast("double"), 6).cast("decimal(18,6)")  # noqa: E731
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
