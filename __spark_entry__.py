@@ -1120,6 +1120,21 @@ def q_similarity_ivf(spark, sf_dir):
     return _canon(ivf_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, nlist=16, nprobe=4), "score")
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN tuning pre-flight: measured recall@10 of the IVF index vs the
+    exact cosine ground truth for four probe queries — the vector
+    counterpart of lsh_recall_report. Oracle replays BOTH rankings and
+    the intersection."""
+    from hgraphstorage_spark.pipeline.similarity import ann_recall_report
+
+    return _canon(
+        ann_recall_report(
+            _t(spark, sf_dir, "embeddings"), query_ids=[0, 7, 23, 42], k=10
+        ),
+        "recall",
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label embedding centroids (long format) — the k-means/IVF
     training step; shuffle keyed by (label, dim)."""
@@ -2625,6 +2640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_stream": q_dsir_stream,
         # r5: lang-id evaluation confusion matrix
         "lang_confusion": q_lang_confusion,
+        # r5: IVF recall pre-flight (vector twin of lsh_recall_report)
+        "ann_recall": q_ann_recall,
         # r5 second rotation: driver-hashed-green graph rows whose window
         # slots now carry the second-half r5 operators (all still
         # oracle-compared every pytest run; graph_summary keeps their
@@ -4183,6 +4200,58 @@ def oracle_sql() -> dict[str, str]:
     sql["k_truss"] = _k_truss_oracle_sql(k=4, rounds=4)
     sql["label_propagation"] = _lpa_oracle_sql(3)
     sql["modularity"] = _modularity_oracle_sql(3)
+    # ANN recall pre-flight: per probe query, replay the exact cosine
+    # top-k AND the IVF probe top-k (same CTE text as similarity_ivf),
+    # then count the intersection
+    def _ann_recall_block(qid: int, k: int = 10, nlist: int = 16, nprobe: int = 4) -> str:
+        return f"""
+        SELECT {qid}::BIGINT AS query_id, {k}::INT AS k, n_hits,
+               CAST(round(n_hits::DOUBLE / {k}, 6) AS DECIMAL(18,6))::VARCHAR AS recall
+        FROM (
+          WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          cents AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {nlist}),
+          assigned AS (
+            SELECT vec_id, v,
+                   (SELECT cid FROM (
+                      SELECT cid, list_dot_product(e.v, cv)
+                             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv, cv))) AS cs
+                      FROM cents ORDER BY cs DESC, cid ASC LIMIT 1) s) AS list_id
+            FROM e
+          ),
+          q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+          probe AS (
+            SELECT cid AS list_id FROM cents, q
+            ORDER BY list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                     cid ASC
+            LIMIT {nprobe}
+          ),
+          exact AS (
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     CAST(round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                       AS DECIMAL(18,6)) AS score
+              FROM e, q WHERE vec_id <> {qid}
+              ORDER BY score DESC, vec_id ASC LIMIT {k})
+          ),
+          approx AS (
+            SELECT vec_id FROM (
+              SELECT vec_id,
+                     CAST(round(list_dot_product(v, qv)
+                         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)
+                       AS DECIMAL(18,6)) AS score
+              FROM assigned JOIN probe USING (list_id), q
+              WHERE vec_id <> {qid}
+              ORDER BY score DESC, vec_id ASC LIMIT {k})
+          )
+          SELECT count(*)::BIGINT AS n_hits
+          FROM exact WHERE vec_id IN (SELECT vec_id FROM approx)
+        ) t"""
+
+    sql["ann_recall"] = " UNION ALL ".join(
+        _ann_recall_block(qid) for qid in (0, 7, 23, 42)
+    )
     # declared-vs-predicted confusion composed from the SAME lang_id text
     sql["lang_confusion"] = (
         f"WITH p AS ({sql['lang_id']}) "

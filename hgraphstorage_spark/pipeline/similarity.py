@@ -1422,3 +1422,48 @@ def embedding_outliers(
     return scored.crossJoin(F.broadcast(thr)).select(
         "vec_id", "score", (F.col("score") <= F.col("thr")).alias("outlier")
     )
+
+
+def ann_recall_report(
+    embeddings: DataFrame,
+    query_ids,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN recall pre-flight for the IVF index — the vector counterpart
+    of ``dedup.lsh_recall_report``: for each probe query, recall@k of
+    :func:`ivf_topk` against the exact :func:`cosine_topk` ground truth.
+    This is the nlist/nprobe tuning check a deployment runs BEFORE
+    trusting the index on the full corpus: probing more lists buys
+    recall linearly in scan bytes, and this report is the curve's
+    measured point.
+
+    Returns one row per query: (query_id, k, n_hits, recall
+    DECIMAL(18,6)). The per-query exact scan is the deliberate,
+    sample-bounded cost (a handful of probe queries, never the corpus —
+    the same honesty contract as ``lsh_recall_report``); both rankings
+    tie-break on vec_id so the report is a pure function of the data."""
+    parts = []
+    for qid in query_ids:
+        exact = cosine_topk(embeddings, qid, k, id_col, vec_col).select("vec_id")
+        approx = ivf_topk(embeddings, qid, k, nlist, nprobe, id_col, vec_col).select(
+            "vec_id"
+        )
+        hits = exact.join(approx, "vec_id", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        parts.append(
+            hits.select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.lit(k).alias("k"),
+                "n_hits",
+                F.round(F.col("n_hits") / k, 6).cast("decimal(18,6)").alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

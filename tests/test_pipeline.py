@@ -2589,3 +2589,16 @@ def test_mp4_probe_round_trip_and_malformed():
     moov = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
     ftyp = b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00"
     assert parse_media_header(ftyp + moov) == ("mp4", None, None, 2000)
+
+
+def test_ann_recall_report_properties(spark):
+    """recall in [0,1] per probe query; probing ALL lists makes IVF
+    exhaustive, so recall must be exactly 1.0."""
+    from hgraphstorage_spark.pipeline.similarity import ann_recall_report
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ann_recall_report(embs, query_ids=[0, 7], k=10).collect()
+    assert len(rows) == 2
+    assert all(0.0 <= float(r["recall"]) <= 1.0 and r["n_hits"] <= r["k"] for r in rows)
+    full = ann_recall_report(embs, query_ids=[0, 7], k=10, nlist=16, nprobe=16).collect()
+    assert all(float(r["recall"]) == 1.0 for r in full)
