@@ -1087,7 +1087,7 @@ def dedup_keep_best(
     partial agg, no window — plus two id-keyed joins; every key is
     uniform."""
     q = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality"))
-    st = clusters.select("doc_id", "cluster").join(q, "doc_id")
+    st = clusters.select(F.col(id_col).alias("doc_id"), "cluster").join(q, "doc_id")
     best = st.groupBy("cluster").agg(
         F.max(F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("negid"))).alias("m")
     )
@@ -1232,7 +1232,13 @@ def url_normalized(col) -> F.Column:
     u = F.regexp_replace(u, r"^https?://", "")
     u = F.regexp_replace(u, r"^www\.", "")
     u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    # tracker must sit right after its ?/& separator (so x=utm_a or
+    # ?xfbclid never match), and the separator is consumed WITH the
+    # parameter — adjacent trackers all match in one pass; if the strip
+    # leaves the first surviving parameter behind an '&', promote that
+    # separator back to '?' (no lookbehind: RE2 must replay this)
+    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
     u = F.regexp_replace(u, r"[?&]+$", "")
     return F.regexp_replace(u, r"/+$", "")
 
@@ -1278,12 +1284,13 @@ def domain_stats(
     (domain, n_docs, n_urls) sorted nowhere (caller orders).
 
     One hash-agg shuffle on the domain key, map-side partial."""
-    dom = F.regexp_extract(url_normalized(F.col(url_col)), r"^([^/?]+)", 1)
+    norm = url_normalized(F.col(url_col))
+    dom = F.regexp_extract(norm, r"^([^/?]+)", 1)
     return (
-        docs.select(F.col(id_col), dom.alias("domain"))
+        docs.select(F.col(id_col), dom.alias("domain"), norm.alias("_u"))
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct(id_col).alias("n_urls"),
+            F.countDistinct("_u").alias("n_urls"),
         )
     )

@@ -706,8 +706,12 @@ def dsir_ratio_table(
     re-reading the training corpora. The train/apply split a production
     selection pipeline runs (score incoming crawl against a fixed
     model), same contract as the PQ/IVF-PQ build/query split."""
-    raw = _dsir_bucketed(docs, text_col, id_col, salt, hash_mode, n_buckets)
-    tgt = _dsir_bucketed(target_docs, text_col, id_col, salt, hash_mode, n_buckets)
+    from hgraphstorage_spark.pipeline.state import track
+
+    # persisted like dsir_weights: each corpus feeds its bucket counts
+    # AND its gram total — one tokenize pass each, not two
+    raw = track(_dsir_bucketed(docs, text_col, id_col, salt, hash_mode, n_buckets))
+    tgt = track(_dsir_bucketed(target_docs, text_col, id_col, salt, hash_mode, n_buckets))
     return _dsir_ratios(raw, tgt, n_buckets)
 
 

@@ -65,6 +65,10 @@ def _gunzip_members(data: bytes) -> bytes:
             out.append(d.flush())
         except zlib.error as e:
             raise ValueError(f"corrupt gzip member in WARC shard: {e}") from e
+        if not d.eof:
+            # a member cut mid-stream decompresses without error but never
+            # reaches its trailer — that's truncation, not success
+            raise ValueError("truncated gzip member in WARC shard")
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             raise ValueError("corrupt gzip member in WARC shard")
@@ -178,7 +182,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 _TAG_DROP = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
 _TAGS = re.compile(r"(?s)<[^>]+>")
-_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " "}
+# &amp; decodes LAST: decoding it first would turn an author's escaped
+# '&amp;lt;' into '&lt;' and then double-decode it to '<'
+_ENTITIES = {"&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " ", "&amp;": "&"}
 
 
 def html_to_text(html: str) -> str:
@@ -213,12 +219,25 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
             texts = []
             for payload in pdf["payload"]:
                 body = bytes(payload)
-                if body[:5] in (b"HTTP/",):
+                # the HTTP envelope names the body's media type — consult
+                # it BEFORE stripping (a text/plain body containing
+                # 'i < n and j > 0' must never be tag-stripped); without
+                # an envelope, only a leading '<' reads as markup
+                is_html = None
+                if body[:5] == b"HTTP/":
                     sep = body.find(b"\r\n\r\n")
                     if sep >= 0:
+                        headers = body[:sep].lower()
+                        if b"content-type:" in headers:
+                            is_html = (
+                                b"text/html" in headers
+                                or b"application/xhtml" in headers
+                            )
                         body = body[sep + 4 :]
                 text = body.decode("utf-8", "replace")
-                if "<" in text and ">" in text:
+                if is_html is None:
+                    is_html = text.lstrip().startswith("<")
+                if is_html and "<" in text:
                     text = html_to_text(text)
                 texts.append(text)
             yield pd.DataFrame(

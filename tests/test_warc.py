@@ -209,3 +209,58 @@ def test_domain_stats_counts_registrable_hosts(spark):
     docs = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r["domain"]: (r["n_docs"], r["n_urls"]) for r in domain_stats(docs).collect()}
     assert got == {"site.com": (2, 2), "other.org": (1, 1)}
+
+
+def test_review_fixes_round5(spark):
+    """Regression pins for the round-5 review findings: tracker regex
+    boundary anchoring, adjacent trackers, n_urls counts URLs, truncated
+    gzip members raise, entity decode order, plain-text bodies with
+    angle brackets survive."""
+    from hgraphstorage_spark.pipeline.dedup import domain_stats, url_normalized
+    from hgraphstorage_spark.sources.warc import _gunzip_members, html_to_text, warc_bytes
+
+    # (2) boundary anchoring + adjacent trackers
+    cases = [
+        ("example.com/page?xfbclid=1", "example.com/page?xfbclid=1"),   # not a tracker
+        ("example.com/page?redirect=utm_source=x", "example.com/page?redirect=utm_source=x"),
+        ("example.com/p?utm_a=1&utm_b=2", "example.com/p"),             # adjacent trackers
+        ("example.com/p?utm_a=1&utm_b=2&c=3", "example.com/p?c=3"),
+        ("example.com/p?utm_x=2&a=1", "example.com/p?a=1"),             # & promoted to ?
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in df.select(url_normalized(F.col("url")).alias("n")).collect()]
+    assert got == [w for _, w in cases], got
+
+    # (1) n_urls counts distinct normalized URLs, not doc ids
+    docs = spark.createDataFrame(
+        [(1, "http://site.com/a"), (2, "https://www.site.com/a?utm_source=x")],
+        "doc_id long, url string",
+    )
+    r = domain_stats(docs).collect()[0]
+    assert r["n_docs"] == 2 and r["n_urls"] == 1
+
+    # (3) truncated final gzip member raises
+    blob = warc_bytes(_sample_records(), compress=True)
+    with pytest.raises(ValueError):
+        _gunzip_members(blob[:-20])
+
+    # (4) &amp; decodes LAST — escaped entities stay escaped one level
+    assert html_to_text("x &amp;lt; y") == "x &lt; y"
+
+    # (5) plain-text bodies with comparison operators are not tag-stripped
+    from hgraphstorage_spark.sources.warc import parse_warc_records, warc_to_documents, read_warc
+    import shutil, tempfile
+    d = tempfile.mkdtemp(prefix="hgs_ct_")
+    try:
+        recs = [{
+            "headers": {"WARC-Type": "response", "WARC-Record-ID": "<urn:uuid:9>",
+                        "WARC-Target-URI": "http://s.com/code", "WARC-Date": "2024-01-01T00:00:00Z",
+                        "Content-Type": "application/http; msgtype=response"},
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nfor i < n and j > 0: loop",
+        }]
+        with open(f"{d}/s.warc", "wb") as f:
+            f.write(warc_bytes(recs))
+        out = warc_to_documents(read_warc(spark, d)).collect()[0]
+        assert out["text"] == "for i < n and j > 0: loop"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
