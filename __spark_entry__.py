@@ -886,10 +886,15 @@ def q_ntile_deciles(spark, sf_dir):
     plan's only single-partition exchange carries the ~one-row-per-
     partition offset frame."""
     from hgraphstorage_spark.pipeline.sampling import _global_rank
+    from hgraphstorage_spark.pipeline.state import track
 
     ev = _t(spark, sf_dir, "events")
-    spend = ev.groupBy("user_id").agg(
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value")
+    # persisted: spend feeds both the rank pipeline and the 1-row count
+    # — without the cut, the events scan+agg executes twice
+    spend = track(
+        ev.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value")
+        )
     )
     ranked = _global_rank(
         spend, [F.col("total_value").desc(), F.col("user_id").asc()], "_rk"
@@ -5208,20 +5213,32 @@ def oracle_sql() -> dict[str, str]:
           FROM rawb JOIN ratio ON rawb.b = ratio.b GROUP BY rawb.doc_id
         )
     """
+    # gramless docs (NULL/empty text) pass through with n_grams=0 and the
+    # empty-sum log_weight 0 — 'score EVERY raw document'
+    _dsir_full = r""",
+        filled AS (
+          SELECT d.doc_id, coalesce(w.n_grams, 0)::BIGINT AS n_grams,
+                 coalesce(w.lw, CAST(0 AS DECIMAL(18,6))) AS lw
+          FROM documents d LEFT JOIN wts w ON d.doc_id = w.doc_id
+        )
+    """
     sql["dsir_weights"] = (
-        _dsir_core + "SELECT doc_id, n_grams, lw::VARCHAR AS log_weight FROM wts"
+        _dsir_core
+        + _dsir_full
+        + "SELECT doc_id, n_grams, lw::VARCHAR AS log_weight FROM filled"
     )
     # streaming scorer: per-doc scores are a pure function of
     # (text, model), so the stream replays the identical batch math
     sql["dsir_stream"] = sql["dsir_weights"]
     sql["dsir_sample"] = (
         _dsir_core
+        + _dsir_full
         + r"""
         SELECT doc_id, lw::VARCHAR AS log_weight,
                CAST(round(lw::DOUBLE - ln(-ln(
                  (('0x' || substr(md5(doc_id::VARCHAR || ':dsir:gumbel'), 1, 15))::BIGINT + 0.5)
                    / 1152921504606846976.0)), 6) AS DECIMAL(18,6))::VARCHAR AS gumbel_key
-        FROM wts
+        FROM filled
         ORDER BY CAST(round(lw::DOUBLE - ln(-ln(
                  (('0x' || substr(md5(doc_id::VARCHAR || ':dsir:gumbel'), 1, 15))::BIGINT + 0.5)
                    / 1152921504606846976.0)), 6) AS DECIMAL(18,6)) DESC, doc_id

@@ -757,10 +757,10 @@ def resize_images(
                     else:
                         # BMP arrays arrive in stored BGR[A] order; PNG is
                         # RGB[A] — swap before crossing container formats
+                        # (3-channel BMPs re-encode as BMP above, so only
+                        # the 4-channel BMP case crosses into PNG)
                         if is_bmp and small.shape[2] == 4:
                             small = small[..., [2, 1, 0, 3]]
-                        elif is_bmp and small.shape[2] == 3:
-                            small = small[..., [2, 1, 0]]
                         enc = png_array_bytes(small)
                     out_payload.append(enc)
                     out_w.append(tw), out_h.append(th)

@@ -629,7 +629,23 @@ def dsir_weights(
     raw = track(_dsir_bucketed(docs, text_col, id_col, salt, hash_mode, n_buckets))
     tgt = track(_dsir_bucketed(target_docs, text_col, id_col, salt, hash_mode, n_buckets))
     ratios = _dsir_ratios(raw, tgt, n_buckets)
-    return _dsir_score_bucketed(raw, ratios)
+    return _with_gramless_docs(
+        _dsir_score_bucketed(raw, ratios), docs, id_col
+    )
+
+
+def _with_gramless_docs(scores: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+    """'Score EVERY raw document': docs with zero grams (NULL/empty/
+    whitespace-only text) produce no bucket rows and would vanish from
+    the inner scoring join — they pass through with n_grams=0 and
+    log_weight=0 (the empty sum), so resampling can still select them
+    and k-row selections stay k-row. One id-keyed left join."""
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(scores, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("log_weight", F.lit(0).cast("decimal(18,6)")).alias("log_weight"),
+    )
 
 
 def _dsir_bucketed(
@@ -732,8 +748,12 @@ def dsir_score(
     the same doc gets the same score in any batch or stream slice.
     Scale shape: tokenize + one broadcast join + per-doc partial sum —
     no shuffle wider than (doc_id, bucket)."""
-    return _dsir_score_bucketed(
-        _dsir_bucketed(docs, text_col, id_col, salt, hash_mode, n_buckets), ratios
+    return _with_gramless_docs(
+        _dsir_score_bucketed(
+            _dsir_bucketed(docs, text_col, id_col, salt, hash_mode, n_buckets), ratios
+        ),
+        docs,
+        id_col,
     )
 
 

@@ -841,6 +841,10 @@ def pq_query(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     qsubs = _pq_subvectors(qbase, m, "v", ["vid"]).select("j", F.col("sub").alias("qsub"))
+    # same canonicalization the build side applies: a float-array
+    # codebook read back from parquet must fold in DOUBLE here too, or
+    # LUT cells differ in low-order bits from the build-side encode
+    codebook = _normalize_codebook(codebook)
     lut = qsubs.join(codebook, "j").select(
         F.col("j").alias("lj"),
         F.col("c").alias("lc"),
@@ -961,6 +965,26 @@ def pq_train_codebook(
     return cb
 
 
+def _anchor_centroids(base: DataFrame, nlist: int, coarse_salt: str) -> DataFrame:
+    """(cidx, cvec): the nlist md5-smallest vectors of a (vid, v) frame —
+    the deterministic zero-round coarse init SHARED by
+    :func:`ivf_train_centroids` and :func:`ivfpq_build`, so the
+    documented 'iterations=0 reproduces the default routing exactly'
+    identity is one code path, not two copies kept in sync."""
+    from pyspark.sql import Window
+
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    w = Window.orderBy("_h", "vid")
+    return (
+        base.withColumn("_h", md5_long(F.col("vid"), F.lit(coarse_salt)))
+        .orderBy("_h", "vid")
+        .limit(nlist)
+        .withColumn("cidx", F.row_number().over(w) - 1)
+        .select("cidx", F.col("v").alias("cvec"))
+    )
+
+
 def ivf_train_centroids(
     emb: DataFrame,
     nlist: int = 8,
@@ -979,18 +1003,7 @@ def ivf_train_centroids(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    from pyspark.sql import Window
-
-    from hgraphstorage_spark.pipeline.dedup import md5_long
-
-    w = Window.orderBy("_h", "vid")
-    cents = (
-        base.withColumn("_h", md5_long(F.col("vid"), F.lit(coarse_salt)))
-        .orderBy("_h", "vid")
-        .limit(nlist)
-        .withColumn("cidx", F.row_number().over(w) - 1)
-        .select("cidx", F.col("v").alias("cvec"))
-    )
+    cents = _anchor_centroids(base, nlist, coarse_salt)
     for _ in range(iterations):
         asg = (
             base.crossJoin(F.broadcast(cents))
@@ -1041,18 +1054,7 @@ def ivfpq_build(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     if centroids is None:
-        from pyspark.sql import Window
-
-        from hgraphstorage_spark.pipeline.dedup import md5_long
-
-        wc = Window.orderBy("_h", "vid")
-        cents = (
-            base.withColumn("_h", md5_long(F.col("vid"), F.lit(coarse_salt)))
-            .orderBy("_h", "vid")
-            .limit(nlist)
-            .withColumn("cidx", F.row_number().over(wc) - 1)
-            .select("cidx", F.col("v").alias("cvec"))
-        )
+        cents = _anchor_centroids(base, nlist, coarse_salt)
     else:
         cents = centroids.select(
             F.col("cidx").cast("int").alias("cidx"),
@@ -1109,6 +1111,13 @@ def ivfpq_query(
     the 8-byte codes are the byte pruning."""
     q = emb.filter(F.col(id_col) == query_id).select(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv")
+    )
+    # same canonicalization the build side applies (float frames read
+    # back from parquet must fold in DOUBLE on both sides)
+    codebook = _normalize_codebook(codebook)
+    centroids = centroids.select(
+        F.col("cidx").cast("int").alias("cidx"),
+        F.transform(F.col("cvec"), lambda x: x.cast("double")).alias("cvec"),
     )
     probes = (
         q.crossJoin(F.broadcast(centroids))

@@ -36,12 +36,19 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame
 
 _LOCAL = threading.local()
+# every thread's registry, for the cross-thread release escape hatch —
+# appended once per thread under the lock, entries are the same list
+# objects the thread-local holds
+_ALL_REGISTRIES: list[list[DataFrame]] = []
+_ALL_LOCK = threading.Lock()
 
 
 def _tracked() -> list[DataFrame]:
     reg = getattr(_LOCAL, "tracked", None)
     if reg is None:
         reg = _LOCAL.tracked = []
+        with _ALL_LOCK:
+            _ALL_REGISTRIES.append(reg)
     return reg
 
 
@@ -68,6 +75,28 @@ def release_tracked() -> int:
             n += 1
         except Exception:
             pass  # session gone or block already dropped — release is best-effort
+    return n
+
+
+def release_all_tracked() -> int:
+    """Cross-thread escape hatch: unpersist EVERY registry's
+    intermediates, including those tracked by worker threads that have
+    since exited (a main thread draining a ThreadPoolExecutor's work
+    would otherwise leak their persisted frames forever — the
+    thread-local scoping protects in-flight siblings, but something
+    must be able to sweep at quiesce time). Call only when no tracked
+    operator is still computing on any thread."""
+    n = 0
+    with _ALL_LOCK:
+        regs = list(_ALL_REGISTRIES)
+    for reg in regs:
+        while reg:
+            df = reg.pop()
+            try:
+                df.unpersist(False)
+                n += 1
+            except Exception:
+                pass  # best-effort, same contract as release_tracked
     return n
 
 

@@ -1108,17 +1108,11 @@ def bpe_merge_counts(
 
     hist = _word_histogram(docs, text_col, id_col)
     syms = hist.select("n", _initial_symbols(F.col("word")).alias("syms"))
+    # the shared guarded pair builder (bpe_train uses the same one) —
+    # its size>=2 guard also protects any future 1-symbol caller from
+    # sequence(1, 0) descending
     pairs = syms.select(
-        "n",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("syms") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("syms"), i).alias("sym_a"),
-                    F.element_at(F.col("syms"), i + 1).alias("sym_b"),
-                ),
-            )
-        ).alias("p"),
+        "n", F.explode(_adjacent_pair_structs(F.col("syms"))).alias("p")
     ).select(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"), "n")
     counts = pairs.groupBy("sym_a", "sym_b").agg(F.sum("n").alias("n_pairs"))
     w = Window.orderBy(F.col("n_pairs").desc(), F.col("sym_a"), F.col("sym_b"))

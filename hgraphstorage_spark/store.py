@@ -233,15 +233,18 @@ class RacingObjectStore(ObjectStore):
     def __init__(
         self,
         inner: ObjectStore | None = None,
-        lose_substring: str = "",
+        lose_substring: str | None = None,
         rival_payload: bytes = b"{}",
     ):
+        # None = never lose (the documented 'a key MATCHING
+        # lose_substring' contract; '' would match every key and turn
+        # the whole store into forced losses)
         self.inner = inner if inner is not None else LocalAtomicObjectStore()
         self.lose_substring = lose_substring
         self.rival_payload = rival_payload
 
     def put_if_none_match(self, key: str, data: bytes) -> bool:
-        if self.lose_substring in key:
+        if self.lose_substring is not None and self.lose_substring in key:
             self.inner.put_if_none_match(key, self.rival_payload)
         return self.inner.put_if_none_match(key, data)
 

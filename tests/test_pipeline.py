@@ -2602,3 +2602,21 @@ def test_ann_recall_report_properties(spark):
     assert all(0.0 <= float(r["recall"]) <= 1.0 and r["n_hits"] <= r["k"] for r in rows)
     full = ann_recall_report(embs, query_ids=[0, 7], k=10, nlist=16, nprobe=16).collect()
     assert all(float(r["recall"]) == 1.0 for r in full)
+
+
+def test_dsir_scores_every_document_including_gramless(spark):
+    """NULL/empty/whitespace-only docs pass through with n_grams=0 and
+    the empty-sum log_weight 0 — dsir_sample(k) can still select them
+    and never comes up short."""
+    from hgraphstorage_spark.pipeline.sampling import dsir_sample, dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") == 1)
+    w = {r["doc_id"]: r for r in dsir_weights(docs, target, n_buckets=64).collect()}
+    assert set(w) == {1, 2, 3, 4}
+    for empty_id in (2, 3, 4):
+        assert w[empty_id]["n_grams"] == 0 and float(w[empty_id]["log_weight"]) == 0.0
+    assert dsir_sample(docs, target, k=4, n_buckets=64).count() == 4

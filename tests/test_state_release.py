@@ -90,3 +90,26 @@ def test_registry_is_thread_scoped(spark):
         assert main_df.storageLevel.useMemory  # still persisted
     finally:
         assert release_tracked() == 1
+
+
+def test_release_all_tracked_sweeps_worker_thread_frames(spark):
+    """Frames tracked on worker threads that have exited are released by
+    the main thread's release_all_tracked() — the quiesce-time sweep the
+    thread-local scoping otherwise has no path for."""
+    import threading
+
+    from hgraphstorage_spark.pipeline.state import (
+        release_all_tracked,
+        release_tracked,
+        track,
+    )
+
+    release_all_tracked()  # clean slate
+    def worker():
+        track(spark.range(10)).count()
+
+    t = threading.Thread(target=worker)
+    t.start(); t.join()
+    assert release_tracked() == 0      # main thread's registry is empty
+    assert release_all_tracked() >= 1  # the worker's frame is swept
+    assert release_all_tracked() == 0  # idempotent
