@@ -1237,12 +1237,20 @@ def q_dedup_keep_best(spark, sf_dir):
     dedup_clusters, but each multi-doc cluster keeps its LONGEST
     document (n_chars as the quality proxy; ties to smallest id) — the
     keep-the-cleanest-copy policy. One cluster-keyed argmax, no window.
-    Oracle unrolls the rounds and replays the argmax."""
+    Oracle unrolls the rounds and replays the argmax.
+
+    The pair stage runs with ``max_doc_freq=100`` (VERDICT r5 task 2):
+    shingles shared by >100 docs leave the candidate index, so the
+    quadratic-within-shared-shingle-group blowup one boilerplate
+    shingle causes at scale is bounded — this capped shape, not the
+    uncapped diagnostic, is what the driver window certifies. The
+    oracle replays the same cap (capped ⊆ uncapped is a hypothesis
+    law in tests/test_pipeline.py)."""
     from hgraphstorage_spark.pipeline import ngram_jaccard_pairs
     from hgraphstorage_spark.pipeline.dedup import dedup_clusters, dedup_keep_best
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang", max_doc_freq=100)
     cl = dedup_clusters(docs, pairs, rounds=3)
     kb = dedup_keep_best(cl, docs, "n_chars")
     sizes = kb.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
@@ -1255,12 +1263,17 @@ def q_dedup_keep_best(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering: exact Jaccard pairs → fixed-round HashMin
     components → canonical representative per cluster (the last stage of a
-    near-dedup pipeline). Oracle unrolls the same 3 rounds in SQL."""
+    near-dedup pipeline). Oracle unrolls the same 3 rounds in SQL.
+
+    Pairs run with ``max_doc_freq=100`` (VERDICT r5 task 2) — the
+    hot-shingle cap bounds the candidate stage; the oracle replays the
+    cap, and the uncapped form stays available as the ``ngram_jaccard``
+    diagnostic query."""
     from hgraphstorage_spark.pipeline import ngram_jaccard_pairs
     from hgraphstorage_spark.pipeline.dedup import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang", max_doc_freq=100)
     cl = dedup_clusters(docs, pairs, rounds=3)
     return (
         cl.groupBy("cluster")
@@ -3732,11 +3745,29 @@ FROM scored
     }
 
 
-def _dedup_cluster_ctes(rounds: int) -> list[str]:
+def _dedup_cluster_ctes(rounds: int, max_doc_freq: int | None = None) -> list[str]:
     """The shared CTE chain: ngram_jaccard pairs (same as that query's
     oracle) feeding ``rounds`` HashMin rounds; ``l{rounds}`` holds the
-    final (doc_id, cluster) labels. Reused by the dedup_clusters and
-    cluster_safe_split oracles so they cannot drift."""
+    final (doc_id, cluster) labels. Reused by the dedup_clusters /
+    dedup_keep_best / cluster_safe_split oracles so they cannot drift.
+
+    ``max_doc_freq`` replays :func:`hgraphstorage_spark.pipeline.dedup.
+    _cap_doc_freq`: shingles in more than that many docs leave the
+    candidate index (per (lang, shingle) block key); per-doc set sizes
+    stay UNCAPPED, so capped scores <= uncapped scores and capped pairs
+    are a subset — the bounded-candidate shape the driver window
+    certifies (VERDICT r5 task 2)."""
+    idx = "sh"
+    cap_ctes: list[str] = []
+    if max_doc_freq is not None:
+        cap_ctes = [
+            f"""hot AS (
+              SELECT lang, shingle FROM sh GROUP BY lang, shingle
+              HAVING count(*) <= {max_doc_freq}
+            )""",
+            "idx AS (SELECT sh.* FROM sh SEMI JOIN hot USING (lang, shingle))",
+        ]
+        idx = "idx"
     ctes = [
         r"""wds AS (
           SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
@@ -3748,9 +3779,10 @@ def _dedup_cluster_ctes(rounds: int) -> list[str]:
           FROM wds, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
         )""",
         "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)",
-        """inter AS (
+        *cap_ctes,
+        f"""inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+          FROM {idx} a JOIN {idx} b ON a.shingle = b.shingle AND a.lang = b.lang
           WHERE a.doc_id < b.doc_id GROUP BY 1, 2
         )""",
         """pairs AS (
@@ -3779,11 +3811,11 @@ def _dedup_cluster_ctes(rounds: int) -> list[str]:
     return ctes
 
 
-def _dedup_clusters_oracle_sql(rounds: int) -> str:
+def _dedup_clusters_oracle_sql(rounds: int, max_doc_freq: int | None = None) -> str:
     """Unrolled-SQL oracle for near-dup clustering."""
     return (
         "WITH "
-        + ",\n".join(_dedup_cluster_ctes(rounds))
+        + ",\n".join(_dedup_cluster_ctes(rounds, max_doc_freq))
         + f"""
         SELECT cluster, count(*)::BIGINT AS n_docs,
                sum(CASE WHEN doc_id = cluster THEN 1 ELSE 0 END)::BIGINT AS n_kept
@@ -4264,10 +4296,10 @@ def oracle_sql() -> dict[str, str]:
         "count(*)::BIGINT AS n "
         "FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2"
     )
-    sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3)
+    sql["dedup_clusters"] = _dedup_clusters_oracle_sql(3, max_doc_freq=100)
     sql["dedup_keep_best"] = (
         "WITH "
-        + ",\n".join(_dedup_cluster_ctes(3))
+        + ",\n".join(_dedup_cluster_ctes(3, max_doc_freq=100))
         + """,
         q AS (
           SELECT l3.doc_id, l3.cluster, d.n_chars AS quality

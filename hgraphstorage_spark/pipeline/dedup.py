@@ -1083,18 +1083,26 @@ def dedup_keep_best(
     the quality signal.
 
     Returns (doc_id, cluster, quality, keep). Shape at scale: one
-    cluster-keyed argmax via max(struct(quality, -id)) — map-side
-    partial agg, no window — plus two id-keyed joins; every key is
-    uniform."""
+    cluster-keyed argmax via min_by(id, struct(-quality, id)) — a
+    declarative agg with map-side partials, no window — plus two
+    id-keyed joins; every key is uniform. The ordinal negates only the
+    (numeric) quality score, never the id, so string doc_ids tie-break
+    correctly (ADVICE r5: the old -id tie-break went NULL on string
+    ids and silently marked no keeper)."""
     q = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality"))
     st = clusters.select(F.col(id_col).alias("doc_id"), "cluster").join(q, "doc_id")
+    # min of (-quality, id): highest quality, ties to the smallest id —
+    # a total order (id is unique), so min_by is deterministic
     best = st.groupBy("cluster").agg(
-        F.max(F.struct(F.col("quality").alias("q"), (-F.col("doc_id")).alias("negid"))).alias("m")
+        F.min_by(
+            "doc_id",
+            F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("id")),
+        ).alias("_kid")
     )
     return (
         st.join(best, "cluster")
-        .withColumn("keep", F.col("doc_id") == -F.col("m.negid"))
-        .drop("m")
+        .withColumn("keep", F.col("doc_id") == F.col("_kid"))
+        .drop("_kid")
     )
 
 
@@ -1234,11 +1242,17 @@ def url_normalized(col) -> F.Column:
     u = F.regexp_replace(u, r"#.*$", "")
     # tracker must sit right after its ?/& separator (so x=utm_a or
     # ?xfbclid never match), and the separator is consumed WITH the
-    # parameter — adjacent trackers all match in one pass; if the strip
-    # leaves the first surviving parameter behind an '&', promote that
-    # separator back to '?' (no lookbehind: RE2 must replay this)
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
-    u = F.regexp_replace(u, r"^([^?]*)&", "$1?")
+    # parameter. A '?'-anchored tracker leaves a \x01 marker in the
+    # consumed separator's place, so the &→? promotion below fires ONLY
+    # where a real '?' was removed — a bare path ampersand in a URL that
+    # never had a query ('example.com/a&b') is left alone (ADVICE r5:
+    # the old unconditional ^([^?]*)& promotion collided it with
+    # 'example.com/a?b'). Java regex replaceAll scans the ORIGINAL
+    # string left-to-right, so the marker can't create new matches.
+    u = F.regexp_replace(u, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*", "\x01")
+    u = F.regexp_replace(u, r"&(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    u = F.regexp_replace(u, "\x01&", "?")
+    u = F.regexp_replace(u, "\x01", "")
     u = F.regexp_replace(u, r"[?&]+$", "")
     return F.regexp_replace(u, r"/+$", "")
 

@@ -297,10 +297,10 @@ def vocabulary(
     map-side partial aggregation (count + count_distinct via one
     two-level agg: first (token, doc) pairs — the explode output is
     pre-grouped per doc, so partials collapse hard — then token). The
-    final top-k is a row_number+filter window that Spark 4's
-    WindowGroupLimit rewrite executes as a partial per-partition top-k
-    (same effect as a TakeOrdered, different mechanism) over the
-    token-count table, which is vocabulary-sized, not corpus-sized."""
+    final top-k is a row_number+filter window that Spark rewrites into
+    a TakeOrderedAndProject (limit pushed below the window — the
+    literal node the plan audit asserts) over the token-count table,
+    which is vocabulary-sized, not corpus-sized."""
     toks = docs.select(
         F.col(id_col).alias("_doc"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("token"),
@@ -1102,8 +1102,8 @@ def bpe_merge_counts(
     partial agg, word-keyed exchange bounded by vocabulary size); pair
     explosion and counting run over the histogram — O(vocab * avg word
     length), independent of corpus row count. The top-k is the
-    row_number+filter form Spark 4 rewrites into a partial per-partition
-    top-k (WindowGroupLimit), same as :func:`vocabulary`."""
+    row_number+filter form Spark rewrites into TakeOrderedAndProject
+    (limit pushdown; plan-pinned), same as :func:`vocabulary`."""
     from pyspark.sql import Window
 
     hist = _word_histogram(docs, text_col, id_col)

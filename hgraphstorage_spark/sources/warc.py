@@ -203,10 +203,14 @@ def html_to_text(html: str) -> str:
 def warc_to_documents(records: DataFrame) -> DataFrame:
     """Response records → a ``documents``-shaped frame:
     (doc_id, url, fetch_date, text, n_chars), with doc_id the xxhash64
-    of the (uri, date) pair — deterministic and collision-safe at crawl
-    scale. The HTTP response envelope (status line + headers, up to the
-    first blank line) is stripped; the body decodes as UTF-8 with
-    replacement; HTML bodies pass through :func:`html_to_text`.
+    of (uri, date, record_id, shard) — deterministic and collision-safe
+    at crawl scale (ADVICE r5: uri+date alone collapsed all records
+    with NULL uri/date to one id, and two identical-second re-fetches
+    collided; WARC-Record-ID is unique per record and the shard path
+    disambiguates even a record_id-less shard). The HTTP response
+    envelope (status line + headers, up to the first blank line) is
+    stripped; the body decodes as UTF-8 with replacement; HTML bodies
+    pass through :func:`html_to_text`.
 
     Shape: one narrow mapInPandas over the record frame (the payload
     column never shuffles — doc rows carry text only)."""
@@ -245,14 +249,18 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
                     "url": pdf["target_uri"],
                     "fetch_date": pdf["warc_date"],
                     "text": texts,
+                    "record_id": pdf["record_id"],
+                    "shard": pdf["shard"],
                 }
             )
 
     docs = resp.mapInPandas(
-        run, schema="url string, fetch_date string, text string"
+        run,
+        schema="url string, fetch_date string, text string, "
+        "record_id string, shard string",
     )
     return docs.select(
-        F.xxhash64("url", "fetch_date").alias("doc_id"),
+        F.xxhash64("url", "fetch_date", "record_id", "shard").alias("doc_id"),
         "url",
         "fetch_date",
         "text",

@@ -2334,6 +2334,42 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     assert all(v == 1 for v in per_cluster.values())
 
 
+def test_dedup_keep_best_string_ids(spark):
+    """ADVICE r5 regression: string doc_ids must tie-break correctly —
+    the old -F.col(id) negation went NULL on strings and marked NO
+    keeper in tied clusters."""
+    from hgraphstorage_spark.pipeline.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [("b", "a"), ("a", "a"), ("c", "a")], "doc_id string, cluster string"
+    )
+    docs = spark.createDataFrame(
+        [("a", 90), ("b", 90), ("c", 5)], "doc_id string, n_chars long"
+    )
+    got = {r["doc_id"]: r for r in dedup_keep_best(clusters, docs, "n_chars").collect()}
+    assert {i for i, r in got.items() if r["keep"]} == {"a"}  # tie -> smallest id
+    assert all(r["keep"] is not None for r in got.values())
+
+
+def test_url_normalized_bare_path_ampersand(spark):
+    """ADVICE r5 regression: a legal '&' in a path of a URL that never
+    had a query must NOT be promoted to '?' — 'a&b' and 'a?b' are
+    distinct pages."""
+    from hgraphstorage_spark.pipeline.dedup import url_normalized
+
+    cases = [
+        ("example.com/a&b", "example.com/a&b"),          # bare path '&' untouched
+        ("example.com/a?b", "example.com/a?b"),          # stays distinct from the above
+        ("example.com/p?utm_x=2&a=1", "example.com/p?a=1"),  # real promotion still fires
+        ("example.com/p?utm_a=1&utm_b=2&c=3", "example.com/p?c=3"),
+        ("example.com/p?a=1&utm_x=2&b=3", "example.com/p?a=1&b=3"),  # mid-query strip, no promotion
+        ("example.com/p?utm_a=1", "example.com/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in df.select(url_normalized(F.col("url")).alias("n")).collect()]
+    assert got == [w for _, w in cases], got
+
+
 class TestSimhashNearDupPairs:
     def test_lossless_at_pigeonhole_radius(self, spark):
         """With 4 bands, band-equality blocking is LOSSLESS for hamming
