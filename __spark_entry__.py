@@ -2458,6 +2458,283 @@ def q_pipeline_report(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-6 crawl / media / streaming registry rows (VERDICT r5 tasks 3-6)
+
+
+def _with_synthetic_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl-shaped (url, fetch_date) columns derived from
+    doc_id arithmetic (the ``synthetic_media`` pattern): doc pairs
+    (2k, 2k+1) are re-fetches of one canonical page dressed in
+    different scheme/www/tracker/trailing-slash noise, so the oracle
+    can derive the EXPECTED normalized form independently — a wrong
+    normalizer on either side breaks the match.
+
+    Per doc: scheme cycles https://www. / http:// / https:// by
+    doc_id%3; host+path come from the pair base k = doc_id//2; the
+    query string exercises full-tracker-strip (%4==0), bare URL with
+    optional trailing slash (%4==1), tracker-then-param promotion
+    (%4==2), and clean param (%4==3); fetch dates never tie within a
+    pair ((doc_id*13)%28 shifts by 13 between pair members)."""
+    k = F.floor(F.col("doc_id") / 2).cast("long")
+    ks = k.cast("string")
+    scheme = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("https://www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("https://"))
+    )
+    base = F.concat(F.lit("site"), (k % 7).cast("string"), F.lit(".com/p"), ks)
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("?utm_a=1&q="), ks))
+        .otherwise(F.concat(F.lit("?q="), ks))
+    )
+    fetch = F.concat(
+        F.lit("2024-01-"),
+        F.lpad(((F.col("doc_id") * 13) % 28 + 1).cast("string"), 2, "0"),
+    )
+    return docs.withColumn("url", F.concat(scheme, base, tail)).withColumn(
+        "fetch_date", fetch
+    )
+
+
+_SYNTH_URL_SQL = """
+        u AS (
+          SELECT doc_id,
+                 'site' || ((doc_id // 2) % 7) || '.com/p' || (doc_id // 2)
+                 || CASE WHEN doc_id % 4 >= 2 THEN '?q=' || (doc_id // 2) ELSE '' END
+                   AS url_norm,
+                 '2024-01-' || lpad(((doc_id * 13) % 28 + 1)::VARCHAR, 2, '0') AS fetch_date
+          FROM documents
+        )"""
+
+
+def q_url_dedup(spark, sf_dir):
+    """Crawl URL dedup (pipeline/dedup.py:url_dedup): normalize the
+    synthetic crawl URLs (scheme/www/fragment/tracker/trailing-slash
+    noise) and keep the earliest fetch per canonical form. The Spark
+    side runs the REAL regex normalizer; the oracle derives the
+    expected canonical form from the generator arithmetic — an
+    independent-derivation oracle, not a regex replay."""
+    from hgraphstorage_spark.pipeline.dedup import url_dedup
+
+    docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
+    return url_dedup(docs, ts_col="fetch_date").select("doc_id", "url_norm", "fetch_date")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain crawl accounting (pipeline/dedup.py:domain_stats) over
+    the same synthetic URL column: docs and distinct canonical URLs per
+    registrable host — the input to per-domain caps. Oracle derives
+    both counts arithmetically."""
+    from hgraphstorage_spark.pipeline.dedup import domain_stats
+
+    docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
+    return domain_stats(docs)
+
+
+def q_media_pairs(spark, sf_dir):
+    """The media near-dup PAIR CORE (pipeline/multimodal.py:
+    media_near_dup_pairs → dedup.hamming_near_dup_pairs) under the
+    driver hash at the signature level: deterministic 60-bit md5_long
+    fingerprints with planted bit-flips — pair (2k, 2k+1) differs by
+    exactly 1+(k%5) bits, so the Manku banded blocking must find
+    exactly the f<=3 pairs — plus two planted controls: an identical
+    fingerprint across DIFFERENT kinds (must NOT pair: kind blocking)
+    and an identical fingerprint within one kind (must pair at hamming
+    0). Pixel→dHash fingerprinting stays pytest-verified
+    (tests/test_pipeline.py); this row certifies the banded pair
+    machinery those fingerprints flow through."""
+    from hgraphstorage_spark.pipeline.dedup import hamming_near_dup_pairs, md5_long
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.floor(F.col("doc_id") / 2).cast("long")
+    flips = (F.lit(1) + (k % 5)).cast("int")
+    one = F.lit(1).cast("long")
+    base_fp = md5_long(k)
+    mask = F.aggregate(
+        F.sequence(F.lit(0), flips - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc.bitwiseXOR(
+            F.call_function(
+                "shiftleft", one, ((k * 7 + i.cast("long") * 13) % 60).cast("int")
+            )
+        ),
+    )
+    fp = F.when(F.col("doc_id") % 2 == 1, base_fp.bitwiseXOR(mask)).otherwise(base_fp)
+    kind = F.when(k % 2 == 0, F.lit("image")).otherwise(F.lit("audio"))
+    fps = docs.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"), fp.alias("fingerprint")
+    )
+    plants = spark.createDataFrame(
+        [
+            (1000001, "image", _PLANT_FP_A),
+            (1000002, "audio", _PLANT_FP_A),  # cross-kind identical: blocked
+            (1000003, "image", _PLANT_FP_B),
+            (1000004, "image", _PLANT_FP_B),  # same-kind identical: hamming 0
+        ],
+        "media_id long, kind string, fingerprint long",
+    )
+    pairs = hamming_near_dup_pairs(
+        fps.unionAll(plants),
+        fp_col="fingerprint",
+        id_col="media_id",
+        max_distance=3,
+        bands=4,
+        block_col="kind",
+    )
+    return pairs.withColumnRenamed("doc_a", "media_a").withColumnRenamed(
+        "doc_b", "media_b"
+    )
+
+
+def _plant_fp(tag: str) -> int:
+    """60-bit md5-derived literal planted on BOTH sides (Spark frame and
+    oracle SQL) by this same function — the md5_plane_int no-drift
+    pattern."""
+    import hashlib
+
+    return int(hashlib.md5(tag.encode()).hexdigest()[:15], 16)
+
+
+_PLANT_FP_A = _plant_fp("cross-kind-plant")
+_PLANT_FP_B = _plant_fp("same-kind-plant")
+
+
+def q_warc_ingest(spark, sf_dir):
+    """End-to-end WARC ingest (sources/warc.py:read_warc →
+    warc_to_documents) over the committed fixture shard
+    ``fixtures/crawl.warc.gz`` (written once by ``warc_bytes``,
+    mtime-0 gzip members — byte-deterministic): response records only,
+    HTTP envelope stripped, HTML→text through the baseline extractor,
+    plain-text bodies untouched. The oracle is the expected row set as
+    literals — step zero of the 100 TB crawl pipeline, driver-checked.
+    (doc_id is omitted: it hashes the absolute shard path, which is
+    machine-specific by design.)"""
+    from hgraphstorage_spark.sources.warc import read_warc, warc_to_documents
+
+    fdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    docs = warc_to_documents(read_warc(spark, fdir))
+    return docs.select(
+        "url", "fetch_date", "n_chars", F.md5("text").alias("text_fp")
+    )
+
+
+def q_stream_heavy_hitters(spark, sf_dir):
+    """Misra-Gries streaming heavy hitters ACTUALLY RUN as a structured
+    stream (streaming/stateful.py:stream_heavy_hitters,
+    applyInPandasWithState): source/lang traffic keys stream through 4
+    micro-batches into 8 md5-sharded bounded summaries. Distinct keys
+    sit far under capacity=64, so the final summary is EXACT and equals
+    the batch-twin group-by — which the oracle replays (shard = md5_long
+    % 8). Counts only grow in this regime, so the final state per
+    (shard, item) is the max across update-mode emissions."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hgraphstorage_spark.streaming import stream_heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        F.concat(F.col("source"), F.lit("/"), F.col("lang")).alias("item")
+    )
+    tmp = tempfile.mkdtemp(prefix="hgs_hh_stream_")
+    qname = f"hh_drv_{uuid.uuid4().hex[:8]}"
+    try:
+        items.repartition(4).write.mode("overwrite").parquet(f"{tmp}/items")
+        stream = (
+            spark.readStream.schema(items.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/items")
+        )
+        q = (
+            stream_heavy_hitters(stream, capacity=64, shards=8, hash_mode="md5")
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = (
+            spark.table(qname)
+            .groupBy("shard", "item")
+            .agg(F.max("count_lb").cast("long").alias("count_lb"))
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def q_stream_embed_dedup(spark, sf_dir):
+    """Streaming embedding near-dup suppression ACTUALLY RUN as a
+    structured stream (streaming/ingest.py:stream_embed_dedup):
+    embeddings with synthetic event times stream through 4 micro-batches
+    of watermark-bounded dropDuplicatesWithinWatermark on the 16-bit
+    md5-plane hyperplane signature. The stream keeps ONE survivor per
+    signature (which row is arrival-order dependent), so the
+    deterministic projection is the SIGNATURE SET: survivors'
+    signatures are recomputed and returned, and the oracle replays the
+    distinct signature set over all vectors with the integer-exact
+    fixed-point planes."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.pipeline.similarity import (
+        quantize_fixed_point,
+        quantized_bucket,
+    )
+    from hgraphstorage_spark.streaming import stream_embed_dedup
+
+    embs = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("vec_id")).alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="hgs_embdd_stream_")
+    try:
+        embs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/embs")
+        stream = (
+            spark.readStream.schema(embs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/embs")
+        )
+        q = (
+            stream_embed_dedup(
+                stream, dims=64, bits=16, watermark="1 hour", plane_mode="md5"
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        survivors = (
+            spark.read.parquet(f"{tmp}/sink")
+            .withColumn("_qv", quantize_fixed_point(F.col("embedding")))
+            .select(quantized_bucket("_qv", dims=64, bits=16).alias("sig"))
+            .distinct()
+        )
+        result = spark.createDataFrame(survivors.collect(), survivors.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -2660,6 +2937,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         # r5: IVF recall pre-flight (vector twin of lsh_recall_report)
         "ann_recall": q_ann_recall,
+        # r6: crawl / media / streaming registry rows (VERDICT r5 tasks
+        # 3-6) — rotation candidates for r7
+        "url_dedup": q_url_dedup,
+        "domain_stats": q_domain_stats,
+        "media_pairs": q_media_pairs,
+        "warc_ingest": q_warc_ingest,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "stream_embed_dedup": q_stream_embed_dedup,
         # r5 second rotation: driver-hashed-green graph rows whose window
         # slots now carry the second-half r5 operators (all still
         # oracle-compared every pytest run; graph_summary keeps their
@@ -3941,6 +4226,27 @@ def _incremental_lsh_oracle_sql(
         )
         SELECT doc_id, seen_id, jaccard::VARCHAR AS jaccard FROM j WHERE jaccard >= {threshold}
     """
+
+
+def _stream_embed_sig_oracle_sql(dims: int = 64, bits: int = 16) -> str:
+    """DuckDB replay of `stream_embed_dedup(plane_mode="md5")`'s
+    deterministic projection: the DISTINCT quantized-fixed-point
+    hyperplane signature set over all vectors (seed 0 — the same
+    `md5_plane_int` literals the Spark plan embeds). The stream keeps
+    exactly one survivor per signature inside the watermark, so
+    survivors' recomputed signatures == this distinct set."""
+    from hgraphstorage_spark.pipeline.similarity import PLANE_SCALE, md5_plane_int
+
+    bit_cases = " + ".join(
+        "CASE WHEN list_dot_product(qv, ["
+        + ", ".join(str(md5_plane_int(p, d)) for d in range(dims))
+        + f"]::DOUBLE[]) > 0 THEN {1 << p} ELSE 0 END"
+        for p in range(bits)
+    )
+    return f"""
+        WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT list_transform(v, x -> floor(x * {PLANE_SCALE})::DOUBLE) AS qv FROM e)
+        SELECT DISTINCT ({bit_cases})::BIGINT AS sig FROM q"""
 
 
 def _embed_lsh_oracle_sql(
@@ -5262,6 +5568,99 @@ def oracle_sql() -> dict[str, str]:
     # streaming scorer: per-doc scores are a pure function of
     # (text, model), so the stream replays the identical batch math
     sql["dsir_stream"] = sql["dsir_weights"]
+    # r6 crawl tier: the oracle derives the EXPECTED canonical URL from
+    # the synthetic generator arithmetic (independent derivation — the
+    # Spark side runs the real regex normalizer)
+    sql["url_dedup"] = (
+        "WITH "
+        + _SYNTH_URL_SQL
+        + """,
+        r AS (
+          SELECT doc_id, url_norm, fetch_date,
+                 row_number() OVER (PARTITION BY url_norm ORDER BY fetch_date) AS rn
+          FROM u
+        )
+        SELECT doc_id, url_norm, fetch_date FROM r WHERE rn = 1"""
+    )
+    sql["domain_stats"] = (
+        "WITH "
+        + _SYNTH_URL_SQL
+        + """
+        SELECT 'site' || ((doc_id // 2) % 7) || '.com' AS domain,
+               count(*)::BIGINT AS n_docs,
+               count(DISTINCT url_norm)::BIGINT AS n_urls
+        FROM u GROUP BY 1"""
+    )
+    # r6 media pair core: replay the md5_long fingerprints + planted bit
+    # flips (distinct positions, so XOR == SUM of single bits), then the
+    # kind-blocked Manku banding — simhash_pairs' SQL shape minus the
+    # text fold, plus the two planted controls
+    sql["media_pairs"] = f"""
+        WITH base AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
+        f0 AS (
+          SELECT doc_id, k,
+                 ('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT AS bfp,
+                 1 + (k % 5) AS flips
+          FROM base
+        ),
+        mk AS (
+          SELECT f0.doc_id,
+                 sum(1::BIGINT << ((f0.k * 7 + t.i * 13) % 60))::BIGINT AS mask
+          FROM f0, unnest(generate_series(0, f0.flips - 1)) t(i)
+          GROUP BY f0.doc_id
+        ),
+        fpt AS (
+          SELECT f0.doc_id AS media_id,
+                 CASE WHEN f0.k % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                 CASE WHEN f0.doc_id % 2 = 1 THEN xor(f0.bfp, mk.mask) ELSE f0.bfp END AS fp
+          FROM f0 JOIN mk USING (doc_id)
+          UNION ALL
+          SELECT * FROM (VALUES
+            (1000001::BIGINT, 'image', {_PLANT_FP_A}::BIGINT),
+            (1000002::BIGINT, 'audio', {_PLANT_FP_A}::BIGINT),
+            (1000003::BIGINT, 'image', {_PLANT_FP_B}::BIGINT),
+            (1000004::BIGINT, 'image', {_PLANT_FP_B}::BIGINT)) v(media_id, kind, fp)
+        ),
+        banded AS (
+          SELECT media_id, kind, b, (fp >> (16 * b)) & 65535 AS bval
+          FROM fpt, unnest(generate_series(0, 3)) t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b
+          FROM banded a JOIN banded c
+            ON a.kind = c.kind AND a.b = c.b AND a.bval = c.bval
+           AND a.media_id < c.media_id
+        )
+        SELECT cand.media_a, cand.media_b,
+               bit_count(xor(fa.fp, fb.fp))::BIGINT AS hamming
+        FROM cand JOIN fpt fa ON cand.media_a = fa.media_id
+                  JOIN fpt fb ON cand.media_b = fb.media_id
+        WHERE bit_count(xor(fa.fp, fb.fp)) <= 3"""
+    # r6 WARC ingest: expected rows of the committed byte-deterministic
+    # fixture shard as literals (the multimodal oracle pattern: a wrong
+    # writer OR parser breaks the match)
+    sql["warc_ingest"] = """
+        SELECT * FROM (VALUES
+          ('http://fixture.example.com/page1', '2024-03-01T08:00:00Z',
+           207::BIGINT, 'd994dc55ce0215d9282480ef34299962'),
+          ('http://fixture.example.com/plain.txt', '2024-03-01T09:00:00Z',
+           64::BIGINT, 'b4890e05db03778e0ea8220ab901695a'),
+          ('http://fixture.example.com/raw', '2024-03-01T10:00:00Z',
+           109::BIGINT, 'b5eaa504b311f1e33d35a4d14dad019b'),
+          ('https://www.fixture.example.com/page1?utm_source=feed', '2024-03-02T08:00:00Z',
+           194::BIGINT, '0c5a0c49e4b9ee368c3b1018c5cf455e')
+        ) t(url, fetch_date, n_chars, text_fp)"""
+    # r6 streaming rows: batch-twin oracles. Heavy hitters run far
+    # under capacity, so the Misra-Gries final state is EXACT counts
+    # (the over-capacity undercount bound stays pytest-pinned in
+    # tests/test_streaming.py); embed dedup's deterministic projection
+    # is the distinct md5-plane signature set
+    sql["stream_heavy_hitters"] = """
+        SELECT (('0x' || substr(md5(source || '/' || lang), 1, 15))::BIGINT % 8)::INTEGER AS shard,
+               source || '/' || lang AS item,
+               count(*)::BIGINT AS count_lb
+        FROM documents GROUP BY 1, 2"""
+    sql["stream_embed_dedup"] = _stream_embed_sig_oracle_sql(dims=64, bits=16)
     sql["dsir_sample"] = (
         _dsir_core
         + _dsir_full

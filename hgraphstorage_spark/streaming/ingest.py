@@ -264,6 +264,7 @@ def stream_embed_dedup(
     ts_col: str = "ts",
     watermark: str = "1 hour",
     seed: int = 0,
+    plane_mode: str = "xxhash64",
 ) -> DataFrame:
     """Streaming EMBEDDING near-duplicate suppression: one representative
     vector per ``bits``-bit random-hyperplane signature within the
@@ -286,12 +287,28 @@ def stream_embed_dedup(
     argument); borderline pairs pass through for the batch
     ``embedding_near_dup_lsh`` pass downstream. State: one ``bits``-bit
     key per live signature, evicted past the watermark. All input
-    columns survive."""
-    from hgraphstorage_spark.pipeline.similarity import signature_bits
+    columns survive.
 
-    with_sig = embs.withColumn(
-        "_sig", signature_bits(F.col(vec_col), dims=dims, bits=bits, seed=seed)
-    )
+    ``plane_mode="md5"`` signs with the integer-exact fixed-point
+    md5-plane bucket (``similarity.quantized_bucket``) instead of the
+    xxhash64 float fold — the same dual-mode contract as
+    ``embedding_near_dup_lsh``: bit-identical in any engine, so a
+    DuckDB oracle replays the signature set."""
+    if plane_mode == "md5":
+        from hgraphstorage_spark.pipeline.similarity import (
+            quantize_fixed_point,
+            quantized_bucket,
+        )
+
+        with_sig = embs.withColumn(
+            "_qv", quantize_fixed_point(F.col(vec_col))
+        ).withColumn("_sig", quantized_bucket("_qv", dims=dims, bits=bits, seed=seed))
+    else:
+        from hgraphstorage_spark.pipeline.similarity import signature_bits
+
+        with_sig = embs.withColumn(
+            "_sig", signature_bits(F.col(vec_col), dims=dims, bits=bits, seed=seed)
+        )
     out_cols = embs.columns
     if with_sig.isStreaming:
         return (

@@ -78,6 +78,7 @@ def stream_heavy_hitters(
     capacity: int = 64,
     item_col: str = "item",
     shards: int = 8,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Streaming heavy hitters with BOUNDED state: a Misra-Gries summary
     (Misra & Gries 1982; the Frequent algorithm) per hash shard,
@@ -97,11 +98,21 @@ def stream_heavy_hitters(
     pairs, constant); each micro-batch pre-aggregates Arrow-side
     (``value_counts``) before touching the summary. Batch frames return
     exact per-shard counts (the parity twin). Emits the full current
-    summary per shard per micro-batch (update mode)."""
+    summary per shard per micro-batch (update mode).
+
+    ``hash_mode="md5"`` shards with the engine-portable ``md5_long``
+    family instead of xxhash64, so a DuckDB oracle can replay the shard
+    assignment (the standard dual-hash pattern; xxhash64 stays the
+    production fast path)."""
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    shard_hash = (
+        md5_long(F.col(item_col)) if hash_mode == "md5" else F.xxhash64(F.col(item_col))
+    )
     # NULL items drop in BOTH paths (pandas value_counts would silently
     # drop them stream-side only — the parity twin must agree)
     tagged = items.filter(F.col(item_col).isNotNull()).select(
-        F.pmod(F.xxhash64(F.col(item_col)), F.lit(shards)).cast("int").alias("shard"),
+        F.pmod(shard_hash, F.lit(shards)).cast("int").alias("shard"),
         F.col(item_col).cast("string").alias("item"),
     )
     if not items.isStreaming:
