@@ -1010,16 +1010,32 @@ def ivf_train_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     coarse_salt: str = "ivfseed",
+    mean_mode: str = "double",
 ) -> DataFrame:
     """Lloyd k-means (squared-L2) coarse-centroid training for
     :func:`ivfpq_topk`'s ``centroids`` argument. Init = the nlist
     md5-smallest vectors (iterations=0 reproduces the default routing
     exactly); per round, assign against broadcast centroids and recenter
     to the element-wise member mean keyed by (cidx, dim). Returns
-    (cidx, cvec)."""
+    (cidx, cvec).
+
+    ``mean_mode="decimal6"`` recenters with the order-independent
+    round-to-6-decimals-then-DECIMAL-sum mean (sum exact, one cast to
+    double, one IEEE division) instead of a float ``avg`` whose partial
+    summation order is engine/partitioning-dependent — the standard
+    oracle-mode canonicalization, so a DuckDB replay of the Lloyd round
+    reproduces the trained centroids BIT-exactly."""
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    mean_expr = (
+        (
+            F.sum(F.round(F.col("x"), 6).cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mx")
+        if mean_mode == "decimal6"
+        else F.avg("x").alias("mx")
     )
     cents = _anchor_centroids(base, nlist, coarse_salt)
     for _ in range(iterations):
@@ -1033,7 +1049,7 @@ def ivf_train_centroids(
         cents = (
             asg.select("cidx", F.posexplode("v").alias("pos", "x"))
             .groupBy("cidx", "pos")
-            .agg(F.avg("x").alias("mx"))
+            .agg(mean_expr)
             .groupBy("cidx")
             .agg(
                 F.transform(

@@ -78,9 +78,11 @@ def test_window_covers_required_operators():
     """The driver checks only the first 50 entries — pin the composition so
     a refactor can't silently push the north-star operators out."""
     must_be_in_window = {
-        # round-1 red rows, fixed + canonicalized
-        "tpch_q1", "tpch_q3_like", "tpch_q5_like", "window_top_order",
-        "ntile_deciles", "rollup_revenue", "streaming_summary", "retention_cohorts",
+        # round-1 red rows, fixed + canonicalized (window_top_order /
+        # rollup_revenue / retention_cohorts rotated out r6 — r1-stable,
+        # hashed green five rounds, family-covered by the remaining rows)
+        "tpch_q1", "tpch_q3_like", "tpch_q5_like",
+        "ntile_deciles", "streaming_summary",
         "pagerank",
         # LLM-pipeline categories the driver must see green
         "dedup_exact", "minhash_lsh_pairs", "chunk_dedup", "dedup_clusters",
@@ -89,12 +91,16 @@ def test_window_covers_required_operators():
         "bm25_search", "decontaminate", "hash_split", "mix_corpus",
         "multimodal_features", "graph_summary",
         # r4 rotation: operators the driver had never hashed before
-        "incremental_near_dup", "sq_topk", "exact_substring",
+        # (sq_topk rotated out r6: hashed green r4+r5, similarity family
+        # keeps three in-window rows)
+        "incremental_near_dup", "exact_substring",
         "boilerplate_dedup", "pq_topk",
-        # r5 rotation (VERDICT r4 task 1): the seven r4 operators past
-        # the r4 window, now under the driver hash for the first time
-        "containment_pairs", "weighted_sample", "lsh_recall_report",
-        "script_stats", "epoch_shuffle", "length_batches", "ivfpq_topk",
+        # r5 rotation (VERDICT r4 task 1): the r4 operators now under
+        # the driver hash (lsh_recall_report / script_stats rotated out
+        # r6 after green contact; ann_recall / lang_confusion replace
+        # their coverage)
+        "containment_pairs", "weighted_sample",
+        "epoch_shuffle", "length_batches", "ivfpq_topk",
         # r5 late rotation: the four round-5 operators, in-window so the
         # driver hashes them the round they were built
         "dsir_weights", "dsir_sample", "bpe_merges", "dedup_keep_best",
@@ -103,6 +109,11 @@ def test_window_covers_required_operators():
         # stay under the driver hash via pagerank + graph_summary)
         "simhash_pairs", "perplexity_buckets", "quality_reasons",
         "content_type",
+        # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
+        # hashed r5 operators, in-window so the driver hashes the
+        # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
+        "corr_matrix", "numeric_histogram", "modularity",
+        "dsir_stream", "lang_confusion", "ann_recall",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
