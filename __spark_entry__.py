@@ -2313,11 +2313,20 @@ def q_ivfpq_topk(spark, sf_dir):
     default): coarse list routing + residual PQ codes + per-probed-list
     ADC — rows cut nlist/nprobe-fold AND bytes cut 32-fold. Fully
     oracle-replayed (deterministic md5 anchors, fixed-order folds,
-    decimal sums)."""
-    from hgraphstorage_spark.pipeline.similarity import ivfpq_topk
+    decimal sums).
 
+    r6 (VERDICT r5 task 8): the coarse quantizer is now TRAINED — one
+    Lloyd round via ``ivf_train_centroids(mean_mode="decimal6")``, the
+    order-independent exact-decimal recentering — so the accuracy knob
+    a real deployment turns first is itself driver-certified. The
+    oracle unrolls the same round (md5-anchor init → assign →
+    decimal-mean recenter) before the IVF-PQ replay."""
+    from hgraphstorage_spark.pipeline.similarity import ivf_train_centroids, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, nlist=8, iterations=1, mean_mode="decimal6")
     return _canon(
-        ivfpq_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10), "adc_dist"
+        ivfpq_topk(emb, query_id=0, k=10, centroids=cents), "adc_dist"
     )
 
 
@@ -5394,10 +5403,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(adc_dist AS DECIMAL(18,6))::VARCHAR AS adc_dist
         FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     """
-    # ivfpq_topk: full IVF-PQ replay — md5 coarse anchors, residual PQ
-    # codebooks, per-probed-list ADC; all L2 sums written left-assoc to
-    # match Spark's aggregate() fold order
+    # ivfpq_topk: full IVF-PQ replay — md5 coarse anchors TRAINED by one
+    # unrolled Lloyd round (assign to anchors, recenter with the
+    # order-independent round-to-6-then-DECIMAL-sum mean — r6 task 8),
+    # residual PQ codebooks, per-probed-list ADC; all L2 sums written
+    # left-assoc to match Spark's aggregate() fold order
     _l2v = " + ".join(f"(v[{i}]-cv[{i}])*(v[{i}]-cv[{i}])" for i in range(1, 65))
+    _l2v0 = " + ".join(f"(v[{i}]-cv0[{i}])*(v[{i}]-cv0[{i}])" for i in range(1, 65))
     _l2q = " + ".join(f"(q[{i}]-cv[{i}])*(q[{i}]-cv[{i}])" for i in range(1, 65))
     _l2s = " + ".join(f"(sub[{i}]-cw[{i}])*(sub[{i}]-cw[{i}])" for i in range(1, 9))
     sql["ivfpq_topk"] = rf"""
@@ -5409,10 +5421,26 @@ def oracle_sql() -> dict[str, str]:
                  ('0x' || substr(md5(vec_id::VARCHAR || ':ivfseed'), 1, 15))::BIGINT AS h
           FROM rec
         ),
-        cents AS (
-          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, v AS cv
+        cents0 AS (
+          SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, v AS cv0
           FROM (SELECT * FROM chh ORDER BY h, vec_id LIMIT 8)
         ),
+        cd0 AS (SELECT vec_id, cidx, {_l2v0} AS d FROM rec, cents0),
+        asg0 AS (
+          SELECT vec_id, cidx FROM (
+            SELECT vec_id, cidx,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn
+            FROM cd0
+          ) WHERE rn = 1
+        ),
+        cm AS (
+          SELECT asg0.cidx, t.i,
+                 sum(CAST(round(rec.v[t.i], 6) AS DECIMAL(27,6)))::DOUBLE
+                   / count(*) AS mx
+          FROM asg0 JOIN rec USING (vec_id), unnest(generate_series(1, 64)) t(i)
+          GROUP BY asg0.cidx, t.i
+        ),
+        cents AS (SELECT cidx, list(mx ORDER BY i) AS cv FROM cm GROUP BY cidx),
         cd AS (SELECT vec_id, cidx, {_l2v} AS d FROM rec, cents),
         asg AS (
           SELECT vec_id, cidx AS list_id FROM (
