@@ -2744,6 +2744,73 @@ def q_stream_embed_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-6 pipeline wave: NB quality classifier, novelty, drift, domain roll-up
+
+
+def q_nb_quality(spark, sf_dir):
+    """Naive-Bayes quality classifier (pipeline/text.py:
+    nb_quality_model/nb_quality_score) — the count-based stand-in for
+    the fastText quality filter (CCNet/GPT-3 style): train log-odds on
+    src0 as the curated positive seed vs the rest, score every doc by
+    the exact-decimal sum of per-occurrence LLRs. Oracle replays
+    counts, smoothing, and the decimal sum."""
+    from hgraphstorage_spark.pipeline.text import nb_quality_model, nb_quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    model = nb_quality_model(docs, docs.filter(F.col("source") == "src0"))
+    return _canon(nb_quality_score(docs, model), "score")
+
+
+def q_novelty(spark, sf_dir):
+    """Per-doc n-gram novelty (pipeline/dedup.py:novelty_scores):
+    fraction of a doc's distinct 3-gram shingles first seen in that doc
+    (min doc_id as arrival proxy) — the SlimPajama-style redundancy
+    signal. Oracle replays string shingles' first occurrence (hashed ==
+    string shingle sets up to negligible collisions, the
+    ngram_jaccard argument)."""
+    from hgraphstorage_spark.pipeline.dedup import novelty_scores
+
+    return _canon(novelty_scores(_t(spark, sf_dir, "documents"), n=3), "novelty")
+
+
+def q_vocab_drift(spark, sf_dir):
+    """Token-distribution drift (pipeline/text.py:vocab_drift): top-20
+    per-token contributions to KL(src0 ‖ rest) with add-one smoothing —
+    the new-dump monitoring signal. Oracle replays the smoothed
+    contributions and the rounded-ordering top-k."""
+    from hgraphstorage_spark.pipeline.text import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    return _canon(
+        vocab_drift(
+            docs.filter(F.col("source") == "src0"),
+            docs.filter(F.col("source") != "src0"),
+            top_k=20,
+        ),
+        "contrib",
+    )
+
+
+def q_domain_quality(spark, sf_dir):
+    """Per-domain quality roll-up → blocklist derivation
+    (pipeline/dedup.py:domain_quality): quality_filter passes joined
+    onto the synthetic crawl URLs, aggregated per registrable host;
+    blocked = ≥2 docs passing under 50%. Oracle composes the
+    quality_filter replay with the synthetic-domain arithmetic."""
+    from hgraphstorage_spark.pipeline import quality_filter
+    from hgraphstorage_spark.pipeline.dedup import domain_quality
+
+    docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
+    qf = quality_filter(docs).select("doc_id", "passes")
+    return _canon(
+        domain_quality(
+            docs.join(qf, "doc_id"), passes_col="passes", min_docs=2, threshold=0.5
+        ),
+        "pass_rate",
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 
 
@@ -2971,6 +3038,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "stream_embed_dedup": q_stream_embed_dedup,
+        # r6 pipeline wave: classifier-based quality, novelty/redundancy,
+        # corpus drift, domain blocklisting — rotation candidates for r7
+        "nb_quality": q_nb_quality,
+        "novelty": q_novelty,
+        "vocab_drift": q_vocab_drift,
+        "domain_quality": q_domain_quality,
         # r5 second rotation: driver-hashed-green graph rows whose window
         # slots now carry the second-half r5 operators (all still
         # oracle-compared every pytest run; graph_summary keeps their
@@ -5706,6 +5779,122 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS count_lb
         FROM documents GROUP BY 1, 2"""
     sql["stream_embed_dedup"] = _stream_embed_sig_oracle_sql(dims=64, bits=16)
+    # r6 pipeline wave
+    sql["nb_quality"] = r"""
+        WITH tk AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+            FROM documents
+          ) WHERE len(tok) > 0
+        ),
+        lab AS (SELECT doc_id, source = 'src0' AS pos FROM documents),
+        cnt AS (
+          SELECT tok, count(*) AS c_all,
+                 sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos
+          FROM tk JOIN lab USING (doc_id) GROUP BY tok
+        ),
+        tot AS (
+          SELECT sum(c_pos) AS n_pos, sum(c_all - c_pos) AS n_neg, count(*) AS v
+          FROM cnt
+        ),
+        model AS (
+          SELECT tok,
+                 ln((c_pos + 1.0) / (n_pos + v))
+                 - ln((c_all - c_pos + 1.0) / (n_neg + v)) AS llr
+          FROM cnt, tot
+        ),
+        sc AS (
+          SELECT tk.doc_id, count(*) AS n_toks,
+                 sum(CAST(round(llr, 6) AS DECIMAL(18,6))) AS score
+          FROM tk JOIN model USING (tok) GROUP BY tk.doc_id
+        )
+        SELECT d.doc_id, COALESCE(n_toks, 0)::BIGINT AS n_toks,
+               COALESCE(score, 0)::DECIMAL(18,6)::VARCHAR AS score,
+               COALESCE(score, 0) > 0 AS positive
+        FROM documents d LEFT JOIN sc USING (doc_id)"""
+    sql["novelty"] = r"""
+        WITH wds AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(words, i, i + 2), ' ') AS shingle
+          FROM wds, unnest(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)
+        ),
+        fo AS (SELECT shingle, min(doc_id) AS f FROM sh GROUP BY shingle),
+        pd AS (
+          SELECT sh.doc_id, count(*) AS n_grams,
+                 sum(CASE WHEN sh.doc_id = f THEN 1 ELSE 0 END) AS n_novel
+          FROM sh JOIN fo USING (shingle) GROUP BY sh.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(n_grams, 0)::BIGINT AS n_grams,
+               COALESCE(n_novel, 0)::BIGINT AS n_novel,
+               COALESCE(CAST(round(n_novel::DOUBLE / n_grams, 6) AS DECIMAL(18,6)),
+                        0)::DECIMAL(18,6)::VARCHAR AS novelty
+        FROM documents d LEFT JOIN pd USING (doc_id)"""
+    sql["vocab_drift"] = r"""
+        WITH tk AS (
+          SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+            FROM documents
+          ) WHERE len(tok) > 0
+        ),
+        lab AS (SELECT doc_id, source = 'src0' AS pos FROM documents),
+        ca AS (SELECT tok, count(*) AS c_a FROM tk JOIN lab USING (doc_id) WHERE pos GROUP BY tok),
+        cb AS (SELECT tok, count(*) AS c_b FROM tk JOIN lab USING (doc_id) WHERE NOT pos GROUP BY tok),
+        u AS (
+          SELECT COALESCE(ca.tok, cb.tok) AS token,
+                 COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+          FROM ca FULL JOIN cb ON ca.tok = cb.tok
+        ),
+        tot AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b, count(*) AS v FROM u),
+        sc AS (
+          SELECT token, c_a, c_b,
+                 CAST(round(((c_a + 1.0) / (n_a + v))
+                      * ln(((c_a + 1.0) / (n_a + v)) / ((c_b + 1.0) / (n_b + v))), 6)
+                   AS DECIMAL(18,6)) AS contrib
+          FROM u, tot
+        )
+        SELECT token, c_a::BIGINT AS c_a, c_b::BIGINT AS c_b,
+               contrib::VARCHAR AS contrib, rank::INTEGER AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY contrib DESC, token) AS rank FROM sc)
+        WHERE rank <= 20"""
+    sql["domain_quality"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+          FROM documents
+        ),
+        hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+        m AS (
+          SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_n,
+                 CAST(round(sum(n * len(tok))::DOUBLE / sum(n), 6) AS DECIMAL(18,6)) AS mean_tok_len
+          FROM hist GROUP BY doc_id
+        ),
+        qf AS (
+          SELECT d.doc_id,
+                 COALESCE(n_tokens >= 10 AND n_tokens <= 100000
+                          AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+                          AND CAST(round(top_n::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) <= 0.25,
+                          FALSE) AS passes
+          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        ),
+        agg AS (
+          SELECT 'site' || ((d.doc_id // 2) % 7) || '.com' AS domain,
+                 count(*) AS n_docs,
+                 sum(CASE WHEN passes THEN 1 ELSE 0 END) AS n_pass
+          FROM documents d JOIN qf USING (doc_id) GROUP BY 1
+        )
+        SELECT domain, n_docs::BIGINT AS n_docs, n_pass::BIGINT AS n_pass,
+               CAST(round(n_pass::DOUBLE / n_docs, 6) AS DECIMAL(18,6))::VARCHAR AS pass_rate,
+               (n_docs >= 2 AND CAST(round(n_pass::DOUBLE / n_docs, 6) AS DECIMAL(18,6)) < 0.5)
+                 AS blocked
+        FROM agg"""
     sql["dsir_sample"] = (
         _dsir_core
         + _dsir_full

@@ -1308,3 +1308,90 @@ def domain_stats(
             F.countDistinct("_u").alias("n_urls"),
         )
     )
+
+
+def novelty_scores(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — the redundancy/contribution signal
+    behind SlimPajama-style corpus trimming: the fraction of a doc's
+    distinct word n-grams whose FIRST occurrence (min doc id over the
+    corpus — id as the arrival proxy) is this document. A doc that only
+    repeats earlier shingles scores 0; the first copy of boilerplate
+    scores high and its echoes score low. Returns
+    (doc_id, n_grams, n_novel, novelty DECIMAL(18,6)); docs whose text
+    yields no shingles pass through with zeros.
+
+    Shape at scale: the shared :func:`shingle_hashes` explode (8-byte
+    hashed shingles, never n-word strings), one shingle-keyed min-agg
+    (map-side partial), one shingle-keyed join back, one doc-keyed agg,
+    one id-keyed passthrough join — no windows, nothing collected.
+    Novelty = exact integer ratio, engine-portable."""
+    sh = (
+        shingle_hashes(docs, text_col, id_col, n, hash_mode)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("_first")).cast("long")).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.coalesce(
+                F.round(F.col("n_novel") / F.col("n_grams"), 6), F.lit(0.0)
+            )
+            .cast("decimal(18,6)")
+            .alias("novelty"),
+        )
+    )
+
+
+def domain_quality(
+    docs: DataFrame,
+    passes_col: str = "passes",
+    url_col: str = "url",
+    min_docs: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-domain quality roll-up — the blocklist derivation step a
+    crawl pipeline runs after per-doc quality filtering (one SEO farm =
+    one domain full of failing pages; block the HOST, not just the
+    pages): docs and quality-pass counts per registrable host of the
+    normalized URL, ``blocked`` when a domain with at least
+    ``min_docs`` documents passes at a rate below ``threshold``.
+    Returns (domain, n_docs, n_pass, pass_rate DECIMAL(18,6), blocked).
+
+    One domain-keyed count agg (map-side partial); pass_rate is an
+    exact integer ratio rounded at 6 — engine-portable."""
+    dom = F.regexp_extract(url_normalized(F.col(url_col)), r"^([^/?]+)", 1)
+    agg = (
+        docs.select(dom.alias("domain"), F.col(passes_col).cast("boolean").alias("_p"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_p").cast("long")).alias("n_pass"),
+        )
+    )
+    rate = F.round(F.col("n_pass") / F.col("n_docs"), 6).cast("decimal(18,6)")
+    return agg.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        rate.alias("pass_rate"),
+        ((F.col("n_docs") >= min_docs) & (rate < threshold)).alias("blocked"),
+    )

@@ -1491,3 +1491,159 @@ def lang_confusion(
         .groupBy("declared", F.col("lang_guess").alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _tok_stream(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, tok) occurrence stream — the shared explode of the NB
+    classifier and drift ops (lowercase, whitespace split, empties
+    dropped; identical to the unigram_logprob tokenization)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("tok"),
+    ).filter(F.length("tok") > 0)
+
+
+def nb_quality_model(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train a Naive-Bayes log-odds quality classifier — the count-based
+    stand-in for the fastText linear quality filter every big crawl
+    pipeline runs (CCNet/GPT-3 style: score documents by similarity to
+    a curated positive corpus). ``target`` is the positive seed (a
+    subset of ``docs``); the rest of ``docs`` is the background class.
+    Returns the model as (tok, llr DOUBLE): add-one-smoothed
+    log-likelihood ratio ln P(tok|pos) − ln P(tok|neg) over the union
+    vocabulary.
+
+    Shape at scale (the DSIR envelope): two token-keyed count aggs with
+    map-side partials, two 1-row total frames broadcast onto the
+    vocabulary — the corpus is scanned once per class and nothing
+    data-sized is collected. Train/apply split so the model persists and
+    new batches score without retraining
+    (:func:`nb_quality_score`)."""
+    toks_all = _tok_stream(docs, text_col, id_col)
+    toks_pos = _tok_stream(target, text_col, id_col)
+    ca = toks_all.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
+    cp = toks_pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c_pos"))
+    vocab = ca.join(cp, "tok", "left").select(
+        "tok",
+        F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
+        (F.col("c_all") - F.coalesce("c_pos", F.lit(0))).alias("c_neg"),
+    )
+    totals = vocab.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    return vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("c_pos") + 1.0) / (F.col("n_pos") + F.col("v")))
+            - F.log((F.col("c_neg") + 1.0) / (F.col("n_neg") + F.col("v")))
+        ).alias("llr"),
+    )
+
+
+def nb_quality_score(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a :func:`nb_quality_model`: per-doc sum of
+    per-occurrence log-likelihood ratios, ``positive`` = score > 0 (the
+    NB decision at equal priors). Tokens absent from the model
+    contribute 0 (documented OOV policy — retrain to fold new vocabulary
+    in). Returns (doc_id, n_toks, score DECIMAL(18,6), positive);
+    gramless docs pass through with n_toks=0, score=0 (the DSIR
+    contract: selections stay full-corpus-sized).
+
+    Per-term llr rounds to 6 decimals and sums as DECIMAL — the
+    order-independent exact aggregation, so the score is a pure
+    function of (text, model) under any partitioning. Model
+    broadcast-joins the token stream; one doc-keyed agg; one id-keyed
+    left join for the passthrough."""
+    toks = _tok_stream(docs, text_col, id_col)
+    scored = (
+        toks.join(F.broadcast(model), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(
+                F.round(F.coalesce(F.col("llr"), F.lit(0.0)), 6).cast("decimal(18,6)")
+            ).alias("score"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_toks"),
+            F.coalesce(F.col("score"), F.lit(0).cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("score"),
+        )
+        .withColumn("positive", F.col("score") > 0)
+    )
+
+
+def vocab_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots/slices —
+    the monitoring signal a refreshed crawl runs before mixing a new
+    dump in: per-token contribution p·ln(p/q) to KL(A‖B) with add-one
+    smoothing over the union vocabulary, top-k by contribution
+    (largest = the tokens A over-represents vs B). Returns
+    (token, c_a, c_b, contrib DECIMAL(18,6), rank).
+
+    Two token-keyed count aggs + a full-outer join on the token key, a
+    1-row totals broadcast, then a vocabulary-sized top-k
+    (row_number+filter → TakeOrderedAndProject). Ordering is on the
+    ROUNDED contribution with token tie-break, so the ranking is
+    engine-exact."""
+    from pyspark.sql import Window
+
+    ca = _tok_stream(docs_a, text_col, id_col).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_a")
+    )
+    cb = _tok_stream(docs_b, text_col, id_col).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_b")
+    )
+    u = ca.join(cb, "tok", "full").select(
+        "tok",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    totals = u.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"), F.count(F.lit(1)).alias("v")
+    )
+    scored = u.crossJoin(F.broadcast(totals)).select(
+        F.col("tok").alias("token"),
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(
+            ((F.col("c_a") + 1.0) / (F.col("n_a") + F.col("v")))
+            * F.log(
+                ((F.col("c_a") + 1.0) / (F.col("n_a") + F.col("v")))
+                / ((F.col("c_b") + 1.0) / (F.col("n_b") + F.col("v")))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("contrib"),
+    )
+    w = Window.orderBy(F.col("contrib").desc(), F.col("token"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select("token", "c_a", "c_b", "contrib", F.col("_rn").cast("int").alias("rank"))
+    )

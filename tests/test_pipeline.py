@@ -2656,3 +2656,75 @@ def test_dsir_scores_every_document_including_gramless(spark):
     for empty_id in (2, 3, 4):
         assert w[empty_id]["n_grams"] == 0 and float(w[empty_id]["log_weight"]) == 0.0
     assert dsir_sample(docs, target, k=4, n_buckets=64).count() == 4
+
+
+class TestRound6PipelineWave:
+    def test_nb_quality_separates_planted_classes(self, spark):
+        """Docs made of positive-seed vocabulary score > 0; background
+        vocabulary scores < 0; a doc of unseen tokens scores exactly 0
+        (OOV policy); empty doc passes through with zeros."""
+        from hgraphstorage_spark.pipeline.text import nb_quality_model, nb_quality_score
+
+        rows = [
+            (1, "good clean prose text", "pos"),
+            (2, "good clean curated text", "pos"),
+            (3, "spam junk casino pills", "neg"),
+            (4, "junk pills spam spam", "neg"),
+            (5, "good clean prose", "unlabeled"),
+            (6, "casino pills junk", "unlabeled"),
+            (7, "", "unlabeled"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        model = nb_quality_model(docs, docs.filter("source = 'pos'"))
+        got = {r["doc_id"]: r for r in nb_quality_score(docs, model).collect()}
+        assert len(got) == 7  # full passthrough
+        assert got[5]["positive"] and float(got[5]["score"]) > 0
+        assert not got[6]["positive"] and float(got[6]["score"]) < 0
+        assert got[7]["n_toks"] == 0 and float(got[7]["score"]) == 0.0
+        # OOV tokens contribute 0
+        oov = spark.createDataFrame([(9, "zzz qqq", "x")], "doc_id long, text string, source string")
+        r9 = nb_quality_score(oov, model).collect()[0]
+        assert float(r9["score"]) == 0.0 and r9["n_toks"] == 2
+
+    def test_novelty_first_copy_high_echo_zero(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import novelty_scores
+
+        text = "alpha beta gamma delta epsilon zeta"
+        rows = [(1, text), (2, text), (3, "totally different words here now")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in novelty_scores(docs, n=3).collect()}
+        assert float(got[1]["novelty"]) == 1.0  # first copy: every shingle novel
+        assert float(got[2]["novelty"]) == 0.0  # exact echo: nothing novel
+        assert float(got[3]["novelty"]) == 1.0
+        assert got[1]["n_grams"] == got[2]["n_grams"] == 4
+
+    def test_vocab_drift_flags_overrepresented_token(self, spark):
+        from hgraphstorage_spark.pipeline.text import vocab_drift
+
+        a = spark.createDataFrame(
+            [(i, "surge surge surge common") for i in range(5)], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(100 + i, "common words only") for i in range(5)], "doc_id long, text string"
+        )
+        top = vocab_drift(a, b, top_k=3).collect()
+        assert top[0]["token"] == "surge" and top[0]["rank"] == 1
+        assert float(top[0]["contrib"]) > 0
+
+    def test_domain_quality_blocklist_rules(self, spark):
+        """A 2-doc domain failing both docs is blocked; a 1-doc failing
+        domain is NOT (min_docs guard); a passing domain is not."""
+        from hgraphstorage_spark.pipeline.dedup import domain_quality
+
+        rows = [
+            (1, "https://farm.com/a", False),
+            (2, "http://farm.com/b", False),
+            (3, "https://good.org/a", True),
+            (4, "https://good.org/b", True),
+            (5, "https://tiny.net/only", False),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, passes boolean")
+        got = {r["domain"]: r for r in domain_quality(docs, min_docs=2).collect()}
+        assert got["farm.com"]["blocked"] and got["farm.com"]["n_pass"] == 0
+        assert not got["good.org"]["blocked"] and float(got["good.org"]["pass_rate"]) == 1.0
+        assert not got["tiny.net"]["blocked"]  # min_docs guard
