@@ -2810,6 +2810,25 @@ def q_domain_quality(spark, sf_dir):
     )
 
 
+def q_unimax(spark, sf_dir):
+    """UniMax per-language token-budget allocation (pipeline/sampling.py:
+    unimax_allocation, Chung et al. 2023): waterfill a 20k-token budget
+    across languages with a 2-epoch cap — integer closed form, one
+    final division. Oracle replays the prefix-saturation arithmetic.
+    The windowed stage runs on the per-language counts table (|langs|
+    rows, driver-size by construction — the corpus-sized agg happens
+    upstream with map-side partials)."""
+    from hgraphstorage_spark.pipeline.sampling import unimax_allocation
+    from hgraphstorage_spark.pipeline.text import _n_tokens
+
+    counts = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum(_n_tokens(F.col("text"))).cast("long").alias("available"))
+    )
+    return _canon(unimax_allocation(counts, budget=20000, max_epochs=2), "alloc")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -2888,18 +2907,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream, the lang-id confusion matrix, and the IVF recall
         # pre-flight — all r5 operators the driver has never hashed
         "dsir_stream": q_dsir_stream,
-        "containment_pairs": q_containment_pairs,
+        # r6 second rotation: containment_pairs / epoch_shuffle /
+        # length_batches / boilerplate_dedup (all hashed green in r5,
+        # their families staying in-window via minhash/simhash pairs,
+        # weighted_sample, and the quality rows) rotate past the
+        # window; their slots carry the crawl-ingest story the driver
+        # had zero contact with — the WARC fixture read, URL dedup,
+        # the media banded-Hamming pair core, and the Misra-Gries
+        # heavy-hitter stream run as a REAL multi-batch stream
+        "url_dedup": q_url_dedup,
         "weighted_sample": q_weighted_sample,
         "lang_confusion": q_lang_confusion,
         "ann_recall": q_ann_recall,
-        "epoch_shuffle": q_epoch_shuffle,
-        "length_batches": q_length_batches,
+        "warc_ingest": q_warc_ingest,
+        "media_pairs": q_media_pairs,
         "ivfpq_topk": q_ivfpq_topk,
         "dsir_sample": q_dsir_sample,
-        # traversal_both overlaps traversal_in/out (bag-union semantics
-        # stay pinned in pytest); its slot carries the r4 boilerplate
-        # removal operator so the driver hashes it directly
-        "boilerplate_dedup": q_boilerplate_dedup,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
         "bpe_merges": q_bpe_merges,
         "dedup_keep_best": q_dedup_keep_best,
         # betweenness: driver-hashed green in r4+r5; its slot carries the
@@ -2918,14 +2942,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- LLM-data-pipeline operators (34-50) --
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "chunk_dedup": q_chunk_dedup,
+        # r6 second rotation: chunk_dedup and text_token_counts
+        # (r1-stable, hashed green every round; the dedup family keeps
+        # five in-window rows and token signals stay via content_type /
+        # quality_reasons) rotate past the window; their slots carry the
+        # NB quality classifier and the n-gram novelty signal
+        "nb_quality": q_nb_quality,
         "dedup_clusters": q_dedup_clusters,
         "similarity_topk": q_similarity_topk,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "kmeans": q_kmeans,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "text_token_counts": q_text_token_counts,
+        "novelty": q_novelty,
         "repetition_stats": q_repetition_stats,
         # fingerprint moved past the window (still oracle-checked in
         # pytest): its slot carries the ExactSubstr corpus dedup — the
@@ -3030,20 +3059,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "lsh_recall_report": q_lsh_recall_report,
         "script_stats": q_script_stats,
-        # r6: crawl / media / streaming registry rows (VERDICT r5 tasks
-        # 3-6) — rotation candidates for r7
-        "url_dedup": q_url_dedup,
+        # r6: remaining crawl / streaming / pipeline-wave rows past the
+        # window (rotation candidates for r7; url_dedup / warc_ingest /
+        # media_pairs / stream_heavy_hitters / nb_quality / novelty went
+        # in-window in the r6 second rotation)
         "domain_stats": q_domain_stats,
-        "media_pairs": q_media_pairs,
-        "warc_ingest": q_warc_ingest,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
         "stream_embed_dedup": q_stream_embed_dedup,
-        # r6 pipeline wave: classifier-based quality, novelty/redundancy,
-        # corpus drift, domain blocklisting — rotation candidates for r7
-        "nb_quality": q_nb_quality,
-        "novelty": q_novelty,
         "vocab_drift": q_vocab_drift,
         "domain_quality": q_domain_quality,
+        "unimax_mix": q_unimax,
+        # r6 second rotation: hashed-green rows whose slots now carry
+        # the crawl/classifier/novelty wave (all still oracle-compared
+        # every pytest run)
+        "containment_pairs": q_containment_pairs,
+        "epoch_shuffle": q_epoch_shuffle,
+        "length_batches": q_length_batches,
+        "boilerplate_dedup": q_boilerplate_dedup,
+        "chunk_dedup": q_chunk_dedup,
+        "text_token_counts": q_text_token_counts,
         # r5 second rotation: driver-hashed-green graph rows whose window
         # slots now carry the second-half r5 operators (all still
         # oracle-compared every pytest run; graph_summary keeps their
@@ -5864,6 +5897,36 @@ def oracle_sql() -> dict[str, str]:
                contrib::VARCHAR AS contrib, rank::INTEGER AS rank
         FROM (SELECT *, row_number() OVER (ORDER BY contrib DESC, token) AS rank FROM sc)
         WHERE rank <= 20"""
+    sql["unimax_mix"] = r"""
+        WITH c AS (
+          SELECT lang,
+                 sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE array_length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'))
+                     END)::BIGINT AS available
+          FROM documents GROUP BY lang
+        ),
+        r AS (
+          SELECT lang, available, 2 * available AS cap,
+                 row_number() OVER (ORDER BY available, lang) AS rk,
+                 sum(2 * available) OVER (ORDER BY available, lang
+                                          ROWS UNBOUNDED PRECEDING) AS cume,
+                 count(*) OVER () AS n
+          FROM c
+        ),
+        s AS (
+          SELECT *, (cap * (n - rk + 1) <= 20000 - (cume - cap)) AS saturated FROM r
+        ),
+        t AS (
+          SELECT sum(CASE WHEN saturated THEN 1 ELSE 0 END) AS t,
+                 sum(CASE WHEN saturated THEN cap ELSE 0 END) AS cumet
+          FROM s
+        )
+        SELECT lang, available, cap::BIGINT AS cap,
+               CAST(round(CASE WHEN saturated THEN cap::DOUBLE
+                               ELSE (20000 - cumet)::DOUBLE / (n - t) END, 6)
+                 AS DECIMAL(18,6))::VARCHAR AS alloc,
+               saturated
+        FROM s, t"""
     sql["domain_quality"] = r"""
         WITH toks AS (
           SELECT doc_id,

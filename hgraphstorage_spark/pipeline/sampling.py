@@ -795,3 +795,75 @@ def dsir_sample(
         .limit(k)
         .select("doc_id", "log_weight", "gumbel_key")
     )
+
+
+def unimax_allocation(
+    counts: DataFrame,
+    budget: int,
+    max_epochs: int = 2,
+    group_col: str = "lang",
+    tokens_col: str = "available",
+) -> DataFrame:
+    """UniMax language-balanced token-budget allocation (Chung et al.
+    2023, arXiv:2304.09151): spread ``budget`` tokens as uniformly as
+    possible across groups while capping every group at ``max_epochs``
+    passes over its available tokens — the sampling schedule that
+    avoids both high-resource domination and low-resource over-epoching.
+
+    Closed-form waterfilling instead of the paper's sequential loop:
+    sorted ascending by availability, a group saturates (gets its full
+    cap) iff its cap fits under the equal share of what remains after
+    all smaller groups saturate — and saturation is prefix-monotone
+    (if cap_r exceeds its share, every larger cap does too), so the
+    saturated set is ``t`` = the length of the satisfying prefix, and
+    every unsaturated group gets the identical leftover share. All
+    arithmetic is integer until the single final division, so the
+    allocation replays bit-exactly in any engine.
+
+    ``counts`` is the per-group availability table (one row per group —
+    aggregate upstream; |groups| rows, driver-size). Returns
+    (group, available, cap, alloc DECIMAL(18,6), saturated). If
+    ``budget`` ≥ Σcap every group saturates and the surplus is left
+    unallocated (the paper's behavior: epochs are the hard ceiling)."""
+    from pyspark.sql import Window
+
+    if budget < 0 or max_epochs <= 0:
+        raise ValueError("budget must be >= 0 and max_epochs > 0")
+    base = counts.select(
+        F.col(group_col).alias("group"),
+        F.col(tokens_col).cast("long").alias("available"),
+        (F.lit(int(max_epochs)) * F.col(tokens_col).cast("long")).alias("cap"),
+    )
+    w = Window.orderBy("available", "group")
+    ranked = base.select(
+        "*",
+        F.row_number().over(w).alias("_rk"),
+        F.sum("cap").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cume"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    ).withColumn(
+        "saturated",
+        F.col("cap") * (F.col("_n") - F.col("_rk") + 1)
+        <= F.lit(int(budget)) - (F.col("_cume") - F.col("cap")),
+    )
+    t = ranked.agg(
+        F.sum(F.col("saturated").cast("long")).alias("_t"),
+        F.sum(F.when(F.col("saturated"), F.col("cap")).otherwise(0)).alias("_cumet"),
+    )
+    share = (F.lit(int(budget)) - F.col("_cumet")).cast("double") / (
+        F.col("_n") - F.col("_t")
+    )
+    return ranked.crossJoin(F.broadcast(t)).select(
+        F.col("group").alias(group_col),
+        "available",
+        F.col("cap").cast("long").alias("cap"),
+        F.round(
+            F.when(F.col("saturated"), F.col("cap").cast("double")).otherwise(share), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("alloc"),
+        "saturated",
+    )

@@ -85,22 +85,27 @@ def test_window_covers_required_operators():
         "ntile_deciles", "streaming_summary",
         "pagerank",
         # LLM-pipeline categories the driver must see green
-        "dedup_exact", "minhash_lsh_pairs", "chunk_dedup", "dedup_clusters",
+        # (chunk_dedup / text_token_counts rotated out in the r6 second
+        # rotation: r1-stable, hashed green every round; the dedup
+        # family keeps five in-window rows, token signals stay via
+        # content_type / quality_reasons)
+        "dedup_exact", "minhash_lsh_pairs", "dedup_clusters",
         "similarity_topk", "embed_near_dup_lsh", "kmeans",
-        "text_quality", "lang_id", "text_token_counts", "repetition_stats",
+        "text_quality", "lang_id", "repetition_stats",
         "bm25_search", "decontaminate", "hash_split", "mix_corpus",
         "multimodal_features", "graph_summary",
         # r4 rotation: operators the driver had never hashed before
         # (sq_topk rotated out r6: hashed green r4+r5, similarity family
-        # keeps three in-window rows)
-        "incremental_near_dup", "exact_substring",
-        "boilerplate_dedup", "pq_topk",
+        # keeps three in-window rows; boilerplate_dedup out in the r6
+        # second rotation after two green contacts)
+        "incremental_near_dup", "exact_substring", "pq_topk",
         # r5 rotation (VERDICT r4 task 1): the r4 operators now under
         # the driver hash (lsh_recall_report / script_stats rotated out
-        # r6 after green contact; ann_recall / lang_confusion replace
-        # their coverage)
-        "containment_pairs", "weighted_sample",
-        "epoch_shuffle", "length_batches", "ivfpq_topk",
+        # r6 after green contact — ann_recall / lang_confusion replace
+        # their coverage; containment_pairs / epoch_shuffle /
+        # length_batches out in the r6 second rotation, their slots
+        # carrying the crawl-ingest story)
+        "weighted_sample", "ivfpq_topk",
         # r5 late rotation: the four round-5 operators, in-window so the
         # driver hashes them the round they were built
         "dsir_weights", "dsir_sample", "bpe_merges", "dedup_keep_best",
@@ -114,6 +119,12 @@ def test_window_covers_required_operators():
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
         "corr_matrix", "numeric_histogram", "modularity",
         "dsir_stream", "lang_confusion", "ann_recall",
+        # r6 second rotation: the crawl-ingest story (WARC fixture read,
+        # URL dedup, media pair core, Misra-Gries stream) plus the NB
+        # quality classifier and n-gram novelty — in-window the round
+        # they were built
+        "url_dedup", "warc_ingest", "media_pairs",
+        "stream_heavy_hitters", "nb_quality", "novelty",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"

@@ -2728,3 +2728,25 @@ class TestRound6PipelineWave:
         assert got["farm.com"]["blocked"] and got["farm.com"]["n_pass"] == 0
         assert not got["good.org"]["blocked"] and float(got["good.org"]["pass_rate"]) == 1.0
         assert not got["tiny.net"]["blocked"]  # min_docs guard
+
+
+def test_unimax_allocation_waterfilling(spark):
+    """Small groups saturate at cap; the rest split the leftover evenly;
+    a budget above the total cap saturates everyone."""
+    from hgraphstorage_spark.pipeline.sampling import unimax_allocation
+
+    counts = spark.createDataFrame(
+        [("lo", 100), ("mid", 500), ("hi", 10000)], "lang string, available long"
+    )
+    got = {r["lang"]: r for r in unimax_allocation(counts, budget=3000, max_epochs=2).collect()}
+    # caps: lo 200, mid 1000, hi 20000. lo: 200*3 <= 3000 -> sat.
+    # mid: 1000*2 <= 2800 -> sat. hi: 20000 > 1800 -> share 1800.
+    assert got["lo"]["saturated"] and float(got["lo"]["alloc"]) == 200.0
+    assert got["mid"]["saturated"] and float(got["mid"]["alloc"]) == 1000.0
+    assert not got["hi"]["saturated"] and float(got["hi"]["alloc"]) == 1800.0
+    # allocations sum to the budget when anyone is unsaturated
+    assert sum(float(r["alloc"]) for r in got.values()) == 3000.0
+    # budget above total cap: everyone saturates, surplus unallocated
+    all_sat = unimax_allocation(counts, budget=10**9, max_epochs=2).collect()
+    assert all(r["saturated"] for r in all_sat)
+    assert sum(float(r["alloc"]) for r in all_sat) == float(2 * (100 + 500 + 10000))
