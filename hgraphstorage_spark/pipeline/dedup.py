@@ -1327,12 +1327,21 @@ def novelty_scores(
     yields no shingles pass through with zeros.
 
     Shape at scale: the shared :func:`shingle_hashes` explode (8-byte
-    hashed shingles, never n-word strings), one shingle-keyed min-agg
-    (map-side partial), one shingle-keyed join back, one doc-keyed agg,
-    one id-keyed passthrough join — no windows, nothing collected.
-    Novelty = exact integer ratio, engine-portable."""
+    hashed shingles, never n-word strings) with a ``_parallel`` spread
+    so single-file scans never shingle on one core, one shingle-keyed
+    min-agg (map-side partial), one shingle-keyed join back, one
+    doc-keyed agg, one id-keyed passthrough join — no windows, nothing
+    collected. Novelty = exact integer ratio, engine-portable."""
+    from hgraphstorage_spark.pipeline.text import _parallel
+
     sh = (
-        shingle_hashes(docs, text_col, id_col, n, hash_mode)
+        shingle_hashes(
+            _parallel(docs.select(F.col(id_col), F.col(text_col))),
+            text_col,
+            id_col,
+            n,
+            hash_mode,
+        )
         .select("doc_id", F.explode("sh").alias("shingle"))
         .distinct()
     )

@@ -1496,8 +1496,10 @@ def lang_confusion(
 def _tok_stream(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, tok) occurrence stream — the shared explode of the NB
     classifier and drift ops (lowercase, whitespace split, empties
-    dropped; identical to the unigram_logprob tokenization)."""
-    return docs.select(
+    dropped; identical to the unigram_logprob tokenization).
+    ``_parallel`` spreads single-file scans so the tokenize explode
+    never runs on one core (the measured DSIR trap)."""
+    return _parallel(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
