@@ -1565,12 +1565,16 @@ def nb_quality_score(
 
     Per-term llr rounds to 6 decimals and sums as DECIMAL — the
     order-independent exact aggregation, so the score is a pure
-    function of (text, model) under any partitioning. Model
-    broadcast-joins the token stream; one doc-keyed agg; one id-keyed
+    function of (text, model) under any partitioning. The model join
+    is deliberately NOT hint-forced: the model is vocabulary-sized —
+    usually broadcastable and AQE will pick that, but a 100 TB-corpus
+    vocabulary can exceed broadcast limits, and a forced hint would
+    turn that into an OOM instead of a shuffle join (the r4
+    embedding_near_dup_exact lesson). One doc-keyed agg; one id-keyed
     left join for the passthrough."""
     toks = _tok_stream(docs, text_col, id_col)
     scored = (
-        toks.join(F.broadcast(model), "tok", "left")
+        toks.join(model, "tok", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_toks"),

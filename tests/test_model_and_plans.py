@@ -564,3 +564,51 @@ class TestLatestOperatorPlans:
         )
         assert "Window" not in plan and "Join" not in plan
         assert "partial_count" in plan or "partial_sum" in plan
+
+
+class TestRound6OperatorPlans:
+    def test_novelty_plan_no_window_spread_scan(self, spark):
+        """Novelty is agg+join only (no windows, no cartesian), and the
+        single-file scan is spread before the shingle fold."""
+        from hgraphstorage_spark.pipeline.dedup import novelty_scores
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(novelty_scores(docs, n=3))
+        assert "Window" not in plan and "CartesianProduct" not in plan
+        assert "RoundRobinPartitioning" in plan  # _parallel spread
+        assert "partial_count" in plan or "partial_min" in plan
+
+    def test_nb_score_model_join_aqe_decided_not_forced(self, spark):
+        """The vocabulary-sized model join carries no mandatory broadcast
+        hint (the embedding_near_dup_exact contract): under
+        autoBroadcastJoinThreshold=-1 it falls back to a shuffle join
+        instead of OOMing on a 100 TB-corpus vocabulary."""
+        from hgraphstorage_spark.pipeline.text import nb_quality_model, nb_quality_score
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        model = nb_quality_model(docs, docs.filter("source = 'src0'"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = executed_plan(nb_quality_score(docs, model))
+            assert "SortMergeJoin [tok" in plan or "ShuffledHashJoin [tok" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_unimax_windows_only_on_group_counts(self, spark):
+        """The waterfilling windows run on the per-group counts frame
+        (|groups| rows by contract) — the corpus-sized explode/agg stays
+        upstream with map-side partials and never enters a window."""
+        from hgraphstorage_spark.pipeline.sampling import unimax_allocation
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("available"))
+        plan = executed_plan(unimax_allocation(counts, budget=1000))
+        assert "partial_count" in plan  # corpus agg is partial map-side
+        # the window input is the post-agg frame: every Window sits above
+        # the aggregate, which already reduced to |groups| rows
+        assert "Window" in plan
