@@ -19,12 +19,26 @@ def _persistent_rdd_count(spark) -> int:
     return n
 
 
+def _sweep_to_zero(spark) -> None:
+    """Blocking-unpersist EVERY persistent RDD so the baseline is a
+    deterministic 0. A snapshot baseline races Spark's ContextCleaner:
+    earlier tests' abandoned persisted frames get unpersisted
+    ASYNCHRONOUSLY when their references are GC'd, so a nonzero
+    baseline can drop mid-test and fail an equality that has nothing
+    to do with the operator under test (seen once in the r6 full-suite
+    run; after this sweep the cleaner has nothing stale to remove)."""
+    release_tracked()
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(True)
+
+
 def test_loop_of_lsh_ops_leaves_no_blocks(spark):
     from hgraphstorage_spark.pipeline import minhash_lsh_pairs
     from hgraphstorage_spark.pipeline.similarity import embedding_near_dup_lsh
 
-    release_tracked()
-    baseline = _persistent_rdd_count(spark)  # other tests' leftovers, if any
+    _sweep_to_zero(spark)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     for _ in range(3):
@@ -35,7 +49,7 @@ def test_loop_of_lsh_ops_leaves_no_blocks(spark):
             assert nd.count() >= 0
         assert tracked_count() == 0
         # blocks actually gone on the executors, not just forgotten here
-        assert _persistent_rdd_count(spark) == baseline
+        assert _persistent_rdd_count(spark) == 0
 
 
 def test_incremental_near_dup_two_tracked_then_released(spark):
@@ -43,8 +57,7 @@ def test_incremental_near_dup_two_tracked_then_released(spark):
 
     from hgraphstorage_spark.pipeline.dedup import incremental_near_dup
 
-    release_tracked()
-    baseline = _persistent_rdd_count(spark)
+    _sweep_to_zero(spark)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     out = incremental_near_dup(
         docs.filter(F.col("doc_id") % 2 == 1),
@@ -55,7 +68,7 @@ def test_incremental_near_dup_two_tracked_then_released(spark):
     with released(out) as df:
         df.count()
     assert tracked_count() == 0
-    assert _persistent_rdd_count(spark) == baseline
+    assert _persistent_rdd_count(spark) == 0
 
 
 def test_release_is_idempotent(spark):
