@@ -1331,18 +1331,24 @@ def novelty_scores(
     so single-file scans never shingle on one core, one shingle-keyed
     min-agg (map-side partial), one shingle-keyed join back, one
     doc-keyed agg, one id-keyed passthrough join — no windows, nothing
-    collected. Novelty = exact integer ratio, engine-portable."""
-    from hgraphstorage_spark.pipeline.text import _parallel
+    collected. Novelty = exact integer ratio, engine-portable.
 
-    sh = (
-        shingle_hashes(
-            _parallel(docs.select(F.col(id_col), F.col(text_col))),
-            text_col,
-            id_col,
-            n,
-            hash_mode,
-        )
-        .select("doc_id", F.explode("sh").alias("shingle"))
+    The shingle frame is persisted (``state.track``) before its double
+    consumption — the min-agg AND the join both read it, and without
+    the lineage cut the shingle fold would run twice (and the joins'
+    inferred isnotnull constraints would push it below the repartition
+    onto the narrow scan — the measured simhash trap). explode_OUTER,
+    not explode: plain explode lets InferFiltersFromGenerate push a
+    `size(sh) > 0` filter — with the ENTIRE shingle fold inlined —
+    below ``shingle_hashes``' internal ``_parallel`` repartition onto
+    the single-partition scan (measured 14.5 s of a 13 s total at
+    sf0.1; 0.9 s with outer). The array is never empty by
+    construction, so outer is value-identical."""
+    from hgraphstorage_spark.pipeline.state import track
+
+    sh = track(
+        shingle_hashes(docs.select(F.col(id_col), F.col(text_col)), text_col, id_col, n, hash_mode)
+        .select("doc_id", F.explode_outer("sh").alias("shingle"))
         .distinct()
     )
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))

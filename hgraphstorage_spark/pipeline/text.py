@@ -1498,10 +1498,14 @@ def _tok_stream(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     classifier and drift ops (lowercase, whitespace split, empties
     dropped; identical to the unigram_logprob tokenization).
     ``_parallel`` spreads single-file scans so the tokenize explode
-    never runs on one core (the measured DSIR trap)."""
+    never runs on one core (the measured DSIR trap); explode_OUTER so
+    InferFiltersFromGenerate can't push an inlined `size(split) > 0`
+    re-tokenize below the repartition (the novelty_scores lesson) —
+    the NULL row an empty split array would emit is dropped by the
+    same length filter that drops empty tokens."""
     return _parallel(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("tok"),
+        F.explode_outer(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("tok"),
     ).filter(F.length("tok") > 0)
 
 

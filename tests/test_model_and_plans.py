@@ -576,8 +576,17 @@ class TestRound6OperatorPlans:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = executed_plan(novelty_scores(docs, n=3))
         assert "Window" not in plan and "CartesianProduct" not in plan
-        assert "RoundRobinPartitioning" in plan  # _parallel spread
+        assert "RoundRobinPartitioning" in plan  # shingle_hashes' _parallel spread
         assert "partial_count" in plan or "partial_min" in plan
+        # explode_OUTER keeps InferFiltersFromGenerate from pushing an
+        # inlined size(<full shingle fold>)>0 filter below the
+        # repartition onto the single-partition scan (13 s -> 2 s at
+        # sf0.1): no Filter node may carry the xxhash64 fold
+        for line in plan.splitlines():
+            if "Filter" in line and "Condition" not in line:
+                continue
+            if line.strip().startswith("Condition"):
+                assert "xxhash64" not in line, line
 
     def test_nb_score_model_join_aqe_decided_not_forced(self, spark):
         """The vocabulary-sized model join carries no mandatory broadcast
