@@ -2704,10 +2704,16 @@ def q_stream_embed_dedup(spark, sf_dir):
     )
     from hgraphstorage_spark.streaming import stream_embed_dedup
 
+    # event times span at most 30 min (vec_id mod 1800) so EVERY row sits
+    # inside the 1-hour watermark at ANY scale factor — an unbounded
+    # vec_id-seconds span would let early files advance the watermark
+    # past later files' rows, dropDuplicatesWithinWatermark would drop
+    # them as late, and their signatures would vanish from the survivor
+    # set the oracle replays (r6 review catch)
     embs = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",
-        F.timestamp_seconds(F.lit(1704067200) + F.col("vec_id")).alias("ts"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("vec_id") % 1800).alias("ts"),
     )
     tmp = tempfile.mkdtemp(prefix="hgs_embdd_stream_")
     try:
@@ -3107,6 +3113,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_to_nodes": q_edges_to_nodes,
         "index_prefix": q_index_prefix,
     }
+
+
+# Shared replay of quality_filter's metric chain (toks → hist → m → r)
+# and its pass rule — composed by the quality_filter, quality_reasons and
+# domain_quality oracles so the three cannot drift (the _dedup_cluster_ctes
+# pattern; extracted after the r6 review found a third verbatim copy).
+_QF_CTES = r"""toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok FROM documents
+        ),
+        hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+        m AS (
+          SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_n,
+                 CAST(round(sum(n * len(tok))::DOUBLE / sum(n), 6) AS DECIMAL(18,6)) AS mean_tok_len
+          FROM hist GROUP BY doc_id
+        ),
+        r AS (
+          SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens, mean_tok_len,
+                 CAST(round(top_n::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) AS top_term_ratio
+          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        )"""
+
+_QF_PASSES = """COALESCE(n_tokens >= 10 AND n_tokens <= 100000
+                        AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
+                        AND top_term_ratio <= 0.25, FALSE)"""
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -3509,27 +3539,12 @@ FROM scored
             SELECT doc_id, term, CAST(round(tfidf_raw, 6) AS DECIMAL(18,6))::VARCHAR AS tfidf, rnk::INT AS rank
             FROM ranked WHERE rnk <= 3
         """,
-        "quality_filter": r"""
-            WITH toks AS (
-              SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok FROM documents
-            ),
-            hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
-            m AS (
-              SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_n,
-                     CAST(round(sum(n * len(tok))::DOUBLE / sum(n), 6) AS DECIMAL(18,6)) AS mean_tok_len
-              FROM hist GROUP BY doc_id
-            ),
-            r AS (
-              SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens, mean_tok_len,
-                     CAST(round(top_n::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) AS top_term_ratio
-              FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
-            )
+        "quality_filter": f"""
+            WITH {_QF_CTES}
             SELECT doc_id, n_tokens,
                    mean_tok_len::VARCHAR AS mean_tok_len,
                    top_term_ratio::VARCHAR AS top_term_ratio,
-                   COALESCE(n_tokens >= 10 AND n_tokens <= 100000
-                            AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
-                            AND top_term_ratio <= 0.25, FALSE) AS passes
+                   {_QF_PASSES} AS passes
             FROM r
         """,
         "lang_id": lang_markers_sql,
@@ -4746,7 +4761,7 @@ def oracle_sql() -> dict[str, str]:
         sz AS (SELECT cluster, count(*) AS n FROM q GROUP BY cluster)
         SELECT q.doc_id, q.cluster, q.quality,
                (row_number() OVER (PARTITION BY q.cluster
-                                   ORDER BY q.quality DESC, q.doc_id) = 1) AS keep
+                                   ORDER BY q.quality DESC NULLS LAST, q.doc_id) = 1) AS keep
         FROM q JOIN sz ON q.cluster = sz.cluster WHERE sz.n > 1"""
     )
     sql["cluster_split"] = _cluster_safe_split_oracle_sql(3)
@@ -4771,27 +4786,12 @@ def oracle_sql() -> dict[str, str]:
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
     # reasons derive from the SAME r CTE + rule expressions as
     # quality_filter's oracle (NULL metrics drop out of the list)
-    sql["quality_reasons"] = r"""
-        WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok FROM documents
-        ),
-        hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
-        m AS (
-          SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_n,
-                 CAST(round(sum(n * len(tok))::DOUBLE / sum(n), 6) AS DECIMAL(18,6)) AS mean_tok_len
-          FROM hist GROUP BY doc_id
-        ),
-        r AS (
-          SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens, mean_tok_len,
-                 CAST(round(top_n::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) AS top_term_ratio
-          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
-        )
+    sql["quality_reasons"] = f"""
+        WITH {_QF_CTES}
         SELECT doc_id, n_tokens,
                mean_tok_len::VARCHAR AS mean_tok_len,
                top_term_ratio::VARCHAR AS top_term_ratio,
-               COALESCE(n_tokens >= 10 AND n_tokens <= 100000
-                        AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
-                        AND top_term_ratio <= 0.25, FALSE) AS passes,
+               {_QF_PASSES} AS passes,
                COALESCE(array_to_string(list_sort(list_filter([
                  CASE WHEN mean_tok_len > 12.0 THEN 'mean_tok_len_high' END,
                  CASE WHEN mean_tok_len < 2.0 THEN 'mean_tok_len_low' END,
@@ -5924,29 +5924,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, available, cap::BIGINT AS cap,
                CAST(round(CASE WHEN saturated THEN cap::DOUBLE
                                ELSE (20000 - cumet)::DOUBLE / (n - t) END, 6)
-                 AS DECIMAL(18,6))::VARCHAR AS alloc,
+                 AS DECIMAL(38,6))::VARCHAR AS alloc,
                saturated
         FROM s, t"""
-    sql["domain_quality"] = r"""
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
-          FROM documents
-        ),
-        hist AS (SELECT doc_id, tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
-        m AS (
-          SELECT doc_id, sum(n) AS n_tokens, max(n) AS top_n,
-                 CAST(round(sum(n * len(tok))::DOUBLE / sum(n), 6) AS DECIMAL(18,6)) AS mean_tok_len
-          FROM hist GROUP BY doc_id
-        ),
-        qf AS (
-          SELECT d.doc_id,
-                 COALESCE(n_tokens >= 10 AND n_tokens <= 100000
-                          AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0
-                          AND CAST(round(top_n::DOUBLE / n_tokens, 6) AS DECIMAL(18,6)) <= 0.25,
-                          FALSE) AS passes
-          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
-        ),
+    sql["domain_quality"] = f"""
+        WITH {_QF_CTES},
+        qf AS (SELECT doc_id, {_QF_PASSES} AS passes FROM r),
         agg AS (
           SELECT 'site' || ((d.doc_id // 2) % 7) || '.com' AS domain,
                  count(*) AS n_docs,

@@ -1091,12 +1091,20 @@ def dedup_keep_best(
     ids and silently marked no keeper)."""
     q = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality"))
     st = clusters.select(F.col(id_col).alias("doc_id"), "cluster").join(q, "doc_id")
-    # min of (-quality, id): highest quality, ties to the smallest id —
-    # a total order (id is unique), so min_by is deterministic
+    # min of (null-flag, -quality, id): highest quality, ties to the
+    # smallest id — a total order (id is unique), so min_by is
+    # deterministic. The leading null-flag sends NULL-quality rows LAST
+    # (struct comparison otherwise sorts a NULL field FIRST under min,
+    # which would crown the unscored copy — the r6 review catch),
+    # matching the oracle's ORDER BY quality DESC NULLS LAST.
     best = st.groupBy("cluster").agg(
         F.min_by(
             "doc_id",
-            F.struct((-F.col("quality")).alias("nq"), F.col("doc_id").alias("id")),
+            F.struct(
+                F.col("quality").isNull().cast("int").alias("nullq"),
+                (-F.col("quality")).alias("nq"),
+                F.col("doc_id").alias("id"),
+            ),
         ).alias("_kid")
     )
     return (

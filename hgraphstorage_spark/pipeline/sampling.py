@@ -822,9 +822,11 @@ def unimax_allocation(
 
     ``counts`` is the per-group availability table (one row per group —
     aggregate upstream; |groups| rows, driver-size). Returns
-    (group, available, cap, alloc DECIMAL(18,6), saturated). If
-    ``budget`` ≥ Σcap every group saturates and the surplus is left
-    unallocated (the paper's behavior: epochs are the hard ceiling)."""
+    (group, available, cap, alloc DECIMAL(38,6), saturated) — 38,6
+    because a multi-trillion-token cap overflows DECIMAL(18,6)'s 12
+    integer digits into a silent NULL (r6 review catch). If ``budget``
+    ≥ Σcap every group saturates and the surplus is left unallocated
+    (the paper's behavior: epochs are the hard ceiling)."""
     from pyspark.sql import Window
 
     if budget < 0 or max_epochs <= 0:
@@ -863,7 +865,7 @@ def unimax_allocation(
         F.round(
             F.when(F.col("saturated"), F.col("cap").cast("double")).otherwise(share), 6
         )
-        .cast("decimal(18,6)")
+        .cast("decimal(38,6)")
         .alias("alloc"),
         "saturated",
     )

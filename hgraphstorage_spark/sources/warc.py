@@ -40,6 +40,11 @@ from pyspark.sql import types as T
 WARC_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.StringType(), False),
+        # 0-based position of the record within its shard: the identity
+        # of last resort — a malformed shard whose records carry NO
+        # WARC-Record-ID/Target-URI/Date headers still gets one distinct
+        # deterministic key per record (r6 review catch)
+        T.StructField("rec_idx", T.LongType(), False),
         T.StructField("record_id", T.StringType(), True),
         T.StructField("warc_type", T.StringType(), True),
         T.StructField("target_uri", T.StringType(), True),
@@ -158,11 +163,12 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 data = bytes(content)
                 if data[:2] == b"\x1f\x8b":
                     data = _gunzip_members(data)
-                for rec in parse_warc_records(data):
+                for idx, rec in enumerate(parse_warc_records(data)):
                     h = rec["headers"]
                     rows.append(
                         {
                             "shard": shard,
+                            "rec_idx": idx,
                             "record_id": h.get("warc-record-id"),
                             "warc_type": h.get("warc-type"),
                             "target_uri": h.get("warc-target-uri"),
@@ -203,11 +209,12 @@ def html_to_text(html: str) -> str:
 def warc_to_documents(records: DataFrame) -> DataFrame:
     """Response records → a ``documents``-shaped frame:
     (doc_id, url, fetch_date, text, n_chars), with doc_id the xxhash64
-    of (uri, date, record_id, shard) — deterministic and collision-safe
-    at crawl scale (ADVICE r5: uri+date alone collapsed all records
-    with NULL uri/date to one id, and two identical-second re-fetches
-    collided; WARC-Record-ID is unique per record and the shard path
-    disambiguates even a record_id-less shard). The HTTP response
+    of (uri, date, record_id, shard, rec_idx) — deterministic and
+    distinct per record even in the fully degenerate case (ADVICE r5 +
+    r6 review: uri+date alone collapsed NULL-header records and
+    identical-second re-fetches; with the in-shard ordinal in the hash,
+    records that lack EVERY header still get distinct ids within their
+    shard). The HTTP response
     envelope (status line + headers, up to the first blank line) is
     stripped; the body decodes as UTF-8 with replacement; HTML bodies
     pass through :func:`html_to_text`.
@@ -251,16 +258,17 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
                     "text": texts,
                     "record_id": pdf["record_id"],
                     "shard": pdf["shard"],
+                    "rec_idx": pdf["rec_idx"],
                 }
             )
 
     docs = resp.mapInPandas(
         run,
         schema="url string, fetch_date string, text string, "
-        "record_id string, shard string",
+        "record_id string, shard string, rec_idx long",
     )
     return docs.select(
-        F.xxhash64("url", "fetch_date", "record_id", "shard").alias("doc_id"),
+        F.xxhash64("url", "fetch_date", "record_id", "shard", "rec_idx").alias("doc_id"),
         "url",
         "fetch_date",
         "text",

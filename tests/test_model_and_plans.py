@@ -581,12 +581,14 @@ class TestRound6OperatorPlans:
         # explode_OUTER keeps InferFiltersFromGenerate from pushing an
         # inlined size(<full shingle fold>)>0 filter below the
         # repartition onto the single-partition scan (13 s -> 2 s at
-        # sf0.1): no Filter node may carry the xxhash64 fold
-        for line in plan.splitlines():
-            if "Filter" in line and "Condition" not in line:
-                continue
-            if line.strip().startswith("Condition"):
-                assert "xxhash64" not in line, line
+        # sf0.1): no Filter line may carry the xxhash64 fold. In
+        # executedPlan().toString() the condition is INLINE on the
+        # 'Filter (...)' line (the first draft of this pin looked for a
+        # separate 'Condition' line that never exists — r6 review catch).
+        offending = [
+            line for line in plan.splitlines() if "Filter" in line and "xxhash64" in line
+        ]
+        assert not offending, offending
 
     def test_nb_score_model_join_aqe_decided_not_forced(self, spark):
         """The vocabulary-sized model join carries no mandatory broadcast

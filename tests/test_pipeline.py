@@ -2351,6 +2351,25 @@ def test_dedup_keep_best_string_ids(spark):
     assert all(r["keep"] is not None for r in got.values())
 
 
+def test_dedup_keep_best_null_quality_loses(spark):
+    """r6 review catch: a NULL-quality row must never win the keeper
+    argmax — struct comparison sorts a NULL field FIRST under min, so
+    the naive min_by(struct(-q, id)) crowned the unscored copy; the
+    leading null-flag sends it last (oracle: quality DESC NULLS LAST)."""
+    from hgraphstorage_spark.pipeline.dedup import dedup_keep_best
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "doc_id long, cluster long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 90), (2, None), (3, 5), (10, None), (11, None)],
+        "doc_id long, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in dedup_keep_best(clusters, docs, "n_chars").collect()}
+    assert {i for i, r in got.items() if r["keep"]} == {1, 10}  # 1: best scored;
+    # cluster 10 is all-NULL: ties fall to the smallest id, one keeper still marked
+
+
 def test_url_normalized_bare_path_ampersand(spark):
     """ADVICE r5 regression: a legal '&' in a path of a URL that never
     had a query must NOT be promoted to '?' — 'a&b' and 'a?b' are
@@ -2750,3 +2769,13 @@ def test_unimax_allocation_waterfilling(spark):
     all_sat = unimax_allocation(counts, budget=10**9, max_epochs=2).collect()
     assert all(r["saturated"] for r in all_sat)
     assert sum(float(r["alloc"]) for r in all_sat) == float(2 * (100 + 500 + 10000))
+    # r6 review catch: multi-trillion-token caps must not overflow the
+    # alloc decimal into NULL (DECIMAL(18,6) tops out at ~1e12)
+    big = spark.createDataFrame(
+        [("web", 10**13), ("code", 10**12)], "lang string, available long"
+    )
+    rows = {r["lang"]: r for r in unimax_allocation(big, budget=5 * 10**12).collect()}
+    assert all(r["alloc"] is not None for r in rows.values())
+    # code: cap 2e12 fits under the equal share (2e12*2 <= 5e12) -> saturates
+    assert rows["code"]["saturated"] and float(rows["code"]["alloc"]) == float(2 * 10**12)
+    assert not rows["web"]["saturated"] and float(rows["web"]["alloc"]) == float(3 * 10**12)

@@ -269,3 +269,28 @@ def test_review_fixes_round5(spark):
         assert out["text"] == "for i < n and j > 0: loop"
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_headerless_records_get_distinct_doc_ids(spark):
+    """r6 review catch: response records carrying NO record-id/uri/date
+    headers in the SAME shard must still get distinct doc_ids (the
+    in-shard ordinal is the identity of last resort)."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.sources.warc import read_warc, warc_bytes, warc_to_documents
+
+    d = tempfile.mkdtemp(prefix="hgs_warc_degenerate_")
+    try:
+        recs = [
+            {"headers": {"WARC-Type": "response"}, "payload": b"body one"},
+            {"headers": {"WARC-Type": "response"}, "payload": b"body two"},
+            {"headers": {"WARC-Type": "response"}, "payload": b"body one"},
+        ]
+        with open(f"{d}/bad.warc", "wb") as f:
+            f.write(warc_bytes(recs))
+        docs = warc_to_documents(read_warc(spark, d)).collect()
+        assert len(docs) == 3
+        assert len({r["doc_id"] for r in docs}) == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
