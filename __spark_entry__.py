@@ -2816,6 +2816,53 @@ def q_domain_quality(spark, sf_dir):
     )
 
 
+def q_stream_url_dedup(spark, sf_dir):
+    """Streaming crawl URL dedup ACTUALLY RUN as a structured stream
+    (streaming/ingest.py:stream_url_dedup): the synthetic crawl URLs
+    stream through 4 micro-batches of watermark-bounded
+    dropDuplicatesWithinWatermark on the canonical form. The stream
+    keeps ONE survivor per canonical URL (arrival-order dependent), so
+    the deterministic projection is the canonical-URL SET — which the
+    oracle derives from the generator arithmetic. Fetch times span 30
+    minutes (doc_id mod 1800 s), inside the 1-hour watermark at any
+    scale factor (the stream_embed_dedup lesson)."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.streaming import stream_url_dedup
+
+    docs = _with_synthetic_urls(_t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "url",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") % 1800).alias("ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="hgs_urldd_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/docs")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/docs")
+        )
+        q = (
+            stream_url_dedup(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        survivors = spark.read.parquet(f"{tmp}/sink").select("url_norm").distinct()
+        result = spark.createDataFrame(survivors.collect(), survivors.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 def q_unimax(spark, sf_dir):
     """UniMax per-language token-budget allocation (pipeline/sampling.py:
     unimax_allocation, Chung et al. 2023): waterfill a 20k-token budget
@@ -3074,6 +3121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "domain_quality": q_domain_quality,
         "unimax_mix": q_unimax,
+        "stream_url_dedup": q_stream_url_dedup,
         # r6 second rotation: hashed-green rows whose slots now carry
         # the crawl/classifier/novelty wave (all still oracle-compared
         # every pytest run)
@@ -5897,6 +5945,12 @@ def oracle_sql() -> dict[str, str]:
                contrib::VARCHAR AS contrib, rank::INTEGER AS rank
         FROM (SELECT *, row_number() OVER (ORDER BY contrib DESC, token) AS rank FROM sc)
         WHERE rank <= 20"""
+    # streaming URL dedup: the deterministic projection is the canonical
+    # URL set, derived arithmetically (same independent-derivation oracle
+    # as url_dedup)
+    sql["stream_url_dedup"] = (
+        "WITH " + _SYNTH_URL_SQL + "\n        SELECT DISTINCT url_norm FROM u"
+    )
     sql["unimax_mix"] = r"""
         WITH c AS (
           SELECT lang,

@@ -8,6 +8,7 @@ from hgraphstorage_spark.streaming.ingest import (
     stream_dedup,
     stream_embed_dedup,
     stream_near_dedup,
+    stream_url_dedup,
 )
 from hgraphstorage_spark.streaming.joins import enrich_with_dimension, interval_join
 from hgraphstorage_spark.streaming.stateful import running_label_counts, stream_heavy_hitters
@@ -21,6 +22,7 @@ __all__ = [
     "stream_dedup",
     "stream_embed_dedup",
     "stream_near_dedup",
+    "stream_url_dedup",
     "events_tumbling_agg",
     "load_events",
     "mutation_stream_to_snapshots",

@@ -327,3 +327,34 @@ def stream_embed_dedup(
         .filter(F.col("_rn") == 1)
         .select(*out_cols)
     )
+
+
+def stream_url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming crawl URL dedup — the stream twin of
+    ``pipeline.dedup.url_dedup`` and the FIRST dedup a live crawl
+    ingest runs: one representative row per canonical URL
+    (``url_normalized``: scheme/www/fragment/tracker/trailing-slash
+    noise collapsed) within the watermark. The stream keeps the first
+    arrival per canonical form (state: one normalized-URL key, evicted
+    past the watermark — the ``stream_dedup`` bounded-state contract:
+    a re-fetch later than the watermark re-emits, documented
+    trade-off); a batch frame delegates to ``url_dedup``'s
+    deterministic earliest-``ts_col`` keeper, so stream and batch agree
+    on the canonical-URL SET always and on the representative whenever
+    arrival order follows fetch time. All input columns survive, plus
+    ``url_norm``; the normalizer is the same zero-shuffle regex chain
+    as batch, so the plan stays stateless until the dedup itself."""
+    from hgraphstorage_spark.pipeline.dedup import url_dedup, url_normalized
+
+    if not docs.isStreaming:
+        return url_dedup(docs, url_col=url_col, ts_col=ts_col)
+    return (
+        docs.withColumn("url_norm", url_normalized(F.col(url_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["url_norm"])
+    )

@@ -666,3 +666,45 @@ class TestStreamHeavyHitters:
         got = {r.item: r.count_lb for r in final.itertuples()}
         assert "big" in got                      # any item > N/(k+1) must survive
         assert got["big"] <= 60 <= got["big"] + 90 // 3
+
+
+class TestStreamUrlDedup:
+    def test_stream_and_batch_agree_on_canonical_set(self, spark, tmpdir):
+        from hgraphstorage_spark.streaming import stream_url_dedup
+
+        rows = [
+            (1, "https://www.site.com/a?utm_source=x", "2024-01-01 00:00:05"),
+            (2, "http://site.com/a", "2024-01-01 00:00:01"),
+            (3, "https://site.com/b", "2024-01-01 00:00:02"),
+            (4, "https://site.com/b/", "2024-01-01 00:00:03"),
+        ]
+        docs = (
+            spark.createDataFrame(rows, "doc_id long, url string, ts string")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        docs.repartition(2).write.mode("overwrite").parquet(f"{tmpdir}/urls")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/urls")
+        )
+        q = (
+            stream_url_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{tmpdir}/sink")
+            .option("checkpointLocation", f"{tmpdir}/ckpt_url")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        streamed = spark.read.parquet(f"{tmpdir}/sink")
+        assert streamed.count() == 2  # site.com/a, site.com/b
+        sset = {r["url_norm"] for r in streamed.select("url_norm").collect()}
+        batch = stream_url_dedup(docs)  # delegates to url_dedup
+        bset = {r["url_norm"] for r in batch.select("url_norm").collect()}
+        assert sset == bset == {"site.com/a", "site.com/b"}
+        # batch keeper is the deterministic earliest fetch
+        assert {r["doc_id"] for r in batch.collect()} == {2, 3}
