@@ -2863,6 +2863,17 @@ def q_stream_url_dedup(spark, sf_dir):
     return result
 
 
+def q_shard_plan(spark, sf_dir):
+    """Training-export shard assignment (pipeline/sampling.py:
+    shard_plan): pack documents into ~2000-token shards in
+    deterministic md5 order via the two-pass distributed prefix sum (no
+    corpus-sized sort through one task). Oracle replays the hash-order
+    cumsum and the floor-division shard id."""
+    from hgraphstorage_spark.pipeline.sampling import shard_plan
+
+    return shard_plan(_t(spark, sf_dir, "documents"), tokens_per_shard=2000)
+
+
 def q_unimax(spark, sf_dir):
     """UniMax per-language token-budget allocation (pipeline/sampling.py:
     unimax_allocation, Chung et al. 2023): waterfill a 20k-token budget
@@ -3122,6 +3133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_quality": q_domain_quality,
         "unimax_mix": q_unimax,
         "stream_url_dedup": q_stream_url_dedup,
+        "shard_plan": q_shard_plan,
         # r6 second rotation: hashed-green rows whose slots now carry
         # the crawl/classifier/novelty wave (all still oracle-compared
         # every pytest run)
@@ -5951,6 +5963,22 @@ def oracle_sql() -> dict[str, str]:
     sql["stream_url_dedup"] = (
         "WITH " + _SYNTH_URL_SQL + "\n        SELECT DISTINCT url_norm FROM u"
     )
+    sql["shard_plan"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 (CASE WHEN len(trim(text)) = 0 THEN 0
+                       ELSE array_length(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+')) END)::BIGINT AS n_tokens,
+                 substr(md5(doc_id::VARCHAR || ':shard'), 1, 8) AS h
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM d
+        )
+        SELECT doc_id, n_tokens, cum_tokens,
+               ((cum_tokens - n_tokens) // 2000)::INTEGER AS shard_id
+        FROM c"""
     sql["unimax_mix"] = r"""
         WITH c AS (
           SELECT lang,

@@ -869,3 +869,60 @@ def unimax_allocation(
         .alias("alloc"),
         "saturated",
     )
+
+
+def shard_plan(
+    df: DataFrame,
+    tokens_per_shard: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    range_chars: int = 1,
+) -> DataFrame:
+    """Training-export shard assignment — the step that turns a curated
+    corpus into the fixed-size shards a dataloader streams: documents
+    are packed in deterministic md5-hash order (an unbiased,
+    reproducible shuffle — same ordering contract as
+    :func:`token_budget_mix`) and each document goes to the shard in
+    which its cumulative token run BEGINS, so every shard except the
+    last carries at least ``tokens_per_shard`` tokens and a document is
+    never split. Returns (id, n_tokens, cum_tokens, shard_id).
+
+    Scale shape: the same two-pass distributed prefix sum as
+    ``token_budget_mix`` — per-range token sums (tiny partial-agg
+    shuffle), exclusive offsets via a window over the 16^``range_chars``-row
+    range frame (driver-size), broadcast back, in-range cumsum. Integer
+    sums are associative so offset + in-range running sum equals the
+    global running sum exactly; no corpus-sized sort ever funnels
+    through one task (raise ``range_chars`` at larger corpora)."""
+    from pyspark.sql import Window
+
+    if tokens_per_shard <= 0:
+        raise ValueError("tokens_per_shard must be > 0")
+    n_tokens = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), WS_RE))).cast("long")
+    bucket = _bucket(id_col, salt)
+    base = df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        bucket.alias("_bkt"),
+        F.substring(bucket, 1, range_chars).alias("_rng"),
+    )
+    range_sums = base.groupBy("_rng").agg(F.sum("n_tokens").alias("_rsum"))
+    wo = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = range_sums.select(
+        "_rng", F.coalesce(F.sum("_rsum").over(wo), F.lit(0)).alias("_off")
+    )
+    wi = Window.partitionBy("_rng").orderBy("_bkt", id_col)
+    cum = F.sum("n_tokens").over(wi) + F.col("_off")
+    return (
+        base.join(F.broadcast(offsets), "_rng")
+        .select(F.col(id_col), "n_tokens", cum.alias("cum_tokens"))
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(int(tokens_per_shard))
+            ).cast("int"),
+        )
+    )

@@ -2779,3 +2779,30 @@ def test_unimax_allocation_waterfilling(spark):
     # code: cap 2e12 fits under the equal share (2e12*2 <= 5e12) -> saturates
     assert rows["code"]["saturated"] and float(rows["code"]["alloc"]) == float(2 * 10**12)
     assert not rows["web"]["saturated"] and float(rows["web"]["alloc"]) == float(3 * 10**12)
+
+
+def test_shard_plan_packs_in_hash_order(spark):
+    """Every shard except the last carries >= tokens_per_shard tokens,
+    docs are never split, cum_tokens is the exact hash-order prefix sum,
+    and the plan is a pure function of the data (rerun-identical)."""
+    from hgraphstorage_spark.pipeline.sampling import shard_plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = shard_plan(docs, tokens_per_shard=500).collect()
+    assert len(got) == docs.count()
+    # a doc belongs to the shard where its run BEGINS, so a non-final
+    # shard's coverage must CROSS its upper boundary (its last doc's
+    # cum >= (s+1)*T); totals per shard can dip under T when a long doc
+    # from the previous shard spills over — that's by design
+    end_cum = {}
+    for r in got:
+        end_cum[r["shard_id"]] = max(end_cum.get(r["shard_id"], 0), r["cum_tokens"])
+    last = max(end_cum)
+    assert all(c >= (s + 1) * 500 for s, c in end_cum.items() if s != last), end_cum
+    assert sorted(end_cum) == list(range(last + 1))  # no gaps
+    # exact global prefix sum: max cum == total tokens
+    assert max(r["cum_tokens"] for r in got) == sum(r["n_tokens"] for r in got)
+    again = shard_plan(docs, tokens_per_shard=500).collect()
+    assert {(r["doc_id"], r["shard_id"]) for r in again} == {
+        (r["doc_id"], r["shard_id"]) for r in got
+    }
