@@ -2960,7 +2960,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sampling, BPE merge training, and the quality-aware dedup
         # keeper on first contact
         "dsir_weights": q_dsir_weights,
-        "incremental_near_dup": q_incremental_near_dup,
+        # r6 third rotation: incremental_near_dup / weighted_sample
+        # (hashed green r4+r5+r6-replica; the dedup family keeps six
+        # in-window rows and sampling keeps the DSIR pair + the
+        # incoming shard_plan/unimax) rotate past the window; their
+        # slots carry the corpus-drift monitor and the training-export
+        # shard planner
+        "vocab_drift": q_vocab_drift,
         # r6 rotation: sq_topk (hashed green r4+r5; the similarity
         # family keeps similarity_topk/pq_topk/ivfpq_topk in-window),
         # lsh_recall_report (hashed r5; replaced by its vector twin
@@ -2980,7 +2986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the media banded-Hamming pair core, and the Misra-Gries
         # heavy-hitter stream run as a REAL multi-batch stream
         "url_dedup": q_url_dedup,
-        "weighted_sample": q_weighted_sample,
+        "shard_plan": q_shard_plan,
         "lang_confusion": q_lang_confusion,
         "ann_recall": q_ann_recall,
         "warc_ingest": q_warc_ingest,
@@ -3015,9 +3021,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "similarity_topk": q_similarity_topk,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
-        "kmeans": q_kmeans,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
+        # r6 third rotation: kmeans / text_quality / lang_id (r1-stable,
+        # hashed green every round; clustering stays via semantic_dedup
+        # + ivf in pytest, quality via quality_reasons + nb_quality,
+        # language via lang_confusion) rotate past the window; their
+        # slots carry the streaming crawl dedup, the watermarked
+        # embedding-signature stream, and the per-domain blocklist
+        "stream_url_dedup": q_stream_url_dedup,
+        "stream_embed_dedup": q_stream_embed_dedup,
+        "domain_quality": q_domain_quality,
         "novelty": q_novelty,
         "repetition_stats": q_repetition_stats,
         # fingerprint moved past the window (still oracle-checked in
@@ -3027,7 +3039,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
-        "mix_corpus": q_mix_corpus,
+        # mix_corpus (r1-stable epoch-weight mixing, hashed green every
+        # round) rotates out in the r6 third rotation; the mixing
+        # family's window slot carries UniMax budget allocation instead
+        "unimax_mix": q_unimax,
         "multimodal_features": q_multimodal_features,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window: expanded
@@ -3123,26 +3138,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "lsh_recall_report": q_lsh_recall_report,
         "script_stats": q_script_stats,
-        # r6: remaining crawl / streaming / pipeline-wave rows past the
-        # window (rotation candidates for r7; url_dedup / warc_ingest /
-        # media_pairs / stream_heavy_hitters / nb_quality / novelty went
-        # in-window in the r6 second rotation)
+        # r6: domain_stats stays the one wave row past the window
+        # (domain accounting is driver-certified via domain_quality,
+        # which runs the same normalizer + host extraction)
         "domain_stats": q_domain_stats,
-        "stream_embed_dedup": q_stream_embed_dedup,
-        "vocab_drift": q_vocab_drift,
-        "domain_quality": q_domain_quality,
-        "unimax_mix": q_unimax,
-        "stream_url_dedup": q_stream_url_dedup,
-        "shard_plan": q_shard_plan,
-        # r6 second rotation: hashed-green rows whose slots now carry
-        # the crawl/classifier/novelty wave (all still oracle-compared
-        # every pytest run)
+        # r6 second + third rotations: hashed-green rows whose slots now
+        # carry the crawl/classifier/novelty wave and then the
+        # drift/export/streaming wave (all still oracle-compared every
+        # pytest run)
         "containment_pairs": q_containment_pairs,
         "epoch_shuffle": q_epoch_shuffle,
         "length_batches": q_length_batches,
         "boilerplate_dedup": q_boilerplate_dedup,
         "chunk_dedup": q_chunk_dedup,
         "text_token_counts": q_text_token_counts,
+        "weighted_sample": q_weighted_sample,
+        "incremental_near_dup": q_incremental_near_dup,
+        "kmeans": q_kmeans,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "mix_corpus": q_mix_corpus,
         # r5 second rotation: driver-hashed-green graph rows whose window
         # slots now carry the second-half r5 operators (all still
         # oracle-compared every pytest run; graph_summary keeps their
@@ -5976,7 +5991,7 @@ def oracle_sql() -> dict[str, str]:
                  sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
           FROM d
         )
-        SELECT doc_id, n_tokens, cum_tokens,
+        SELECT doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens,
                ((cum_tokens - n_tokens) // 2000)::INTEGER AS shard_id
         FROM c"""
     sql["unimax_mix"] = r"""

@@ -85,27 +85,21 @@ def test_window_covers_required_operators():
         "ntile_deciles", "streaming_summary",
         "pagerank",
         # LLM-pipeline categories the driver must see green
-        # (chunk_dedup / text_token_counts rotated out in the r6 second
-        # rotation: r1-stable, hashed green every round; the dedup
-        # family keeps five in-window rows, token signals stay via
-        # content_type / quality_reasons)
+        # (chunk_dedup / text_token_counts out in the r6 second
+        # rotation; kmeans / text_quality / lang_id / mix_corpus out in
+        # the third — all r1-stable and hashed green every round, their
+        # families covered by quality_reasons/nb_quality/lang_confusion/
+        # unimax_mix and the remaining dedup+similarity rows)
         "dedup_exact", "minhash_lsh_pairs", "dedup_clusters",
-        "similarity_topk", "embed_near_dup_lsh", "kmeans",
-        "text_quality", "lang_id", "repetition_stats",
-        "bm25_search", "decontaminate", "hash_split", "mix_corpus",
+        "similarity_topk", "embed_near_dup_lsh", "repetition_stats",
+        "bm25_search", "decontaminate", "hash_split",
         "multimodal_features", "graph_summary",
         # r4 rotation: operators the driver had never hashed before
         # (sq_topk rotated out r6: hashed green r4+r5, similarity family
         # keeps three in-window rows; boilerplate_dedup out in the r6
-        # second rotation after two green contacts)
-        "incremental_near_dup", "exact_substring", "pq_topk",
-        # r5 rotation (VERDICT r4 task 1): the r4 operators now under
-        # the driver hash (lsh_recall_report / script_stats rotated out
-        # r6 after green contact — ann_recall / lang_confusion replace
-        # their coverage; containment_pairs / epoch_shuffle /
-        # length_batches out in the r6 second rotation, their slots
-        # carrying the crawl-ingest story)
-        "weighted_sample", "ivfpq_topk",
+        # second rotation after two green contacts; incremental_near_dup
+        # and weighted_sample out in the third after r4+r5 green)
+        "exact_substring", "pq_topk", "ivfpq_topk",
         # r5 late rotation: the four round-5 operators, in-window so the
         # driver hashes them the round they were built
         "dsir_weights", "dsir_sample", "bpe_merges", "dedup_keep_best",
@@ -125,6 +119,10 @@ def test_window_covers_required_operators():
         # they were built
         "url_dedup", "warc_ingest", "media_pairs",
         "stream_heavy_hitters", "nb_quality", "novelty",
+        # r6 third rotation: the drift / export / streaming wave —
+        # also in-window the round it was built
+        "vocab_drift", "shard_plan", "stream_url_dedup",
+        "stream_embed_dedup", "domain_quality", "unimax_mix",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
