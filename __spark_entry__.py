@@ -1871,12 +1871,14 @@ def q_decontaminate(spark, sf_dir):
 def q_cluster_split(spark, sf_dir):
     """Leakage-safe split: hash_split keyed on the near-dup CLUSTER id so
     connected near-duplicates never straddle train/test. Oracle composes
-    the dedup_clusters rounds with the shared hash_split CASE helper."""
+    the dedup_clusters rounds with the shared hash_split CASE helper.
+    The pair stage runs capped (``max_doc_freq=100``) like the other two
+    cluster queries — bounded candidate fan-out is the certified shape."""
     from hgraphstorage_spark.pipeline import ngram_jaccard_pairs
     from hgraphstorage_spark.pipeline.sampling import cluster_safe_split
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5, block_col="lang", max_doc_freq=100)
     return cluster_safe_split(docs, pairs, rounds=3)
 
 
@@ -4330,7 +4332,7 @@ def _dedup_clusters_oracle_sql(rounds: int, max_doc_freq: int | None = None) -> 
     )
 
 
-def _cluster_safe_split_oracle_sql(rounds: int) -> str:
+def _cluster_safe_split_oracle_sql(rounds: int, max_doc_freq: int | None = None) -> str:
     """Same cluster labels, then the hash_split CASE keyed on the CLUSTER
     id — generated from the same threshold helper the Spark side uses."""
     from hgraphstorage_spark.pipeline.sampling import hash_split_case_sql
@@ -4338,7 +4340,7 @@ def _cluster_safe_split_oracle_sql(rounds: int) -> str:
     case = hash_split_case_sql(id_col="cluster")
     return (
         "WITH "
-        + ",\n".join(_dedup_cluster_ctes(rounds))
+        + ",\n".join(_dedup_cluster_ctes(rounds, max_doc_freq))
         + f"""
         SELECT doc_id, cluster, {case} AS split FROM l{rounds}"""
     )
@@ -4839,7 +4841,7 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY q.quality DESC NULLS LAST, q.doc_id) = 1) AS keep
         FROM q JOIN sz ON q.cluster = sz.cluster WHERE sz.n > 1"""
     )
-    sql["cluster_split"] = _cluster_safe_split_oracle_sql(3)
+    sql["cluster_split"] = _cluster_safe_split_oracle_sql(3, max_doc_freq=100)
     sql["corpus_report"] = r"""
         WITH p AS (
           SELECT source, length(text) AS chars,
