@@ -173,6 +173,8 @@ R6_OPS = [
     "novelty",
     "vocab_drift",
     "domain_quality",
+    "shard_plan",
+    "unimax_mix",
     "ivfpq_topk_untrained",
 ]
 

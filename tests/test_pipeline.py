@@ -2806,3 +2806,23 @@ def test_shard_plan_packs_in_hash_order(spark):
     assert {(r["doc_id"], r["shard_id"]) for r in again} == {
         (r["doc_id"], r["shard_id"]) for r in got
     }
+
+
+def test_novelty_sums_to_distinct_shingle_count(spark):
+    """Global invariant: every distinct shingle is novel in exactly its
+    first document, so sum(n_novel) == |distinct (shingle)| over the
+    corpus — a cheap full-corpus conservation law."""
+    from pyspark.sql import functions as F
+
+    from hgraphstorage_spark.pipeline.dedup import novelty_scores, shingle_hashes
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nv = novelty_scores(docs, n=3)
+    total_novel = nv.agg(F.sum("n_novel")).collect()[0][0]
+    distinct_shingles = (
+        shingle_hashes(docs, "text", "doc_id", 3)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_shingles
