@@ -5994,7 +5994,8 @@ def oracle_sql() -> dict[str, str]:
           FROM d
         )
         SELECT doc_id, n_tokens, cum_tokens::BIGINT AS cum_tokens,
-               ((cum_tokens - n_tokens) // 2000)::INTEGER AS shard_id
+               (dense_rank() OVER (ORDER BY (cum_tokens - n_tokens) // 2000)
+                - 1)::INTEGER AS shard_id
         FROM c"""
     sql["unimax_mix"] = r"""
         WITH c AS (

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hgraphstorage_spark.pipeline.text import WS_RE
+from hgraphstorage_spark.pipeline.text import WS_RE, _n_tokens
 
 _SPACE = 16 ** 8  # bucket space: first 8 hex digits of the md5
 
@@ -455,45 +455,80 @@ def token_budget_mix(
     ``range_chars`` (raise it at larger corpora). The wide shuffles carry
     only (id, stratum, n_tokens) — never text.
     """
-    from pyspark.sql import Window
-
-    n_tokens = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), WS_RE))).cast("long")
     budget = F.lit(int(default_budget))
     for value, b in budgets.items():
         if b < 0:
             raise ValueError("budgets must be >= 0")
         budget = F.when(F.col(strata_col) == value, F.lit(int(b))).otherwise(budget)
+    cum = _hash_order_cumsum(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        salt=salt,
+        range_chars=range_chars,
+        strata_col=strata_col,
+        extra_cols=[budget.alias("_budget")],
+    )
+    return (
+        cum.filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("_budget"))
+        .select(id_col, strata_col, "n_tokens", "cum_tokens")
+    )
+
+
+def _hash_order_cumsum(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    salt: str,
+    range_chars: int,
+    strata_col: str | None = None,
+    extra_cols: list | None = None,
+) -> DataFrame:
+    """Exact token prefix sum in deterministic md5-hash order — the shared
+    two-pass distributed machinery behind :func:`token_budget_mix` and
+    :func:`shard_plan` (one strategy, one place to fix). A single global
+    (or per-stratum) window would push every row through ONE task's sort;
+    instead the hash order is cut into 16^``range_chars`` contiguous
+    ranges (range = leading hex digits of the SAME md5 bucket the
+    ordering uses, so ranges partition the order):
+
+    (1) per-(stratum, range) token sums — a tiny partial-aggregated
+    shuffle; (2) exclusive range offsets via a window over that
+    16^k-row frame (driver-size); (3) broadcast the offsets back and run
+    the cumsum within each (stratum, range) partition. Integer sums are
+    associative, so offset + in-range running sum equals the global
+    running sum EXACTLY — same output as the serial form, but the
+    largest sort is 1/16^k of the data and parallelism scales with
+    ``range_chars``. The wide shuffles carry only (id, n_tokens[, extra])
+    — never text.
+
+    Returns (id[, stratum], n_tokens, cum_tokens[, extra_cols...]).
+    """
+    from pyspark.sql import Window
+
     bucket = _bucket(id_col, salt)
-    base = df.select(
-        F.col(id_col),
-        F.col(strata_col),
-        n_tokens.alias("n_tokens"),
+    keys = [strata_col] if strata_col else []
+    cols = [F.col(c) for c in [id_col, *keys]]
+    cols += [
+        _n_tokens(F.col(text_col)).cast("long").alias("n_tokens"),
         bucket.alias("_bkt"),
         F.substring(bucket, 1, range_chars).alias("_rng"),
-        budget.alias("_budget"),
-    )
-    # pass 1: per-range totals (strata × 16^range_chars rows — tiny)
-    range_sums = base.groupBy(strata_col, "_rng").agg(F.sum("n_tokens").alias("_rsum"))
+    ]
+    base = df.select(*cols, *(extra_cols or []))
+    range_sums = base.groupBy(*keys, "_rng").agg(F.sum("n_tokens").alias("_rsum"))
     # exclusive offsets: lowercase-hex string order == numeric order, so
-    # ordering ranges by _rng matches the row order ranges cut from
-    wo = (
-        Window.partitionBy(strata_col)
-        .orderBy("_rng")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # ordering ranges by _rng matches the row order the ranges were cut from
+    wo = (Window.partitionBy(*keys) if keys else Window).orderBy("_rng").rowsBetween(
+        Window.unboundedPreceding, -1
     )
     offsets = range_sums.select(
-        strata_col, "_rng", F.coalesce(F.sum("_rsum").over(wo), F.lit(0)).alias("_off")
+        *keys, "_rng", F.coalesce(F.sum("_rsum").over(wo), F.lit(0)).alias("_off")
     )
-    # pass 2: in-range cumsum + broadcast offset = exact global cumsum
-    wi = Window.partitionBy(strata_col, "_rng").orderBy("_bkt", id_col)
+    wi = Window.partitionBy(*keys, "_rng").orderBy("_bkt", id_col)
     cum = F.sum("n_tokens").over(wi) + F.col("_off")
-    return (
-        base.join(F.broadcast(offsets), [strata_col, "_rng"])
-        .select(id_col, strata_col, "n_tokens", cum.alias("cum_tokens"), "_budget")
-        .filter((F.col("cum_tokens") - F.col("n_tokens")) < F.col("_budget"))
-        .select(id_col, strata_col, "n_tokens", "cum_tokens")
+    extra_names = [base.columns[i] for i in range(3 + len(keys), len(base.columns))]
+    return base.join(F.broadcast(offsets), [*keys, "_rng"]).select(
+        id_col, *keys, "n_tokens", cum.alias("cum_tokens"), *extra_names
     )
 
 
@@ -883,46 +918,36 @@ def shard_plan(
     corpus into the fixed-size shards a dataloader streams: documents
     are packed in deterministic md5-hash order (an unbiased,
     reproducible shuffle — same ordering contract as
-    :func:`token_budget_mix`) and each document goes to the shard in
-    which its cumulative token run BEGINS, so every shard except the
-    last carries at least ``tokens_per_shard`` tokens and a document is
-    never split. Returns (id, n_tokens, cum_tokens, shard_id).
+    :func:`token_budget_mix`) and each document goes to the shard whose
+    ``tokens_per_shard``-wide token range contains its FIRST token, so a
+    document is never split and shard token totals track
+    ``tokens_per_shard`` (a shard underfills only when a neighbour's
+    document spills across its boundary). Shard ids are compacted to a
+    gap-free 0..n-1 — a document longer than ``tokens_per_shard`` spans
+    several raw ranges, and a dataloader enumerating shards must not hit
+    empty ones. Returns (id, n_tokens, cum_tokens, shard_id).
 
-    Scale shape: the same two-pass distributed prefix sum as
-    ``token_budget_mix`` — per-range token sums (tiny partial-agg
-    shuffle), exclusive offsets via a window over the 16^``range_chars``-row
-    range frame (driver-size), broadcast back, in-range cumsum. Integer
-    sums are associative so offset + in-range running sum equals the
-    global running sum exactly; no corpus-sized sort ever funnels
-    through one task (raise ``range_chars`` at larger corpora)."""
-    from pyspark.sql import Window
-
+    Scale shape: the shared two-pass distributed prefix sum
+    (:func:`_hash_order_cumsum` — per-range token sums, driver-size
+    offset window, broadcast back, in-range cumsum; raise
+    ``range_chars`` at larger corpora). The raw range index uses exact
+    integer ``div`` (never double division — floor(long/long) drifts
+    off the oracle's integer ``//`` once cum_tokens nears 2^52), and
+    the gap-free compaction is a distributed rank over the
+    n_shards-row distinct-range frame (:func:`_global_rank`), joined
+    back AQE-decided — corpus rows are never re-sorted."""
     if tokens_per_shard <= 0:
         raise ValueError("tokens_per_shard must be > 0")
-    n_tokens = F.when(
-        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), WS_RE))).cast("long")
-    bucket = _bucket(id_col, salt)
-    base = df.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        bucket.alias("_bkt"),
-        F.substring(bucket, 1, range_chars).alias("_rng"),
+    cum = _hash_order_cumsum(
+        df, id_col=id_col, text_col=text_col, salt=salt, range_chars=range_chars
     )
-    range_sums = base.groupBy("_rng").agg(F.sum("n_tokens").alias("_rsum"))
-    wo = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = range_sums.select(
-        "_rng", F.coalesce(F.sum("_rsum").over(wo), F.lit(0)).alias("_off")
+    raw = cum.withColumn(
+        "_raw",
+        F.expr(f"(cum_tokens - n_tokens) div {int(tokens_per_shard)}"),
     )
-    wi = Window.partitionBy("_rng").orderBy("_bkt", id_col)
-    cum = F.sum("n_tokens").over(wi) + F.col("_off")
-    return (
-        base.join(F.broadcast(offsets), "_rng")
-        .select(F.col(id_col), "n_tokens", cum.alias("cum_tokens"))
-        .withColumn(
-            "shard_id",
-            F.floor(
-                (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(int(tokens_per_shard))
-            ).cast("int"),
-        )
+    shard_ids = _global_rank(
+        raw.select("_raw").distinct(), [F.col("_raw").asc()], "_srk"
+    ).select("_raw", (F.col("_srk") - 1).cast("int").alias("shard_id"))
+    return raw.join(shard_ids, "_raw").select(
+        id_col, "n_tokens", "cum_tokens", "shard_id"
     )

@@ -2790,22 +2790,48 @@ def test_shard_plan_packs_in_hash_order(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     got = shard_plan(docs, tokens_per_shard=500).collect()
     assert len(got) == docs.count()
-    # a doc belongs to the shard where its run BEGINS, so a non-final
-    # shard's coverage must CROSS its upper boundary (its last doc's
-    # cum >= (s+1)*T); totals per shard can dip under T when a long doc
-    # from the previous shard spills over — that's by design
-    end_cum = {}
+    # a doc belongs to the shard whose 500-token range contains its first
+    # token; ids are compacted gap-free, so recover each shard's raw range
+    # from its earliest start — a non-final shard's coverage must CROSS
+    # that range's upper boundary (totals can dip under T only when a
+    # neighbour's doc spills across — that's by design)
+    end_cum, start_min = {}, {}
     for r in got:
-        end_cum[r["shard_id"]] = max(end_cum.get(r["shard_id"], 0), r["cum_tokens"])
+        s = r["shard_id"]
+        end_cum[s] = max(end_cum.get(s, 0), r["cum_tokens"])
+        start = r["cum_tokens"] - r["n_tokens"]
+        start_min[s] = min(start_min.get(s, start), start)
     last = max(end_cum)
-    assert all(c >= (s + 1) * 500 for s, c in end_cum.items() if s != last), end_cum
-    assert sorted(end_cum) == list(range(last + 1))  # no gaps
+    assert sorted(end_cum) == list(range(last + 1))  # gap-free 0..n-1
+    for s in end_cum:
+        raw_block = start_min[s] // 500
+        assert start_min[s] >= raw_block * 500
+        if s != last:
+            assert end_cum[s] >= (raw_block + 1) * 500, (s, end_cum[s])
+    # compact order preserves raw order
+    raws = [start_min[s] // 500 for s in sorted(start_min)]
+    assert raws == sorted(raws) and len(set(raws)) == len(raws)
     # exact global prefix sum: max cum == total tokens
     assert max(r["cum_tokens"] for r in got) == sum(r["n_tokens"] for r in got)
     again = shard_plan(docs, tokens_per_shard=500).collect()
     assert {(r["doc_id"], r["shard_id"]) for r in again} == {
         (r["doc_id"], r["shard_id"]) for r in got
     }
+
+
+def test_shard_plan_long_doc_never_gaps(spark):
+    """A document longer than tokens_per_shard spans several raw ranges;
+    compaction must keep shard ids contiguous (the dataloader contract)."""
+    from hgraphstorage_spark.pipeline.sampling import shard_plan
+
+    rows = [(i, " ".join(["tok"] * (1100 if i == 3 else 60))) for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = shard_plan(docs, tokens_per_shard=100).collect()
+    ids = sorted({r["shard_id"] for r in got})
+    assert ids == list(range(len(ids))), ids
+    # the long doc occupies exactly one shard (never split)
+    long_rows = [r for r in got if r["n_tokens"] == 1100]
+    assert len(long_rows) == 1
 
 
 def test_novelty_sums_to_distinct_shingle_count(spark):
