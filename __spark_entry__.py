@@ -1232,6 +1232,25 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_jaccard_prefix(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs via PREFIX FILTERING (SSJoin/PPJoin) —
+    the lossless scale path for the exact similarity join: candidates
+    must share a token in each doc's rarest-first prefix, so one hot
+    boilerplate shingle no longer spawns a k² candidate group. The
+    prefix-filter lemma guarantees the OUTPUT is identical to the full
+    exact join (order- and hash-independent — pruning only), so the
+    oracle is the same string-shingle exact-Jaccard replay as
+    ``ngram_jaccard`` with no cap."""
+    from hgraphstorage_spark.pipeline import jaccard_prefix_pairs
+
+    return _canon(
+        jaccard_prefix_pairs(
+            _t(spark, sf_dir, "documents"), n=3, threshold=0.5, block_col="lang"
+        ),
+        "jaccard",
+    )
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Quality-aware dedup keeper: same 3-round HashMin clusters as
     dedup_clusters, but each multi-doc cluster keeps its LONGEST
@@ -3079,6 +3098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "salted_agg": q_salted_agg,
         "ngram_jaccard": q_ngram_jaccard,
+        "jaccard_prefix": q_jaccard_prefix,
         "vocab_topk": q_vocab_topk,
         "agg_messages": q_agg_messages,
         "pack_sequences": q_pack_sequences,
@@ -4857,6 +4877,11 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["random_walks"] = _random_walks_oracle_sql(3)
     # LSH md5-mode replays — parameters must match the q_ entries
+    # prefix filtering is PRUNING only (prefix-filter lemma): the output is
+    # identical to the full exact join, so the oracle is ngram_jaccard's
+    # string-shingle replay verbatim — any divergence means the prefix cut
+    # dropped a true pair (lossless claim falsified)
+    sql["jaccard_prefix"] = sql["ngram_jaccard"]
     sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)

@@ -461,6 +461,113 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold via PREFIX FILTERING
+    (Chaudhuri et al. ICDE'06 SSJoin / Xiao et al. WWW'08 PPJoin) — the
+    LOSSLESS scale path for exact similarity join. Same output contract
+    as :func:`ngram_jaccard_pairs` with no cap (identical pairs, identical
+    scores; property-tested), but the candidate join only fires on tokens
+    in each document's rarest-first PREFIX instead of on every shared
+    shingle, so one hot boilerplate shingle no longer creates a k²
+    candidate group: a token shared by k docs contributes candidates only
+    from the (few) docs rare enough to carry it inside their prefix.
+
+    Prefix-filter lemma: under any global token order, if
+    J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, and the globally-smallest common
+    token sits within the first |A| − ⌈t·|A|⌉ + 1 tokens of A AND the
+    first |B| − ⌈t·|B|⌉ + 1 of B — so joining prefixes on a shared token
+    misses nothing. The global order here is (document frequency ASC,
+    shingle) — rarest first maximizes pruning — and a length filter
+    (t·max(|A|,|B|) ≤ min) drops size-incompatible candidates before the
+    verify. t·sz products are rounded to 9 decimals before ⌈·⌉ /
+    comparison so IEEE representation noise (0.1·30 = 3.0000…04) never
+    over-shrinks a prefix; both engines evaluate the identical doubles.
+
+    Shape at scale: shared :func:`shingle_hashes` explode (8-byte hashed
+    shingles), persisted before its fan-out (df-count agg + rank join +
+    verify — the simhash inferred-isnotnull trap); one shingle-keyed
+    count agg (map-side partial); one doc-keyed window for the per-doc
+    rank (each doc's shingle list sorts within one task — bounded by doc
+    length, never by corpus); prefix self-join on the 8-byte shingle key
+    (AQE-decided); exact verify via array_intersect on the two docs'
+    shingle arrays. No corpus-sized window, nothing collected.
+
+    ``hash_mode="md5"`` makes every stage — hashing, df order, prefix
+    cut, candidate join, verify — replayable in DuckDB.
+    Returns (doc_a, doc_b, jaccard DECIMAL(18,6)), doc_a < doc_b."""
+    from pyspark.sql import Window
+
+    from hgraphstorage_spark.pipeline.state import track
+
+    arrays = track(
+        shingle_hashes(
+            docs.select(
+                F.col(id_col), F.col(text_col), *([block_col] if block_col else [])
+            ),
+            text_col,
+            id_col,
+            n,
+            hash_mode,
+        )
+    )
+    sh = arrays.select("doc_id", F.explode_outer("sh").alias("shingle"))
+    if block_col is not None:
+        blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("_blk"))
+        sh = sh.join(blocks, "doc_id")
+        keys = ["_blk", "shingle"]
+    else:
+        keys = ["shingle"]
+    dfreq = sh.groupBy(*keys).agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    ranked = (
+        sh.join(dfreq, keys)
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix_len = F.col("_sz") - F.ceil(F.round(F.lit(threshold) * F.col("_sz"), 9)) + 1
+    prefix = ranked.filter(F.col("_rk") <= prefix_len).select("doc_id", *keys, "_sz")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), *keys, F.col("_sz").alias("_sza"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), *keys, F.col("_sz").alias("_szb"))
+    cand = (
+        a.join(b, keys)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.round(
+                F.lit(threshold) * F.greatest("_sza", "_szb"), 9
+            ) <= F.least("_sza", "_szb")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("_sha"))
+    sb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    out = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter.cast("double")
+                / (F.size("_sha") + F.size("_shb") - inter),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
 def lsh_recall_report(
     docs: DataFrame,
     text_col: str = "text",

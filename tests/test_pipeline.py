@@ -2253,6 +2253,85 @@ class TestHotShingleCap:
         assert got == {(0, 1)}
 
 
+class TestPrefixFiltering:
+    def test_output_equals_full_exact_join(self, spark):
+        """Prefix-filter lemma end-to-end: jaccard_prefix_pairs returns
+        EXACTLY the pairs+scores of the full exact join (ngram_jaccard_pairs
+        uncapped) on real data — pruning only, nothing lost."""
+        from hgraphstorage_spark.pipeline.dedup import (
+            jaccard_prefix_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        full = {
+            (r["doc_a"], r["doc_b"]): str(r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=0.5, block_col="lang"
+            ).collect()
+        }
+        pref = {
+            (r["doc_a"], r["doc_b"]): str(r["jaccard"])
+            for r in jaccard_prefix_pairs(
+                docs, n=3, threshold=0.5, block_col="lang"
+            ).collect()
+        }
+        assert pref == full and len(full) > 0
+
+    def test_boilerplate_prunes_candidates_keeps_true_pairs(self, spark):
+        """The point of the op: on a corpus where one boilerplate sentence
+        spans every document but unique tails dominate, the rarest-first
+        prefixes contain only df-1 tokens, so the candidate stage fires on
+        ZERO boilerplate pairs (vs C(n,2) for the full inverted index) —
+        while a planted genuine near-dup pair is still found exactly."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from hgraphstorage_spark.pipeline.dedup import (
+            jaccard_prefix_pairs,
+            shingle_hashes,
+        )
+
+        n_docs = 40
+        common = "the quick brown fox jumps over the lazy dog"
+        uniq = lambda i: " ".join(f"u{i}w{j}" for j in range(8))  # noqa: E731
+        rows = [(i, f"{common} {uniq(i)}") for i in range(n_docs)]
+        # planted near-dup of doc 0: one tail word changed
+        rows.append((n_docs, f"{common} {uniq(0)[:-1]}9"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        t = 0.5
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in jaccard_prefix_pairs(docs, n=3, threshold=t).collect()
+        }
+        assert got == {(0, n_docs)}
+        # replicate the candidate stage: prefix tokens are the rarest
+        # sz - ceil(t*sz) + 1 shingles per doc; boilerplate (df=41) never
+        # reaches a prefix, so only the planted pair shares a prefix token
+        sh = shingle_hashes(docs, n=3).select(
+            "doc_id", F.explode_outer("sh").alias("shingle")
+        )
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+        ranked = (
+            sh.join(dfreq, "shingle")
+            .withColumn("_rk", F.row_number().over(w))
+            .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        )
+        prefix = ranked.filter(
+            F.col("_rk") <= F.col("_sz") - F.ceil(F.round(F.lit(t) * F.col("_sz"), 9)) + 1
+        )
+        cands = (
+            prefix.alias("a")
+            .join(prefix.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        assert cands < 5, cands  # vs C(41,2) == 820 for the full index
+
+
 def test_lsh_recall_report_zero_true_pairs_honest(spark):
     """VERDICT r4 task 9: a sample with no true pairs yields recall NULL
     and sample_ok=false — never a fake 'perfect recall' 1.0."""
