@@ -2884,6 +2884,19 @@ def q_stream_url_dedup(spark, sf_dir):
     return result
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout key over events (user_id, value) — the
+    multi-dimension data-skipping writer's key (sources.files.write_zorder):
+    min-max quantize each column to 16 bits, interleave the bit planes.
+    Pure integer/IEEE expressions, so the oracle replays the key
+    bit-for-bit (any mismatch = a wrong bit plane)."""
+    from hgraphstorage_spark.sources.files import with_zorder_key
+
+    return with_zorder_key(
+        _t(spark, sf_dir, "events"), ["user_id", "value"], bits=16
+    ).select("event_id", "zkey")
+
+
 def q_shard_plan(spark, sf_dir):
     """Training-export shard assignment (pipeline/sampling.py:
     shard_plan): pack documents into ~2000-token shards in
@@ -3008,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heavy-hitter stream run as a REAL multi-batch stream
         "url_dedup": q_url_dedup,
         "shard_plan": q_shard_plan,
+        "zorder_key": q_zorder_key,
         "lang_confusion": q_lang_confusion,
         "ann_recall": q_ann_recall,
         "warc_ingest": q_warc_ingest,
@@ -6022,6 +6036,26 @@ def oracle_sql() -> dict[str, str]:
                (dense_rank() OVER (ORDER BY (cum_tokens - n_tokens) // 2000)
                 - 1)::INTEGER AS shard_id
         FROM c"""
+    # zorder_key: bit-for-bit Morton key replay — same IEEE quantization
+    # ((x-mn)/(mx-mn)*65535.0, left-assoc), same shift/mask interleave
+    _z_terms = " + ".join(
+        f"(((q{j} >> {b}) & 1) << {2 * b + j})" for b in range(16) for j in (0, 1)
+    )
+    sql["zorder_key"] = f"""
+        WITH b AS (
+          SELECT min(user_id::DOUBLE) AS mn0, max(user_id::DOUBLE) AS mx0,
+                 min("value"::DOUBLE) AS mn1, max("value"::DOUBLE) AS mx1
+          FROM events
+        ),
+        q AS (
+          SELECT event_id,
+            (CASE WHEN user_id IS NULL OR mn0 IS NULL OR mx0 <= mn0 THEN 0
+                  ELSE floor((user_id::DOUBLE - mn0) / (mx0 - mn0) * 65535.0) END)::BIGINT AS q0,
+            (CASE WHEN "value" IS NULL OR mn1 IS NULL OR mx1 <= mn1 THEN 0
+                  ELSE floor(("value"::DOUBLE - mn1) / (mx1 - mn1) * 65535.0) END)::BIGINT AS q1
+          FROM events, b
+        )
+        SELECT event_id, ({_z_terms})::BIGINT AS zkey FROM q"""
     sql["unimax_mix"] = r"""
         WITH c AS (
           SELECT lang,

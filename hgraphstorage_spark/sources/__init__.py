@@ -3,6 +3,8 @@ from hgraphstorage_spark.sources.files import (
     input_bytes,
     read_csv,
     read_jsonl,
+    with_zorder_key,
+    write_zorder,
     write_csv,
     write_jsonl,
 )
@@ -16,6 +18,8 @@ __all__ = [
     "load_tpch_graph",
     "read_csv",
     "read_jsonl",
+    "with_zorder_key",
+    "write_zorder",
     "write_csv",
     "write_jsonl",
     "read_warc",

@@ -117,6 +117,85 @@ def write_layout(
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
+def with_zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    key_name: str = "zkey",
+) -> DataFrame:
+    """Append a Z-order (Morton) key over ``cols``: each column is
+    min-max quantized to ``bits`` bits, then the bit planes are
+    interleaved — points close in ALL dimensions get close keys, so a
+    file sorted by the key has tight min/max row-group stats on EVERY
+    z-ordered column at once (``write_layout``'s single sort axis gives
+    tight stats on one). This is the layout trick behind multi-dimension
+    data skipping in Delta/Iceberg OPTIMIZE ZORDER, built from plain
+    integer expressions.
+
+    Mechanics: one 1-row global min/max aggregate is cross-joined back
+    (broadcast — the numeric_histogram bounds pattern), each value maps
+    to q = floor((x-min)/(max-min) * (2^bits - 1)) (NULL and
+    degenerate max==min map to 0), and the key is
+    Σ_b Σ_j ((q_j >> b) & 1) << (b·ncols + j) — a static expression of
+    ``bits × ncols`` shift/mask terms, whole-stage-codegen'd, no UDF.
+    All math is engine-portable (exact IEEE double quantization, integer
+    bit ops), so a SQL oracle replays the key bit-for-bit.
+    ``bits × ncols`` must fit a signed 64-bit key (≤ 62)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * len(cols) must be <= 62")
+    from pyspark.sql import functions as F
+
+    scale = float((1 << bits) - 1)
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"_mn_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}") for c in cols],
+    )
+    with_b = df.crossJoin(F.broadcast(bounds))
+    quant = []
+    for c in cols:
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        x = F.col(c).cast("double")
+        q = F.when(
+            x.isNull() | mn.isNull() | (mx <= mn), F.lit(0)
+        ).otherwise(F.floor((x - mn) / (mx - mn) * F.lit(scale))).cast("long")
+        quant.append(q)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, q in enumerate(quant):
+            key = key + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * len(cols) + j
+            )
+    return with_b.withColumn(key_name, key).drop(
+        *[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols]
+    )
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Write parquet Z-ordered on ``cols``: compute the Morton key
+    (:func:`with_zorder_key`), range-partition on it (balanced files,
+    globally ordered), sort within each file, drop the key. Readers
+    filtering on ANY z-ordered column skip row groups by min/max stats —
+    the multi-dimension complement to ``write_layout``'s
+    hive-partition + single-axis sort. Locality is pinned by a test
+    measuring per-file value ranges on both dimensions vs a single-axis
+    sort of the same data."""
+    keyed = with_zorder_key(df, cols, bits=bits)
+    out = (
+        keyed.repartitionByRange(num_files, "zkey")
+        if num_files
+        else keyed.repartitionByRange("zkey")
+    )
+    out.sortWithinPartitions("zkey").drop("zkey").write.mode("overwrite").parquet(path)
+
+
 def snapshot_to_jsonl(snap, path: str) -> None:
     """Interchange export of a graph snapshot: nodes / edges / props as
     JSONL directories under ``path`` — the engine-neutral backup/exchange
