@@ -2884,6 +2884,26 @@ def q_stream_url_dedup(spark, sf_dir):
     return result
 
 
+def q_cms_tokens(spark, sf_dir):
+    """Count-Min sketch frequency estimates for the corpus's top-20
+    tokens, beside exact counts — the fixed-memory (depth×width cells)
+    frequency sketch, deliberately run at width=64 so hash collisions
+    are LIVE in the result (est ≥ exact, one-sided). md5-position
+    family: the oracle replays every cell and every min-over-rows
+    estimate bit-for-bit."""
+    from hgraphstorage_spark.functions.stats import cms_estimate, count_min_sketch
+    from hgraphstorage_spark.pipeline.text import WS_RE, vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS_RE)).alias("token")
+    ).filter(F.length("token") > 0)
+    sketch = count_min_sketch(toks, "token", width=64, depth=4)
+    top = vocabulary(docs, top_k=20).select("token", "n_total")
+    est = cms_estimate(sketch, top, "token", width=64, depth=4)
+    return top.join(est, "token").select("token", "n_total", "est")
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order (Morton) layout key over events (user_id, value) — the
     multi-dimension data-skipping writer's key (sources.files.write_zorder):
@@ -3022,6 +3042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "shard_plan": q_shard_plan,
         "zorder_key": q_zorder_key,
+        "cms_tokens": q_cms_tokens,
         "lang_confusion": q_lang_confusion,
         "ann_recall": q_ann_recall,
         "warc_ingest": q_warc_ingest,
@@ -6036,6 +6057,38 @@ def oracle_sql() -> dict[str, str]:
                (dense_rank() OVER (ORDER BY (cum_tokens - n_tokens) // 2000)
                 - 1)::INTEGER AS shard_id
         FROM c"""
+    # cms_tokens: full bit-for-bit replay of the Count-Min sketch — every
+    # cell (md5-position family) and every min-over-rows estimate
+    sql["cms_tokens"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS token
+          FROM documents
+        ),
+        t AS (SELECT token FROM toks WHERE len(token) > 0),
+        hist AS (SELECT token, count(*) AS n_total FROM t GROUP BY token),
+        top AS (
+          SELECT token, n_total FROM (
+            SELECT token, n_total,
+                   row_number() OVER (ORDER BY n_total DESC, token) AS rn
+            FROM hist
+          ) WHERE rn <= 20
+        ),
+        ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+        cells AS (
+          SELECT d, ('0x' || substr(md5(token || ':' || d), 1, 15))::BIGINT % 64 AS pos,
+                 count(*) AS c
+          FROM t CROSS JOIN ds GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT token, d,
+                 ('0x' || substr(md5(token || ':' || d), 1, 15))::BIGINT % 64 AS pos
+          FROM top CROSS JOIN ds
+        ),
+        est AS (
+          SELECT token, min(coalesce(c, 0)) AS est
+          FROM probes LEFT JOIN cells USING (d, pos) GROUP BY token
+        )
+        SELECT top.token, n_total, est FROM top JOIN est USING (token)"""
     # zorder_key: bit-for-bit Morton key replay — same IEEE quantization
     # ((x-mn)/(mx-mn)*65535.0, left-assoc), same shift/mask interleave
     _z_terms = " + ".join(

@@ -6,7 +6,12 @@ This package re-exports the engine-level functions built on top of Spark's
 built-ins so users have one import point."""
 
 from hgraphstorage_spark.compiler import value_str
-from hgraphstorage_spark.functions.stats import grouped_percentiles
+from hgraphstorage_spark.functions.stats import (
+    cms_estimate,
+    cms_merge,
+    count_min_sketch,
+    grouped_percentiles,
+)
 from hgraphstorage_spark.functions.timeseries import funnel, rolling_event_features
 from hgraphstorage_spark.pipeline.dedup import hamming64
 from hgraphstorage_spark.pipeline.similarity import cosine
@@ -15,6 +20,9 @@ from hgraphstorage_spark.schemas import canonical_string, infer_dtype, value_col
 __all__ = [
     "value_str",
     "grouped_percentiles",
+    "count_min_sketch",
+    "cms_merge",
+    "cms_estimate",
     "funnel",
     "rolling_event_features",
     "hamming64",

@@ -252,3 +252,68 @@ def numeric_histogram(df: DataFrame, column: str, n_bins: int = 10) -> DataFrame
             "n",
         )
     )
+
+
+def count_min_sketch(
+    df: DataFrame, item_col: str, width: int = 8192, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of an item stream
+    as a DataFrame of non-zero cells (d, pos, c) — the fixed-memory
+    frequency sketch completing the mergeable family next to HLL
+    (``grouped_distinct_counts``), Bloom (``bloom_decontaminate``) and
+    Misra-Gries (``stream_heavy_hitters``). Each item increments one
+    cell per row d at ``md5_long(item, d) % width`` — the engine-portable
+    md5 position family, so a SQL oracle replays every cell bit-for-bit.
+
+    Shape at scale: explode is depth small integers per item; the cell
+    aggregation is map-side combined, so the shuffle carries at most
+    ``depth × width`` rows per partition no matter the corpus — the
+    sketch's whole point. Merge two sketches by unioning cells and
+    summing counts (:func:`cms_merge`); estimates are one-sided
+    (est ≥ true count; overshoot ≤ e·N/width with prob 1 − e^(−depth)).
+    """
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    return (
+        df.select(F.col(item_col).alias("_it"))
+        .filter(F.col("_it").isNotNull())
+        .select("_it", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+        .select(
+            "d", F.pmod(md5_long(F.col("_it"), F.col("d")), F.lit(width)).alias("pos")
+        )
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two Count-Min sketches built with the SAME
+    (width, depth) — the associative merge that lets per-shard / per-day
+    sketches combine into a corpus sketch without touching raw data."""
+    return a.unionByName(b).groupBy("d", "pos").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, item_col: str, width: int, depth: int
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch: for each probe
+    item, min over the depth rows of its cell counts (absent cell = 0).
+    The sketch side is bounded by depth × width cells, so it broadcasts;
+    the probe join never shuffles the item stream."""
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    probes = (
+        items.select(F.col(item_col))
+        .distinct()
+        .select(item_col, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+        .select(
+            item_col,
+            "d",
+            F.pmod(md5_long(F.col(item_col), F.col("d")), F.lit(width)).alias("pos"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "pos"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )

@@ -1289,6 +1289,52 @@ class TestNegativeEdgeSampling:
         assert a == [(10, 16, 2), (10, 17, 1), (11, 10, 1), (11, 17, 2)]
 
 
+class TestCountMinSketch:
+    def test_one_sided_and_exact_without_collisions(self, spark):
+        """est >= exact for EVERY item (CMS never undercounts), and with a
+        width far above the distinct-item count the estimates are exact."""
+        from hgraphstorage_spark.functions.stats import cms_estimate, count_min_sketch
+
+        rows = [(w,) for w, k in [("a", 5), ("b", 3), ("c", 1)] for _ in range(k)]
+        df = spark.createDataFrame(rows, "item string")
+        wide = count_min_sketch(df, "item", width=4096, depth=4)
+        got = {
+            r["item"]: r["est"]
+            for r in cms_estimate(wide, df, "item", 4096, 4).collect()
+        }
+        assert got == {"a": 5, "b": 3, "c": 1}
+        # width=2 forces collisions: still never undercounts
+        tight = count_min_sketch(df, "item", width=2, depth=2)
+        est = {
+            r["item"]: r["est"]
+            for r in cms_estimate(tight, df, "item", 2, 2).collect()
+        }
+        assert est["a"] >= 5 and est["b"] >= 3 and est["c"] >= 1
+
+    def test_merge_equals_sketch_of_union(self, spark):
+        """Mergeability: cms_merge(sketch(A), sketch(B)) has exactly the
+        cells of sketch(A ++ B) — per-shard sketches combine losslessly."""
+        from hgraphstorage_spark.functions.stats import cms_merge, count_min_sketch
+
+        a = spark.createDataFrame([("x",), ("y",), ("x",)], "item string")
+        b = spark.createDataFrame([("y",), ("z",)], "item string")
+        merged = bag(cms_merge(
+            count_min_sketch(a, "item", width=8, depth=3),
+            count_min_sketch(b, "item", width=8, depth=3),
+        ))
+        union = bag(count_min_sketch(a.unionByName(b), "item", width=8, depth=3))
+        assert merged == union
+
+    def test_cell_count_bounded(self, spark):
+        """The sketch's reason to exist: cells <= depth*width no matter how
+        many distinct items stream through."""
+        from hgraphstorage_spark.functions.stats import count_min_sketch
+
+        df = spark.range(5000).select(F.col("id").cast("string").alias("item"))
+        sk = count_min_sketch(df, "item", width=16, depth=4)
+        assert sk.count() <= 64
+
+
 class TestGroupedDistinctCounts:
     def test_exact_and_approx_agree_on_small_groups(self, spark):
         from hgraphstorage_spark.functions.stats import grouped_distinct_counts
