@@ -2884,6 +2884,21 @@ def q_stream_url_dedup(spark, sf_dir):
     return result
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI drift report on the n_chars distribution between the even and
+    odd doc_id halves of the corpus (a deterministic A/A-style slice —
+    the driver row certifies the mechanics: ref-decile bins, Laplace
+    smoothing, (p−q)·ln(p/q) contributions; a planted-drift pytest
+    certifies the signal). Oracle replays the decile cuts
+    (quantile_cont == F.percentile) and the IEEE ln fold."""
+    from hgraphstorage_spark.functions.stats import psi_report
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return _canon(psi_report(ref, cur, "n_chars", n_bins=10), "contrib")
+
+
 def q_cms_tokens(spark, sf_dir):
     """Count-Min sketch frequency estimates for the corpus's top-20
     tokens, beside exact counts — the fixed-memory (depth×width cells)
@@ -3043,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "zorder_key": q_zorder_key,
         "cms_tokens": q_cms_tokens,
+        "psi_drift": q_psi_drift,
         "lang_confusion": q_lang_confusion,
         "ann_recall": q_ann_recall,
         "warc_ingest": q_warc_ingest,
@@ -6057,6 +6073,42 @@ def oracle_sql() -> dict[str, str]:
                (dense_rank() OVER (ORDER BY (cum_tokens - n_tokens) // 2000)
                 - 1)::INTEGER AS shard_id
         FROM c"""
+    # psi_drift: decile cuts via quantile_cont (== F.percentile linear
+    # interpolation), bin = count of edges below, Laplace-smoothed
+    # (p-q)*ln(p/q) on IEEE doubles of exact integer ratios
+    sql["psi_drift"] = r"""
+        WITH refv AS (
+          SELECT n_chars::DOUBLE AS v FROM documents
+          WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+        ),
+        curv AS (
+          SELECT n_chars::DOUBLE AS v FROM documents
+          WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+        ),
+        e AS (
+          SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+          FROM refv
+        ),
+        rb AS (SELECT len(list_filter(edges, x -> v > x)) AS bin FROM refv, e),
+        cb AS (SELECT len(list_filter(edges, x -> v > x)) AS bin FROM curv, e),
+        bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        rc AS (SELECT bin, count(*) AS c FROM rb GROUP BY bin),
+        cc AS (SELECT bin, count(*) AS c FROM cb GROUP BY bin),
+        j AS (
+          SELECT bins.bin, coalesce(rc.c, 0)::BIGINT AS n_ref,
+                 coalesce(cc.c, 0)::BIGINT AS n_cur
+          FROM bins LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)
+        ),
+        t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+        s AS (
+          SELECT bin, n_ref, n_cur,
+                 (n_ref + 1)::DOUBLE / (tr + 10)::DOUBLE AS p,
+                 (n_cur + 1)::DOUBLE / (tc + 10)::DOUBLE AS q
+          FROM j, t
+        )
+        SELECT bin::INTEGER AS bin, n_ref, n_cur,
+               CAST(round((p - q) * ln(p / q), 6) AS DECIMAL(18,6))::VARCHAR AS contrib
+        FROM s"""
     # cms_tokens: full bit-for-bit replay of the Count-Min sketch — every
     # cell (md5-position family) and every min-over-rows estimate
     sql["cms_tokens"] = r"""

@@ -11,6 +11,7 @@ from hgraphstorage_spark.functions.stats import (
     cms_merge,
     count_min_sketch,
     grouped_percentiles,
+    psi_report,
 )
 from hgraphstorage_spark.functions.timeseries import funnel, rolling_event_features
 from hgraphstorage_spark.pipeline.dedup import hamming64
@@ -23,6 +24,7 @@ __all__ = [
     "count_min_sketch",
     "cms_merge",
     "cms_estimate",
+    "psi_report",
     "funnel",
     "rolling_event_features",
     "hamming64",

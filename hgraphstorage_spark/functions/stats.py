@@ -317,3 +317,76 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    exact: bool = True,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current slice
+    of a numeric feature — the standard drift monitor a pipeline runs on
+    quality scores / length distributions before mixing a new crawl dump
+    in (vocab_drift's numeric sibling: that one is token-KL, this one is
+    binned-distribution PSI). Bins are the reference's ``n_bins``
+    quantile cuts (the industry convention — equal-population bins on
+    ref, so drift shows as cur piling into few bins); counts are
+    Laplace-smoothed (+1 per bin) so empty bins never yield ln(0), and
+    contrib_i = (p_i − q_i)·ln(p_i/q_i) with Σ contrib = PSI
+    (rule of thumb: < 0.1 stable, > 0.25 drifted).
+
+    Returns one row per bin: (bin, n_ref, n_cur, contrib DECIMAL(18,6)).
+
+    Shape at scale: one percentile aggregate on ref for the bin edges
+    (``exact=False`` swaps in the mergeable KLL sketch for 100 TB — same
+    switch as ``grouped_percentiles``), a 1-row edges broadcast, one
+    narrow bin-assignment fold (``F.aggregate`` over the ≤ n_bins−1
+    edges), two n_bins-row count aggs (map-side combined), a 1-row
+    totals broadcast. ln on IEEE doubles of exact integer ratios — the
+    engine-identical float recipe unigram_logprob already pins."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    pct = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else ", 10000"
+    edges = ref.filter(F.col(value_col).isNotNull()).agg(
+        F.expr(
+            f"{fn}(cast({value_col} as double), array({pct}){extra})"
+        ).alias("_edges")
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(edges))
+            .select(
+                F.aggregate(
+                    "_edges", F.lit(0), lambda acc, e: acc + (v > e).cast("int")
+                ).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    bins = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(binned(ref, "_nr"), "bin", "left")
+        .join(binned(cur, "_nc"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("_nr", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("_nc", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    totals = j.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
+    p = (F.col("n_ref") + 1.0) / (F.col("_tr") + F.lit(float(n_bins)))
+    q = (F.col("n_cur") + 1.0) / (F.col("_tc") + F.lit(float(n_bins)))
+    return j.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)").alias("contrib"),
+    )

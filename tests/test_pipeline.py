@@ -1289,6 +1289,39 @@ class TestNegativeEdgeSampling:
         assert a == [(10, 16, 2), (10, 17, 1), (11, 10, 1), (11, 17, 2)]
 
 
+class TestPsiReport:
+    def test_identical_slices_near_zero_planted_drift_flags(self, spark):
+        """A/A: PSI over two identical distributions ~ 0; a shifted
+        current slice crosses the 0.25 'drifted' rule of thumb."""
+        from hgraphstorage_spark.functions.stats import psi_report
+
+        ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+        same = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+        psi_aa = sum(
+            float(r["contrib"]) for r in psi_report(ref, same, "v").collect()
+        )
+        assert abs(psi_aa) < 0.01, psi_aa
+        # current slice shifted up by 80: most mass lands in the top bins
+        drifted = spark.range(1000).select(
+            ((F.col("id") % 100) + 80).cast("double").alias("v")
+        )
+        rows = psi_report(ref, drifted, "v").collect()
+        assert len(rows) == 10
+        assert sum(r["n_ref"] for r in rows) == 1000
+        assert sum(r["n_cur"] for r in rows) == 1000
+        psi = sum(float(r["contrib"]) for r in rows)
+        assert psi > 0.25, psi
+
+    def test_null_values_excluded_both_sides(self, spark):
+        from hgraphstorage_spark.functions.stats import psi_report
+
+        ref = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+        cur = spark.createDataFrame([(None,), (1.5,)], "v double")
+        rows = psi_report(ref, cur, "v", n_bins=2).collect()
+        assert sum(r["n_ref"] for r in rows) == 2
+        assert sum(r["n_cur"] for r in rows) == 1
+
+
 class TestCountMinSketch:
     def test_one_sided_and_exact_without_collisions(self, spark):
         """est >= exact for EVERY item (CMS never undercounts), and with a
