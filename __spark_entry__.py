@@ -2884,6 +2884,39 @@ def q_stream_url_dedup(spark, sf_dir):
     return result
 
 
+def q_link_graph(spark, sf_dir):
+    """Outbound-link extraction + RFC 3986-lite resolution
+    (sources/warc.py:extract_links) over deterministic synthetic HTML on
+    the synthetic crawl URLs: each page carries an absolute link, a
+    root-relative link, a path-relative link, plus a mailto and a
+    fragment (both must drop). The Spark side runs the REAL href regex
+    and resolution expressions; the oracle derives every resolved URL
+    from the generator arithmetic — an independent-derivation oracle
+    (same pattern as url_dedup)."""
+    from hgraphstorage_spark.sources.warc import extract_links
+
+    docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
+    k = F.floor(F.col("doc_id") / 2).cast("long")
+    abs_href = F.concat(
+        F.lit("https://site"),
+        ((k + 1) % 7).cast("string"),
+        F.lit(".com/p"),
+        (k + 1).cast("string"),
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        abs_href,
+        F.lit("\">x</a> <a href='/r/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("'>y</a> <a href=\"img"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('.png">z</a> <a href="mailto:a@b.c">m</a> '),
+        F.lit('<a href="#frag">f</a></body></html>'),
+    )
+    pages = docs.withColumn("html", html).select("doc_id", "url", "html")
+    return extract_links(pages).select("doc_id", "href", "link_url")
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI drift report on the n_chars distribution between the even and
     odd doc_id halves of the corpus (a deterministic A/A-style slice —
@@ -3059,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "cms_tokens": q_cms_tokens,
         "psi_drift": q_psi_drift,
+        "link_graph": q_link_graph,
         "lang_confusion": q_lang_confusion,
         "ann_recall": q_ann_recall,
         "warc_ingest": q_warc_ingest,
@@ -6073,6 +6107,32 @@ def oracle_sql() -> dict[str, str]:
                (dense_rank() OVER (ORDER BY (cum_tokens - n_tokens) // 2000)
                 - 1)::INTEGER AS shard_id
         FROM c"""
+    # link_graph: independent-derivation oracle — resolved URLs computed
+    # from the synthetic-generator arithmetic, never from the regex
+    sql["link_graph"] = r"""
+        WITH d AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
+        o AS (
+          SELECT doc_id, k,
+            CASE doc_id % 3
+              WHEN 0 THEN 'https://www.site' || (k % 7) || '.com'
+              WHEN 1 THEN 'http://site' || (k % 7) || '.com'
+              ELSE 'https://site' || (k % 7) || '.com' END AS origin_full,
+            CASE WHEN doc_id % 4 = 1 AND doc_id % 5 = 0
+                 THEN '/p' || k || '/' ELSE '/' END AS dir
+          FROM d
+        )
+        SELECT doc_id,
+               'https://site' || ((k + 1) % 7) || '.com/p' || (k + 1) AS href,
+               'https://site' || ((k + 1) % 7) || '.com/p' || (k + 1) AS link_url
+        FROM o
+        UNION ALL
+        SELECT doc_id, '/r/' || (doc_id % 10),
+               origin_full || '/r/' || (doc_id % 10)
+        FROM o
+        UNION ALL
+        SELECT doc_id, 'img' || (doc_id % 3) || '.png',
+               origin_full || dir || 'img' || (doc_id % 3) || '.png'
+        FROM o"""
     # psi_drift: decile cuts via quantile_cont (== F.percentile linear
     # interpolation), bin = count of edges below, Laplace-smoothed
     # (p-q)*ln(p/q) on IEEE doubles of exact integer ratios

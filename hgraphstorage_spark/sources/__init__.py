@@ -9,7 +9,13 @@ from hgraphstorage_spark.sources.files import (
     write_jsonl,
 )
 from hgraphstorage_spark.sources.tpch_graph import load_tpch_graph, load_tables
-from hgraphstorage_spark.sources.warc import read_warc, warc_to_documents, html_to_text
+from hgraphstorage_spark.sources.warc import (
+    domain_link_graph,
+    extract_links,
+    html_to_text,
+    read_warc,
+    warc_to_documents,
+)
 
 __all__ = [
     "compact_parquet",
@@ -25,4 +31,6 @@ __all__ = [
     "read_warc",
     "warc_to_documents",
     "html_to_text",
+    "extract_links",
+    "domain_link_graph",
 ]

@@ -274,3 +274,88 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
         "text",
         F.length("text").cast("long").alias("n_chars"),
     )
+
+
+# <a ... href="..."> / href='...' — RE2-safe (no backreference matching the
+# opening quote: a mixed-quote attribute is malformed HTML and lands in the
+# [^"'>] exclusion), case-insensitive, group 1 = the raw href value
+_HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'>]+)["']"""
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Outbound-link extraction from crawled HTML — the step between
+    `warc_to_documents` and the link/domain graph (anchor graphs are how
+    a crawl frontier is prioritized and how domain-level PageRank-style
+    quality priors are built). Pure built-in expressions: one
+    `regexp_extract_all` per page, explode_outer (the
+    InferFiltersFromGenerate guard — see novelty_scores), then RFC
+    3986-lite resolution against the page URL:
+
+    - absolute (`scheme://…`) hrefs pass through;
+    - protocol-relative (`//host/x`) take the page's scheme;
+    - root-relative (`/x`) take the page's scheme+authority;
+    - everything else resolves against the page path's directory
+      (no dot-segment normalization — the deterministic baseline tier,
+      like `html_to_text`);
+    - `javascript:`, `mailto:`, `tel:`, `data:` and fragment-only
+      hrefs are dropped.
+
+    Returns one row per link: all `pages` columns except the HTML, plus
+    (href, link_url). The HTML column never shuffles — links are
+    extracted in the scan projection."""
+    src = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    origin = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    basedir = F.regexp_replace(path, r"[^/]*$", "")
+    base = F.concat(
+        scheme,
+        F.lit("://"),
+        origin,
+        F.when(basedir == "", F.lit("/")).otherwise(basedir),
+    )
+    href = F.col("href")
+    resolved = (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(scheme, F.lit("://"), origin, href))
+        .otherwise(F.concat(base, href))
+    )
+    keep = [c for c in pages.columns if c != html_col]
+    return (
+        pages.select(
+            *keep,
+            F.explode_outer(
+                F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
+            ).alias("href"),
+        )
+        .filter(
+            href.isNotNull()
+            & ~href.rlike(r"^(javascript|mailto|tel|data):")
+            & ~href.startswith("#")
+            & (F.length(href) > 0)
+        )
+        .select(*keep, "href", resolved.alias("link_url"))
+    )
+
+
+def domain_link_graph(
+    links: DataFrame, src_col: str = "url", dst_col: str = "link_url"
+) -> DataFrame:
+    """Domain-level link graph from :func:`extract_links` output:
+    (src_domain, dst_domain, n_links) — the edge list a crawl feeds to
+    `analytics.pagerank` for domain quality priors. Domains are the
+    authority of the normalized URL (same registrable-host rule as
+    `domain_stats`). One domain-keyed hash agg, map-side partial;
+    self-edges (intra-site navigation) are kept — callers filter."""
+    from hgraphstorage_spark.pipeline.dedup import url_normalized
+
+    sd = F.regexp_extract(url_normalized(F.col(src_col)), r"^([^/?]+)", 1)
+    dd = F.regexp_extract(url_normalized(F.col(dst_col)), r"^([^/?]+)", 1)
+    return (
+        links.select(sd.alias("src_domain"), dd.alias("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

@@ -294,3 +294,60 @@ def test_headerless_records_get_distinct_doc_ids(spark):
         assert len({r["doc_id"] for r in docs}) == 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+class TestExtractLinks:
+    def test_resolution_tiers_and_drops(self, spark):
+        """Every RFC 3986-lite tier hand-checked: absolute pass-through,
+        protocol-relative, root-relative, path-relative (with and without
+        a directory), plus javascript/mailto/fragment drops and
+        case-insensitive single-quoted hrefs."""
+        from hgraphstorage_spark.sources.warc import extract_links
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://www.site3.com/p5?q=1",
+                    '<a href="https://other.com/x">a</a> <A HREF=\'/r/7\'>b</A> '
+                    '<a href="img2.png">c</a> <a href="//cdn.net/l.js">d</a> '
+                    '<a href="mailto:a@b">e</a> <a href="#top">f</a> '
+                    '<a href="javascript:void(0)">g</a>',
+                ),
+                ("http://site1.com/p9/", '<a href="sub/page.html">g</a>'),
+                ("https://site0.com", '<a href="/root">h</a> <a href="rel.html">i</a>'),
+                ("https://nolinks.com/x", "<p>nothing here</p>"),
+            ],
+            "url string, html string",
+        )
+        got = {(r["url"], r["href"], r["link_url"]) for r in extract_links(pages).collect()}
+        assert got == {
+            ("https://www.site3.com/p5?q=1", "https://other.com/x", "https://other.com/x"),
+            ("https://www.site3.com/p5?q=1", "/r/7", "https://www.site3.com/r/7"),
+            ("https://www.site3.com/p5?q=1", "img2.png", "https://www.site3.com/img2.png"),
+            ("https://www.site3.com/p5?q=1", "//cdn.net/l.js", "https://cdn.net/l.js"),
+            ("http://site1.com/p9/", "sub/page.html", "http://site1.com/p9/sub/page.html"),
+            ("https://site0.com", "/root", "https://site0.com/root"),
+            ("https://site0.com", "rel.html", "https://site0.com/rel.html"),
+        }
+
+    def test_domain_link_graph_aggregates(self, spark):
+        from hgraphstorage_spark.sources.warc import domain_link_graph, extract_links
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://www.a.com/1",
+                    '<a href="https://b.com/x">.</a><a href="https://b.com/y">.</a>'
+                    '<a href="/self">.</a>',
+                ),
+                ("http://a.com/2", '<a href="https://www.b.com/z">.</a>'),
+            ],
+            "url string, html string",
+        )
+        got = {
+            (r["src_domain"], r["dst_domain"]): r["n_links"]
+            for r in domain_link_graph(extract_links(pages)).collect()
+        }
+        # www./scheme noise normalizes away: both pages are a.com, all
+        # three b-links collapse onto b.com; the self-link is kept
+        assert got == {("a.com", "b.com"): 3, ("a.com", "a.com"): 1}
