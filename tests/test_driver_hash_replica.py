@@ -90,24 +90,27 @@ def test_window_covers_required_operators():
         # the third — all r1-stable and hashed green every round, their
         # families covered by quality_reasons/nb_quality/lang_confusion/
         # unimax_mix and the remaining dedup+similarity rows)
-        "dedup_exact", "minhash_lsh_pairs", "dedup_clusters",
-        "similarity_topk", "embed_near_dup_lsh", "repetition_stats",
+        "minhash_lsh_pairs", "dedup_clusters",
+        "embed_near_dup_lsh",
         "bm25_search", "decontaminate", "hash_split",
         "multimodal_features", "graph_summary",
         # r4 rotation: operators the driver had never hashed before
         # (sq_topk rotated out r6: hashed green r4+r5, similarity family
         # keeps three in-window rows; boilerplate_dedup out in the r6
         # second rotation after two green contacts; incremental_near_dup
-        # and weighted_sample out in the third after r4+r5 green)
-        "exact_substring", "pq_topk", "ivfpq_topk",
+        # and weighted_sample out in the third after r4+r5 green;
+        # exact_substring out in the fourth after r3-r5 green)
+        "pq_topk", "ivfpq_topk",
         # r5 late rotation: the four round-5 operators, in-window so the
         # driver hashes them the round they were built
         "dsir_weights", "dsir_sample", "bpe_merges", "dedup_keep_best",
         # r5 second rotation: the second-half operators (three redundant
         # graph rows + r4-hashed betweenness moved out; their algorithms
         # stay under the driver hash via pagerank + graph_summary)
+        # (content_type / dedup_exact / similarity_topk /
+        # repetition_stats out in the r6 fourth rotation — all
+        # multi-round green, families keep 4-6 in-window rows each)
         "simhash_pairs", "perplexity_buckets", "quality_reasons",
-        "content_type",
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
@@ -123,6 +126,11 @@ def test_window_covers_required_operators():
         # also in-window the round it was built
         "vocab_drift", "shard_plan", "stream_url_dedup",
         "stream_embed_dedup", "domain_quality", "unimax_mix",
+        # r6 fourth rotation: the lossless prefix-filter exact join,
+        # Z-order layout key, Count-Min sketch, PSI drift monitor, and
+        # crawl link graph — in-window the round they were built
+        "jaccard_prefix", "zorder_key", "cms_tokens",
+        "psi_drift", "link_graph",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
