@@ -2884,6 +2884,25 @@ def q_stream_url_dedup(spark, sf_dir):
     return result
 
 
+def q_calibration(spark, sf_dir):
+    """Reliability diagram (functions/stats.py:calibration_report) of
+    n_chars as a ranking score against the source=='src0' label —
+    the driver row certifies the quantile-cut + per-bin-rate mechanics
+    on a deterministic score (the psi_drift convention); the
+    planted-signal pytest certifies that a real ranking shows a
+    monotone diagram. Oracle replays the cuts and rates."""
+    from hgraphstorage_spark.functions.stats import calibration_report
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_pos", F.col("source") == "src0"
+    )
+    return _canon(
+        calibration_report(docs, "n_chars", "is_pos", n_bins=10),
+        "pos_rate",
+        "mean_score",
+    )
+
+
 def q_link_graph(spark, sf_dir):
     """Outbound-link extraction + RFC 3986-lite resolution
     (sources/warc.py:extract_links) over deterministic synthetic HTML on
@@ -3093,6 +3112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens": q_cms_tokens,
         "psi_drift": q_psi_drift,
         "link_graph": q_link_graph,
+        "calibration": q_calibration,
         "lang_confusion": q_lang_confusion,
         "ann_recall": q_ann_recall,
         "warc_ingest": q_warc_ingest,
@@ -6111,6 +6131,21 @@ def oracle_sql() -> dict[str, str]:
                (dense_rank() OVER (ORDER BY (cum_tokens - n_tokens) // 2000)
                 - 1)::INTEGER AS shard_id
         FROM c"""
+    # calibration: quantile cuts + per-bin observed rates, DOUBLE math
+    sql["calibration"] = r"""
+        WITH s AS (
+          SELECT n_chars::DOUBLE AS v, (source = 'src0')::INT AS y
+          FROM documents WHERE n_chars IS NOT NULL
+        ),
+        e AS (
+          SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+          FROM s
+        ),
+        b AS (SELECT len(list_filter(edges, x -> v > x)) AS bin, v, y FROM s, e)
+        SELECT bin::INTEGER AS bin, count(*) AS n, sum(y)::BIGINT AS n_pos,
+               CAST(round(sum(y)::DOUBLE / count(*), 6) AS DECIMAL(18,6))::VARCHAR AS pos_rate,
+               CAST(round(avg(v), 6) AS DECIMAL(18,6))::VARCHAR AS mean_score
+        FROM b GROUP BY bin"""
     # link_graph: independent-derivation oracle — resolved URLs computed
     # from the synthetic-generator arithmetic, never from the regex
     sql["link_graph"] = r"""

@@ -7,6 +7,7 @@ built-ins so users have one import point."""
 
 from hgraphstorage_spark.compiler import value_str
 from hgraphstorage_spark.functions.stats import (
+    calibration_report,
     cms_estimate,
     cms_merge,
     count_min_sketch,
@@ -25,6 +26,7 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "psi_report",
+    "calibration_report",
     "funnel",
     "rolling_event_features",
     "hamming64",

@@ -390,3 +390,55 @@ def psi_report(
         "n_cur",
         F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)").alias("contrib"),
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a ranking/quality score against a binary
+    label — the eval-harness step a quality classifier
+    (``text.nb_quality_score``-style) runs before its threshold is
+    trusted: quantile-bin the scores (equal-population bins, same cut
+    machinery as :func:`psi_report`), report each bin's size, positive
+    count, observed positive rate, and mean score. A well-ranked score
+    shows pos_rate monotone in bin; a flat diagram means the score
+    carries no signal at that granularity.
+
+    Returns (bin, n, n_pos, pos_rate DECIMAL(18,6),
+    mean_score DECIMAL(18,6)); bins with no rows are omitted (quantile
+    cuts make them rare — only massive ties collapse bins).
+
+    Shape at scale: one percentile aggregate for the cuts, a 1-row
+    edges broadcast, one narrow bin-assignment fold, one n_bins-row
+    agg (map-side combined). Labels cast via boolean→int so any
+    boolean/0-1 column works."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    pct = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    edges = df.filter(F.col(score_col).isNotNull()).agg(
+        F.expr(f"percentile(cast({score_col} as double), array({pct}))").alias("_e")
+    )
+    v = F.col(score_col).cast("double")
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .crossJoin(F.broadcast(edges))
+        .select(
+            F.aggregate("_e", F.lit(0), lambda acc, e: acc + (v > e).cast("int")).alias(
+                "bin"
+            ),
+            v.alias("_s"),
+            F.col(label_col).cast("int").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.round(F.sum("_y") / F.count(F.lit(1)), 6)
+            .cast("decimal(18,6)")
+            .alias("pos_rate"),
+            F.round(F.avg("_s"), 6).cast("decimal(18,6)").alias("mean_score"),
+        )
+    )

@@ -280,10 +280,19 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
 # opening quote: a mixed-quote attribute is malformed HTML and lands in the
 # [^"'>] exclusion), case-insensitive, group 1 = the raw href value
 _HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'>]+)["']"""
+# anchor variant: group 1 = href, group 2 = inner HTML up to the closing
+# tag (non-greedy; (?s) so anchors spanning lines match). In anchor mode
+# BOTH extractions run this one pattern (group 1 then group 2), so the two
+# arrays align element-for-element by construction — the price is that an
+# unclosed <a href=…> is skipped in anchor mode (it has no anchor text).
+_HREF_ANCHOR_RE = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"'>]+)["'][^>]*>(.*?)</a>"""
 
 
 def extract_links(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    with_anchor: bool = False,
 ) -> DataFrame:
     """Outbound-link extraction from crawled HTML — the step between
     `warc_to_documents` and the link/domain graph (anchor graphs are how
@@ -303,7 +312,11 @@ def extract_links(
       hrefs are dropped.
 
     Returns one row per link: all `pages` columns except the HTML, plus
-    (href, link_url). The HTML column never shuffles — links are
+    (href, link_url). With ``with_anchor=True`` an ``anchor`` column is
+    added — the tag-stripped, whitespace-collapsed inner text of each
+    closed ``<a>…</a>`` (the retrieval signal anchor-text indexes are
+    built from; unclosed anchors are skipped in this mode, see
+    ``_HREF_ANCHOR_RE``). The HTML column never shuffles — links are
     extracted in the scan projection."""
     src = F.col(url_col)
     scheme = F.lower(F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
@@ -324,20 +337,41 @@ def extract_links(
         .otherwise(F.concat(base, href))
     )
     keep = [c for c in pages.columns if c != html_col]
+    link_filter = (
+        href.isNotNull()
+        & ~href.rlike(r"^(javascript|mailto|tel|data):")
+        & ~href.startswith("#")
+        & (F.length(href) > 0)
+    )
+    if not with_anchor:
+        return (
+            pages.select(
+                *keep,
+                F.explode_outer(
+                    F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
+                ).alias("href"),
+            )
+            .filter(link_filter)
+            .select(*keep, "href", resolved.alias("link_url"))
+        )
+    # anchor mode: one pattern, two groups — zipped so (href, anchor)
+    # pairs can never misalign
+    pair = F.arrays_zip(
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_ANCHOR_RE), F.lit(1)).alias(
+            "href"
+        ),
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_ANCHOR_RE), F.lit(2)).alias(
+            "anchor"
+        ),
+    )
+    anchor_text = F.trim(
+        F.regexp_replace(F.regexp_replace("_a.anchor", r"<[^>]*>", " "), r"\s+", " ")
+    )
     return (
-        pages.select(
-            *keep,
-            F.explode_outer(
-                F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
-            ).alias("href"),
-        )
-        .filter(
-            href.isNotNull()
-            & ~href.rlike(r"^(javascript|mailto|tel|data):")
-            & ~href.startswith("#")
-            & (F.length(href) > 0)
-        )
-        .select(*keep, "href", resolved.alias("link_url"))
+        pages.select(*keep, F.explode_outer(pair).alias("_a"))
+        .select(*keep, F.col("_a.href").alias("href"), anchor_text.alias("anchor"))
+        .filter(link_filter)
+        .select(*keep, "href", resolved.alias("link_url"), "anchor")
     )
 
 

@@ -1322,6 +1322,29 @@ class TestPsiReport:
         assert sum(r["n_cur"] for r in rows) == 1
 
 
+class TestCalibrationReport:
+    def test_monotone_for_real_signal_flat_for_noise(self, spark):
+        from hgraphstorage_spark.functions.stats import calibration_report
+
+        # score == probability the label was drawn from: perfectly ranked
+        rows = [(float(i), int(i % 100 < (i // 10))) for i in range(1000)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        rep = sorted(
+            calibration_report(df, "s", "y", n_bins=5).collect(),
+            key=lambda r: r["bin"],
+        )
+        rates = [float(r["pos_rate"]) for r in rep]
+        assert rates == sorted(rates) and rates[-1] > rates[0]
+        assert sum(r["n"] for r in rep) == 1000
+        # constant score: everything collapses into one bin (honest about
+        # ties), rate == base rate
+        flat = spark.createDataFrame(
+            [(1.0, i % 4 == 0) for i in range(100)], "s double, y boolean"
+        )
+        frep = calibration_report(flat, "s", "y", n_bins=5).collect()
+        assert len(frep) == 1 and float(frep[0]["pos_rate"]) == 0.25
+
+
 class TestCountMinSketch:
     def test_one_sided_and_exact_without_collisions(self, spark):
         """est >= exact for EVERY item (CMS never undercounts), and with a

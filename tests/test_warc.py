@@ -330,6 +330,33 @@ class TestExtractLinks:
             ("https://site0.com", "rel.html", "https://site0.com/rel.html"),
         }
 
+    def test_anchor_mode_aligned_and_cleaned(self, spark):
+        """with_anchor: (href, anchor) pairs come from ONE two-group
+        pattern so they can never misalign; anchor text is tag-stripped
+        and whitespace-collapsed; unclosed anchors are skipped (they
+        have no anchor text — documented mode difference)."""
+        from hgraphstorage_spark.sources.warc import extract_links
+
+        pages = spark.createDataFrame(
+            [
+                (
+                    "https://a.com/p",
+                    '<a href="/x"><b>Bold</b> Link\n text</a> '
+                    '<a href="https://b.com/y">plain</a> '
+                    '<a href="mailto:z@z">m</a> <a href="/unclosed">',
+                )
+            ],
+            "url string, html string",
+        )
+        got = {
+            (r["link_url"], r["anchor"])
+            for r in extract_links(pages, with_anchor=True).collect()
+        }
+        assert got == {
+            ("https://a.com/x", "Bold Link text"),
+            ("https://b.com/y", "plain"),
+        }
+
     def test_domain_link_graph_aggregates(self, spark):
         from hgraphstorage_spark.sources.warc import domain_link_graph, extract_links
 
