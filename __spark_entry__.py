@@ -3164,7 +3164,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "bm25_search": q_bm25_search,
         "decontaminate": q_decontaminate,
-        "hash_split": q_hash_split,
+        # r6 fifth rotation: hash_split (r1-stable deterministic md5
+        # bucket split, hashed green every round; the sampling/splitting
+        # family keeps dsir_sample, shard_plan, and unimax_mix in-window,
+        # and the same md5 split CASE stays driver-adjacent inside the
+        # cluster_split oracle) rotates past the window; its slot carries
+        # the classifier calibration report above so the driver hashes it
+        # the round it was built
         # mix_corpus (r1-stable epoch-weight mixing, hashed green every
         # round) rotates out in the r6 third rotation; the mixing
         # family's window slot carries UniMax budget allocation instead
@@ -3174,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries below sit past the driver's 50-query window: expanded
         # per-node analytics, streaming, and secondary SQL surface, all
         # oracle-compared locally in tests/test_oracle_parity.py
+        "hash_split": q_hash_split,
         "content_type": q_content_type,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,

@@ -92,8 +92,16 @@ def test_window_covers_required_operators():
         # unimax_mix and the remaining dedup+similarity rows)
         "minhash_lsh_pairs", "dedup_clusters",
         "embed_near_dup_lsh",
-        "bm25_search", "decontaminate", "hash_split",
+        # (hash_split out in the r6 fifth rotation after five green
+        # rounds — the md5 split CASE stays driver-adjacent inside the
+        # cluster_split oracle and the splitting family keeps
+        # dsir_sample/shard_plan/unimax_mix in-window; its slot carries
+        # the calibration report)
+        "bm25_search", "decontaminate",
         "multimodal_features", "graph_summary",
+        # r6 fifth rotation: the classifier-calibration reliability
+        # report, in-window the round it was built
+        "calibration",
         # r4 rotation: operators the driver had never hashed before
         # (sq_topk rotated out r6: hashed green r4+r5, similarity family
         # keeps three in-window rows; boilerplate_dedup out in the r6
