@@ -1876,6 +1876,60 @@ def q_bm25_search(spark, sf_dir):
     )
 
 
+def q_search_eval(spark, sf_dir):
+    """IR evaluation metrics (precision / recall / MRR / nDCG @ 1, 5, 10)
+    of the BM25 top-20 for 'spark join window' against graded qrels
+    (rel = how many of the three query terms the document contains as
+    whitespace tokens) — the retrieval-quality pre-flight. DCG terms sum
+    as DECIMAL(28,12) so both engines add in any order."""
+    from hgraphstorage_spark.pipeline.search import bm25_search, search_eval
+    from hgraphstorage_spark.pipeline.text import WS_RE
+
+    docs = _t(spark, sf_dir, "documents")
+    ranking = bm25_search(docs, "spark join window", k=20).select(
+        F.lit(1).alias("query_id"), "doc_id", "rank"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), WS_RE)
+    rel = sum(
+        F.array_contains(toks, t).cast("int") for t in ("join", "spark", "window")
+    ).cast("double")
+    qrels = docs.select(
+        F.lit(1).alias("query_id"), "doc_id", rel.alias("rel")
+    ).filter(F.col("rel") > 0)
+    out = search_eval(ranking, qrels, ks=(1, 5, 10))
+    return _canon(out, "precision", "recall", "mrr", "ndcg")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event stream (24 h gap): per-session
+    start / end / count / total value. One user-keyed window; the session
+    aggregate reuses the window's hash partitioning (no second exchange)."""
+    from hgraphstorage_spark.functions.timeseries import sessionize
+    from hgraphstorage_spark.streaming import load_events
+
+    out = sessionize(load_events(spark, sf_dir), gap_seconds=86400)
+    return _canon(
+        _canon_ts(out, "session_start", "session_end"), "total_value"
+    )
+
+
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """MinHash near-duplicate decontamination: the corpus (doc_id % 50 != 0)
+    probes the eval slice (doc_id % 50 == 0) through the asymmetric banded
+    LSH join; md5 hash mode so the oracle replays every layer. Every corpus
+    doc comes back with its flag (audit contract)."""
+    from hgraphstorage_spark.pipeline.contamination import fuzzy_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = fuzzy_decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        threshold=0.5,
+        hash_mode="md5",
+    )
+    return _canon(out, "max_jaccard")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: 5-gram overlap of corpus docs against an
     eval slice (doc_id % 50 == 0); benchmark shingle set is broadcast."""
@@ -3181,6 +3235,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-node analytics, streaming, and secondary SQL surface, all
         # oracle-compared locally in tests/test_oracle_parity.py
         "hash_split": q_hash_split,
+        "search_eval": q_search_eval,
+        "sessionize": q_sessionize,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "content_type": q_content_type,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
@@ -4588,6 +4645,70 @@ def _incremental_lsh_oracle_sql(
     """
 
 
+def _fuzzy_decon_oracle_sql(
+    n: int = 5, k: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """DuckDB replay of ``fuzzy_decontaminate(hash_mode="md5")`` with
+    corpus = doc_id % 50 != 0 probing benchmark = doc_id % 50 == 0:
+    identical md5 minhash CTE chain to the incremental oracle, asymmetric
+    candidate join on the split predicates, then the per-corpus-doc
+    audit aggregation (every corpus doc returns with its flag)."""
+    P = 2_147_483_647
+    rpb = k // bands
+    wh_idx = ", ".join(f"whs[i+{j}]" for j in range(n))
+    return rf"""
+        WITH wds AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        wh AS (SELECT doc_id, list_transform(words, w -> md5(w)) AS whs FROM wds),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(whs) - {n - 1}, 1)),
+            i -> ('0x' || substr(md5(concat_ws(':', {wh_idx})), 1, 15))::BIGINT
+          )) AS shs FROM wh
+        ),
+        ab AS (
+          SELECT doc_id, list_transform(shs, h -> {{'a': h % {P},
+            'b': (h >> 29) % {P}}}) AS abs
+          FROM sh
+        ),
+        sigs AS (
+          SELECT doc_id, list_transform(generate_series(0, {k - 1}),
+            i -> list_min(list_transform(abs, s -> (s.a + i * s.b) % {P}))) AS sig
+          FROM ab
+        ),
+        banded AS (
+          SELECT doc_id, b AS band_id,
+                 md5(array_to_string(list_slice(sig, {rpb}*b + 1, {rpb}*b + {rpb}), ':')) AS band_hash
+          FROM sigs, unnest(generate_series(0, {bands - 1})) AS t(b)
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS seen_id
+          FROM banded a JOIN banded b
+            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.doc_id % 50 != 0 AND b.doc_id % 50 = 0
+        ),
+        j AS (
+          SELECT cand.doc_id, cand.seen_id,
+                 CAST(round(len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                      / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs))), 6)
+                   AS DECIMAL(18,6)) AS jaccard
+          FROM cand JOIN sh sa ON cand.doc_id = sa.doc_id JOIN sh sb ON cand.seen_id = sb.doc_id
+        ),
+        per AS (
+          SELECT doc_id, count(*)::BIGINT AS n_matches, max(jaccard) AS max_jaccard
+          FROM j WHERE jaccard >= {threshold} GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_matches, 0)::BIGINT AS n_matches,
+               p.max_jaccard::VARCHAR AS max_jaccard,
+               (coalesce(p.n_matches, 0) > 0) AS contaminated
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        WHERE d.doc_id % 50 != 0
+    """
+
+
 def _stream_embed_sig_oracle_sql(dims: int = 64, bits: int = 16) -> str:
     """DuckDB replay of `stream_embed_dedup(plane_mode="md5")`'s
     deterministic projection: the DISTINCT quantized-fixed-point
@@ -5000,6 +5121,109 @@ def oracle_sql() -> dict[str, str]:
     sql["jaccard_prefix"] = sql["ngram_jaccard"]
     sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
+    sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
+    # gap-based sessionization: same lag/running-sum formulation over
+    # integer epoch-microseconds; DuckDB's integer window sum is HUGEINT,
+    # cast back to BIGINT to match Spark's long
+    sql["sessionize"] = r"""
+        WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
+        b AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 86400000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ),
+        lab AS (
+          SELECT user_id, ts, value,
+                 (sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                                    ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
+          FROM b
+        )
+        SELECT user_id, session_seq,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*)::BIGINT AS n_events,
+               sum(CAST(value AS DECIMAL(18,2)))::VARCHAR AS total_value,
+               floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0)::BIGINT AS duration_s
+        FROM lab GROUP BY 1, 2
+    """
+    # IR eval of the bm25 top-20 against token-containment graded qrels:
+    # the ranked CTE replays bm25_search's oracle at k=20; DCG terms are
+    # rounded DECIMAL(28,12) BEFORE summation (order-independent on both
+    # engines); "precision" is a DuckDB keyword, hence quoted
+    sql["search_eval"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+          FROM documents
+        ),
+        hist AS (
+          SELECT doc_id, tok, count(*)::DOUBLE AS tf
+          FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM hist GROUP BY 1),
+        scalars AS (SELECT avg(dl) AS avgdl, count(*)::BIGINT AS n_docs FROM dl),
+        matched AS (SELECT * FROM hist WHERE tok IN ('join', 'spark', 'window')),
+        dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM matched GROUP BY 1),
+        scored AS (
+          SELECT m.doc_id,
+                 CAST(round(sum(
+                   ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * m.tf * 2.2
+                   / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+                 ), 6) AS DECIMAL(18,6)) AS score
+          FROM matched m
+          JOIN dfreq f USING (tok) JOIN dl d USING (doc_id), scalars s
+          GROUP BY m.doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)::INT AS rank
+          FROM scored ORDER BY score DESC, doc_id LIMIT 20
+        ),
+        wds AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
+          FROM documents
+        ),
+        qrp AS (
+          SELECT doc_id,
+                 (list_contains(words, 'join')::INT + list_contains(words, 'spark')::INT
+                  + list_contains(words, 'window')::INT)::DOUBLE AS rel
+          FROM wds
+          WHERE list_contains(words, 'join') OR list_contains(words, 'spark')
+             OR list_contains(words, 'window')
+        ),
+        ks(k) AS (VALUES (1), (5), (10)),
+        j AS (
+          SELECT r.rank, coalesce(q.rel, 0.0) AS rel
+          FROM ranked r LEFT JOIN qrp q USING (doc_id)
+        ),
+        m AS (
+          SELECT ks.k,
+                 sum(CASE WHEN j.rank <= ks.k AND j.rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+                 sum(CAST(round(CASE WHEN j.rank <= ks.k
+                       THEN j.rel * 0.6931471805599453 / ln(j.rank + 1.0) ELSE 0.0 END, 12)
+                     AS DECIMAL(28,12))) AS dcg,
+                 max(CASE WHEN j.rank <= ks.k AND j.rel > 0 THEN 1.0 / j.rank END) AS rr
+          FROM j CROSS JOIN ks GROUP BY 1
+        ),
+        ip AS (SELECT doc_id, rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos FROM qrp),
+        idl AS (
+          SELECT ks.k,
+                 sum(CAST(round(CASE WHEN ip.pos <= ks.k
+                       THEN ip.rel * 0.6931471805599453 / ln(ip.pos + 1.0) ELSE 0.0 END, 12)
+                     AS DECIMAL(28,12))) AS idcg
+          FROM ip CROSS JOIN ks GROUP BY 1
+        ),
+        nr AS (SELECT count(*)::BIGINT AS n_rel FROM qrp)
+        SELECT 1::INT AS query_id, m.k::INT AS k, nr.n_rel, m.hits,
+               CAST(round(m.hits / (m.k * 1.0), 6) AS DECIMAL(18,6))::VARCHAR AS "precision",
+               CAST(round(m.hits / nr.n_rel, 6) AS DECIMAL(18,6))::VARCHAR AS recall,
+               CAST(round(coalesce(m.rr, 0.0), 6) AS DECIMAL(18,6))::VARCHAR AS mrr,
+               CAST(CASE WHEN idl.idcg > 0
+                    THEN round(m.dcg::DOUBLE / idl.idcg::DOUBLE, 6) END
+                    AS DECIMAL(18,6))::VARCHAR AS ndcg
+        FROM m JOIN idl USING (k), nr
+    """
     sql["embed_near_dup_lsh"] = _embed_lsh_oracle_sql(threshold=0.35, dims=64, bits=5, tables=8)
     sql["simhash_buckets"] = _simhash_oracle_sql(n=4)
     # reasons derive from the SAME r CTE + rule expressions as

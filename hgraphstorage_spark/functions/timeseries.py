@@ -164,6 +164,60 @@ def ewma_features(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    emit: str = "sessions",
+) -> DataFrame:
+    """Gap-based sessionization: a key's timeline splits into sessions
+    wherever consecutive events are more than ``gap_seconds`` apart — the
+    standard clickstream/session-boundary operator (reference parity: the
+    engine's keyed-ordered-fold shape, SURVEY §2.4; not a reference op —
+    north-star events extension like `funnel`/`retention_cohorts`).
+
+    ``emit="events"`` labels every event: (by, id, ts, session_seq) where
+    ``session_seq`` numbers a key's sessions from 1 in time order.
+    ``emit="sessions"`` aggregates: (by, session_seq, session_start,
+    session_end, n_events, total_value DECIMAL(18,2), duration_s).
+
+    Scale shape: ONE shuffle keyed by ``by`` + one per-partition sort —
+    the lag boundary flag and its running sum share the identical window
+    spec, so Catalyst collapses them into a single Window operator; the
+    ``emit="sessions"`` group-by keys start with the partition key, so
+    HashPartitioning(by) already satisfies the aggregate's clustered
+    distribution and NO second exchange appears (plan-tested). Boundary
+    arithmetic is integer epoch-microseconds; ties order by the event id
+    — both exactly reproducible in ANSI SQL, hence oracle-checkable."""
+    if emit not in ("events", "sessions"):
+        raise ValueError(f"emit must be 'events' or 'sessions', got {emit!r}")
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(by).orderBy(F.col("_us"), F.col(id_col))
+    base = events.select(by, id_col, ts_col, F.col(value_col), us.alias("_us"))
+    prev = F.lag("_us").over(w)
+    is_new = F.when(prev.isNull() | (F.col("_us") - prev > gap_seconds * 1_000_000), 1).otherwise(0)
+    labeled = base.select(
+        by,
+        id_col,
+        ts_col,
+        value_col,
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_seq"),
+    )
+    if emit == "events":
+        return labeled.select(by, id_col, ts_col, "session_seq")
+    dur = F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+    return labeled.groupBy(by, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total_value"),
+        F.floor(dur / 1_000_000).alias("duration_s"),
+    )
+
+
 def event_transitions(
     events: DataFrame,
     by: str = "user_id",

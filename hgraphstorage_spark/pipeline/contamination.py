@@ -85,6 +85,67 @@ def decontaminate(
     )
 
 
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination: flag corpus documents
+    whose MinHash-verified Jaccard against ANY benchmark document reaches
+    ``threshold`` — the fuzzy companion of :func:`decontaminate` (which
+    needs an exact shared n-gram; a lightly-paraphrased eval item slips
+    through that, not this).
+
+    Built on the asymmetric banded-LSH probe of
+    :func:`hgraphstorage_spark.pipeline.dedup.incremental_near_dup`
+    (corpus = the "new" side, benchmark = the "seen" side): candidates
+    scale with |corpus| x collision rate, never |corpus| x |benchmark|,
+    and the benchmark signature table is tiny and broadcast by AQE. Same
+    audit-friendly contract as `decontaminate`: EVERY corpus document
+    comes back with its flag, so the pipeline step is
+    ``.filter(~col('contaminated'))`` and the drop rate is reviewable.
+
+    ``hash_mode="md5"`` makes every layer DuckDB-replayable (the driver
+    oracle's mode); xxhash64 is the fast path.
+
+    Returns (doc_id, n_matches, max_jaccard DECIMAL(18,6) — NULL when
+    clean, contaminated)."""
+    from hgraphstorage_spark.pipeline.dedup import incremental_near_dup
+
+    flagged = incremental_near_dup(
+        corpus,
+        benchmark,
+        text_col=text_col,
+        id_col=id_col,
+        n=n,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+        hash_mode=hash_mode,
+    )
+    # incremental_near_dup standardizes its output ids to "doc_id"/"seen_id"
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "max_jaccard",
+            (F.coalesce("n_matches", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -68,6 +68,129 @@ def bm25_search(
     return topk.select(id_col, "score", F.row_number().over(w).alias("rank"))
 
 
+def search_eval(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    ks: tuple[int, ...] = (1, 5, 10),
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """IR evaluation metrics for a ranking against relevance judgments:
+    per (query, k) — precision@k, recall@k, MRR@k, nDCG@k (graded DCG
+    with the ln-based log2 discount; ideal DCG from the qrels sorted by
+    relevance). The retrieval-quality pre-flight a RAG/search pipeline
+    runs before shipping an index, the rank-aware companion of
+    `lsh_recall_report`/`ann_recall_report`.
+
+    ``ranking``: (query_col, id_col, rank_col) with rank 1-based.
+    ``qrels``: (query_col, id_col, rel_col) — graded relevance; rel > 0
+    counts as relevant for P/R/MRR.
+
+    Conventions: recall and nDCG are NULL for queries with no relevant /
+    no positively-graded judgments (undefined, not zero); MRR@k is 0 when
+    no relevant doc appears in the top k.
+
+    Scale shape: one (query, doc)-keyed equi-join of the ranking against
+    the qrels (AQE broadcasts the small side), then per-query partial
+    aggregates with one conditional sum per k — the per-(query, k) metric
+    frame is |queries| x |ks| rows, exchange-trivial. The ideal-DCG pass
+    is a window over qrels partitioned by the same query key. All
+    discounts are ``ln``-based on both engines, and each DCG term is
+    rounded to DECIMAL(28,12) BEFORE summation so the sums are exact and
+    order-independent under any partitioning (the DSIR/corr-matrix
+    pattern); final metrics round DECIMAL(18,6).
+
+    Returns (query_id, k, n_rel, hits, precision, recall, mrr, ndcg)."""
+    ks = tuple(sorted(set(int(k) for k in ks)))
+    if not ks or ks[0] < 1:
+        raise ValueError("ks must be positive ints")
+    LN2 = 0.6931471805599453
+    dterm = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
+    j = ranking.select(query_col, id_col, rank_col).join(
+        qrels.select(query_col, id_col, F.col(rel_col).cast("double").alias("_rel")),
+        [query_col, id_col],
+        "left",
+    )
+    rel0 = F.coalesce(F.col("_rel"), F.lit(0.0))
+    rank = F.col(rank_col)
+    per_query = j.groupBy(query_col).agg(
+        *[
+            F.sum(F.when((rank <= k) & (rel0 > 0), 1).otherwise(0)).alias(f"_hits_{k}")
+            for k in ks
+        ],
+        *[
+            F.sum(
+                dterm(F.when(rank <= k, rel0 * F.lit(LN2) / F.log(rank + 1.0)).otherwise(0.0))
+            ).alias(f"_dcg_{k}")
+            for k in ks
+        ],
+        *[
+            F.max(F.when((rank <= k) & (rel0 > 0), 1.0 / rank)).alias(f"_rr_{k}")
+            for k in ks
+        ],
+    )
+    # ideal DCG: per query, judgments sorted by grade desc (id asc ties),
+    # discounted at their sorted position — same window key as the join.
+    qw = Window.partitionBy(query_col).orderBy(F.col("_rel").desc(), F.col(id_col).asc())
+    graded = qrels.select(
+        query_col, id_col, F.col(rel_col).cast("double").alias("_rel")
+    ).withColumn("_pos", F.row_number().over(qw))
+    ideal = graded.groupBy(query_col).agg(
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias("_n_rel"),
+        *[
+            F.sum(
+                dterm(
+                    F.when(
+                        (F.col("_pos") <= k) & (F.col("_rel") > 0),
+                        F.col("_rel") * F.lit(LN2) / F.log(F.col("_pos") + 1.0),
+                    ).otherwise(0.0)
+                )
+            ).alias(f"_idcg_{k}")
+            for k in ks
+        ],
+    )
+    dec6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    long_rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.col(f"_hits_{k}").cast("long").alias("hits"),
+                    dec6(F.col(f"_hits_{k}") / F.lit(float(k))).alias("precision"),
+                    dec6(
+                        F.when(F.col("_n_rel") > 0, F.col(f"_hits_{k}") / F.col("_n_rel"))
+                    ).alias("recall"),
+                    dec6(F.coalesce(F.col(f"_rr_{k}"), F.lit(0.0))).alias("mrr"),
+                    dec6(
+                        F.when(
+                            F.col(f"_idcg_{k}") > 0,
+                            F.col(f"_dcg_{k}").cast("double") / F.col(f"_idcg_{k}").cast("double"),
+                        )
+                    ).alias("ndcg"),
+                )
+                for k in ks
+            ]
+        )
+    )
+    return (
+        per_query.join(ideal, query_col, "left")
+        .withColumn("_n_rel", F.coalesce("_n_rel", F.lit(0)))
+        .select(query_col, F.col("_n_rel").cast("long").alias("n_rel"), long_rows.alias("m"))
+        .select(
+            query_col,
+            F.col("m.k").alias("k"),
+            "n_rel",
+            F.col("m.hits").alias("hits"),
+            F.col("m.precision").alias("precision"),
+            F.col("m.recall").alias("recall"),
+            F.col("m.mrr").alias("mrr"),
+            F.col("m.ndcg").alias("ndcg"),
+        )
+    )
+
+
 def hybrid_search(
     docs: DataFrame,
     embeddings: DataFrame,

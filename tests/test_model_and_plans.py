@@ -312,6 +312,21 @@ class TestRound3OperatorPlans:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Exchange SinglePartition" not in plan
 
+    def test_sessionize_single_keyed_exchange(self, spark):
+        """The lag flag, its running sum, AND the per-session aggregate all
+        ride ONE user-keyed exchange: the group-by keys start with the
+        window's partition key, so HashPartitioning(user_id) satisfies the
+        aggregate's distribution and no second shuffle appears."""
+        from hgraphstorage_spark.functions.timeseries import sessionize
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.streaming import load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        plan = executed_plan(sessionize(ev, gap_seconds=86400))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange SinglePartition" not in plan
+        assert plan.count("partial_") >= 1  # map-side combine on the agg
+
     def test_char_entropy_zero_shuffle(self, spark):
         from hgraphstorage_spark.pipeline.text import char_entropy
         from hgraphstorage_spark.plans.audit import executed_plan

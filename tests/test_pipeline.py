@@ -3033,3 +3033,170 @@ def test_novelty_sums_to_distinct_shingle_count(spark):
         .count()
     )
     assert total_novel == distinct_shingles
+
+
+class TestSessionize:
+    def _ev(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_gap_boundary_inclusive(self, spark):
+        """An exactly-gap-wide silence does NOT split (strictly-greater
+        rule); one microsecond more does."""
+        from hgraphstorage_spark.functions.timeseries import sessionize
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 7, 1.0),
+            (2, "2024-01-01 00:10:00", 7, 2.0),     # exactly 600 s later
+            (3, "2024-01-01 00:20:00.000001", 7, 4.0),  # 600 s + 1 us
+        ]
+        out = {
+            (r["user_id"], r["event_id"]): r["session_seq"]
+            for r in sessionize(self._ev(spark, rows), gap_seconds=600, emit="events").collect()
+        }
+        assert out[(7, 1)] == 1 and out[(7, 2)] == 1
+        assert out[(7, 3)] == 2
+
+    def test_session_aggregates_hand_computed(self, spark):
+        from hgraphstorage_spark.functions.timeseries import sessionize
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 7, 1.0),
+            (2, "2024-01-01 00:05:00", 7, 2.5),
+            (3, "2024-01-01 02:00:00", 7, 4.0),   # new session (gap 600 s)
+            (4, "2024-01-01 00:00:00", 8, 9.0),   # other user isolated
+        ]
+        got = {
+            (r["user_id"], r["session_seq"]): r
+            for r in sessionize(self._ev(spark, rows), gap_seconds=600).collect()
+        }
+        assert len(got) == 3
+        s1 = got[(7, 1)]
+        assert s1["n_events"] == 2
+        assert float(s1["total_value"]) == 3.5
+        assert s1["duration_s"] == 300
+        assert got[(7, 2)]["n_events"] == 1 and got[(7, 2)]["duration_s"] == 0
+        assert got[(8, 1)]["n_events"] == 1
+
+    def test_events_emit_preserves_rows(self, spark):
+        from hgraphstorage_spark.functions.timeseries import sessionize
+        from hgraphstorage_spark.streaming import load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        out = sessionize(ev, gap_seconds=3600, emit="events")
+        assert out.count() == ev.count()
+
+    def test_bad_emit_raises(self, spark):
+        import pytest as _pytest
+
+        from hgraphstorage_spark.functions.timeseries import sessionize
+        from hgraphstorage_spark.streaming import load_events
+
+        with _pytest.raises(ValueError, match="emit"):
+            sessionize(load_events(spark, "/root/testdata/sf0.001"), emit="rows")
+
+
+class TestSearchEval:
+    def _frames(self, spark):
+        # ranking: 4 docs for one query; qrels: graded (doc 20 unjudged,
+        # doc 40 judged-irrelevant, doc 99 relevant-but-unretrieved)
+        ranking = spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2), (1, 30, 3), (1, 40, 4)],
+            "query_id int, doc_id long, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [(1, 10, 2.0), (1, 30, 1.0), (1, 40, 0.0), (1, 99, 3.0)],
+            "query_id int, doc_id long, rel double",
+        )
+        return ranking, qrels
+
+    def test_hand_computed_metrics(self, spark):
+        import math
+
+        from hgraphstorage_spark.pipeline.search import search_eval
+
+        ranking, qrels = self._frames(spark)
+        got = {r["k"]: r for r in search_eval(ranking, qrels, ks=(1, 4)).collect()}
+        # n_rel counts rel > 0 judgments (docs 10, 30, 99)
+        assert got[1]["n_rel"] == 3 and got[4]["n_rel"] == 3
+        assert got[1]["hits"] == 1 and got[4]["hits"] == 2
+        assert float(got[1]["precision"]) == 1.0
+        assert float(got[4]["precision"]) == 0.5
+        assert round(float(got[4]["recall"]), 6) == round(2 / 3, 6)
+        assert float(got[1]["mrr"]) == 1.0 and float(got[4]["mrr"]) == 1.0
+        # DCG@4 = 2/log2(2) + 1/log2(4) = 2 + 0.5; ideal@4 = 3/log2(2) +
+        # 2/log2(3) + 1/log2(4) (grades 3,2,1 at positions 1,2,3)
+        dcg = 2.0 + 1.0 / 2.0
+        idcg = 3.0 + 2.0 / math.log2(3.0) + 0.5
+        assert abs(float(got[4]["ndcg"]) - dcg / idcg) < 1e-6
+        # nDCG@1: best possible grade at rank 1 is 3 (doc 99), we got 2
+        assert abs(float(got[1]["ndcg"]) - 2.0 / 3.0) < 1e-6
+
+    def test_no_relevant_judgments_null_recall(self, spark):
+        from hgraphstorage_spark.pipeline.search import search_eval
+
+        ranking = spark.createDataFrame(
+            [(1, 10, 1)], "query_id int, doc_id long, rank int"
+        )
+        qrels = spark.createDataFrame(
+            [(1, 40, 0.0)], "query_id int, doc_id long, rel double"
+        )
+        row = search_eval(ranking, qrels, ks=(1,)).collect()[0]
+        assert row["n_rel"] == 0 and row["hits"] == 0
+        assert row["recall"] is None and row["ndcg"] is None
+        assert float(row["mrr"]) == 0.0
+
+    def test_bad_ks_raise(self, spark):
+        import pytest as _pytest
+
+        from hgraphstorage_spark.pipeline.search import search_eval
+
+        ranking, qrels = self._frames(spark)
+        with _pytest.raises(ValueError, match="ks"):
+            search_eval(ranking, qrels, ks=(0, 5))
+
+
+class TestFuzzyDecontaminate:
+    def test_flags_paraphrase_misses_clean(self, spark):
+        """A corpus doc that is a light edit of an eval doc flags; an
+        unrelated doc does not; every corpus doc returns with its flag."""
+        from hgraphstorage_spark.pipeline.contamination import fuzzy_decontaminate
+
+        eval_text = "the quick brown fox jumps over the lazy dog " * 6
+        near = eval_text.replace("lazy dog", "sleepy dog", 1)
+        clean = "completely different words about spark shuffles and joins " * 6
+        corpus = spark.createDataFrame(
+            [(1, near), (2, clean)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()}
+        assert len(got) == 2
+        assert got[1]["contaminated"] and got[1]["n_matches"] >= 1
+        assert float(got[1]["max_jaccard"]) >= 0.5
+        assert not got[2]["contaminated"] and got[2]["max_jaccard"] is None
+
+    def test_agrees_with_incremental_near_dup(self, spark):
+        """The flag set == distinct doc_ids incremental_near_dup reports
+        (composition law, real corpus)."""
+        from pyspark.sql import functions as F
+
+        from hgraphstorage_spark.pipeline.contamination import fuzzy_decontaminate
+        from hgraphstorage_spark.pipeline.dedup import incremental_near_dup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        corpus = docs.filter(F.col("doc_id") % 10 != 0)
+        bench = docs.filter(F.col("doc_id") % 10 == 0)
+        flagged = {
+            r["doc_id"]
+            for r in fuzzy_decontaminate(corpus, bench, threshold=0.5)
+            .filter("contaminated")
+            .collect()
+        }
+        pairs = {
+            r["doc_id"]
+            for r in incremental_near_dup(corpus, bench, threshold=0.5).collect()
+        }
+        assert flagged == pairs
