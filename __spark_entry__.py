@@ -1900,7 +1900,26 @@ def q_search_eval(spark, sf_dir):
     return _canon(out, "precision", "recall", "mrr", "ndcg")
 
 
-def q_sessionize(spark, sf_dir):
+def q_topic_clusters(spark, sf_dir):
+    """Document topic clustering: hashed TF-IDF vectors (64 md5 buckets,
+    integer-quantized weights — centroid means are exact integer sums,
+    order-independent under any partitioning) through two cosine Lloyd
+    rounds; the oracle replays the vectorization and both rounds."""
+    from hgraphstorage_spark.pipeline.similarity import topic_clusters
+
+    return topic_clusters(_t(spark, sf_dir, "documents"), hash_mode="md5")
+
+
+def q_topic_terms(spark, sf_dir):
+    """Per-topic top-10 tokens with counts — the human-readable face of
+    the clustering; topic-partitioned rank, ties alphabetical."""
+    from hgraphstorage_spark.pipeline.similarity import topic_clusters, topic_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return topic_top_terms(docs, topic_clusters(docs, hash_mode="md5"), top_k=10)
+
+
+def q_gap_sessions(spark, sf_dir):
     """Gap-based sessionization of the event stream (24 h gap): per-session
     start / end / count / total value. One user-keyed window; the session
     aggregate reuses the window's hash partitioning (no second exchange)."""
@@ -3101,12 +3120,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # broadcast-bounds numeric histogram, and Newman modularity over
         # the LPA partition
         "corr_matrix": q_corr_matrix,
-        "ntile_deciles": q_ntile_deciles,
+        # r6 sixth rotation: ntile_deciles (red r1, rewritten on the
+        # distributed two-pass rank r5, hashed green r4+r5; the rank
+        # machinery stays plan-pinned and oracle-covered in pytest) and
+        # streaming_summary (hashed green r1-r5; the streaming family
+        # keeps FOUR real-stream in-window rows: dsir_stream,
+        # stream_heavy_hitters, stream_url_dedup, stream_embed_dedup)
+        # rotate past the window; their slots carry gap-based
+        # sessionization 'gap_sessions' (itself a keyed-window operator —
+        # the family's evidence continues; the session_window streaming
+        # flavor keeps its original 'sessionize' row past the window) and
+        # the IR-eval metric report, in-window the round they were built
+        "gap_sessions": q_gap_sessions,
         "numeric_histogram": q_numeric_histogram,
         # cube_revenue moved past the window (still oracle-checked in
         # pytest): it is a near-duplicate of rollup_revenue, and its slot
         # carries the §2.10 streaming evidence instead
-        "streaming_summary": q_streaming_summary,
+        "search_eval": q_search_eval,
         "modularity": q_modularity,
         "pagerank": q_pagerank,
         # r5 second rotation: personalized_pagerank / link_prediction /
@@ -3217,7 +3247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # were built
         "jaccard_prefix": q_jaccard_prefix,
         "bm25_search": q_bm25_search,
-        "decontaminate": q_decontaminate,
+        # r6 sixth rotation (cont.): decontaminate (hashed green r1-r5)
+        # rotates past the window; its slot carries the MinHash
+        # near-duplicate decontamination twin, which exercises the same
+        # benchmark-split workload through the asymmetric LSH probe —
+        # paraphrase-robust, the stronger certificate for the family
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         # r6 fifth rotation: hash_split (r1-stable deterministic md5
         # bucket split, hashed green every round; the sampling/splitting
         # family keeps dsir_sample, shard_plan, and unimax_mix in-window,
@@ -3235,9 +3270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-node analytics, streaming, and secondary SQL surface, all
         # oracle-compared locally in tests/test_oracle_parity.py
         "hash_split": q_hash_split,
-        "search_eval": q_search_eval,
-        "sessionize": q_sessionize,
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "ntile_deciles": q_ntile_deciles,
+        "streaming_summary": q_streaming_summary,
+        "decontaminate": q_decontaminate,
+        # r6 late additions (rotation candidates for r7): TF-IDF topic
+        # clustering + its per-topic term report
+        "topic_clusters": q_topic_clusters,
+        "topic_terms": q_topic_terms,
         "content_type": q_content_type,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
@@ -4709,6 +4748,78 @@ def _fuzzy_decon_oracle_sql(
     """
 
 
+def _topic_oracle_sql(
+    final: str, d: int = 64, scale: int = 1000, n_topics: int = 8
+) -> str:
+    """DuckDB replay of ``topic_clusters(hash_mode="md5")``: md5-bucketed
+    hashed TF-IDF vectors with integer-quantized weights (floor(tf * ln(1
+    + N/df) * scale) — sums exact in any order, so the Lloyd centroid
+    means match Spark bit-for-bit), then the same two cosine k-means
+    rounds as the kmeans oracle (deterministic smallest-id init, ties to
+    the smaller centroid id). ``final`` selects either the assignment
+    rows (topic_clusters) or the per-topic token top-k (topic_terms) over
+    the shared CTE chain."""
+    chain = rf"""
+        WITH dw AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
+                             t -> len(t) > 0) AS toks
+          FROM documents
+        ),
+        bk AS (
+          SELECT doc_id, toks,
+                 list_transform(toks, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT % {d})::INT) AS bs
+          FROM dw WHERE len(toks) > 0
+        ),
+        tf AS (
+          SELECT doc_id,
+                 list_transform(generate_series(0, {d - 1}),
+                                b -> len(list_filter(bs, x -> x = b))::DOUBLE) AS tfv
+          FROM bk
+        ),
+        dfb AS (
+          SELECT b, count(*) AS df
+          FROM (SELECT DISTINCT doc_id, unnest(bs) AS b FROM bk) GROUP BY b
+        ),
+        nn AS (SELECT count(*) AS n FROM bk),
+        grid AS (SELECT unnest(generate_series(0, {d - 1})) AS b),
+        idfv AS (
+          SELECT list(coalesce(ln(1.0 + nn.n / dfb.df), 0.0) ORDER BY g.b) AS iv
+          FROM grid g LEFT JOIN dfb ON g.b = dfb.b CROSS JOIN nn
+          GROUP BY nn.n
+        ),
+        vv AS (
+          SELECT tf.doc_id,
+                 list_transform(generate_series(1, {d}),
+                                i -> floor(tfv[i] * iv[i] * {scale})) AS v
+          FROM tf, idfv
+        ),
+        c0 AS (SELECT doc_id AS cid, v AS cv FROM vv ORDER BY doc_id LIMIT {n_topics}),
+        a0 AS (
+          SELECT doc_id, v,
+                 (SELECT cid FROM (
+                    SELECT cid, list_dot_product(vv.v, cv)
+                           / (sqrt(list_dot_product(vv.v, vv.v)) * sqrt(list_dot_product(cv, cv))) AS cs
+                    FROM c0 ORDER BY cs DESC, cid ASC LIMIT 1) s) AS topic
+          FROM vv
+        ),
+        m1 AS MATERIALIZED (
+          SELECT topic, i, avg(v[i]) AS m
+          FROM a0, unnest(generate_series(1, len(v))) AS t(i)
+          GROUP BY 1, 2
+        ),
+        c1 AS MATERIALIZED (SELECT topic AS cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY 1),
+        a1 AS (
+          SELECT doc_id,
+                 (SELECT cid FROM (
+                    SELECT cid, list_dot_product(a0.v, cv)
+                           / (sqrt(list_dot_product(a0.v, a0.v)) * sqrt(list_dot_product(cv, cv))) AS cs
+                    FROM c1 ORDER BY cs DESC, cid ASC LIMIT 1) s) AS topic
+          FROM a0
+        )"""
+    return chain + final
+
+
 def _stream_embed_sig_oracle_sql(dims: int = 64, bits: int = 16) -> str:
     """DuckDB replay of `stream_embed_dedup(plane_mode="md5")`'s
     deterministic projection: the DISTINCT quantized-fixed-point
@@ -5122,10 +5233,26 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
+    sql["topic_clusters"] = _topic_oracle_sql(
+        "\n        SELECT doc_id, topic FROM a1"
+    )
+    sql["topic_terms"] = _topic_oracle_sql(
+        """,
+        tok AS (
+          SELECT a1.topic, unnest(bk.toks) AS token
+          FROM a1 JOIN bk USING (doc_id)
+        ),
+        cnt AS (SELECT topic, token, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2)
+        SELECT topic, token, n, rank FROM (
+          SELECT topic, token, n,
+                 row_number() OVER (PARTITION BY topic ORDER BY n DESC, token)::INT AS rank
+          FROM cnt
+        ) WHERE rank <= 10"""
+    )
     # gap-based sessionization: same lag/running-sum formulation over
     # integer epoch-microseconds; DuckDB's integer window sum is HUGEINT,
     # cast back to BIGINT to match Spark's long
-    sql["sessionize"] = r"""
+    sql["gap_sessions"] = r"""
         WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events),
         b AS (
           SELECT user_id, event_id, ts, value,

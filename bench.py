@@ -181,6 +181,12 @@ R6_OPS = [
     "cms_tokens",
     "psi_drift",
     "link_graph",
+    "calibration",
+    "gap_sessions",
+    "search_eval",
+    "fuzzy_decontaminate",
+    "topic_clusters",
+    "topic_terms",
 ]
 
 

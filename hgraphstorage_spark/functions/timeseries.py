@@ -184,6 +184,14 @@ def sessionize(
     ``emit="sessions"`` aggregates: (by, session_seq, session_start,
     session_end, n_events, total_value DECIMAL(18,2), duration_s).
 
+    Streaming twin: `hgraphstorage_spark.streaming.sessionize` computes
+    the same sessions incrementally via the native ``session_window``
+    (state bounded by watermark). Boundary semantics differ only at an
+    EXACTLY-gap-wide silence: this operator merges (split on strictly
+    greater), ``session_window`` splits (merge on strictly smaller) —
+    agreement on microsecond-timestamped data is tested; session_end
+    there is last_event + gap, here the last event itself.
+
     Scale shape: ONE shuffle keyed by ``by`` + one per-partition sort —
     the lag boundary flag and its running sum share the identical window
     spec, so Catalyst collapses them into a single Window operator; the

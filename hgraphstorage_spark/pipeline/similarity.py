@@ -16,7 +16,7 @@ Python UDF, no driver-side loops.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1513,3 +1513,80 @@ def ann_recall_report(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def topic_clusters(
+    docs: DataFrame,
+    n_topics: int = 8,
+    iterations: int = 2,
+    d: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Document topic clustering: hashed TF-IDF vectors
+    (:func:`hgraphstorage_spark.pipeline.text.tfidf_vectors`) grouped by
+    cosine k-means (:func:`kmeans_iterations`) — the lightweight topic
+    segmentation a curation pipeline runs to balance a training mix or
+    spot over-represented content, without an embedding model.
+
+    Returns (doc_id, topic) for every doc with at least one token.
+
+    Scale shape: the vector build never shuffles tokens (see
+    tfidf_vectors); each Lloyd round is one pass against BROADCAST
+    centroids plus a (topic, dim)-keyed skew-free update. The vector
+    frame is persisted once (init + every round's assignment and update
+    all read it). Integer-quantized weights make centroid means exact
+    integer sums — order-independent, so a DuckDB oracle replays the
+    rounds bit-for-bit (the kmeans row's contract, on text features)."""
+    from hgraphstorage_spark.pipeline.state import track
+    from hgraphstorage_spark.pipeline.text import tfidf_vectors
+
+    vecs = track(
+        tfidf_vectors(
+            docs, d=d, text_col=text_col, id_col=id_col, hash_mode=hash_mode
+        )
+    )
+    assigned = kmeans_iterations(
+        vecs, nlist=n_topics, iterations=iterations, id_col="doc_id", vec_col="v"
+    )
+    return assigned.select(F.col("vec_id").alias(id_col), F.col("list_id").alias("topic"))
+
+
+def topic_top_terms(
+    docs: DataFrame,
+    assignments: DataFrame,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The human-readable face of :func:`topic_clusters`: per topic, the
+    ``top_k`` most frequent tokens with counts — what each cluster is
+    about. Returns (topic, token, n, rank).
+
+    One (topic, token)-keyed count with map-side partials, then the
+    top-k per topic is a WindowGroupLimit-rewritten rank over the counts
+    frame (topic-partitioned — never a single-partition window). Ties
+    rank alphabetically for determinism."""
+    from hgraphstorage_spark.pipeline.text import WS_RE
+
+    toks = (
+        docs.join(assignments.select(F.col(id_col), "topic"), id_col)
+        .select(
+            "topic",
+            F.explode_outer(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), WS_RE),
+                    lambda t: F.length(t) > 0,
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    counts = toks.groupBy("topic", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("topic").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select("topic", "token", F.col("n").cast("long").alias("n"), F.col("_rn").cast("int").alias("rank"))
+    )

@@ -1657,3 +1657,86 @@ def vocab_drift(
         .filter(F.col("_rn") <= top_k)
         .select("token", "c_a", "c_b", "contrib", F.col("_rn").cast("int").alias("rank"))
     )
+
+
+def tfidf_vectors(
+    docs: DataFrame,
+    d: int = 64,
+    scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Hashed TF-IDF document vectors (the HashingTF+IDF feature step
+    behind TF-IDF document clustering): every token hashes into one of
+    ``d`` buckets, per-doc term frequencies fold into a dense d-vector
+    with NO shuffle of the tokens, and the idf table — d rows — is the
+    only aggregate, broadcast back onto the stream. Docs with zero
+    tokens are excluded (no direction to cluster; documented contract).
+
+    Weights are quantized to INTEGER-valued doubles,
+    ``floor(tf * ln(1 + N/df) * scale)``: integer sums stay exact under
+    any partitioning/order (up to 2^53), so downstream centroid means
+    are bit-identical on any engine — the stream_embed_dedup fixed-point
+    pattern applied to features. At the default scale the quantization
+    error is ~1e-3 of a count, far below clustering resolution.
+
+    ``hash_mode="md5"`` buckets with the engine-portable ``md5_long``
+    family so a DuckDB oracle replays the vectors exactly; xxhash64 is
+    the fast path. Returns (doc_id, v ARRAY<DOUBLE>[d]).
+
+    Scale shape: one narrow tokenize+bucket+fold projection (the
+    O(d·tokens) fold stays inside whole-stage codegen; bucket hashes are
+    materialized in their OWN projection level first — Catalyst does no
+    CSE inside HOF lambdas), one d-row aggregate, one broadcast join.
+    The token stream never shuffles."""
+    from hgraphstorage_spark.pipeline.dedup import _parallel, md5_long
+    from hgraphstorage_spark.pipeline.state import track
+
+    if hash_mode == "md5":
+        bucket = lambda t: md5_long(t) % d  # noqa: E731
+    else:
+        bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(d))  # noqa: E731
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
+    )
+    # bucket ids materialize in their own projection (no-CSE-in-HOF rule)
+    bucketed = _parallel(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: bucket(t).cast("int")).alias("_bs"),
+    )
+    tf = F.aggregate(
+        F.col("_bs"),
+        F.array_repeat(F.lit(0.0), d),
+        lambda acc, b: F.transform(acc, lambda x, i: x + F.when(i == b, 1.0).otherwise(0.0)),
+    )
+    # persisted: three plan branches consume the tf vectors (the df
+    # stats pass reads it twice, the final weighting once) — without the
+    # lineage cut the O(d·tokens) tokenize+fold re-runs per branch
+    withtf = track(bucketed.filter(F.size("_bs") > 0).select("doc_id", tf.alias("_tf")))
+    # idf: bucket document frequencies + N in one tiny pass over the
+    # d-length vectors (exploded rows are d per doc, not tokens per doc)
+    stats = (
+        withtf.select("doc_id", F.posexplode("_tf").alias("pos", "w"))
+        .filter(F.col("w") > 0)
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy()
+        .agg(F.map_from_entries(F.collect_list(F.struct("pos", "df"))).alias("_dfm"))
+        .crossJoin(withtf.agg(F.count(F.lit(1)).alias("_n")))
+    )
+    idf = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: F.coalesce(
+            F.log(1.0 + F.col("_n") / F.element_at(F.col("_dfm"), i)), F.lit(0.0)
+        ),
+    )
+    return (
+        withtf.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.zip_with(
+                F.col("_tf"), idf.alias("_idf"), lambda t, w: F.floor(t * w * scale).cast("double")
+            ).alias("v"),
+        )
+    )

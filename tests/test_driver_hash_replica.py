@@ -80,9 +80,11 @@ def test_window_covers_required_operators():
     must_be_in_window = {
         # round-1 red rows, fixed + canonicalized (window_top_order /
         # rollup_revenue / retention_cohorts rotated out r6 — r1-stable,
-        # hashed green five rounds, family-covered by the remaining rows)
+        # hashed green five rounds, family-covered by the remaining rows;
+        # ntile_deciles and streaming_summary out in the r6 sixth
+        # rotation: the two-pass rank stays plan-pinned + pytest-oracled,
+        # and the streaming family keeps four real-stream in-window rows)
         "tpch_q1", "tpch_q3_like", "tpch_q5_like",
-        "ntile_deciles", "streaming_summary",
         "pagerank",
         # LLM-pipeline categories the driver must see green
         # (chunk_dedup / text_token_counts out in the r6 second
@@ -96,12 +98,19 @@ def test_window_covers_required_operators():
         # rounds — the md5 split CASE stays driver-adjacent inside the
         # cluster_split oracle and the splitting family keeps
         # dsir_sample/shard_plan/unimax_mix in-window; its slot carries
-        # the calibration report)
-        "bm25_search", "decontaminate",
+        # the calibration report. decontaminate out in the sixth after
+        # five green rounds — its slot carries the paraphrase-robust
+        # MinHash decontamination twin over the same benchmark split)
+        "bm25_search",
         "multimodal_features", "graph_summary",
         # r6 fifth rotation: the classifier-calibration reliability
         # report, in-window the round it was built
         "calibration",
+        # r6 sixth rotation: gap-based sessionization (the
+        # session_window streaming flavor keeps its 'sessionize' row
+        # past the window), the IR-eval metric report, and MinHash fuzzy
+        # decontamination — in-window the round they were built
+        "gap_sessions", "search_eval", "fuzzy_decontaminate",
         # r4 rotation: operators the driver had never hashed before
         # (sq_topk rotated out r6: hashed green r4+r5, similarity family
         # keeps three in-window rows; boilerplate_dedup out in the r6

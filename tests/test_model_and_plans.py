@@ -327,6 +327,19 @@ class TestRound3OperatorPlans:
         assert "Exchange SinglePartition" not in plan
         assert plan.count("partial_") >= 1  # map-side combine on the agg
 
+    def test_tfidf_vectors_tokens_never_shuffle(self, spark):
+        """The token stream folds into d-length vectors narrowly; the only
+        keyed exchange carries <= d partial-agg rows per partition (the
+        idf table), and all three consumers of the tf vectors read the
+        persisted frame instead of re-running the tokenize+fold."""
+        from hgraphstorage_spark.pipeline.text import tfidf_vectors
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(tfidf_vectors(docs))
+        assert plan.count("Exchange hashpartitioning") == 1  # d-row idf agg
+        assert plan.count("InMemoryTableScan") >= 3  # lineage cut consumed
+
     def test_char_entropy_zero_shuffle(self, spark):
         from hgraphstorage_spark.pipeline.text import char_entropy
         from hgraphstorage_spark.plans.audit import executed_plan

@@ -3098,6 +3098,26 @@ class TestSessionize:
         with _pytest.raises(ValueError, match="emit"):
             sessionize(load_events(spark, "/root/testdata/sf0.001"), emit="rows")
 
+    def test_agrees_with_streaming_session_window(self, spark):
+        """Batch sessionize == the session_window streaming twin on real
+        data: same (user, session_start, n_events, total_value) multiset.
+        (Boundary rule differs only at an exactly-gap-wide silence —
+        measure-zero with microsecond timestamps; see docstrings.)"""
+        from hgraphstorage_spark.functions.timeseries import sessionize
+        from hgraphstorage_spark.streaming import load_events
+        from hgraphstorage_spark.streaming import sessionize as sw_sessionize
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        batch = {
+            (r["user_id"], str(r["session_start"]), r["n_events"], str(r["total_value"]))
+            for r in sessionize(ev, gap_seconds=3600).collect()
+        }
+        sw = {
+            (r["user_id"], str(r["session_start"]), r["n_events"], str(r["total_value"]))
+            for r in sw_sessionize(ev, gap="1 hour").collect()
+        }
+        assert batch == sw
+
 
 class TestSearchEval:
     def _frames(self, spark):
@@ -3200,3 +3220,66 @@ class TestFuzzyDecontaminate:
             for r in incremental_near_dup(corpus, bench, threshold=0.5).collect()
         }
         assert flagged == pairs
+
+
+class TestTopicClusters:
+    def test_tfidf_vectors_hand_computed(self, spark):
+        """Exact vector check vs a python replica of the md5 bucketing and
+        the floor(tf * ln(1 + N/df) * scale) quantization."""
+        import hashlib
+        import math
+
+        from hgraphstorage_spark.pipeline.text import tfidf_vectors
+
+        texts = {1: "apple banana apple", 2: "banana cherry", 3: "date"}
+        docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        d, scale = 16, 1000
+        got = {r["doc_id"]: r["v"] for r in tfidf_vectors(docs, d=d, scale=scale, hash_mode="md5").collect()}
+
+        def bucket(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % d
+
+        tf = {
+            did: [sum(1 for t in txt.split() if bucket(t) == b) for b in range(d)]
+            for did, txt in texts.items()
+        }
+        df = [sum(1 for did in texts if tf[did][b] > 0) for b in range(d)]
+        n = len(texts)
+        for did in texts:
+            want = [
+                math.floor(tf[did][b] * (math.log(1.0 + n / df[b]) if df[b] else 0.0) * scale)
+                for b in range(d)
+            ]
+            assert got[did] == want, did
+
+    def test_empty_doc_excluded(self, spark):
+        from hgraphstorage_spark.pipeline.text import tfidf_vectors
+
+        docs = spark.createDataFrame(
+            [(1, "some words here"), (2, "   ")], "doc_id long, text string"
+        )
+        ids = {r["doc_id"] for r in tfidf_vectors(docs).collect()}
+        assert ids == {1}
+
+    def test_every_doc_assigned_to_seed_topic(self, spark):
+        from pyspark.sql import functions as F
+
+        from hgraphstorage_spark.pipeline.similarity import topic_clusters
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        tc = topic_clusters(docs, n_topics=4)
+        assert tc.count() == docs.filter(F.length(F.trim("text")) > 0).count()
+        seeds = {r["doc_id"] for r in docs.orderBy("doc_id").limit(4).collect()}
+        topics = {r["topic"] for r in tc.select("topic").distinct().collect()}
+        assert topics <= seeds
+
+    def test_top_terms_ranked_by_count(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import topic_top_terms
+
+        docs = spark.createDataFrame(
+            [(1, "x x x y y z"), (2, "y z z")], "doc_id long, text string"
+        )
+        asg = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, topic long")
+        rows = topic_top_terms(docs, asg, top_k=2).collect()
+        # x=3, y=3, z=3 — alphabetical tie-break picks x then y
+        assert [(r["token"], r["n"], r["rank"]) for r in rows] == [("x", 3, 1), ("y", 3, 2)]
