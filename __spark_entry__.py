@@ -2615,6 +2615,36 @@ _SYNTH_URL_SQL = """
         )"""
 
 
+_ROBOTS_FIXTURE = [
+    # exact trainbot group beats the blanket * disallow; wildcard + anchor
+    ("site0.com", "User-agent: trainbot\nDisallow: /p1*\nAllow: /p14$\n\nUser-agent: *\nDisallow: /\n"),
+    ("site1.com", "User-agent: *\nDisallow: /p1\n"),
+    # empty Disallow = allow-all idiom (rule drops)
+    ("site2.com", "User-agent: *\nDisallow:\n"),
+    # site3.com has no robots.txt at all
+    # two agents heading ONE group
+    ("site4.com", "User-agent: *\nUser-agent: trainbot\nDisallow: /p2\n"),
+    # mid-path wildcard + end anchor
+    ("site5.com", "User-agent: *\nDisallow: /p*3$\n"),
+    # a group for a different agent only — nothing applies to trainbot
+    ("site6.com", "User-agent: evilbot\nDisallow: /\n"),
+]
+
+
+def q_robots_filter(spark, sf_dir):
+    """RFC 9309 robots.txt gate over the synthetic crawl URLs
+    (sources/warc.py:parse_robots/robots_filter): per-domain rule groups
+    (exact-agent beats *, multi-agent headers, empty-Disallow idiom,
+    * wildcards and $ anchors, LIKE-metachar escaping), longest-match
+    precedence with allow winning ties. The oracle replays the parse
+    (same window-function group construction) and the LIKE evaluation."""
+    from hgraphstorage_spark.sources.warc import parse_robots, robots_filter
+
+    docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "domain string, robots_txt string")
+    return robots_filter(docs, parse_robots(robots, agent="trainbot"))
+
+
 def q_url_dedup(spark, sf_dir):
     """Crawl URL dedup (pipeline/dedup.py:url_dedup): normalize the
     synthetic crawl URLs (scheme/www/fragment/tracker/trailing-slash
@@ -3277,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clustering + its per-topic term report
         "topic_clusters": q_topic_clusters,
         "topic_terms": q_topic_terms,
+        "robots_filter": q_robots_filter,
         "content_type": q_content_type,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
@@ -4820,6 +4851,103 @@ def _topic_oracle_sql(
     return chain + final
 
 
+def _robots_oracle_sql(agent: str = "trainbot") -> str:
+    """DuckDB replay of ``q_robots_filter``: the raw synthetic URL
+    arithmetic, the robots fixture inlined as VALUES, the SAME
+    window-function group construction as ``parse_robots`` (lag-flag +
+    running sum over the filtered directive lines, exact-agent-beats-*
+    group choice), the LIKE translation with metachar escaping, and the
+    longest-match/allow-wins/rule-text argmax as a ranked window."""
+    values = ",\n          ".join(
+        "('" + d + "', '" + txt.replace("'", "''") + "')" for d, txt in _ROBOTS_FIXTURE
+    )
+    return rf"""
+        WITH ru AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0 THEN 'https://www.'
+                       WHEN doc_id % 3 = 1 THEN 'http://'
+                       ELSE 'https://' END)
+                 || 'site' || ((doc_id // 2) % 7) || '.com/p' || (doc_id // 2)
+                 || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
+                          WHEN doc_id % 4 = 1 THEN (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                          WHEN doc_id % 4 = 2 THEN '?utm_a=1&q=' || (doc_id // 2)
+                          ELSE '?q=' || (doc_id // 2) END) AS url
+          FROM documents
+        ),
+        rb(domain, txt) AS (VALUES
+          {values}
+        ),
+        ln AS (
+          SELECT domain, i - 1 AS ord, ls[i] AS raw
+          FROM (SELECT domain, string_split(txt, chr(10)) AS ls FROM rb),
+               unnest(generate_series(1, len(ls))) AS t(i)
+        ),
+        fk AS (
+          SELECT domain, ord,
+                 lower(trim(regexp_extract(raw, '^([^:#]+):', 1))) AS k,
+                 trim(regexp_extract(raw, '^[^:#]+:[ \t]*([^#]*)', 1)) AS v
+          FROM ln
+          WHERE lower(trim(regexp_extract(raw, '^([^:#]+):', 1)))
+                IN ('user-agent', 'allow', 'disallow')
+        ),
+        g0 AS (
+          SELECT domain, ord, k, v,
+                 coalesce(lag(k) OVER (PARTITION BY domain ORDER BY ord), '') AS pk
+          FROM fk
+        ),
+        g AS (
+          SELECT domain, ord, k, v,
+                 (sum(CASE WHEN k = 'user-agent' AND pk != 'user-agent' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY domain ORDER BY ord ROWS UNBOUNDED PRECEDING))::BIGINT AS gid
+          FROM g0
+        ),
+        sc AS (
+          SELECT domain, gid,
+                 max(CASE WHEN lower(v) = '{agent}' THEN 2 WHEN v = '*' THEN 1 ELSE 0 END) AS score
+          FROM g WHERE k = 'user-agent' GROUP BY 1, 2
+        ),
+        scp AS (SELECT * FROM sc WHERE score > 0),
+        bestg AS (SELECT domain, max(score) AS best FROM scp GROUP BY 1),
+        ch AS (SELECT s.domain, s.gid FROM scp s JOIN bestg b
+               ON s.domain = b.domain AND s.score = b.best),
+        rules AS (
+          SELECT g.domain, g.k AS directive, g.v AS path
+          FROM g JOIN ch ON g.domain = ch.domain AND g.gid = ch.gid
+          WHERE g.k IN ('allow', 'disallow') AND g.v != ''
+        ),
+        pat AS (
+          SELECT domain, directive, path AS path_rule,
+                 CASE WHEN right(path, 1) = '$'
+                      THEN substr(body, 1, length(body) - 1)
+                      ELSE body || '%' END AS pattern
+          FROM (SELECT *, replace(replace(replace(replace(path,
+                       '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS body
+                FROM rules)
+        ),
+        up AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^[a-z]+://(?:www\.)?([^/?#]+)', 1)) AS host,
+                 CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1) = ''
+                      THEN '/' ELSE regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1) END AS path
+          FROM ru
+        ),
+        rk AS (
+          SELECT doc_id, directive, path_rule,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY length(path_rule) DESC,
+                            CASE WHEN directive = 'allow' THEN 1 ELSE 0 END DESC,
+                            path_rule DESC) AS rn
+          FROM up JOIN pat ON up.host = pat.domain
+          WHERE up.path LIKE pat.pattern ESCAPE '\'
+        )
+        SELECT up.doc_id, up.host, up.path,
+               coalesce(r.directive = 'allow', TRUE) AS allowed,
+               r.path_rule AS matched_rule
+        FROM up LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (doc_id)
+    """
+
+
 def _stream_embed_sig_oracle_sql(dims: int = 64, bits: int = 16) -> str:
     """DuckDB replay of `stream_embed_dedup(plane_mode="md5")`'s
     deterministic projection: the DISTINCT quantized-fixed-point
@@ -5233,6 +5361,7 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_lsh_pairs"] = _minhash_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
+    sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
     sql["topic_clusters"] = _topic_oracle_sql(
         "\n        SELECT doc_id, topic FROM a1"
     )

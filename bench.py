@@ -187,6 +187,7 @@ R6_OPS = [
     "fuzzy_decontaminate",
     "topic_clusters",
     "topic_terms",
+    "robots_filter",
 ]
 
 

@@ -33,7 +33,7 @@ import re
 import zlib
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -392,4 +392,137 @@ def domain_link_graph(
         links.select(sd.alias("src_domain"), dd.alias("dst_domain"))
         .groupBy("src_domain", "dst_domain")
         .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def parse_robots(
+    robots: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse per-domain robots.txt into the rule group that applies to
+    ``agent`` (RFC 9309 group selection: consecutive ``User-agent:``
+    lines head a shared rule block; an exact case-insensitive agent
+    match beats the ``*`` group, which beats nothing — only the
+    best-matching group's rules apply). Comments (#) strip; empty-path
+    Disallow lines (allow-all idiom) drop.
+
+    Returns (domain, directive 'allow'|'disallow', path, ord) — ``ord``
+    is the source line number, kept for auditability.
+
+    Scale: robots bodies are tiny (crawlers cap them at 500 KiB); this
+    is one narrow line-split pass plus two domain-keyed windows over
+    line rows. The output rules table is the small side every filter
+    join broadcasts."""
+    a = agent.lower()
+    lines = robots.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("ord", "raw"),
+    )
+    key = F.lower(F.trim(F.regexp_extract("raw", r"^([^:#]+):", 1)))
+    val = F.trim(F.regexp_extract("raw", r"^[^:#]+:[ \t]*([^#]*)", 1))
+    fields = lines.select("domain", "ord", key.alias("k"), val.alias("v")).filter(
+        F.col("k").isin("user-agent", "allow", "disallow")
+    )
+    w = Window.partitionBy("domain").orderBy("ord")
+    grouped = fields.withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                (F.col("k") == "user-agent")
+                & (F.coalesce(F.lag("k").over(w), F.lit("")) != "user-agent"),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    score = (
+        grouped.filter(F.col("k") == "user-agent")
+        .groupBy("domain", "gid")
+        .agg(
+            F.max(
+                F.when(F.lower("v") == a, 2).when(F.col("v") == "*", 1).otherwise(0)
+            ).alias("score")
+        )
+        .filter(F.col("score") > 0)
+    )
+    best = score.groupBy("domain").agg(F.max("score").alias("best"))
+    chosen = score.join(best, "domain").filter(F.col("score") == F.col("best"))
+    return (
+        grouped.filter(F.col("k").isin("allow", "disallow") & (F.col("v") != ""))
+        .join(chosen.select("domain", "gid"), ["domain", "gid"], "left_semi")
+        .select(
+            "domain",
+            F.col("k").alias("directive"),
+            F.col("v").alias("path"),
+            F.col("ord").cast("int").alias("ord"),
+        )
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply parsed robots rules to a URL frame: per URL, the
+    longest-path matching rule wins; on a length tie ``allow`` wins (the
+    RFC 9309 / Google precedence); a URL with no matching rule — or no
+    rules for its host — is allowed. Robots wildcards translate to SQL
+    LIKE: ``*`` matches any run, a trailing ``$`` anchors the end,
+    otherwise the pattern is a prefix match; LIKE metacharacters in rule
+    paths are escaped.
+
+    Returns every input row with (host, path, allowed BOOLEAN,
+    matched_rule — NULL when no rule matched).
+
+    Scale shape: one broadcast join of the (tiny) rules table onto the
+    URL stream keyed by host, then a per-URL argmax with map-side
+    partials — URLs never shuffle their payload columns (the verdict
+    joins back by id)."""
+    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://(?:www\.)?([^/?#]+)", 1))
+    rawpath = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]*([^#]*)", 1)
+    path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
+    base = urls.select(F.col(id_col), host.alias("host"), path.alias("path"))
+    esc = F.col("path_rule")
+    for ch, rep in (("\\", "\\\\"), ("%", "\\%"), ("_", "\\_")):
+        esc = F.replace(esc, F.lit(ch), F.lit(rep))
+    anchored = F.endswith(F.col("path_rule"), F.lit("$"))
+    like_pat = F.when(
+        anchored, F.expr("substring(like_body, 1, length(like_body) - 1)")
+    ).otherwise(F.concat(F.col("like_body"), F.lit("%")))
+    r = (
+        rules.select(
+            F.col("domain").alias("host"),
+            "directive",
+            F.col("path").alias("path_rule"),
+        )
+        .withColumn("like_body", F.replace(esc, F.lit("*"), F.lit("%")))
+        .withColumn("pat", like_pat)
+    )
+    m = (
+        base.join(F.broadcast(r), "host", "left")
+        .withColumn("hit", F.expr("path LIKE pat ESCAPE '\\\\'"))
+        .groupBy(id_col, "host", "path")
+        .agg(
+            F.max_by(
+                F.struct("directive", "path_rule"),
+                F.when(
+                    F.col("hit"),
+                    F.struct(
+                        F.length("path_rule").alias("l"),
+                        (F.col("directive") == "allow").cast("int").alias("a"),
+                        F.col("path_rule").alias("p"),  # deterministic ties
+                    ),
+                ),
+            ).alias("best")
+        )
+    )
+    return m.select(
+        id_col,
+        "host",
+        "path",
+        F.coalesce(F.col("best.directive") == "allow", F.lit(True)).alias("allowed"),
+        F.col("best.path_rule").alias("matched_rule"),
     )

@@ -378,3 +378,83 @@ class TestExtractLinks:
         # www./scheme noise normalizes away: both pages are a.com, all
         # three b-links collapse onto b.com; the self-link is kept
         assert got == {("a.com", "b.com"): 3, ("a.com", "a.com"): 1}
+
+
+class TestRobots:
+    def _rules(self, spark, agent="trainbot"):
+        from hgraphstorage_spark.sources.warc import parse_robots
+
+        robots = spark.createDataFrame(
+            [
+                (
+                    "a.com",
+                    "# hi\nUser-agent: trainbot\nDisallow: /private/\n"
+                    "Allow: /private/ok$\nDisallow: /p1*\n\n"
+                    "User-agent: *\nDisallow: /\n",
+                ),
+                # two agents heading ONE group; empty Disallow drops
+                ("b.com", "User-agent: *\nUser-agent: otherbot\nDisallow: /blocked\nDisallow:\n"),
+                # group for a different agent only — no rules apply
+                ("c.com", "User-agent: evilbot\nDisallow: /\n"),
+            ],
+            "domain string, robots_txt string",
+        )
+        return parse_robots(robots, agent=agent)
+
+    def test_group_selection_exact_beats_star(self, spark):
+        got = {(r["domain"], r["directive"], r["path"]) for r in self._rules(spark).collect()}
+        assert got == {
+            ("a.com", "disallow", "/private/"),
+            ("a.com", "allow", "/private/ok$"),
+            ("a.com", "disallow", "/p1*"),
+            ("b.com", "disallow", "/blocked"),
+        }
+
+    def test_star_group_when_no_exact(self, spark):
+        got = {(r["domain"], r["path"]) for r in self._rules(spark, agent="nobody").collect()}
+        # a.com falls back to its * group (Disallow: /); c.com has none
+        assert got == {("a.com", "/"), ("b.com", "/blocked")}
+
+    def test_filter_precedence_and_wildcards(self, spark):
+        from hgraphstorage_spark.sources.warc import robots_filter
+
+        urls = spark.createDataFrame(
+            [
+                (1, "https://www.a.com/private/ok"),   # $-anchored allow wins
+                (2, "https://a.com/private/okay"),     # anchor must NOT match
+                (3, "http://a.com/p15?q=1"),           # wildcard disallow
+                (4, "https://a.com/open"),             # no rule -> allowed
+                (5, "https://b.com/blocked/page"),     # prefix disallow
+                (6, "https://nowhere.com/x"),          # unknown host -> allowed
+            ],
+            "doc_id long, url string",
+        )
+        got = {r["doc_id"]: r for r in robots_filter(urls, self._rules(spark)).collect()}
+        assert got[1]["allowed"] and got[1]["matched_rule"] == "/private/ok$"
+        assert not got[2]["allowed"] and got[2]["matched_rule"] == "/private/"
+        assert not got[3]["allowed"] and got[3]["matched_rule"] == "/p1*"
+        assert got[4]["allowed"] and got[4]["matched_rule"] is None
+        assert not got[5]["allowed"]
+        assert got[6]["allowed"]
+
+    def test_like_metacharacters_escaped(self, spark):
+        """A rule path containing % or _ must match literally, not as a
+        LIKE wildcard."""
+        from hgraphstorage_spark.sources.warc import parse_robots, robots_filter
+
+        robots = spark.createDataFrame(
+            [("x.com", "User-agent: *\nDisallow: /a%b\nDisallow: /c_d\n")],
+            "domain string, robots_txt string",
+        )
+        rules = parse_robots(robots)
+        urls = spark.createDataFrame(
+            [
+                (1, "https://x.com/a%b/z"),  # literal % -> blocked
+                (2, "https://x.com/aXb/z"),  # % must not wildcard
+                (3, "https://x.com/c_d"),    # literal _ -> blocked
+                (4, "https://x.com/cXd"),    # _ must not wildcard
+            ],
+            "doc_id long, url string",
+        )
+        got = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+        assert got == {1: False, 2: True, 3: False, 4: True}
