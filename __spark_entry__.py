@@ -3039,6 +3039,41 @@ def q_link_graph(spark, sf_dir):
     return extract_links(pages).select("doc_id", "href", "link_url")
 
 
+def q_anchor_text(spark, sf_dir):
+    """Inbound anchor-text index (sources/warc.py:anchor_text_index) over
+    anchored synthetic HTML: each page carries an absolute link with a
+    3-token anchor and a root-relative link with a 2-token anchor. The
+    Spark side runs the REAL two-group href/anchor regex, RFC 3986-lite
+    resolution, tokenization, and the target-partitioned top-k; the
+    oracle derives every (target, anchor tokens) row from the generator
+    arithmetic and replays the aggregation — same independent-derivation
+    pattern as link_graph/url_dedup."""
+    from hgraphstorage_spark.sources.warc import anchor_text_index, extract_links
+
+    docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
+    k = F.floor(F.col("doc_id") / 2).cast("long")
+    abs_href = F.concat(
+        F.lit("https://site"),
+        ((k + 1) % 7).cast("string"),
+        F.lit(".com/p"),
+        (k + 1).cast("string"),
+    )
+    html = F.concat(
+        F.lit('<a href="'),
+        abs_href,
+        F.lit('">term'),
+        (k % 5).cast("string"),
+        F.lit(" common phrase</a> <a href='/r/"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("'>nav "),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</a>"),
+    )
+    pages = docs.withColumn("html", html).select("doc_id", "url", "html")
+    links = extract_links(pages, with_anchor=True)
+    return anchor_text_index(links, top_k=3)
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI drift report on the n_chars distribution between the even and
     odd doc_id halves of the corpus (a deterministic A/A-style slice —
@@ -3308,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_clusters": q_topic_clusters,
         "topic_terms": q_topic_terms,
         "robots_filter": q_robots_filter,
+        "anchor_text": q_anchor_text,
         "content_type": q_content_type,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
@@ -5362,6 +5398,52 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
+    # anchor_text: independent arithmetic derivation of both link rows
+    # per page (the raw synthetic URL is the src; the root-relative link
+    # resolves against the UNSTRIPPED origin, www. included), then the
+    # same count/top-k aggregation
+    sql["anchor_text"] = r"""
+        WITH d AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
+        ru AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0 THEN 'https://www.'
+                       WHEN doc_id % 3 = 1 THEN 'http://'
+                       ELSE 'https://' END)
+                 || 'site' || ((doc_id // 2) % 7) || '.com/p' || (doc_id // 2)
+                 || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
+                          WHEN doc_id % 4 = 1 THEN (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                          WHEN doc_id % 4 = 2 THEN '?utm_a=1&q=' || (doc_id // 2)
+                          ELSE '?q=' || (doc_id // 2) END) AS url
+          FROM documents
+        ),
+        base AS (
+          SELECT ru.url AS src,
+                 'https://site' || ((d.k + 1) % 7) || '.com/p' || (d.k + 1) AS link_url,
+                 ['term' || (d.k % 5), 'common', 'phrase'] AS toks
+          FROM d JOIN ru USING (doc_id)
+          UNION ALL
+          SELECT ru.url,
+                 (CASE WHEN d.doc_id % 3 = 1 THEN 'http' ELSE 'https' END) || '://'
+                 || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                 || 'site' || (d.k % 7) || '.com/r/' || (d.doc_id % 10),
+                 ['nav', (d.doc_id % 3)::VARCHAR]
+          FROM d JOIN ru USING (doc_id)
+        ),
+        stats AS (
+          SELECT link_url, count(*)::BIGINT AS n_inlinks,
+                 count(DISTINCT src)::BIGINT AS n_sources
+          FROM base GROUP BY 1
+        ),
+        tok AS (SELECT link_url, unnest(toks) AS token FROM base),
+        cnt AS (SELECT link_url, token, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+        top AS (
+          SELECT link_url, token, n,
+                 row_number() OVER (PARTITION BY link_url ORDER BY n DESC, token)::INT AS rank
+          FROM cnt QUALIFY rank <= 3
+        )
+        SELECT s.link_url, s.n_inlinks, s.n_sources, t.token, t.n, t.rank
+        FROM stats s LEFT JOIN top t USING (link_url)
+    """
     sql["topic_clusters"] = _topic_oracle_sql(
         "\n        SELECT doc_id, topic FROM a1"
     )

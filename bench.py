@@ -188,6 +188,7 @@ R6_OPS = [
     "topic_clusters",
     "topic_terms",
     "robots_filter",
+    "anchor_text",
 ]
 
 

@@ -526,3 +526,59 @@ def robots_filter(
         F.coalesce(F.col("best.directive") == "allow", F.lit(True)).alias("allowed"),
         F.col("best.path_rule").alias("matched_rule"),
     )
+
+
+def anchor_text_index(
+    links: DataFrame,
+    top_k: int = 5,
+    dst_col: str = "link_url",
+    src_col: str = "url",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Inbound anchor-text index: per link TARGET, how many pages link to
+    it (total and distinct sources) and the ``top_k`` most frequent
+    tokens of the anchors pointing at it — the classic web-retrieval
+    signal (anchor text describes the target better than the target
+    describes itself) and the relevance prior a crawl frontier uses.
+
+    Input is :func:`extract_links`'s ``with_anchor=True`` output. Returns
+    (link_url, n_inlinks, n_sources, token, n, rank); a target whose
+    anchors carry no tokens keeps one row with NULL token/n/rank, so
+    inlink accounting survives empty anchors.
+
+    Scale shape: one (target)-keyed count aggregate and one
+    (target, token)-keyed count — both map-side partial — and the top-k
+    is a target-partitioned rank over the counts frame (WindowGroupLimit
+    shape, never a single-partition window). Ties rank alphabetically."""
+    from hgraphstorage_spark.pipeline.text import WS_RE
+
+    base = links.select(
+        F.col(dst_col).alias("link_url"),
+        F.col(src_col).alias("_src"),
+        F.col(anchor_col).alias("_anchor"),
+    )
+    stats = base.groupBy("link_url").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.count_distinct("_src").alias("n_sources"),
+    )
+    toks = (
+        base.select(
+            "link_url",
+            F.explode_outer(
+                F.filter(
+                    F.split(F.lower(F.col("_anchor")), WS_RE), lambda t: F.length(t) > 0
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token").isNotNull())
+    )
+    counts = toks.groupBy("link_url", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("link_url").orderBy(F.col("n").desc(), F.col("token").asc())
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select("link_url", "token", F.col("n").cast("long").alias("n"), F.col("_rn").cast("int").alias("rank"))
+    )
+    return stats.join(top, "link_url", "left").select(
+        "link_url", "n_inlinks", "n_sources", "token", "n", "rank"
+    )

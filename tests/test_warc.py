@@ -458,3 +458,33 @@ class TestRobots:
         )
         got = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
         assert got == {1: False, 2: True, 3: False, 4: True}
+
+
+class TestAnchorTextIndex:
+    def test_counts_topk_and_empty_anchor_row(self, spark):
+        from hgraphstorage_spark.sources.warc import anchor_text_index, extract_links
+
+        pages = spark.createDataFrame(
+            [
+                (1, "https://a.com/x", '<a href="https://t.com/p">deep learning</a>'),
+                (2, "https://b.com/y", '<a href="https://t.com/p">deep nets</a>'),
+                # same SOURCE links twice: n_inlinks 2, n_sources 1
+                (
+                    3,
+                    "https://c.com/z",
+                    '<a href="https://e.com/q"> </a><a href="https://e.com/q"> </a>',
+                ),
+            ],
+            "doc_id long, url string, html string",
+        )
+        idx = anchor_text_index(extract_links(pages, with_anchor=True), top_k=2)
+        rows = {(r["link_url"], r["token"]): r for r in idx.collect()}
+        t = rows[("https://t.com/p", "deep")]
+        assert (t["n_inlinks"], t["n_sources"], t["n"], t["rank"]) == (2, 2, 2, 1)
+        # count tie at 1: 'learning' beats 'nets' alphabetically at rank 2
+        assert ("https://t.com/p", "learning") in rows
+        assert ("https://t.com/p", "nets") not in rows
+        # whitespace-only anchors: inlink accounting survives, token NULL
+        e = rows[("https://e.com/q", None)]
+        assert (e["n_inlinks"], e["n_sources"]) == (2, 1)
+        assert e["token"] is None and e["rank"] is None
