@@ -3039,6 +3039,16 @@ def q_link_graph(spark, sf_dir):
     return extract_links(pages).select("doc_id", "href", "link_url")
 
 
+def q_quantile_histogram(spark, sf_dir):
+    """Equi-depth histogram of events.value (10 bins of equal count;
+    edges = where the quantile cuts fall): distributed two-pass rank, no
+    single-partition window over data. Oracle replays the rank + bin
+    arithmetic."""
+    from hgraphstorage_spark.functions.stats import quantile_histogram
+
+    return quantile_histogram(_t(spark, sf_dir, "events"), "value", n_bins=10)
+
+
 def q_anchor_text(spark, sf_dir):
     """Inbound anchor-text index (sources/warc.py:anchor_text_index) over
     anchored synthetic HTML: each page carries an absolute link with a
@@ -3344,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_terms": q_topic_terms,
         "robots_filter": q_robots_filter,
         "anchor_text": q_anchor_text,
+        "quantile_histogram": q_quantile_histogram,
         "content_type": q_content_type,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
@@ -5398,6 +5409,17 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
+    # equi-depth twin of numeric_histogram: rank over the (value, id)
+    # total order, bin = 1 + floor((rn-1)*k/N); lo/hi are element
+    # selections so no rounding is needed
+    sql["quantile_histogram"] = """
+        WITH e AS (SELECT event_id, value::DOUBLE AS x FROM events WHERE value IS NOT NULL),
+        r AS (SELECT x, row_number() OVER (ORDER BY x, event_id) AS rn,
+                     count(*) OVER () AS n FROM e),
+        b AS (SELECT x, (1 + floor((rn - 1) * 10 / n))::INT AS bin FROM r)
+        SELECT bin, min(x) AS lo, max(x) AS hi, count(*)::BIGINT AS n
+        FROM b GROUP BY bin
+    """
     # anchor_text: independent arithmetic derivation of both link rows
     # per page (the raw synthetic URL is the src; the root-relative link
     # resolves against the UNSTRIPPED origin, www. included), then the

@@ -189,6 +189,7 @@ R6_OPS = [
     "topic_terms",
     "robots_filter",
     "anchor_text",
+    "quantile_histogram",
 ]
 
 

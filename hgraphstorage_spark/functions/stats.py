@@ -442,3 +442,38 @@ def calibration_report(
             F.round(F.avg("_s"), 6).cast("decimal(18,6)").alias("mean_score"),
         )
     )
+
+
+def quantile_histogram(
+    df: DataFrame, column: str, n_bins: int = 10, id_col: str = "event_id"
+) -> DataFrame:
+    """Equi-DEPTH histogram: bins hold (near-)equal row counts and the
+    edges report where the quantile cuts fall — the complement of
+    :func:`numeric_histogram`'s equi-width layout (equi-width shows
+    shape, equi-depth shows quantiles and survives heavy tails). The
+    optimizer-statistics form of a histogram (Postgres/ORCA equi-depth).
+
+    bin = 1 + floor((rank−1)·n_bins / N) over the total order
+    (value, id) — the id tie-break makes the layout deterministic, so
+    equal values may straddle a bin edge (rank-based, by design). NULLs
+    are excluded. Returns (bin, lo, hi, n) — lo/hi are element
+    SELECTIONS (min/max of the bin), not computed values, so no
+    rounding is needed for cross-engine parity.
+
+    Scale shape: the rank is the distributed two-pass
+    ``_global_rank`` (range partition + local rank + broadcast offsets
+    — never a single-partition window over data); N is a 1-row
+    broadcast; the bin aggregate is map-side partial."""
+    from hgraphstorage_spark.pipeline.sampling import _global_rank
+
+    x = F.col(column).cast("double")
+    base = df.filter(x.isNotNull()).select(F.col(id_col).alias("_id"), x.alias("_x"))
+    ranked = _global_rank(base, [F.col("_x"), F.col("_id")], "_rn")
+    total = base.agg(F.count(F.lit(1)).alias("_N"))
+    binned = ranked.crossJoin(F.broadcast(total)).select(
+        "_x",
+        (F.floor((F.col("_rn") - 1) * n_bins / F.col("_N")) + 1).cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.min("_x").alias("lo"), F.max("_x").alias("hi"), F.count(F.lit(1)).alias("n")
+    )

@@ -3283,3 +3283,30 @@ class TestTopicClusters:
         rows = topic_top_terms(docs, asg, top_k=2).collect()
         # x=3, y=3, z=3 — alphabetical tie-break picks x then y
         assert [(r["token"], r["n"], r["rank"]) for r in rows] == [("x", 3, 1), ("y", 3, 2)]
+
+
+class TestQuantileHistogram:
+    def test_equal_depth_and_edges(self, spark):
+        from hgraphstorage_spark.functions.stats import quantile_histogram
+
+        df = spark.createDataFrame(
+            [(i, float(i * i)) for i in range(1, 101)], "event_id long, value double"
+        )
+        rows = {r["bin"]: r for r in quantile_histogram(df, "value", n_bins=4).collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert all(rows[b]["n"] == 25 for b in rows)
+        assert rows[1]["lo"] == 1.0 and rows[1]["hi"] == 625.0       # 25^2
+        assert rows[4]["lo"] == 5776.0 and rows[4]["hi"] == 10000.0  # 76^2..100^2
+        # bins partition the ordered domain: each hi < next lo
+        assert rows[1]["hi"] < rows[2]["lo"] and rows[3]["hi"] < rows[4]["lo"]
+
+    def test_nulls_excluded_uneven_split(self, spark):
+        from hgraphstorage_spark.functions.stats import quantile_histogram
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0), (4, None), (5, 5.0)],
+            "event_id long, value double",
+        )
+        rows = {r["bin"]: r["n"] for r in quantile_histogram(df, "value", n_bins=3).collect()}
+        assert sum(rows.values()) == 4  # NULL dropped
+        assert rows == {1: 2, 2: 1, 3: 1}  # floor-based split: 2,1,1
