@@ -2327,6 +2327,50 @@ def q_dsir_stream(spark, sf_dir):
     return result
 
 
+def q_stream_topics(spark, sf_dir):
+    """Streaming topic routing ACTUALLY RUN as a structured stream: the
+    (idf, centroids) model trains offline (``topic_model``, md5 mode),
+    then the documents table streams through ``stream_topic_score`` as
+    multi-file micro-batches → parquet sink. A topic is a pure function
+    of (text, model), so stream output equals batch assignment exactly —
+    the oracle extends the topic chain by the final centroid update and
+    a third assignment round."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.pipeline.similarity import topic_model
+    from hgraphstorage_spark.streaming import stream_topic_score
+
+    docs = _t(spark, sf_dir, "documents")
+    idf, cents = topic_model(docs, n_topics=8, hash_mode="md5")
+    idf, cents = idf.cache(), cents.cache()
+    idf.count(), cents.count()
+    tmp = tempfile.mkdtemp(prefix="hgs_topic_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/docs")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/docs")
+        )
+        q = stream_topic_score(
+            stream, idf, cents, f"{tmp}/ckpt", f"{tmp}/topics", hash_mode="md5"
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(f"{tmp}/topics").select("doc_id", "topic")
+        # localized so the temp sink can be removed before returning (the
+        # dsir_stream convention); bounded at the driver-check SF
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        idf.unpersist()
+        cents.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 def q_bpe_merges(spark, sf_dir):
     """Tokenizer training step: the top-20 BPE merge candidates
     (Sennrich 2016) — corpus-frequency-weighted adjacent symbol-pair
@@ -3355,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "anchor_text": q_anchor_text,
         "quantile_histogram": q_quantile_histogram,
+        "stream_topics": q_stream_topics,
         "content_type": q_content_type,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,
@@ -5468,6 +5513,23 @@ def oracle_sql() -> dict[str, str]:
     """
     sql["topic_clusters"] = _topic_oracle_sql(
         "\n        SELECT doc_id, topic FROM a1"
+    )
+    # stream_topics: the model is the final centroid update (m2/c2) of
+    # the trained chain; the streamed assignment is a third round
+    sql["stream_topics"] = _topic_oracle_sql(
+        """,
+        m2 AS MATERIALIZED (
+          SELECT a1.topic, i, avg(a0.v[i]) AS m
+          FROM a1 JOIN a0 USING (doc_id), unnest(generate_series(1, len(a0.v))) AS t(i)
+          GROUP BY 1, 2
+        ),
+        c2 AS MATERIALIZED (SELECT topic AS cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY 1)
+        SELECT doc_id,
+               (SELECT cid FROM (
+                  SELECT cid, list_dot_product(a0.v, cv)
+                         / (sqrt(list_dot_product(a0.v, a0.v)) * sqrt(list_dot_product(cv, cv))) AS cs
+                  FROM c2 ORDER BY cs DESC, cid ASC LIMIT 1) s) AS topic
+        FROM a0"""
     )
     sql["topic_terms"] = _topic_oracle_sql(
         """,

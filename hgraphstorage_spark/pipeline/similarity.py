@@ -1590,3 +1590,83 @@ def topic_top_terms(
         .filter(F.col("_rn") <= top_k)
         .select("topic", "token", F.col("n").cast("long").alias("n"), F.col("_rn").cast("int").alias("rank"))
     )
+
+
+def topic_model(
+    docs: DataFrame,
+    n_topics: int = 8,
+    iterations: int = 2,
+    d: int = 64,
+    scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable train half of the topic-clustering split: returns
+    ``(idf_table, centroids)`` — the d-row idf table
+    (:func:`hgraphstorage_spark.pipeline.text.tfidf_idf_table`) and the
+    (topic, cvec) centroid frame, the mean vectors of the final Lloyd
+    assignment. Save both as parquet; :func:`topic_assign` (and the
+    streaming ``stream_topic_score``) routes ANY new frame against them
+    without re-reading the training corpus — the dsir_ratio_table /
+    pq_build pattern for topics."""
+    from hgraphstorage_spark.pipeline.state import track
+    from hgraphstorage_spark.pipeline.text import tfidf_apply, tfidf_idf_table
+
+    idf = track(tfidf_idf_table(docs, d, text_col, id_col, hash_mode))
+    vecs = track(tfidf_apply(docs, idf, d, scale, text_col, id_col, hash_mode))
+    assigned = kmeans_iterations(
+        vecs, nlist=n_topics, iterations=iterations, id_col="doc_id", vec_col="v"
+    )
+    cents = (
+        assigned.join(vecs.select(F.col("doc_id").alias("vec_id"), "v"), "vec_id")
+        .select("list_id", F.posexplode("v").alias("pos", "x"))
+        .groupBy("list_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+        .select(F.col("list_id").alias("topic"), "cvec")
+    )
+    return idf, cents
+
+
+def topic_assign(
+    docs: DataFrame,
+    idf_table: DataFrame,
+    centroids: DataFrame,
+    d: int = 64,
+    scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Route documents to the nearest trained topic centroid (cosine,
+    ties to the smaller topic id) using the FIXED model from
+    :func:`topic_model` — no corpus statistics are recomputed, so a
+    streaming micro-batch scores identically to a batch run (tested).
+    Returns (doc_id, topic) for every doc with at least one token.
+
+    Scale shape: one narrow vectorize pass against the broadcast idf
+    array, one broadcast-centroid explode + argmax — nothing data-sized
+    shuffles."""
+    from hgraphstorage_spark.pipeline.text import tfidf_apply
+
+    vecs = tfidf_apply(docs, idf_table, d, scale, text_col, id_col, hash_mode)
+    cl = centroids.groupBy().agg(
+        F.collect_list(F.struct(F.col("topic").alias("cid"), F.col("cvec").alias("cvec"))).alias("cents")
+    )
+    return (
+        vecs.crossJoin(F.broadcast(cl))
+        .select("doc_id", "v", F.explode("cents").alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.cid").alias("cid"),
+            cosine(F.col("v"), F.col("c.cvec")).alias("csim"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("topic"))
+    )

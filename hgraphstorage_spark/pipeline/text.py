@@ -1659,6 +1659,105 @@ def vocab_drift(
     )
 
 
+def _tf_frame(
+    docs: DataFrame, d: int, text_col: str, id_col: str, hash_mode: str,
+    persist: bool = True,
+) -> DataFrame:
+    """(doc_id, _tf ARRAY<DOUBLE>[d]) — the shared per-doc bucket-count
+    fold behind the TF-IDF family. Zero shuffle: tokens hash to buckets
+    in their own projection (no-CSE-in-HOF rule), then fold into the
+    d-vector inside codegen. Zero-token docs are excluded. ``persist``
+    (default) cuts lineage for multi-branch consumers — without it the
+    O(d·tokens) tokenize+fold re-runs per branch; single-consumer
+    callers (tfidf_apply, incl. streaming micro-batches where a cached
+    frame would leak across batches) pass False."""
+    from hgraphstorage_spark.pipeline.dedup import _parallel, md5_long
+    from hgraphstorage_spark.pipeline.state import track
+
+    if hash_mode == "md5":
+        bucket = lambda t: md5_long(t) % d  # noqa: E731
+    else:
+        bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(d))  # noqa: E731
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
+    )
+    bucketed = _parallel(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: bucket(t).cast("int")).alias("_bs"),
+    )
+    tf = F.aggregate(
+        F.col("_bs"),
+        F.array_repeat(F.lit(0.0), d),
+        lambda acc, b: F.transform(acc, lambda x, i: x + F.when(i == b, 1.0).otherwise(0.0)),
+    )
+    out = bucketed.filter(F.size("_bs") > 0).select("doc_id", tf.alias("_tf"))
+    return track(out) if persist else out
+
+
+def tfidf_idf_table(
+    docs: DataFrame,
+    d: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """The persistable TRAINED half of the TF-IDF split: the d-row
+    (pos, idf) table with idf = ln(1 + N/df) over the training corpus
+    (unused buckets get idf 0.0). Save it next to the topic centroids;
+    :func:`tfidf_apply` vectorizes ANY frame — including streaming
+    micro-batches — against it without touching the training corpus
+    again (the dsir_ratio_table pattern)."""
+    withtf = _tf_frame(docs, d, text_col, id_col, hash_mode)
+    dfc = (
+        withtf.select(F.posexplode("_tf").alias("pos", "w"))
+        .filter(F.col("w") > 0)
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = withtf.agg(F.count(F.lit(1)).alias("_n"))
+    grid = docs.sparkSession.range(d).select(F.col("id").cast("int").alias("pos"))
+    return (
+        grid.join(F.broadcast(dfc), "pos", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pos",
+            F.coalesce(
+                F.log(1.0 + F.col("_n") / F.col("df")), F.lit(0.0)
+            ).alias("idf"),
+        )
+    )
+
+
+def tfidf_apply(
+    docs: DataFrame,
+    idf_table: DataFrame,
+    d: int = 64,
+    scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Vectorize a frame against a FIXED idf table (the apply half of
+    the TF-IDF split): same fold, same integer quantization as
+    :func:`tfidf_vectors`, but the corpus statistics come from the
+    d-row ``idf_table`` (broadcast as one array) — so new documents and
+    streaming micro-batches vectorize identically to the training run.
+    ``tfidf_apply(docs, tfidf_idf_table(docs))`` equals
+    ``tfidf_vectors(docs)`` exactly (tested)."""
+    withtf = _tf_frame(docs, d, text_col, id_col, hash_mode, persist=False)
+    arr = idf_table.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "idf"))), lambda s: s["idf"]
+        ).alias("_idf")
+    )
+    return withtf.crossJoin(F.broadcast(arr)).select(
+        "doc_id",
+        F.zip_with(
+            F.col("_tf"), F.col("_idf"), lambda t, w: F.floor(t * w * scale).cast("double")
+        ).alias("v"),
+    )
+
+
 def tfidf_vectors(
     docs: DataFrame,
     d: int = 64,
@@ -1690,30 +1789,7 @@ def tfidf_vectors(
     materialized in their OWN projection level first — Catalyst does no
     CSE inside HOF lambdas), one d-row aggregate, one broadcast join.
     The token stream never shuffles."""
-    from hgraphstorage_spark.pipeline.dedup import _parallel, md5_long
-    from hgraphstorage_spark.pipeline.state import track
-
-    if hash_mode == "md5":
-        bucket = lambda t: md5_long(t) % d  # noqa: E731
-    else:
-        bucket = lambda t: F.pmod(F.xxhash64(t), F.lit(d))  # noqa: E731
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
-    )
-    # bucket ids materialize in their own projection (no-CSE-in-HOF rule)
-    bucketed = _parallel(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(toks, lambda t: bucket(t).cast("int")).alias("_bs"),
-    )
-    tf = F.aggregate(
-        F.col("_bs"),
-        F.array_repeat(F.lit(0.0), d),
-        lambda acc, b: F.transform(acc, lambda x, i: x + F.when(i == b, 1.0).otherwise(0.0)),
-    )
-    # persisted: three plan branches consume the tf vectors (the df
-    # stats pass reads it twice, the final weighting once) — without the
-    # lineage cut the O(d·tokens) tokenize+fold re-runs per branch
-    withtf = track(bucketed.filter(F.size("_bs") > 0).select("doc_id", tf.alias("_tf")))
+    withtf = _tf_frame(docs, d, text_col, id_col, hash_mode)
     # idf: bucket document frequencies + N in one tiny pass over the
     # d-length vectors (exploded rows are d per doc, not tokens per doc)
     stats = (

@@ -8,6 +8,7 @@ from hgraphstorage_spark.streaming.ingest import (
     stream_dedup,
     stream_embed_dedup,
     stream_near_dedup,
+    stream_topic_score,
     stream_url_dedup,
 )
 from hgraphstorage_spark.streaming.joins import enrich_with_dimension, interval_join
@@ -22,6 +23,7 @@ __all__ = [
     "stream_dedup",
     "stream_embed_dedup",
     "stream_near_dedup",
+    "stream_topic_score",
     "stream_url_dedup",
     "events_tumbling_agg",
     "load_events",

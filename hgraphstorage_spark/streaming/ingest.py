@@ -358,3 +358,46 @@ def stream_url_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["url_norm"])
     )
+
+
+def stream_topic_score(
+    stream_docs: DataFrame,
+    idf_table: DataFrame,
+    centroids: DataFrame,
+    checkpoint_dir: str,
+    sink_path: str,
+    d: int = 64,
+    scale: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+):
+    """Streaming topic routing: assign arriving documents to the nearest
+    trained topic centroid using the FIXED (idf_table, centroids) model
+    from ``pipeline.similarity.topic_model`` — the topic twin of
+    ``dsir_stream_score`` (route crawl shards by topic against
+    yesterday's model, e.g. to balance a training mix online).
+
+    Shape: ``foreachBatch`` — a document's topic is a pure function of
+    (text, model), no cross-batch state, so stream output equals batch
+    ``topic_assign`` of the same rows EXACTLY (tested). Assignments
+    append to ``sink_path`` as parquet with batch_id recorded
+    (at-least-once on redelivery, consumers dedup on it).
+
+    Returns the started StreamingQuery (caller stops it)."""
+    from hgraphstorage_spark.pipeline.similarity import topic_assign
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        out = topic_assign(
+            batch_df, idf_table, centroids, d, scale, text_col, id_col, hash_mode
+        )
+        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink_path
+        )
+
+    return (
+        stream_docs.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

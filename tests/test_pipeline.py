@@ -3310,3 +3310,42 @@ class TestQuantileHistogram:
         rows = {r["bin"]: r["n"] for r in quantile_histogram(df, "value", n_bins=3).collect()}
         assert sum(rows.values()) == 4  # NULL dropped
         assert rows == {1: 2, 2: 1, 3: 1}  # floor-based split: 2,1,1
+
+
+class TestTopicModelSplit:
+    def test_split_equals_fused_vectors(self, spark):
+        """tfidf_apply(docs, tfidf_idf_table(docs)) == tfidf_vectors(docs)
+        EXACTLY — the persistable-model split can't drift from the fused
+        operator."""
+        from hgraphstorage_spark.pipeline.text import (
+            tfidf_apply,
+            tfidf_idf_table,
+            tfidf_vectors,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        fused = {r["doc_id"]: r["v"] for r in tfidf_vectors(docs, hash_mode="md5").collect()}
+        idf = tfidf_idf_table(docs, hash_mode="md5")
+        split = {r["doc_id"]: r["v"] for r in tfidf_apply(docs, idf, hash_mode="md5").collect()}
+        assert fused == split and len(fused) > 0
+
+    def test_assign_round_trips_model_parquet(self, spark, tmpdir):
+        """The (idf, centroids) model survives a parquet round trip and
+        assigns identically — the artifact a production run would save."""
+        from tests.conftest import bag
+
+        from hgraphstorage_spark.pipeline.similarity import topic_assign, topic_model
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        idf, cents = topic_model(docs, n_topics=4)
+        want = bag(topic_assign(docs, idf, cents))
+        idf.write.mode("overwrite").parquet(f"{tmpdir}/idf")
+        cents.write.mode("overwrite").parquet(f"{tmpdir}/cents")
+        got = bag(
+            topic_assign(
+                docs,
+                spark.read.parquet(f"{tmpdir}/idf"),
+                spark.read.parquet(f"{tmpdir}/cents"),
+            )
+        )
+        assert got == want and len(got) == 500

@@ -708,3 +708,38 @@ class TestStreamUrlDedup:
         assert sset == bset == {"site.com/a", "site.com/b"}
         # batch keeper is the deterministic earliest fetch
         assert {r["doc_id"] for r in batch.collect()} == {2, 3}
+
+
+class TestStreamTopicScore:
+    def test_stream_topics_equal_batch(self, spark, tmpdir):
+        """Multi-micro-batch topic routing against a fixed (idf,
+        centroids) model equals batch topic_assign EXACTLY (pure
+        function of text + model; no watermark dependence), and the
+        stream really ran as more than one batch."""
+        from hgraphstorage_spark.pipeline.similarity import topic_assign, topic_model
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        idf, cents = topic_model(docs, n_topics=4)
+        idf, cents = idf.cache(), cents.cache()
+        idf.count(), cents.count()
+
+        from hgraphstorage_spark.streaming import stream_topic_score
+
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/docs")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/docs")
+        )
+        q = stream_topic_score(stream, idf, cents, f"{tmpdir}/ckpt", f"{tmpdir}/topics")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        out = spark.read.parquet(f"{tmpdir}/topics")
+        assert out.select("batch_id").distinct().count() > 1
+        got = bag(out.select("doc_id", "topic"))
+        want = bag(topic_assign(docs, idf, cents))
+        assert got == want and len(got) == 500
+        idf.unpersist(); cents.unpersist()
