@@ -3335,21 +3335,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hackage_etl": q_hackage_etl,
         "graph_summary": q_graph_summary,
         # -- LLM-data-pipeline operators (34-50) --
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # r6 seventh rotation (cont.): minhash_lsh_pairs (hashed green
+        # r1-r6-replica; the identical md5 minhash chain runs inside the
+        # in-window fuzzy_decontaminate and incremental oracles, and the
+        # banded-LSH family keeps simhash_pairs + jaccard_prefix +
+        # embed_near_dup_lsh) rotates past the window; its slot carries
+        # the RFC 9309 robots gate
+        "robots_filter": q_robots_filter,
         # r6 second rotation: chunk_dedup and text_token_counts
         # (r1-stable, hashed green every round; the dedup family keeps
         # five in-window rows and token signals stay via content_type /
         # quality_reasons) rotate past the window; their slots carry the
         # NB quality classifier and the n-gram novelty signal
         "nb_quality": q_nb_quality,
-        "dedup_clusters": q_dedup_clusters,
-        "embed_near_dup_lsh": q_embed_near_dup_lsh,
+        # dedup_clusters (hashed green r1-r6-replica; its HashMin cluster
+        # CTE chain is embedded verbatim inside the in-window
+        # dedup_keep_best oracle) rotates past the window; its slot
+        # carries the streaming topic router, a REAL multi-batch stream
+        "stream_topics": q_stream_topics,
         # r6 third rotation: kmeans / text_quality / lang_id (r1-stable,
         # hashed green every round; clustering stays via semantic_dedup
         # + ivf in pytest, quality via quality_reasons + nb_quality,
         # language via lang_confusion) rotate past the window; their
         # slots carry the streaming crawl dedup, the watermarked
         # embedding-signature stream, and the per-domain blocklist
+        # embed_near_dup_lsh (hashed green r1-r6-replica; the vector
+        # family keeps pq/ivfpq/ann_recall and the banded-Hamming
+        # media_pairs in-window, and the md5-plane signature core runs
+        # inside the in-window stream_embed_dedup oracle) rotates past
+        # the window; its slot carries the inbound anchor-text index
+        "anchor_text": q_anchor_text,
         "stream_url_dedup": q_stream_url_dedup,
         "stream_embed_dedup": q_stream_embed_dedup,
         "domain_quality": q_domain_quality,
@@ -3365,7 +3380,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # monitor, and the crawl link graph — in-window the round they
         # were built
         "jaccard_prefix": q_jaccard_prefix,
-        "bm25_search": q_bm25_search,
+        # r6 seventh rotation: bm25_search (hashed green r1-r6-replica;
+        # its ENTIRE scoring replay is embedded inside the in-window
+        # search_eval oracle, so the machinery stays driver-checked)
+        # rotates past the window; its slot carries TF-IDF topic
+        # clustering, in-window the round it was built
+        "topic_clusters": q_topic_clusters,
         # r6 sixth rotation (cont.): decontaminate (hashed green r1-r5)
         # rotates past the window; its slot carries the MinHash
         # near-duplicate decontamination twin, which exercises the same
@@ -3392,14 +3412,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
-        # r6 late additions (rotation candidates for r7): TF-IDF topic
-        # clustering + its per-topic term report
-        "topic_clusters": q_topic_clusters,
+        # r6 late additions (rotation candidates for r7): the per-topic
+        # term report + the equi-depth histogram
         "topic_terms": q_topic_terms,
-        "robots_filter": q_robots_filter,
-        "anchor_text": q_anchor_text,
         "quantile_histogram": q_quantile_histogram,
-        "stream_topics": q_stream_topics,
+        # r6 seventh rotation, rotated-out rows (all r1-green; their
+        # machinery stays driver-checked inside in-window oracles)
+        "bm25_search": q_bm25_search,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "content_type": q_content_type,
         "dedup_exact": q_dedup_exact,
         "similarity_topk": q_similarity_topk,

@@ -91,9 +91,16 @@ def test_window_covers_required_operators():
         # rotation; kmeans / text_quality / lang_id / mix_corpus out in
         # the third — all r1-stable and hashed green every round, their
         # families covered by quality_reasons/nb_quality/lang_confusion/
-        # unimax_mix and the remaining dedup+similarity rows)
-        "minhash_lsh_pairs", "dedup_clusters",
-        "embed_near_dup_lsh",
+        # unimax_mix and the remaining dedup+similarity rows.
+        # r6 seventh rotation: minhash_lsh_pairs / dedup_clusters /
+        # embed_near_dup_lsh / bm25_search out after six green rounds —
+        # each one's machinery stays driver-checked INSIDE an in-window
+        # oracle (fuzzy_decontaminate embeds the md5 minhash chain,
+        # dedup_keep_best embeds the HashMin cluster CTEs,
+        # stream_embed_dedup embeds the md5-plane signature core,
+        # search_eval embeds the full bm25 scoring replay); their slots
+        # carry the four flagship late-r6 operators)
+        "topic_clusters", "robots_filter", "stream_topics", "anchor_text",
         # (hash_split out in the r6 fifth rotation after five green
         # rounds — the md5 split CASE stays driver-adjacent inside the
         # cluster_split oracle and the splitting family keeps
@@ -101,7 +108,6 @@ def test_window_covers_required_operators():
         # the calibration report. decontaminate out in the sixth after
         # five green rounds — its slot carries the paraphrase-robust
         # MinHash decontamination twin over the same benchmark split)
-        "bm25_search",
         "multimodal_features", "graph_summary",
         # r6 fifth rotation: the classifier-calibration reliability
         # report, in-window the round it was built
