@@ -2659,6 +2659,25 @@ _SYNTH_URL_SQL = """
         )"""
 
 
+# The RAW synthetic URL CTE (scheme/www/tracker/trailing-slash noise
+# intact) — the SQL twin of ``_with_synthetic_urls``, shared by the
+# robots_filter and anchor_text oracles so the generator arithmetic
+# lives in ONE place per engine (``_SYNTH_URL_SQL`` above is the
+# NORMALIZED form the url_dedup/domain_stats oracles derive).
+_RAW_SYNTH_URL_SQL = """ru AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 3 = 0 THEN 'https://www.'
+                       WHEN doc_id % 3 = 1 THEN 'http://'
+                       ELSE 'https://' END)
+                 || 'site' || ((doc_id // 2) % 7) || '.com/p' || (doc_id // 2)
+                 || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
+                          WHEN doc_id % 4 = 1 THEN (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+                          WHEN doc_id % 4 = 2 THEN '?utm_a=1&q=' || (doc_id // 2)
+                          ELSE '?q=' || (doc_id // 2) END) AS url
+          FROM documents
+        )"""
+
+
 _ROBOTS_FIXTURE = [
     # exact trainbot group beats the blanket * disallow; wildcard + anchor
     ("site0.com", "User-agent: trainbot\nDisallow: /p1*\nAllow: /p14$\n\nUser-agent: *\nDisallow: /\n"),
@@ -4976,18 +4995,7 @@ def _robots_oracle_sql(agent: str = "trainbot") -> str:
         "('" + d + "', '" + txt.replace("'", "''") + "')" for d, txt in _ROBOTS_FIXTURE
     )
     return rf"""
-        WITH ru AS (
-          SELECT doc_id,
-                 (CASE WHEN doc_id % 3 = 0 THEN 'https://www.'
-                       WHEN doc_id % 3 = 1 THEN 'http://'
-                       ELSE 'https://' END)
-                 || 'site' || ((doc_id // 2) % 7) || '.com/p' || (doc_id // 2)
-                 || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
-                          WHEN doc_id % 4 = 1 THEN (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
-                          WHEN doc_id % 4 = 2 THEN '?utm_a=1&q=' || (doc_id // 2)
-                          ELSE '?q=' || (doc_id // 2) END) AS url
-          FROM documents
-        ),
+        WITH {_RAW_SYNTH_URL_SQL},
         rb(domain, txt) AS (VALUES
           {values}
         ),
@@ -5040,9 +5048,9 @@ def _robots_oracle_sql(agent: str = "trainbot") -> str:
         ),
         up AS (
           SELECT doc_id,
-                 lower(regexp_extract(url, '^[a-z]+://(?:www\.)?([^/?#]+)', 1)) AS host,
-                 CASE WHEN regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1) = ''
-                      THEN '/' ELSE regexp_extract(url, '^[a-z]+://[^/?#]*([^#]*)', 1) END AS path
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[wW][wW][wW]\.)?([^/?#]+)', 1)) AS host,
+                 CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) = ''
+                      THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) END AS path
           FROM ru
         ),
         rk AS (
@@ -5491,20 +5499,9 @@ def oracle_sql() -> dict[str, str]:
     # per page (the raw synthetic URL is the src; the root-relative link
     # resolves against the UNSTRIPPED origin, www. included), then the
     # same count/top-k aggregation
-    sql["anchor_text"] = r"""
+    sql["anchor_text"] = f"""
         WITH d AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
-        ru AS (
-          SELECT doc_id,
-                 (CASE WHEN doc_id % 3 = 0 THEN 'https://www.'
-                       WHEN doc_id % 3 = 1 THEN 'http://'
-                       ELSE 'https://' END)
-                 || 'site' || ((doc_id // 2) % 7) || '.com/p' || (doc_id // 2)
-                 || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x'
-                          WHEN doc_id % 4 = 1 THEN (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
-                          WHEN doc_id % 4 = 2 THEN '?utm_a=1&q=' || (doc_id // 2)
-                          ELSE '?q=' || (doc_id // 2) END) AS url
-          FROM documents
-        ),
+        {_RAW_SYNTH_URL_SQL},
         base AS (
           SELECT ru.url AS src,
                  'https://site' || ((d.k + 1) % 7) || '.com/p' || (d.k + 1) AS link_url,

@@ -90,7 +90,9 @@ def search_eval(
 
     Conventions: recall and nDCG are NULL for queries with no relevant /
     no positively-graded judgments (undefined, not zero); MRR@k is 0 when
-    no relevant doc appears in the top k.
+    no relevant doc appears in the top k; a query with judgments but NO
+    ranking rows (total retrieval failure) reports hits 0 / precision 0 /
+    recall 0 / mrr 0 — the trec_eval convention — rather than vanishing.
 
     Scale shape: one (query, doc)-keyed equi-join of the ranking against
     the qrels (AQE broadcasts the small side), then per-query partial
@@ -174,9 +176,21 @@ def search_eval(
             ]
         )
     )
+    # FULL outer: a query with judgments but zero retrieved rows must
+    # report hits 0 / precision 0 / recall 0 (trec_eval convention), not
+    # silently vanish and inflate downstream averages (review catch)
+    joined = per_query.join(ideal, query_col, "full").withColumn(
+        "_n_rel", F.coalesce("_n_rel", F.lit(0))
+    )
+    for k in ks:
+        joined = joined.withColumn(
+            f"_hits_{k}", F.coalesce(F.col(f"_hits_{k}"), F.lit(0))
+        ).withColumn(
+            f"_dcg_{k}",
+            F.coalesce(F.col(f"_dcg_{k}"), F.lit(0).cast("decimal(38,12)")),
+        )
     return (
-        per_query.join(ideal, query_col, "left")
-        .withColumn("_n_rel", F.coalesce("_n_rel", F.lit(0)))
+        joined
         .select(query_col, F.col("_n_rel").cast("long").alias("n_rel"), long_rows.alias("m"))
         .select(
             query_col,

@@ -551,6 +551,52 @@ def label_centroids(
     )
 
 
+def _assign_to_centroids(
+    frame: DataFrame, cent_rows: DataFrame, id_col: str, vec_col: str, out_col: str
+) -> DataFrame:
+    """Broadcast-centroid cosine argmax, ties to the smaller centroid id
+    — the ONE assignment rule shared by ``kmeans_iterations`` (training)
+    and ``topic_assign`` (the persisted-model apply path), so the
+    tie-break can never silently diverge between them (review catch).
+    ``cent_rows``: (cid, cvec). Returns (vec_id, <out_col>)."""
+    cents = cent_rows.groupBy().agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
+    return (
+        frame.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_vec"),
+            F.explode("cents").alias("c"),
+        )
+        .select(
+            "vec_id",
+            F.col("c.cid").alias("cid"),
+            cosine(F.col("_vec"), F.col("c.cvec")).alias("csim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias(out_col))
+    )
+
+
+def _centroid_update(assigned: DataFrame, vecs: DataFrame, label_col: str) -> DataFrame:
+    """(cid, cvec) mean vectors of an assignment — the Lloyd update
+    shared by ``kmeans_iterations`` and ``topic_model``. ``assigned``:
+    (vec_id, <label_col>); ``vecs``: (vec_id, _v). (list, dim)-keyed
+    skew-free aggregation, same shape as ``label_centroids``."""
+    return (
+        assigned.join(vecs, "vec_id")
+        .select(label_col, F.posexplode("_v").alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cvec")
+        )
+        .select(F.col(label_col).alias("cid"), "cvec")
+    )
+
+
 def kmeans_iterations(
     embeddings: DataFrame,
     nlist: int = 8,
@@ -566,53 +612,21 @@ def kmeans_iterations(
 
     Scale shape per round: one pass over the data against BROADCAST
     centroids (explode-the-small-side + max_by argmax, no shuffle of the
-    vectors), then a centroid update keyed by (list, dim) — the same
-    fine-grained skew-free aggregation as ``label_centroids``. A cluster
-    that loses all members disappears (standard Lloyd degeneracy; a
-    production run would re-seed it).
+    vectors — ``_assign_to_centroids``), then a centroid update keyed by
+    (list, dim) (``_centroid_update``). A cluster that loses all members
+    disappears (standard Lloyd degeneracy; a production run would
+    re-seed it).
     """
-
-    def assign(cent_rows: DataFrame) -> DataFrame:
-        cents = cent_rows.groupBy().agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
-        return (
-            embeddings.crossJoin(F.broadcast(cents))
-            .select(
-                F.col(id_col).alias("vec_id"),
-                F.col(vec_col).alias("_vec"),
-                F.explode("cents").alias("c"),
-            )
-            .select(
-                "vec_id",
-                F.col("c.cid").alias("cid"),
-                cosine(F.col("_vec"), F.col("c.cvec")).alias("csim"),
-            )
-            .groupBy("vec_id")
-            .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("list_id"))
-        )
-
     cents = (
         embeddings.orderBy(F.col(id_col).asc())
         .limit(nlist)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
-    assigned = assign(cents)
+    assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col, "list_id")
     vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     for _ in range(iterations - 1):
-        new_cents = (
-            assigned.join(vecs, "vec_id")
-            .select("list_id", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("list_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-                ).alias("cvec")
-            )
-            .select(F.col("list_id").alias("cid"), "cvec")
-            .localCheckpoint()
-        )
-        assigned = assign(new_cents)
+        new_cents = _centroid_update(assigned, vecs, "list_id").localCheckpoint()
+        assigned = _assign_to_centroids(embeddings, new_cents, id_col, vec_col, "list_id")
     return assigned
 
 
@@ -1611,26 +1625,22 @@ def topic_model(
     without re-reading the training corpus — the dsir_ratio_table /
     pq_build pattern for topics."""
     from hgraphstorage_spark.pipeline.state import track
-    from hgraphstorage_spark.pipeline.text import tfidf_apply, tfidf_idf_table
+    from hgraphstorage_spark.pipeline.text import _tf_frame, tfidf_apply, tfidf_idf_table
 
-    idf = track(tfidf_idf_table(docs, d, text_col, id_col, hash_mode))
-    vecs = track(tfidf_apply(docs, idf, d, scale, text_col, id_col, hash_mode))
+    # ONE tokenize+fold pass: the persisted tf frame feeds both the idf
+    # table and the vectorization (review catch — the naive composition
+    # ran the O(d·tokens) fold twice over the training corpus)
+    tf = _tf_frame(docs, d, text_col, id_col, hash_mode)
+    idf = track(tfidf_idf_table(docs, d, text_col, id_col, hash_mode, tf_frame=tf))
+    vecs = track(
+        tfidf_apply(docs, idf, d, scale, text_col, id_col, hash_mode, tf_frame=tf)
+    )
     assigned = kmeans_iterations(
         vecs, nlist=n_topics, iterations=iterations, id_col="doc_id", vec_col="v"
     )
-    cents = (
-        assigned.join(vecs.select(F.col("doc_id").alias("vec_id"), "v"), "vec_id")
-        .select("list_id", F.posexplode("v").alias("pos", "x"))
-        .groupBy("list_id", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("list_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cvec")
-        )
-        .select(F.col("list_id").alias("topic"), "cvec")
-    )
+    cents = _centroid_update(
+        assigned, vecs.select(F.col("doc_id").alias("vec_id"), F.col("v").alias("_v")), "list_id"
+    ).select(F.col("cid").alias("topic"), "cvec")
     return idf, cents
 
 
@@ -1656,17 +1666,7 @@ def topic_assign(
     from hgraphstorage_spark.pipeline.text import tfidf_apply
 
     vecs = tfidf_apply(docs, idf_table, d, scale, text_col, id_col, hash_mode)
-    cl = centroids.groupBy().agg(
-        F.collect_list(F.struct(F.col("topic").alias("cid"), F.col("cvec").alias("cvec"))).alias("cents")
-    )
-    return (
-        vecs.crossJoin(F.broadcast(cl))
-        .select("doc_id", "v", F.explode("cents").alias("c"))
-        .select(
-            "doc_id",
-            F.col("c.cid").alias("cid"),
-            cosine(F.col("v"), F.col("c.cvec")).alias("csim"),
-        )
-        .groupBy("doc_id")
-        .agg(F.max_by("cid", F.struct(F.col("csim"), -F.col("cid"))).alias("topic"))
+    cent_rows = centroids.select(F.col("topic").alias("cid"), "cvec")
+    return _assign_to_centroids(vecs, cent_rows, "doc_id", "v", "topic").select(
+        F.col("vec_id").alias(id_col), "topic"
     )

@@ -1700,14 +1700,17 @@ def tfidf_idf_table(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "xxhash64",
+    tf_frame: DataFrame | None = None,
 ) -> DataFrame:
     """The persistable TRAINED half of the TF-IDF split: the d-row
     (pos, idf) table with idf = ln(1 + N/df) over the training corpus
     (unused buckets get idf 0.0). Save it next to the topic centroids;
     :func:`tfidf_apply` vectorizes ANY frame — including streaming
     micro-batches — against it without touching the training corpus
-    again (the dsir_ratio_table pattern)."""
-    withtf = _tf_frame(docs, d, text_col, id_col, hash_mode)
+    again (the dsir_ratio_table pattern). ``tf_frame`` lets a caller that
+    already built the (persisted) tf fold share it (topic_model builds
+    it once for both the idf table and the vectors)."""
+    withtf = tf_frame if tf_frame is not None else _tf_frame(docs, d, text_col, id_col, hash_mode)
     dfc = (
         withtf.select(F.posexplode("_tf").alias("pos", "w"))
         .filter(F.col("w") > 0)
@@ -1736,6 +1739,7 @@ def tfidf_apply(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "xxhash64",
+    tf_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Vectorize a frame against a FIXED idf table (the apply half of
     the TF-IDF split): same fold, same integer quantization as
@@ -1743,8 +1747,13 @@ def tfidf_apply(
     d-row ``idf_table`` (broadcast as one array) — so new documents and
     streaming micro-batches vectorize identically to the training run.
     ``tfidf_apply(docs, tfidf_idf_table(docs))`` equals
-    ``tfidf_vectors(docs)`` exactly (tested)."""
-    withtf = _tf_frame(docs, d, text_col, id_col, hash_mode, persist=False)
+    ``tfidf_vectors(docs)`` exactly (tested). ``tf_frame``: share a
+    prebuilt fold (see tfidf_idf_table)."""
+    withtf = (
+        tf_frame
+        if tf_frame is not None
+        else _tf_frame(docs, d, text_col, id_col, hash_mode, persist=False)
+    )
     arr = idf_table.groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "idf"))), lambda s: s["idf"]

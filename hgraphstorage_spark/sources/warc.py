@@ -416,9 +416,12 @@ def parse_robots(
     line rows. The output rules table is the small side every filter
     join broadcasts."""
     a = agent.lower()
+    # split tolerates CRLF — real robots.txt is overwhelmingly served
+    # with \r\n line endings, and a trailing \r on the user-agent value
+    # would otherwise kill every group match (fail-open; review catch)
     lines = robots.select(
         F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("ord", "raw"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("ord", "raw"),
     )
     key = F.lower(F.trim(F.regexp_extract("raw", r"^([^:#]+):", 1)))
     val = F.trim(F.regexp_extract("raw", r"^[^:#]+:[ \t]*([^#]*)", 1))
@@ -481,8 +484,15 @@ def robots_filter(
     URL stream keyed by host, then a per-URL argmax with map-side
     partials — URLs never shuffle their payload columns (the verdict
     joins back by id)."""
-    host = F.lower(F.regexp_extract(F.col(url_col), r"^[a-z]+://(?:www\.)?([^/?#]+)", 1))
-    rawpath = F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/?#]*([^#]*)", 1)
+    # scheme match is case-insensitive (RFC 3986: schemes compare
+    # case-insensitively; a lowercase-only anchor would extract host=''
+    # for HTTPS:// URLs and fail open — review catch)
+    host = F.lower(
+        F.regexp_extract(
+            F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[wW][wW][wW]\.)?([^/?#]+)", 1
+        )
+    )
+    rawpath = F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)", 1)
     path = F.when(rawpath == "", F.lit("/")).otherwise(rawpath)
     base = urls.select(F.col(id_col), host.alias("host"), path.alias("path"))
     esc = F.col("path_rule")

@@ -3349,3 +3349,23 @@ class TestTopicModelSplit:
             )
         )
         assert got == want and len(got) == 500
+
+
+def test_search_eval_reports_unretrieved_judged_query(spark):
+    """A query with relevance judgments but ZERO ranking rows must appear
+    with hits 0 / precision 0 / recall 0 / mrr 0 (trec_eval convention),
+    not vanish — review-confirmed drop bug."""
+    from hgraphstorage_spark.pipeline.search import search_eval
+
+    ranking = spark.createDataFrame(
+        [(1, 10, 1)], "query_id int, doc_id long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1.0), (2, 77, 3.0)], "query_id int, doc_id long, rel double"
+    )
+    rows = {(r["query_id"], r["k"]): r for r in search_eval(ranking, qrels, ks=(1,)).collect()}
+    assert set(q for q, _ in rows) == {1, 2}
+    q2 = rows[(2, 1)]
+    assert q2["n_rel"] == 1 and q2["hits"] == 0
+    assert float(q2["precision"]) == 0.0 and float(q2["recall"]) == 0.0
+    assert float(q2["mrr"]) == 0.0 and float(q2["ndcg"]) == 0.0

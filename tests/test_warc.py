@@ -488,3 +488,24 @@ class TestAnchorTextIndex:
         e = rows[("https://e.com/q", None)]
         assert (e["n_inlinks"], e["n_sources"]) == (2, 1)
         assert e["token"] is None and e["rank"] is None
+
+    def test_crlf_robots_and_uppercase_scheme(self, spark):
+        """CRLF-served robots.txt (the dominant real-world format) must
+        parse identically to LF, and an uppercase URL scheme must not
+        bypass the gate (RFC 3986 schemes are case-insensitive) —
+        review-confirmed fail-open bugs."""
+        from hgraphstorage_spark.sources.warc import parse_robots, robots_filter
+
+        robots = spark.createDataFrame(
+            [("x.com", "User-agent: trainbot\r\nDisallow: /private\r\n")],
+            "domain string, robots_txt string",
+        )
+        rules = parse_robots(robots, agent="trainbot")
+        got = {(r["domain"], r["directive"], r["path"]) for r in rules.collect()}
+        assert got == {("x.com", "disallow", "/private")}
+        urls = spark.createDataFrame(
+            [(1, "HTTPS://x.com/private/doc"), (2, "https://X.COM/private/doc")],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+        assert out == {1: False, 2: False}
