@@ -3102,6 +3102,20 @@ def q_link_graph(spark, sf_dir):
     return extract_links(pages).select("doc_id", "href", "link_url")
 
 
+def q_sentences(spark, sf_dir):
+    """Sentence segmentation (pipeline/text.py:sentence_split) over
+    deterministically punctuated text (every standalone 'a' token
+    becomes a period — the synthetic corpus carries no terminators of
+    its own): RE2-safe terminator marking, split, whitespace collapse,
+    token counts. Oracle replays the same replace + split chain."""
+    from hgraphstorage_spark.pipeline.text import sentence_split
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " a ", ". ")
+    )
+    return sentence_split(docs, min_tokens=1)
+
+
 def q_quantile_histogram(spark, sf_dir):
     """Equi-depth histogram of events.value (10 bins of equal count;
     edges = where the quantile cuts fall): distributed two-pass rank, no
@@ -3435,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # term report + the equi-depth histogram
         "topic_terms": q_topic_terms,
         "quantile_histogram": q_quantile_histogram,
+        "sentences": q_sentences,
         # r6 seventh rotation, rotated-out rows (all r1-green; their
         # machinery stays driver-checked inside in-window oracles)
         "bm25_search": q_bm25_search,
@@ -5484,6 +5499,28 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
+    # sentence_split replay: same punctuate -> mark -> split -> collapse
+    # chain; sent_idx is the 0-based PRE-FILTER split position
+    sql["sentences"] = r"""
+        WITH d2 AS (
+          SELECT doc_id, regexp_replace(text, ' a ', '. ', 'g') AS t FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 regexp_replace(trim(t), '([.!?]+)([ \t\n\x0B\f\r]+|$)',
+                                '\1' || chr(1), 'g') AS mt
+          FROM d2
+        ),
+        parts AS (
+          SELECT doc_id, i - 1 AS sent_idx,
+                 trim(regexp_replace(string_split(mt, chr(1))[i],
+                                     '[ \t\n\x0B\f\r]+', ' ', 'g')) AS sentence
+          FROM m, unnest(generate_series(1, len(string_split(mt, chr(1))))) AS u(i)
+        )
+        SELECT doc_id, sent_idx::INT AS sent_idx, sentence,
+               len(regexp_split_to_array(sentence, '[ \t\n\x0B\f\r]+'))::BIGINT AS n_tokens
+        FROM parts WHERE regexp_matches(sentence, '[^.!? \t\n\x0B\f\r]')
+    """
     # equi-depth twin of numeric_histogram: rank over the (value, id)
     # total order, bin = 1 + floor((rn-1)*k/N); lo/hi are element
     # selections so no rounding is needed

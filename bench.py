@@ -190,6 +190,7 @@ R6_OPS = [
     "robots_filter",
     "anchor_text",
     "quantile_histogram",
+    "sentences",
 ]
 
 

@@ -1825,3 +1825,54 @@ def tfidf_vectors(
             ).alias("v"),
         )
     )
+
+
+def sentence_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Regex sentence segmentation: split on runs of sentence-ending
+    punctuation ([.!?]+) followed by whitespace or end-of-text, keeping
+    the terminator with its sentence — the deterministic baseline tier
+    (like ``html_to_text``; an ML segmenter is a drop-in upgrade). The
+    granularity step between document-level and line-level ops:
+    sentence-level dedup, per-sentence quality, and citation-span work
+    all start here.
+
+    Returns (doc_id, sent_idx, sentence, n_tokens) — 0-based position
+    in the PRE-FILTER split (gaps where short fragments dropped, so the
+    index never needs a doc-keyed shuffle to renumber), whitespace-
+    collapsed text, whitespace token count; sentences under
+    ``min_tokens`` drop (stray terminators).
+
+    Scale shape: one narrow regexp split + posexplode (explode_outer
+    against InferFiltersFromGenerate, as everywhere); nothing shuffles.
+    The split regex is RE2-safe (no lookbehind), so a DuckDB oracle
+    replays it verbatim."""
+    # insert \x01 after terminator+space runs, then split on it: keeps
+    # the terminator attached without lookbehind (RE2-safe both engines)
+    marked = F.regexp_replace(
+        F.trim(F.col(text_col)), r"([.!?]+)([ \t\n\x0B\f\r]+|$)", "$1\x01"
+    )
+    parts = F.split(marked, "\x01")
+    cleaned = lambda s: F.trim(F.regexp_replace(s, WS_RE, " "))  # noqa: E731
+    out = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode_outer(parts).alias("sent_idx", "_raw"),
+        )
+        .select(
+            "doc_id",
+            "sent_idx",
+            cleaned(F.col("_raw")).alias("sentence"),
+        )
+        # a sentence must carry at least one non-terminator character —
+        # punctuation-only fragments ('...') are artifacts, not sentences
+        .filter(F.col("sentence").rlike(r"[^.!? \t\n\x0B\f\r]"))
+    )
+    n_tok = F.size(F.split(F.col("sentence"), WS_RE))
+    return out.withColumn("n_tokens", n_tok.cast("long")).filter(
+        F.col("n_tokens") >= min_tokens
+    )

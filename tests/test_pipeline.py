@@ -3369,3 +3369,45 @@ def test_search_eval_reports_unretrieved_judged_query(spark):
     assert q2["n_rel"] == 1 and q2["hits"] == 0
     assert float(q2["precision"]) == 0.0 and float(q2["recall"]) == 0.0
     assert float(q2["mrr"]) == 0.0 and float(q2["ndcg"]) == 0.0
+
+
+class TestSentenceSplit:
+    def test_terminator_kept_and_collapsed(self, spark):
+        from hgraphstorage_spark.pipeline.text import sentence_split
+
+        docs = spark.createDataFrame(
+            [(1, "Hello  world. How are you?  Fine!!! ok"), (2, "no terminator")],
+            "doc_id long, text string",
+        )
+        got = [
+            (r["doc_id"], r["sent_idx"], r["sentence"], r["n_tokens"])
+            for r in sentence_split(docs).orderBy("doc_id", "sent_idx").collect()
+        ]
+        assert got == [
+            (1, 0, "Hello world.", 2),
+            (1, 1, "How are you?", 3),
+            (1, 2, "Fine!!!", 1),
+            (1, 3, "ok", 1),
+            (2, 0, "no terminator", 2),
+        ]
+
+    def test_min_tokens_drops_fragments_keeps_index(self, spark):
+        from hgraphstorage_spark.pipeline.text import sentence_split
+
+        docs = spark.createDataFrame(
+            [(1, "One two three. x. Four five.")], "doc_id long, text string"
+        )
+        got = [
+            (r["sent_idx"], r["sentence"])
+            for r in sentence_split(docs, min_tokens=2).orderBy("sent_idx").collect()
+        ]
+        # 'x.' drops; surviving sentences keep their pre-filter position
+        assert got == [(0, "One two three."), (2, "Four five.")]
+
+    def test_empty_and_whitespace_docs_yield_nothing(self, spark):
+        from hgraphstorage_spark.pipeline.text import sentence_split
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "...")], "doc_id long, text string"
+        )
+        assert sentence_split(docs).count() == 0
