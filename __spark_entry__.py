@@ -3102,6 +3102,22 @@ def q_link_graph(spark, sf_dir):
     return extract_links(pages).select("doc_id", "href", "link_url")
 
 
+def q_sentence_dedup(spark, sf_dir):
+    """RefinedWeb-granularity sentence dedup: every exact sentence
+    occurring >= 2 times corpus-wide (the planted duplicate docs make
+    real repeats) vanishes from ALL documents; reassembled text is
+    md5-fingerprinted. Oracle replays by sentence string."""
+    from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " a ", ". ")
+    )
+    out = boilerplate_dedup(docs, unit="sentence", min_count=2)
+    return out.select(
+        "doc_id", "n_units", "n_kept", F.md5("text_dedup").alias("dedup_fp")
+    )
+
+
 def q_sentences(spark, sf_dir):
     """Sentence segmentation (pipeline/text.py:sentence_split) over
     deterministically punctuated text (every standalone 'a' token
@@ -3450,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_terms": q_topic_terms,
         "quantile_histogram": q_quantile_histogram,
         "sentences": q_sentences,
+        "sentence_dedup": q_sentence_dedup,
         # r6 seventh rotation, rotated-out rows (all r1-green; their
         # machinery stays driver-checked inside in-window oracles)
         "bm25_search": q_bm25_search,
@@ -5501,6 +5518,36 @@ def oracle_sql() -> dict[str, str]:
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
     # sentence_split replay: same punctuate -> mark -> split -> collapse
     # chain; sent_idx is the 0-based PRE-FILTER split position
+    sql["sentence_dedup"] = r"""
+        WITH d2 AS (
+          SELECT doc_id, regexp_replace(text, ' a ', '. ', 'g') AS t FROM documents
+        ),
+        sl AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     string_split(regexp_replace(trim(t), '([.!?]+)([ \t\n\x0B\f\r]+|$)',
+                                                 '\1' || chr(1), 'g'), chr(1)),
+                     x -> trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g'))),
+                   x -> regexp_matches(x, '[^.!? \t\n\x0B\f\r]')) AS us
+          FROM d2
+        ),
+        ch AS (
+          SELECT doc_id, i - 1 AS pos, us[i] AS u
+          FROM sl, unnest(generate_series(1, len(us))) AS t(i)
+        ),
+        el AS (SELECT *, len(trim(u)) >= 1 AS eligible FROM ch),
+        boiler AS (SELECT u FROM el WHERE eligible GROUP BY u HAVING count(*) >= 2),
+        marked AS (
+          SELECT el.doc_id, el.pos, el.u,
+                 NOT (el.eligible AND boiler.u IS NOT NULL) AS keep
+          FROM el LEFT JOIN boiler ON el.u = boiler.u
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_units,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN keep THEN u END, ' ' ORDER BY pos), '')) AS dedup_fp
+        FROM marked GROUP BY doc_id
+    """
     sql["sentences"] = r"""
         WITH d2 AS (
           SELECT doc_id, regexp_replace(text, ' a ', '. ', 'g') AS t FROM documents

@@ -191,6 +191,7 @@ R6_OPS = [
     "anchor_text",
     "quantile_histogram",
     "sentences",
+    "sentence_dedup",
 ]
 
 

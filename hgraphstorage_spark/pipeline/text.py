@@ -428,8 +428,10 @@ def boilerplate_dedup(
 
     ``unit="line"`` splits on newlines (the paper semantics);
     ``unit="chunk"`` falls back to consecutive ``chunk_words``-word
-    chunks for newline-free corpora. Units shorter than ``min_chars``
-    after trimming are exempt (blank separators survive).
+    chunks for newline-free corpora; ``unit="sentence"`` uses the
+    RE2-safe sentence segmentation (`_sentence_array` — the RefinedWeb
+    sentence-dedup granularity). Units shorter than ``min_chars`` after
+    trimming are exempt (blank separators survive).
 
     Shape at scale: unit counting shuffles 8-byte xxhash64 keys only
     (map-side partial agg); the boilerplate set joins back by hash with
@@ -456,8 +458,11 @@ def boilerplate_dedup(
             lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
         )
         joiner = " "
+    elif unit == "sentence":
+        units = _sentence_array(text)
+        joiner = " "
     else:
-        raise ValueError(f"unit must be 'line' or 'chunk', got {unit!r}")
+        raise ValueError(f"unit must be 'line', 'chunk' or 'sentence', got {unit!r}")
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(units).alias("pos", "u")
     ).withColumn("eligible", F.length(F.trim(F.col("u"))) >= min_chars)
@@ -1827,6 +1832,24 @@ def tfidf_vectors(
     )
 
 
+# sentence boundary machinery shared by sentence_split and
+# boilerplate_dedup(unit="sentence"): terminator-run marking (RE2-safe,
+# no lookbehind) and the at-least-one-word-character sentence test
+_SENT_MARK_RE = r"([.!?]+)([ \t\n\x0B\f\r]+|$)"
+_SENT_WORD_RE = r"[^.!? \t\n\x0B\f\r]"
+
+
+def _sentence_array(text) -> "F.Column":
+    """Cleaned sentence ARRAY of a text column (order kept, punctuation-
+    only fragments dropped) — the index-free form backing the sentence
+    dedup unit; `sentence_split` keeps its own pre-filter indexing."""
+    marked = F.regexp_replace(F.trim(text), _SENT_MARK_RE, "$1\x01")
+    cleaned = F.transform(
+        F.split(marked, "\x01"), lambda x: F.trim(F.regexp_replace(x, WS_RE, " "))
+    )
+    return F.filter(cleaned, lambda x: x.rlike(_SENT_WORD_RE))
+
+
 def sentence_split(
     docs: DataFrame,
     text_col: str = "text",
@@ -1853,9 +1876,7 @@ def sentence_split(
     replays it verbatim."""
     # insert \x01 after terminator+space runs, then split on it: keeps
     # the terminator attached without lookbehind (RE2-safe both engines)
-    marked = F.regexp_replace(
-        F.trim(F.col(text_col)), r"([.!?]+)([ \t\n\x0B\f\r]+|$)", "$1\x01"
-    )
+    marked = F.regexp_replace(F.trim(F.col(text_col)), _SENT_MARK_RE, "$1\x01")
     parts = F.split(marked, "\x01")
     cleaned = lambda s: F.trim(F.regexp_replace(s, WS_RE, " "))  # noqa: E731
     out = (
@@ -1870,7 +1891,7 @@ def sentence_split(
         )
         # a sentence must carry at least one non-terminator character —
         # punctuation-only fragments ('...') are artifacts, not sentences
-        .filter(F.col("sentence").rlike(r"[^.!? \t\n\x0B\f\r]"))
+        .filter(F.col("sentence").rlike(_SENT_WORD_RE))
     )
     n_tok = F.size(F.split(F.col("sentence"), WS_RE))
     return out.withColumn("n_tokens", n_tok.cast("long")).filter(

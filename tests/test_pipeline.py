@@ -3411,3 +3411,26 @@ class TestSentenceSplit:
             [(1, ""), (2, "   "), (3, "...")], "doc_id long, text string"
         )
         assert sentence_split(docs).count() == 0
+
+    def test_sentence_unit_boilerplate_dedup(self, spark):
+        """unit='sentence': a sentence repeated >= min_count times
+        corpus-wide vanishes from ALL documents (RefinedWeb granularity);
+        unique sentences survive with order preserved."""
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Cookie banner here. Real content one."),
+                (2, "Cookie banner here. Real content two!"),
+                (3, "Cookie banner here. Something else? Cookie banner here."),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in boilerplate_dedup(docs, unit="sentence", min_count=3).collect()
+        }
+        assert got[1]["text_dedup"] == "Real content one."
+        assert got[2]["text_dedup"] == "Real content two!"
+        assert got[3]["text_dedup"] == "Something else?"
+        assert (got[3]["n_units"], got[3]["n_kept"]) == (3, 1)
