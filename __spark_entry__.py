@@ -3132,6 +3132,20 @@ def q_sentences(spark, sf_dir):
     return sentence_split(docs, min_tokens=1)
 
 
+def q_readability(spark, sf_dir):
+    """Flesch reading ease + FK grade (pipeline/text.py:
+    readability_scores) over the punctuated corpus: sentence counts via
+    the shared terminator machinery, ASCII letter-run words, vowel-group
+    syllables with the silent-'e' rule. Oracle replays every count and
+    the two score formulas with identical double arithmetic."""
+    from hgraphstorage_spark.pipeline.text import readability_scores
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.regexp_replace("text", " a ", ". ")
+    )
+    return readability_scores(docs)
+
+
 def q_quantile_histogram(spark, sf_dir):
     """Equi-depth histogram of events.value (10 bins of equal count;
     edges = where the quantile cuts fall): distributed two-pass rank, no
@@ -3467,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_histogram": q_quantile_histogram,
         "sentences": q_sentences,
         "sentence_dedup": q_sentence_dedup,
+        "readability": q_readability,
         # r6 seventh rotation, rotated-out rows (all r1-green; their
         # machinery stays driver-checked inside in-window oracles)
         "bm25_search": q_bm25_search,
@@ -5567,6 +5582,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, sent_idx::INT AS sent_idx, sentence,
                len(regexp_split_to_array(sentence, '[ \t\n\x0B\f\r]+'))::BIGINT AS n_tokens
         FROM parts WHERE regexp_matches(sentence, '[^.!? \t\n\x0B\f\r]')
+    """
+    # readability replay: same punctuate, the sentence-array filter from
+    # sentence_dedup, letter-run words, vowel-group syllables with the
+    # silent-'e' rule, then the two Flesch formulas in DOUBLE with the
+    # identical left-associated operation order
+    sql["readability"] = r"""
+        WITH d2 AS (
+          SELECT doc_id, regexp_replace(text, ' a ', '. ', 'g') AS t FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   list_transform(
+                     string_split(regexp_replace(trim(t), '([.!?]+)([ \t\n\x0B\f\r]+|$)',
+                                                 '\1' || chr(1), 'g'), chr(1)),
+                     x -> trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g'))),
+                   x -> regexp_matches(x, '[^.!? \t\n\x0B\f\r]')))::BIGINT AS n_sentences,
+                 regexp_extract_all(lower(t), '[a-z]+') AS words
+          FROM d2
+        ),
+        c AS (
+          SELECT doc_id, n_sentences,
+                 len(words)::BIGINT AS n_words,
+                 COALESCE(list_sum(list_transform(words, w ->
+                   greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))
+                     - CASE WHEN regexp_matches(w, 'e$')
+                                 AND NOT regexp_matches(w, 'le$')
+                                 AND len(regexp_extract_all(w, '[aeiouy]+')) >= 2
+                            THEN 1 ELSE 0 END))), 0)::BIGINT AS n_syllables
+          FROM f
+        )
+        SELECT doc_id, n_sentences, n_words, n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 round((206.835)::DOUBLE
+                       - (1.015)::DOUBLE * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+                       - (84.6)::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 4)::DECIMAL(18,4)
+               END AS flesch_reading_ease,
+               CASE WHEN n_words > 0 THEN
+                 round((0.39)::DOUBLE * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+                       + (11.8)::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE)
+                       - (15.59)::DOUBLE, 4)::DECIMAL(18,4)
+               END AS fk_grade
+        FROM c
     """
     # equi-depth twin of numeric_histogram: rank over the (value, id)
     # total order, bin = 1 + floor((rn-1)*k/N); lo/hi are element

@@ -192,6 +192,7 @@ R6_OPS = [
     "quantile_histogram",
     "sentences",
     "sentence_dedup",
+    "readability",
 ]
 
 

@@ -3434,3 +3434,74 @@ class TestSentenceSplit:
         assert got[2]["text_dedup"] == "Real content two!"
         assert got[3]["text_dedup"] == "Something else?"
         assert (got[3]["n_units"], got[3]["n_kept"]) == (3, 1)
+
+    def test_paragraph_unit_boilerplate_dedup(self, spark):
+        """unit='paragraph': blank-line-separated blocks are the unit;
+        a repeated footer paragraph vanishes corpus-wide, reassembly
+        joins survivors with a blank line."""
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+        footer = "Subscribe to our\nnewsletter today."
+        docs = spark.createDataFrame(
+            [
+                (1, f"Unique intro one.\n\n{footer}"),
+                (2, f"{footer}\n \nUnique body two."),
+                (3, f"Unique A.\n\t\nUnique B.\n\n{footer}"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in boilerplate_dedup(docs, unit="paragraph", min_count=3).collect()
+        }
+        assert got[1]["text_dedup"] == "Unique intro one."
+        assert got[2]["text_dedup"] == "Unique body two."
+        assert got[3]["text_dedup"] == "Unique A.\n\nUnique B."
+        assert (got[3]["n_units"], got[3]["n_kept"]) == (3, 2)
+
+
+class TestReadability:
+    def test_known_text(self, spark):
+        """Hand-computed Flesch counts on a two-sentence text."""
+        from hgraphstorage_spark.pipeline.text import readability_scores
+
+        # "the cat sat." -> words the/cat/sat, 1 syllable each;
+        # "a simple example here." -> a(1) simple(2: i, e-groups si-m-ple ->
+        #   groups i,e = 2, ends 'le' so no silent-e subtraction)
+        #   example(3: e,a,e -> ends 'le' keeps 3) here(2: e, e$ silent -> 1)
+        docs = spark.createDataFrame(
+            [(1, "The cat sat. A simple example here.")],
+            "doc_id long, text string",
+        )
+        row = readability_scores(docs).collect()[0]
+        assert row["n_sentences"] == 2
+        assert row["n_words"] == 7
+        # the1 cat1 sat1 a1 simple2 example3 here1 = 10
+        assert row["n_syllables"] == 10
+        wps, spw = 7 / 2, 10 / 7
+        assert float(row["flesch_reading_ease"]) == round(
+            206.835 - 1.015 * wps - 84.6 * spw, 4
+        )
+        assert float(row["fk_grade"]) == round(0.39 * wps + 11.8 * spw - 15.59, 4)
+
+    def test_terminator_free_is_one_sentence(self, spark):
+        from hgraphstorage_spark.pipeline.text import readability_scores
+
+        docs = spark.createDataFrame(
+            [(1, "no terminators here at all")], "doc_id long, text string"
+        )
+        row = readability_scores(docs).collect()[0]
+        # the unterminated trailing fragment counts as one sentence
+        assert row["n_sentences"] == 1 and row["n_words"] == 5
+        assert row["flesch_reading_ease"] is not None
+
+    def test_wordless_text_null_scores(self, spark):
+        from hgraphstorage_spark.pipeline.text import readability_scores
+
+        docs = spark.createDataFrame(
+            [(1, "123 456 !!!"), (2, "")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+        for r in rows.values():
+            assert r["n_words"] == 0
+            assert r["flesch_reading_ease"] is None and r["fk_grade"] is None
