@@ -1105,6 +1105,25 @@ def q_similarity_topk(spark, sf_dir):
     )
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversified top-k (pipeline/similarity.py:mmr_topk): exact
+    cosine pool of 15 for query 0, then 5 greedy rounds of
+    lam*rel - (1-lam)*max-sim-to-selected at lam=0.7. All comparisons on
+    round-6 decimals; the oracle unrolls the identical 5 rounds."""
+    from hgraphstorage_spark.pipeline.similarity import mmr_topk
+
+    out = mmr_topk(
+        _t(spark, sf_dir, "embeddings"), query_id=0, k=5, pool=15, lam=0.7
+    )
+    return out.select(
+        "query_id",
+        "mmr_rank",
+        "vec_id",
+        F.col("relevance").cast("string").alias("relevance"),
+        F.col("mmr_score").cast("string").alias("mmr_score"),
+    )
+
+
 def q_similarity_lsh(spark, sf_dir):
     """ANN scale path: LSH-bucketed top-k. md5 plane mode makes the
     bucketing integer-exact on both engines, so the approximate result is
@@ -3482,6 +3501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentences": q_sentences,
         "sentence_dedup": q_sentence_dedup,
         "readability": q_readability,
+        "mmr_rerank": q_mmr_rerank,
         # r6 seventh rotation, rotated-out rows (all r1-green; their
         # machinery stays driver-checked inside in-window oracles)
         "bm25_search": q_bm25_search,
@@ -5031,6 +5051,62 @@ def _topic_oracle_sql(
     return chain + final
 
 
+def _mmr_oracle_sql(qid: int = 0, pool: int = 15, k: int = 5, lam: float = 0.7) -> str:
+    """DuckDB replay of ``q_mmr_rerank``: the exact-cosine pool cut
+    (round-6 DECIMAL relevance, vec_id tie-break), then the k greedy MMR
+    rounds unrolled as CTE pairs — s{r} picks the (mmr DESC, vec_id)
+    argmax, r{r+1} re-scores the survivors' redundancy via the same
+    left-fold cosine. ``(1.0 - lam)`` is computed in DOUBLE so the IEEE
+    value matches Python's ``1.0 - lam`` bit-for-bit."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    mmr_expr = (
+        f"CAST(round(({lam!r})::DOUBLE * rel::DOUBLE"
+        f" - ((1.0)::DOUBLE - ({lam!r})::DOUBLE) * red::DOUBLE, 6)"
+        " AS DECIMAL(18,6))"
+    )
+    parts = [
+        f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = {qid}),
+        pool AS MATERIALIZED (
+          SELECT vec_id, v,
+                 CAST(round({cos('v', 'qv')}, 6) AS DECIMAL(18,6)) AS rel
+          FROM e, q WHERE vec_id <> {qid}
+          ORDER BY rel DESC, vec_id LIMIT {pool}),
+        r1 AS MATERIALIZED (
+          SELECT vec_id, v, rel, CAST(0 AS DECIMAL(18,6)) AS red FROM pool)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+          SELECT vec_id, v, rel, {mmr_expr} AS mmr
+          FROM r{r} ORDER BY mmr DESC, vec_id LIMIT 1)"""
+        )
+        if r < k:
+            parts.append(
+                f"""r{r + 1} AS MATERIALIZED (
+          SELECT p.vec_id, p.v, p.rel,
+                 greatest(p.red, CAST(round({cos('p.v', 's.v')}, 6) AS DECIMAL(18,6))) AS red
+          FROM r{r} p, s{r} s WHERE p.vec_id <> s.vec_id)"""
+            )
+    selects = [
+        f"SELECT {qid}::BIGINT AS query_id, {r}::INT AS mmr_rank, vec_id,"
+        f" rel::VARCHAR AS relevance, mmr::VARCHAR AS mmr_score FROM s{r}"
+        for r in range(1, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + "\n        "
+        + "\n        UNION ALL ".join(selects)
+    )
+
+
 def _robots_oracle_sql(agent: str = "trainbot") -> str:
     """DuckDB replay of ``q_robots_filter``: the raw synthetic URL
     arithmetic, the robots fixture inlined as VALUES, the SAME
@@ -5531,6 +5607,7 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
+    sql["mmr_rerank"] = _mmr_oracle_sql(qid=0, pool=15, k=5, lam=0.7)
     # sentence_split replay: same punctuate -> mark -> split -> collapse
     # chain; sent_idx is the 0-based PRE-FILTER split position
     sql["sentence_dedup"] = r"""

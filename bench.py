@@ -193,6 +193,7 @@ R6_OPS = [
     "sentences",
     "sentence_dedup",
     "readability",
+    "mmr_rerank",
 ]
 
 

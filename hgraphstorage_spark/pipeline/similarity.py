@@ -141,6 +141,151 @@ def cosine_topk(
     return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    qid_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified selection (Carbonell &
+    Goldstein, SIGIR'98) over per-query candidate pools: iteratively pick
+
+        argmax  lam*rel(c) - (1-lam)*max_{s in selected} cos(c, s)
+
+    k times per query. The redundancy penalty makes the output a
+    DIVERSE top-k — the standard rerank between ANN retrieval and
+    downstream use (dedup-aware sampling, RAG context packing).
+
+    Input: (qid, vec_id, rel DECIMAL(18,6), v ARRAY<DOUBLE>) — any
+    candidate generator fits (exact `cosine_topk`, `lsh_bucket_topk`,
+    IVF-PQ); pools are per-query k-sized, so every frame here is
+    #queries x pool rows and the 100 TB corpus is touched only by the
+    retrieval stage. Each of the k rounds is one broadcast join against
+    the 1-row-per-query previous pick plus a per-query min_by argmax
+    (struct-ordered: (-mmr, vec_id), so STRING ids tie-break correctly);
+    frames are localCheckpoint-bounded so the plan stays k-deep, never
+    2^k. All comparisons happen on round-6 DECIMAL values and the
+    cosine is the left-fold formula, so a DuckDB oracle unrolls the
+    rounds bit-for-bit. Queries with pools smaller than k simply stop
+    contributing rows past their pool size.
+
+    Returns (qid_col, mmr_rank 1..k, vec_id, relevance, mmr_score).
+    """
+    lam_d = float(lam)
+    one_m = 1.0 - lam_d  # Python IEEE subtraction; the oracle replays (1.0 - lam)
+    dec6 = "decimal(18,6)"
+    rem = candidates.select(
+        F.col(qid_col).alias("qid"),
+        F.col(id_col).alias("vec_id"),
+        F.col(rel_col).cast(dec6).alias("rel"),
+        F.col(vec_col).alias("v"),
+        F.lit(0).cast(dec6).alias("red"),
+    ).localCheckpoint()
+    picks = []
+    for r in range(1, k + 1):
+        mmr = F.round(
+            F.lit(lam_d) * F.col("rel").cast("double")
+            - F.lit(one_m) * F.col("red").cast("double"),
+            6,
+        ).cast(dec6)
+        scored = rem.withColumn("mmr", mmr)
+        sel = (
+            scored.groupBy("qid")
+            .agg(
+                F.min_by(
+                    F.struct("vec_id", "rel", "mmr", "v"),
+                    F.struct((-F.col("mmr")).alias("o1"), F.col("vec_id").alias("o2")),
+                ).alias("s")
+            )
+            .select(
+                "qid",
+                F.lit(r).alias("mmr_rank"),
+                F.col("s.vec_id").alias("vec_id"),
+                F.col("s.rel").alias("rel"),
+                F.col("s.mmr").alias("mmr"),
+                F.col("s.v").alias("v"),
+            )
+            .localCheckpoint()
+        )
+        picks.append(sel.drop("v"))
+        if r < k:
+            rem = (
+                rem.join(
+                    F.broadcast(
+                        sel.select(
+                            "qid",
+                            F.col("vec_id").alias("_sid"),
+                            F.col("v").alias("_sv"),
+                        )
+                    ),
+                    "qid",
+                )
+                .filter(F.col("vec_id") != F.col("_sid"))
+                .withColumn(
+                    "red",
+                    F.greatest(
+                        F.col("red"),
+                        F.round(cosine(F.col("v"), F.col("_sv")), 6).cast(dec6),
+                    ),
+                )
+                .drop("_sid", "_sv")
+                # NOT checkpointed: rem's lineage from the checkpointed
+                # candidates is r pool-sized joins against 1-row
+                # checkpointed picks — recompute is trivial, and skipping
+                # the eager job halves the per-round job count
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        F.col("qid").alias(qid_col),
+        "mmr_rank",
+        "vec_id",
+        F.col("rel").alias("relevance"),
+        F.col("mmr").alias("mmr_score"),
+    )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Single-query MMR: exact-cosine pool of `pool` candidates
+    (TakeOrdered — the `cosine_topk` shape) then `mmr_rerank` down to a
+    diverse k. The pool cut orders by the round-6 DECIMAL relevance with
+    a vec_id tie-break, so the pool itself is engine-exact."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") == query_id).select(F.col("v").alias("_qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "v",
+            F.round(cosine(F.col("v"), F.col("_qv")), 6)
+            .cast("decimal(18,6)")
+            .alias("rel"),
+        )
+    )
+    cand = (
+        scored.orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(pool)
+        .withColumn("query_id", F.lit(query_id).cast("long"))
+    )
+    return mmr_rerank(cand, k=k, lam=lam)
+
+
 def embedding_near_dup_exact(
     embeddings: DataFrame,
     threshold: float = 0.35,

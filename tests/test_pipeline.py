@@ -110,6 +110,64 @@ class TestSimilarity:
                 assert abs(float(r["score"]) - exact[r["vec_id"]]) < 1e-9
 
 
+class TestMMR:
+    def test_diversifies_vs_greedy(self, spark):
+        """A near-duplicate of the first pick gets demoted below a less
+        relevant but diverse candidate at a diversity-heavy lambda."""
+        from hgraphstorage_spark.pipeline.similarity import mmr_topk
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),  # query
+            (1, [1.0, 0.0, 0.0]),  # exact duplicate of the query direction
+            (2, [0.99, 0.141, 0.0]),  # near-dup of 1
+            (3, [0.6, 0.8, 0.0]),  # diverse, lower relevance
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = mmr_topk(emb, query_id=0, k=3, pool=3, lam=0.3).collect()
+        order = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+        assert order == [1, 3, 2]  # greedy-by-relevance would be [1, 2, 3]
+
+    def test_matches_numpy_replica(self, spark):
+        """MMR selection over real sf0.001 embeddings matches a brute
+        force numpy replica of the same greedy rule (round-6 decimals)."""
+        import numpy as np
+        from hgraphstorage_spark.pipeline.similarity import mmr_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        k, pool, lam = 5, 12, 0.7
+        got = {
+            r["mmr_rank"]: (r["vec_id"], float(r["mmr_score"]))
+            for r in mmr_topk(emb, query_id=0, k=k, pool=pool, lam=lam).collect()
+        }
+        rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in emb.collect()}
+        q = rows[0]
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        rel = {i: round(cos(v, q), 6) for i, v in rows.items() if i != 0}
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:pool]
+        red = {i: 0.0 for i in cand}
+        expected = {}
+        for r in range(1, k + 1):
+            mmr = {i: round(lam * rel[i] - (1 - lam) * red[i], 6) for i in cand}
+            pick = min(cand, key=lambda i: (-mmr[i], i))
+            expected[r] = (pick, mmr[pick])
+            cand.remove(pick)
+            for i in cand:
+                red[i] = max(red[i], round(cos(rows[i], rows[pick]), 6))
+        assert got == {r: (v, pytest.approx(s, abs=2e-6)) for r, (v, s) in expected.items()}
+
+    def test_short_pool_stops(self, spark):
+        from hgraphstorage_spark.pipeline.similarity import mmr_topk
+
+        rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.1, 0.9])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = mmr_topk(emb, query_id=0, k=5, pool=5, lam=0.5).collect()
+        assert sorted(r["mmr_rank"] for r in out) == [1, 2]
+
+
 class TestEmbeddingStatsAndSQ:
     def test_stats_match_numpy(self, spark):
         import numpy as np
