@@ -124,16 +124,17 @@ def test_window_covers_required_operators():
         # and weighted_sample out in the third after r4+r5 green;
         # exact_substring out in the fourth after r3-r5 green)
         "pq_topk", "ivfpq_topk",
-        # r5 late rotation: the four round-5 operators, in-window so the
-        # driver hashes them the round they were built
-        "dsir_weights", "dsir_sample", "bpe_merges", "dedup_keep_best",
-        # r5 second rotation: the second-half operators (three redundant
-        # graph rows + r4-hashed betweenness moved out; their algorithms
-        # stay under the driver hash via pagerank + graph_summary)
-        # (content_type / dedup_exact / similarity_topk /
-        # repetition_stats out in the r6 fourth rotation — all
-        # multi-round green, families keep 4-6 in-window rows each)
-        "simhash_pairs", "perplexity_buckets", "quality_reasons",
+        # r6 eighth rotation: the r5 block (dsir_weights / dsir_sample /
+        # bpe_merges / dedup_keep_best / simhash_pairs /
+        # perplexity_buckets / quality_reasons — all hashed green in r5)
+        # rotates past the window; each one's machinery stays
+        # driver-checked inside an in-window oracle (dsir_stream's batch
+        # twin, url_dedup's keeper argmax, media_pairs' banded-Hamming
+        # core, domain_quality's quality rules) and their slots carry
+        # the sentence/readability/MMR/quantile/topic-terms/domain-stats
+        # wave — in-window the round they were built
+        "sentences", "sentence_dedup", "readability", "mmr_rerank",
+        "quantile_histogram", "topic_terms", "domain_stats",
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
