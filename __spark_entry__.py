@@ -3175,6 +3175,39 @@ def q_readability(spark, sf_dir):
     )
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Per-language distinct-token estimate via the md5-portable HLL
+    register sketch (functions/stats.py:hll_sketch/hll_estimate, p=8)
+    next to the exact count for calibration. Oracle replays hash →
+    bucket/rho → register max → the canonical bucket-order IEEE fold →
+    estimator branches bit-for-bit."""
+    from hgraphstorage_spark.functions.stats import hll_estimate, hll_sketch
+    from hgraphstorage_spark.pipeline.text import _parallel
+
+    docs = _parallel(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    # HLL registers of a set equal those of the multiset (max over equal
+    # hashes), and this query needs the exact distinct count anyway — so
+    # distinct FIRST (map-side combined, tiny shuffle) and hash only the
+    # survivors. A pure-sketch pipeline would feed hll_sketch the raw
+    # stream instead (that is its whole point at 100 TB).
+    toks_d = toks.distinct()
+    est = hll_estimate(hll_sketch(toks_d, "tok", group_cols=["lang"], p=8),
+                       group_cols=["lang"], p=8)
+    exact = toks_d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_distinct_exact")
+    )
+    return est.join(exact, "lang").select(
+        "lang",
+        "n_zero_registers",
+        F.col("n_distinct_est").cast("string").alias("n_distinct_est"),
+        "n_distinct_exact",
+    )
+
+
 def q_quantile_histogram(spark, sf_dir):
     """Equi-depth histogram of events.value (10 bins of equal count;
     edges = where the quantile cuts fall): distributed two-pass rank, no
@@ -3528,6 +3561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
+        # r6 late additions (rotation candidates for r7)
+        "hll_distinct": q_hll_distinct,
         # r6 eighth rotation, rotated-out rows (all hashed green in r5;
         # their machinery stays driver-checked inside in-window oracles
         # — see the in-window slot comments)
@@ -5695,6 +5730,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, sent_idx::INT AS sent_idx, sentence,
                len(regexp_split_to_array(sentence, '[ \t\n\x0B\f\r]+'))::BIGINT AS n_tokens
         FROM parts WHERE regexp_matches(sentence, '[^.!? \t\n\x0B\f\r]')
+    """
+    # HLL replay: md5_long hash, low-8-bit bucket, rho from minimal-
+    # binary length, register max, then the canonical fold (0.0 start,
+    # bucket order, zero-bucket mass added once) and estimator branches
+    sql["hll_distinct"] = r"""
+        WITH toks AS (
+          SELECT lang, tok FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+            FROM documents)
+          WHERE length(tok) > 0
+        ),
+        h AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        cells AS (
+          SELECT lang, h % 256 AS bucket,
+                 CASE WHEN h // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(h // 256)) END AS rho
+          FROM h
+        ),
+        regs AS (SELECT lang, bucket, max(rho) AS reg FROM cells GROUP BY 1, 2),
+        s AS (
+          SELECT lang, count(*) AS n_nonzero,
+                 list_reduce(list_prepend((0.0)::DOUBLE,
+                                          list(pow((2.0)::DOUBLE, -reg) ORDER BY bucket)),
+                             (acc, x) -> acc + x) AS s_nonzero
+          FROM regs GROUP BY 1
+        ),
+        e AS (
+          SELECT lang, (256 - n_nonzero)::BIGINT AS n_zero,
+                 (256 - n_nonzero)::DOUBLE + s_nonzero AS big_s
+          FROM s
+        ),
+        est AS (
+          SELECT lang, n_zero,
+                 (0.7213)::DOUBLE / ((1.0)::DOUBLE + (1.079)::DOUBLE / (256.0)::DOUBLE)
+                   * (256.0)::DOUBLE * (256.0)::DOUBLE / big_s AS raw
+          FROM e
+        ),
+        ex AS (SELECT lang, count(DISTINCT tok)::BIGINT AS n_distinct_exact
+               FROM toks GROUP BY 1)
+        SELECT est.lang, n_zero AS n_zero_registers,
+               round(CASE WHEN raw <= (2.5)::DOUBLE * (256.0)::DOUBLE AND n_zero > 0
+                          THEN (256.0)::DOUBLE * ln((256.0)::DOUBLE / n_zero::DOUBLE)
+                          ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
+               n_distinct_exact
+        FROM est JOIN ex ON est.lang = ex.lang
     """
     # readability replay: same punctuate, the sentence-array filter from
     # sentence_dedup, letter-run words, vowel-group syllables with the

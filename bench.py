@@ -194,6 +194,7 @@ R6_OPS = [
     "sentence_dedup",
     "readability",
     "mmr_rerank",
+    "hll_distinct",
 ]
 
 

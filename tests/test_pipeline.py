@@ -1403,6 +1403,51 @@ class TestCalibrationReport:
         assert len(frep) == 1 and float(frep[0]["pos_rate"]) == 0.25
 
 
+class TestHLL:
+    def test_accuracy_within_standard_error(self, spark):
+        """p=8 gives ~6.5% standard error; demand < 3 sigma on 5000
+        distinct values, and exactness of the register construction via
+        the small-range linear-counting branch on tiny cardinality."""
+        from hgraphstorage_spark.functions.stats import hll_estimate, hll_sketch
+
+        df = spark.range(5000).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+        est = float(
+            hll_estimate(hll_sketch(df, "v", p=8), p=8).collect()[0]["n_distinct_est"]
+        )
+        assert abs(est - 5000) / 5000 < 0.20
+        import math
+
+        tiny = spark.createDataFrame([("a",), ("b",), ("c",), ("a",)], "v string")
+        row = hll_estimate(hll_sketch(tiny, "v", p=8), p=8).collect()[0]
+        # 3 distinct values -> 3 non-zero buckets (no collision at m=256
+        # for this fixture), linear counting m*ln(m/V) exactly
+        v = row["n_zero_registers"]
+        assert v == 253
+        assert float(row["n_distinct_est"]) == round(256.0 * math.log(256.0 / v), 4)
+
+    def test_merge_law(self, spark):
+        """sketch(A ++ B) == hll_merge(sketch(A), sketch(B)) exactly."""
+        from hgraphstorage_spark.functions.stats import hll_merge, hll_sketch
+
+        a = spark.range(0, 300).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+        b = spark.range(150, 500).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+        merged = bag(hll_merge(hll_sketch(a, "v"), hll_sketch(b, "v")))
+        union = bag(hll_sketch(a.unionByName(b), "v"))
+        assert merged == union
+
+    def test_grouped(self, spark):
+        from hgraphstorage_spark.functions.stats import hll_estimate, hll_sketch
+
+        rows = [("en", f"w{i}") for i in range(200)] + [("de", f"w{i}") for i in range(40)]
+        df = spark.createDataFrame(rows, "lang string, v string")
+        sk = hll_sketch(df, "v", group_cols=["lang"], p=8)
+        got = {
+            r["lang"]: float(r["n_distinct_est"])
+            for r in hll_estimate(sk, group_cols=["lang"], p=8).collect()
+        }
+        assert abs(got["en"] - 200) / 200 < 0.25 and abs(got["de"] - 40) / 40 < 0.25
+
+
 class TestCountMinSketch:
     def test_one_sided_and_exact_without_collisions(self, spark):
         """est >= exact for EVERY item (CMS never undercounts), and with a
