@@ -3208,6 +3208,20 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_phrases(spark, sf_dir):
+    """word2phrase collocation detection (pipeline/text.py:phrase_detect)
+    over the corpus: top-50 adjacent bigrams by the Mikolov score with
+    min_count=5, delta=5. Oracle replays tokenize → zip-shifted bigrams →
+    counts → the integer-exact score division."""
+    from hgraphstorage_spark.pipeline.text import phrase_detect
+
+    docs = _t(spark, sf_dir, "documents")
+    out = phrase_detect(docs, min_count=5, delta=5.0, top_k=50)
+    return out.select(
+        "word_a", "word_b", "n_pair", F.col("score").cast("string").alias("score")
+    )
+
+
 def q_quantile_histogram(spark, sf_dir):
     """Equi-depth histogram of events.value (10 bins of equal count;
     edges = where the quantile cuts fall): distributed two-pass rank, no
@@ -3563,6 +3577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         # r6 late additions (rotation candidates for r7)
         "hll_distinct": q_hll_distinct,
+        "phrases": q_phrases,
         # r6 eighth rotation, rotated-out rows (all hashed green in r5;
         # their machinery stays driver-checked inside in-window oracles
         # — see the in-window slot comments)
@@ -5730,6 +5745,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, sent_idx::INT AS sent_idx, sentence,
                len(regexp_split_to_array(sentence, '[ \t\n\x0B\f\r]+'))::BIGINT AS n_tokens
         FROM parts WHERE regexp_matches(sentence, '[^.!? \t\n\x0B\f\r]')
+    """
+    # word2phrase replay: tokenize, adjacency pairs by index, counts,
+    # the integer-exact score arithmetic; order on the DECIMAL inside
+    # the subquery (the VARCHAR projection would sort lexicographically)
+    sql["phrases"] = r"""
+        WITH base AS (
+          SELECT regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+          FROM documents
+        ),
+        uni AS (
+          SELECT w, count(*)::BIGINT AS n_w FROM (
+            SELECT unnest(t) AS w FROM base WHERE len(t) > 0)
+          WHERE length(w) > 0 GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_w)::BIGINT AS n_total FROM uni),
+        pairs AS (
+          SELECT t[i] AS word_a, t[i + 1] AS word_b, count(*)::BIGINT AS n_pair
+          FROM base, unnest(generate_series(1, len(t) - 1)) AS u(i)
+          WHERE length(t[i]) > 0 AND length(t[i + 1]) > 0
+          GROUP BY 1, 2
+          HAVING count(*) >= 5
+        )
+        SELECT word_a, word_b, n_pair, score::VARCHAR AS score FROM (
+          SELECT word_a, word_b, n_pair,
+                 round((n_pair::DOUBLE - (5.0)::DOUBLE) * n_total::DOUBLE
+                       / (ua.n_w::DOUBLE * ub.n_w::DOUBLE), 6)::DECIMAL(18,6) AS score
+          FROM pairs
+          JOIN uni ua ON pairs.word_a = ua.w
+          JOIN uni ub ON pairs.word_b = ub.w
+          CROSS JOIN tot
+          ORDER BY score DESC, word_a ASC, word_b ASC LIMIT 50)
     """
     # HLL replay: md5_long hash, low-8-bit bucket, rho from minimal-
     # binary length, register max, then the canonical fold (0.0 start,

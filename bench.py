@@ -195,6 +195,7 @@ R6_OPS = [
     "readability",
     "mmr_rerank",
     "hll_distinct",
+    "phrases",
 ]
 
 

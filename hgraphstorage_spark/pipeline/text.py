@@ -1906,6 +1906,85 @@ def sentence_split(
     )
 
 
+def phrase_detect(
+    docs: DataFrame,
+    min_count: int = 5,
+    delta: float = 5.0,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collocation / phrase detection (the word2phrase rule, Mikolov et
+    al. 2013 §4): score every adjacent word bigram by
+
+        score(a, b) = (count(ab) - delta) * N / (count(a) * count(b))
+
+    where N is the corpus token count, and return the top_k bigrams with
+    count(ab) >= min_count ordered by score — the phrase vocabulary a
+    tokenizer or embedding pipeline promotes to single units
+    ("new_york"). delta discounts rare-pair noise.
+
+    Shape at scale: bigrams come from ``zip_with`` over each doc's token
+    array against its own 1-shifted slice — narrow, no self-join on
+    positions (the positional-join formulation shuffles the whole corpus
+    twice; this shuffles only 8-byte-keyed partial counts). Unigram and
+    bigram counts are two map-side-combined aggs; N is a 1-row
+    broadcast; the final ordering is a TakeOrdered top-k, never a global
+    sort. Score is rounded DECIMAL(18,6) from one integer-exact
+    numerator/denominator pair, so a SQL oracle replays it bit-for-bit.
+
+    Returns (word_a, word_b, n_pair, score).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
+    base = docs.select(toks.alias("t")).filter(F.size("t") > 0)
+    base = _parallel(base)
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    n_total = uni.select(F.sum("n_w").alias("n_total"))
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("word_a"), b.alias("word_b")),
+    )
+    pairs = (
+        base.filter(n >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .select("p.word_a", "p.word_b")
+        .filter((F.length("word_a") > 0) & (F.length("word_b") > 0))
+        .groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    ua = uni.select(F.col("w").alias("word_a"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("word_b"), F.col("n_w").alias("n_b"))
+    scored = (
+        pairs.join(ua, "word_a")
+        .join(ub, "word_b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "word_a",
+            "word_b",
+            "n_pair",
+            F.round(
+                (F.col("n_pair").cast("double") - F.lit(float(delta)))
+                * F.col("n_total").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col("word_a").asc(), F.col("word_b").asc()
+    ).limit(top_k)
+
+
 # vowel-group runs — the deterministic syllable proxy (Kincaid et al.
 # 1975 used hyphenation dictionaries; vowel groups are the standard
 # dictionary-free approximation, exact enough for corpus-level filters)

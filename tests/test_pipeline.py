@@ -3563,6 +3563,40 @@ class TestSentenceSplit:
         assert (got[3]["n_units"], got[3]["n_kept"]) == (3, 2)
 
 
+class TestPhraseDetect:
+    def test_collocation_outranks_frequent_pair(self, spark):
+        """'new york' (always adjacent) must outscore 'the cat' (both
+        words frequent but rarely adjacent); rare pairs below min_count
+        never appear; hand-checked word2phrase arithmetic."""
+        from hgraphstorage_spark.pipeline.text import phrase_detect
+
+        docs = spark.createDataFrame(
+            [(i, "new york is big and the cat sat on the mat") for i in range(6)]
+            + [(100 + i, "the dog and a cat") for i in range(6)],
+            "doc_id long, text string",
+        )
+        out = phrase_detect(docs, min_count=5, delta=1.0, top_k=10).collect()
+        scores = {(r["word_a"], r["word_b"]): float(r["score"]) for r in out}
+        assert ("new", "york") in scores
+        assert scores[("new", "york")] == max(scores.values())
+        # hand arithmetic: count(new york)=6, count(new)=6, count(york)=6,
+        # N = 6*11 + 6*5 = 96 -> (6-1)*96/(6*6)
+        assert scores[("new", "york")] == round((6 - 1.0) * 96 / 36, 6)
+        assert all(r["n_pair"] >= 5 for r in out)
+
+    def test_single_token_docs_count_toward_n(self, spark):
+        from hgraphstorage_spark.pipeline.text import phrase_detect
+
+        docs = spark.createDataFrame(
+            [(i, "a b") for i in range(5)] + [(50, "solo")],
+            "doc_id long, text string",
+        )
+        out = phrase_detect(docs, min_count=5, delta=0.0, top_k=5).collect()
+        # N = 11 (the solo token counts), count(ab)=5, count(a)=count(b)=5
+        assert len(out) == 1
+        assert float(out[0]["score"]) == round(5.0 * 11 / 25, 6)
+
+
 class TestReadability:
     def test_known_text(self, spark):
         """Hand-computed Flesch counts on a two-sentence text."""
