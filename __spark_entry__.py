@@ -404,6 +404,80 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     return "".join(parts)
 
 
+def q_hits(spark, sf_dir):
+    """Analytics: HITS hubs & authorities (3 alternating L1-normalized
+    sweeps, analytics.py:hits) over the location subgraph — exact
+    DECIMAL reinforcement sums, round-12 normalization divisions, so
+    the unrolled oracle matches bit-for-bit."""
+    from dataclasses import replace
+
+    from hgraphstorage_spark.analytics import hits
+
+    snap = _graph(spark, sf_dir)
+    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
+    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
+    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    out = hits(sub, iterations=3)
+    return out.select(
+        "id",
+        F.col("hub").cast("string").alias("hub"),
+        F.col("authority").cast("string").alias("authority"),
+    )
+
+
+_HITS_GRAPH_SQL = """
+        nodes AS (
+          SELECT 1000000000000 + r_regionkey AS id FROM region
+          UNION ALL SELECT 2000000000000 + n_nationkey FROM nation
+          UNION ALL SELECT 3000000000000 + c_custkey FROM customer
+          UNION ALL SELECT 4000000000000 + s_suppkey FROM supplier
+        ),
+        edges AS (
+          SELECT 3000000000000 + c_custkey AS src, 2000000000000 + c_nationkey AS dst FROM customer
+          UNION ALL SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey FROM supplier
+          UNION ALL SELECT 2000000000000 + n_nationkey, 1000000000000 + n_regionkey FROM nation
+        )"""
+
+
+def _hits_oracle_sql(iterations: int = 3) -> str:
+    """Unrolled DuckDB HITS over the location subgraph, mirroring
+    analytics.hits: exact DECIMAL sums (order-independent), one
+    round-12 double division per normalization, authorities updated
+    first then hubs from the UPDATED authorities."""
+    parts = [
+        "WITH "
+        + _HITS_GRAPH_SQL
+        + """,
+        h0 AS (SELECT id, CAST(1 AS DECIMAL(28,12)) AS hub FROM nodes)"""
+    ]
+
+    def norm_block(i: int, raw: str, frame: str, out: str, col: str) -> str:
+        return f""",
+        {frame}f AS MATERIALIZED (
+          SELECT nodes.id, coalesce(x, CAST(0 AS DECIMAL(38,12))) AS x
+          FROM nodes LEFT JOIN {raw} ON nodes.id = {raw}.id),
+        {frame}s AS (SELECT sum(x) AS s FROM {frame}f),
+        {out} AS MATERIALIZED (
+          SELECT id,
+                 (CASE WHEN s > 0 THEN round(x::DOUBLE / s::DOUBLE, 12)
+                       ELSE (0.0)::DOUBLE END)::DECIMAL(28,12) AS {col}
+          FROM {frame}f CROSS JOIN {frame}s)"""
+
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+        ar{i} AS (SELECT e.dst AS id, sum(h.hub) AS x
+                  FROM edges e JOIN h{i - 1} h ON e.src = h.id GROUP BY e.dst)""")
+        parts.append(norm_block(i, f"ar{i}", f"a{i}", f"a{i}", "authority"))
+        parts.append(f""",
+        hr{i} AS (SELECT e.src AS id, sum(a.authority) AS x
+                  FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src)""")
+        parts.append(norm_block(i, f"hr{i}", f"h{i}x", f"h{i}", "hub"))
+    parts.append(f"""
+        SELECT h.id, h.hub::VARCHAR AS hub, a.authority::VARCHAR AS authority
+        FROM h{iterations} h JOIN a{iterations} a ON h.id = a.id""")
+    return "".join(parts)
+
+
 def q_personalized_pagerank(spark, sf_dir):
     """Analytics: personalized PageRank from Customer 1 over the location
     subgraph (teleport + dangling mass return to the seed)."""
@@ -3578,6 +3652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6 late additions (rotation candidates for r7)
         "hll_distinct": q_hll_distinct,
         "phrases": q_phrases,
+        "hits": q_hits,
         # r6 eighth rotation, rotated-out rows (all hashed green in r5;
         # their machinery stays driver-checked inside in-window oracles
         # — see the in-window slot comments)
@@ -5589,6 +5664,7 @@ def oracle_sql() -> dict[str, str]:
     # implementation's oracle
     sql["connected_components_alt"] = sql["connected_components"]
     sql["pagerank"] = _pagerank_oracle_sql(3)
+    sql["hits"] = _hits_oracle_sql(3)
     sql["personalized_pagerank"] = _ppr_oracle_sql(3, NODE["Customer"] + 1)
     sql["k_core"] = _k_core_oracle_sql(3, 6)
     sql["k_truss"] = _k_truss_oracle_sql(k=4, rounds=4)

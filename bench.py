@@ -196,6 +196,7 @@ R6_OPS = [
     "mmr_rerank",
     "hll_distinct",
     "phrases",
+    "hits",
 ]
 
 

@@ -1090,6 +1090,69 @@ def diameter_estimate(
     )
 
 
+def hits(snap: GraphSnapshot, iterations: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, JACM 46(5) 1999) with a fixed
+    iteration count and L1 normalization — the query-independent form:
+    auth(v) = Σ hub(u) over in-edges, hub(u) = Σ auth(v) over out-edges,
+    each vector rescaled to sum 1 after its update (authorities first,
+    then hubs from the UPDATED authorities, per Kleinberg's alternating
+    sweep). On a crawl link graph this separates directories/portals
+    (hubs) from cited content (authorities) — the complement to
+    PageRank's single score.
+
+    Determinism: the mutual-reinforcement sums run in exact DECIMAL
+    (order-independent under any partitioning — a double Σ would depend
+    on shuffle order), and each normalization is ONE double division
+    rounded to 12 dp, so an unrolled SQL oracle replays every iteration
+    bit-for-bit. Per iteration: two edge joins shuffling on dst/src, two
+    map-side-combined aggs, two 1-row L1-mass broadcasts; lineage
+    truncated per iteration; no collect.
+
+    Returns (id, hub DECIMAL(28,12), authority DECIMAL(28,12)).
+    Parallel edges reinforce (multigraph semantics); isolated nodes hold
+    score 0 after the first round.
+    """
+    dec = "decimal(28,12)"
+    nodes = snap.nodes.select("id").localCheckpoint()
+    edges = snap.edges.select("src", "dst").localCheckpoint()
+
+    def l1_normalized(raw: DataFrame, out_name: str) -> DataFrame:
+        # raw: (id, x DECIMAL) over a subset of nodes; missing ids -> 0
+        full = nodes.join(raw, "id", "left").select(
+            "id", F.coalesce("x", F.lit(0).cast(dec)).alias("x")
+        )
+        mass = full.agg(F.sum("x").alias("_s"))  # exact decimal, 1 row
+        return full.crossJoin(F.broadcast(mass)).select(
+            "id",
+            F.when(
+                F.col("_s") > 0,
+                F.round(F.col("x").cast("double") / F.col("_s").cast("double"), 12),
+            )
+            .otherwise(F.lit(0.0))
+            .cast(dec)
+            .alias(out_name),
+        )
+
+    scores = nodes.select(
+        "id", F.lit(1).cast(dec).alias("hub"), F.lit(1).cast(dec).alias("authority")
+    )
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(scores.select(F.col("id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("x"))
+        )
+        auth = l1_normalized(a_raw, "authority")
+        h_raw = (
+            edges.join(auth.select(F.col("id").alias("dst"), "authority"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("x"))
+        )
+        hub = l1_normalized(h_raw, "hub")
+        scores = auth.join(hub, "id").select("id", "hub", "authority").localCheckpoint()
+    return scores
+
+
 def modularity(snap: GraphSnapshot, communities: DataFrame) -> DataFrame:
     """Newman modularity Q of a community assignment (Newman & Girvan
     2004) over the UNDIRECTED view of the snapshot's edges — the quality

@@ -622,3 +622,47 @@ class TestModularity:
         r = modularity(snap, comm).collect()[0]
         # community {1,2}: l=1, d=2, m=1 -> 1/1 - (2/2)^2 = 0; community {9}: 0
         assert r["n_communities"] == 2 and float(r["modularity"]) == 0.0
+
+
+class TestHITS:
+    def test_hub_authority_separation(self, spark):
+        """Pure hubs get authority 0, pure authorities get hub 0; the
+        node pointed at by more hubs leads the authority ranking; each
+        L1-normalized vector sums to ~1."""
+        from hgraphstorage_spark.analytics import hits
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame(
+            [(i, "N") for i in (1, 2, 10, 11)], "id long, label string"
+        )
+        # 1 -> {10, 11}, 2 -> {10}: node 1 is the stronger hub, 10 the
+        # stronger authority
+        edges = spark.createDataFrame(
+            [(100, 1, 10, "e"), (101, 1, 11, "e"), (102, 2, 10, "e")],
+            "id long, src long, dst long, label string",
+        )
+        res = hits(GraphSnapshot(nodes=nodes, edges=edges, props=None), iterations=3)
+        got = {r["id"]: (float(r["hub"]), float(r["authority"])) for r in res.collect()}
+        assert got[1][1] == 0.0 and got[2][1] == 0.0  # hubs: no in-edges
+        assert got[10][0] == 0.0 and got[11][0] == 0.0  # authorities: no out-edges
+        assert got[10][1] > got[11][1] > 0.0
+        assert got[1][0] > got[2][0] > 0.0
+        assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+        assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
+
+    def test_first_round_authority_proportional_to_weighted_indegree(self, spark):
+        """One iteration from uniform scores: authority ratio equals the
+        in-degree ratio exactly (2/3 vs 1/3 at 12 dp)."""
+        from hgraphstorage_spark.analytics import hits
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame(
+            [(i, "N") for i in (1, 2, 10, 11)], "id long, label string"
+        )
+        edges = spark.createDataFrame(
+            [(100, 1, 10, "e"), (101, 2, 10, "e"), (102, 1, 11, "e")],
+            "id long, src long, dst long, label string",
+        )
+        res = hits(GraphSnapshot(nodes=nodes, edges=edges, props=None), iterations=1)
+        got = {r["id"]: float(r["authority"]) for r in res.collect()}
+        assert got[10] == round(2 / 3, 12) and got[11] == round(1 / 3, 12)
