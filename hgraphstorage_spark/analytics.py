@@ -1142,7 +1142,10 @@ def hits(snap: GraphSnapshot, iterations: int = 3) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("x"))
         )
-        auth = l1_normalized(a_raw, "authority")
+        # checkpoint: auth feeds BOTH h_raw and the round's final join —
+        # uncheckpointed, its plan (including the mass broadcast) would
+        # execute once per consumer
+        auth = l1_normalized(a_raw, "authority").localCheckpoint()
         h_raw = (
             edges.join(auth.select(F.col("id").alias("dst"), "authority"), "dst")
             .groupBy(F.col("src").alias("id"))
