@@ -3296,6 +3296,22 @@ def q_phrases(spark, sf_dir):
     )
 
 
+def q_zipf(spark, sf_dir):
+    """Zipf-law OLS fit over the top-1000 token frequencies
+    (pipeline/text.py:zipf_fit): round-12 DECIMAL term sums (order-
+    independent), closed-form slope/intercept/R² in identical IEEE
+    doubles — the oracle replays the whole fit."""
+    from hgraphstorage_spark.pipeline.text import zipf_fit
+
+    out = zipf_fit(_t(spark, sf_dir, "documents"), top_k=1000)
+    return out.select(
+        "n_tokens",
+        F.col("slope").cast("string").alias("slope"),
+        F.col("intercept").cast("string").alias("intercept"),
+        F.col("r2").cast("string").alias("r2"),
+    )
+
+
 def q_quantile_histogram(spark, sf_dir):
     """Equi-depth histogram of events.value (10 bins of equal count;
     edges = where the quantile cuts fall): distributed two-pass rank, no
@@ -3653,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "phrases": q_phrases,
         "hits": q_hits,
+        "zipf": q_zipf,
         # r6 eighth rotation, rotated-out rows (all hashed green in r5;
         # their machinery stays driver-checked inside in-window oracles
         # — see the in-window slot comments)
@@ -5821,6 +5838,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, sent_idx::INT AS sent_idx, sentence,
                len(regexp_split_to_array(sentence, '[ \t\n\x0B\f\r]+'))::BIGINT AS n_tokens
         FROM parts WHERE regexp_matches(sentence, '[^.!? \t\n\x0B\f\r]')
+    """
+    # zipf replay: the vocabulary histogram + rank window, round-12
+    # DECIMAL term sums, and the closed-form OLS with the SAME
+    # left-associated double ops (intercept uses the UNROUNDED slope)
+    sql["zipf"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS token
+          FROM documents
+        ),
+        hist AS (
+          SELECT token, count(*)::BIGINT AS n_total FROM toks
+          WHERE length(token) > 0 GROUP BY 1
+        ),
+        ranked AS (
+          SELECT n_total, row_number() OVER (ORDER BY n_total DESC, token) AS r
+          FROM hist QUALIFY r <= 1000
+        ),
+        terms AS (
+          SELECT round(ln(r::DOUBLE), 12)::DECIMAL(28,12) AS tx,
+                 round(ln(n_total::DOUBLE), 12)::DECIMAL(28,12) AS ty,
+                 round(ln(r::DOUBLE) * ln(n_total::DOUBLE), 12)::DECIMAL(28,12) AS txy,
+                 round(ln(r::DOUBLE) * ln(r::DOUBLE), 12)::DECIMAL(28,12) AS tx2,
+                 round(ln(n_total::DOUBLE) * ln(n_total::DOUBLE), 12)::DECIMAL(28,12) AS ty2
+          FROM ranked
+        ),
+        s AS (
+          SELECT count(*)::BIGINT AS k,
+                 sum(tx)::DOUBLE AS sx, sum(ty)::DOUBLE AS sy,
+                 sum(txy)::DOUBLE AS sxy, sum(tx2)::DOUBLE AS sx2,
+                 sum(ty2)::DOUBLE AS sy2
+          FROM terms
+        )
+        SELECT k AS n_tokens,
+               (CASE WHEN k >= 2 THEN
+                 round((k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sx2 - sx * sx), 6)::DECIMAL(18,6)
+               END)::VARCHAR AS slope,
+               (CASE WHEN k >= 2 THEN
+                 round((sy - (k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sx2 - sx * sx) * sx)
+                       / k::DOUBLE, 6)::DECIMAL(18,6)
+               END)::VARCHAR AS intercept,
+               (CASE WHEN k >= 2 THEN
+                 round((k::DOUBLE * sxy - sx * sy) * (k::DOUBLE * sxy - sx * sy)
+                       / ((k::DOUBLE * sx2 - sx * sx) * (k::DOUBLE * sy2 - sy * sy)), 6)::DECIMAL(18,6)
+               END)::VARCHAR AS r2
+        FROM s
     """
     # word2phrase replay: tokenize, adjacency pairs by index, counts,
     # the integer-exact score arithmetic; order on the DECIMAL inside

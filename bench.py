@@ -197,6 +197,7 @@ R6_OPS = [
     "hll_distinct",
     "phrases",
     "hits",
+    "zipf",
 ]
 
 

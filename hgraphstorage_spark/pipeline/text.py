@@ -323,6 +323,70 @@ def vocabulary(
     )
 
 
+def zipf_fit(
+    docs: DataFrame, top_k: int = 1000, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Zipf-law fit over the token frequency distribution: OLS of
+    ln(count) against ln(rank) for the top_k tokens — the classic corpus
+    health check (natural language sits near slope −1; templated or
+    synthetic corpora drift off, and a drop in |slope| after a pipeline
+    change is a red flag worth a look).
+
+    Shape at scale: the token histogram is one map-side-combined shuffle
+    (the `vocabulary` shape, TakeOrderedAndProject top-k), and the fit
+    runs over the k-row frame. Determinism: each OLS term (x, y, xy, x²,
+    y²) rounds to 12 dp and sums as exact DECIMAL — order-independent
+    under any partitioning — then the closed-form slope/intercept/R²
+    arithmetic is identical IEEE doubles, so a SQL oracle replays the
+    fit bit-for-bit. Returns one row (n_tokens, slope, intercept, r2)
+    with DECIMAL(18,6) stats.
+    """
+    hist = vocabulary(docs, top_k=top_k, text_col=text_col, id_col=id_col)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n_total").cast("double"))
+
+    def term(c) -> F.Column:
+        return F.round(c, 12).cast("decimal(28,12)")
+
+    sums = hist.select(
+        term(x).alias("tx"),
+        term(y).alias("ty"),
+        term(x * y).alias("txy"),
+        term(x * x).alias("tx2"),
+        term(y * y).alias("ty2"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("tx").alias("sx"),
+        F.sum("ty").alias("sy"),
+        F.sum("txy").alias("sxy"),
+        F.sum("tx2").alias("sx2"),
+        F.sum("ty2").alias("sy2"),
+    )
+    kd = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sx2, sy2 = (
+        F.col("sxy").cast("double"),
+        F.col("sx2").cast("double"),
+        F.col("sy2").cast("double"),
+    )
+    cov = kd * sxy - sx * sy
+    varx = kd * sx2 - sx * sx
+    vary = kd * sy2 - sy * sy
+    slope = cov / varx
+    intercept = (sy - slope * sx) / kd
+    r2 = cov * cov / (varx * vary)
+
+    def dec6(c) -> F.Column:
+        return F.round(c, 6).cast("decimal(18,6)")
+
+    return sums.select(
+        F.col("k").alias("n_tokens"),
+        F.when(F.col("k") >= 2, dec6(slope)).alias("slope"),
+        F.when(F.col("k") >= 2, dec6(intercept)).alias("intercept"),
+        F.when(F.col("k") >= 2, dec6(r2)).alias("r2"),
+    )
+
+
 def chunk_dedup(
     docs: DataFrame, chunk_words: int = 10, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

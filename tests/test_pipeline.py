@@ -3563,6 +3563,42 @@ class TestSentenceSplit:
         assert (got[3]["n_units"], got[3]["n_kept"]) == (3, 2)
 
 
+class TestZipfFit:
+    def test_matches_numpy_ols_replica(self, spark):
+        """Slope/intercept/R² equal a numpy replica of the same
+        rounded-term OLS over the same deterministic rank order."""
+        import numpy as np
+        from hgraphstorage_spark.pipeline.text import zipf_fit
+
+        # counts ~ 100/rank: near-perfect Zipf, slope ~ -1, high R²
+        words = {"alpha": 100, "beta": 50, "gamma": 33, "delta": 25, "eps": 20}
+        text = " ".join(w for w, n in words.items() for _ in range(n))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        row = zipf_fit(docs, top_k=10).collect()[0]
+        assert row["n_tokens"] == 5
+        counts = sorted(words.values(), reverse=True)
+        x = np.array([round(float(np.log(r + 1)), 12) for r in range(5)])
+        y = np.array([round(float(np.log(c)), 12) for c in counts])
+        xy = np.array([round(float(a * b), 12) for a, b in zip(x, y)])
+        x2 = np.array([round(float(a * a), 12) for a in x])
+        y2 = np.array([round(float(b * b), 12) for b in y])
+        k = 5.0
+        cov = k * xy.sum() - x.sum() * y.sum()
+        varx = k * x2.sum() - x.sum() ** 2
+        vary = k * y2.sum() - y.sum() ** 2
+        assert float(row["slope"]) == pytest.approx(cov / varx, abs=2e-6)
+        assert float(row["r2"]) == pytest.approx(cov * cov / (varx * vary), abs=2e-6)
+        assert -1.1 < float(row["slope"]) < -0.9 and float(row["r2"]) > 0.99
+
+    def test_degenerate_single_token(self, spark):
+        from hgraphstorage_spark.pipeline.text import zipf_fit
+
+        docs = spark.createDataFrame([(1, "same same same")], "doc_id long, text string")
+        row = zipf_fit(docs).collect()[0]
+        assert row["n_tokens"] == 1
+        assert row["slope"] is None and row["r2"] is None
+
+
 class TestPhraseDetect:
     def test_collocation_outranks_frequent_pair(self, spark):
         """'new york' (always adjacent) must outscore 'the cat' (both
