@@ -34,6 +34,22 @@ def _graph(spark: SparkSession, sf_dir: str):
     return _SNAP_CACHE[key]
 
 
+def _loc_subgraph(snap):
+    """The location subgraph (Customer/Supplier -> Nation -> Region) the
+    graph-analytics queries share — one definition so the node-id offset
+    arithmetic can't drift between queries (its SQL twin is
+    ``_LOC_GRAPH_SQL``)."""
+    from dataclasses import replace
+
+    loc_edges = snap.edges.filter(
+        F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"])
+    )
+    loc_nodes = snap.nodes.filter(
+        F.col("label").isin(["Region", "Nation", "Customer", "Supplier"])
+    )
+    return replace(snap, nodes=loc_nodes, edges=loc_edges)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # Session-proofing: the driver builds its own SparkSession, which may
@@ -322,14 +338,11 @@ def q_degrees(spark, sf_dir):
 
 def q_connected_components(spark, sf_dir):
     """Analytics: CC over the location subgraph (one component per region)."""
-    from dataclasses import replace
 
     from hgraphstorage_spark.analytics import connected_components
 
     snap = _graph(spark, sf_dir)
-    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
-    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
-    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    sub = _loc_subgraph(snap)
     comp = connected_components(sub, max_iter=10)
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
 
@@ -337,14 +350,11 @@ def q_connected_components(spark, sf_dir):
 def q_connected_components_alt(spark, sf_dir):
     """Analytics: alternating large-star/small-star CC — same result as
     HashMin (shared oracle), O(log n) rounds at scale."""
-    from dataclasses import replace
 
     from hgraphstorage_spark.analytics import connected_components_alternating
 
     snap = _graph(spark, sf_dir)
-    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
-    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
-    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    sub = _loc_subgraph(snap)
     comp = connected_components_alternating(sub)
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
 
@@ -353,14 +363,11 @@ def q_pagerank(spark, sf_dir):
     """Analytics: PageRank (3 fixed iterations, dangling redistribution)
     over the location subgraph — deterministic, oracle-checked against
     unrolled SQL."""
-    from dataclasses import replace
 
     from hgraphstorage_spark.analytics import pagerank
 
     snap = _graph(spark, sf_dir)
-    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
-    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
-    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    sub = _loc_subgraph(snap)
     pr = pagerank(sub, alpha=0.85, iterations=3, dangling=True)
     # fixed-scale string: the hash-canonical form for non-integer outputs
     return pr.select("id", F.round("rank", 6).cast("decimal(18,6)").cast("string").alias("rank"))
@@ -371,18 +378,7 @@ def _pagerank_oracle_sql(iterations: int = 3) -> str:
     mirroring analytics.pagerank: rank = (1-a)/n + a*dangling/n +
     a*sum(in rank/out_deg). Float sums agree with Spark's partial-agg
     order at round-6 (error ~1e-15 vs quantum 5e-7)."""
-    head = """
-        WITH nodes AS (
-          SELECT 1000000000000 + r_regionkey AS id FROM region
-          UNION ALL SELECT 2000000000000 + n_nationkey FROM nation
-          UNION ALL SELECT 3000000000000 + c_custkey FROM customer
-          UNION ALL SELECT 4000000000000 + s_suppkey FROM supplier
-        ),
-        edges AS (
-          SELECT 3000000000000 + c_custkey AS src, 2000000000000 + c_nationkey AS dst FROM customer
-          UNION ALL SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey FROM supplier
-          UNION ALL SELECT 2000000000000 + n_nationkey, 1000000000000 + n_regionkey FROM nation
-        ),
+    head = "WITH " + _LOC_GRAPH_SQL + """,
         outd AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
         r0 AS (SELECT id, 1.0 / n AS rank FROM nodes, nn)"""
@@ -409,14 +405,11 @@ def q_hits(spark, sf_dir):
     sweeps, analytics.py:hits) over the location subgraph — exact
     DECIMAL reinforcement sums, round-12 normalization divisions, so
     the unrolled oracle matches bit-for-bit."""
-    from dataclasses import replace
 
     from hgraphstorage_spark.analytics import hits
 
     snap = _graph(spark, sf_dir)
-    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
-    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
-    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    sub = _loc_subgraph(snap)
     out = hits(sub, iterations=3)
     return out.select(
         "id",
@@ -425,7 +418,7 @@ def q_hits(spark, sf_dir):
     )
 
 
-_HITS_GRAPH_SQL = """
+_LOC_GRAPH_SQL = """
         nodes AS (
           SELECT 1000000000000 + r_regionkey AS id FROM region
           UNION ALL SELECT 2000000000000 + n_nationkey FROM nation
@@ -446,7 +439,7 @@ def _hits_oracle_sql(iterations: int = 3) -> str:
     first then hubs from the UPDATED authorities."""
     parts = [
         "WITH "
-        + _HITS_GRAPH_SQL
+        + _LOC_GRAPH_SQL
         + """,
         h0 AS (SELECT id, CAST(1 AS DECIMAL(28,12)) AS hub FROM nodes)"""
     ]
@@ -481,14 +474,11 @@ def _hits_oracle_sql(iterations: int = 3) -> str:
 def q_personalized_pagerank(spark, sf_dir):
     """Analytics: personalized PageRank from Customer 1 over the location
     subgraph (teleport + dangling mass return to the seed)."""
-    from dataclasses import replace
 
     from hgraphstorage_spark.analytics import pagerank
 
     snap = _graph(spark, sf_dir)
-    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
-    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
-    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    sub = _loc_subgraph(snap)
     pr = pagerank(sub, alpha=0.85, iterations=3, dangling=True, reset_to=[NODE["Customer"] + 1])
     # report only nonzero-rank nodes: the seed's forward cone (plus seed)
     return pr.filter(F.col("rank") > 0).select(
@@ -499,18 +489,7 @@ def q_personalized_pagerank(spark, sf_dir):
 def _ppr_oracle_sql(iterations: int = 3, seed: int = 0) -> str:
     """Unrolled personalized PageRank mirroring analytics.pagerank with
     reset_to=[seed]: p(v) = 1 at the seed, 0 elsewhere."""
-    head = f"""
-        WITH nodes AS (
-          SELECT 1000000000000 + r_regionkey AS id FROM region
-          UNION ALL SELECT 2000000000000 + n_nationkey FROM nation
-          UNION ALL SELECT 3000000000000 + c_custkey FROM customer
-          UNION ALL SELECT 4000000000000 + s_suppkey FROM supplier
-        ),
-        edges AS (
-          SELECT 3000000000000 + c_custkey AS src, 2000000000000 + c_nationkey AS dst FROM customer
-          UNION ALL SELECT 4000000000000 + s_suppkey, 2000000000000 + s_nationkey FROM supplier
-          UNION ALL SELECT 2000000000000 + n_nationkey, 1000000000000 + n_regionkey FROM nation
-        ),
+    head = "WITH " + _LOC_GRAPH_SQL + f""",
         outd AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
         r0 AS (SELECT id, CASE WHEN id = {seed} THEN 1.0 ELSE 0.0 END AS rank FROM nodes)"""
     parts = [head]
@@ -787,14 +766,11 @@ def q_modularity(spark, sf_dir):
     location subgraph — the community-quality score; the oracle replays
     BOTH the LPA rounds and the closed-form Q (12-decimal per-community
     terms, exact DECIMAL sum)."""
-    from dataclasses import replace
 
     from hgraphstorage_spark.analytics import label_propagation, modularity
 
     snap = _graph(spark, sf_dir)
-    loc_edges = snap.edges.filter(F.col("label").isin(["custLocatedIn", "suppLocatedIn", "nationLocatedIn"]))
-    loc_nodes = snap.nodes.filter(F.col("label").isin(["Region", "Nation", "Customer", "Supplier"]))
-    sub = replace(snap, nodes=loc_nodes, edges=loc_edges)
+    sub = _loc_subgraph(snap)
     comm = label_propagation(sub, max_iter=3)
     return _canon(modularity(sub, comm), "modularity")
 
@@ -3781,10 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_topk": q_sq_topk,
         "lsh_recall_report": q_lsh_recall_report,
         "script_stats": q_script_stats,
-        # r6: domain_stats stays the one wave row past the window
-        # (domain accounting is driver-certified via domain_quality,
-        # which runs the same normalizer + host extraction)
-        "domain_stats": q_domain_stats,
+        # (domain_stats moved IN-window in the eighth rotation)
         # r6 second + third rotations: hashed-green rows whose slots now
         # carry the crawl/classifier/novelty wave and then the
         # drift/export/streaming wave (all still oracle-compared every
@@ -5243,9 +5216,12 @@ def _mmr_oracle_sql(qid: int = 0, pool: int = 15, k: int = 5, lam: float = 0.7) 
             f" * sqrt(list_dot_product({b}, {b})))"
         )
 
+    # red is NULL until the first similarity lands (greatest skips NULL
+    # on both engines); round 1's empty-set penalty is coalesce -> 0
     mmr_expr = (
         f"CAST(round(({lam!r})::DOUBLE * rel::DOUBLE"
-        f" - ((1.0)::DOUBLE - ({lam!r})::DOUBLE) * red::DOUBLE, 6)"
+        f" - ((1.0)::DOUBLE - ({lam!r})::DOUBLE)"
+        " * coalesce(red::DOUBLE, (0.0)::DOUBLE), 6)"
         " AS DECIMAL(18,6))"
     )
     parts = [
@@ -5257,7 +5233,7 @@ def _mmr_oracle_sql(qid: int = 0, pool: int = 15, k: int = 5, lam: float = 0.7) 
           FROM e, q WHERE vec_id <> {qid}
           ORDER BY rel DESC, vec_id LIMIT {pool}),
         r1 AS MATERIALIZED (
-          SELECT vec_id, v, rel, CAST(0 AS DECIMAL(18,6)) AS red FROM pool)"""
+          SELECT vec_id, v, rel, CAST(NULL AS DECIMAL(18,6)) AS red FROM pool)"""
     ]
     for r in range(1, k + 1):
         parts.append(
@@ -5793,7 +5769,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d2 AS (
           SELECT doc_id, regexp_replace(text, ' a ', '. ', 'g') AS t FROM documents
         ),
-        sl AS (
+        sl0 AS (
           SELECT doc_id,
                  list_filter(
                    list_transform(
@@ -5802,6 +5778,11 @@ def oracle_sql() -> dict[str, str]:
                      x -> trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g'))),
                    x -> regexp_matches(x, '[^.!? \t\n\x0B\f\r]')) AS us
           FROM d2
+        ),
+        -- sentence-less docs get one empty ineligible unit so every
+        -- doc_id appears in the output (mirrors the Spark-side guard)
+        sl AS (
+          SELECT doc_id, CASE WHEN len(us) = 0 THEN [''] ELSE us END AS us FROM sl0
         ),
         ch AS (
           SELECT doc_id, i - 1 AS pos, us[i] AS u
@@ -5878,7 +5859,7 @@ def oracle_sql() -> dict[str, str]:
                  round((sy - (k::DOUBLE * sxy - sx * sy) / (k::DOUBLE * sx2 - sx * sx) * sx)
                        / k::DOUBLE, 6)::DECIMAL(18,6)
                END)::VARCHAR AS intercept,
-               (CASE WHEN k >= 2 THEN
+               (CASE WHEN k >= 2 AND (k::DOUBLE * sy2 - sy * sy) > 0 THEN
                  round((k::DOUBLE * sxy - sx * sy) * (k::DOUBLE * sxy - sx * sy)
                        / ((k::DOUBLE * sx2 - sx * sx) * (k::DOUBLE * sy2 - sy * sy)), 6)::DECIMAL(18,6)
                END)::VARCHAR AS r2

@@ -177,18 +177,25 @@ def mmr_rerank(
     lam_d = float(lam)
     one_m = 1.0 - lam_d  # Python IEEE subtraction; the oracle replays (1.0 - lam)
     dec6 = "decimal(18,6)"
+    # red starts NULL (max over the EMPTY selected set — round 1's
+    # penalty is the conventional 0 via coalesce), and greatest() skips
+    # NULL identically on both engines, so a candidate whose similarity
+    # to everything selected is NEGATIVE keeps its negative penalty —
+    # i.e. a diversity BONUS, per the cited max-similarity formula (a
+    # 0-clamped start would erase it)
     rem = candidates.select(
         F.col(qid_col).alias("qid"),
         F.col(id_col).alias("vec_id"),
         F.col(rel_col).cast(dec6).alias("rel"),
         F.col(vec_col).alias("v"),
-        F.lit(0).cast(dec6).alias("red"),
+        F.lit(None).cast(dec6).alias("red"),
     ).localCheckpoint()
     picks = []
     for r in range(1, k + 1):
         mmr = F.round(
             F.lit(lam_d) * F.col("rel").cast("double")
-            - F.lit(one_m) * F.col("red").cast("double"),
+            - F.lit(one_m)
+            * F.coalesce(F.col("red").cast("double"), F.lit(0.0)),
             6,
         ).cast(dec6)
         scored = rem.withColumn("mmr", mmr)

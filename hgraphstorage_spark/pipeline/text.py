@@ -379,11 +379,14 @@ def zipf_fit(
     def dec6(c) -> F.Column:
         return F.round(c, 6).cast("decimal(18,6)")
 
+    # k >= 2 makes varx > 0 (ranks are distinct so x spreads), but vary
+    # can be exactly 0 when every top-k count is equal (tiny or fully
+    # deduplicated corpora) — r2 is undefined there, not a crash
     return sums.select(
         F.col("k").alias("n_tokens"),
         F.when(F.col("k") >= 2, dec6(slope)).alias("slope"),
         F.when(F.col("k") >= 2, dec6(intercept)).alias("intercept"),
-        F.when(F.col("k") >= 2, dec6(r2)).alias("r2"),
+        F.when((F.col("k") >= 2) & (vary > 0), dec6(r2)).alias("r2"),
     )
 
 
@@ -525,10 +528,17 @@ def boilerplate_dedup(
         )
         joiner = " "
     elif unit == "sentence":
-        units = _sentence_array(text)
+        # a doc whose text yields no sentences (empty/NULL/punctuation-
+        # only) must still appear in the output — posexplode of an empty
+        # array emits nothing, so give it one empty ineligible unit
+        arr = _sentence_array(text)
+        units = F.when(F.size(arr) > 0, arr).otherwise(F.array(F.lit("")))
         joiner = " "
     elif unit == "paragraph":
-        units = F.split(text, r"\n[ \t]*\n")
+        # consume the whole blank RUN ([ \t\n]* may swallow interior
+        # newlines), so "A\n\n\nB" and "A\n\nB" both yield units A, B —
+        # gap width can't change a paragraph's identity
+        units = F.split(text, r"\n[ \t\n]*\n")
         joiner = "\n\n"
     else:
         raise ValueError(

@@ -148,15 +148,25 @@ class TestMMR:
 
         rel = {i: round(cos(v, q), 6) for i, v in rows.items() if i != 0}
         cand = sorted(rel, key=lambda i: (-rel[i], i))[:pool]
-        red = {i: 0.0 for i in cand}
+        # red starts at None (max over the empty selected set -> penalty
+        # 0 in round 1); negative similarities KEEP their sign after
+        red = {i: None for i in cand}
         expected = {}
         for r in range(1, k + 1):
-            mmr = {i: round(lam * rel[i] - (1 - lam) * red[i], 6) for i in cand}
+            mmr = {
+                i: round(
+                    lam * rel[i]
+                    - (1 - lam) * (red[i] if red[i] is not None else 0.0),
+                    6,
+                )
+                for i in cand
+            }
             pick = min(cand, key=lambda i: (-mmr[i], i))
             expected[r] = (pick, mmr[pick])
             cand.remove(pick)
             for i in cand:
-                red[i] = max(red[i], round(cos(rows[i], rows[pick]), 6))
+                s = round(cos(rows[i], rows[pick]), 6)
+                red[i] = s if red[i] is None else max(red[i], s)
         assert got == {r: (v, pytest.approx(s, abs=2e-6)) for r, (v, s) in expected.items()}
 
     def test_short_pool_stops(self, spark):
@@ -166,6 +176,23 @@ class TestMMR:
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         out = mmr_topk(emb, query_id=0, k=5, pool=5, lam=0.5).collect()
         assert sorted(r["mmr_rank"] for r in out) == [1, 2]
+
+    def test_negative_similarity_is_a_diversity_bonus(self, spark):
+        """A candidate anti-similar to everything selected keeps its
+        NEGATIVE max-similarity (mmr > lam*rel), per the cited formula —
+        a 0-clamped redundancy would erase the bonus."""
+        from hgraphstorage_spark.pipeline.similarity import mmr_topk
+
+        rows = [
+            (0, [1.0, 0.0]),  # query
+            (1, [0.9, 0.1]),  # first pick (high relevance)
+            (2, [0.1, -0.99]),  # small positive rel, NEGATIVE sim to 1
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["mmr_rank"]: r for r in mmr_topk(emb, 0, k=2, pool=2, lam=0.7).collect()}
+        assert out[1]["vec_id"] == 1 and out[2]["vec_id"] == 2
+        rel2 = float(out[2]["relevance"])
+        assert float(out[2]["mmr_score"]) > round(0.7 * rel2, 6)
 
 
 class TestEmbeddingStatsAndSQ:
@@ -3538,6 +3565,23 @@ class TestSentenceSplit:
         assert got[3]["text_dedup"] == "Something else?"
         assert (got[3]["n_units"], got[3]["n_kept"]) == (3, 1)
 
+    def test_sentence_unit_keeps_sentence_less_docs(self, spark):
+        """Empty / NULL / punctuation-only docs yield no sentences but
+        must still appear in the output (the every-doc_id contract)."""
+        from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+        docs = spark.createDataFrame(
+            [(1, "Real one."), (2, ""), (3, None), (4, "...")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r
+            for r in boilerplate_dedup(docs, unit="sentence", min_count=2).collect()
+        }
+        assert set(got) == {1, 2, 3, 4}
+        for d in (2, 3, 4):
+            assert got[d]["text_dedup"] == "" and got[d]["n_units"] == 1
+
     def test_paragraph_unit_boilerplate_dedup(self, spark):
         """unit='paragraph': blank-line-separated blocks are the unit;
         a repeated footer paragraph vanishes corpus-wide, reassembly
@@ -3545,9 +3589,11 @@ class TestSentenceSplit:
         from hgraphstorage_spark.pipeline.text import boilerplate_dedup
 
         footer = "Subscribe to our\nnewsletter today."
+        # doc 1 uses a TRIPLE newline: gap width must not change the
+        # paragraph's identity (the split consumes the whole blank run)
         docs = spark.createDataFrame(
             [
-                (1, f"Unique intro one.\n\n{footer}"),
+                (1, f"Unique intro one.\n\n\n{footer}"),
                 (2, f"{footer}\n \nUnique body two."),
                 (3, f"Unique A.\n\t\nUnique B.\n\n{footer}"),
             ],
@@ -3597,6 +3643,19 @@ class TestZipfFit:
         row = zipf_fit(docs).collect()[0]
         assert row["n_tokens"] == 1
         assert row["slope"] is None and row["r2"] is None
+
+    def test_all_equal_counts_r2_null_not_crash(self, spark):
+        """Every token count equal -> vary = 0: slope is a well-defined
+        0, R² is NULL (undefined), and nothing divides by zero."""
+        from hgraphstorage_spark.pipeline.text import zipf_fit
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        row = zipf_fit(docs).collect()[0]
+        assert row["n_tokens"] == 4
+        assert float(row["slope"]) == 0.0
+        assert row["r2"] is None
 
 
 class TestPhraseDetect:
