@@ -2940,6 +2940,64 @@ def q_stream_heavy_hitters(spark, sf_dir):
     return result
 
 
+def q_stream_hll(spark, sf_dir):
+    """Streaming distinct-count sketch ACTUALLY RUN as a structured
+    stream: because the HLL register table is an algebraic MAX
+    aggregation (functions/stats.py:hll_sketch), the exact same operator
+    runs natively on an unbounded stream — documents flow through 4
+    file-triggered micro-batches, registers accumulate in complete mode,
+    and the final table equals the batch sketch bit-for-bit (sketch
+    mergeability = streaming for free, no custom state operator). The
+    oracle replays the batch twin: hash -> rho -> register max ->
+    canonical fold -> estimator."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from hgraphstorage_spark.functions.stats import hll_estimate, hll_sketch
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    tmp = tempfile.mkdtemp(prefix="hgs_hll_stream_")
+    qname = f"hll_drv_{uuid.uuid4().hex[:8]}"
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/docs")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/docs")
+        )
+        toks = stream.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"[ \t\n\x0B\f\r]+")
+            ).alias("tok"),
+        ).filter(F.length("tok") > 0)
+        regs = hll_sketch(toks, "tok", group_cols=["lang"], p=8)
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.table(qname)
+        est = hll_estimate(final, group_cols=["lang"], p=8)
+        out = est.select(
+            "lang",
+            "n_zero_registers",
+            F.col("n_distinct_est").cast("string").alias("n_distinct_est"),
+        )
+        result = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
 def q_stream_embed_dedup(spark, sf_dir):
     """Streaming embedding near-dup suppression ACTUALLY RUN as a
     structured stream (streaming/ingest.py:stream_embed_dedup):
@@ -3646,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrases": q_phrases,
         "hits": q_hits,
         "zipf": q_zipf,
+        "stream_hll": q_stream_hll,
         # r6 eighth rotation, rotated-out rows (all hashed green in r5;
         # their machinery stays driver-checked inside in-window oracles
         # — see the in-window slot comments)
@@ -5941,6 +6000,49 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
                n_distinct_exact
         FROM est JOIN ex ON est.lang = ex.lang
+    """
+    # streaming HLL replay = the batch twin (the register table is a
+    # MAX agg, so the 4-micro-batch stream equals the batch sketch);
+    # identical chain minus the exact-count column
+    sql["stream_hll"] = r"""
+        WITH toks AS (
+          SELECT lang, tok FROM (
+            SELECT lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS tok
+            FROM documents)
+          WHERE length(tok) > 0
+        ),
+        h AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        cells AS (
+          SELECT lang, h % 256 AS bucket,
+                 CASE WHEN h // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(h // 256)) END AS rho
+          FROM h
+        ),
+        regs AS (SELECT lang, bucket, max(rho) AS reg FROM cells GROUP BY 1, 2),
+        s AS (
+          SELECT lang, count(*) AS n_nonzero,
+                 list_reduce(list_prepend((0.0)::DOUBLE,
+                                          list(pow((2.0)::DOUBLE, -reg) ORDER BY bucket)),
+                             (acc, x) -> acc + x) AS s_nonzero
+          FROM regs GROUP BY 1
+        ),
+        e AS (
+          SELECT lang, (256 - n_nonzero)::BIGINT AS n_zero,
+                 (256 - n_nonzero)::DOUBLE + s_nonzero AS big_s
+          FROM s
+        ),
+        est AS (
+          SELECT lang, n_zero,
+                 (0.7213)::DOUBLE / ((1.0)::DOUBLE + (1.079)::DOUBLE / (256.0)::DOUBLE)
+                   * (256.0)::DOUBLE * (256.0)::DOUBLE / big_s AS raw
+          FROM e
+        )
+        SELECT lang, n_zero AS n_zero_registers,
+               round(CASE WHEN raw <= (2.5)::DOUBLE * (256.0)::DOUBLE AND n_zero > 0
+                          THEN (256.0)::DOUBLE * ln((256.0)::DOUBLE / n_zero::DOUBLE)
+                          ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est
+        FROM est
     """
     # readability replay: same punctuate, the sentence-array filter from
     # sentence_dedup, letter-run words, vowel-group syllables with the

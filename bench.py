@@ -198,6 +198,7 @@ R6_OPS = [
     "phrases",
     "hits",
     "zipf",
+    "stream_hll",
 ]
 
 
