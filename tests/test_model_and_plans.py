@@ -651,3 +651,81 @@ class TestRound6OperatorPlans:
         # the window input is the post-agg frame: every Window sits above
         # the aggregate, which already reduced to |groups| rows
         assert "Window" in plan
+
+
+class TestLateR6PlanAudits:
+    def test_readability_zero_shuffle(self, spark):
+        """readability_scores is one narrow HOF projection — no Exchange
+        of any kind in the plan."""
+        from hgraphstorage_spark.pipeline.text import readability_scores
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(readability_scores(docs))
+        assert "Exchange" not in plan
+
+    def test_phrase_detect_partial_topk_and_no_positional_selfjoin(self, spark):
+        """The final top-k is TakeOrderedAndProject (never a global
+        sort), counts are map-side combined, and the bigram build is the
+        zip-shifted array — no SortMergeJoin on (doc, pos)."""
+        from hgraphstorage_spark.pipeline.text import phrase_detect
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(phrase_detect(docs, min_count=2, top_k=10))
+        assert "TakeOrderedAndProject" in plan
+        assert "partial_count" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_hll_sketch_bounded_shuffle_no_window(self, spark):
+        """The register agg is map-side combined (partial_max) so the
+        shuffle is bounded at 2^p rows per partition per group; no
+        window, no cartesian."""
+        from hgraphstorage_spark.functions.stats import hll_sketch
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        import pyspark.sql.functions as F
+
+        toks = docs.select(
+            "lang", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        )
+        plan = executed_plan(hll_sketch(toks, "tok", group_cols=["lang"], p=8))
+        assert "partial_max" in plan
+        assert "Window" not in plan and "CartesianProduct" not in plan
+
+    def test_zipf_histogram_is_partial_topk(self, spark):
+        """zipf's vocabulary cut plans as TakeOrderedAndProject; the OLS
+        runs over the k-row frame (single final agg, no data window)."""
+        from hgraphstorage_spark.pipeline.text import zipf_fit
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(zipf_fit(docs, top_k=100))
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+
+    def test_mmr_pool_is_partial_topk(self, spark):
+        """mmr_topk's candidate pool is a TakeOrderedAndProject over the
+        scored scan — the corpus is never globally sorted, and the MMR
+        rounds run on checkpointed pool-sized frames."""
+        import pyspark.sql.functions as F
+        from hgraphstorage_spark.pipeline.similarity import cosine, mmr_topk
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        # audit the pool stage itself (mmr_topk checkpoints it eagerly)
+        e2 = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        q = e2.filter(F.col("vec_id") == 0).select(F.col("v").alias("_qv"))
+        pool = (
+            e2.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", F.round(cosine(F.col("v"), F.col("_qv")), 6).alias("rel"))
+            .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+            .limit(20)
+        )
+        plan = executed_plan(pool)
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange rangepartitioning" not in plan
+        # end-to-end still returns k rows
+        assert mmr_topk(emb, 0, k=3, pool=10).count() == 3
