@@ -3613,14 +3613,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_terms": q_topic_terms,
         "domain_stats": q_domain_stats,
         "index_build": q_index_build,
-        # index_lookup is subsumed by index_build + index_prefix coverage
-        # (and stays pytest-oracled); its slot carries the r4 PQ ANN
-        "pq_topk": q_pq_topk,
-        "mutation_cascade": q_mutation_cascade,
-        "snapshot_time_travel": q_snapshot_time_travel,
-        # -- bulk ingest + compressed graph analytics (32-33) --
+        # r6 ninth rotation: pq_topk (hashed green r4+r5; the full PQ
+        # encode+ADC chain replays inside the in-window ivfpq_topk
+        # oracle), mutation_cascade and snapshot_time_travel (hashed
+        # green r1-r5 — five straight contacts; the M-family and MVCC
+        # machinery stay under the engine pytest suites incl. the
+        # 3-backend CAS stress), and graph_summary (hashed green r1-r5;
+        # the analytics family keeps pagerank + modularity + the
+        # incoming hits in-window) rotate past the window; their slots
+        # carry the late-wave sketch/collocation/centrality/corpus-fit
+        # operators so the driver hashes them the round they were built
+        "hll_distinct": q_hll_distinct,
+        "phrases": q_phrases,
+        "hits": q_hits,
+        "zipf": q_zipf,
+        # -- bulk ingest (32-33) --
         "hackage_etl": q_hackage_etl,
-        "graph_summary": q_graph_summary,
         # -- LLM-data-pipeline operators (34-50) --
         # r6 seventh rotation (cont.): minhash_lsh_pairs (hashed green
         # r1-r6-replica; the identical md5 minhash chain runs inside the
@@ -3699,12 +3707,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
-        # r6 late additions (rotation candidates for r7)
-        "hll_distinct": q_hll_distinct,
-        "phrases": q_phrases,
-        "hits": q_hits,
-        "zipf": q_zipf,
+        # r6 late addition (rotation candidate for r7; the streaming
+        # family already holds five in-window real-stream rows)
         "stream_hll": q_stream_hll,
+        # r6 ninth rotation, rotated-out rows (multi-round hashed green;
+        # machinery stays driver-checked per the in-window slot comments)
+        "pq_topk": q_pq_topk,
+        "mutation_cascade": q_mutation_cascade,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "graph_summary": q_graph_summary,
         # r6 eighth rotation, rotated-out rows (all hashed green in r5;
         # their machinery stays driver-checked inside in-window oracles
         # — see the in-window slot comments)
