@@ -1475,6 +1475,46 @@ class TestHLL:
         assert abs(got["en"] - 200) / 200 < 0.25 and abs(got["de"] - 40) / 40 < 0.25
 
 
+class TestLateR6Laws:
+    def test_mmr_with_k_equal_pool_is_a_permutation(self, spark):
+        """MMR reorders, never drops: k == pool returns exactly the pool's
+        vec_ids (diversity changes ranks, not membership)."""
+        from hgraphstorage_spark.pipeline.similarity import cosine_topk, mmr_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        pool_ids = {r["vec_id"] for r in cosine_topk(emb, 0, k=8).collect()}
+        mmr_ids = {
+            r["vec_id"] for r in mmr_topk(emb, 0, k=8, pool=8, lam=0.4).collect()
+        }
+        assert mmr_ids == pool_ids
+
+    def test_phrase_scores_decrease_with_delta(self, spark):
+        """Raising delta lowers every pair's score by exactly
+        (d2-d1)*N/(n_a*n_b) — monotone discounting, same pair set."""
+        from hgraphstorage_spark.pipeline.text import phrase_detect
+
+        docs = spark.createDataFrame(
+            [(i, "new york and old york") for i in range(6)],
+            "doc_id long, text string",
+        )
+        lo = {(r["word_a"], r["word_b"]): float(r["score"])
+              for r in phrase_detect(docs, min_count=2, delta=0.0, top_k=20).collect()}
+        hi = {(r["word_a"], r["word_b"]): float(r["score"])
+              for r in phrase_detect(docs, min_count=2, delta=2.0, top_k=20).collect()}
+        assert set(lo) == set(hi) and lo
+        assert all(hi[p] < lo[p] for p in lo)
+
+    def test_hll_registers_invariant_under_duplication(self, spark):
+        """sketch(multiset) == sketch(set): duplicates can never move a
+        register (max over equal hashes) — the property that makes
+        distinct-first and raw-stream pipelines interchangeable."""
+        from hgraphstorage_spark.functions.stats import hll_sketch
+
+        base = spark.range(500).select(F.concat(F.lit("t"), F.col("id")).alias("v"))
+        dup = base.unionByName(base).unionByName(base)
+        assert bag(hll_sketch(dup, "v")) == bag(hll_sketch(base, "v"))
+
+
 class TestCountMinSketch:
     def test_one_sided_and_exact_without_collisions(self, spark):
         """est >= exact for EVERY item (CMS never undercounts), and with a
