@@ -2940,6 +2940,34 @@ def q_stream_heavy_hitters(spark, sf_dir):
     return result
 
 
+def q_audio_match(spark, sf_dir):
+    """Landmark-audio offset-vote matching (pipeline/multimodal.py:
+    audio_match) over a deterministic synthetic fingerprint index — the
+    media_pairs pattern: the numpy constellation extraction stays
+    pytest-exact (tone-sequence WAVs, exact 10-frame offset), while the
+    SQL-replayable core — hash join, (probe, track, offset) votes,
+    per-probe argmax — runs under the driver hash. Corpus = 4 tracks x
+    200 arithmetic landmarks into 5000 slots (birthday collisions
+    exercise the vote noise); probe = a 100-landmark excerpt of track 1
+    at offset 50."""
+    from hgraphstorage_spark.pipeline.multimodal import audio_match
+
+    corpus = spark.range(800).select(
+        F.expr("id div 200").alias("media_id"),
+        F.pmod(
+            F.pmod(F.col("id"), 200) * 104729 + F.expr("id div 200") * 7919,
+            F.lit(5000),
+        ).alias("fp_hash"),
+        F.pmod(F.col("id"), 200).cast("int").alias("t1"),
+    )
+    probe = spark.range(50, 150).select(
+        F.lit(99).cast("long").alias("media_id"),
+        F.pmod(F.col("id") * 104729 + 7919, F.lit(5000)).alias("fp_hash"),
+        (F.col("id") - 50).cast("int").alias("t1"),
+    )
+    return audio_match(corpus, probe, min_votes=3)
+
+
 def q_stream_hll(spark, sf_dir):
     """Streaming distinct-count sketch ACTUALLY RUN as a structured
     stream: because the HLL register table is an algebraic MAX
@@ -3707,9 +3735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
-        # r6 late addition (rotation candidate for r7; the streaming
+        # r6 late additions (rotation candidates for r7; the streaming
         # family already holds five in-window real-stream rows)
         "stream_hll": q_stream_hll,
+        "audio_match": q_audio_match,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6011,6 +6040,37 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
                n_distinct_exact
         FROM est JOIN ex ON est.lang = ex.lang
+    """
+    # audio-match replay: the same arithmetic landmark tables, the hash
+    # join, integer offset votes, and the (votes DESC, track, offset)
+    # argmax as a ranked window
+    sql["audio_match"] = """
+        WITH corpus AS (
+          SELECT (i // 200)::BIGINT AS track_id,
+                 ((i % 200) * 104729 + (i // 200) * 7919) % 5000 AS fp_hash,
+                 (i % 200)::INT AS tc
+          FROM range(800) t(i)
+        ),
+        probe AS (
+          SELECT 99::BIGINT AS probe_id,
+                 (i * 104729 + 7919) % 5000 AS fp_hash,
+                 (i - 50)::INT AS tp
+          FROM range(50, 150) t(i)
+        ),
+        votes AS (
+          SELECT probe_id, track_id, (tc - tp)::INT AS "offset",
+                 count(*)::BIGINT AS votes
+          FROM probe JOIN corpus USING (fp_hash)
+          GROUP BY 1, 2, 3
+        ),
+        best AS (
+          SELECT probe_id, track_id, "offset", votes,
+                 row_number() OVER (PARTITION BY probe_id
+                                    ORDER BY votes DESC, track_id, "offset") AS rn
+          FROM votes
+        )
+        SELECT probe_id, track_id, "offset", votes
+        FROM best WHERE rn = 1 AND votes >= 3
     """
     # streaming HLL replay = the batch twin (the register table is a
     # MAX agg, so the 4-micro-batch stream equals the batch sketch);

@@ -199,6 +199,7 @@ R6_OPS = [
     "hits",
     "zipf",
     "stream_hll",
+    "audio_match",
 ]
 
 

@@ -1062,3 +1062,175 @@ def audio_spectral_features(
 
     audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
     return audio.mapInPandas(run, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+def wav_tone_bytes(
+    duration_ms: int, freqs_hz: tuple = (500.0,), byte_rate: int = 8000
+) -> bytes:
+    """Valid 8-bit PCM WAV carrying a deterministic sum of sine tones —
+    the content-bearing counterpart to ``wav_bytes``'s sawtooth, for
+    fingerprint/match fixtures where two tracks must be spectrally
+    DISTINCT and a shifted excerpt must still align."""
+    import numpy as np
+
+    n = duration_ms * byte_rate // 1000
+    t = np.arange(n, dtype=np.float64) / byte_rate
+    x = sum(np.sin(2.0 * np.pi * f * t) for f in freqs_hz) / max(len(freqs_hz), 1)
+    data = (128.0 + 100.0 * x).clip(0, 255).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def wav_sequence_bytes(
+    freq_steps: tuple, step_ms: int = 250, byte_rate: int = 8000
+) -> bytes:
+    """8-bit PCM WAV of CONSECUTIVE single tones (one per entry of
+    ``freq_steps``) — non-stationary by construction. Pure periodic
+    tones are shift-invariant (an excerpt re-aligns at offset 0), so
+    fingerprint offset tests need content that CHANGES over time; a
+    tone sequence is the minimal such signal."""
+    import numpy as np
+
+    n_step = step_ms * byte_rate // 1000
+    t = np.arange(n_step, dtype=np.float64) / byte_rate
+    x = np.concatenate([np.sin(2.0 * np.pi * f * t) for f in freq_steps])
+    data = (128.0 + 100.0 * x).clip(0, 255).astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fp_hash", T.LongType(), False),
+        T.StructField("t1", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_fingerprints(
+    media: DataFrame,
+    n_fft: int = 256,
+    hop: int = 128,
+    peaks_per_frame: int = 3,
+    fan_out: int = 5,
+    max_dt: int = 32,
+) -> DataFrame:
+    """Landmark audio fingerprints (the Shazam constellation scheme,
+    Wang ISMIR 2003): per STFT frame take the ``peaks_per_frame``
+    strongest bins (ties to the lower bin — deterministic), then pair
+    every peak with the next ``fan_out`` peaks landing within ``max_dt``
+    frames; each pair packs into one BIGINT landmark
+
+        fp_hash = f1 << 16 | f2 << 8 | dt
+
+    anchored at frame ``t1``. A shifted or re-encoded excerpt reproduces
+    the same (hash, t) set shifted by a constant — which is exactly what
+    :func:`audio_match` votes on.
+
+    Pure numpy inside ``mapInPandas`` Arrow batches; non-PCM payloads
+    tier out silently (no rows). Returns (media_id, fp_hash, t1)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(n_fft)
+        for pdf in batches:
+            mids, hashes, t1s = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = None if payload is None else decode_wav_samples(payload)
+                if x is None or len(x) < n_fft:
+                    continue
+                n_frames = 1 + (len(x) - n_fft) // hop
+                idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+                spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1))
+                # per-frame top-k bins, ties to the LOWER bin: stable sort
+                # on (-magnitude, bin)
+                peaks = []  # (t, f) in (t, f) order
+                for t in range(n_frames):
+                    mag = spec[t]
+                    order = np.lexsort((np.arange(len(mag)), -mag))
+                    peaks.extend((t, int(f)) for f in sorted(order[:peaks_per_frame]))
+                for i, (ta, fa) in enumerate(peaks):
+                    paired = 0
+                    for tb, fb in peaks[i + 1 :]:
+                        dt = tb - ta
+                        if dt <= 0:
+                            continue
+                        if dt > max_dt or paired >= fan_out:
+                            break
+                        mids.append(mid)
+                        hashes.append((fa << 16) | (fb << 8) | dt)
+                        t1s.append(ta)
+                        paired += 1
+            yield pd.DataFrame({"media_id": mids, "fp_hash": hashes, "t1": t1s})
+
+    audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return audio.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_match(
+    corpus_fp: DataFrame, probe_fp: DataFrame, min_votes: int = 3
+) -> DataFrame:
+    """Match probe fingerprints against a corpus fingerprint index by
+    offset voting: equal landmarks joined on the 8-byte hash, each vote
+    cast for (probe, track, t_corpus − t_probe); a true match piles its
+    votes on ONE offset, random collisions scatter. Per probe, the
+    (track, offset) with the most votes wins (ties → lower track id,
+    then lower offset — deterministic).
+
+    Scale shape: the corpus is touched only through its (media_id,
+    fp_hash, t1) index (persist it once, reuse per probe batch); the
+    join shuffles on the 8-byte hash with map-side-combined votes; the
+    final argmax is a per-probe min_by, no window. All integer
+    arithmetic — a SQL oracle replays the vote and the argmax exactly.
+
+    Returns (probe_id, track_id, offset, votes) for probes whose best
+    candidate reaches ``min_votes``."""
+    p = probe_fp.select(
+        F.col("media_id").alias("probe_id"),
+        F.col("fp_hash"),
+        F.col("t1").alias("_tp"),
+    )
+    c = corpus_fp.select(
+        F.col("media_id").alias("track_id"),
+        F.col("fp_hash"),
+        F.col("t1").alias("_tc"),
+    )
+    votes = (
+        p.join(c, "fp_hash")
+        .select("probe_id", "track_id", (F.col("_tc") - F.col("_tp")).alias("offset"))
+        .groupBy("probe_id", "track_id", "offset")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    best = (
+        votes.groupBy("probe_id")
+        .agg(
+            F.min_by(
+                F.struct("track_id", "offset", "votes"),
+                F.struct(
+                    (-F.col("votes")).alias("o1"),
+                    F.col("track_id").alias("o2"),
+                    F.col("offset").alias("o3"),
+                ),
+            ).alias("b")
+        )
+        .select(
+            "probe_id",
+            F.col("b.track_id").alias("track_id"),
+            F.col("b.offset").alias("offset"),
+            F.col("b.votes").alias("votes"),
+        )
+    )
+    return best.filter(F.col("votes") >= min_votes)

@@ -2617,6 +2617,71 @@ def test_lsh_recall_report_zero_true_pairs_honest(spark):
     assert r["sample_ok"] is False
 
 
+class TestAudioFingerprint:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, "audio", bytearray(b)) for i, b in rows],
+            "media_id long, kind string, payload binary",
+        )
+
+    def test_shifted_excerpt_matches_source_with_exact_offset(self, spark):
+        """A 10-frame-shifted excerpt of the NON-STATIONARY track 0 (a
+        tone sequence — pure periodic tones would re-align at offset 0)
+        matches track 0, not the spectrally distinct track 1, at exactly
+        offset 10; landmark hashes of the excerpt are a subset of the
+        source's."""
+        import struct as _s
+
+        from hgraphstorage_spark.pipeline.multimodal import (
+            audio_fingerprints,
+            audio_match,
+            wav_sequence_bytes,
+        )
+
+        hop = 128
+        steps_a = (500.0, 900.0, 1300.0, 700.0, 1700.0, 1100.0, 2100.0, 600.0)
+        steps_b = (3100.0, 2700.0, 3500.0, 2500.0, 3300.0, 2900.0, 3700.0, 3900.0)
+        a = wav_sequence_bytes(steps_a)
+        b = wav_sequence_bytes(steps_b)
+        # excerpt: drop the first 10 hops of PCM, rebuild both RIFF sizes
+        pcm_off = a.index(b"data") + 8
+        cut = a[pcm_off + 10 * hop :]
+        head = bytearray(a[:pcm_off])
+        head[4:8] = _s.pack("<I", pcm_off - 8 + len(cut))
+        head[pcm_off - 4 : pcm_off] = _s.pack("<I", len(cut))
+        ex = bytes(head) + cut
+        corpus = self._media(spark, [(0, a), (1, b)])
+        probe = self._media(spark, [(99, ex)])
+        cfp = audio_fingerprints(corpus)
+        pfp = audio_fingerprints(probe)
+        got = audio_match(cfp, pfp).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["probe_id"], r["track_id"], r["offset"]) == (99, 0, 10)
+        assert r["votes"] >= 10
+        # subset property: every excerpt landmark exists in the source
+        src = {x["fp_hash"] for x in cfp.filter("media_id = 0").collect()}
+        exc = {x["fp_hash"] for x in pfp.collect()}
+        assert exc and exc <= src
+
+    def test_distinct_tracks_do_not_cross_match(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import (
+            audio_fingerprints,
+            audio_match,
+            wav_tone_bytes,
+        )
+
+        a = wav_tone_bytes(1500, freqs_hz=(400.0,))
+        b = wav_tone_bytes(1500, freqs_hz=(3100.0,))
+        corpus = self._media(spark, [(0, a)])
+        probe = self._media(spark, [(9, b)])
+        got = audio_match(
+            audio_fingerprints(corpus), audio_fingerprints(probe), min_votes=3
+        ).collect()
+        # a pure distinct tone shares (almost) no landmarks: no match row
+        assert got == []
+
+
 class TestAudioSpectral:
     def test_sawtooth_wav_features_match_numpy(self, spark):
         """Spectral features of the deterministic sawtooth WAVs equal a
