@@ -2968,6 +2968,26 @@ def q_audio_match(spark, sf_dir):
     return audio_match(corpus, probe, min_votes=3)
 
 
+def q_video_plan(spark, sf_dir):
+    """Keyframe-aligned frame-sampling plan (pipeline/multimodal.py:
+    video_frame_plan) over a deterministic arithmetic sample table — the
+    media_pairs pattern: the ISO-BMFF stbl writer/parser round-trip
+    stays pytest-exact, while the plan pick (targets from the per-media
+    span, latest sync sample at-or-before each target) runs under the
+    driver hash."""
+    from hgraphstorage_spark.pipeline.multimodal import video_frame_plan
+
+    table = spark.range(120).select(
+        F.expr("id div 40").alias("media_id"),
+        F.pmod(F.col("id"), 40).cast("int").alias("sample_idx"),
+        (F.pmod(F.col("id"), 40) * 100).cast("long").alias("ts_ms"),
+        (F.lit(1000) + F.col("id") * 37).cast("long").alias("byte_offset"),
+        (F.lit(20) + F.pmod(F.col("id"), 7)).cast("int").alias("size"),
+        (F.pmod(F.col("id"), 5) == 0).alias("is_sync"),
+    )
+    return video_frame_plan(table, every_ms=700)
+
+
 def q_stream_hll(spark, sf_dir):
     """Streaming distinct-count sketch ACTUALLY RUN as a structured
     stream: because the HLL register table is an algebraic MAX
@@ -3739,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family already holds five in-window real-stream rows)
         "stream_hll": q_stream_hll,
         "audio_match": q_audio_match,
+        "video_plan": q_video_plan,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6040,6 +6061,33 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
                n_distinct_exact
         FROM est JOIN ex ON est.lang = ex.lang
+    """
+    # video-plan replay: the same arithmetic sample table, sync pool,
+    # per-media target series, and the latest-at-or-before argmax as a
+    # ranked window
+    sql["video_plan"] = """
+        WITH t AS (
+          SELECT (i // 40)::BIGINT AS media_id, (i % 40)::INT AS sample_idx,
+                 ((i % 40) * 100)::BIGINT AS ts_ms,
+                 (1000 + i * 37)::BIGINT AS byte_offset,
+                 (20 + i % 7)::INT AS size, (i % 5 = 0) AS is_sync
+          FROM range(120) r(i)
+        ),
+        pool AS (SELECT * FROM t WHERE is_sync),
+        spans AS (SELECT media_id, max(ts_ms) AS mx FROM pool GROUP BY 1),
+        targets AS (
+          SELECT media_id, unnest(generate_series(0, mx, 700))::BIGINT AS target_ms
+          FROM spans
+        ),
+        j AS (
+          SELECT targets.media_id, target_ms, sample_idx, ts_ms, byte_offset, size,
+                 row_number() OVER (PARTITION BY targets.media_id, target_ms
+                                    ORDER BY ts_ms DESC, sample_idx DESC) AS rn
+          FROM targets JOIN pool ON targets.media_id = pool.media_id
+                               AND pool.ts_ms <= target_ms
+        )
+        SELECT media_id, target_ms, sample_idx, ts_ms, byte_offset, size
+        FROM j WHERE rn = 1
     """
     # audio-match replay: the same arithmetic landmark tables, the hash
     # join, integer offset votes, and the (votes DESC, track, offset)

@@ -200,6 +200,7 @@ R6_OPS = [
     "zipf",
     "stream_hll",
     "audio_match",
+    "video_plan",
 ]
 
 

@@ -1234,3 +1234,298 @@ def audio_match(
         )
     )
     return best.filter(F.col("votes") >= min_votes)
+
+
+def mp4_sampled_bytes(
+    width: int,
+    height: int,
+    n_samples: int,
+    fps: int = 10,
+    samples_per_chunk: int = 4,
+    sync_every: int = 5,
+    timescale: int = 1000,
+) -> bytes:
+    """REAL ISO-BMFF file WITH a sample table (moov/trak/mdia/minf/stbl:
+    stts + stsc + stsz + stco + stss) and an mdat whose per-sample bytes
+    are deterministic — the writer twin of
+    :func:`_parse_mp4_sample_table`. Uniform frame rate (one stts run),
+    per-sample sizes 20 + (i mod 7), chunks of ``samples_per_chunk``,
+    sync samples every ``sync_every`` starting at 1. Two-pass build:
+    stco needs absolute file offsets, so the moov is assembled once with
+    placeholder offsets to measure, then rebuilt with the real ones."""
+    delta = timescale // fps
+    dur = n_samples * delta
+    sizes = [20 + (i % 7) for i in range(n_samples)]
+    syncs = list(range(1, n_samples + 1, sync_every))
+    n_chunks = (n_samples + samples_per_chunk - 1) // samples_per_chunk
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">IHH", 0x10000, 0x100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    stts = _box(
+        b"stts", b"\x00\x00\x00\x00" + struct.pack(">III", 1, n_samples, delta)
+    )
+    stsc = _box(
+        b"stsc",
+        b"\x00\x00\x00\x00" + struct.pack(">IIII", 1, 1, samples_per_chunk, 1),
+    )
+    stsz = _box(
+        b"stsz",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, n_samples)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stss = _box(
+        b"stss",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", len(syncs))
+        + b"".join(struct.pack(">I", s) for s in syncs),
+    )
+
+    def build(chunk_offsets: list) -> bytes:
+        stco = _box(
+            b"stco",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+        stbl = _box(b"stbl", stts + stsc + stsz + stco + stss)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    moov_len = len(build([0] * n_chunks))
+    mdat_body_at = len(ftyp) + moov_len + 8  # mdat header is 8 bytes
+    chunk_offsets, acc = [], mdat_body_at
+    for c in range(n_chunks):
+        chunk_offsets.append(acc)
+        for s in sizes[c * samples_per_chunk : (c + 1) * samples_per_chunk]:
+            acc += s
+    mdat_body = b"".join(
+        bytes(((i * 31 + j) % 256) for j in range(sz)) for i, sz in enumerate(sizes)
+    )
+    return ftyp + build(chunk_offsets) + _box(b"mdat", mdat_body)
+
+
+def _parse_mp4_sample_table(b: bytes):
+    """Walk the FIRST video track's sample table (ISO/IEC 14496-12 §8.5
+    onward): stts decode times, stsz sizes, stsc sample->chunk runs,
+    stco/co64 chunk offsets, stss sync set (absent = all sync). Returns
+    a list of (sample_idx, ts_ms, byte_offset, size, is_sync) or None if
+    any required box is missing/malformed — the same never-silently-
+    wrong tiering as the probes. Only metadata bytes are touched."""
+    boxes: dict = {}
+    timescale = [None]
+
+    def walk(start: int, end: int, depth: int) -> None:
+        if depth > 6:
+            return
+        p = start
+        while p + 8 <= end:
+            (size,) = struct.unpack(">I", b[p : p + 4])
+            typ = b[p + 4 : p + 8]
+            hdr = 8
+            if size == 1:
+                if p + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", b[p + 8 : p + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - p
+            if size < hdr or p + size > end:
+                return
+            body = p + hdr
+            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, p + size, depth + 1)
+            elif typ == b"mdhd" and timescale[0] is None and body + 4 <= p + size:
+                ver = b[body]
+                if ver == 0 and body + 16 <= p + size:
+                    (timescale[0],) = struct.unpack(">I", b[body + 12 : body + 16])
+                elif ver == 1 and body + 24 <= p + size:
+                    (timescale[0],) = struct.unpack(">I", b[body + 20 : body + 24])
+            elif typ in (b"stts", b"stsz", b"stsc", b"stco", b"co64", b"stss"):
+                boxes.setdefault(typ, b[body : p + size])
+            p += size
+
+    walk(0, len(b), 0)
+    ts = timescale[0]
+    if ts in (None, 0) or not all(k in boxes for k in (b"stts", b"stsz", b"stsc")):
+        return None
+    if b"stco" not in boxes and b"co64" not in boxes:
+        return None
+
+    def u32s(raw: bytes, off: int, n: int):
+        return struct.unpack(f">{n}I", raw[off : off + 4 * n])
+
+    try:
+        # stts -> per-sample decode time
+        raw = boxes[b"stts"]
+        (n_ent,) = u32s(raw, 4, 1)
+        deltas = []
+        off = 8
+        for _ in range(n_ent):
+            cnt, dlt = u32s(raw, off, 2)
+            deltas.extend([dlt] * cnt)
+            off += 8
+        n = len(deltas)
+        # stsz -> sizes
+        raw = boxes[b"stsz"]
+        fixed, cnt = u32s(raw, 4, 2)
+        if cnt != n:
+            return None
+        sizes = [fixed] * n if fixed else list(u32s(raw, 12, n))
+        # stco / co64 -> chunk offsets
+        if b"stco" in boxes:
+            raw = boxes[b"stco"]
+            (nch,) = u32s(raw, 4, 1)
+            offs = list(u32s(raw, 8, nch))
+        else:
+            raw = boxes[b"co64"]
+            (nch,) = u32s(raw, 4, 1)
+            offs = list(struct.unpack(f">{nch}Q", raw[8 : 8 + 8 * nch]))
+        # stsc -> samples per chunk, run-length (first_chunk is 1-based)
+        raw = boxes[b"stsc"]
+        (n_ent,) = u32s(raw, 4, 1)
+        runs = [u32s(raw, 8 + 12 * i, 3) for i in range(n_ent)]
+        spc = []
+        for i, (first, per, _sdi) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else nch
+            spc.extend([per] * (last - first + 1))
+        if len(spc) != nch:
+            return None
+        # stss -> sync set (absent = every sample)
+        if b"stss" in boxes:
+            raw = boxes[b"stss"]
+            (n_sync,) = u32s(raw, 4, 1)
+            sync = set(u32s(raw, 8, n_sync))
+        else:
+            sync = None
+        out, si, t = [], 0, 0
+        for c in range(nch):
+            within = offs[c]
+            for _ in range(spc[c]):
+                if si >= n:
+                    break
+                out.append(
+                    (
+                        si,
+                        t * 1000 // ts,
+                        within,
+                        sizes[si],
+                        sync is None or (si + 1) in sync,
+                    )
+                )
+                within += sizes[si]
+                t += deltas[si]
+                si += 1
+        if si != n:
+            return None
+        return out
+    except (struct.error, IndexError):
+        return None
+
+
+VIDEO_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("byte_offset", T.LongType(), False),
+        T.StructField("size", T.IntegerType(), False),
+        T.StructField("is_sync", T.BooleanType(), False),
+    ]
+)
+
+
+def video_sample_table(media: DataFrame) -> DataFrame:
+    """Per-sample byte-range table for every parseable video row —
+    the REAL planning input a distributed frame extractor needs: with
+    (byte_offset, size) per sample, executors can range-read exactly the
+    frames a plan selects instead of shipping whole files. Metadata-only
+    (no mdat bytes decoded); unparseable videos contribute no rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("media_id", "sample_idx", "ts_ms",
+                                    "byte_offset", "size", "is_sync")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                table = None if payload is None else _parse_mp4_sample_table(bytes(payload))
+                if not table:
+                    continue
+                for si, ts_ms, off, sz, sync in table:
+                    cols["media_id"].append(mid)
+                    cols["sample_idx"].append(si)
+                    cols["ts_ms"].append(ts_ms)
+                    cols["byte_offset"].append(off)
+                    cols["size"].append(sz)
+                    cols["is_sync"].append(bool(sync))
+            yield pd.DataFrame(cols)
+
+    video = media.filter(F.col("kind") == "video").select("media_id", "payload")
+    return video.mapInPandas(run, schema=VIDEO_SAMPLE_SCHEMA)
+
+
+def video_frame_plan(
+    sample_table: DataFrame, every_ms: int = 1000, sync_only: bool = True
+) -> DataFrame:
+    """Keyframe-aligned frame-sampling plan from a sample table: for
+    each media and each target timestamp (0, every_ms, 2*every_ms, ...
+    up to the last sample) pick the LATEST (sync) sample at or before
+    the target — the seek semantics every video decoder implements.
+
+    Pure DataFrame ops: targets come from a per-media sequence over the
+    max timestamp (one tiny agg), the pick is a media-keyed equi-join
+    with a ts <= target predicate folded into a per-(media, target)
+    max_by argmax — no window over data, no payload access. Returns
+    (media_id, target_ms, sample_idx, ts_ms, byte_offset, size)."""
+    pool = sample_table.filter(F.col("is_sync")) if sync_only else sample_table
+    spans = pool.groupBy("media_id").agg(F.max("ts_ms").alias("_max_ts"))
+    targets = spans.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_max_ts"), F.lit(every_ms).cast("long"))
+        ).alias("target_ms"),
+    )
+    joined = targets.join(pool, "media_id").filter(F.col("ts_ms") <= F.col("target_ms"))
+    return (
+        joined.groupBy("media_id", "target_ms")
+        .agg(
+            F.max_by(
+                F.struct("sample_idx", "ts_ms", "byte_offset", "size"),
+                F.struct(F.col("ts_ms").alias("o1"), F.col("sample_idx").alias("o2")),
+            ).alias("s")
+        )
+        .select(
+            "media_id",
+            "target_ms",
+            F.col("s.sample_idx").alias("sample_idx"),
+            F.col("s.ts_ms").alias("ts_ms"),
+            F.col("s.byte_offset").alias("byte_offset"),
+            F.col("s.size").alias("size"),
+        )
+    )

@@ -2617,6 +2617,63 @@ def test_lsh_recall_report_zero_true_pairs_honest(spark):
     assert r["sample_ok"] is False
 
 
+class TestVideoSampleTable:
+    def test_table_matches_pure_python_and_corrupt_tiers_out(self, spark):
+        from hgraphstorage_spark.pipeline.multimodal import (
+            _parse_mp4_sample_table,
+            mp4_sampled_bytes,
+            video_sample_table,
+        )
+
+        good = mp4_sampled_bytes(320, 240, n_samples=23, fps=10, sync_every=5)
+        media = spark.createDataFrame(
+            [
+                (1, "video", bytearray(good)),
+                (2, "video", bytearray(b"\x00\x01nota realbox")),
+                (3, "image", bytearray(b"xx")),
+            ],
+            "media_id long, kind string, payload binary",
+        )
+        rows = video_sample_table(media).collect()
+        assert {r["media_id"] for r in rows} == {1}
+        got = sorted(
+            (r["sample_idx"], r["ts_ms"], r["byte_offset"], r["size"], r["is_sync"])
+            for r in rows
+        )
+        assert got == _parse_mp4_sample_table(good)
+
+    def test_frame_plan_picks_latest_sync_at_or_before_target(self, spark):
+        """fps=10, sync every 5 samples -> keyframes at 0/500/1000/...;
+        a 700 ms cadence must seek to the latest keyframe <= target."""
+        from hgraphstorage_spark.pipeline.multimodal import (
+            mp4_sampled_bytes,
+            video_frame_plan,
+            video_sample_table,
+        )
+
+        media = spark.createDataFrame(
+            [(7, "video", bytearray(mp4_sampled_bytes(64, 48, n_samples=23, fps=10, sync_every=5)))],
+            "media_id long, kind string, payload binary",
+        )
+        table = video_sample_table(media)
+        plan = {
+            r["target_ms"]: (r["sample_idx"], r["ts_ms"])
+            for r in video_frame_plan(table, every_ms=700).collect()
+        }
+        # targets run 0..last-keyframe-ts (2000), so 2100 is not a target
+        assert plan == {0: (0, 0), 700: (5, 500), 1400: (10, 1000)}
+        even = {
+            r["target_ms"]: (r["sample_idx"], r["ts_ms"])
+            for r in video_frame_plan(table, every_ms=1000).collect()
+        }
+        assert even == {0: (0, 0), 1000: (10, 1000), 2000: (20, 2000)}
+        # byte ranges in the plan are real: every (offset, size) pair
+        # came from the sample table
+        ranges = {(r["byte_offset"], r["size"]) for r in table.collect()}
+        for r in video_frame_plan(table, every_ms=700).collect():
+            assert (r["byte_offset"], r["size"]) in ranges
+
+
 class TestAudioFingerprint:
     def _media(self, spark, rows):
         return spark.createDataFrame(
