@@ -2968,6 +2968,28 @@ def q_audio_match(spark, sf_dir):
     return audio_match(corpus, probe, min_votes=3)
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot-to-snapshot corpus diff (pipeline/dedup.py:corpus_diff):
+    a deterministic mutation of the documents table — every id%10==3
+    removed, ==5 text-edited, ==7 re-added under a shifted id — fully
+    classified as added/removed/changed/same by fingerprint. Oracle
+    replays the mutation and the full-outer fingerprint join (md5 is
+    engine-portable)."""
+    from hgraphstorage_spark.pipeline.dedup import corpus_diff
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = base.filter(F.pmod("doc_id", 10) != 3).withColumn(
+        "text",
+        F.when(
+            F.pmod("doc_id", 10) == 5, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = base.filter(F.pmod("doc_id", 10) == 7).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return corpus_diff(base, edited.unionByName(added))
+
+
 def q_video_plan(spark, sf_dir):
     """Keyframe-aligned frame-sampling plan (pipeline/multimodal.py:
     video_frame_plan) over a deterministic arithmetic sample table — the
@@ -3760,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "audio_match": q_audio_match,
         "video_plan": q_video_plan,
+        "corpus_diff": q_corpus_diff,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6061,6 +6084,27 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
                n_distinct_exact
         FROM est JOIN ex ON est.lang = ex.lang
+    """
+    # corpus-diff replay: the same deterministic mutation, md5
+    # fingerprints (engine-portable), full-outer classification
+    sql["corpus_diff"] = """
+        WITH base AS (SELECT doc_id, text FROM documents),
+        newt AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS text
+          FROM base WHERE doc_id % 10 <> 3
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 7
+        ),
+        o AS (SELECT doc_id, md5(coalesce(text, '')) AS old_fp FROM base),
+        n AS (SELECT doc_id, md5(coalesce(text, '')) AS new_fp FROM newt)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp = new_fp THEN 'same'
+                    ELSE 'changed' END AS status,
+               old_fp, new_fp
+        FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
     """
     # video-plan replay: the same arithmetic sample table, sync pool,
     # per-media target series, and the latest-at-or-before argmax as a

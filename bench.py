@@ -201,6 +201,7 @@ R6_OPS = [
     "stream_hll",
     "audio_match",
     "video_plan",
+    "corpus_diff",
 ]
 
 

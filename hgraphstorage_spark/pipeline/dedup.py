@@ -1525,3 +1525,40 @@ def domain_quality(
         rate.alias("pass_rate"),
         ((F.col("n_docs") >= min_docs) & (rate < threshold)).alias("blocked"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-level diff between two corpus snapshots — the recurring
+    question between crawl dumps / pipeline versions: which doc_ids were
+    added, removed, or changed (same id, different text fingerprint),
+    and which are identical. One full outer join on the id plus md5 text
+    fingerprints; NULL text fingerprints as the empty-string hash so a
+    NULL->'' edit reads as unchanged only if both sides agree.
+
+    Returns (doc_id, status in {added, removed, changed, same},
+    old_fp, new_fp). Shape at scale: the join shuffles (id, 32-byte
+    fingerprint) projections, never text; status is a narrow CASE.
+    The graph-layer sibling is ``engine.snapshot_diff`` (version-chain
+    diff of nodes/edges); this one speaks the documents-table dialect.
+    """
+    o = old.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("old_fp"),
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("new_fp"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("doc_id", status.alias("status"), "old_fp", "new_fp")

@@ -3899,3 +3899,26 @@ class TestReadability:
         for r in rows.values():
             assert r["n_words"] == 0
             assert r["flesch_reading_ease"] is None and r["fk_grade"] is None
+
+
+class TestCorpusDiff:
+    def test_classification(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, "a"), (2, "B2"), (4, "new"), (3, "")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        # NULL and '' share the empty fingerprint: doc 3 reads as same
+        assert got == {1: "same", 2: "changed", 3: "same", 4: "added"}
+
+    def test_removed(self, spark):
+        from hgraphstorage_spark.pipeline.dedup import corpus_diff
+
+        old = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert got == {1: "same", 2: "removed"}
