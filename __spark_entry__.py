@@ -2968,6 +2968,21 @@ def q_audio_match(spark, sf_dir):
     return audio_match(corpus, probe, min_votes=3)
 
 
+def q_curriculum(spark, sf_dir):
+    """Curriculum data ordering (pipeline/sampling.py:curriculum_order):
+    4 length-difficulty stages over documents, easy-first, md5-permuted
+    within stage for epoch 1 — both ranks on the distributed two-pass
+    form. Oracle replays the rank, the equi-depth bucket rule, and the
+    md5 permutation."""
+    from hgraphstorage_spark.pipeline.sampling import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("s")
+    )
+    out = curriculum_order(docs, "s", n_stages=4, epoch=1)
+    return out.select("doc_id", "stage", "curriculum_rank")
+
+
 def q_corpus_diff(spark, sf_dir):
     """Snapshot-to-snapshot corpus diff (pipeline/dedup.py:corpus_diff):
     a deterministic mutation of the documents table — every id%10==3
@@ -3783,6 +3798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_match": q_audio_match,
         "video_plan": q_video_plan,
         "corpus_diff": q_corpus_diff,
+        "curriculum": q_curriculum,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6084,6 +6100,29 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
                n_distinct_exact
         FROM est JOIN ex ON est.lang = ex.lang
+    """
+    # curriculum replay: length score, rank, the equi-depth bucket rule
+    # (floor — Spark's double->long cast truncates, DuckDB's ::BIGINT
+    # rounds, so floor() is spelled out), then the md5 permutation
+    sql["curriculum"] = """
+        WITH scored AS (SELECT doc_id, length(text) AS s FROM documents),
+        r AS (
+          SELECT doc_id, s,
+                 row_number() OVER (ORDER BY s, doc_id) AS rn,
+                 count(*) OVER () AS n
+          FROM scored
+        ),
+        st AS (
+          SELECT doc_id,
+                 (floor((rn - 1) * 4 / n) + 1)::INT AS stage
+          FROM r
+        )
+        SELECT doc_id, stage,
+               row_number() OVER (
+                 ORDER BY stage,
+                          md5(doc_id::VARCHAR || ':epoch:1'),
+                          doc_id)::BIGINT AS curriculum_rank
+        FROM st
     """
     # corpus-diff replay: the same deterministic mutation, md5
     # fingerprints (engine-portable), full-outer classification

@@ -202,6 +202,7 @@ R6_OPS = [
     "audio_match",
     "video_plan",
     "corpus_diff",
+    "curriculum",
 ]
 
 

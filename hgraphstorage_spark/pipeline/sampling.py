@@ -184,6 +184,49 @@ def _global_rank(df: DataFrame, order_cols: list, rank_name: str) -> DataFrame:
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_stages: int = 4,
+    epoch: int = 0,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum data ordering (Bengio et al. 2009 applied to corpus
+    scheduling): bucket documents into ``n_stages`` difficulty stages by
+    a score (readability, perplexity, length — `ascending=True` trains
+    easy-first) with the rank-bucket rule ``1 + floor((rn-1)*k/N)`` (the
+    equi-depth formula ``quantile_histogram`` uses; bucket sizes differ
+    by at most one) over the distributed two-pass rank, then shuffle
+    WITHIN each stage with the deterministic
+    per-epoch md5 permutation — so training walks stage 1 shuffled, then
+    stage 2 shuffled, ... reproducibly on any cluster.
+
+    Returns the input plus (stage 1..n_stages, curriculum_rank — the
+    global position under (stage, md5 key)). Plan shape: two
+    `_global_rank` passes (range partition + local rank + broadcast
+    offsets), no data-sized single-partition window anywhere."""
+    order = [F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+             F.col(id_col).asc()]
+    ranked = _global_rank(df, order, "_srn")
+    n_frame = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = ranked.crossJoin(F.broadcast(n_frame))
+    # equi-depth bucket from rank: rn 1..N -> 1..k, sizes differ by <= 1
+    stage = (
+        ((F.col("_srn") - 1) * n_stages / F.col("_n")).cast("long") + 1
+    ).cast("int")
+    staged = ranked.withColumn("stage", stage).drop("_srn", "_n")
+    key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":epoch:{epoch}"))
+    )
+    with_key = staged.withColumn("_ck", key)
+    return _global_rank(
+        with_key,
+        [F.col("stage").asc(), F.col("_ck").asc(), F.col(id_col).asc()],
+        "curriculum_rank",
+    ).drop("_ck")
+
+
 def epoch_shuffle(df: DataFrame, epoch: int, id_col: str = "doc_id") -> DataFrame:
     """Deterministic per-epoch global shuffle order: append
     ``shuffle_rank`` = the row's position under ORDER BY

@@ -3922,3 +3922,33 @@ class TestCorpusDiff:
         new = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
         assert got == {1: "same", 2: "removed"}
+
+
+class TestCurriculumOrder:
+    def test_stages_and_determinism(self, spark):
+        from hgraphstorage_spark.pipeline.sampling import curriculum_order
+
+        docs = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 13)], "doc_id long, s double"
+        )
+        out = curriculum_order(docs, "s", n_stages=3, epoch=1).collect()
+        rows = sorted(out, key=lambda r: r["curriculum_rank"])
+        # ranks are a permutation 1..12 and stages are monotone along it
+        assert [r["curriculum_rank"] for r in rows] == list(range(1, 13))
+        stages = [r["stage"] for r in rows]
+        assert stages == sorted(stages) and set(stages) == {1, 2, 3}
+        # easy-first: stage 1 holds the 4 lowest scores
+        s1 = {r["doc_id"] for r in rows if r["stage"] == 1}
+        assert s1 == {1, 2, 3, 4}
+        # deterministic: identical on re-run
+        again = sorted(
+            curriculum_order(docs, "s", n_stages=3, epoch=1).collect(),
+            key=lambda r: r["curriculum_rank"],
+        )
+        assert [(r["doc_id"], r["stage"]) for r in again] == [
+            (r["doc_id"], r["stage"]) for r in rows
+        ]
+        # a different epoch re-permutes within stages but keeps membership
+        e2 = curriculum_order(docs, "s", n_stages=3, epoch=2).collect()
+        s1_e2 = {r["doc_id"] for r in e2 if r["stage"] == 1}
+        assert s1_e2 == s1
