@@ -2968,6 +2968,24 @@ def q_audio_match(spark, sf_dir):
     return audio_match(corpus, probe, min_votes=3)
 
 
+def q_rollup_merge(spark, sf_dir):
+    """Continuous-aggregate maintenance (functions/timeseries.py:
+    time_rollup + rollup_merge): the events table split by event_id
+    parity, each half rolled up independently, then MERGED — the law
+    merge(rollup(A), rollup(B)) == rollup(A ++ B) under the driver hash,
+    since the oracle computes the direct one-pass rollup."""
+    from hgraphstorage_spark.functions.timeseries import rollup_merge, time_rollup
+    from hgraphstorage_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    a = time_rollup(ev.filter(F.pmod("event_id", 2) == 0))
+    b = time_rollup(ev.filter(F.pmod("event_id", 2) == 1))
+    out = rollup_merge(a, b)
+    return _canon_ts(
+        _canon(out, "total_value", "min_value", "max_value"), "bucket_start"
+    )
+
+
 def q_curriculum(spark, sf_dir):
     """Curriculum data ordering (pipeline/sampling.py:curriculum_order):
     4 length-difficulty stages over documents, easy-first, md5-permuted
@@ -3799,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_plan": q_video_plan,
         "corpus_diff": q_corpus_diff,
         "curriculum": q_curriculum,
+        "rollup_merge": q_rollup_merge,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6100,6 +6119,17 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
                n_distinct_exact
         FROM est JOIN ex ON est.lang = ex.lang
+    """
+    # rollup-merge replay = the direct one-pass rollup (the merge law is
+    # the thing under test: split halves must merge to this)
+    sql["rollup_merge"] = """
+        SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+               event_type,
+               count(*)::BIGINT AS n_events,
+               (sum(value::DECIMAL(18,2)))::DECIMAL(18,2)::VARCHAR AS total_value,
+               min(value::DECIMAL(18,2))::VARCHAR AS min_value,
+               max(value::DECIMAL(18,2))::VARCHAR AS max_value
+        FROM events GROUP BY 1, 2
     """
     # curriculum replay: length score, rank, the equi-depth bucket rule
     # (floor — Spark's double->long cast truncates, DuckDB's ::BIGINT

@@ -203,6 +203,7 @@ R6_OPS = [
     "video_plan",
     "corpus_diff",
     "curriculum",
+    "rollup_merge",
 ]
 
 

@@ -260,3 +260,56 @@ def event_transitions(
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") / F.sum("n").over(tw), 6).cast("decimal(18,6)").alias("prob"),
     )
+
+
+def time_rollup(
+    events: DataFrame,
+    bucket: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-bucketed partial rollup — the TimescaleDB continuous-
+    aggregate shape: per (bucket, key) the MERGEABLE summary (count,
+    DECIMAL sum, min, max). Because every column is an algebraic
+    aggregate, per-day / per-shard rollups combine losslessly with
+    :func:`rollup_merge` — incremental materialized-view maintenance is
+    'roll up the new slice, merge, done', never a re-scan of history.
+
+    Returns (bucket_start, key, n_events, total_value, min_value,
+    max_value). One map-side-combined shuffle keyed by the (bucket, key)
+    pair; sums in DECIMAL so merge order can't change a cent."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), bucket).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("total_value"),
+            F.min(F.col(value_col).cast("decimal(18,2)")).alias("min_value"),
+            F.max(F.col(value_col).cast("decimal(18,2)")).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            F.col(key_col),
+            "n_events",
+            "total_value",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def rollup_merge(a: DataFrame, b: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Merge two :func:`time_rollup` frames built with the SAME bucket
+    width: counts/sums add, min/max fold — the associative merge that
+    makes the rollup a continuous aggregate (law: merge(rollup(A),
+    rollup(B)) == rollup(A ++ B), tested and driver-hashed)."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket_start", key_col)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )

@@ -3952,3 +3952,17 @@ class TestCurriculumOrder:
         e2 = curriculum_order(docs, "s", n_stages=3, epoch=2).collect()
         s1_e2 = {r["doc_id"] for r in e2 if r["stage"] == 1}
         assert s1_e2 == s1
+
+
+class TestTimeRollup:
+    def test_merge_law(self, spark):
+        """merge(rollup(A), rollup(B)) == rollup(A ++ B) exactly."""
+        from hgraphstorage_spark.functions.timeseries import rollup_merge, time_rollup
+        from hgraphstorage_spark.streaming import load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        a = ev.filter(F.pmod("event_id", 2) == 0)
+        b = ev.filter(F.pmod("event_id", 2) == 1)
+        merged = bag(rollup_merge(time_rollup(a), time_rollup(b)))
+        direct = bag(time_rollup(ev))
+        assert merged == direct
