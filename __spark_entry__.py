@@ -2968,6 +2968,19 @@ def q_audio_match(spark, sf_dir):
     return audio_match(corpus, probe, min_votes=3)
 
 
+def q_fim(spark, sf_dir):
+    """Fill-in-the-middle transform (pipeline/text.py:fim_transform) at
+    rate 0.5 over documents — selection and both cut offsets are pure
+    md5 arithmetic of the id, so the oracle replays every split; output
+    fingerprints the transformed text to keep rows compact."""
+    from hgraphstorage_spark.pipeline.text import fim_transform
+
+    out = fim_transform(_t(spark, sf_dir, "documents"), rate=0.5)
+    return out.select(
+        "doc_id", "fim_applied", F.md5("text_fim").alias("fim_fp")
+    )
+
+
 def q_rollup_merge(spark, sf_dir):
     """Continuous-aggregate maintenance (functions/timeseries.py:
     time_rollup + rollup_merge): the events table split by event_id
@@ -3818,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "curriculum": q_curriculum,
         "rollup_merge": q_rollup_merge,
+        "fim": q_fim,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6119,6 +6133,33 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
                n_distinct_exact
         FROM est JOIN ex ON est.lang = ex.lang
+    """
+    # FIM replay: the same md5 selection bound and cut-offset arithmetic,
+    # PSM re-serialization, md5 fingerprint of the result
+    sql["fim"] = f"""
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS n,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':fim'), 1, 15))::BIGINT AS hs,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':fim:1'), 1, 15))::BIGINT AS h1,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':fim:2'), 1, 15))::BIGINT AS h2
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, text, n,
+                 (hs < {int(0.5 * (1 << 60))} AND n >= 3) AS sel,
+                 (h1 % greatest(n - 1, 1)) + 1 AS o1,
+                 (h2 % greatest(n - 1, 1)) + 1 AS o2
+          FROM d
+        )
+        SELECT doc_id, sel AS fim_applied,
+               md5(CASE WHEN sel THEN
+                     '<|fim_prefix|>' || substr(text, 1, least(o1, o2))
+                     || '<|fim_suffix|>'
+                     || substr(text, greatest(o1, o2) + 1, n - greatest(o1, o2))
+                     || '<|fim_middle|>'
+                     || substr(text, least(o1, o2) + 1, greatest(o1, o2) - least(o1, o2))
+                   ELSE text END) AS fim_fp
+        FROM c
     """
     # rollup-merge replay = the direct one-pass rollup (the merge law is
     # the thing under test: split halves must merge to this)

@@ -204,6 +204,7 @@ R6_OPS = [
     "corpus_diff",
     "curriculum",
     "rollup_merge",
+    "fim",
 ]
 
 

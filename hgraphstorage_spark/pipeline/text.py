@@ -2117,3 +2117,66 @@ def readability_scores(
         F.when(n_words > 0, dec(fre)).alias("flesch_reading_ease"),
         F.when(n_words > 0, dec(fkg)).alias("fk_grade"),
     )
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "psm",
+    pre_tok: str = "<|fim_prefix|>",
+    mid_tok: str = "<|fim_middle|>",
+    suf_tok: str = "<|fim_suffix|>",
+    min_chars: int = 3,
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022): for a
+    deterministic ``rate`` fraction of documents, split the text at two
+    md5-derived character offsets and re-serialize as
+
+      PSM:  <pre> prefix <suf> suffix <mid> middle
+      SPM:  <suf> suffix <pre> prefix <mid> middle
+
+    so an autoregressive model learns infilling from plain next-token
+    prediction. Selection and split points are pure hash arithmetic of
+    the id (no RNG state): the same corpus gives the same FIM set on any
+    cluster, and a DuckDB oracle replays every offset.
+
+    Returns (doc_id, fim_applied, text_fim) — untouched docs pass
+    through with their original text (fim_applied = false), as do docs
+    shorter than ``min_chars``. Zero shuffle: one narrow projection.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    text = F.col(text_col)
+    n = F.length(text)
+    sid = F.col(id_col).cast("string")
+
+    def h60(salt: str) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(sid, F.lit(salt))), 1, 15), 16, 10
+        ).cast("long")
+
+    selected = (h60(":fim") < F.lit(int(rate * (1 << 60)))) & (n >= min_chars)
+    # two cut points in 1..n-1 (both sides non-empty only when they
+    # differ; equal cuts give an empty middle — legal FIM). The modulus
+    # is floor-guarded at 1 so short/empty passthrough docs never divide
+    # by zero under ANSI (selection already excludes them)
+    o1 = F.pmod(h60(":fim:1"), F.greatest(n - 1, F.lit(1))) + 1
+    o2 = F.pmod(h60(":fim:2"), F.greatest(n - 1, F.lit(1))) + 1
+    lo, hi = F.least(o1, o2), F.greatest(o1, o2)
+    prefix = text.substr(F.lit(1), lo)
+    middle = text.substr(lo + 1, hi - lo)
+    suffix = text.substr(hi + 1, n - hi)
+    psm = F.concat(
+        F.lit(pre_tok), prefix, F.lit(suf_tok), suffix, F.lit(mid_tok), middle
+    )
+    spm = F.concat(
+        F.lit(suf_tok), suffix, F.lit(pre_tok), prefix, F.lit(mid_tok), middle
+    )
+    out = F.when(selected, psm if mode == "psm" else spm).otherwise(text)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        selected.alias("fim_applied"),
+        out.alias("text_fim"),
+    )

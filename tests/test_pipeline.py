@@ -3966,3 +3966,47 @@ class TestTimeRollup:
         merged = bag(rollup_merge(time_rollup(a), time_rollup(b)))
         direct = bag(time_rollup(ev))
         assert merged == direct
+
+
+class TestFIMTransform:
+    def test_reassembly_is_lossless_and_deterministic(self, spark):
+        """prefix+middle+suffix reassembles the original text for every
+        transformed doc; rate=1 transforms all eligible docs; the split
+        is identical across runs."""
+        from hgraphstorage_spark.pipeline.text import fim_transform
+
+        docs = spark.createDataFrame(
+            [(i, f"the quick brown fox {i} jumps over the lazy dog") for i in range(20)]
+            + [(100, "ab")],  # below min_chars -> passthrough
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in fim_transform(docs, rate=1.0).collect()}
+        originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+        assert out[100]["fim_applied"] is False
+        assert out[100]["text_fim"] == "ab"
+        n_applied = 0
+        for i, r in out.items():
+            if not r["fim_applied"]:
+                continue
+            n_applied += 1
+            t = r["text_fim"]
+            assert t.startswith("<|fim_prefix|>")
+            pre, rest = t[len("<|fim_prefix|>"):].split("<|fim_suffix|>", 1)
+            suf, mid = rest.split("<|fim_middle|>", 1)
+            assert pre + mid + suf == originals[i]
+        assert n_applied == 20
+        again = {r["doc_id"]: r["text_fim"] for r in fim_transform(docs, rate=1.0).collect()}
+        assert again == {i: r["text_fim"] for i, r in out.items()}
+
+    def test_rate_selects_a_hash_stable_subset(self, spark):
+        from hgraphstorage_spark.pipeline.text import fim_transform
+
+        docs = spark.createDataFrame(
+            [(i, "some reasonably long document text here") for i in range(200)],
+            "doc_id long, text string",
+        )
+        half = {r["doc_id"] for r in fim_transform(docs, rate=0.5).collect() if r["fim_applied"]}
+        full = {r["doc_id"] for r in fim_transform(docs, rate=1.0).collect() if r["fim_applied"]}
+        assert 60 <= len(half) <= 140 and len(full) == 200
+        # monotone: the half-rate set is a subset of the full-rate set
+        assert half <= full
