@@ -303,14 +303,7 @@ def wav_bytes(duration_ms: int, byte_rate: int = 8000, pattern: bool = False) ->
     sample-level stats are content-derived and reproducible."""
     n = duration_ms * byte_rate // 1000
     data = bytes((j * 17) % 256 for j in range(n)) if pattern else b"\x00" * n
-    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
-    return (
-        b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
-        + b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+    return _wav_wrap(data, byte_rate)  # resolved at call time (defined below)
 
 
 def bmp_array_bytes(px: "np.ndarray") -> bytes:
@@ -1064,6 +1057,20 @@ def audio_spectral_features(
     return audio.mapInPandas(run, schema=AUDIO_SPECTRAL_SCHEMA)
 
 
+def _wav_wrap(data: bytes, byte_rate: int) -> bytes:
+    """RIFF/fmt/data container around raw 8-bit PCM — the single copy of
+    the WAV header layout all three builders (``wav_bytes``,
+    ``wav_tone_bytes``, ``wav_sequence_bytes``) delegate to."""
+    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def wav_tone_bytes(
     duration_ms: int, freqs_hz: tuple = (500.0,), byte_rate: int = 8000
 ) -> bytes:
@@ -1073,18 +1080,13 @@ def wav_tone_bytes(
     DISTINCT and a shifted excerpt must still align."""
     import numpy as np
 
+    if not freqs_hz:
+        raise ValueError("freqs_hz must be non-empty")
     n = duration_ms * byte_rate // 1000
     t = np.arange(n, dtype=np.float64) / byte_rate
-    x = sum(np.sin(2.0 * np.pi * f * t) for f in freqs_hz) / max(len(freqs_hz), 1)
+    x = sum(np.sin(2.0 * np.pi * f * t) for f in freqs_hz) / len(freqs_hz)
     data = (128.0 + 100.0 * x).clip(0, 255).astype(np.uint8).tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
-    return (
-        b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
-        + b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+    return _wav_wrap(data, byte_rate)
 
 
 def wav_sequence_bytes(
@@ -1097,18 +1099,13 @@ def wav_sequence_bytes(
     tone sequence is the minimal such signal."""
     import numpy as np
 
+    if not freq_steps:
+        raise ValueError("freq_steps must be non-empty")
     n_step = step_ms * byte_rate // 1000
     t = np.arange(n_step, dtype=np.float64) / byte_rate
     x = np.concatenate([np.sin(2.0 * np.pi * f * t) for f in freq_steps])
     data = (128.0 + 100.0 * x).clip(0, 255).astype(np.uint8).tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
-    return (
-        b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
-        + b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+    return _wav_wrap(data, byte_rate)
 
 
 AUDIO_FP_SCHEMA = T.StructType(
@@ -1144,6 +1141,13 @@ def audio_fingerprints(
     tier out silently (no rows). Returns (media_id, fp_hash, t1)."""
     import numpy as np
 
+    # the packing gives f2 and dt 8-bit fields: reject parameterizations
+    # that would silently corrupt hashes (bin indices reach n_fft//2)
+    if n_fft // 2 > 255:
+        raise ValueError(f"n_fft must be <= 510 for the 8-bit f2 field, got {n_fft}")
+    if max_dt > 255:
+        raise ValueError(f"max_dt must be <= 255 for the 8-bit dt field, got {max_dt}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         win = np.hanning(n_fft)
         for pdf in batches:
@@ -1162,9 +1166,15 @@ def audio_fingerprints(
                     mag = spec[t]
                     order = np.lexsort((np.arange(len(mag)), -mag))
                     peaks.extend((t, int(f)) for f in sorted(order[:peaks_per_frame]))
-                for i, (ta, fa) in enumerate(peaks):
+                # index loop, not a peaks[i+1:] slice: the early break
+                # after ~fan_out pairs must stay O(1) per anchor, not an
+                # O(P) tail copy (O(P^2) on real-length audio)
+                n_peaks = len(peaks)
+                for i in range(n_peaks):
+                    ta, fa = peaks[i]
                     paired = 0
-                    for tb, fb in peaks[i + 1 :]:
+                    for j in range(i + 1, n_peaks):
+                        tb, fb = peaks[j]
                         dt = tb - ta
                         if dt <= 0:
                             continue
@@ -1286,6 +1296,10 @@ def mp4_sampled_bytes(
         + struct.pack(">IIII", 0, 0, timescale, dur)
         + struct.pack(">HH", 0x55C4, 0),
     )
+    hdlr = _box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"video\x00",
+    )
     stts = _box(
         b"stts", b"\x00\x00\x00\x00" + struct.pack(">III", 1, n_samples, delta)
     )
@@ -1315,7 +1329,7 @@ def mp4_sampled_bytes(
         )
         stbl = _box(b"stbl", stts + stsc + stsz + stco + stss)
         minf = _box(b"minf", stbl)
-        mdia = _box(b"mdia", mdhd + minf)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
         trak = _box(b"trak", tkhd + mdia)
         return _box(b"moov", mvhd + trak)
 
@@ -1333,16 +1347,19 @@ def mp4_sampled_bytes(
 
 
 def _parse_mp4_sample_table(b: bytes):
-    """Walk the FIRST video track's sample table (ISO/IEC 14496-12 §8.5
+    """Walk the FIRST VIDEO track's sample table (ISO/IEC 14496-12 §8.5
     onward): stts decode times, stsz sizes, stsc sample->chunk runs,
-    stco/co64 chunk offsets, stss sync set (absent = all sync). Returns
-    a list of (sample_idx, ts_ms, byte_offset, size, is_sync) or None if
-    any required box is missing/malformed — the same never-silently-
-    wrong tiering as the probes. Only metadata bytes are touched."""
-    boxes: dict = {}
-    timescale = [None]
+    stco/co64 chunk offsets, stss sync set (absent = all sync). Each
+    trak's boxes are collected in ISOLATION (a two-track file with the
+    audio trak first must not mix tracks); the track is chosen by its
+    hdlr handler_type == 'vide', falling back to the first trak only
+    when NO trak carries an hdlr. Returns a list of (sample_idx, ts_ms,
+    byte_offset, size, is_sync) or None if any required box is
+    missing/malformed — the same never-silently-wrong tiering as the
+    probes. Only metadata bytes are touched."""
+    traks: list = []  # each: {"handler": bytes|None, "timescale": int|None, boxes...}
 
-    def walk(start: int, end: int, depth: int) -> None:
+    def walk(start: int, end: int, depth: int, trak: dict | None) -> None:
         if depth > 6:
             return
         p = start
@@ -1360,20 +1377,41 @@ def _parse_mp4_sample_table(b: bytes):
             if size < hdr or p + size > end:
                 return
             body = p + hdr
-            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                walk(body, p + size, depth + 1)
-            elif typ == b"mdhd" and timescale[0] is None and body + 4 <= p + size:
+            if typ == b"trak":
+                t: dict = {"handler": None, "timescale": None}
+                traks.append(t)
+                walk(body, p + size, depth + 1, t)
+            elif typ in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, p + size, depth + 1, trak)
+            elif trak is not None and typ == b"hdlr" and body + 12 <= p + size:
+                trak["handler"] = b[body + 8 : body + 12]
+            elif (
+                trak is not None
+                and typ == b"mdhd"
+                and trak["timescale"] is None
+                and body + 4 <= p + size
+            ):
                 ver = b[body]
                 if ver == 0 and body + 16 <= p + size:
-                    (timescale[0],) = struct.unpack(">I", b[body + 12 : body + 16])
+                    (trak["timescale"],) = struct.unpack(">I", b[body + 12 : body + 16])
                 elif ver == 1 and body + 24 <= p + size:
-                    (timescale[0],) = struct.unpack(">I", b[body + 20 : body + 24])
-            elif typ in (b"stts", b"stsz", b"stsc", b"stco", b"co64", b"stss"):
-                boxes.setdefault(typ, b[body : p + size])
+                    (trak["timescale"],) = struct.unpack(">I", b[body + 20 : body + 24])
+            elif trak is not None and typ in (
+                b"stts", b"stsz", b"stsc", b"stco", b"co64", b"stss",
+            ):
+                trak.setdefault(typ, b[body : p + size])
             p += size
 
-    walk(0, len(b), 0)
-    ts = timescale[0]
+    walk(0, len(b), 0, None)
+    video = [t for t in traks if t["handler"] == b"vide"]
+    if video:
+        chosen = video[0]
+    elif traks and all(t["handler"] is None for t in traks):
+        chosen = traks[0]  # no hdlr anywhere: single-track legacy layout
+    else:
+        return None  # hdlr boxes exist but none is video
+    boxes = chosen
+    ts = chosen["timescale"]
     if ts in (None, 0) or not all(k in boxes for k in (b"stts", b"stsz", b"stsc")):
         return None
     if b"stco" not in boxes and b"co64" not in boxes:

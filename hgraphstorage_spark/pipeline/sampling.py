@@ -206,10 +206,20 @@ def curriculum_order(
     global position under (stage, md5 key)). Plan shape: two
     `_global_rank` passes (range partition + local rank + broadcast
     offsets), no data-sized single-partition window anywhere."""
-    order = [F.col(score_col).asc() if ascending else F.col(score_col).desc(),
-             F.col(id_col).asc()]
+    # NULLS LAST on both directions: Spark's bare asc() sorts NULLs
+    # FIRST while DuckDB/ANSI default to LAST — a NULL score would
+    # silently shift every stage between engines (latent-oracle catch)
+    order = [
+        F.col(score_col).asc_nulls_last()
+        if ascending
+        else F.col(score_col).desc_nulls_last(),
+        F.col(id_col).asc(),
+    ]
     ranked = _global_rank(df, order, "_srn")
-    n_frame = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    # N comes from the RAW input (one narrow scan) — an agg over
+    # `ranked` would re-execute the whole two-pass rank lineage just to
+    # count rows
+    n_frame = df.agg(F.count(F.lit(1)).alias("_n"))
     ranked = ranked.crossJoin(F.broadcast(n_frame))
     # equi-depth bucket from rank: rn 1..N -> 1..k, sizes differ by <= 1
     stage = (

@@ -2144,26 +2144,42 @@ def fim_transform(
 
     Returns (doc_id, fim_applied, text_fim) — untouched docs pass
     through with their original text (fim_applied = false), as do docs
-    shorter than ``min_chars``. Zero shuffle: one narrow projection.
+    shorter than ``min_chars``; NULL text passes through as NULL with
+    fim_applied = false. Zero shuffle: one narrow projection.
     """
     if mode not in ("psm", "spm"):
         raise ValueError(f"mode must be 'psm' or 'spm', got {mode!r}")
+    # md5_long IS h(id || ':' || salt) — the one engine-portable hash
+    # expression the oracles replay (pipeline/dedup.py:md5_long)
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
     text = F.col(text_col)
     n = F.length(text)
-    sid = F.col(id_col).cast("string")
-
-    def h60(salt: str) -> F.Column:
-        return F.conv(
-            F.substring(F.md5(F.concat(sid, F.lit(salt))), 1, 15), 16, 10
-        ).cast("long")
-
-    selected = (h60(":fim") < F.lit(int(rate * (1 << 60)))) & (n >= min_chars)
+    # coalesce: length(NULL) is NULL and `x AND NULL` would leak NULL
+    # into fim_applied — NULL-text docs are explicitly NOT selected
+    selected = F.coalesce(
+        (md5_long(F.col(id_col), F.lit("fim")) < F.lit(int(rate * (1 << 60))))
+        & (n >= min_chars),
+        F.lit(False),
+    )
     # two cut points in 1..n-1 (both sides non-empty only when they
     # differ; equal cuts give an empty middle — legal FIM). The modulus
     # is floor-guarded at 1 so short/empty passthrough docs never divide
     # by zero under ANSI (selection already excludes them)
-    o1 = F.pmod(h60(":fim:1"), F.greatest(n - 1, F.lit(1))) + 1
-    o2 = F.pmod(h60(":fim:2"), F.greatest(n - 1, F.lit(1))) + 1
+    o1 = (
+        F.pmod(
+            md5_long(F.col(id_col), F.lit("fim"), F.lit("1")),
+            F.greatest(n - 1, F.lit(1)),
+        )
+        + 1
+    )
+    o2 = (
+        F.pmod(
+            md5_long(F.col(id_col), F.lit("fim"), F.lit("2")),
+            F.greatest(n - 1, F.lit(1)),
+        )
+        + 1
+    )
     lo, hi = F.least(o1, o2), F.greatest(o1, o2)
     prefix = text.substr(F.lit(1), lo)
     middle = text.substr(lo + 1, hi - lo)

@@ -2642,6 +2642,52 @@ class TestVideoSampleTable:
         )
         assert got == _parse_mp4_sample_table(good)
 
+    @staticmethod
+    def _trak(handler: bytes, timescale: int, n: int, delta: int, sizes, off: int):
+        import struct as _s
+
+        from hgraphstorage_spark.pipeline.multimodal import _box
+
+        mdhd = _box(
+            b"mdhd",
+            b"\x00" * 4
+            + _s.pack(">IIII", 0, 0, timescale, n * delta)
+            + _s.pack(">HH", 0x55C4, 0),
+        )
+        hdlr = _box(b"hdlr", b"\x00" * 4 + b"\x00" * 4 + handler + b"\x00" * 12 + b"h\x00")
+        stts = _box(b"stts", b"\x00" * 4 + _s.pack(">III", 1, n, delta))
+        stsc = _box(b"stsc", b"\x00" * 4 + _s.pack(">IIII", 1, 1, n, 1))
+        stsz = _box(
+            b"stsz",
+            b"\x00" * 4
+            + _s.pack(">II", 0, n)
+            + b"".join(_s.pack(">I", s) for s in sizes),
+        )
+        stco = _box(b"stco", b"\x00" * 4 + _s.pack(">II", 1, off))
+        stbl = _box(b"stbl", stts + stsc + stsz + stco)
+        return _box(b"trak", _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl)))
+
+    def test_two_trak_file_selects_the_video_track(self, spark):
+        """Audio trak FIRST (the common layout): the parser must return
+        the VIDEO track's samples on the video timescale, never a mix;
+        a file whose hdlr boxes exist but name no video track parses to
+        None instead of a wrong-but-plausible table."""
+        from hgraphstorage_spark.pipeline.multimodal import (
+            _box,
+            _parse_mp4_sample_table,
+        )
+
+        audio = self._trak(b"soun", 48000, 4, 1024, [100, 100, 100, 100], 5000)
+        video = self._trak(b"vide", 1000, 3, 100, [10, 11, 12], 9000)
+        b = _box(b"moov", audio + video)
+        got = _parse_mp4_sample_table(b)
+        assert got == [
+            (0, 0, 9000, 10, True),
+            (1, 100, 9010, 11, True),
+            (2, 200, 9021, 12, True),
+        ]
+        assert _parse_mp4_sample_table(_box(b"moov", audio)) is None
+
     def test_frame_plan_picks_latest_sync_at_or_before_target(self, spark):
         """fps=10, sync every 5 samples -> keyframes at 0/500/1000/...;
         a 700 ms cadence must seek to the latest keyframe <= target."""
