@@ -729,3 +729,58 @@ class TestLateR6PlanAudits:
         assert "Exchange rangepartitioning" not in plan
         # end-to-end still returns k rows
         assert mmr_topk(emb, 0, k=3, pool=10).count() == 3
+
+
+class TestFinalWavePlanAudits:
+    def test_fim_zero_shuffle(self, spark):
+        from hgraphstorage_spark.pipeline.text import fim_transform
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(fim_transform(docs, rate=0.5))
+        assert "Exchange" not in plan
+
+    def test_corpus_diff_shuffles_fingerprints_not_text(self, spark):
+        """The full-outer join runs on (id, md5) projections: the join
+        keys' exchanges must not carry the text column."""
+        import re
+
+        from hgraphstorage_spark.pipeline.dedup import corpus_diff
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(corpus_diff(docs, docs.limit(400)))
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            assert "text" not in m.group(1)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+    def test_rollup_partial_agg_and_mergeable_merge(self, spark):
+        from hgraphstorage_spark.functions.timeseries import rollup_merge, time_rollup
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.streaming import load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        plan = executed_plan(time_rollup(ev))
+        assert "partial_count" in plan  # map-side combine
+        merged = rollup_merge(time_rollup(ev), time_rollup(ev))
+        plan2 = executed_plan(merged)
+        assert "Window" not in plan2 and "CartesianProduct" not in plan2
+
+    def test_audio_match_hash_join_partial_votes(self, spark):
+        import pyspark.sql.functions as F
+        from hgraphstorage_spark.pipeline.multimodal import audio_match
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        corpus = spark.range(400).select(
+            F.expr("id div 100").alias("media_id"),
+            F.pmod(F.col("id") * 7919, F.lit(997)).alias("fp_hash"),
+            F.pmod(F.col("id"), 100).cast("int").alias("t1"),
+        )
+        probe = spark.range(50).select(
+            F.lit(9).cast("long").alias("media_id"),
+            F.pmod((F.col("id") + 100) * 7919, F.lit(997)).alias("fp_hash"),
+            F.col("id").cast("int").alias("t1"),
+        )
+        plan = executed_plan(audio_match(corpus, probe))
+        assert "partial_count" in plan  # vote agg map-side combined
+        assert "CartesianProduct" not in plan and "Window" not in plan
