@@ -159,11 +159,11 @@ R5_OPS = [
 
 # round-6 operators, same contract (timed, outside the headline).
 # ivfpq_topk_untrained isolates the r4-comparable untrained build+query;
-# the in-window ivfpq_topk adds one Lloyd training round on top. The two
-# streaming rows (stream_heavy_hitters/stream_embed_dedup) are exercised
-# by the driver and pytest as real streams; their micro-batch harness
-# (temp sinks + checkpoints) is setup-dominated at bench SF, so they are
-# not wall-clock-timed here.
+# the in-window ivfpq_topk adds one Lloyd training round on top. The
+# streaming rows (stream_heavy_hitters/stream_embed_dedup/stream_hll)
+# are exercised by the driver and pytest as real streams; their
+# micro-batch harness (temp sinks + checkpoints) is setup-dominated at
+# bench SF, so they are not wall-clock-timed here.
 R6_OPS = [
     "url_dedup",
     "domain_stats",
@@ -198,7 +198,6 @@ R6_OPS = [
     "phrases",
     "hits",
     "zipf",
-    "stream_hll",
     "audio_match",
     "video_plan",
     "corpus_diff",
