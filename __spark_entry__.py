@@ -7773,14 +7773,22 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE rn <= 20
         ),
         ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+        -- Kirsch-Mitzenmacher double hash: pos_d = (h1 + d*h2) mod width,
+        -- both base hashes pre-reduced mod width (same as the Spark side)
+        th AS (
+          SELECT token,
+                 ('0x' || substr(md5(token || ':cms:a'), 1, 15))::BIGINT % 64 AS h1m,
+                 ('0x' || substr(md5(token || ':cms:b'), 1, 15))::BIGINT % 64 AS h2m
+          FROM t
+        ),
         cells AS (
-          SELECT d, ('0x' || substr(md5(token || ':' || d), 1, 15))::BIGINT % 64 AS pos,
-                 count(*) AS c
-          FROM t CROSS JOIN ds GROUP BY 1, 2
+          SELECT d, (h1m + d * h2m) % 64 AS pos, count(*) AS c
+          FROM th CROSS JOIN ds GROUP BY 1, 2
         ),
         probes AS (
           SELECT token, d,
-                 ('0x' || substr(md5(token || ':' || d), 1, 15))::BIGINT % 64 AS pos
+                 (('0x' || substr(md5(token || ':cms:a'), 1, 15))::BIGINT % 64
+                  + d * (('0x' || substr(md5(token || ':cms:b'), 1, 15))::BIGINT % 64)) % 64 AS pos
           FROM top CROSS JOIN ds
         ),
         est AS (

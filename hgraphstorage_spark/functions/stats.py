@@ -265,6 +265,12 @@ def count_min_sketch(
     cell per row d at ``md5_long(item, d) % width`` — the engine-portable
     md5 position family, so a SQL oracle replays every cell bit-for-bit.
 
+    Row hashes use Kirsch-Mitzenmacher double hashing (pos_d = (h1 +
+    d·h2) mod width from TWO md5s per item) — the textbook scheme that
+    keeps the CMS guarantees while hashing each item twice instead of
+    ``depth`` times, and — just as important at scale — the explode
+    carries two small integers instead of the item string.
+
     Shape at scale: explode is depth small integers per item; the cell
     aggregation is map-side combined, so the shuffle carries at most
     ``depth × width`` rows per partition no matter the corpus — the
@@ -272,18 +278,34 @@ def count_min_sketch(
     summing counts (:func:`cms_merge`); estimates are one-sided
     (est ≥ true count; overshoot ≤ e·N/width with prob 1 − e^(−depth)).
     """
-    from hgraphstorage_spark.pipeline.dedup import md5_long
-
     return (
         df.select(F.col(item_col).alias("_it"))
         .filter(F.col("_it").isNotNull())
-        .select("_it", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+        .select(*_cms_base_hashes(F.col("_it"), width))
         .select(
-            "d", F.pmod(md5_long(F.col("_it"), F.col("d")), F.lit(width)).alias("pos")
+            "h1m",
+            "h2m",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
         )
+        .select("d", _cms_pos(width).alias("pos"))
         .groupBy("d", "pos")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _cms_base_hashes(item: "F.Column", width: int):
+    """The two Kirsch-Mitzenmacher base hashes, pre-reduced mod width so
+    the downstream arithmetic can never overflow a BIGINT."""
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    return (
+        F.pmod(md5_long(item, F.lit("cms:a")), F.lit(width)).alias("h1m"),
+        F.pmod(md5_long(item, F.lit("cms:b")), F.lit(width)).alias("h2m"),
+    )
+
+
+def _cms_pos(width: int) -> "F.Column":
+    return F.pmod(F.col("h1m") + F.col("d") * F.col("h2m"), F.lit(width))
 
 
 def hll_sketch(
@@ -390,19 +412,21 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates from a Count-Min sketch: for each probe
     item, min over the depth rows of its cell counts (absent cell = 0).
-    The sketch side is bounded by depth × width cells, so it broadcasts;
-    the probe join never shuffles the item stream."""
-    from hgraphstorage_spark.pipeline.dedup import md5_long
-
+    Positions come from the same Kirsch-Mitzenmacher double hash as
+    :func:`count_min_sketch`. The sketch side is bounded by depth ×
+    width cells, so it broadcasts; the probe join never shuffles the
+    item stream."""
     probes = (
         items.select(F.col(item_col))
         .distinct()
-        .select(item_col, F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"))
+        .select(item_col, *_cms_base_hashes(F.col(item_col), width))
         .select(
             item_col,
-            "d",
-            F.pmod(md5_long(F.col(item_col), F.col("d")), F.lit(width)).alias("pos"),
+            "h1m",
+            "h2m",
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d"),
         )
+        .select(item_col, "d", _cms_pos(width).alias("pos"))
     )
     return (
         probes.join(F.broadcast(sketch), ["d", "pos"], "left")
