@@ -2968,6 +2968,24 @@ def q_audio_match(spark, sf_dir):
     return audio_match(corpus, probe, min_votes=3)
 
 
+def q_rowgroup_stats(spark, sf_dir):
+    """Parquet row-group footer stats for events.value (sources/files.py:
+    parquet_rowgroup_stats — executor-side pyarrow footer reads) plus
+    the prunability flag for a BETWEEN 100 AND 200 predicate. The oracle
+    is genuinely independent: DuckDB's parquet_metadata() reads the same
+    footers with its own parquet implementation (path fixed to the
+    sf0.01 table the correctness driver runs against)."""
+    from hgraphstorage_spark.sources.files import parquet_rowgroup_stats
+
+    stats = parquet_rowgroup_stats(spark, f"{sf_dir}/events.parquet", "value")
+    mn = F.col("min_value").cast("double")
+    mx = F.col("max_value").cast("double")
+    return stats.withColumn(
+        "pruned",
+        F.coalesce((mn > F.lit(200.0)) | (mx < F.lit(100.0)), F.lit(False)),
+    )
+
+
 def q_fim(spark, sf_dir):
     """Fill-in-the-middle transform (pipeline/text.py:fim_transform) at
     rate 0.5 over documents — selection and both cut offsets are pure
@@ -3832,6 +3850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "rollup_merge": q_rollup_merge,
         "fim": q_fim,
+        "rowgroup_stats": q_rowgroup_stats,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6133,6 +6152,18 @@ def oracle_sql() -> dict[str, str]:
                           ELSE raw END, 4)::DECIMAL(18,4)::VARCHAR AS n_distinct_est,
                n_distinct_exact
         FROM est JOIN ex ON est.lang = ex.lang
+    """
+    # rowgroup-stats replay via DuckDB's OWN parquet footer reader —
+    # an independent implementation, not a SQL re-derivation of ours.
+    # Path pinned to the sf0.01 table the correctness driver runs on.
+    sql["rowgroup_stats"] = """
+        SELECT file_name, row_group_id::INT AS row_group_id,
+               row_group_num_rows::BIGINT AS n_rows,
+               stats_min_value AS min_value, stats_max_value AS max_value,
+               COALESCE(stats_min_value::DOUBLE > 200.0
+                        OR stats_max_value::DOUBLE < 100.0, FALSE) AS pruned
+        FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+        WHERE path_in_schema = 'value'
     """
     # FIM replay: the same md5 selection bound and cut-offset arithmetic,
     # PSM re-serialization, md5 fingerprint of the result

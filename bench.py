@@ -204,6 +204,7 @@ R6_OPS = [
     "curriculum",
     "rollup_merge",
     "fim",
+    "rowgroup_stats",
 ]
 
 

@@ -232,3 +232,85 @@ def snapshot_from_jsonl(spark: SparkSession, path: str, version: int = 0):
         "bin_v", F.unbase64(F.col("bin_v"))
     )
     return GraphSnapshot(nodes=nodes, edges=edges, props=props, version=version)
+
+
+def parquet_rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataFrame:
+    """Per-row-group footer statistics for one column — the metadata
+    layer data skipping runs on: (file_name, row_group_id, n_rows,
+    min_value, max_value), min/max as their shortest-round-trip string
+    renderings. Footers are read EXECUTOR-side via pyarrow from a
+    distributed frame of file paths (only the file LIST touches the
+    driver — it is metadata, bounded by file count, and exactly what any
+    planner already holds); no data pages are read.
+
+    This is what quantifies a layout: after ``write_layout`` /
+    ``write_zorder``, tight per-row-group spans here == real pruning in
+    every engine that honors parquet stats. DuckDB's
+    ``parquet_metadata()`` reads the same footers, which makes the
+    output independently oracle-checkable."""
+    import pandas as pd
+
+    paths = sorted(spark.read.parquet(path).inputFiles())
+
+    def run(batches):
+        from urllib.parse import urlparse
+
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {k: [] for k in ("file_name", "row_group_id", "n_rows",
+                                   "min_value", "max_value")}
+            for uri in pdf["file_name"]:
+                local = urlparse(uri).path or uri
+                md = pq.ParquetFile(local).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for i in range(rg.num_columns):
+                        c = rg.column(i)
+                        if c.path_in_schema != column:
+                            continue
+                        st = c.statistics
+                        out["file_name"].append(local)
+                        out["row_group_id"].append(g)
+                        out["n_rows"].append(rg.num_rows)
+                        out["min_value"].append(None if st is None else str(st.min))
+                        out["max_value"].append(None if st is None else str(st.max))
+            yield pd.DataFrame(out)
+
+    frame = spark.createDataFrame([(p,) for p in paths], "file_name string")
+    return frame.mapInPandas(
+        run,
+        schema="file_name string, row_group_id int, n_rows long, "
+        "min_value string, max_value string",
+    )
+
+
+def skipping_report(stats: DataFrame, lo: float, hi: float) -> DataFrame:
+    """Data-skipping effectiveness of a numeric predicate ``BETWEEN lo
+    AND hi`` against row-group stats from
+    :func:`parquet_rowgroup_stats`: a row group is PRUNED when
+    min > hi or max < lo (stats-only, no false negatives). Returns one
+    row (n_groups, n_pruned, n_rows_total, n_rows_pruned,
+    pruned_fraction DECIMAL(18,6)) — the number a layout change
+    (write_zorder vs random placement) should move."""
+    from pyspark.sql import functions as F
+
+    mn = F.col("min_value").cast("double")
+    mx = F.col("max_value").cast("double")
+    pruned = (mn > F.lit(float(hi))) | (mx < F.lit(float(lo)))
+    flagged = stats.withColumn("_p", F.coalesce(pruned, F.lit(False)))
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.col("_p").cast("long")).alias("n_pruned"),
+        F.sum("n_rows").alias("n_rows_total"),
+        F.sum(F.when(F.col("_p"), F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "n_rows_pruned"
+        ),
+        F.round(
+            F.sum(F.col("_p").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("pruned_fraction"),
+    )

@@ -82,3 +82,39 @@ class TestSnapshotInterchange:
         blob = back.props.filter("name = 'blob'").collect()[0]["bin_v"]
         assert bytes(blob) == b"\x00\xff\x10"
         assert back.props.count() == snap.props.count()
+
+
+class TestRowgroupStats:
+    def test_stats_match_pyarrow_and_skipping_counts(self, spark, tmp_path):
+        """Executor-read footer stats equal a direct pyarrow read, and a
+        range-sorted layout prunes out-of-range row groups."""
+        import pyarrow.parquet as pq
+
+        from hgraphstorage_spark.sources.files import (
+            parquet_rowgroup_stats,
+            skipping_report,
+        )
+
+        # value-sorted layout across 4 files -> disjoint value spans
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = str(tmp_path / "laid")
+        ev.repartitionByRange(4, "value").sortWithinPartitions("value").write.parquet(out)
+        stats = parquet_rowgroup_stats(spark, out, "value").collect()
+        assert stats and all(r["min_value"] is not None for r in stats)
+        for r in stats:
+            md = pq.ParquetFile(r["file_name"]).metadata
+            c = next(
+                md.row_group(r["row_group_id"]).column(i)
+                for i in range(md.row_group(r["row_group_id"]).num_columns)
+                if md.row_group(r["row_group_id"]).column(i).path_in_schema == "value"
+            )
+            assert r["min_value"] == str(c.statistics.min)
+            assert r["max_value"] == str(c.statistics.max)
+        sdf = parquet_rowgroup_stats(spark, out, "value")
+        lo = float(min(float(r["min_value"]) for r in stats))
+        rep = skipping_report(sdf, lo, lo + 0.5).collect()[0]
+        # a narrow predicate at the bottom of the range keeps only the
+        # lowest span: most groups prune
+        assert rep["n_groups"] == len(stats)
+        assert rep["n_pruned"] >= rep["n_groups"] - 1 - 1
+        assert rep["n_rows_total"] == ev.count()
