@@ -576,3 +576,47 @@ def test_max_doc_freq_capped_subset_of_uncapped(spark, texts, cap):
         assert set(capped) <= set(uncapped), (fn.__name__, capped, uncapped)
         for pair, s in capped.items():
             assert s <= uncapped[pair] + 1e-9, (fn.__name__, pair)
+
+
+# --- sketch laws: CMS one-sidedness, HLL register determinism ---------------
+
+cms_items = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f"]), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(items=cms_items)
+def test_cms_never_undercounts_any_width(spark, items):
+    """CMS law (holds at ANY width, including collision-heavy ones):
+    est(x) >= true count(x) for every item — the one-sided guarantee the
+    Kirsch-Mitzenmacher double hash must preserve."""
+    from collections import Counter
+
+    from hgraphstorage_spark.functions.stats import cms_estimate, count_min_sketch
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    for width in (2, 8):
+        sk = count_min_sketch(df, "item", width=width, depth=3)
+        est = {
+            r["item"]: r["est"]
+            for r in cms_estimate(sk, df, "item", width, 3).collect()
+        }
+        true = Counter(items)
+        for x, n in true.items():
+            assert est[x] >= n
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(items=cms_items)
+def test_hll_register_law_max_of_parts(spark, items):
+    """Register law: for ANY split of the input, merge(sketch(A),
+    sketch(B)) == sketch(A++B) — the property that makes HLL a CRDT."""
+    from tests.conftest import bag
+    from hgraphstorage_spark.functions.stats import hll_merge, hll_sketch
+
+    half = len(items) // 2
+    a = spark.createDataFrame([(x,) for x in items[:half]] or [("__e",)], "v string")
+    b = spark.createDataFrame([(x,) for x in items[half:]] or [("__e",)], "v string")
+    u = a.unionByName(b)
+    assert bag(hll_merge(hll_sketch(a, "v"), hll_sketch(b, "v"))) == bag(hll_sketch(u, "v"))
