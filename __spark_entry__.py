@@ -2986,6 +2986,28 @@ def q_rowgroup_stats(spark, sf_dir):
     )
 
 
+def q_skipping_report(spark, sf_dir):
+    """Data-skipping effectiveness report (sources/files.py:
+    skipping_report) for value BETWEEN 100 AND 200 against the events
+    table's row-group footer stats — the 1-row number a layout rewrite
+    should move. Oracle aggregates DuckDB's independent
+    parquet_metadata() read."""
+    from hgraphstorage_spark.sources.files import (
+        parquet_rowgroup_stats,
+        skipping_report,
+    )
+
+    stats = parquet_rowgroup_stats(spark, f"{sf_dir}/events.parquet", "value")
+    out = skipping_report(stats, 100.0, 200.0)
+    return out.select(
+        "n_groups",
+        "n_pruned",
+        "n_rows_total",
+        "n_rows_pruned",
+        F.col("pruned_fraction").cast("string").alias("pruned_fraction"),
+    )
+
+
 def q_fim(spark, sf_dir):
     """Fill-in-the-middle transform (pipeline/text.py:fim_transform) at
     rate 0.5 over documents — selection and both cut offsets are pure
@@ -3851,6 +3873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge": q_rollup_merge,
         "fim": q_fim,
         "rowgroup_stats": q_rowgroup_stats,
+        "skipping_report": q_skipping_report,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6164,6 +6187,24 @@ def oracle_sql() -> dict[str, str]:
                         OR stats_max_value::DOUBLE < 100.0, FALSE) AS pruned
         FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
         WHERE path_in_schema = 'value'
+    """
+    # skipping-report replay: aggregate the independent footer read with
+    # the same prune rule and the same double division
+    sql["skipping_report"] = """
+        WITH s AS (
+          SELECT row_group_num_rows::BIGINT AS n_rows,
+                 COALESCE(stats_min_value::DOUBLE > 200.0
+                          OR stats_max_value::DOUBLE < 100.0, FALSE) AS p
+          FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+          WHERE path_in_schema = 'value'
+        )
+        SELECT count(*)::BIGINT AS n_groups,
+               sum(CASE WHEN p THEN 1 ELSE 0 END)::BIGINT AS n_pruned,
+               sum(n_rows)::BIGINT AS n_rows_total,
+               sum(CASE WHEN p THEN n_rows ELSE 0 END)::BIGINT AS n_rows_pruned,
+               round(sum(CASE WHEN p THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+                 ::DECIMAL(18,6)::VARCHAR AS pruned_fraction
+        FROM s
     """
     # FIM replay: the same md5 selection bound and cut-offset arithmetic,
     # PSM re-serialization, md5 fingerprint of the result

@@ -205,6 +205,7 @@ R6_OPS = [
     "rollup_merge",
     "fim",
     "rowgroup_stats",
+    "skipping_report",
 ]
 
 
