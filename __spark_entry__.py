@@ -2975,15 +2975,10 @@ def q_rowgroup_stats(spark, sf_dir):
     is genuinely independent: DuckDB's parquet_metadata() reads the same
     footers with its own parquet implementation (path fixed to the
     sf0.01 table the correctness driver runs against)."""
-    from hgraphstorage_spark.sources.files import parquet_rowgroup_stats
+    from hgraphstorage_spark.sources.files import parquet_rowgroup_stats, prune_flag
 
     stats = parquet_rowgroup_stats(spark, f"{sf_dir}/events.parquet", "value")
-    mn = F.col("min_value").cast("double")
-    mx = F.col("max_value").cast("double")
-    return stats.withColumn(
-        "pruned",
-        F.coalesce((mn > F.lit(200.0)) | (mx < F.lit(100.0)), F.lit(False)),
-    )
+    return stats.withColumn("pruned", prune_flag(100.0, 200.0))
 
 
 def q_skipping_report(spark, sf_dir):
@@ -6178,24 +6173,27 @@ def oracle_sql() -> dict[str, str]:
     """
     # rowgroup-stats replay via DuckDB's OWN parquet footer reader —
     # an independent implementation, not a SQL re-derivation of ours.
-    # Path pinned to the sf0.01 table the correctness driver runs on.
-    sql["rowgroup_stats"] = """
+    # The footer path follows the parity SF dir (default sf0.01, the
+    # scale the correctness driver runs at) so Spark and oracle always
+    # describe the SAME file.
+    _parity_sf = os.environ.get("SPARK_GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.01")
+    sql["rowgroup_stats"] = f"""
         SELECT file_name, row_group_id::INT AS row_group_id,
                row_group_num_rows::BIGINT AS n_rows,
                stats_min_value AS min_value, stats_max_value AS max_value,
                COALESCE(stats_min_value::DOUBLE > 200.0
                         OR stats_max_value::DOUBLE < 100.0, FALSE) AS pruned
-        FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+        FROM parquet_metadata('{_parity_sf}/events.parquet')
         WHERE path_in_schema = 'value'
     """
     # skipping-report replay: aggregate the independent footer read with
     # the same prune rule and the same double division
-    sql["skipping_report"] = """
+    sql["skipping_report"] = f"""
         WITH s AS (
           SELECT row_group_num_rows::BIGINT AS n_rows,
                  COALESCE(stats_min_value::DOUBLE > 200.0
                           OR stats_max_value::DOUBLE < 100.0, FALSE) AS p
-          FROM parquet_metadata('/root/testdata/sf0.01/events.parquet')
+          FROM parquet_metadata('{_parity_sf}/events.parquet')
           WHERE path_in_schema = 'value'
         )
         SELECT count(*)::BIGINT AS n_groups,
@@ -7846,22 +7844,31 @@ def oracle_sql() -> dict[str, str]:
         ),
         ds AS (SELECT unnest(generate_series(0, 3)) AS d),
         -- Kirsch-Mitzenmacher double hash: pos_d = (h1 + d*h2) mod width,
-        -- both base hashes pre-reduced mod width (same as the Spark side)
+        -- base hashes pre-reduced mod width and the stride forced ODD
+        -- (h - h%2 + 1), same as the Spark side
         th AS (
           SELECT token,
                  ('0x' || substr(md5(token || ':cms:a'), 1, 15))::BIGINT % 64 AS h1m,
-                 ('0x' || substr(md5(token || ':cms:b'), 1, 15))::BIGINT % 64 AS h2m
+                 (('0x' || substr(md5(token || ':cms:b'), 1, 15))::BIGINT % 64)
+                   - (('0x' || substr(md5(token || ':cms:b'), 1, 15))::BIGINT % 64) % 2
+                   + 1 AS h2m
           FROM t
         ),
         cells AS (
           SELECT d, (h1m + d * h2m) % 64 AS pos, count(*) AS c
           FROM th CROSS JOIN ds GROUP BY 1, 2
         ),
+        ph AS (
+          SELECT token,
+                 ('0x' || substr(md5(token || ':cms:a'), 1, 15))::BIGINT % 64 AS h1m,
+                 (('0x' || substr(md5(token || ':cms:b'), 1, 15))::BIGINT % 64)
+                   - (('0x' || substr(md5(token || ':cms:b'), 1, 15))::BIGINT % 64) % 2
+                   + 1 AS h2m
+          FROM top
+        ),
         probes AS (
-          SELECT token, d,
-                 (('0x' || substr(md5(token || ':cms:a'), 1, 15))::BIGINT % 64
-                  + d * (('0x' || substr(md5(token || ':cms:b'), 1, 15))::BIGINT % 64)) % 64 AS pos
-          FROM top CROSS JOIN ds
+          SELECT token, d, (h1m + d * h2m) % 64 AS pos
+          FROM ph CROSS JOIN ds
         ),
         est AS (
           SELECT token, min(coalesce(c, 0)) AS est

@@ -266,10 +266,13 @@ def count_min_sketch(
     md5 position family, so a SQL oracle replays every cell bit-for-bit.
 
     Row hashes use Kirsch-Mitzenmacher double hashing (pos_d = (h1 +
-    d·h2) mod width from TWO md5s per item) — the textbook scheme that
-    keeps the CMS guarantees while hashing each item twice instead of
-    ``depth`` times, and — just as important at scale — the explode
-    carries two small integers instead of the item string.
+    d·h2) mod width from TWO md5s per item, h2 forced ODD so the stride
+    is coprime with the power-of-two width — without it, h2 ≡ 0 would
+    collapse all depth rows onto one cell and same-(h1,h2) pairs would
+    collide in every row) — the K-M 2006 scheme that asymptotically
+    preserves the sketch guarantees while hashing each item twice
+    instead of ``depth`` times, and — just as important at scale — the
+    explode carries two small integers instead of the item string.
 
     Shape at scale: explode is depth small integers per item; the cell
     aggregation is map-side combined, so the shuffle carries at most
@@ -295,12 +298,15 @@ def count_min_sketch(
 
 def _cms_base_hashes(item: "F.Column", width: int):
     """The two Kirsch-Mitzenmacher base hashes, pre-reduced mod width so
-    the downstream arithmetic can never overflow a BIGINT."""
+    the downstream arithmetic can never overflow a BIGINT; the stride
+    hash is forced odd (h - h%2 + 1) so it is coprime with any
+    power-of-two width."""
     from hgraphstorage_spark.pipeline.dedup import md5_long
 
+    h2 = F.pmod(md5_long(item, F.lit("cms:b")), F.lit(width))
     return (
         F.pmod(md5_long(item, F.lit("cms:a")), F.lit(width)).alias("h1m"),
-        F.pmod(md5_long(item, F.lit("cms:b")), F.lit(width)).alias("h2m"),
+        (h2 - F.pmod(h2, F.lit(2)) + F.lit(1)).alias("h2m"),
     )
 
 

@@ -253,7 +253,7 @@ def parquet_rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataF
     paths = sorted(spark.read.parquet(path).inputFiles())
 
     def run(batches):
-        from urllib.parse import urlparse
+        from urllib.parse import unquote, urlparse
 
         import pyarrow.parquet as pq
 
@@ -261,7 +261,9 @@ def parquet_rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataF
             out = {k: [] for k in ("file_name", "row_group_id", "n_rows",
                                    "min_value", "max_value")}
             for uri in pdf["file_name"]:
-                local = urlparse(uri).path or uri
+                # inputFiles() returns percent-encoded file: URIs — a
+                # hive partition value like `cat=a b` arrives as a%20b
+                local = unquote(urlparse(uri).path) or uri
                 md = pq.ParquetFile(local).metadata
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
@@ -270,11 +272,16 @@ def parquet_rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataF
                         if c.path_in_schema != column:
                             continue
                         st = c.statistics
+                        # has_min_max False (e.g. oversized binary stats
+                        # dropped by the writer) must surface as NULL,
+                        # never the string 'None' — DuckDB's footer read
+                        # returns NULL there too
+                        ok = st is not None and st.has_min_max
                         out["file_name"].append(local)
                         out["row_group_id"].append(g)
                         out["n_rows"].append(rg.num_rows)
-                        out["min_value"].append(None if st is None else str(st.min))
-                        out["max_value"].append(None if st is None else str(st.max))
+                        out["min_value"].append(str(st.min) if ok else None)
+                        out["max_value"].append(str(st.max) if ok else None)
             yield pd.DataFrame(out)
 
     frame = spark.createDataFrame([(p,) for p in paths], "file_name string")
@@ -283,6 +290,18 @@ def parquet_rowgroup_stats(spark: SparkSession, path: str, column: str) -> DataF
         schema="file_name string, row_group_id int, n_rows long, "
         "min_value string, max_value string",
     )
+
+
+def prune_flag(lo: float, hi: float):
+    """The ONE stats-prune rule (min > hi or max < lo over the string-
+    rendered footer stats, NULL stats never prune) — shared by
+    :func:`skipping_report` and any per-row-group report so the rule
+    cannot drift between the flag and the aggregate."""
+    from pyspark.sql import functions as F
+
+    mn = F.col("min_value").cast("double")
+    mx = F.col("max_value").cast("double")
+    return F.coalesce((mn > F.lit(float(hi))) | (mx < F.lit(float(lo))), F.lit(False))
 
 
 def skipping_report(stats: DataFrame, lo: float, hi: float) -> DataFrame:
@@ -295,10 +314,7 @@ def skipping_report(stats: DataFrame, lo: float, hi: float) -> DataFrame:
     (write_zorder vs random placement) should move."""
     from pyspark.sql import functions as F
 
-    mn = F.col("min_value").cast("double")
-    mx = F.col("max_value").cast("double")
-    pruned = (mn > F.lit(float(hi))) | (mx < F.lit(float(lo)))
-    flagged = stats.withColumn("_p", F.coalesce(pruned, F.lit(False)))
+    flagged = stats.withColumn("_p", prune_flag(lo, hi))
     return flagged.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum(F.col("_p").cast("long")).alias("n_pruned"),
