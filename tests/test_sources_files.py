@@ -118,3 +118,15 @@ class TestRowgroupStats:
         assert rep["n_groups"] == len(stats)
         assert rep["n_pruned"] >= rep["n_groups"] - 1 - 1
         assert rep["n_rows_total"] == ev.count()
+
+
+    def test_null_stats_never_prune(self, spark):
+        from hgraphstorage_spark.sources.files import skipping_report
+
+        stats = spark.createDataFrame(
+            [("f", 0, 10, None, None), ("f", 1, 10, "5.0", "9.0")],
+            "file_name string, row_group_id int, n_rows long, min_value string, max_value string",
+        )
+        rep = skipping_report(stats, 100.0, 200.0).collect()[0]
+        # group 1 prunes (max 9 < lo 100); the NULL-stats group must not
+        assert (rep["n_groups"], rep["n_pruned"], rep["n_rows_pruned"]) == (2, 1, 10)
