@@ -5544,7 +5544,8 @@ def _robots_oracle_sql(agent: str = "trainbot") -> str:
           WHERE g.k IN ('allow', 'disallow') AND g.v != ''
         ),
         pat AS (
-          SELECT domain, directive, path AS path_rule,
+          SELECT regexp_replace(lower(domain), '^www\.', '') AS domain,
+                 directive, path AS path_rule,
                  CASE WHEN right(path, 1) = '$'
                       THEN substr(body, 1, length(body) - 1)
                       ELSE body || '%' END AS pattern

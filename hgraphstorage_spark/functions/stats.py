@@ -280,7 +280,14 @@ def count_min_sketch(
     sketch's whole point. Merge two sketches by unioning cells and
     summing counts (:func:`cms_merge`); estimates are one-sided
     (est ≥ true count; overshoot ≤ e·N/width with prob 1 − e^(−depth)).
+
+    ``width`` must be a power of two: the Kirsch-Mitzenmacher stride is
+    forced odd, which guarantees coprimality (distinct depth cells per
+    item) only for power-of-two widths — for an odd width the edge value
+    h2 = width−1 is even, maps to width ≡ 0 (mod width), and collapses
+    every depth row of that item onto one cell.
     """
+    _require_pow2_width(width)
     return (
         df.select(F.col(item_col).alias("_it"))
         .filter(F.col("_it").isNotNull())
@@ -294,6 +301,14 @@ def count_min_sketch(
         .groupBy("d", "pos")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def _require_pow2_width(width: int) -> None:
+    """The K-M odd-stride trick is only a coprimality proof for
+    power-of-two widths (ADVICE r6); reject anything else up front
+    rather than silently degrading accuracy."""
+    if width < 2 or width & (width - 1):
+        raise ValueError(f"width must be a power of two >= 2, got {width}")
 
 
 def _cms_base_hashes(item: "F.Column", width: int):
@@ -377,11 +392,20 @@ def hll_estimate(
     0.0, then adds the zero-bucket mass (V·1.0) once — a canonical IEEE
     sequence a DuckDB ``list_reduce`` replays bit-for-bit; the estimate
     is rounded DECIMAL(18,4). Returns (group..., n_zero_registers,
-    n_distinct_est)."""
+    n_distinct_est).
+
+    INVARIANT: ``p`` must equal the ``p`` the sketch was built with
+    (like :func:`cms_merge`'s SAME-(width,depth) contract) — the
+    register frame carries no p metadata, and a mismatch corrupts m in
+    alpha, the m² numerator, and the zero-register count. The plan
+    raises when the sketch's bucket range proves a LARGER build-p
+    (max bucket ≥ 2^p); a smaller build-p is undetectable from bucket
+    values alone — the caller owns that direction."""
     m = 1 << p
     gs = list(group_cols)
     alpha = 0.7213 / (1.0 + 1.079 / m)  # oracle replays the same DOUBLE ops
     agg = sketch.groupBy(*gs).agg(
+        F.max("bucket").alias("_maxb"),
         F.count(F.lit(1)).alias("n_nonzero"),
         F.aggregate(
             F.transform(
@@ -399,9 +423,19 @@ def hll_estimate(
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
+    n_zero = F.when(
+        F.col("_maxb") >= F.lit(m),
+        F.raise_error(
+            F.concat(
+                F.lit(f"hll_estimate: sketch has bucket >= 2^p={m} (max bucket "),
+                F.col("_maxb").cast("string"),
+                F.lit(f") — the sketch was built with a larger p than the p={p} passed"),
+            )
+        ).cast("long"),
+    ).otherwise(v.cast("long"))
     return agg.select(
         *gs,
-        v.cast("long").alias("n_zero_registers"),
+        n_zero.alias("n_zero_registers"),
         F.round(est, 4).cast("decimal(18,4)").alias("n_distinct_est"),
     )
 
@@ -421,7 +455,9 @@ def cms_estimate(
     Positions come from the same Kirsch-Mitzenmacher double hash as
     :func:`count_min_sketch`. The sketch side is bounded by depth ×
     width cells, so it broadcasts; the probe join never shuffles the
-    item stream."""
+    item stream. ``width``/``depth`` must match the sketch's build
+    parameters; width is validated power-of-two like the build side."""
+    _require_pow2_width(width)
     probes = (
         items.select(F.col(item_col))
         .distinct()

@@ -409,7 +409,10 @@ def parse_robots(
     Disallow lines (allow-all idiom) drop.
 
     Returns (domain, directive 'allow'|'disallow', path, ord) — ``ord``
-    is the source line number, kept for auditability.
+    is the source line number, kept for auditability. The ``domain``
+    column passes through verbatim; :func:`robots_filter` normalizes it
+    (lowercase, strip one leading ``www.``) to match its URL-host side —
+    see the contract documented there.
 
     Scale: robots bodies are tiny (crawlers cap them at 500 KiB); this
     is one narrow line-split pass plus two domain-keyed windows over
@@ -477,6 +480,16 @@ def robots_filter(
     otherwise the pattern is a prefix match; LIKE metacharacters in rule
     paths are escaped.
 
+    Host-normalization contract (ADVICE r6): BOTH sides of the host join
+    lowercase and strip one leading ``www.`` — URL hosts via the extract
+    regex, the rules table's ``domain`` column here — so rules keyed
+    'www.example.com' and 'example.com' both gate 'example.com' URLs
+    regardless of which convention the caller used. This deliberately
+    merges the www/apex policies (apex's rules win only via the
+    longest-match argmax, not by host); a crawler that must honor
+    distinct per-host robots should key rules by the exact fetched host
+    and pre-strip nothing.
+
     Returns every input row with (host, path, allowed BOOLEAN,
     matched_rule — NULL when no rule matched).
 
@@ -504,7 +517,9 @@ def robots_filter(
     ).otherwise(F.concat(F.col("like_body"), F.lit("%")))
     r = (
         rules.select(
-            F.col("domain").alias("host"),
+            # same normalization as the URL side (contract above): a
+            # rules table keyed 'www.example.com' must not fail open
+            F.regexp_replace(F.lower(F.col("domain")), r"^www\.", "").alias("host"),
             "directive",
             F.col("path").alias("path_rule"),
         )

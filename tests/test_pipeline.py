@@ -1452,6 +1452,19 @@ class TestHLL:
         assert v == 253
         assert float(row["n_distinct_est"]) == round(256.0 * math.log(256.0 / v), 4)
 
+    def test_estimate_rejects_larger_build_p(self, spark):
+        """ADVICE r6: a sketch built with p=12 estimated with p=8 must
+        fail loudly (bucket range proves the mismatch), not silently
+        return a wildly wrong count."""
+        import pytest
+
+        from hgraphstorage_spark.functions.stats import hll_estimate, hll_sketch
+
+        df = spark.range(2000).select(F.concat(F.lit("v"), F.col("id")).alias("v"))
+        sk = hll_sketch(df, "v", p=12)  # buckets up to 4095
+        with pytest.raises(Exception, match="larger p"):
+            hll_estimate(sk, p=8).collect()
+
     def test_merge_law(self, spark):
         """sketch(A ++ B) == hll_merge(sketch(A), sketch(B)) exactly."""
         from hgraphstorage_spark.functions.stats import hll_merge, hll_sketch
@@ -1550,6 +1563,21 @@ class TestCountMinSketch:
         ))
         union = bag(count_min_sketch(a.unionByName(b), "item", width=8, depth=3))
         assert merged == union
+
+    def test_rejects_non_power_of_two_width(self, spark):
+        """ADVICE r6: the odd-stride coprimality proof only holds for
+        power-of-two widths — build and estimate both reject others."""
+        import pytest
+
+        from hgraphstorage_spark.functions.stats import cms_estimate, count_min_sketch
+
+        df = spark.createDataFrame([("x",)], "item string")
+        for bad in (3, 100, 8191, 0, 1):
+            with pytest.raises(ValueError, match="power of two"):
+                count_min_sketch(df, "item", width=bad, depth=2)
+        sk = count_min_sketch(df, "item", width=8, depth=2)
+        with pytest.raises(ValueError, match="power of two"):
+            cms_estimate(sk, df, "item", width=100, depth=2)
 
     def test_cell_count_bounded(self, spark):
         """The sketch's reason to exist: cells <= depth*width no matter how

@@ -437,6 +437,28 @@ class TestRobots:
         assert not got[5]["allowed"]
         assert got[6]["allowed"]
 
+    def test_www_keyed_rules_match_apex_urls(self, spark):
+        """ADVICE r6: rules keyed 'www.example.com' (or mixed case) must
+        gate both www and apex URLs — previously the rules side joined
+        verbatim and such rules silently never matched (fail-open)."""
+        from hgraphstorage_spark.sources.warc import parse_robots, robots_filter
+
+        robots = spark.createDataFrame(
+            [("www.Example.com", "User-agent: *\nDisallow: /secret\n")],
+            "domain string, robots_txt string",
+        )
+        rules = parse_robots(robots)
+        urls = spark.createDataFrame(
+            [
+                (1, "https://example.com/secret/x"),
+                (2, "https://www.example.com/secret/x"),
+                (3, "https://example.com/open"),
+            ],
+            "doc_id long, url string",
+        )
+        got = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
+        assert got == {1: False, 2: False, 3: True}
+
     def test_like_metacharacters_escaped(self, spark):
         """A rule path containing % or _ must match literally, not as a
         LIKE wildcard."""
