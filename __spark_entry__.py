@@ -3671,7 +3671,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carries the §2.10 streaming evidence instead
         "search_eval": q_search_eval,
         "modularity": q_modularity,
-        "pagerank": q_pagerank,
+        # r7 rotation (VERDICT r6 task 1): pagerank (hashed green r1-r6
+        # — six straight contacts; the analytics family keeps modularity
+        # + hits + link_graph in-window, and graph_summary compresses
+        # every algorithm to pytest-oracled scalars) rotates past the
+        # window; its slot carries the corpus snapshot diff — the
+        # fingerprint-projection full-outer join between two crawl dumps
+        "corpus_diff": q_corpus_diff,
         # r5 second rotation: personalized_pagerank / link_prediction /
         # harmonic_centrality move past the window — their families stay
         # driver-hashed via pagerank + graph_summary (which compresses
@@ -3686,7 +3692,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their slots carry sentence segmentation, sentence-level corpus
         # dedup, and the Flesch/FK readability report — in-window the
         # round they were built
-        "sentences": q_sentences,
+        # r7 rotation: sentences (hashed green r6; the SAME terminator
+        # machinery runs inside the in-window sentence_dedup oracle every
+        # driver round) rotates past the window; its slot carries the
+        # FIM infilling transform so the driver hashes the
+        # training-transform family's newest member
+        "fim": q_fim,
         "sentence_dedup": q_sentence_dedup,
         "readability": q_readability,
         # -- SURVEY §2 reference-surface core + r4/r5 rotation (13-31) --
@@ -3728,7 +3739,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # carry the streaming DSIR scorer run as a REAL multi-batch
         # stream, the lang-id confusion matrix, and the IVF recall
         # pre-flight — all r5 operators the driver has never hashed
-        "dsir_stream": q_dsir_stream,
+        # r7 rotation: dsir_stream (hashed green r6; its batch-twin DSIR
+        # scoring chain stays pytest-oracled and the streaming family
+        # keeps FOUR in-window real-stream rows: stream_topics,
+        # stream_url_dedup, stream_embed_dedup, and the incoming
+        # stream_hll) rotates past the window; its slot carries the
+        # streaming HLL distinct-count — a REAL multi-batch stream whose
+        # register law the batch hll_distinct oracle replays
+        "stream_hll": q_stream_hll,
         # r6 second rotation: containment_pairs / epoch_shuffle /
         # length_batches / boilerplate_dedup (all hashed green in r5,
         # their families staying in-window via minhash/simhash pairs,
@@ -3739,8 +3757,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heavy-hitter stream run as a REAL multi-batch stream
         "url_dedup": q_url_dedup,
         "shard_plan": q_shard_plan,
-        "zorder_key": q_zorder_key,
-        "cms_tokens": q_cms_tokens,
+        # r7 rotation: zorder_key and cms_tokens (both hashed green r6 on
+        # first contact; the Morton-key exprs stay pytest-oracled and the
+        # sketch family keeps hll_distinct + psi_drift + the incoming
+        # stream_hll in-window) rotate past the window; their slots carry
+        # the two parquet-layout flagships the driver has never hashed —
+        # executor-side footer row-group stats and the stats-vs-predicate
+        # skipping report (oracle = DuckDB's own parquet_metadata(), an
+        # independent implementation of the same footer read)
+        "rowgroup_stats": q_rowgroup_stats,
+        "skipping_report": q_skipping_report,
         "psi_drift": q_psi_drift,
         "link_graph": q_link_graph,
         "calibration": q_calibration,
@@ -3760,10 +3786,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # earliest-fetch keeper and the capped pair chain via
         # fuzzy_decontaminate) gives its slot to per-domain crawl stats
         "mmr_rerank": q_mmr_rerank,
-        "stream_heavy_hitters": q_stream_heavy_hitters,
+        # r7 rotation: stream_heavy_hitters (hashed green r6 as a REAL
+        # 4-micro-batch stream; the Misra-Gries state machinery stays
+        # pytest-oracled and streaming keeps four in-window rows) rotates
+        # past the window; its slot carries curriculum ordering so the
+        # driver hashes the training-order family's flagship
+        "curriculum": q_curriculum,
         "topic_terms": q_topic_terms,
         "domain_stats": q_domain_stats,
-        "index_build": q_index_build,
+        # r7 rotation: index_build (hashed green r1-r6 — six straight
+        # contacts — and STILL timed every round by bench.py as the
+        # BASELINE.md trie-insert comparable; X-family machinery stays
+        # under tests/test_indexes.py + its pytest oracle) rotates past
+        # the window; its slot carries the continuous-aggregate rollup
+        # merge so the driver hashes the mergeable-summary law directly
+        "rollup_merge": q_rollup_merge,
         # r6 ninth rotation: pq_topk (hashed green r4+r5; the full PQ
         # encode+ADC chain replays inside the in-window ivfpq_topk
         # oracle), mutation_cascade and snapshot_time_travel (hashed
@@ -3779,7 +3816,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "zipf": q_zipf,
         # -- bulk ingest (32-33) --
-        "hackage_etl": q_hackage_etl,
+        # r7 rotation: hackage_etl (hashed green r1-r6 — six straight
+        # contacts — and STILL timed every round by bench.py as the
+        # reference's 'Write Hackage' workload comparable; the S8 ingest
+        # stays under tests/test_hackage.py + its pytest oracle) rotates
+        # past the window; its slot carries the Shazam-style audio
+        # landmark fingerprint + offset-vote match so the driver hashes
+        # the audio tier's flagship on first round-7 contact
+        "audio_match": q_audio_match,
         # -- LLM-data-pipeline operators (34-50) --
         # r6 seventh rotation (cont.): minhash_lsh_pairs (hashed green
         # r1-r6-replica; the identical md5 minhash chain runs inside the
@@ -3849,26 +3893,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round) rotates out in the r6 third rotation; the mixing
         # family's window slot carries UniMax budget allocation instead
         "unimax_mix": q_unimax,
-        "multimodal_features": q_multimodal_features,
+        # r7 rotation: multimodal_features (hashed green r2-r6 — five
+        # straight contacts; the decode/feature machinery stays under
+        # tests/test_jpeg.py, test_gif.py, test_pipeline.py and its
+        # pytest oracle) rotates past the window; its slot carries the
+        # ISO-BMFF stbl sample-table walk + keyframe frame plan — the
+        # video tier's flagship, hashed on first round-7 contact
+        "video_plan": q_video_plan,
         # ------------------------------------------------------------------
         # entries below sit past the driver's 50-query window: expanded
         # per-node analytics, streaming, and secondary SQL surface, all
         # oracle-compared locally in tests/test_oracle_parity.py
+        # r7 rotation, rotated-out rows (multi-round hashed green; see
+        # the in-window slot comments for where each one's machinery
+        # stays driver-checked; index_build + hackage_etl remain benched
+        # every round against BASELINE.md)
+        "pagerank": q_pagerank,
+        "sentences": q_sentences,
+        "dsir_stream": q_dsir_stream,
+        "zorder_key": q_zorder_key,
+        "cms_tokens": q_cms_tokens,
+        "stream_heavy_hitters": q_stream_heavy_hitters,
+        "index_build": q_index_build,
+        "hackage_etl": q_hackage_etl,
+        "multimodal_features": q_multimodal_features,
         "hash_split": q_hash_split,
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
-        # r6 late additions (rotation candidates for r7; the streaming
-        # family already holds five in-window real-stream rows)
-        "stream_hll": q_stream_hll,
-        "audio_match": q_audio_match,
-        "video_plan": q_video_plan,
-        "corpus_diff": q_corpus_diff,
-        "curriculum": q_curriculum,
-        "rollup_merge": q_rollup_merge,
-        "fim": q_fim,
-        "rowgroup_stats": q_rowgroup_stats,
-        "skipping_report": q_skipping_report,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
