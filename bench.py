@@ -120,11 +120,9 @@ MD5_TWINS = ["minhash_lsh_pairs", "embed_near_dup_lsh", "exact_substring"]
 
 # round-4 operators: timed and reported under "r4_ops" WITHOUT joining the
 # headline set, so headline totals stay comparable across rounds. The two
-# exact-pair diagnostics (containment_pairs, lsh_recall_report) are omitted:
-# both are collision-quadratic BY DESIGN (the documented exact baselines the
-# LSH paths are validated against; ~13-17 s at sf0.1) and run once per
-# parameterization, not per corpus pass — timing them nightly would only
-# re-measure the documented quadratic.
+# exact-pair diagnostics (containment_pairs, lsh_recall_report) moved to
+# the once-per-run DIAGNOSTICS section below (r7): collision-quadratic BY
+# DESIGN, measured once and clearly labeled rather than untimed.
 R4_OPS = [
     "boilerplate_dedup",
     "weighted_sample",
@@ -154,8 +152,8 @@ R5_OPS = [
 ]
 # r6 note: dedup_keep_best/dedup_clusters now run their pair stage with
 # max_doc_freq=100 (bounded candidate fan-out — the driver-certified
-# shape); the uncapped exact diagnostic remains ngram_jaccard, documented
-# at ~35 s at sf0.1 and deliberately untimed here.
+# shape); the uncapped exact diagnostic remains ngram_jaccard, measured
+# once per run under the "diagnostics" section (r7).
 
 # round-6 operators, same contract (timed, outside the headline).
 # ivfpq_topk_untrained isolates the r4-comparable untrained build+query;
@@ -209,8 +207,33 @@ R6_OPS = [
 ]
 
 
+# exact-pair diagnostics: collision-quadratic BY DESIGN (the documented
+# exact baselines the LSH/prefix-filter scale paths are validated
+# against). Timed ONCE each per run — never part of the headline total —
+# so their quadratic cost is a measured number per round instead of a
+# remembered one (VERDICT r6 task 7).
+DIAGNOSTICS = [
+    "containment_pairs",
+    "lsh_recall_report",
+    "ngram_jaccard",  # uncapped exact-Jaccard join (max_doc_freq=None twin)
+]
+
+
 def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _sentinel_sec(spark) -> float:
+    """Fixed single-partition CPU-bound calibration job (a sum over 20M
+    longs on ONE core). Identical work every call, so wall-clock drift
+    between calls measures BOX CONTENTION (CPU steal from co-tenant
+    processes), not our code. Timed at start / middle / end of the run;
+    a drift ratio > 2x flags the whole sample as contended — the r6
+    record carried an 11.89 s reading for a query that measures 3.29 s
+    on an idle box, and a sentinel makes such samples self-describing."""
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, 1, 1).selectExpr("sum(id)").collect()
+    return round(time.perf_counter() - t0, 3)
 
 
 def _release_state(spark) -> None:
@@ -260,32 +283,43 @@ def main() -> None:
     # warms exactly the classes the timed sf0.1 pass runs; Catalyst
     # planning of the sf0.1 plans is NOT cached and stays in the timings.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + MD5_TWINS + R4_OPS + R5_OPS + R6_OPS:
+    for name in HEADLINE + MD5_TWINS + R4_OPS + R5_OPS + R6_OPS + DIAGNOSTICS:
         try:
             _execute(queries[name](spark, warm_dir))
         except Exception:
             pass  # a warm-up failure must not kill the benchmark
     _release_state(spark)
 
-    # two timed executions, keep the better: single-run numbers on this
-    # shared box carry one-off 3-8x spikes (CPU steal / GC pauses measured
-    # on identical code); min-of-2 reports the steady-state a long-lived
-    # cluster actually sees, the same reason criterion reports best-of
-    def _time(name: str) -> float:
+    # min-of-N timed executions: single-run numbers on this shared box
+    # carry one-off 3-8x spikes (CPU steal / GC pauses measured on
+    # identical code — r6's driver sample read 11.89 s for a 3.29 s
+    # query); steady-state min is the criterion convention BASELINE.md's
+    # own numbers use, and N=3 for the graded headline section makes one
+    # contended execution unable to pollute the permanent record
+    # (VERDICT r6 task 2). The op sections keep N=2 to bound total
+    # wall-clock; the sentinel flags any still-contended sample.
+    def _time(name: str, runs: int = 2) -> float:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             _execute(queries[name](spark, SF_DIR))
             best = min(best, time.perf_counter() - t0)
             _release_state(spark)
         return round(best, 3)
 
-    timings = {name: _time(name) for name in HEADLINE}
-    md5_timings = {name: _time(name) for name in MD5_TWINS}
+    _sentinel_sec(spark)  # untimed: first call pays codegen/JIT, not contention
+    sent_start = _sentinel_sec(spark)
+    timings = {name: _time(name, runs=3) for name in HEADLINE}
+    sent_mid = _sentinel_sec(spark)
+    md5_timings = {name: _time(name, runs=3) for name in MD5_TWINS}
     r4_timings = {name: _time(name) for name in R4_OPS}
     r5_timings = {name: _time(name) for name in R5_OPS}
     r6_timings = {name: _time(name) for name in R6_OPS}
+    diag_timings = {name: _time(name, runs=1) for name in DIAGNOSTICS}
+    sent_end = _sentinel_sec(spark)
 
+    sent_vals = [sent_start, sent_mid, sent_end]
+    drift = round(max(sent_vals) / max(min(sent_vals), 1e-9), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -298,6 +332,15 @@ def main() -> None:
                 "r4_ops": r4_timings,
                 "r5_ops": r5_timings,
                 "r6_ops": r6_timings,
+                "diagnostics": diag_timings,
+                "timing": "min_of_3_headline_min_of_2_ops",
+                "sentinel": {
+                    "start_sec": sent_start,
+                    "mid_sec": sent_mid,
+                    "end_sec": sent_end,
+                    "drift_ratio": drift,
+                    "contended": drift > 2.0,
+                },
                 "sf": sf,
             }
         )
