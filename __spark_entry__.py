@@ -3071,6 +3071,56 @@ def q_corpus_diff(spark, sf_dir):
     return corpus_diff(base, edited.unionByName(added))
 
 
+# main-content extraction fixture: every document's text wrapped in a
+# page skeleton with known chrome — nav menu (high link density), title
+# (short), aside promo (high link density), copyright footer (low
+# stopword density) — so the extractor must recover exactly the body.
+# The stopword list is the synthetic corpus's own function words (the
+# generator vocabulary is database-ish English; jusText stoplists are
+# language-parameterized and this corpus IS its own language).
+_MC_PRE = (
+    '<html><head><title>Doc</title><style>.m{x:1}</style>'
+    "<script>var z=9;</script></head><body>"
+    '<nav><a href="/">Home</a> <a href="/about">About</a> '
+    '<a href="/contact">Contact</a></nav><div class="main"><p>'
+)
+_MC_POST = (
+    '</p></div><aside><a href="/promo">Click here</a> deals</aside>'
+    "<footer>Copyright 2024 Example Corp - All rights reserved.</footer>"
+    "</body></html>"
+)
+_MC_STOPS = (
+    "the", "a", "join", "hash", "row", "batch",
+    "scan", "customer", "column", "filter",
+)
+
+
+def q_main_content(spark, sf_dir):
+    """Boilerplate-aware main-content extraction (pipeline/extraction.py:
+    extract_main_content — the context-free jusText tier: block
+    segmentation at block-tag boundaries, link-density + stopword-density
+    classification, zero-shuffle HOF projection). Every document wrapped
+    in a chrome-laden page skeleton; the extractor must return the body
+    and drop nav/title/aside/footer. Oracle replays the ENTIRE chain —
+    the same RE2-safe regexes, entity chain, token normalization and
+    thresholds — block by block in DuckDB."""
+    from hgraphstorage_spark.pipeline.extraction import extract_main_content
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_MC_PRE), F.coalesce(F.col("text"), F.lit("")), F.lit(_MC_POST)
+        ).alias("html"),
+    )
+    out = extract_main_content(docs, stopwords=_MC_STOPS)
+    return out.select(
+        "doc_id",
+        "content",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_content_blocks").cast("long").alias("n_content_blocks"),
+    )
+
+
 def q_video_plan(spark, sf_dir):
     """Keyframe-aligned frame-sampling plan (pipeline/multimodal.py:
     video_frame_plan) over a deterministic arithmetic sample table — the
@@ -3921,6 +3971,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
+        # r7 additions (rotation candidates for r8): the jusText-tier
+        # main-content extractor closing VERDICT r6's "largest
+        # user-visible gap in the crawl tier"
+        "main_content": q_main_content,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -5629,6 +5683,87 @@ def _robots_oracle_sql(agent: str = "trainbot") -> str:
     """
 
 
+def _main_content_oracle_sql() -> str:
+    """DuckDB replay of ``q_main_content``: the same page-skeleton
+    concat, then the extraction chain block by block — DROP subtrees,
+    BLOCK_RE segmentation, inline-tag strip + entity chain + whitespace
+    collapse, anchor-text link chars, stopword tokenization with edge
+    punctuation stripped — and the same three-threshold CASE. Every
+    regex literal is imported from pipeline/extraction.py so the two
+    engines compile IDENTICAL patterns (all RE2-safe by construction);
+    DuckDB needs explicit 'g' flags where Spark's regexp_replace is
+    implicitly global."""
+    from hgraphstorage_spark.pipeline.extraction import (
+        ANCHOR_RE,
+        BLOCK_RE,
+        DROP_RE,
+        ENTITIES,
+        LINK_DENSITY_MAX,
+        MIN_CHARS,
+        STOPWORD_MIN,
+        TAG_RE,
+        TOKEN_NORM_RE,
+        WS_RE,
+    )
+
+    def clean(expr: str) -> str:
+        s = f"regexp_replace({expr}, '{TAG_RE}', ' ', 'g')"
+        for k, v in ENTITIES:
+            s = f"replace({s}, '{k}', '{v.replace(chr(39), chr(39) * 2)}')"
+        return f"trim(regexp_replace({s}, '{WS_RE}', ' ', 'g'))"
+
+    stops = ", ".join(f"'{s}'" for s in _MC_STOPS)
+    pre = _MC_PRE.replace("'", "''")
+    post = _MC_POST.replace("'", "''")
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, '{pre}' || coalesce(text, '') || '{post}' AS html
+          FROM documents
+        ),
+        bl AS (
+          SELECT doc_id, i AS ord, bs[i] AS raw
+          FROM (SELECT doc_id,
+                       string_split_regex(
+                         regexp_replace(html, '{DROP_RE}', ' ', 'g'),
+                         '{BLOCK_RE}') AS bs
+                FROM docs),
+               unnest(generate_series(1, len(bs))) AS t(i)
+        ),
+        feat AS (
+          SELECT doc_id, ord, {clean('raw')} AS txt,
+                 coalesce(list_sum(list_transform(
+                   regexp_extract_all(raw, '{ANCHOR_RE}', 1),
+                   x -> length({clean('x')}))), 0) AS link_chars
+          FROM bl
+        ),
+        feat2 AS (
+          SELECT doc_id, ord, txt, link_chars, length(txt) AS n_chars,
+                 list_filter(string_split(lower(txt), ' '), x -> x != '') AS toks
+          FROM feat
+        ),
+        lab AS (
+          SELECT doc_id, ord, txt, n_chars,
+                 CASE
+                   WHEN link_chars::DOUBLE / greatest(n_chars, 1)::DOUBLE
+                        > {LINK_DENSITY_MAX} THEN 'high_link_density'
+                   WHEN n_chars < {MIN_CHARS} THEN 'short'
+                   WHEN len(list_filter(toks, x -> list_contains([{stops}],
+                          regexp_replace(x, '{TOKEN_NORM_RE}', '', 'g'))))::DOUBLE
+                        / greatest(len(toks), 1)::DOUBLE < {STOPWORD_MIN}
+                        THEN 'low_stopword'
+                   ELSE 'content'
+                 END AS label
+          FROM feat2
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN label = 'content' THEN txt END,
+                                   chr(10) ORDER BY ord), '') AS content,
+               count(*) FILTER (WHERE n_chars > 0) AS n_blocks,
+               count(*) FILTER (WHERE label = 'content') AS n_content_blocks
+        FROM lab GROUP BY doc_id
+    """
+
+
 def _stream_embed_sig_oracle_sql(dims: int = 64, bits: int = 16) -> str:
     """DuckDB replay of `stream_embed_dedup(plane_mode="md5")`'s
     deterministic projection: the DISTINCT quantized-fixed-point
@@ -6044,6 +6179,7 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
+    sql["main_content"] = _main_content_oracle_sql()
     sql["mmr_rerank"] = _mmr_oracle_sql(qid=0, pool=15, k=5, lam=0.7)
     # sentence_split replay: same punctuate -> mark -> split -> collapse
     # chain; sent_idx is the 0-based PRE-FILTER split position

@@ -206,7 +206,7 @@ def html_to_text(html: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
 
 
-def warc_to_documents(records: DataFrame) -> DataFrame:
+def warc_to_documents(records: DataFrame, extract: str = "baseline") -> DataFrame:
     """Response records → a ``documents``-shaped frame:
     (doc_id, url, fetch_date, text, n_chars), with doc_id the xxhash64
     of (uri, date, record_id, shard, rec_idx) — deterministic and
@@ -219,15 +219,26 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
     stripped; the body decodes as UTF-8 with replacement; HTML bodies
     pass through :func:`html_to_text`.
 
+    ``extract`` picks the HTML tier: ``"baseline"`` (default) is the
+    raw CCNet-style tag strip via :func:`html_to_text`; ``"main"`` is
+    the boilerplate-aware jusText tier
+    (:func:`hgraphstorage_spark.pipeline.extraction.main_content_expr`)
+    — nav / footer / sidebar chrome classified out by link density and
+    stopword density, applied as a zero-shuffle column expression on
+    the decoded HTML bodies (non-HTML bodies pass through either way).
+
     Shape: one narrow mapInPandas over the record frame (the payload
     column never shuffles — doc rows carry text only)."""
     import pandas as pd
 
+    if extract not in ("baseline", "main"):
+        raise ValueError(f"extract must be 'baseline' or 'main', got {extract!r}")
     resp = records.filter(F.col("warc_type") == "response")
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             texts = []
+            flags = []
             for payload in pdf["payload"]:
                 body = bytes(payload)
                 # the HTTP envelope names the body's media type — consult
@@ -248,14 +259,17 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
                 text = body.decode("utf-8", "replace")
                 if is_html is None:
                     is_html = text.lstrip().startswith("<")
-                if is_html and "<" in text:
+                html = bool(is_html and "<" in text)
+                if html and extract == "baseline":
                     text = html_to_text(text)
                 texts.append(text)
+                flags.append(html)
             yield pd.DataFrame(
                 {
                     "url": pdf["target_uri"],
                     "fetch_date": pdf["warc_date"],
                     "text": texts,
+                    "is_html": flags,
                     "record_id": pdf["record_id"],
                     "shard": pdf["shard"],
                     "rec_idx": pdf["rec_idx"],
@@ -264,15 +278,24 @@ def warc_to_documents(records: DataFrame) -> DataFrame:
 
     docs = resp.mapInPandas(
         run,
-        schema="url string, fetch_date string, text string, "
+        schema="url string, fetch_date string, text string, is_html boolean, "
         "record_id string, shard string, rec_idx long",
     )
+    text_col = F.col("text")
+    if extract == "main":
+        # boilerplate-aware tier as a zero-shuffle column expression on
+        # the decoded HTML bodies; non-HTML bodies pass through verbatim
+        from hgraphstorage_spark.pipeline.extraction import main_content_expr
+
+        text_col = F.when(F.col("is_html"), main_content_expr(F.col("text"))).otherwise(
+            F.col("text")
+        )
     return docs.select(
         F.xxhash64("url", "fetch_date", "record_id", "shard", "rec_idx").alias("doc_id"),
         "url",
         "fetch_date",
-        "text",
-        F.length("text").cast("long").alias("n_chars"),
+        text_col.alias("text"),
+        F.length(text_col).cast("long").alias("n_chars"),
     )
 
 
