@@ -104,7 +104,14 @@ def _fast_variants() -> dict:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return ivfpq_topk(emb, query_id=0, k=10)
 
+    from hgraphstorage_spark.pipeline.dedup import _ngram_jaccard_pairs_naive
+
+    def ngram_jaccard_naive(spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return _ngram_jaccard_pairs_naive(docs, n=3, threshold=0.5, block_col="lang")
+
     return {
+        "ngram_jaccard_naive": ngram_jaccard_naive,
         "minhash_lsh_pairs_fast": minhash_fast,
         "embed_near_dup_lsh_fast": embed_lsh_fast,
         "exact_substring_fast": exact_substring_fast,
@@ -215,7 +222,11 @@ R6_OPS = [
 DIAGNOSTICS = [
     "containment_pairs",
     "lsh_recall_report",
-    "ngram_jaccard",  # uncapped exact-Jaccard join (max_doc_freq=None twin)
+    # the naive uncapped all-shared-shingles join — since r7 the public
+    # uncapped API delegates to the prefix-filter plan (the registry row
+    # "ngram_jaccard" now times THAT), so the documented quadratic is
+    # reachable only through this private test/diagnostic shape
+    "ngram_jaccard_naive",
 ]
 
 

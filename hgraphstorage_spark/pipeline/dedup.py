@@ -416,12 +416,49 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ threshold. Quadratic within a block —
-    use `block_col` (e.g. lang), run on LSH candidates at scale, and/or
-    cap hot shingles with ``max_doc_freq`` (see :func:`_cap_doc_freq`:
-    shingles in more than that many docs leave the candidate index, so
-    scores only shrink — capped pairs ⊆ uncapped pairs).
-    Returns (doc_a, doc_b, jaccard), doc_a < doc_b."""
+    """Exact n-gram Jaccard pairs ≥ threshold.
+    Returns (doc_a, doc_b, jaccard DECIMAL(18,6)), doc_a < doc_b.
+
+    Plan selection (VERDICT r6 task 6 — no public API emits the
+    unbounded quadratic candidate join):
+
+    - ``max_doc_freq=None`` (default) → the LOSSLESS prefix-filter plan
+      (:func:`jaccard_prefix_pairs`, SSJoin/PPJoin): identical pairs and
+      scores to the naive all-shared-shingles join (property-tested
+      equivalence), but candidates fire only on rarest-first prefix
+      tokens, so a hot boilerplate shingle can no longer create a k²
+      candidate group.
+    - ``max_doc_freq=k`` → the bounded-fan-out capped inverted index
+      (:func:`_cap_doc_freq`): shingles in more than k docs leave the
+      candidate index, so scores only shrink — capped pairs ⊆ uncapped
+      pairs. Use when approximate-but-cheaper beats exact.
+
+    The naive uncapped join survives as the test-only oracle shape
+    :func:`_ngram_jaccard_pairs_naive` that the prefix-filter
+    equivalence tests falsify against."""
+    if max_doc_freq is None:
+        return jaccard_prefix_pairs(
+            docs, text_col, id_col, n=n, threshold=threshold, block_col=block_col
+        )
+    return _ngram_jaccard_pairs_naive(
+        docs, text_col, id_col, n, threshold, block_col, max_doc_freq
+    )
+
+
+def _ngram_jaccard_pairs_naive(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The all-shared-shingles inverted-index join — quadratic within a
+    hot-shingle group when uncapped, which is why the PUBLIC entry point
+    only reaches it with a ``max_doc_freq`` cap; uncapped it is the
+    test-only oracle shape the prefix-filter plan is verified against
+    (and the measured ``diagnostics`` row in bench.py)."""
     # explode hashed shingles: the co-group join shuffles 8-byte keys, not
     # n-word strings
     sh = shingle_hashes(docs, text_col, id_col, n).select(

@@ -2556,17 +2556,19 @@ class TestHotShingleCap:
 class TestPrefixFiltering:
     def test_output_equals_full_exact_join(self, spark):
         """Prefix-filter lemma end-to-end: jaccard_prefix_pairs returns
-        EXACTLY the pairs+scores of the full exact join (ngram_jaccard_pairs
-        uncapped) on real data — pruning only, nothing lost."""
+        EXACTLY the pairs+scores of the full naive join (the test-only
+        oracle shape — the PUBLIC uncapped entry point now delegates to
+        the prefix plan, so the equivalence must be checked against the
+        private naive form) on real data — pruning only, nothing lost."""
         from hgraphstorage_spark.pipeline.dedup import (
+            _ngram_jaccard_pairs_naive,
             jaccard_prefix_pairs,
-            ngram_jaccard_pairs,
         )
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         full = {
             (r["doc_a"], r["doc_b"]): str(r["jaccard"])
-            for r in ngram_jaccard_pairs(
+            for r in _ngram_jaccard_pairs_naive(
                 docs, n=3, threshold=0.5, block_col="lang"
             ).collect()
         }
@@ -2577,6 +2579,26 @@ class TestPrefixFiltering:
             ).collect()
         }
         assert pref == full and len(full) > 0
+
+    def test_public_uncapped_entry_takes_prefix_plan(self, spark):
+        """VERDICT r6 task 6: no public API can emit the unbounded
+        quadratic candidate join — the uncapped public entry point must
+        plan the prefix-filter shape (its per-doc rank Window is the
+        marker; the naive inverted-index join has no Window at all),
+        while the capped entry keeps the bounded naive shape."""
+        from hgraphstorage_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        uncapped = (
+            ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "Window" in uncapped
+        capped = (
+            ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=100)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "Window" not in capped
 
     def test_boilerplate_prunes_candidates_keeps_true_pairs(self, spark):
         """The point of the op: on a corpus where one boilerplate sentence
