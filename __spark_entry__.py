@@ -2294,6 +2294,63 @@ def q_boilerplate_dedup(spark, sf_dir):
     )
 
 
+def q_boilerplate_paragraph(spark, sf_dir):
+    """Paragraph-mode corpus boilerplate removal (RefinedWeb rule at the
+    blank-line-run granularity): every document wrapped with the SAME
+    cookie-banner head paragraph and copyright tail paragraph (separated
+    by a ragged blank run — '\\n \\n' — so the run-consuming splitter is
+    exercised); both chrome paragraphs cross min_count and must vanish
+    from ALL documents while each unique body survives. Oracle replays
+    the split, the corpus count, and the reassembly by paragraph
+    string."""
+    from hgraphstorage_spark.pipeline.text import boilerplate_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("We use cookies to improve your experience\n\n"),
+            F.col("text"),
+            F.lit("\n \nCopyright 2024 Example Corp - all rights reserved"),
+        ).alias("text"),
+    )
+    out = boilerplate_dedup(docs, unit="paragraph", min_count=3)
+    return out.select(
+        "doc_id", "n_units", "n_kept", F.md5("text_dedup").alias("dedup_fp")
+    )
+
+
+def q_topic_split(spark, sf_dir):
+    """Topic-model train/apply split (similarity.py:topic_model +
+    topic_assign): the persistable (idf table, centroids) model trained
+    with two Lloyd rounds, then the corpus routed against the FIXED
+    model. The re-assignment against the trained centroids is exactly
+    one more Lloyd half-step, so split(iterations=2) ==
+    fused topic_clusters(iterations=3) — the oracle is the stream_topics
+    third-round CTE chain (same SQL), making the equivalence a
+    driver-hash fact rather than a pytest-only one."""
+    from hgraphstorage_spark.pipeline.similarity import topic_assign, topic_model
+
+    docs = _t(spark, sf_dir, "documents")
+    idf, cents = topic_model(docs, n_topics=8, iterations=2, hash_mode="md5")
+    return topic_assign(docs, idf, cents, hash_mode="md5")
+
+
+def q_extract_links(spark, sf_dir):
+    """Anchor-capture link extraction (sources/warc.py:extract_links
+    with_anchor=True) — the RAW per-link frame under the driver hash:
+    href passthrough for absolute links, RFC 3986-lite root-relative
+    resolution against the UNSTRIPPED origin, and the tag-stripped
+    anchor text, over the same anchored synthetic HTML as anchor_text.
+    Oracle derives every row from the generator arithmetic (independent
+    derivation, not regex replay)."""
+    from hgraphstorage_spark.sources.warc import extract_links
+
+    pages = _anchored_pages(spark, sf_dir)
+    return extract_links(pages, with_anchor=True).select(
+        "doc_id", "url", "href", "link_url", "anchor"
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric shingle containment pairs (Broder resemblance/
     containment): |A∩B|/|A| per direction + jaccard, blocked by lang."""
@@ -2448,6 +2505,75 @@ def q_bpe_merges(spark, sf_dir):
     from hgraphstorage_spark.pipeline.text import bpe_merge_counts
 
     return bpe_merge_counts(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+# fixed merge table for the fertility report: spells two of the
+# corpus's highest-frequency words ('table', 'scan') plus a common
+# suffix fusion, so the report exercises multi-char merges, an
+# end-of-word fusion, and untouched vocabulary in one pass. A literal
+# list on BOTH engines — the oracle unrolls each rule as one
+# delimited-string rewrite (greedy left-to-right non-overlapping, the
+# same semantics as bpe_apply's array fold).
+_FERT_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"), ("table", "</w>"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("scan", "</w>"),
+    ("e", "</w>"),
+]
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-evaluation report (pipeline/text.py:tokenizer_fertility):
+    per language, BPE fertility (tokens per word) and chars per token
+    under the fixed ``_FERT_MERGES`` rule list — the multilingual-
+    tokenizer budget check. Oracle replays bpe_apply's greedy
+    left-to-right merge fold per rule as a double-space-delimited string
+    rewrite over the word vocabulary (equivalent by the non-overlapping
+    single-pass argument; equality property-tested in pytest), then the
+    same per-doc and per-lang sums."""
+    from hgraphstorage_spark.pipeline.text import tokenizer_fertility
+
+    out = tokenizer_fertility(_t(spark, sf_dir, "documents"), _FERT_MERGES)
+    return _canon(out, "fertility", "chars_per_token")
+
+
+def _fertility_oracle_sql() -> str:
+    """DuckDB replay of ``q_tokenizer_fertility``. Each merge (a, b)
+    rewrites the double-space-delimited symbol string: the pattern
+    ' a  b ' consumes one space of each boundary pair and the
+    replacement ' ab ' restores them, so the double-space invariant
+    holds across rules and non-overlapping left-to-right replacement
+    matches the Spark fold exactly."""
+    s_expr = "'  ' || array_to_string(list_concat(list_transform(" \
+             "generate_series(1, len(w)), i -> w[i:i]), ['</w>']), '  ') || '  '"
+    for a, b in _FERT_MERGES:
+        s_expr = f"replace({s_expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return rf"""
+        WITH words AS (
+          SELECT doc_id, w, count(*) AS n FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS w
+            FROM documents
+          ) WHERE len(w) > 0 GROUP BY doc_id, w
+        ),
+        vocab AS (
+          SELECT w, len(string_split_regex(trim({s_expr}), '  ')) AS wt
+          FROM (SELECT DISTINCT w FROM words)
+        ),
+        per_doc AS (
+          SELECT doc_id, sum(n)::BIGINT AS n_words, sum(n * wt)::BIGINT AS n_tokens
+          FROM words JOIN vocab USING (w) GROUP BY doc_id
+        )
+        SELECT d.lang,
+               count(*)::BIGINT AS n_docs,
+               sum(p.n_words)::BIGINT AS n_words,
+               sum(p.n_tokens)::BIGINT AS n_tokens,
+               round(sum(p.n_tokens)::DOUBLE / sum(p.n_words)::DOUBLE, 6)
+                 ::DECIMAL(18,6)::VARCHAR AS fertility,
+               round(sum(length(d.text))::DOUBLE / sum(p.n_tokens)::DOUBLE, 6)
+                 ::DECIMAL(18,6)::VARCHAR AS chars_per_token
+        FROM per_doc p JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+    """
 
 
 def q_lsh_recall_report(spark, sf_dir):
@@ -3568,6 +3694,14 @@ def q_anchor_text(spark, sf_dir):
     pattern as link_graph/url_dedup."""
     from hgraphstorage_spark.sources.warc import anchor_text_index, extract_links
 
+    links = extract_links(_anchored_pages(spark, sf_dir), with_anchor=True)
+    return anchor_text_index(links, top_k=3)
+
+
+def _anchored_pages(spark, sf_dir):
+    """Synthetic anchored pages shared by anchor_text and extract_links:
+    per doc an absolute link with a 3-token anchor and a root-relative
+    link with a 2-token anchor, all offsets pure doc_id arithmetic."""
     docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
     k = F.floor(F.col("doc_id") / 2).cast("long")
     abs_href = F.concat(
@@ -3587,9 +3721,7 @@ def q_anchor_text(spark, sf_dir):
         (F.col("doc_id") % 3).cast("string"),
         F.lit("</a>"),
     )
-    pages = docs.withColumn("html", html).select("doc_id", "url", "html")
-    links = extract_links(pages, with_anchor=True)
-    return anchor_text_index(links, top_k=3)
+    return docs.withColumn("html", html).select("doc_id", "url", "html")
 
 
 def q_psi_drift(spark, sf_dir):
@@ -3975,6 +4107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # main-content extractor closing VERDICT r6's "largest
         # user-visible gap in the crawl tier"
         "main_content": q_main_content,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "boilerplate_paragraph": q_boilerplate_paragraph,
+        "topic_split": q_topic_split,
+        "extract_links": q_extract_links,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6180,6 +6316,7 @@ def oracle_sql() -> dict[str, str]:
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
     sql["main_content"] = _main_content_oracle_sql()
+    sql["tokenizer_fertility"] = _fertility_oracle_sql()
     sql["mmr_rerank"] = _mmr_oracle_sql(qid=0, pool=15, k=5, lam=0.7)
     # sentence_split replay: same punctuate -> mark -> split -> collapse
     # chain; sent_idx is the 0-based PRE-FILTER split position
@@ -6668,9 +6805,29 @@ def oracle_sql() -> dict[str, str]:
     sql["topic_clusters"] = _topic_oracle_sql(
         "\n        SELECT doc_id, topic FROM a1"
     )
+    # extract_links (anchor-capture mode): independent arithmetic
+    # derivation of both raw link rows per page — the anchor_text
+    # oracle's base CTE with href + anchor exposed
+    sql["extract_links"] = f"""
+        WITH d AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
+        {_RAW_SYNTH_URL_SQL}
+        SELECT d.doc_id, ru.url,
+               'https://site' || ((d.k + 1) % 7) || '.com/p' || (d.k + 1) AS href,
+               'https://site' || ((d.k + 1) % 7) || '.com/p' || (d.k + 1) AS link_url,
+               'term' || (d.k % 5) || ' common phrase' AS anchor
+        FROM d JOIN ru USING (doc_id)
+        UNION ALL
+        SELECT d.doc_id, ru.url,
+               '/r/' || (d.doc_id % 10) AS href,
+               (CASE WHEN d.doc_id % 3 = 1 THEN 'http' ELSE 'https' END) || '://'
+               || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+               || 'site' || (d.k % 7) || '.com/r/' || (d.doc_id % 10) AS link_url,
+               'nav ' || (d.doc_id % 3) AS anchor
+        FROM d JOIN ru USING (doc_id)
+    """
     # stream_topics: the model is the final centroid update (m2/c2) of
     # the trained chain; the streamed assignment is a third round
-    sql["stream_topics"] = _topic_oracle_sql(
+    _topic_third_round = _topic_oracle_sql(
         """,
         m2 AS MATERIALIZED (
           SELECT a1.topic, i, avg(a0.v[i]) AS m
@@ -6685,6 +6842,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM c2 ORDER BY cs DESC, cid ASC LIMIT 1) s) AS topic
         FROM a0"""
     )
+    sql["stream_topics"] = _topic_third_round
+    # topic_split: topic_assign against the trained 2-round model is
+    # exactly the third-round chain — the SAME SQL certifies
+    # split == fused(iterations=3) under the driver hash
+    sql["topic_split"] = _topic_third_round
     sql["topic_terms"] = _topic_oracle_sql(
         """,
         tok AS (
@@ -7403,6 +7565,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, count(*)::BIGINT AS n_units,
                sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                md5(COALESCE(string_agg(CASE WHEN keep THEN u END, ' ' ORDER BY pos), '')) AS dedup_fp
+        FROM marked GROUP BY doc_id
+    """
+    # paragraph-mode boilerplate: the same remove-ALL-occurrences rule at
+    # the blank-line-run granularity, over the wrapped corpus (shared
+    # banner head + copyright tail, ragged '\n \n' second separator)
+    sql["boilerplate_paragraph"] = r"""
+        WITH wrapped AS (
+          SELECT doc_id,
+                 'We use cookies to improve your experience' || chr(10) || chr(10)
+                 || text || chr(10) || ' ' || chr(10)
+                 || 'Copyright 2024 Example Corp - all rights reserved' AS text
+          FROM documents
+        ),
+        ch AS (
+          SELECT doc_id, i AS pos, us[i] AS u
+          FROM (SELECT doc_id,
+                       string_split_regex(text, '\n[ \t\n]*\n') AS us
+                FROM wrapped),
+               unnest(generate_series(1, len(us))) AS t(i)
+        ),
+        el AS (SELECT *, len(trim(u)) >= 1 AS eligible FROM ch),
+        boiler AS (
+          SELECT u FROM el WHERE eligible GROUP BY u HAVING count(*) >= 3
+        ),
+        marked AS (
+          SELECT el.doc_id, el.pos, el.u,
+                 NOT (el.eligible AND boiler.u IS NOT NULL) AS keep
+          FROM el LEFT JOIN boiler ON el.u = boiler.u
+        )
+        SELECT doc_id, count(*)::BIGINT AS n_units,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               md5(COALESCE(string_agg(CASE WHEN keep THEN u END,
+                                       chr(10) || chr(10) ORDER BY pos), ''))
+                 AS dedup_fp
         FROM marked GROUP BY doc_id
     """
     # containment_pairs: the ngram_jaccard replay + per-side containment
