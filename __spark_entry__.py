@@ -3724,6 +3724,39 @@ def _anchored_pages(spark, sf_dir):
     return docs.withColumn("html", html).select("doc_id", "url", "html")
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Mergeable bottom-k quantile registers (functions/stats.py:
+    quantile_sketch family — the engine-portable alternative to
+    percentile_approx's JVM-bound KLL): the events table split by
+    event_id parity, each half sketched independently (k=256 per event
+    type), MERGED, then estimated — the law merge(sk(A), sk(B)) ==
+    sk(A ++ B) under the driver hash, since the oracle computes the
+    direct one-pass bottom-k over ALL events (the rollup_merge
+    pattern). Quantiles are percentile_cont interpolation on the
+    registers."""
+    from hgraphstorage_spark.functions.stats import (
+        quantile_sketch,
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+    )
+    from hgraphstorage_spark.streaming import load_events
+
+    ev = load_events(spark, sf_dir)
+    a = quantile_sketch(
+        ev.filter(F.pmod("event_id", 2) == 0), "value", "event_id",
+        group_cols=["event_type"], k=256,
+    )
+    b = quantile_sketch(
+        ev.filter(F.pmod("event_id", 2) == 1), "value", "event_id",
+        group_cols=["event_type"], k=256,
+    )
+    merged = quantile_sketch_merge(a, b, group_cols=["event_type"], k=256)
+    out = quantile_sketch_estimate(
+        merged, percentiles=(0.25, 0.5, 0.9), group_cols=["event_type"]
+    )
+    return _canon(out, "p25", "p50", "p90")
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI drift report on the n_chars distribution between the even and
     odd doc_id halves of the corpus (a deterministic A/A-style slice —
@@ -4111,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_paragraph": q_boilerplate_paragraph,
         "topic_split": q_topic_split,
         "extract_links": q_extract_links,
+        "quantile_sketch": q_quantile_sketch,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,
@@ -6759,6 +6793,29 @@ def oracle_sql() -> dict[str, str]:
     # equi-depth twin of numeric_histogram: rank over the (value, id)
     # total order, bin = 1 + floor((rn-1)*k/N); lo/hi are element
     # selections so no rounding is needed
+    # quantile_sketch: the merge law is the certificate — the oracle is
+    # the DIRECT one-pass bottom-k over all events (merge(sk(even),
+    # sk(odd)) must equal it exactly since event_ids are distinct),
+    # then percentile_cont == F.percentile interpolation
+    sql["quantile_sketch"] = r"""
+        WITH e AS (
+          SELECT event_type,
+                 ('0x' || substr(md5(event_id::VARCHAR || ':qsk'), 1, 15))::BIGINT AS hkey,
+                 value::DOUBLE AS value
+          FROM events WHERE value IS NOT NULL
+        ),
+        r AS (
+          SELECT event_type, hkey, value,
+                 row_number() OVER (PARTITION BY event_type ORDER BY hkey, value) AS rn
+          FROM e
+        ),
+        s AS (SELECT event_type, value FROM r WHERE rn <= 256)
+        SELECT event_type, count(*)::BIGINT AS n_register,
+               round(quantile_cont(value, 0.25), 6)::DECIMAL(18,6)::VARCHAR AS p25,
+               round(quantile_cont(value, 0.5), 6)::DECIMAL(18,6)::VARCHAR AS p50,
+               round(quantile_cont(value, 0.9), 6)::DECIMAL(18,6)::VARCHAR AS p90
+        FROM s GROUP BY event_type
+    """
     sql["quantile_histogram"] = """
         WITH e AS (SELECT event_id, value::DOUBLE AS x FROM events WHERE value IS NOT NULL),
         r AS (SELECT x, row_number() OVER (ORDER BY x, event_id) AS rn,

@@ -477,6 +477,108 @@ def cms_estimate(
     )
 
 
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 1024,
+    salt: str = "qsk",
+) -> DataFrame:
+    """Deterministic bottom-k quantile register sketch — the mergeable
+    quantile summary completing the plain-DataFrame sketch family next
+    to HLL (:func:`hll_sketch`) and Count-Min (:func:`count_min_sketch`),
+    and the engine-portable alternative to ``percentile_approx``'s
+    JVM-bound KLL binary (VERDICT r6 task 8).
+
+    Registers are the ``k`` rows per group with the smallest
+    ``md5_long(id, salt)`` — a coordinated uniform hash-sample of ROWS
+    (sampling by row identity, not value, so duplicate values keep their
+    multiplicity and quantiles are unbiased). Returns (group..., hkey,
+    value DOUBLE); the hkey column stays in the register so merges
+    re-rank exactly.
+
+    Why bottom-k instead of a real KLL compactor hierarchy: KLL's
+    random compaction makes merge(sketch(A), sketch(B)) ≠ sketch(A++B)
+    (the result depends on arrival grouping) and is not replayable in
+    SQL. Deterministic bottom-k trades KLL's O((1/ε)·log log n) space
+    for three properties this engine's sketch family is built on:
+    EXACT mergeability — merge(sketch(A), sketch(B)) == sketch(A ++ B)
+    bit-for-bit whenever ids are globally distinct (tested as a law,
+    like hll_merge/cms_merge) — determinism (a pure function of the
+    data), and a DuckDB oracle that replays every register. Rank error
+    is the uniform-sample bound O(1/sqrt(k)) (k=1024 → ~1.5 points of
+    rank at 95% confidence).
+
+    Shape at scale: the rank filter plans as WindowGroupLimit — every
+    task prunes to its own bottom-k BEFORE the per-group shuffle, so
+    the exchange carries at most k rows per task per group no matter
+    the corpus (the sketch's whole point); nothing corpus-sized sorts
+    on one partition."""
+    from pyspark.sql import Window
+
+    from hgraphstorage_spark.pipeline.dedup import md5_long
+
+    gs = list(group_cols)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *gs,
+        md5_long(F.col(id_col), F.lit(salt)).alias("hkey"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = Window.partitionBy(*gs).orderBy("hkey", "value")
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = (), k: int = 1024
+) -> DataFrame:
+    """Bottom-k of the union of two registers built with the SAME
+    (id space, salt, k) — the associative merge: whenever ids are
+    globally distinct across inputs, merge(sketch(A), sketch(B)) ==
+    sketch(A ++ B) EXACTLY (tested as a law), so per-shard / per-day
+    registers roll up without touching raw data."""
+    from pyspark.sql import Window
+
+    gs = list(group_cols)
+    w = Window.partitionBy(*gs).orderBy("hkey", "value")
+    return (
+        a.unionByName(b)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame,
+    percentiles: Sequence[float] = (0.5, 0.95),
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Quantile estimates from bottom-k registers: exact linear-
+    interpolation percentiles (``F.percentile`` == ANSI
+    ``percentile_cont`` == DuckDB ``quantile_cont``, bit-identical
+    before rounding) of the register sample. Returns (group...,
+    n_register, p50-style columns DECIMAL(18,6))."""
+
+    def _name(p: float) -> str:
+        return "p" + f"{p * 100:g}".replace(".", "_")
+
+    gs = list(group_cols)
+    return sketch.groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("n_register"),
+        *[
+            F.round(F.percentile(F.col("value"), F.lit(p)), 6)
+            .cast("decimal(18,6)")
+            .alias(_name(p))
+            for p in percentiles
+        ],
+    )
+
+
 def psi_report(
     ref: DataFrame,
     cur: DataFrame,

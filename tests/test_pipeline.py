@@ -1528,6 +1528,81 @@ class TestLateR6Laws:
         assert bag(hll_sketch(dup, "v")) == bag(hll_sketch(base, "v"))
 
 
+class TestQuantileSketch:
+    def test_merge_law_exact(self, spark):
+        """merge(sketch(A), sketch(B)) == sketch(A ++ B) EXACTLY when ids
+        are globally distinct — the property KLL can't give (its random
+        compaction depends on arrival grouping) and the reason the
+        family uses deterministic bottom-k registers."""
+        from hgraphstorage_spark.functions.stats import (
+            quantile_sketch,
+            quantile_sketch_merge,
+        )
+
+        a = spark.range(0, 700).select(
+            F.col("id"), (F.col("id") % 97).cast("double").alias("v")
+        )
+        b = spark.range(700, 1500).select(
+            F.col("id"), (F.col("id") % 41).cast("double").alias("v")
+        )
+        sk = lambda df: quantile_sketch(df, "v", "id", k=64)  # noqa: E731
+        merged = bag(quantile_sketch_merge(sk(a), sk(b), k=64))
+        union = bag(sk(a.unionByName(b)))
+        assert merged == union and len(union) == 64
+
+    def test_small_group_is_exact_and_bound_holds(self, spark):
+        """A group smaller than k keeps EVERY row (estimates exact);
+        a large group's p50 lands within the O(1/sqrt(k)) rank band."""
+        from hgraphstorage_spark.functions.stats import (
+            quantile_sketch,
+            quantile_sketch_estimate,
+        )
+
+        df = spark.range(20000).select(
+            F.col("id"),
+            F.when(F.col("id") < 30, F.lit("small")).otherwise(F.lit("big")).alias("g"),
+            F.col("id").cast("double").alias("v"),
+        )
+        sk = quantile_sketch(df, "v", "id", group_cols=["g"], k=1024)
+        est = {
+            r["g"]: r
+            for r in quantile_sketch_estimate(sk, (0.5,), group_cols=["g"]).collect()
+        }
+        assert est["small"]["n_register"] == 30  # < k: the whole group
+        assert float(est["small"]["p50"]) == 14.5  # exact interpolation
+        # big group: uniform ids 30..19999, true p50 ~ 10014.5; 3-sigma
+        # rank band at k=1024 is ~4.7% of the range
+        assert abs(float(est["big"]["p50"]) - 10014.5) < 0.05 * 19970
+
+    def test_windowgrouplimit_plan(self, spark):
+        """The rank filter must plan as WindowGroupLimit (per-task
+        bottom-k prune BEFORE the group shuffle) — the property that
+        bounds the exchange at k rows per task per group at 100 TB."""
+        from hgraphstorage_spark.functions.stats import quantile_sketch
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = (
+            quantile_sketch(ev, "value", "event_id", group_cols=["event_type"], k=64)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan
+
+    def test_duplicate_values_keep_multiplicity(self, spark):
+        """Sampling is by ROW identity, not value: a constant column
+        estimates that constant at every percentile."""
+        from hgraphstorage_spark.functions.stats import (
+            quantile_sketch,
+            quantile_sketch_estimate,
+        )
+
+        df = spark.range(500).select(F.col("id"), F.lit(7.5).alias("v"))
+        est = quantile_sketch_estimate(
+            quantile_sketch(df, "v", "id", k=32), (0.1, 0.9)
+        ).collect()[0]
+        assert float(est["p10"]) == 7.5 and float(est["p90"]) == 7.5
+        assert est["n_register"] == 32
+
+
 class TestCountMinSketch:
     def test_one_sided_and_exact_without_collisions(self, spark):
         """est >= exact for EVERY item (CMS never undercounts), and with a

@@ -620,3 +620,30 @@ def test_hll_register_law_max_of_parts(spark, items):
     b = spark.createDataFrame([(x,) for x in items[half:]] or [("__e",)], "v string")
     u = a.unionByName(b)
     assert bag(hll_merge(hll_sketch(a, "v"), hll_sketch(b, "v"))) == bag(hll_sketch(u, "v"))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    split=st.integers(0, 59),
+    k=st.integers(1, 16),
+)
+def test_quantile_sketch_merge_law_any_split(spark, vals, split, k):
+    """Bottom-k register law: for ANY split of the rows (ids globally
+    distinct) and ANY k, merge(sketch(A), sketch(B)) == sketch(A++B)
+    exactly — the deterministic-mergeability property the family trades
+    KLL's space bound for."""
+    from tests.conftest import bag
+
+    from hgraphstorage_spark.functions.stats import quantile_sketch, quantile_sketch_merge
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    cut = min(split, len(rows))
+    # an empty side gets one (-1, 0.0) pad row; the union frame carries
+    # the identical row multiset so the law is compared apples-to-apples
+    left = rows[:cut] or [(-1, 0.0)]
+    right = rows[cut:] or [(-1, 0.0)]
+    mk = lambda rs: spark.createDataFrame(rs, "id long, v double")  # noqa: E731
+    a, b, u = mk(left), mk(right), mk(left + right)
+    sk = lambda df: quantile_sketch(df, "v", "id", k=k)  # noqa: E731
+    assert bag(quantile_sketch_merge(sk(a), sk(b), k=k)) == bag(sk(u))
