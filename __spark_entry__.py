@@ -3913,7 +3913,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # FIM infilling transform so the driver hashes the
         # training-transform family's newest member
         "fim": q_fim,
-        "sentence_dedup": q_sentence_dedup,
+        # r7 eleventh rotation: sentence_dedup (hashed green r6; the
+        # sentence-terminator machinery stays in-window inside the
+        # readability oracle, and the hash-keyed unit-dedup counting
+        # shape arrives stronger below) rotates past the window; its
+        # slot carries paragraph-mode corpus boilerplate removal —
+        # the remove-ALL-occurrences rule at the blank-run granularity,
+        # in-window the round it was built
+        "boilerplate_paragraph": q_boilerplate_paragraph,
         "readability": q_readability,
         # -- SURVEY §2 reference-surface core + r4/r5 rotation (13-31) --
         # r5 window refresh (VERDICT r4 task 1): scan_nodes_by_label /
@@ -3937,14 +3944,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window dsir_stream oracle) rotates past the window; its
         # slot carries the equi-depth quantile histogram built on the
         # distributed two-pass rank
-        "quantile_histogram": q_quantile_histogram,
+        # r7 eleventh rotation: quantile_histogram (hashed green r6; the
+        # distributed two-pass rank stays in-window inside the
+        # curriculum oracle) gives its slot to the mergeable bottom-k
+        # quantile register family, whose driver row certifies the
+        # merge law itself; vocab_drift (hashed green r6; the drift
+        # family keeps psi_drift in-window) gives its slot to the BPE
+        # fertility report, whose oracle unrolls the full merge fold
+        "quantile_sketch": q_quantile_sketch,
         # r6 third rotation: incremental_near_dup / weighted_sample
         # (hashed green r4+r5+r6-replica; the dedup family keeps six
         # in-window rows and sampling keeps the DSIR pair + the
         # incoming shard_plan/unimax) rotate past the window; their
         # slots carry the corpus-drift monitor and the training-export
         # shard planner
-        "vocab_drift": q_vocab_drift,
+        "tokenizer_fertility": q_tokenizer_fertility,
         # r6 rotation: sq_topk (hashed green r4+r5; the similarity
         # family keeps similarity_topk/pq_topk/ivfpq_topk in-window),
         # lsh_recall_report (hashed r5; replaced by its vector twin
@@ -4026,7 +4040,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incoming hits in-window) rotate past the window; their slots
         # carry the late-wave sketch/collocation/centrality/corpus-fit
         # operators so the driver hashes them the round they were built
-        "hll_distinct": q_hll_distinct,
+        # r7 eleventh rotation: hll_distinct (hashed green r6; the HLL
+        # register law runs IN-WINDOW as the stream_hll batch twin every
+        # driver round) gives its slot to the jusText-tier main-content
+        # extractor — the crawl tier's round-7 flagship, in-window the
+        # round it was built
+        "main_content": q_main_content,
         "phrases": q_phrases,
         "hits": q_hits,
         "zipf": q_zipf,
@@ -4069,7 +4088,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media_pairs in-window, and the md5-plane signature core runs
         # inside the in-window stream_embed_dedup oracle) rotates past
         # the window; its slot carries the inbound anchor-text index
-        "anchor_text": q_anchor_text,
+        # r7 eleventh rotation: anchor_text (hashed green r6; the
+        # inbound-index top-k shape stays in-window via topic_terms'
+        # identical partitioned rank, and the link derivation arrives
+        # RAW below) gives its slot to anchor-capture extract_links —
+        # the per-link frame under the driver hash
+        "extract_links": q_extract_links,
         "stream_url_dedup": q_stream_url_dedup,
         "stream_embed_dedup": q_stream_embed_dedup,
         "domain_quality": q_domain_quality,
@@ -4090,7 +4114,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search_eval oracle, so the machinery stays driver-checked)
         # rotates past the window; its slot carries TF-IDF topic
         # clustering, in-window the round it was built
-        "topic_clusters": q_topic_clusters,
+        # r7 eleventh rotation: topic_clusters (hashed green r6; its
+        # ENTIRE CTE chain replays inside the in-window topic_split and
+        # stream_topics oracles) gives its slot to the topic-model
+        # train/apply split, certifying split == fused(iterations=3)
+        # under the driver hash
+        "topic_split": q_topic_split,
         # r6 sixth rotation (cont.): decontaminate (hashed green r1-r5)
         # rotates past the window; its slot carries the MinHash
         # near-duplicate decontamination twin, which exercises the same
@@ -4136,15 +4165,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
-        # r7 additions (rotation candidates for r8): the jusText-tier
-        # main-content extractor closing VERDICT r6's "largest
-        # user-visible gap in the crawl tier"
-        "main_content": q_main_content,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "boilerplate_paragraph": q_boilerplate_paragraph,
-        "topic_split": q_topic_split,
-        "extract_links": q_extract_links,
-        "quantile_sketch": q_quantile_sketch,
+        # r7 eleventh rotation, rotated-out rows (hashed green r6; see
+        # the in-window slot comments for where each one's machinery
+        # stays driver-checked)
+        "sentence_dedup": q_sentence_dedup,
+        "quantile_histogram": q_quantile_histogram,
+        "vocab_drift": q_vocab_drift,
+        "hll_distinct": q_hll_distinct,
+        "anchor_text": q_anchor_text,
+        "topic_clusters": q_topic_clusters,
         # r6 ninth rotation, rotated-out rows (multi-round hashed green;
         # machinery stays driver-checked per the in-window slot comments)
         "pq_topk": q_pq_topk,

@@ -93,6 +93,17 @@ def test_window_covers_required_operators():
         "stream_hll", "audio_match", "video_plan", "corpus_diff",
         "curriculum", "rollup_merge", "fim", "rowgroup_stats",
         "skipping_report",
+        # r7 eleventh rotation: the six operators BUILT this round,
+        # in-window the round they were built (the r6 bar). OUT:
+        # sentence_dedup / quantile_histogram / vocab_drift /
+        # hll_distinct / anchor_text / topic_clusters — all hashed
+        # green r6, each one's machinery staying driver-checked inside
+        # an in-window oracle (readability's terminator replay,
+        # curriculum's two-pass rank, psi_drift, stream_hll's batch
+        # twin, topic_terms' partitioned rank, topic_split's full CTE
+        # chain)
+        "main_content", "tokenizer_fertility", "boilerplate_paragraph",
+        "topic_split", "extract_links", "quantile_sketch",
         # round-1 red rows, fixed + canonicalized (window_top_order /
         # rollup_revenue / retention_cohorts rotated out r6 — r1-stable,
         # hashed green five rounds, family-covered by the remaining rows;
@@ -114,7 +125,7 @@ def test_window_covers_required_operators():
         # stream_embed_dedup embeds the md5-plane signature core,
         # search_eval embeds the full bm25 scoring replay); their slots
         # carry the four flagship late-r6 operators)
-        "topic_clusters", "robots_filter", "stream_topics", "anchor_text",
+        "robots_filter", "stream_topics",
         # (hash_split out in the r6 fifth rotation after five green
         # rounds — the md5 split CASE stays driver-adjacent inside the
         # cluster_split oracle and the splitting family keeps
@@ -130,7 +141,7 @@ def test_window_covers_required_operators():
         # the engine pytest suites; their slots carry the late-wave
         # hll_distinct / phrases / hits / zipf so the driver hashes
         # them the round they were built)
-        "hll_distinct", "phrases", "hits", "zipf",
+        "phrases", "hits", "zipf",
         # r6 fifth rotation: the classifier-calibration reliability
         # report, in-window the round it was built
         "calibration",
@@ -155,8 +166,8 @@ def test_window_covers_required_operators():
         # core, domain_quality's quality rules) and their slots carry
         # the sentence/readability/MMR/quantile/topic-terms/domain-stats
         # wave — in-window the round they were built
-        "sentence_dedup", "readability", "mmr_rerank",
-        "quantile_histogram", "topic_terms", "domain_stats",
+        "readability", "mmr_rerank",
+        "topic_terms", "domain_stats",
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
@@ -170,7 +181,7 @@ def test_window_covers_required_operators():
         "nb_quality", "novelty",
         # r6 third rotation: the drift / export / streaming wave —
         # also in-window the round it was built
-        "vocab_drift", "shard_plan", "stream_url_dedup",
+        "shard_plan", "stream_url_dedup",
         "stream_embed_dedup", "domain_quality", "unimax_mix",
         # r6 fourth rotation: the lossless prefix-filter exact join,
         # Z-order layout key, Count-Min sketch, PSI drift monitor, and
