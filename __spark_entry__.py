@@ -3219,6 +3219,11 @@ _MC_STOPS = (
     "the", "a", "join", "hash", "row", "batch",
     "scan", "customer", "column", "filter",
 )
+# ctx fixture: the body appears twice with a short heading between —
+# the heading sits between two good blocks, so the context pass must
+# promote it while the leading title (edge/nav-adjacent) and the
+# trailing footer stay out
+_MC_MID = "</p><h2>Data Notes</h2><p>"
 
 
 def q_main_content(spark, sf_dir):
@@ -3239,6 +3244,36 @@ def q_main_content(spark, sf_dir):
         ).alias("html"),
     )
     out = extract_main_content(docs, stopwords=_MC_STOPS)
+    return out.select(
+        "doc_id",
+        "content",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_content_blocks").cast("long").alias("n_content_blocks"),
+    )
+
+
+def q_main_content_ctx(spark, sf_dir):
+    """Context-sensitive main-content extraction (the jusText second
+    pass, pipeline/extraction.py:_context_keep_flags): the wrapped page
+    carries the body TWICE with a short heading between — the heading's
+    nearest decisive neighbors are both good, so it must be PROMOTED,
+    while the title (nav-adjacent) and footer (edge) stay out. Spark
+    runs two zero-shuffle array scans; the oracle replays them as
+    IGNORE NULLS window walks over the exploded blocks — same values,
+    different shape."""
+    from hgraphstorage_spark.pipeline.extraction import extract_main_content
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_MC_PRE),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_MC_MID),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_MC_POST),
+        ).alias("html"),
+    )
+    out = extract_main_content(docs, stopwords=_MC_STOPS, context=True)
     return out.select(
         "doc_id",
         "content",
@@ -4168,6 +4203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 eleventh rotation, rotated-out rows (hashed green r6; see
         # the in-window slot comments for where each one's machinery
         # stays driver-checked)
+        "main_content_ctx": q_main_content_ctx,
         "sentence_dedup": q_sentence_dedup,
         "quantile_histogram": q_quantile_histogram,
         "vocab_drift": q_vocab_drift,
@@ -5882,16 +5918,19 @@ def _robots_oracle_sql(agent: str = "trainbot") -> str:
     """
 
 
-def _main_content_oracle_sql() -> str:
-    """DuckDB replay of ``q_main_content``: the same page-skeleton
-    concat, then the extraction chain block by block — DROP subtrees,
-    BLOCK_RE segmentation, inline-tag strip + entity chain + whitespace
-    collapse, anchor-text link chars, stopword tokenization with edge
-    punctuation stripped — and the same three-threshold CASE. Every
-    regex literal is imported from pipeline/extraction.py so the two
-    engines compile IDENTICAL patterns (all RE2-safe by construction);
-    DuckDB needs explicit 'g' flags where Spark's regexp_replace is
-    implicitly global."""
+def _main_content_oracle_sql(context: bool = False) -> str:
+    """DuckDB replay of ``q_main_content`` / ``q_main_content_ctx``: the
+    same page-skeleton concat, then the extraction chain block by block —
+    DROP subtrees, BLOCK_RE segmentation, inline-tag strip + entity chain
+    + whitespace collapse, anchor-text link chars, stopword tokenization
+    with edge punctuation stripped — and the same three-threshold CASE.
+    Every regex literal is imported from pipeline/extraction.py so the
+    two engines compile IDENTICAL patterns (all RE2-safe by
+    construction); DuckDB needs explicit 'g' flags where Spark's
+    regexp_replace is implicitly global. ``context=True`` replays the
+    jusText second pass: Spark's two nearest-decisive array scans become
+    the equivalent IGNORE NULLS window walk over the exploded blocks
+    (same values, different shape — the oracle's whole point)."""
     from hgraphstorage_spark.pipeline.extraction import (
         ANCHOR_RE,
         BLOCK_RE,
@@ -5914,9 +5953,57 @@ def _main_content_oracle_sql() -> str:
     stops = ", ".join(f"'{s}'" for s in _MC_STOPS)
     pre = _MC_PRE.replace("'", "''")
     post = _MC_POST.replace("'", "''")
+    mid = _MC_MID.replace("'", "''")
+    body = (
+        f"'{pre}' || coalesce(text, '') || '{mid}' || coalesce(text, '') || '{post}'"
+        if context
+        else f"'{pre}' || coalesce(text, '') || '{post}'"
+    )
+    half = STOPWORD_MIN / 2.0
+    if context:
+        final = f""",
+        cls AS (
+          SELECT *, CASE WHEN n_chars = 0 THEN 'empty'
+                         WHEN label = 'content' THEN 'good'
+                         WHEN label = 'high_link_density' THEN 'bad'
+                         WHEN label = 'short' THEN 'maybe'
+                         WHEN sd < {half} THEN 'bad'
+                         ELSE 'maybe' END AS cl
+          FROM lab
+        ),
+        scn AS (
+          SELECT *,
+            last_value(CASE WHEN cl IN ('good', 'bad') THEN cl END IGNORE NULLS)
+              OVER (PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevd,
+            first_value(CASE WHEN cl IN ('good', 'bad') THEN cl END IGNORE NULLS)
+              OVER (PARTITION BY doc_id ORDER BY ord
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nextd
+          FROM cls
+        ),
+        fin AS (
+          SELECT *, cl = 'good'
+                    OR (cl = 'maybe' AND coalesce(prevd = 'good', FALSE)
+                                     AND coalesce(nextd = 'good', FALSE)) AS keepb
+          FROM scn
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keepb THEN txt END,
+                                   chr(10) ORDER BY ord), '') AS content,
+               count(*) FILTER (WHERE n_chars > 0) AS n_blocks,
+               count(*) FILTER (WHERE keepb) AS n_content_blocks
+        FROM fin GROUP BY doc_id"""
+    else:
+        final = """
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN label = 'content' THEN txt END,
+                                   chr(10) ORDER BY ord), '') AS content,
+               count(*) FILTER (WHERE n_chars > 0) AS n_blocks,
+               count(*) FILTER (WHERE label = 'content') AS n_content_blocks
+        FROM lab GROUP BY doc_id"""
     return f"""
         WITH docs AS (
-          SELECT doc_id, '{pre}' || coalesce(text, '') || '{post}' AS html
+          SELECT doc_id, {body} AS html
           FROM documents
         ),
         bl AS (
@@ -5940,26 +6027,24 @@ def _main_content_oracle_sql() -> str:
                  list_filter(string_split(lower(txt), ' '), x -> x != '') AS toks
           FROM feat
         ),
-        lab AS (
+        feat3 AS (
           SELECT doc_id, ord, txt, n_chars,
+                 link_chars::DOUBLE / greatest(n_chars, 1)::DOUBLE AS ld,
+                 len(list_filter(toks, x -> list_contains([{stops}],
+                       regexp_replace(x, '{TOKEN_NORM_RE}', '', 'g'))))::DOUBLE
+                   / greatest(len(toks), 1)::DOUBLE AS sd
+          FROM feat2
+        ),
+        lab AS (
+          SELECT doc_id, ord, txt, n_chars, sd,
                  CASE
-                   WHEN link_chars::DOUBLE / greatest(n_chars, 1)::DOUBLE
-                        > {LINK_DENSITY_MAX} THEN 'high_link_density'
+                   WHEN ld > {LINK_DENSITY_MAX} THEN 'high_link_density'
                    WHEN n_chars < {MIN_CHARS} THEN 'short'
-                   WHEN len(list_filter(toks, x -> list_contains([{stops}],
-                          regexp_replace(x, '{TOKEN_NORM_RE}', '', 'g'))))::DOUBLE
-                        / greatest(len(toks), 1)::DOUBLE < {STOPWORD_MIN}
-                        THEN 'low_stopword'
+                   WHEN sd < {STOPWORD_MIN} THEN 'low_stopword'
                    ELSE 'content'
                  END AS label
-          FROM feat2
-        )
-        SELECT doc_id,
-               coalesce(string_agg(CASE WHEN label = 'content' THEN txt END,
-                                   chr(10) ORDER BY ord), '') AS content,
-               count(*) FILTER (WHERE n_chars > 0) AS n_blocks,
-               count(*) FILTER (WHERE label = 'content') AS n_content_blocks
-        FROM lab GROUP BY doc_id
+          FROM feat3
+        ){final}
     """
 
 
@@ -6379,6 +6464,7 @@ def oracle_sql() -> dict[str, str]:
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
     sql["main_content"] = _main_content_oracle_sql()
+    sql["main_content_ctx"] = _main_content_oracle_sql(context=True)
     sql["tokenizer_fertility"] = _fertility_oracle_sql()
     sql["mmr_rerank"] = _mmr_oracle_sql(qid=0, pool=15, k=5, lam=0.7)
     # sentence_split replay: same punctuate -> mark -> split -> collapse

@@ -213,6 +213,17 @@ R6_OPS = [
     "skipping_report",
 ]
 
+# round-7 operators, same contract (timed, outside the headline)
+R7_OPS = [
+    "main_content",
+    "tokenizer_fertility",
+    "boilerplate_paragraph",
+    "topic_split",
+    "extract_links",
+    "quantile_sketch",
+    "ngram_jaccard",  # now the prefix-filter plan (the scale path)
+]
+
 
 # exact-pair diagnostics: collision-quadratic BY DESIGN (the documented
 # exact baselines the LSH/prefix-filter scale paths are validated
@@ -294,7 +305,7 @@ def main() -> None:
     # warms exactly the classes the timed sf0.1 pass runs; Catalyst
     # planning of the sf0.1 plans is NOT cached and stays in the timings.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + MD5_TWINS + R4_OPS + R5_OPS + R6_OPS + DIAGNOSTICS:
+    for name in HEADLINE + MD5_TWINS + R4_OPS + R5_OPS + R6_OPS + R7_OPS + DIAGNOSTICS:
         try:
             _execute(queries[name](spark, warm_dir))
         except Exception:
@@ -326,6 +337,7 @@ def main() -> None:
     r4_timings = {name: _time(name) for name in R4_OPS}
     r5_timings = {name: _time(name) for name in R5_OPS}
     r6_timings = {name: _time(name) for name in R6_OPS}
+    r7_timings = {name: _time(name) for name in R7_OPS}
     diag_timings = {name: _time(name, runs=1) for name in DIAGNOSTICS}
     sent_end = _sentinel_sec(spark)
 
@@ -343,6 +355,7 @@ def main() -> None:
                 "r4_ops": r4_timings,
                 "r5_ops": r5_timings,
                 "r6_ops": r6_timings,
+                "r7_ops": r7_timings,
                 "diagnostics": diag_timings,
                 "timing": "min_of_3_headline_min_of_2_ops",
                 "sentinel": {

@@ -197,6 +197,101 @@ def block_structs(
     return F.transform(blocks, mk)
 
 
+LABEL_EMPTY = "empty"
+_CTX_GOOD = "good"
+_CTX_BAD = "bad"
+_CTX_MAYBE = "maybe"
+
+
+def _ctx_classes(bs: Column, stopword_min: float) -> Column:
+    """Context-pass coarse classes per block: ``good`` (tier-1 content),
+    ``bad`` (link-dense chrome always, and LONG blocks with stopword
+    density below HALF the content threshold — jusText's 'bad' band,
+    which no context can rescue), ``maybe`` (short blocks regardless of
+    stopwords — a two-word heading carries too little evidence to damn,
+    the jusText 'short' rule — plus long blocks in the near-good band
+    [min/2, min)), ``empty`` (split residue)."""
+    half = float(stopword_min) / 2.0
+    return F.transform(
+        bs,
+        lambda s: F.when(s["n_chars"] == F.lit(0), F.lit(LABEL_EMPTY))
+        .when(s["label"] == F.lit(LABEL_CONTENT), F.lit(_CTX_GOOD))
+        .when(s["label"] == F.lit(LABEL_HIGH_LINK), F.lit(_CTX_BAD))
+        .when(s["label"] == F.lit(LABEL_SHORT), F.lit(_CTX_MAYBE))
+        .when(s["stopword_density"] < F.lit(half), F.lit(_CTX_BAD))
+        .otherwise(F.lit(_CTX_MAYBE)),
+    )
+
+
+def _scan_decisive(labs: Column) -> Column:
+    """For each index, the nearest DECISIVE class ('good'/'bad') at a
+    strictly earlier index, skipping 'maybe'/'empty' — NULL before the
+    first decisive block (jusText treats the page edge as bad). One
+    forward fold; run over ``reverse(labs)`` and reverse the result for
+    the nearest-after array. Pure HOF — stays zero-shuffle."""
+    zero = F.struct(
+        F.array().cast("array<string>").alias("arr"),
+        F.lit(None).cast("string").alias("last"),
+    )
+
+    def step(acc, lab):
+        return F.struct(
+            F.concat(acc["arr"], F.array(acc["last"])).alias("arr"),
+            F.when(
+                (lab == F.lit(_CTX_GOOD)) | (lab == F.lit(_CTX_BAD)), lab
+            )
+            .otherwise(acc["last"])
+            .alias("last"),
+        )
+
+    return F.aggregate(labs, zero, step, lambda acc: acc["arr"])
+
+
+def _context_keep_flags(bs: Column, stopword_min: float) -> Column:
+    """Per-block keep decision for the context-sensitive tier (jusText's
+    second pass, simplified to one neighbor rule): tier-1 content is
+    always kept; a ``maybe`` block (short heading, near-good stopword
+    band) is PROMOTED iff its nearest decisive neighbor on BOTH sides is
+    good — rescuing the section heading between two paragraphs that the
+    context-free tier drops, while the page edge (NULL neighbor) and any
+    adjacent chrome keep it out. ``bad`` is never rescued (the jusText
+    rule: no amount of context makes a link farm content)."""
+    labs = _ctx_classes(bs, stopword_min)
+    prev_d = _scan_decisive(labs)
+    next_d = F.reverse(_scan_decisive(F.reverse(labs)))
+    # sequence(1, 0) would DESCEND (repo-documented trap) — empty page
+    # keeps an explicitly empty flag array
+    idx = F.when(F.size(bs) > 0, F.sequence(F.lit(1), F.size(bs))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: (F.element_at(labs, i) == F.lit(_CTX_GOOD))
+        | (
+            (F.element_at(labs, i) == F.lit(_CTX_MAYBE))
+            # NULL edge neighbors compare NULL == 'good' -> NULL; the
+            # coalesce pins the jusText edge-is-bad rule to FALSE
+            & F.coalesce(F.element_at(prev_d, i) == F.lit(_CTX_GOOD), F.lit(False))
+            & F.coalesce(F.element_at(next_d, i) == F.lit(_CTX_GOOD), F.lit(False))
+        ),
+    )
+
+
+def _kept_texts(bs: Column, stopword_min: float, context: bool) -> Column:
+    """Array of kept block texts: tier-1 content only (``context=False``)
+    or tier-1 content plus context-promoted blocks (``context=True``)."""
+    if not context:
+        return F.transform(
+            F.filter(bs, lambda s: s["label"] == F.lit(LABEL_CONTENT)),
+            lambda s: s["text"],
+        )
+    flags = _context_keep_flags(bs, stopword_min)
+    return F.filter(
+        F.zip_with(bs, flags, lambda s, f: F.when(f, s["text"])),
+        lambda x: x.isNotNull(),
+    )
+
+
 def main_content_expr(
     html: Column,
     stopwords: Sequence[str] = ENGLISH_STOPWORDS,
@@ -204,14 +299,18 @@ def main_content_expr(
     min_chars: int = MIN_CHARS,
     stopword_min: float = STOPWORD_MIN,
     separator: str = "\n",
+    context: bool = False,
 ) -> Column:
     """The extracted main content as a single Column expression —
     content blocks joined by ``separator``. Drops straight into any
     projection (``warc_to_documents(extract="main")`` uses it on the
-    decoded response bodies)."""
+    decoded response bodies). ``context=True`` adds the jusText
+    second pass (:func:`_context_keep_flags`): short headings and
+    near-good blocks between two good neighbors are promoted — still a
+    pure zero-shuffle HOF expression (two array folds for the
+    nearest-decisive scans)."""
     bs = block_structs(html, stopwords, link_density_max, min_chars, stopword_min)
-    kept = F.filter(bs, lambda s: s["label"] == F.lit(LABEL_CONTENT))
-    return F.array_join(F.transform(kept, lambda s: s["text"]), separator)
+    return F.array_join(_kept_texts(bs, stopword_min, context), separator)
 
 
 def extract_main_content(
@@ -222,9 +321,14 @@ def extract_main_content(
     min_chars: int = MIN_CHARS,
     stopword_min: float = STOPWORD_MIN,
     content_col: str = "content",
+    context: bool = False,
 ) -> DataFrame:
     """All input rows plus (content, n_blocks, n_content_blocks) — the
-    per-document main-content projection.
+    per-document main-content projection. ``context=True`` runs the
+    jusText second pass (heading/near-good promotion between good
+    neighbors; see :func:`_context_keep_flags`) — content is then a
+    superset of the context-free tier's (promotion only ever ADDS
+    blocks; tested as a law).
 
     Scale shape: ONE narrow per-row projection — the HTML column never
     shuffles, nothing explodes, no UDF; at 100 TB this runs at parquet
@@ -233,10 +337,10 @@ def extract_main_content(
     common-subexpression elimination evaluates the transform once per
     row (all expressions here are deterministic)."""
     bs = block_structs(df[html_col], stopwords, link_density_max, min_chars, stopword_min)
-    kept = F.filter(bs, lambda s: s["label"] == F.lit(LABEL_CONTENT))
+    kept = _kept_texts(bs, stopword_min, context)
     return df.select(
         "*",
-        F.array_join(F.transform(kept, lambda s: s["text"]), "\n").alias(content_col),
+        F.array_join(kept, "\n").alias(content_col),
         F.size(F.filter(bs, lambda s: s["n_chars"] > F.lit(0))).alias("n_blocks"),
         F.size(kept).alias("n_content_blocks"),
     )

@@ -85,6 +85,59 @@ class TestBlockClassification:
         assert rows[1]["content"] == "" and rows[1]["n_content_blocks"] == 0
         assert rows[2]["content"] is None
 
+    def test_context_pass_promotes_between_good_only(self, spark):
+        """jusText second pass: a short heading between two good
+        paragraphs is promoted; a heading whose nearest decisive
+        neighbor is chrome (nav before / footer-edge after) stays out;
+        chrome itself is never promoted."""
+        page = (
+            '<body><nav><a href="/">Home</a> <a href="/a">About Us</a> '
+            '<a href="/c">Contact</a></nav>'
+            "<h2>Section Heading</h2>"
+            "<p>This is the first paragraph of the article and it is made of "
+            "the sort of ordinary words that any real piece of writing would "
+            "contain in abundance.</p>"
+            "<h2>Another Heading</h2>"
+            "<p>The second paragraph is also long and full of the most common "
+            "words of the language so that the classifier will keep it without "
+            "any doubt.</p>"
+            "<h2>Trailing Heading</h2>"
+            "<footer>Copyright 2024 Example Corp - All rights reserved.</footer>"
+            "</body>"
+        )
+        df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+        base = extract_main_content(df).collect()[0]
+        ctx = extract_main_content(df, context=True).collect()[0]
+        assert "Another Heading" in ctx["content"]
+        assert "Another Heading" not in base["content"]
+        assert "Section Heading" not in ctx["content"]  # nav is the decisive prev
+        assert "Trailing Heading" not in ctx["content"]  # footer/edge after
+        assert "Home" not in ctx["content"] and "Copyright" not in ctx["content"]
+
+    def test_context_is_superset_of_context_free(self, spark):
+        """Promotion only ever ADDS blocks: context-free kept lines are a
+        subset of the context pass's, on every fixture page."""
+        for html in (PAGE, "", "<p>short</p>", "<body><p>The words here are of "
+                     "the most ordinary kind and there are enough of them for "
+                     "the block to be kept by the classifier.</p></body>"):
+            df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+            base = extract_main_content(df).collect()[0]["content"]
+            ctx = extract_main_content(df, context=True).collect()[0]["content"]
+            base_lines = set(base.split("\n")) - {""}
+            ctx_lines = set(ctx.split("\n")) - {""}
+            assert base_lines <= ctx_lines
+
+    def test_context_zero_shuffle_plan(self, spark):
+        """The context pass adds two array folds, not a shuffle: still no
+        Exchange / Generate / Python UDF."""
+        df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
+        plan = (
+            extract_main_content(df, context=True)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_zero_shuffle_plan(self, spark):
         """The whole extraction is one narrow projection: no Exchange, no
         Generate (explode), no Python UDF in the plan."""
