@@ -3792,6 +3792,71 @@ def q_quantile_sketch(spark, sf_dir):
     return _canon(out, "p25", "p50", "p90")
 
 
+def q_page_meta(spark, sf_dir):
+    """Page-metadata extraction (sources/warc.py:extract_page_meta) over
+    synthetic head sections varied by doc_id arithmetic: mixed-case
+    title tags with entities, meta description in BOTH attribute
+    orders, canonical links root-relative (resolved against the raw
+    synthetic URL's unstripped origin) and absolute, robots meta
+    noindex/NOFOLLOW, and absent-field NULLs. Oracle derives every
+    expected value from the generator arithmetic — independent
+    derivation, not regex replay."""
+    from hgraphstorage_spark.sources.warc import extract_page_meta
+
+    docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    title = F.concat(F.lit("<tItLe>Doc "), s(i), F.lit(" &amp; Co</tItLe>"))
+    desc = (
+        F.when(
+            i % 3 != 0,
+            F.when(
+                i % 2 == 0,
+                F.concat(
+                    F.lit('<meta name="description" content="summary '),
+                    s(i % 7),
+                    F.lit('">'),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit('<meta content="summary '),
+                    s(i % 7),
+                    F.lit('" name="description">'),
+                )
+            ),
+        ).otherwise(F.lit(""))
+    )
+    canon = (
+        F.when(
+            i % 4 != 1,
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit('<link rel="canonical" href="/c/'), s(i % 5), F.lit('">')),
+            ).otherwise(
+                F.concat(
+                    F.lit('<link href="https://canon.example.com/'),
+                    s(i % 5),
+                    F.lit('" rel="canonical">'),
+                )
+            ),
+        ).otherwise(F.lit(""))
+    )
+    robots = (
+        F.when(
+            i % 5 == 0,
+            F.when(
+                i % 10 == 0, F.lit('<meta name="robots" content="noindex, follow">')
+            ).otherwise(F.lit('<meta name="robots" content="NOFOLLOW">')),
+        ).otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), title, desc, canon, robots,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    pages = docs.select("doc_id", "url", html.alias("html"))
+    return extract_page_meta(pages)
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI drift report on the n_chars distribution between the even and
     odd doc_id halves of the corpus (a deterministic A/A-style slice —
@@ -4204,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the in-window slot comments for where each one's machinery
         # stays driver-checked)
         "main_content_ctx": q_main_content_ctx,
+        "page_meta": q_page_meta,
         "sentence_dedup": q_sentence_dedup,
         "quantile_histogram": q_quantile_histogram,
         "vocab_drift": q_vocab_drift,
@@ -6465,6 +6531,24 @@ def oracle_sql() -> dict[str, str]:
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
     sql["main_content"] = _main_content_oracle_sql()
     sql["main_content_ctx"] = _main_content_oracle_sql(context=True)
+    # page_meta: independent arithmetic derivation of every field
+    sql["page_meta"] = f"""
+        WITH {_RAW_SYNTH_URL_SQL}
+        SELECT ru.doc_id, ru.url,
+               'Doc ' || ru.doc_id || ' & Co' AS title,
+               CASE WHEN ru.doc_id % 3 != 0
+                    THEN 'summary ' || (ru.doc_id % 7) END AS meta_description,
+               CASE WHEN ru.doc_id % 4 != 1 THEN
+                 CASE WHEN ru.doc_id % 2 = 0 THEN
+                   (CASE WHEN ru.doc_id % 3 = 1 THEN 'http' ELSE 'https' END) || '://'
+                   || (CASE WHEN ru.doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                   || 'site' || ((ru.doc_id // 2) % 7) || '.com/c/' || (ru.doc_id % 5)
+                 ELSE 'https://canon.example.com/' || (ru.doc_id % 5) END
+               END AS canonical_url,
+               (ru.doc_id % 5 = 0 AND ru.doc_id % 10 = 0) AS robots_noindex,
+               (ru.doc_id % 5 = 0 AND ru.doc_id % 10 != 0) AS robots_nofollow
+        FROM ru
+    """
     sql["tokenizer_fertility"] = _fertility_oracle_sql()
     sql["mmr_rerank"] = _mmr_oracle_sql(qid=0, pool=15, k=5, lam=0.7)
     # sentence_split replay: same punctuate -> mark -> split -> collapse

@@ -311,6 +311,108 @@ _HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'>]+)["']"""
 _HREF_ANCHOR_RE = r"""(?is)<a\s[^>]*href\s*=\s*["']([^"'>]+)["'][^>]*>(.*?)</a>"""
 
 
+def _resolve_href(src: "F.Column", href: "F.Column") -> "F.Column":
+    """RFC 3986-lite href resolution against the page URL (the shared
+    rule of :func:`extract_links` and :func:`extract_page_meta`):
+    absolute passes through; protocol-relative takes the page scheme;
+    root-relative takes scheme+authority; everything else resolves
+    against the page path's directory (no dot-segment normalization —
+    the deterministic baseline tier)."""
+    scheme = F.lower(F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    origin = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    path = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
+    basedir = F.regexp_replace(path, r"[^/]*$", "")
+    base = F.concat(
+        scheme,
+        F.lit("://"),
+        origin,
+        F.when(basedir == "", F.lit("/")).otherwise(basedir),
+    )
+    return (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(scheme, F.lit("://"), origin, href))
+        .otherwise(F.concat(base, href))
+    )
+
+
+# page-metadata patterns — RE2-safe (no backrefs/lookaround; attribute
+# order handled by two-order alternates, quote style by a [^"'>] class)
+_TITLE_RE = r"(?is)<title(?:>|[ \t\r\n][^>]*>)(.*?)</title[ \t\r\n]*>"
+_META_DESC_NAME_FIRST = (
+    r"""(?is)<meta[ \t\r\n][^>]*name[ \t\r\n]*=[ \t\r\n]*["']description["']"""
+    r"""[^>]*content[ \t\r\n]*=[ \t\r\n]*["']([^"']*)"""
+)
+_META_DESC_CONTENT_FIRST = (
+    r"""(?is)<meta[ \t\r\n][^>]*content[ \t\r\n]*=[ \t\r\n]*["']([^"']*)["']"""
+    r"""[^>]*name[ \t\r\n]*=[ \t\r\n]*["']description["']"""
+)
+_CANONICAL_REL_FIRST = (
+    r"""(?is)<link[ \t\r\n][^>]*rel[ \t\r\n]*=[ \t\r\n]*["']canonical["']"""
+    r"""[^>]*href[ \t\r\n]*=[ \t\r\n]*["']([^"'>]+)"""
+)
+_CANONICAL_HREF_FIRST = (
+    r"""(?is)<link[ \t\r\n][^>]*href[ \t\r\n]*=[ \t\r\n]*["']([^"'>]+)["']"""
+    r"""[^>]*rel[ \t\r\n]*=[ \t\r\n]*["']canonical["']"""
+)
+_META_ROBOTS_RE = (
+    r"""(?is)<meta[ \t\r\n][^>]*name[ \t\r\n]*=[ \t\r\n]*["']robots["']"""
+    r"""[^>]*content[ \t\r\n]*=[ \t\r\n]*["']([^"']*)"""
+)
+
+
+def extract_page_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Page-metadata extraction — the crawl-tier fields every production
+    pipeline consumes before content ever matters: ``title`` and
+    ``meta_description`` (retrieval display + weak relevance signals),
+    ``canonical_url`` (the site's own dedup hint — feeds ``url_dedup``
+    as the preferred grouping key when present), and the robots meta
+    gates ``robots_noindex`` / ``robots_nofollow`` (pages a polite
+    corpus must drop / not expand). First occurrence wins for each
+    field (the browser rule); title and description are entity-decoded
+    and whitespace-collapsed; a relative canonical href resolves
+    against the page URL by the same RFC 3986-lite rule as
+    :func:`extract_links`; absent fields are NULL, and absent robots
+    meta means both gates FALSE (the web default is indexable).
+
+    Shape at scale: one zero-shuffle projection over the page scan —
+    no explode, no UDF; all patterns RE2-safe so a DuckDB oracle
+    replays every field."""
+
+    def clean(c):
+        for k, v in _ENTITIES.items():
+            c = F.replace(c, F.lit(k), F.lit(v))
+        return F.nullif(F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " ")), F.lit(""))
+
+    html = F.col(html_col)
+    title = clean(F.regexp_extract(html, _TITLE_RE, 1))
+    desc = clean(
+        F.coalesce(
+            F.nullif(F.regexp_extract(html, _META_DESC_NAME_FIRST, 1), F.lit("")),
+            F.nullif(F.regexp_extract(html, _META_DESC_CONTENT_FIRST, 1), F.lit("")),
+        )
+    )
+    canon_href = F.coalesce(
+        F.nullif(F.regexp_extract(html, _CANONICAL_REL_FIRST, 1), F.lit("")),
+        F.nullif(F.regexp_extract(html, _CANONICAL_HREF_FIRST, 1), F.lit("")),
+    )
+    canonical = F.when(
+        canon_href.isNotNull(), _resolve_href(F.col(url_col), canon_href)
+    )
+    robots = F.lower(F.regexp_extract(html, _META_ROBOTS_RE, 1))
+    keep = [c for c in pages.columns if c != html_col]
+    return pages.select(
+        *keep,
+        title.alias("title"),
+        desc.alias("meta_description"),
+        canonical.alias("canonical_url"),
+        robots.contains("noindex").alias("robots_noindex"),
+        robots.contains("nofollow").alias("robots_nofollow"),
+    )
+
+
 def extract_links(
     pages: DataFrame,
     url_col: str = "url",
@@ -342,24 +444,9 @@ def extract_links(
     ``_HREF_ANCHOR_RE``). The HTML column never shuffles — links are
     extracted in the scan projection."""
     src = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(src, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
-    origin = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
-    path = F.regexp_extract(src, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^?#]*)", 1)
-    basedir = F.regexp_replace(path, r"[^/]*$", "")
-    base = F.concat(
-        scheme,
-        F.lit("://"),
-        origin,
-        F.when(basedir == "", F.lit("/")).otherwise(basedir),
-    )
-    href = F.col("href")
-    resolved = (
-        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(scheme, F.lit("://"), origin, href))
-        .otherwise(F.concat(base, href))
-    )
+    resolved = _resolve_href(src, F.col("href"))
     keep = [c for c in pages.columns if c != html_col]
+    href = F.col("href")
     link_filter = (
         href.isNotNull()
         & ~href.rlike(r"^(javascript|mailto|tel|data):")

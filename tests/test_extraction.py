@@ -148,6 +148,52 @@ class TestBlockClassification:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestPageMeta:
+    def test_fields_orders_entities_resolution(self, spark):
+        from hgraphstorage_spark.sources.warc import extract_page_meta
+
+        rows = [
+            (1, "https://ex.com/a/b/page.html",
+             "<html><head><TITLE> Hello &amp; Welcome </TITLE>"
+             '<meta name="description" content="A fine &quot;page&quot;">'
+             '<link rel="canonical" href="/a/b/page.html"></head><body></body></html>'),
+            # reversed attribute orders, mixed case, dir-relative canonical
+            (2, "https://ex.com/x",
+             '<head><meta content="desc first" name="Description">'
+             '<link href="other.html" rel="canonical">'
+             '<meta name="robots" content="NOINDEX, nofollow"><title>T2</title></head>'),
+            (3, "https://ex.com/y", "<p>no meta at all</p>"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+        got = {r["doc_id"]: r for r in extract_page_meta(df).collect()}
+        assert got[1]["title"] == "Hello & Welcome"
+        assert got[1]["meta_description"] == 'A fine "page"'
+        assert got[1]["canonical_url"] == "https://ex.com/a/b/page.html"
+        assert not got[1]["robots_noindex"] and not got[1]["robots_nofollow"]
+        assert got[2]["meta_description"] == "desc first"
+        assert got[2]["canonical_url"] == "https://ex.com/other.html"
+        assert got[2]["robots_noindex"] and got[2]["robots_nofollow"]
+        # absent fields are NULL; absent robots meta means indexable
+        assert got[3]["title"] is None and got[3]["meta_description"] is None
+        assert got[3]["canonical_url"] is None
+        assert not got[3]["robots_noindex"] and not got[3]["robots_nofollow"]
+
+    def test_first_occurrence_wins_and_zero_shuffle(self, spark):
+        from hgraphstorage_spark.sources.warc import extract_page_meta
+
+        df = spark.createDataFrame(
+            [(1, "https://ex.com/",
+              "<title>First</title><title>Second</title>"
+              '<link rel="canonical" href="https://one.com/"><link rel="canonical" href="https://two.com/">')],
+            "doc_id long, url string, html string",
+        )
+        out = extract_page_meta(df)
+        r = out.collect()[0]
+        assert r["title"] == "First" and r["canonical_url"] == "https://one.com/"
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+
+
 class TestWarcMainExtract:
     def _crawl_docs(self, spark, extract):
         from hgraphstorage_spark.sources.warc import read_warc, warc_bytes, warc_to_documents
