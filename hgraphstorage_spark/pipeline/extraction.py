@@ -330,18 +330,39 @@ def extract_main_content(
     superset of the context-free tier's (promotion only ever ADDS
     blocks; tested as a law).
 
-    Scale shape: ONE narrow per-row projection — the HTML column never
-    shuffles, nothing explodes, no UDF; at 100 TB this runs at parquet
-    scan speed alongside the other document projections. The block
-    array is referenced by three output columns; Spark's codegen-level
-    common-subexpression elimination evaluates the transform once per
-    row (all expressions here are deterministic)."""
+    Scale shape: ONE narrow per-row projection — nothing explodes, no
+    UDF; at 100 TB this runs at parquet scan speed alongside the other
+    document projections (a multi-file scan shuffles NOTHING; only the
+    degenerate single-file-under-cores scan gets one spreading
+    repartition via ``_parallel`` so the regex CPU doesn't serialize
+    onto one core). The block array is referenced by three output
+    columns; Spark's codegen-level common-subexpression elimination
+    evaluates the transform once per row (all expressions here are
+    deterministic)."""
+    from hgraphstorage_spark.pipeline.text import _parallel
+
+    # the classification is regex-CPU-heavy per row: spread single-file
+    # inputs across cores first (the corr_matrix/shingle lesson — a
+    # one-file scan otherwise runs the whole corpus on one core; the
+    # output is a pure per-row projection, bit-identical either way)
+    df = _parallel(df)
     bs = block_structs(df[html_col], stopwords, link_density_max, min_chars, stopword_min)
-    kept = _kept_texts(bs, stopword_min, context)
-    return df.select(
-        "*",
+    # materialize the block array and the kept-texts array as their OWN
+    # projections: higher-order functions don't participate in Catalyst
+    # CSE, so referencing the bs expression from three output columns
+    # would re-run the whole regex chain 3x per row (measured 9x on the
+    # context variant). A multi-use non-cheap alias survives
+    # CollapseProject and is evaluated once — the repo's shingle lesson.
+    inner = df.select("*", bs.alias("_mc_blocks"))
+    bsc = F.col("_mc_blocks")
+    inner2 = inner.select(
+        "*", _kept_texts(bsc, stopword_min, context).alias("_mc_kept")
+    )
+    kept = F.col("_mc_kept")
+    return inner2.select(
+        *df.columns,
         F.array_join(kept, "\n").alias(content_col),
-        F.size(F.filter(bs, lambda s: s["n_chars"] > F.lit(0))).alias("n_blocks"),
+        F.size(F.filter(bsc, lambda s: s["n_chars"] > F.lit(0))).alias("n_blocks"),
         F.size(kept).alias("n_content_blocks"),
     )
 
@@ -360,6 +381,9 @@ def html_block_frame(
     split-residue blocks dropped. ``block_ord`` is the block's position
     in the page — the order jusText's context pass would walk. Densities
     round to DECIMAL(18,4) so the frame is engine-portable."""
+    from hgraphstorage_spark.pipeline.text import _parallel
+
+    df = _parallel(df)
     bs = block_structs(df[html_col], stopwords, link_density_max, min_chars, stopword_min)
     exploded = df.select(*id_cols, F.posexplode(bs).alias("block_ord", "b"))
     return exploded.filter(F.col("b.n_chars") > 0).select(

@@ -281,21 +281,29 @@ def warc_to_documents(records: DataFrame, extract: str = "baseline") -> DataFram
         schema="url string, fetch_date string, text string, is_html boolean, "
         "record_id string, shard string, rec_idx long",
     )
-    text_col = F.col("text")
     if extract == "main":
         # boilerplate-aware tier as a zero-shuffle column expression on
-        # the decoded HTML bodies; non-HTML bodies pass through verbatim
+        # the decoded HTML bodies; non-HTML bodies pass through verbatim.
+        # Materialized as its OWN projection (multi-use non-cheap alias —
+        # HOFs get no CSE, and text is referenced twice below)
         from hgraphstorage_spark.pipeline.extraction import main_content_expr
 
-        text_col = F.when(F.col("is_html"), main_content_expr(F.col("text"))).otherwise(
-            F.col("text")
+        docs = docs.select(
+            "url",
+            "fetch_date",
+            "record_id",
+            "shard",
+            "rec_idx",
+            F.when(F.col("is_html"), main_content_expr(F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
         )
     return docs.select(
         F.xxhash64("url", "fetch_date", "record_id", "shard", "rec_idx").alias("doc_id"),
         "url",
         "fetch_date",
-        text_col.alias("text"),
-        F.length(text_col).cast("long").alias("n_chars"),
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
