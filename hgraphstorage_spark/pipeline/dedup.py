@@ -1413,6 +1413,7 @@ def url_dedup(
     docs: DataFrame,
     url_col: str = "url",
     ts_col: str | None = None,
+    canonical_col: str | None = None,
 ) -> DataFrame:
     """Exact dedup on the normalized URL: one row per canonical URL,
     keeping the earliest ``ts_col`` (re-crawls keep the first fetch;
@@ -1420,12 +1421,26 @@ def url_dedup(
     never dropDuplicates' arbitrary partition-order row). All input
     columns survive, plus ``url_norm``.
 
+    ``canonical_col`` (e.g. ``extract_page_meta``'s ``canonical_url``)
+    makes the SITE'S OWN dedup hint the preferred grouping key: rows
+    whose canonical link is present group by its normalized form —
+    collapsing mobile/AMP/print variants the URL normalizer can't see —
+    and rows without one fall back to their own normalized URL.
+    ``url_norm`` reports whichever key grouped the row.
+
     Shape: one url_norm-keyed window (the standard keeper envelope —
     same pattern as ``streaming.stream_near_dedup``'s batch branch);
     URL keys are near-uniform, no skew mitigation needed."""
     from pyspark.sql import Window
 
-    with_norm = docs.withColumn("url_norm", url_normalized(F.col(url_col)))
+    key = (
+        url_normalized(F.col(url_col))
+        if canonical_col is None
+        else F.coalesce(
+            url_normalized(F.col(canonical_col)), url_normalized(F.col(url_col))
+        )
+    )
+    with_norm = docs.withColumn("url_norm", key)
     others = [F.col(c) for c in docs.columns if c != ts_col]
     order = ([F.col(ts_col)] if ts_col else []) + (
         [F.xxhash64(*others)] if others else []

@@ -153,6 +153,34 @@ class TestUrlDedup:
         got = [r["n"] for r in df.select(url_normalized(F.col("url")).alias("n")).collect()]
         assert got == [want for _, want in cases]
 
+    def test_canonical_col_groups_variants(self, spark):
+        """canonical_col: AMP/mobile variants declaring the same
+        canonical link collapse to one row even though their own URLs
+        normalize differently; rows without a canonical fall back to
+        their own normalized URL."""
+        from hgraphstorage_spark.pipeline.dedup import url_dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "https://ex.com/amp/story", "https://ex.com/story", "2024-01-02"),
+                (2, "https://m.ex.com/story", "https://ex.com/story", "2024-01-01"),
+                (3, "https://ex.com/story", "https://ex.com/story", "2024-01-03"),
+                (4, "https://ex.com/other", None, "2024-01-01"),
+            ],
+            "doc_id long, url string, canonical_url string, fetch_date string",
+        )
+        kept = {
+            r["doc_id"]: r
+            for r in url_dedup(
+                docs, ts_col="fetch_date", canonical_col="canonical_url"
+            ).collect()
+        }
+        # the three canonical-equal variants keep only the earliest fetch
+        assert set(kept) == {2, 4}
+        assert kept[2]["url_norm"] == "ex.com/story"
+        # without canonical_col they'd all be distinct
+        assert url_dedup(docs, ts_col="fetch_date").count() == 4
+
     def test_url_dedup_keeps_earliest_fetch(self, spark):
         from hgraphstorage_spark.pipeline.dedup import url_dedup
 
