@@ -72,8 +72,12 @@ ANCHOR_RE = r"(?is)<a(?:>|[ \t\r\n/][^>]*>)(.*?)</a[ \t\r\n]*>"
 
 WS_RE = r"[ \t\r\n]+"
 
-# token edge-punctuation strip (tokens are lowercased first)
-TOKEN_NORM_RE = r"^[^a-z0-9]+|[^a-z0-9]+$"
+# token edge-punctuation strip (tokens are lowercased first). \p{L}
+# keeps unicode letters: an ASCII-only class would strip the leading
+# 'é' of 'été' and break every accented stopword (RE2 and Java both
+# support \p{L}; on the ASCII synthetic corpus the two classes are
+# byte-identical, so oracles are unaffected)
+TOKEN_NORM_RE = r"^[^\p{L}0-9]+|[^\p{L}0-9]+$"
 
 # &amp; decodes LAST (same ordering rule as sources/warc.py: decoding it
 # first would double-decode an author's escaped '&amp;lt;')
@@ -99,6 +103,51 @@ ENGLISH_STOPWORDS = (
     "here when where why how all any both each few more most other some "
     "such only own same s t don now"
 ).split()
+
+# compact function-word cores for the other testdata languages —
+# jusText ships per-language lists; these are the high-frequency bands
+# that separate prose from chrome in each. Route per document with
+# ``stopwords_for_lang`` when a language hint exists.
+GERMAN_STOPWORDS = (
+    "der die das und oder aber wenn dann für von mit über nach bei aus zu "
+    "im am an auf ist sind war waren sein hat haben wird werden kann muss "
+    "auch nicht kein keine eine einer eines ein dem den des er sie es wir "
+    "ihr ich du man sich als wie wo was warum alle viele mehr sehr nur "
+    "noch schon doch dass"
+).split()
+FRENCH_STOPWORDS = (
+    "le la les un une des et ou mais si pour de du dans sur avec sans est "
+    "sont était été être a ont il elle ils elles nous vous je tu on se ne "
+    "pas plus très que qui quoi où comme tout tous toute cette ce ces son "
+    "sa ses leur aussi bien encore déjà au aux par"
+).split()
+SPANISH_STOPWORDS = (
+    "el la los las un una unos unas y o pero si para de del en sobre con "
+    "sin es son era fue ser está están ha han él ella ellos ellas nosotros "
+    "yo tú se no más muy que quien donde como todo todos esta este estos "
+    "estas su sus les también bien ya lo al por"
+).split()
+
+STOPWORDS_BY_LANG = {
+    "en": ENGLISH_STOPWORDS,
+    "de": GERMAN_STOPWORDS,
+    "fr": FRENCH_STOPWORDS,
+    "es": SPANISH_STOPWORDS,
+}
+
+
+def stopwords_for_lang(lang: Column, default: str = "en") -> Column:
+    """Per-row stopword array routed by a language-hint column (a crawl
+    usually has one from headers/TLD before content lang-id runs): a
+    CASE over the ``STOPWORDS_BY_LANG`` literal arrays, unknown hints
+    falling back to ``default``. Pass the result as ``stopwords=`` to
+    any extraction entry point — still a pure projection."""
+    arr = lambda ws: F.array(*[F.lit(w) for w in ws])  # noqa: E731
+    expr = arr(STOPWORDS_BY_LANG[default])
+    for code, words in STOPWORDS_BY_LANG.items():
+        expr = F.when(F.lower(lang) == F.lit(code), arr(words)).otherwise(expr)
+    return expr
+
 
 # jusText defaults (Pomikálek 2011 §3.2, simplified to the context-free
 # rule): max_link_density=0.2 there, 0.33 here (we have no near-good
@@ -150,8 +199,15 @@ def block_structs(
 
     Empty blocks (n_chars = 0, the split residue between adjacent tags)
     keep label ``short`` and are dropped by both consumers.
+
+    ``stopwords`` is a list of words, or a Column producing a per-row
+    string array (:func:`stopwords_for_lang` for language routing).
     """
-    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    stop_arr = (
+        stopwords
+        if isinstance(stopwords, Column)
+        else F.array(*[F.lit(s) for s in stopwords])
+    )
 
     def mk(b: Column) -> Column:
         txt = _clean_text(b)

@@ -148,6 +148,51 @@ class TestBlockClassification:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestLanguageRouting:
+    def test_lang_routed_stopwords_keep_non_english_prose(self, spark):
+        """German/French prose scores near-zero on the English list (all
+        four docs dropped) but is kept when the stopword array routes by
+        the language hint — accented stopwords included ('été'-class
+        tokens survive the \\p{L} edge-strip)."""
+        from hgraphstorage_spark.pipeline.extraction import (
+            extract_main_content,
+            stopwords_for_lang,
+        )
+
+        de = (
+            "<body><nav><a href='/'>Start</a> <a href='/k'>Kontakt</a> "
+            "<a href='/i'>Impressum</a></nav>"
+            "<p>Dieser Absatz ist ein ganz gewöhnlicher deutscher Text und er "
+            "enthält sehr viele von den kleinen Wörtern die in der Sprache "
+            "immer wieder vorkommen und die man nicht vermeiden kann.</p>"
+            "<footer>Copyright 2024 Beispiel GmbH</footer></body>"
+        )
+        fr = (
+            "<body><p>Ce paragraphe est un texte français tout à fait "
+            "ordinaire et il contient beaucoup de ces petits mots que la "
+            "langue utilise sans cesse et que déjà été l'on ne peut pas "
+            "éviter.</p></body>"
+        )
+        df = spark.createDataFrame(
+            [(1, "de", de), (2, "fr", fr)], "doc_id long, lang string, html string"
+        )
+        routed = {
+            r["doc_id"]: r
+            for r in extract_main_content(
+                df, stopwords=stopwords_for_lang(F.col("lang"))
+            ).collect()
+        }
+        english = {
+            r["doc_id"]: r for r in extract_main_content(df).collect()
+        }
+        assert routed[1]["n_content_blocks"] == 1
+        assert "deutscher Text" in routed[1]["content"]
+        assert "Kontakt" not in routed[1]["content"]
+        assert routed[2]["n_content_blocks"] == 1
+        assert english[1]["n_content_blocks"] == 0
+        assert english[2]["n_content_blocks"] == 0
+
+
 class TestPageMeta:
     def test_fields_orders_entities_resolution(self, spark):
         from hgraphstorage_spark.sources.warc import extract_page_meta
