@@ -3792,6 +3792,35 @@ def q_quantile_sketch(spark, sf_dir):
     return _canon(out, "p25", "p50", "p90")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (pipeline/pii.py:pii_scrub): every document
+    gets one arithmetic-injected PII item (email / US phone / IPv4 /
+    SSN shape / card number, cycling by doc_id%5); the scrub must count
+    exactly one hit of the right kind and produce the redacted text
+    (fingerprinted). Oracle replays every pattern with regexp_extract_all
+    counts and the same sequential global replacements."""
+    from hgraphstorage_spark.pipeline.pii import pii_scrub
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    inject = (
+        F.when(i % 5 == 0, F.concat(F.lit(" mail user"), s(i), F.lit("@example.com now")))
+        .when(i % 5 == 1, F.concat(F.lit(" dial (55"), s(i % 10), F.lit(") 123-4567 ok")))
+        .when(i % 5 == 2, F.concat(F.lit(" host 10.0."), s(i % 250), F.lit(".7 up")))
+        .when(i % 5 == 3, F.concat(F.lit(" ssn 123-45-678"), s(i % 10), F.lit(" case")))
+        .otherwise(F.concat(F.lit(" card 41111111111111"), s(i % 10), F.lit("9 paid")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), inject).alias("text")
+    )
+    out = pii_scrub(docs)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_fp"),
+        "n_email", "n_ssn", "n_ip", "n_phone", "n_cc",
+    )
+
+
 def q_page_meta(spark, sf_dir):
     """Page-metadata extraction (sources/warc.py:extract_page_meta) over
     synthetic head sections varied by doc_id arithmetic: mixed-case
@@ -4270,6 +4299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays driver-checked)
         "main_content_ctx": q_main_content_ctx,
         "page_meta": q_page_meta,
+        "pii_scrub": q_pii_scrub,
         "sentence_dedup": q_sentence_dedup,
         "quantile_histogram": q_quantile_histogram,
         "vocab_drift": q_vocab_drift,
@@ -6531,6 +6561,30 @@ def oracle_sql() -> dict[str, str]:
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
     sql["main_content"] = _main_content_oracle_sql()
     sql["main_content_ctx"] = _main_content_oracle_sql(context=True)
+    # pii_scrub: replay every pattern — counts on the original text,
+    # then the same sequential global replacements (\\1-style backrefs
+    # are DuckDB's replacement syntax for Spark's $1)
+    from hgraphstorage_spark.pipeline.pii import PII_PATTERNS as _PII
+    inj = ("CASE"
+           " WHEN doc_id % 5 = 0 THEN ' mail user' || doc_id || '@example.com now'"
+           " WHEN doc_id % 5 = 1 THEN ' dial (55' || (doc_id % 10) || ') 123-4567 ok'"
+           " WHEN doc_id % 5 = 2 THEN ' host 10.0.' || (doc_id % 250) || '.7 up'"
+           " WHEN doc_id % 5 = 3 THEN ' ssn 123-45-678' || (doc_id % 10) || ' case'"
+           " ELSE ' card 41111111111111' || (doc_id % 10) || '9 paid' END")
+    clean_expr = "t"
+    count_cols = []
+    for name, pat, _sr, drepl in _PII:
+        pq = pat.replace("'", "''")
+        count_cols.append(
+            f"len(regexp_extract_all(t, '{pq}'))::BIGINT AS n_{name}"
+        )
+        clean_expr = f"regexp_replace({clean_expr}, '{pq}', '{drepl}', 'g')"
+    sql["pii_scrub"] = f"""
+        WITH w AS (SELECT doc_id, text || ({inj}) AS t FROM documents)
+        SELECT doc_id, md5({clean_expr}) AS clean_fp, {', '.join(count_cols)}
+        FROM w
+    """
+
     # page_meta: independent arithmetic derivation of every field
     sql["page_meta"] = f"""
         WITH {_RAW_SYNTH_URL_SQL}

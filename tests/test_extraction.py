@@ -148,6 +148,50 @@ class TestBlockClassification:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestPiiScrub:
+    def test_kinds_counts_and_redaction(self, spark):
+        from hgraphstorage_spark.pipeline.pii import pii_scrub
+
+        rows = [
+            (1, "Contact alice.smith+x@example.co.uk or call (555) 123-4567 today"),
+            (2, "server at 192.168.0.1 and card 4111111111111111 plus ssn 123-45-6789"),
+            # a dotted version string over-redacts as IP (documented safe
+            # direction); a datetime must NOT phone-match
+            (3, "released on 2024-01-15 12:30:45, version 1.2.3.4 is out"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert got[1]["text_clean"] == "Contact <EMAIL> or call <PHONE> today"
+        assert (got[1]["n_email"], got[1]["n_phone"]) == (1, 1)
+        assert got[2]["text_clean"] == "server at <IP> and card <CC> plus ssn <SSN>"
+        assert (got[2]["n_ip"], got[2]["n_cc"], got[2]["n_ssn"]) == (1, 1, 1)
+        assert got[3]["n_phone"] == 0 and got[3]["n_ip"] == 1
+        assert got[4]["text_clean"] is None and got[4]["n_email"] is None
+
+    def test_kind_subset_and_unknown_kind(self, spark):
+        import pytest
+
+        from hgraphstorage_spark.pipeline.pii import pii_scrub
+
+        df = spark.createDataFrame(
+            [(1, "mail a@b.com ip 1.2.3.4")], "doc_id long, text string"
+        )
+        out = pii_scrub(df, kinds=["email"]).collect()[0]
+        assert out["text_clean"] == "mail <EMAIL> ip 1.2.3.4"
+        assert "n_ip" not in out.asDict()
+        with pytest.raises(ValueError, match="unknown PII kinds"):
+            pii_scrub(df, kinds=["email", "passport"])
+
+    def test_zero_shuffle_plan(self, spark):
+        from hgraphstorage_spark.pipeline.pii import pii_scrub
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestLanguageRouting:
     def test_lang_routed_stopwords_keep_non_english_prose(self, spark):
         """German/French prose scores near-zero on the English list (all
