@@ -3792,6 +3792,40 @@ def q_quantile_sketch(spark, sf_dir):
     return _canon(out, "p25", "p50", "p90")
 
 
+def q_sitemap_ingest(spark, sf_dir):
+    """Sitemap protocol parsing (sources/warc.py:parse_sitemaps) over
+    arithmetic-generated XML: three of four docs carry a 2-entry
+    <urlset> (entity-escaped query loc + lastmod + priority; bare loc +
+    changefreq), every fourth a <sitemapindex> child pointer. The
+    oracle derives every expected frontier row from the generator
+    arithmetic — independent derivation, not regex replay."""
+    from hgraphstorage_spark.sources.warc import parse_sitemaps
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    dom = F.concat(F.lit("site"), s(i % 7), F.lit(".com"))
+    urlset = F.concat(
+        F.lit("<urlset><url><loc>https://site"), s(i % 7), F.lit(".com/a?x="),
+        s(i), F.lit("&amp;y=2</loc><lastmod>2024-02-0"), s(i % 9 + 1),
+        F.lit("</lastmod><priority>0."), s(i % 10),
+        F.lit("</priority></url><url><loc>https://site"), s(i % 7),
+        F.lit(".com/b"), s(i),
+        F.lit("</loc><changefreq>weekly</changefreq></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://site"), s(i % 7),
+        F.lit(".com/sm"), s(i % 5),
+        F.lit(".xml</loc></sitemap></sitemapindex>"),
+    )
+    sitemaps = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        dom.alias("domain"),
+        F.when(i % 4 == 3, index).otherwise(urlset).alias("sitemap_xml"),
+    )
+    out = parse_sitemaps(sitemaps)
+    return _canon(out, "priority")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass (pipeline/pii.py:pii_scrub): every document
     gets one arithmetic-injected PII item (email / US phone / IPv4 /
@@ -4300,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content_ctx": q_main_content_ctx,
         "page_meta": q_page_meta,
         "pii_scrub": q_pii_scrub,
+        "sitemap_ingest": q_sitemap_ingest,
         "sentence_dedup": q_sentence_dedup,
         "quantile_histogram": q_quantile_histogram,
         "vocab_drift": q_vocab_drift,
@@ -6561,6 +6596,28 @@ def oracle_sql() -> dict[str, str]:
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
     sql["main_content"] = _main_content_oracle_sql()
     sql["main_content_ctx"] = _main_content_oracle_sql(context=True)
+    # sitemap_ingest: independent arithmetic derivation of every
+    # frontier row (two per urlset doc, one per index doc)
+    sql["sitemap_ingest"] = """
+        WITH d AS (SELECT doc_id FROM documents)
+        SELECT 'site' || (doc_id % 7) || '.com' AS domain, 'url' AS kind,
+               'https://site' || (doc_id % 7) || '.com/a?x=' || doc_id || '&y=2' AS loc,
+               '2024-02-0' || (doc_id % 9 + 1) AS lastmod,
+               NULL AS changefreq,
+               ('0.' || (doc_id % 10))::DECIMAL(3,1)::VARCHAR AS priority
+        FROM d WHERE doc_id % 4 != 3
+        UNION ALL
+        SELECT 'site' || (doc_id % 7) || '.com', 'url',
+               'https://site' || (doc_id % 7) || '.com/b' || doc_id,
+               NULL, 'weekly', NULL
+        FROM d WHERE doc_id % 4 != 3
+        UNION ALL
+        SELECT 'site' || (doc_id % 7) || '.com', 'sitemap',
+               'https://site' || (doc_id % 7) || '.com/sm' || (doc_id % 5) || '.xml',
+               NULL, NULL, NULL
+        FROM d WHERE doc_id % 4 = 3
+    """
+
     # pii_scrub: replay every pattern — counts on the original text,
     # then the same sequential global replacements (\\1-style backrefs
     # are DuckDB's replacement syntax for Spark's $1)

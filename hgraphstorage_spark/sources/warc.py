@@ -421,6 +421,72 @@ def extract_page_meta(
     )
 
 
+# sitemap element patterns — RE2-safe, namespace-tolerant (attributes
+# on <urlset>/<url> ignored via the boundary class)
+_SITEMAP_URL_BLOCK = r"(?is)<url(?:>|[ \t\r\n][^>]*>)(.*?)</url[ \t\r\n]*>"
+_SITEMAP_IDX_BLOCK = r"(?is)<sitemap(?:>|[ \t\r\n][^>]*>)(.*?)</sitemap[ \t\r\n]*>"
+_SM_LOC = r"(?is)<loc(?:>|[ \t\r\n][^>]*>)([^<]*)</loc"
+_SM_LASTMOD = r"(?is)<lastmod(?:>|[ \t\r\n][^>]*>)([^<]*)</lastmod"
+_SM_CHANGEFREQ = r"(?is)<changefreq(?:>|[ \t\r\n][^>]*>)([^<]*)</changefreq"
+_SM_PRIORITY = r"(?is)<priority(?:>|[ \t\r\n][^>]*>)([^<]*)</priority"
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "sitemap_xml",
+) -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol) into frontier rows —
+    the third leg of the crawl-ingest tier next to :func:`parse_robots`
+    and :func:`extract_links`: the URLs a site ASKS to be crawled, with
+    the freshness/priority hints a frontier scheduler consumes.
+
+    Handles both document kinds in one pass: ``<urlset>`` entries
+    return kind='url'; ``<sitemapindex>`` entries return
+    kind='sitemap' (the child sitemap locations — the caller fetches
+    and feeds them back through). Per entry: (domain, kind, loc,
+    lastmod, changefreq, priority DECIMAL(3,1)); loc is entity-decoded
+    (sitemap locs escape '&' as '&amp;' per the protocol), missing
+    optional fields are NULL, entries without a <loc> are dropped.
+    CDATA sections are out of scope for this tier (documented — the
+    protocol's canonical form is entity escaping).
+
+    Shape at scale: one regexp block-extract per document plus one
+    explode to entry rows (the output IS per-entry, so the explode is
+    the result shape, not overhead); all patterns RE2-safe for the
+    oracle."""
+    ent = F.explode_outer(
+        F.concat(
+            F.transform(
+                F.regexp_extract_all(F.col(xml_col), F.lit(_SITEMAP_URL_BLOCK), F.lit(1)),
+                lambda b: F.struct(F.lit("url").alias("kind"), b.alias("b")),
+            ),
+            F.transform(
+                F.regexp_extract_all(F.col(xml_col), F.lit(_SITEMAP_IDX_BLOCK), F.lit(1)),
+                lambda b: F.struct(F.lit("sitemap").alias("kind"), b.alias("b")),
+            ),
+        )
+    ).alias("_e")
+    rows = sitemaps.select(F.col(domain_col).alias("domain"), ent)
+    b = F.col("_e.b")
+    loc = F.trim(F.regexp_extract(b, _SM_LOC, 1))
+    for k, v in _ENTITIES.items():
+        loc = F.replace(loc, F.lit(k), F.lit(v))
+    out = rows.select(
+        "domain",
+        F.col("_e.kind").alias("kind"),
+        F.nullif(loc, F.lit("")).alias("loc"),
+        F.nullif(F.trim(F.regexp_extract(b, _SM_LASTMOD, 1)), F.lit("")).alias("lastmod"),
+        F.nullif(F.trim(F.regexp_extract(b, _SM_CHANGEFREQ, 1)), F.lit("")).alias(
+            "changefreq"
+        ),
+        F.nullif(F.trim(F.regexp_extract(b, _SM_PRIORITY, 1)), F.lit(""))
+        .cast("decimal(3,1)")
+        .alias("priority"),
+    )
+    return out.filter(F.col("loc").isNotNull())
+
+
 def extract_links(
     pages: DataFrame,
     url_col: str = "url",

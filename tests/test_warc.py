@@ -408,6 +408,40 @@ class TestExtractLinks:
         assert got == {("a.com", "b.com"): 3, ("a.com", "a.com"): 1}
 
 
+class TestSitemaps:
+    def test_urlset_index_entities_and_missing_fields(self, spark):
+        from hgraphstorage_spark.sources.warc import parse_sitemaps
+
+        xml1 = (
+            '<?xml version="1.0"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>https://a.com/page?x=1&amp;y=2</loc>"
+            "<lastmod>2024-03-01</lastmod><changefreq>daily</changefreq>"
+            "<priority>0.8</priority></url>"
+            "<url><loc> https://a.com/two </loc></url>"
+            "<url><priority>0.5</priority></url></urlset>"  # no loc -> dropped
+        )
+        xml2 = (
+            "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc>"
+            "<lastmod>2024-01-01</lastmod></sitemap>"
+            "<sitemap><loc>https://b.com/s2.xml</loc></sitemap></sitemapindex>"
+        )
+        df = spark.createDataFrame(
+            [("a.com", xml1), ("b.com", xml2)], "domain string, sitemap_xml string"
+        )
+        rows = {r["loc"]: r for r in parse_sitemaps(df).collect()}
+        assert len(rows) == 4
+        p = rows["https://a.com/page?x=1&y=2"]  # entity-decoded loc
+        assert (p["kind"], p["lastmod"], p["changefreq"], str(p["priority"])) == (
+            "url", "2024-03-01", "daily", "0.8",
+        )
+        two = rows["https://a.com/two"]  # whitespace trimmed, optionals NULL
+        assert two["lastmod"] is None and two["priority"] is None
+        s1 = rows["https://b.com/s1.xml"]
+        assert s1["kind"] == "sitemap" and s1["lastmod"] == "2024-01-01"
+        assert rows["https://b.com/s2.xml"]["kind"] == "sitemap"
+
+
 class TestRobots:
     def _rules(self, spark, agent="trainbot"):
         from hgraphstorage_spark.sources.warc import parse_robots
