@@ -2874,19 +2874,41 @@ _RAW_SYNTH_URL_SQL = """ru AS (
 
 
 _ROBOTS_FIXTURE = [
-    # exact trainbot group beats the blanket * disallow; wildcard + anchor
-    ("site0.com", "User-agent: trainbot\nDisallow: /p1*\nAllow: /p14$\n\nUser-agent: *\nDisallow: /\n"),
-    ("site1.com", "User-agent: *\nDisallow: /p1\n"),
+    # exact trainbot group beats the blanket * disallow; wildcard + anchor;
+    # per-group Crawl-delay (the exact group's 2 must beat *'s 10) and a
+    # document-wide Sitemap line (robots_extras surface — parse_robots
+    # ignores these keys, so the rule rows are unchanged)
+    ("site0.com", "User-agent: trainbot\nDisallow: /p1*\nAllow: /p14$\nCrawl-delay: 2\n\nUser-agent: *\nDisallow: /\nCrawl-delay: 10\n\nSitemap: https://site0.com/sm.xml\n"),
+    # malformed Crawl-delay (NULL) + two Sitemap lines in source order
+    ("site1.com", "User-agent: *\nDisallow: /p1\nCrawl-delay: abc\nSitemap: https://site1.com/a.xml\nSitemap: https://site1.com/b.xml\n"),
     # empty Disallow = allow-all idiom (rule drops)
     ("site2.com", "User-agent: *\nDisallow:\n"),
     # site3.com has no robots.txt at all
-    # two agents heading ONE group
-    ("site4.com", "User-agent: *\nUser-agent: trainbot\nDisallow: /p2\n"),
+    # two agents heading ONE group; fractional Crawl-delay
+    ("site4.com", "User-agent: *\nUser-agent: trainbot\nDisallow: /p2\nCrawl-delay: 1.5\n"),
     # mid-path wildcard + end anchor
     ("site5.com", "User-agent: *\nDisallow: /p*3$\n"),
     # a group for a different agent only — nothing applies to trainbot
     ("site6.com", "User-agent: evilbot\nDisallow: /\n"),
 ]
+
+
+def q_robots_extras(spark, sf_dir):
+    """Non-rule robots.txt directives (sources/warc.py:robots_extras):
+    per-group Crawl-delay under the SAME RFC 9309 group selection as
+    parse_robots (exact trainbot group's 2 beats *'s 10; malformed
+    values NULL; group-less domains NULL) and document-wide Sitemap
+    lines in source order. Oracle = the hand-derived expected rows for
+    the shared fixture (independent derivation)."""
+    from hgraphstorage_spark.sources.warc import robots_extras
+
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "domain string, robots_txt string")
+    out = robots_extras(robots, agent="trainbot")
+    return out.select(
+        "domain",
+        "crawl_delay",
+        F.array_join("sitemap_urls", "|").alias("sitemaps"),
+    )
 
 
 def q_robots_filter(spark, sf_dir):
@@ -4335,6 +4357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,
         "pii_scrub": q_pii_scrub,
         "sitemap_ingest": q_sitemap_ingest,
+        "robots_extras": q_robots_extras,
         "sentence_dedup": q_sentence_dedup,
         "quantile_histogram": q_quantile_histogram,
         "vocab_drift": q_vocab_drift,
@@ -6594,6 +6617,17 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
+    sql["robots_extras"] = """
+        SELECT * FROM (VALUES
+          ('site0.com', 2.0::DOUBLE, 'https://site0.com/sm.xml'),
+          ('site1.com', NULL::DOUBLE, 'https://site1.com/a.xml|https://site1.com/b.xml'),
+          ('site2.com', NULL::DOUBLE, ''),
+          ('site4.com', 1.5::DOUBLE, ''),
+          ('site5.com', NULL::DOUBLE, ''),
+          ('site6.com', NULL::DOUBLE, '')
+        ) t(domain, crawl_delay, sitemaps)
+    """
+
     sql["main_content"] = _main_content_oracle_sql()
     sql["main_content_ctx"] = _main_content_oracle_sql(context=True)
     # sitemap_ingest: independent arithmetic derivation of every

@@ -602,18 +602,51 @@ def parse_robots(
     is one narrow line-split pass plus two domain-keyed windows over
     line rows. The output rules table is the small side every filter
     join broadcasts."""
-    a = agent.lower()
-    # split tolerates CRLF — real robots.txt is overwhelmingly served
-    # with \r\n line endings, and a trailing \r on the user-agent value
-    # would otherwise kill every group match (fail-open; review catch)
+    grouped = _robots_chosen_group_rows(
+        robots, agent, domain_col, text_col, ("allow", "disallow")
+    )
+    return grouped.filter(F.col("k").isin("allow", "disallow") & (F.col("v") != "")).select(
+        "domain",
+        F.col("k").alias("directive"),
+        F.col("v").alias("path"),
+        F.col("ord").cast("int").alias("ord"),
+    )
+
+
+def _robots_lines(robots: DataFrame, domain_col: str, text_col: str) -> DataFrame:
+    """robots.txt bodies → (domain, ord, k, v) field lines. The split
+    tolerates CRLF — real robots.txt is overwhelmingly served with \\r\\n
+    line endings, and a trailing \\r on the user-agent value would
+    otherwise kill every group match (fail-open; review catch).
+    Comments (#) strip in the value extraction."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("ord", "raw"),
     )
     key = F.lower(F.trim(F.regexp_extract("raw", r"^([^:#]+):", 1)))
     val = F.trim(F.regexp_extract("raw", r"^[^:#]+:[ \t]*([^#]*)", 1))
-    fields = lines.select("domain", "ord", key.alias("k"), val.alias("v")).filter(
-        F.col("k").isin("user-agent", "allow", "disallow")
+    return lines.select("domain", "ord", key.alias("k"), val.alias("v"))
+
+
+def _robots_chosen_group_rows(
+    robots: DataFrame,
+    agent: str,
+    domain_col: str,
+    text_col: str,
+    rule_keys: tuple,
+) -> DataFrame:
+    """The RFC 9309 group-selection core shared by :func:`parse_robots`
+    (rule_keys = allow/disallow) and :func:`robots_extras` (crawl-delay):
+    field lines filtered to user-agent + ``rule_keys``, grouped at
+    non-adjacent User-agent transitions, exact-agent-beats-* selection;
+    returns the chosen group's rows (domain, ord, k, v). Group adjacency
+    is computed over the FILTERED field set, so each caller's grouping
+    is self-consistent (the reason the key set is a parameter, not a
+    superset: an ignored directive between User-agent lines must not
+    split groups for a caller that never sees it)."""
+    a = agent.lower()
+    fields = _robots_lines(robots, domain_col, text_col).filter(
+        F.col("k").isin("user-agent", *rule_keys)
     )
     w = Window.partitionBy("domain").orderBy("ord")
     grouped = fields.withColumn(
@@ -638,14 +671,54 @@ def parse_robots(
     )
     best = score.groupBy("domain").agg(F.max("score").alias("best"))
     chosen = score.join(best, "domain").filter(F.col("score") == F.col("best"))
+    return grouped.join(chosen.select("domain", "gid"), ["domain", "gid"], "left_semi")
+
+
+def robots_extras(
+    robots: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """The non-rule robots.txt directives a frontier scheduler consumes:
+    per domain, ``crawl_delay`` (seconds, DOUBLE — the FIRST valid value
+    in the group chosen for ``agent`` by the same RFC 9309 selection as
+    :func:`parse_robots`; NULL when absent/unparseable) and
+    ``sitemap_urls`` (every ``Sitemap:`` line in source order — the
+    spec makes them group-INDEPENDENT, so they collect document-wide).
+    Every input domain appears in the output. Feed ``sitemap_urls``
+    through :func:`parse_sitemaps` after fetching.
+
+    Same scale shape as parse_robots: tiny bodies, domain-keyed
+    windows, output broadcasts."""
+    delays = (
+        _robots_chosen_group_rows(robots, agent, domain_col, text_col, ("crawl-delay",))
+        .filter((F.col("k") == "crawl-delay"))
+        .withColumn("_d", F.expr("try_cast(v AS DOUBLE)"))
+        .filter(F.col("_d").isNotNull())
+        .groupBy("domain")
+        .agg(F.min_by("_d", "ord").alias("crawl_delay"))
+    )
+    maps = (
+        _robots_lines(robots, domain_col, text_col)
+        .filter((F.col("k") == "sitemap") & (F.col("v") != ""))
+        .groupBy("domain")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "v"))), lambda s: s["v"]
+            ).alias("sitemap_urls")
+        )
+    )
+    base = robots.select(F.col(domain_col).alias("domain")).distinct()
     return (
-        grouped.filter(F.col("k").isin("allow", "disallow") & (F.col("v") != ""))
-        .join(chosen.select("domain", "gid"), ["domain", "gid"], "left_semi")
+        base.join(delays, "domain", "left")
+        .join(maps, "domain", "left")
         .select(
             "domain",
-            F.col("k").alias("directive"),
-            F.col("v").alias("path"),
-            F.col("ord").cast("int").alias("ord"),
+            "crawl_delay",
+            F.coalesce("sitemap_urls", F.array().cast("array<string>")).alias(
+                "sitemap_urls"
+            ),
         )
     )
 

@@ -544,6 +544,30 @@ class TestRobots:
         assert got == {1: False, 2: True, 3: False, 4: True}
 
 
+    def test_robots_extras_group_scoped_delay_and_sitemaps(self, spark):
+        """crawl_delay follows the SAME group selection as the rules
+        (exact agent beats *); malformed values are NULL not errors;
+        Sitemap lines collect document-wide in source order."""
+        from hgraphstorage_spark.sources.warc import robots_extras
+
+        robots = spark.createDataFrame(
+            [
+                ("a.com",
+                 "User-agent: trainbot\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+                 "User-agent: *\nCrawl-delay: 9\n\n"
+                 "Sitemap: https://a.com/sm.xml\nSitemap: https://a.com/sm2.xml\n"),
+                ("b.com", "User-agent: *\nDisallow: /\n"),
+                ("c.com", "User-agent: *\nCrawl-delay: oops\n"),
+            ],
+            "domain string, robots_txt string",
+        )
+        got = {r["domain"]: r for r in robots_extras(robots, agent="trainbot").collect()}
+        assert got["a.com"]["crawl_delay"] == 2.5
+        assert got["a.com"]["sitemap_urls"] == ["https://a.com/sm.xml", "https://a.com/sm2.xml"]
+        assert got["b.com"]["crawl_delay"] is None and got["b.com"]["sitemap_urls"] == []
+        assert got["c.com"]["crawl_delay"] is None
+
+
 class TestAnchorTextIndex:
     def test_counts_topk_and_empty_anchor_row(self, spark):
         from hgraphstorage_spark.sources.warc import anchor_text_index, extract_links
