@@ -4052,7 +4052,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # has never hashed: the one-pass correlation matrix, the
         # broadcast-bounds numeric histogram, and Newman modularity over
         # the LPA partition
-        "corr_matrix": q_corr_matrix,
+        # r7 twelfth rotation: corr_matrix (hashed green r6; the
+        # exact-decimal co-moment fold stays pytest-oracled and the
+        # profiling family keeps numeric_histogram + psi_drift +
+        # quantile_sketch in-window) gives its slot to the PII
+        # redaction pass, in-window the round it was built
+        "pii_scrub": q_pii_scrub,
         # r6 sixth rotation: ntile_deciles (red r1, rewritten on the
         # distributed two-pass rank r5, hashed green r4+r5; the rank
         # machinery stays plan-pinned and oracle-covered in pytest) and
@@ -4064,7 +4069,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the family's evidence continues; the session_window streaming
         # flavor keeps its original 'sessionize' row past the window) and
         # the IR-eval metric report, in-window the round they were built
-        "gap_sessions": q_gap_sessions,
+        # r7 twelfth rotation: gap_sessions (hashed green r6; the keyed
+        # lag+running-sum shape stays via the past-window sessionize
+        # pytest oracle and in-window rollup_merge; streaming keeps four
+        # real-stream rows) gives its slot to page-metadata extraction
+        "page_meta": q_page_meta,
         "numeric_histogram": q_numeric_histogram,
         # cube_revenue moved past the window (still oracle-checked in
         # pytest): it is a near-duplicate of rollup_revenue, and its slot
@@ -4170,7 +4179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the media banded-Hamming pair core, and the Misra-Gries
         # heavy-hitter stream run as a REAL multi-batch stream
         "url_dedup": q_url_dedup,
-        "shard_plan": q_shard_plan,
+        # r7 twelfth rotation: shard_plan (hashed green r6; the two-pass
+        # distributed prefix sum runs in-window inside curriculum's rank
+        # chain) gives its slot to sitemap-protocol ingestion
+        "sitemap_ingest": q_sitemap_ingest,
         # r7 rotation: zorder_key and cms_tokens (both hashed green r6 on
         # first contact; the Morton-key exprs stay pytest-oracled and the
         # sketch family keeps hll_distinct + psi_drift + the incoming
@@ -4185,7 +4197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "calibration": q_calibration,
         "lang_confusion": q_lang_confusion,
-        "ann_recall": q_ann_recall,
+        # r7 twelfth rotation: ann_recall (hashed green r6; the banded
+        # vector-signature core runs in-window inside stream_embed_dedup's
+        # md5-plane oracle, and similarity keeps ivfpq_topk + mmr_rerank +
+        # media_pairs) gives its slot to the robots crawl-delay/Sitemap
+        # directive surface
+        "robots_extras": q_robots_extras,
         "warc_ingest": q_warc_ingest,
         "media_pairs": q_media_pairs,
         "ivfpq_topk": q_ivfpq_topk,
@@ -4233,7 +4250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "phrases": q_phrases,
         "hits": q_hits,
-        "zipf": q_zipf,
+        # r7 twelfth rotation: zipf (hashed green r6; the 1-row log-log
+        # fit stays pytest-oracled; text-stats keeps readability +
+        # phrases + tokenizer_fertility in-window) gives its slot to the
+        # context-sensitive main-content extractor
+        "main_content_ctx": q_main_content_ctx,
         # -- bulk ingest (32-33) --
         # r7 rotation: hackage_etl (hashed green r1-r6 — six straight
         # contacts — and STILL timed every round by bench.py as the
@@ -4350,14 +4371,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
-        # r7 eleventh rotation, rotated-out rows (hashed green r6; see
-        # the in-window slot comments for where each one's machinery
-        # stays driver-checked)
-        "main_content_ctx": q_main_content_ctx,
-        "page_meta": q_page_meta,
-        "pii_scrub": q_pii_scrub,
-        "sitemap_ingest": q_sitemap_ingest,
-        "robots_extras": q_robots_extras,
+        # r7 eleventh + twelfth rotations, rotated-out rows (hashed
+        # green r6; see the in-window slot comments for where each one's
+        # machinery stays driver-checked)
+        "corr_matrix": q_corr_matrix,
+        "gap_sessions": q_gap_sessions,
+        "zipf": q_zipf,
+        "shard_plan": q_shard_plan,
+        "ann_recall": q_ann_recall,
         "sentence_dedup": q_sentence_dedup,
         "quantile_histogram": q_quantile_histogram,
         "vocab_drift": q_vocab_drift,

@@ -104,6 +104,16 @@ def test_window_covers_required_operators():
         # chain)
         "main_content", "tokenizer_fertility", "boilerplate_paragraph",
         "topic_split", "extract_links", "quantile_sketch",
+        # r7 twelfth rotation: the crawl/PII wave built late in round 7,
+        # in-window the round it was built. OUT: corr_matrix /
+        # gap_sessions / zipf / shard_plan / ann_recall — all hashed
+        # green r6, machinery kept per the in-window slot comments
+        # (numeric_histogram+psi_drift+quantile_sketch profiling,
+        # sessionize pytest oracle + rollup_merge, readability+phrases
+        # text stats, curriculum's prefix-sum rank chain,
+        # stream_embed_dedup's md5-plane signature core)
+        "pii_scrub", "page_meta", "main_content_ctx",
+        "sitemap_ingest", "robots_extras",
         # round-1 red rows, fixed + canonicalized (window_top_order /
         # rollup_revenue / retention_cohorts rotated out r6 — r1-stable,
         # hashed green five rounds, family-covered by the remaining rows;
@@ -141,7 +151,7 @@ def test_window_covers_required_operators():
         # the engine pytest suites; their slots carry the late-wave
         # hll_distinct / phrases / hits / zipf so the driver hashes
         # them the round they were built)
-        "phrases", "hits", "zipf",
+        "phrases", "hits",
         # r6 fifth rotation: the classifier-calibration reliability
         # report, in-window the round it was built
         "calibration",
@@ -149,7 +159,7 @@ def test_window_covers_required_operators():
         # session_window streaming flavor keeps its 'sessionize' row
         # past the window), the IR-eval metric report, and MinHash fuzzy
         # decontamination — in-window the round they were built
-        "gap_sessions", "search_eval", "fuzzy_decontaminate",
+        "search_eval", "fuzzy_decontaminate",
         # r4 rotation: operators the driver had never hashed before
         # (sq_topk rotated out r6: hashed green r4+r5, similarity family
         # keeps three in-window rows; boilerplate_dedup out in the r6
@@ -171,8 +181,7 @@ def test_window_covers_required_operators():
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
-        "corr_matrix", "numeric_histogram", "modularity",
-        "lang_confusion", "ann_recall",
+        "numeric_histogram", "modularity", "lang_confusion",
         # r6 second rotation: the crawl-ingest story (WARC fixture read,
         # URL dedup, media pair core, Misra-Gries stream) plus the NB
         # quality classifier and n-gram novelty — in-window the round
@@ -181,7 +190,7 @@ def test_window_covers_required_operators():
         "nb_quality", "novelty",
         # r6 third rotation: the drift / export / streaming wave —
         # also in-window the round it was built
-        "shard_plan", "stream_url_dedup",
+        "stream_url_dedup",
         "stream_embed_dedup", "domain_quality", "unimax_mix",
         # r6 fourth rotation: the lossless prefix-filter exact join,
         # Z-order layout key, Count-Min sketch, PSI drift monitor, and
