@@ -3848,6 +3848,33 @@ def q_sitemap_ingest(spark, sf_dir):
     return _canon(out, "priority")
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """The crawl-tier CAPSTONE composition (sources/warc.py:
+    crawl_frontier): outbound links from the anchored synthetic pages →
+    per-URL inlink demand → the RFC 9309 robots gate (fixture rules,
+    longest-match precedence) → per-host politeness delays
+    (robots_extras) → deterministic per-host fetch ranking. The oracle
+    composes the SAME pieces: the extract_links arithmetic derivation,
+    one count agg, the shared robots rules chain, the hand-derived
+    crawl-delay rows, and the identical masked host-partitioned rank —
+    certifying the tier's WIRING, not just its stages."""
+    from hgraphstorage_spark.sources.warc import (
+        crawl_frontier,
+        extract_links,
+        parse_robots,
+        robots_extras,
+    )
+
+    links = extract_links(_anchored_pages(spark, sf_dir))
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "domain string, robots_txt string")
+    out = crawl_frontier(
+        links,
+        parse_robots(robots, agent="trainbot"),
+        extras=robots_extras(robots, agent="trainbot"),
+    )
+    return _canon(out, "sitemap_priority")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass (pipeline/pii.py:pii_scrub): every document
     gets one arithmetic-injected PII item (email / US phone / IPv4 /
@@ -4371,6 +4398,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
+        # r7 addition past the window (rotation candidate for r8): the
+        # crawl-tier capstone composition — links -> demand -> robots
+        # gate -> politeness -> per-host ranking, wiring-certified
+        "crawl_frontier": q_crawl_frontier,
         # r7 eleventh + twelfth rotations, rotated-out rows (hashed
         # green r6; see the in-window slot comments for where each one's
         # machinery stays driver-checked)
@@ -6006,19 +6037,16 @@ def _mmr_oracle_sql(qid: int = 0, pool: int = 15, k: int = 5, lam: float = 0.7) 
     )
 
 
-def _robots_oracle_sql(agent: str = "trainbot") -> str:
-    """DuckDB replay of ``q_robots_filter``: the raw synthetic URL
-    arithmetic, the robots fixture inlined as VALUES, the SAME
-    window-function group construction as ``parse_robots`` (lag-flag +
-    running sum over the filtered directive lines, exact-agent-beats-*
-    group choice), the LIKE translation with metachar escaping, and the
-    longest-match/allow-wins/rule-text argmax as a ranked window."""
+def _robots_pat_ctes(agent: str = "trainbot") -> str:
+    """The reusable rules-side CTE chain (fixture VALUES → field lines →
+    RFC 9309 group selection → LIKE patterns with metachar escaping and
+    www-normalized domains): `rb` through `pat`. Shared by the
+    robots_filter oracle and the crawl_frontier composition oracle so
+    the rules replay lives in ONE place."""
     values = ",\n          ".join(
         "('" + d + "', '" + txt.replace("'", "''") + "')" for d, txt in _ROBOTS_FIXTURE
     )
-    return rf"""
-        WITH {_RAW_SYNTH_URL_SQL},
-        rb(domain, txt) AS (VALUES
+    return rf"""rb(domain, txt) AS (VALUES
           {values}
         ),
         ln AS (
@@ -6068,7 +6096,16 @@ def _robots_oracle_sql(agent: str = "trainbot") -> str:
           FROM (SELECT *, replace(replace(replace(replace(path,
                        '\', '\\'), '%', '\%'), '_', '\_'), '*', '%') AS body
                 FROM rules)
-        ),
+        )"""
+
+
+def _robots_oracle_sql(agent: str = "trainbot") -> str:
+    """DuckDB replay of ``q_robots_filter``: the raw synthetic URL
+    arithmetic, the shared rules chain (:func:`_robots_pat_ctes`), and
+    the longest-match/allow-wins/rule-text argmax as a ranked window."""
+    return rf"""
+        WITH {_RAW_SYNTH_URL_SQL},
+        {_robots_pat_ctes(agent)},
         up AS (
           SELECT doc_id,
                  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[wW][wW][wW]\.)?([^/?#]+)', 1)) AS host,
@@ -6220,6 +6257,76 @@ def _main_content_oracle_sql(context: bool = False) -> str:
                  END AS label
           FROM feat3
         ){final}
+    """
+
+
+
+def _crawl_frontier_oracle_sql(agent: str = "trainbot") -> str:
+    """DuckDB replay of ``q_crawl_frontier``: link rows from the
+    extract_links generator arithmetic, the inlink count agg, the
+    SHARED robots rules chain (:func:`_robots_pat_ctes`), the
+    longest-match verdict keyed by URL, the hand-derived crawl-delay
+    rows (the robots_extras oracle's values), and the identical
+    allowed-first masked per-host rank."""
+    return rf"""
+        WITH d AS (SELECT doc_id, doc_id // 2 AS k FROM documents),
+        {_RAW_SYNTH_URL_SQL},
+        lk AS (
+          SELECT ru.url AS src,
+                 'https://site' || ((d.k + 1) % 7) || '.com/p' || (d.k + 1) AS link_url
+          FROM d JOIN ru USING (doc_id)
+          UNION ALL
+          SELECT ru.url,
+                 (CASE WHEN d.doc_id % 3 = 1 THEN 'http' ELSE 'https' END) || '://'
+                 || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                 || 'site' || (d.k % 7) || '.com/r/' || (d.doc_id % 10)
+          FROM d JOIN ru USING (doc_id)
+        ),
+        agg AS (
+          SELECT link_url AS url, count(*)::BIGINT AS n_inlinks,
+                 count(DISTINCT src)::BIGINT AS n_sources
+          FROM lk GROUP BY 1
+        ),
+        {_robots_pat_ctes(agent)},
+        up AS (
+          SELECT url,
+                 lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://(?:[wW][wW][wW]\.)?([^/?#]+)', 1)) AS host,
+                 CASE WHEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) = ''
+                      THEN '/' ELSE regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1) END AS path
+          FROM agg
+        ),
+        rk AS (
+          SELECT url, directive, path_rule,
+                 row_number() OVER (
+                   PARTITION BY url
+                   ORDER BY length(path_rule) DESC,
+                            CASE WHEN directive = 'allow' THEN 1 ELSE 0 END DESC,
+                            path_rule DESC) AS rn
+          FROM up JOIN pat ON up.host = pat.domain
+          WHERE up.path LIKE pat.pattern ESCAPE '\'
+        ),
+        gate AS (
+          SELECT up.url, up.host, up.path,
+                 coalesce(r.directive = 'allow', TRUE) AS allowed
+          FROM up LEFT JOIN (SELECT * FROM rk WHERE rn = 1) r USING (url)
+        ),
+        dl(host, crawl_delay) AS (VALUES
+          ('site0.com', 2.0::DOUBLE), ('site1.com', NULL::DOUBLE),
+          ('site2.com', NULL::DOUBLE), ('site4.com', 1.5::DOUBLE),
+          ('site5.com', NULL::DOUBLE), ('site6.com', NULL::DOUBLE)
+        ),
+        j AS (
+          SELECT g.url, g.host, g.path, a.n_inlinks, a.n_sources,
+                 NULL::VARCHAR AS sitemap_priority, dl.crawl_delay,
+                 g.allowed, a.n_sources::DOUBLE AS score
+          FROM gate g JOIN agg a USING (url) LEFT JOIN dl ON g.host = dl.host
+        )
+        SELECT url, host, path, n_inlinks, n_sources, sitemap_priority,
+               crawl_delay, allowed, score,
+               CASE WHEN allowed THEN (row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY allowed DESC, score DESC, url ASC))::INT END AS host_rank
+        FROM j
     """
 
 
@@ -6638,6 +6745,7 @@ def oracle_sql() -> dict[str, str]:
     sql["incremental_near_dup"] = _incremental_lsh_oracle_sql(n=5, k=64, bands=16, threshold=0.6)
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
+    sql["crawl_frontier"] = _crawl_frontier_oracle_sql(agent="trainbot")
     sql["robots_extras"] = """
         SELECT * FROM (VALUES
           ('site0.com', 2.0::DOUBLE, 'https://site0.com/sm.xml'),

@@ -810,6 +810,83 @@ def robots_filter(
     )
 
 
+def crawl_frontier(
+    links: DataFrame,
+    rules: DataFrame,
+    url_col: str = "link_url",
+    src_col: str = "url",
+    extras: DataFrame | None = None,
+    sitemap_entries: DataFrame | None = None,
+    priority_weight: float = 2.0,
+) -> DataFrame:
+    """The crawl-tier capstone: rank candidate URLs for fetching by
+    composing the tier's own signals — inbound-link demand
+    (:func:`extract_links` output), the robots gate
+    (:func:`parse_robots` rules through :func:`robots_filter`'s
+    longest-match precedence), per-host politeness
+    (:func:`robots_extras` crawl delays), and the site's own hints
+    (:func:`parse_sitemaps` priorities).
+
+    Per candidate URL: (url, host, path, n_inlinks, n_sources,
+    sitemap_priority, crawl_delay, allowed, score DOUBLE, host_rank).
+    score = n_sources + priority_weight · sitemap_priority (distinct
+    referring pages are the demand signal; the site's own priority is a
+    tie-breaking hint). ``host_rank`` ranks ALLOWED urls within their
+    host (score DESC, url ASC — deterministic); disallowed rows keep
+    NULL rank but stay visible for auditing.
+
+    Scale shape: one url-keyed count agg (map-side partial), the
+    broadcast robots gate, optional broadcast joins for hints, and a
+    HOST-partitioned rank — never a global window, because a crawler
+    schedules per-host fetch queues anyway (politeness makes the host
+    the unit of ordering); host skew equals inlink skew, bounded by the
+    per-host frontier size a scheduler caps regardless."""
+    from pyspark.sql import Window
+
+    agg = (
+        links.select(F.col(url_col).alias("url"), F.col(src_col).alias("_src"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inlinks"),
+            F.countDistinct("_src").cast("long").alias("n_sources"),
+        )
+    )
+    gated = robots_filter(agg, rules, url_col="url", id_col="url")
+    out = gated.join(agg, "url")
+    if sitemap_entries is not None:
+        pr = (
+            sitemap_entries.filter(F.col("kind") == "url")
+            .groupBy(F.col("loc").alias("url"))
+            .agg(F.max("priority").alias("sitemap_priority"))
+        )
+        out = out.join(F.broadcast(pr), "url", "left")
+    else:
+        out = out.withColumn("sitemap_priority", F.lit(None).cast("decimal(3,1)"))
+    if extras is not None:
+        dl = extras.select(
+            F.regexp_replace(F.lower(F.col("domain")), r"^www\.", "").alias("host"),
+            "crawl_delay",
+        )
+        out = out.join(F.broadcast(dl), "host", "left")
+    else:
+        out = out.withColumn("crawl_delay", F.lit(None).cast("double"))
+    score = F.col("n_sources").cast("double") + F.lit(float(priority_weight)) * F.coalesce(
+        F.col("sitemap_priority").cast("double"), F.lit(0.0)
+    )
+    # disallowed rows sort AFTER every allowed row, so the masked
+    # row_number leaves allowed urls with contiguous 1..k ranks
+    w = Window.partitionBy("host").orderBy(
+        F.col("allowed").desc(), F.col("score").desc(), F.col("url").asc()
+    )
+    ranked = out.withColumn("score", score).withColumn(
+        "host_rank", F.when(F.col("allowed"), F.row_number().over(w))
+    )
+    return ranked.select(
+        "url", "host", "path", "n_inlinks", "n_sources",
+        "sitemap_priority", "crawl_delay", "allowed", "score", "host_rank",
+    )
+
+
 def anchor_text_index(
     links: DataFrame,
     top_k: int = 5,
