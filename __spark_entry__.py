@@ -4222,7 +4222,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipping_report": q_skipping_report,
         "psi_drift": q_psi_drift,
         "link_graph": q_link_graph,
-        "calibration": q_calibration,
+        # r7 thirteenth swap: calibration (hashed green r6; its
+        # quantile-cut machinery stays in-window via quantile_sketch +
+        # psi_drift and the quality family keeps nb_quality +
+        # domain_quality + novelty) gives its slot to the crawl-tier
+        # CAPSTONE composition — links -> demand -> robots gate ->
+        # politeness -> per-host rank, wiring-certified in-window the
+        # round it was built
+        "crawl_frontier": q_crawl_frontier,
         "lang_confusion": q_lang_confusion,
         # r7 twelfth rotation: ann_recall (hashed green r6; the banded
         # vector-signature core runs in-window inside stream_embed_dedup's
@@ -4398,10 +4405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
-        # r7 addition past the window (rotation candidate for r8): the
-        # crawl-tier capstone composition — links -> demand -> robots
-        # gate -> politeness -> per-host ranking, wiring-certified
-        "crawl_frontier": q_crawl_frontier,
+        # r7 thirteenth swap, rotated-out row (hashed green r6;
+        # machinery kept per the in-window slot comment)
+        "calibration": q_calibration,
         # r7 eleventh + twelfth rotations, rotated-out rows (hashed
         # green r6; see the in-window slot comments for where each one's
         # machinery stays driver-checked)

@@ -114,6 +114,10 @@ def test_window_covers_required_operators():
         # stream_embed_dedup's md5-plane signature core)
         "pii_scrub", "page_meta", "main_content_ctx",
         "sitemap_ingest", "robots_extras",
+        # r7 thirteenth swap: the crawl-tier capstone composition in for
+        # calibration (hashed green r6; quantile-cut machinery stays via
+        # quantile_sketch + psi_drift)
+        "crawl_frontier",
         # round-1 red rows, fixed + canonicalized (window_top_order /
         # rollup_revenue / retention_cohorts rotated out r6 — r1-stable,
         # hashed green five rounds, family-covered by the remaining rows;
@@ -152,9 +156,6 @@ def test_window_covers_required_operators():
         # hll_distinct / phrases / hits / zipf so the driver hashes
         # them the round they were built)
         "phrases", "hits",
-        # r6 fifth rotation: the classifier-calibration reliability
-        # report, in-window the round it was built
-        "calibration",
         # r6 sixth rotation: gap-based sessionization (the
         # session_window streaming flavor keeps its 'sessionize' row
         # past the window), the IR-eval metric report, and MinHash fuzzy

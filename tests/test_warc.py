@@ -568,6 +568,59 @@ class TestRobots:
         assert got["c.com"]["crawl_delay"] is None
 
 
+class TestCrawlFrontier:
+    def test_composition_demand_gate_politeness_rank(self, spark):
+        """links → demand counts → robots gate → crawl-delay join →
+        per-host rank; blocked urls visible but unranked; sitemap
+        priority lifts the score by priority_weight·priority."""
+        from hgraphstorage_spark.sources.warc import (
+            crawl_frontier,
+            extract_links,
+            parse_robots,
+            parse_sitemaps,
+            robots_extras,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                (1, "https://x.com/a",
+                 '<a href="https://t.com/hot">one</a> <a href="https://t.com/blocked">two</a>'),
+                (2, "https://y.com/b",
+                 '<a href="https://t.com/hot">three</a> <a href="https://u.com/solo">x</a>'),
+                (3, "https://z.com/c", '<a href="https://t.com/hot">four</a>'),
+            ],
+            "doc_id long, url string, html string",
+        )
+        robots = spark.createDataFrame(
+            [("t.com", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 3\n")],
+            "domain string, robots_txt string",
+        )
+        sm = parse_sitemaps(spark.createDataFrame(
+            [("t.com", "<urlset><url><loc>https://t.com/hot</loc>"
+              "<priority>0.9</priority></url></urlset>")],
+            "domain string, sitemap_xml string",
+        ))
+        out = {
+            r["url"]: r
+            for r in crawl_frontier(
+                extract_links(pages),
+                parse_robots(robots),
+                extras=robots_extras(robots),
+                sitemap_entries=sm,
+            ).collect()
+        }
+        hot = out["https://t.com/hot"]
+        assert (hot["n_inlinks"], hot["n_sources"]) == (3, 3)
+        assert float(hot["score"]) == 3.0 + 2.0 * 0.9  # priority lift
+        assert hot["allowed"] and hot["host_rank"] == 1
+        assert hot["crawl_delay"] == 3.0
+        blocked = out["https://t.com/blocked"]
+        assert not blocked["allowed"] and blocked["host_rank"] is None
+        solo = out["https://u.com/solo"]  # unknown host: allowed, no delay
+        assert solo["allowed"] and solo["host_rank"] == 1
+        assert solo["crawl_delay"] is None
+
+
 class TestAnchorTextIndex:
     def test_counts_topk_and_empty_anchor_row(self, spark):
         from hgraphstorage_spark.sources.warc import anchor_text_index, extract_links
