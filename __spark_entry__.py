@@ -6061,12 +6061,14 @@ def _robots_pat_ctes(agent: str = "trainbot") -> str:
                unnest(generate_series(1, len(ls))) AS t(i)
         ),
         fk AS (
+          -- adjacency over EVERY directive line (review catch: grouping
+          -- a filtered subset leaks directives across groups) — the
+          -- same rule the Spark side applies in _robots_chosen_group_rows
           SELECT domain, ord,
                  lower(trim(regexp_extract(raw, '^([^:#]+):', 1))) AS k,
                  trim(regexp_extract(raw, '^[^:#]+:[ \t]*([^#]*)', 1)) AS v
           FROM ln
-          WHERE lower(trim(regexp_extract(raw, '^([^:#]+):', 1)))
-                IN ('user-agent', 'allow', 'disallow')
+          WHERE lower(trim(regexp_extract(raw, '^([^:#]+):', 1))) != ''
         ),
         g0 AS (
           SELECT domain, ord, k, v,

@@ -423,20 +423,36 @@ def hll_estimate(
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
-    n_zero = F.when(
-        F.col("_maxb") >= F.lit(m),
-        F.raise_error(
-            F.concat(
-                F.lit(f"hll_estimate: sketch has bucket >= 2^p={m} (max bucket "),
-                F.col("_maxb").cast("string"),
-                F.lit(f") — the sketch was built with a larger p than the p={p} passed"),
+    # the guard must gate EVERY output column — attached to only one,
+    # Catalyst column pruning deletes the raise_error when a caller
+    # selects just the other (r7 review catch, execution-confirmed: a
+    # p-mismatched select('n_distinct_est') returned a negative count
+    # silently)
+    def _checked(col, dtype):
+        return (
+            F.when(
+                F.col("_maxb") >= F.lit(m),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"hll_estimate: sketch has bucket >= 2^p={m} (max bucket "
+                        ),
+                        F.col("_maxb").cast("string"),
+                        F.lit(
+                            f") — the sketch was built with a larger p than the p={p} passed"
+                        ),
+                    )
+                ).cast(dtype),
             )
-        ).cast("long"),
-    ).otherwise(v.cast("long"))
+            .otherwise(col)
+        )
+
     return agg.select(
         *gs,
-        n_zero.alias("n_zero_registers"),
-        F.round(est, 4).cast("decimal(18,4)").alias("n_distinct_est"),
+        _checked(v.cast("long"), "long").alias("n_zero_registers"),
+        _checked(F.round(est, 4).cast("decimal(18,4)"), "decimal(18,4)").alias(
+            "n_distinct_est"
+        ),
     )
 
 

@@ -79,8 +79,9 @@ WS_RE = r"[ \t\r\n]+"
 # byte-identical, so oracles are unaffected)
 TOKEN_NORM_RE = r"^[^\p{L}0-9]+|[^\p{L}0-9]+$"
 
-# &amp; decodes LAST (same ordering rule as sources/warc.py: decoding it
-# first would double-decode an author's escaped '&amp;lt;')
+# THE canonical entity table (sources/warc.py derives its dict view from
+# this — one copy of the order-sensitive contract). &amp; decodes LAST:
+# decoding it first would double-decode an author's escaped '&amp;lt;'
 ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
@@ -361,10 +362,13 @@ def main_content_expr(
     content blocks joined by ``separator``. Drops straight into any
     projection (``warc_to_documents(extract="main")`` uses it on the
     decoded response bodies). ``context=True`` adds the jusText
-    second pass (:func:`_context_keep_flags`): short headings and
-    near-good blocks between two good neighbors are promoted — still a
-    pure zero-shuffle HOF expression (two array folds for the
-    nearest-decisive scans)."""
+    second pass (:func:`_context_keep_flags`) — but as a single Column
+    expression the block chain inlines ~7x per row (HOFs get no
+    Catalyst CSE, and there is no projection boundary to alias it
+    behind inside one Column; r7 review measurement). Use
+    :func:`extract_main_content(context=True)` for context-mode
+    dataframes — it materializes the block array once; reserve this
+    expression form for the context-free tier."""
     bs = block_structs(html, stopwords, link_density_max, min_chars, stopword_min)
     return F.array_join(_kept_texts(bs, stopword_min, context), separator)
 

@@ -190,7 +190,15 @@ _TAG_DROP = re.compile(r"(?is)<(script|style)\b.*?</\1\s*>")
 _TAGS = re.compile(r"(?s)<[^>]+>")
 # &amp; decodes LAST: decoding it first would turn an author's escaped
 # '&amp;lt;' into '&lt;' and then double-decode it to '<'
-_ENTITIES = {"&lt;": "<", "&gt;": ">", "&quot;": '"', "&#39;": "'", "&nbsp;": " ", "&amp;": "&"}
+# ONE canonical entity table (r7 review catch: two copies of an
+# order-sensitive contract — '&amp;' decodes LAST — invited divergence
+# between the baseline and main extraction tiers). pipeline.extraction
+# owns it; this module keeps the dict view its loops use. No import
+# cycle: extraction's module level imports only pyspark, and this
+# module's extraction imports are function-local.
+from hgraphstorage_spark.pipeline.extraction import ENTITIES as _ENTITY_PAIRS
+
+_ENTITIES = dict(_ENTITY_PAIRS)
 
 
 def html_to_text(html: str) -> str:
@@ -344,29 +352,32 @@ def _resolve_href(src: "F.Column", href: "F.Column") -> "F.Column":
     )
 
 
-# page-metadata patterns — RE2-safe (no backrefs/lookaround; attribute
-# order handled by two-order alternates, quote style by a [^"'>] class)
+# page-metadata patterns — RE2-safe (no backrefs/lookaround; quote
+# style via a [^"'>] class). Each field is ONE pattern with the two
+# attribute orders as alternates carrying groups 1 and 2, so the FIRST
+# occurrence in DOCUMENT order wins regardless of which order that tag
+# uses (r7 review catch: separate coalesced patterns preferred the
+# name-first form over an earlier content-first tag, and robots meta
+# had no content-first alternate at all — a content-first noindex read
+# as indexable).
 _TITLE_RE = r"(?is)<title(?:>|[ \t\r\n][^>]*>)(.*?)</title[ \t\r\n]*>"
-_META_DESC_NAME_FIRST = (
-    r"""(?is)<meta[ \t\r\n][^>]*name[ \t\r\n]*=[ \t\r\n]*["']description["']"""
-    r"""[^>]*content[ \t\r\n]*=[ \t\r\n]*["']([^"']*)"""
-)
-_META_DESC_CONTENT_FIRST = (
-    r"""(?is)<meta[ \t\r\n][^>]*content[ \t\r\n]*=[ \t\r\n]*["']([^"']*)["']"""
-    r"""[^>]*name[ \t\r\n]*=[ \t\r\n]*["']description["']"""
-)
-_CANONICAL_REL_FIRST = (
-    r"""(?is)<link[ \t\r\n][^>]*rel[ \t\r\n]*=[ \t\r\n]*["']canonical["']"""
-    r"""[^>]*href[ \t\r\n]*=[ \t\r\n]*["']([^"'>]+)"""
-)
-_CANONICAL_HREF_FIRST = (
-    r"""(?is)<link[ \t\r\n][^>]*href[ \t\r\n]*=[ \t\r\n]*["']([^"'>]+)["']"""
-    r"""[^>]*rel[ \t\r\n]*=[ \t\r\n]*["']canonical["']"""
-)
-_META_ROBOTS_RE = (
-    r"""(?is)<meta[ \t\r\n][^>]*name[ \t\r\n]*=[ \t\r\n]*["']robots["']"""
-    r"""[^>]*content[ \t\r\n]*=[ \t\r\n]*["']([^"']*)"""
-)
+
+
+def _two_order_meta_re(tag: str, key_attr: str, key_val: str, val_attr: str, val_cls: str) -> str:
+    a = (
+        rf"""<{tag}[ \t\r\n][^>]*{key_attr}[ \t\r\n]*=[ \t\r\n]*["']{key_val}["']"""
+        rf"""[^>]*{val_attr}[ \t\r\n]*=[ \t\r\n]*["']({val_cls})"""
+    )
+    b = (
+        rf"""<{tag}[ \t\r\n][^>]*{val_attr}[ \t\r\n]*=[ \t\r\n]*["']({val_cls})["']"""
+        rf"""[^>]*{key_attr}[ \t\r\n]*=[ \t\r\n]*["']{key_val}["']"""
+    )
+    return rf"(?is)(?:{a}|{b})"
+
+
+_META_DESC_RE = _two_order_meta_re("meta", "name", "description", "content", "[^\"']*")
+_CANONICAL_RE = _two_order_meta_re("link", "rel", "canonical", "href", "[^\"'>]+")
+_META_ROBOTS_RE = _two_order_meta_re("meta", "name", "robots", "content", "[^\"']*")
 
 
 def extract_page_meta(
@@ -395,21 +406,22 @@ def extract_page_meta(
         return F.nullif(F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " ")), F.lit(""))
 
     html = F.col(html_col)
-    title = clean(F.regexp_extract(html, _TITLE_RE, 1))
-    desc = clean(
-        F.coalesce(
-            F.nullif(F.regexp_extract(html, _META_DESC_NAME_FIRST, 1), F.lit("")),
-            F.nullif(F.regexp_extract(html, _META_DESC_CONTENT_FIRST, 1), F.lit("")),
+
+    def first_match(pat):
+        # groups 1 / 2 are the two attribute orders of the SAME first
+        # match — exactly one participates, so coalesce is order-safe
+        return F.coalesce(
+            F.nullif(F.regexp_extract(html, pat, 1), F.lit("")),
+            F.nullif(F.regexp_extract(html, pat, 2), F.lit("")),
         )
-    )
-    canon_href = F.coalesce(
-        F.nullif(F.regexp_extract(html, _CANONICAL_REL_FIRST, 1), F.lit("")),
-        F.nullif(F.regexp_extract(html, _CANONICAL_HREF_FIRST, 1), F.lit("")),
-    )
+
+    title = clean(F.regexp_extract(html, _TITLE_RE, 1))
+    desc = clean(first_match(_META_DESC_RE))
+    canon_href = first_match(_CANONICAL_RE)
     canonical = F.when(
         canon_href.isNotNull(), _resolve_href(F.col(url_col), canon_href)
     )
-    robots = F.lower(F.regexp_extract(html, _META_ROBOTS_RE, 1))
+    robots = F.lower(F.coalesce(first_match(_META_ROBOTS_RE), F.lit("")))
     keep = [c for c in pages.columns if c != html_col]
     return pages.select(
         *keep,
@@ -637,17 +649,17 @@ def _robots_chosen_group_rows(
 ) -> DataFrame:
     """The RFC 9309 group-selection core shared by :func:`parse_robots`
     (rule_keys = allow/disallow) and :func:`robots_extras` (crawl-delay):
-    field lines filtered to user-agent + ``rule_keys``, grouped at
-    non-adjacent User-agent transitions, exact-agent-beats-* selection;
-    returns the chosen group's rows (domain, ord, k, v). Group adjacency
-    is computed over the FILTERED field set, so each caller's grouping
-    is self-consistent (the reason the key set is a parameter, not a
-    superset: an ignored directive between User-agent lines must not
-    split groups for a caller that never sees it)."""
+    group at non-adjacent User-agent transitions, exact-agent-beats-*
+    selection; returns the chosen group's user-agent + ``rule_keys``
+    rows (domain, ord, k, v). Group adjacency is computed over EVERY
+    directive line (any ``key: value`` shape, known or not — review
+    catch: adjacency over a filtered subset let a Disallow line that
+    closes one agent's user-agent run go unseen by the crawl-delay
+    caller, leaking another group's Crawl-delay into it); blank and
+    comment-only lines carry no key and never split a user-agent run
+    (the modern RFC 9309 reading)."""
     a = agent.lower()
-    fields = _robots_lines(robots, domain_col, text_col).filter(
-        F.col("k").isin("user-agent", *rule_keys)
-    )
+    fields = _robots_lines(robots, domain_col, text_col).filter(F.col("k") != "")
     w = Window.partitionBy("domain").orderBy("ord")
     grouped = fields.withColumn(
         "gid",
@@ -658,7 +670,7 @@ def _robots_chosen_group_rows(
                 1,
             ).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    ).filter(F.col("k").isin("user-agent", *rule_keys))
     score = (
         grouped.filter(F.col("k") == "user-agent")
         .groupBy("domain", "gid")
@@ -843,7 +855,9 @@ def crawl_frontier(
     per-host frontier size a scheduler caps regardless."""
     from pyspark.sql import Window
 
-    agg = (
+    from hgraphstorage_spark.pipeline.state import track
+
+    agg = track(
         links.select(F.col(url_col).alias("url"), F.col(src_col).alias("_src"))
         .groupBy("url")
         .agg(
@@ -851,6 +865,9 @@ def crawl_frontier(
             F.countDistinct("_src").cast("long").alias("n_sources"),
         )
     )
+    # persisted (track) because agg feeds BOTH the robots gate and the
+    # verdict join-back — without the lineage cut the links count
+    # aggregate is planned and executed twice (r7 review catch)
     gated = robots_filter(agg, rules, url_col="url", id_col="url")
     out = gated.join(agg, "url")
     if sitemap_entries is not None:

@@ -267,6 +267,32 @@ class TestPageMeta:
         assert got[3]["canonical_url"] is None
         assert not got[3]["robots_noindex"] and not got[3]["robots_nofollow"]
 
+    def test_content_first_robots_meta_and_cross_order_first_wins(self, spark):
+        """r7 review catches (execution-confirmed): a content-first
+        robots meta must gate (it silently read as indexable), and when
+        duplicate description/canonical tags use DIFFERENT attribute
+        orders, the first tag in DOCUMENT order wins — not whichever
+        order's pattern happened to be coalesced first."""
+        from hgraphstorage_spark.sources.warc import extract_page_meta
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://ex.com/",
+                 '<meta content="noindex, nofollow" name="robots">'),
+                (2, "https://ex.com/",
+                 '<meta content="first desc" name="description">'
+                 '<meta name="description" content="second desc">'),
+                (3, "https://ex.com/",
+                 '<link href="https://one.com/" rel="canonical">'
+                 '<link rel="canonical" href="https://two.com/">'),
+            ],
+            "doc_id long, url string, html string",
+        )
+        got = {r["doc_id"]: r for r in extract_page_meta(df).collect()}
+        assert got[1]["robots_noindex"] and got[1]["robots_nofollow"]
+        assert got[2]["meta_description"] == "first desc"
+        assert got[3]["canonical_url"] == "https://one.com/"
+
     def test_first_occurrence_wins_and_zero_shuffle(self, spark):
         from hgraphstorage_spark.sources.warc import extract_page_meta
 

@@ -1464,6 +1464,13 @@ class TestHLL:
         sk = hll_sketch(df, "v", p=12)  # buckets up to 4095
         with pytest.raises(Exception, match="larger p"):
             hll_estimate(sk, p=8).collect()
+        # the guard must survive column pruning (r7 review catch: gated
+        # only on n_zero_registers, select('n_distinct_est') silently
+        # returned a negative count)
+        with pytest.raises(Exception, match="larger p"):
+            hll_estimate(sk, p=8).select("n_distinct_est").collect()
+        with pytest.raises(Exception, match="larger p"):
+            hll_estimate(sk, p=8).select("n_zero_registers").collect()
 
     def test_merge_law(self, spark):
         """sketch(A ++ B) == hll_merge(sketch(A), sketch(B)) exactly."""

@@ -544,6 +544,35 @@ class TestRobots:
         assert got == {1: False, 2: True, 3: False, 4: True}
 
 
+    def test_group_adjacency_over_all_directive_lines(self, spark):
+        """r7 review catch (execution-confirmed): adjacency computed over
+        a FILTERED line set leaked directives across groups. A Disallow
+        line closes an agent's user-agent run even for the crawl-delay
+        caller; an ignored directive between user-agent lines splits
+        groups for the rules caller too."""
+        from hgraphstorage_spark.sources.warc import parse_robots, robots_extras
+
+        robots = spark.createDataFrame(
+            [
+                # googlebot's run closed by Disallow; trainbot's delay is
+                # a SEPARATE group — googlebot must get NULL delay
+                ("a.com", "User-agent: googlebot\nDisallow: /a\n"
+                          "User-agent: trainbot\nCrawl-delay: 5\n"),
+                # agent a's run closed by Crawl-delay; b's Disallow /x
+                # must NOT apply to a
+                ("b.com", "User-agent: aa\nCrawl-delay: 5\n"
+                          "User-agent: bb\nDisallow: /x\n"),
+                # blank/comment lines never split a user-agent run
+                ("c.com", "User-agent: aa\n\n# note\nUser-agent: bb\nDisallow: /y\n"),
+            ],
+            "domain string, robots_txt string",
+        )
+        goog = {r["domain"]: r for r in robots_extras(robots, agent="googlebot").collect()}
+        assert goog["a.com"]["crawl_delay"] is None
+        rules_a = {(r["domain"], r["path"]) for r in parse_robots(robots, agent="aa").collect()}
+        assert ("b.com", "/x") not in rules_a  # bb's rule, separate group
+        assert ("c.com", "/y") in rules_a  # blank+comment keep aa/bb adjacent
+
     def test_robots_extras_group_scoped_delay_and_sitemaps(self, spark):
         """crawl_delay follows the SAME group selection as the rules
         (exact agent beats *); malformed values are NULL not errors;
