@@ -3969,6 +3969,50 @@ def q_page_meta(spark, sf_dir):
     return extract_page_meta(pages)
 
 
+
+def q_stream_quantile(spark, sf_dir):
+    """Streaming quantile registers ACTUALLY RUN as a structured stream
+    (streaming/ingest.py:stream_quantile_sketch): events flow through 4
+    file-triggered micro-batches, each batch's bottom-k sketch MERGES
+    into the persisted register table, and the exact merge law makes
+    the final registers equal the batch sketch of every streamed row
+    bit-for-bit — so the oracle is the SAME direct one-pass bottom-k +
+    percentile_cont replay as the batch quantile_sketch row."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.functions.stats import quantile_sketch_estimate
+    from hgraphstorage_spark.streaming import load_events, stream_quantile_sketch
+
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="hgs_qsk_stream_")
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = stream_quantile_sketch(
+            stream, "value", "event_id", f"{tmp}/ckpt", f"{tmp}/regs",
+            group_cols=["event_type"], k=256,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        regs = spark.read.parquet(f"{tmp}/regs")
+        out = quantile_sketch_estimate(
+            regs, percentiles=(0.25, 0.5, 0.9), group_cols=["event_type"]
+        )
+        # materialization boundary: the temp register files are deleted
+        # on exit, so the returned frame must not re-read them lazily
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return _canon(out, "p25", "p50", "p90")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI drift report on the n_chars distribution between the even and
     odd doc_id halves of the corpus (a deterministic A/A-style slice —
@@ -4405,6 +4449,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
+        # r7 addition past the window (rotation candidate for r8): the
+        # mergeable-quantile STREAM — a real 4-micro-batch run whose
+        # final registers equal the batch sketch by the merge law
+        "stream_quantile": q_stream_quantile,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -7297,6 +7345,9 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.9), 6)::DECIMAL(18,6)::VARCHAR AS p90
         FROM s GROUP BY event_type
     """
+    # the stream's final registers equal the batch sketch EXACTLY (merge
+    # law, ids globally distinct) — same oracle as the batch row
+    sql["stream_quantile"] = sql["quantile_sketch"]
     sql["quantile_histogram"] = """
         WITH e AS (SELECT event_id, value::DOUBLE AS x FROM events WHERE value IS NOT NULL),
         r AS (SELECT x, row_number() OVER (ORDER BY x, event_id) AS rn,

@@ -1,5 +1,6 @@
 from hgraphstorage_spark.streaming.ingest import (
     dsir_stream_score,
+    stream_quantile_sketch,
     events_tumbling_agg,
     load_events,
     mutation_stream_to_snapshots,
@@ -16,6 +17,7 @@ from hgraphstorage_spark.streaming.stateful import running_label_counts, stream_
 
 __all__ = [
     "dsir_stream_score",
+    "stream_quantile_sketch",
     "enrich_with_dimension",
     "interval_join",
     "running_label_counts",

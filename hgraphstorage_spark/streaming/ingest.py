@@ -208,6 +208,71 @@ def stream_near_dedup(
     )
 
 
+def stream_quantile_sketch(
+    stream: DataFrame,
+    value_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    register_path: str,
+    group_cols=(),
+    k: int = 1024,
+    salt: str = "qsk",
+):
+    """Streaming quantile registers: every micro-batch is sketched with
+    the deterministic bottom-k
+    (``functions.stats.quantile_sketch``) and MERGED into the persisted
+    register table — the mergeable-sketch streaming pattern the HLL
+    family gets for free, realized for quantiles through the family's
+    exact merge law: because merge(sk(A), sk(B)) == sk(A ++ B) whenever
+    ids are globally distinct, the final register table equals the
+    batch sketch of every row that ever streamed, bit-for-bit (tested,
+    and certified under the driver hash by the stream_quantile row).
+
+    State is the register parquet at ``register_path`` — at most k rows
+    per group regardless of stream length; each batch reads it, merges,
+    localCheckpoints the result (so the overwrite never races its own
+    input scan) and rewrites it. foreachBatch redelivery is absorbed by
+    a (group, hkey, value)-distinct before the re-rank: replaying a
+    batch re-contributes identical register rows, which collapse
+    instead of displacing genuine ones (at-least-once → idempotent; the
+    only caveat is the 60-bit md5 collision class shared by the whole
+    hash family).
+
+    Returns the started StreamingQuery (caller stops it)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from hgraphstorage_spark.functions.stats import quantile_sketch
+
+    gs = list(group_cols)
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch_df.sparkSession
+        new = quantile_sketch(batch_df, value_col, id_col, gs, k, salt)
+        try:
+            prev = spark.read.parquet(register_path)
+            unioned = prev.unionByName(new)
+        except AnalysisException:
+            unioned = new
+        w = Window.partitionBy(*gs).orderBy("hkey", "value")
+        merged = (
+            unioned.distinct()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(register_path)
+
+    return (
+        stream.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def dsir_stream_score(
     stream_docs: DataFrame,
     ratios: DataFrame,
