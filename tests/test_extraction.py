@@ -192,6 +192,71 @@ class TestPiiScrub:
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+class TestStreamingComposability:
+    def test_pii_and_extraction_are_stream_native(self, spark):
+        """Both new projections are pure narrow expressions, so they run
+        UNCHANGED on a structured stream and match batch exactly — the
+        quality_filter_narrow contract extended to the r7 ops."""
+        import shutil
+        import tempfile
+        import uuid
+
+        from hgraphstorage_spark.pipeline.extraction import main_content_expr
+        from hgraphstorage_spark.pipeline.pii import pii_scrub
+
+        rows = [
+            (1, "<body><p>Write to alice@example.com with all of the usual "
+                "words that make this block read like content.</p>"
+                "<footer>Copyright 2024</footer></body>"),
+            (2, "<body><p>Another page where the text is made of the most "
+                "common words and an ip 10.1.2.3 appears.</p></body>"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, html string")
+        tmp = tempfile.mkdtemp(prefix="hgs_streamcomp_")
+        qname = f"sc_{uuid.uuid4().hex[:8]}"
+        try:
+            docs.repartition(2).write.mode("overwrite").parquet(f"{tmp}/src")
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/src")
+            )
+            proj = pii_scrub(
+                stream.select(
+                    "doc_id", main_content_expr(F.col("html")).alias("text")
+                )
+            )
+            q = (
+                proj.writeStream.format("memory").queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            got = {
+                r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {qname}").collect()
+            }
+            batch = {
+                r["doc_id"]: r
+                for r in pii_scrub(
+                    docs.select(
+                        "doc_id", main_content_expr(F.col("html")).alias("text")
+                    )
+                ).collect()
+            }
+            assert len(got) == 2
+            for i in (1, 2):
+                assert got[i]["text_clean"] == batch[i]["text_clean"]
+            assert "<EMAIL>" in got[1]["text_clean"]
+            assert "Copyright" not in got[1]["text_clean"]
+            assert "<IP>" in got[2]["text_clean"]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 class TestLanguageRouting:
     def test_lang_routed_stopwords_keep_non_english_prose(self, spark):
         """German/French prose scores near-zero on the English list (all

@@ -647,3 +647,30 @@ def test_quantile_sketch_merge_law_any_split(spark, vals, split, k):
     a, b, u = mk(left), mk(right), mk(left + right)
     sk = lambda df: quantile_sketch(df, "v", "id", k=k)  # noqa: E731
     assert bag(quantile_sketch_merge(sk(a), sk(b), k=k)) == bag(sk(u))
+
+
+_html_frag = st.lists(
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<div>", "</div>", "<h2>", "</h2>", "<nav>", "</nav>",
+            '<a href="/x">', "</a>", "the and of a to in it is was for on",
+            "zz qq xx jj", "Words here", "", "&amp;", "<script>x</script>",
+        ]
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(frags=_html_frag)
+def test_context_pass_is_superset_on_random_pages(spark, frags):
+    """jusText tier-2 law: promotion only ever ADDS blocks — on ANY page
+    the context-free kept lines are a subset of the context pass's."""
+    from hgraphstorage_spark.pipeline.extraction import extract_main_content
+
+    html = "".join(frags)
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    base = extract_main_content(df).collect()[0]["content"]
+    ctx = extract_main_content(df, context=True).collect()[0]["content"]
+    assert set(base.split("\n")) - {""} <= set(ctx.split("\n")) - {""}
