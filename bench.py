@@ -213,15 +213,23 @@ R6_OPS = [
     "skipping_report",
 ]
 
-# round-7 operators, same contract (timed, outside the headline)
+# round-7 operators, same contract (timed, outside the headline).
+# stream_quantile joins the untimed streaming rows (micro-batch harness
+# setup dominates at bench SF, same as stream_hll & co).
 R7_OPS = [
     "main_content",
+    "main_content_ctx",
     "tokenizer_fertility",
     "boilerplate_paragraph",
     "topic_split",
     "extract_links",
     "quantile_sketch",
     "ngram_jaccard",  # now the prefix-filter plan (the scale path)
+    "page_meta",
+    "pii_scrub",
+    "sitemap_ingest",
+    "robots_extras",
+    "crawl_frontier",
 ]
 
 
