@@ -550,20 +550,33 @@ def quantile_sketch(
 
 
 def quantile_sketch_merge(
-    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = (), k: int = 1024
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = 1024,
+    dedup: bool = False,
 ) -> DataFrame:
     """Bottom-k of the union of two registers built with the SAME
     (id space, salt, k) — the associative merge: whenever ids are
     globally distinct across inputs, merge(sketch(A), sketch(B)) ==
     sketch(A ++ B) EXACTLY (tested as a law), so per-shard / per-day
-    registers roll up without touching raw data."""
+    registers roll up without touching raw data.
+
+    ``dedup=True`` collapses identical register rows before the re-rank
+    — the at-least-once absorber the STREAMING consumer needs (a
+    replayed batch re-contributes byte-identical rows, which must not
+    displace genuine ones). Kept here so the tie-break ordering lives
+    in ONE place (r7 review: an inline copy in the stream would
+    silently diverge if this ordering ever changed)."""
     from pyspark.sql import Window
 
     gs = list(group_cols)
+    u = a.unionByName(b)
+    if dedup:
+        u = u.distinct()
     w = Window.partitionBy(*gs).orderBy("hkey", "value")
     return (
-        a.unionByName(b)
-        .withColumn("_rn", F.row_number().over(w))
+        u.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

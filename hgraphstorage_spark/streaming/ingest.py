@@ -229,41 +229,56 @@ def stream_quantile_sketch(
     and certified under the driver hash by the stream_quantile row).
 
     State is the register parquet at ``register_path`` — at most k rows
-    per group regardless of stream length; each batch reads it, merges,
-    localCheckpoints the result (so the overwrite never races its own
-    input scan) and rewrites it. foreachBatch redelivery is absorbed by
-    a (group, hkey, value)-distinct before the re-rank: replaying a
-    batch re-contributes identical register rows, which collapse
-    instead of displacing genuine ones (at-least-once → idempotent; the
-    only caveat is the 60-bit md5 collision class shared by the whole
-    hash family).
+    per group regardless of stream length; each batch reads it, merges
+    through :func:`quantile_sketch_merge(dedup=True)` (the ONE home of
+    the tie-break ordering; the distinct absorbs foreachBatch
+    redelivery — a replayed batch re-contributes identical register
+    rows, which collapse instead of displacing genuine ones), writes
+    the result to a temp dir and SWAPS it in with Hadoop FS renames
+    (rename is atomic on HDFS/ABFS/local; the previous state survives
+    as ``__old`` until the swap completes and the read side falls back
+    to it, so a crash at any point between the renames loses nothing —
+    on S3, whose rename is copy+delete, point register_path at a
+    rename-capable store, the same contract as store.py's CAS ledger).
+    A register dir that exists but fails to UNION (schema drift, e.g. a
+    restart with different group_cols) raises instead of being misread
+    as first-batch (r7 review: the broad except silently discarded all
+    accumulated state).
 
     Returns the started StreamingQuery (caller stops it)."""
-    from pyspark.sql.utils import AnalysisException
-
-    from hgraphstorage_spark.functions.stats import quantile_sketch
+    from hgraphstorage_spark.functions.stats import quantile_sketch, quantile_sketch_merge
 
     gs = list(group_cols)
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
         spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        fs = HPath(register_path).getFileSystem(conf)
+        main_p, old_p = HPath(register_path), HPath(register_path + "__old")
+        tmp = register_path + "__tmp"
+
         new = quantile_sketch(batch_df, value_col, id_col, gs, k, salt)
-        try:
-            prev = spark.read.parquet(register_path)
-            unioned = prev.unionByName(new)
-        except AnalysisException:
-            unioned = new
-        w = Window.partitionBy(*gs).orderBy("hkey", "value")
-        merged = (
-            unioned.distinct()
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= k)
-            .drop("_rn")
-            .localCheckpoint(eager=True)
-        )
-        merged.write.mode("overwrite").parquet(register_path)
+        # read the current state: primary, else the pre-swap fallback;
+        # only ABSENCE selects the first-batch branch — union errors
+        # (schema drift) must propagate, not silently drop state
+        if fs.exists(main_p):
+            merged = quantile_sketch_merge(
+                spark.read.parquet(register_path), new, gs, k, dedup=True
+            )
+        elif fs.exists(old_p):
+            merged = quantile_sketch_merge(
+                spark.read.parquet(register_path + "__old"), new, gs, k, dedup=True
+            )
+        else:
+            merged = new
+        merged.write.mode("overwrite").parquet(tmp)
+        fs.delete(old_p, True)
+        if fs.exists(main_p):
+            fs.rename(main_p, old_p)
+        fs.rename(HPath(tmp), main_p)
+        fs.delete(old_p, True)
 
     return (
         stream.writeStream.foreachBatch(publish)

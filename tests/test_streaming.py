@@ -746,44 +746,40 @@ class TestStreamTopicScore:
 
 
 class TestStreamQuantileSketch:
-    def test_stream_registers_equal_batch_sketch(self, spark, tmpdir=None):
+    def test_stream_registers_equal_batch_sketch(self, spark, tmpdir):
         """The mergeable-quantile stream: 4 micro-batches of events
         merged into the register table must equal the one-shot batch
         sketch BIT-FOR-BIT (the exact merge law — ids globally
-        distinct), and the state stays <= k rows per group."""
-        import shutil
-        import tempfile
-
-        from tests.conftest import bag
+        distinct), the state stays <= k rows per group, and no __tmp /
+        __old swap residue survives a clean run."""
+        import os
 
         from hgraphstorage_spark.functions.stats import quantile_sketch
         from hgraphstorage_spark.streaming import load_events, stream_quantile_sketch
 
-        ev = load_events(spark, "/root/testdata/sf0.01").select(
+        ev = load_events(spark, "/root/testdata/sf0.001").select(
             "event_id", "event_type", "value"
         )
-        tmp = tempfile.mkdtemp(prefix="hgs_qsk_")
+        ev.repartition(4).write.mode("overwrite").parquet(f"{tmpdir}/src")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/src")
+        )
+        q = stream_quantile_sketch(
+            stream, "value", "event_id", f"{tmpdir}/ckpt", f"{tmpdir}/regs",
+            group_cols=["event_type"], k=64,
+        )
         try:
-            ev.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
-            stream = (
-                spark.readStream.schema(ev.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(f"{tmp}/src")
-            )
-            q = stream_quantile_sketch(
-                stream, "value", "event_id", f"{tmp}/ckpt", f"{tmp}/regs",
-                group_cols=["event_type"], k=64,
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-            got = spark.read.parquet(f"{tmp}/regs")
-            want = quantile_sketch(
-                ev, "value", "event_id", group_cols=["event_type"], k=64
-            )
-            assert bag(got) == bag(want)
-            per_group = got.groupBy("event_type").count().collect()
-            assert all(r["count"] <= 64 for r in per_group)
+            q.processAllAvailable()
         finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            q.stop()
+        got = spark.read.parquet(f"{tmpdir}/regs")
+        want = quantile_sketch(
+            ev, "value", "event_id", group_cols=["event_type"], k=64
+        )
+        assert bag(got) == bag(want)
+        per_group = got.groupBy("event_type").count().collect()
+        assert all(r["count"] <= 64 for r in per_group)
+        assert not os.path.exists(f"{tmpdir}/regs__tmp")
+        assert not os.path.exists(f"{tmpdir}/regs__old")
