@@ -784,3 +784,71 @@ class TestFinalWavePlanAudits:
         plan = executed_plan(audio_match(corpus, probe))
         assert "partial_count" in plan  # vote agg map-side combined
         assert "CartesianProduct" not in plan and "Window" not in plan
+
+
+class TestRound7PlanAudits:
+    def test_crawl_frontier_host_partitioned_rank_and_broadcast_rules(self, spark):
+        """The frontier rank must be a HOST-partitioned window (never a
+        single-partition global sort), the robots rules table must
+        broadcast, and no cartesian product may appear anywhere in the
+        composition."""
+        import re
+
+        from hgraphstorage_spark.pipeline.state import release_all_tracked
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import (
+            crawl_frontier,
+            extract_links,
+            parse_robots,
+        )
+
+        pages = spark.createDataFrame(
+            [(1, "https://a.com/x", '<a href="https://t.com/p">z</a>')],
+            "doc_id long, url string, html string",
+        )
+        robots = spark.createDataFrame(
+            [("t.com", "User-agent: *\nDisallow: /q\n")],
+            "domain string, robots_txt string",
+        )
+        try:
+            plan = executed_plan(crawl_frontier(extract_links(pages), parse_robots(robots)))
+            assert "CartesianProduct" not in plan
+            assert "BroadcastHashJoin" in plan  # the rules gate
+            # every window is KEYED (frontier rank by host, robots parse
+            # chains by domain) — no global single-partition window
+            specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+            assert specs
+            for spec in specs:
+                assert spec.startswith("host#") or spec.startswith("domain#"), spec
+        finally:
+            release_all_tracked()
+
+    def test_parse_sitemaps_single_generate_no_shuffle(self, spark):
+        """Sitemap parsing is one block-extract + one explode to the
+        per-entry result shape: no Exchange, no Python UDF."""
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import parse_sitemaps
+
+        df = spark.createDataFrame(
+            [("a.com", "<urlset><url><loc>https://a.com/x</loc></url></urlset>")],
+            "domain string, sitemap_xml string",
+        )
+        plan = executed_plan(parse_sitemaps(df))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_quantile_sketch_estimate_partial_agg(self, spark):
+        """The estimate over registers is a grouped percentile agg with
+        map-side partials — nothing corpus-sized moves."""
+        from hgraphstorage_spark.functions.stats import (
+            quantile_sketch,
+            quantile_sketch_estimate,
+        )
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.streaming import load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        sk = quantile_sketch(ev, "value", "event_id", group_cols=["event_type"], k=64)
+        plan = executed_plan(quantile_sketch_estimate(sk, (0.5,), ["event_type"]))
+        assert "WindowGroupLimit" in plan  # the sketch's bottom-k prune
+        assert "CartesianProduct" not in plan
