@@ -4216,7 +4216,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # merge law itself; vocab_drift (hashed green r6; the drift
         # family keeps psi_drift in-window) gives its slot to the BPE
         # fertility report, whose oracle unrolls the full merge fold
-        "quantile_sketch": q_quantile_sketch,
+        # r7 fourteenth swap: the batch quantile_sketch row gives its
+        # slot to its STREAM twin — the strictly stronger certificate
+        # (same oracle, but the registers are produced by a REAL
+        # 4-micro-batch foreachBatch merge, so the driver hash also
+        # proves stream == batch via the exact merge law); the batch
+        # build/merge/estimate machinery is exactly what the stream row
+        # executes per batch
+        "stream_quantile": q_stream_quantile,
         # r6 third rotation: incremental_near_dup / weighted_sample
         # (hashed green r4+r5+r6-replica; the dedup family keeps six
         # in-window rows and sampling keeps the DSIR pair + the
@@ -4449,10 +4456,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_deciles": q_ntile_deciles,
         "streaming_summary": q_streaming_summary,
         "decontaminate": q_decontaminate,
-        # r7 addition past the window (rotation candidate for r8): the
-        # mergeable-quantile STREAM — a real 4-micro-batch run whose
-        # final registers equal the batch sketch by the merge law
-        "stream_quantile": q_stream_quantile,
+        # r7 fourteenth swap, rotated-out row (its machinery IS the
+        # in-window stream_quantile row's per-batch engine)
+        "quantile_sketch": q_quantile_sketch,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,

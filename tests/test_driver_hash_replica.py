@@ -103,7 +103,7 @@ def test_window_covers_required_operators():
         # twin, topic_terms' partitioned rank, topic_split's full CTE
         # chain)
         "main_content", "tokenizer_fertility", "boilerplate_paragraph",
-        "topic_split", "extract_links", "quantile_sketch",
+        "topic_split", "extract_links", "stream_quantile",
         # r7 twelfth rotation: the crawl/PII wave built late in round 7,
         # in-window the round it was built. OUT: corr_matrix /
         # gap_sessions / zipf / shard_plan / ann_recall — all hashed
