@@ -2062,6 +2062,37 @@ def q_corpus_report(spark, sf_dir):
     )
 
 
+
+def q_datasheet(spark, sf_dir):
+    """Per-source dataset datasheet — the one-table summary a dataset
+    card ships (Gebru et al. 2021's quantitative core): corpus
+    accounting (docs/tokens/chars), the Gopher-gate pass rate, and
+    language spread, composed from the already-certified machinery
+    (corpus_report token accounting + the shared quality-rule
+    expressions). Oracle composes the same replays: the corpus_report
+    projection joined with the _QF_CTES pass rule."""
+    from hgraphstorage_spark.pipeline import quality_filter
+    from hgraphstorage_spark.pipeline.text import _n_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    passes = quality_filter(docs).select("doc_id", "passes")
+    per = docs.join(passes, "doc_id").select(
+        "source",
+        "lang",
+        F.length("text").alias("_chars"),
+        _n_tokens(F.col("text")).alias("_toks"),
+        F.col("passes").cast("int").alias("_p"),
+    )
+    out = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_toks").cast("long").alias("total_tokens"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.round(F.avg("_p"), 6).cast("decimal(18,6)").alias("quality_pass_rate"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    return _canon(out, "quality_pass_rate")
+
+
 def q_betweenness(spark, sf_dir):
     """Brandes betweenness from the 5 region landmarks over the
     located-in forest. Trees make the dependency closed-form — every
@@ -4459,6 +4490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 fourteenth swap, rotated-out row (its machinery IS the
         # in-window stream_quantile row's per-batch engine)
         "quantile_sketch": q_quantile_sketch,
+        # r7 addition past the window (r8 rotation candidate): the
+        # per-source dataset-card summary composed from certified parts
+        "datasheet": q_datasheet,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -6783,6 +6817,23 @@ def oracle_sql() -> dict[str, str]:
         FROM q JOIN sz ON q.cluster = sz.cluster WHERE sz.n > 1"""
     )
     sql["cluster_split"] = _cluster_safe_split_oracle_sql(3, max_doc_freq=100)
+    sql["datasheet"] = rf"""
+        WITH {_QF_CTES},
+        pass AS (SELECT doc_id, {_QF_PASSES} AS passes FROM r),
+        p AS (
+          SELECT d.source, d.lang, length(d.text) AS chars,
+                 CASE WHEN length(trim(d.text)) = 0 THEN 0
+                      ELSE array_length(regexp_split_to_array(trim(d.text), '[ \t\n\x0b\f\r]+')) END AS toks,
+                 CASE WHEN pass.passes THEN 1 ELSE 0 END AS p
+          FROM documents d JOIN pass ON d.doc_id = pass.doc_id
+        )
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(toks)::BIGINT AS total_tokens,
+               sum(chars)::BIGINT AS total_chars,
+               CAST(round(avg(p), 6) AS DECIMAL(18,6))::VARCHAR AS quality_pass_rate,
+               count(DISTINCT lang)::BIGINT AS n_langs
+        FROM p GROUP BY source
+    """
     sql["corpus_report"] = r"""
         WITH p AS (
           SELECT source, length(text) AS chars,
