@@ -274,10 +274,24 @@ def stream_quantile_sketch(
         else:
             merged = new
         merged.write.mode("overwrite").parquet(tmp)
-        fs.delete(old_p, True)
+        # swap order is the crash-safety contract (ADVICE r7): a stale
+        # __old is deleted ONLY while main is live — when main is absent
+        # the state lives in __old alone (prior crash between renames),
+        # and deleting it before tmp->main would leave NEITHER dir, so
+        # the next batch would take the first-batch branch and silently
+        # discard every accumulated register. Rename returns are checked:
+        # Hadoop FS rename reports failure as False, not an exception,
+        # and proceeding past a failed rename corrupts the swap.
         if fs.exists(main_p):
-            fs.rename(main_p, old_p)
-        fs.rename(HPath(tmp), main_p)
+            fs.delete(old_p, True)
+            if not fs.rename(main_p, old_p):
+                raise IOError(
+                    f"stream_quantile_sketch: rename {register_path} -> __old failed"
+                )
+        if not fs.rename(HPath(tmp), main_p):
+            raise IOError(
+                f"stream_quantile_sketch: rename __tmp -> {register_path} failed"
+            )
         fs.delete(old_p, True)
 
     return (

@@ -783,3 +783,49 @@ class TestStreamQuantileSketch:
         assert all(r["count"] <= 64 for r in per_group)
         assert not os.path.exists(f"{tmpdir}/regs__tmp")
         assert not os.path.exists(f"{tmpdir}/regs__old")
+
+    def test_crash_window_old_only_state_survives(self, spark, tmpdir):
+        """ADVICE r7 (medium): if a crash lands between the two swap
+        renames, the accumulated state lives ONLY in ``__old`` (main
+        absent). The next batch must merge against that fallback — and
+        must NOT delete it before main is restored, or a second crash in
+        that window silently resets the stream to first-batch. Simulate
+        the window by renaming main -> __old between two runs and check
+        the final registers still equal the batch sketch of ALL rows."""
+        import os
+
+        from hgraphstorage_spark.functions.stats import quantile_sketch
+        from hgraphstorage_spark.streaming import load_events, stream_quantile_sketch
+
+        ev = load_events(spark, "/root/testdata/sf0.001").select(
+            "event_id", "event_type", "value"
+        )
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        second = ev.filter(F.col("event_id") % 2 == 1)
+
+        def run(src_df, src, ckpt):
+            src_df.repartition(2).write.mode("overwrite").parquet(f"{tmpdir}/{src}")
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmpdir}/{src}")
+            )
+            q = stream_quantile_sketch(
+                stream, "value", "event_id", f"{tmpdir}/{ckpt}",
+                f"{tmpdir}/regs", group_cols=["event_type"], k=64,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run(first, "src1", "ckpt1")
+        # simulate the crash window: main renamed away, state in __old only
+        os.rename(f"{tmpdir}/regs", f"{tmpdir}/regs__old")
+        run(second, "src2", "ckpt2")
+        got = spark.read.parquet(f"{tmpdir}/regs")
+        want = quantile_sketch(
+            ev, "value", "event_id", group_cols=["event_type"], k=64
+        )
+        assert bag(got) == bag(want)
+        assert not os.path.exists(f"{tmpdir}/regs__old")
