@@ -3950,21 +3950,25 @@ def q_page_meta(spark, sf_dir):
     i = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     title = F.concat(F.lit("<tItLe>Doc "), s(i), F.lit(" &amp; Co</tItLe>"))
+    # the name-first form carries an APOSTROPHE inside its double-quoted
+    # value and the content-first form uses SINGLE-quoted attributes —
+    # both driver-hash the ADVICE-r7 per-quote-alternate fix (a combined
+    # [^"'] class truncated "Bob's summary 3" to "Bob")
     desc = (
         F.when(
             i % 3 != 0,
             F.when(
                 i % 2 == 0,
                 F.concat(
-                    F.lit('<meta name="description" content="summary '),
+                    F.lit('<meta name="description" content="Bob\'s summary '),
                     s(i % 7),
                     F.lit('">'),
                 ),
             ).otherwise(
                 F.concat(
-                    F.lit('<meta content="summary '),
+                    F.lit("<meta content='summary "),
                     s(i % 7),
-                    F.lit('" name="description">'),
+                    F.lit("' name='description'>"),
                 )
             ),
         ).otherwise(F.lit(""))
@@ -3977,17 +3981,19 @@ def q_page_meta(spark, sf_dir):
                 F.concat(F.lit('<link rel="canonical" href="/c/'), s(i % 5), F.lit('">')),
             ).otherwise(
                 F.concat(
-                    F.lit('<link href="https://canon.example.com/'),
+                    F.lit("<link href='https://canon.example.com/"),
                     s(i % 5),
-                    F.lit('" rel="canonical">'),
+                    F.lit("' rel='canonical'>"),
                 )
             ),
         ).otherwise(F.lit(""))
     )
+    # i%20==0 exercises the de-facto 'none' token (== noindex,nofollow)
     robots = (
         F.when(
             i % 5 == 0,
-            F.when(
+            F.when(i % 20 == 0, F.lit('<meta name="robots" content="none">'))
+            .when(
                 i % 10 == 0, F.lit('<meta name="robots" content="noindex, follow">')
             ).otherwise(F.lit('<meta name="robots" content="NOFOLLOW">')),
         ).otherwise(F.lit(""))
@@ -6924,7 +6930,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT ru.doc_id, ru.url,
                'Doc ' || ru.doc_id || ' & Co' AS title,
                CASE WHEN ru.doc_id % 3 != 0
-                    THEN 'summary ' || (ru.doc_id % 7) END AS meta_description,
+                    THEN CASE WHEN ru.doc_id % 2 = 0
+                              THEN 'Bob''s summary ' || (ru.doc_id % 7)
+                              ELSE 'summary ' || (ru.doc_id % 7) END
+               END AS meta_description,
                CASE WHEN ru.doc_id % 4 != 1 THEN
                  CASE WHEN ru.doc_id % 2 = 0 THEN
                    (CASE WHEN ru.doc_id % 3 = 1 THEN 'http' ELSE 'https' END) || '://'
@@ -6933,7 +6942,8 @@ def oracle_sql() -> dict[str, str]:
                  ELSE 'https://canon.example.com/' || (ru.doc_id % 5) END
                END AS canonical_url,
                (ru.doc_id % 5 = 0 AND ru.doc_id % 10 = 0) AS robots_noindex,
-               (ru.doc_id % 5 = 0 AND ru.doc_id % 10 != 0) AS robots_nofollow
+               (ru.doc_id % 5 = 0 AND (ru.doc_id % 10 != 0 OR ru.doc_id % 20 = 0))
+                 AS robots_nofollow
         FROM ru
     """
     sql["tokenizer_fertility"] = _fertility_oracle_sql()

@@ -363,21 +363,36 @@ def _resolve_href(src: "F.Column", href: "F.Column") -> "F.Column":
 _TITLE_RE = r"(?is)<title(?:>|[ \t\r\n][^>]*>)(.*?)</title[ \t\r\n]*>"
 
 
-def _two_order_meta_re(tag: str, key_attr: str, key_val: str, val_attr: str, val_cls: str) -> str:
-    a = (
-        rf"""<{tag}[ \t\r\n][^>]*{key_attr}[ \t\r\n]*=[ \t\r\n]*["']{key_val}["']"""
-        rf"""[^>]*{val_attr}[ \t\r\n]*=[ \t\r\n]*["']({val_cls})"""
-    )
-    b = (
-        rf"""<{tag}[ \t\r\n][^>]*{val_attr}[ \t\r\n]*=[ \t\r\n]*["']({val_cls})["']"""
-        rf"""[^>]*{key_attr}[ \t\r\n]*=[ \t\r\n]*["']{key_val}["']"""
-    )
-    return rf"(?is)(?:{a}|{b})"
+def _two_order_meta_re(tag: str, key_attr: str, key_val: str, val_attr: str, excl: str = "", plus: bool = False) -> str:
+    # four alternates: {key-first, value-first} x {double, single} quote.
+    # Each alternate HARDCODES its value-delimiting quote so the body
+    # class excludes only THAT quote — a combined [^"'] class terminated
+    # a double-quoted value at the first apostrophe, truncating
+    # content="Bob's blog" to "Bob" (ADVICE r7). Still RE2-safe: no
+    # backreference needed because the quote is spelled per alternate.
+    # Group order: key-first-dq(1), key-first-sq(2), value-first-dq(3),
+    # value-first-sq(4) — callers coalesce all four.
+    star = "+" if plus else "*"
+    key = rf"""{key_attr}[ \t\r\n]*=[ \t\r\n]*["']{key_val}["']"""
+    alts = []
+    for order in ("key_first", "val_first"):
+        for q in ('"', "'"):
+            body = rf"[^{q}{excl}]{star}"
+            val = rf"{val_attr}[ \t\r\n]*=[ \t\r\n]*{q}({body})"
+            if order == "key_first":
+                alts.append(rf"<{tag}[ \t\r\n][^>]*{key}[^>]*{val}")
+            else:
+                alts.append(rf"<{tag}[ \t\r\n][^>]*{val}{q}[^>]*{key}")
+    return r"(?is)(?:" + "|".join(alts) + ")"
 
 
-_META_DESC_RE = _two_order_meta_re("meta", "name", "description", "content", "[^\"']*")
-_CANONICAL_RE = _two_order_meta_re("link", "rel", "canonical", "href", "[^\"'>]+")
-_META_ROBOTS_RE = _two_order_meta_re("meta", "name", "robots", "content", "[^\"']*")
+_META_DESC_RE = _two_order_meta_re("meta", "name", "description", "content")
+_CANONICAL_RE = _two_order_meta_re("link", "rel", "canonical", "href", excl=">", plus=True)
+_META_ROBOTS_RE = _two_order_meta_re("meta", "name", "robots", "content")
+
+# the de-facto 'none' token (Google/Bing) == noindex,nofollow; matched as
+# a standalone comma/space-delimited token so 'nonexistent' can't fire
+_ROBOTS_NONE_RE = r"(^|[ ,])none([ ,]|$)"
 
 
 def extract_page_meta(
@@ -408,11 +423,11 @@ def extract_page_meta(
     html = F.col(html_col)
 
     def first_match(pat):
-        # groups 1 / 2 are the two attribute orders of the SAME first
-        # match — exactly one participates, so coalesce is order-safe
+        # groups 1-4 are the attribute-order x quote-style alternates of
+        # the SAME first match — exactly one participates, so coalesce
+        # is order-safe
         return F.coalesce(
-            F.nullif(F.regexp_extract(html, pat, 1), F.lit("")),
-            F.nullif(F.regexp_extract(html, pat, 2), F.lit("")),
+            *(F.nullif(F.regexp_extract(html, pat, g), F.lit("")) for g in (1, 2, 3, 4))
         )
 
     title = clean(F.regexp_extract(html, _TITLE_RE, 1))
@@ -422,14 +437,18 @@ def extract_page_meta(
         canon_href.isNotNull(), _resolve_href(F.col(url_col), canon_href)
     )
     robots = F.lower(F.coalesce(first_match(_META_ROBOTS_RE), F.lit("")))
+    # 'none' == noindex,nofollow (de-facto standard): without it a page
+    # the site explicitly excluded read as indexable — the wrong
+    # direction for a polite-corpus drop gate (ADVICE r7)
+    has_none = robots.rlike(_ROBOTS_NONE_RE)
     keep = [c for c in pages.columns if c != html_col]
     return pages.select(
         *keep,
         title.alias("title"),
         desc.alias("meta_description"),
         canonical.alias("canonical_url"),
-        robots.contains("noindex").alias("robots_noindex"),
-        robots.contains("nofollow").alias("robots_nofollow"),
+        (robots.contains("noindex") | has_none).alias("robots_noindex"),
+        (robots.contains("nofollow") | has_none).alias("robots_nofollow"),
     )
 
 

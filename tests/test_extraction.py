@@ -358,6 +358,42 @@ class TestPageMeta:
         assert got[2]["meta_description"] == "first desc"
         assert got[3]["canonical_url"] == "https://one.com/"
 
+    def test_quote_styles_apostrophes_and_robots_none(self, spark):
+        """ADVICE r7: (a) a double-quoted value containing an apostrophe
+        must NOT truncate at it (the combined [^"'] class yielded 'Bob'
+        for content="Bob's blog"); (b) single-quoted attributes parse,
+        including values containing double quotes; (c) the de-facto
+        robots token 'none' means noindex AND nofollow, matched as a
+        standalone token so 'nonexistent' cannot fire."""
+        from hgraphstorage_spark.sources.warc import extract_page_meta
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://ex.com/",
+                 '<meta name="description" content="Bob\'s blog">'),
+                (2, "https://ex.com/",
+                 "<meta name='description' content='she said \"hi\"'>"
+                 "<link rel='canonical' href='https://sq.example.com/'>"),
+                (3, "https://ex.com/", '<meta name="robots" content="none">'),
+                (4, "https://ex.com/", '<meta name="robots" content="NONE">'),
+                (5, "https://ex.com/",
+                 '<meta name="robots" content="nonexistent-token">'),
+                (6, "https://ex.com/",
+                 "<meta content='O'Reilly wins' name='description'>"),
+            ],
+            "doc_id long, url string, html string",
+        )
+        got = {r["doc_id"]: r for r in extract_page_meta(df).collect()}
+        assert got[1]["meta_description"] == "Bob's blog"
+        assert got[2]["meta_description"] == 'she said "hi"'
+        assert got[2]["canonical_url"] == "https://sq.example.com/"
+        assert got[3]["robots_noindex"] and got[3]["robots_nofollow"]
+        assert got[4]["robots_noindex"] and got[4]["robots_nofollow"]
+        assert not got[5]["robots_noindex"] and not got[5]["robots_nofollow"]
+        # an apostrophe inside a single-quoted value is malformed HTML —
+        # the single-quote body stops at it (browser behavior)
+        assert got[6]["meta_description"] == "O"
+
     def test_first_occurrence_wins_and_zero_shuffle(self, spark):
         from hgraphstorage_spark.sources.warc import extract_page_meta
 
