@@ -1414,6 +1414,7 @@ def url_dedup(
     url_col: str = "url",
     ts_col: str | None = None,
     canonical_col: str | None = None,
+    same_site_only: bool = True,
 ) -> DataFrame:
     """Exact dedup on the normalized URL: one row per canonical URL,
     keeping the earliest ``ts_col`` (re-crawls keep the first fetch;
@@ -1427,19 +1428,37 @@ def url_dedup(
     collapsing mobile/AMP/print variants the URL normalizer can't see —
     and rows without one fall back to their own normalized URL.
     ``url_norm`` reports whichever key grouped the row.
+    ``same_site_only`` (default True) honors the canonical only when its
+    normalized host and the page URL's host are the same SITE — equal,
+    or one a dot-boundary suffix of the other (``m.ex.com`` ->
+    ``ex.com`` and ``ex.com`` -> ``amp.ex.com`` both qualify; that is
+    the mobile/AMP/print-variant use case) — while a canonical pointing
+    at an UNRELATED host (the cross-host canonical farm, the syndicated
+    copy canonicalizing to the original) falls back to the page's own
+    URL instead of collapsing distinct-content rows with no audit
+    signal (ADVICE r7). Pass ``same_site_only=False`` to trust
+    cross-site canonicals already validated upstream.
 
     Shape: one url_norm-keyed window (the standard keeper envelope —
     same pattern as ``streaming.stream_near_dedup``'s batch branch);
     URL keys are near-uniform, no skew mitigation needed."""
     from pyspark.sql import Window
 
-    key = (
-        url_normalized(F.col(url_col))
-        if canonical_col is None
-        else F.coalesce(
-            url_normalized(F.col(canonical_col)), url_normalized(F.col(url_col))
-        )
-    )
+    if canonical_col is None:
+        key = url_normalized(F.col(url_col))
+    else:
+        own = url_normalized(F.col(url_col))
+        canon = url_normalized(F.col(canonical_col))
+        if same_site_only:
+            host = lambda c: F.regexp_extract(c, r"^([^/?]+)", 1)  # noqa: E731
+            hc, hp = host(canon), host(own)
+            same_site = (
+                (hc == hp)
+                | hp.endswith(F.concat(F.lit("."), hc))
+                | hc.endswith(F.concat(F.lit("."), hp))
+            )
+            canon = F.when(same_site, canon)
+        key = F.coalesce(canon, own)
     with_norm = docs.withColumn("url_norm", key)
     others = [F.col(c) for c in docs.columns if c != ts_col]
     order = ([F.col(ts_col)] if ts_col else []) + (

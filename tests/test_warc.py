@@ -181,6 +181,49 @@ class TestUrlDedup:
         # without canonical_col they'd all be distinct
         assert url_dedup(docs, ts_col="fetch_date").count() == 4
 
+    def test_cross_site_canonical_not_trusted(self, spark):
+        """ADVICE r7: a canonical pointing at an UNRELATED host (the
+        syndication/canonical-farm misuse) must NOT become the grouping
+        key under the default guard — the row falls back to its own
+        URL. Same-SITE canonicals (subdomain either direction) still
+        group; same_site_only=False restores unconditional trust."""
+        from hgraphstorage_spark.pipeline.dedup import url_dedup
+
+        docs = spark.createDataFrame(
+            [
+                # two distinct pages both canonicalizing to an unrelated host
+                (1, "https://mirror-a.com/x", "https://original.com/story", "2024-01-01"),
+                (2, "https://mirror-b.com/y", "https://original.com/story", "2024-01-02"),
+                # subdomain canonical, both directions, still groups
+                (3, "https://m.ex.com/story", "https://ex.com/story", "2024-01-01"),
+                (4, "https://ex.com/story", "https://amp.ex.com/story2", "2024-01-02"),
+                # suffix WITHOUT a dot boundary is a different site
+                (5, "https://notex.com/story", "https://ex.com/story", "2024-01-01"),
+            ],
+            "doc_id long, url string, canonical_url string, fetch_date string",
+        )
+        kept = {
+            r["doc_id"]: r
+            for r in url_dedup(
+                docs, ts_col="fetch_date", canonical_col="canonical_url"
+            ).collect()
+        }
+        # mirrors keep their own keys (no collapse); doc 5 likewise
+        assert kept[1]["url_norm"] == "mirror-a.com/x"
+        assert kept[2]["url_norm"] == "mirror-b.com/y"
+        assert kept[5]["url_norm"] == "notex.com/story"
+        # doc 3 groups under ex.com/story; doc 4 under amp.ex.com/story2
+        assert kept[3]["url_norm"] == "ex.com/story"
+        assert kept[4]["url_norm"] == "amp.ex.com/story2"
+        assert set(kept) == {1, 2, 3, 4, 5}
+        # unconditional trust collapses the two mirrors into one keeper
+        # (and docs 3+5 share the ex.com/story canonical): 3 rows
+        trusting = url_dedup(
+            docs, ts_col="fetch_date", canonical_col="canonical_url",
+            same_site_only=False,
+        )
+        assert trusting.count() == 3
+
     def test_url_dedup_keeps_earliest_fetch(self, spark):
         from hgraphstorage_spark.pipeline.dedup import url_dedup
 
