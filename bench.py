@@ -258,7 +258,7 @@ def _sentinel_sec(spark) -> float:
     longs on ONE core). Identical work every call, so wall-clock drift
     between calls measures BOX CONTENTION (CPU steal from co-tenant
     processes), not our code. Timed at start / middle / end of the run;
-    a drift ratio > 2x flags the whole sample as contended — the r6
+    a drift ratio >= 1.5x flags the whole sample as contended — the r6
     record carried an 11.89 s reading for a query that measures 3.29 s
     on an idle box, and a sentinel makes such samples self-describing."""
     t0 = time.perf_counter()
@@ -338,19 +338,48 @@ def main() -> None:
         return round(best, 3)
 
     _sentinel_sec(spark)  # untimed: first call pays codegen/JIT, not contention
-    sent_start = _sentinel_sec(spark)
-    timings = {name: _time(name, runs=3) for name in HEADLINE}
-    sent_mid = _sentinel_sec(spark)
-    md5_timings = {name: _time(name, runs=3) for name in MD5_TWINS}
-    r4_timings = {name: _time(name) for name in R4_OPS}
-    r5_timings = {name: _time(name) for name in R5_OPS}
-    r6_timings = {name: _time(name) for name in R6_OPS}
-    r7_timings = {name: _time(name) for name in R7_OPS}
-    diag_timings = {name: _time(name, runs=1) for name in DIAGNOSTICS}
-    sent_end = _sentinel_sec(spark)
+    sent_vals = [_sentinel_sec(spark)]
+    retimed_sections: list[str] = []
 
-    sent_vals = [sent_start, sent_mid, sent_end]
+    def _section(label: str, names, runs: int = 2, retry: bool = True) -> dict:
+        """Time one op section BRACKETED by sentinel readings. If the
+        section's own bracket drifted >= 1.5 (contention landed during
+        exactly these timings), re-time the section once and keep the
+        min — so one contended stretch can't pollute the permanent
+        record (VERDICT r7 task 1c: the r7 driver sample carried
+        1.4-2.1x inflated readings under a bracket at exactly 2.0)."""
+        t = {name: _time(name, runs=runs) for name in names}
+        sent_vals.append(_sentinel_sec(spark))
+        bracket = sent_vals[-2:]
+        if retry and max(bracket) / max(min(bracket), 1e-9) >= 1.5:
+            retimed_sections.append(label)
+            t = {name: min(t[name], _time(name, runs=1)) for name in names}
+            sent_vals.append(_sentinel_sec(spark))
+        return t
+
+    timings = _section("headline", HEADLINE, runs=3)
+    md5_timings = _section("md5_oracle_mode", MD5_TWINS, runs=3)
+    r4_timings = _section("r4_ops", R4_OPS)
+    r5_timings = _section("r5_ops", R5_OPS)
+    r6_timings = _section("r6_ops", R6_OPS)
+    r7_timings = _section("r7_ops", R7_OPS)
+    # the diagnostics are collision-quadratic BY DESIGN — never re-timed
+    diag_timings = _section("diagnostics", DIAGNOSTICS, runs=1, retry=False)
+
+    # the flag threshold is >= 1.5 (not the old strict > 2.0): the r7
+    # driver sample sat at EXACTLY 2.0 drift and passed as clean while
+    # its op sections read 1.4-2.1x high (VERDICT r7 task 1b)
     drift = round(max(sent_vals) / max(min(sent_vals), 1e-9), 3)
+    sentinel = {
+        "start_sec": sent_vals[0],
+        "end_sec": sent_vals[-1],
+        "min_sec": min(sent_vals),
+        "max_sec": max(sent_vals),
+        "n_readings": len(sent_vals),
+        "drift_ratio": drift,
+        "contended": drift >= 1.5,
+        "retimed_sections": retimed_sections,
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -366,14 +395,31 @@ def main() -> None:
                 "r7_ops": r7_timings,
                 "diagnostics": diag_timings,
                 "timing": "min_of_3_headline_min_of_2_ops",
-                "sentinel": {
-                    "start_sec": sent_start,
-                    "mid_sec": sent_mid,
-                    "end_sec": sent_end,
-                    "drift_ratio": drift,
-                    "contended": drift > 2.0,
-                },
+                "sentinel": sentinel,
                 "sf": sf,
+            }
+        )
+    )
+    # compact duplicate of the GRADED numbers as the LAST line: the
+    # driver's permanent record keeps only the final 2000 chars of
+    # stdout, and for two rounds the full line above (printed first,
+    # ~4 KB of op sections) pushed the headline total and the BASELINE
+    # comparables out of BENCH_r*.json (VERDICT r7 task 1a). Keep this
+    # line well under 2000 chars.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "baseline_comparables": {
+                    "index_build": timings.get("index_build"),
+                    "hackage_etl": timings.get("hackage_etl"),
+                },
+                "sentinel": sentinel,
+                "sf": sf,
+                "note": "compact tail duplicate of line 1 (graded numbers)",
             }
         )
     )
