@@ -3908,21 +3908,37 @@ def q_crawl_frontier(spark, sf_dir):
 
 def q_pii_scrub(spark, sf_dir):
     """PII redaction pass (pipeline/pii.py:pii_scrub): every document
-    gets one arithmetic-injected PII item (email / US phone / IPv4 /
-    SSN shape / card number, cycling by doc_id%5); the scrub must count
-    exactly one hit of the right kind and produce the redacted text
-    (fingerprinted). Oracle replays every pattern with regexp_extract_all
-    counts and the same sequential global replacements."""
+    gets one arithmetic-injected PII item cycling by doc_id%9 across
+    all eight kinds — email / US phone / IPv4 / SSN shape / card with a
+    VARYING check digit (the Luhn gate decides live which rows redact)
+    / compressed IPv6 / E.164 international phone / IBAN with a varying
+    last digit (the mod-97 gate decides live) — plus an explicit
+    Luhn-INVALID 16-digit invoice that must NOT redact. The scrub must
+    produce the per-kind counts and the redacted text (fingerprinted).
+    Oracle replays every pattern with regexp_extract_all counts, the
+    same sequential global replacements, and the exact checksum folds
+    (pii.duckdb_gated_*_sql) for the gated kinds."""
     from hgraphstorage_spark.pipeline.pii import pii_scrub
 
     i = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     inject = (
-        F.when(i % 5 == 0, F.concat(F.lit(" mail user"), s(i), F.lit("@example.com now")))
-        .when(i % 5 == 1, F.concat(F.lit(" dial (55"), s(i % 10), F.lit(") 123-4567 ok")))
-        .when(i % 5 == 2, F.concat(F.lit(" host 10.0."), s(i % 250), F.lit(".7 up")))
-        .when(i % 5 == 3, F.concat(F.lit(" ssn 123-45-678"), s(i % 10), F.lit(" case")))
-        .otherwise(F.concat(F.lit(" card 41111111111111"), s(i % 10), F.lit("9 paid")))
+        F.when(i % 9 == 0, F.concat(F.lit(" mail user"), s(i), F.lit("@example.com now")))
+        .when(i % 9 == 1, F.concat(F.lit(" dial (55"), s(i % 10), F.lit(") 123-4567 ok")))
+        .when(i % 9 == 2, F.concat(F.lit(" host 10.0."), s(i % 250), F.lit(".7 up")))
+        .when(i % 9 == 3, F.concat(F.lit(" ssn 123-45-678"), s(i % 10), F.lit(" case")))
+        .when(i % 9 == 4, F.concat(F.lit(" card 41111111111111"), s(i % 10), F.lit("9 paid")))
+        .when(i % 9 == 5, F.concat(F.lit(" node fe80::"), s(i % 10), F.lit(" up")))
+        .when(
+            i % 9 == 6,
+            F.concat(
+                F.lit(" call +49 170 "),
+                F.lpad(s(i % 10000000), 7, "0"),
+                F.lit(" ok"),
+            ),
+        )
+        .when(i % 9 == 7, F.concat(F.lit(" acct DE8937040044053201300"), s(i % 10), F.lit(" end")))
+        .otherwise(F.lit(" ref 4111111111111112 inv"))
     )
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.col("text"), inject).alias("text")
@@ -3931,7 +3947,8 @@ def q_pii_scrub(spark, sf_dir):
     return out.select(
         "doc_id",
         F.md5("text_clean").alias("clean_fp"),
-        "n_email", "n_ssn", "n_ip", "n_phone", "n_cc",
+        "n_email", "n_ssn", "n_ipv6", "n_ip",
+        "n_phone_intl", "n_phone", "n_iban", "n_cc",
     )
 
 
@@ -6903,21 +6920,43 @@ def oracle_sql() -> dict[str, str]:
     # pii_scrub: replay every pattern — counts on the original text,
     # then the same sequential global replacements (\\1-style backrefs
     # are DuckDB's replacement syntax for Spark's $1)
-    from hgraphstorage_spark.pipeline.pii import PII_PATTERNS as _PII
+    from hgraphstorage_spark.pipeline.pii import (
+        PII_GATED as _PII_GATED,
+        PII_KINDS as _PII_KINDS,
+        PII_PATTERNS as _PII,
+        duckdb_gated_clean_sql as _gated_clean,
+        duckdb_gated_count_sql as _gated_count,
+    )
     inj = ("CASE"
-           " WHEN doc_id % 5 = 0 THEN ' mail user' || doc_id || '@example.com now'"
-           " WHEN doc_id % 5 = 1 THEN ' dial (55' || (doc_id % 10) || ') 123-4567 ok'"
-           " WHEN doc_id % 5 = 2 THEN ' host 10.0.' || (doc_id % 250) || '.7 up'"
-           " WHEN doc_id % 5 = 3 THEN ' ssn 123-45-678' || (doc_id % 10) || ' case'"
-           " ELSE ' card 41111111111111' || (doc_id % 10) || '9 paid' END")
+           " WHEN doc_id % 9 = 0 THEN ' mail user' || doc_id || '@example.com now'"
+           " WHEN doc_id % 9 = 1 THEN ' dial (55' || (doc_id % 10) || ') 123-4567 ok'"
+           " WHEN doc_id % 9 = 2 THEN ' host 10.0.' || (doc_id % 250) || '.7 up'"
+           " WHEN doc_id % 9 = 3 THEN ' ssn 123-45-678' || (doc_id % 10) || ' case'"
+           " WHEN doc_id % 9 = 4 THEN ' card 41111111111111' || (doc_id % 10) || '9 paid'"
+           " WHEN doc_id % 9 = 5 THEN ' node fe80::' || (doc_id % 10) || ' up'"
+           " WHEN doc_id % 9 = 6 THEN ' call +49 170 '"
+           " || lpad((doc_id % 10000000)::VARCHAR, 7, '0') || ' ok'"
+           " WHEN doc_id % 9 = 7 THEN ' acct DE8937040044053201300' || (doc_id % 10) || ' end'"
+           " ELSE ' ref 4111111111111112 inv' END")
+    _plain = {n: (pat, drepl) for n, pat, _sr, drepl in _PII}
+    _gated_names = {n for n, *_ in _PII_GATED}
     clean_expr = "t"
     count_cols = []
-    for name, pat, _sr, drepl in _PII:
-        pq = pat.replace("'", "''")
-        count_cols.append(
-            f"len(regexp_extract_all(t, '{pq}'))::BIGINT AS n_{name}"
-        )
-        clean_expr = f"regexp_replace({clean_expr}, '{pq}', '{drepl}', 'g')"
+    # counts on the ORIGINAL text; clean chain in contract order; gated
+    # kinds (iban, cc) replay the checksum folds via the exported
+    # fragments — one home for the SQL, shared with the datasheet oracle
+    for name in _PII_KINDS:
+        if name in _plain:
+            pat, drepl = _plain[name]
+            pq = pat.replace("'", "''")
+            count_cols.append(
+                f"len(regexp_extract_all(t, '{pq}'))::BIGINT AS n_{name}"
+            )
+            clean_expr = f"regexp_replace({clean_expr}, '{pq}', '{drepl}', 'g')"
+        else:
+            assert name in _gated_names
+            count_cols.append(f"{_gated_count(name, 't')} AS n_{name}")
+            clean_expr = _gated_clean(name, clean_expr, "t")
     sql["pii_scrub"] = f"""
         WITH w AS (SELECT doc_id, text || ({inj}) AS t FROM documents)
         SELECT doc_id, md5({clean_expr}) AS clean_fp, {', '.join(count_cols)}

@@ -1,6 +1,6 @@
 """PII detection and redaction — the scrubbing pass a training-data
 pipeline runs before text ships (the CCNet/Dolma-style regex tier:
-emails, US-style phone numbers, IPv4 addresses, SSN-shaped ids, payment
+emails, phone numbers, IP addresses, SSN-shaped ids, IBANs, payment
 card numbers). Deliberately the conservative deterministic baseline —
 pattern-based PII scrubbing is heuristic by nature (a 10-digit invoice
 number looks like a phone); the point is a reproducible, auditable,
@@ -8,36 +8,77 @@ engine-portable pass, not NER.
 
 All patterns are RE2-safe (no lookbehind — RE2 has none — so digit-run
 boundaries are spelled as captured context classes and restored in the
-replacement), every replacement is a plain global regexp_replace, and
-counts come from ``regexp_count`` on the ORIGINAL text per pattern — so
-a DuckDB oracle replays both the counts and the redacted text
-bit-for-bit.
+replacement), every plain replacement is a global regexp_replace, and
+counts come from pattern matches on the ORIGINAL text — so a DuckDB
+oracle replays both the counts and the redacted text bit-for-bit.
+
+Two tiers of kinds, applied in one contract order:
+
+* **plain** (``PII_PATTERNS``): every regex match redacts —
+  email, SSN shape, IPv6, IPv4, E.164 international phone, US phone.
+* **checksum-gated** (``PII_GATED``): the regex only NOMINATES
+  candidates; a pure arithmetic fold both engines replay exactly
+  decides — IBAN (ISO 13616 mod-97 == 1) and payment card (Luhn).
+  The gate is what keeps a 16-digit invoice number or a fantasy
+  "IBAN-shaped" product code out of the redaction (VERDICT r7 task 4:
+  the ungated 13-16-digit rule over-redacted long invoice numbers).
+  Gated redaction replaces each passing candidate with its boundary
+  context restored (digits/uppercase-alnum contain no regex
+  metacharacters, so splicing the candidate into the context pattern
+  is safe); candidates are nominated from the ORIGINAL text — the same
+  original-text contract the counts follow — so a candidate consumed
+  by an earlier kind's placeholder simply no-ops.
 
 Scale shape: one zero-shuffle projection over the document scan — no
-explode, no UDF, no aggregation; at 100 TB this is scan-speed work.
+explode, no UDF, no aggregation; the checksum folds run over <= 34-char
+candidate strings, not the document. At 100 TB this is scan-speed work.
 
 Known, documented limitations of the baseline tier: adjacent PII items
 separated by a single character can escape the second match (the
 boundary character is consumed by the first — the same non-overlapping
-global-replace semantics on both engines); phone matching is the
-10-digit US shape (3-3-4 with optional separators/parens); IPv4 octets
-are not range-checked (999.1.1.1 redacts — over-redaction is the safe
-direction for training data).
+global-replace semantics on both engines); US phone matching is the
+10-digit shape (3-3-4 with optional separators/parens) and E.164
+matching requires the leading ``+`` and separators drawn from
+``[ .-]`` (parenthesized country/area forms fall through to the US
+rule when they fit it); IPv4 octets are not range-checked (999.1.1.1
+redacts — over-redaction is the safe direction for training data);
+IPv6 requires >= 4 hex groups or a ``::`` — so ``12:30:45`` timestamps
+never match, the bare unspecified address ``::`` never matches, and
+MAC addresses (six hex pairs) DO match (deliberate: a MAC is PII);
+the IPv4-mapped mixed form ``::ffff:1.2.3.4`` redacts only its hex
+prefix.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# IPv6 body: the ``::``-bearing alternates come FIRST — both Java regex
+# and RE2 resolve alternation leftmost-first, so ordering x::y before
+# the full form keeps '1:2:3:4::5' one address instead of truncating at
+# the '::'. >= 4 plain groups (3 colons) so clock times never match;
+# all inner groups non-capturing so the context groups stay 1/2/3.
+_IPV6_BODY = (
+    "(?:"
+    "(?:[0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,5}"  # x::y
+    "|(?:[0-9A-Fa-f]{1,4}:){1,7}:"                                           # x::
+    "|::[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4}){0,6}"                          # ::y
+    "|(?:[0-9A-Fa-f]{1,4}:){3,7}[0-9A-Fa-f]{1,4}"                            # full form
+    ")"
+)
 
 # (name, pattern, spark_replacement, duckdb_replacement)
 # Application order matters and is part of the contract: EMAIL first
-# (may contain digit runs), then the dashed SSN shape (so the CC
-# digit-run rule can't see it), IP (dotted runs before the phone/CC
-# plain runs), PHONE (bounded 3-3-4 — its trailing boundary refuses
-# longer runs, leaving 13-16 digit card runs for CC), CC last.
+# (may contain digit runs), then the dashed SSN shape (so the card
+# digit-run rule can't see it), IPv6 (colon-hex before any plain-digit
+# rule), IPv4 (dotted runs before the phone/card plain runs),
+# E.164 (the '+'-anchored international form before the US rule eats
+# its tail), US PHONE (bounded 3-3-4 — its trailing boundary refuses
+# longer runs, leaving 13-16 digit card runs for the gated CC rule).
+# The gated kinds (PII_GATED below) apply after all plain kinds.
 PII_PATTERNS: tuple[tuple[str, str, str, str], ...] = (
     (
         "email",
@@ -52,10 +93,22 @@ PII_PATTERNS: tuple[tuple[str, str, str, str], ...] = (
         r"\1<SSN>\3",
     ),
     (
+        "ipv6",
+        rf"(^|[^0-9A-Za-z:])({_IPV6_BODY})([^0-9A-Za-z:]|$)",
+        "$1<IPV6>$3",
+        r"\1<IPV6>\3",
+    ),
+    (
         "ip",
         r"(^|[^0-9.])([0-9]{1,3}(\.[0-9]{1,3}){3})([^0-9.]|$)",
         "$1<IP>$4",
         r"\1<IP>\4",
+    ),
+    (
+        "phone_intl",
+        r"(^|[^0-9])(\+[0-9]{1,3}[ .\-]?[0-9]{1,4}(?:[ .\-]?[0-9]{2,4}){1,3})([^0-9]|$)",
+        "$1<PHONE>$3",
+        r"\1<PHONE>\3",
     ),
     (
         "phone",
@@ -63,13 +116,133 @@ PII_PATTERNS: tuple[tuple[str, str, str, str], ...] = (
         "$1<PHONE>$3",
         r"\1<PHONE>\3",
     ),
+)
+
+# checksum-gated kinds: (name, lead_re, body_re, trail_re, placeholder,
+# gate). The full nomination pattern is lead+(body)+trail with the body
+# as group 2; `gate` names the arithmetic validator below.
+PII_GATED: tuple[tuple[str, str, str, str, str, str], ...] = (
+    (
+        "iban",
+        r"(^|[^0-9A-Za-z])",
+        r"([A-Z]{2}[0-9]{2}[0-9A-Z]{11,30})",
+        r"([^0-9A-Za-z]|$)",
+        "<IBAN>",
+        "iban97",
+    ),
     (
         "cc",
-        r"(^|[^0-9])([0-9]{13,16})([^0-9]|$)",
-        "$1<CC>$3",
-        r"\1<CC>\3",
+        r"(^|[^0-9])",
+        r"([0-9]{13,16})",
+        r"([^0-9]|$)",
+        "<CC>",
+        "luhn",
     ),
 )
+
+# contract application order over BOTH tiers
+PII_KINDS: tuple[str, ...] = tuple(n for n, *_ in PII_PATTERNS) + tuple(
+    n for n, *_ in PII_GATED
+)
+
+
+# --------------------------------------------------------------------------
+# checksum gates — pure integer folds over the candidate string, expressed
+# once per engine. The Spark side is a Column lambda (higher-order
+# functions, JVM-side, no UDF); the DuckDB side is the same fold as a SQL
+# fragment over a candidate variable, exported for the oracle builder.
+
+def _luhn_pass(c: Column) -> Column:
+    """Luhn check (ISO/IEC 7812): from the rightmost digit, double every
+    second digit (subtracting 9 when the double exceeds 9); the total
+    must be divisible by 10."""
+    rev = F.reverse(c)
+
+    def d(i: Column) -> Column:
+        return F.ascii(F.substr(rev, i, F.lit(1))) - F.lit(48)
+
+    def term(acc: Column, i: Column) -> Column:
+        doubled = d(i) * 2
+        return acc + F.when(
+            i % 2 == 0, F.when(doubled > 9, doubled - 9).otherwise(doubled)
+        ).otherwise(d(i))
+
+    return F.aggregate(F.sequence(F.lit(1), F.length(c)), F.lit(0), term) % 10 == 0
+
+
+def _iban97_pass(c: Column) -> Column:
+    """ISO 13616 IBAN check: move the first 4 chars to the end, map
+    letters to 10..35 (two digits — the accumulator scales by 100), and
+    the running remainder mod 97 must end at 1. Folding the remainder
+    per character keeps every intermediate < 9700 (no bigint needed)."""
+    r = F.concat(F.substr(c, F.lit(5), F.length(c)), F.substr(c, F.lit(1), F.lit(4)))
+
+    def step(acc: Column, i: Column) -> Column:
+        x = F.ascii(F.substr(r, i, F.lit(1)))
+        return F.when(x >= 65, (acc * 100 + x - 55) % 97).otherwise(
+            (acc * 10 + x - 48) % 97
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.length(c)), F.lit(0), step) == 1
+
+
+_GATES = {"luhn": _luhn_pass, "iban97": _iban97_pass}
+
+
+def duckdb_gate_sql(gate: str, var: str = "c") -> str:
+    """The DuckDB replay of a checksum gate as a boolean SQL fragment
+    over candidate variable ``var`` — the exact fold the Spark lambda
+    runs, so the oracle's pass/fail set is bit-identical."""
+    if gate == "luhn":
+        return (
+            f"list_sum(list_transform(range(1, length({var}) + 1), "
+            f"i -> CASE WHEN i % 2 = 0 "
+            f"THEN CASE WHEN (ascii(substr(reverse({var}), i, 1)) - 48) * 2 > 9 "
+            f"THEN (ascii(substr(reverse({var}), i, 1)) - 48) * 2 - 9 "
+            f"ELSE (ascii(substr(reverse({var}), i, 1)) - 48) * 2 END "
+            f"ELSE ascii(substr(reverse({var}), i, 1)) - 48 END)) % 10 = 0"
+        )
+    if gate == "iban97":
+        rearr = f"substr({var}, 5) || substr({var}, 1, 4)"
+        return (
+            f"list_reduce(list_prepend(0, list_transform(range(1, length({var}) + 1), "
+            f"i -> ascii(substr({rearr}, i, 1)))), "
+            f"(acc, x) -> CASE WHEN x >= 65 THEN (acc * 100 + x - 55) % 97 "
+            f"ELSE (acc * 10 + x - 48) % 97 END) = 1"
+        )
+    raise ValueError(f"unknown gate: {gate}")
+
+
+def duckdb_gated_candidates_sql(name: str, text_expr: str) -> str:
+    """DuckDB list of gate-PASSING candidates nominated from
+    ``text_expr`` for gated kind ``name``."""
+    for n, lead, body, trail, _ph, gate in PII_GATED:
+        if n == name:
+            pat = (lead + body + trail).replace("'", "''")
+            return (
+                f"list_filter(regexp_extract_all({text_expr}, '{pat}', 2), "
+                f"c -> {duckdb_gate_sql(gate)})"
+            )
+    raise ValueError(f"unknown gated PII kind: {name}")
+
+
+def duckdb_gated_count_sql(name: str, text_expr: str) -> str:
+    return f"len({duckdb_gated_candidates_sql(name, text_expr)})::BIGINT"
+
+
+def duckdb_gated_clean_sql(name: str, acc_expr: str, text_expr: str) -> str:
+    """DuckDB fold replacing every gate-passing candidate (nominated
+    from ``text_expr``) inside ``acc_expr`` with the placeholder,
+    boundary context restored."""
+    for n, lead, body, trail, ph, _gate in PII_GATED:
+        if n == name:
+            return (
+                f"list_reduce(list_prepend({acc_expr}, "
+                f"{duckdb_gated_candidates_sql(name, text_expr)}), "
+                f"(acc, c) -> regexp_replace(acc, "
+                f"'{lead}' || c || '{trail}', '\\1{ph}\\2', 'g'))"
+            )
+    raise ValueError(f"unknown gated PII kind: {name}")
 
 
 def pii_scrub(
@@ -79,25 +252,53 @@ def pii_scrub(
     kinds: Sequence[str] | None = None,
 ) -> DataFrame:
     """Redact and count PII: returns all input columns plus
-    ``text_clean`` (placeholders ``<EMAIL>`` ``<SSN>`` ``<IP>``
-    ``<PHONE>`` ``<CC>``) and one ``n_<kind>`` LONG per kind — the
-    audit counts a curation report aggregates. ``kinds`` restricts to a
-    subset (application order is preserved from :data:`PII_PATTERNS`).
+    ``text_clean`` (placeholders ``<EMAIL>`` ``<SSN>`` ``<IPV6>``
+    ``<IP>`` ``<PHONE>`` ``<IBAN>`` ``<CC>``) and one ``n_<kind>`` LONG
+    per kind — the audit counts a curation report aggregates. ``kinds``
+    restricts to a subset (application order is preserved from
+    :data:`PII_KINDS`).
 
     Counts are per-pattern on the ORIGINAL text (order-independent,
-    replayable); redaction applies the patterns sequentially in
-    contract order. NULL text passes through (NULL clean text, NULL
-    counts)."""
-    wanted = set(kinds) if kinds is not None else {n for n, *_ in PII_PATTERNS}
-    unknown = wanted - {n for n, *_ in PII_PATTERNS}
+    replayable); for the checksum-gated kinds (iban, cc) the count is
+    the number of candidates PASSING the arithmetic gate. Redaction
+    applies the kinds sequentially in contract order. NULL text passes
+    through (NULL clean text, NULL counts)."""
+    wanted = set(kinds) if kinds is not None else set(PII_KINDS)
+    unknown = wanted - set(PII_KINDS)
     if unknown:
         raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
     text = F.col(text_col)
+    plain = {n: (pat, repl) for n, pat, repl, _ in PII_PATTERNS}
+    gated = {n: (lead, body, trail, ph, gate) for n, lead, body, trail, ph, gate in PII_GATED}
     clean = text
     counts = []
-    for name, pat, spark_repl, _ in PII_PATTERNS:
+    for name in PII_KINDS:
         if name not in wanted:
             continue
-        counts.append(F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}"))
-        clean = F.regexp_replace(clean, pat, spark_repl)
+        if name in plain:
+            pat, repl = plain[name]
+            counts.append(
+                F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+            )
+            clean = F.regexp_replace(clean, pat, repl)
+        else:
+            lead, body, trail, ph, gate = gated[name]
+            passing = F.filter(
+                F.regexp_extract_all(text, F.lit(lead + body + trail), 2),
+                _GATES[gate],
+            )
+            counts.append(
+                F.when(text.isNotNull(), F.size(passing))
+                .cast("long")
+                .alias(f"n_{name}")
+            )
+            clean = F.aggregate(
+                passing,
+                clean,
+                lambda acc, c: F.regexp_replace(
+                    acc,
+                    F.concat(F.lit(lead), c, F.lit(trail)),
+                    F.lit(f"$1{ph}$2"),
+                ),
+            )
     return docs.select("*", clean.alias("text_clean"), *counts)

@@ -169,6 +169,83 @@ class TestPiiScrub:
         assert got[3]["n_phone"] == 0 and got[3]["n_ip"] == 1
         assert got[4]["text_clean"] is None and got[4]["n_email"] is None
 
+    def test_tier2_checksum_gates_ipv6_e164(self, spark):
+        """VERDICT r7 task 4: (a) the card rule is Luhn-gated — a
+        16-digit invoice number that fails the checksum must NOT
+        redact; (b) IBANs gate on ISO 13616 mod-97; (c) IPv6 matches
+        compressed and full forms but never clock times (MACs match —
+        deliberate: a MAC is PII); (d) E.164 '+'-forms redact before
+        the US rule can eat their tails, and counts stay the documented
+        counts-on-ORIGINAL-text semantics."""
+        from hgraphstorage_spark.pipeline.pii import pii_scrub
+
+        rows = [
+            (1, "valid card 4111111111111111 invoice 4111111111111112 done"),
+            (2, "iban DE89370400440532013000 bogus DE89370400440532013001 ok"),
+            (3, "node fe80::1 full 2001:0db8:85a3:0000:0000:8a2e:0370:7334 "
+                "time 12:30:45 mac 00:1A:2B:3C:4D:5E"),
+            (4, "call +49 170 1234567 or +14155552671 but price +49 only"),
+            (5, "ipv6 1:2:3:4::5 and ::1 and x:: no"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert got[1]["text_clean"] == "valid card <CC> invoice 4111111111111112 done"
+        assert got[1]["n_cc"] == 1
+        assert got[2]["text_clean"] == "iban <IBAN> bogus DE89370400440532013001 ok"
+        assert got[2]["n_iban"] == 1
+        assert got[3]["text_clean"] == (
+            "node <IPV6> full <IPV6> time 12:30:45 mac <IPV6>"
+        )
+        assert got[3]["n_ipv6"] == 3
+        assert got[4]["text_clean"] == "call <PHONE> or <PHONE> but price +49 only"
+        # counts are on the ORIGINAL text per kind: the US rule also
+        # sees the space-separated 3-3-4 window inside '+49 170 1234567'
+        # (the unseparated '+14155552671' run gives it no anchor)
+        assert got[4]["n_phone_intl"] == 2 and got[4]["n_phone"] == 1
+        assert got[5]["text_clean"] == "ipv6 <IPV6> and <IPV6> and x:: no"
+        assert got[5]["n_ipv6"] == 2
+
+    def test_gated_kinds_duckdb_oracle_parity(self, spark):
+        """The exported DuckDB gate/count/clean fragments must replay the
+        Spark gated pass bit-for-bit on live candidates (valid + invalid
+        mixes, adjacency, NULL)."""
+        import duckdb
+
+        from hgraphstorage_spark.pipeline.pii import (
+            duckdb_gated_clean_sql,
+            duckdb_gated_count_sql,
+            pii_scrub,
+        )
+
+        rows = [
+            (1, "cards 4111111111111111 5500005555555559 4111111111111112 x"),
+            (2, "GB82WEST12345698765432 then DE89370400440532013001."),
+            (3, "nothing here"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = (
+            pii_scrub(df, kinds=["iban", "cc"])
+            .orderBy("doc_id")
+            .collect()
+        )
+        con = duckdb.connect()
+        clean = duckdb_gated_clean_sql(
+            "cc", duckdb_gated_clean_sql("iban", "t", "t"), "t"
+        )
+        q = (
+            f"SELECT {clean} AS text_clean, "
+            f"{duckdb_gated_count_sql('iban', 't')} AS n_iban, "
+            f"{duckdb_gated_count_sql('cc', 't')} AS n_cc "
+            f"FROM (VALUES (1, 'cards 4111111111111111 5500005555555559 4111111111111112 x'), "
+            f"(2, 'GB82WEST12345698765432 then DE89370400440532013001.'), "
+            f"(3, 'nothing here'), (4, NULL)) s(doc_id, t) ORDER BY doc_id"
+        )
+        want = con.execute(q).fetchall()
+        for srow, (w_clean, w_iban, w_cc) in zip(got, want):
+            assert srow["text_clean"] == w_clean
+            assert srow["n_iban"] == w_iban and srow["n_cc"] == w_cc
+
     def test_kind_subset_and_unknown_kind(self, spark):
         import pytest
 
