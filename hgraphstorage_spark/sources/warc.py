@@ -849,6 +849,9 @@ def crawl_frontier(
     extras: DataFrame | None = None,
     sitemap_entries: DataFrame | None = None,
     priority_weight: float = 2.0,
+    as_of: str | None = None,
+    freshness_weight: float = 0.5,
+    staleness_cap: float = 10.0,
 ) -> DataFrame:
     """The crawl-tier capstone: rank candidate URLs for fetching by
     composing the tier's own signals — inbound-link demand
@@ -859,12 +862,26 @@ def crawl_frontier(
     (:func:`parse_sitemaps` priorities).
 
     Per candidate URL: (url, host, path, n_inlinks, n_sources,
-    sitemap_priority, crawl_delay, allowed, score DOUBLE, host_rank).
-    score = n_sources + priority_weight · sitemap_priority (distinct
-    referring pages are the demand signal; the site's own priority is a
-    tie-breaking hint). ``host_rank`` ranks ALLOWED urls within their
-    host (score DESC, url ASC — deterministic); disallowed rows keep
-    NULL rank but stay visible for auditing.
+    sitemap_priority, crawl_delay, recrawl_due, allowed, score DOUBLE,
+    host_rank). score = n_sources + priority_weight · sitemap_priority
+    + freshness_weight · recrawl_due (distinct referring pages are the
+    demand signal; the site's own priority is a tie-breaking hint; the
+    freshness term schedules RE-crawl). ``host_rank`` ranks ALLOWED
+    urls within their host (score DESC, url ASC — deterministic);
+    disallowed rows keep NULL rank but stay visible for auditing.
+
+    **Freshness** (VERDICT r7 task 3 — the sitemap's ``lastmod`` /
+    ``changefreq`` hints were parsed but unused): when ``as_of`` (an
+    ISO date string — passed in, never wall-clock, so oracles replay)
+    and sitemap entries are given, ``recrawl_due`` = the number of
+    declared change intervals elapsed since the entry's lastmod,
+    clamped to [0, staleness_cap] — a page declaring hourly change
+    last modified ten days ago is maximally overdue, a fresh or
+    future-dated one contributes 0. changefreq → days: always/hourly
+    1/24, daily 1, weekly 7, monthly 30, yearly 365; 'never',
+    unknown values, or a missing/unparseable lastmod contribute 0.
+    Duplicate sitemap entries per URL resolve deterministically:
+    latest lastmod, alphabetically-first changefreq, max priority.
 
     Scale shape: one url-keyed count agg (map-side partial), the
     broadcast robots gate, optional broadcast joins for hints, and a
@@ -893,11 +910,41 @@ def crawl_frontier(
         pr = (
             sitemap_entries.filter(F.col("kind") == "url")
             .groupBy(F.col("loc").alias("url"))
-            .agg(F.max("priority").alias("sitemap_priority"))
+            .agg(
+                F.max("priority").alias("sitemap_priority"),
+                F.max("lastmod").alias("_lastmod"),
+                F.min("changefreq").alias("_changefreq"),
+            )
         )
         out = out.join(F.broadcast(pr), "url", "left")
     else:
-        out = out.withColumn("sitemap_priority", F.lit(None).cast("decimal(3,1)"))
+        out = (
+            out.withColumn("sitemap_priority", F.lit(None).cast("decimal(3,1)"))
+            .withColumn("_lastmod", F.lit(None).cast("string"))
+            .withColumn("_changefreq", F.lit(None).cast("string"))
+        )
+    if as_of is not None:
+        cf = F.lower(F.col("_changefreq"))
+        interval_days = (
+            F.when(cf.isin("always", "hourly"), F.lit(1.0 / 24))
+            .when(cf == "daily", F.lit(1.0))
+            .when(cf == "weekly", F.lit(7.0))
+            .when(cf == "monthly", F.lit(30.0))
+            .when(cf == "yearly", F.lit(365.0))
+        )
+        # W3C datetime → leading calendar date (both engines parse the
+        # 10-char prefix identically; anything else → NULL → no term)
+        d10 = F.regexp_extract(F.col("_lastmod"), r"^(\d{4}-\d{2}-\d{2})", 1)
+        stale_days = F.datediff(
+            F.to_date(F.lit(as_of)), F.when(d10 != "", F.to_date(d10))
+        ).cast("double")
+        due = F.least(
+            F.lit(float(staleness_cap)),
+            F.greatest(F.lit(0.0), stale_days / interval_days),
+        )
+        out = out.withColumn("recrawl_due", F.coalesce(due, F.lit(0.0)))
+    else:
+        out = out.withColumn("recrawl_due", F.lit(0.0))
     if extras is not None:
         dl = extras.select(
             F.regexp_replace(F.lower(F.col("domain")), r"^www\.", "").alias("host"),
@@ -906,8 +953,11 @@ def crawl_frontier(
         out = out.join(F.broadcast(dl), "host", "left")
     else:
         out = out.withColumn("crawl_delay", F.lit(None).cast("double"))
-    score = F.col("n_sources").cast("double") + F.lit(float(priority_weight)) * F.coalesce(
-        F.col("sitemap_priority").cast("double"), F.lit(0.0)
+    score = (
+        F.col("n_sources").cast("double")
+        + F.lit(float(priority_weight))
+        * F.coalesce(F.col("sitemap_priority").cast("double"), F.lit(0.0))
+        + F.lit(float(freshness_weight)) * F.col("recrawl_due")
     )
     # disallowed rows sort AFTER every allowed row, so the masked
     # row_number leaves allowed urls with contiguous 1..k ranks
@@ -919,7 +969,8 @@ def crawl_frontier(
     )
     return ranked.select(
         "url", "host", "path", "n_inlinks", "n_sources",
-        "sitemap_priority", "crawl_delay", "allowed", "score", "host_rank",
+        "sitemap_priority", "crawl_delay", "recrawl_due",
+        "allowed", "score", "host_rank",
     )
 
 

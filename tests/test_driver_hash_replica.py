@@ -182,7 +182,10 @@ def test_window_covers_required_operators():
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
-        "numeric_histogram", "modularity", "lang_confusion",
+        # (modularity out in the r8 fifteenth rotation after r6+r7
+        # green; the analytics family keeps hits + link_graph in-window
+        # and its slot carries the extended per-source datasheet)
+        "numeric_histogram", "datasheet", "lang_confusion",
         # r6 second rotation: the crawl-ingest story (WARC fixture read,
         # URL dedup, media pair core, Misra-Gries stream) plus the NB
         # quality classifier and n-gram novelty — in-window the round

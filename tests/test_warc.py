@@ -691,6 +691,69 @@ class TestCrawlFrontier:
         solo = out["https://u.com/solo"]  # unknown host: allowed, no delay
         assert solo["allowed"] and solo["host_rank"] == 1
         assert solo["crawl_delay"] is None
+        # no as_of → the freshness term is inert and the score is
+        # unchanged (back-compat)
+        assert float(hot["recrawl_due"]) == 0.0
+
+    def test_freshness_recrawl_term(self, spark):
+        """VERDICT r7 task 3: lastmod/changefreq schedule RE-crawl.
+        With equal inlink demand, a STALE daily-changing URL outranks a
+        fresh one; the staleness ratio clamps at the cap; 'never' and a
+        missing lastmod contribute 0; a future lastmod floors at 0."""
+        from hgraphstorage_spark.sources.warc import (
+            crawl_frontier,
+            extract_links,
+            parse_robots,
+            parse_sitemaps,
+        )
+
+        pages = spark.createDataFrame(
+            [
+                (1, "https://x.com/a",
+                 '<a href="https://t.com/stale">s</a>'
+                 '<a href="https://t.com/fresh">f</a>'
+                 '<a href="https://t.com/ancient">a</a>'
+                 '<a href="https://t.com/never">n</a>'
+                 '<a href="https://t.com/future">u</a>'),
+            ],
+            "doc_id long, url string, html string",
+        )
+        sm = parse_sitemaps(spark.createDataFrame(
+            [("t.com",
+              "<urlset>"
+              "<url><loc>https://t.com/stale</loc><lastmod>2024-02-20</lastmod>"
+              "<changefreq>daily</changefreq></url>"
+              "<url><loc>https://t.com/fresh</loc><lastmod>2024-02-29</lastmod>"
+              "<changefreq>daily</changefreq></url>"
+              "<url><loc>https://t.com/ancient</loc><lastmod>2023-01-01</lastmod>"
+              "<changefreq>hourly</changefreq></url>"
+              "<url><loc>https://t.com/never</loc><lastmod>2023-01-01</lastmod>"
+              "<changefreq>never</changefreq></url>"
+              "<url><loc>https://t.com/future</loc><lastmod>2024-12-31</lastmod>"
+              "<changefreq>daily</changefreq></url>"
+              "</urlset>")],
+            "domain string, sitemap_xml string",
+        ))
+        rules = parse_robots(spark.createDataFrame(
+            [("t.com", "")], "domain string, robots_txt string"
+        ))
+        out = {
+            r["url"]: r
+            for r in crawl_frontier(
+                extract_links(pages), rules, sitemap_entries=sm,
+                as_of="2024-03-01",
+            ).collect()
+        }
+        # 10 days overdue at daily cadence vs 1 day
+        assert float(out["https://t.com/stale"]["recrawl_due"]) == 10.0
+        assert float(out["https://t.com/fresh"]["recrawl_due"]) == 1.0
+        # hourly + 425 days stale would be huge — clamps at the cap
+        assert float(out["https://t.com/ancient"]["recrawl_due"]) == 10.0
+        assert float(out["https://t.com/never"]["recrawl_due"]) == 0.0
+        assert float(out["https://t.com/future"]["recrawl_due"]) == 0.0
+        # equal demand: staleness decides the host ranking
+        assert out["https://t.com/stale"]["host_rank"] < out["https://t.com/fresh"]["host_rank"]
+        assert float(out["https://t.com/stale"]["score"]) == 1.0 + 0.5 * 10.0
 
 
 class TestAnchorTextIndex:
