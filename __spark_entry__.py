@@ -3365,6 +3365,53 @@ def q_main_content_ctx(spark, sf_dir):
     )
 
 
+# structured-extraction fixture: heading + list chrome around the body —
+# the h1/h2 must surface as '#'/'##' lines, the prose li as a '- ' line,
+# while nav/link-li/footer/title chrome drops. Same corpus-native
+# stopword list as the main_content rows.
+_SB_PRE = (
+    '<html><head><title>Doc</title><script>var q=1;</script></head><body>'
+    '<nav><a href="/">Home</a> <a href="/tags">Tags</a></nav>'
+    "<h1>Guide to the hash join</h1><p>"
+)
+_SB_POST = (
+    "</p><h2>Notes on the row scan</h2>"
+    "<ul><li>the batch scan keeps a hash row filter and a column filter"
+    " for the customer</li>"
+    '<li><a href="/next">Next page</a></li></ul>'
+    "<footer>Copyright 2024 Example Corp - All rights reserved.</footer>"
+    "</body></html>"
+)
+
+
+def q_structured_md(spark, sf_dir):
+    """Heading-aware structured extraction (pipeline/extraction.py:
+    extract_structured — tier 3): every document wrapped in a skeleton
+    with an h1 title, an h2 section heading, a prose list item, and
+    nav/link-item/footer chrome; the extractor must emit the
+    markdown-ish shape LLM corpora ingest — '#'-prefixed headings, '- '
+    list items, bare prose — and drop the chrome. Oracle replays the
+    ENTIRE chain: the marker rewrite of every block tag, the split, the
+    per-block tag/metrics, the heading-vs-content keep rules, and the
+    prefix rendering."""
+    from hgraphstorage_spark.pipeline.extraction import extract_structured
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_SB_PRE), F.coalesce(F.col("text"), F.lit("")), F.lit(_SB_POST)
+        ).alias("html"),
+    )
+    out = extract_structured(docs, stopwords=_MC_STOPS)
+    return out.select(
+        "doc_id",
+        "content_md",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_kept_blocks").cast("long").alias("n_kept_blocks"),
+        F.col("n_headings").cast("long").alias("n_headings"),
+    )
+
+
 def q_video_plan(spark, sf_dir):
     """Keyframe-aligned frame-sampling plan (pipeline/multimodal.py:
     video_frame_plan) over a deterministic arithmetic sample table — the
@@ -4440,7 +4487,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_extras": q_robots_extras,
         "warc_ingest": q_warc_ingest,
         "media_pairs": q_media_pairs,
-        "ivfpq_topk": q_ivfpq_topk,
+        # r8 sixteenth rotation: ivfpq_topk (hashed green r4-r7, four
+        # straight contacts; the similarity family keeps mmr_rerank +
+        # media_pairs in-window, the PQ/IVF machinery stays under its
+        # full pytest oracle, and bench times both ivfpq variants every
+        # round) rotates past the window; its slot carries the
+        # heading-aware structured extraction tier, in-window the round
+        # it was built
+        "structured_md": q_structured_md,
         # r6 eighth rotation (cont.): dsir_sample (hashed green r5;
         # Gumbel-top-k selection stays pytest-oracled and the top-k
         # selection family keeps shard_plan/unimax_mix in-window) gives
@@ -4609,9 +4663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7 fourteenth swap, rotated-out row (its machinery IS the
         # in-window stream_quantile row's per-batch engine)
         "quantile_sketch": q_quantile_sketch,
-        # r8 fifteenth rotation, rotated-out row (hashed green r6+r7;
-        # machinery kept per the in-window slot comment)
+        # r8 fifteenth + sixteenth rotations, rotated-out rows (hashed
+        # green r6+r7 / r4-r7; machinery kept per the in-window slot
+        # comments)
         "modularity": q_modularity,
+        "ivfpq_topk": q_ivfpq_topk,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -6476,6 +6532,113 @@ def _main_content_oracle_sql(context: bool = False) -> str:
 
 
 
+def _structured_md_oracle_sql() -> str:
+    """DuckDB replay of ``q_structured_md``: the skeleton concat, the
+    marker rewrite of every block tag (``BLOCK_TAG_CAPTURE_RE`` →
+    \\x01<slash><name>\\x02), the split on the start marker, the
+    per-piece tag extraction, the SAME metric chain as the
+    main_content oracle over the header-stripped body, the
+    heading-link-density vs tier-1-content keep rules, and the
+    '#'/'- ' prefix rendering. All pattern literals imported from
+    pipeline/extraction.py."""
+    from hgraphstorage_spark.pipeline.extraction import (
+        ANCHOR_RE,
+        BLOCK_TAG_CAPTURE_RE,
+        DROP_RE,
+        ENTITIES,
+        LINK_DENSITY_MAX,
+        MIN_CHARS,
+        STOPWORD_MIN,
+        TAG_RE,
+        TOKEN_NORM_RE,
+        WS_RE,
+        _PIECE_HDR_RE,
+    )
+
+    def clean(expr: str) -> str:
+        s = f"regexp_replace({expr}, '{TAG_RE}', ' ', 'g')"
+        for k, v in ENTITIES:
+            s = f"replace({s}, '{k}', '{v.replace(chr(39), chr(39) * 2)}')"
+        return f"trim(regexp_replace({s}, '{WS_RE}', ' ', 'g'))"
+
+    stops = ", ".join(f"'{s}'" for s in _MC_STOPS)
+    pre = _SB_PRE.replace("'", "''")
+    post = _SB_POST.replace("'", "''")
+    heads = ", ".join(f"'h{i}'" for i in range(1, 7))
+    prefix = (
+        "CASE tag WHEN 'h1' THEN '# ' WHEN 'h2' THEN '## ' WHEN 'h3' THEN '### '"
+        " WHEN 'h4' THEN '#### ' WHEN 'h5' THEN '##### ' WHEN 'h6' THEN '###### '"
+        " WHEN 'li' THEN '- ' ELSE '' END"
+    )
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, '{pre}' || coalesce(text, '') || '{post}' AS html
+          FROM documents
+        ),
+        mk AS (
+          SELECT doc_id, regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '{DROP_RE}', ' ', 'g'),
+                     '[\x01\x02]', ' ', 'g'),
+                   '{BLOCK_TAG_CAPTURE_RE}', '\x01\\1\\2\x02', 'g') AS marked
+          FROM docs
+        ),
+        bl AS (
+          SELECT doc_id, i AS ord, ps[i] AS raw
+          FROM (SELECT doc_id, string_split(marked, chr(1)) AS ps FROM mk),
+               unnest(generate_series(1, len(ps))) AS t(i)
+        ),
+        hdr AS (
+          SELECT doc_id, ord,
+                 CASE WHEN regexp_extract(raw, '{_PIECE_HDR_RE}', 1) = ''
+                       AND regexp_extract(raw, '{_PIECE_HDR_RE}', 2) != ''
+                      THEN lower(regexp_extract(raw, '{_PIECE_HDR_RE}', 2)) END AS tag,
+                 regexp_replace(raw, '{_PIECE_HDR_RE}', '') AS body
+          FROM bl
+        ),
+        feat AS (
+          SELECT doc_id, ord, tag, {clean('body')} AS txt,
+                 coalesce(list_sum(list_transform(
+                   regexp_extract_all(body, '{ANCHOR_RE}', 1),
+                   x -> length({clean('x')}))), 0) AS link_chars
+          FROM hdr
+        ),
+        feat2 AS (
+          SELECT doc_id, ord, tag, txt, link_chars, length(txt) AS n_chars,
+                 list_filter(string_split(lower(txt), ' '), x -> x != '') AS toks
+          FROM feat
+        ),
+        feat3 AS (
+          SELECT doc_id, ord, tag, txt, n_chars,
+                 link_chars::DOUBLE / greatest(n_chars, 1)::DOUBLE AS ld,
+                 len(list_filter(toks, x -> list_contains([{stops}],
+                       regexp_replace(x, '{TOKEN_NORM_RE}', '', 'g'))))::DOUBLE
+                   / greatest(len(toks), 1)::DOUBLE AS sd
+          FROM feat2
+        ),
+        lab AS (
+          SELECT doc_id, ord, tag, txt, n_chars,
+                 (n_chars > 0) AND
+                 (CASE WHEN tag IN ({heads}) THEN ld <= {LINK_DENSITY_MAX}
+                       ELSE CASE
+                              WHEN ld > {LINK_DENSITY_MAX} THEN FALSE
+                              WHEN n_chars < {MIN_CHARS} THEN FALSE
+                              WHEN sd < {STOPWORD_MIN} THEN FALSE
+                              ELSE TRUE
+                            END END) AS keepb
+          FROM feat3
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN keepb THEN {prefix} || txt END,
+                                   chr(10) ORDER BY ord), '') AS content_md,
+               count(*) FILTER (WHERE n_chars > 0)::BIGINT AS n_blocks,
+               count(*) FILTER (WHERE keepb)::BIGINT AS n_kept_blocks,
+               count(*) FILTER (WHERE keepb AND tag IN ({heads}))::BIGINT
+                 AS n_headings
+        FROM lab GROUP BY doc_id
+    """
+
+
 def _crawl_frontier_oracle_sql(agent: str = "trainbot") -> str:
     """DuckDB replay of ``q_crawl_frontier``: link rows from the
     extract_links generator arithmetic, the inlink count agg, the
@@ -7055,6 +7218,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["main_content"] = _main_content_oracle_sql()
     sql["main_content_ctx"] = _main_content_oracle_sql(context=True)
+    sql["structured_md"] = _structured_md_oracle_sql()
     # sitemap_ingest: independent arithmetic derivation of every
     # frontier row (two per urlset doc, one per index doc)
     sql["sitemap_ingest"] = """

@@ -64,6 +64,19 @@ _BLOCK_TAGS = (
 )
 BLOCK_RE = rf"(?i)</?(?:{_BLOCK_TAGS})(?:>|[ \t\r\n/][^>]*>)"
 
+# capture variant for the structured (heading-aware) tier: group 1 the
+# optional closing slash, group 2 the tag name — matches EXACTLY the
+# spans BLOCK_RE matches, so the two tiers segment identically
+BLOCK_TAG_CAPTURE_RE = rf"(?i)<(/?)({_BLOCK_TAGS})(?:>|[ \t\r\n/][^>]*>)"
+
+# structured-tier markers: each block tag becomes \x01<slash><name>\x02 so
+# a plain split on \x01 yields the SAME pieces as BLOCK_RE splitting,
+# each prefixed with the tag that opened it. Input occurrences of the
+# markers are scrubbed first, so they cannot forge a header.
+_MARK_START = "\x01"
+_MARK_END = "\x02"
+_PIECE_HDR_RE = r"^(/?)([A-Za-z0-9]+)\x02"
+
 # any remaining (inline) tag
 TAG_RE = r"(?s)<[^>]+>"
 
@@ -211,47 +224,64 @@ def block_structs(
     )
 
     def mk(b: Column) -> Column:
-        txt = _clean_text(b)
-        n_chars = F.length(txt)
-        toks = F.filter(F.split(F.lower(txt), " "), lambda x: x != F.lit(""))
-        n_words = F.size(toks)
-        stop_n = F.size(
-            F.filter(
-                toks,
-                lambda x: F.array_contains(
-                    stop_arr, F.regexp_replace(x, TOKEN_NORM_RE, "")
-                ),
-            )
-        )
-        link_chars = F.aggregate(
-            F.regexp_extract_all(b, F.lit(ANCHOR_RE), F.lit(1)),
-            F.lit(0),
-            lambda acc, x: acc + F.length(_clean_text(x)),
-        )
-        link_density = link_chars.cast("double") / F.greatest(
-            n_chars, F.lit(1)
-        ).cast("double")
-        stop_density = stop_n.cast("double") / F.greatest(
-            n_words, F.lit(1)
-        ).cast("double")
-        label = (
-            F.when(link_density > F.lit(float(link_density_max)), F.lit(LABEL_HIGH_LINK))
-            .when(n_chars < F.lit(int(min_chars)), F.lit(LABEL_SHORT))
-            .when(stop_density < F.lit(float(stopword_min)), F.lit(LABEL_LOW_STOPWORD))
-            .otherwise(F.lit(LABEL_CONTENT))
-        )
         return F.struct(
-            txt.alias("text"),
-            n_chars.alias("n_chars"),
-            n_words.alias("n_words"),
-            link_chars.alias("link_chars"),
-            link_density.alias("link_density"),
-            stop_density.alias("stopword_density"),
-            label.alias("label"),
+            *_metric_fields(b, stop_arr, link_density_max, min_chars, stopword_min)
         )
 
     blocks = F.split(F.regexp_replace(html, DROP_RE, " "), BLOCK_RE)
     return F.transform(blocks, mk)
+
+
+def _metric_fields(
+    b: Column,
+    stop_arr: Column,
+    link_density_max: float,
+    min_chars: int,
+    stopword_min: float,
+) -> list:
+    """The per-block jusText metric columns (text, n_chars, n_words,
+    link_chars, link_density, stopword_density, label) over one raw
+    block string — the shared core of :func:`block_structs` and
+    :func:`structured_blocks` (one home for the classification, so the
+    tiers cannot drift)."""
+    txt = _clean_text(b)
+    n_chars = F.length(txt)
+    toks = F.filter(F.split(F.lower(txt), " "), lambda x: x != F.lit(""))
+    n_words = F.size(toks)
+    stop_n = F.size(
+        F.filter(
+            toks,
+            lambda x: F.array_contains(
+                stop_arr, F.regexp_replace(x, TOKEN_NORM_RE, "")
+            ),
+        )
+    )
+    link_chars = F.aggregate(
+        F.regexp_extract_all(b, F.lit(ANCHOR_RE), F.lit(1)),
+        F.lit(0),
+        lambda acc, x: acc + F.length(_clean_text(x)),
+    )
+    link_density = link_chars.cast("double") / F.greatest(
+        n_chars, F.lit(1)
+    ).cast("double")
+    stop_density = stop_n.cast("double") / F.greatest(
+        n_words, F.lit(1)
+    ).cast("double")
+    label = (
+        F.when(link_density > F.lit(float(link_density_max)), F.lit(LABEL_HIGH_LINK))
+        .when(n_chars < F.lit(int(min_chars)), F.lit(LABEL_SHORT))
+        .when(stop_density < F.lit(float(stopword_min)), F.lit(LABEL_LOW_STOPWORD))
+        .otherwise(F.lit(LABEL_CONTENT))
+    )
+    return [
+        txt.alias("text"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        link_chars.alias("link_chars"),
+        link_density.alias("link_density"),
+        stop_density.alias("stopword_density"),
+        label.alias("label"),
+    ]
 
 
 LABEL_EMPTY = "empty"
@@ -458,4 +488,116 @@ def html_block_frame(
         .cast("decimal(18,4)")
         .alias("stopword_density"),
         F.col("b.label").alias("label"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tier 3: heading-aware structured extraction (VERDICT r7 task 5) — the
+# markdown-ish shape LLM training corpora actually ingest: main-content
+# prose with its heading hierarchy preserved as '#'-prefixed lines and
+# list items as '- ' lines, instead of tier 1/2's flat block join.
+
+_HEADING_PREFIX = {f"h{i}": "#" * i + " " for i in range(1, 7)}
+
+
+def structured_blocks(
+    html: Column,
+    stopwords: Sequence[str] = ENGLISH_STOPWORDS,
+    link_density_max: float = LINK_DENSITY_MAX,
+    min_chars: int = MIN_CHARS,
+    stopword_min: float = STOPWORD_MIN,
+) -> Column:
+    """Array of per-block structs (tag, text, n_chars, n_words,
+    link_chars, link_density, stopword_density, label) — the
+    :func:`block_structs` metrics (shared ``_metric_fields`` core) plus
+    the lowercased name of the block tag that OPENED each block (NULL
+    for the pre-first-tag piece and for blocks that follow a CLOSING
+    tag, whose content belongs to the parent element).
+
+    Mechanics: every block tag is rewritten to a marker header
+    (``\\x01<slash><name>\\x02`` — marker characters scrubbed from the
+    input first) and the page is split on the start marker, yielding
+    exactly the pieces BLOCK_RE splitting yields, each carrying its
+    opening tag. Still one zero-shuffle HOF projection, every regex
+    RE2-safe for the DuckDB oracle."""
+    stop_arr = (
+        stopwords
+        if isinstance(stopwords, Column)
+        else F.array(*[F.lit(s) for s in stopwords])
+    )
+    cleaned = F.regexp_replace(html, DROP_RE, " ")
+    cleaned = F.regexp_replace(cleaned, f"[{_MARK_START}{_MARK_END}]", " ")
+    marked = F.regexp_replace(
+        cleaned, BLOCK_TAG_CAPTURE_RE, f"{_MARK_START}$1$2{_MARK_END}"
+    )
+
+    def mk(piece: Column) -> Column:
+        slash = F.regexp_extract(piece, _PIECE_HDR_RE, 1)
+        name = F.lower(F.regexp_extract(piece, _PIECE_HDR_RE, 2))
+        body = F.regexp_replace(piece, _PIECE_HDR_RE, "")
+        tag = F.when((slash == "") & (name != ""), name)
+        return F.struct(
+            tag.alias("tag"),
+            *_metric_fields(body, stop_arr, link_density_max, min_chars, stopword_min),
+        )
+
+    return F.transform(F.split(marked, _MARK_START), mk)
+
+
+def extract_structured(
+    df: DataFrame,
+    html_col: str = "html",
+    stopwords: Sequence[str] = ENGLISH_STOPWORDS,
+    link_density_max: float = LINK_DENSITY_MAX,
+    min_chars: int = MIN_CHARS,
+    stopword_min: float = STOPWORD_MIN,
+    content_col: str = "content_md",
+) -> DataFrame:
+    """All input rows plus (content_md, n_blocks, n_kept_blocks,
+    n_headings): heading-hierarchy-preserving main content. Keep rules,
+    reusing the tier-1 classification:
+
+    * **heading blocks** (h1-h6): kept unless link-dense (a heading is
+      short by nature — the length and stopword gates that damn a
+      two-word paragraph say nothing about a section title; link-dense
+      "headings" are navigation). Rendered ``'#' * level + ' ' + text``.
+    * **list items** (li): the tier-1 content rule (length + stopword +
+      link gates — a nav item fails on link density, a prose bullet
+      passes). Rendered ``'- ' + text``.
+    * **everything else**: the tier-1 content rule, rendered bare.
+
+    Zero-shuffle narrow projection; the block array and the kept array
+    are materialized behind projection boundaries (the HOF-no-CSE
+    lesson — extract_main_content's 7-9x re-evaluation trap)."""
+    from hgraphstorage_spark.pipeline.text import _parallel
+
+    df = _parallel(df)
+    sb = structured_blocks(
+        df[html_col], stopwords, link_density_max, min_chars, stopword_min
+    )
+    inner = df.select("*", sb.alias("_sb_blocks"))
+    sbc = F.col("_sb_blocks")
+    is_heading = lambda s: s["tag"].isin(*_HEADING_PREFIX)  # noqa: E731
+
+    def keep(s: Column) -> Column:
+        return (s["n_chars"] > F.lit(0)) & F.when(
+            is_heading(s), s["link_density"] <= F.lit(float(link_density_max))
+        ).otherwise(s["label"] == F.lit(LABEL_CONTENT))
+
+    inner2 = inner.select("*", F.filter(sbc, keep).alias("_sb_kept"))
+    kept = F.col("_sb_kept")
+
+    def render(s: Column) -> Column:
+        prefix = F.lit("")
+        for tag, p in _HEADING_PREFIX.items():
+            prefix = F.when(s["tag"] == F.lit(tag), F.lit(p)).otherwise(prefix)
+        prefix = F.when(s["tag"] == F.lit("li"), F.lit("- ")).otherwise(prefix)
+        return F.concat(prefix, s["text"])
+
+    return inner2.select(
+        *df.columns,
+        F.array_join(F.transform(kept, render), "\n").alias(content_col),
+        F.size(F.filter(sbc, lambda s: s["n_chars"] > F.lit(0))).alias("n_blocks"),
+        F.size(kept).alias("n_kept_blocks"),
+        F.size(F.filter(kept, is_heading)).alias("n_headings"),
     )

@@ -166,8 +166,11 @@ def test_window_covers_required_operators():
         # keeps three in-window rows; boilerplate_dedup out in the r6
         # second rotation after two green contacts; incremental_near_dup
         # and weighted_sample out in the third after r4+r5 green;
-        # exact_substring out in the fourth after r3-r5 green)
-        "ivfpq_topk",
+        # exact_substring out in the fourth after r3-r5 green;
+        # ivfpq_topk out in the r8 sixteenth rotation after r4-r7 green
+        # — similarity keeps mmr_rerank + media_pairs in-window and its
+        # slot carries the heading-aware structured extraction tier)
+        "structured_md",
         # r6 eighth rotation: the r5 block (dsir_weights / dsir_sample /
         # bpe_merges / dedup_keep_best / simhash_pairs /
         # perplexity_buckets / quality_reasons — all hashed green in r5)

@@ -379,6 +379,86 @@ class TestLanguageRouting:
         assert english[2]["n_content_blocks"] == 0
 
 
+class TestStructuredExtract:
+    HTML = (
+        '<html><head><title>T</title><script>var z=1;</script></head><body>'
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<h1>Guide to the hash join</h1>"
+        "<p>the hash join is a batch operation that the scan feeds with a"
+        " row at a time from the column filter</p>"
+        "<h2>Notes on the row scan</h2>"
+        "<ul><li>the batch scan uses a hash row filter and a column filter"
+        " on it</li>"
+        '<li><a href="/x">nav item</a></li></ul>'
+        "<footer>Copyright 2024</footer></body></html>"
+    )
+
+    def test_markdown_rendering_and_keep_rules(self, spark):
+        """VERDICT r7 task 5: h1/h2 surface as '#'/'##' lines (kept on
+        the link-density rule alone — headings are short by nature), a
+        prose li renders as '- ', body prose stays bare, and the
+        nav/link-item/footer/title chrome drops."""
+        from hgraphstorage_spark.pipeline.extraction import extract_structured
+
+        df = spark.createDataFrame([(1, self.HTML)], "doc_id long, html string")
+        r = extract_structured(df).collect()[0]
+        lines = r["content_md"].split("\n")
+        assert lines[0] == "# Guide to the hash join"
+        assert lines[1].startswith("the hash join is a batch operation")
+        assert lines[2] == "## Notes on the row scan"
+        assert lines[3] == "- the batch scan uses a hash row filter and a column filter on it"
+        assert len(lines) == 4
+        assert r["n_headings"] == 2 and r["n_kept_blocks"] == 4
+        assert "Home" not in r["content_md"] and "Copyright" not in r["content_md"]
+        assert "nav item" not in r["content_md"]
+
+    def test_link_dense_heading_drops_and_deep_levels(self, spark):
+        from hgraphstorage_spark.pipeline.extraction import extract_structured
+
+        df = spark.createDataFrame(
+            [
+                (1, '<h3><a href="/s">Sponsored section</a></h3>'
+                    "<h6>The deepest heading level of all of these</h6>"),
+            ],
+            "doc_id long, html string",
+        )
+        r = extract_structured(df).collect()[0]
+        assert r["content_md"] == "###### The deepest heading level of all of these"
+        assert r["n_headings"] == 1
+
+    def test_marker_chars_in_input_are_inert_and_zero_shuffle(self, spark):
+        from hgraphstorage_spark.pipeline.extraction import extract_structured
+
+        df = spark.createDataFrame(
+            [(1, "<p>evil \x01h1\x02 forged header stays in the text of"
+                 " the block and this block has all of the usual words</p>")],
+            "doc_id long, html string",
+        )
+        out = extract_structured(df)
+        r = out.collect()[0]
+        assert r["n_headings"] == 0 and r["n_kept_blocks"] == 1
+        assert "forged header" in r["content_md"]
+        assert not r["content_md"].startswith("#")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "EvalPython" not in plan
+
+    def test_segmentation_matches_tier1(self, spark):
+        """The marker split must segment exactly like BLOCK_RE: block
+        texts and labels agree with block_structs on the same page."""
+        from hgraphstorage_spark.pipeline.extraction import (
+            block_structs,
+            structured_blocks,
+        )
+
+        df = spark.createDataFrame([(1, self.HTML)], "doc_id long, html string")
+        t1 = df.select(block_structs(F.col("html")).alias("b")).collect()[0]["b"]
+        t3 = df.select(structured_blocks(F.col("html")).alias("b")).collect()[0]["b"]
+        assert [(x["text"], x["label"]) for x in t1] == [
+            (x["text"], x["label"]) for x in t3
+        ]
+
+
 class TestPageMeta:
     def test_fields_orders_entities_resolution(self, spark):
         from hgraphstorage_spark.sources.warc import extract_page_meta
