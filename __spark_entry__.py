@@ -3982,9 +3982,26 @@ def q_crawl_frontier(spark, sf_dir):
 
     links = extract_links(_anchored_pages(spark, sf_dir))
     robots = spark.createDataFrame(_ROBOTS_FIXTURE, "domain string, robots_txt string")
+    sm = _frontier_sitemap(spark, sf_dir)
+    out = crawl_frontier(
+        links,
+        parse_robots(robots, agent="trainbot"),
+        extras=robots_extras(robots, agent="trainbot"),
+        sitemap_entries=sm,
+        as_of="2024-03-01",
+    )
+    return _canon(out, "sitemap_priority")
+
+
+def _frontier_sitemap(spark, sf_dir) -> DataFrame:
+    """The arithmetic synthetic sitemap shared by the batch and stream
+    crawl-frontier rows (one home — the stream == batch certificate
+    depends on both composing identical hints): one entry per /p{k+1}
+    link target with lastmod 2024-01-01..28, changefreq cycling
+    hourly/daily/weekly/never/monthly by k%5, priority 0.(k%10)."""
     docs = _t(spark, sf_dir, "documents")
     kk = F.col("k")
-    sm = (
+    return (
         docs.select(F.floor(F.col("doc_id") / 2).cast("long").alias("k"))
         .distinct()
         .select(
@@ -4008,14 +4025,64 @@ def q_crawl_frontier(spark, sf_dir):
             .alias("priority"),
         )
     )
-    out = crawl_frontier(
-        links,
-        parse_robots(robots, agent="trainbot"),
-        extras=robots_extras(robots, agent="trainbot"),
-        sitemap_entries=sm,
-        as_of="2024-03-01",
+
+
+def q_stream_crawl_frontier(spark, sf_dir):
+    """The crawl frontier INCREMENTALLY MAINTAINED as a real structured
+    stream (streaming/ingest.py:stream_crawl_frontier): the same
+    synthetic link rows as the batch capstone flow through 4
+    file-triggered micro-batches, each batch's per-(url, src) counts
+    merging into the persisted register table with the crash-safe
+    atomic swap; the frontier then re-ranks from the register
+    (frontier_agg_from_register → warc.frontier_compose with the same
+    robots gate / delays / sitemap freshness). Because n_inlinks is an
+    additive sum and n_sources an exact distinct over the register,
+    the result equals the batch crawl_frontier row EXACTLY — the
+    oracle IS the batch row's oracle (the stream == batch
+    certificate)."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.sources.warc import (
+        extract_links,
+        frontier_compose,
+        parse_robots,
+        robots_extras,
     )
-    return _canon(out, "sitemap_priority")
+    from hgraphstorage_spark.streaming import (
+        frontier_agg_from_register,
+        stream_crawl_frontier,
+    )
+
+    links = extract_links(_anchored_pages(spark, sf_dir)).select("url", "link_url")
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "domain string, robots_txt string")
+    sm = _frontier_sitemap(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="hgs_frontier_stream_")
+    try:
+        links.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(links.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = stream_crawl_frontier(stream, f"{tmp}/ckpt", f"{tmp}/regs")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = frontier_compose(
+            frontier_agg_from_register(spark, f"{tmp}/regs"),
+            parse_robots(robots, agent="trainbot"),
+            extras=robots_extras(robots, agent="trainbot"),
+            sitemap_entries=sm,
+            as_of="2024-03-01",
+        )
+        # materialization boundary: the temp register files are deleted
+        # on exit, so the returned frame must not re-read them lazily
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return _canon(out, "sitemap_priority")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _pii_injection() -> F.Column:
@@ -4589,7 +4656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RAW below) gives its slot to anchor-capture extract_links —
         # the per-link frame under the driver hash
         "extract_links": q_extract_links,
-        "stream_url_dedup": q_stream_url_dedup,
+        # r8 seventeenth rotation: stream_url_dedup (hashed green r6+r7;
+        # its batch keeper machinery IS the in-window url_dedup row, and
+        # the streaming family keeps four real-stream in-window rows:
+        # stream_hll, stream_quantile, stream_topics, stream_embed_dedup)
+        # gives its slot to the incrementally-maintained crawl frontier —
+        # a REAL 4-micro-batch register stream whose result must equal
+        # the batch capstone bit-for-bit (shared oracle)
+        "stream_crawl_frontier": q_stream_crawl_frontier,
         "stream_embed_dedup": q_stream_embed_dedup,
         "domain_quality": q_domain_quality,
         "novelty": q_novelty,
@@ -4668,6 +4742,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comments)
         "modularity": q_modularity,
         "ivfpq_topk": q_ivfpq_topk,
+        # r8 seventeenth rotation, rotated-out row (hashed green r6+r7;
+        # machinery kept per the in-window slot comment)
+        "stream_url_dedup": q_stream_url_dedup,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -7205,6 +7282,9 @@ def oracle_sql() -> dict[str, str]:
     sql["fuzzy_decontaminate"] = _fuzzy_decon_oracle_sql(n=5, k=64, bands=16, threshold=0.5)
     sql["robots_filter"] = _robots_oracle_sql(agent="trainbot")
     sql["crawl_frontier"] = _crawl_frontier_oracle_sql(agent="trainbot")
+    # the stream == batch certificate: the incrementally-maintained
+    # frontier must equal the batch capstone, so it shares its oracle
+    sql["stream_crawl_frontier"] = _crawl_frontier_oracle_sql(agent="trainbot")
     sql["robots_extras"] = """
         SELECT * FROM (VALUES
           ('site0.com', 2.0::DOUBLE, 'https://site0.com/sm.xml'),

@@ -889,11 +889,7 @@ def crawl_frontier(
     schedules per-host fetch queues anyway (politeness makes the host
     the unit of ordering); host skew equals inlink skew, bounded by the
     per-host frontier size a scheduler caps regardless."""
-    from pyspark.sql import Window
-
-    from hgraphstorage_spark.pipeline.state import track
-
-    agg = track(
+    agg = (
         links.select(F.col(url_col).alias("url"), F.col(src_col).alias("_src"))
         .groupBy("url")
         .agg(
@@ -901,9 +897,38 @@ def crawl_frontier(
             F.countDistinct("_src").cast("long").alias("n_sources"),
         )
     )
+    return frontier_compose(
+        agg, rules, extras, sitemap_entries,
+        priority_weight, as_of, freshness_weight, staleness_cap,
+    )
+
+
+def frontier_compose(
+    agg: DataFrame,
+    rules: DataFrame,
+    extras: DataFrame | None = None,
+    sitemap_entries: DataFrame | None = None,
+    priority_weight: float = 2.0,
+    as_of: str | None = None,
+    freshness_weight: float = 0.5,
+    staleness_cap: float = 10.0,
+) -> DataFrame:
+    """The gate + hints + rank half of :func:`crawl_frontier`, taking a
+    pre-aggregated demand frame (url, n_inlinks, n_sources) — the entry
+    point for INCREMENTALLY maintained demand (the
+    ``streaming.stream_crawl_frontier`` register table aggregated by
+    ``streaming.frontier_agg_from_register``), so a 100 TB crawl
+    re-ranks its frontier from per-batch deltas instead of re-scanning
+    every link ever seen. Semantics and output schema are exactly
+    :func:`crawl_frontier`'s."""
+    from pyspark.sql import Window
+
+    from hgraphstorage_spark.pipeline.state import track
+
     # persisted (track) because agg feeds BOTH the robots gate and the
-    # verdict join-back — without the lineage cut the links count
-    # aggregate is planned and executed twice (r7 review catch)
+    # verdict join-back — without the lineage cut the demand aggregate
+    # is planned and executed twice (r7 review catch)
+    agg = track(agg)
     gated = robots_filter(agg, rules, url_col="url", id_col="url")
     out = gated.join(agg, "url")
     if sitemap_entries is not None:

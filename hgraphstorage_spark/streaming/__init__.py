@@ -1,5 +1,7 @@
 from hgraphstorage_spark.streaming.ingest import (
     dsir_stream_score,
+    frontier_agg_from_register,
+    stream_crawl_frontier,
     stream_quantile_sketch,
     events_tumbling_agg,
     load_events,
@@ -17,6 +19,8 @@ from hgraphstorage_spark.streaming.stateful import running_label_counts, stream_
 
 __all__ = [
     "dsir_stream_score",
+    "frontier_agg_from_register",
+    "stream_crawl_frontier",
     "stream_quantile_sketch",
     "enrich_with_dimension",
     "interval_join",

@@ -208,6 +208,53 @@ def stream_near_dedup(
     )
 
 
+def _read_register(spark, register_path: str) -> DataFrame | None:
+    """Current register state: the primary dir, else the pre-swap
+    ``__old`` fallback, else None (genuine first batch). Read errors on
+    an EXISTING dir (schema drift, corrupt footer) propagate — only
+    ABSENCE selects the first-batch branch, so accumulated state is
+    never silently discarded (r7 review)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(register_path).getFileSystem(conf)
+    if fs.exists(HPath(register_path)):
+        return spark.read.parquet(register_path)
+    if fs.exists(HPath(register_path + "__old")):
+        return spark.read.parquet(register_path + "__old")
+    return None
+
+
+def _swap_register(spark, merged: DataFrame, register_path: str) -> None:
+    """Atomically publish ``merged`` as the register state: write to
+    ``__tmp``, then swap via Hadoop FS renames (atomic on HDFS/ABFS/
+    local; on S3 point register_path at a rename-capable store — the
+    same contract as store.py's CAS ledger).
+
+    Swap order is the crash-safety contract (ADVICE r7): a stale
+    ``__old`` is deleted ONLY while main is live — when main is absent
+    the state lives in ``__old`` alone (prior crash between renames),
+    and deleting it before tmp->main would leave NEITHER dir, so the
+    next batch would take the first-batch branch and silently discard
+    every accumulated register. Rename returns are checked: Hadoop FS
+    rename reports failure as False, not an exception, and proceeding
+    past a failed rename corrupts the swap."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(register_path).getFileSystem(conf)
+    main_p, old_p = HPath(register_path), HPath(register_path + "__old")
+    tmp = register_path + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if fs.exists(main_p):
+        fs.delete(old_p, True)
+        if not fs.rename(main_p, old_p):
+            raise IOError(f"register swap: rename {register_path} -> __old failed")
+    if not fs.rename(HPath(tmp), main_p):
+        raise IOError(f"register swap: rename __tmp -> {register_path} failed")
+    fs.delete(old_p, True)
+
+
 def stream_quantile_sketch(
     stream: DataFrame,
     value_col: str,
@@ -252,53 +299,85 @@ def stream_quantile_sketch(
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        HPath = jvm.org.apache.hadoop.fs.Path
-        fs = HPath(register_path).getFileSystem(conf)
-        main_p, old_p = HPath(register_path), HPath(register_path + "__old")
-        tmp = register_path + "__tmp"
-
         new = quantile_sketch(batch_df, value_col, id_col, gs, k, salt)
         # read the current state: primary, else the pre-swap fallback;
         # only ABSENCE selects the first-batch branch — union errors
         # (schema drift) must propagate, not silently drop state
-        if fs.exists(main_p):
-            merged = quantile_sketch_merge(
-                spark.read.parquet(register_path), new, gs, k, dedup=True
-            )
-        elif fs.exists(old_p):
-            merged = quantile_sketch_merge(
-                spark.read.parquet(register_path + "__old"), new, gs, k, dedup=True
-            )
-        else:
-            merged = new
-        merged.write.mode("overwrite").parquet(tmp)
-        # swap order is the crash-safety contract (ADVICE r7): a stale
-        # __old is deleted ONLY while main is live — when main is absent
-        # the state lives in __old alone (prior crash between renames),
-        # and deleting it before tmp->main would leave NEITHER dir, so
-        # the next batch would take the first-batch branch and silently
-        # discard every accumulated register. Rename returns are checked:
-        # Hadoop FS rename reports failure as False, not an exception,
-        # and proceeding past a failed rename corrupts the swap.
-        if fs.exists(main_p):
-            fs.delete(old_p, True)
-            if not fs.rename(main_p, old_p):
-                raise IOError(
-                    f"stream_quantile_sketch: rename {register_path} -> __old failed"
-                )
-        if not fs.rename(HPath(tmp), main_p):
-            raise IOError(
-                f"stream_quantile_sketch: rename __tmp -> {register_path} failed"
-            )
-        fs.delete(old_p, True)
+        cur = _read_register(spark, register_path)
+        merged = (
+            new if cur is None else quantile_sketch_merge(cur, new, gs, k, dedup=True)
+        )
+        _swap_register(spark, merged, register_path)
 
     return (
         stream.writeStream.foreachBatch(publish)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()
+    )
+
+
+def stream_crawl_frontier(
+    stream_links: DataFrame,
+    checkpoint_dir: str,
+    register_path: str,
+    url_col: str = "link_url",
+    src_col: str = "url",
+):
+    """Incrementally maintained crawl-frontier DEMAND register — how a
+    100 TB crawl actually runs: link extractions arrive as a stream
+    (each crawl shard's ``extract_links`` output), every micro-batch's
+    per-(target, source) link counts MERGE into a persisted register
+    table, and the frontier re-ranks from the register
+    (:func:`frontier_agg_from_register` → ``sources.warc.
+    frontier_compose``) without ever re-scanning the links seen so far.
+
+    State: one row per (url, src, batch_id) with that batch's link
+    count — the distinct absorbs foreachBatch redelivery (a replayed
+    batch re-contributes IDENTICAL rows, which collapse instead of
+    double-counting), while a genuine re-arrival of the same edge in a
+    later batch adds under its own batch_id. n_inlinks is then an
+    additive SUM and n_sources an exact COUNT DISTINCT over the
+    register — so the stream equals batch ``crawl_frontier`` over the
+    union of all streamed links EXACTLY (driver-certified by the
+    stream_crawl_frontier row sharing the batch row's oracle). State
+    size is the distinct-edge count — the link graph itself, the state
+    an incremental frontier inherently carries. Publishing uses the
+    same crash-safe atomic swap as the quantile registers.
+
+    Returns the started StreamingQuery (caller stops it)."""
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = (
+            batch_df.select(
+                F.col(url_col).alias("url"), F.col(src_col).alias("src")
+            )
+            .groupBy("url", "src")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        )
+        cur = _read_register(spark, register_path)
+        merged = new if cur is None else cur.unionByName(new).distinct()
+        _swap_register(spark, merged, register_path)
+
+    return (
+        stream_links.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def frontier_agg_from_register(spark, register_path: str) -> DataFrame:
+    """The (url, n_inlinks, n_sources) demand frame from a
+    :func:`stream_crawl_frontier` register — feed it to
+    ``sources.warc.frontier_compose`` for the gated, hinted, ranked
+    frontier. One url-keyed agg over the register (map-side partial)."""
+    reg = spark.read.parquet(register_path)
+    return reg.groupBy("url").agg(
+        F.sum("n").cast("long").alias("n_inlinks"),
+        F.countDistinct("src").cast("long").alias("n_sources"),
     )
 
 

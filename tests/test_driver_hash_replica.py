@@ -196,8 +196,11 @@ def test_window_covers_required_operators():
         "url_dedup", "warc_ingest", "media_pairs",
         "nb_quality", "novelty",
         # r6 third rotation: the drift / export / streaming wave —
-        # also in-window the round it was built
-        "stream_url_dedup",
+        # also in-window the round it was built (stream_url_dedup out
+        # in the r8 seventeenth rotation after r6+r7 green — its batch
+        # keeper IS the in-window url_dedup row; its slot carries the
+        # incrementally-maintained streaming crawl frontier)
+        "stream_crawl_frontier",
         "stream_embed_dedup", "domain_quality", "unimax_mix",
         # r6 fourth rotation: the lossless prefix-filter exact join,
         # Z-order layout key, Count-Min sketch, PSI drift monitor, and

@@ -829,3 +829,61 @@ class TestStreamQuantileSketch:
         )
         assert bag(got) == bag(want)
         assert not os.path.exists(f"{tmpdir}/regs__old")
+
+
+class TestStreamCrawlFrontier:
+    def test_stream_register_equals_batch_frontier(self, spark, tmpdir):
+        """Incrementally maintained frontier demand: link rows stream
+        through multiple micro-batches (the same edge re-arriving in
+        different batches must ADD to n_inlinks while n_sources stays
+        exact-distinct), and frontier_compose over the register must
+        equal batch crawl_frontier over all streamed links."""
+        import os
+
+        from hgraphstorage_spark.sources.warc import (
+            crawl_frontier,
+            frontier_compose,
+            parse_robots,
+        )
+        from hgraphstorage_spark.streaming import (
+            frontier_agg_from_register,
+            stream_crawl_frontier,
+        )
+
+        rows = [
+            # (src page, link target) — t.com/hot repeats across rows so
+            # different micro-batches carry the same edge
+            ("https://x.com/a", "https://t.com/hot"),
+            ("https://x.com/a", "https://t.com/hot"),
+            ("https://y.com/b", "https://t.com/hot"),
+            ("https://y.com/b", "https://u.com/solo"),
+            ("https://z.com/c", "https://t.com/hot"),
+            ("https://z.com/c", "https://t.com/cold"),
+        ]
+        links = spark.createDataFrame(rows, "url string, link_url string")
+        links.repartition(3).write.mode("overwrite").parquet(f"{tmpdir}/src")
+        stream = (
+            spark.readStream.schema(links.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmpdir}/src")
+        )
+        q = stream_crawl_frontier(stream, f"{tmpdir}/ckpt", f"{tmpdir}/regs")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rules = parse_robots(
+            spark.createDataFrame(
+                [("t.com", "User-agent: *\nDisallow: /cold\n")],
+                "domain string, robots_txt string",
+            )
+        )
+        got = frontier_compose(
+            frontier_agg_from_register(spark, f"{tmpdir}/regs"), rules
+        )
+        want = crawl_frontier(links, rules)
+        assert bag(got) == bag(want)
+        hot = {r["url"]: r for r in got.collect()}["https://t.com/hot"]
+        assert (hot["n_inlinks"], hot["n_sources"]) == (4, 3)
+        assert not os.path.exists(f"{tmpdir}/regs__tmp")
+        assert not os.path.exists(f"{tmpdir}/regs__old")
