@@ -3928,7 +3928,9 @@ def q_sitemap_ingest(spark, sf_dir):
     <urlset> (entity-escaped query loc + lastmod + priority; bare loc +
     changefreq), every fourth a <sitemapindex> child pointer. The
     oracle derives every expected frontier row from the generator
-    arithmetic — independent derivation, not regex replay."""
+    arithmetic — independent derivation, not regex replay. The second
+    entry's loc arrives CDATA-wrapped with a RAW ampersand (the r8
+    unwrap; entity escaping stays live on the first entry)."""
     from hgraphstorage_spark.sources.warc import parse_sitemaps
 
     i = F.col("doc_id")
@@ -3938,9 +3940,9 @@ def q_sitemap_ingest(spark, sf_dir):
         F.lit("<urlset><url><loc>https://site"), s(i % 7), F.lit(".com/a?x="),
         s(i), F.lit("&amp;y=2</loc><lastmod>2024-02-0"), s(i % 9 + 1),
         F.lit("</lastmod><priority>0."), s(i % 10),
-        F.lit("</priority></url><url><loc>https://site"), s(i % 7),
+        F.lit("</priority></url><url><loc><![CDATA[https://site"), s(i % 7),
         F.lit(".com/b"), s(i),
-        F.lit("</loc><changefreq>weekly</changefreq></url></urlset>"),
+        F.lit("?q=1&r=2]]></loc><changefreq>weekly</changefreq></url></urlset>"),
     )
     index = F.concat(
         F.lit("<sitemapindex><sitemap><loc>https://site"), s(i % 7),
@@ -7311,7 +7313,7 @@ def oracle_sql() -> dict[str, str]:
         FROM d WHERE doc_id % 4 != 3
         UNION ALL
         SELECT 'site' || (doc_id % 7) || '.com', 'url',
-               'https://site' || (doc_id % 7) || '.com/b' || doc_id,
+               'https://site' || (doc_id % 7) || '.com/b' || doc_id || '?q=1&r=2',
                NULL, 'weekly', NULL
         FROM d WHERE doc_id % 4 != 3
         UNION ALL

@@ -232,6 +232,16 @@ R7_OPS = [
     "crawl_frontier",
 ]
 
+# round-8 operators, same contract (timed, outside the headline).
+# stream_crawl_frontier joins the untimed streaming rows (micro-batch
+# harness setup dominates at bench SF, same as stream_hll & co);
+# crawl_frontier (R7_OPS) now times the freshness-extended plan and
+# pii_scrub the eight-kind checksum-gated pass.
+R8_OPS = [
+    "datasheet",
+    "structured_md",
+]
+
 
 # exact-pair diagnostics: collision-quadratic BY DESIGN (the documented
 # exact baselines the LSH/prefix-filter scale paths are validated
@@ -313,7 +323,7 @@ def main() -> None:
     # warms exactly the classes the timed sf0.1 pass runs; Catalyst
     # planning of the sf0.1 plans is NOT cached and stays in the timings.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + MD5_TWINS + R4_OPS + R5_OPS + R6_OPS + R7_OPS + DIAGNOSTICS:
+    for name in HEADLINE + MD5_TWINS + R4_OPS + R5_OPS + R6_OPS + R7_OPS + R8_OPS + DIAGNOSTICS:
         try:
             _execute(queries[name](spark, warm_dir))
         except Exception:
@@ -363,6 +373,7 @@ def main() -> None:
     r5_timings = _section("r5_ops", R5_OPS)
     r6_timings = _section("r6_ops", R6_OPS)
     r7_timings = _section("r7_ops", R7_OPS)
+    r8_timings = _section("r8_ops", R8_OPS)
     # the diagnostics are collision-quadratic BY DESIGN — never re-timed
     diag_timings = _section("diagnostics", DIAGNOSTICS, runs=1, retry=False)
 
@@ -393,6 +404,7 @@ def main() -> None:
                 "r5_ops": r5_timings,
                 "r6_ops": r6_timings,
                 "r7_ops": r7_timings,
+                "r8_ops": r8_timings,
                 "diagnostics": diag_timings,
                 "timing": "min_of_3_headline_min_of_2_ops",
                 "sentinel": sentinel,
