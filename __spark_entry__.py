@@ -3958,6 +3958,61 @@ def q_sitemap_ingest(spark, sf_dir):
     return _canon(out, "priority")
 
 
+def q_feed_ingest(spark, sf_dir):
+    """RSS/Atom feed ingestion (sources/warc.py:parse_feeds) over
+    arithmetic-generated feed XML cycling by doc_id%3: an RSS item with
+    a CDATA-wrapped entity-bearing title and an RFC 822 pubDate whose
+    day AND month vary; an Atom entry with alternating single/double
+    quoted href and an ISO updated timestamp; an RSS item with no date
+    (NULL published). The oracle derives every field — including the
+    RFC 822 day-month-year → DATE fold — from the generator
+    arithmetic."""
+    from hgraphstorage_spark.sources.warc import parse_feeds
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    months = F.array(*[F.lit(m) for m in (
+        "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+        "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+    )])
+    day = (i % 28 + 1).cast("int")
+    mon = (i % 12 + 1).cast("int")
+    rss = F.concat(
+        F.lit("<rss><channel><title>Chan</title><item>"
+              "<title><![CDATA[Story "), s(i), F.lit(" &amp; more]]></title>"
+              "<link>https://site"), s(i % 7), F.lit(".com/story/"), s(i),
+        F.lit("</link><pubDate>Mon, "), F.lpad(s(day), 2, "0"), F.lit(" "),
+        F.element_at(months, mon), F.lit(" 2024 10:0"), s(i % 10),
+        F.lit(":00 GMT</pubDate></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed><entry><title>Post "), s(i),
+        F.lit("</title>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit('<link rel="alternate" href="https://site'), s(i % 7),
+                     F.lit(".com/post/"), s(i), F.lit('"/>')),
+        ).otherwise(
+            F.concat(F.lit("<link href='https://site"), s(i % 7),
+                     F.lit(".com/post/"), s(i), F.lit("'/>")),
+        ),
+        F.lit("<updated>2024-"), F.lpad(s(mon), 2, "0"), F.lit("-"),
+        F.lpad(s(day), 2, "0"), F.lit("T08:00:00Z</updated></entry></feed>"),
+    )
+    undated = F.concat(
+        F.lit("<rss><channel><item><title>Undated "), s(i),
+        F.lit("</title><link>https://site"), s(i % 7), F.lit(".com/u/"), s(i),
+        F.lit("</link></item></channel></rss>"),
+    )
+    feeds = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.concat(F.lit("site"), s(i % 7), F.lit(".com")).alias("domain"),
+        F.when(i % 3 == 0, rss).when(i % 3 == 1, atom).otherwise(undated)
+        .alias("feed_xml"),
+    )
+    return _canon(parse_feeds(feeds), "published_date")
+
+
 def q_crawl_frontier(spark, sf_dir):
     """The crawl-tier CAPSTONE composition (sources/warc.py:
     crawl_frontier): outbound links from the anchored synthetic pages →
@@ -4635,7 +4690,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # five in-window rows and token signals stay via content_type /
         # quality_reasons) rotate past the window; their slots carry the
         # NB quality classifier and the n-gram novelty signal
-        "nb_quality": q_nb_quality,
+        # r8 eighteenth rotation: nb_quality (hashed green r6+r7; the
+        # quality family keeps domain_quality in-window and the NB
+        # log-likelihood replay stays under its full pytest oracle)
+        # gives its slot to RSS/Atom feed ingestion — the
+        # push-freshness leg of the crawl tier, in-window the round it
+        # was built
+        "feed_ingest": q_feed_ingest,
         # dedup_clusters (hashed green r1-r6-replica; its HashMin cluster
         # CTE chain is embedded verbatim inside the in-window
         # dedup_keep_best oracle) rotates past the window; its slot
@@ -4744,9 +4805,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comments)
         "modularity": q_modularity,
         "ivfpq_topk": q_ivfpq_topk,
-        # r8 seventeenth rotation, rotated-out row (hashed green r6+r7;
-        # machinery kept per the in-window slot comment)
+        # r8 seventeenth + eighteenth rotations, rotated-out rows
+        # (hashed green r6+r7; machinery kept per the in-window slot
+        # comments)
         "stream_url_dedup": q_stream_url_dedup,
+        "nb_quality": q_nb_quality,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -7287,6 +7350,38 @@ def oracle_sql() -> dict[str, str]:
     # the stream == batch certificate: the incrementally-maintained
     # frontier must equal the batch capstone, so it shares its oracle
     sql["stream_crawl_frontier"] = _crawl_frontier_oracle_sql(agent="trainbot")
+    # feed_ingest: independent arithmetic derivation of every field,
+    # including the RFC 822 day-month-year -> DATE fold
+    _fd_mon = "(['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][mon])"
+    _fd_date = (
+        "('2024-' || lpad(mon::VARCHAR, 2, '0') || '-' "
+        "|| lpad(day::VARCHAR, 2, '0'))::DATE::VARCHAR"
+    )
+    sql["feed_ingest"] = f"""
+        WITH d AS (SELECT doc_id, doc_id % 28 + 1 AS day, doc_id % 12 + 1 AS mon
+                   FROM documents)
+        SELECT 'site' || (doc_id % 7) || '.com' AS domain, 'rss' AS kind,
+               'Story ' || doc_id || ' & more' AS title,
+               'https://site' || (doc_id % 7) || '.com/story/' || doc_id AS link,
+               'Mon, ' || lpad(day::VARCHAR, 2, '0') || ' ' || {_fd_mon}
+                 || ' 2024 10:0' || (doc_id % 10) || ':00 GMT' AS published,
+               {_fd_date} AS published_date
+        FROM d WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT 'site' || (doc_id % 7) || '.com', 'atom',
+               'Post ' || doc_id,
+               'https://site' || (doc_id % 7) || '.com/post/' || doc_id,
+               '2024-' || lpad(mon::VARCHAR, 2, '0') || '-'
+                 || lpad(day::VARCHAR, 2, '0') || 'T08:00:00Z',
+               {_fd_date}
+        FROM d WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT 'site' || (doc_id % 7) || '.com', 'rss',
+               'Undated ' || doc_id,
+               'https://site' || (doc_id % 7) || '.com/u/' || doc_id,
+               NULL, NULL
+        FROM d WHERE doc_id % 3 = 2
+    """
     sql["robots_extras"] = """
         SELECT * FROM (VALUES
           ('site0.com', 2.0::DOUBLE, 'https://site0.com/sm.xml'),

@@ -240,6 +240,7 @@ R7_OPS = [
 R8_OPS = [
     "datasheet",
     "structured_md",
+    "feed_ingest",
 ]
 
 

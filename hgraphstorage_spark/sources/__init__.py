@@ -13,6 +13,7 @@ from hgraphstorage_spark.sources.warc import (
     domain_link_graph,
     extract_links,
     html_to_text,
+    parse_feeds,
     read_warc,
     warc_to_documents,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "write_zorder",
     "write_csv",
     "write_jsonl",
+    "parse_feeds",
     "read_warc",
     "warc_to_documents",
     "html_to_text",

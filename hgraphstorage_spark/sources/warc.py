@@ -460,6 +460,31 @@ _SM_LOC = r"(?is)<loc(?:>|[ \t\r\n][^>]*>)([^<]*)</loc"
 # CDATA sections unwrap to their literal content before element
 # extraction (RE2-safe non-greedy body; r7 verdict stretch task)
 _CDATA_RE = r"(?s)<!\[CDATA\[(.*?)\]\]>"
+
+# RSS 2.0 / Atom feed patterns — RE2-safe, same block-extract shape as
+# the sitemap patterns. The Atom link carries its URL in an href
+# ATTRIBUTE (self-closed element), with per-quote-style alternates (the
+# page-meta lesson: a combined quote class truncates at the other quote)
+_FEED_ITEM_BLOCK = r"(?is)<item(?:>|[ \t\r\n][^>]*>)(.*?)</item[ \t\r\n]*>"
+_FEED_ENTRY_BLOCK = r"(?is)<entry(?:>|[ \t\r\n][^>]*>)(.*?)</entry[ \t\r\n]*>"
+_FD_TITLE = r"(?is)<title(?:>|[ \t\r\n][^>]*>)([^<]*)</title"
+_FD_LINK_TEXT = r"(?is)<link(?:>|[ \t\r\n][^>]*>)([^<]*)</link"
+_FD_LINK_HREF = (
+    r"""(?is)<link[ \t\r\n][^>]*href[ \t\r\n]*=[ \t\r\n]*(?:"([^"]*)"|'([^']*)')"""
+)
+_FD_PUBDATE = r"(?is)<pubdate(?:>|[ \t\r\n][^>]*>)([^<]*)</pubdate"
+_FD_UPDATED = r"(?is)<updated(?:>|[ \t\r\n][^>]*>)([^<]*)</updated"
+# the RFC 822 day-month-year core of an RSS pubDate
+# ('Mon, 15 Jan 2024 10:00:00 GMT'); month names are the RFC's fixed
+# English three-letter forms
+_RFC822_DMY_RE = (
+    r"([0-9]{1,2})[ \t]+(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+    r"[ \t]+([0-9]{4})"
+)
+_RFC822_MONTHS = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
 _SM_LASTMOD = r"(?is)<lastmod(?:>|[ \t\r\n][^>]*>)([^<]*)</lastmod"
 _SM_CHANGEFREQ = r"(?is)<changefreq(?:>|[ \t\r\n][^>]*>)([^<]*)</changefreq"
 _SM_PRIORITY = r"(?is)<priority(?:>|[ \t\r\n][^>]*>)([^<]*)</priority"
@@ -524,6 +549,111 @@ def parse_sitemaps(
         .alias("priority"),
     )
     return out.filter(F.col("loc").isNotNull())
+
+
+def parse_feeds(
+    feeds: DataFrame,
+    domain_col: str = "domain",
+    xml_col: str = "feed_xml",
+) -> DataFrame:
+    """RSS 2.0 + Atom feed ingestion — the PUSH-freshness leg of the
+    crawl tier next to :func:`parse_sitemaps` (a feed announces NEW
+    urls with publish timestamps; a sitemap inventories known ones):
+    per entry (domain, kind 'rss'|'atom', title, link, published,
+    published_date DATE).
+
+    Handles both dialects in one pass: ``<item>`` blocks are RSS
+    (``<link>`` element text, RFC 822 ``<pubDate>``), ``<entry>``
+    blocks are Atom (``<link href="..."/>`` attribute in either quote
+    style, ISO 8601 ``<updated>``). CDATA sections unwrap first (feed
+    titles are routinely CDATA-wrapped); titles and links are
+    entity-decoded and whitespace-collapsed. ``published`` keeps the
+    raw string; ``published_date`` parses the ISO leading date or the
+    RFC 822 day-month-year core — via try_to_date, so a malformed or
+    impossible date is NULL, never an ANSI-mode crash. Entries without
+    a link are dropped (a feed entry IS its URL); absent titles/dates
+    are NULL.
+
+    Shape at scale: one regexp block-extract per feed document plus the
+    per-entry explode (the output shape); all patterns RE2-safe so a
+    DuckDB oracle replays every field."""
+    xml = F.regexp_replace(F.col(xml_col), _CDATA_RE, "$1")
+    ent = F.explode_outer(
+        F.concat(
+            F.transform(
+                F.regexp_extract_all(xml, F.lit(_FEED_ITEM_BLOCK), F.lit(1)),
+                lambda b: F.struct(F.lit("rss").alias("kind"), b.alias("b")),
+            ),
+            F.transform(
+                F.regexp_extract_all(xml, F.lit(_FEED_ENTRY_BLOCK), F.lit(1)),
+                lambda b: F.struct(F.lit("atom").alias("kind"), b.alias("b")),
+            ),
+        )
+    ).alias("_e")
+    rows = feeds.select(F.col(domain_col).alias("domain"), ent)
+    b = F.col("_e.b")
+
+    def dec(c):
+        for k, v in _ENTITIES.items():
+            c = F.replace(c, F.lit(k), F.lit(v))
+        return F.nullif(F.trim(F.regexp_replace(c, r"[ \t\r\n]+", " ")), F.lit(""))
+
+    ne = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
+    # STAGED selects: the `published` coalesce chain is referenced by
+    # the ISO parse, three RFC 822 field extracts, and the output — as
+    # one Column expression each reference re-inlines the whole chain
+    # (the repo's no-CSE lesson), and the flattened tree actually blew
+    # past janino's method-size limit (codegen fell back to interpreted
+    # mode, measured). Projection boundaries make each piece a cheap
+    # column attribute instead.
+    mid = rows.select(
+        "domain",
+        F.col("_e.kind").alias("kind"),
+        dec(F.regexp_extract(b, _FD_TITLE, 1)).alias("title"),
+        dec(
+            F.coalesce(
+                ne(F.regexp_extract(b, _FD_LINK_TEXT, 1)),
+                ne(F.regexp_extract(b, _FD_LINK_HREF, 1)),
+                ne(F.regexp_extract(b, _FD_LINK_HREF, 2)),
+            )
+        ).alias("link"),
+        ne(
+            F.trim(
+                F.coalesce(
+                    ne(F.regexp_extract(b, _FD_PUBDATE, 1)),
+                    ne(F.regexp_extract(b, _FD_UPDATED, 1)),
+                )
+            )
+        ).alias("published"),
+    )
+    pub = F.col("published")
+    parts = mid.select(
+        "*",
+        ne(F.regexp_extract(pub, r"^(\d{4}-\d{2}-\d{2})", 1)).alias("_iso"),
+        ne(F.regexp_extract(pub, _RFC822_DMY_RE, 1)).alias("_fd_day"),
+        ne(F.regexp_extract(pub, _RFC822_DMY_RE, 2)).alias("_fd_mon"),
+        ne(F.regexp_extract(pub, _RFC822_DMY_RE, 3)).alias("_fd_year"),
+    )
+    mon_num = F.lit(None).cast("int")
+    for idx, m in enumerate(_RFC822_MONTHS, start=1):
+        mon_num = F.when(F.col("_fd_mon") == F.lit(m), F.lit(idx)).otherwise(mon_num)
+    rfc = F.try_to_date(
+        F.when(
+            mon_num.isNotNull(),
+            F.concat(
+                F.col("_fd_year"),
+                F.lit("-"),
+                F.lpad(mon_num.cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad(F.col("_fd_day"), 2, "0"),
+            ),
+        )
+    )
+    out = parts.select(
+        "domain", "kind", "title", "link", "published",
+        F.coalesce(F.try_to_date(F.col("_iso")), rfc).alias("published_date"),
+    )
+    return out.filter(F.col("link").isNotNull())
 
 
 def extract_links(
@@ -966,10 +1096,14 @@ def frontier_compose(
             .when(cf == "yearly", F.lit(365.0))
         )
         # W3C datetime → leading calendar date (both engines parse the
-        # 10-char prefix identically; anything else → NULL → no term)
+        # 10-char prefix identically; anything else → NULL → no term).
+        # try_to_date, not to_date: under ANSI mode (Spark 4 default) a
+        # shape-valid-but-impossible lastmod like 2024-99-99 would THROW
+        # mid-scan from to_date; the oracle's try_cast returns NULL —
+        # try_to_date matches it.
         d10 = F.regexp_extract(F.col("_lastmod"), r"^(\d{4}-\d{2}-\d{2})", 1)
         stale_days = F.datediff(
-            F.to_date(F.lit(as_of)), F.when(d10 != "", F.to_date(d10))
+            F.to_date(F.lit(as_of)), F.try_to_date(F.nullif(d10, F.lit("")))
         ).cast("double")
         due = F.least(
             F.lit(float(staleness_cap)),

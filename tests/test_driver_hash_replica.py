@@ -193,8 +193,11 @@ def test_window_covers_required_operators():
         # URL dedup, media pair core, Misra-Gries stream) plus the NB
         # quality classifier and n-gram novelty — in-window the round
         # they were built
+        # (nb_quality out in the r8 eighteenth rotation after r6+r7
+        # green — quality keeps domain_quality in-window; its slot
+        # carries RSS/Atom feed ingestion)
         "url_dedup", "warc_ingest", "media_pairs",
-        "nb_quality", "novelty",
+        "feed_ingest", "novelty",
         # r6 third rotation: the drift / export / streaming wave —
         # also in-window the round it was built (stream_url_dedup out
         # in the r8 seventeenth rotation after r6+r7 green — its batch

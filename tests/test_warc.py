@@ -472,6 +472,48 @@ class TestSitemaps:
         assert rows[0]["lastmod"] == "2024-02-03"
         assert rows[1]["loc"] == "https://ex.com/plain&x"
 
+    def test_parse_feeds_rss_atom(self, spark):
+        """RSS + Atom in one pass: CDATA titles, entity decode, link
+        from element text (RSS) or either-quote href (Atom), RFC 822
+        and ISO date parsing, impossible dates NULL (never an ANSI
+        crash), link-less entries dropped."""
+        import datetime
+
+        from hgraphstorage_spark.sources.warc import parse_feeds
+
+        rss = (
+            "<rss><channel><title>Chan</title>"
+            "<item><title><![CDATA[A &amp; B]]></title>"
+            "<link>https://ex.com/a?x=1&amp;y=2</link>"
+            "<pubDate>Tue, 05 Mar 2024 10:00:00 GMT</pubDate></item>"
+            "<item><title>No link here</title></item>"
+            "<item><title>Bad date</title><link>https://ex.com/bad</link>"
+            "<pubDate>Tue, 99 Mar 2024 10:00:00 GMT</pubDate></item>"
+            "</channel></rss>"
+        )
+        atom = (
+            "<feed><entry><title>P1</title>"
+            '<link rel="alternate" href="https://ex.com/p1"/>'
+            "<updated>2024-02-03T08:00:00Z</updated></entry>"
+            "<entry><title>P2</title>"
+            "<link href='https://ex.com/p2'/>"
+            "<updated>2024-99-99T08:00:00Z</updated></entry></feed>"
+        )
+        df = spark.createDataFrame(
+            [("ex.com", rss), ("ex.com", atom)], "domain string, feed_xml string"
+        )
+        got = {r["link"]: r for r in parse_feeds(df).collect()}
+        a = got["https://ex.com/a?x=1&y=2"]
+        assert a["kind"] == "rss" and a["title"] == "A & B"
+        assert a["published_date"] == datetime.date(2024, 3, 5)
+        assert got["https://ex.com/bad"]["published_date"] is None
+        p1 = got["https://ex.com/p1"]
+        assert p1["kind"] == "atom"
+        assert p1["published_date"] == datetime.date(2024, 2, 3)
+        assert got["https://ex.com/p2"]["published_date"] is None
+        # the link-less item dropped: 3 rss items -> 2 rows
+        assert len(got) == 4
+
     def test_urlset_index_entities_and_missing_fields(self, spark):
         from hgraphstorage_spark.sources.warc import parse_sitemaps
 
@@ -766,6 +808,7 @@ class TestCrawlFrontier:
         }
         # 10 days overdue at daily cadence vs 1 day
         assert float(out["https://t.com/stale"]["recrawl_due"]) == 10.0
+        # (impossible-date tolerance is pinned separately below)
         assert float(out["https://t.com/fresh"]["recrawl_due"]) == 1.0
         # hourly + 425 days stale would be huge — clamps at the cap
         assert float(out["https://t.com/ancient"]["recrawl_due"]) == 10.0
@@ -774,6 +817,37 @@ class TestCrawlFrontier:
         # equal demand: staleness decides the host ranking
         assert out["https://t.com/stale"]["host_rank"] < out["https://t.com/fresh"]["host_rank"]
         assert float(out["https://t.com/stale"]["score"]) == 1.0 + 0.5 * 10.0
+
+    def test_impossible_lastmod_is_null_not_crash(self, spark):
+        """ANSI mode (Spark 4 default): a lastmod that matches the
+        date SHAPE but is an impossible date (2024-99-99) must yield a
+        zero freshness term, not a mid-scan SparkDateTimeException —
+        the oracle's try_cast semantics."""
+        from hgraphstorage_spark.sources.warc import (
+            crawl_frontier,
+            extract_links,
+            parse_robots,
+            parse_sitemaps,
+        )
+
+        pages = spark.createDataFrame(
+            [(1, "https://x.com/a", '<a href="https://t.com/bad">b</a>')],
+            "doc_id long, url string, html string",
+        )
+        sm = parse_sitemaps(spark.createDataFrame(
+            [("t.com",
+              "<urlset><url><loc>https://t.com/bad</loc>"
+              "<lastmod>2024-99-99</lastmod>"
+              "<changefreq>daily</changefreq></url></urlset>")],
+            "domain string, sitemap_xml string",
+        ))
+        rules = parse_robots(spark.createDataFrame(
+            [("t.com", "")], "domain string, robots_txt string"
+        ))
+        out = crawl_frontier(
+            extract_links(pages), rules, sitemap_entries=sm, as_of="2024-03-01"
+        ).collect()
+        assert float(out[0]["recrawl_due"]) == 0.0
 
 
 class TestAnchorTextIndex:
