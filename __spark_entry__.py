@@ -3958,6 +3958,32 @@ def q_sitemap_ingest(spark, sf_dir):
     return _canon(out, "priority")
 
 
+def q_frontier_schedule(spark, sf_dir):
+    """Politeness fetch-slot plan (sources/warc.py:frontier_schedule)
+    over the capstone frontier: allowed urls only, per-host queues
+    capped at 20, fetch_at_sec = (Crawl-delay or the 1 s default) ·
+    (host_rank − 1). Oracle wraps the full frontier replay and applies
+    the same filter + arithmetic."""
+    from hgraphstorage_spark.sources.warc import (
+        crawl_frontier,
+        extract_links,
+        frontier_schedule,
+        parse_robots,
+        robots_extras,
+    )
+
+    links = extract_links(_anchored_pages(spark, sf_dir))
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "domain string, robots_txt string")
+    fr = crawl_frontier(
+        links,
+        parse_robots(robots, agent="trainbot"),
+        extras=robots_extras(robots, agent="trainbot"),
+        sitemap_entries=_frontier_sitemap(spark, sf_dir),
+        as_of="2024-03-01",
+    )
+    return frontier_schedule(fr, max_per_host=20)
+
+
 def q_feed_ingest(spark, sf_dir):
     """RSS/Atom feed ingestion (sources/warc.py:parse_feeds) over
     arithmetic-generated feed XML cycling by doc_id%3: an RSS item with
@@ -4810,6 +4836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comments)
         "stream_url_dedup": q_stream_url_dedup,
         "nb_quality": q_nb_quality,
+        # r8 addition past the window (r9 rotation candidate): the
+        # politeness fetch-slot plan over the capstone frontier
+        "frontier_schedule": q_frontier_schedule,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -7350,6 +7379,14 @@ def oracle_sql() -> dict[str, str]:
     # the stream == batch certificate: the incrementally-maintained
     # frontier must equal the batch capstone, so it shares its oracle
     sql["stream_crawl_frontier"] = _crawl_frontier_oracle_sql(agent="trainbot")
+    # frontier_schedule: the full frontier replay wrapped in the same
+    # allowed/cap filter + delay arithmetic
+    sql["frontier_schedule"] = f"""
+        SELECT url, host, host_rank,
+               coalesce(crawl_delay, 1.0) * (host_rank - 1)::DOUBLE AS fetch_at_sec
+        FROM ({_crawl_frontier_oracle_sql(agent="trainbot")}) fr
+        WHERE allowed AND host_rank IS NOT NULL AND host_rank <= 20
+    """
     # feed_ingest: independent arithmetic derivation of every field,
     # including the RFC 822 day-month-year -> DATE fold
     _fd_mon = "(['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][mon])"

@@ -241,6 +241,7 @@ R8_OPS = [
     "datasheet",
     "structured_md",
     "feed_ingest",
+    "frontier_schedule",
 ]
 
 

@@ -1141,6 +1141,35 @@ def frontier_compose(
     )
 
 
+def frontier_schedule(
+    frontier: DataFrame,
+    default_delay: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Per-host politeness schedule from a ranked frontier
+    (:func:`crawl_frontier` / :func:`frontier_compose` output): each
+    allowed URL gets ``fetch_at_sec`` = effective_delay · (host_rank−1)
+    — the earliest second a crawler honoring the host's crawl delay may
+    issue the fetch, rank 1 at t=0. effective_delay is the robots
+    Crawl-delay, else ``default_delay`` (a polite crawler never
+    hammers an opinion-less host). ``max_per_host`` caps the per-host
+    queue (the frontier budget a scheduler enforces per politeness
+    window); disallowed rows drop.
+
+    Zero-shuffle projection over the already-ranked frontier — the rank
+    did the windowing; scheduling is arithmetic."""
+    out = frontier.filter(F.col("allowed") & F.col("host_rank").isNotNull())
+    if max_per_host is not None:
+        out = out.filter(F.col("host_rank") <= int(max_per_host))
+    delay = F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+    return out.select(
+        "url",
+        "host",
+        "host_rank",
+        (delay * (F.col("host_rank") - 1).cast("double")).alias("fetch_at_sec"),
+    )
+
+
 def anchor_text_index(
     links: DataFrame,
     top_k: int = 5,

@@ -818,6 +818,43 @@ class TestCrawlFrontier:
         assert out["https://t.com/stale"]["host_rank"] < out["https://t.com/fresh"]["host_rank"]
         assert float(out["https://t.com/stale"]["score"]) == 1.0 + 0.5 * 10.0
 
+    def test_frontier_schedule_politeness_slots(self, spark):
+        """Fetch slots: rank 1 at t=0, then one crawl-delay apart; the
+        1 s default applies to opinion-less hosts; disallowed rows and
+        ranks beyond the cap drop."""
+        from hgraphstorage_spark.sources.warc import (
+            crawl_frontier,
+            extract_links,
+            frontier_schedule,
+            parse_robots,
+            robots_extras,
+        )
+
+        pages = spark.createDataFrame(
+            [(1, "https://x.com/a",
+              '<a href="https://t.com/1">a</a><a href="https://t.com/2">b</a>'
+              '<a href="https://t.com/3">c</a><a href="https://t.com/blocked">d</a>'
+              '<a href="https://u.com/1">e</a><a href="https://u.com/2">f</a>')],
+            "doc_id long, url string, html string",
+        )
+        robots = spark.createDataFrame(
+            [("t.com", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 3\n")],
+            "domain string, robots_txt string",
+        )
+        fr = crawl_frontier(
+            extract_links(pages), parse_robots(robots),
+            extras=robots_extras(robots),
+        )
+        got = {
+            (r["host"], r["host_rank"]): r["fetch_at_sec"]
+            for r in frontier_schedule(fr, max_per_host=2).collect()
+        }
+        # t.com honors its 3 s delay; u.com gets the 1 s default
+        assert got[("t.com", 1)] == 0.0 and got[("t.com", 2)] == 3.0
+        assert got[("u.com", 1)] == 0.0 and got[("u.com", 2)] == 1.0
+        # cap: t.com/3 (rank 3) and the blocked row are gone
+        assert len(got) == 4
+
     def test_impossible_lastmod_is_null_not_crash(self, spark):
         """ANSI mode (Spark 4 default): a lastmod that matches the
         date SHAPE but is an impossible date (2024-99-99) must yield a
