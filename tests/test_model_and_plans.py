@@ -852,3 +852,67 @@ class TestRound7PlanAudits:
         plan = executed_plan(quantile_sketch_estimate(sk, (0.5,), ["event_type"]))
         assert "WindowGroupLimit" in plan  # the sketch's bottom-k prune
         assert "CartesianProduct" not in plan
+
+    def test_structured_extract_zero_shuffle_single_block_chain(self, spark):
+        """Tier-3 structured extraction stays one narrow projection (no
+        Exchange, no Generate, no Python eval), and the block-marking
+        regex chain is evaluated ONCE — the projection-boundary aliases
+        must keep the three consumers (content/counts) referencing the
+        materialized array, not re-inlining the whole chain (the HOF
+        no-CSE trap, measured 7-9x on tier 1)."""
+        from hgraphstorage_spark.pipeline.extraction import extract_structured
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        df = spark.createDataFrame(
+            [(1, "<h1>Title of it</h1><p>the quick brown fox is on the mat"
+                 " with all of the other animals of the house</p>")],
+            "doc_id long, html string",
+        )
+        plan = executed_plan(extract_structured(df))
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the DROP_RE subtree-removal literal appears once per inline of
+        # the block chain: exactly one evaluation
+        assert plan.count("</script") == 1, plan.count("</script")
+
+    def test_parse_feeds_staged_not_reinlined(self, spark):
+        """The feed parser's staged projections must keep each extracted
+        field a cheap column attribute — the single-expression form
+        re-inlined the published coalesce chain ~15x, blew janino's
+        method-size limit, and silently dropped the whole stage to
+        interpreted mode. Guard: the pubDate pattern literal appears in
+        the executed plan only where the `published` column is DEFINED
+        (once), not once per consumer."""
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import parse_feeds
+
+        df = spark.createDataFrame(
+            [("a.com", "<rss><channel><item><title>T</title>"
+                       "<link>https://a.com/x</link>"
+                       "<pubDate>Tue, 05 Mar 2024 10:00:00 GMT</pubDate>"
+                       "</item></channel></rss>")],
+            "domain string, feed_xml string",
+        )
+        plan = executed_plan(parse_feeds(df))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the pattern literal contains 'pubdate' twice (open + close
+        # tag) and nullif references its operand twice -> 4 in the
+        # staged plan; the pre-fix re-inlined form carried ~7 copies of
+        # the whole published chain (~28+)
+        assert plan.count("pubdate") <= 4, plan.count("pubdate")
+
+    def test_datasheet_single_source_agg_with_partials(self, spark):
+        """The datasheet's final agg is source-keyed with map-side
+        partials; the PII counts / URL normalization / token metrics are
+        projections (no extra shuffle beyond quality_filter's histogram
+        join and the final agg); no cartesian anywhere."""
+        import __spark_entry__ as entry_mod
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        plan = executed_plan(
+            entry_mod.q_datasheet(spark, "/root/testdata/sf0.001")
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # partial_count/partial_sum markers: the agg combines map-side
+        assert "partial_" in plan or "HashAggregate" in plan
