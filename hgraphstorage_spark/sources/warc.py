@@ -1141,6 +1141,23 @@ def frontier_compose(
     )
 
 
+def feed_hints(feed_entries: DataFrame) -> DataFrame:
+    """Adapt :func:`parse_feeds` output to the sitemap-hint shape
+    :func:`crawl_frontier` / :func:`frontier_compose` consume — a feed
+    entry is a site-pushed frontier candidate whose published date is
+    its lastmod. changefreq defaults to 'daily' (a feed IS the site's
+    declaration of an actively-updated surface; pass your own column
+    upstream to override) and priority stays NULL (feeds don't carry
+    one). Narrow projection."""
+    return feed_entries.select(
+        F.lit("url").alias("kind"),
+        F.col("link").alias("loc"),
+        F.col("published_date").cast("string").alias("lastmod"),
+        F.lit("daily").alias("changefreq"),
+        F.lit(None).cast("decimal(3,1)").alias("priority"),
+    )
+
+
 def frontier_schedule(
     frontier: DataFrame,
     default_delay: float = 1.0,

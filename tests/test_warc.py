@@ -818,6 +818,41 @@ class TestCrawlFrontier:
         assert out["https://t.com/stale"]["host_rank"] < out["https://t.com/fresh"]["host_rank"]
         assert float(out["https://t.com/stale"]["score"]) == 1.0 + 0.5 * 10.0
 
+    def test_feed_hints_drive_freshness(self, spark):
+        """parse_feeds -> feed_hints -> crawl_frontier: a feed entry's
+        published date becomes the lastmod freshness signal (daily
+        cadence default), so a stale feed item accrues recrawl_due."""
+        from hgraphstorage_spark.sources.warc import (
+            crawl_frontier,
+            extract_links,
+            feed_hints,
+            parse_feeds,
+            parse_robots,
+        )
+
+        pages = spark.createDataFrame(
+            [(1, "https://x.com/a", '<a href="https://t.com/story">s</a>')],
+            "doc_id long, url string, html string",
+        )
+        feeds = spark.createDataFrame(
+            [("t.com",
+              "<rss><channel><item><title>S</title>"
+              "<link>https://t.com/story</link>"
+              "<pubDate>Tue, 20 Feb 2024 10:00:00 GMT</pubDate>"
+              "</item></channel></rss>")],
+            "domain string, feed_xml string",
+        )
+        rules = parse_robots(spark.createDataFrame(
+            [("t.com", "")], "domain string, robots_txt string"
+        ))
+        out = crawl_frontier(
+            extract_links(pages), rules,
+            sitemap_entries=feed_hints(parse_feeds(feeds)),
+            as_of="2024-03-01",
+        ).collect()
+        # 10 days stale at the daily default
+        assert float(out[0]["recrawl_due"]) == 10.0
+
     def test_frontier_schedule_politeness_slots(self, spark):
         """Fetch slots: rank 1 at t=0, then one crawl-delay apart; the
         1 s default applies to opinion-less hosts; disallowed rows and
