@@ -674,3 +674,57 @@ def test_context_pass_is_superset_on_random_pages(spark, frags):
     base = extract_main_content(df).collect()[0]["content"]
     ctx = extract_main_content(df, context=True).collect()[0]["content"]
     assert set(base.split("\n")) - {""} <= set(ctx.split("\n")) - {""}
+
+
+# --- r8: checksum-gate laws (Spark fold == the published algorithm) ---
+
+def _py_luhn(s: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(s), start=1):
+        d = ord(ch) - 48
+        if i % 2 == 0:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def _py_iban97(s: str) -> bool:
+    r = s[4:] + s[:4]
+    acc = 0
+    for ch in r:
+        if ch.isdigit():
+            acc = (acc * 10 + ord(ch) - 48) % 97
+        else:
+            acc = (acc * 100 + ord(ch) - 55) % 97
+    return acc == 1
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="0123456789", min_size=13, max_size=16),
+        min_size=1, max_size=24,
+    )
+)
+def test_luhn_gate_matches_reference(spark, cands):
+    """The Luhn Column fold (pipeline/pii.py:_luhn_pass) must agree with
+    a direct implementation of ISO/IEC 7812 on arbitrary digit runs —
+    AND with IBAN mod-97 on IBAN-shaped strings derived from them (the
+    per-character remainder fold equals big-integer mod 97, which a
+    32-bit accumulator can't do directly)."""
+    from pyspark.sql import functions as F
+
+    from hgraphstorage_spark.pipeline.pii import _iban97_pass, _luhn_pass
+
+    ibans = ["DE" + c[:2] + c for c in cands]  # IBAN-shaped: 2 letters + digits
+    df = spark.createDataFrame(list(zip(cands, ibans)), "c string, i string")
+    rows = df.select(
+        "c", "i",
+        _luhn_pass(F.col("c")).alias("luhn"),
+        _iban97_pass(F.col("i")).alias("iban"),
+    ).collect()
+    for r in rows:
+        assert r["luhn"] == _py_luhn(r["c"]), r["c"]
+        assert r["iban"] == _py_iban97(r["i"]), r["i"]
