@@ -3958,6 +3958,32 @@ def q_sitemap_ingest(spark, sf_dir):
     return _canon(out, "priority")
 
 
+def q_flagged_filter(spark, sf_dir):
+    """Word-blocklist gate (pipeline/text.py:flagged_terms — the C4
+    badwords tier) over the documents table flagging two corpus
+    vocabulary words ('slow', 'spill') at max_ratio 0.02, plus an
+    arithmetic suffix ('slow.' with trailing punctuation on every 4th
+    doc) so the edge-punctuation strip and exact-token rule ('slower'
+    never flags) are live in the hash. Oracle replays tokenize →
+    edge-strip → list_contains → ratio → gate."""
+    from hgraphstorage_spark.pipeline.text import flagged_terms
+
+    i = F.col("doc_id")
+    suffix = (
+        F.when(i % 4 == 0, F.lit(" ends slow."))
+        .when(i % 4 == 1, F.lit(" ends slower now"))
+        .otherwise(F.lit(""))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    out = flagged_terms(docs, ["slow", "spill"], max_ratio=0.02)
+    return _canon(
+        out.select("doc_id", "n_tokens", "n_flagged", "flagged_ratio", "passes"),
+        "flagged_ratio",
+    )
+
+
 def q_frontier_schedule(spark, sf_dir):
     """Politeness fetch-slot plan (sources/warc.py:frontier_schedule)
     over the capstone frontier: allowed urls only, per-host queues
@@ -4836,9 +4862,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comments)
         "stream_url_dedup": q_stream_url_dedup,
         "nb_quality": q_nb_quality,
-        # r8 addition past the window (r9 rotation candidate): the
-        # politeness fetch-slot plan over the capstone frontier
+        # r8 additions past the window (r9 rotation candidates): the
+        # politeness fetch-slot plan over the capstone frontier, and
+        # the C4-style word-blocklist gate
         "frontier_schedule": q_frontier_schedule,
+        "flagged_filter": q_flagged_filter,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -7379,6 +7407,37 @@ def oracle_sql() -> dict[str, str]:
     # the stream == batch certificate: the incrementally-maintained
     # frontier must equal the batch capstone, so it shares its oracle
     sql["stream_crawl_frontier"] = _crawl_frontier_oracle_sql(agent="trainbot")
+    # flagged_filter: tokenize -> edge-strip -> blocklist contains ->
+    # ratio -> gate, with the arithmetic suffix replayed
+    from hgraphstorage_spark.pipeline.extraction import TOKEN_NORM_RE as _TNR
+    _ff_ratio = (
+        "CAST(round(n_flagged::DOUBLE / greatest(n_tokens, 1), 6) AS DECIMAL(18,6))"
+    )
+    sql["flagged_filter"] = rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 text || (CASE WHEN doc_id % 4 = 0 THEN ' ends slow.'
+                               WHEN doc_id % 4 = 1 THEN ' ends slower now'
+                               ELSE '' END) AS t
+          FROM documents
+        ),
+        tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(t), '[ \t\n\x0b\f\r]+'),
+                             x -> x != '') AS toks
+          FROM w
+        ),
+        c AS (
+          SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+                 len(list_filter(toks, x -> list_contains(['slow', 'spill'],
+                     regexp_replace(x, '{_TNR}', '', 'g'))))::BIGINT AS n_flagged
+          FROM tk
+        )
+        SELECT doc_id, n_tokens, n_flagged,
+               {_ff_ratio}::VARCHAR AS flagged_ratio,
+               {_ff_ratio} <= 0.02 AS passes
+        FROM c
+    """
     # frontier_schedule: the full frontier replay wrapped in the same
     # allowed/cap filter + delay arithmetic
     sql["frontier_schedule"] = f"""

@@ -242,6 +242,7 @@ R8_OPS = [
     "structured_md",
     "feed_ingest",
     "frontier_schedule",
+    "flagged_filter",
 ]
 
 

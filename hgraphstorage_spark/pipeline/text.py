@@ -180,6 +180,54 @@ def tfidf_top_terms(
     )
 
 
+def flagged_terms(
+    docs: DataFrame,
+    terms: "Sequence[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_ratio: float = 0.0,
+) -> DataFrame:
+    """Word-blocklist gate — the C4 "bad words" / Dolma tagger tier
+    every production corpus runs before training: per document, how
+    many whitespace tokens (lowercased, edge punctuation stripped —
+    the extraction tier's token normalization, one home) fall in the
+    caller's ``terms`` list, the flagged fraction, and a ``passes``
+    flag at ``max_ratio`` (the C4 default 0.0 drops a document on ANY
+    flagged token; looser pipelines gate at a small fraction so one
+    quoted word can't kill a long document).
+
+    The term LIST is the caller's policy input — this engine ships the
+    mechanism, not a speech policy. Matching is exact-token (no
+    substring hits: 'class' never flags 'ass'), case-insensitive.
+
+    Returns all input columns plus (n_tokens, n_flagged,
+    flagged_ratio DECIMAL(18,6), passes). Zero-shuffle projection —
+    scan-speed at 100 TB, same shape as quality_stats; the term array
+    is a broadcast literal (policy lists are hundreds of words, not
+    millions — for a million-entry list join a lookup table instead)."""
+    from hgraphstorage_spark.pipeline.extraction import TOKEN_NORM_RE
+
+    term_arr = F.array(*[F.lit(t.lower()) for t in terms])
+    text = F.col(text_col)
+    toks = F.filter(F.split(F.lower(text), WS_RE), lambda x: x != F.lit(""))
+    flagged = F.filter(
+        toks,
+        lambda x: F.array_contains(term_arr, F.regexp_replace(x, TOKEN_NORM_RE, "")),
+    )
+    n_tokens = F.size(toks)
+    n_flagged = F.size(flagged)
+    ratio = F.round(
+        n_flagged.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
+    ).cast("decimal(18,6)")
+    return docs.select(
+        "*",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_flagged.cast("long").alias("n_flagged"),
+        ratio.alias("flagged_ratio"),
+        (ratio <= F.lit(float(max_ratio))).alias("passes"),
+    )
+
+
 def quality_filter(
     docs: DataFrame,
     min_tokens: int = 10,

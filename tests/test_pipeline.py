@@ -1879,6 +1879,49 @@ class TestTokenBudgetMix:
         assert a == b and len(a) > 0
 
 
+class TestFlaggedTerms:
+    def test_exact_token_edge_strip_and_gate(self, spark):
+        """C4-style blocklist gate: exact-token matching only ('slower'
+        never flags 'slow'; 'class' never flags 'ass'), edge
+        punctuation stripped before the lookup ('Slow.' flags),
+        case-insensitive; the gate passes at max_ratio and fails above;
+        empty text is 0/0 and passes."""
+        from hgraphstorage_spark.pipeline import flagged_terms
+
+        rows = [
+            (1, "the job is Slow. very slow indeed"),        # 2 flagged / 7
+            (2, "slower and slowest are fine words here"),   # 0 flagged
+            (3, "first class work in the lab"),              # 'class' safe
+            (4, ""),                                         # empty
+            (5, "spill"),                                    # 1/1
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in flagged_terms(df, ["slow", "spill", "ass"], max_ratio=0.2).collect()
+        }
+        assert (got[1]["n_flagged"], got[1]["n_tokens"]) == (2, 7)
+        assert not got[1]["passes"]  # 2/7 = 0.2857 > 0.2
+        assert got[2]["n_flagged"] == 0 and got[2]["passes"]
+        assert got[3]["n_flagged"] == 0 and got[3]["passes"]
+        assert got[4]["n_tokens"] == 0 and got[4]["passes"]
+        assert got[5]["n_flagged"] == 1 and not got[5]["passes"]
+        # the C4 default: ANY flagged token drops
+        strict = {
+            r["doc_id"]: r["passes"]
+            for r in flagged_terms(df, ["slow"]).collect()
+        }
+        assert not strict[1] and strict[2] and strict[4]
+
+    def test_zero_shuffle_plan(self, spark):
+        from hgraphstorage_spark.pipeline import flagged_terms
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = flagged_terms(df, ["bad"])._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestQualityFilterNarrow:
     def test_identical_to_histogram_variant(self, spark):
         from hgraphstorage_spark.pipeline import quality_filter
