@@ -3958,6 +3958,21 @@ def q_sitemap_ingest(spark, sf_dir):
     return _canon(out, "priority")
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall neighborhood function (analytics.py:hyperball —
+    Boldi & Vigna 2011) over the location subgraph: 3 rounds of
+    per-node HLL-register ball merges at p=4. On the depth-2 forest
+    NF(3) must equal NF(2) exactly (the balls converge), which the
+    hash makes load-bearing. Oracle unrolls every round: md5 node
+    hash → bucket/rho registers, per-round neighbor-max merges, the
+    canonical bucket-order IEEE estimator fold per node, and the exact
+    DECIMAL sum per round."""
+    from hgraphstorage_spark.analytics import hyperball
+
+    snap = _graph(spark, sf_dir)
+    return _canon(hyperball(_loc_subgraph(snap), rounds=3, p=4), "nf_est")
+
+
 def q_flagged_filter(spark, sf_dir):
     """Word-blocklist gate (pipeline/text.py:flagged_terms — the C4
     badwords tier) over the documents table flagging two corpus
@@ -4863,10 +4878,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_url_dedup": q_stream_url_dedup,
         "nb_quality": q_nb_quality,
         # r8 additions past the window (r9 rotation candidates): the
-        # politeness fetch-slot plan over the capstone frontier, and
-        # the C4-style word-blocklist gate
+        # politeness fetch-slot plan over the capstone frontier, the
+        # C4-style word-blocklist gate, and the HyperBall neighborhood
+        # function (per-node mergeable-HLL balls — the 100 TB diameter
+        # shape)
         "frontier_schedule": q_frontier_schedule,
         "flagged_filter": q_flagged_filter,
+        "hyperball": q_hyperball,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -6838,6 +6856,69 @@ def _structured_md_oracle_sql() -> str:
     """
 
 
+def _hyperball_oracle_sql(rounds: int = 3, p: int = 4) -> str:
+    """DuckDB replay of ``q_hyperball``: md5 node hash → bucket/rho
+    registers (the hll_sketch arithmetic at p), ``rounds`` unrolled
+    neighbor-max merges over the location-subgraph edges, then per
+    round the per-node canonical bucket-order IEEE estimator fold
+    (identical to the hll_distinct oracle's) summed as exact
+    DECIMALs."""
+    m = 1 << p
+    w1 = 60 - p + 1
+    parts = [f"""
+        WITH {_LOC_GRAPH_SQL},
+        hh AS (SELECT id, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+               FROM nodes),
+        g0 AS (
+          SELECT id, bucket, max(rho) AS reg FROM (
+            SELECT id, h % {m} AS bucket,
+                   CASE WHEN h // {m} = 0 THEN {w1}
+                        ELSE {w1} - length(bin(h // {m})) END AS rho
+            FROM hh) GROUP BY 1, 2
+        )"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+        g{t} AS (
+          SELECT id, bucket, max(reg) AS reg FROM (
+            SELECT * FROM g{t - 1}
+            UNION ALL
+            SELECT e.src AS id, g.bucket, g.reg
+            FROM edges e JOIN g{t - 1} g ON g.id = e.dst
+          ) GROUP BY 1, 2
+        )""")
+    tails = []
+    for t in range(0, rounds + 1):
+        parts.append(f""",
+        s{t} AS (
+          SELECT id, count(*) AS n_nonzero,
+                 list_reduce(list_prepend((0.0)::DOUBLE,
+                              list(pow((2.0)::DOUBLE, -reg) ORDER BY bucket)),
+                             (acc, x) -> acc + x) AS s_nonzero
+          FROM g{t} GROUP BY 1
+        ),
+        e{t} AS (
+          SELECT id, ({m} - n_nonzero)::BIGINT AS n_zero,
+                 ({m} - n_nonzero)::DOUBLE + s_nonzero AS big_s
+          FROM s{t}
+        ),
+        n{t} AS (
+          SELECT {t} AS round,
+                 sum(round(CASE WHEN raw <= (2.5)::DOUBLE * ({m}.0)::DOUBLE
+                                     AND n_zero > 0
+                                THEN ({m}.0)::DOUBLE
+                                     * ln(({m}.0)::DOUBLE / n_zero::DOUBLE)
+                                ELSE raw END, 4)::DECIMAL(18,4))::DECIMAL(28,4)
+                   AS nf
+          FROM (SELECT id, n_zero,
+                       (0.7213)::DOUBLE
+                       / ((1.0)::DOUBLE + (1.079)::DOUBLE / ({m}.0)::DOUBLE)
+                       * ({m}.0)::DOUBLE * ({m}.0)::DOUBLE / big_s AS raw
+                FROM e{t})
+        )""")
+        tails.append(f"SELECT round, nf::VARCHAR AS nf_est FROM n{t}")
+    return "".join(parts) + " " + " UNION ALL ".join(tails)
+
+
 def _crawl_frontier_oracle_sql(agent: str = "trainbot") -> str:
     """DuckDB replay of ``q_crawl_frontier``: link rows from the
     extract_links generator arithmetic, the inlink count agg, the
@@ -7701,6 +7782,7 @@ def oracle_sql() -> dict[str, str]:
     # HLL replay: md5_long hash, low-8-bit bucket, rho from minimal-
     # binary length, register max, then the canonical fold (0.0 start,
     # bucket order, zero-bucket mass added once) and estimator branches
+    sql["hyperball"] = _hyperball_oracle_sql(rounds=3, p=4)
     sql["hll_distinct"] = r"""
         WITH toks AS (
           SELECT lang, tok FROM (

@@ -243,6 +243,7 @@ R8_OPS = [
     "feed_ingest",
     "frontier_schedule",
     "flagged_filter",
+    "hyperball",
 ]
 
 

@@ -1218,3 +1218,66 @@ def modularity(snap: GraphSnapshot, communities: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_communities"),
         F.round(F.sum("_t"), 6).cast("decimal(18,6)").alias("modularity"),
     )
+
+
+def hyperball(
+    snap: GraphSnapshot,
+    rounds: int = 3,
+    p: int = 4,
+    labels=None,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2011, "In-core computation of geometric
+    centralities with HyperBall"): the neighborhood function NF(t) —
+    how many ordered (v, w) pairs lie within distance <= t — estimated
+    with per-node MERGEABLE HLL registers instead of per-node reachable
+    SETS. Ball update: B_t(v) = B_{t-1}(v) merged with the out-
+    neighbors' B_{t-1}(w), and an HLL merge is a per-(node, bucket) MAX
+    — so each round is ONE join + one map-side-combined agg, with
+    per-node state bounded at 2^p registers regardless of graph size.
+    That is the 100 TB diameter/centrality shape: exact ball sets are
+    O(n²) state, HyperBall is O(n·2^p). The effective-diameter reading
+    is the smallest t with NF(t) >= 0.9 · NF(t_max).
+
+    Returns one row per round 0..rounds: (round, nf_est DECIMAL(28,4))
+    — the sum over nodes of the per-node ball estimate
+    (functions/stats.py:hll_estimate — md5-portable registers, the
+    canonical bucket-order IEEE fold), an exact DECIMAL sum, so a
+    DuckDB oracle replays every round bit-for-bit. Small p gives
+    coarse per-node estimates (±1.04/sqrt(2^p)); p >= 7 for production
+    readings, p = 4 keeps the certified-arithmetic oracle frame small.
+
+    Shape: register init is one narrow hash projection; each round
+    shuffles |E|·<=2^p register rows (bounded by the sketch, not the
+    ball sizes) + one keyed max agg, localCheckpoint-truncated; the
+    per-round NF is a 1-row sum action (the convergence-action
+    pattern)."""
+    from hgraphstorage_spark.functions.stats import hll_estimate, hll_sketch
+
+    edges = snap.edges
+    if labels is not None:
+        edges = edges.filter(F.col("label").isin(list(labels)))
+    edges = edges.select("src", "dst")
+    nodes = snap.nodes.select("id")
+    regs = hll_sketch(nodes, "id", group_cols=["id"], p=p).localCheckpoint(eager=True)
+
+    def nf(r: DataFrame):
+        est = hll_estimate(r, group_cols=["id"], p=p)
+        return est.agg(
+            F.sum("n_distinct_est").cast("decimal(28,4)").alias("nf_est")
+        ).collect()[0]["nf_est"]
+
+    out = [(0, nf(regs))]
+    for t in range(1, rounds + 1):
+        flowed = (
+            edges.join(regs.withColumnRenamed("id", "_w"), F.col("dst") == F.col("_w"))
+            .select(F.col("src").alias("id"), "bucket", "reg")
+        )
+        regs = (
+            regs.unionByName(flowed)
+            .groupBy("id", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        out.append((t, nf(regs)))
+    spark = snap.nodes.sparkSession
+    return spark.createDataFrame(out, "round int, nf_est decimal(28,4)")

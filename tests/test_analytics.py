@@ -666,3 +666,50 @@ class TestHITS:
         res = hits(GraphSnapshot(nodes=nodes, edges=edges, props=None), iterations=1)
         got = {r["id"]: float(r["authority"]) for r in res.collect()}
         assert got[10] == round(2 / 3, 12) and got[11] == round(1 / 3, 12)
+
+
+class TestHyperBall:
+    def test_convergence_monotonicity_and_scale(self, spark):
+        """On a path graph 1->2->3->4: NF is nondecreasing per round,
+        round 0 estimates ~n nodes (each ball = itself), convergence at
+        the graph's depth makes later rounds EXACTLY equal (the
+        register fix-point — a wrong merge direction or a lost register
+        breaks equality), and the true NF(t) of a path lies within the
+        HLL error band."""
+        from hgraphstorage_spark.analytics import hyperball
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(i, "N") for i in (1, 2, 3, 4)],
+                                      "id long, label string")
+        edges = spark.createDataFrame(
+            [(100, 1, 2, "e"), (101, 2, 3, "e"), (102, 3, 4, "e")],
+            "id long, src long, dst long, label string",
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        got = {r["round"]: float(r["nf_est"]) for r in
+               hyperball(snap, rounds=4, p=8).collect()}
+        assert got[0] <= got[1] <= got[2] <= got[3]
+        # balls converge at depth 3: round 4 == round 3 EXACTLY
+        assert got[4] == got[3]
+        # p=8 (~6.5% error) over tiny sets: estimates land near truth
+        # (true NF: 4, 7, 9, 10)
+        assert abs(got[0] - 4) < 1.0 and abs(got[3] - 10) < 2.0
+
+    def test_label_filter_restricts_edges(self, spark):
+        from hgraphstorage_spark.analytics import hyperball
+        from hgraphstorage_spark.snapshot import GraphSnapshot
+
+        nodes = spark.createDataFrame([(i, "N") for i in (1, 2)],
+                                      "id long, label string")
+        edges = spark.createDataFrame(
+            [(100, 1, 2, "keep"), (101, 2, 1, "drop")],
+            "id long, src long, dst long, label string",
+        )
+        snap = GraphSnapshot(nodes=nodes, edges=edges, props=None)
+        got = {r["round"]: float(r["nf_est"]) for r in
+               hyperball(snap, rounds=1, p=8, labels=["keep"]).collect()}
+        both = {r["round"]: float(r["nf_est"]) for r in
+                hyperball(snap, rounds=1, p=8).collect()}
+        # with only 1->2, node 2's ball stays size 1; with both edges
+        # each ball reaches both nodes
+        assert got[1] < both[1]
