@@ -3973,6 +3973,23 @@ def q_hyperball(spark, sf_dir):
     return _canon(hyperball(_loc_subgraph(snap), rounds=3, p=4), "nf_est")
 
 
+def q_hyperball_centrality(spark, sf_dir):
+    """HyperBall harmonic centrality (analytics.py:hyperball_centrality
+    — the Boldi & Vigna application) over the location subgraph at
+    p=8, rounds=3: per node, Σ_t (|B_t| − |B_{t−1}|)/t with clamped
+    diffs in fixed round order. On the depth-2 forest the structure is
+    sharp — regions MUST read 0.0000 exactly (their ball never grows)
+    — and the customer/supplier readings approximate the true
+    1/1 + 1/2. Oracle unrolls the register rounds and replays the
+    per-node estimator diffs and the IEEE term chain."""
+    from hgraphstorage_spark.analytics import hyperball_centrality
+
+    snap = _graph(spark, sf_dir)
+    return _canon(
+        hyperball_centrality(_loc_subgraph(snap), rounds=3, p=8), "harmonic_est"
+    )
+
+
 def q_flagged_filter(spark, sf_dir):
     """Word-blocklist gate (pipeline/text.py:flagged_terms — the C4
     badwords tier) over the documents table flagging two corpus
@@ -4885,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": q_frontier_schedule,
         "flagged_filter": q_flagged_filter,
         "hyperball": q_hyperball,
+        "hyperball_centrality": q_hyperball_centrality,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -6919,6 +6937,68 @@ def _hyperball_oracle_sql(rounds: int = 3, p: int = 4) -> str:
     return "".join(parts) + " " + " UNION ALL ".join(tails)
 
 
+def _hyperball_centrality_oracle_sql(rounds: int = 3, p: int = 8) -> str:
+    """DuckDB replay of ``q_hyperball_centrality``: the same register
+    rounds as :func:`_hyperball_oracle_sql`, then PER-NODE rounded
+    estimates per round and the clamped diff/t chain in fixed round
+    order (left-associated double adds — the identical IEEE
+    sequence)."""
+    m = 1 << p
+    w1 = 60 - p + 1
+    parts = [f"""
+        WITH {_LOC_GRAPH_SQL},
+        hh AS (SELECT id, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+               FROM nodes),
+        g0 AS (
+          SELECT id, bucket, max(rho) AS reg FROM (
+            SELECT id, h % {m} AS bucket,
+                   CASE WHEN h // {m} = 0 THEN {w1}
+                        ELSE {w1} - length(bin(h // {m})) END AS rho
+            FROM hh) GROUP BY 1, 2
+        )"""]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+        g{t} AS (
+          SELECT id, bucket, max(reg) AS reg FROM (
+            SELECT * FROM g{t - 1}
+            UNION ALL
+            SELECT e.src AS id, g.bucket, g.reg
+            FROM edges e JOIN g{t - 1} g ON g.id = e.dst
+          ) GROUP BY 1, 2
+        )""")
+    for t in range(0, rounds + 1):
+        parts.append(f""",
+        b{t} AS (
+          SELECT id,
+                 round(CASE WHEN raw <= (2.5)::DOUBLE * ({m}.0)::DOUBLE
+                                 AND n_zero > 0
+                            THEN ({m}.0)::DOUBLE
+                                 * ln(({m}.0)::DOUBLE / n_zero::DOUBLE)
+                            ELSE raw END, 4)::DECIMAL(18,4) AS b
+          FROM (
+            SELECT id, ({m} - n_nonzero)::BIGINT AS n_zero,
+                   (0.7213)::DOUBLE
+                   / ((1.0)::DOUBLE + (1.079)::DOUBLE / ({m}.0)::DOUBLE)
+                   * ({m}.0)::DOUBLE * ({m}.0)::DOUBLE
+                   / (({m} - n_nonzero)::DOUBLE + s_nonzero) AS raw
+            FROM (
+              SELECT id, count(*) AS n_nonzero,
+                     list_reduce(list_prepend((0.0)::DOUBLE,
+                                  list(pow((2.0)::DOUBLE, -reg) ORDER BY bucket)),
+                                 (acc, x) -> acc + x) AS s_nonzero
+              FROM g{t} GROUP BY 1))
+        )""")
+    chain = " + ".join(
+        f"greatest((0.0)::DOUBLE, b{t}.b::DOUBLE - b{t - 1}.b::DOUBLE) / ({t}.0)::DOUBLE"
+        for t in range(1, rounds + 1)
+    )
+    joins = " ".join(f"JOIN b{t} ON b0.id = b{t}.id" for t in range(1, rounds + 1))
+    return "".join(parts) + f"""
+        SELECT b0.id, round({chain}, 4)::DECIMAL(18,4)::VARCHAR AS harmonic_est
+        FROM b0 {joins}
+    """
+
+
 def _crawl_frontier_oracle_sql(agent: str = "trainbot") -> str:
     """DuckDB replay of ``q_crawl_frontier``: link rows from the
     extract_links generator arithmetic, the inlink count agg, the
@@ -7783,6 +7863,7 @@ def oracle_sql() -> dict[str, str]:
     # binary length, register max, then the canonical fold (0.0 start,
     # bucket order, zero-bucket mass added once) and estimator branches
     sql["hyperball"] = _hyperball_oracle_sql(rounds=3, p=4)
+    sql["hyperball_centrality"] = _hyperball_centrality_oracle_sql(rounds=3, p=8)
     sql["hll_distinct"] = r"""
         WITH toks AS (
           SELECT lang, tok FROM (

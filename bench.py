@@ -244,6 +244,7 @@ R8_OPS = [
     "frontier_schedule",
     "flagged_filter",
     "hyperball",
+    "hyperball_centrality",
 ]
 
 

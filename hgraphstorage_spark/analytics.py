@@ -1281,3 +1281,65 @@ def hyperball(
         out.append((t, nf(regs)))
     spark = snap.nodes.sparkSession
     return spark.createDataFrame(out, "round int, nf_est decimal(28,4)")
+
+
+def hyperball_centrality(
+    snap: GraphSnapshot,
+    rounds: int = 3,
+    p: int = 8,
+    labels=None,
+) -> DataFrame:
+    """Per-node harmonic centrality from the HyperBall rounds — the
+    Boldi & Vigna 2011 paper's headline application: H_out(v) =
+    Σ_{w≠v} 1/d(v, w) ≈ Σ_t (|B_t(v)| − |B_{t−1}(v)|)/t, because every
+    node first entering the ball at round t sits at distance t. Runs
+    the same register loop as :func:`hyperball` but keeps the PER-NODE
+    ball estimate per round; ``rounds`` must reach the graph's
+    effective radius for a full reading (beyond it the diffs are 0).
+    Ball-size diffs clamp at >= 0 — the estimator can dip slightly
+    where the linear-counting branch hands over to the raw estimator
+    (registers only grow, but the branch switch is not monotone; the
+    paper notes the same and takes the nonnegative part). The diff/t
+    terms accumulate in fixed round order — one deterministic IEEE
+    chain, so the oracle replays it bit-for-bit. Returns
+    (id, harmonic_est DECIMAL(18,4)).
+
+    Scale shape: identical to :func:`hyperball` (per-round join + keyed
+    max, state O(n·2^p)) plus `rounds` id-keyed joins of n-row estimate
+    frames — this is how closeness/harmonic rankings are computed on
+    graphs where all-pairs BFS is unthinkable."""
+    from hgraphstorage_spark.functions.stats import hll_estimate, hll_sketch
+
+    edges = snap.edges
+    if labels is not None:
+        edges = edges.filter(F.col("label").isin(list(labels)))
+    edges = edges.select("src", "dst")
+    nodes = snap.nodes.select("id")
+    regs = hll_sketch(nodes, "id", group_cols=["id"], p=p).localCheckpoint(eager=True)
+
+    def est(r: DataFrame, name: str) -> DataFrame:
+        return hll_estimate(r, group_cols=["id"], p=p).select(
+            "id", F.col("n_distinct_est").alias(name)
+        )
+
+    acc = est(regs, "b0")
+    for t in range(1, rounds + 1):
+        flowed = (
+            edges.join(regs.withColumnRenamed("id", "_w"), F.col("dst") == F.col("_w"))
+            .select(F.col("src").alias("id"), "bucket", "reg")
+        )
+        regs = (
+            regs.unionByName(flowed)
+            .groupBy("id", "bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.join(est(regs, f"b{t}"), "id")
+    expr = None
+    for t in range(1, rounds + 1):
+        diff = F.col(f"b{t}").cast("double") - F.col(f"b{t - 1}").cast("double")
+        term = F.greatest(F.lit(0.0), diff) / F.lit(float(t))
+        expr = term if expr is None else expr + term
+    return acc.select(
+        "id", F.round(expr, 4).cast("decimal(18,4)").alias("harmonic_est")
+    )

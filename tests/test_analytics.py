@@ -713,3 +713,30 @@ class TestHyperBall:
         # with only 1->2, node 2's ball stays size 1; with both edges
         # each ball reaches both nodes
         assert got[1] < both[1]
+
+    def test_centrality_structure_on_forest(self, spark):
+        """hyperball_centrality on the depth-2 location forest
+        (sf0.001): a region's ball never grows -> EXACTLY 0.0; nations
+        reach one region -> ~1.0; customers/suppliers reach nation+
+        region -> ~1/1 + 1/2; the class ordering is strict."""
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as entry_mod
+        from hgraphstorage_spark.analytics import hyperball_centrality
+        from hgraphstorage_spark.sources import load_tpch_graph
+
+        snap = load_tpch_graph(spark, "/root/testdata/sf0.001")
+        sub = entry_mod._loc_subgraph(snap)
+        got = {r["id"]: float(r["harmonic_est"]) for r in
+               hyperball_centrality(sub, rounds=3, p=8).collect()}
+        regions = [v for k, v in got.items() if k // 10**12 == 1]
+        nations = [v for k, v in got.items() if k // 10**12 == 2]
+        leaves = [v for k, v in got.items() if k // 10**12 in (3, 4)]
+        assert all(v == 0.0 for v in regions)
+        assert all(abs(v - 1.0) < 0.15 for v in nations)
+        # tiny balls can lose a term to an HLL bucket collision (a
+        # customer whose region hashes into an already-set bucket) —
+        # the MEDIAN leaf reading is sharp, individual ones bounded
+        assert all(0.85 < v < 1.7 for v in leaves)
+        assert abs(sorted(leaves)[len(leaves) // 2] - 1.5) < 0.25
+        assert sorted(leaves)[len(leaves) // 2] > max(nations) > max(regions)
