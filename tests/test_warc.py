@@ -237,6 +237,75 @@ class TestUrlDedup:
         assert set(kept) == {2, 3}  # 1 and 2 collapse; earliest fetch wins
         assert kept[2]["url_norm"] == "site.com/a"
 
+    def test_end_to_end_r8_frontier_wiring(self, spark):
+        """The round-8 crawl wiring executed as one composition: pages →
+        extract_links, feeds → parse_feeds → feed_hints, robots →
+        rules + extras, crawl_frontier with the freshness fold at a
+        pinned as_of, frontier_schedule fetch slots, and the
+        heading-aware extraction of the fetched page — every stage's
+        output feeding the next, values pinned end to end."""
+        from hgraphstorage_spark.pipeline.extraction import extract_structured
+        from hgraphstorage_spark.sources.warc import (
+            crawl_frontier,
+            extract_links,
+            feed_hints,
+            frontier_schedule,
+            parse_feeds,
+            parse_robots,
+            robots_extras,
+        )
+
+        pages = spark.createDataFrame(
+            [(1, "https://hub.com/home",
+              '<a href="https://t.com/fresh">a</a>'
+              '<a href="https://t.com/stale">b</a>'
+              '<a href="https://t.com/blocked">c</a>')],
+            "doc_id long, url string, html string",
+        )
+        robots_bodies = spark.createDataFrame(
+            [("t.com", "User-agent: *\nDisallow: /blocked\nCrawl-delay: 2\n")],
+            "domain string, robots_txt string",
+        )
+        feeds = spark.createDataFrame(
+            [("t.com",
+              "<rss><channel>"
+              "<item><title>F</title><link>https://t.com/fresh</link>"
+              "<pubDate>Thu, 29 Feb 2024 09:00:00 GMT</pubDate></item>"
+              "<item><title>S</title><link>https://t.com/stale</link>"
+              "<pubDate>Mon, 01 Jan 2024 09:00:00 GMT</pubDate></item>"
+              "</channel></rss>")],
+            "domain string, feed_xml string",
+        )
+        fr = crawl_frontier(
+            extract_links(pages),
+            parse_robots(robots_bodies),
+            extras=robots_extras(robots_bodies),
+            sitemap_entries=feed_hints(parse_feeds(feeds)),
+            as_of="2024-03-01",
+        )
+        plan = {
+            r["url"]: r
+            for r in frontier_schedule(fr, max_per_host=10).collect()
+        }
+        # the stale feed item outranks the fresh one (equal demand,
+        # daily cadence: 60 days vs 1 day overdue, clamped at 10)
+        assert plan["https://t.com/stale"]["host_rank"] == 1
+        assert plan["https://t.com/stale"]["fetch_at_sec"] == 0.0
+        assert plan["https://t.com/fresh"]["host_rank"] == 2
+        assert plan["https://t.com/fresh"]["fetch_at_sec"] == 2.0  # Crawl-delay
+        assert "https://t.com/blocked" not in plan
+        # ...and the fetched page flows into the markdown extraction
+        fetched = spark.createDataFrame(
+            [(1, "https://t.com/stale",
+              "<h1>Stale story of the day</h1>"
+              "<p>the quick brown fox is on the mat with all of the other"
+              " animals of the house and the yard</p>")],
+            "doc_id long, url string, html string",
+        )
+        md = extract_structured(fetched).collect()[0]
+        assert md["content_md"].startswith("# Stale story of the day\n")
+        assert md["n_headings"] == 1
+
     def test_end_to_end_crawl_pipeline(self, spark, warc_dir=None):
         """WARC shard -> documents -> url dedup -> quality reasons: the
         full crawl ingest story on real bytes."""
