@@ -2073,21 +2073,26 @@ def q_datasheet(spark, sf_dir):
     accounting, the shared quality-rule expressions, pii_scrub's full
     eight-kind pass with live checksum gates, url_normalized).
 
-    ``pii_hits`` counts over the same arithmetic-injected demo column
+    ``pii_hits`` counts REDACTION EVENTS — placeholder occurrences in
+    the scrubbed text — over the same arithmetic-injected demo column
     the pii_scrub row certifies (the raw synthetic corpus contains no
-    PII — an all-zero column would certify nothing); token/char/quality
-    accounting stays on the RAW text. ``url_dup_rate`` is the fraction
-    of rows whose normalized synthetic URL duplicates an earlier one
-    within the source (1 - distinct/total — the keeper fraction's
-    complement).
+    PII — an all-zero column would certify nothing). Events, not
+    summed per-kind audit counts: the kinds overlap on the original
+    text (an E.164 number is nominated by both phone rules), so the
+    per-pattern sums over-counted single items for the incidence
+    metric (r8 advice fix; the per-kind counts remain the pii_scrub
+    row's audit surface). Token/char/quality accounting stays on the
+    RAW text. ``url_dup_rate`` is the fraction of rows whose
+    normalized synthetic URL duplicates an earlier one within the
+    source (1 - distinct/total — the keeper fraction's complement).
 
-    Scale shape: the PII counts, URL normalization, and token/char
+    Scale shape: the PII scrub, URL normalization, and token/char
     metrics are all zero-shuffle projections; quality_filter's token
     histogram is the one extra aggregation, joined back on doc_id; the
     final agg is source-keyed with map-side partials."""
     from hgraphstorage_spark.pipeline import quality_filter
     from hgraphstorage_spark.pipeline.dedup import url_normalized
-    from hgraphstorage_spark.pipeline.pii import PII_KINDS, pii_scrub
+    from hgraphstorage_spark.pipeline.pii import PII_PLACEHOLDER_RE, pii_scrub
     from hgraphstorage_spark.pipeline.text import _n_tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -2096,10 +2101,7 @@ def q_datasheet(spark, sf_dir):
         "_pii_text", F.concat(F.col("text"), _pii_injection())
     )
     scrub = pii_scrub(enriched, text_col="_pii_text")
-    pii_hits = None
-    for k in PII_KINDS:
-        c = F.col(f"n_{k}")
-        pii_hits = c if pii_hits is None else pii_hits + c
+    pii_hits = F.regexp_count(F.col("text_clean"), F.lit(PII_PLACEHOLDER_RE))
     per = scrub.join(passes, "doc_id").select(
         "source",
         "lang",
@@ -4045,12 +4047,15 @@ def q_frontier_schedule(spark, sf_dir):
 def q_feed_ingest(spark, sf_dir):
     """RSS/Atom feed ingestion (sources/warc.py:parse_feeds) over
     arithmetic-generated feed XML cycling by doc_id%3: an RSS item with
-    a CDATA-wrapped entity-bearing title and an RFC 822 pubDate whose
-    day AND month vary; an Atom entry with alternating single/double
-    quoted href and an ISO updated timestamp; an RSS item with no date
-    (NULL published). The oracle derives every field — including the
-    RFC 822 day-month-year → DATE fold — from the generator
-    arithmetic."""
+    a CDATA-wrapped title carrying a RAW '<' and '&' (the r9 per-field
+    CDATA unwrap — the old whole-document unwrap turned the '<' into
+    live markup and lost the title) and an RFC 822 pubDate whose day
+    AND month vary; an Atom entry that lists a rel="self" feed link
+    BEFORE the article link (the r9 rel-aware selection — first-href
+    picked the feed itself) with alternating single/double quoted
+    hrefs and an ISO updated timestamp; an RSS item with no date (NULL
+    published). The oracle derives every field — including the RFC 822
+    day-month-year → DATE fold — from the generator arithmetic."""
     from hgraphstorage_spark.sources.warc import parse_feeds
 
     i = F.col("doc_id")
@@ -4063,7 +4068,7 @@ def q_feed_ingest(spark, sf_dir):
     mon = (i % 12 + 1).cast("int")
     rss = F.concat(
         F.lit("<rss><channel><title>Chan</title><item>"
-              "<title><![CDATA[Story "), s(i), F.lit(" &amp; more]]></title>"
+              "<title><![CDATA[Story "), s(i), F.lit(" <raw & more]]></title>"
               "<link>https://site"), s(i % 7), F.lit(".com/story/"), s(i),
         F.lit("</link><pubDate>Mon, "), F.lpad(s(day), 2, "0"), F.lit(" "),
         F.element_at(months, mon), F.lit(" 2024 10:0"), s(i % 10),
@@ -4071,7 +4076,8 @@ def q_feed_ingest(spark, sf_dir):
     )
     atom = F.concat(
         F.lit("<feed><entry><title>Post "), s(i),
-        F.lit("</title>"),
+        F.lit('</title><link rel="self" href="https://site'), s(i % 7),
+        F.lit('.com/feed.xml"/>'),
         F.when(
             i % 2 == 0,
             F.concat(F.lit('<link rel="alternate" href="https://site'), s(i % 7),
@@ -7498,27 +7504,33 @@ def oracle_sql() -> dict[str, str]:
         PII_GATED as _PII_GATED,
         PII_KINDS as _PII_KINDS,
         PII_PATTERNS as _PII,
+        PII_PLACEHOLDER_RE as _PII_PH_RE,
         duckdb_gated_clean_sql as _gated_clean,
         duckdb_gated_count_sql as _gated_count,
     )
     _plain = {n: (pat, drepl) for n, pat, _sr, drepl in _PII}
     _gated_names = {n for n, *_ in _PII_GATED}
-    # per-kind PII counts over the injected demo column, summed — the
-    # same fragments (incl. the checksum-gate folds) as the pii_scrub
-    # oracle, applied to pw.t
-    _ds_pii_terms = []
+    # datasheet pii_hits = REDACTION EVENTS: replay the full clean
+    # chain (same fragments, incl. the checksum-gate folds, as the
+    # pii_scrub oracle) over the injected demo column, then count
+    # placeholder tokens — overlapping kinds (E.164 hit by both phone
+    # rules) count once (r8 advice fix)
+    _ds_clean = "t"
     for _k in _PII_KINDS:
         if _k in _plain:
             _pq = _plain[_k][0].replace("'", "''")
-            _ds_pii_terms.append(f"len(regexp_extract_all(t, '{_pq}'))")
+            _ds_clean = f"regexp_replace({_ds_clean}, '{_pq}', '{_plain[_k][1]}', 'g')"
         else:
-            _ds_pii_terms.append(_gated_count(_k, "t"))
+            _ds_clean = _gated_clean(_k, _ds_clean, "t")
     sql["datasheet"] = rf"""
         WITH {_QF_CTES},
         pass AS (SELECT doc_id, {_QF_PASSES} AS passes FROM r),
         {_SYNTH_URL_SQL},
         pw AS (SELECT doc_id, text || ({_PII_INJ_SQL}) AS t FROM documents),
-        pii AS (SELECT doc_id, ({' + '.join(_ds_pii_terms)}) AS pii_hits FROM pw),
+        pii AS (SELECT doc_id,
+                       len(regexp_extract_all({_ds_clean}, '{_PII_PH_RE}'))::BIGINT
+                         AS pii_hits
+                FROM pw),
         p AS (
           SELECT d.source, d.lang, length(d.text) AS chars,
                  CASE WHEN length(trim(d.text)) = 0 THEN 0
@@ -7596,7 +7608,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, n_tokens, n_flagged,
                {_ff_ratio}::VARCHAR AS flagged_ratio,
-               {_ff_ratio} <= 0.02 AS passes
+               (n_flagged::DOUBLE / greatest(n_tokens, 1)) <= 0.02 AS passes
         FROM c
     """
     # frontier_schedule: the full frontier replay wrapped in the same
@@ -7618,7 +7630,7 @@ def oracle_sql() -> dict[str, str]:
         WITH d AS (SELECT doc_id, doc_id % 28 + 1 AS day, doc_id % 12 + 1 AS mon
                    FROM documents)
         SELECT 'site' || (doc_id % 7) || '.com' AS domain, 'rss' AS kind,
-               'Story ' || doc_id || ' & more' AS title,
+               'Story ' || doc_id || ' <raw & more' AS title,
                'https://site' || (doc_id % 7) || '.com/story/' || doc_id AS link,
                'Mon, ' || lpad(day::VARCHAR, 2, '0') || ' ' || {_fd_mon}
                  || ' 2024 10:0' || (doc_id % 10) || ':00 GMT' AS published,

@@ -145,6 +145,17 @@ PII_KINDS: tuple[str, ...] = tuple(n for n, *_ in PII_PATTERNS) + tuple(
     n for n, *_ in PII_GATED
 )
 
+# the distinct placeholder tokens redaction emits, in a fixed order
+# with <IPV6> ahead of its substring <IP> so the alternation in
+# PII_PLACEHOLDER_RE matches whole tokens (leftmost-first in both Java
+# regex and RE2)
+PII_PLACEHOLDERS: tuple[str, ...] = ("<EMAIL>", "<SSN>", "<IPV6>", "<IP>", "<PHONE>", "<IBAN>", "<CC>")
+# counts REDACTION EVENTS in a text_clean column: one hit per replaced
+# item, regardless of how many per-kind patterns overlapped on the
+# original (an E.164 phone is nominated by both phone rules but
+# redacts once — the datasheet's incidence metric wants that 1, not 2)
+PII_PLACEHOLDER_RE: str = "<(" + "|".join(p[1:-1] for p in PII_PLACEHOLDERS) + ")>"
+
 
 # --------------------------------------------------------------------------
 # checksum gates — pure integer folds over the candidate string, expressed

@@ -216,15 +216,19 @@ def flagged_terms(
     )
     n_tokens = F.size(toks)
     n_flagged = F.size(flagged)
-    ratio = F.round(
-        n_flagged.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double"), 6
-    ).cast("decimal(18,6)")
+    # the GATE runs on the unrounded ratio: with the C4 default
+    # max_ratio=0.0, one flagged token in a 2M-token document has
+    # ratio ~5e-7, which would round to 0.000000 and sneak past a
+    # gate on the reported DECIMAL — the rounded column is for the
+    # report only, never the decision (round-8 advice fix, pinned)
+    raw_ratio = n_flagged.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    ratio = F.round(raw_ratio, 6).cast("decimal(18,6)")
     return docs.select(
         "*",
         n_tokens.cast("long").alias("n_tokens"),
         n_flagged.cast("long").alias("n_flagged"),
         ratio.alias("flagged_ratio"),
-        (ratio <= F.lit(float(max_ratio))).alias("passes"),
+        (raw_ratio <= F.lit(float(max_ratio))).alias("passes"),
     )
 
 

@@ -332,33 +332,57 @@ def stream_crawl_frontier(
     (:func:`frontier_agg_from_register` → ``sources.warc.
     frontier_compose``) without ever re-scanning the links seen so far.
 
-    State: one row per (url, src, batch_id) with that batch's link
-    count — the distinct absorbs foreachBatch redelivery (a replayed
-    batch re-contributes IDENTICAL rows, which collapse instead of
-    double-counting), while a genuine re-arrival of the same edge in a
-    later batch adds under its own batch_id. n_inlinks is then an
-    additive SUM and n_sources an exact COUNT DISTINCT over the
+    State: per (url, src), one COMPACTED row (batch_id = -1) holding
+    the summed count of all committed-and-folded batches, plus
+    at most the in-flight batch's own (url, src, batch_id) rows.
+    Every publish folds rows with batch_id < current into the compact
+    row (r8 advice fix: the unfolded register kept one row per
+    (url, src, batch_id) FOREVER, so long-running crawls re-read and
+    rewrote O(batches × active edges) state per batch). Folding only
+    strictly-older batches is what keeps redelivery exact: structured
+    streaming can only redeliver the IN-FLIGHT batch (earlier ones are
+    committed to the checkpoint WAL before the next starts), and a
+    replayed batch's rows still meet their identical first-attempt
+    rows un-compacted, collapsing under the distinct instead of
+    double-counting. A genuine re-arrival of the same edge in a later
+    batch adds under its own batch_id and folds in later. n_inlinks is
+    an additive SUM and n_sources an exact COUNT DISTINCT over the
     register — so the stream equals batch ``crawl_frontier`` over the
     union of all streamed links EXACTLY (driver-certified by the
     stream_crawl_frontier row sharing the batch row's oracle). State
     size is the distinct-edge count — the link graph itself, the state
-    an incremental frontier inherently carries. Publishing uses the
-    same crash-safe atomic swap as the quantile registers.
+    an incremental frontier inherently carries — plus one in-flight
+    batch. Publishing uses the same crash-safe atomic swap as the
+    quantile registers.
 
     Returns the started StreamingQuery (caller stops it)."""
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        b = int(batch_id)
         new = (
             batch_df.select(
                 F.col(url_col).alias("url"), F.col(src_col).alias("src")
             )
             .groupBy("url", "src")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+            .withColumn("batch_id", F.lit(b).cast("long"))
         )
         cur = _read_register(spark, register_path)
-        merged = new if cur is None else cur.unionByName(new).distinct()
+        if cur is None:
+            merged = new
+        else:
+            # fold committed batches (and prior compact rows, batch_id
+            # -1) into one compact row per edge; keep only rows the
+            # in-flight batch could redeliver at batch granularity
+            stale = cur.filter(F.col("batch_id") < b)
+            fresh = cur.filter(F.col("batch_id") >= b)
+            compact = (
+                stale.groupBy("url", "src")
+                .agg(F.sum("n").cast("long").alias("n"))
+                .withColumn("batch_id", F.lit(-1).cast("long"))
+            )
+            merged = compact.unionByName(fresh.unionByName(new).distinct())
         _swap_register(spark, merged, register_path)
 
     return (

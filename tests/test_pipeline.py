@@ -1921,6 +1921,26 @@ class TestFlaggedTerms:
         assert "Exchange" not in plan and "Generate" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_gate_runs_on_unrounded_ratio(self, spark):
+        """Round-8 advice pin: one flagged token among 3M has ratio
+        ~3.3e-7, which ROUNDS to 0.000000 in the reported DECIMAL —
+        the strict max_ratio=0.0 gate must still drop the document
+        (the docstring's 'any flagged token drops' contract), so the
+        gate decides on the unrounded ratio and only the report column
+        is rounded."""
+        from decimal import Decimal
+
+        from hgraphstorage_spark.pipeline import flagged_terms
+
+        df = spark.range(1).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.repeat(F.lit("ok "), 3_000_000), F.lit("slow")).alias("text"),
+        )
+        row = flagged_terms(df, ["slow"], max_ratio=0.0).collect()[0]
+        assert row["n_flagged"] == 1 and row["n_tokens"] == 3_000_001
+        assert row["flagged_ratio"] == Decimal("0.000000")  # report rounds away
+        assert not row["passes"]  # ...but the gate must not
+
 
 class TestQualityFilterNarrow:
     def test_identical_to_histogram_variant(self, spark):

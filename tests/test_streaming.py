@@ -887,3 +887,59 @@ class TestStreamCrawlFrontier:
         assert (hot["n_inlinks"], hot["n_sources"]) == (4, 3)
         assert not os.path.exists(f"{tmpdir}/regs__tmp")
         assert not os.path.exists(f"{tmpdir}/regs__old")
+        # r8 advice pin: committed batches FOLD into one compact row
+        # per (url, src) (batch_id = -1); only the in-flight batch may
+        # remain at batch granularity — state is O(distinct edges), not
+        # O(batches x edges)
+        reg = spark.read.parquet(f"{tmpdir}/regs")
+        live_batches = [
+            r["batch_id"]
+            for r in reg.filter("batch_id >= 0").select("batch_id").distinct().collect()
+        ]
+        assert len(live_batches) <= 1, live_batches
+        n_edges = links.select("url", "link_url").distinct().count()
+        assert reg.count() <= n_edges + reg.filter("batch_id >= 0").count()
+
+    def test_register_compaction_preserves_counts_across_restarts(
+        self, spark, tmpdir
+    ):
+        """The fold must be lossless: stream three batches, restart the
+        stream over three MORE batches re-delivering the same edges
+        (new files, same checkpoint), and the register aggregate still
+        equals the batch aggregate over everything streamed — compacted
+        counts add with the fresh batch rows."""
+        from hgraphstorage_spark.streaming import (
+            frontier_agg_from_register,
+            stream_crawl_frontier,
+        )
+
+        rows = [
+            ("https://x.com/a", "https://t.com/hot"),
+            ("https://y.com/b", "https://t.com/hot"),
+            ("https://z.com/c", "https://u.com/solo"),
+        ]
+        links = spark.createDataFrame(rows, "url string, link_url string")
+
+        def run():
+            stream = (
+                spark.readStream.schema(links.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmpdir}/src")
+            )
+            q = stream_crawl_frontier(stream, f"{tmpdir}/ckpt", f"{tmpdir}/regs")
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        links.repartition(3).write.mode("overwrite").parquet(f"{tmpdir}/src")
+        run()
+        links.repartition(3).write.mode("append").parquet(f"{tmpdir}/src")
+        run()
+        got = {
+            r["url"]: (r["n_inlinks"], r["n_sources"])
+            for r in frontier_agg_from_register(spark, f"{tmpdir}/regs").collect()
+        }
+        # every edge streamed twice: counts double, distinct srcs stable
+        assert got["https://t.com/hot"] == (4, 2)
+        assert got["https://u.com/solo"] == (2, 1)

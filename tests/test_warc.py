@@ -583,6 +583,61 @@ class TestSitemaps:
         # the link-less item dropped: 3 rss items -> 2 rows
         assert len(got) == 4
 
+    def test_parse_feeds_rel_aware_link_selection(self, spark):
+        """r8 advice pin: an Atom entry listing rel='self'/'edit' links
+        BEFORE the article link must still resolve to the
+        rel='alternate' (or rel-less) href — first-href selection
+        pointed the frontier at the feed itself. When NO
+        alternate/rel-less link exists, fall back to the first href."""
+        from hgraphstorage_spark.sources.warc import parse_feeds
+
+        atom = (
+            "<feed>"
+            "<entry><title>A</title>"
+            '<link rel="self" href="https://ex.com/feed.xml"/>'
+            '<link rel="edit" href="https://ex.com/edit/1"/>'
+            '<link rel="alternate" href="https://ex.com/a1"/>'
+            "</entry>"
+            "<entry><title>B</title>"
+            "<link rel='self' href='https://ex.com/feed.xml'/>"
+            '<link href="https://ex.com/b1"/>'  # rel-less wins too
+            "</entry>"
+            "<entry><title>C</title>"
+            '<link rel="self" href="https://ex.com/feed.xml"/>'
+            "</entry>"  # no alternate at all -> first href fallback
+            "</feed>"
+        )
+        df = spark.createDataFrame([("ex.com", atom)], "domain string, feed_xml string")
+        got = {r["title"]: r["link"] for r in parse_feeds(df).collect()}
+        assert got["A"] == "https://ex.com/a1"
+        assert got["B"] == "https://ex.com/b1"
+        assert got["C"] == "https://ex.com/feed.xml"
+
+    def test_parse_feeds_cdata_per_field(self, spark):
+        """r8 advice pin: CDATA unwraps per field AFTER block
+        extraction, so a CDATA payload is markup-inert — a description
+        CDATA containing '<title>'/'<link>' elements no longer hijacks
+        the entry's real fields (when they precede it), and a CDATA
+        title carrying a raw '<' parses whole (the whole-document
+        unwrap turned it into live markup and lost the title)."""
+        from hgraphstorage_spark.sources.warc import parse_feeds
+
+        rss = (
+            "<rss><channel>"
+            "<item><title><![CDATA[Big < news & raw]]></title>"
+            "<link>https://ex.com/n1</link>"
+            "<description><![CDATA[see <b>bold</b> and a fake "
+            "<link>https://evil.example/x</link> inside]]></description>"
+            "</item>"
+            "</channel></rss>"
+        )
+        rows = parse_feeds(
+            spark.createDataFrame([("ex.com", rss)], "domain string, feed_xml string")
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["title"] == "Big < news & raw"
+        assert rows[0]["link"] == "https://ex.com/n1"
+
     def test_urlset_index_entities_and_missing_fields(self, spark):
         from hgraphstorage_spark.sources.warc import parse_sitemaps
 
@@ -1040,3 +1095,172 @@ class TestAnchorTextIndex:
         )
         out = {r["doc_id"]: r["allowed"] for r in robots_filter(urls, rules).collect()}
         assert out == {1: False, 2: False}
+
+
+class TestHttpEnvelope:
+    def test_envelope_fields_from_warc_records(self, spark):
+        """read_warc -> http_envelope: status line + revisit headers
+        parse out of the payload (case-insensitive names, trimmed
+        values, ETag kept verbatim incl. W/ prefix and quotes);
+        non-HTTP payloads (warcinfo/request) yield NULL envelopes."""
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.sources.warc import (
+            http_envelope,
+            read_warc,
+            warc_bytes,
+        )
+
+        rich = (
+            b"HTTP/1.1 301 Moved Permanently\r\n"
+            b"ETAG: W/\"abc-123\"\r\n"
+            b"last-modified: Tue, 05 Mar 2024 10:00:00 GMT\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Cache-Control: public, max-age=3600, s-maxage=7200\r\n"
+            b"Expires: Wed, 06 Mar 2024 10:00:00 GMT\r\n"
+            b"Location: https://example.com/new\r\n"
+            b"\r\n<html>moved</html>"
+        )
+        bare = b"HTTP/1.0 200 OK\r\n\r\nbody with no revisit headers"
+        recs = [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:10>",
+                    "WARC-Target-URI": "http://example.com/rich",
+                    "WARC-Date": "2024-03-05T12:00:00Z",
+                },
+                "payload": rich,
+            },
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:11>",
+                    "WARC-Target-URI": "http://example.com/bare",
+                    "WARC-Date": "2024-03-05T12:00:00Z",
+                },
+                "payload": bare,
+            },
+            {
+                "headers": {"WARC-Type": "warcinfo", "WARC-Record-ID": "<urn:uuid:12>"},
+                "payload": b"software: test\r\n",
+            },
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_env_")
+        try:
+            with open(f"{d}/shard0.warc", "wb") as f:
+                f.write(warc_bytes(recs))
+            got = {
+                r["target_uri"]: r
+                for r in http_envelope(read_warc(spark, d)).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        r = got["http://example.com/rich"]
+        assert (r["http_version"], r["http_status"], r["http_reason"]) == (
+            "1.1", 301, "Moved Permanently"
+        )
+        assert r["etag"] == 'W/"abc-123"'  # verbatim: If-None-Match echoes it
+        assert r["last_modified"] == "Tue, 05 Mar 2024 10:00:00 GMT"
+        assert str(r["last_modified_date"]) == "2024-03-05"
+        assert r["http_content_type"] == "text/html; charset=utf-8"
+        assert r["max_age_sec"] == 3600  # plain max-age, not s-maxage
+        assert str(r["expires_date"]) == "2024-03-06"
+        assert r["location"] == "https://example.com/new"
+        b = got["http://example.com/bare"]
+        assert (b["http_version"], b["http_status"]) == ("1.0", 200)
+        assert b["etag"] is None and b["max_age_sec"] is None
+        assert b["last_modified_date"] is None and b["expires_date"] is None
+        w = got[None]  # warcinfo has no target URI
+        assert w["http_status"] is None and w["http_version"] is None
+
+    def test_envelope_zero_shuffle_plan(self, spark):
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import http_envelope
+
+        df = spark.createDataFrame(
+            [("u", bytearray(b"HTTP/1.1 200 OK\r\n\r\nx"))],
+            "target_uri string, payload binary",
+        )
+        plan = executed_plan(http_envelope(df))
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestRevisitPlan:
+    def _env(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "target_uri string, warc_date string, http_status int, etag string, "
+            "last_modified string, last_modified_date date, max_age_sec long, "
+            "expires_date date",
+        )
+
+    def test_interval_precedence_and_validators(self, spark):
+        """max-age wins over Expires wins over the age heuristic wins
+        over the default; etag is the preferred validator;
+        If-Modified-Since falls back to the fetch date; intervals
+        clamp; a row with no fetch date gets NULL schedule columns."""
+        import datetime as dt
+
+        from hgraphstorage_spark.sources.warc import revisit_plan
+
+        D = dt.date
+        rows = [
+            # max-age 2 days beats expires AND last-modified age
+            ("u1", "2024-03-01T00:00:00Z", 200, '"e1"',
+             "Thu, 01 Feb 2024 00:00:00 GMT", D(2024, 2, 1), 172800, D(2024, 3, 31)),
+            # no max-age: expires horizon = 30 days
+            ("u2", "2024-03-01T00:00:00Z", 200, None,
+             "Thu, 01 Feb 2024 00:00:00 GMT", D(2024, 2, 1), None, D(2024, 3, 31)),
+            # no max-age/expires: age heuristic 0.1 * (as_of - lastmod)
+            ("u3", "2024-03-01T00:00:00Z", 200, None,
+             "Fri, 01 Mar 2019 00:00:00 GMT", D(2019, 3, 1), None, None),
+            # nothing: default 7 days
+            ("u4", "2024-03-01T00:00:00Z", 200, None, None, None, None, None),
+            # tiny max-age clamps up to the floor
+            ("u5", "2024-03-01T00:00:00Z", 200, '"e5"', None, None, 60, None),
+            # unparseable fetch date: NULL schedule
+            ("u6", None, 200, '"e6"', None, None, 3600, None),
+        ]
+        got = {
+            r["url"]: r
+            for r in revisit_plan(self._env(spark, rows), as_of="2024-03-10").collect()
+        }
+        from decimal import Decimal
+
+        u1 = got["u1"]
+        assert u1["validator"] == "etag" and u1["if_none_match"] == '"e1"'
+        assert u1["interval_days"] == Decimal("2.000000")
+        assert str(u1["next_fetch_date"]) == "2024-03-03"
+        assert u1["revisit_due"] is True  # as_of 03-10 past 03-03
+        u2 = got["u2"]
+        assert u2["validator"] == "last-modified"
+        assert u2["if_modified_since"] == "Thu, 01 Feb 2024 00:00:00 GMT"
+        assert u2["interval_days"] == Decimal("30.000000")
+        assert u2["revisit_due"] is False  # due 03-31
+        u3 = got["u3"]
+        # age = 2024-03-10 - 2019-03-01 = 1836 days -> 183.6, clamps to 365? no:
+        # 183.6 < 365 so stays; next fetch = fetch + ceil(183.6)
+        assert u3["interval_days"] == Decimal("183.600000")
+        u4 = got["u4"]
+        assert u4["validator"] is None and u4["if_none_match"] is None
+        assert u4["if_modified_since"] == "2024-03-01"  # fetch-date fallback
+        assert u4["interval_days"] == Decimal("7.000000")
+        u5 = got["u5"]
+        assert u5["interval_days"] == Decimal("0.500000")  # floor clamp
+        assert u5["revisit_due"] is True
+        u6 = got["u6"]
+        assert u6["interval_days"] is None and u6["next_fetch_date"] is None
+        assert u6["revisit_due"] is None
+
+    def test_zero_shuffle_plan(self, spark):
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import revisit_plan
+
+        plan = executed_plan(
+            revisit_plan(self._env(spark, []), as_of="2024-03-10")
+        )
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
