@@ -3995,23 +3995,28 @@ def q_hyperball_centrality(spark, sf_dir):
 def q_flagged_filter(spark, sf_dir):
     """Word-blocklist gate (pipeline/text.py:flagged_terms — the C4
     badwords tier) over the documents table flagging two corpus
-    vocabulary words ('slow', 'spill') at max_ratio 0.02, plus an
-    arithmetic suffix ('slow.' with trailing punctuation on every 4th
-    doc) so the edge-punctuation strip and exact-token rule ('slower'
-    never flags) are live in the hash. Oracle replays tokenize →
-    edge-strip → list_contains → ratio → gate."""
+    vocabulary words ('slow', 'spill') plus a single-character CJK
+    term at max_ratio 0.02. Arithmetic suffixes keep three behaviors
+    live in the hash: trailing punctuation ('slow.' — the
+    edge-punctuation strip), the exact-token rule ('slower' never
+    flags), and an UNSEGMENTED CJK run (every doc_id%4==2 appends
+    '禁止词' with no spaces — the r9 character fallback splits it into
+    three tokens and gates on '禁'; whitespace-only tokenization saw
+    one giant token and passed it). Oracle replays cjk-isolate →
+    tokenize → edge-strip → list_contains → ratio → gate."""
     from hgraphstorage_spark.pipeline.text import flagged_terms
 
     i = F.col("doc_id")
     suffix = (
         F.when(i % 4 == 0, F.lit(" ends slow."))
         .when(i % 4 == 1, F.lit(" ends slower now"))
+        .when(i % 4 == 2, F.lit(" 禁止词"))
         .otherwise(F.lit(""))
     )
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.concat(F.col("text"), suffix).alias("text")
     )
-    out = flagged_terms(docs, ["slow", "spill"], max_ratio=0.02)
+    out = flagged_terms(docs, ["slow", "spill", "禁"], max_ratio=0.02)
     return _canon(
         out.select("doc_id", "n_tokens", "n_flagged", "flagged_ratio", "passes"),
         "flagged_ratio",
@@ -4101,6 +4106,150 @@ def q_feed_ingest(spark, sf_dir):
         .alias("feed_xml"),
     )
     return _canon(parse_feeds(feeds), "published_date")
+
+
+def _synthetic_http_records(spark, sf_dir):
+    """Arithmetic-generated WARC-record frame (target_uri, warc_date,
+    binary payload) for the HTTP-envelope rows — ONE home so the
+    q_http_envelope and q_revisit_plan generators and their SQL twins
+    can't drift. Generation rules (all by doc_id):
+
+    - %7==3: NON-HTTP payload (NULL envelope end-to-end);
+    - version 1.1 on even ids, 1.0 odd; status 301 'Moved Permanently'
+      + Location on %5==0, else 200 'OK';
+    - ETag on even ids, weak (W/) on %4==0, value quoted verbatim;
+    - Last-Modified on %3!=1 (day %28+1, month %12+1, 2024) — except
+      %9==4 sends the IMPOSSIBLE 'Tue, 31 Feb 2024' (raw header
+      non-NULL, parsed date NULL: the try_to_date ANSI-safety live in
+      the hash); header name lowercase on %6==0 (case-insensitivity
+      live);
+    - Cache-Control on %4==1: 'public, s-maxage=99, max-age=N',
+      N=(id%10+1)*21600 (the plain-max-age-not-s-maxage boundary
+      live);
+    - Expires on %6==2 (day %27+2, month (id+5)%12+1 — straddles the
+      fetch date, so negative horizons exercise the clamp);
+    - Content-Type html on even ids, plain odd;
+    - warc_date '2024-06-<id%28+1>' ISO, except %11==5 sends
+      'not-a-date' (NULL schedule in revisit_plan)."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    months = F.array(*[F.lit(m) for m in (
+        "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+        "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+    )])
+    crlf = F.lit("\r\n")
+    lm_day = F.when(i % 9 == 4, F.lit("31")).otherwise(F.lpad(s(i % 28 + 1), 2, "0"))
+    lm_mon = F.when(i % 9 == 4, F.lit("Feb")).otherwise(
+        F.element_at(months, (i % 12 + 1).cast("int"))
+    )
+    lm_val = F.concat(
+        F.lit("Tue, "), lm_day, F.lit(" "), lm_mon, F.lit(" 2024 10:00:00 GMT")
+    )
+    ex_val = F.concat(
+        F.lit("Tue, "), F.lpad(s(i % 27 + 2), 2, "0"), F.lit(" "),
+        F.element_at(months, ((i + 5) % 12 + 1).cast("int")),
+        F.lit(" 2024 00:00:00 GMT"),
+    )
+    hdr = lambda cond, text: F.when(cond, F.concat(text, crlf)).otherwise(F.lit(""))  # noqa: E731
+    status_line = F.concat(
+        F.lit("HTTP/"),
+        F.when(i % 2 == 0, F.lit("1.1")).otherwise(F.lit("1.0")),
+        F.when(i % 5 == 0, F.lit(" 301 Moved Permanently")).otherwise(F.lit(" 200 OK")),
+    )
+    envelope = F.concat(
+        status_line, crlf,
+        hdr(
+            i % 2 == 0,
+            F.concat(
+                F.lit("ETag: "),
+                F.when(i % 4 == 0, F.lit('W/"v')).otherwise(F.lit('"v')),
+                s(i), F.lit('"'),
+            ),
+        ),
+        hdr(
+            i % 3 != 1,
+            F.concat(
+                F.when(i % 6 == 0, F.lit("last-modified: ")).otherwise(
+                    F.lit("Last-Modified: ")
+                ),
+                lm_val,
+            ),
+        ),
+        hdr(
+            i % 4 == 1,
+            F.concat(
+                F.lit("Cache-Control: public, s-maxage=99, max-age="),
+                s((i % 10 + 1) * 21600),
+            ),
+        ),
+        hdr(i % 6 == 2, F.concat(F.lit("Expires: "), ex_val)),
+        hdr(
+            i % 5 == 0,
+            F.concat(F.lit("Location: https://site"), s(i % 7), F.lit(".com/new/"), s(i)),
+        ),
+        hdr(
+            F.lit(True),
+            F.when(i % 2 == 0, F.lit("Content-Type: text/html; charset=utf-8"))
+            .otherwise(F.lit("Content-Type: text/plain")),
+        ),
+        crlf, F.lit("body "), s(i),
+    )
+    payload_str = F.when(
+        i % 7 == 3, F.lit("rawbytes: no http envelope here")
+    ).otherwise(envelope)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://site"), s(i % 7), F.lit(".com/page/"), s(i)).alias(
+            "target_uri"
+        ),
+        F.when(i % 11 == 5, F.lit("not-a-date"))
+        .otherwise(
+            F.concat(F.lit("2024-06-"), F.lpad(s(i % 28 + 1), 2, "0"), F.lit("T00:00:00Z"))
+        )
+        .alias("warc_date"),
+        F.encode(payload_str, "UTF-8").alias("payload"),
+    )
+
+
+def q_http_envelope(spark, sf_dir):
+    """HTTP response-envelope extraction (sources/warc.py:
+    http_envelope — VERDICT r8 gap 2's revisit-economy surface) over
+    arithmetic-generated payloads: status line, verbatim ETag (weak
+    and strong), Last-Modified with the RFC 822 date fold (one
+    IMPOSSIBLE date proving try_to_date), plain-max-age-not-s-maxage,
+    Expires, Location, mixed header-name casing, and non-HTTP payloads
+    yielding NULL envelopes. The oracle derives every field from the
+    generator arithmetic — independent derivation, not regex replay."""
+    from hgraphstorage_spark.sources.warc import http_envelope
+
+    out = http_envelope(_synthetic_http_records(spark, sf_dir))
+    return _canon(out, "last_modified_date", "expires_date")
+
+
+def q_revisit_plan(spark, sf_dir):
+    """Server-validator revisit economy (sources/warc.py:revisit_plan)
+    over the same synthetic envelopes at pinned as_of=2024-07-15,
+    max_interval_days=15: validator preference (etag >
+    last-modified > none), If-Modified-Since fetch-date fallback, and
+    the full interval precedence — max-age, Expires horizon (negative
+    horizons clamp to the floor), the 0.1×age heuristic (future
+    Last-Modified falls through to the default), the 7-day default,
+    both clamps, next_fetch_date and the due flag; rows with an
+    unparseable fetch date carry NULL schedules. Oracle replays the
+    precedence CASE and IEEE arithmetic from the generator rules."""
+    from hgraphstorage_spark.sources.warc import http_envelope, revisit_plan
+
+    out = revisit_plan(
+        http_envelope(_synthetic_http_records(spark, sf_dir)),
+        as_of="2024-07-15",
+        max_interval_days=15.0,
+    )
+    # revisit_due canons to string: a NULLable BOOLEAN materializes as
+    # None (Spark) vs NaN (DuckDB) through pandas — the same class of
+    # representation drift the DECIMAL canon exists for
+    return _canon(
+        out, "interval_days", "fetch_date", "next_fetch_date", "revisit_due"
+    )
 
 
 def q_crawl_frontier(spark, sf_dir):
@@ -4682,8 +4831,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # independent implementation of the same footer read)
         "rowgroup_stats": q_rowgroup_stats,
         "skipping_report": q_skipping_report,
-        "psi_drift": q_psi_drift,
-        "link_graph": q_link_graph,
+        # r9 nineteenth rotation: psi_drift (hashed green r6-r8, three
+        # straight contacts; the drift/sketch family keeps stream_hll +
+        # stream_quantile in-window and numeric_histogram keeps the
+        # profiling surface) gives its slot to HTTP response-envelope
+        # extraction — the revisit-economy surface (VERDICT r8 gap 2),
+        # in-window the round it was built
+        "http_envelope": q_http_envelope,
+        # r9: link_graph (hashed green r6-r8; the link surface keeps
+        # extract_links + crawl_frontier + domain_stats in-window, and
+        # the graph-analytics family gains the two incoming HyperBall
+        # rows) gives its slot to the server-validator revisit plan —
+        # the conditional-fetch schedule composed on the envelope,
+        # in-window the round it was built
+        "revisit_plan": q_revisit_plan,
         # r7 thirteenth swap: calibration (hashed green r6; its
         # quantile-cut machinery stays in-window via quantile_sketch +
         # psi_drift and the quality family keeps nb_quality +
@@ -4720,13 +4881,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # earliest-fetch keeper and the capped pair chain via
         # fuzzy_decontaminate) gives its slot to per-domain crawl stats
         "mmr_rerank": q_mmr_rerank,
+        # r9 nineteenth rotation: topic_terms (hashed green r6-r8; the
+        # topics family keeps topic_split + stream_topics in-window)
+        # gives its slot to the HyperBall neighborhood function —
+        # registered and parity-green since r8, driver-hashed now (the
+        # declared one-round grace closes)
+        "hyperball": q_hyperball,
         # r7 rotation: stream_heavy_hitters (hashed green r6 as a REAL
         # 4-micro-batch stream; the Misra-Gries state machinery stays
         # pytest-oracled and streaming keeps four in-window rows) rotates
         # past the window; its slot carries curriculum ordering so the
         # driver hashes the training-order family's flagship
         "curriculum": q_curriculum,
-        "topic_terms": q_topic_terms,
         "domain_stats": q_domain_stats,
         # r7 rotation: index_build (hashed green r1-r6 — six straight
         # contacts — and STILL timed every round by bench.py as the
@@ -4751,7 +4917,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extractor — the crawl tier's round-7 flagship, in-window the
         # round it was built
         "main_content": q_main_content,
-        "phrases": q_phrases,
+        # r9 nineteenth rotation: phrases (hashed green r6-r8; the
+        # text-stats family keeps readability + tokenizer_fertility
+        # in-window, plus the incoming flagged_filter token machinery)
+        # gives its slot to HyperBall harmonic centrality — the
+        # Boldi-Vigna application, parity-green since r8, driver-hashed
+        # now
+        "hyperball_centrality": q_hyperball_centrality,
         "hits": q_hits,
         # r7 twelfth rotation: zipf (hashed green r6; the 1-row log-log
         # fit stays pytest-oracled; text-stats keeps readability +
@@ -4819,7 +4991,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_crawl_frontier": q_stream_crawl_frontier,
         "stream_embed_dedup": q_stream_embed_dedup,
         "domain_quality": q_domain_quality,
-        "novelty": q_novelty,
+        # r9 nineteenth rotation: novelty (hashed green r6-r8; the
+        # quality family keeps domain_quality in-window and the n-gram
+        # machinery runs inside the in-window fuzzy_decontaminate
+        # oracle) gives its slot to the politeness fetch-slot plan over
+        # the capstone frontier — registered and parity-green since r8,
+        # driver-hashed now
+        "frontier_schedule": q_frontier_schedule,
         # r6 fourth rotation: content_type / dedup_exact /
         # similarity_topk / repetition_stats / exact_substring rotate
         # past the window (all multi-round green; their families keep
@@ -4830,7 +5008,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Z-order layout key, the Count-Min sketch, the PSI drift
         # monitor, and the crawl link graph — in-window the round they
         # were built
-        "jaccard_prefix": q_jaccard_prefix,
+        # r9 nineteenth rotation: jaccard_prefix (hashed green r6-r8;
+        # the dedup family keeps url_dedup + fuzzy_decontaminate +
+        # media_pairs in-window and the lossless prefix-filter claim
+        # stays falsifiable under its full pytest oracle) gives its
+        # slot to the C4-style word-blocklist gate, now with the CJK
+        # character-fallback tokenization live in the hash
+        "flagged_filter": q_flagged_filter,
         # r6 seventh rotation: bm25_search (hashed green r1-r6-replica;
         # its ENTIRE scoring replay is embedded inside the in-window
         # search_eval oracle, so the machinery stays driver-checked)
@@ -4900,15 +5084,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comments)
         "stream_url_dedup": q_stream_url_dedup,
         "nb_quality": q_nb_quality,
-        # r8 additions past the window (r9 rotation candidates): the
-        # politeness fetch-slot plan over the capstone frontier, the
-        # C4-style word-blocklist gate, and the HyperBall neighborhood
-        # function (per-node mergeable-HLL balls — the 100 TB diameter
-        # shape)
-        "frontier_schedule": q_frontier_schedule,
-        "flagged_filter": q_flagged_filter,
-        "hyperball": q_hyperball,
-        "hyperball_centrality": q_hyperball_centrality,
+        # r9 nineteenth rotation, rotated-out rows (all hashed green
+        # r6-r8 — three straight contacts; see the in-window slot
+        # comments for where each one's machinery stays driver-checked)
+        "psi_drift": q_psi_drift,
+        "link_graph": q_link_graph,
+        "topic_terms": q_topic_terms,
+        "phrases": q_phrases,
+        "novelty": q_novelty,
+        "jaccard_prefix": q_jaccard_prefix,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -7580,9 +7764,11 @@ def oracle_sql() -> dict[str, str]:
     # the stream == batch certificate: the incrementally-maintained
     # frontier must equal the batch capstone, so it shares its oracle
     sql["stream_crawl_frontier"] = _crawl_frontier_oracle_sql(agent="trainbot")
-    # flagged_filter: tokenize -> edge-strip -> blocklist contains ->
-    # ratio -> gate, with the arithmetic suffix replayed
+    # flagged_filter: cjk-isolate -> tokenize -> edge-strip ->
+    # blocklist contains -> ratio -> gate, with the arithmetic
+    # suffixes replayed (incl. the unsegmented-CJK character fallback)
     from hgraphstorage_spark.pipeline.extraction import TOKEN_NORM_RE as _TNR
+    from hgraphstorage_spark.pipeline.text import CJK_ISOLATE_RE as _CJK_RE
     _ff_ratio = (
         "CAST(round(n_flagged::DOUBLE / greatest(n_tokens, 1), 6) AS DECIMAL(18,6))"
     )
@@ -7591,18 +7777,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id,
                  text || (CASE WHEN doc_id % 4 = 0 THEN ' ends slow.'
                                WHEN doc_id % 4 = 1 THEN ' ends slower now'
+                               WHEN doc_id % 4 = 2 THEN ' 禁止词'
                                ELSE '' END) AS t
           FROM documents
         ),
         tk AS (
           SELECT doc_id,
-                 list_filter(string_split_regex(lower(t), '[ \t\n\x0b\f\r]+'),
-                             x -> x != '') AS toks
+                 list_filter(string_split_regex(
+                     regexp_replace(lower(t), '{_CJK_RE}', ' \1 ', 'g'),
+                     '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks
           FROM w
         ),
         c AS (
           SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-                 len(list_filter(toks, x -> list_contains(['slow', 'spill'],
+                 len(list_filter(toks, x -> list_contains(['slow', 'spill', '禁'],
                      regexp_replace(x, '{_TNR}', '', 'g'))))::BIGINT AS n_flagged
           FROM tk
         )
@@ -7650,6 +7838,109 @@ def oracle_sql() -> dict[str, str]:
                'https://site' || (doc_id % 7) || '.com/u/' || doc_id,
                NULL, NULL
         FROM d WHERE doc_id % 3 = 2
+    """
+    # http_envelope / revisit_plan: independent arithmetic derivation
+    # of every field from _synthetic_http_records' generator rules
+    # (shared CTE so the two oracles can't drift from each other)
+    _mon_list = "['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec']"
+    _HTTP_ENV_CTE = f"""
+        base AS (
+          SELECT doc_id,
+                 (doc_id % 7 = 3) AS nonhttp,
+                 (doc_id % 9 = 4) AS bad_lm,
+                 (doc_id % 11 = 5) AS bad_fetch
+          FROM documents
+        ),
+        env AS (
+          SELECT doc_id,
+            'https://site' || (doc_id % 7) || '.com/page/' || doc_id AS target_uri,
+            CASE WHEN bad_fetch THEN 'not-a-date'
+                 ELSE '2024-06-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+                      || 'T00:00:00Z' END AS warc_date,
+            CASE WHEN nonhttp THEN NULL
+                 WHEN doc_id % 2 = 0 THEN '1.1' ELSE '1.0' END AS http_version,
+            (CASE WHEN nonhttp THEN NULL
+                  WHEN doc_id % 5 = 0 THEN 301 ELSE 200 END)::INT AS http_status,
+            CASE WHEN nonhttp THEN NULL
+                 WHEN doc_id % 5 = 0 THEN 'Moved Permanently' ELSE 'OK' END AS http_reason,
+            CASE WHEN nonhttp OR doc_id % 2 != 0 THEN NULL
+                 WHEN doc_id % 4 = 0 THEN 'W/"v' || doc_id || '"'
+                 ELSE '"v' || doc_id || '"' END AS etag,
+            CASE WHEN nonhttp OR doc_id % 3 = 1 THEN NULL
+                 ELSE 'Tue, '
+                   || (CASE WHEN bad_lm THEN '31'
+                            ELSE lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') END)
+                   || ' '
+                   || (CASE WHEN bad_lm THEN 'Feb'
+                            ELSE ({_mon_list})[(doc_id % 12 + 1)] END)
+                   || ' 2024 10:00:00 GMT' END AS last_modified,
+            CASE WHEN nonhttp OR doc_id % 3 = 1 OR bad_lm THEN NULL
+                 ELSE ('2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+                       || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0'))::DATE END
+              AS last_modified_date,
+            CASE WHEN nonhttp THEN NULL
+                 WHEN doc_id % 2 = 0 THEN 'text/html; charset=utf-8'
+                 ELSE 'text/plain' END AS http_content_type,
+            CASE WHEN nonhttp OR doc_id % 4 != 1 THEN NULL
+                 ELSE 'public, s-maxage=99, max-age='
+                      || ((doc_id % 10 + 1) * 21600) END AS cache_control,
+            (CASE WHEN nonhttp OR doc_id % 4 != 1 THEN NULL
+                  ELSE (doc_id % 10 + 1) * 21600 END)::BIGINT AS max_age_sec,
+            CASE WHEN nonhttp OR doc_id % 6 != 2 THEN NULL
+                 ELSE 'Tue, ' || lpad((doc_id % 27 + 2)::VARCHAR, 2, '0') || ' '
+                      || ({_mon_list})[((doc_id + 5) % 12 + 1)]
+                      || ' 2024 00:00:00 GMT' END AS expires,
+            CASE WHEN nonhttp OR doc_id % 6 != 2 THEN NULL
+                 ELSE ('2024-' || lpad(((doc_id + 5) % 12 + 1)::VARCHAR, 2, '0') || '-'
+                       || lpad((doc_id % 27 + 2)::VARCHAR, 2, '0'))::DATE END
+              AS expires_date,
+            CASE WHEN nonhttp OR doc_id % 5 != 0 THEN NULL
+                 ELSE 'https://site' || (doc_id % 7) || '.com/new/' || doc_id END
+              AS location,
+            CASE WHEN bad_fetch THEN NULL
+                 ELSE ('2024-06-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0'))::DATE
+                 END AS fetch_date
+          FROM base
+        )"""
+    sql["http_envelope"] = f"""
+        WITH {_HTTP_ENV_CTE}
+        SELECT doc_id, target_uri, warc_date, http_version, http_status,
+               http_reason, etag, last_modified,
+               last_modified_date::VARCHAR AS last_modified_date,
+               http_content_type, cache_control, max_age_sec, expires,
+               expires_date::VARCHAR AS expires_date, location
+        FROM env
+    """
+    sql["revisit_plan"] = f"""
+        WITH {_HTTP_ENV_CTE},
+        sched AS (
+          SELECT *,
+            least(greatest(
+              CASE WHEN max_age_sec IS NOT NULL THEN max_age_sec / 86400.0
+                   WHEN expires_date IS NOT NULL AND fetch_date IS NOT NULL
+                     THEN datediff('day', fetch_date, expires_date)::DOUBLE
+                   WHEN last_modified_date IS NOT NULL
+                        AND datediff('day', last_modified_date, DATE '2024-07-15') >= 0
+                     THEN 0.1 * datediff('day', last_modified_date, DATE '2024-07-15')
+                   ELSE 7.0 END, 0.5), 15.0) AS ival
+          FROM env
+        )
+        SELECT target_uri AS url,
+               fetch_date::VARCHAR AS fetch_date,
+               http_status,
+               CASE WHEN etag IS NOT NULL THEN 'etag'
+                    WHEN last_modified IS NOT NULL THEN 'last-modified' END AS validator,
+               etag AS if_none_match,
+               coalesce(last_modified, fetch_date::VARCHAR) AS if_modified_since,
+               CASE WHEN fetch_date IS NULL THEN NULL
+                    ELSE CAST(round(ival, 6) AS DECIMAL(18,6))::VARCHAR END
+                 AS interval_days,
+               CASE WHEN fetch_date IS NULL THEN NULL
+                    ELSE (fetch_date + ceil(ival)::INT)::VARCHAR END AS next_fetch_date,
+               (CASE WHEN fetch_date IS NULL THEN NULL
+                     ELSE DATE '2024-07-15' >= fetch_date + ceil(ival)::INT
+                END)::VARCHAR AS revisit_due
+        FROM sched
     """
     sql["robots_extras"] = """
         SELECT * FROM (VALUES

@@ -247,6 +247,14 @@ R8_OPS = [
     "hyperball_centrality",
 ]
 
+# round-9 operators, same contract (timed, outside the headline).
+# flagged_filter (R8_OPS) now times the CJK-fallback tokenization and
+# datasheet the redaction-event PII incidence.
+R9_OPS = [
+    "http_envelope",
+    "revisit_plan",
+]
+
 
 # exact-pair diagnostics: collision-quadratic BY DESIGN (the documented
 # exact baselines the LSH/prefix-filter scale paths are validated
@@ -379,8 +387,57 @@ def main() -> None:
     r6_timings = _section("r6_ops", R6_OPS)
     r7_timings = _section("r7_ops", R7_OPS)
     r8_timings = _section("r8_ops", R8_OPS)
+    r9_timings = _section("r9_ops", R9_OPS)
     # the diagnostics are collision-quadratic BY DESIGN — never re-timed
     diag_timings = _section("diagnostics", DIAGNOSTICS, runs=1, retry=False)
+
+    # mover retiming (VERDICT r8 item 1): the per-SECTION bracket only
+    # re-times when contention lands inside that section's own window —
+    # sub-threshold drift still inflated individual untouched ops 1.4-2x
+    # in the r8 record. If ANY sentinel reading drifted >= 1.5 across
+    # the run, give one extra execution to every op whose reading
+    # exceeds its prior-round value by >= 1.4x and keep the min. Priors
+    # come from bench_last_full.json (this script writes it each run —
+    # the full sections survive between rounds where the driver's
+    # 2000-char tail does not), falling back to the newest BENCH_r*.json
+    # parsed headline.
+    def _load_priors() -> dict:
+        here = os.path.dirname(os.path.abspath(__file__))
+        priors: dict = {}
+        try:
+            import glob
+
+            cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+            if cands:
+                rec = json.load(open(cands[-1]))
+                priors.update((rec.get("parsed") or {}).get("queries") or {})
+        except Exception:
+            pass
+        try:
+            full = json.load(open(os.path.join(here, "bench_last_full.json")))
+            for sec in full.values():
+                if isinstance(sec, dict):
+                    priors.update(sec)
+        except Exception:
+            pass
+        return {k: v for k, v in priors.items() if isinstance(v, (int, float))}
+
+    retimed_movers: list[str] = []
+    run_drift = max(sent_vals) / max(min(sent_vals), 1e-9)
+    if run_drift >= 1.5:
+        priors = _load_priors()
+        sections = [
+            timings, md5_timings, r4_timings, r5_timings,
+            r6_timings, r7_timings, r8_timings, r9_timings,
+        ]
+        for sec in sections:
+            for name, val in list(sec.items()):
+                prior = priors.get(name)
+                if prior and val >= 1.4 * prior:
+                    sec[name] = min(val, _time(name, runs=1))
+                    retimed_movers.append(name)
+        if retimed_movers:
+            sent_vals.append(_sentinel_sec(spark))
 
     # the flag threshold is >= 1.5 (not the old strict > 2.0): the r7
     # driver sample sat at EXACTLY 2.0 drift and passed as clean while
@@ -395,28 +452,35 @@ def main() -> None:
         "drift_ratio": drift,
         "contended": drift >= 1.5,
         "retimed_sections": retimed_sections,
+        "retimed_movers": retimed_movers,
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "md5_oracle_mode": md5_timings,
-                "r4_ops": r4_timings,
-                "r5_ops": r5_timings,
-                "r6_ops": r6_timings,
-                "r7_ops": r7_timings,
-                "r8_ops": r8_timings,
-                "diagnostics": diag_timings,
-                "timing": "min_of_3_headline_min_of_2_ops",
-                "sentinel": sentinel,
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "md5_oracle_mode": md5_timings,
+        "r4_ops": r4_timings,
+        "r5_ops": r5_timings,
+        "r6_ops": r6_timings,
+        "r7_ops": r7_timings,
+        "r8_ops": r8_timings,
+        "r9_ops": r9_timings,
+        "diagnostics": diag_timings,
+        "timing": "min_of_3_headline_min_of_2_ops",
+        "sentinel": sentinel,
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # persist the FULL sections for next round's mover-retiming priors
+    # (the driver's permanent record keeps only a 2000-char stdout tail)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "bench_last_full.json"), "w") as f:
+            json.dump(record, f)
+    except Exception:
+        pass
     # compact duplicate of the GRADED numbers as the LAST line: the
     # driver's permanent record keeps only the final 2000 chars of
     # stdout, and for two rounds the full line above (printed first,

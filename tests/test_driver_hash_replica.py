@@ -155,7 +155,11 @@ def test_window_covers_required_operators():
         # the engine pytest suites; their slots carry the late-wave
         # hll_distinct / phrases / hits / zipf so the driver hashes
         # them the round they were built)
-        "phrases", "hits",
+        # (phrases out in the r9 nineteenth rotation after r6-r8 green;
+        # text stats keep readability + tokenizer_fertility + the
+        # incoming flagged_filter; its slot carries HyperBall harmonic
+        # centrality)
+        "hits",
         # r6 sixth rotation: gap-based sessionization (the
         # session_window streaming flavor keeps its 'sessionize' row
         # past the window), the IR-eval metric report, and MinHash fuzzy
@@ -180,8 +184,10 @@ def test_window_covers_required_operators():
         # core, domain_quality's quality rules) and their slots carry
         # the sentence/readability/MMR/quantile/topic-terms/domain-stats
         # wave — in-window the round they were built
-        "readability", "mmr_rerank",
-        "topic_terms", "domain_stats",
+        # (topic_terms out in the r9 nineteenth rotation after r6-r8
+        # green; topics keep topic_split + stream_topics in-window and
+        # its slot carries the HyperBall neighborhood function)
+        "readability", "mmr_rerank", "domain_stats",
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
@@ -196,8 +202,11 @@ def test_window_covers_required_operators():
         # (nb_quality out in the r8 eighteenth rotation after r6+r7
         # green — quality keeps domain_quality in-window; its slot
         # carries RSS/Atom feed ingestion)
-        "url_dedup", "warc_ingest", "media_pairs",
-        "feed_ingest", "novelty",
+        # (novelty out in the r9 nineteenth rotation after r6-r8 green;
+        # quality keeps domain_quality in-window and the n-gram
+        # machinery runs inside the fuzzy_decontaminate oracle; its
+        # slot carries the politeness frontier_schedule)
+        "url_dedup", "warc_ingest", "media_pairs", "feed_ingest",
         # r6 third rotation: the drift / export / streaming wave —
         # also in-window the round it was built (stream_url_dedup out
         # in the r8 seventeenth rotation after r6+r7 green — its batch
@@ -205,10 +214,19 @@ def test_window_covers_required_operators():
         # incrementally-maintained streaming crawl frontier)
         "stream_crawl_frontier",
         "stream_embed_dedup", "domain_quality", "unimax_mix",
-        # r6 fourth rotation: the lossless prefix-filter exact join,
-        # Z-order layout key, Count-Min sketch, PSI drift monitor, and
-        # crawl link graph — in-window the round they were built
-        "jaccard_prefix", "psi_drift", "link_graph",
+        # (r6 fourth rotation's jaccard_prefix / psi_drift / link_graph
+        # out in the r9 nineteenth rotation after r6-r8 green — dedup
+        # keeps url_dedup + fuzzy_decontaminate + media_pairs, sketches
+        # keep stream_hll + stream_quantile, links keep extract_links +
+        # crawl_frontier + domain_stats; their slots carry the
+        # revisit-economy pair below)
+        # r9 nineteenth rotation: the four r8 closers the driver had
+        # never hashed (the accepted one-round grace ends) plus the two
+        # revisit-economy operators built THIS round, in-window the
+        # round they were built
+        "frontier_schedule", "flagged_filter",
+        "hyperball", "hyperball_centrality",
+        "http_envelope", "revisit_plan",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"

@@ -1921,6 +1921,36 @@ class TestFlaggedTerms:
         assert "Exchange" not in plan and "Generate" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_cjk_character_fallback(self, spark):
+        """VERDICT r8 gap 3 pin: unsegmented CJK text tokenizes at the
+        character level (each Han/kana/Hangul codepoint its own token),
+        so a single-character blocklist entry gates — whitespace-only
+        tokenization saw one giant token and the gate was inert on
+        exactly the documents lang_id routes as zh/ja/ko. Latin text
+        tokenizes identically with the fallback on; cjk_split=False
+        restores the old behavior."""
+        from hgraphstorage_spark.pipeline import flagged_terms
+
+        rows = [
+            (1, "这是禁止的内容"),          # unsegmented zh, contains 禁
+            (2, "普通的中文文本"),          # unsegmented zh, clean
+            (3, "mixed 禁 and english"),   # already-spaced CJK
+            (4, "plain english only"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in flagged_terms(df, ["禁"]).collect()}
+        assert got[1]["n_tokens"] == 7 and got[1]["n_flagged"] == 1
+        assert not got[1]["passes"]
+        assert got[2]["n_flagged"] == 0 and got[2]["passes"]
+        assert got[3]["n_flagged"] == 1 and not got[3]["passes"]
+        assert got[4]["n_tokens"] == 3 and got[4]["passes"]
+        # fallback off: the unsegmented run is one token, gate inert
+        legacy = {
+            r["doc_id"]: r
+            for r in flagged_terms(df, ["禁"], cjk_split=False).collect()
+        }
+        assert legacy[1]["n_tokens"] == 1 and legacy[1]["n_flagged"] == 0
+
     def test_gate_runs_on_unrounded_ratio(self, spark):
         """Round-8 advice pin: one flagged token among 3M has ratio
         ~3.3e-7, which ROUNDS to 0.000000 in the reported DECIMAL —
