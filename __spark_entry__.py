@@ -4252,6 +4252,86 @@ def q_revisit_plan(spark, sf_dir):
     )
 
 
+def _synthetic_cdxj_lines(spark, sf_dir):
+    """Arithmetic-generated CDXJ index lines — ONE home for the
+    q_cdx_ingest / q_cdx_plan generators and their SQL twins. Per
+    doc_id: the url carries www / :443 / unsorted-arg / uppercase-path
+    variants (so the SURT canonicalization is live — the oracle derives
+    the CANONICAL key arithmetically, never replaying the transform),
+    the 14-digit timestamp is valid except %13==7 (month 13 — the
+    try-parse NULL), and the JSON block carries status 404 on %9==0
+    (else 200), offsets (id%20)·3000 inside filename shard<id%5>, and
+    lengths (id%50+1)·100 — overlaps, adjacencies, and >2000-byte gaps
+    all occur, so the fetch-plan coalescing has live islands."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    from hgraphstorage_spark.sources.cdx import surt_key
+
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), s(i % 7), F.lit(".com"),
+        F.when(i % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.when(i % 4 == 2, F.lit("/P/")).otherwise(F.lit("/p/")),
+        s(i),
+        F.when(i % 2 == 0, F.concat(F.lit("?b=2&a="), s(i % 5)))
+        .when(i % 5 == 1, F.lit("?z=1"))
+        .otherwise(F.lit("")),
+    )
+    ts14 = F.when(i % 13 == 7, F.lit("20241399000000")).otherwise(
+        F.concat(
+            F.lit("2024"), F.lpad(s(i % 12 + 1), 2, "0"),
+            F.lpad(s(i % 28 + 1), 2, "0"), F.lit("12"),
+            F.lpad(s(i % 60), 2, "0"), F.lit("00"),
+        )
+    )
+    json_block = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "status": "'),
+        F.when(i % 9 == 0, F.lit("404")).otherwise(F.lit("200")),
+        F.lit('", "mime": "'),
+        F.when(i % 2 == 0, F.lit("text/html")).otherwise(F.lit("application/json")),
+        F.lit('", "digest": "sha1:'), s(i),
+        F.lit('", "length": "'), s((i % 50 + 1) * 100),
+        F.lit('", "offset": "'), s((i % 20) * 3000),
+        F.lit('", "filename": "shard'), s(i % 5), F.lit('.warc.gz"}'),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(surt_key(url), F.lit(" "), ts14, F.lit(" "), json_block).alias("line"),
+    )
+
+
+def q_cdx_ingest(spark, sf_dir):
+    """CDXJ index parsing (sources/cdx.py:parse_cdxj + surt_key) over
+    arithmetic-generated lines: typed fields, the 14-digit timestamp
+    fold (one impossible month proving the try-parse), and the SURT
+    urlkey — the oracle derives the CANONICAL key from the generator
+    arithmetic (www / default-port / arg-order / case variants all
+    collapse), so the canonicalization is certified by independent
+    derivation, not replay."""
+    from hgraphstorage_spark.sources.cdx import parse_cdxj
+
+    out = parse_cdxj(_synthetic_cdxj_lines(spark, sf_dir))
+    return _canon_ts(out, "fetch_ts")
+
+
+def q_cdx_plan(spark, sf_dir):
+    """Byte-range fetch planning (sources/cdx.py:cdx_fetch_plan) over
+    the parsed CDX frame filtered to status 200 (plan exactly what you
+    want — the filter-first contract), gap threshold 2000 bytes:
+    overlapping and adjacent records coalesce, >gap offsets start new
+    ranges, per-shard independence. Oracle replays the running-max
+    island detection as SQL window functions over the arithmetic
+    offsets."""
+    from hgraphstorage_spark.sources.cdx import cdx_fetch_plan, parse_cdxj
+
+    cdx = parse_cdxj(_synthetic_cdxj_lines(spark, sf_dir)).filter(
+        F.col("status") == 200
+    )
+    return cdx_fetch_plan(cdx, max_gap_bytes=2000)
+
+
 def q_crawl_frontier(spark, sf_dir):
     """The crawl-tier CAPSTONE composition (sources/warc.py:
     crawl_frontier): outbound links from the anchored synthetic pages →
@@ -4860,7 +4940,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media_pairs) gives its slot to the robots crawl-delay/Sitemap
         # directive surface
         "robots_extras": q_robots_extras,
-        "warc_ingest": q_warc_ingest,
+        # r9 twentieth rotation: warc_ingest (hashed green r6-r8, three
+        # straight contacts; the read_warc machinery stays under
+        # tests/test_warc.py incl. the r9 envelope e2e, and the crawl
+        # family keeps sitemap/robots/feeds/frontier/stream-frontier +
+        # the incoming envelope pair in-window) gives its slot to CDXJ
+        # index parsing + SURT keys — the web-archive random-access
+        # tier, in-window the round it was built
+        "cdx_ingest": q_cdx_ingest,
         "media_pairs": q_media_pairs,
         # r8 sixteenth rotation: ivfpq_topk (hashed green r4-r7, four
         # straight contacts; the similarity family keeps mmr_rerank +
@@ -4880,7 +4967,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5; the keeper-argmax shape stays in-window via url_dedup's
         # earliest-fetch keeper and the capped pair chain via
         # fuzzy_decontaminate) gives its slot to per-domain crawl stats
-        "mmr_rerank": q_mmr_rerank,
+        # r9 twentieth rotation: mmr_rerank (hashed green r6-r8; the
+        # similarity family keeps media_pairs + search_eval +
+        # stream_embed_dedup in-window and the MMR greedy fold stays
+        # under its full pytest oracle + numpy replica) gives its slot
+        # to the CDX byte-range fetch plan — the island coalescing a
+        # 100 TB range reader pays for, in-window the round it was
+        # built
+        "cdx_plan": q_cdx_plan,
         # r9 nineteenth rotation: topic_terms (hashed green r6-r8; the
         # topics family keeps topic_split + stream_topics in-window)
         # gives its slot to the HyperBall neighborhood function —
@@ -5084,15 +5178,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comments)
         "stream_url_dedup": q_stream_url_dedup,
         "nb_quality": q_nb_quality,
-        # r9 nineteenth rotation, rotated-out rows (all hashed green
-        # r6-r8 — three straight contacts; see the in-window slot
-        # comments for where each one's machinery stays driver-checked)
+        # r9 nineteenth + twentieth rotations, rotated-out rows (all
+        # hashed green r6-r8 — three straight contacts; see the
+        # in-window slot comments for where each one's machinery stays
+        # driver-checked)
         "psi_drift": q_psi_drift,
         "link_graph": q_link_graph,
         "topic_terms": q_topic_terms,
         "phrases": q_phrases,
         "novelty": q_novelty,
         "jaccard_prefix": q_jaccard_prefix,
+        "warc_ingest": q_warc_ingest,
+        "mmr_rerank": q_mmr_rerank,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -7941,6 +8038,75 @@ def oracle_sql() -> dict[str, str]:
                      ELSE DATE '2024-07-15' >= fetch_date + ceil(ival)::INT
                 END)::VARCHAR AS revisit_due
         FROM sched
+    """
+    # cdx_ingest / cdx_plan: independent arithmetic derivation from
+    # _synthetic_cdxj_lines' generator rules. The urlkey is derived in
+    # its CANONICAL form (www/port/arg-order/case variants collapse),
+    # so the SURT transform is certified without being replayed.
+    _CDX_URL_SQL = """
+        'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+          || 'site' || (doc_id % 7) || '.com'
+          || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+          || (CASE WHEN doc_id % 4 = 2 THEN '/P/' ELSE '/p/' END) || doc_id
+          || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=' || (doc_id % 5)
+                   WHEN doc_id % 5 = 1 THEN '?z=1' ELSE '' END)"""
+    sql["cdx_ingest"] = f"""
+        SELECT doc_id,
+          'com,site' || (doc_id % 7) || ')/p/' || doc_id ||
+            (CASE WHEN doc_id % 2 = 0 THEN '?a=' || (doc_id % 5) || '&b=2'
+                  WHEN doc_id % 5 = 1 THEN '?z=1' ELSE '' END) AS urlkey,
+          CASE WHEN doc_id % 13 = 7 THEN '20241399000000'
+               ELSE '2024' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                    || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '12'
+                    || lpad((doc_id % 60)::VARCHAR, 2, '0') || '00' END AS timestamp14,
+          CASE WHEN doc_id % 13 = 7 THEN NULL
+               ELSE '2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-'
+                    || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || ' 12:'
+                    || lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00' END AS fetch_ts,
+          {_CDX_URL_SQL} AS url,
+          (CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END)::INT AS status,
+          CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+               ELSE 'application/json' END AS mime,
+          'sha1:' || doc_id AS digest,
+          ((doc_id % 50 + 1) * 100)::BIGINT AS "length",
+          ((doc_id % 20) * 3000)::BIGINT AS "offset",
+          'shard' || (doc_id % 5) || '.warc.gz' AS filename
+        FROM documents
+    """
+    sql["cdx_plan"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 'shard' || (doc_id % 5) || '.warc.gz' AS filename,
+                 ((doc_id % 20) * 3000)::BIGINT AS off,
+                 ((doc_id % 50 + 1) * 100)::BIGINT AS len
+          FROM documents WHERE doc_id % 9 != 0
+        ),
+        -- doc_id breaks (off, len) ties into a TOTAL order: the flag
+        -- and the cumulative-sum windows are separate passes here, and
+        -- a tie order that differs between passes would split tie
+        -- groups across islands (identical rows make the rule itself
+        -- tie-insensitive, but the island NUMBERING is not)
+        m AS (
+          SELECT *, max(off + len) OVER (PARTITION BY filename
+                     ORDER BY off, len, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM c
+        ),
+        isl AS (
+          SELECT *, sum(CASE WHEN prev_end IS NULL OR off - prev_end > 2000
+                             THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY filename ORDER BY off, len, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS island
+          FROM m
+        )
+        SELECT filename,
+               min(off)::BIGINT AS range_start,
+               max(off + len)::BIGINT AS range_end,
+               count(*)::BIGINT AS n_records,
+               sum(len)::BIGINT AS record_bytes,
+               (max(off + len) - min(off))::BIGINT AS range_bytes
+        FROM isl GROUP BY filename, island
     """
     sql["robots_extras"] = """
         SELECT * FROM (VALUES

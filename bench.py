@@ -253,6 +253,8 @@ R8_OPS = [
 R9_OPS = [
     "http_envelope",
     "revisit_plan",
+    "cdx_ingest",
+    "cdx_plan",
 ]
 
 
@@ -402,6 +404,8 @@ def main() -> None:
     # 2000-char tail does not), falling back to the newest BENCH_r*.json
     # parsed headline.
     def _load_priors() -> dict:
+        """Prior-round per-op readings AT THE SAME SF — a prior from a
+        different scale factor is not a baseline, it's noise."""
         here = os.path.dirname(os.path.abspath(__file__))
         priors: dict = {}
         try:
@@ -410,14 +414,17 @@ def main() -> None:
             cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
             if cands:
                 rec = json.load(open(cands[-1]))
-                priors.update((rec.get("parsed") or {}).get("queries") or {})
+                parsed = rec.get("parsed") or {}
+                if parsed.get("sf") == sf:
+                    priors.update(parsed.get("queries") or {})
         except Exception:
             pass
         try:
             full = json.load(open(os.path.join(here, "bench_last_full.json")))
-            for sec in full.values():
-                if isinstance(sec, dict):
-                    priors.update(sec)
+            if full.get("sf") == sf:
+                for sec in full.values():
+                    if isinstance(sec, dict):
+                        priors.update(sec)
         except Exception:
             pass
         return {k: v for k, v in priors.items() if isinstance(v, (int, float))}

@@ -8,13 +8,16 @@ from hgraphstorage_spark.sources.files import (
     write_csv,
     write_jsonl,
 )
+from hgraphstorage_spark.sources.cdx import cdx_fetch_plan, parse_cdxj, surt_key
 from hgraphstorage_spark.sources.tpch_graph import load_tpch_graph, load_tables
 from hgraphstorage_spark.sources.warc import (
     domain_link_graph,
     extract_links,
     html_to_text,
+    http_envelope,
     parse_feeds,
     read_warc,
+    revisit_plan,
     warc_to_documents,
 )
 
@@ -35,4 +38,9 @@ __all__ = [
     "html_to_text",
     "extract_links",
     "domain_link_graph",
+    "http_envelope",
+    "revisit_plan",
+    "surt_key",
+    "parse_cdxj",
+    "cdx_fetch_plan",
 ]

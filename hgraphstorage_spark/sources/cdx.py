@@ -1,0 +1,184 @@
+"""CDX(J) web-archive index ingestion — the random-access tier over WARC
+shards (the layout story's web-archive sibling: parquet gets row-group
+stats + skipping, WARC gets a CDX index + byte-range fetch plans).
+
+A 100 TB crawl is NOT re-scanned to find a page: the Common Crawl /
+web-archive convention publishes CDXJ index lines —
+
+    ``<urlkey(SURT)> <timestamp14> {"url": ..., "status": ..., "digest":
+    ..., "mime": ..., "length": ..., "offset": ..., "filename": ...}``
+
+— and consumers resolve a URL to (filename, offset, length), then issue
+range reads. This module provides the three pieces Spark-side, all
+built-in expressions (zero UDF, zero shuffle for key/parse; the fetch
+plan is one window + one agg, both partitioned on filename):
+
+* :func:`surt_key` — SURT (Sort-friendly URI Reordering Transform)
+  canonicalization as a column expression;
+* :func:`parse_cdxj` — CDXJ lines → typed columns;
+* :func:`cdx_fetch_plan` — coalesce each shard's wanted records into
+  minimal byte ranges (the seek/request-count optimization a range
+  reader actually pays for).
+
+Reference parity note: the reference engine (HGraphStorage) has no
+crawl tier — this extends SURVEY §2.10's pipeline surface the same way
+warc.py does; the deterministic canonicalization tier mirrors
+pywb/surt's documented behavior, not its code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# scheme prefix (RFC 3986 scheme chars), stripped before keying
+_SCHEME_RE = r"^[a-z][a-z0-9+.\-]*://"
+
+
+def surt_key(col) -> Column:
+    """SURT canonical key for a URL — the sort key CDX indexes are
+    ordered by, spelled as one deterministic expression tier (like
+    ``url_normalized``: the documented simplified canonicalization,
+    byte-replayable in SQL, not a full WHATWG parser):
+
+    - lowercase, trim; scheme and fragment dropped;
+    - userinfo dropped, a leading ``www<digits>.`` label dropped,
+      default ports 80/443 dropped;
+    - host reversed comma-joined (``com,example``), then ``)/`` +
+      path;
+    - query args sorted bytewise (``?b=2&a=1`` == ``?a=1&b=2`` — the
+      pywb canonicalization), empty query dropped.
+
+    ``https://www.Example.com:443/A/b?b=2&a=1#f`` →
+    ``com,example)/a/b?a=1&b=2``. One home for the key: the CDXJ
+    generator side and the lookup side must agree byte-for-byte or
+    range resolution misses."""
+    u = F.lower(F.trim(col))
+    u = F.regexp_replace(u, _SCHEME_RE, "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    host = F.regexp_extract(u, r"^([^/?#]*)", 1)
+    rest = F.regexp_extract(u, r"^[^/?#]*(.*)$", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")
+    host = F.regexp_replace(host, r"^www[0-9]*\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    path_full = F.when(rest == "", F.lit("/")).when(
+        rest.startswith("?"), F.concat(F.lit("/"), rest)
+    ).otherwise(rest)
+    p = F.split_part(path_full, F.lit("?"), F.lit(1))
+    q = F.regexp_extract(path_full, r"^[^?]*\?(.*)$", 1)
+    q_sorted = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        p,
+        F.when(q != "", F.concat(F.lit("?"), q_sorted)).otherwise(F.lit("")),
+    )
+
+
+# CDXJ line: urlkey SP timestamp SP json — the json may contain spaces
+_CDXJ_JSON_RE = r"^[^ ]+ [^ ]+ (.*)$"
+
+
+def parse_cdxj(
+    lines: DataFrame,
+    line_col: str = "line",
+) -> DataFrame:
+    """Parse CDXJ index lines into typed columns: (urlkey, timestamp14,
+    fetch_ts TIMESTAMP, url, status INT, mime, digest, length LONG,
+    offset LONG, filename) plus every other input column. Malformed
+    lines (no JSON block, non-numeric fields) yield NULLs in the
+    affected columns rather than failing the scan — an index shard
+    with one bad line must not kill a 100 TB read plan. Zero-shuffle
+    projection; the JSON fields come from ``get_json_object`` (JVM
+    path expressions, no schema inference pass)."""
+    ln = F.col(line_col)
+    keep = [c for c in lines.columns if c != line_col]
+    raw = lines.select(
+        *keep,
+        F.split_part(ln, F.lit(" "), F.lit(1)).alias("urlkey"),
+        F.split_part(ln, F.lit(" "), F.lit(2)).alias("timestamp14"),
+        F.regexp_extract(ln, _CDXJ_JSON_RE, 1).alias("_json"),
+    )
+    j = F.col("_json")
+    return raw.select(
+        *keep,
+        F.nullif(F.col("urlkey"), F.lit("")).alias("urlkey"),
+        F.nullif(F.col("timestamp14"), F.lit("")).alias("timestamp14"),
+        F.try_to_timestamp(F.col("timestamp14"), F.lit("yyyyMMddHHmmss")).alias(
+            "fetch_ts"
+        ),
+        F.get_json_object(j, "$.url").alias("url"),
+        F.get_json_object(j, "$.status").cast("int").alias("status"),
+        F.get_json_object(j, "$.mime").alias("mime"),
+        F.get_json_object(j, "$.digest").alias("digest"),
+        F.get_json_object(j, "$.length").cast("long").alias("length"),
+        F.get_json_object(j, "$.offset").cast("long").alias("offset"),
+        F.get_json_object(j, "$.filename").alias("filename"),
+    )
+
+
+def cdx_fetch_plan(
+    cdx: DataFrame,
+    max_gap_bytes: int = 65536,
+    filename_col: str = "filename",
+    offset_col: str = "offset",
+    length_col: str = "length",
+) -> DataFrame:
+    """Coalesce the wanted CDX records of each shard into minimal byte
+    ranges: records whose gap to the previous covered byte is <=
+    ``max_gap_bytes`` merge into one range (re-reading a small gap is
+    cheaper than another seek/HTTP request — the S3/HDFS range-read
+    economics every columnar reader applies; 64 KiB default ~ one
+    round-trip's worth at disk/object-store throughput). Filter the
+    cdx frame to the records you want FIRST — the plan covers exactly
+    what it is given.
+
+    Returns one row per (filename, range): (filename, range_start,
+    range_end EXCLUSIVE, n_records, record_bytes, range_bytes) —
+    ``range_bytes - record_bytes`` is the waste the gap threshold
+    accepted. Rows with NULL offset/length are dropped (they cannot be
+    range-planned; fetch those shards whole or re-index).
+
+    Scale shape: one window over (filename, offset) — partitioned on
+    filename, which is high-cardinality across a crawl (shards are
+    ~1 GB each, so a 100 TB crawl has ~10⁵ files) — then one
+    (filename, range) agg with map-side partials. The classic island
+    detection: a record starts a new island when its offset exceeds
+    the running max end of everything before it by more than the gap."""
+    base = cdx.filter(
+        F.col(offset_col).isNotNull() & F.col(length_col).isNotNull()
+    ).select(
+        F.col(filename_col).alias("filename"),
+        F.col(offset_col).cast("long").alias("_off"),
+        F.col(length_col).cast("long").alias("_len"),
+    )
+    w = Window.partitionBy("filename").orderBy("_off", "_len")
+    prev_end = F.max(F.col("_off") + F.col("_len")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_end.isNull() | (F.col("_off") - prev_end > F.lit(int(max_gap_bytes)))
+    ).cast("int")
+    islands = base.select(
+        "filename",
+        "_off",
+        "_len",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_island"),
+    )
+    return islands.groupBy("filename", "_island").agg(
+        F.min("_off").alias("range_start"),
+        F.max(F.col("_off") + F.col("_len")).alias("range_end"),
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.sum("_len").cast("long").alias("record_bytes"),
+        (F.max(F.col("_off") + F.col("_len")) - F.min("_off")).alias("range_bytes"),
+    ).select(
+        "filename",
+        "range_start",
+        "range_end",
+        "n_records",
+        "record_bytes",
+        "range_bytes",
+    )

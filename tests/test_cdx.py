@@ -1,0 +1,154 @@
+"""CDX(J) web-archive index tier: SURT canonicalization, CDXJ parsing,
+and byte-range fetch planning (sources/cdx.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+class TestSurtKey:
+    def test_canonicalization_rules(self, spark):
+        from hgraphstorage_spark.sources.cdx import surt_key
+
+        cases = [
+            ("https://www.Example.com:443/A/b?b=2&a=1#f", "com,example)/a/b?a=1&b=2"),
+            ("http://example.com:80/", "com,example)/"),
+            ("https://user:pw@sub.site.org/p", "org,site,sub)/p"),
+            ("example.com", "com,example)/"),  # schemeless
+            ("https://www2.host.net?q=1", "net,host)/?q=1"),  # query, no path
+            ("https://host.net/path/", "net,host)/path/"),
+            ("HTTPS://HOST.NET/UPPER", "net,host)/upper"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r["k"] for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+        assert got == [want for _, want in cases]
+
+    def test_key_is_variant_stable(self, spark):
+        """The property that makes it a lookup key: scheme, www, default
+        port, arg order, case, and fragment variants all key equal."""
+        from hgraphstorage_spark.sources.cdx import surt_key
+
+        variants = [
+            "https://www.ex.com/p?a=1&b=2",
+            "http://ex.com/p?b=2&a=1",
+            "https://EX.com:443/p?a=1&b=2#frag",
+            "ex.com/p?b=2&a=1",
+        ]
+        df = spark.createDataFrame([(u,) for u in variants], "url string")
+        keys = {r["k"] for r in df.select(surt_key(F.col("url")).alias("k")).collect()}
+        assert keys == {"com,ex)/p?a=1&b=2"}
+
+
+class TestParseCdxj:
+    def test_typed_fields_and_malformed_lines(self, spark):
+        import datetime
+
+        from hgraphstorage_spark.sources.cdx import parse_cdxj
+
+        good = (
+            'com,example)/a 20240301123456 {"url": "https://example.com/a", '
+            '"status": "200", "mime": "text/html", "digest": "sha1:AB", '
+            '"length": "512", "offset": "1024", "filename": "shard0.warc.gz"}'
+        )
+        bad_ts = (
+            'com,example)/b 2024XX01123456 {"url": "https://example.com/b", '
+            '"length": "1", "offset": "2", "filename": "f"}'
+        )
+        no_json = "com,example)/c 20240301000000"
+        df = spark.createDataFrame(
+            [(1, good), (2, bad_ts), (3, no_json)], "id long, line string"
+        )
+        got = {r["id"]: r for r in parse_cdxj(df).collect()}
+        g = got[1]
+        assert g["urlkey"] == "com,example)/a"
+        assert g["fetch_ts"] == datetime.datetime(2024, 3, 1, 12, 34, 56)
+        assert (g["status"], g["length"], g["offset"]) == (200, 512, 1024)
+        assert g["filename"] == "shard0.warc.gz" and g["mime"] == "text/html"
+        assert got[2]["fetch_ts"] is None  # malformed ts -> NULL, no crash
+        assert got[2]["offset"] == 2
+        assert got[3]["url"] is None and got[3]["offset"] is None
+
+    def test_zero_shuffle_plan(self, spark):
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.cdx import parse_cdxj
+
+        df = spark.createDataFrame([("k 20240101000000 {}",)], "line string")
+        plan = executed_plan(parse_cdxj(df))
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCdxFetchPlan:
+    def test_island_coalescing(self, spark):
+        """Adjacent/overlapping/small-gap records merge into one range;
+        a gap beyond the threshold starts a new range; per-file
+        independence; NULL offsets dropped."""
+        from hgraphstorage_spark.sources.cdx import cdx_fetch_plan
+
+        rows = [
+            # f1: [0,100) + [100,200) adjacent; [250,300) within gap=100;
+            # [1000,1100) far -> second range
+            ("f1", 0, 100), ("f1", 100, 100), ("f1", 250, 50), ("f1", 1000, 100),
+            # f2: one record; plus a NULL-offset row that must drop
+            ("f2", 10, 5), ("f2", None, 7),
+        ]
+        df = spark.createDataFrame(rows, "filename string, offset long, length long")
+        got = sorted(
+            (r["filename"], r["range_start"], r["range_end"], r["n_records"],
+             r["record_bytes"], r["range_bytes"])
+            for r in cdx_fetch_plan(df, max_gap_bytes=100).collect()
+        )
+        assert got == [
+            ("f1", 0, 300, 3, 250, 300),
+            ("f1", 1000, 1100, 1, 100, 100),
+            ("f2", 10, 15, 1, 5, 5),
+        ]
+
+    def test_contained_record_does_not_split(self, spark):
+        """A record fully inside the running covered span (out-of-order
+        end offsets) must not open a new island — the island rule uses
+        the running MAX end, not the previous row's end."""
+        from hgraphstorage_spark.sources.cdx import cdx_fetch_plan
+
+        rows = [("f", 0, 1000), ("f", 100, 10), ("f", 1050, 10)]
+        df = spark.createDataFrame(rows, "filename string, offset long, length long")
+        got = cdx_fetch_plan(df, max_gap_bytes=100).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r["range_start"], r["range_end"], r["n_records"]) == (0, 1060, 3)
+
+    def test_gap_zero_splits_everything_nonadjacent(self, spark):
+        from hgraphstorage_spark.sources.cdx import cdx_fetch_plan
+
+        rows = [("f", 0, 10), ("f", 10, 10), ("f", 21, 10)]
+        df = spark.createDataFrame(rows, "filename string, offset long, length long")
+        got = sorted(
+            (r["range_start"], r["range_end"]) for r in
+            cdx_fetch_plan(df, max_gap_bytes=0).collect()
+        )
+        assert got == [(0, 20), (21, 31)]
+
+
+class TestCdxEndToEnd:
+    def test_surt_roundtrip_through_cdxj(self, spark):
+        """Generate CDXJ lines from URLs with surt_key, parse them back,
+        and verify the parsed urlkey equals a fresh surt_key of the
+        parsed url — the generator/lookup agreement that makes range
+        resolution work."""
+        from hgraphstorage_spark.sources.cdx import parse_cdxj, surt_key
+
+        urls = ["https://www.a.com/x?b=2&a=1", "http://b.org/", "c.net/p/q"]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        lines = df.select(
+            F.concat(
+                surt_key(F.col("url")),
+                F.lit(' 20240301000000 {"url": "'),
+                F.col("url"),
+                F.lit('", "offset": "0", "length": "1", "filename": "f"}'),
+            ).alias("line")
+        )
+        parsed = parse_cdxj(lines)
+        mism = parsed.filter(
+            surt_key(F.col("url")) != F.col("urlkey")
+        ).count()
+        assert mism == 0 and parsed.count() == 3

@@ -186,8 +186,11 @@ def test_window_covers_required_operators():
         # wave — in-window the round they were built
         # (topic_terms out in the r9 nineteenth rotation after r6-r8
         # green; topics keep topic_split + stream_topics in-window and
-        # its slot carries the HyperBall neighborhood function)
-        "readability", "mmr_rerank", "domain_stats",
+        # its slot carries the HyperBall neighborhood function.
+        # mmr_rerank out in the twentieth after r6-r8 green; similarity
+        # keeps media_pairs + search_eval + stream_embed_dedup and its
+        # slot carries the CDX fetch plan)
+        "readability", "domain_stats",
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
@@ -205,8 +208,11 @@ def test_window_covers_required_operators():
         # (novelty out in the r9 nineteenth rotation after r6-r8 green;
         # quality keeps domain_quality in-window and the n-gram
         # machinery runs inside the fuzzy_decontaminate oracle; its
-        # slot carries the politeness frontier_schedule)
-        "url_dedup", "warc_ingest", "media_pairs", "feed_ingest",
+        # slot carries the politeness frontier_schedule. warc_ingest
+        # out in the twentieth after r6-r8 green; read_warc stays under
+        # test_warc.py incl. the r9 envelope e2e and its slot carries
+        # CDXJ ingestion)
+        "url_dedup", "media_pairs", "feed_ingest",
         # r6 third rotation: the drift / export / streaming wave —
         # also in-window the round it was built (stream_url_dedup out
         # in the r8 seventeenth rotation after r6+r7 green — its batch
@@ -227,6 +233,9 @@ def test_window_covers_required_operators():
         "frontier_schedule", "flagged_filter",
         "hyperball", "hyperball_centrality",
         "http_envelope", "revisit_plan",
+        # r9 twentieth rotation: the CDX web-archive index tier, also
+        # built this round
+        "cdx_ingest", "cdx_plan",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"

@@ -875,6 +875,22 @@ class TestRound7PlanAudits:
         # the block chain: exactly one evaluation
         assert plan.count("</script") == 1, plan.count("</script")
 
+    def test_cdx_fetch_plan_partitioned_window(self, spark):
+        """The island window and the range agg both partition on
+        filename (high-cardinality across a crawl: ~10^5 shards at
+        100 TB) — never a single-partition window; no Python eval."""
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.cdx import cdx_fetch_plan
+
+        df = spark.createDataFrame(
+            [("f", 0, 10), ("f", 50, 10), ("g", 5, 5)],
+            "filename string, offset long, length long",
+        )
+        plan = executed_plan(cdx_fetch_plan(df, max_gap_bytes=16))
+        assert "Exchange SinglePartition" not in plan
+        assert "Exchange hashpartitioning(filename" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_parse_feeds_staged_not_reinlined(self, spark):
         """The feed parser's staged projections must keep each extracted
         field a cheap column attribute — the single-expression form

@@ -306,6 +306,70 @@ class TestUrlDedup:
         assert md["content_md"].startswith("# Stale story of the day\n")
         assert md["n_headings"] == 1
 
+    def test_end_to_end_r9_revisit_wiring(self, spark):
+        """The round-9 revisit economy executed as one composition: a
+        WARC shard of PREVIOUSLY FETCHED pages → http_envelope (server
+        validators) → revisit_plan at a pinned as_of → the due subset
+        is what a recrawler actually re-fetches, carrying the
+        conditional headers. A page the server declared fresh (long
+        max-age) is NOT due; a stale-by-age page is; the due row
+        carries the exact If-None-Match bytes the server sent."""
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.sources.warc import (
+            http_envelope,
+            read_warc,
+            revisit_plan,
+            warc_bytes,
+        )
+
+        def resp(uri, date, payload):
+            return {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:{abs(hash(uri)) % 1000}>",
+                    "WARC-Target-URI": uri,
+                    "WARC-Date": date,
+                },
+                "payload": payload,
+            }
+
+        recs = [
+            resp(  # fresh: server grants 30 days; fetched 10 days ago
+                "https://t.com/fresh", "2024-06-25T00:00:00Z",
+                b"HTTP/1.1 200 OK\r\nETag: \"f-1\"\r\n"
+                b"Cache-Control: max-age=2592000\r\n\r\nfresh body",
+            ),
+            resp(  # stale: unchanged since 2023 -> age heuristic, due
+                "https://t.com/stale", "2024-01-01T00:00:00Z",
+                b"HTTP/1.1 200 OK\r\nETag: \"s-9\"\r\n"
+                b"Last-Modified: Mon, 02 Jan 2023 00:00:00 GMT\r\n\r\nold body",
+            ),
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_revisit_")
+        try:
+            with open(f"{d}/shard0.warc", "wb") as f:
+                f.write(warc_bytes(recs))
+            plan = {
+                r["url"]: r
+                for r in revisit_plan(
+                    http_envelope(read_warc(spark, d)), as_of="2024-07-05"
+                ).collect()
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        fresh = plan["https://t.com/fresh"]
+        assert fresh["revisit_due"] is False  # due 2024-07-25
+        assert fresh["validator"] == "etag"
+        stale = plan["https://t.com/stale"]
+        assert stale["revisit_due"] is True
+        assert stale["if_none_match"] == '"s-9"'  # byte-for-byte echo
+        assert stale["if_modified_since"] == "Mon, 02 Jan 2023 00:00:00 GMT"
+        # the recrawl queue is exactly the due subset
+        due = [u for u, r in plan.items() if r["revisit_due"]]
+        assert due == ["https://t.com/stale"]
+
     def test_end_to_end_crawl_pipeline(self, spark, warc_dir=None):
         """WARC shard -> documents -> url dedup -> quality reasons: the
         full crawl ingest story on real bytes."""
