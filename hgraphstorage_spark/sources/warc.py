@@ -52,6 +52,15 @@ WARC_SCHEMA = T.StructType(
         T.StructField("content_type", T.StringType(), True),
         T.StructField("content_length", T.LongType(), True),
         T.StructField("payload", T.BinaryType(), True),
+        # EVERY WARC header, lowercased names (r9): the named columns
+        # above stay the fast path, but record types beyond
+        # response/request carry their semantics in headers the old
+        # projection dropped — most importantly `revisit` records
+        # (WARC-Refers-To* / WARC-Profile / WARC-Payload-Digest), the
+        # archival form of an unchanged re-fetch
+        T.StructField(
+            "headers", T.MapType(T.StringType(), T.StringType()), True
+        ),
     ]
 )
 
@@ -176,6 +185,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             "content_type": h.get("content-type"),
                             "content_length": int(h.get("content-length", "0")),
                             "payload": rec["payload"],
+                            "headers": h,
                         }
                     )
             yield pd.DataFrame(
@@ -1479,6 +1489,36 @@ def http_envelope(
             F.regexp_extract(ex, _RFC822_DMY_RE, 3),
         ).alias("expires_date"),
         "location",
+    )
+
+
+def revisit_records(records: DataFrame) -> DataFrame:
+    """Project WARC ``revisit`` records — the archival form of an
+    unchanged re-fetch (a 304, or a body whose digest matched an
+    earlier capture; WARC/1.1 §6.7): instead of storing the body
+    again, the record points at the capture it duplicates. A corpus
+    builder consumes these two ways: dedup accounting for free (the
+    server itself certified the duplicate), and change-rate estimation
+    per URL (revisit density IS the stability signal the revisit_plan
+    age heuristic approximates when no validators survive).
+
+    Returns (shard, rec_idx, record_id, target_uri, warc_date,
+    profile, refers_to, refers_to_target_uri, refers_to_date,
+    payload_digest) — the refers-to fields NULL when the writer used
+    the by-digest profile without a resolved original. Narrow
+    zero-shuffle projection over the ``headers`` map."""
+    h = F.col("headers")
+    return records.filter(F.col("warc_type") == "revisit").select(
+        "shard",
+        "rec_idx",
+        "record_id",
+        "target_uri",
+        "warc_date",
+        h.getItem("warc-profile").alias("profile"),
+        h.getItem("warc-refers-to").alias("refers_to"),
+        h.getItem("warc-refers-to-target-uri").alias("refers_to_target_uri"),
+        h.getItem("warc-refers-to-date").alias("refers_to_date"),
+        h.getItem("warc-payload-digest").alias("payload_digest"),
     )
 
 

@@ -1239,6 +1239,75 @@ class TestHttpEnvelope:
         w = got[None]  # warcinfo has no target URI
         assert w["http_status"] is None and w["http_version"] is None
 
+    def test_headers_map_and_revisit_records(self, spark):
+        """r9: read_warc preserves EVERY WARC header in a lowercased
+        map, and revisit_records projects the WARC/1.1 §6.7 revisit
+        surface — the archival form of an unchanged re-fetch — out of
+        it. Non-revisit records are excluded; absent refers-to fields
+        are NULL."""
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.sources.warc import (
+            read_warc,
+            revisit_records,
+            warc_bytes,
+        )
+
+        recs = [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:1>",
+                    "WARC-Target-URI": "https://t.com/a",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+                "payload": b"HTTP/1.1 200 OK\r\n\r\nbody",
+            },
+            {
+                "headers": {
+                    "WARC-Type": "revisit",
+                    "WARC-Record-ID": "<urn:uuid:2>",
+                    "WARC-Target-URI": "https://t.com/a",
+                    "WARC-Date": "2024-02-01T00:00:00Z",
+                    "WARC-Profile": "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                    "WARC-Refers-To": "<urn:uuid:1>",
+                    "WARC-Refers-To-Target-URI": "https://t.com/a",
+                    "WARC-Refers-To-Date": "2024-01-01T00:00:00Z",
+                    "WARC-Payload-Digest": "sha1:ABC",
+                },
+                "payload": b"",
+            },
+            {
+                "headers": {
+                    "WARC-Type": "revisit",
+                    "WARC-Record-ID": "<urn:uuid:3>",
+                    "WARC-Target-URI": "https://t.com/b",
+                    "WARC-Date": "2024-02-02T00:00:00Z",
+                    "WARC-Payload-Digest": "sha1:DEF",
+                },
+                "payload": b"",
+            },
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_revrec_")
+        try:
+            with open(f"{d}/shard0.warc", "wb") as f:
+                f.write(warc_bytes(recs))
+            frame = read_warc(spark, d)
+            hmap = frame.filter("warc_type = 'response'").collect()[0]["headers"]
+            assert hmap["warc-target-uri"] == "https://t.com/a"
+            got = {r["record_id"]: r for r in revisit_records(frame).collect()}
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        assert set(got) == {"<urn:uuid:2>", "<urn:uuid:3>"}
+        r2 = got["<urn:uuid:2>"]
+        assert r2["refers_to"] == "<urn:uuid:1>"
+        assert r2["refers_to_date"] == "2024-01-01T00:00:00Z"
+        assert r2["profile"].endswith("identical-payload-digest")
+        assert r2["payload_digest"] == "sha1:ABC"
+        r3 = got["<urn:uuid:3>"]
+        assert r3["refers_to"] is None and r3["refers_to_target_uri"] is None
+
     def test_envelope_zero_shuffle_plan(self, spark):
         from hgraphstorage_spark.plans.audit import executed_plan
         from hgraphstorage_spark.sources.warc import http_envelope
