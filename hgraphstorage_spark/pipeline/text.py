@@ -52,7 +52,16 @@ LANG_MARKERS = {
 
 
 def _n_tokens(col) -> F.Column:
-    """Whitespace token count; empty/blank text = 0 tokens."""
+    """Whitespace token count; empty/blank text = 0 tokens.
+
+    Documented boundary: this is the WHITESPACE tier — unsegmented
+    CJK text counts as ~1 token per run, so token-count-based quality
+    bounds and budgets under-count zh/ja/ko. The gates where that
+    inverts a decision (the blocklist tier) apply :func:`cjk_isolate`
+    first; accounting surfaces keep the whitespace definition because
+    every oracle, budget, and historical driver hash is defined on it
+    — wrap the input in ``cjk_isolate`` yourself when counting a CJK
+    corpus."""
     trimmed = F.trim(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, WS_RE)))
 

@@ -152,3 +152,65 @@ class TestCdxEndToEnd:
             surt_key(F.col("url")) != F.col("urlkey")
         ).count()
         assert mism == 0 and parsed.count() == 3
+
+
+class TestCdxPlanProperties:
+    def test_plan_invariants_random_offsets(self, spark):
+        """Property sweep (hypothesis) over random record sets: every
+        record byte-range is covered by exactly one planned range;
+        ranges of one file are disjoint AND separated by more than the
+        gap; record_bytes sums per file are conserved; range_bytes ==
+        span. One Spark round-trip per example set is too slow, so the
+        strategy generates several files per example and we run a
+        handful of examples."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from hgraphstorage_spark.sources.cdx import cdx_fetch_plan
+
+        recs = st.lists(
+            st.tuples(
+                st.sampled_from(["fa", "fb", "fc"]),
+                st.integers(0, 5000),   # offset
+                st.integers(1, 800),    # length
+            ),
+            min_size=1,
+            max_size=40,
+        )
+
+        @settings(
+            max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+        )
+        @given(rows=recs)
+        def run(rows):
+            gap = 300
+            df = spark.createDataFrame(
+                rows, "filename string, offset long, length long"
+            )
+            plan = [
+                (r["filename"], r["range_start"], r["range_end"],
+                 r["record_bytes"], r["range_bytes"])
+                for r in cdx_fetch_plan(df, max_gap_bytes=gap).collect()
+            ]
+            byf = {}
+            for f, off, ln in rows:
+                byf.setdefault(f, []).append((off, ln))
+            for f, rs in byf.items():
+                ranges = sorted(
+                    (s, e, rb, sp) for (pf, s, e, rb, sp) in plan if pf == f
+                )
+                # coverage: every record inside exactly one range
+                for off, ln in rs:
+                    hits = [
+                        (s, e) for s, e, _, _ in ranges if s <= off and off + ln <= e
+                    ]
+                    assert len(hits) == 1, (f, off, ln, ranges)
+                # separation: consecutive ranges > gap apart
+                for (s1, e1, _, _), (s2, e2, _, _) in zip(ranges, ranges[1:]):
+                    assert s2 - e1 > gap, (f, ranges)
+                # conservation + span
+                assert sum(rb for _, _, rb, _ in ranges) == sum(l for _, l in rs)
+                for s, e, _, sp in ranges:
+                    assert sp == e - s
+
+        run()

@@ -890,6 +890,9 @@ class TestRound7PlanAudits:
         assert "Exchange SinglePartition" not in plan
         assert "Exchange hashpartitioning(filename" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the (filename, island) agg reuses the window's filename
+        # partitioning (clustering-subset rule) — ONE exchange total
+        assert plan.count("Exchange") == 1, plan.count("Exchange")
 
     def test_parse_feeds_staged_not_reinlined(self, spark):
         """The feed parser's staged projections must keep each extracted
