@@ -90,6 +90,31 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
+def gzip_member_spans(data: bytes) -> list[tuple[int, int, bytes]]:
+    """Walk a member-per-record gzip WARC shard (the Common Crawl
+    layout) and return one ``(offset, length, uncompressed)`` triple
+    per member — offsets in the COMPRESSED file, which is what a real
+    CDX index records (a range GET fetches the member and gunzips just
+    it). Same strict truncation/corruption contract as
+    :func:`_gunzip_members`."""
+    spans = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        try:
+            body = d.decompress(data[pos:]) + d.flush()
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member in WARC shard: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member in WARC shard")
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            raise ValueError("corrupt gzip member in WARC shard")
+        spans.append((pos, consumed, body))
+        pos += consumed
+    return spans
+
+
 def parse_warc_records(data: bytes) -> list[dict]:
     """Parse uncompressed WARC bytes into record dicts: header fields
     (case-insensitive names, values as sent) + the exact
@@ -104,6 +129,7 @@ def parse_warc_records(data: bytes) -> list[dict]:
             pos += 2
         if pos >= n:
             break
+        rec_start = pos
         line_end = data.index(b"\r\n", pos)
         version = data[pos:line_end]
         if not version.startswith(b"WARC/"):
@@ -125,7 +151,21 @@ def parse_warc_records(data: bytes) -> list[dict]:
         if len(payload) != length:
             raise ValueError("truncated WARC payload")
         pos += length
-        records.append({"headers": headers, "payload": payload})
+        # frame span in the UNCOMPRESSED stream (r9: what a CDX index
+        # of a plain .warc records; trailing CRLFCRLF belongs to the
+        # record per ISO 28500, so the span ends after it — the next
+        # loop pass skips it for records parsed mid-stream)
+        span_end = pos
+        if data[pos : pos + 4] == b"\r\n\r\n":
+            span_end = pos + 4
+        records.append(
+            {
+                "headers": headers,
+                "payload": payload,
+                "offset": rec_start,
+                "length": span_end - rec_start,
+            }
+        )
     return records
 
 
