@@ -4332,6 +4332,37 @@ def q_cdx_plan(spark, sf_dir):
     return cdx_fetch_plan(cdx, max_gap_bytes=2000)
 
 
+def q_cdx_roundtrip(spark, sf_dir):
+    """The WARC random-access loop under the driver hash
+    (sources/cdx.py:warc_record_index → cdx_fetch_plan →
+    read_warc_ranges) over the committed byte-deterministic fixture
+    shard: index the shard (compressed gzip-member spans — what real
+    CDX offsets mean), plan the response records at gap 0 (the three
+    adjacent members coalesce into ONE range; the one behind the
+    request record stays alone), execute the plan as seek+read, and
+    return each fetched record joined back to its index row. The
+    oracle is the expected row set as literals (offsets/lengths are
+    properties of the committed bytes; payload md5s of the fetched
+    bodies prove the ranged read returned the exact record bytes —
+    a wrong span or a misparsed member cannot hash equal)."""
+    from hgraphstorage_spark.sources.cdx import (
+        cdx_fetch_plan,
+        read_warc_ranges,
+        warc_record_index,
+    )
+
+    fdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    idx = warc_record_index(spark, fdir)
+    wanted = idx.filter(F.col("warc_type") == "response")
+    plan = cdx_fetch_plan(wanted, max_gap_bytes=0)
+    fetched = read_warc_ranges(spark, plan).select(
+        "target_uri", F.md5("payload").alias("payload_md5")
+    )
+    return wanted.select("urlkey", "offset", "length", "target_uri").join(
+        fetched, "target_uri"
+    ).select("urlkey", "offset", "length", "target_uri", "payload_md5")
+
+
 def q_crawl_frontier(spark, sf_dir):
     """The crawl-tier CAPSTONE composition (sources/warc.py:
     crawl_frontier): outbound links from the anchored synthetic pages →
@@ -4987,7 +5018,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the window; its slot carries curriculum ordering so the
         # driver hashes the training-order family's flagship
         "curriculum": q_curriculum,
-        "domain_stats": q_domain_stats,
+        # r9 twenty-first swap: domain_stats (hashed green r6-r8, three
+        # straight contacts; the registrable-host accounting stays
+        # under its pytest oracle and the crawl family keeps 10+
+        # in-window rows) gives its slot to the WARC random-access
+        # roundtrip — index → plan → ranged read certified end-to-end
+        # against the committed fixture bytes, in-window the round it
+        # was built
+        "cdx_roundtrip": q_cdx_roundtrip,
         # r7 rotation: index_build (hashed green r1-r6 — six straight
         # contacts — and STILL timed every round by bench.py as the
         # BASELINE.md trie-insert comparable; X-family machinery stays
@@ -5190,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": q_jaccard_prefix,
         "warc_ingest": q_warc_ingest,
         "mmr_rerank": q_mmr_rerank,
+        "domain_stats": q_domain_stats,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -8107,6 +8146,27 @@ def oracle_sql() -> dict[str, str]:
                sum(len)::BIGINT AS record_bytes,
                (max(off + len) - min(off))::BIGINT AS range_bytes
         FROM isl GROUP BY filename, island
+    """
+    # cdx_roundtrip: expected rows as literals — offsets/lengths are
+    # properties of the committed fixture bytes (mtime-0 gzip members),
+    # md5s of the HTTP payloads inside; independently derivable by any
+    # WARC reader over fixtures/crawl.warc.gz
+    sql["cdx_roundtrip"] = """
+        SELECT * FROM (VALUES
+          ('com,example,fixture)/page1', 172::BIGINT, 373::BIGINT,
+           'http://fixture.example.com/page1',
+           '5b31903cbe0048ea12736ce1787a15e5'),
+          ('com,example,fixture)/plain.txt', 760::BIGINT, 257::BIGINT,
+           'http://fixture.example.com/plain.txt',
+           'd9724722b99ca562e8dae5beeb467085'),
+          ('com,example,fixture)/raw', 1017::BIGINT, 267::BIGINT,
+           'http://fixture.example.com/raw',
+           'd323f7ca54213e3d047fc8c3ba41c8fd'),
+          ('com,example,fixture)/page1?utm_source=feed', 1284::BIGINT,
+           345::BIGINT,
+           'https://www.fixture.example.com/page1?utm_source=feed',
+           '57b87c9d79a9395cd77bf815f34c757c')
+        ) t(urlkey, "offset", "length", target_uri, payload_md5)
     """
     sql["robots_extras"] = """
         SELECT * FROM (VALUES

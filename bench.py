@@ -255,6 +255,7 @@ R9_OPS = [
     "revisit_plan",
     "cdx_ingest",
     "cdx_plan",
+    "cdx_roundtrip",
 ]
 
 

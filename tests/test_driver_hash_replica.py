@@ -189,8 +189,10 @@ def test_window_covers_required_operators():
         # its slot carries the HyperBall neighborhood function.
         # mmr_rerank out in the twentieth after r6-r8 green; similarity
         # keeps media_pairs + search_eval + stream_embed_dedup and its
-        # slot carries the CDX fetch plan)
-        "readability", "domain_stats",
+        # slot carries the CDX fetch plan. domain_stats out in the
+        # twenty-first after r6-r8 green; its slot carries the WARC
+        # random-access roundtrip)
+        "readability",
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
@@ -233,9 +235,9 @@ def test_window_covers_required_operators():
         "frontier_schedule", "flagged_filter",
         "hyperball", "hyperball_centrality",
         "http_envelope", "revisit_plan",
-        # r9 twentieth rotation: the CDX web-archive index tier, also
-        # built this round
-        "cdx_ingest", "cdx_plan",
+        # r9 twentieth + twenty-first rotations: the CDX web-archive
+        # index tier, also built this round
+        "cdx_ingest", "cdx_plan", "cdx_roundtrip",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
