@@ -4332,6 +4332,71 @@ def q_cdx_plan(spark, sf_dir):
     return cdx_fetch_plan(cdx, max_gap_bytes=2000)
 
 
+def _colliding_envelopes(spark, sf_dir):
+    """The synthetic envelope frame with target URIs remapped onto 40
+    colliding keys (`/p/<doc_id%40>`) — validator state needs GROUPS
+    to certify the argmax; the untouched synthetic URIs are unique per
+    doc. One home for the batch and stream validator rows."""
+    from hgraphstorage_spark.sources.warc import http_envelope
+
+    i = F.col("doc_id")
+    return http_envelope(_synthetic_http_records(spark, sf_dir)).withColumn(
+        "target_uri",
+        F.concat(F.lit("https://coll.example.com/p/"), (i % 40).cast("string")),
+    )
+
+
+def q_validator_state(spark, sf_dir):
+    """Per-URL current validator state (sources/warc.py:
+    validator_state) over the colliding synthetic envelopes: per URL
+    the lexicographic-max (fetch, etag, last_modified, status)
+    observation — the mergeable, idempotent register law the streaming
+    twin relies on. Oracle replays the max(concat_ws)+split mechanism
+    over the independently-derived envelope CTE."""
+    from hgraphstorage_spark.sources.warc import validator_state
+
+    return validator_state(_colliding_envelopes(spark, sf_dir))
+
+
+def q_stream_validator(spark, sf_dir):
+    """The validator register INCREMENTALLY MAINTAINED as a real
+    structured stream (streaming/ingest.py:stream_validator_register):
+    the same colliding envelope rows flow through 4 file-triggered
+    micro-batches, each batch's per-URL max merging into the persisted
+    register with the crash-safe swap. Because the merge is a pure
+    lexicographic MAX (idempotent + associative — no batch-id
+    bookkeeping at all), the register equals the batch
+    validator_state row EXACTLY — the oracle IS the batch row's oracle
+    (the stream == batch certificate)."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.streaming import stream_validator_register
+
+    env = _colliding_envelopes(spark, sf_dir).select(
+        "target_uri", "warc_date", "etag", "last_modified", "http_status"
+    )
+    tmp = tempfile.mkdtemp(prefix="hgs_validator_stream_")
+    try:
+        env.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(env.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = stream_validator_register(stream, f"{tmp}/ckpt", f"{tmp}/regs")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = spark.read.parquet(f"{tmp}/regs")
+        # materialization boundary: the temp register files are deleted
+        # on exit, so the returned frame must not re-read them lazily
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdx_roundtrip(spark, sf_dir):
     """The WARC random-access loop under the driver hash
     (sources/cdx.py:warc_record_index → cdx_fetch_plan →
@@ -5229,6 +5294,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "mmr_rerank": q_mmr_rerank,
         "domain_stats": q_domain_stats,
+        # r9 additions past the window (declared r10 rotation
+        # candidates): the per-URL validator register law (batch) and
+        # its REAL 4-micro-batch stream twin sharing the same oracle —
+        # merge idempotence IS the stream == batch certificate
+        "validator_state": q_validator_state,
+        "stream_validator": q_stream_validator,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -8147,6 +8218,29 @@ def oracle_sql() -> dict[str, str]:
                (max(off + len) - min(off))::BIGINT AS range_bytes
         FROM isl GROUP BY filename, island
     """
+    # validator_state / stream_validator: mechanism replay (the
+    # max(concat_ws) + split law) over the independently-derived
+    # envelope CTE, urls remapped onto the 40 colliding keys; the
+    # stream row SHARES the batch oracle — merge idempotence makes
+    # stream == batch the certificate itself
+    _VAL_KEY_SQL = (
+        "concat_ws(chr(1), coalesce(warc_date, ''), coalesce(etag, ''), "
+        "coalesce(last_modified, ''), coalesce(http_status::VARCHAR, ''))"
+    )
+    sql["validator_state"] = f"""
+        WITH {_HTTP_ENV_CTE},
+        v AS (SELECT 'https://coll.example.com/p/' || (doc_id % 40) AS url,
+                     {_VAL_KEY_SQL} AS k
+              FROM env),
+        m AS (SELECT url, max(k) AS k FROM v GROUP BY url)
+        SELECT url,
+               nullif(split_part(k, chr(1), 1), '') AS fetch,
+               nullif(split_part(k, chr(1), 2), '') AS etag,
+               nullif(split_part(k, chr(1), 3), '') AS last_modified,
+               nullif(split_part(k, chr(1), 4), '')::INT AS http_status
+        FROM m
+    """
+    sql["stream_validator"] = sql["validator_state"]
     # cdx_roundtrip: expected rows as literals — offsets/lengths are
     # properties of the committed fixture bytes (mtime-0 gzip members),
     # md5s of the HTTP payloads inside; independently derivable by any

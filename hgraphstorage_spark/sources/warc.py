@@ -1532,6 +1532,56 @@ def http_envelope(
     )
 
 
+# validator-state key separator: \x01 cannot appear in an HTTP header
+# value (field content is visible ASCII + SP/HTAB per RFC 7230), so the
+# concatenation is unambiguous
+_VALIDATOR_SEP = "\x01"
+
+
+def _validator_key(ts, etag, lm, status) -> "F.Column":
+    """The total-order merge key for validator state: lexicographic on
+    (fetch ts, etag, last-modified, status), NULLs as empty. ISO
+    timestamps sort temporally under lexicographic order, so 'latest
+    fetch wins' holds for well-formed dates; the tail fields only
+    break exact-timestamp ties deterministically."""
+    return F.concat_ws(
+        _VALIDATOR_SEP,
+        *[F.coalesce(c, F.lit("")) for c in (ts, etag, lm, status.cast("string"))],
+    )
+
+
+def validator_state(
+    envelopes: DataFrame,
+    url_col: str = "target_uri",
+    ts_col: str = "warc_date",
+) -> DataFrame:
+    """Per-URL CURRENT validator state from :func:`http_envelope` rows —
+    the table a recrawler's next wave conditions on: for each URL, the
+    latest observation's (fetch, etag, last_modified, http_status).
+    'Latest' is the lexicographic max of the :func:`_validator_key`
+    total order — a pure MAX, so the state is mergeable, idempotent,
+    and associative: state(A ∪ B) == merge(state(A), state(B)) exactly,
+    redelivery-safe with NO batch bookkeeping (the cleanest register
+    law in the streaming family — see
+    ``streaming.ingest.stream_validator_register`` for the incremental
+    form). One url-keyed agg with map-side partials; output columns
+    are reconstructed from the winning key, so ties beyond the key are
+    impossible by construction."""
+    key = _validator_key(
+        F.col(ts_col), F.col("etag"), F.col("last_modified"), F.col("http_status")
+    )
+    agg = envelopes.groupBy(F.col(url_col).alias("url")).agg(F.max(key).alias("_k"))
+    parts = F.split(F.col("_k"), _VALIDATOR_SEP, -1)
+    ne = lambda c: F.nullif(c, F.lit(""))  # noqa: E731
+    return agg.select(
+        "url",
+        ne(parts.getItem(0)).alias("fetch"),
+        ne(parts.getItem(1)).alias("etag"),
+        ne(parts.getItem(2)).alias("last_modified"),
+        ne(parts.getItem(3)).cast("int").alias("http_status"),
+    )
+
+
 def revisit_records(records: DataFrame) -> DataFrame:
     """Project WARC ``revisit`` records — the archival form of an
     unchanged re-fetch (a 304, or a body whose digest matched an

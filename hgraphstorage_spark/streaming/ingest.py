@@ -393,6 +393,53 @@ def stream_crawl_frontier(
     )
 
 
+def stream_validator_register(
+    stream_envelopes: DataFrame,
+    checkpoint_dir: str,
+    register_path: str,
+    url_col: str = "target_uri",
+    ts_col: str = "warc_date",
+):
+    """Incrementally maintained per-URL validator register — the
+    streaming leg of the revisit economy: HTTP envelopes arrive as a
+    stream (each crawl wave's ``http_envelope`` output) and every
+    micro-batch's per-URL latest observation merges into the persisted
+    register the NEXT wave's conditional fetches read (If-None-Match /
+    If-Modified-Since via ``sources.warc.revisit_plan``).
+
+    State: ONE row per URL, ever. The merge is
+    ``sources.warc.validator_state``'s pure lexicographic MAX — a law
+    that is idempotent AND associative, so foreachBatch redelivery
+    needs no batch-id bookkeeping at all (re-merging the same batch is
+    a no-op by algebra, not by dedup), and the register equals the
+    batch ``validator_state`` over every envelope ever streamed,
+    bit-for-bit. Publishing uses the same crash-safe atomic swap as
+    the other registers.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    from hgraphstorage_spark.sources.warc import validator_state
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = validator_state(batch_df, url_col=url_col, ts_col=ts_col)
+        cur = _read_register(spark, register_path)
+        merged = (
+            new
+            if cur is None
+            else validator_state(
+                cur.unionByName(new), url_col="url", ts_col="fetch"
+            )
+        )
+        _swap_register(spark, merged, register_path)
+
+    return (
+        stream_envelopes.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def frontier_agg_from_register(spark, register_path: str) -> DataFrame:
     """The (url, n_inlinks, n_sources) demand frame from a
     :func:`stream_crawl_frontier` register — feed it to

@@ -943,3 +943,72 @@ class TestStreamCrawlFrontier:
         # every edge streamed twice: counts double, distinct srcs stable
         assert got["https://t.com/hot"] == (4, 2)
         assert got["https://u.com/solo"] == (2, 1)
+
+
+class TestStreamValidatorRegister:
+    def test_stream_register_equals_batch_state(self, spark, tmpdir):
+        """The validator register's merge law: envelopes stream through
+        multiple micro-batches; the register must equal batch
+        validator_state over everything streamed, bit-for-bit — and
+        re-running the stream over the SAME files with a fresh
+        checkpoint (every batch redelivered in full) must leave the
+        register unchanged (idempotent by algebra, no batch-id
+        bookkeeping)."""
+        from hgraphstorage_spark.sources.warc import validator_state
+        from hgraphstorage_spark.streaming import stream_validator_register
+
+        rows = [
+            # url A: three observations, latest (03-05) wins
+            ("https://t.com/a", "2024-03-01T00:00:00Z", '"a1"', None, 200),
+            ("https://t.com/a", "2024-03-05T00:00:00Z", '"a2"',
+             "Tue, 05 Mar 2024 00:00:00 GMT", 200),
+            ("https://t.com/a", "2024-03-03T00:00:00Z", '"a3"', None, 304),
+            # url B: one observation with NULL etag
+            ("https://t.com/b", "2024-03-02T00:00:00Z", None, None, 404),
+            # url C: exact-timestamp tie -> larger etag breaks it
+            ("https://t.com/c", "2024-03-01T00:00:00Z", '"c1"', None, 200),
+            ("https://t.com/c", "2024-03-01T00:00:00Z", '"c2"', None, 200),
+        ]
+        env = spark.createDataFrame(
+            rows,
+            "target_uri string, warc_date string, etag string, "
+            "last_modified string, http_status int",
+        )
+        env.repartition(3).write.mode("overwrite").parquet(f"{tmpdir}/src")
+
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema(env.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmpdir}/src")
+            )
+            q = stream_validator_register(
+                stream, f"{tmpdir}/{ckpt}", f"{tmpdir}/regs"
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        run("ckpt1")
+        got = {
+            r["url"]: (r["fetch"], r["etag"], r["last_modified"], r["http_status"])
+            for r in spark.read.parquet(f"{tmpdir}/regs").collect()
+        }
+        want = {
+            r["url"]: (r["fetch"], r["etag"], r["last_modified"], r["http_status"])
+            for r in validator_state(env).collect()
+        }
+        assert got == want
+        assert got["https://t.com/a"] == (
+            "2024-03-05T00:00:00Z", '"a2"', "Tue, 05 Mar 2024 00:00:00 GMT", 200
+        )
+        assert got["https://t.com/b"] == ("2024-03-02T00:00:00Z", None, None, 404)
+        assert got["https://t.com/c"][1] == '"c2"'  # tie-break deterministic
+        # full redelivery: fresh checkpoint, same files, same register
+        run("ckpt2")
+        again = {
+            r["url"]: (r["fetch"], r["etag"], r["last_modified"], r["http_status"])
+            for r in spark.read.parquet(f"{tmpdir}/regs").collect()
+        }
+        assert again == want
