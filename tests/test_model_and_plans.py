@@ -875,6 +875,28 @@ class TestRound7PlanAudits:
         # the block chain: exactly one evaluation
         assert plan.count("</script") == 1, plan.count("</script")
 
+    def test_validator_state_single_agg_with_partials(self, spark):
+        """The validator register law is ONE url-keyed agg with
+        map-side partials (partial_max visible as two HashAggregates
+        around one exchange) — nothing corpus-sized moves twice and no
+        Python eval appears."""
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import validator_state
+
+        df = spark.createDataFrame(
+            [("u", "2024-01-01T00:00:00Z", '"e"', None, 200)],
+            "target_uri string, warc_date string, etag string, "
+            "last_modified string, http_status int",
+        )
+        plan = executed_plan(validator_state(df))
+        assert plan.count("Exchange") == 1
+        assert "Exchange SinglePartition" not in plan
+        # string agg buffers pick SortAggregate; the partial/final pair
+        # (partial_max before the exchange) is what matters
+        assert plan.count("SortAggregate") + plan.count("HashAggregate") == 2
+        assert "partial_max" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
     def test_cdx_fetch_plan_partitioned_window(self, spark):
         """The island window and the range agg both partition on
         filename (high-cardinality across a crawl: ~10^5 shards at
