@@ -1470,7 +1470,16 @@ def http_envelope(
     SURVEY §2.10's pipeline surface (HGraphStorage stores what a
     crawler found; this engine also plans what it fetches next)."""
     head = F.substring(F.col(payload_col), 1, int(max_header_bytes)).cast("string")
-    env_all = F.substring_index(head, "\r\n\r\n", 1)
+    # header block = everything before the first blank line; tolerate
+    # LF-only servers (RFC 9112 §2.2 recommends accepting bare LF) —
+    # the lazy match stops at whichever blank-line form comes first;
+    # no blank line within the cap leaves the whole head (documented)
+    env_all = F.coalesce(
+        F.nullif(
+            F.regexp_extract(head, r"(?s)^(.*?)(?:\r\n\r\n|\n\n)", 1), F.lit("")
+        ),
+        head,
+    )
     env = F.when(env_all.startswith("HTTP/"), env_all)
     keep = [c for c in records.columns if c != payload_col]
     ne = lambda c: F.nullif(F.trim(c), F.lit(""))  # noqa: E731

@@ -1308,6 +1308,29 @@ class TestHttpEnvelope:
         r3 = got["<urn:uuid:3>"]
         assert r3["refers_to"] is None and r3["refers_to_target_uri"] is None
 
+    def test_lf_only_headers_parse(self, spark):
+        """RFC 9112 §2.2: accept bare-LF line endings — some origin
+        servers emit LF-only envelopes and a recrawler still needs
+        their validators; the header block ends at the first blank
+        line of either form, so body lines never read as headers."""
+        from hgraphstorage_spark.sources.warc import http_envelope
+
+        lf = (
+            b"HTTP/1.1 200 OK\n"
+            b"ETag: \"lf-1\"\n"
+            b"Cache-Control: max-age=60\n"
+            b"\n"
+            b"body\nFake-Header: in-body\n"
+        )
+        df = spark.createDataFrame(
+            [("u", bytearray(lf))], "target_uri string, payload binary"
+        )
+        r = http_envelope(df).collect()[0]
+        assert (r["http_status"], r["etag"], r["max_age_sec"]) == (200, '"lf-1"', 60)
+        assert r["http_reason"] == "OK"
+        # the blank line ended the block: body lines are not headers
+        assert r["location"] is None
+
     def test_envelope_zero_shuffle_plan(self, spark):
         from hgraphstorage_spark.plans.audit import executed_plan
         from hgraphstorage_spark.sources.warc import http_envelope
