@@ -4023,6 +4023,34 @@ def q_flagged_filter(spark, sf_dir):
     )
 
 
+def q_phrase_filter(spark, sf_dir):
+    """Multi-word blocklist gate (pipeline/text.py:flagged_phrases —
+    the phrase companion to flagged_filter; real C4/Dolma lists are
+    full of multi-word entries a token gate cannot see) over the
+    documents table with arithmetic suffixes cycling doc_id%5: an
+    in-order phrase hit, the same words out of order (no hit), an
+    unsegmented CJK phrase (the shared character isolation), a
+    punctuated/case variant ('Free-Money!' hits 'free money'), and no
+    suffix. Oracle replays the identical normalization chain and the
+    SAME compiled alternation (one home:
+    text.compile_phrase_pattern)."""
+    from hgraphstorage_spark.pipeline import flagged_phrases
+
+    i = F.col("doc_id")
+    suffix = (
+        F.when(i % 5 == 0, F.lit(" free money now"))
+        .when(i % 5 == 1, F.lit(" money free now"))
+        .when(i % 5 == 2, F.lit(" 禁止词汇"))
+        .when(i % 5 == 3, F.lit(" Free-Money!"))
+        .otherwise(F.lit(""))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    out = flagged_phrases(docs, ["free money", "禁止词汇"])
+    return out.select("doc_id", "n_phrase_hits", "passes")
+
+
 def q_frontier_schedule(spark, sf_dir):
     """Politeness fetch-slot plan (sources/warc.py:frontier_schedule)
     over the capstone frontier: allowed urls only, per-host queues
@@ -5297,9 +5325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9 additions past the window (declared r10 rotation
         # candidates): the per-URL validator register law (batch) and
         # its REAL 4-micro-batch stream twin sharing the same oracle —
-        # merge idempotence IS the stream == batch certificate
+        # merge idempotence IS the stream == batch certificate — plus
+        # the multi-word phrase blocklist gate
         "validator_state": q_validator_state,
         "stream_validator": q_stream_validator,
+        "phrase_filter": q_phrase_filter,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -8005,6 +8035,36 @@ def oracle_sql() -> dict[str, str]:
                {_ff_ratio}::VARCHAR AS flagged_ratio,
                (n_flagged::DOUBLE / greatest(n_tokens, 1)) <= 0.02 AS passes
         FROM c
+    """
+    # phrase_filter: replay the normalization chain (lower → cjk
+    # isolate → non-alnum collapse → trim → boundary doubling → pad)
+    # and count with the IDENTICAL compiled alternation
+    from hgraphstorage_spark.pipeline.text import (
+        compile_phrase_pattern as _cpp,
+    )
+    _pf_pat = _cpp(["free money", "禁止词汇"]).replace("'", "''")
+    sql["phrase_filter"] = rf"""
+        WITH w AS (
+          SELECT doc_id,
+                 text || (CASE WHEN doc_id % 5 = 0 THEN ' free money now'
+                               WHEN doc_id % 5 = 1 THEN ' money free now'
+                               WHEN doc_id % 5 = 2 THEN ' 禁止词汇'
+                               WHEN doc_id % 5 = 3 THEN ' Free-Money!'
+                               ELSE '' END) AS t
+          FROM documents
+        ),
+        n AS (
+          SELECT doc_id,
+                 ' ' || replace(trim(regexp_replace(
+                     regexp_replace(lower(t), '{_CJK_RE}', ' \1 ', 'g'),
+                     '[^\p{{L}}0-9]+', ' ', 'g')), ' ', '  ') || ' ' AS padded
+          FROM w
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(padded, '{_pf_pat}'))::BIGINT
+                 AS n_phrase_hits,
+               len(regexp_extract_all(padded, '{_pf_pat}')) <= 0 AS passes
+        FROM n
     """
     # frontier_schedule: the full frontier replay wrapped in the same
     # allowed/cap filter + delay arithmetic

@@ -76,13 +76,14 @@ def _n_tokens(col) -> F.Column:
 # regex (Spark) and RE2 (DuckDB oracles): Han (U+4E00-9FFF), CJK ext A
 # (U+3400-4DBF), Hiragana (U+3040-309F), Katakana (U+30A0-30FF),
 # Hangul syllables (U+AC00-D7AF).
-CJK_CLASS = (
-    f"{chr(0x4E00)}-{chr(0x9FFF)}"
-    f"{chr(0x3400)}-{chr(0x4DBF)}"
-    f"{chr(0x3040)}-{chr(0x309F)}"
-    f"{chr(0x30A0)}-{chr(0x30FF)}"
-    f"{chr(0xAC00)}-{chr(0xD7AF)}"
+CJK_RANGES: tuple[tuple[int, int], ...] = (
+    (0x4E00, 0x9FFF),
+    (0x3400, 0x4DBF),
+    (0x3040, 0x309F),
+    (0x30A0, 0x30FF),
+    (0xAC00, 0xD7AF),
 )
+CJK_CLASS = "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in CJK_RANGES)
 CJK_ISOLATE_RE = f"([{CJK_CLASS}])"
 
 
@@ -280,6 +281,81 @@ def flagged_terms(
         n_flagged.cast("long").alias("n_flagged"),
         ratio.alias("flagged_ratio"),
         (raw_ratio <= F.lit(float(max_ratio))).alias("passes"),
+    )
+
+
+def compile_phrase_pattern(phrases: "Sequence[str]", cjk_split: bool = True) -> str:
+    """Compile a phrase blocklist into the ONE boundary-exact RE2-safe
+    alternation :func:`flagged_phrases` evaluates — exported so a SQL
+    oracle can embed the identical pattern. Each phrase is normalized
+    exactly like the text column (lowercase, CJK codepoints isolated —
+    ``str.isalpha()`` is python's ``\\p{L}`` — non-alphanumerics to
+    boundaries), tokens joined with the DOUBLED space that matches the
+    doubled-boundary text encoding."""
+    import re as _re
+
+    def norm_phrase(p: str) -> str:
+        chars: list[str] = []
+        for ch in p.lower():
+            if cjk_split and any(lo <= ord(ch) <= hi for lo, hi in CJK_RANGES):
+                chars.append(f" {ch} ")
+            elif ch.isalpha() or "0" <= ch <= "9":
+                chars.append(ch)
+            else:
+                chars.append(" ")
+        return "  ".join(_re.escape(t) for t in "".join(chars).split())
+
+    normed = sorted({n for n in (norm_phrase(p) for p in phrases) if n})
+    if not normed:
+        raise ValueError("flagged_phrases needs at least one non-empty phrase")
+    return "(?: " + ("(?:" + "|".join(normed) + ")") + " )"
+
+
+def flagged_phrases(
+    docs: DataFrame,
+    phrases: "Sequence[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+    cjk_split: bool = True,
+) -> DataFrame:
+    """Multi-word blocklist gate — the companion to
+    :func:`flagged_terms` for PHRASE entries (real C4/Dolma policy
+    lists are full of multi-word entries a single-token gate cannot
+    see): per document, how many non-overlapping occurrences of any
+    listed phrase appear at word boundaries, and a ``passes`` flag at
+    ``max_hits`` (default 0 — any hit drops).
+
+    Matching semantics: text and phrases are normalized identically —
+    lowercased, CJK codepoints isolated (``cjk_split``), every
+    non-alphanumeric run collapsed to a single space — so 'Bad-Word!'
+    matches the phrase 'bad word'. Boundary exactness without
+    lookarounds (RE2 has none) uses the repo's double-space trick (the
+    BPE rewrite machinery's lesson): boundaries are doubled so
+    adjacent phrase occurrences cannot consume each other's delimiter
+    — 'bad word bad word' counts 2. Different listed phrases sharing
+    tokens count leftmost-first non-overlapping (a token joins at most
+    one hit — documented, and irrelevant to the binary gate).
+
+    The phrase LIST is the caller's policy input; it compiles to ONE
+    combined alternation evaluated in a single pass (a policy list is
+    hundreds of entries — for millions, join a phrase table instead).
+    Zero-shuffle projection; the same pattern replays in RE2 for the
+    oracle. Returns all input columns plus (n_phrase_hits, passes)."""
+    pat = compile_phrase_pattern(phrases, cjk_split=cjk_split)
+    text = F.lower(F.col(text_col))
+    if cjk_split:
+        text = cjk_isolate(text)
+    # non-alnum runs -> single space, then double every boundary and pad
+    cleaned = F.regexp_replace(text, r"[^\p{L}0-9]+", " ")
+    padded = F.concat(
+        F.lit(" "), F.regexp_replace(F.trim(cleaned), " ", "  "), F.lit(" ")
+    )
+    hits = F.regexp_count(padded, F.lit(pat))
+    return docs.select(
+        "*",
+        hits.cast("long").alias("n_phrase_hits"),
+        (hits <= F.lit(int(max_hits))).alias("passes"),
     )
 
 

@@ -1972,6 +1972,70 @@ class TestFlaggedTerms:
         assert not row["passes"]  # ...but the gate must not
 
 
+class TestFlaggedPhrases:
+    def test_boundaries_normalization_and_gate(self, spark):
+        """Phrase gate: word-boundary exact ('bad word' never fires
+        inside 'badge wordy'), punctuation/case-insensitive
+        ('Bad-Word!' hits), adjacent occurrences both count (the
+        double-space boundary trick), unlisted text passes, and
+        max_hits loosens the gate."""
+        from hgraphstorage_spark.pipeline import flagged_phrases
+
+        rows = [
+            (1, "this has a bad word in it"),
+            (2, "a Bad-Word! with punctuation"),
+            (3, "badge wordy is fine"),
+            (4, "bad word bad word twice"),
+            (5, "totally clean text"),
+            (6, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_phrase_hits"], r["passes"])
+            for r in flagged_phrases(df, ["bad word"]).collect()
+        }
+        assert got[1] == (1, False)
+        assert got[2] == (1, False)
+        assert got[3] == (0, True)
+        assert got[4] == (2, False)
+        assert got[5] == (0, True)
+        assert got[6] == (0, True)
+        loose = {
+            r["doc_id"]: r["passes"]
+            for r in flagged_phrases(df, ["bad word"], max_hits=1).collect()
+        }
+        assert loose[1] and not loose[4]
+
+    def test_multi_phrase_and_cjk(self, spark):
+        """Several phrases compile to one alternation pass; an
+        unsegmented CJK phrase matches via the shared character
+        isolation on both sides."""
+        from hgraphstorage_spark.pipeline import flagged_phrases
+
+        rows = [
+            (1, "free money now they said"),
+            (2, "这里有禁止词汇的内容"),       # unsegmented zh phrase
+            (3, "money free (wrong order)"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["n_phrase_hits"]
+            for r in flagged_phrases(df, ["free money", "禁止词汇"]).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 0}
+
+    def test_zero_shuffle_plan(self, spark):
+        from hgraphstorage_spark.pipeline import flagged_phrases
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (
+            flagged_phrases(df, ["bad word"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Generate" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestQualityFilterNarrow:
     def test_identical_to_histogram_variant(self, spark):
         from hgraphstorage_spark.pipeline import quality_filter
