@@ -256,6 +256,10 @@ R9_OPS = [
     "cdx_ingest",
     "cdx_plan",
     "cdx_roundtrip",
+    "validator_state",
+    "phrase_filter",
+    # stream_validator joins the untimed streaming rows (micro-batch
+    # harness setup dominates at bench SF, same as stream_hll & co)
 ]
 
 
