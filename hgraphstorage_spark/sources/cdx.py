@@ -326,3 +326,50 @@ def read_warc_ranges(
             )
 
     return plan.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def cdx_lookup(
+    index: DataFrame,
+    urls: DataFrame,
+    url_col: str = "url",
+    latest_only: bool = True,
+) -> DataFrame:
+    """Resolve URLs through a CDX index — the probe step between "I
+    want these pages" and :func:`cdx_fetch_plan`: key each probe URL
+    with :func:`surt_key` (the SAME expression the index was built
+    with, so agreement is by construction) and join against the
+    index's ``urlkey``. ``latest_only`` keeps the most recent capture
+    per (probe, urlkey) — max ``timestamp14``, ties broken by the
+    largest (offset, filename) deterministically; pass False for the
+    full capture history.
+
+    Scale shape: the probe set is the SMALL side (a work list, not a
+    corpus) — it is broadcast, so the 100 TB index never shuffles; the
+    latest-only reduction groups on the probe key with map-side
+    partials. Returns the probe's ``url`` plus every index column."""
+    if "url" in index.columns:
+        # a CDXJ-parsed index carries the capture's own url; keep it
+        # distinct from the probe's
+        index = index.withColumnRenamed("url", "index_url")
+    probes = F.broadcast(
+        urls.select(F.col(url_col).alias("url")).withColumn(
+            "urlkey", surt_key(F.col("url"))
+        )
+    )
+    hits = probes.join(index, "urlkey")
+    if not latest_only:
+        return hits
+    # recency: CDXJ indexes carry timestamp14; warc_record_index
+    # carries warc_date — both sort temporally as strings
+    ts = "timestamp14" if "timestamp14" in hits.columns else "warc_date"
+    key = F.concat_ws(
+        "\x01",
+        F.coalesce(F.col(ts), F.lit("")),
+        F.coalesce(F.col("offset").cast("string"), F.lit("")),
+        F.coalesce(F.col("filename"), F.lit("")),
+    )
+    others = [c for c in hits.columns if c not in ("url", "urlkey")]
+    best = hits.groupBy("url", "urlkey").agg(
+        F.max_by(F.struct(*others), key).alias("_r")
+    )
+    return best.select("url", "urlkey", *[F.col(f"_r.{c}").alias(c) for c in others])

@@ -284,3 +284,84 @@ class TestWarcRandomAccess:
             assert n_plain == 2
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestCdxLookup:
+    def test_variant_probes_resolve_latest(self, spark):
+        """Probe URLs in ANY surt-equal variant resolve; latest_only
+        keeps the most recent capture per probe; misses return no row;
+        the probe side is broadcast (the index never shuffles)."""
+        from hgraphstorage_spark.sources.cdx import cdx_lookup, parse_cdxj
+
+        lines = [
+            'com,ex)/p?a=1&b=2 20240101000000 {"url": "https://ex.com/p?a=1&b=2", '
+            '"offset": "0", "length": "10", "filename": "f1"}',
+            'com,ex)/p?a=1&b=2 20240301000000 {"url": "https://ex.com/p?b=2&a=1", '
+            '"offset": "50", "length": "10", "filename": "f2"}',
+            'com,other)/q 20240201000000 {"url": "https://other.com/q", '
+            '"offset": "7", "length": "3", "filename": "f3"}',
+        ]
+        idx = parse_cdxj(
+            spark.createDataFrame([(l,) for l in lines], "line string")
+        )
+        probes = spark.createDataFrame(
+            [("http://WWW.ex.com/p?b=2&a=1",), ("https://missing.net/x",)],
+            "url string",
+        )
+        got = cdx_lookup(idx, probes).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["url"] == "http://WWW.ex.com/p?b=2&a=1"  # probe form kept
+        assert r["timestamp14"] == "20240301000000"  # latest capture
+        assert (r["offset"], r["filename"]) == (50, "f2")
+        assert r["index_url"] == "https://ex.com/p?b=2&a=1"
+        # full history mode returns both captures
+        hist = cdx_lookup(idx, probes, latest_only=False)
+        assert hist.count() == 2
+        plan = hist._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_lookup_against_record_index(self, spark):
+        """The same lookup works against a warc_record_index frame
+        (warc_date recency key) — probe → spans, ready for
+        cdx_fetch_plan."""
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.sources.cdx import (
+            cdx_fetch_plan,
+            cdx_lookup,
+            read_warc_ranges,
+            warc_record_index,
+        )
+        from hgraphstorage_spark.sources.warc import warc_bytes
+
+        recs = [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:{i}>",
+                    "WARC-Target-URI": f"https://t.com/p/{i}",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+                "payload": f"HTTP/1.1 200 OK\r\n\r\nbody {i}".encode(),
+            }
+            for i in range(4)
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_lkp_")
+        try:
+            with open(f"{d}/s.warc.gz", "wb") as f:
+                f.write(warc_bytes(recs, compress=True))
+            idx = warc_record_index(spark, d)
+            probes = spark.createDataFrame(
+                [("https://WWW.t.com/p/2",)], "url string"
+            )
+            spans = cdx_lookup(idx, probes)
+            fetched = read_warc_ranges(
+                spark, cdx_fetch_plan(spans, max_gap_bytes=0)
+            ).collect()
+            assert len(fetched) == 1
+            assert fetched[0]["target_uri"] == "https://t.com/p/2"
+            assert bytes(fetched[0]["payload"]).endswith(b"body 2")
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
