@@ -4425,6 +4425,37 @@ def q_stream_validator(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_change_rate(spark, sf_dir):
+    """Empirical per-URL change economics (sources/cdx.py:
+    url_change_rate) over the synthetic CDX captures remapped onto 40
+    colliding keys with digests cycling doc_id%120 (≈3 versions per
+    key), NULL digests every %11==5 (ignored by the version count),
+    NULL timestamps every %13==7 (ignored by the span), and sparse
+    single-capture 'solo' keys (%777==5) whose change_rate is NULL —
+    no revisit evidence. Oracle replays the counts/span/ratio
+    arithmetic from the generator rules."""
+    from hgraphstorage_spark.sources.cdx import parse_cdxj, url_change_rate
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    cdx = parse_cdxj(_synthetic_cdxj_lines(spark, sf_dir)).select(
+        F.when(i % 777 == 5, F.concat(F.lit("solo"), s(i)))
+        .otherwise(F.concat(F.lit("k"), s(i % 40)))
+        .alias("urlkey"),
+        "fetch_ts",
+        F.when(i % 11 == 5, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("sha1:"), s(i % 120)))
+        .alias("digest"),
+    )
+    return _canon_ts(
+        _canon(
+            url_change_rate(cdx), "change_rate", "est_change_interval_days"
+        ),
+        "first_ts",
+        "last_ts",
+    )
+
+
 def q_cdx_roundtrip(spark, sf_dir):
     """The WARC random-access loop under the driver hash
     (sources/cdx.py:warc_record_index → cdx_fetch_plan →
@@ -5330,6 +5361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validator_state": q_validator_state,
         "stream_validator": q_stream_validator,
         "phrase_filter": q_phrase_filter,
+        "change_rate": q_change_rate,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -8301,6 +8333,42 @@ def oracle_sql() -> dict[str, str]:
         FROM m
     """
     sql["stream_validator"] = sql["validator_state"]
+    # change_rate: counts/span/ratio arithmetic over the generator
+    # rules (ts NULL on %13==7, digest NULL on %11==5, solo keys on
+    # %777==5)
+    sql["change_rate"] = """
+        WITH c AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 777 = 5 THEN 'solo' || doc_id
+                 ELSE 'k' || (doc_id % 40) END AS urlkey,
+            CASE WHEN doc_id % 13 = 7 THEN NULL
+                 ELSE strptime('2024' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                      || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '12'
+                      || lpad((doc_id % 60)::VARCHAR, 2, '0') || '00',
+                      '%Y%m%d%H%M%S') END AS ts,
+            CASE WHEN doc_id % 11 = 5 THEN NULL
+                 ELSE 'sha1:' || (doc_id % 120) END AS digest
+          FROM documents
+        ),
+        a AS (
+          SELECT urlkey, count(*)::BIGINT AS n_captures,
+                 count(DISTINCT digest)::BIGINT AS n_versions,
+                 min(ts) AS first_ts, max(ts) AS last_ts,
+                 (epoch(max(ts)) - epoch(min(ts))) / 86400.0 AS span_days
+          FROM c GROUP BY urlkey
+        )
+        SELECT urlkey, n_captures, n_versions,
+               strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               CASE WHEN n_captures > 1 THEN
+                 CAST(round((n_versions - 1) / (n_captures - 1.0), 6)
+                      AS DECIMAL(18,6))::VARCHAR END AS change_rate,
+               CASE WHEN n_versions > 1 AND span_days > 0 THEN
+                 CAST(round(span_days / (n_versions - 1), 6)
+                      AS DECIMAL(18,6))::VARCHAR END
+                 AS est_change_interval_days
+        FROM a
+    """
     # cdx_roundtrip: expected rows as literals — offsets/lengths are
     # properties of the committed fixture bytes (mtime-0 gzip members),
     # md5s of the HTTP payloads inside; independently derivable by any

@@ -258,6 +258,7 @@ R9_OPS = [
     "cdx_roundtrip",
     "validator_state",
     "phrase_filter",
+    "change_rate",
     # stream_validator joins the untimed streaming rows (micro-batch
     # harness setup dominates at bench SF, same as stream_hll & co)
 ]

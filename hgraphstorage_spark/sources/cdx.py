@@ -373,3 +373,64 @@ def cdx_lookup(
         F.max_by(F.struct(*others), key).alias("_r")
     )
     return best.select("url", "urlkey", *[F.col(f"_r.{c}").alias(c) for c in others])
+
+
+def url_change_rate(
+    cdx: DataFrame,
+    key_col: str = "urlkey",
+    ts_col: str = "fetch_ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Empirical per-URL change economics from capture history — the
+    MEASURED alternative to :func:`~hgraphstorage_spark.sources.warc.
+    revisit_plan`'s 0.1×age heuristic: a CDX index carries every
+    capture's payload digest, so consecutive identical digests are
+    server-certified non-changes (the same signal WARC revisit records
+    encode) and the distinct-digest count bounds how often the page
+    actually changed. Per urlkey:
+
+    * ``n_captures`` / ``n_versions`` (distinct digests; NULL digests
+      don't count a version),
+    * ``first_ts`` / ``last_ts`` — the observation span,
+    * ``change_rate`` = (n_versions − 1) / (n_captures − 1) — the
+      fraction of revisits that found NEW content (0 = rock stable,
+      1 = changed every single time); NULL for single-capture URLs
+      (no revisit evidence at all),
+    * ``est_change_interval_days`` = span_days / (n_versions − 1) —
+      the empirical revisit budget; NULL when nothing ever changed or
+      the span is a point (feed it to a scheduler as the
+      interval_days override where it is non-NULL, falling back to
+      revisit_plan's declaration/heuristic chain).
+
+    Upper-bound caveat (documented): distinct digests LOWER-bound the
+    true change count (A→B→A counts 2 versions, not 3 changes), so
+    the estimated interval is conservative — the safe direction for
+    politeness. One urlkey-keyed agg with map-side partials."""
+    span_days = (
+        F.unix_timestamp(F.max(ts_col)) - F.unix_timestamp(F.min(ts_col))
+    ).cast("double") / F.lit(86400.0)
+    agg = cdx.groupBy(F.col(key_col).alias("urlkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.count_distinct(F.col(digest_col)).cast("long").alias("n_versions"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        span_days.alias("_span_days"),
+    )
+    n_cap, n_ver = F.col("n_captures"), F.col("n_versions")
+    change_rate = F.when(
+        n_cap > 1,
+        (n_ver - 1).cast("double") / (n_cap - 1).cast("double"),
+    )
+    interval = F.when(
+        (n_ver > 1) & (F.col("_span_days") > 0),
+        F.col("_span_days") / (n_ver - 1).cast("double"),
+    )
+    return agg.select(
+        "urlkey",
+        "n_captures",
+        "n_versions",
+        "first_ts",
+        "last_ts",
+        F.round(change_rate, 6).cast("decimal(18,6)").alias("change_rate"),
+        F.round(interval, 6).cast("decimal(18,6)").alias("est_change_interval_days"),
+    )

@@ -365,3 +365,41 @@ class TestCdxLookup:
             assert bytes(fetched[0]["payload"]).endswith(b"body 2")
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+class TestUrlChangeRate:
+    def test_counts_span_and_caveats(self, spark):
+        """Distinct digests lower-bound true changes (A->B->A counts 2
+        versions); NULL digests never count a version; NULL timestamps
+        never count toward the span; single-capture keys have NULL
+        change_rate (no revisit evidence); a stable key reads 0."""
+        import datetime as dt
+        from decimal import Decimal
+
+        from hgraphstorage_spark.sources.cdx import url_change_rate
+
+        T = lambda d: dt.datetime(2024, 1, d, 12, 0, 0)  # noqa: E731
+        rows = [
+            # flapping A->B->A over 10 days: 3 captures, 2 versions
+            ("k1", T(1), "A"), ("k1", T(6), "B"), ("k1", T(11), "A"),
+            # stable: 3 captures, 1 version -> rate 0, interval NULL
+            ("k2", T(1), "X"), ("k2", T(5), "X"), ("k2", T(9), "X"),
+            # null digest ignored for versions, null ts ignored for span
+            ("k3", T(1), "P"), ("k3", None, "Q"), ("k3", T(3), None),
+            # solo capture
+            ("k4", T(2), "Z"),
+        ]
+        df = spark.createDataFrame(rows, "urlkey string, fetch_ts timestamp, digest string")
+        got = {r["urlkey"]: r for r in url_change_rate(df).collect()}
+        k1 = got["k1"]
+        assert (k1["n_captures"], k1["n_versions"]) == (3, 2)
+        assert k1["change_rate"] == Decimal("0.500000")
+        assert k1["est_change_interval_days"] == Decimal("10.000000")
+        k2 = got["k2"]
+        assert k2["change_rate"] == Decimal("0.000000")
+        assert k2["est_change_interval_days"] is None  # nothing ever changed
+        k3 = got["k3"]
+        assert (k3["n_captures"], k3["n_versions"]) == (3, 2)  # NULL digest out
+        assert k3["first_ts"] == T(1) and k3["last_ts"] == T(3)  # NULL ts out
+        k4 = got["k4"]
+        assert k4["change_rate"] is None and k4["est_change_interval_days"] is None
