@@ -4299,7 +4299,13 @@ def _synthetic_cdxj_lines(spark, sf_dir):
         F.lit("https://"),
         F.when(i % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
         F.lit("site"), s(i % 7), F.lit(".com"),
-        F.when(i % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        # :443 is the default-port strip; :8080 (disjoint: %12==2 implies
+        # %3==2) keeps the r10 SURT port placement live in the hash — the
+        # key must read 'com,siteN:8080)/...', port AFTER the reversed
+        # labels, or lookups against pywb/CC-built indexes miss
+        F.when(i % 3 == 0, F.lit(":443"))
+        .when(i % 12 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
         F.when(i % 4 == 2, F.lit("/P/")).otherwise(F.lit("/p/")),
         s(i),
         F.when(i % 2 == 0, F.concat(F.lit("?b=2&a="), s(i % 5)))
@@ -4430,20 +4436,29 @@ def q_change_rate(spark, sf_dir):
     url_change_rate) over the synthetic CDX captures remapped onto 40
     colliding keys with digests cycling doc_id%120 (≈3 versions per
     key), NULL digests every %11==5 (ignored by the version count),
-    NULL timestamps every %13==7 (ignored by the span), and sparse
+    NULL timestamps every %13==7 (ignored by the span), sparse
     single-capture 'solo' keys (%777==5) whose change_rate is NULL —
-    no revisit evidence. Oracle replays the counts/span/ratio
-    arithmetic from the generator rules."""
+    no revisit evidence — and multi-capture 'nd' keys (%100==7) whose
+    digests are ALL NULL, so n_versions=0 and the r10 guard must emit
+    NULL, never the negative (0−1)/(n−1) rate (r9 ADVICE fix, live in
+    the hash). Oracle replays the counts/span/ratio arithmetic from
+    the generator rules."""
     from hgraphstorage_spark.sources.cdx import parse_cdxj, url_change_rate
 
     i = F.col("doc_id")
     s = lambda c: c.cast("string")  # noqa: E731
     cdx = parse_cdxj(_synthetic_cdxj_lines(spark, sf_dir)).select(
         F.when(i % 777 == 5, F.concat(F.lit("solo"), s(i)))
+        # 'nd' keys (%100==7, several captures per key at driver SF):
+        # EVERY capture's digest is NULL below, so n_versions=0 — the
+        # r10 guard must emit NULL change_rate, never the negative
+        # (0-1)/(n-1) the unguarded formula produced (r9 ADVICE fix,
+        # live in the hash)
+        .when(i % 100 == 7, F.concat(F.lit("nd"), s(F.floor(i / 100) % 2)))
         .otherwise(F.concat(F.lit("k"), s(i % 40)))
         .alias("urlkey"),
         "fetch_ts",
-        F.when(i % 11 == 5, F.lit(None).cast("string"))
+        F.when((i % 11 == 5) | (i % 100 == 7), F.lit(None).cast("string"))
         .otherwise(F.concat(F.lit("sha1:"), s(i % 120)))
         .alias("digest"),
     )
@@ -8248,13 +8263,16 @@ def oracle_sql() -> dict[str, str]:
     _CDX_URL_SQL = """
         'https://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
           || 'site' || (doc_id % 7) || '.com'
-          || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+          || (CASE WHEN doc_id % 3 = 0 THEN ':443'
+                   WHEN doc_id % 12 = 2 THEN ':8080' ELSE '' END)
           || (CASE WHEN doc_id % 4 = 2 THEN '/P/' ELSE '/p/' END) || doc_id
           || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=' || (doc_id % 5)
                    WHEN doc_id % 5 = 1 THEN '?z=1' ELSE '' END)"""
     sql["cdx_ingest"] = f"""
         SELECT doc_id,
-          'com,site' || (doc_id % 7) || ')/p/' || doc_id ||
+          'com,site' || (doc_id % 7)
+            || (CASE WHEN doc_id % 12 = 2 THEN ':8080' ELSE '' END)
+            || ')/p/' || doc_id ||
             (CASE WHEN doc_id % 2 = 0 THEN '?a=' || (doc_id % 5) || '&b=2'
                   WHEN doc_id % 5 = 1 THEN '?z=1' ELSE '' END) AS urlkey,
           CASE WHEN doc_id % 13 = 7 THEN '20241399000000'
@@ -8340,13 +8358,14 @@ def oracle_sql() -> dict[str, str]:
         WITH c AS (
           SELECT doc_id,
             CASE WHEN doc_id % 777 = 5 THEN 'solo' || doc_id
+                 WHEN doc_id % 100 = 7 THEN 'nd' || (floor(doc_id / 100)::BIGINT % 2)
                  ELSE 'k' || (doc_id % 40) END AS urlkey,
             CASE WHEN doc_id % 13 = 7 THEN NULL
                  ELSE strptime('2024' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
                       || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '12'
                       || lpad((doc_id % 60)::VARCHAR, 2, '0') || '00',
                       '%Y%m%d%H%M%S') END AS ts,
-            CASE WHEN doc_id % 11 = 5 THEN NULL
+            CASE WHEN doc_id % 11 = 5 OR doc_id % 100 = 7 THEN NULL
                  ELSE 'sha1:' || (doc_id % 120) END AS digest
           FROM documents
         ),
@@ -8360,7 +8379,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT urlkey, n_captures, n_versions,
                strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
                strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
-               CASE WHEN n_captures > 1 THEN
+               CASE WHEN n_captures > 1 AND n_versions >= 1 THEN
                  CAST(round((n_versions - 1) / (n_captures - 1.0), 6)
                       AS DECIMAL(18,6))::VARCHAR END AS change_rate,
                CASE WHEN n_versions > 1 AND span_days > 0 THEN

@@ -44,8 +44,11 @@ def surt_key(col) -> Column:
     - lowercase, trim; scheme and fragment dropped;
     - userinfo dropped, a leading ``www<digits>.`` label dropped,
       default ports 80/443 dropped;
-    - host reversed comma-joined (``com,example``), then ``)/`` +
-      path;
+    - host reversed comma-joined (``com,example``); a surviving
+      NON-default port re-attaches AFTER the reversed labels
+      (``com,example:8080`` — the SURT/pywb convention, so lookups
+      against externally built Common Crawl/pywb indexes agree on
+      non-default-port URLs too), then ``)/`` + path;
     - query args sorted bytewise (``?b=2&a=1`` == ``?a=1&b=2`` — the
       pywb canonicalization), empty query dropped.
 
@@ -61,7 +64,13 @@ def surt_key(col) -> Column:
     host = F.regexp_replace(host, r"^[^@]*@", "")
     host = F.regexp_replace(host, r"^www[0-9]*\.", "")
     host = F.regexp_replace(host, r":(80|443)$", "")
-    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    # split a surviving non-default port off BEFORE reversing: the SURT
+    # convention keys 'host:port' as 'tld,label...:port' (port after the
+    # reversed labels), never 'tld:port,label...' (r9 ADVICE fix)
+    port = F.regexp_extract(host, r":([0-9]+)$", 1)
+    bare = F.regexp_replace(host, r":[0-9]+$", "")
+    rev = F.concat_ws(",", F.reverse(F.split(bare, r"\.")))
+    rev = F.when(port != "", F.concat(rev, F.lit(":"), port)).otherwise(rev)
     path_full = F.when(rest == "", F.lit("/")).when(
         rest.startswith("?"), F.concat(F.lit("/"), rest)
     ).otherwise(rest)
@@ -362,10 +371,14 @@ def cdx_lookup(
     # recency: CDXJ indexes carry timestamp14; warc_record_index
     # carries warc_date — both sort temporally as strings
     ts = "timestamp14" if "timestamp14" in hits.columns else "warc_date"
+    # the offset leg is zero-padded to 19 digits (max int64 width) so the
+    # string max_by key orders offsets NUMERICALLY — unpadded, offset 9
+    # would beat offset 100 lexicographically (r9 ADVICE fix); NULL
+    # offsets pad to all-zeros and sort below every real offset
     key = F.concat_ws(
         "\x01",
         F.coalesce(F.col(ts), F.lit("")),
-        F.coalesce(F.col("offset").cast("string"), F.lit("")),
+        F.lpad(F.coalesce(F.col("offset").cast("string"), F.lit("")), 19, "0"),
         F.coalesce(F.col("filename"), F.lit("")),
     )
     others = [c for c in hits.columns if c not in ("url", "urlkey")]
@@ -417,8 +430,12 @@ def url_change_rate(
         span_days.alias("_span_days"),
     )
     n_cap, n_ver = F.col("n_captures"), F.col("n_versions")
+    # n_ver >= 1 gate (r9 ADVICE fix): a history whose digests are ALL
+    # NULL has zero version evidence — (0-1)/(n-1) would emit a negative
+    # "rate" outside the documented 0..1 range; such histories are
+    # no-evidence, i.e. NULL, same as single-capture URLs
     change_rate = F.when(
-        n_cap > 1,
+        (n_cap > 1) & (n_ver >= 1),
         (n_ver - 1).cast("double") / (n_cap - 1).cast("double"),
     )
     interval = F.when(

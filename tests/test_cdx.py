@@ -18,6 +18,13 @@ class TestSurtKey:
             ("https://www2.host.net?q=1", "net,host)/?q=1"),  # query, no path
             ("https://host.net/path/", "net,host)/path/"),
             ("HTTPS://HOST.NET/UPPER", "net,host)/upper"),
+            # r10 (r9 ADVICE): a NON-default port survives and attaches
+            # AFTER the reversed labels — the SURT/pywb convention — so
+            # externally built CDX indexes agree on the key; default
+            # ports still strip even when combined with www/userinfo
+            ("http://example.com:8080/a", "com,example:8080)/a"),
+            ("https://www.Sub.Example.org:8443/x?b=1&a=2", "org,example,sub:8443)/x?a=2&b=1"),
+            ("http://user@www.ex.com:80/p", "com,ex)/p"),
         ]
         df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
         got = [r["k"] for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
@@ -321,6 +328,24 @@ class TestCdxLookup:
         plan = hist._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
 
+    def test_equal_timestamp_tie_breaks_numerically_on_offset(self, spark):
+        """Equal-timestamp captures tie-break on the NUMERIC offset:
+        offset 100 beats offset 9 (the unpadded string key ordered them
+        lexicographically — r9 ADVICE fix pins the lpad)."""
+        from hgraphstorage_spark.sources.cdx import cdx_lookup, parse_cdxj
+
+        lines = [
+            'com,tie)/p 20240101000000 {"url": "https://tie.com/p", '
+            '"offset": "9", "length": "10", "filename": "f1"}',
+            'com,tie)/p 20240101000000 {"url": "https://tie.com/p", '
+            '"offset": "100", "length": "10", "filename": "f0"}',
+        ]
+        idx = parse_cdxj(spark.createDataFrame([(l,) for l in lines], "line string"))
+        probes = spark.createDataFrame([("https://tie.com/p",)], "url string")
+        got = cdx_lookup(idx, probes).collect()
+        assert len(got) == 1
+        assert got[0]["offset"] == 100  # numeric, not lexicographic
+
     def test_lookup_against_record_index(self, spark):
         """The same lookup works against a warc_record_index frame
         (warc_date recency key) — probe → spans, ready for
@@ -388,6 +413,10 @@ class TestUrlChangeRate:
             ("k3", T(1), "P"), ("k3", None, "Q"), ("k3", T(3), None),
             # solo capture
             ("k4", T(2), "Z"),
+            # multi-capture key whose digests are ALL NULL: zero version
+            # evidence — change_rate must be NULL, never the negative
+            # (0-1)/(n-1) the unguarded formula produced (r9 ADVICE fix)
+            ("k5", T(1), None), ("k5", T(4), None), ("k5", T(9), None),
         ]
         df = spark.createDataFrame(rows, "urlkey string, fetch_ts timestamp, digest string")
         got = {r["urlkey"]: r for r in url_change_rate(df).collect()}
@@ -403,3 +432,7 @@ class TestUrlChangeRate:
         assert k3["first_ts"] == T(1) and k3["last_ts"] == T(3)  # NULL ts out
         k4 = got["k4"]
         assert k4["change_rate"] is None and k4["est_change_interval_days"] is None
+        k5 = got["k5"]
+        assert (k5["n_captures"], k5["n_versions"]) == (3, 0)
+        assert k5["change_rate"] is None  # no evidence, not negative
+        assert k5["est_change_interval_days"] is None
