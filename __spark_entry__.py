@@ -8245,7 +8245,12 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN etag IS NOT NULL THEN 'etag'
                     WHEN last_modified IS NOT NULL THEN 'last-modified' END AS validator,
                etag AS if_none_match,
-               coalesce(last_modified, fetch_date::VARCHAR) AS if_modified_since,
+               -- the fetch-date fallback is an IMF-fixdate (r9 VERDICT
+               -- fix): DuckDB's strftime %a/%b are fixed English names,
+               -- mirroring the Spark side's literal day/month arrays
+               coalesce(last_modified,
+                        strftime(fetch_date, '%a, %d %b %Y 00:00:00 GMT'))
+                 AS if_modified_since,
                CASE WHEN fetch_date IS NULL THEN NULL
                     ELSE CAST(round(ival, 6) AS DECIMAL(18,6))::VARCHAR END
                  AS interval_days,

@@ -1402,14 +1402,67 @@ class TestRevisitPlan:
         assert u3["interval_days"] == Decimal("183.600000")
         u4 = got["u4"]
         assert u4["validator"] is None and u4["if_none_match"] is None
-        assert u4["if_modified_since"] == "2024-03-01"  # fetch-date fallback
+        # fetch-date fallback is an RFC 9110 IMF-fixdate, never an ISO
+        # string (a compliant server MUST ignore an invalid HTTP-date,
+        # silently degrading the conditional fetch — r9 VERDICT fix)
+        assert u4["if_modified_since"] == "Fri, 01 Mar 2024 00:00:00 GMT"
         assert u4["interval_days"] == Decimal("7.000000")
+        # every non-NULL If-Modified-Since in the plan is a VALID
+        # HTTP-date (IMF-fixdate shape)
+        import re
+
+        imf = re.compile(
+            r"^(Mon|Tue|Wed|Thu|Fri|Sat|Sun), \d{2} "
+            r"(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) "
+            r"\d{4} \d{2}:\d{2}:\d{2} GMT$"
+        )
+        for r in got.values():
+            if r["if_modified_since"] is not None:
+                assert imf.match(r["if_modified_since"]), r["if_modified_since"]
         u5 = got["u5"]
         assert u5["interval_days"] == Decimal("0.500000")  # floor clamp
         assert u5["revisit_due"] is True
         u6 = got["u6"]
         assert u6["interval_days"] is None and u6["next_fetch_date"] is None
         assert u6["revisit_due"] is None
+
+    def test_measured_interval_overrides_declaration_chain(self, spark):
+        """An url_change_rate frame passed as ``measured`` overrides the
+        whole declaration/heuristic chain where its interval is non-NULL
+        (empirical history beats declared cache lifetimes), still
+        clamped; URLs without measured evidence fall through unchanged.
+        The join keys on surt_key(url), so any surt-equal variant of the
+        envelope URL matches the CDX-derived urlkey."""
+        import datetime as dt
+        from decimal import Decimal
+
+        from hgraphstorage_spark.sources.warc import revisit_plan
+
+        D = dt.date
+        rows = [
+            # server declares max-age 2 days, but history says 12.5
+            ("https://www.m.com:443/a", "2024-03-01T00:00:00Z", 200, '"e"',
+             None, None, 172800, None),
+            # no measured row: default chain (7 days) survives
+            ("https://m.com/b", "2024-03-01T00:00:00Z", 200, None,
+             None, None, None, None),
+            # measured 0.01 days clamps up to the 0.5 floor
+            ("https://m.com/c", "2024-03-01T00:00:00Z", 200, None,
+             None, None, None, None),
+        ]
+        hist = spark.createDataFrame(
+            [("com,m)/a", 12.5), ("com,m)/c", 0.01), ("com,m)/zz", 99.0)],
+            "urlkey string, est_change_interval_days double",
+        )
+        got = {
+            r["url"]: r
+            for r in revisit_plan(
+                self._env(spark, rows), as_of="2024-03-10", measured=hist
+            ).collect()
+        }
+        assert got["https://www.m.com:443/a"]["interval_days"] == Decimal("12.500000")
+        assert got["https://m.com/b"]["interval_days"] == Decimal("7.000000")
+        assert got["https://m.com/c"]["interval_days"] == Decimal("0.500000")
 
     def test_zero_shuffle_plan(self, spark):
         from hgraphstorage_spark.plans.audit import executed_plan
