@@ -816,6 +816,15 @@ def q_graph_summary(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("value")),
         ),
         s("wsp_cost_total", q_weighted_sp(spark, sf_dir).agg(F.sum("cost").alias("value"))),
+        # r10: the HyperBall effective-diameter integer report (the
+        # interpolated reading stays under q_effective_diameter's own
+        # in-window hash)
+        s(
+            "effective_diameter",
+            q_effective_diameter(spark, sf_dir).select(
+                F.col("effective_diameter").alias("value")
+            ),
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -3992,6 +4001,25 @@ def q_hyperball_centrality(spark, sf_dir):
     )
 
 
+def q_effective_diameter(spark, sf_dir):
+    """Effective diameter report (analytics.py:effective_diameter — the
+    Boldi & Vigna 2011 headline number HyperBall exists to compute) from
+    the same 3-round p=4 HyperBall NF table as q_hyperball: smallest t
+    with NF(t) >= 0.9·NF(t_max), plus the HyperANF linear interpolation
+    as one deterministic IEEE chain. On the depth-2 location forest the
+    balls converge by round 2, so the fold must land on a genuine
+    interior round — threshold, lag, and interpolation all load-bearing.
+    Oracle replays the register rounds (the q_hyperball CTE chain) and
+    the identical smallest-t fold."""
+    from hgraphstorage_spark.analytics import effective_diameter, hyperball
+
+    snap = _graph(spark, sf_dir)
+    nf = hyperball(_loc_subgraph(snap), rounds=3, p=4)
+    return _canon(
+        effective_diameter(nf, q=0.9), "nf_max", "effective_diameter_interp"
+    )
+
+
 def q_flagged_filter(spark, sf_dir):
     """Word-blocklist gate (pipeline/text.py:flagged_terms — the C4
     badwords tier) over the documents table flagging two corpus
@@ -4280,6 +4308,55 @@ def q_revisit_plan(spark, sf_dir):
     )
 
 
+def q_revisit_measured(spark, sf_dir):
+    """The measured revisit economy (VERDICT r9 task 4): url_change_rate
+    capture history composed INTO revisit_plan via the r10 ``measured``
+    arg — where the empirical interval exists it overrides the whole
+    declaration/heuristic chain (max-age included), still clamped. Half
+    the envelope URLs (doc_id%2==0) get an arithmetic 3-capture history:
+    gap 6h on %10==4 (measured 0.25 d — the FLOOR clamp fires), else
+    gap 2·(1+doc_id%9) days (2..18 d — 16/18 hit the 15 d CEILING);
+    %3==0 histories never change (one digest — interval NULL, so the
+    row falls THROUGH to the declaration chain despite having history),
+    and odd doc_ids have no history at all. The measured leg runs the
+    REAL url_change_rate agg and the REAL surt_key join; the oracle
+    derives each leg from the generator arithmetic and replays the same
+    precedence CASE — both existing replays, chained."""
+    from hgraphstorage_spark.sources.cdx import url_change_rate
+    from hgraphstorage_spark.sources.warc import http_envelope, revisit_plan
+
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    covered = _t(spark, sf_dir, "documents").select("doc_id").filter(i % 2 == 0)
+    caps = covered.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("c")
+    )
+    gap_sec = F.when(i % 10 == 4, F.lit(21600)).otherwise(
+        ((i % 9) + 1) * 2 * 86400
+    )
+    # 2024-01-01T00:00:00Z = epoch 1704067200 (session tz pinned UTC)
+    caps = caps.select(
+        F.concat(
+            F.lit("com,site"), s(i % 7), F.lit(")/page/"), s(i)
+        ).alias("urlkey"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("c") * gap_sec
+        ).alias("fetch_ts"),
+        F.when(i % 3 == 0, F.lit("same"))
+        .otherwise(F.concat(F.lit("d"), s(F.col("c"))))
+        .alias("digest"),
+    )
+    out = revisit_plan(
+        http_envelope(_synthetic_http_records(spark, sf_dir)),
+        as_of="2024-07-15",
+        max_interval_days=15.0,
+        measured=url_change_rate(caps),
+    )
+    return _canon(
+        out, "interval_days", "fetch_date", "next_fetch_date", "revisit_due"
+    )
+
+
 def _synthetic_cdxj_lines(spark, sf_dir):
     """Arithmetic-generated CDXJ index lines — ONE home for the
     q_cdx_ingest / q_cdx_plan generators and their SQL twins. Per
@@ -4364,6 +4441,23 @@ def q_cdx_plan(spark, sf_dir):
         F.col("status") == 200
     )
     return cdx_fetch_plan(cdx, max_gap_bytes=2000)
+
+
+def q_cdx_export(spark, sf_dir):
+    """CDXJ interchange OUT (sources/cdx.py:format_cdxj — the r9
+    VERDICT's missing write half): parse the synthetic CDXJ lines, then
+    render the typed frame back to canonical lines a pywb/CC consumer
+    reads — urlkey + timestamp14 (the impossible-month string passes
+    through VERBATIM, proving ts14 precedence over the NULL fetch_ts)
+    + compact JSON with numeric status/length/offset. The oracle
+    derives every byte of the line arithmetically (canonical urlkey
+    incl. the :8080 port placement, the JSON field order/quoting of
+    to_json's canonical output) — so format_cdxj is certified by
+    independent derivation; parse∘format == identity is the pytest
+    law."""
+    from hgraphstorage_spark.sources.cdx import format_cdxj, parse_cdxj
+
+    return format_cdxj(parse_cdxj(_synthetic_cdxj_lines(spark, sf_dir)))
 
 
 def _colliding_envelopes(spark, sf_dir):
@@ -5377,6 +5471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_validator": q_stream_validator,
         "phrase_filter": q_phrase_filter,
         "change_rate": q_change_rate,
+        "effective_diameter": q_effective_diameter,
+        "revisit_measured": q_revisit_measured,
+        "cdx_export": q_cdx_export,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -7355,6 +7452,13 @@ def _hyperball_oracle_sql(rounds: int = 3, p: int = 4) -> str:
     round the per-node canonical bucket-order IEEE estimator fold
     (identical to the hll_distinct oracle's) summed as exact
     DECIMALs."""
+    return _hyperball_nf_cte_sql(rounds, p, _hyperball_open_parts(rounds, p))
+
+
+def _hyperball_open_parts(rounds: int, p: int) -> list:
+    """The opening CTE chain shared by the hyperball-family oracles:
+    location subgraph → md5 register init (g0) → ``rounds`` unrolled
+    neighbor-max merges (g1..gN)."""
     m = 1 << p
     w1 = 60 - p + 1
     parts = [f"""
@@ -7378,6 +7482,16 @@ def _hyperball_oracle_sql(rounds: int = 3, p: int = 4) -> str:
             FROM edges e JOIN g{t - 1} g ON g.id = e.dst
           ) GROUP BY 1, 2
         )""")
+    return parts
+
+
+def _hyperball_nf_cte_sql(rounds: int, p: int, parts: list, tail: str | None = None) -> str:
+    """Shared tail-builder for the hyperball-family oracles: appends the
+    per-round estimator CTEs (s{t}/e{t}/n{t}) to an already-started CTE
+    chain and closes with either the round-per-row union (default —
+    ``q_hyperball``'s oracle) or a caller-supplied ``tail`` reading the
+    n{t} CTEs (``q_effective_diameter``'s fold)."""
+    m = 1 << p
     tails = []
     for t in range(0, rounds + 1):
         parts.append(f""",
@@ -7408,7 +7522,46 @@ def _hyperball_oracle_sql(rounds: int = 3, p: int = 4) -> str:
                 FROM e{t})
         )""")
         tails.append(f"SELECT round, nf::VARCHAR AS nf_est FROM n{t}")
+    if tail is not None:
+        return "".join(parts) + " " + tail
     return "".join(parts) + " " + " UNION ALL ".join(tails)
+
+
+def _effective_diameter_oracle_sql(rounds: int = 3, p: int = 4, q: float = 0.9) -> str:
+    """DuckDB replay of ``q_effective_diameter``: the same register
+    rounds as :func:`_hyperball_oracle_sql`, then the smallest-t fold —
+    self-lag over the rounds+1 NF readings, the q·NF(t_max) threshold
+    on DOUBLE casts, and the HyperANF linear interpolation as the
+    identical IEEE chain ((t−1) + (q·nf_max − prev) / (cur − prev))."""
+    nf_union = " UNION ALL ".join(
+        f"SELECT round, nf FROM n{t}" for t in range(0, rounds + 1)
+    )
+    tail = f"""
+        , nfr AS ({nf_union}),
+        mx AS (SELECT max(round) AS t_max, max_by(nf, round) AS nf_max FROM nfr),
+        lagd AS (
+          SELECT a.round, a.nf, b.nf AS prev
+          FROM nfr a LEFT JOIN nfr b ON b.round = a.round - 1
+        ),
+        c AS (
+          SELECT l.round, l.nf, l.prev, m.t_max, m.nf_max
+          FROM lagd l CROSS JOIN mx m
+          WHERE l.nf::DOUBLE >= {q!r}::DOUBLE * m.nf_max::DOUBLE
+        ),
+        best AS (SELECT * FROM c ORDER BY round LIMIT 1)
+        SELECT {q!r}::DOUBLE AS q,
+               t_max::INT AS t_max,
+               nf_max::VARCHAR AS nf_max,
+               round::INT AS effective_diameter,
+               CAST(round(CASE WHEN round = 0 THEN (0.0)::DOUBLE
+                    ELSE (round - 1)::DOUBLE
+                         + ({q!r}::DOUBLE * nf_max::DOUBLE - prev::DOUBLE)
+                           / (nf::DOUBLE - prev::DOUBLE) END, 6)
+                    AS DECIMAL(18,6))::VARCHAR AS effective_diameter_interp
+        FROM best"""
+    return _hyperball_nf_cte_sql(
+        rounds, p, _hyperball_open_parts(rounds, p), tail=tail
+    )
 
 
 def _hyperball_centrality_oracle_sql(rounds: int = 3, p: int = 8) -> str:
@@ -8225,12 +8378,18 @@ def oracle_sql() -> dict[str, str]:
                expires_date::VARCHAR AS expires_date, location
         FROM env
     """
-    sql["revisit_plan"] = f"""
+    # ONE home for the revisit-plan oracle tail: the measured row
+    # (q_revisit_measured) injects its empirical-interval leg at the TOP
+    # of the precedence CASE (it overrides even max-age), everything
+    # else identical — so the two oracles cannot drift
+    def _revisit_oracle_sql(measured_leg: str = "") -> str:
+        return f"""
         WITH {_HTTP_ENV_CTE},
         sched AS (
           SELECT *,
             least(greatest(
-              CASE WHEN max_age_sec IS NOT NULL THEN max_age_sec / 86400.0
+              CASE {measured_leg}
+                   WHEN max_age_sec IS NOT NULL THEN max_age_sec / 86400.0
                    WHEN expires_date IS NOT NULL AND fetch_date IS NOT NULL
                      THEN datediff('day', fetch_date, expires_date)::DOUBLE
                    WHEN last_modified_date IS NOT NULL
@@ -8261,6 +8420,19 @@ def oracle_sql() -> dict[str, str]:
                 END)::VARCHAR AS revisit_due
         FROM sched
     """
+
+    sql["revisit_plan"] = _revisit_oracle_sql()
+    # measured leg: the q_revisit_measured generator gives even doc_ids a
+    # 3-capture history; %3==0 histories never change (interval NULL →
+    # fall through), %10==4 flaps 6-hourly (0.25 d, floor-clamps), else
+    # the empirical interval is the 2·(1+doc_id%9)-day capture gap
+    # (16/18 ceiling-clamp) — derived from the generator arithmetic, the
+    # same independent-derivation style as the change_rate oracle
+    sql["revisit_measured"] = _revisit_oracle_sql(
+        """WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0 THEN
+                 CASE WHEN doc_id % 10 = 4 THEN (0.25)::DOUBLE
+                      ELSE ((doc_id % 9) + 1) * (2.0)::DOUBLE END"""
+    )
     # cdx_ingest / cdx_plan: independent arithmetic derivation from
     # _synthetic_cdxj_lines' generator rules. The urlkey is derived in
     # its CANONICAL form (www/port/arg-order/case variants collapse),
@@ -8296,6 +8468,35 @@ def oracle_sql() -> dict[str, str]:
           ((doc_id % 50 + 1) * 100)::BIGINT AS "length",
           ((doc_id % 20) * 3000)::BIGINT AS "offset",
           'shard' || (doc_id % 5) || '.warc.gz' AS filename
+        FROM documents
+    """
+    # cdx_export: every BYTE of the canonical output line derived from
+    # the generator arithmetic — the canonical urlkey (www/port/case/
+    # arg-order collapse, :8080 after the reversed labels), the ts14
+    # passthrough (impossible month stays verbatim), and to_json's
+    # compact field order/quoting with numeric status/length/offset
+    sql["cdx_export"] = f"""
+        SELECT doc_id,
+          'com,site' || (doc_id % 7)
+            || (CASE WHEN doc_id % 12 = 2 THEN ':8080' ELSE '' END)
+            || ')/p/' || doc_id
+            || (CASE WHEN doc_id % 2 = 0 THEN '?a=' || (doc_id % 5) || '&b=2'
+                     WHEN doc_id % 5 = 1 THEN '?z=1' ELSE '' END)
+          || ' ' ||
+          (CASE WHEN doc_id % 13 = 7 THEN '20241399000000'
+               ELSE '2024' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                    || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '12'
+                    || lpad((doc_id % 60)::VARCHAR, 2, '0') || '00' END)
+          || ' ' ||
+          '{{"url":"' || {_CDX_URL_SQL} || '",'
+          || '"status":' || (CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END) || ','
+          || '"mime":"' || (CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+                                 ELSE 'application/json' END) || '",'
+          || '"digest":"sha1:' || doc_id || '",'
+          || '"length":' || ((doc_id % 50 + 1) * 100) || ','
+          || '"offset":' || ((doc_id % 20) * 3000) || ','
+          || '"filename":"shard' || (doc_id % 5) || '.warc.gz"}}'
+          AS line
         FROM documents
     """
     sql["cdx_plan"] = """
@@ -8638,6 +8839,7 @@ def oracle_sql() -> dict[str, str]:
     # binary length, register max, then the canonical fold (0.0 start,
     # bucket order, zero-bucket mass added once) and estimator branches
     sql["hyperball"] = _hyperball_oracle_sql(rounds=3, p=4)
+    sql["effective_diameter"] = _effective_diameter_oracle_sql(rounds=3, p=4, q=0.9)
     sql["hyperball_centrality"] = _hyperball_centrality_oracle_sql(rounds=3, p=8)
     sql["hll_distinct"] = r"""
         WITH toks AS (
@@ -9750,6 +9952,9 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'betweenness_sum', sum(betweenness::DOUBLE)::BIGINT FROM ({sql['betweenness']})",
             f"SELECT 'clustering_nonzero', count(*)::BIGINT FROM ({sql['clustering']}) WHERE coeff::DOUBLE > 0",
             f"SELECT 'wsp_cost_total', sum(cost)::BIGINT FROM ({sql['weighted_sp']})",
+            # r10: the HyperBall effective-diameter integer report joins
+            # the compressed evidence row (VERDICT r8 task 4 / r9 task 3)
+            f"SELECT 'effective_diameter', effective_diameter::BIGINT FROM ({sql['effective_diameter']})",
         ]
     )
     # boilerplate_dedup: replay keyed on the chunk STRING (the engine's

@@ -263,6 +263,17 @@ R9_OPS = [
     # harness setup dominates at bench SF, same as stream_hll & co)
 ]
 
+# round-10 operators, same contract (timed, outside the headline).
+# stream_freshness joins the untimed streaming rows (micro-batch harness
+# setup dominates at bench SF); datasheet (R8_OPS) now times the v3 card
+# (flagged-phrase incidence + mean FK grade + extraction coverage) and
+# cdx_ingest the port-preserving SURT key.
+R10_OPS = [
+    "effective_diameter",
+    "revisit_measured",
+    "cdx_export",
+]
+
 
 # exact-pair diagnostics: collision-quadratic BY DESIGN (the documented
 # exact baselines the LSH/prefix-filter scale paths are validated
@@ -344,7 +355,13 @@ def main() -> None:
     # warms exactly the classes the timed sf0.1 pass runs; Catalyst
     # planning of the sf0.1 plans is NOT cached and stays in the timings.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE + MD5_TWINS + R4_OPS + R5_OPS + R6_OPS + R7_OPS + R8_OPS + DIAGNOSTICS:
+    # every TIMED section warms (r9 VERDICT item 2: R9_OPS was missing,
+    # so the newest ops paid whole-stage-codegen javac in their first
+    # timed execution — measured on a systematically colder path)
+    for name in (
+        HEADLINE + MD5_TWINS + R4_OPS + R5_OPS + R6_OPS + R7_OPS + R8_OPS
+        + R9_OPS + R10_OPS + DIAGNOSTICS
+    ):
         try:
             _execute(queries[name](spark, warm_dir))
         except Exception:
@@ -396,6 +413,7 @@ def main() -> None:
     r7_timings = _section("r7_ops", R7_OPS)
     r8_timings = _section("r8_ops", R8_OPS)
     r9_timings = _section("r9_ops", R9_OPS)
+    r10_timings = _section("r10_ops", R10_OPS)
     # the diagnostics are collision-quadratic BY DESIGN — never re-timed
     diag_timings = _section("diagnostics", DIAGNOSTICS, runs=1, retry=False)
 
@@ -409,43 +427,67 @@ def main() -> None:
     # the full sections survive between rounds where the driver's
     # 2000-char tail does not), falling back to the newest BENCH_r*.json
     # parsed headline.
+    _SECTION_KEYS = [
+        "queries", "md5_oracle_mode", "r4_ops", "r5_ops",
+        "r6_ops", "r7_ops", "r8_ops", "r9_ops", "r10_ops",
+    ]
+
     def _load_priors() -> dict:
         """Prior-round per-op readings AT THE SAME SF — a prior from a
-        different scale factor is not a baseline, it's noise."""
+        different scale factor is not a baseline, it's noise. Keyed BY
+        SECTION (r9 ADVICE item 4): a flat merge let one section's
+        timings of a same-named op overwrite another's, spuriously
+        triggering or masking the 1.4x mover retime. Each op's prior is
+        the MIN across every available same-SF record (r9 VERDICT item
+        3: last-round-only priors let one contended reading become the
+        next round's baseline — e.g. r9's hyperball +17.5% sat just
+        under the threshold because its inflated r8 reading was the
+        prior)."""
         here = os.path.dirname(os.path.abspath(__file__))
-        priors: dict = {}
+        priors: dict = {k: {} for k in _SECTION_KEYS}
+
+        def _fold(sec_name: str, d) -> None:
+            for op, v in (d or {}).items():
+                if isinstance(v, (int, float)):
+                    cur = priors[sec_name].get(op)
+                    priors[sec_name][op] = v if cur is None else min(cur, v)
+
         try:
             import glob
 
-            cands = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-            if cands:
-                rec = json.load(open(cands[-1]))
-                parsed = rec.get("parsed") or {}
-                if parsed.get("sf") == sf:
-                    priors.update(parsed.get("queries") or {})
+            # every prior driver record carries the headline section
+            for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+                try:
+                    parsed = (json.load(open(path)) or {}).get("parsed") or {}
+                    if parsed.get("sf") == sf:
+                        _fold("queries", parsed.get("queries"))
+                except Exception:
+                    pass
         except Exception:
             pass
         try:
             full = json.load(open(os.path.join(here, "bench_last_full.json")))
             if full.get("sf") == sf:
-                for sec in full.values():
-                    if isinstance(sec, dict):
-                        priors.update(sec)
+                for k in _SECTION_KEYS:
+                    _fold(k, full.get(k))
         except Exception:
             pass
-        return {k: v for k, v in priors.items() if isinstance(v, (int, float))}
+        return priors
 
     retimed_movers: list[str] = []
     run_drift = max(sent_vals) / max(min(sent_vals), 1e-9)
     if run_drift >= 1.5:
         priors = _load_priors()
         sections = [
-            timings, md5_timings, r4_timings, r5_timings,
-            r6_timings, r7_timings, r8_timings, r9_timings,
+            ("queries", timings), ("md5_oracle_mode", md5_timings),
+            ("r4_ops", r4_timings), ("r5_ops", r5_timings),
+            ("r6_ops", r6_timings), ("r7_ops", r7_timings),
+            ("r8_ops", r8_timings), ("r9_ops", r9_timings),
+            ("r10_ops", r10_timings),
         ]
-        for sec in sections:
+        for sec_name, sec in sections:
             for name, val in list(sec.items()):
-                prior = priors.get(name)
+                prior = priors.get(sec_name, {}).get(name)
                 if prior and val >= 1.4 * prior:
                     sec[name] = min(val, _time(name, runs=1))
                     retimed_movers.append(name)
@@ -480,6 +522,7 @@ def main() -> None:
         "r7_ops": r7_timings,
         "r8_ops": r8_timings,
         "r9_ops": r9_timings,
+        "r10_ops": r10_timings,
         "diagnostics": diag_timings,
         "timing": "min_of_3_headline_min_of_2_ops",
         "sentinel": sentinel,

@@ -1343,3 +1343,61 @@ def hyperball_centrality(
     return acc.select(
         "id", F.round(expr, 4).cast("decimal(18,4)").alias("harmonic_est")
     )
+
+
+def effective_diameter(nf: DataFrame, q: float = 0.9) -> DataFrame:
+    """Effective diameter from a :func:`hyperball` neighborhood-function
+    frame — the OTHER headline number of Boldi & Vigna 2011 (and the
+    standard HyperANF report): the smallest t such that NF(t) >=
+    q·NF(t_max), i.e. the distance within which a q-fraction of all
+    reachable ordered pairs lie. Returns ONE row:
+
+    * ``q`` — the requested quantile (0.9 is the literature default);
+    * ``t_max`` / ``nf_max`` — the last computed round and its NF (the
+      caller must run :func:`hyperball` to convergence — NF(t_max) ==
+      NF(t_max − 1) — for nf_max to be the true NF(∞); short of that
+      this reads the q-radius of what was computed);
+    * ``effective_diameter`` — the integer report (smallest
+      qualifying t);
+    * ``effective_diameter_interp`` — the HyperANF linear
+      interpolation between t−1 and t ((t−1) + (q·NF(t_max) −
+      NF(t−1)) / (NF(t) − NF(t−1))), the fractional convention the ANF
+      paper introduced (0 when round 0 already qualifies).
+
+    Shape: the input is rounds+1 rows — the fold is one lag over that
+    tiny frame plus a broadcast 1-row max, nothing scales with the
+    graph (the heavy lifting already happened inside hyperball's
+    register loop)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("round")
+    mx = nf.agg(
+        F.max("round").alias("t_max"),
+        F.max_by("nf_est", "round").alias("nf_max"),
+    )
+    lagged = nf.select(
+        "round", "nf_est", F.lag("nf_est").over(w).alias("_prev")
+    )
+    j = lagged.crossJoin(F.broadcast(mx))
+    target = F.lit(float(q)) * F.col("nf_max").cast("double")
+    cand = j.filter(F.col("nf_est").cast("double") >= target)
+    best = cand.agg(
+        F.min("round").alias("effective_diameter"),
+        F.min_by(
+            F.struct("round", "nf_est", "_prev", "t_max", "nf_max"), "round"
+        ).alias("_r"),
+    )
+    r = F.col("_r")
+    prev = r["_prev"].cast("double")
+    cur = r["nf_est"].cast("double")
+    tgt = F.lit(float(q)) * r["nf_max"].cast("double")
+    interp = F.when(r["round"] == 0, F.lit(0.0)).otherwise(
+        (r["round"] - 1).cast("double") + (tgt - prev) / (cur - prev)
+    )
+    return best.select(
+        F.lit(float(q)).alias("q"),
+        r["t_max"].alias("t_max"),
+        r["nf_max"].alias("nf_max"),
+        F.col("effective_diameter"),
+        F.round(interp, 6).cast("decimal(18,6)").alias("effective_diameter_interp"),
+    )

@@ -293,6 +293,64 @@ class TestWarcRandomAccess:
             shutil.rmtree(d, ignore_errors=True)
 
 
+class TestFormatCdxj:
+    def test_parse_format_parse_identity(self, spark):
+        """parse ∘ format == identity on the typed fields (the
+        round-trip law): formatting a parsed frame and re-parsing gives
+        byte-identical typed columns, including NULL-field omission and
+        the malformed-timestamp passthrough."""
+        from hgraphstorage_spark.sources.cdx import format_cdxj, parse_cdxj
+
+        lines = [
+            'com,example)/a 20240301123456 {"url": "https://example.com/a", '
+            '"status": "200", "mime": "text/html", "digest": "sha1:AB", '
+            '"length": "512", "offset": "1024", "filename": "shard0.warc.gz"}',
+            # sparse json (no mime/digest) + impossible month ts
+            'com,example)/b 20241399000000 {"url": "https://example.com/b", '
+            '"length": "1", "offset": "2", "filename": "f"}',
+        ]
+        p1 = parse_cdxj(spark.createDataFrame([(l,) for l in lines], "line string"))
+        p2 = parse_cdxj(format_cdxj(p1))
+        cols = sorted(p1.columns)
+        assert sorted(p2.columns) == cols
+        r1 = sorted(map(tuple, p1.select(*cols).collect()), key=str)
+        r2 = sorted(map(tuple, p2.select(*cols).collect()), key=str)
+        assert r1 == r2
+        # NULL fields are OMITTED from the json (CDXJ convention)
+        line_b = [
+            r["line"] for r in format_cdxj(p1).collect() if ")/b" in r["line"]
+        ][0]
+        assert '"mime"' not in line_b and '"digest"' not in line_b
+
+    def test_record_index_formats_directly(self, spark):
+        """A warc_record_index-shaped frame (no status/mime/digest, ts
+        from warc_date absent → fetch_ts fallback absent too) formats
+        without errors and re-parses to its spans."""
+        from hgraphstorage_spark.sources.cdx import format_cdxj, parse_cdxj
+
+        idx = spark.createDataFrame(
+            [("com,t)/p", "f.warc.gz", 0, 100)],
+            "urlkey string, filename string, offset long, length long",
+        )
+        out = parse_cdxj(format_cdxj(idx)).collect()[0]
+        assert (out["urlkey"], out["offset"], out["length"], out["filename"]) == (
+            "com,t)/p", 0, 100, "f.warc.gz"
+        )
+        assert out["timestamp14"] == "-" or out["timestamp14"] is None
+
+    def test_zero_shuffle_plan(self, spark):
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.cdx import format_cdxj
+
+        df = spark.createDataFrame(
+            [], "urlkey string, timestamp14 string, url string, status int, "
+            "mime string, digest string, length long, offset long, filename string"
+        )
+        plan = executed_plan(format_cdxj(df))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestCdxLookup:
     def test_variant_probes_resolve_latest(self, spark):
         """Probe URLs in ANY surt-equal variant resolve; latest_only
