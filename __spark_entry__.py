@@ -4725,6 +4725,75 @@ def q_stream_crawl_frontier(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_freshness(spark, sf_dir):
+    """The freshness-hint register INCREMENTALLY MAINTAINED as a real
+    structured stream (streaming/ingest.py:stream_sitemap_hints —
+    VERDICT r8 task 5 closes: demand AND freshness are now both
+    register-maintained): the batch capstone's sitemap entries PLUS one
+    stale decoy per URL (lastmod 2023-12-xx, changefreq 'yearly',
+    priority NULL — each must LOSE its column's fold) flow through 4
+    file-triggered micro-batches, every batch collapsing into the
+    persisted per-URL register under frontier_compose's own
+    latest-lastmod / first-changefreq / max-priority law (pure
+    per-column MAX/MIN — idempotent + associative, zero batch
+    bookkeeping, crash-safe swap). The frontier then composes from the
+    REGISTER with the same demand/gate/delays, and must equal the
+    batch crawl_frontier row with the CLEAN hints bit-for-bit — the
+    oracle IS the batch row's oracle, so the hash also certifies the
+    decoys lost."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.sources.warc import (
+        crawl_frontier,
+        extract_links,
+        parse_robots,
+        robots_extras,
+    )
+    from hgraphstorage_spark.streaming import stream_sitemap_hints
+
+    links = extract_links(_anchored_pages(spark, sf_dir))
+    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "domain string, robots_txt string")
+    sm = _frontier_sitemap(spark, sf_dir)
+    decoys = sm.select(
+        "kind",
+        "loc",
+        F.concat(
+            F.lit("2023-12-"),
+            F.lpad((F.length("loc") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        F.lit("yearly").alias("changefreq"),
+        F.lit(None).cast("decimal(3,1)").alias("priority"),
+    )
+    entries = sm.unionByName(decoys)
+    tmp = tempfile.mkdtemp(prefix="hgs_freshness_stream_")
+    try:
+        entries.repartition(4).write.mode("overwrite").parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(entries.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = stream_sitemap_hints(stream, f"{tmp}/ckpt", f"{tmp}/regs")
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        out = crawl_frontier(
+            links,
+            parse_robots(robots, agent="trainbot"),
+            extras=robots_extras(robots, agent="trainbot"),
+            sitemap_entries=spark.read.parquet(f"{tmp}/regs"),
+            as_of="2024-03-01",
+        )
+        # materialization boundary: the temp register files are deleted
+        # on exit, so the returned frame must not re-read them lazily
+        out = spark.createDataFrame(out.collect(), out.schema)
+        return _canon(out, "sitemap_priority")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _pii_injection() -> F.Column:
     """The arithmetic PII injection shared by the pii_scrub and
     datasheet rows — one home so the Spark generator and the SQL twin
@@ -5474,6 +5543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "revisit_measured": q_revisit_measured,
         "cdx_export": q_cdx_export,
+        "stream_freshness": q_stream_freshness,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,
@@ -8201,6 +8271,10 @@ def oracle_sql() -> dict[str, str]:
     # the stream == batch certificate: the incrementally-maintained
     # frontier must equal the batch capstone, so it shares its oracle
     sql["stream_crawl_frontier"] = _crawl_frontier_oracle_sql(agent="trainbot")
+    # same certificate for the freshness leg (r10): the register-composed
+    # frontier must equal the batch capstone with the CLEAN hints — the
+    # shared oracle is also the proof that the streamed stale decoys lost
+    sql["stream_freshness"] = _crawl_frontier_oracle_sql(agent="trainbot")
     # flagged_filter: cjk-isolate -> tokenize -> edge-strip ->
     # blocklist contains -> ratio -> gate, with the arithmetic
     # suffixes replayed (incl. the unsegmented-CJK character fallback)

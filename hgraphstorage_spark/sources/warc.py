@@ -1294,6 +1294,34 @@ def frontier_compose(
     )
 
 
+def sitemap_hint_state(entries: DataFrame, loc_col: str = "loc") -> DataFrame:
+    """Per-URL freshness-hint register — the sitemap/feed sibling of
+    :func:`validator_state` (VERDICT r8 task 5 / r9 task 5): collapse
+    hint entries (:func:`parse_sitemaps` / :func:`feed_hints` shape) to
+    ONE row per loc under :func:`frontier_compose`'s own documented
+    duplicate resolution — latest lastmod (MAX), alphabetically-first
+    changefreq (MIN), max priority. Each column's fold is a pure
+    MAX/MIN: idempotent, associative, mergeable — the validator-register
+    algebra — so a streaming register maintained by re-applying this
+    function needs zero batch bookkeeping, and feeding the register
+    BACK into frontier_compose as its ``sitemap_entries`` is exact
+    (compose's internal per-loc agg re-applies the identical law — a
+    no-op on already-collapsed rows). Output keeps the hint-entry
+    shape (kind='url', loc, lastmod, changefreq, priority). One
+    loc-keyed agg with map-side partials; register size O(distinct
+    hinted URLs)."""
+    return (
+        entries.filter(F.col("kind") == "url")
+        .groupBy(F.col(loc_col).alias("loc"))
+        .agg(
+            F.max("lastmod").alias("lastmod"),
+            F.min("changefreq").alias("changefreq"),
+            F.max("priority").alias("priority"),
+        )
+        .select(F.lit("url").alias("kind"), "loc", "lastmod", "changefreq", "priority")
+    )
+
+
 def feed_hints(feed_entries: DataFrame) -> DataFrame:
     """Adapt :func:`parse_feeds` output to the sitemap-hint shape
     :func:`crawl_frontier` / :func:`frontier_compose` consume — a feed

@@ -440,6 +440,49 @@ def stream_validator_register(
     )
 
 
+def stream_sitemap_hints(
+    stream_entries: DataFrame,
+    checkpoint_dir: str,
+    register_path: str,
+    loc_col: str = "loc",
+):
+    """Incrementally maintained freshness-hint register — the sitemap/
+    feed leg of the incremental frontier (VERDICT r8 task 5): hint
+    entries arrive as a stream (each wave's ``parse_sitemaps`` /
+    ``feed_hints`` output) and every micro-batch collapses into the
+    persisted per-URL register via ``sources.warc.sitemap_hint_state``
+    — latest lastmod, alphabetically-first changefreq, max priority,
+    each a pure MAX/MIN, so like the validator register the merge is
+    idempotent + associative and foreachBatch redelivery needs no
+    batch-id bookkeeping (re-merging a batch is a no-op by algebra).
+    Because the law IS ``frontier_compose``'s documented duplicate
+    resolution, feeding the register to frontier_compose as
+    ``sitemap_entries`` yields bit-for-bit the batch frontier over
+    every hint ever streamed (the shared-oracle certificate, the
+    demand sibling of :func:`stream_crawl_frontier`). State: one row
+    per hinted URL, ever. Publishing uses the same crash-safe atomic
+    swap as the other registers.
+
+    Returns the started StreamingQuery (caller stops it)."""
+    from hgraphstorage_spark.sources.warc import sitemap_hint_state
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new = sitemap_hint_state(batch_df, loc_col=loc_col)
+        cur = _read_register(spark, register_path)
+        merged = (
+            new if cur is None else sitemap_hint_state(cur.unionByName(new))
+        )
+        _swap_register(spark, merged, register_path)
+
+    return (
+        stream_entries.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
 def frontier_agg_from_register(spark, register_path: str) -> DataFrame:
     """The (url, n_inlinks, n_sources) demand frame from a
     :func:`stream_crawl_frontier` register — feed it to

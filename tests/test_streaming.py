@@ -1012,3 +1012,63 @@ class TestStreamValidatorRegister:
             for r in spark.read.parquet(f"{tmpdir}/regs").collect()
         }
         assert again == want
+
+
+class TestStreamSitemapHints:
+    def test_stream_register_equals_batch_state(self, spark, tmpdir):
+        """The freshness-hint register law (r10): hint entries stream
+        through micro-batches; the register must equal batch
+        sitemap_hint_state over everything streamed (latest lastmod /
+        first changefreq / max priority — frontier_compose's own
+        duplicate resolution), and full redelivery with a fresh
+        checkpoint leaves it unchanged (idempotent by algebra)."""
+        from decimal import Decimal
+
+        from hgraphstorage_spark.sources.warc import sitemap_hint_state
+        from hgraphstorage_spark.streaming import stream_sitemap_hints
+
+        rows = [
+            # url A: stale decoy must lose all three folds
+            ("url", "https://t.com/a", "2024-02-01", "daily", Decimal("0.5")),
+            ("url", "https://t.com/a", "2023-12-31", "yearly", None),
+            # url B: NULL lastmod loses to any dated entry; priority max
+            ("url", "https://t.com/b", None, "weekly", Decimal("0.9")),
+            ("url", "https://t.com/b", "2024-01-15", "monthly", Decimal("0.2")),
+            # sitemapindex rows are not hints and must be filtered out
+            ("sitemapindex", "https://t.com/sub.xml", None, None, None),
+        ]
+        entries = spark.createDataFrame(
+            rows,
+            "kind string, loc string, lastmod string, changefreq string, "
+            "priority decimal(3,1)",
+        )
+        entries.repartition(3).write.mode("overwrite").parquet(f"{tmpdir}/src")
+
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema(entries.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmpdir}/src")
+            )
+            q = stream_sitemap_hints(stream, f"{tmpdir}/{ckpt}", f"{tmpdir}/regs")
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        def snap(df):
+            return {
+                r["loc"]: (r["lastmod"], r["changefreq"], r["priority"])
+                for r in df.collect()
+            }
+
+        run("ckpt1")
+        got = snap(spark.read.parquet(f"{tmpdir}/regs"))
+        want = snap(sitemap_hint_state(entries))
+        assert got == want
+        assert got["https://t.com/a"] == ("2024-02-01", "daily", Decimal("0.5"))
+        assert got["https://t.com/b"] == ("2024-01-15", "monthly", Decimal("0.9"))
+        assert "https://t.com/sub.xml" not in got
+        # full redelivery: fresh checkpoint, same files, same register
+        run("ckpt2")
+        assert snap(spark.read.parquet(f"{tmpdir}/regs")) == want
