@@ -2095,30 +2095,81 @@ def q_datasheet(spark, sf_dir):
     normalized synthetic URL duplicates an earlier one within the
     source (1 - distinct/total — the keeper fraction's complement).
 
-    Scale shape: the PII scrub, URL normalization, and token/char
-    metrics are all zero-shuffle projections; quality_filter's token
-    histogram is the one extra aggregation, joined back on doc_id; the
-    final agg is source-keyed with map-side partials."""
-    from hgraphstorage_spark.pipeline import quality_filter
+    Round 10 (v3 — VERDICT r8 task 6): three more card columns, each
+    composed from already-certified machinery on its own demo/derived
+    column: ``phrase_flag_rate`` — the fraction of docs the multi-word
+    blocklist gate flags, over the SAME %5-cycled suffix column the
+    phrase_filter row certifies (the raw corpus contains no blocklisted
+    phrases; all-zero certifies nothing); ``mean_fk_grade`` — mean
+    Flesch-Kincaid grade over the punctuated-corpus convention the
+    readability row certifies (per-doc DECIMAL(18,4) grades summed
+    EXACTLY, then one double divide — order-independent, so the hash
+    holds); ``md_keep_rate`` — structured-extraction coverage, kept
+    blocks / total blocks over the skeleton-wrapped corpus the
+    structured_md row certifies.
+
+    Scale shape: the PII scrub, URL normalization, phrase gate, and
+    token/char metrics are all zero-shuffle projections; readability
+    and structured extraction are zero-shuffle too; quality_filter's
+    token histogram is the one extra aggregation, joined back on
+    doc_id; the final agg is source-keyed with map-side partials."""
+    from hgraphstorage_spark.pipeline import flagged_phrases, quality_filter
     from hgraphstorage_spark.pipeline.dedup import url_normalized
+    from hgraphstorage_spark.pipeline.extraction import extract_structured
     from hgraphstorage_spark.pipeline.pii import PII_PLACEHOLDER_RE, pii_scrub
-    from hgraphstorage_spark.pipeline.text import _n_tokens
+    from hgraphstorage_spark.pipeline.text import _n_tokens, readability_scores
 
     docs = _t(spark, sf_dir, "documents")
     passes = quality_filter(docs).select("doc_id", "passes")
+    i = F.col("doc_id")
+    ph_suffix = (
+        F.when(i % 5 == 0, F.lit(" free money now"))
+        .when(i % 5 == 1, F.lit(" money free now"))
+        .when(i % 5 == 2, F.lit(" 禁止词汇"))
+        .when(i % 5 == 3, F.lit(" Free-Money!"))
+        .otherwise(F.lit(""))
+    )
+    phrases = flagged_phrases(
+        docs.select("doc_id", F.concat(F.col("text"), ph_suffix).alias("text")),
+        ["free money", "禁止词汇"],
+    ).select("doc_id", (~F.col("passes")).cast("int").alias("_phr"))
+    read = readability_scores(
+        docs.select(
+            "doc_id", F.regexp_replace("text", " a ", ". ").alias("text")
+        )
+    ).select("doc_id", F.col("fk_grade").alias("_fk"))
+    structured = extract_structured(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(_SB_PRE), F.coalesce(F.col("text"), F.lit("")), F.lit(_SB_POST)
+            ).alias("html"),
+        ),
+        stopwords=_MC_STOPS,
+    ).select("doc_id", "n_blocks", "n_kept_blocks")
     enriched = _with_synthetic_urls(docs).withColumn(
         "_pii_text", F.concat(F.col("text"), _pii_injection())
     )
     scrub = pii_scrub(enriched, text_col="_pii_text")
     pii_hits = F.regexp_count(F.col("text_clean"), F.lit(PII_PLACEHOLDER_RE))
-    per = scrub.join(passes, "doc_id").select(
-        "source",
-        "lang",
-        F.length("text").alias("_chars"),
-        _n_tokens(F.col("text")).alias("_toks"),
-        F.col("passes").cast("int").alias("_p"),
-        pii_hits.alias("_pii"),
-        url_normalized(F.col("url")).alias("_un"),
+    per = (
+        scrub.join(passes, "doc_id")
+        .join(phrases, "doc_id")
+        .join(read, "doc_id", "left")
+        .join(structured, "doc_id")
+        .select(
+            "source",
+            "lang",
+            F.length("text").alias("_chars"),
+            _n_tokens(F.col("text")).alias("_toks"),
+            F.col("passes").cast("int").alias("_p"),
+            pii_hits.alias("_pii"),
+            url_normalized(F.col("url")).alias("_un"),
+            "_phr",
+            "_fk",
+            "n_blocks",
+            "n_kept_blocks",
+        )
     )
     out = per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2130,8 +2181,23 @@ def q_datasheet(spark, sf_dir):
         F.round(
             F.lit(1.0) - F.countDistinct("_un") / F.count(F.lit(1)), 6
         ).cast("decimal(18,6)").alias("url_dup_rate"),
+        F.round(F.avg("_phr"), 6).cast("decimal(18,6)").alias("phrase_flag_rate"),
+        # exact DECIMAL sum, ONE double divide: order-independent mean
+        F.round(
+            F.sum("_fk").cast("double") / F.count("_fk"), 6
+        ).cast("decimal(18,6)").alias("mean_fk_grade"),
+        F.round(
+            F.sum("n_kept_blocks").cast("double") / F.sum("n_blocks"), 6
+        ).cast("decimal(18,6)").alias("md_keep_rate"),
     )
-    return _canon(out, "quality_pass_rate", "url_dup_rate")
+    return _canon(
+        out,
+        "quality_pass_rate",
+        "url_dup_rate",
+        "phrase_flag_rate",
+        "mean_fk_grade",
+        "md_keep_rate",
+    )
 
 
 def q_betweenness(spark, sf_dir):
@@ -7597,6 +7663,52 @@ def _hyperball_nf_cte_sql(rounds: int, p: int, parts: list, tail: str | None = N
     return "".join(parts) + " " + " UNION ALL ".join(tails)
 
 
+# One home for the readability replay (sentence terminators, ASCII
+# letter-run words, vowel-group syllables with the silent-'e' rule, both
+# score formulas as identical double arithmetic): sql["readability"] uses
+# it standalone; the r10 datasheet embeds it as a subquery for the
+# per-source mean FK grade.
+_READABILITY_ORACLE_SQL = r"""
+        WITH d2 AS (
+          SELECT doc_id, regexp_replace(text, ' a ', '. ', 'g') AS t FROM documents
+        ),
+        f AS (
+          SELECT doc_id,
+                 len(list_filter(
+                   list_transform(
+                     string_split(regexp_replace(trim(t), '([.!?]+)([ \t\n\x0B\f\r]+|$)',
+                                                 '\1' || chr(1), 'g'), chr(1)),
+                     x -> trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g'))),
+                   x -> regexp_matches(x, '[^.!? \t\n\x0B\f\r]')))::BIGINT AS n_sentences,
+                 regexp_extract_all(lower(t), '[a-z]+') AS words
+          FROM d2
+        ),
+        c AS (
+          SELECT doc_id, n_sentences,
+                 len(words)::BIGINT AS n_words,
+                 COALESCE(list_sum(list_transform(words, w ->
+                   greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))
+                     - CASE WHEN regexp_matches(w, 'e$')
+                                 AND NOT regexp_matches(w, 'le$')
+                                 AND len(regexp_extract_all(w, '[aeiouy]+')) >= 2
+                            THEN 1 ELSE 0 END))), 0)::BIGINT AS n_syllables
+          FROM f
+        )
+        SELECT doc_id, n_sentences, n_words, n_syllables,
+               (CASE WHEN n_words > 0 THEN
+                 round((206.835)::DOUBLE
+                       - (1.015)::DOUBLE * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+                       - (84.6)::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 4)::DECIMAL(18,4)
+               END)::VARCHAR AS flesch_reading_ease,
+               (CASE WHEN n_words > 0 THEN
+                 round((0.39)::DOUBLE * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
+                       + (11.8)::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE)
+                       - (15.59)::DOUBLE, 4)::DECIMAL(18,4)
+               END)::VARCHAR AS fk_grade
+        FROM c
+    """
+
+
 def _effective_diameter_oracle_sql(rounds: int = 3, p: int = 4, q: float = 0.9) -> str:
     """DuckDB replay of ``q_effective_diameter``: the same register
     rounds as :func:`_hyperball_oracle_sql`, then the smallest-t fold —
@@ -8213,6 +8325,36 @@ def oracle_sql() -> dict[str, str]:
             _ds_clean = f"regexp_replace({_ds_clean}, '{_pq}', '{_plain[_k][1]}', 'g')"
         else:
             _ds_clean = _gated_clean(_k, _ds_clean, "t")
+    # shared phrase-gate fragments (ONE home with sql["phrase_filter"]
+    # below, so the datasheet's incidence column and the phrase row's
+    # replay cannot drift): the %5-cycled demo suffix, the normalization
+    # chain, and the IDENTICAL compiled alternation
+    from hgraphstorage_spark.pipeline.text import CJK_ISOLATE_RE as _CJK_RE
+    from hgraphstorage_spark.pipeline.text import (
+        compile_phrase_pattern as _cpp,
+    )
+    _pf_pat = _cpp(["free money", "禁止词汇"]).replace("'", "''")
+    _PF_SUFFIX_SQL = """(CASE WHEN doc_id % 5 = 0 THEN ' free money now'
+                               WHEN doc_id % 5 = 1 THEN ' money free now'
+                               WHEN doc_id % 5 = 2 THEN ' 禁止词汇'
+                               WHEN doc_id % 5 = 3 THEN ' Free-Money!'
+                               ELSE '' END)"""
+
+    def _pf_padded_sql(txt: str) -> str:
+        return (
+            "' ' || replace(trim(regexp_replace("
+            f"regexp_replace(lower({txt}), '{_CJK_RE}', ' \\1 ', 'g'), "
+            r"'[^\p{L}0-9]+', ' ', 'g')), ' ', '  ') || ' '"
+        )
+
+    # datasheet v3 (VERDICT r8 task 6 / r9 task 7): + flagged-phrase
+    # incidence (over the same %5-suffix demo column the phrase_filter
+    # row certifies — the raw corpus has no blocklisted phrases, and an
+    # all-zero column certifies nothing), + mean FK grade (the
+    # readability replay embedded per doc; exact DECIMAL(18,4) sums so
+    # the mean is order-independent), + structured-extraction coverage
+    # (kept blocks / total blocks over the skeleton-wrapped corpus —
+    # the structured_md replay embedded)
     sql["datasheet"] = rf"""
         WITH {_QF_CTES},
         pass AS (SELECT doc_id, {_QF_PASSES} AS passes FROM r),
@@ -8222,16 +8364,29 @@ def oracle_sql() -> dict[str, str]:
                        len(regexp_extract_all({_ds_clean}, '{_PII_PH_RE}'))::BIGINT
                          AS pii_hits
                 FROM pw),
+        phw AS (SELECT doc_id, text || {_PF_SUFFIX_SQL} AS t FROM documents),
+        ph AS (SELECT doc_id,
+                      (len(regexp_extract_all({_pf_padded_sql("t")}, '{_pf_pat}')) > 0)::INT
+                        AS phr
+               FROM phw),
+        rd AS (SELECT doc_id, fk_grade::DECIMAL(18,4) AS fk
+               FROM ({_READABILITY_ORACLE_SQL})),
+        sm AS (SELECT doc_id, n_blocks, n_kept_blocks
+               FROM ({_structured_md_oracle_sql()})),
         p AS (
           SELECT d.source, d.lang, length(d.text) AS chars,
                  CASE WHEN length(trim(d.text)) = 0 THEN 0
                       ELSE array_length(regexp_split_to_array(trim(d.text), '[ \t\n\x0b\f\r]+')) END AS toks,
                  CASE WHEN pass.passes THEN 1 ELSE 0 END AS p,
-                 pii.pii_hits, u.url_norm
+                 pii.pii_hits, u.url_norm, ph.phr, rd.fk,
+                 sm.n_blocks, sm.n_kept_blocks
           FROM documents d
           JOIN pass ON d.doc_id = pass.doc_id
           JOIN pii ON d.doc_id = pii.doc_id
           JOIN u ON d.doc_id = u.doc_id
+          JOIN ph ON d.doc_id = ph.doc_id
+          LEFT JOIN rd ON d.doc_id = rd.doc_id
+          JOIN sm ON d.doc_id = sm.doc_id
         )
         SELECT source, count(*)::BIGINT AS n_docs,
                sum(toks)::BIGINT AS total_tokens,
@@ -8240,7 +8395,12 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT lang)::BIGINT AS n_langs,
                sum(pii_hits)::BIGINT AS pii_hits,
                CAST(round(1 - count(DISTINCT url_norm)::DOUBLE / count(*), 6)
-                    AS DECIMAL(18,6))::VARCHAR AS url_dup_rate
+                    AS DECIMAL(18,6))::VARCHAR AS url_dup_rate,
+               CAST(round(avg(phr), 6) AS DECIMAL(18,6))::VARCHAR AS phrase_flag_rate,
+               CAST(round(sum(fk)::DOUBLE / count(fk), 6)
+                    AS DECIMAL(18,6))::VARCHAR AS mean_fk_grade,
+               CAST(round(sum(n_kept_blocks)::DOUBLE / sum(n_blocks), 6)
+                    AS DECIMAL(18,6))::VARCHAR AS md_keep_rate
         FROM p GROUP BY source
     """
     sql["corpus_report"] = r"""
@@ -8279,7 +8439,6 @@ def oracle_sql() -> dict[str, str]:
     # blocklist contains -> ratio -> gate, with the arithmetic
     # suffixes replayed (incl. the unsegmented-CJK character fallback)
     from hgraphstorage_spark.pipeline.extraction import TOKEN_NORM_RE as _TNR
-    from hgraphstorage_spark.pipeline.text import CJK_ISOLATE_RE as _CJK_RE
     _ff_ratio = (
         "CAST(round(n_flagged::DOUBLE / greatest(n_tokens, 1), 6) AS DECIMAL(18,6))"
     )
@@ -8312,26 +8471,16 @@ def oracle_sql() -> dict[str, str]:
     """
     # phrase_filter: replay the normalization chain (lower → cjk
     # isolate → non-alnum collapse → trim → boundary doubling → pad)
-    # and count with the IDENTICAL compiled alternation
-    from hgraphstorage_spark.pipeline.text import (
-        compile_phrase_pattern as _cpp,
-    )
-    _pf_pat = _cpp(["free money", "禁止词汇"]).replace("'", "''")
-    sql["phrase_filter"] = rf"""
+    # and count with the IDENTICAL compiled alternation — the suffix /
+    # padding / pattern fragments are shared with the datasheet's
+    # phrase_flag_rate column (defined once above it)
+    sql["phrase_filter"] = f"""
         WITH w AS (
-          SELECT doc_id,
-                 text || (CASE WHEN doc_id % 5 = 0 THEN ' free money now'
-                               WHEN doc_id % 5 = 1 THEN ' money free now'
-                               WHEN doc_id % 5 = 2 THEN ' 禁止词汇'
-                               WHEN doc_id % 5 = 3 THEN ' Free-Money!'
-                               ELSE '' END) AS t
+          SELECT doc_id, text || {_PF_SUFFIX_SQL} AS t
           FROM documents
         ),
         n AS (
-          SELECT doc_id,
-                 ' ' || replace(trim(regexp_replace(
-                     regexp_replace(lower(t), '{_CJK_RE}', ' \1 ', 'g'),
-                     '[^\p{{L}}0-9]+', ' ', 'g')), ' ', '  ') || ' ' AS padded
+          SELECT doc_id, {_pf_padded_sql("t")} AS padded
           FROM w
         )
         SELECT doc_id,
@@ -9178,45 +9327,7 @@ def oracle_sql() -> dict[str, str]:
     # sentence_dedup, letter-run words, vowel-group syllables with the
     # silent-'e' rule, then the two Flesch formulas in DOUBLE with the
     # identical left-associated operation order
-    sql["readability"] = r"""
-        WITH d2 AS (
-          SELECT doc_id, regexp_replace(text, ' a ', '. ', 'g') AS t FROM documents
-        ),
-        f AS (
-          SELECT doc_id,
-                 len(list_filter(
-                   list_transform(
-                     string_split(regexp_replace(trim(t), '([.!?]+)([ \t\n\x0B\f\r]+|$)',
-                                                 '\1' || chr(1), 'g'), chr(1)),
-                     x -> trim(regexp_replace(x, '[ \t\n\x0B\f\r]+', ' ', 'g'))),
-                   x -> regexp_matches(x, '[^.!? \t\n\x0B\f\r]')))::BIGINT AS n_sentences,
-                 regexp_extract_all(lower(t), '[a-z]+') AS words
-          FROM d2
-        ),
-        c AS (
-          SELECT doc_id, n_sentences,
-                 len(words)::BIGINT AS n_words,
-                 COALESCE(list_sum(list_transform(words, w ->
-                   greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))
-                     - CASE WHEN regexp_matches(w, 'e$')
-                                 AND NOT regexp_matches(w, 'le$')
-                                 AND len(regexp_extract_all(w, '[aeiouy]+')) >= 2
-                            THEN 1 ELSE 0 END))), 0)::BIGINT AS n_syllables
-          FROM f
-        )
-        SELECT doc_id, n_sentences, n_words, n_syllables,
-               (CASE WHEN n_words > 0 THEN
-                 round((206.835)::DOUBLE
-                       - (1.015)::DOUBLE * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
-                       - (84.6)::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 4)::DECIMAL(18,4)
-               END)::VARCHAR AS flesch_reading_ease,
-               (CASE WHEN n_words > 0 THEN
-                 round((0.39)::DOUBLE * (n_words::DOUBLE / greatest(n_sentences, 1)::DOUBLE)
-                       + (11.8)::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE)
-                       - (15.59)::DOUBLE, 4)::DECIMAL(18,4)
-               END)::VARCHAR AS fk_grade
-        FROM c
-    """
+    sql["readability"] = _READABILITY_ORACLE_SQL
     # equi-depth twin of numeric_histogram: rank over the (value, id)
     # total order, bin = 1 + floor((rn-1)*k/N); lo/hi are element
     # selections so no rounding is needed
