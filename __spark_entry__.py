@@ -5216,7 +5216,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver round) rotates past the window; its slot carries the
         # FIM infilling transform so the driver hashes the
         # training-transform family's newest member
-        "fim": q_fim,
+        # r10 twenty-second rotation: fim (hashed green r7-r9, three
+        # straight contacts; the infilling replay stays under its full
+        # pytest oracle and the training-transform family keeps
+        # unimax_mix + topic_split in-window) gives its slot to CDXJ
+        # interchange OUT — format_cdxj, the write half of the index
+        # tier, in-window the round it was built
+        "cdx_export": q_cdx_export,
         # r7 eleventh rotation: sentence_dedup (hashed green r6; the
         # sentence-terminator machinery stays in-window inside the
         # readability oracle, and the hash-keyed unit-dedup counting
@@ -5225,7 +5231,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the remove-ALL-occurrences rule at the blank-run granularity,
         # in-window the round it was built
         "boilerplate_paragraph": q_boilerplate_paragraph,
-        "readability": q_readability,
+        # r10 twenty-second rotation: readability (hashed green r6-r9,
+        # FOUR straight contacts; its ENTIRE per-doc replay now also
+        # runs inside the in-window datasheet v3 oracle as the
+        # mean_fk_grade column, so the machinery stays driver-checked
+        # every round) gives its slot to the multi-word phrase
+        # blocklist gate — a declared r10 candidate, driver-hashed now
+        "phrase_filter": q_phrase_filter,
         # -- SURVEY §2 reference-surface core + r4/r5 rotation (13-31) --
         # r5 window refresh (VERDICT r4 task 1): scan_nodes_by_label /
         # filter_relations / list_properties / traversal_in /
@@ -5332,7 +5344,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # politeness -> per-host rank, wiring-certified in-window the
         # round it was built
         "crawl_frontier": q_crawl_frontier,
-        "lang_confusion": q_lang_confusion,
+        # r10 twenty-second rotation: lang_confusion (hashed green
+        # r6-r9, four straight contacts; the lang-id scoring chain
+        # stays under its full pytest oracle and the routing family
+        # keeps flagged_filter's tokenization + domain_quality
+        # in-window) gives its slot to the empirical per-URL change
+        # economics — a declared r10 candidate, driver-hashed now with
+        # the NULL-digest guard live
+        "change_rate": q_change_rate,
         # r7 twelfth rotation: ann_recall (hashed green r6; the banded
         # vector-signature core runs in-window inside stream_embed_dedup's
         # md5-plane oracle, and similarity keeps ivfpq_topk + mmr_rerank +
@@ -5385,7 +5404,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-oracled and streaming keeps four in-window rows) rotates
         # past the window; its slot carries curriculum ordering so the
         # driver hashes the training-order family's flagship
-        "curriculum": q_curriculum,
+        # r10 twenty-second rotation: curriculum (hashed green r7-r9,
+        # three straight contacts; the two-pass distributed rank stays
+        # under its full pytest oracle and inside past-window replays)
+        # gives its slot to the per-URL validator register law — a
+        # declared r10 candidate, driver-hashed now
+        "validator_state": q_validator_state,
         # r9 twenty-first swap: domain_stats (hashed green r6-r8, three
         # straight contacts; the registrable-host accounting stays
         # under its pytest oracle and the crawl family keeps 10+
@@ -5400,7 +5424,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # under tests/test_indexes.py + its pytest oracle) rotates past
         # the window; its slot carries the continuous-aggregate rollup
         # merge so the driver hashes the mergeable-summary law directly
-        "rollup_merge": q_rollup_merge,
+        # r10 twenty-second rotation: rollup_merge (hashed green r7-r9,
+        # three straight contacts; the mergeable-summary law stays
+        # in-window via the stream_quantile + stream_hll register
+        # merges — the same algebra) gives its slot to the streaming
+        # freshness-hint register, built this round: a REAL
+        # 4-micro-batch stream whose register-composed frontier must
+        # equal the batch capstone with stale decoys streamed in
+        "stream_freshness": q_stream_freshness,
         # r6 ninth rotation: pq_topk (hashed green r4+r5; the full PQ
         # encode+ADC chain replays inside the in-window ivfpq_topk
         # oracle), mutation_cascade and snapshot_time_travel (hashed
@@ -5416,7 +5447,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver round) gives its slot to the jusText-tier main-content
         # extractor — the crawl tier's round-7 flagship, in-window the
         # round it was built
-        "main_content": q_main_content,
+        # r10 twenty-second rotation: main_content (hashed green r7-r9,
+        # three straight contacts; the jusText-tier replay stays under
+        # its full pytest oracle and the extraction family keeps
+        # structured_md + page_meta in-window, plus the datasheet v3
+        # md_keep_rate column embedding the structured replay) gives
+        # its slot to the measured revisit economy — url_change_rate
+        # composed INTO revisit_plan via the r10 measured override,
+        # built this round
+        "revisit_measured": q_revisit_measured,
         # r9 nineteenth rotation: phrases (hashed green r6-r8; the
         # text-stats family keeps readability + tokenizer_fertility
         # in-window, plus the incoming flagged_filter token machinery)
@@ -5424,12 +5463,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Boldi-Vigna application, parity-green since r8, driver-hashed
         # now
         "hyperball_centrality": q_hyperball_centrality,
-        "hits": q_hits,
+        # r10 twenty-second rotation: hits (hashed green r6-r9, four
+        # straight contacts; the mutual-recursion power iteration stays
+        # under its full pytest oracle and the graph-analytics family
+        # keeps hyperball + hyperball_centrality + the incoming
+        # effective_diameter in-window) gives its slot to the HyperBall
+        # effective-diameter report — built this round on the r8 NF
+        # table (VERDICT r8 task 4 closes)
+        "effective_diameter": q_effective_diameter,
         # r7 twelfth rotation: zipf (hashed green r6; the 1-row log-log
         # fit stays pytest-oracled; text-stats keeps readability +
         # phrases + tokenizer_fertility in-window) gives its slot to the
         # context-sensitive main-content extractor
-        "main_content_ctx": q_main_content_ctx,
+        # r10 twenty-second rotation: main_content_ctx (hashed green
+        # r7-r9, three straight contacts; same family evidence as
+        # main_content above) gives its slot to the validator register
+        # STREAM twin — a declared r10 candidate, driver-hashed now
+        # (merge idempotence IS the stream == batch certificate)
+        "stream_validator": q_stream_validator,
         # -- bulk ingest (32-33) --
         # r7 rotation: hackage_etl (hashed green r1-r6 — six straight
         # contacts — and STILL timed every round by bench.py as the
@@ -5597,19 +5648,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "mmr_rerank": q_mmr_rerank,
         "domain_stats": q_domain_stats,
-        # r9 additions past the window (declared r10 rotation
-        # candidates): the per-URL validator register law (batch) and
-        # its REAL 4-micro-batch stream twin sharing the same oracle —
-        # merge idempotence IS the stream == batch certificate — plus
-        # the multi-word phrase blocklist gate
-        "validator_state": q_validator_state,
-        "stream_validator": q_stream_validator,
-        "phrase_filter": q_phrase_filter,
-        "change_rate": q_change_rate,
-        "effective_diameter": q_effective_diameter,
-        "revisit_measured": q_revisit_measured,
-        "cdx_export": q_cdx_export,
-        "stream_freshness": q_stream_freshness,
+        # r10 twenty-second rotation, rotated-out rows (fim r7-r9,
+        # readability r6-r9, lang_confusion r6-r9, curriculum r7-r9,
+        # rollup_merge r7-r9, main_content r7-r9, hits r6-r9,
+        # main_content_ctx r7-r9 — three-to-four straight contacts
+        # each; see the in-window slot comments for where each one's
+        # machinery stays driver-checked — notably readability's full
+        # replay and the structured-extraction replay now run INSIDE
+        # the in-window datasheet v3 oracle every driver round)
+        "fim": q_fim,
+        "readability": q_readability,
+        "lang_confusion": q_lang_confusion,
+        "curriculum": q_curriculum,
+        "rollup_merge": q_rollup_merge,
+        "main_content": q_main_content,
+        "hits": q_hits,
+        "main_content_ctx": q_main_content_ctx,
         # r7 thirteenth swap, rotated-out row (hashed green r6;
         # machinery kept per the in-window slot comment)
         "calibration": q_calibration,

@@ -90,9 +90,12 @@ def test_window_covers_required_operators():
         # twin, zorder_key/cms_tokens → pytest oracles + the layout and
         # sketch slots below, stream_heavy_hitters → the four remaining
         # real-stream rows)
+        # (curriculum / rollup_merge / fim out in the r10 twenty-second
+        # rotation after r7-r9 green — the two-pass rank and infilling
+        # replays stay pytest-oracled, the mergeable-summary law stays
+        # in-window via the stream register rows)
         "stream_hll", "audio_match", "video_plan", "corpus_diff",
-        "curriculum", "rollup_merge", "fim", "rowgroup_stats",
-        "skipping_report",
+        "rowgroup_stats", "skipping_report",
         # r7 eleventh rotation: the six operators BUILT this round,
         # in-window the round they were built (the r6 bar). OUT:
         # sentence_dedup / quantile_histogram / vocab_drift /
@@ -102,7 +105,10 @@ def test_window_covers_required_operators():
         # curriculum's two-pass rank, psi_drift, stream_hll's batch
         # twin, topic_terms' partitioned rank, topic_split's full CTE
         # chain)
-        "main_content", "tokenizer_fertility", "boilerplate_paragraph",
+        # (main_content(+_ctx) out in the r10 twenty-second rotation
+        # after r7-r9 green — extraction keeps structured_md + page_meta
+        # in-window and the structured replay runs inside datasheet v3)
+        "tokenizer_fertility", "boilerplate_paragraph",
         "topic_split", "extract_links", "stream_quantile",
         # r7 twelfth rotation: the crawl/PII wave built late in round 7,
         # in-window the round it was built. OUT: corr_matrix /
@@ -112,7 +118,7 @@ def test_window_covers_required_operators():
         # sessionize pytest oracle + rollup_merge, readability+phrases
         # text stats, curriculum's prefix-sum rank chain,
         # stream_embed_dedup's md5-plane signature core)
-        "pii_scrub", "page_meta", "main_content_ctx",
+        "pii_scrub", "page_meta",
         "sitemap_ingest", "robots_extras",
         # r7 thirteenth swap: the crawl-tier capstone composition in for
         # calibration (hashed green r6; quantile-cut machinery stays via
@@ -156,10 +162,9 @@ def test_window_covers_required_operators():
         # hll_distinct / phrases / hits / zipf so the driver hashes
         # them the round they were built)
         # (phrases out in the r9 nineteenth rotation after r6-r8 green;
-        # text stats keep readability + tokenizer_fertility + the
-        # incoming flagged_filter; its slot carries HyperBall harmonic
-        # centrality)
-        "hits",
+        # hits out in the r10 twenty-second after r6-r9 green — the
+        # graph-analytics family keeps hyperball + hyperball_centrality
+        # + effective_diameter in-window)
         # r6 sixth rotation: gap-based sessionization (the
         # session_window streaming flavor keeps its 'sessionize' row
         # past the window), the IR-eval metric report, and MinHash fuzzy
@@ -191,15 +196,19 @@ def test_window_covers_required_operators():
         # keeps media_pairs + search_eval + stream_embed_dedup and its
         # slot carries the CDX fetch plan. domain_stats out in the
         # twenty-first after r6-r8 green; its slot carries the WARC
-        # random-access roundtrip)
-        "readability",
+        # random-access roundtrip. readability out in the r10
+        # twenty-second after r6-r9 green — its FULL per-doc replay now
+        # runs inside the in-window datasheet v3 oracle every round)
         # r6 rotation (VERDICT r5 task 1): the six registered-but-never-
         # hashed r5 operators, in-window so the driver hashes the
         # profiling / streaming-DSIR / lang-eval / ANN-preflight wave
         # (modularity out in the r8 fifteenth rotation after r6+r7
         # green; the analytics family keeps hits + link_graph in-window
         # and its slot carries the extended per-source datasheet)
-        "numeric_histogram", "datasheet", "lang_confusion",
+        # (lang_confusion out in the r10 twenty-second rotation after
+        # r6-r9 green; the lang-id chain stays pytest-oracled and the
+        # routing family keeps flagged_filter + domain_quality)
+        "numeric_histogram", "datasheet",
         # r6 second rotation: the crawl-ingest story (WARC fixture read,
         # URL dedup, media pair core, Misra-Gries stream) plus the NB
         # quality classifier and n-gram novelty — in-window the round
@@ -238,6 +247,13 @@ def test_window_covers_required_operators():
         # r9 twentieth + twenty-first rotations: the CDX web-archive
         # index tier, also built this round
         "cdx_ingest", "cdx_plan", "cdx_roundtrip",
+        # r10 twenty-second rotation: the four declared r10 candidates
+        # (registered + oracled since r9, driver-hashed now — zero
+        # registered-never-hashed rows remain) plus the four operators
+        # BUILT this round, in-window the round they were built
+        "validator_state", "stream_validator", "phrase_filter",
+        "change_rate", "effective_diameter", "revisit_measured",
+        "cdx_export", "stream_freshness",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
