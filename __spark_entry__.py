@@ -4662,6 +4662,41 @@ def q_cdx_roundtrip(spark, sf_dir):
     ).select("urlkey", "offset", "length", "target_uri", "payload_md5")
 
 
+def q_wet_export(spark, sf_dir):
+    """WET interchange certified end-to-end over the committed fixture
+    shard (sources/warc.py:wet_records + write_warc — the Common Crawl
+    *.warc.wet convention, the text sibling of cdx_export's index
+    interchange): derive conversion records from the fixture responses,
+    WRITE them as a gzip-member WET shard, re-read the written bytes
+    with the ordinary WARC reader, and return per page the target URI,
+    the WARC-Refers-To source id, the payload byte count, and the md5
+    of the re-read extracted text. The oracle is the expected rows as
+    literals — extraction output and record ids are properties of the
+    committed fixture bytes (independently derivable by any WARC+WET
+    toolchain over fixtures/), so a wrong extraction, a lost header, or
+    a write/read framing bug cannot hash equal."""
+    import shutil
+    import tempfile
+
+    from hgraphstorage_spark.sources.warc import read_warc, wet_records, write_warc
+
+    fdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+    tmp = tempfile.mkdtemp(prefix="hgs_wet_export_")
+    try:
+        wet = wet_records(read_warc(spark, fdir))
+        write_warc(wet.coalesce(1), tmp, compress=True).collect()
+        back = read_warc(spark, tmp).select(
+            "target_uri",
+            F.col("headers")["warc-refers-to"].alias("refers_to"),
+            F.col("content_length").alias("n_bytes"),
+            F.md5("payload").alias("text_md5"),
+        )
+        # materialization boundary: the temp shard is deleted on exit
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_crawl_frontier(spark, sf_dir):
     """The crawl-tier CAPSTONE composition (sources/warc.py:
     crawl_frontier): outbound links from the anchored synthetic pages →
@@ -5656,6 +5691,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # machinery stays driver-checked — notably readability's full
         # replay and the structured-extraction replay now run INSIDE
         # the in-window datasheet v3 oracle every driver round)
+        # r10 addition past the window (declared r11 rotation
+        # candidate): the WET text-interchange roundtrip over the
+        # committed fixture bytes
+        "wet_export": q_wet_export,
         "fim": q_fim,
         "readability": q_readability,
         "lang_confusion": q_lang_confusion,
@@ -8891,6 +8930,22 @@ def oracle_sql() -> dict[str, str]:
            'https://www.fixture.example.com/page1?utm_source=feed',
            '57b87c9d79a9395cd77bf815f34c757c')
         ) t(urlkey, "offset", "length", target_uri, payload_md5)
+    """
+    # wet_export: expected rows as literals — extraction output, record
+    # ids, and byte counts are properties of the committed fixture bytes
+    # (independently derivable by any WARC+WET toolchain over fixtures/)
+    sql["wet_export"] = """
+        SELECT * FROM (VALUES
+          ('http://fixture.example.com/page1', '<urn:uuid:resp-1>',
+           207::BIGINT, 'd994dc55ce0215d9282480ef34299962'),
+          ('http://fixture.example.com/plain.txt', '<urn:uuid:resp-2>',
+           64::BIGINT, 'b4890e05db03778e0ea8220ab901695a'),
+          ('http://fixture.example.com/raw', '<urn:uuid:resp-3>',
+           109::BIGINT, 'b5eaa504b311f1e33d35a4d14dad019b'),
+          ('https://www.fixture.example.com/page1?utm_source=feed',
+           '<urn:uuid:resp-4>',
+           194::BIGINT, '0c5a0c49e4b9ee368c3b1018c5cf455e')
+        ) t(target_uri, refers_to, n_bytes, text_md5)
     """
     sql["robots_extras"] = """
         SELECT * FROM (VALUES

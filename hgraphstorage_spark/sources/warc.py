@@ -264,7 +264,9 @@ def html_to_text(html: str) -> str:
     return re.sub(r"\s+", " ", s).strip()
 
 
-def warc_to_documents(records: DataFrame, extract: str = "baseline") -> DataFrame:
+def warc_to_documents(
+    records: DataFrame, extract: str = "baseline", keep_provenance: bool = False
+) -> DataFrame:
     """Response records → a ``documents``-shaped frame:
     (doc_id, url, fetch_date, text, n_chars), with doc_id the xxhash64
     of (uri, date, record_id, shard, rec_idx) — deterministic and
@@ -286,7 +288,11 @@ def warc_to_documents(records: DataFrame, extract: str = "baseline") -> DataFram
     the decoded HTML bodies (non-HTML bodies pass through either way).
 
     Shape: one narrow mapInPandas over the record frame (the payload
-    column never shuffles — doc rows carry text only)."""
+    column never shuffles — doc rows carry text only).
+
+    ``keep_provenance=True`` appends (record_id, shard, rec_idx) so
+    derived frames (e.g. :func:`wet_records`) can point back at their
+    source records."""
     import pandas as pd
 
     if extract not in ("baseline", "main"):
@@ -356,12 +362,138 @@ def warc_to_documents(records: DataFrame, extract: str = "baseline") -> DataFram
             .otherwise(F.col("text"))
             .alias("text"),
         )
+    prov = ["record_id", "shard", "rec_idx"] if keep_provenance else []
     return docs.select(
         F.xxhash64("url", "fetch_date", "record_id", "shard", "rec_idx").alias("doc_id"),
         "url",
         "fetch_date",
         "text",
         F.length("text").cast("long").alias("n_chars"),
+        *prov,
+    )
+
+
+def wet_records(records: DataFrame, extract: str = "baseline") -> DataFrame:
+    """Derive WET conversion records from fetched response records —
+    the Common Crawl ``*.warc.wet`` convention (ISO 28500 'conversion'
+    record type): per response, a ``text/plain`` record whose payload
+    is the UTF-8 extracted text and whose ``WARC-Refers-To`` names the
+    source record (the interchange sibling of
+    :func:`~hgraphstorage_spark.sources.cdx.format_cdxj` — downstream
+    text-only consumers read WET without ever touching the raw HTML
+    crawl). ``extract`` picks the same tier as
+    :func:`warc_to_documents`. Returns the ``WARC_SCHEMA`` shape, so
+    everything that consumes WARC frames (:func:`read_warc` consumers,
+    ``cdx.warc_record_index`` on the written shards) works on WET
+    unchanged; serialize with :func:`write_warc`.
+
+    Shape: extraction is the warc_to_documents pass; the header/payload
+    rebuild is a zero-shuffle projection (text encodes JVM-side)."""
+    docs = warc_to_documents(records, extract=extract, keep_provenance=True)
+    wet_id = F.concat(F.lit("<urn:wet:"), F.hex(F.col("doc_id")), F.lit(">"))
+    payload = F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")
+    staged = docs.select(
+        "shard", "rec_idx", "url", "fetch_date", "record_id",
+        wet_id.alias("_wet_id"), payload.alias("_payload"),
+    )
+    hdr_names = F.array(
+        *[F.lit(x) for x in (
+            "warc-type", "warc-record-id", "warc-target-uri", "warc-date",
+            "warc-refers-to", "content-type", "content-length",
+        )]
+    )
+    hdr_vals = F.array(
+        F.lit("conversion"),
+        F.col("_wet_id"),
+        F.coalesce(F.col("url"), F.lit("")),
+        F.coalesce(F.col("fetch_date"), F.lit("")),
+        F.coalesce(F.col("record_id"), F.lit("")),
+        F.lit("text/plain"),
+        F.length("_payload").cast("string"),
+    )
+    return staged.select(
+        "shard",
+        "rec_idx",
+        F.col("_wet_id").alias("record_id"),
+        F.lit("conversion").alias("warc_type"),
+        F.col("url").alias("target_uri"),
+        F.col("fetch_date").alias("warc_date"),
+        F.lit("text/plain").alias("content_type"),
+        F.length("_payload").cast("long").alias("content_length"),
+        F.col("_payload").alias("payload"),
+        F.map_from_arrays(hdr_names, hdr_vals).alias("headers"),
+    )
+
+
+def write_warc(
+    records: DataFrame,
+    out_dir: str,
+    compress: bool = True,
+    prefix: str = "wet",
+) -> DataFrame:
+    """Serialize a ``WARC_SCHEMA``-shaped frame to WARC shard files —
+    one shard per partition, each record one gzip member when
+    ``compress`` (the Common Crawl layout, so the shards are
+    CDX-indexable by :func:`~hgraphstorage_spark.sources.cdx.
+    warc_record_index` and range-readable). Record headers come from
+    the ``headers`` map (every WARC header survives a
+    read→transform→write round trip); ``Content-Length`` is recomputed
+    by the writer. Returns one stats row per written shard
+    (wet_shard, n_records, n_bytes) — trigger an action to execute.
+
+    File access is the local/posix tier (same contract as
+    ``read_warc_ranges``); ``repartition(n)`` upstream picks the shard
+    count — the 100 TB shape is ~1 GB shards, one writer task each."""
+    import os as _os
+
+    import pandas as pd
+
+    from pyspark import TaskContext
+
+    _CANON = {
+        "warc-type": "WARC-Type",
+        "warc-record-id": "WARC-Record-ID",
+        "warc-target-uri": "WARC-Target-URI",
+        "warc-date": "WARC-Date",
+        "warc-refers-to": "WARC-Refers-To",
+        "warc-profile": "WARC-Profile",
+        "warc-payload-digest": "WARC-Payload-Digest",
+        "content-type": "Content-Type",
+    }
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        recs = []
+        for pdf in batches:
+            for headers, payload in zip(pdf["headers"], pdf["payload"]):
+                # Arrow materializes MapType as a list of (k, v) pairs
+                items = headers.items() if hasattr(headers, "items") else (headers or [])
+                h = {}
+                for k, v in items:
+                    if k == "content-length":
+                        continue  # warc_bytes recomputes it
+                    h[_CANON.get(k, k)] = v
+                recs.append({"headers": h, "payload": bytes(payload)})
+        if not recs:
+            yield pd.DataFrame(
+                {"wet_shard": pd.Series([], dtype="str"),
+                 "n_records": pd.Series([], dtype="int64"),
+                 "n_bytes": pd.Series([], dtype="int64")}
+            )
+            return
+        blob = warc_bytes(recs, compress=compress)
+        _os.makedirs(out_dir, exist_ok=True)
+        suffix = ".warc.wet.gz" if compress else ".warc.wet"
+        path = _os.path.join(out_dir, f"{prefix}-{pid:05d}{suffix}")
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame(
+            {"wet_shard": [path], "n_records": [len(recs)], "n_bytes": [len(blob)]}
+        )
+
+    return records.mapInPandas(
+        run, schema="wet_shard string, n_records long, n_bytes long"
     )
 
 

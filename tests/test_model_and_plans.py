@@ -916,6 +916,77 @@ class TestRound7PlanAudits:
         # partitioning (clustering-subset rule) — ONE exchange total
         assert plan.count("Exchange") == 1, plan.count("Exchange")
 
+    def test_sitemap_hint_state_single_agg_with_partials(self, spark):
+        """The freshness-hint register law (r10) is the same shape as
+        the validator register: ONE loc-keyed agg with map-side
+        partials — a hint stream at 100 TB shuffles register rows, not
+        entries twice; no Python eval."""
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import sitemap_hint_state
+
+        df = spark.createDataFrame(
+            [("url", "https://t.com/a", "2024-01-01", "daily", None)],
+            "kind string, loc string, lastmod string, changefreq string, "
+            "priority decimal(3,1)",
+        )
+        plan = executed_plan(sitemap_hint_state(df))
+        assert plan.count("Exchange") == 1
+        assert "Exchange SinglePartition" not in plan
+        assert "partial_max" in plan or "partial_min" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_revisit_measured_is_one_key_join_no_cartesian(self, spark):
+        """revisit_plan's r10 measured override is ONE urlkey equi-join
+        on the surt expression (broadcast or hash, never cartesian, no
+        Python eval) on top of the otherwise zero-shuffle projection —
+        the history register is O(distinct URLs), the frontier's own
+        scale."""
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import revisit_plan
+
+        env = spark.createDataFrame(
+            [("https://m.com/a", "2024-03-01T00:00:00Z", 200, '"e"',
+              None, None, 172800, None)],
+            "target_uri string, warc_date string, http_status int, etag string, "
+            "last_modified string, last_modified_date date, max_age_sec long, "
+            "expires_date date",
+        )
+        hist = spark.createDataFrame(
+            [("com,m)/a", 12.5)], "urlkey string, est_change_interval_days double"
+        )
+        plan = executed_plan(revisit_plan(env, as_of="2024-03-10", measured=hist))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+            "ShuffledHashJoin" in plan
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_effective_diameter_fold_is_rounds_sized(self, spark):
+        """The effective-diameter fold (r10) runs over the rounds+1-row
+        NF frame: the unpartitioned window is over THAT tiny frame (the
+        graph-sized work already happened inside hyperball's register
+        loop), the 1-row max side is broadcast, and no Python eval
+        appears."""
+        from decimal import Decimal
+
+        from hgraphstorage_spark.analytics import effective_diameter
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        nf = spark.createDataFrame(
+            [(0, Decimal("10.0")), (1, Decimal("90.0")), (2, Decimal("100.0")),
+             (3, Decimal("100.0"))],
+            "round int, nf_est decimal(28,4)",
+        )
+        out = effective_diameter(nf, q=0.9)
+        plan = executed_plan(out)
+        assert "BroadcastExchange" in plan  # the 1-row (t_max, nf_max) side
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        row = out.collect()[0]
+        # NF(1)=90 == 0.9*100 qualifies exactly; interp = (90-90)/(90-10)+0
+        assert row["effective_diameter"] == 1
+        assert row["effective_diameter_interp"] == Decimal("1.000000")
+        assert row["t_max"] == 3
+
     def test_parse_feeds_staged_not_reinlined(self, spark):
         """The feed parser's staged projections must keep each extracted
         field a cheap column attribute — the single-expression form

@@ -137,6 +137,51 @@ class TestWarcSpark:
         again = {r["doc_id"] for r in warc_to_documents(read_warc(spark, warc_dir)).collect()}
         assert again == {r["doc_id"] for r in docs}
 
+    def test_wet_derivation_and_round_trip(self, spark, warc_dir):
+        """WET interchange (r10): responses → conversion records whose
+        payload is the extracted text and WARC-Refers-To the source
+        record; written shards re-read as valid WARC (the parse∘write
+        identity), texts matching warc_to_documents, and the shards are
+        CDX-indexable (gzip-member layout)."""
+        from hgraphstorage_spark.sources.cdx import warc_record_index
+        from hgraphstorage_spark.sources.warc import wet_records, write_warc
+
+        import os as _os
+
+        recs = _sample_records()
+        _os.makedirs(f"{warc_dir}/in", exist_ok=True)
+        with open(f"{warc_dir}/in/shard0.warc", "wb") as f:
+            f.write(warc_bytes(recs))
+        src = read_warc(spark, f"{warc_dir}/in")
+        wet = wet_records(src)
+        rows = wet.collect()
+        assert len(rows) == 2  # responses only
+        assert all(r["warc_type"] == "conversion" for r in rows)
+        assert all(r["content_type"] == "text/plain" for r in rows)
+        refers = {r["headers"]["warc-refers-to"] for r in rows}
+        src_ids = {
+            r["record_id"] for r in src.collect() if r["warc_type"] == "response"
+        }
+        assert refers == src_ids  # every conversion points at its source
+        # write one shard, re-read, texts survive byte-for-byte
+        stats = write_warc(
+            wet.coalesce(1), f"{warc_dir}/wet", compress=True
+        ).collect()
+        assert len(stats) == 1 and stats[0]["n_records"] == 2
+        back = read_warc(spark, f"{warc_dir}/wet").collect()
+        assert len(back) == 2
+        want = {
+            r["url"]: r["text"]
+            for r in warc_to_documents(src).collect()
+        }
+        for r in back:
+            assert r["warc_type"] == "conversion"
+            assert bytes(r["payload"]).decode("utf-8") == want[r["target_uri"]]
+            assert r["headers"]["warc-refers-to"] in src_ids
+        # the written shard is CDX-indexable: one gzip member per record
+        idx = warc_record_index(spark, f"{warc_dir}/wet").collect()
+        assert len(idx) == 2 and all(r["warc_type"] == "conversion" for r in idx)
+
 
 class TestUrlDedup:
     def test_normalization_rules(self, spark):
