@@ -272,6 +272,7 @@ R10_OPS = [
     "effective_diameter",
     "revisit_measured",
     "cdx_export",
+    "wet_export",
 ]
 
 
