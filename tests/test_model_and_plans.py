@@ -987,6 +987,22 @@ class TestRound7PlanAudits:
         assert row["effective_diameter_interp"] == Decimal("1.000000")
         assert row["t_max"] == 3
 
+    def test_wet_records_no_shuffle_beyond_extraction(self, spark):
+        """WET derivation (r10) adds NO shuffle and NO extra Python
+        stage beyond warc_to_documents' own extraction pass: the
+        header/payload rebuild is a JVM-side projection (encode /
+        map_from_arrays), so the payload bytes materialize exactly
+        once per record."""
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.sources.warc import WARC_SCHEMA, wet_records
+
+        df = spark.createDataFrame([], WARC_SCHEMA)
+        plan = executed_plan(wet_records(df))
+        assert "Exchange" not in plan
+        # exactly the ONE Arrow stage warc_to_documents itself runs
+        assert plan.count("ArrowEvalPython") + plan.count("MapInPandas") == 1
+        assert "BatchEvalPython" not in plan
+
     def test_parse_feeds_staged_not_reinlined(self, spark):
         """The feed parser's staged projections must keep each extracted
         field a cheap column attribute — the single-expression form
