@@ -115,6 +115,72 @@ def gzip_member_spans(data: bytes) -> list[tuple[int, int, bytes]]:
     return spans
 
 
+def dechunk_http_body(body: bytes) -> bytes:
+    """Remove HTTP/1.1 chunked transfer framing (RFC 9112 §7.1): parse
+    ``<hex-size>[;ext]CRLF <data> CRLF`` chunks up to the 0-size
+    terminator, ignoring any trailer section. Real crawl WARCs store
+    the raw response bytes, so chunked bodies are common — without
+    this, chunk-size lines leak into extracted text. Malformed framing
+    returns the ORIGINAL bytes (a polite reader salvages the payload
+    rather than dropping the page; the caller already knows the body
+    claimed to be chunked)."""
+    out = []
+    pos = 0
+    n = len(body)
+    try:
+        while pos < n:
+            eol = body.index(b"\r\n", pos)
+            size_token = body[pos:eol].split(b";", 1)[0].strip()
+            size = int(size_token, 16)
+            pos = eol + 2
+            if size == 0:
+                break  # terminal chunk; trailers (if any) are dropped
+            chunk = body[pos : pos + size]
+            if len(chunk) != size:
+                return body  # truncated chunk: salvage raw
+            out.append(chunk)
+            pos += size + 2  # CRLF after each chunk
+        return b"".join(out)
+    except (ValueError, IndexError):
+        return body
+
+
+def decode_http_body(header_block: bytes, body: bytes) -> bytes:
+    """Undo the wire encodings an archived HTTP response carries, in
+    the receiver's order (RFC 9110): Transfer-Encoding chunked framing
+    first, then Content-Encoding gzip/x-gzip/deflate decompression
+    (deflate tries zlib-wrapped then raw per the widespread misuse).
+    ``header_block`` is the raw envelope up to the blank line
+    (lowercased or not — matched case-insensitively per line, so a
+    body containing 'content-encoding:' never triggers). Unknown
+    codings and decode failures return the best bytes so far —
+    salvage, never drop."""
+    te_chunked = False
+    ce = b""
+    for line in header_block.split(b"\r\n"):
+        low = line.lower()
+        if low.startswith(b"transfer-encoding:") and b"chunked" in low:
+            te_chunked = True
+        elif low.startswith(b"content-encoding:"):
+            ce = low.split(b":", 1)[1].strip()
+    if te_chunked:
+        body = dechunk_http_body(body)
+    if ce in (b"gzip", b"x-gzip"):
+        try:
+            body = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16).decompress(body)
+        except zlib.error:
+            pass
+    elif ce == b"deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, -zlib.MAX_WBITS)
+            except zlib.error:
+                pass
+    return body
+
+
 def parse_warc_records(data: bytes) -> list[dict]:
     """Parse uncompressed WARC bytes into record dicts: header fields
     (case-insensitive names, values as sent) + the exact
@@ -276,7 +342,10 @@ def warc_to_documents(
     records that lack EVERY header still get distinct ids within their
     shard). The HTTP response
     envelope (status line + headers, up to the first blank line) is
-    stripped; the body decodes as UTF-8 with replacement; HTML bodies
+    stripped and the WIRE ENCODINGS it declares are undone first —
+    chunked transfer framing, then gzip/deflate content encoding
+    (:func:`decode_http_body`; salvage-not-drop on malformed input);
+    the body then decodes as UTF-8 with replacement; HTML bodies
     pass through :func:`html_to_text`.
 
     ``extract`` picks the HTML tier: ``"baseline"`` (default) is the
@@ -319,7 +388,12 @@ def warc_to_documents(
                                 b"text/html" in headers
                                 or b"application/xhtml" in headers
                             )
-                        body = body[sep + 4 :]
+                        # undo the wire encodings before decoding text:
+                        # chunked framing, then gzip/deflate bodies —
+                        # real crawl WARCs store the raw response, so
+                        # without this chunk-size lines and binary
+                        # garbage leak into extracted text (r10)
+                        body = decode_http_body(headers, body[sep + 4 :])
                 text = body.decode("utf-8", "replace")
                 if is_html is None:
                     is_html = text.lstrip().startswith("<")

@@ -183,6 +183,95 @@ class TestWarcSpark:
         assert len(idx) == 2 and all(r["warc_type"] == "conversion" for r in idx)
 
 
+class TestHttpBodyDecoding:
+    def test_dechunk_and_content_encodings(self):
+        """RFC 9112 chunked framing is removed (extensions and trailers
+        ignored), gzip/x-gzip and both deflate flavors decompress, and
+        malformed input is SALVAGED (original bytes back), never
+        dropped."""
+        import gzip as _gz
+        import zlib as _zl
+
+        from hgraphstorage_spark.sources.warc import (
+            dechunk_http_body,
+            decode_http_body,
+        )
+
+        body = b"4\r\nWiki\r\n6;ext=1\r\npedia \r\nB\r\nin chunks.\n\r\n0\r\nX-T: v\r\n\r\n"
+        assert dechunk_http_body(body) == b"Wikipedia in chunks.\n"
+        # truncated chunk: salvage raw
+        assert dechunk_http_body(b"A\r\nshort\r\n") == b"A\r\nshort\r\n"
+        h = b"HTTP/1.1 200 OK\r\ncontent-encoding: gzip"
+        assert decode_http_body(h, _gz.compress(b"zipped body")) == b"zipped body"
+        h2 = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate"
+        assert decode_http_body(h2, _zl.compress(b"zlib body")) == b"zlib body"
+        raw = _zl.compressobj(wbits=-15)
+        blob = raw.compress(b"raw deflate") + raw.flush()
+        assert decode_http_body(h2, blob) == b"raw deflate"
+        # chunked THEN gzip (receiver removes TE first, then CE)
+        gz = _gz.compress(b"<html><body>Hi</body></html>")
+        chunked = (
+            hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+        )
+        h3 = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+            b"Content-Encoding: gzip"
+        )
+        assert decode_http_body(h3, chunked) == b"<html><body>Hi</body></html>"
+        # corrupt gzip: salvage what the TE removal produced
+        assert decode_http_body(h3, b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+        # a body MENTIONING the headers never triggers (per-line match)
+        h4 = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain"
+        assert decode_http_body(h4, b"says content-encoding: gzip") == (
+            b"says content-encoding: gzip"
+        )
+
+    def test_warc_to_documents_decodes_wire_encodings(self, spark):
+        """End-to-end: a chunked+gzipped HTML response and a plain one
+        extract the SAME text; chunk-size lines never leak into the
+        extracted documents."""
+        import gzip as _gz
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.sources.warc import (
+            read_warc,
+            warc_bytes,
+            warc_to_documents,
+        )
+
+        html = b"<html><title>T</title><body>Hello decoded world</body></html>"
+        gz = _gz.compress(html)
+        chunked = hex(len(gz))[2:].encode() + b"\r\n" + gz + b"\r\n0\r\n\r\n"
+        mk = lambda uri, hdrs, body: {  # noqa: E731
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:{uri[-1]}>",
+                "WARC-Target-URI": uri,
+                "WARC-Date": "2024-01-01T00:00:00Z",
+            },
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + hdrs + b"\r\n\r\n" + body,
+        }
+        recs = [
+            mk("https://t.com/a",
+               b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip", chunked),
+            mk("https://t.com/b", b"X-Plain: 1", html),
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_dec_")
+        try:
+            with open(f"{d}/s.warc", "wb") as f:
+                f.write(warc_bytes(recs))
+            docs = {
+                r["url"]: r["text"]
+                for r in warc_to_documents(read_warc(spark, d)).collect()
+            }
+            assert docs["https://t.com/a"] == docs["https://t.com/b"]
+            assert "Hello decoded world" in docs["https://t.com/a"]
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 class TestUrlDedup:
     def test_normalization_rules(self, spark):
         from hgraphstorage_spark.pipeline.dedup import url_normalized
