@@ -379,6 +379,7 @@ def warc_to_documents(
                 # 'i < n and j > 0' must never be tag-stripped); without
                 # an envelope, only a leading '<' reads as markup
                 is_html = None
+                charset = None
                 if body[:5] == b"HTTP/":
                     sep = body.find(b"\r\n\r\n")
                     if sep >= 0:
@@ -388,13 +389,23 @@ def warc_to_documents(
                                 b"text/html" in headers
                                 or b"application/xhtml" in headers
                             )
+                        m = re.search(rb"charset=\"?([\w.:-]+)", headers)
+                        if m:
+                            charset = m.group(1).decode("ascii", "ignore")
                         # undo the wire encodings before decoding text:
                         # chunked framing, then gzip/deflate bodies —
                         # real crawl WARCs store the raw response, so
                         # without this chunk-size lines and binary
                         # garbage leak into extracted text (r10)
                         body = decode_http_body(headers, body[sep + 4 :])
-                text = body.decode("utf-8", "replace")
+                # decode with the DECLARED charset (r10 — a latin-1 page
+                # read as utf-8 turns every accented letter into U+FFFD),
+                # falling back to utf-8 on unknown/absent declarations;
+                # 'replace' throughout — extraction salvages, never drops
+                try:
+                    text = body.decode(charset or "utf-8", "replace")
+                except LookupError:
+                    text = body.decode("utf-8", "replace")
                 if is_html is None:
                     is_html = text.lstrip().startswith("<")
                 html = bool(is_html and "<" in text)

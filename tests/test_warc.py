@@ -271,6 +271,46 @@ class TestHttpBodyDecoding:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    def test_declared_charset_decodes(self, spark):
+        """A latin-1 body with charset=iso-8859-1 keeps its accented
+        letters; an unknown charset falls back to utf-8-replace instead
+        of crashing."""
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.sources.warc import (
+            read_warc,
+            warc_bytes,
+            warc_to_documents,
+        )
+
+        latin = "café rosé".encode("iso-8859-1")
+        mk = lambda uri, ct, body: {  # noqa: E731
+            "headers": {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:uuid:{uri[-1]}>",
+                "WARC-Target-URI": uri,
+                "WARC-Date": "2024-01-01T00:00:00Z",
+            },
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n\r\n" + body,
+        }
+        recs = [
+            mk("https://t.com/l", b"text/plain; charset=ISO-8859-1", latin),
+            mk("https://t.com/x", b"text/plain; charset=no-such-codec", b"plain ok"),
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_cs_")
+        try:
+            with open(f"{d}/s.warc", "wb") as f:
+                f.write(warc_bytes(recs))
+            docs = {
+                r["url"]: r["text"]
+                for r in warc_to_documents(read_warc(spark, d)).collect()
+            }
+            assert docs["https://t.com/l"] == "café rosé"
+            assert docs["https://t.com/x"] == "plain ok"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
 
 class TestUrlDedup:
     def test_normalization_rules(self, spark):
