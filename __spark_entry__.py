@@ -3157,12 +3157,16 @@ _PLANT_FP_B = _plant_fp("same-kind-plant")
 
 def q_warc_ingest(spark, sf_dir):
     """End-to-end WARC ingest (sources/warc.py:read_warc →
-    warc_to_documents) over the committed fixture shard
-    ``fixtures/crawl.warc.gz`` (written once by ``warc_bytes``,
-    mtime-0 gzip members — byte-deterministic): response records only,
-    HTTP envelope stripped, HTML→text through the baseline extractor,
-    plain-text bodies untouched. The oracle is the expected row set as
-    literals — step zero of the 100 TB crawl pipeline, driver-checked.
+    warc_to_documents) over the committed fixture shards
+    ``fixtures/crawl.warc.gz`` + ``crawl2.warc.gz`` (written by
+    ``warc_bytes`` / tools/make_fixture_crawl2.py, mtime-0 gzip
+    members — byte-deterministic): response records only, HTTP
+    envelope stripped, wire encodings undone (crawl2's
+    chunked+gzipped record and latin-1 charset record keep the r10
+    decode tiers live in the hash), HTML→text through the baseline
+    extractor, plain-text bodies untouched. The oracle is the expected
+    row set as literals — step zero of the 100 TB crawl pipeline,
+    driver-checked.
     (doc_id is omitted: it hashes the absolute shard path, which is
     machine-specific by design.)"""
     from hgraphstorage_spark.sources.warc import read_warc, warc_to_documents
@@ -4635,10 +4639,11 @@ def q_cdx_roundtrip(spark, sf_dir):
     """The WARC random-access loop under the driver hash
     (sources/cdx.py:warc_record_index → cdx_fetch_plan →
     read_warc_ranges) over the committed byte-deterministic fixture
-    shard: index the shard (compressed gzip-member spans — what real
-    CDX offsets mean), plan the response records at gap 0 (the three
-    adjacent members coalesce into ONE range; the one behind the
-    request record stays alone), execute the plan as seek+read, and
+    shards (crawl.warc.gz + the r10 wire-encoding sibling
+    crawl2.warc.gz): index each shard (compressed gzip-member spans —
+    what real CDX offsets mean), plan the response records at gap 0
+    (adjacent members coalesce per shard; the one behind the request
+    record stays alone), execute the plan as seek+read, and
     return each fetched record joined back to its index row. The
     oracle is the expected row set as literals (offsets/lengths are
     properties of the committed bytes; payload md5s of the fetched
@@ -4666,7 +4671,9 @@ def q_wet_export(spark, sf_dir):
     """WET interchange certified end-to-end over the committed fixture
     shard (sources/warc.py:wet_records + write_warc — the Common Crawl
     *.warc.wet convention, the text sibling of cdx_export's index
-    interchange): derive conversion records from the fixture responses,
+    interchange): derive conversion records from the fixture responses
+    (both shards — crawl2's chunked+gzipped and latin-1 records keep
+    the r10 decode tiers live in the WET payload md5s),
     WRITE them as a gzip-member WET shard, re-read the written bytes
     with the ordinary WARC reader, and return per page the target URI,
     the WARC-Refers-To source id, the payload byte count, and the md5
@@ -8916,6 +8923,15 @@ def oracle_sql() -> dict[str, str]:
     # WARC reader over fixtures/crawl.warc.gz
     sql["cdx_roundtrip"] = """
         SELECT * FROM (VALUES
+          -- crawl2.warc.gz records (r10): offsets are within THAT shard
+          -- (per-shard member spans), payload md5s of the RAW record
+          -- bytes incl. the chunked/gzipped envelope
+          ('com,example,fixture)/chunked', 0::BIGINT, 388::BIGINT,
+           'http://fixture.example.com/chunked',
+           '1f3b14b1e7f5c4dc71a6cf26ef770c82'),
+          ('com,example,fixture)/latin1', 388::BIGINT, 243::BIGINT,
+           'http://fixture.example.com/latin1',
+           '147df41ef3874e79d9c82a388b667ef3'),
           ('com,example,fixture)/page1', 172::BIGINT, 373::BIGINT,
            'http://fixture.example.com/page1',
            '5b31903cbe0048ea12736ce1787a15e5'),
@@ -8936,6 +8952,13 @@ def oracle_sql() -> dict[str, str]:
     # (independently derivable by any WARC+WET toolchain over fixtures/)
     sql["wet_export"] = """
         SELECT * FROM (VALUES
+          -- crawl2.warc.gz records (r10): the chunked+gzipped page and
+          -- the latin-1 page — their WET text md5s equal warc_ingest's
+          -- (same extraction), byte counts are the UTF-8 re-encoding
+          ('http://fixture.example.com/chunked', '<urn:uuid:resp-c1>',
+           52::BIGINT, '41d6ba5aa312844785239948660feada'),
+          ('http://fixture.example.com/latin1', '<urn:uuid:resp-c2>',
+           43::BIGINT, '6cac17838bc27aa8b2eda66484f18e8e'),
           ('http://fixture.example.com/page1', '<urn:uuid:resp-1>',
            207::BIGINT, 'd994dc55ce0215d9282480ef34299962'),
           ('http://fixture.example.com/plain.txt', '<urn:uuid:resp-2>',
@@ -10716,6 +10739,15 @@ def oracle_sql() -> dict[str, str]:
     # writer OR parser breaks the match)
     sql["warc_ingest"] = """
         SELECT * FROM (VALUES
+          -- crawl2.warc.gz (r10, tools/make_fixture_crawl2.py): the
+          -- wire-encoding records — chunked+gzipped HTML and a
+          -- latin-1 charset-declared body — so the decode tiers are
+          -- live in the hash (a leaked chunk-size line or a U+FFFD'd
+          -- accent cannot hash equal)
+          ('http://fixture.example.com/chunked', '2024-02-01T00:00:00Z',
+           52::BIGINT, '41d6ba5aa312844785239948660feada'),
+          ('http://fixture.example.com/latin1', '2024-02-01T00:00:01Z',
+           37::BIGINT, '6cac17838bc27aa8b2eda66484f18e8e'),
           ('http://fixture.example.com/page1', '2024-03-01T08:00:00Z',
            207::BIGINT, 'd994dc55ce0215d9282480ef34299962'),
           ('http://fixture.example.com/plain.txt', '2024-03-01T09:00:00Z',
