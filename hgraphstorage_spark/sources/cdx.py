@@ -434,12 +434,18 @@ def cdx_lookup(
     ts = "timestamp14" if "timestamp14" in hits.columns else "warc_date"
     # the offset leg is zero-padded to 19 digits (max int64 width) so the
     # string max_by key orders offsets NUMERICALLY — unpadded, offset 9
-    # would beat offset 100 lexicographically (r9 ADVICE fix); NULL
-    # offsets pad to all-zeros and sort below every real offset
+    # would beat offset 100 lexicographically (r9 ADVICE fix). A NULL
+    # offset becomes 19 spaces, NOT 19 zeros (r11 ADVICE): zero-padding
+    # the empty string is byte-identical to a real offset 0, so a
+    # NULL-offset capture would TIE with an offset-0 capture at equal
+    # timestamps instead of sorting below it; ' ' (0x20) < '0' (0x30)
+    # sorts NULL under every real offset including 0
     key = F.concat_ws(
         "\x01",
         F.coalesce(F.col(ts), F.lit("")),
-        F.lpad(F.coalesce(F.col("offset").cast("string"), F.lit("")), 19, "0"),
+        F.when(F.col("offset").isNull(), F.lit(" " * 19)).otherwise(
+            F.lpad(F.col("offset").cast("string"), 19, "0")
+        ),
         F.coalesce(F.col("filename"), F.lit("")),
     )
     others = [c for c in hits.columns if c not in ("url", "urlkey")]

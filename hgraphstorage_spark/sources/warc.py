@@ -145,16 +145,68 @@ def dechunk_http_body(body: bytes) -> bytes:
         return body
 
 
-def decode_http_body(header_block: bytes, body: bytes) -> bytes:
+# output ceiling for decompressing one response body (r11 ADVICE): an
+# untrusted crawl WARC can carry a gzip bomb — a few KB of compressed
+# bytes that inflate to tens of GB and OOM the executor. 64 MiB is far
+# above any real page yet bounds a bomb to a rounding error of executor
+# memory; callers needing more pass max_decoded_bytes explicitly.
+DEFAULT_BODY_DECODE_CAP = 64 * 1024 * 1024
+
+
+def _inflate_capped(data: bytes, wbits: int, cap: int, members: bool = False) -> bytes:
+    """Incrementally inflate ``data`` with a hard output ceiling —
+    never materializes more than ``cap`` decompressed bytes no matter
+    what the compressed stream claims (gzip-bomb guard). With
+    ``members``, keeps inflating concatenated gzip members from
+    ``unused_data`` (the multi-member bodies real origin servers emit,
+    matching :func:`_gunzip_members` semantics — r11 ADVICE). Salvage
+    contract: a stream that errors or truncates mid-way yields the
+    bytes decoded so far; returns ``b""`` if nothing inflated (the
+    caller falls back to the raw body)."""
+    out: list[bytes] = []
+    total = 0
+    remaining = data
+    while remaining and total < cap:
+        d = zlib.decompressobj(wbits=wbits)
+        feed = remaining
+        try:
+            while feed and total < cap:
+                chunk = d.decompress(feed, min(1 << 20, cap - total))
+                out.append(chunk)
+                total += len(chunk)
+                if d.eof:
+                    break
+                feed = d.unconsumed_tail
+            if not d.eof:
+                # input exhausted before the trailer (truncated record)
+                # or output ceiling hit mid-stream: keep what inflated
+                break
+            tail = d.flush()
+            out.append(tail[: cap - total])
+            total += min(len(tail), cap - total)
+        except zlib.error:
+            break  # corrupt member: keep earlier members' output
+        remaining = d.unused_data if members else b""
+    return b"".join(out)
+
+
+def decode_http_body(
+    header_block: bytes,
+    body: bytes,
+    max_decoded_bytes: int = DEFAULT_BODY_DECODE_CAP,
+) -> bytes:
     """Undo the wire encodings an archived HTTP response carries, in
     the receiver's order (RFC 9110): Transfer-Encoding chunked framing
     first, then Content-Encoding gzip/x-gzip/deflate decompression
-    (deflate tries zlib-wrapped then raw per the widespread misuse).
-    ``header_block`` is the raw envelope up to the blank line
-    (lowercased or not — matched case-insensitively per line, so a
-    body containing 'content-encoding:' never triggers). Unknown
-    codings and decode failures return the best bytes so far —
-    salvage, never drop."""
+    (deflate tries zlib-wrapped then raw per the widespread misuse;
+    gzip handles multi-member concatenations). ``header_block`` is the
+    raw envelope up to the blank line (lowercased or not — matched
+    case-insensitively per line, so a body containing
+    'content-encoding:' never triggers). Decompression is incremental
+    with a ``max_decoded_bytes`` output ceiling — a crafted gzip bomb
+    truncates at the cap instead of exhausting executor memory (r11
+    ADVICE). Unknown codings and decode failures return the best bytes
+    so far — salvage, never drop."""
     te_chunked = False
     ce = b""
     for line in header_block.split(b"\r\n"):
@@ -166,18 +218,17 @@ def decode_http_body(header_block: bytes, body: bytes) -> bytes:
     if te_chunked:
         body = dechunk_http_body(body)
     if ce in (b"gzip", b"x-gzip"):
-        try:
-            body = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16).decompress(body)
-        except zlib.error:
-            pass
+        body = (
+            _inflate_capped(
+                body, zlib.MAX_WBITS | 16, max_decoded_bytes, members=True
+            )
+            or body
+        )
     elif ce == b"deflate":
-        try:
-            body = zlib.decompress(body)
-        except zlib.error:
-            try:
-                body = zlib.decompress(body, -zlib.MAX_WBITS)
-            except zlib.error:
-                pass
+        decoded = _inflate_capped(body, zlib.MAX_WBITS, max_decoded_bytes)
+        if not decoded:
+            decoded = _inflate_capped(body, -zlib.MAX_WBITS, max_decoded_bytes)
+        body = decoded or body
     return body
 
 
@@ -384,14 +435,25 @@ def warc_to_documents(
                     sep = body.find(b"\r\n\r\n")
                     if sep >= 0:
                         headers = body[:sep].lower()
-                        if b"content-type:" in headers:
+                        # media type + charset come from the
+                        # Content-Type header LINE only (r11 ADVICE): a
+                        # charset= parameter in Link/Set-Cookie/
+                        # Content-Disposition must not pick the codec,
+                        # and 'text/html' inside a Referer URL must not
+                        # flag the body as markup
+                        ct_line = b""
+                        for hline in headers.split(b"\r\n"):
+                            if hline.startswith(b"content-type:"):
+                                ct_line = hline
+                                break
+                        if ct_line:
                             is_html = (
-                                b"text/html" in headers
-                                or b"application/xhtml" in headers
+                                b"text/html" in ct_line
+                                or b"application/xhtml" in ct_line
                             )
-                        m = re.search(rb"charset=\"?([\w.:-]+)", headers)
-                        if m:
-                            charset = m.group(1).decode("ascii", "ignore")
+                            m = re.search(rb"charset=\"?([\w.:-]+)", ct_line)
+                            if m:
+                                charset = m.group(1).decode("ascii", "ignore")
                         # undo the wire encodings before decoding text:
                         # chunked framing, then gzip/deflate bodies —
                         # real crawl WARCs store the raw response, so
@@ -571,8 +633,17 @@ def write_warc(
         _os.makedirs(out_dir, exist_ok=True)
         suffix = ".warc.wet.gz" if compress else ".warc.wet"
         path = _os.path.join(out_dir, f"{prefix}-{pid:05d}{suffix}")
-        with open(path, "wb") as f:
+        # write-then-rename so each shard appears ATOMICALLY (r11
+        # ADVICE): a retried/speculative task attempt writing the same
+        # final path directly can interleave with another attempt and
+        # leave a corrupt shard; distinct temp names per attempt +
+        # os.replace means readers only ever see one attempt's complete
+        # bytes (last writer wins, both complete)
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        tmp = f"{path}.{attempt}.tmp"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        _os.replace(tmp, path)
         yield pd.DataFrame(
             {"wet_shard": [path], "n_records": [len(recs)], "n_bytes": [len(blob)]}
         )

@@ -404,6 +404,30 @@ class TestCdxLookup:
         assert len(got) == 1
         assert got[0]["offset"] == 100  # numeric, not lexicographic
 
+    def test_null_offset_sorts_below_offset_zero(self, spark):
+        """r11 ADVICE pin: a NULL-offset capture at an equal timestamp
+        sorts BELOW a real offset-0 capture (the r9 lpad fix padded
+        NULL to nineteen zeros — byte-identical to a real offset 0, so
+        the two tied and the winner was the arbitrary filename leg)."""
+        from pyspark.sql import functions as F
+
+        from hgraphstorage_spark.sources.cdx import cdx_lookup, parse_cdxj
+
+        lines = [
+            # NULL offset, filename sorts HIGH — under the old all-zeros
+            # padding this row ties on offset and wins on filename
+            'com,nul)/p 20240101000000 {"url": "https://nul.com/p", '
+            '"length": "10", "filename": "zzz"}',
+            'com,nul)/p 20240101000000 {"url": "https://nul.com/p", '
+            '"offset": "0", "length": "10", "filename": "aaa"}',
+        ]
+        idx = parse_cdxj(spark.createDataFrame([(l,) for l in lines], "line string"))
+        assert idx.where(F.col("offset").isNull()).count() == 1  # fixture honest
+        probes = spark.createDataFrame([("https://nul.com/p",)], "url string")
+        got = cdx_lookup(idx, probes).collect()
+        assert len(got) == 1
+        assert got[0]["offset"] == 0 and got[0]["filename"] == "aaa"
+
     def test_lookup_against_record_index(self, spark):
         """The same lookup works against a warc_record_index frame
         (warc_date recency key) — probe → spans, ready for

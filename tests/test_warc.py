@@ -181,6 +181,10 @@ class TestWarcSpark:
         # the written shard is CDX-indexable: one gzip member per record
         idx = warc_record_index(spark, f"{warc_dir}/wet").collect()
         assert len(idx) == 2 and all(r["warc_type"] == "conversion" for r in idx)
+        # atomic publication (r11 ADVICE): shards are written to a
+        # per-attempt temp name and renamed into place, so the out dir
+        # holds only complete final shards — no .tmp residue
+        assert not [p for p in _os.listdir(f"{warc_dir}/wet") if p.endswith(".tmp")]
 
 
 class TestHttpBodyDecoding:
@@ -308,6 +312,97 @@ class TestHttpBodyDecoding:
             }
             assert docs["https://t.com/l"] == "café rosé"
             assert docs["https://t.com/x"] == "plain ok"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def test_gzip_bomb_truncates_at_output_cap(self):
+        """r11 ADVICE pin: body decompression is INCREMENTAL with an
+        output ceiling — a gzip bomb (KBs compressed, GBs claimed)
+        truncates at max_decoded_bytes instead of exhausting executor
+        memory; honest bodies under the cap decode unchanged."""
+        import gzip as _gz
+        import zlib as _zl
+
+        from hgraphstorage_spark.sources.warc import decode_http_body
+
+        h = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip"
+        bomb = _gz.compress(b"\x00" * (8 << 20))  # 8 MiB claims, ~8 KiB wire
+        out = decode_http_body(h, bomb, max_decoded_bytes=1 << 16)
+        assert len(out) == 1 << 16 and set(out) == {0}
+        assert decode_http_body(h, _gz.compress(b"fine"), max_decoded_bytes=64) == b"fine"
+        h2 = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate"
+        out2 = decode_http_body(h2, _zl.compress(b"\x00" * (8 << 20)), max_decoded_bytes=1000)
+        assert len(out2) == 1000
+
+    def test_multi_member_gzip_body_fully_decoded(self):
+        """r11 ADVICE pin: a Content-Encoding: gzip body stored as
+        CONCATENATED gzip members decodes completely (the old
+        single-decompressobj path silently kept only the first member,
+        unlike the member-aware shard reader); a good member followed
+        by trailing garbage salvages the good member."""
+        import gzip as _gz
+
+        from hgraphstorage_spark.sources.warc import decode_http_body
+
+        h = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip"
+        blob = _gz.compress(b"first half, ") + _gz.compress(b"second half")
+        assert decode_http_body(h, blob) == b"first half, second half"
+        assert decode_http_body(h, _gz.compress(b"good") + b"\x1f\x8bgarbage") == b"good"
+
+    def test_charset_only_from_content_type_line(self, spark):
+        """r11 ADVICE pin: a charset= parameter in OTHER headers
+        (Set-Cookie, Link) never selects the codec — only the
+        Content-Type line does; and 'text/html' appearing in a
+        non-Content-Type header value never flags the body as markup."""
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.sources.warc import (
+            read_warc,
+            warc_bytes,
+            warc_to_documents,
+        )
+
+        latin = "café rosé".encode("iso-8859-1")
+        recs = [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:1>",
+                    "WARC-Target-URI": "https://t.com/cookie",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+                # decoy charset in Set-Cookie BEFORE the real one: a
+                # whole-block regex picks shift_jis and mangles latin-1
+                "payload": b"HTTP/1.1 200 OK\r\n"
+                b"Set-Cookie: lang=fr; charset=shift_jis\r\n"
+                b"Content-Type: text/plain; charset=ISO-8859-1\r\n\r\n" + latin,
+            },
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:2>",
+                    "WARC-Target-URI": "https://t.com/ref",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+                # 'text/html' in a Link header value, plain body: must
+                # NOT be tag-stripped ('i < n and j > 0' survives)
+                "payload": b"HTTP/1.1 200 OK\r\n"
+                b"Link: <https://t.com/alt.html>; type=\"text/html\"\r\n"
+                b"Content-Type: text/plain\r\n\r\n"
+                b"math: i < n and j > 0 holds",
+            },
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_ctline_")
+        try:
+            with open(f"{d}/s.warc", "wb") as f:
+                f.write(warc_bytes(recs))
+            docs = {
+                r["url"]: r["text"]
+                for r in warc_to_documents(read_warc(spark, d)).collect()
+            }
+            assert docs["https://t.com/cookie"] == "café rosé"
+            assert "i < n and j > 0" in docs["https://t.com/ref"]
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
