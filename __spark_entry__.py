@@ -1626,21 +1626,29 @@ def q_jsonl_roundtrip(spark, sf_dir):
     """Connector surface: documents -> JSONL shards -> schema'd read-back
     (no inference scan), aggregated per (lang, source). Oracle reads the
     original parquet — equality proves the round trip lost nothing."""
+    import shutil
     import tempfile
 
     from hgraphstorage_spark.sources import read_jsonl, write_jsonl
 
     docs = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="spark_graft_jsonl_") + "/docs"
-    write_jsonl(docs, path)
-    back = read_jsonl(
-        spark, path, "doc_id long, text string, lang string, source string, n_chars long"
-    )
-    return back.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.min("doc_id").alias("min_doc_id"),
-    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    try:
+        path = tmp + "/docs"
+        write_jsonl(docs, path)
+        back = read_jsonl(
+            spark, path, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        agg = back.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        # materialization boundary: the scratch shards are deleted on
+        # exit, so the (small) aggregate is pinned before the rmtree
+        return spark.createDataFrame(agg.collect(), agg.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_approx_distinct(spark, sf_dir):
@@ -4490,10 +4498,29 @@ def q_cdx_ingest(spark, sf_dir):
     urlkey — the oracle derives the CANONICAL key from the generator
     arithmetic (www / default-port / arg-order / case variants all
     collapse), so the canonicalization is certified by independent
-    derivation, not replay."""
+    derivation, not replay. The EXTERNAL-conformance shard (r11:
+    fixtures/external/cc_index.cdxj — Common Crawl index-server-layout
+    lines carrying the field inventory our writer never emits:
+    mime-detected, languages, redirect, warc/revisit) is unioned in
+    under negative doc_ids (by sorted line order), so parsing the
+    published convention is LIVE in the driver hash; its oracle rows
+    are literals certified by tests/test_external_conformance.py
+    (incl. byte-equality of surt_key(url) with the external urlkey)."""
+    from pyspark.sql import Window
+
     from hgraphstorage_spark.sources.cdx import parse_cdxj
 
-    out = parse_cdxj(_synthetic_cdxj_lines(spark, sf_dir))
+    ext_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "external", "cc_index.cdxj",
+    )
+    ext = spark.read.text(ext_path).select(
+        (-F.row_number().over(Window.orderBy("value"))).cast("long").alias(
+            "doc_id"
+        ),
+        F.col("value").alias("line"),
+    )
+    out = parse_cdxj(_synthetic_cdxj_lines(spark, sf_dir).unionByName(ext))
     return _canon_ts(out, "fetch_ts")
 
 
@@ -8792,6 +8819,40 @@ def oracle_sql() -> dict[str, str]:
           ((doc_id % 20) * 3000)::BIGINT AS "offset",
           'shard' || (doc_id % 5) || '.warc.gz' AS filename
         FROM documents
+        UNION ALL
+        -- the external-conformance shard (fixtures/external/
+        -- cc_index.cdxj): negative doc_ids by sorted line order;
+        -- literals certified against the committed bytes AND an
+        -- independent urlkey derivation by
+        -- tests/test_external_conformance.py
+        SELECT * FROM (VALUES
+          (-1::BIGINT, 'com,example)/old', '20240722081500',
+           '2024-07-22 08:15:00', 'http://example.com/old', 301::INT,
+           'text/html', '3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ',
+           541::BIGINT, 31002::BIGINT,
+           'crawl-data/CC-MAIN-2024-30/segments/1720763514450.42/warc/CC-MAIN-20240722071249-20240722101249-00001.warc.gz'),
+          (-2::BIGINT, 'com,example)/path?a=1&b=2', '20240722080000',
+           '2024-07-22 08:00:00', 'http://www.example.com/path?b=2&a=1',
+           200::INT, 'text/html', '5X2YBVRXJXSGVRCURKIQBYAES3MLZVFP',
+           2035::BIGINT, 14870::BIGINT,
+           'crawl-data/CC-MAIN-2024-30/segments/1720763514450.42/warc/CC-MAIN-20240722071249-20240722101249-00001.warc.gz'),
+          (-3::BIGINT, 'com,example)/path?a=1&b=2', '20240725093011',
+           '2024-07-25 09:30:11', 'http://www.example.com/path?b=2&a=1',
+           200::INT, 'warc/revisit', '5X2YBVRXJXSGVRCURKIQBYAES3MLZVFP',
+           312::BIGINT, 52114::BIGINT,
+           'crawl-data/CC-MAIN-2024-30/segments/1720763514450.42/warc/CC-MAIN-20240725093011-20240725123011-00007.warc.gz'),
+          (-4::BIGINT, 'com,example:8080)/api', '20240722090210',
+           '2024-07-22 09:02:10', 'http://example.com:8080/api',
+           404::INT, 'application/json', 'X2NBUQPZ4GF6YOHLJ4MZ26FMJ4KCBRB7',
+           388::BIGINT, 60990::BIGINT,
+           'crawl-data/CC-MAIN-2024-30/segments/1720763514450.42/warc/CC-MAIN-20240722071249-20240722101249-00002.warc.gz'),
+          (-5::BIGINT, 'org,example)/', '20240722071249',
+           '2024-07-22 07:12:49', 'https://example.org/', 200::INT,
+           'text/html', 'MUIDVJIXS6XPVHUWNXTIXTH3ABWDL7A3',
+           1219::BIGINT, 904::BIGINT,
+           'crawl-data/CC-MAIN-2024-30/segments/1720763514450.42/warc/CC-MAIN-20240722071249-20240722101249-00000.warc.gz')
+        ) t(doc_id, urlkey, timestamp14, fetch_ts, url, status, mime,
+            digest, "length", "offset", filename)
     """
     # cdx_export: every BYTE of the canonical output line derived from
     # the generator arithmetic — the canonical urlkey (www/port/case/
@@ -8948,8 +9009,12 @@ def oracle_sql() -> dict[str, str]:
         ) t(urlkey, "offset", "length", target_uri, payload_md5)
     """
     # wet_export: expected rows as literals — extraction output, record
-    # ids, and byte counts are properties of the committed fixture bytes
-    # (independently derivable by any WARC+WET toolchain over fixtures/)
+    # ids, and byte counts are properties of the committed fixture bytes.
+    # r11: no longer just a promise — tests/test_wet_independent.py
+    # RE-DERIVES every row from fixtures/*.warc.gz with a second,
+    # stdlib-only toolchain (html.parser event extraction + its own
+    # WARC/chunked/gzip/charset decode, mechanism-disjoint from
+    # sources/warc.py) and asserts byte-equality with these VALUES
     sql["wet_export"] = """
         SELECT * FROM (VALUES
           -- crawl2.warc.gz records (r10): the chunked+gzipped page and
