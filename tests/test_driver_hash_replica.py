@@ -108,8 +108,13 @@ def test_window_covers_required_operators():
         # (main_content(+_ctx) out in the r10 twenty-second rotation
         # after r7-r9 green — extraction keeps structured_md + page_meta
         # in-window and the structured replay runs inside datasheet v3)
-        "tokenizer_fertility", "boilerplate_paragraph",
-        "topic_split", "extract_links", "stream_quantile",
+        # (tokenizer_fertility + stream_quantile out in the r11
+        # twenty-third rotation after four straight green contacts —
+        # the BPE chain stays under tests/test_dsir_bpe.py, the
+        # mergeable-quantile law stays pytest-certified with
+        # stream_hll keeping the sketch family in-window)
+        "boilerplate_paragraph",
+        "topic_split", "extract_links",
         # r7 twelfth rotation: the crawl/PII wave built late in round 7,
         # in-window the round it was built. OUT: corr_matrix /
         # gap_sessions / zipf / shard_plan / ann_recall — all hashed
@@ -118,7 +123,9 @@ def test_window_covers_required_operators():
         # sessionize pytest oracle + rollup_merge, readability+phrases
         # text stats, curriculum's prefix-sum rank chain,
         # stream_embed_dedup's md5-plane signature core)
-        "pii_scrub", "page_meta",
+        # (pii_scrub + page_meta out in the r11 twenty-third rotation
+        # after four green contacts; datasheet keeps PII incidence
+        # in-window, structured_md + extract_links keep extraction)
         "sitemap_ingest", "robots_extras",
         # r7 thirteenth swap: the crawl-tier capstone composition in for
         # calibration (hashed green r6; quantile-cut machinery stays via
@@ -130,7 +137,9 @@ def test_window_covers_required_operators():
         # ntile_deciles and streaming_summary out in the r6 sixth
         # rotation: the two-pass rank stays plan-pinned + pytest-oracled,
         # and the streaming family keeps four real-stream in-window rows)
-        "tpch_q1", "tpch_q3_like", "tpch_q5_like",
+        # (the tpch trio out in the r11 twenty-third rotation after
+        # TEN green contacts — benched every round; the relational
+        # family keeps tpch_q2_like in-window, pinned below)
         # LLM-pipeline categories the driver must see green
         # (chunk_dedup / text_token_counts out in the r6 second
         # rotation; kmeans / text_quality / lang_id / mix_corpus out in
@@ -169,7 +178,10 @@ def test_window_covers_required_operators():
         # session_window streaming flavor keeps its 'sessionize' row
         # past the window), the IR-eval metric report, and MinHash fuzzy
         # decontamination — in-window the round they were built
-        "search_eval", "fuzzy_decontaminate",
+        # (search_eval out in the r11 twenty-third rotation after
+        # five green contacts; the BM25 replay stays pytest-oracled
+        # and bench times hybrid_search every round)
+        "fuzzy_decontaminate",
         # r4 rotation: operators the driver had never hashed before
         # (sq_topk rotated out r6: hashed green r4+r5, similarity family
         # keeps three in-window rows; boilerplate_dedup out in the r6
@@ -223,7 +235,11 @@ def test_window_covers_required_operators():
         # out in the twentieth after r6-r8 green; read_warc stays under
         # test_warc.py incl. the r9 envelope e2e and its slot carries
         # CDXJ ingestion)
-        "url_dedup", "media_pairs", "feed_ingest",
+        # (url_dedup + media_pairs out in the r11 twenty-third
+        # rotation after five green contacts; dedup keeps
+        # fuzzy_decontaminate + stream_embed_dedup + semantic_dedup,
+        # multimodal keeps audio_match + video_plan)
+        "feed_ingest",
         # r6 third rotation: the drift / export / streaming wave —
         # also in-window the round it was built (stream_url_dedup out
         # in the r8 seventeenth rotation after r6+r7 green — its batch
@@ -254,6 +270,16 @@ def test_window_covers_required_operators():
         "validator_state", "stream_validator", "phrase_filter",
         "change_rate", "effective_diameter", "revisit_measured",
         "cdx_export", "stream_freshness",
+        # r11 twenty-third rotation: the declared r11 candidate
+        # (wet_export — its literal oracle now certified by the
+        # independent stdlib toolchain in tests/test_wet_independent
+        # .py) plus nine rows from the never-hashed backlog (VERDICT
+        # r10 task 3): the events SQL surface incl. the DTJSON F1
+        # row, the temporal-join family, sessionization, semantic
+        # dedup, and training-batch packing
+        "wet_export", "tpch_q2_like", "events_hourly", "events_json",
+        "sessionize", "asof_join", "range_join", "interval_join",
+        "semantic_dedup", "pack_sequences",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
