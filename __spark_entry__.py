@@ -4731,6 +4731,40 @@ def q_wet_export(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_wet_ingest(spark, sf_dir):
+    """WET interchange IN (r11 — the ingest sibling of wet_export's
+    emit): read the EXTERNALLY-laid-out Common Crawl WET shard
+    (fixtures/external/cc_sample.warc.wet.gz — warcinfo preamble +
+    conversion records with WARC-Block-Digest /
+    WARC-Identified-Content-Language headers, member-per-record gzip,
+    bytes assembled from the published format by
+    tools/make_fixture_external.py, NOT by this repo's writer) with the
+    ordinary read_warc, and report per record the type, target URI,
+    payload byte count, sha1 of the payload bytes, the identified
+    language, and the Block-Digest header VERBATIM. The oracle rows are
+    literals — properties of the committed external bytes;
+    tests/test_external_conformance.py independently re-verifies the
+    base32 digests against the payloads, so a payload mutation, a lost
+    header, or a framing bug cannot hash equal."""
+    from hgraphstorage_spark.sources.warc import read_warc
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "external", "cc_sample.warc.wet.gz",
+    )
+    recs = read_warc(spark, path)
+    return recs.select(
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "content_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha1("payload").alias("sha1_hex"),
+        F.col("headers")["warc-identified-content-language"].alias("lang"),
+        F.col("headers")["warc-block-digest"].alias("block_digest"),
+    )
+
+
 def q_crawl_frontier(spark, sf_dir):
     """The crawl-tier CAPSTONE composition (sources/warc.py:
     crawl_frontier): outbound links from the anchored synthetic pages →
@@ -5793,6 +5827,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "url_dedup": q_url_dedup,
         "media_pairs": q_media_pairs,
+        # r11 addition past the window (declared r12 rotation
+        # candidate): WET interchange IN — the ordinary reader over the
+        # EXTERNALLY-laid-out CC WET shard, digests and language
+        # headers surfaced verbatim (the ingest sibling of the
+        # in-window wet_export)
+        "wet_ingest": q_wet_ingest,
         "fim": q_fim,
         "readability": q_readability,
         "lang_confusion": q_lang_confusion,
@@ -9089,6 +9129,26 @@ def oracle_sql() -> dict[str, str]:
            '<urn:uuid:resp-4>',
            194::BIGINT, '0c5a0c49e4b9ee368c3b1018c5cf455e')
         ) t(target_uri, refers_to, n_bytes, text_md5)
+    """
+    # wet_ingest: expected rows as literals — properties of the
+    # committed EXTERNAL shard bytes (fixtures/external/, assembled from
+    # the published CC WET layout by tools/make_fixture_external.py);
+    # tests/test_external_conformance.py independently re-verifies the
+    # base32 block digests against the payloads
+    sql["wet_ingest"] = """
+        SELECT * FROM (VALUES
+          (0::BIGINT, 'warcinfo', NULL::VARCHAR, 'application/warc-fields',
+           280::BIGINT, 'f82e3f64022f93df58a75a3c227c65c63544f2b7',
+           NULL::VARCHAR, NULL::VARCHAR),
+          (1::BIGINT, 'conversion', 'https://example.org/', 'text/plain',
+           97::BIGINT, '4e0b20885b8e975402b0641a1a285a0b102fe5d2', 'eng',
+           'sha1:JYFSBCC3R2LVIAVQMQNBUKC2BMIC7ZOS'),
+          (2::BIGINT, 'conversion', 'http://www.example.com/path?b=2&a=1',
+           'text/plain', 86::BIGINT,
+           '8763fa0ac3af7303cabb55fd29bb539c7661f86f', 'fra',
+           'sha1:Q5R7UCWDV5ZQHSV3KX6STO2TTR3GD6DP')
+        ) t(rec_idx, warc_type, target_uri, content_type, n_bytes,
+            sha1_hex, lang, block_digest)
     """
     sql["robots_extras"] = """
         SELECT * FROM (VALUES
