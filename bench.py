@@ -389,7 +389,11 @@ SCALE_OPS = [
 ]
 
 _SCALE_COPIES = 10
-_SCALE_RECIPE = "v1-wordsalt10"
+# v2 (r11): + events.parquet — 10 copies with shifted event/user keys,
+# same ts/type/value distributions (the stream_quantile capstone reads
+# events; v1 never synthesized it and the r11 first run errored at the
+# 9th scale op)
+_SCALE_RECIPE = "v2-wordsalt10-events"
 _SCALE_KEY_OFF = 10_000_000  # per-copy key offset; max key ~9e7 << 1e12 node-id base
 
 
@@ -488,22 +492,45 @@ def _ensure_scale_dir(spark, src_dir: str, dst_dir: str) -> bool:
         return df.select(vid, pert.alias("embedding"), "label")
 
     rep("embeddings", embs)
+    n_ev = spark.read.parquet(f"{src_dir}/events.parquet").count()
+    rep("events", lambda df, c: df.select(
+        (F.col("event_id") + F.lit(c * n_ev)).alias("event_id"),
+        "ts",
+        shift("user_id", c),
+        "event_type",
+        "value",
+        "props",
+    ))
     with open(marker, "w") as f:
         _json.dump({"recipe": _SCALE_RECIPE, "copies": _SCALE_COPIES, "src": src_dir}, f)
     return True
 
 
 def _sentinel_sec(spark) -> float:
-    """Fixed single-partition CPU-bound calibration job (a sum over 20M
-    longs on ONE core). Identical work every call, so wall-clock drift
-    between calls measures BOX CONTENTION (CPU steal from co-tenant
-    processes), not our code. Timed at start / middle / end of the run;
-    a drift ratio >= 1.5x flags the whole sample as contended — the r6
-    record carried an 11.89 s reading for a query that measures 3.29 s
-    on an idle box, and a sentinel makes such samples self-describing."""
-    t0 = time.perf_counter()
-    spark.range(0, 20_000_000, 1, 1).selectExpr("sum(id)").collect()
-    return round(time.perf_counter() - t0, 3)
+    """Fixed single-partition CPU-bound calibration job (a sum over
+    200M longs on ONE core). Identical work every call, so wall-clock
+    drift between calls measures BOX CONTENTION (CPU steal from
+    co-tenant processes), not our code. Timed at start / middle / end
+    of the run; a drift ratio >= 1.5x flags the whole sample as
+    contended — the r6 record carried an 11.89 s reading for a query
+    that measures 3.29 s on an idle box, and a sentinel makes such
+    samples self-describing.
+
+    r11 sizing fix: the old 20M-row probe completed in 60-90 ms, so a
+    single scheduler hiccup or GC pause read as 2-4x 'drift' and the
+    r9/r10 records flagged CONTENDED with no inflation visible in the
+    op readings themselves. Each reading is now the MIN of two 200M-row
+    probes (~0.35 s each): one-off spikes (a GC pause landing in one
+    probe) are filtered by construction, while sustained contention —
+    the thing that actually inflates op timings — still raises both
+    probes and therefore the reading. Measured on this idle box: 8
+    readings span a 1.05x ratio (the old probe spanned 1.3-4.4x)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 1).selectExpr("sum(id)").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def _release_state(spark) -> None:
@@ -641,10 +668,26 @@ def main() -> None:
             cur = sections[key]
             for n, v in got.items():
                 cur[n] = v if n not in cur else min(cur[n], v)
-        att_drift = round(max(att_sent) / max(min(att_sent), 1e-9), 3)
+        # attempt drift = SECOND-highest reading / min (r11): every op
+        # is already timed min-of-N, so one isolated spiked bracket
+        # point cannot have polluted the kept numbers — flagging a
+        # whole attempt for it is what kept r9/r10 CONTENDED on clean
+        # op readings. Two elevated bracket points (each itself a
+        # min-of-2 probe, so 4 slow probes total) = sustained
+        # contention, and that still flags.
+        ordered = sorted(att_sent)
+        att_drift = round(
+            (ordered[-2] if len(ordered) >= 3 else ordered[-1])
+            / max(ordered[0], 1e-9),
+            3,
+        )
         sent_vals.extend(att_sent)
         attempt_summaries.append(
-            {"drift_ratio": att_drift, "n_readings": len(att_sent)}
+            {
+                "drift_ratio": att_drift,
+                "max_single_ratio": round(ordered[-1] / max(ordered[0], 1e-9), 3),
+                "n_readings": len(att_sent),
+            }
         )
         if att_drift < 1.5:
             break
