@@ -507,28 +507,31 @@ def _ensure_scale_dir(spark, src_dir: str, dst_dir: str) -> bool:
 
 
 def _sentinel_sec(spark) -> float:
-    """Fixed single-partition CPU-bound calibration job (a sum over
-    200M longs on ONE core). Identical work every call, so wall-clock
-    drift between calls measures BOX CONTENTION (CPU steal from
-    co-tenant processes), not our code. Timed at start / middle / end
-    of the run; a drift ratio >= 1.5x flags the whole sample as
-    contended — the r6 record carried an 11.89 s reading for a query
-    that measures 3.29 s on an idle box, and a sentinel makes such
-    samples self-describing.
+    """Fixed ALL-CORES CPU-bound calibration job (a sum over 1.6B longs
+    in 32 equal partitions — the same 32-way parallel shape every timed
+    op runs). Identical work every call, so wall-clock drift between
+    calls measures BOX CONTENTION (CPU steal from co-tenant processes),
+    not our code. Timed between every section; a drift ratio >= 1.5x
+    flags the sample as contended — the r6 record carried an 11.89 s
+    reading for a query that measures 3.29 s on an idle box, and a
+    sentinel makes such samples self-describing.
 
-    r11 sizing fix: the old 20M-row probe completed in 60-90 ms, so a
-    single scheduler hiccup or GC pause read as 2-4x 'drift' and the
-    r9/r10 records flagged CONTENDED with no inflation visible in the
-    op readings themselves. Each reading is now the MIN of two 200M-row
-    probes (~0.35 s each): one-off spikes (a GC pause landing in one
-    probe) are filtered by construction, while sustained contention —
-    the thing that actually inflates op timings — still raises both
-    probes and therefore the reading. Measured on this idle box: 8
-    readings span a 1.05x ratio (the old probe spanned 1.3-4.4x)."""
+    r11 probe redesign, in two steps: (1) the original 20M-row
+    single-core probe finished in 60-90 ms, so one scheduler hiccup
+    read as 2-4x 'drift' — the r9/r10 records flagged CONTENDED with no
+    inflation visible in the op readings; each reading is now the MIN
+    of two probes, so a one-off spike (GC pause in a single probe) is
+    filtered by construction while sustained contention raises both.
+    (2) a single-core probe is also BLIND to the contention that
+    matters: a co-tenant holding 20 of 32 cores barely delays one
+    runnable thread but slows every 32-way stage ~1.6x (measured:
+    back-to-back r11 runs differed 1.4x uniformly while the 1-core
+    probe stayed flat). The probe now spans all 32 cores, so it dilates
+    exactly when the op timings do."""
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        spark.range(0, 200_000_000, 1, 1).selectExpr("sum(id)").collect()
+        spark.range(0, 1_600_000_000, 1, 32).selectExpr("sum(id)").collect()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
 
