@@ -1787,10 +1787,13 @@ def q_stopword_stats(spark, sf_dir):
 
 def q_char_entropy(spark, sf_dir):
     """Character-level Shannon entropy (bits/char) — run-length fold over
-    the sorted char array, zero shuffle; relational oracle."""
+    the sorted char array, zero shuffle; relational oracle. The DECIMAL
+    entropy column is hash-canonicalized to its string rendering (r11
+    all-rows sweep — the standard decimal canon, mirrored ::VARCHAR in
+    the oracle)."""
     from hgraphstorage_spark.pipeline.text import char_entropy
 
-    return char_entropy(_t(spark, sf_dir, "documents"))
+    return _canon(char_entropy(_t(spark, sf_dir, "documents")), "entropy")
 
 
 def q_repetition_exact(spark, sf_dir):
@@ -6997,7 +7000,10 @@ FROM scored
                                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
               FROM d
             )
-            SELECT doc_id, source, n_tokens, cum_tokens
+            -- cum_tokens::BIGINT (r11 all-rows hash sweep): DuckDB's
+            -- windowed sum of BIGINT widens to HUGEINT, which pandas
+            -- renders as float64 ('1004.0' vs Spark's '1004')
+            SELECT doc_id, source, n_tokens, cum_tokens::BIGINT AS cum_tokens
             FROM c WHERE cum_tokens - n_tokens < b
         """,
         "rolling_features": """
@@ -10289,8 +10295,11 @@ def oracle_sql() -> dict[str, str]:
         ), cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS k FROM ch GROUP BY 1, 2),
         agg AS (SELECT doc_id, sum(k * log2(k)) AS s, sum(k) AS n FROM cnt GROUP BY 1)
         SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+               -- ::VARCHAR (r11 all-rows hash sweep): the standard
+               -- DECIMAL canon — Spark pandas-renders DECIMAL as
+               -- Decimal('3.926651'), DuckDB as float64 3.926651
                CAST(round(CASE WHEN a.n > 0 THEN log2(a.n) - a.s / a.n ELSE 0 END, 6)
-                 AS DECIMAL(18,6)) AS entropy
+                 AS DECIMAL(18,6))::VARCHAR AS entropy
         FROM documents d LEFT JOIN agg a USING (doc_id)
     """
     sql["event_transitions"] = """
