@@ -65,27 +65,64 @@ WARC_SCHEMA = T.StructType(
 )
 
 
+# per-MEMBER inflation ceiling for shard decompression (r11, the
+# sibling of decode_http_body's body cap): a crafted gzip-bomb member
+# in an untrusted crawl shard would otherwise OOM the whole read task.
+# Real Common Crawl members are single records (KBs-MBs); 4 GiB never
+# touches legitimate data, and the shard contract here is FAIL LOUDLY
+# (reject the shard) rather than decode_http_body's salvage.
+MAX_MEMBER_BYTES = 4 * 1024 * 1024 * 1024
+
+
+def _inflate_member(data: bytes, pos: int, cap: int = MAX_MEMBER_BYTES):
+    """Incrementally inflate ONE gzip member starting at ``pos``,
+    never materializing more than ``cap`` output bytes. Returns
+    ``(body, consumed)``. Raises ValueError on corruption, truncation,
+    or a member whose output exceeds the ceiling."""
+    d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+    out = []
+    total = 0
+    feed = data[pos:]
+    try:
+        while feed:
+            chunk = d.decompress(feed, 1 << 20)
+            out.append(chunk)
+            total += len(chunk)
+            if total > cap:
+                raise ValueError(
+                    f"gzip member inflates past {cap} bytes in WARC shard"
+                )
+            if d.eof:
+                break
+            feed = d.unconsumed_tail
+        tail = d.flush()
+        out.append(tail)
+        total += len(tail)
+        if total > cap:
+            raise ValueError(f"gzip member inflates past {cap} bytes in WARC shard")
+    except zlib.error as e:
+        raise ValueError(f"corrupt gzip member in WARC shard: {e}") from e
+    if not d.eof:
+        # a member cut mid-stream decompresses without error but never
+        # reaches its trailer — that's truncation, not success
+        raise ValueError("truncated gzip member in WARC shard")
+    consumed = len(data) - pos - len(d.unused_data)
+    if consumed <= 0:
+        raise ValueError("corrupt gzip member in WARC shard")
+    return b"".join(out), consumed
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a concatenation of gzip members (the Common Crawl
     record-per-member layout; a single whole-file member is the trivial
     case). Truncated trailing garbage raises — corrupt shards should
-    fail loudly at the shard level, not pass partial data silently."""
+    fail loudly at the shard level, not pass partial data silently.
+    Per-member output is ceiling-capped (bomb guard, r11)."""
     out = []
     pos = 0
     while pos < len(data):
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        try:
-            out.append(d.decompress(data[pos:]))
-            out.append(d.flush())
-        except zlib.error as e:
-            raise ValueError(f"corrupt gzip member in WARC shard: {e}") from e
-        if not d.eof:
-            # a member cut mid-stream decompresses without error but never
-            # reaches its trailer — that's truncation, not success
-            raise ValueError("truncated gzip member in WARC shard")
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            raise ValueError("corrupt gzip member in WARC shard")
+        body, consumed = _inflate_member(data, pos)
+        out.append(body)
         pos += consumed
     return b"".join(out)
 
@@ -100,16 +137,7 @@ def gzip_member_spans(data: bytes) -> list[tuple[int, int, bytes]]:
     spans = []
     pos = 0
     while pos < len(data):
-        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        try:
-            body = d.decompress(data[pos:]) + d.flush()
-        except zlib.error as e:
-            raise ValueError(f"corrupt gzip member in WARC shard: {e}") from e
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC shard")
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
-            raise ValueError("corrupt gzip member in WARC shard")
+        body, consumed = _inflate_member(data, pos)
         spans.append((pos, consumed, body))
         pos += consumed
     return spans

@@ -334,6 +334,29 @@ class TestHttpBodyDecoding:
         out2 = decode_http_body(h2, _zl.compress(b"\x00" * (8 << 20)), max_decoded_bytes=1000)
         assert len(out2) == 1000
 
+    def test_shard_member_inflation_is_capped(self):
+        """r11 pin (the shard sibling of the body cap): a gzip-bomb
+        MEMBER in an untrusted shard raises loudly at the shard level —
+        the fail-loudly contract — instead of OOMing the read task;
+        honest members inflate unchanged and concatenations still walk
+        member-by-member."""
+        import gzip as _gz
+
+        import pytest as _pytest
+
+        from hgraphstorage_spark.sources.warc import (
+            _gunzip_members,
+            _inflate_member,
+        )
+
+        bomb = _gz.compress(b"\x00" * (8 << 20))
+        with _pytest.raises(ValueError, match="inflates past"):
+            _inflate_member(bomb, 0, cap=1 << 16)
+        blob = _gz.compress(b"rec one") + _gz.compress(b"rec two")
+        assert _gunzip_members(blob) == b"rec onerec two"
+        body, consumed = _inflate_member(blob, 0)
+        assert body == b"rec one" and 0 < consumed < len(blob)
+
     def test_multi_member_gzip_body_fully_decoded(self):
         """r11 ADVICE pin: a Content-Encoding: gzip body stored as
         CONCATENATED gzip members decodes completely (the old
