@@ -85,6 +85,39 @@ class TestExternalCdxj:
         assert got[0]["mime"] == "warc/revisit"
 
 
+class TestExternalCdxjWriteBack:
+    def test_format_cdxj_field_subset_roundtrip(self, spark):
+        """The WRITE half against external input: format_cdxj over the
+        parsed external index emits lines whose urlkey + timestamp14
+        match the external ones byte-for-byte and whose canonical JSON
+        fields (url, status, mime, digest, length, offset, filename)
+        re-parse to the same typed values. Fields outside the canonical
+        set (mime-detected, languages, redirect, encoding) are DROPPED
+        — the documented subset contract, pinned here so it stays a
+        choice and not an accident."""
+        from hgraphstorage_spark.sources.cdx import format_cdxj, parse_cdxj
+
+        with open(os.path.join(FIX, "cc_index.cdxj")) as f:
+            lines = [(l,) for l in f.read().splitlines() if l]
+        parsed = parse_cdxj(spark.createDataFrame(lines, "line string"))
+        out = format_cdxj(parsed)
+        # keys survive byte-for-byte
+        keys = {
+            tuple(r["line"].split(" ", 2)[:2]) for r in out.collect()
+        }
+        want = {tuple(l[0].split(" ", 2)[:2]) for l in lines}
+        assert keys == want
+        # parse(format(parse(x))) == parse(x) on the canonical fields
+        again = parse_cdxj(out)
+        cols = [
+            "urlkey", "timestamp14", "url", "status", "mime",
+            "digest", "length", "offset", "filename",
+        ]
+        a = sorted(map(tuple, parsed.select(*cols).collect()))
+        b = sorted(map(tuple, again.select(*cols).collect()))
+        assert a == b
+
+
 class TestExternalWet:
     def test_cc_wet_shard_reads_completely(self, spark):
         """read_warc over the CC-layout WET shard: the warcinfo
