@@ -334,6 +334,37 @@ class TestHttpBodyDecoding:
         out2 = decode_http_body(h2, _zl.compress(b"\x00" * (8 << 20)), max_decoded_bytes=1000)
         assert len(out2) == 1000
 
+    def test_inflate_capped_properties(self):
+        """Property pin (r11): for arbitrary payloads, member splits,
+        and caps — the capped inflater returns the exact payload when
+        it fits, the exact prefix at the cap when it doesn't, and never
+        a byte more. Hypothesis drives payload content/length, the
+        split point between two gzip members, and the cap."""
+        import gzip as _gz
+        import zlib as _zl
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hgraphstorage_spark.sources.warc import _inflate_capped
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            payload=st.binary(min_size=0, max_size=4096),
+            split=st.integers(min_value=0, max_value=4096),
+            cap=st.integers(min_value=1, max_value=8192),
+        )
+        def check(payload: bytes, split: int, cap: int) -> None:
+            split = min(split, len(payload))
+            blob = _gz.compress(payload[:split]) + _gz.compress(payload[split:])
+            got = _inflate_capped(blob, _zl.MAX_WBITS | 16, cap, members=True)
+            assert got == payload[:cap]
+            # deflate single-stream flavor obeys the same contract
+            raw = _zl.compress(payload)
+            assert _inflate_capped(raw, _zl.MAX_WBITS, cap) == payload[:cap]
+
+        check()
+
     def test_shard_member_inflation_is_capped(self):
         """r11 pin (the shard sibling of the body cap): a gzip-bomb
         MEMBER in an untrusted shard raises loudly at the shard level —
