@@ -181,7 +181,13 @@ def dechunk_http_body(body: bytes) -> bytes:
 DEFAULT_BODY_DECODE_CAP = 64 * 1024 * 1024
 
 
-def _inflate_capped(data: bytes, wbits: int, cap: int, members: bool = False) -> bytes:
+def _inflate_capped(
+    data: bytes,
+    wbits: int,
+    cap: int,
+    members: bool = False,
+    strict: bool = False,
+) -> bytes | None:
     """Incrementally inflate ``data`` with a hard output ceiling —
     never materializes more than ``cap`` decompressed bytes no matter
     what the compressed stream claims (gzip-bomb guard). With
@@ -189,10 +195,22 @@ def _inflate_capped(data: bytes, wbits: int, cap: int, members: bool = False) ->
     ``unused_data`` (the multi-member bodies real origin servers emit,
     matching :func:`_gunzip_members` semantics — r11 ADVICE). Salvage
     contract: a stream that errors or truncates mid-way yields the
-    bytes decoded so far; returns ``b""`` if nothing inflated (the
-    caller falls back to the raw body)."""
+    bytes decoded so far; returns ``None`` only when NOTHING decoded
+    (the caller falls back to the raw body). ``None`` is distinct from
+    ``b""`` — a valid gzip of the empty payload decodes to ``b""``,
+    which must NOT fall back to the raw compressed bytes (r11 self
+    review: an ``or body`` caller pattern conflated the two).
+
+    ``strict`` returns ``None`` unless a stream trailer was actually
+    reached (or the ceiling was hit): the deflate path tries
+    zlib-wrapped FIRST and must fall through to the raw-deflate retry
+    when the wrapped attempt dies mid-stream — a raw-deflate body whose
+    first bytes happen to look like a zlib header would otherwise
+    salvage partial garbage instead of decoding correctly on the
+    retry."""
     out: list[bytes] = []
     total = 0
+    decoded_any = False  # reached at least one stream trailer
     remaining = data
     while remaining and total < cap:
         d = zlib.decompressobj(wbits=wbits)
@@ -209,12 +227,17 @@ def _inflate_capped(data: bytes, wbits: int, cap: int, members: bool = False) ->
                 # input exhausted before the trailer (truncated record)
                 # or output ceiling hit mid-stream: keep what inflated
                 break
+            decoded_any = True
             tail = d.flush()
             out.append(tail[: cap - total])
             total += min(len(tail), cap - total)
         except zlib.error:
             break  # corrupt member: keep earlier members' output
         remaining = d.unused_data if members else b""
+    if not decoded_any and total == 0:
+        return None
+    if strict and not decoded_any and total < cap:
+        return None
     return b"".join(out)
 
 
@@ -246,17 +269,17 @@ def decode_http_body(
     if te_chunked:
         body = dechunk_http_body(body)
     if ce in (b"gzip", b"x-gzip"):
-        body = (
-            _inflate_capped(
-                body, zlib.MAX_WBITS | 16, max_decoded_bytes, members=True
-            )
-            or body
+        decoded = _inflate_capped(
+            body, zlib.MAX_WBITS | 16, max_decoded_bytes, members=True
         )
+        body = body if decoded is None else decoded
     elif ce == b"deflate":
-        decoded = _inflate_capped(body, zlib.MAX_WBITS, max_decoded_bytes)
-        if not decoded:
+        decoded = _inflate_capped(
+            body, zlib.MAX_WBITS, max_decoded_bytes, strict=True
+        )
+        if decoded is None:
             decoded = _inflate_capped(body, -zlib.MAX_WBITS, max_decoded_bytes)
-        body = decoded or body
+        body = body if decoded is None else decoded
     return body
 
 

@@ -334,6 +334,37 @@ class TestHttpBodyDecoding:
         out2 = decode_http_body(h2, _zl.compress(b"\x00" * (8 << 20)), max_decoded_bytes=1000)
         assert len(out2) == 1000
 
+    def test_empty_and_lookalike_bodies_decode_correctly(self):
+        """r11 self-review pins: (1) a VALID gzip of the empty payload
+        decodes to b'' — it must not be mistaken for a failure and fall
+        back to the raw compressed bytes; (2) a RAW-deflate body whose
+        first bytes happen to form a valid zlib header still decodes
+        via the raw retry instead of salvaging partial garbage from the
+        wrapped attempt."""
+        import gzip as _gz
+        import zlib as _zl
+
+        from hgraphstorage_spark.sources.warc import decode_http_body
+
+        h = b"HTTP/1.1 204 No Content\r\nContent-Encoding: gzip"
+        assert decode_http_body(h, _gz.compress(b"")) == b""
+        h2 = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate"
+        assert decode_http_body(h2, _zl.compress(b"")) == b""
+        # hand-craft a RAW deflate stream whose first two bytes form a
+        # VALID zlib header: stored (BTYPE=00) blocks let us pick the
+        # bytes — 0x78 reads as CMF (CM=8, CINFO=7) and as a non-final
+        # stored-block header; 0x01 reads as FLG (0x7801 % 31 == 0, no
+        # FDICT) and as LEN_lo=1. A zlib-wrapped attempt accepts the
+        # header, then dies mid-stream on the 'compressed data' — the
+        # strict first attempt must fall through to the raw retry.
+        raw = (
+            bytes([0x78, 0x01, 0x00, 0xFE, 0xFF]) + b"A"
+            + bytes([0x01, 0x01, 0x00, 0xFE, 0xFF]) + b"B"
+        )
+        assert _zl.decompress(raw, -15) == b"AB"  # honest raw deflate
+        assert (raw[0] * 256 + raw[1]) % 31 == 0  # zlib-header lookalike
+        assert decode_http_body(h2, raw) == b"AB"
+
     def test_inflate_capped_properties(self):
         """Property pin (r11): for arbitrary payloads, member splits,
         and caps — the capped inflater returns the exact payload when
