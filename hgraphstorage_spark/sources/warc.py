@@ -689,9 +689,16 @@ def write_warc(
         # final path directly can interleave with another attempt and
         # leave a corrupt shard; distinct temp names per attempt +
         # os.replace means readers only ever see one attempt's complete
-        # bytes (last writer wins, both complete)
+        # bytes (last writer wins, both complete). The temp basename is
+        # DOT-prefixed (r11 self-review): an attempt that dies between
+        # write and rename leaves its temp behind, and Hadoop file
+        # listings (read_warc's binaryFile included) skip '.'/'_'
+        # prefixed paths — so a stale partial temp can never poison a
+        # later directory read.
         attempt = ctx.taskAttemptId() if ctx is not None else 0
-        tmp = f"{path}.{attempt}.tmp"
+        tmp = _os.path.join(
+            out_dir, f".{prefix}-{pid:05d}{suffix}.{attempt}.tmp"
+        )
         with open(tmp, "wb") as f:
             f.write(blob)
         _os.replace(tmp, path)

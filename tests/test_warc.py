@@ -185,6 +185,12 @@ class TestWarcSpark:
         # per-attempt temp name and renamed into place, so the out dir
         # holds only complete final shards — no .tmp residue
         assert not [p for p in _os.listdir(f"{warc_dir}/wet") if p.endswith(".tmp")]
+        # ...and a STALE temp from a crashed attempt (dot-prefixed by
+        # design) is invisible to directory reads — a partial shard
+        # can never poison a later read_warc over the out dir
+        with open(f"{warc_dir}/wet/.wet-99999.warc.wet.gz.7.tmp", "wb") as f:
+            f.write(b"partial garbage, not gzip")
+        assert len(read_warc(spark, f"{warc_dir}/wet").collect()) == 2
 
 
 class TestHttpBodyDecoding:
