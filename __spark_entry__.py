@@ -4678,7 +4678,10 @@ def q_cdx_roundtrip(spark, sf_dir):
     oracle is the expected row set as literals (offsets/lengths are
     properties of the committed bytes; payload md5s of the fetched
     bodies prove the ranged read returned the exact record bytes —
-    a wrong span or a misparsed member cannot hash equal)."""
+    a wrong span or a misparsed member cannot hash equal). r11: the
+    span/md5 literals are RE-DERIVED by the independent stdlib member
+    walk in tests/test_wet_independent.py, so the literal form is
+    certified the same way wet_export's is."""
     from hgraphstorage_spark.sources.cdx import (
         cdx_fetch_plan,
         read_warc_ranges,

@@ -191,6 +191,63 @@ def test_wet_export_oracle_rows_independently_derived():
     assert got == derived
 
 
+def _member_spans(path: str) -> list[tuple[int, int, bytes]]:
+    """Own gzip-member walk (offset, consumed_length, uncompressed) over
+    a member-per-record shard — compressed-file offsets, the thing a
+    real CDX index records."""
+    data = open(path, "rb").read()
+    spans = []
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        body = d.decompress(data[pos:]) + d.flush()
+        assert d.eof, "truncated member"
+        consumed = len(data) - pos - len(d.unused_data)
+        spans.append((pos, consumed, body))
+        pos += consumed
+    return spans
+
+
+def test_cdx_roundtrip_offsets_independently_derived():
+    """The cdx_roundtrip oracle's (offset, length, target_uri,
+    payload_md5) literals — compressed member spans + raw-record
+    payload md5s — equal this module's own member walk over the
+    committed shards (urlkey excluded here; the SURT convention is
+    certified separately against the external CC fixtures). A drifted
+    fixture, a wrong span, or a misparsed member breaks the
+    agreement."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    oracle = entry.oracle_sql()["cdx_roundtrip"]
+    got = {
+        (int(r[0]), int(r[1]), r[2], r[3])
+        for r in duckdb.sql(
+            f'SELECT "offset", "length", target_uri, payload_md5 FROM ({oracle})'
+        ).fetchall()
+    }
+    derived = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "fixtures", "*.warc.gz"))):
+        for off, ln, member in _member_spans(path):
+            recs = _parse_warc(member)
+            assert len(recs) == 1  # member-per-record layout
+            hdrs, payload = recs[0]
+            if hdrs.get(b"warc-type") != b"response":
+                continue
+            derived.add(
+                (
+                    off,
+                    ln,
+                    hdrs[b"warc-target-uri"].decode(),
+                    hashlib.md5(payload).hexdigest(),
+                )
+            )
+    assert len(derived) == 6
+    assert got == derived
+
+
 def test_independent_extractor_disagrees_with_nothing_by_luck():
     """Sanity for the second toolchain itself: the known-tricky pieces
     decode to the exact expected strings (chunked framing with
