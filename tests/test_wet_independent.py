@@ -248,6 +248,40 @@ def test_cdx_roundtrip_offsets_independently_derived():
     assert got == derived
 
 
+def test_warc_ingest_oracle_rows_independently_derived():
+    """The warc_ingest oracle's (url, fetch_date, n_chars, text_fp)
+    literals equal this module's derivation: n_chars is the CHARACTER
+    count of the extracted text (latin-1 'café' is 4 chars, 5 UTF-8
+    bytes), text_fp the md5 of its UTF-8 encoding."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+
+    oracle = entry.oracle_sql()["warc_ingest"]
+    got = {
+        (r[0], r[1], int(r[2]), r[3]) for r in duckdb.sql(oracle).fetchall()
+    }
+    derived = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "fixtures", "*.warc.gz"))):
+        data = gzip.decompress(open(path, "rb").read())
+        for hdrs, payload in _parse_warc(data):
+            if hdrs.get(b"warc-type") != b"response":
+                continue
+            body, is_html, charset = _decode_response(payload)
+            text = _extract(body, is_html, charset)
+            derived.add(
+                (
+                    hdrs[b"warc-target-uri"].decode(),
+                    hdrs[b"warc-date"].decode(),
+                    len(text),
+                    hashlib.md5(text.encode("utf-8")).hexdigest(),
+                )
+            )
+    assert len(derived) == 6
+    assert got == derived
+
+
 def test_independent_extractor_disagrees_with_nothing_by_luck():
     """Sanity for the second toolchain itself: the known-tricky pieces
     decode to the exact expected strings (chunked framing with
