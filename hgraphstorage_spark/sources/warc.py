@@ -68,10 +68,22 @@ WARC_SCHEMA = T.StructType(
 # per-MEMBER inflation ceiling for shard decompression (r11, the
 # sibling of decode_http_body's body cap): a crafted gzip-bomb member
 # in an untrusted crawl shard would otherwise OOM the whole read task.
-# Real Common Crawl members are single records (KBs-MBs); 4 GiB never
-# touches legitimate data, and the shard contract here is FAIL LOUDLY
-# (reject the shard) rather than decode_http_body's salvage.
-MAX_MEMBER_BYTES = 4 * 1024 * 1024 * 1024
+# Real Common Crawl members are single records (KBs-MBs); the shard
+# contract here is FAIL LOUDLY (reject the shard) rather than
+# decode_http_body's salvage. r12 ADVICE: the ceiling is 1 GiB — a
+# single member a task must hold in memory has to actually FIT in a
+# task's memory (the stated shard shape is ~1 GB compressed), and the
+# old 4 GiB cap was itself an OOM if ever reached.
+MAX_MEMBER_BYTES = 1024 * 1024 * 1024
+
+# whole-SHARD cumulative inflation budget (r12 ADVICE): the per-member
+# cap alone lets a shard of MANY bomb members, each under the ceiling,
+# still inflate ~1000x its wire size before any guard trips.
+# _gunzip_members / gzip_member_spans accumulate every member's output
+# in one task, so the budget is tracked ACROSS the member loop and the
+# shard is rejected loudly when total output exceeds it. Real CC shards
+# are ~1 GB compressed / a few GB inflated; 4 GiB never touches them.
+MAX_SHARD_INFLATED_BYTES = 4 * 1024 * 1024 * 1024
 
 
 def _inflate_member(data: bytes, pos: int, cap: int = MAX_MEMBER_BYTES):
@@ -117,11 +129,20 @@ def _gunzip_members(data: bytes) -> bytes:
     record-per-member layout; a single whole-file member is the trivial
     case). Truncated trailing garbage raises — corrupt shards should
     fail loudly at the shard level, not pass partial data silently.
-    Per-member output is ceiling-capped (bomb guard, r11)."""
+    Per-member output is ceiling-capped (bomb guard, r11) AND the
+    cumulative output across all members is budget-capped (r12 ADVICE:
+    many small bomb members must not OOM the task either)."""
     out = []
     pos = 0
+    total = 0
     while pos < len(data):
         body, consumed = _inflate_member(data, pos)
+        total += len(body)
+        if total > MAX_SHARD_INFLATED_BYTES:
+            raise ValueError(
+                f"WARC shard inflates past {MAX_SHARD_INFLATED_BYTES} "
+                "bytes across its gzip members"
+            )
         out.append(body)
         pos += consumed
     return b"".join(out)
@@ -132,12 +153,19 @@ def gzip_member_spans(data: bytes) -> list[tuple[int, int, bytes]]:
     layout) and return one ``(offset, length, uncompressed)`` triple
     per member — offsets in the COMPRESSED file, which is what a real
     CDX index records (a range GET fetches the member and gunzips just
-    it). Same strict truncation/corruption contract as
-    :func:`_gunzip_members`."""
+    it). Same strict truncation/corruption contract (and whole-shard
+    cumulative budget, r12 ADVICE) as :func:`_gunzip_members`."""
     spans = []
     pos = 0
+    total = 0
     while pos < len(data):
         body, consumed = _inflate_member(data, pos)
+        total += len(body)
+        if total > MAX_SHARD_INFLATED_BYTES:
+            raise ValueError(
+                f"WARC shard inflates past {MAX_SHARD_INFLATED_BYTES} "
+                "bytes across its gzip members"
+            )
         spans.append((pos, consumed, body))
         pos += consumed
     return spans
@@ -208,9 +236,26 @@ def _inflate_capped(
     first bytes happen to look like a zlib header would otherwise
     salvage partial garbage instead of decoding correctly on the
     retry."""
+    return _inflate_capped_full(data, wbits, cap, members, strict)[0]
+
+
+def _inflate_capped_full(
+    data: bytes,
+    wbits: int,
+    cap: int,
+    members: bool = False,
+    strict: bool = False,
+) -> tuple[bytes | None, bool]:
+    """:func:`_inflate_capped` plus a cap-truncation flag (r12 ADVICE):
+    the second value is True iff the output CEILING cut the decode
+    short — the stream (or a later member) still had bytes to give
+    when ``cap`` was reached. Input truncation / corruption (the
+    salvage cases) do NOT set the flag: those return everything the
+    stream contained."""
     out: list[bytes] = []
     total = 0
     decoded_any = False  # reached at least one stream trailer
+    clipped = False  # output ceiling cut a stream (or member) short
     remaining = data
     while remaining and total < cap:
         d = zlib.decompressobj(wbits=wbits)
@@ -225,20 +270,40 @@ def _inflate_capped(
                 feed = d.unconsumed_tail
             if not d.eof:
                 # input exhausted before the trailer (truncated record)
-                # or output ceiling hit mid-stream: keep what inflated
+                # or output ceiling hit mid-stream: keep what inflated.
+                # Only the ceiling case is CAP truncation — input
+                # exhaustion returned everything the record carried.
+                if total >= cap:
+                    clipped = True
                 break
             decoded_any = True
             tail = d.flush()
+            if len(tail) > cap - total:
+                clipped = True
             out.append(tail[: cap - total])
             total += min(len(tail), cap - total)
         except zlib.error:
             break  # corrupt member: keep earlier members' output
         remaining = d.unused_data if members else b""
+    if members and remaining and total >= cap:
+        # further members never inflated: the budget, not the input,
+        # ended the decode
+        clipped = True
     if not decoded_any and total == 0:
-        return None
+        return None, False
     if strict and not decoded_any and total < cap:
-        return None
-    return b"".join(out)
+        return None, False
+    return b"".join(out), clipped
+
+
+def _unfold_headers(block: bytes) -> bytes:
+    """Unfold RFC 9112 §5.2 obs-folded header lines: a line beginning
+    with SP/HT continues the previous header, so the continuation is
+    joined on with a single space BEFORE any line-scoped header scan
+    (r12 ADVICE: a folded continuation carrying the charset= parameter
+    of Content-Type was invisible to a startswith line match).
+    Idempotent — safe to apply to an already-unfolded block."""
+    return re.sub(rb"\r\n[ \t]+", b" ", block)
 
 
 def decode_http_body(
@@ -257,30 +322,59 @@ def decode_http_body(
     with a ``max_decoded_bytes`` output ceiling — a crafted gzip bomb
     truncates at the cap instead of exhausting executor memory (r11
     ADVICE). Unknown codings and decode failures return the best bytes
-    so far — salvage, never drop."""
+    so far — salvage, never drop. A body silently shortened by the cap
+    is indistinguishable from a complete decode here — callers that
+    must tell them apart use :func:`decode_http_body_full`, whose
+    second return value flags cap truncation (r12 ADVICE)."""
+    return decode_http_body_full(header_block, body, max_decoded_bytes)[0]
+
+
+def decode_http_body_full(
+    header_block: bytes,
+    body: bytes,
+    max_decoded_bytes: int = DEFAULT_BODY_DECODE_CAP,
+) -> tuple[bytes, bool]:
+    """:func:`decode_http_body` plus a truncation flag: returns
+    ``(decoded, truncated)`` where ``truncated`` is True iff the
+    decompressed output hit the ``max_decoded_bytes`` ceiling with
+    compressed input still unconsumed — i.e. the returned bytes are a
+    PREFIX of a larger legitimate (or bomb) body, not a complete
+    decode (r12 ADVICE: the salvage contract previously swallowed this
+    signal, so a rare large-but-honest response was silently
+    shortened with no way to tell downstream). Header lines are
+    obs-unfolded and header names tolerate whitespace before the
+    colon (RFC 9112 §5.1 says reject, but archived crawls carry them;
+    a reader salvages)."""
     te_chunked = False
     ce = b""
-    for line in header_block.split(b"\r\n"):
+    for line in _unfold_headers(header_block).split(b"\r\n"):
         low = line.lower()
-        if low.startswith(b"transfer-encoding:") and b"chunked" in low:
+        name, sep, val = low.partition(b":")
+        if not sep:
+            continue
+        name = name.strip()
+        if name == b"transfer-encoding" and b"chunked" in val:
             te_chunked = True
-        elif low.startswith(b"content-encoding:"):
-            ce = low.split(b":", 1)[1].strip()
+        elif name == b"content-encoding":
+            ce = val.strip()
     if te_chunked:
         body = dechunk_http_body(body)
+    truncated = False
     if ce in (b"gzip", b"x-gzip"):
-        decoded = _inflate_capped(
+        decoded, truncated = _inflate_capped_full(
             body, zlib.MAX_WBITS | 16, max_decoded_bytes, members=True
         )
         body = body if decoded is None else decoded
     elif ce == b"deflate":
-        decoded = _inflate_capped(
+        decoded, truncated = _inflate_capped_full(
             body, zlib.MAX_WBITS, max_decoded_bytes, strict=True
         )
         if decoded is None:
-            decoded = _inflate_capped(body, -zlib.MAX_WBITS, max_decoded_bytes)
+            decoded, truncated = _inflate_capped_full(
+                body, -zlib.MAX_WBITS, max_decoded_bytes
+            )
         body = body if decoded is None else decoded
-    return body
+    return body, truncated
 
 
 def parse_warc_records(data: bytes) -> list[dict]:
@@ -450,6 +544,13 @@ def warc_to_documents(
     the body then decodes as UTF-8 with replacement; HTML bodies
     pass through :func:`html_to_text`.
 
+    Output contract (r12 ADVICE): decompression is ceiling-capped
+    (``DEFAULT_BODY_DECODE_CAP``), and a body the cap cut short is NOT
+    silently indistinguishable from a complete decode — the
+    ``decode_truncated`` boolean column flags every document whose
+    text is a cap-truncated prefix of a larger response body, so
+    downstream consumers can drop or re-fetch them.
+
     ``extract`` picks the HTML tier: ``"baseline"`` (default) is the
     raw CCNet-style tag strip via :func:`html_to_text`; ``"main"`` is
     the boilerplate-aware jusText tier
@@ -474,6 +575,7 @@ def warc_to_documents(
         for pdf in batches:
             texts = []
             flags = []
+            truncs = []
             for payload in pdf["payload"]:
                 body = bytes(payload)
                 # the HTTP envelope names the body's media type — consult
@@ -482,19 +584,25 @@ def warc_to_documents(
                 # an envelope, only a leading '<' reads as markup
                 is_html = None
                 charset = None
+                truncated = False
                 if body[:5] == b"HTTP/":
                     sep = body.find(b"\r\n\r\n")
                     if sep >= 0:
-                        headers = body[:sep].lower()
+                        # unfold obs-folded continuations FIRST (r12
+                        # ADVICE: a folded line carrying the charset=
+                        # parameter was invisible to the line scan)
+                        headers = _unfold_headers(body[:sep]).lower()
                         # media type + charset come from the
                         # Content-Type header LINE only (r11 ADVICE): a
                         # charset= parameter in Link/Set-Cookie/
                         # Content-Disposition must not pick the codec,
                         # and 'text/html' inside a Referer URL must not
-                        # flag the body as markup
+                        # flag the body as markup. Whitespace before
+                        # the colon is tolerated (r12 ADVICE) — RFC
+                        # 9112 says reject, but a reader salvages.
                         ct_line = b""
                         for hline in headers.split(b"\r\n"):
-                            if hline.startswith(b"content-type:"):
+                            if re.match(rb"content-type[ \t]*:", hline):
                                 ct_line = hline
                                 break
                         if ct_line:
@@ -510,7 +618,9 @@ def warc_to_documents(
                         # real crawl WARCs store the raw response, so
                         # without this chunk-size lines and binary
                         # garbage leak into extracted text (r10)
-                        body = decode_http_body(headers, body[sep + 4 :])
+                        body, truncated = decode_http_body_full(
+                            headers, body[sep + 4 :]
+                        )
                 # decode with the DECLARED charset (r10 — a latin-1 page
                 # read as utf-8 turns every accented letter into U+FFFD),
                 # falling back to utf-8 on unknown/absent declarations;
@@ -526,12 +636,14 @@ def warc_to_documents(
                     text = html_to_text(text)
                 texts.append(text)
                 flags.append(html)
+                truncs.append(truncated)
             yield pd.DataFrame(
                 {
                     "url": pdf["target_uri"],
                     "fetch_date": pdf["warc_date"],
                     "text": texts,
                     "is_html": flags,
+                    "decode_truncated": truncs,
                     "record_id": pdf["record_id"],
                     "shard": pdf["shard"],
                     "rec_idx": pdf["rec_idx"],
@@ -541,7 +653,7 @@ def warc_to_documents(
     docs = resp.mapInPandas(
         run,
         schema="url string, fetch_date string, text string, is_html boolean, "
-        "record_id string, shard string, rec_idx long",
+        "decode_truncated boolean, record_id string, shard string, rec_idx long",
     )
     if extract == "main":
         # boilerplate-aware tier as a zero-shuffle column expression on
@@ -556,6 +668,7 @@ def warc_to_documents(
             "record_id",
             "shard",
             "rec_idx",
+            "decode_truncated",
             F.when(F.col("is_html"), main_content_expr(F.col("text")))
             .otherwise(F.col("text"))
             .alias("text"),
@@ -567,6 +680,7 @@ def warc_to_documents(
         "fetch_date",
         "text",
         F.length("text").cast("long").alias("n_chars"),
+        F.col("decode_truncated"),
         *prov,
     )
 

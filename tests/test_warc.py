@@ -497,6 +497,182 @@ class TestHttpBodyDecoding:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
+    def test_shard_cumulative_inflation_budget(self, monkeypatch):
+        """r12 ADVICE pin (medium): the per-member cap alone lets a
+        shard of MANY bomb members, each under the ceiling, inflate
+        ~1000x wire size without tripping anything — the member loop
+        now tracks a whole-shard cumulative output budget and fails
+        loudly. Also pins the per-member ceiling at 1 GiB (a member a
+        task must hold has to FIT in task memory; the old 4 GiB cap
+        was itself an OOM if reached)."""
+        import gzip as _gz
+
+        import pytest as _pytest
+
+        from hgraphstorage_spark.sources import warc as _warc
+
+        assert _warc.MAX_MEMBER_BYTES == 1 << 30
+        assert _warc.MAX_SHARD_INFLATED_BYTES == 4 << 30
+        # 8 members x 1 MiB output each, budget lowered to 4 MiB: every
+        # member is individually under the per-member cap, the SHARD is
+        # over budget -> loud rejection from both walkers
+        member = _gz.compress(b"\x00" * (1 << 20))
+        shard = member * 8
+        monkeypatch.setattr(_warc, "MAX_SHARD_INFLATED_BYTES", 4 << 20)
+        with _pytest.raises(ValueError, match="across its gzip members"):
+            _warc._gunzip_members(shard)
+        with _pytest.raises(ValueError, match="across its gzip members"):
+            _warc.gzip_member_spans(shard)
+        # an honest shard under the budget still walks member-by-member
+        ok = _gz.compress(b"rec one") + _gz.compress(b"rec two")
+        assert _warc._gunzip_members(ok) == b"rec onerec two"
+
+    def test_obs_folded_headers_unfold(self, spark):
+        """r12 ADVICE pin (low): an obs-folded Content-Type header —
+        the charset parameter on a continuation line starting with
+        SP/HT — and whitespace before the colon are both salvaged by
+        unfolding the header block before the line-scoped scan (the
+        r11 line scan missed them entirely and fell back to utf-8 /
+        lost is_html)."""
+        import shutil
+        import tempfile
+
+        from hgraphstorage_spark.sources.warc import (
+            decode_http_body,
+            read_warc,
+            warc_bytes,
+            warc_to_documents,
+        )
+
+        latin = "café rosé".encode("iso-8859-1")
+        recs = [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:1>",
+                    "WARC-Target-URI": "https://t.com/folded",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+                # charset parameter obs-folded onto a continuation line
+                "payload": b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/plain;\r\n charset=ISO-8859-1\r\n\r\n"
+                + latin,
+            },
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": "<urn:uuid:2>",
+                    "WARC-Target-URI": "https://t.com/ws-colon",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+                # whitespace before the colon: is_html detection must
+                # still fire (the body tag-strips)
+                "payload": b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type : text/html\r\n\r\n"
+                b"<html><body>stripped ok</body></html>",
+            },
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_fold_")
+        try:
+            with open(f"{d}/s.warc", "wb") as f:
+                f.write(warc_bytes(recs))
+            rows = {
+                r["url"]: r
+                for r in warc_to_documents(read_warc(spark, d)).collect()
+            }
+            assert rows["https://t.com/folded"]["text"] == "café rosé"
+            # tag-stripped output proves is_html fired despite the
+            # whitespace-before-colon Content-Type line
+            assert rows["https://t.com/ws-colon"]["text"].strip() == "stripped ok"
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        # the wire-encoding scan unfolds too: a folded Transfer-Encoding
+        # continuation carrying 'chunked' still dechunks
+        h = b"HTTP/1.1 200 OK\r\nTransfer-Encoding:\r\n chunked"
+        assert decode_http_body(h, b"3\r\nabc\r\n0\r\n\r\n") == b"abc"
+
+    def test_decode_cap_truncation_is_flagged(self, spark):
+        """r12 ADVICE pin (low): a body the output ceiling cut short is
+        no longer indistinguishable from a complete decode —
+        decode_http_body_full returns (bytes, truncated) and
+        warc_to_documents surfaces it as the decode_truncated column.
+        Input truncation / honest bodies do NOT set the flag."""
+        import gzip as _gz
+        import shutil
+        import tempfile
+        import zlib as _zl
+
+        from hgraphstorage_spark.sources.warc import (
+            decode_http_body_full,
+            read_warc,
+            warc_bytes,
+            warc_to_documents,
+        )
+
+        h = b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip"
+        bomb = _gz.compress(b"\x00" * (8 << 20))
+        out, trunc = decode_http_body_full(h, bomb, max_decoded_bytes=1 << 16)
+        assert trunc and len(out) <= 1 << 16
+        # honest body under the cap: complete, unflagged
+        out, trunc = decode_http_body_full(h, _gz.compress(b"fine"))
+        assert (out, trunc) == (b"fine", False)
+        # INPUT-truncated stream: salvage prefix, flag stays False (the
+        # record carried nothing more — that is not cap truncation).
+        # Incompressible payload so the cut lands mid-deflate-stream.
+        import hashlib as _hl
+
+        raw = b"".join(
+            _hl.sha256(i.to_bytes(4, "big")).digest() for i in range(4096)
+        )
+        cut = _gz.compress(raw)[:-30000]
+        out, trunc = decode_http_body_full(h, cut)
+        assert not trunc and out and out.startswith(raw[:64])
+        # multi-member body where the cap lands BETWEEN members: later
+        # members never inflate -> flagged
+        blob = _gz.compress(b"a" * 100) + _gz.compress(b"b" * 100)
+        out, trunc = decode_http_body_full(h, blob, max_decoded_bytes=100)
+        assert trunc and out == b"a" * 100
+        # deflate path flags too
+        h2 = b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate"
+        out, trunc = decode_http_body_full(
+            h2, _zl.compress(b"\x00" * (1 << 20)), max_decoded_bytes=1 << 10
+        )
+        assert trunc and len(out) == 1 << 10
+        # end-to-end: the column rides through warc_to_documents
+        recs = [
+            {
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:uuid:{i}>",
+                    "WARC-Target-URI": f"https://t.com/{name}",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                },
+                "payload": b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/plain\r\n"
+                b"Content-Encoding: gzip\r\n\r\n" + body,
+            }
+            for i, (name, body) in enumerate(
+                [
+                    ("honest", _gz.compress(b"short and sweet")),
+                    ("bomb", _gz.compress(b"\x00" * (80 << 20))),
+                ]
+            )
+        ]
+        d = tempfile.mkdtemp(prefix="hgs_trunc_")
+        try:
+            with open(f"{d}/s.warc", "wb") as f:
+                f.write(warc_bytes(recs))
+            rows = {
+                r["url"]: r["decode_truncated"]
+                for r in warc_to_documents(read_warc(spark, d)).collect()
+            }
+            assert rows == {
+                "https://t.com/honest": False,
+                "https://t.com/bomb": True,
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
 
 class TestUrlDedup:
     def test_normalization_rules(self, spark):
