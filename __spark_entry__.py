@@ -5306,7 +5306,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays under its pytest oracle); its slot carries the as-of
         # join — the temporal-join family's first driver contact
         "asof_join": q_asof_join,
-        "numeric_histogram": q_numeric_histogram,
+        # r12 twenty-fourth rotation: numeric_histogram out after six
+        # straight green contacts (r6-r11; the broadcast-bounds
+        # histogram machinery stays under its pytest oracle and the
+        # profiling family keeps datasheet in-window); its slot carries
+        # the per-doc character-entropy report — a benched-every-round
+        # headline whose latent DECIMAL canon bug the r11 all-rows
+        # sweep caught; this driver contact is the confirmation
+        # (VERDICT r11 task 2)
+        "char_entropy": q_char_entropy,
         # cube_revenue moved past the window (still oracle-checked in
         # pytest): it is a near-duplicate of rollup_revenue, and its slot
         # carries the §2.10 streaming evidence instead
@@ -5330,7 +5338,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every algorithm to pytest-oracled scalars) rotates past the
         # window; its slot carries the corpus snapshot diff — the
         # fingerprint-projection full-outer join between two crawl dumps
-        "corpus_diff": q_corpus_diff,
+        # r12 twenty-fourth rotation: corpus_diff out after five
+        # straight green contacts (r7-r11; the full-outer fingerprint
+        # diff stays under its pytest oracle); its slot keeps the
+        # cross-corpus surface via cross_source_overlap — the pairwise
+        # source-containment report, benched every round yet never
+        # driver-hashed (VERDICT r11 task 2)
+        "cross_source_overlap": q_cross_source_overlap,
         # r5 second rotation: personalized_pagerank / link_prediction /
         # harmonic_centrality move past the window — their families stay
         # driver-hashed via pagerank + graph_summary (which compresses
@@ -5364,7 +5378,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slot carries paragraph-mode corpus boilerplate removal —
         # the remove-ALL-occurrences rule at the blank-run granularity,
         # in-window the round it was built
-        "boilerplate_paragraph": q_boilerplate_paragraph,
+        # r12 twenty-fourth rotation: boilerplate_paragraph out after
+        # five straight green contacts (r7-r11; the blank-run paragraph
+        # split + remove-all rule stays under its pytest oracle and the
+        # text family keeps structured_md + phrase_filter + flagged_
+        # filter in-window); its slot keeps the repetition surface via
+        # repetition_exact — the exact-window repeated-substring gate,
+        # benched every round yet never driver-hashed (VERDICT r11
+        # task 2)
+        "repetition_exact": q_repetition_exact,
         # r10 twenty-second rotation: readability (hashed green r6-r9,
         # FOUR straight contacts; its ENTIRE per-doc replay now also
         # runs inside the in-window datasheet v3 oracle as the
@@ -5445,7 +5467,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_hll) rotates past the window; its slot carries the
         # streaming HLL distinct-count — a REAL multi-batch stream whose
         # register law the batch hll_distinct oracle replays
-        "stream_hll": q_stream_hll,
+        # r12 twenty-fourth rotation: stream_hll out after five straight
+        # green contacts (r7-r11; the HLL register/merge law stays
+        # pytest-certified under tests/test_stats.py and the streaming
+        # family keeps stream_freshness + stream_validator +
+        # stream_crawl_frontier in-window); its slot carries
+        # stream_enrich — the stream-static broadcast-join enrichment
+        # pattern, benched every round yet never driver-hashed
+        # (VERDICT r11 task 2)
+        "stream_enrich": q_stream_enrich,
         # r6 second rotation: containment_pairs / epoch_shuffle /
         # length_batches / boilerplate_dedup (all hashed green in r5,
         # their families staying in-window via minhash/simhash pairs,
@@ -5475,8 +5505,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # executor-side footer row-group stats and the stats-vs-predicate
         # skipping report (oracle = DuckDB's own parquet_metadata(), an
         # independent implementation of the same footer read)
-        "rowgroup_stats": q_rowgroup_stats,
-        "skipping_report": q_skipping_report,
+        # r12 twenty-fourth rotation: rowgroup_stats + skipping_report
+        # out after five straight green contacts each (r7-r11; the
+        # parquet-footer walk and the stats-vs-predicate skip report
+        # keep their independent DuckDB parquet_metadata() oracles in
+        # pytest); their slots carry the first two of the never-hashed
+        # events SQL family (VERDICT r11 task 7) — the per-type event
+        # latency percentile report and the ordered 3-step funnel
+        "events_percentiles": q_events_percentiles,
+        "funnel": q_funnel,
         # r9 nineteenth rotation: psi_drift (hashed green r6-r8, three
         # straight contacts; the drift/sketch family keeps stream_hll +
         # stream_quantile in-window and numeric_histogram keeps the
@@ -5498,7 +5535,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CAPSTONE composition — links -> demand -> robots gate ->
         # politeness -> per-host rank, wiring-certified in-window the
         # round it was built
-        "crawl_frontier": q_crawl_frontier,
+        # r12 twenty-fourth rotation: crawl_frontier out after five
+        # straight green contacts (r7-r11; the capstone composition
+        # stays driver-checked EVERY round — frontier_schedule composes
+        # over it and stream_crawl_frontier shares its oracle
+        # bit-for-bit, both in-window); its slot carries pivot_events,
+        # the third never-hashed events SQL row (VERDICT r11 task 7)
+        "pivot_events": q_pivot_events,
         # r10 twenty-second rotation: lang_confusion (hashed green
         # r6-r9, four straight contacts; the lang-id scoring chain
         # stays under its full pytest oracle and the routing family
@@ -5652,7 +5695,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # past the window; its slot carries the Shazam-style audio
         # landmark fingerprint + offset-vote match so the driver hashes
         # the audio tier's flagship on first round-7 contact
-        "audio_match": q_audio_match,
+        # r12 twenty-fourth rotation: audio_match out after five
+        # straight green contacts (r7-r11; the landmark-pair
+        # fingerprint + offset-vote machinery stays under
+        # tests/test_multimodal*.py and the multimodal family keeps
+        # video_plan in-window); its slot carries agg_messages — the
+        # fourth graph-analytics first contact (VERDICT r11 task 3):
+        # the aggregateMessages Pregel primitive the GraphX surface
+        # builds on (reference analogue STMGraph API.hs:252-346)
+        "agg_messages": q_agg_messages,
         # -- LLM-data-pipeline operators (34-50) --
         # r6 seventh rotation (cont.): minhash_lsh_pairs (hashed green
         # r1-r6-replica; the identical md5 minhash chain runs inside the
@@ -5660,7 +5711,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banded-LSH family keeps simhash_pairs + jaccard_prefix +
         # embed_near_dup_lsh) rotates past the window; its slot carries
         # the RFC 9309 robots gate
-        "robots_filter": q_robots_filter,
+        # r12 twenty-fourth rotation: robots_filter out after six
+        # straight green contacts (r6-r11; the RFC 9309 group-selection
+        # + wildcard-rule machinery stays in-window inside the
+        # robots_extras row and the frontier oracles' robots gate, plus
+        # its full pytest suite); its slot carries wet_ingest — the
+        # declared r12 candidate whose grace expires (VERDICT r11 task
+        # 1): the ordinary reader over the EXTERNALLY-laid-out CC WET
+        # shard (fixtures/external/, assembled from the published
+        # conventions by tools/make_fixture_external.py — NOT by this
+        # repo's writers), digests and language headers surfaced
+        # verbatim; the interchange open-path story, reference
+        # FileOps.hs:32-77,113-148
+        "wet_ingest": q_wet_ingest,
         # r6 second rotation: chunk_dedup and text_token_counts
         # (r1-stable, hashed green every round; the dedup family keeps
         # five in-window rows and token signals stay via content_type /
@@ -5677,7 +5740,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CTE chain is embedded verbatim inside the in-window
         # dedup_keep_best oracle) rotates past the window; its slot
         # carries the streaming topic router, a REAL multi-batch stream
-        "stream_topics": q_stream_topics,
+        # r12 twenty-fourth rotation: stream_topics out after six
+        # straight green contacts (r6-r11; the hashed-bucket TF-IDF
+        # router stays driver-checked inside the in-window topic_split
+        # oracle — the same CTE chain — and the streaming family keeps
+        # three real-stream rows + the incoming stream_enrich); its
+        # slot carries hybrid_search — BM25+vector reciprocal-rank
+        # fusion, benched every round yet never driver-hashed (VERDICT
+        # r11 task 2)
+        "hybrid_search": q_hybrid_search,
         # r6 third rotation: kmeans / text_quality / lang_id (r1-stable,
         # hashed green every round; clustering stays via semantic_dedup
         # + ivf in pytest, quality via quality_reasons + nb_quality,
@@ -5694,7 +5765,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # identical partitioned rank, and the link derivation arrives
         # RAW below) gives its slot to anchor-capture extract_links —
         # the per-link frame under the driver hash
-        "extract_links": q_extract_links,
+        # r12 twenty-fourth rotation: extract_links out after five
+        # straight green contacts (r7-r11; the per-link derivation
+        # stays driver-checked inside the in-window frontier_schedule /
+        # stream_crawl_frontier oracles — the capstone chain starts
+        # from it — and under its pytest suite); its slot carries
+        # fuzzy_pairs — the edit-distance candidate-pair verifier,
+        # benched every round yet never driver-hashed (VERDICT r11
+        # task 2)
+        "fuzzy_pairs": q_fuzzy_pairs,
         # r8 seventeenth rotation: stream_url_dedup (hashed green r6+r7;
         # its batch keeper machinery IS the in-window url_dedup row, and
         # the streaming family keeps four real-stream in-window rows:
@@ -5703,8 +5782,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a REAL 4-micro-batch register stream whose result must equal
         # the batch capstone bit-for-bit (shared oracle)
         "stream_crawl_frontier": q_stream_crawl_frontier,
-        "stream_embed_dedup": q_stream_embed_dedup,
-        "domain_quality": q_domain_quality,
+        # r12 twenty-fourth rotation: stream_embed_dedup out after six
+        # straight green contacts (r6-r11; the md5-plane signature
+        # register + compaction law stays under its pytest oracle and
+        # the dedup family keeps semantic_dedup + the incoming
+        # repetition_exact/fuzzy_pairs in-window); its slot gives the
+        # graph-analytics family its FIRST driver contact (VERDICT r11
+        # task 3): Tarjan-free distributed SCC via forward/backward
+        # HashMin label propagation over the orders-suppliers digraph
+        "scc": q_scc,
+        # r12 twenty-fourth rotation: domain_quality out after six
+        # straight green contacts (r6-r11; the per-domain quality rule
+        # replay stays under its pytest oracle and the quality family
+        # keeps flagged_filter + datasheet in-window); its slot keeps
+        # the quality surface via quality_filter_narrow — the
+        # narrow-projection Gopher-rule gate, benched every round yet
+        # never driver-hashed (VERDICT r11 task 2)
+        "quality_filter_narrow": q_quality_filter_narrow,
         # r9 nineteenth rotation: novelty (hashed green r6-r8; the
         # quality family keeps domain_quality in-window and the n-gram
         # machinery runs inside the in-window fuzzy_decontaminate
@@ -5745,7 +5839,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-duplicate decontamination twin, which exercises the same
         # benchmark-split workload through the asymmetric LSH probe —
         # paraphrase-robust, the stronger certificate for the family
-        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        # r12 twenty-fourth rotation: fuzzy_decontaminate out after six
+        # straight green contacts (r6-r11; the asymmetric-LSH
+        # benchmark-split probe stays under its full pytest oracle and
+        # decontamination keeps the bloom/exact twins parity-checked
+        # every run); its slot carries k_truss — the second
+        # graph-analytics first contact (VERDICT r11 task 3):
+        # iterative triangle-support peeling on the co-purchase graph
+        "k_truss": q_k_truss,
         # r6 fifth rotation: hash_split (r1-stable deterministic md5
         # bucket split, hashed green every round; the sampling/splitting
         # family keeps dsir_sample, shard_plan, and unimax_mix in-window,
@@ -5756,7 +5857,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mix_corpus (r1-stable epoch-weight mixing, hashed green every
         # round) rotates out in the r6 third rotation; the mixing
         # family's window slot carries UniMax budget allocation instead
-        "unimax_mix": q_unimax,
+        # r12 twenty-fourth rotation: unimax_mix out after six straight
+        # green contacts (r6-r11; the UniMax water-filling budget fold
+        # stays under its full pytest oracle and the sampling/mixing
+        # family keeps pack_sequences in-window); its slot carries
+        # random_walks — the third graph-analytics first contact
+        # (VERDICT r11 task 3): deterministic-hash-seeded fixed-length
+        # walks, the node2vec-corpus precursor
+        "random_walks": q_random_walks,
         # r7 rotation: multimodal_features (hashed green r2-r6 — five
         # straight contacts; the decode/feature machinery stays under
         # tests/test_jpeg.py, test_gif.py, test_pipeline.py and its
@@ -5833,12 +5941,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "url_dedup": q_url_dedup,
         "media_pairs": q_media_pairs,
-        # r11 addition past the window (declared r12 rotation
-        # candidate): WET interchange IN — the ordinary reader over the
-        # EXTERNALLY-laid-out CC WET shard, digests and language
-        # headers surfaced verbatim (the ingest sibling of the
-        # in-window wet_export)
-        "wet_ingest": q_wet_ingest,
+        # r12 twenty-fourth rotation, rotated-out rows (multi-round
+        # hashed green, 5-6 contacts each; see the in-window slot
+        # comments for where each one's machinery stays driver-checked
+        # — capstone compositions keep crawl_frontier + robots_filter +
+        # extract_links live inside the in-window frontier oracles
+        # every round)
+        "numeric_histogram": q_numeric_histogram,
+        "corpus_diff": q_corpus_diff,
+        "boilerplate_paragraph": q_boilerplate_paragraph,
+        "stream_hll": q_stream_hll,
+        "rowgroup_stats": q_rowgroup_stats,
+        "skipping_report": q_skipping_report,
+        "crawl_frontier": q_crawl_frontier,
+        "robots_filter": q_robots_filter,
+        "stream_topics": q_stream_topics,
+        "extract_links": q_extract_links,
+        "stream_embed_dedup": q_stream_embed_dedup,
+        "domain_quality": q_domain_quality,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "unimax_mix": q_unimax,
+        "audio_match": q_audio_match,
         "fim": q_fim,
         "readability": q_readability,
         "lang_confusion": q_lang_confusion,
@@ -5893,7 +6016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring": q_exact_substring,
         "cube_revenue": q_cube_revenue,
         "fingerprint": q_fingerprint,
-        "repetition_exact": q_repetition_exact,
         "degrees": q_degrees,
         "connected_components": q_connected_components,
         "connected_components_alt": q_connected_components_alt,
@@ -5902,7 +6024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "shortest_paths": q_shortest_paths,
         "label_propagation": q_label_propagation,
-        "scc": q_scc,
         "motif_two_hop": q_motif_two_hop,
         "hackage_one_step": q_hackage_one_step,
         "hackage_depends_top": q_hackage_depends_top,
@@ -5921,8 +6042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "ngram_jaccard": q_ngram_jaccard,
         "vocab_topk": q_vocab_topk,
-        "agg_messages": q_agg_messages,
-        "random_walks": q_random_walks,
         "simhash_buckets": q_simhash_buckets,
         "stratified_sample": q_stratified_sample,
         "normalize_text": q_normalize_text,
@@ -5932,23 +6051,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "sliding_chunks": q_sliding_chunks,
         "pattern_scan": q_pattern_scan,
-        "stream_enrich": q_stream_enrich,
-        "events_percentiles": q_events_percentiles,
         "rolling_features": q_rolling_features,
-        "funnel": q_funnel,
-        "pivot_events": q_pivot_events,
         "per_group_cap": q_per_group_cap,
         "pipeline_report": q_pipeline_report,
         "token_budget_mix": q_token_budget_mix,
-        "quality_filter_narrow": q_quality_filter_narrow,
-        "fuzzy_pairs": q_fuzzy_pairs,
         "bloom_decontaminate": q_bloom_decontaminate,
         "embedding_stats": q_embedding_stats,
         "ewma": q_ewma,
-        "char_entropy": q_char_entropy,
-        "cross_source_overlap": q_cross_source_overlap,
         "skew_report": q_skew_report,
-        "hybrid_search": q_hybrid_search,
         "percentile_band": q_percentile_band,
         "cluster_split": q_cluster_split,
         "corpus_report": q_corpus_report,
@@ -5956,7 +6066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sp": q_weighted_sp,
         "clustering": q_clustering,
         "stopword_stats": q_stopword_stats,
-        "k_truss": q_k_truss,
         "table_profile": q_table_profile,
         "fk_check": q_fk_check,
         "source_calibrated": q_source_calibrated,

@@ -94,8 +94,13 @@ def test_window_covers_required_operators():
         # rotation after r7-r9 green — the two-pass rank and infilling
         # replays stay pytest-oracled, the mergeable-summary law stays
         # in-window via the stream register rows)
-        "stream_hll", "audio_match", "video_plan", "corpus_diff",
-        "rowgroup_stats", "skipping_report",
+        # (stream_hll / audio_match / corpus_diff / rowgroup_stats /
+        # skipping_report out in the r12 twenty-fourth rotation after
+        # five straight green contacts each — the HLL register law and
+        # parquet-footer oracles stay pytest-certified, multimodal
+        # keeps video_plan, and the cross-corpus surface arrives
+        # stronger via cross_source_overlap)
+        "video_plan",
         # r7 eleventh rotation: the six operators BUILT this round,
         # in-window the round they were built (the r6 bar). OUT:
         # sentence_dedup / quantile_histogram / vocab_drift /
@@ -113,8 +118,12 @@ def test_window_covers_required_operators():
         # the BPE chain stays under tests/test_dsir_bpe.py, the
         # mergeable-quantile law stays pytest-certified with
         # stream_hll keeping the sketch family in-window)
-        "boilerplate_paragraph",
-        "topic_split", "extract_links",
+        # (boilerplate_paragraph + extract_links out in the r12
+        # twenty-fourth rotation after five green contacts each; the
+        # blank-run replay stays pytest-oracled, the link derivation
+        # runs inside the in-window frontier oracles, and the
+        # repetition surface arrives via repetition_exact)
+        "topic_split",
         # r7 twelfth rotation: the crawl/PII wave built late in round 7,
         # in-window the round it was built. OUT: corr_matrix /
         # gap_sessions / zipf / shard_plan / ann_recall — all hashed
@@ -130,7 +139,10 @@ def test_window_covers_required_operators():
         # r7 thirteenth swap: the crawl-tier capstone composition in for
         # calibration (hashed green r6; quantile-cut machinery stays via
         # quantile_sketch + psi_drift)
-        "crawl_frontier",
+        # (crawl_frontier out in the r12 twenty-fourth rotation after
+        # five green contacts — the capstone stays driver-checked every
+        # round because frontier_schedule composes over it and
+        # stream_crawl_frontier shares its oracle bit-for-bit)
         # round-1 red rows, fixed + canonicalized (window_top_order /
         # rollup_revenue / retention_cohorts rotated out r6 — r1-stable,
         # hashed green five rounds, family-covered by the remaining rows;
@@ -154,7 +166,10 @@ def test_window_covers_required_operators():
         # stream_embed_dedup embeds the md5-plane signature core,
         # search_eval embeds the full bm25 scoring replay); their slots
         # carry the four flagship late-r6 operators)
-        "robots_filter", "stream_topics",
+        # (robots_filter + stream_topics out in the r12 twenty-fourth
+        # rotation after six green contacts each; the RFC 9309 gate
+        # stays in-window via robots_extras + the frontier oracles,
+        # the topic router via topic_split's shared CTE chain)
         # (hash_split out in the r6 fifth rotation after five green
         # rounds — the md5 split CASE stays driver-adjacent inside the
         # cluster_split oracle and the splitting family keeps
@@ -181,7 +196,9 @@ def test_window_covers_required_operators():
         # (search_eval out in the r11 twenty-third rotation after
         # five green contacts; the BM25 replay stays pytest-oracled
         # and bench times hybrid_search every round)
-        "fuzzy_decontaminate",
+        # (fuzzy_decontaminate out in the r12 twenty-fourth rotation
+        # after six green contacts; the asymmetric-LSH probe stays
+        # under its full pytest oracle)
         # r4 rotation: operators the driver had never hashed before
         # (sq_topk rotated out r6: hashed green r4+r5, similarity family
         # keeps three in-window rows; boilerplate_dedup out in the r6
@@ -220,7 +237,10 @@ def test_window_covers_required_operators():
         # (lang_confusion out in the r10 twenty-second rotation after
         # r6-r9 green; the lang-id chain stays pytest-oracled and the
         # routing family keeps flagged_filter + domain_quality)
-        "numeric_histogram", "datasheet",
+        # (numeric_histogram out in the r12 twenty-fourth rotation
+        # after six green contacts; profiling keeps datasheet in-window
+        # and the histogram machinery stays pytest-oracled)
+        "datasheet",
         # r6 second rotation: the crawl-ingest story (WARC fixture read,
         # URL dedup, media pair core, Misra-Gries stream) plus the NB
         # quality classifier and n-gram novelty — in-window the round
@@ -246,7 +266,13 @@ def test_window_covers_required_operators():
         # keeper IS the in-window url_dedup row; its slot carries the
         # incrementally-maintained streaming crawl frontier)
         "stream_crawl_frontier",
-        "stream_embed_dedup", "domain_quality", "unimax_mix",
+        # (stream_embed_dedup / domain_quality / unimax_mix out in the
+        # r12 twenty-fourth rotation after six green contacts each;
+        # the signature-register compaction law, quality rules, and
+        # UniMax fold stay under their full pytest oracles — quality
+        # keeps flagged_filter + datasheet + the incoming
+        # quality_filter_narrow in-window, sampling keeps
+        # pack_sequences)
         # (r6 fourth rotation's jaccard_prefix / psi_drift / link_graph
         # out in the r9 nineteenth rotation after r6-r8 green — dedup
         # keeps url_dedup + fuzzy_decontaminate + media_pairs, sketches
@@ -280,6 +306,19 @@ def test_window_covers_required_operators():
         "wet_export", "tpch_q2_like", "events_hourly", "events_json",
         "sessionize", "asof_join", "range_join", "interval_join",
         "semantic_dedup", "pack_sequences",
+        # r12 twenty-fourth rotation: the declared r12 candidate
+        # (wet_ingest — the external CC WET shard reader, grace
+        # expires per VERDICT r11 task 1) plus fourteen rows from the
+        # never-hashed backlog: the seven benched-but-never-hashed
+        # headline queries (VERDICT r11 task 2), the graph-analytics
+        # family's first driver contacts (task 3), and the events SQL
+        # trio (task 7)
+        "wet_ingest",
+        "char_entropy", "repetition_exact", "quality_filter_narrow",
+        "hybrid_search", "fuzzy_pairs", "cross_source_overlap",
+        "stream_enrich",
+        "scc", "k_truss", "random_walks", "agg_messages",
+        "events_percentiles", "funnel", "pivot_events",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
