@@ -3048,10 +3048,26 @@ def q_robots_extras(spark, sf_dir):
     parse_robots (exact trainbot group's 2 beats *'s 10; malformed
     values NULL; group-less domains NULL) and document-wide Sitemap
     lines in source order. Oracle = the hand-derived expected rows for
-    the shared fixture (independent derivation)."""
+    the shared fixture (independent derivation). The EXTERNAL
+    conformance robots.txt (r12: fixtures/external/robots.txt,
+    hand-assembled from the published RFC 9309 / Google conventions —
+    UTF-8 BOM, CRLF, mixed-case keys, inline comments, unknown Host:
+    directive, Sitemap lines split across groups) is unioned in as the
+    www.example.org row, so parsing the published oddities is LIVE in
+    the driver hash; its oracle row is a literal certified by
+    tests/test_external_conformance.py."""
     from hgraphstorage_spark.sources.warc import robots_extras
 
-    robots = spark.createDataFrame(_ROBOTS_FIXTURE, "domain string, robots_txt string")
+    ext_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures", "external", "robots.txt",
+    )
+    with open(ext_path, "rb") as f:
+        ext_txt = f.read().decode("utf-8")
+    robots = spark.createDataFrame(
+        _ROBOTS_FIXTURE + [("www.example.org", ext_txt)],
+        "domain string, robots_txt string",
+    )
     out = robots_extras(robots, agent="trainbot")
     return out.select(
         "domain",
@@ -4022,7 +4038,15 @@ def q_sitemap_ingest(spark, sf_dir):
     oracle derives every expected frontier row from the generator
     arithmetic — independent derivation, not regex replay. The second
     entry's loc arrives CDATA-wrapped with a RAW ampersand (the r8
-    unwrap; entity escaping stays live on the first entry)."""
+    unwrap; entity escaping stays live on the first entry). The
+    EXTERNAL conformance sitemaps (r12: fixtures/external/
+    sitemap_index.xml + sitemap_urlset.xml — the sitemaps.org protocol
+    page's own conventions: XML declaration, protocol namespace, an
+    xhtml:link child inside a <url> block, indentation inside blocks,
+    W3C datetimes with timezone offsets, a .xml.gz child pointer) are
+    unioned in as www.example.org rows, so parsing the published
+    layout is LIVE in the driver hash; their oracle rows are literals
+    certified by tests/test_external_conformance.py."""
     from hgraphstorage_spark.sources.warc import parse_sitemaps
 
     i = F.col("doc_id")
@@ -4046,7 +4070,17 @@ def q_sitemap_ingest(spark, sf_dir):
         dom.alias("domain"),
         F.when(i % 4 == 3, index).otherwise(urlset).alias("sitemap_xml"),
     )
-    out = parse_sitemaps(sitemaps)
+    ext_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "external"
+    )
+    ext_rows = []
+    for j, fname in enumerate(("sitemap_index.xml", "sitemap_urlset.xml")):
+        with open(os.path.join(ext_dir, fname), encoding="utf-8") as f:
+            ext_rows.append((-1 - j, "www.example.org", f.read()))
+    ext = spark.createDataFrame(
+        ext_rows, "doc_id long, domain string, sitemap_xml string"
+    )
+    out = parse_sitemaps(sitemaps.unionByName(ext))
     return _canon(out, "priority")
 
 
@@ -9275,7 +9309,15 @@ def oracle_sql() -> dict[str, str]:
           ('site2.com', NULL::DOUBLE, ''),
           ('site4.com', 1.5::DOUBLE, ''),
           ('site5.com', NULL::DOUBLE, ''),
-          ('site6.com', NULL::DOUBLE, '')
+          ('site6.com', NULL::DOUBLE, ''),
+          -- the EXTERNAL conformance robots.txt (fixtures/external/
+          -- robots.txt): trainbot's exact group carries the decimal
+          -- crawl-DELAY despite BOM/CRLF/case/Host: oddities; the two
+          -- document-wide Sitemap lines collect across groups in
+          -- source order (literals certified by
+          -- tests/test_external_conformance.py)
+          ('www.example.org', 4.5::DOUBLE,
+           'https://www.example.org/sitemap_index.xml|https://cdn.example.org/sitemap-images.xml')
         ) t(domain, crawl_delay, sitemaps)
     """
 
@@ -9302,6 +9344,23 @@ def oracle_sql() -> dict[str, str]:
                'https://site' || (doc_id % 7) || '.com/sm' || (doc_id % 5) || '.xml',
                NULL, NULL, NULL
         FROM d WHERE doc_id % 4 = 3
+        UNION ALL
+        -- the EXTERNAL conformance sitemaps (fixtures/external/):
+        -- sitemaps.org-layout index + urlset, literals certified by
+        -- tests/test_external_conformance.py
+        SELECT * FROM (VALUES
+          ('www.example.org', 'sitemap',
+           'https://www.example.org/sitemap-posts-2024-07.xml.gz',
+           '2024-07-22T18:23:17+00:00', NULL, NULL),
+          ('www.example.org', 'sitemap',
+           'https://www.example.org/sitemap-pages.xml',
+           '2024-07-01', NULL, NULL),
+          ('www.example.org', 'url',
+           'https://www.example.org/catalog?item=12&desc=vacation_hawaii',
+           '2024-05-07T16:20:11+03:00', 'monthly', '0.8'),
+          ('www.example.org', 'url',
+           'https://www.example.org/', NULL, NULL, '1.0')
+        ) x(domain, kind, loc, lastmod, changefreq, priority)
     """
 
     # pii_scrub: replay every pattern — counts on the original text,

@@ -1400,10 +1400,18 @@ def _robots_lines(robots: DataFrame, domain_col: str, text_col: str) -> DataFram
     tolerates CRLF — real robots.txt is overwhelmingly served with \\r\\n
     line endings, and a trailing \\r on the user-agent value would
     otherwise kill every group match (fail-open; review catch).
-    Comments (#) strip in the value extraction."""
+    Comments (#) strip in the value extraction. A leading UTF-8 BOM
+    strips before the split (r12 external conformance: real servers
+    routinely emit one, Google's parser documentation says ignore it —
+    left in place it glues onto the first ``User-agent`` key and
+    silently kills the whole first group)."""
     lines = robots.select(
         F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("ord", "raw"),
+        F.posexplode(
+            F.split(
+                F.regexp_replace(F.col(text_col), "^\\uFEFF", ""), r"\r?\n"
+            )
+        ).alias("ord", "raw"),
     )
     key = F.lower(F.trim(F.regexp_extract("raw", r"^([^:#]+):", 1)))
     val = F.trim(F.regexp_extract("raw", r"^[^:#]+:[ \t]*([^#]*)", 1))

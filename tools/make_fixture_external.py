@@ -73,6 +73,85 @@ CDXJ_LINES = [
 ]
 
 
+# ------------------------------------------------------------- robots.txt
+# Hand-assembled per the PUBLISHED conventions (RFC 9309 + Google's
+# robots.txt parser documentation + the Yandex extension docs), r12
+# VERDICT task 6 — the oddities real servers emit that a round-trip
+# with our own writer would never produce: a leading UTF-8 BOM
+# (Google: ignore it; glued onto the first User-agent key it kills the
+# whole first group), CRLF line endings, mixed/UPPER-case directive
+# names, an inline # comment after a value, a non-standard Host:
+# directive (parsers must skip unknown keys, RFC 9309 §2.2.4), decimal
+# Crawl-delay, * wildcards and $ anchors in paths, and document-wide
+# Sitemap lines split across groups (the spec makes them
+# group-independent).
+ROBOTS_TXT = b"\xef\xbb\xbf" + (
+    "# robots.txt for https://www.example.org/\r\n"
+    "# assembled from the published RFC 9309 / Google conventions\r\n"
+    "\r\n"
+    "User-Agent: GoodBot\r\n"
+    "Disallow: /tmp/ # staging area\r\n"
+    "Crawl-Delay: 10\r\n"
+    "\r\n"
+    "user-agent: trainbot\r\n"
+    "disallow: /private/*\r\n"
+    "Disallow: /*.gif$\r\n"
+    "Allow: /private/public-ok\r\n"
+    "crawl-DELAY: 4.5\r\n"
+    "Host: www.example.org\r\n"
+    "\r\n"
+    "SITEMAP: https://www.example.org/sitemap_index.xml\r\n"
+    "\r\n"
+    "User-agent: *\r\n"
+    "Disallow: /cgi-bin/\r\n"
+    "Crawl-delay: 30\r\n"
+    "\r\n"
+    "Sitemap: https://cdn.example.org/sitemap-images.xml\r\n"
+).encode("utf-8")
+
+
+# ---------------------------------------------------------------- sitemaps
+# The sitemaps.org protocol page's own canonical examples, kept
+# byte-faithful to the published convention: XML declaration, the
+# protocol namespace (plus a secondary xhtml namespace and an
+# xhtml:link child INSIDE a <url> block — extra elements must not
+# break field extraction), indentation/newlines inside blocks,
+# entity-escaped & in a loc, W3C full datetimes with timezone
+# offsets, and a .xml.gz child pointer in the index.
+SITEMAP_INDEX_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+    "   <sitemap>\n"
+    "      <loc>https://www.example.org/sitemap-posts-2024-07.xml.gz</loc>\n"
+    "      <lastmod>2024-07-22T18:23:17+00:00</lastmod>\n"
+    "   </sitemap>\n"
+    "   <sitemap>\n"
+    "      <loc>https://www.example.org/sitemap-pages.xml</loc>\n"
+    "      <lastmod>2024-07-01</lastmod>\n"
+    "   </sitemap>\n"
+    "</sitemapindex>\n"
+)
+
+SITEMAP_URLSET_XML = (
+    '<?xml version="1.0" encoding="UTF-8"?>\n'
+    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"\n'
+    '        xmlns:xhtml="http://www.w3.org/1999/xhtml">\n'
+    "   <url>\n"
+    "      <loc>https://www.example.org/catalog?item=12&amp;desc=vacation_hawaii</loc>\n"
+    "      <lastmod>2024-05-07T16:20:11+03:00</lastmod>\n"
+    "      <changefreq>monthly</changefreq>\n"
+    "      <priority>0.8</priority>\n"
+    "   </url>\n"
+    "   <url>\n"
+    "      <loc>https://www.example.org/</loc>\n"
+    '      <xhtml:link rel="alternate" hreflang="de" '
+    'href="https://www.example.org/de/"/>\n'
+    "      <priority>1.0</priority>\n"
+    "   </url>\n"
+    "</urlset>\n"
+)
+
+
 # -------------------------------------------------------------------- WET
 def _sha1_b32(block: bytes) -> str:
     return base64.b32encode(hashlib.sha1(block).digest()).decode("ascii")
@@ -163,4 +242,13 @@ if __name__ == "__main__":
     wet = build_wet()
     with open(os.path.join(out_dir, "cc_sample.warc.wet.gz"), "wb") as f:
         f.write(wet)
-    print(f"wrote {out_dir}: {len(CDXJ_LINES)} cdxj lines, {len(wet)} wet bytes")
+    with open(os.path.join(out_dir, "robots.txt"), "wb") as f:
+        f.write(ROBOTS_TXT)
+    with open(os.path.join(out_dir, "sitemap_index.xml"), "w", encoding="utf-8") as f:
+        f.write(SITEMAP_INDEX_XML)
+    with open(os.path.join(out_dir, "sitemap_urlset.xml"), "w", encoding="utf-8") as f:
+        f.write(SITEMAP_URLSET_XML)
+    print(
+        f"wrote {out_dir}: {len(CDXJ_LINES)} cdxj lines, {len(wet)} wet bytes, "
+        f"{len(ROBOTS_TXT)} robots bytes, 2 sitemap files"
+    )
