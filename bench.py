@@ -386,6 +386,16 @@ SCALE_OPS = [
     # reads the frames the build just wrote)
     "ivfpq_build",
     "ivfpq_query",
+    # r12 extension: one op per r11-PROMOTED family whose scale claim
+    # had no measured 10x point yet — the union+single-shuffle as-of
+    # join (temporal family), the 16^k shard-parallel prefix-sum
+    # packer (the claim is exactly that the cumulative sum does NOT
+    # serialize), and semantic dedup (the one super-linear corner the
+    # r11 verdict flagged: per-cluster GEMM bounded by cluster size at
+    # fixed nlist — the 10x ratio measures that bound directly)
+    "asof_join",
+    "pack_sequences",
+    "semantic_dedup",
 ]
 
 _SCALE_COPIES = 10
