@@ -5554,14 +5554,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # profiling surface) gives its slot to HTTP response-envelope
         # extraction — the revisit-economy surface (VERDICT r8 gap 2),
         # in-window the round it was built
-        "http_envelope": q_http_envelope,
+        # r12 twenty-fifth rotation: http_envelope out after three
+        # straight green contacts (r9-r11; the envelope extraction
+        # stays under its pytest oracle and the revisit economy keeps
+        # revisit_measured + change_rate in-window); its slot carries
+        # the JSONL interchange roundtrip — export → re-ingest equality
+        # certified under the driver hash (a declared r13 candidate
+        # landed a round early)
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         # r9: link_graph (hashed green r6-r8; the link surface keeps
         # extract_links + crawl_frontier + domain_stats in-window, and
         # the graph-analytics family gains the two incoming HyperBall
         # rows) gives its slot to the server-validator revisit plan —
         # the conditional-fetch schedule composed on the envelope,
         # in-window the round it was built
-        "revisit_plan": q_revisit_plan,
+        # r12 twenty-fifth rotation: revisit_plan out after three
+        # straight green contacts (r9-r11; revisit_measured composes
+        # the SAME conditional-fetch plan over measured validators —
+        # the strictly stronger certificate — and stays in-window);
+        # its slot carries the join-key skew diagnosis report
+        "skew_report": q_skew_report,
         # r7 thirteenth swap: calibration (hashed green r6; its
         # quantile-cut machinery stays in-window via quantile_sketch +
         # psi_drift and the quality family keeps nb_quality +
@@ -5614,7 +5626,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round) rotates past the window; its slot carries the
         # heading-aware structured extraction tier, in-window the round
         # it was built
-        "structured_md": q_structured_md,
+        # r12 twenty-fifth rotation: structured_md out after four
+        # straight green contacts (r8-r11; the heading-aware extraction
+        # replay stays driver-checked INSIDE the in-window datasheet v3
+        # oracle every round, plus its own full pytest oracle); its
+        # slot carries the corpus composition report — the per-source
+        # token/quality/dedup rollup a dataset release ships with
+        "corpus_report": q_corpus_report,
         # r6 eighth rotation (cont.): dsir_sample (hashed green r5;
         # Gumbel-top-k selection stays pytest-oracled and the top-k
         # selection family keeps shard_plan/unimax_mix in-window) gives
@@ -5632,13 +5650,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the CDX byte-range fetch plan — the island coalescing a
         # 100 TB range reader pays for, in-window the round it was
         # built
-        "cdx_plan": q_cdx_plan,
+        # r12 twenty-fifth rotation: cdx_plan out after three straight
+        # green contacts (r9-r11; the island-coalescing plan replays
+        # inside the cdx_roundtrip pytest oracle and the CDX family
+        # keeps cdx_ingest + cdx_export in-window); its slot carries
+        # the token-budget mixture allocator — the row whose latent
+        # HUGEINT canon bug the r11 all-rows sweep caught; driver
+        # contact is the confirmation
+        "token_budget_mix": q_token_budget_mix,
         # r9 nineteenth rotation: topic_terms (hashed green r6-r8; the
         # topics family keeps topic_split + stream_topics in-window)
         # gives its slot to the HyperBall neighborhood function —
         # registered and parity-green since r8, driver-hashed now (the
         # declared one-round grace closes)
-        "hyperball": q_hyperball,
+        # r12 twenty-fifth rotation: hyperball out after three straight
+        # green contacts (r9-r11; the Boldi-Vigna register-merge law
+        # stays in-window via hyperball_centrality +
+        # effective_diameter — the SAME registers); its slot carries
+        # Dijkstra-free weighted shortest paths — with clustering
+        # below, the graph-analytics family's driver contacts are
+        # complete (declared r13 candidates landed a round early)
+        "weighted_sp": q_weighted_sp,
         # r7 rotation: stream_heavy_hitters (hashed green r6 as a REAL
         # 4-micro-batch stream; the Misra-Gries state machinery stays
         # pytest-oracled and streaming keeps four in-window rows) rotates
@@ -5657,7 +5689,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # roundtrip — index → plan → ranged read certified end-to-end
         # against the committed fixture bytes, in-window the round it
         # was built
-        "cdx_roundtrip": q_cdx_roundtrip,
+        # r12 twenty-fifth rotation: cdx_roundtrip out after three
+        # straight green contacts (r9-r11; every span/md5 literal in
+        # its oracle stays independently re-derived from the committed
+        # shard bytes by tests/test_wet_independent.py, and the
+        # random-access family keeps wet_export + wet_ingest
+        # in-window); its slot carries the local clustering
+        # coefficient — wedge counting over the co-purchase graph
+        "clustering": q_clustering,
         # r7 rotation: index_build (hashed green r1-r6 — six straight
         # contacts — and STILL timed every round by bench.py as the
         # BASELINE.md trie-insert comparable; X-family machinery stays
@@ -5769,7 +5808,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gives its slot to RSS/Atom feed ingestion — the
         # push-freshness leg of the crawl tier, in-window the round it
         # was built
-        "feed_ingest": q_feed_ingest,
+        # r12 twenty-fifth rotation: feed_ingest out after four
+        # straight green contacts (r8-r11; the RSS/Atom parse stays
+        # under its pytest oracle and the push-discovery tier keeps
+        # sitemap_ingest + robots_extras in-window WITH the external
+        # fixture bytes live in both hashes); its slot carries
+        # degree-matched negative edge sampling — the contrastive-
+        # training counterpart of the link graph
+        "negative_sampling": q_negative_sampling,
         # dedup_clusters (hashed green r1-r6-replica; its HashMin cluster
         # CTE chain is embedded verbatim inside the in-window
         # dedup_keep_best oracle) rotates past the window; its slot
@@ -5815,7 +5861,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gives its slot to the incrementally-maintained crawl frontier —
         # a REAL 4-micro-batch register stream whose result must equal
         # the batch capstone bit-for-bit (shared oracle)
-        "stream_crawl_frontier": q_stream_crawl_frontier,
+        # r12 twenty-fifth rotation: stream_crawl_frontier out after
+        # four straight green contacts (r8-r11; its register stream
+        # must equal the batch capstone BIT-FOR-BIT — that shared
+        # oracle stays pytest-certified every run — and streaming keeps
+        # stream_freshness + stream_validator + stream_enrich
+        # in-window); its slot carries the per-dimension
+        # embedding-matrix profile (mean/std/extrema by coordinate)
+        "embedding_stats": q_embedding_stats,
         # r12 twenty-fourth rotation: stream_embed_dedup out after six
         # straight green contacts (r6-r11; the md5-plane signature
         # register + compaction law stays under its pytest oracle and
@@ -5839,7 +5892,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle) gives its slot to the politeness fetch-slot plan over
         # the capstone frontier — registered and parity-green since r8,
         # driver-hashed now
-        "frontier_schedule": q_frontier_schedule,
+        # r12 twenty-fifth rotation: frontier_schedule out after three
+        # straight green contacts (r9-r11; the politeness plan composes
+        # over the capstone frontier whose shared oracle stays
+        # pytest-certified, and the frontier economy keeps
+        # stream_freshness + change_rate in-window); its slot carries
+        # centroid-distance embedding outliers — the embedding-space
+        # anomaly gate
+        "embedding_outliers": q_embedding_outliers,
         # r6 fourth rotation: content_type / dedup_exact /
         # similarity_topk / repetition_stats / exact_substring rotate
         # past the window (all multi-round green; their families keep
@@ -5867,7 +5927,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_topics oracles) gives its slot to the topic-model
         # train/apply split, certifying split == fused(iterations=3)
         # under the driver hash
-        "topic_split": q_topic_split,
+        # r12 twenty-fifth rotation: topic_split out after five
+        # straight green contacts (r7-r11; the full topic CTE chain
+        # stays under its pytest oracle — the same chain stream_topics
+        # replays — and the text family keeps char_entropy +
+        # repetition_exact + flagged_filter in-window); its slot
+        # carries Bloom-filter decontamination, the third member of the
+        # decontaminate family to earn a driver row (exact r1-r5,
+        # fuzzy r6-r11, bloom now)
+        "bloom_decontaminate": q_bloom_decontaminate,
         # r6 sixth rotation (cont.): decontaminate (hashed green r1-r5)
         # rotates past the window; its slot carries the MinHash
         # near-duplicate decontamination twin, which exercises the same
@@ -6079,26 +6147,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_buckets": q_simhash_buckets,
         "stratified_sample": q_stratified_sample,
         "normalize_text": q_normalize_text,
-        "negative_sampling": q_negative_sampling,
         "approx_distinct": q_approx_distinct,
-        "jsonl_roundtrip": q_jsonl_roundtrip,
         "bigram_logprob": q_bigram_logprob,
         "sliding_chunks": q_sliding_chunks,
         "pattern_scan": q_pattern_scan,
         "rolling_features": q_rolling_features,
         "per_group_cap": q_per_group_cap,
         "pipeline_report": q_pipeline_report,
-        "token_budget_mix": q_token_budget_mix,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "embedding_stats": q_embedding_stats,
         "ewma": q_ewma,
-        "skew_report": q_skew_report,
         "percentile_band": q_percentile_band,
         "cluster_split": q_cluster_split,
-        "corpus_report": q_corpus_report,
-        "embedding_outliers": q_embedding_outliers,
-        "weighted_sp": q_weighted_sp,
-        "clustering": q_clustering,
+        # r12 twenty-fifth rotation, rotated-out rows (topic_split
+        # r7-r11, structured_md r8-r11, feed_ingest r8-r11,
+        # stream_crawl_frontier r8-r11, http_envelope / revisit_plan /
+        # hyperball / cdx_roundtrip / cdx_plan / frontier_schedule all
+        # r9-r11 — three-to-five straight green contacts each; see the
+        # in-window slot comments for where each one's machinery stays
+        # driver-checked, and tests/test_oracle_parity.py for the
+        # every-run value compare they all still get)
+        "topic_split": q_topic_split,
+        "structured_md": q_structured_md,
+        "feed_ingest": q_feed_ingest,
+        "stream_crawl_frontier": q_stream_crawl_frontier,
+        "http_envelope": q_http_envelope,
+        "revisit_plan": q_revisit_plan,
+        "hyperball": q_hyperball,
+        "cdx_roundtrip": q_cdx_roundtrip,
+        "cdx_plan": q_cdx_plan,
+        "frontier_schedule": q_frontier_schedule,
         "stopword_stats": q_stopword_stats,
         "table_profile": q_table_profile,
         "fk_check": q_fk_check,

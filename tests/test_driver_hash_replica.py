@@ -123,7 +123,10 @@ def test_window_covers_required_operators():
         # blank-run replay stays pytest-oracled, the link derivation
         # runs inside the in-window frontier oracles, and the
         # repetition surface arrives via repetition_exact)
-        "topic_split",
+        # (topic_split out in the r12 twenty-fifth rotation after five
+        # green contacts r7-r11; the full topic CTE chain stays under
+        # its pytest oracle and the text family keeps char_entropy +
+        # repetition_exact + flagged_filter in-window)
         # r7 twelfth rotation: the crawl/PII wave built late in round 7,
         # in-window the round it was built. OUT: corr_matrix /
         # gap_sessions / zipf / shard_plan / ann_recall — all hashed
@@ -208,7 +211,9 @@ def test_window_covers_required_operators():
         # ivfpq_topk out in the r8 sixteenth rotation after r4-r7 green
         # — similarity keeps mmr_rerank + media_pairs in-window and its
         # slot carries the heading-aware structured extraction tier)
-        "structured_md",
+        # (structured_md out in the r12 twenty-fifth rotation after
+        # four green contacts r8-r11; the heading-aware replay stays
+        # driver-checked inside the in-window datasheet v3 oracle)
         # r6 eighth rotation: the r5 block (dsir_weights / dsir_sample /
         # bpe_merges / dedup_keep_best / simhash_pairs /
         # perplexity_buckets / quality_reasons — all hashed green in r5)
@@ -259,13 +264,19 @@ def test_window_covers_required_operators():
         # rotation after five green contacts; dedup keeps
         # fuzzy_decontaminate + stream_embed_dedup + semantic_dedup,
         # multimodal keeps audio_match + video_plan)
-        "feed_ingest",
+        # (feed_ingest out in the r12 twenty-fifth rotation after four
+        # green contacts r8-r11; push-discovery keeps sitemap_ingest +
+        # robots_extras in-window with the external bytes live)
         # r6 third rotation: the drift / export / streaming wave —
         # also in-window the round it was built (stream_url_dedup out
         # in the r8 seventeenth rotation after r6+r7 green — its batch
         # keeper IS the in-window url_dedup row; its slot carries the
         # incrementally-maintained streaming crawl frontier)
-        "stream_crawl_frontier",
+        # (stream_crawl_frontier out in the r12 twenty-fifth rotation
+        # after four green contacts r8-r11; the shared bit-for-bit
+        # oracle stays pytest-certified and streaming keeps
+        # stream_freshness + stream_validator + stream_enrich
+        # in-window)
         # (stream_embed_dedup / domain_quality / unimax_mix out in the
         # r12 twenty-fourth rotation after six green contacts each;
         # the signature-register compaction law, quality rules, and
@@ -283,12 +294,20 @@ def test_window_covers_required_operators():
         # never hashed (the accepted one-round grace ends) plus the two
         # revisit-economy operators built THIS round, in-window the
         # round they were built
-        "frontier_schedule", "flagged_filter",
-        "hyperball", "hyperball_centrality",
-        "http_envelope", "revisit_plan",
+        # (frontier_schedule / hyperball / http_envelope / revisit_plan
+        # out in the r12 twenty-fifth rotation after three green
+        # contacts each r9-r11; the register law stays in-window via
+        # hyperball_centrality + effective_diameter, the revisit
+        # economy via revisit_measured + change_rate)
+        "flagged_filter", "hyperball_centrality",
         # r9 twentieth + twenty-first rotations: the CDX web-archive
         # index tier, also built this round
-        "cdx_ingest", "cdx_plan", "cdx_roundtrip",
+        # (cdx_plan + cdx_roundtrip out in the r12 twenty-fifth
+        # rotation after three green contacts each r9-r11; the
+        # span/md5 literals stay independently re-derived by
+        # tests/test_wet_independent.py and the family keeps
+        # cdx_ingest + cdx_export in-window)
+        "cdx_ingest",
         # r10 twenty-second rotation: the four declared r10 candidates
         # (registered + oracled since r9, driver-hashed now — zero
         # registered-never-hashed rows remain) plus the four operators
@@ -319,6 +338,17 @@ def test_window_covers_required_operators():
         "stream_enrich",
         "scc", "k_truss", "random_walks", "agg_messages",
         "events_percentiles", "funnel", "pivot_events",
+        # r12 twenty-fifth rotation: the ten declared r13 candidates
+        # landed a round early — the remaining graph-analytics pair
+        # (weighted_sp + clustering complete the family's driver
+        # contacts), the interchange roundtrip, the embedding-profile
+        # pair, bloom decontamination, token-budget mixing,
+        # degree-matched negative sampling, and the skew + corpus
+        # reports; never-hashed backlog 39 -> 29
+        "weighted_sp", "clustering", "jsonl_roundtrip",
+        "embedding_stats", "embedding_outliers", "bloom_decontaminate",
+        "token_budget_mix", "negative_sampling", "skew_report",
+        "corpus_report",
     }
     missing = must_be_in_window - set(WINDOW)
     assert not missing, f"pushed out of the driver window: {sorted(missing)}"
