@@ -64,6 +64,17 @@ def funnel(
     step — k-1 shuffles on the (high-cardinality) key for a k-step
     funnel, no windows over full history, no row explosion. Deterministic
     (min over exact timestamps), so SQL-oracle-able step by step.
+
+    The running ``out`` frame is referenced TWICE per iteration (as the
+    previous-step gate inside ``nxt`` and as the left side of the
+    accumulate join), so without a materialization barrier Catalyst
+    replays the whole prefix down both branches — measured at k=3:
+    seven scans of the events source and zero ReusedExchange, and the
+    duplication compounds ~2^k with funnel depth. Each iteration
+    therefore ``localCheckpoint``s the previous ``out`` (one row per
+    step-1-completing key — the small frame, never the event log),
+    the same lineage-truncation convention the iterative graph loops
+    use; scans of the event source drop to exactly one per step.
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
@@ -75,6 +86,7 @@ def funnel(
     )
     for i, step in enumerate(steps[1:], start=2):
         prev = f"t{i-1}"
+        out = out.localCheckpoint()
         nxt = (
             base.filter(F.col(type_col) == step)
             .join(out.select(by, prev), by)

@@ -176,6 +176,23 @@ class TestNewOperatorPlans:
         plan = executed_plan(interval_join(cl, vw))
         assert "BroadcastNestedLoopJoin" not in plan  # equi on key, range as residual
 
+    def test_funnel_checkpoints_stop_prefix_replay(self, spark):
+        """The running funnel frame is referenced twice per step, so
+        without the per-iteration localCheckpoint Catalyst replays the
+        whole prefix down both branches (measured pre-fix at k=3: seven
+        scans of the event source, zero ReusedExchange, compounding
+        ~2^k with depth). Pin the fix: the final executed plan reads the
+        checkpointed RDD and scans the event source exactly once — the
+        per-step scans live in the checkpoint jobs, one each."""
+        from hgraphstorage_spark.functions.timeseries import funnel
+        from hgraphstorage_spark.plans.audit import executed_plan
+        from hgraphstorage_spark.streaming import load_events
+
+        ev = load_events(spark, "/root/testdata/sf0.001")
+        plan = executed_plan(funnel(ev, ["view", "click", "purchase"]))
+        assert plan.count("events.parquet") <= 1
+        assert "Scan ExistingRDD" in plan  # the checkpointed prefix
+
     def test_kmeans_assignment_broadcasts_centroids(self, spark):
         """The Lloyd assignment pass must broadcast the centroid set and
         never shuffle the vector table for the argmax."""
