@@ -527,12 +527,35 @@ def aggregate_messages(
             F.col("edge.dst") == F.col("dst.id"),
         )
     )
-    parts = []
-    if msg_to_dst is not None:
-        parts.append(triplet.select(F.col("dst.id").alias("id"), msg_to_dst.alias("msg")))
-    if msg_to_src is not None:
-        parts.append(triplet.select(F.col("src.id").alias("id"), msg_to_src.alias("msg")))
-    inbox = parts[0] if len(parts) == 1 else parts[0].unionAll(parts[1])
+    if msg_to_dst is not None and msg_to_src is not None:
+        # both directions: sending via unionAll of two triplet selects
+        # replays the full two-join hydration once PER DIRECTION
+        # (measured: every node table scanned twice as often as needed).
+        # One triplet pass exploding a 2-element (receiver, msg) array
+        # sends both messages from the same hydrated row — half the join
+        # work, identical rows. array() requires both messages to have
+        # the SAME type; the rare mixed-type send keeps the coercing
+        # unionAll path (probe via schema analysis, no execution).
+        probe = triplet.select(msg_to_dst.alias("a"), msg_to_src.alias("b")).schema
+        if probe[0].dataType == probe[1].dataType:
+            inbox = triplet.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("dst.id").alias("id"), msg_to_dst.alias("msg")),
+                        F.struct(F.col("src.id").alias("id"), msg_to_src.alias("msg")),
+                    )
+                ).alias("m")
+            ).select("m.id", "m.msg")
+        else:
+            inbox = triplet.select(
+                F.col("dst.id").alias("id"), msg_to_dst.alias("msg")
+            ).unionAll(
+                triplet.select(F.col("src.id").alias("id"), msg_to_src.alias("msg"))
+            )
+    elif msg_to_dst is not None:
+        inbox = triplet.select(F.col("dst.id").alias("id"), msg_to_dst.alias("msg"))
+    else:
+        inbox = triplet.select(F.col("src.id").alias("id"), msg_to_src.alias("msg"))
     return inbox.groupBy("id").agg(
         *[fn(F.col("msg")).alias(name) for name, fn in agg_exprs.items()]
     )

@@ -809,13 +809,26 @@ def semantic_dedup(
     """
     import pandas as pd
 
-    assign = kmeans_iterations(
-        embeddings, nlist=nlist, iterations=iterations, id_col=id_col, vec_col=vec_col
+    from .state import track
+
+    # both intermediates fan out to multiple plan branches — without a
+    # persist Catalyst replays each branch from the raw scan (measured:
+    # five embeddings scans in the final plan — assign is consumed by
+    # the cluster join AND the keep join, prepped by the cluster join
+    # and BOTH sides of the verify join). track() persists them once
+    # (the r3 deterministic-release registry, same as the LSH preps):
+    # one raw scan for the projection, one inside the final Lloyd pass.
+    assign = track(
+        kmeans_iterations(
+            embeddings, nlist=nlist, iterations=iterations, id_col=id_col, vec_col=vec_col
+        )
     )
-    prepped = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", _norm(F.col("v")))
+    prepped = track(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        ).withColumn("nrm", _norm(F.col("v")))
+    )
     clustered = assign.join(prepped, "vec_id")
     # same prefilter slack rationale as embedding_near_dup_lsh
     eps = 5.1e-7
@@ -1621,9 +1634,19 @@ def embedding_outliers(
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_ms"))
         .select(F.transform("_ms", lambda s: s["m"]).alias("mv"))
     )
-    scored = emb.crossJoin(F.broadcast(mean_vec)).select(
-        F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col("mv")), 6).cast("decimal(18,6)").alias("score"),
+    from .state import track
+
+    # (vec_id, score) fans out three ways — the percentile aggregate,
+    # the final projection, and the flag compare — and each branch would
+    # otherwise replay the corpus scan + the mean-vector aggregate
+    # (measured: four embeddings scans in the final plan). track()
+    # persists the two-column score frame once; the corpus is scanned
+    # once for the mean and once for the scores, never again.
+    scored = track(
+        emb.crossJoin(F.broadcast(mean_vec)).select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine(F.col(vec_col), F.col("mv")), 6).cast("decimal(18,6)").alias("score"),
+        )
     )
     thr = scored.agg(
         F.expr(f"percentile(score, {bottom_frac})").cast("decimal(18,6)").alias("thr")
