@@ -2128,9 +2128,14 @@ def q_datasheet(spark, sf_dir):
     from hgraphstorage_spark.pipeline.dedup import url_normalized
     from hgraphstorage_spark.pipeline.extraction import extract_structured
     from hgraphstorage_spark.pipeline.pii import PII_PLACEHOLDER_RE, pii_scrub
+    from hgraphstorage_spark.pipeline.state import track
     from hgraphstorage_spark.pipeline.text import _n_tokens, readability_scores
 
-    docs = _t(spark, sf_dir, "documents")
+    # five certified-machinery branches each consume the text column;
+    # without a persist each one re-reads the parquet (6 source scans
+    # measured) — track() materializes the base once, branches read
+    # cache (released via the r3 registry / bench _release_state)
+    docs = track(_t(spark, sf_dir, "documents"))
     passes = quality_filter(docs).select("doc_id", "passes")
     i = F.col("doc_id")
     ph_suffix = (
