@@ -21,20 +21,35 @@ from hgraphstorage_spark.snapshot import GraphSnapshot
 
 
 def degrees(snap: GraphSnapshot) -> DataFrame:
-    """(id, label, out_deg, in_deg, deg) per node. Two partial-aggregated
-    shuffles on edge endpoints + one join; isolated nodes report 0."""
-    out_deg = snap.edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
-    in_deg = snap.edges.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("in_deg"))
-    return (
-        snap.nodes.join(out_deg, "id", "left")
-        .join(in_deg, "id", "left")
-        .select(
-            "id",
-            "label",
-            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-            (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0))).alias("deg"),
+    """(id, label, out_deg, in_deg, deg) per node. ONE partial-aggregated
+    shuffle + one join; isolated nodes report 0.
+
+    Both endpoints explode from a single edge pass — the two-aggregate
+    form (out over src, in over dst, joined back) scanned the edge
+    source twice and shuffled twice for the same 2|E| rows, and when the
+    edges are a derivation (tables -> typed edges) the whole derivation
+    replayed per direction."""
+    both = (
+        snap.edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("id"), F.lit(1).alias("_out")),
+                    F.struct(F.col("dst").alias("id"), F.lit(0).alias("_out")),
+                )
+            ).alias("m")
         )
+        .groupBy(F.col("m.id").alias("id"))
+        .agg(
+            F.sum("m._out").alias("out_deg"),
+            F.sum(1 - F.col("m._out")).alias("in_deg"),
+        )
+    )
+    return snap.nodes.join(both, "id", "left").select(
+        "id",
+        "label",
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0))).alias("deg"),
     )
 
 

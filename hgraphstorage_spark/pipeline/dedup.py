@@ -1131,10 +1131,19 @@ def exact_substring_dedup(
     Returns (doc_id, n_tokens, dup_tokens, kept_text): dup_tokens is the
     exact union length of duplicated spans, kept_text the surviving
     token stream ('' when the whole document is duplicated)."""
+    from .state import track
+
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), WS_RE), lambda t: F.length(t) > 0
     )
-    base = (
+    # the tokenized corpus is consumed by the gram stream AND the final
+    # reassembly join, and the gram stream itself feeds both the
+    # dup-count aggregate and the starts join — unpersisted, the
+    # regex-tokenize ran three times and the per-position hash chain
+    # twice (the dominant CPU of the whole operator). Both frames
+    # persist via the r3 track() registry: one tokenize pass, one hash
+    # pass, regardless of fan-out.
+    base = track(
         _parallel(docs)
         .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
         .withColumn("n_tokens", F.size("_toks"))
@@ -1152,9 +1161,11 @@ def exact_substring_dedup(
         ),
     ).otherwise(F.array().cast("array<long>"))
 
-    grams = base.select(
-        "doc_id", F.posexplode(gram_hashes).alias("_p0", "h")
-    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "h")
+    grams = track(
+        base.select(
+            "doc_id", F.posexplode(gram_hashes).alias("_p0", "h")
+        ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "h")
+    )
     dup_hashes = grams.groupBy("h").agg(F.count(F.lit(1)).alias("_c")).filter(
         F.col("_c") >= 2
     ).select("h")

@@ -38,8 +38,16 @@ def bm25_search(
     if not terms:
         raise ValueError("query has no terms")
 
-    hist = _token_histogram(docs, text_col, id_col)  # (doc_id, tok, n)
-    dl = hist.groupBy(id_col).agg(F.sum("n").alias("dl"))
+    from .state import track
+
+    # the token histogram (tokenize + explode + agg — the dominant pass)
+    # fans out to the doc-length aggregate, the corpus scalars, and the
+    # matched-term filter; unpersisted it recomputed from the raw text
+    # per branch (four source scans measured). One materialization via
+    # the r3 track() registry; dl (two consumers) persists too — it is
+    # doc_id-sized, not token-sized.
+    hist = track(_token_histogram(docs, text_col, id_col))  # (doc_id, tok, n)
+    dl = track(hist.groupBy(id_col).agg(F.sum("n").alias("dl")))
     scalars = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
     )
