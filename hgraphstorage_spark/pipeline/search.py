@@ -40,13 +40,15 @@ def bm25_search(
 
     from .state import track
 
-    # the token histogram (tokenize + explode + agg — the dominant pass)
-    # fans out to the doc-length aggregate, the corpus scalars, and the
-    # matched-term filter; unpersisted it recomputed from the raw text
-    # per branch (four source scans measured). One materialization via
-    # the r3 track() registry; dl (two consumers) persists too — it is
-    # doc_id-sized, not token-sized.
-    hist = track(_token_histogram(docs, text_col, id_col))  # (doc_id, tok, n)
+    # fan-out economics, measured both ways at sf0.1: the histogram
+    # itself must NOT persist — the matched branch reads only the
+    # isin(terms)-PRUNED histogram (the filter pushes below the agg), so
+    # materializing the full token-level table to serve it doubled the
+    # op (0.99 -> 2.0 s). What fans out twice at full width is dl (the
+    # corpus scalars and the scored join): persisting the doc_id-sized
+    # dl cuts the full tokenize+agg passes from two to one while the
+    # pruned branch stays a pruned recompute.
+    hist = _token_histogram(docs, text_col, id_col)  # (doc_id, tok, n)
     dl = track(hist.groupBy(id_col).agg(F.sum("n").alias("dl")))
     scalars = dl.agg(
         F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs")
