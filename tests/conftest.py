@@ -18,6 +18,23 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_pipeline_persists():
+    """The test session is exactly the long-lived service
+    ``pipeline.state`` documents: operators that track()-persist an
+    intermediate (bm25's dl, exact-substring's gram stream, the
+    semantic-dedup preps) would otherwise leave live cached frames
+    behind, and Spark's cache manager substitutes a cached frame into
+    ANY later structurally-equal subtree — a plan-shape test three
+    files downstream then sees an InMemoryTableScan (with its cached
+    child's wider ReadSchema) where it pinned a pruned file scan.
+    Release after every test; unpersist is non-blocking and idempotent."""
+    yield
+    from hgraphstorage_spark.pipeline.state import release_all_tracked
+
+    release_all_tracked()
+
+
 @pytest.fixture()
 def movie_engine(spark):
     """The HGraphStorage APITest movie/actor fixture (FIXTURES.md §2)."""
