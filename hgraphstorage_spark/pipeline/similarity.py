@@ -1301,7 +1301,18 @@ def ivfpq_build(
         .agg(F.min(F.struct(_pq_l2sq(F.col("sub"), F.col("cw")).alias("d"), F.col("c"))).alias("mc"))
         .select("vid", "list_id", "j", F.col("mc.c").alias("code"))
     )
-    return cents, cb, codes
+    # the build chain fans out hard downstream — the fused ivfpq_topk's
+    # query side references cents (probe selection), cb (ADC table), and
+    # codes (list scan), and unpersisted each reference re-derived the
+    # ENTIRE build from the raw corpus (21 embeddings scans measured in
+    # the fused plan). The deployment path makes the same point by
+    # writing the three frames to parquet; the in-session equivalent is
+    # one track()-persist each: cents/cb are broadcast-sized, codes is
+    # the narrow (vid, list_id, j, code) index — m small ints per
+    # vector, the 8 B/vector state the docstring promises.
+    from .state import track
+
+    return track(cents), track(cb), track(codes)
 
 
 def ivfpq_query(
