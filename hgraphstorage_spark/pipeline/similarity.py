@@ -587,7 +587,16 @@ def ivf_topk(
     written bucketed by `list_id` so a query scans nlist/nprobe fewer
     bytes. Returns (vec_id, score DECIMAL(18,6), list_id).
     """
-    cents = (
+    from .state import track
+
+    # cents (1 row) feeds the assignment AND the probe selection;
+    # assigned (the corpus with vectors and list routing) feeds the
+    # query-vector lookup, the probe computation, and the probed-list
+    # scan — unpersisted, each reference re-derived the assignment from
+    # the raw corpus (seven embeddings scans in the fused plan). Both
+    # persist; the materialized assigned IS the "assigned table written
+    # bucketed by list_id" the scale note below describes.
+    cents = track(
         embeddings.orderBy(F.col(id_col).asc())
         .limit(nlist)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
@@ -610,6 +619,7 @@ def ivf_topk(
             F.first("_vec").alias("_vec"),
         )
     )
+    assigned = track(assigned)
     q = assigned.filter(F.col("vec_id") == query_id).select(F.col("_vec").alias("_qvec"))
     # the query's nprobe nearest centroid lists
     probe_lists = (
