@@ -434,6 +434,16 @@ _SCALE_NOTES = {
         "runs; the 1.15x move is within noise on a sub-second op, code "
         "unchanged since before the r11 record"
     ),
+    # r12 closing-run observation: a ~1.3x UNIFORM dilation (untouched
+    # tpch_q5_like moved 1.28x in the same record) can sit under the
+    # 1.5 sentinel gate and push this sub-second op over the mover
+    # threshold. Before bisecting an ivfpq_query move, check whether
+    # untouched headline ops moved the same factor in the same record.
+    "ivfpq_query": (
+        "sub-second op; r12 saw 0.69->1.02 s under uniform box "
+        "dilation (untouched ops +28% in the same record) — check "
+        "same-record untouched-op movement before bisecting"
+    ),
 }
 
 
