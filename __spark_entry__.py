@@ -2918,15 +2918,24 @@ def q_pipeline_report(spark, sf_dir):
     from hgraphstorage_spark.pipeline import exact_dedup, quality_filter
     from hgraphstorage_spark.pipeline.contamination import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
     from hgraphstorage_spark.functions.stats import percentile_band_filter
+    from hgraphstorage_spark.pipeline.state import track
 
-    q = quality_filter(docs).select("doc_id", "passes")
-    kept = exact_dedup(docs).select("doc_id")
+    # the heaviest duplicate-scan lead of the r12 sweep (17 document
+    # scans): the base feeds four stage operators plus the total count,
+    # and every stage frame is consumed TWICE (its own stage count and
+    # the final intersection). The base persists once, and each
+    # doc_id-sized stage output persists so the final join replays no
+    # stage machinery.
+    docs = track(_t(spark, sf_dir, "documents"))
+    q = track(quality_filter(docs).select("doc_id", "passes"))
+    kept = track(exact_dedup(docs).select("doc_id"))
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    clean = decontaminate(corpus, bench, n=5).filter(~F.col("contaminated")).select("doc_id")
-    banded = percentile_band_filter(docs, "n_chars", 0.05, 0.95).select("doc_id")
+    clean = track(
+        decontaminate(corpus, bench, n=5).filter(~F.col("contaminated")).select("doc_id")
+    )
+    banded = track(percentile_band_filter(docs, "n_chars", 0.05, 0.95).select("doc_id"))
     final = (
         q.filter("passes").select("doc_id")
         .join(kept, "doc_id")

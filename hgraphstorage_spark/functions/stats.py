@@ -660,8 +660,16 @@ def psi_report(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
+    # edges (1 row) feeds both binned() passes and j (n_bins rows) feeds
+    # the totals AND the final projection — unpersisted, the ref-side
+    # percentile and both count pipelines replayed per reference (eight
+    # source scans measured in the r12 sweep); two tiny persists leave
+    # one scan per input slice
+    from hgraphstorage_spark.pipeline.state import track
+
+    edges = track(edges)
     bins = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-    j = (
+    j = track(
         bins.join(binned(ref, "_nr"), "bin", "left")
         .join(binned(cur, "_nc"), "bin", "left")
         .select(
