@@ -159,11 +159,21 @@ def _global_rank(df: DataFrame, order_cols: list, rank_name: str) -> DataFrame:
     100 TB."""
     from pyspark.sql import Window
 
+    from .state import track
+
     rp = df.repartitionByRange(*order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
-    local = rp.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    # the locally-ranked frame feeds BOTH the per-partition offset
+    # aggregate and the final join — unpersisted, the input's whole
+    # lineage (including the range shuffle, and for nested callers like
+    # curriculum_order the PREVIOUS rank pass) executed twice per call.
+    # Persisting here fixes every caller: curriculum, shard_plan,
+    # quantile_histogram, dedup_keep_best's ranked variants.
+    local = track(
+        rp.withColumn(
+            "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+        )
     )
     # one row per partition: the offset frame is tiny by construction, so
     # the single-partition cumsum window is over ~hundreds of rows
