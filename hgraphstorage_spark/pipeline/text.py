@@ -1795,14 +1795,22 @@ def nb_quality_model(
     data-sized is collected. Train/apply split so the model persists and
     new batches score without retraining
     (:func:`nb_quality_score`)."""
+    from .state import track
+
     toks_all = _tok_stream(docs, text_col, id_col)
     toks_pos = _tok_stream(target, text_col, id_col)
     ca = toks_all.groupBy("tok").agg(F.count(F.lit(1)).alias("c_all"))
     cp = toks_pos.groupBy("tok").agg(F.count(F.lit(1)).alias("c_pos"))
-    vocab = ca.join(cp, "tok", "left").select(
-        "tok",
-        F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
-        (F.col("c_all") - F.coalesce("c_pos", F.lit(0))).alias("c_neg"),
+    # the vocabulary frame feeds the totals aggregate AND the final llr
+    # projection — unpersisted, both class token folds (a corpus scan
+    # each) replayed per reference. Vocabulary-sized, so the persist is
+    # exactly the "model persists" contract the docstring promises.
+    vocab = track(
+        ca.join(cp, "tok", "left").select(
+            "tok",
+            F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
+            (F.col("c_all") - F.coalesce("c_pos", F.lit(0))).alias("c_neg"),
+        )
     )
     totals = vocab.agg(
         F.sum("c_pos").alias("n_pos"),
