@@ -789,8 +789,14 @@ def q_graph_summary(spark, sf_dir):
     def s(name, df):
         return df.select(F.lit(name).alias("metric"), F.col("value").cast("long").alias("value"))
 
-    cc = q_connected_components(spark, sf_dir)
-    deg = q_degrees(spark, sf_dir)
+    from hgraphstorage_spark.pipeline.state import track
+
+    # cc and deg each feed TWO scalar branches; unpersisted, each branch
+    # replays the component grouping / the edge-derivation degree pass
+    # (r12 duplicate-compute sweep). Both frames are tiny rollups →
+    # persist.
+    cc = track(q_connected_components(spark, sf_dir))
+    deg = track(q_degrees(spark, sf_dir))
     parts = [
         s("cc_components", cc.agg(F.count(F.lit(1)).alias("value"))),
         s("cc_nodes", cc.agg(F.sum("n_nodes").alias("value"))),
@@ -2124,19 +2130,25 @@ def q_datasheet(spark, sf_dir):
     and structured extraction are zero-shuffle too; quality_filter's
     token histogram is the one extra aggregation, joined back on
     doc_id; the final agg is source-keyed with map-side partials."""
-    from hgraphstorage_spark.pipeline import flagged_phrases, quality_filter
+    from hgraphstorage_spark.pipeline import flagged_phrases
     from hgraphstorage_spark.pipeline.dedup import url_normalized
     from hgraphstorage_spark.pipeline.extraction import extract_structured
     from hgraphstorage_spark.pipeline.pii import PII_PLACEHOLDER_RE, pii_scrub
     from hgraphstorage_spark.pipeline.state import track
-    from hgraphstorage_spark.pipeline.text import _n_tokens, readability_scores
+    from hgraphstorage_spark.pipeline.text import (
+        _n_tokens,
+        quality_filter_narrow,
+        readability_scores,
+    )
 
     # five certified-machinery branches each consume the text column;
     # without a persist each one re-reads the parquet (6 source scans
     # measured) — track() materializes the base once, branches read
     # cache (released via the r3 registry / bench _release_state)
     docs = track(_t(spark, sf_dir, "documents"))
-    passes = quality_filter(docs).select("doc_id", "passes")
+    # narrow variant: identical metrics/pass flag (aliased oracles),
+    # zero shuffle instead of a (doc, token) histogram shuffle + join
+    passes = quality_filter_narrow(docs).select("doc_id", "passes")
     i = F.col("doc_id")
     ph_suffix = (
         F.when(i % 5 == 0, F.lit(" free money now"))
@@ -2915,8 +2927,9 @@ def q_pipeline_report(spark, sf_dir):
     a Gopher-quality -> exact-dedup -> decontamination pipeline, plus the
     final intersection — the composed form of the individual operators,
     checked as one unit so stage wiring (not just stages) is verified."""
-    from hgraphstorage_spark.pipeline import exact_dedup, quality_filter
+    from hgraphstorage_spark.pipeline import exact_dedup
     from hgraphstorage_spark.pipeline.contamination import decontaminate
+    from hgraphstorage_spark.pipeline.text import quality_filter_narrow
 
     from hgraphstorage_spark.functions.stats import percentile_band_filter
     from hgraphstorage_spark.pipeline.state import track
@@ -2928,7 +2941,9 @@ def q_pipeline_report(spark, sf_dir):
     # doc_id-sized stage output persists so the final join replays no
     # stage machinery.
     docs = track(_t(spark, sf_dir, "documents"))
-    q = track(quality_filter(docs).select("doc_id", "passes"))
+    # narrow variant: identical metrics/pass flag (aliased oracles),
+    # zero shuffle instead of the histogram shuffle + metrics join
+    q = track(quality_filter_narrow(docs).select("doc_id", "passes"))
     kept = track(exact_dedup(docs).select("doc_id"))
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
@@ -3388,8 +3403,11 @@ def q_corpus_diff(spark, sf_dir):
     replays the mutation and the full-outer fingerprint join (md5 is
     engine-portable)."""
     from hgraphstorage_spark.pipeline.dedup import corpus_diff
+    from hgraphstorage_spark.pipeline.state import track
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # `base` feeds three branches (old side, edited, re-added) — each
+    # replayed the document scan (r12 sweep); persist once
+    base = track(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     edited = base.filter(F.pmod("doc_id", 10) != 3).withColumn(
         "text",
         F.when(
@@ -3731,11 +3749,16 @@ def q_domain_quality(spark, sf_dir):
     onto the synthetic crawl URLs, aggregated per registrable host;
     blocked = ≥2 docs passing under 50%. Oracle composes the
     quality_filter replay with the synthetic-domain arithmetic."""
-    from hgraphstorage_spark.pipeline import quality_filter
     from hgraphstorage_spark.pipeline.dedup import domain_quality
+    from hgraphstorage_spark.pipeline.text import quality_filter_narrow
 
     docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
-    qf = quality_filter(docs).select("doc_id", "passes")
+    # the narrow variant computes the IDENTICAL metrics + pass flag
+    # (same oracle SQL — the registry aliases their oracles) in one
+    # zero-shuffle projection; the histogram variant paid a
+    # (doc, token)-keyed shuffle plus a metrics join back, and its two
+    # internal consumers scanned documents twice (r12 sweep)
+    qf = quality_filter_narrow(docs).select("doc_id", "passes")
     return _canon(
         domain_quality(
             docs.join(qf, "doc_id"), passes_col="passes", min_docs=2, threshold=0.5
@@ -5230,8 +5253,14 @@ def q_cms_tokens(spark, sf_dir):
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), WS_RE)).alias("token")
     ).filter(F.length("token") > 0)
+    from hgraphstorage_spark.pipeline.state import track
+
     sketch = count_min_sketch(toks, "token", width=64, depth=4)
-    top = vocabulary(docs, top_k=20).select("token", "n_total")
+    # `top` fans out to the estimate probe AND the final join;
+    # unpersisted, each branch replays vocabulary()'s tokenize + two
+    # aggregations from the raw corpus (r12 duplicate-compute sweep).
+    # 20 rows → persist.
+    top = track(vocabulary(docs, top_k=20).select("token", "n_total"))
     est = cms_estimate(sketch, top, "token", width=64, depth=4)
     return top.join(est, "token").select("token", "n_total", "est")
 

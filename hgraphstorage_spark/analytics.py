@@ -1218,9 +1218,17 @@ def modularity(snap: GraphSnapshot, communities: DataFrame) -> DataFrame:
     Shape at scale: two id-keyed joins to tag edge endpoints, one
     union-degree aggregate, two community-keyed partial aggs, and the
     1-row edge count broadcast — no window, no collect."""
-    e = snap.edges.select("src", "dst")
+    # `e` has four plan references (edge count, intra-community join,
+    # both undirected-degree union sides) and `comm` three (both
+    # endpoint tags + the degree-sum join); unpersisted, every reference
+    # replays the snapshot's edge/community derivation from the raw
+    # tables (r12 duplicate-compute sweep — this op is
+    # derivation-dominated). Both frames are narrow (two 8-byte ids /
+    # id+community); localCheckpoint (module idiom) materializes each
+    # once and every branch reads the stored partitions.
+    e = snap.edges.select("src", "dst").localCheckpoint(eager=False)
     m_frame = e.agg(F.count(F.lit(1)).alias("_m"))
-    comm = communities.select("id", "community")
+    comm = communities.select("id", "community").localCheckpoint(eager=False)
     ca = comm.select(F.col("id").alias("src"), F.col("community").alias("_ca"))
     cb = comm.select(F.col("id").alias("dst"), F.col("community").alias("_cb"))
     lc = (

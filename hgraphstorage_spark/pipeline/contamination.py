@@ -68,20 +68,22 @@ def decontaminate(
     bench_sh = (
         _shingle_long(benchmark, n, text_col, id_col).select("shingle").distinct()
     )
-    overlap = (
-        corpus_sh.join(F.broadcast(bench_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    # ONE corpus shingle pass and ONE doc-keyed aggregate: a LEFT
+    # broadcast join tags benchmark shingles, then n_shingles and
+    # n_overlap come out of the same groupBy (count(*) vs count(tag)).
+    # The previous shape computed them as two separate aggregates over
+    # two references of `corpus_sh` — the corpus was shingled twice and
+    # a doc_id-keyed join stitched the halves (r12 duplicate-compute
+    # sweep). Row-for-row identical output: an inner-join row count and
+    # a left-join non-NULL tag count are the same number, and a doc
+    # absent from `corpus_sh` produced no row under either shape.
+    tagged = corpus_sh.join(
+        F.broadcast(bench_sh.withColumn("_hit", F.lit(1))), "shingle", "left"
     )
-    sizes = corpus_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return (
-        sizes.join(overlap, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            (F.coalesce("n_overlap", F.lit(0)) >= min_hits).alias("contaminated"),
-        )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("_hit").alias("n_overlap"),
+        (F.count("_hit") >= min_hits).alias("contaminated"),
     )
 
 

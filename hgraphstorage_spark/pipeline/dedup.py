@@ -1244,8 +1244,17 @@ def dedup_keep_best(
     (numeric) quality score, never the id, so string doc_ids tie-break
     correctly (ADVICE r5: the old -id tie-break went NULL on string
     ids and silently marked no keeper)."""
+    from hgraphstorage_spark.pipeline.state import track
+
     q = docs.select(F.col(id_col).alias("doc_id"), F.col(quality_col).alias("quality"))
-    st = clusters.select(F.col(id_col).alias("doc_id"), "cluster").join(q, "doc_id")
+    # `st` feeds both the per-cluster argmax and the final keep join;
+    # unpersisted, each consumer replays the whole upstream CLUSTER
+    # derivation (iterative near-dup rounds) plus this join (r12
+    # duplicate-compute sweep). Narrow (id, cluster, quality), consumed
+    # at full width twice → persist.
+    st = track(
+        clusters.select(F.col(id_col).alias("doc_id"), "cluster").join(q, "doc_id")
+    )
     # min of (null-flag, -quality, id): highest quality, ties to the
     # smallest id — a total order (id is unique), so min_by is
     # deterministic. The leading null-flag sends NULL-quality rows LAST

@@ -1004,11 +1004,19 @@ def pq_build(
     map-side partials. No shuffle carries a float vector wider than one
     subspace.
     """
+    from .state import track
+
     base = emb.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    cb = (
+    # the codebook fans out downstream — the encode join here plus the
+    # fused pq_topk's query-side ADC table — and unpersisted each
+    # reference re-derives the anchor sample from the raw corpus (the
+    # ivfpq_build lesson, r12 sweep). m*ksub rows → persist; `codes`
+    # stays lazy (single consumer in-session; the deployment path
+    # writes it to parquet anyway).
+    cb = track(
         _pq_default_codebook(base, m, ksub, "v", seed_salt)
         if codebook is None
         else _normalize_codebook(codebook)
@@ -1478,8 +1486,18 @@ def sq_topk(
     Returns (vec_id, score DECIMAL(18,6)) of the top-k neighbors of
     ``query_id`` by reconstructed cosine, query excluded.
     """
+    from .state import track
+
     levels = float((1 << bits) - 1)
-    ranges = (
+    # `ranges` (one row of per-dimension min/max arrays) enters the plan
+    # under `prepped`, which fans out to the query row and the scored
+    # side — unpersisted, the whole posexplode range aggregate re-runs
+    # per branch (an extra corpus scan; r12 sweep). One-row frame →
+    # persist. `prepped` itself stays lazy ON PURPOSE: the query branch
+    # prunes to one row via vec_id pushdown at the scan, which a
+    # corpus-wide persisted reconstruction would forfeit (the bm25
+    # persist-vs-pushdown rule).
+    ranges = track(
         emb.select(F.posexplode(vec_col).alias("pos", "v"))
         .groupBy("pos")
         .agg(F.min("v").cast("double").alias("mn"), F.max("v").cast("double").alias("mx"))

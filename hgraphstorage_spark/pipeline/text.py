@@ -1500,7 +1500,15 @@ def bpe_apply(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS_RE)).alias("word"),
     ).filter(F.length("word") > 0)
-    per_doc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    from hgraphstorage_spark.pipeline.state import track
+
+    # `per_doc` feeds both the vocab distinct and the final join;
+    # unpersisted, each consumer replays tokenize+explode+agg from the
+    # raw corpus (2 extra document scans — r12 sweep, visible through
+    # tokenizer_fertility). The (doc_id, word, n) histogram is the
+    # sub-linear word-count frame, consumed at full width twice →
+    # persist.
+    per_doc = track(words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n")))
     vocab = per_doc.select("word").distinct()
     syms = _initial_symbols(F.col("word"))
     for a, b in rules:
@@ -1556,7 +1564,13 @@ def perplexity_buckets(
         F.col(lang_col).alias("lang"),
         words(F.col(text_col)).alias("tok"),
     ).filter(F.length("tok") > 0)
-    tvocab = (
+    from hgraphstorage_spark.pipeline.state import track
+
+    # `tvocab` fans out to the totals aggregate and the token-stream
+    # join; unpersisted, each branch re-tokenizes the TARGET corpus from
+    # parquet (2 target scans in the executed plan — r12 sweep).
+    # Vocabulary-sized, consumed at full width by both → persist.
+    tvocab = track(
         target_docs.select(words(F.col(text_col)).alias("tok"))
         .filter(F.length("tok") > 0)
         .groupBy("tok")
@@ -1901,10 +1915,21 @@ def vocab_drift(
     cb = _tok_stream(docs_b, text_col, id_col).groupBy("tok").agg(
         F.count(F.lit(1)).alias("c_b")
     )
-    u = ca.join(cb, "tok", "full").select(
-        "tok",
-        F.coalesce("c_a", F.lit(0)).alias("c_a"),
-        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    from hgraphstorage_spark.pipeline.state import track
+
+    # `u` fans out to the totals aggregate AND the scored projection;
+    # unpersisted, each branch replays both token streams + the full
+    # outer join (4 document scans in the executed plan — r12
+    # duplicate-compute sweep). The frame is vocabulary-sized (token,
+    # two counts) and both consumers read it at full width, so it
+    # persists (the bm25 persist-vs-pushdown rule cuts the other way
+    # here: nothing prunes below the join).
+    u = track(
+        ca.join(cb, "tok", "full").select(
+            "tok",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
     )
     totals = u.agg(
         F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"), F.count(F.lit(1)).alias("v")
@@ -2199,7 +2224,16 @@ def phrase_detect(
     toks = F.split(F.lower(F.trim(F.col(text_col))), WS_RE)
     base = docs.select(toks.alias("t")).filter(F.size("t") > 0)
     base = _parallel(base)
-    uni = (
+    from hgraphstorage_spark.pipeline.state import track
+
+    # `uni` has THREE consumers (n_total, both unigram join sides);
+    # unpersisted, each replays the tokenize+explode+agg from the raw
+    # corpus — 4 document scans total in the executed plan (r12 sweep).
+    # Vocabulary-sized and consumed at full width everywhere → persist.
+    # `base` (corpus-sized token arrays) deliberately stays lazy: its 2
+    # consumers re-tokenize, which beats pinning the whole corpus'
+    # token arrays in executor memory (the bm25 dl-frame lesson).
+    uni = track(
         base.select(F.explode("t").alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
