@@ -459,10 +459,17 @@ def _ngram_jaccard_pairs_naive(
     only reaches it with a ``max_doc_freq`` cap; uncapped it is the
     test-only oracle shape the prefix-filter plan is verified against
     (and the measured ``diagnostics`` row in bench.py)."""
+    from hgraphstorage_spark.pipeline.state import track
+
     # explode hashed shingles: the co-group join shuffles 8-byte keys, not
-    # n-word strings
+    # n-word strings. explode_OUTER dodges InferFiltersFromGenerate (see
+    # cross_source_overlap: plain explode synthesizes `size(sh) > 0` and
+    # pushes it below shingle_hashes' repartition with the whole shingle
+    # expression INLINED, re-shingling the corpus in the narrow scan
+    # stage); value-identical because `sh` is never empty by
+    # construction (shingle_hashes pads to >= 1 element).
     sh = shingle_hashes(docs, text_col, id_col, n).select(
-        "doc_id", F.explode("sh").alias("shingle")
+        "doc_id", F.explode_outer("sh").alias("shingle")
     )
     if block_col is not None:
         blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("_blk"))
@@ -470,6 +477,15 @@ def _ngram_jaccard_pairs_naive(
         keys = ["_blk", "shingle"]
     else:
         keys = ["shingle"]
+    # `sh` fans out FIVE ways — the sizes agg, the cap's doc-frequency
+    # agg, the cap's semi-join probe side, and (through `idx`) both
+    # sides of the candidate self-join; unpersisted, each branch replays
+    # the corpus tokenize + shingle explode from parquet (r12
+    # duplicate-compute sweep: the capped path behind dedup_clusters /
+    # dedup_keep_best / cluster_split measured 24 s at sf0.1, ~5x the
+    # one-pass cost). Narrow (doc_id, 8-byte shingle [, block]) and
+    # every consumer reads it at full width → persist.
+    sh = track(sh)
     # sizes come from the UNCAPPED shingle sets (the cap shrinks only the
     # numerator, keeping capped ⊆ uncapped)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -699,8 +715,16 @@ def containment_pairs(
     self-join; sizes stay uncapped, so scores only shrink and capped
     pairs ⊆ uncapped pairs).
     """
+    from hgraphstorage_spark.pipeline.state import track
+
+    # explode_OUTER + persist: the same two fixes as the capped
+    # _ngram_jaccard_pairs_naive path (r12) — plain explode re-inlined
+    # the shingle expression below the repartition via
+    # InferFiltersFromGenerate, and `sh` fans out to the sizes agg, the
+    # cap aggs, and both self-join sides. Value-identical: `sh` arrays
+    # are never empty by construction.
     sh = shingle_hashes(docs, text_col, id_col, n).select(
-        "doc_id", F.explode("sh").alias("shingle")
+        "doc_id", F.explode_outer("sh").alias("shingle")
     )
     if block_col is not None:
         blocks = docs.select(F.col(id_col).alias("doc_id"), F.col(block_col).alias("_blk"))
@@ -708,6 +732,7 @@ def containment_pairs(
         keys = ["_blk", "shingle"]
     else:
         keys = ["shingle"]
+    sh = track(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     idx = sh if max_doc_freq is None else _cap_doc_freq(sh, keys, max_doc_freq)
     a = idx.select(F.col("doc_id").alias("doc_a"), *keys)
@@ -828,8 +853,20 @@ def dedup_clusters(
     both partial-aggregated, keys are document ids (uniform). State is
     localCheckpointed per round to truncate lineage. Deterministic, so
     SQL-oracle-able by unrolling rounds."""
-    und = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
-        pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    from hgraphstorage_spark.pipeline.state import track
+
+    # `und` joins against the state EVERY round: unpersisted, each of
+    # the `rounds` iterations (and both unionAll references of `pairs`
+    # inside it) replays the ENTIRE upstream pair derivation — for the
+    # capped n-gram Jaccard recipe that measured 3 x 24 s of replayed
+    # pair stage inside a 63 s build at sf0.1 (r12 duplicate-compute
+    # sweep). The pair list is the sub-linear output of the dedup (two
+    # 8-byte ids per near-dup pair) and every round consumes it at full
+    # width → persist once, before the first round references it.
+    und = track(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")).unionAll(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
     )
     state = docs.select(F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster"))
     for _ in range(rounds):
