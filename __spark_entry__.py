@@ -2130,25 +2130,26 @@ def q_datasheet(spark, sf_dir):
     and structured extraction are zero-shuffle too; quality_filter's
     token histogram is the one extra aggregation, joined back on
     doc_id; the final agg is source-keyed with map-side partials."""
-    from hgraphstorage_spark.pipeline import flagged_phrases
+    from hgraphstorage_spark.pipeline import flagged_phrases, quality_filter
     from hgraphstorage_spark.pipeline.dedup import url_normalized
     from hgraphstorage_spark.pipeline.extraction import extract_structured
     from hgraphstorage_spark.pipeline.pii import PII_PLACEHOLDER_RE, pii_scrub
     from hgraphstorage_spark.pipeline.state import track
-    from hgraphstorage_spark.pipeline.text import (
-        _n_tokens,
-        quality_filter_narrow,
-        readability_scores,
-    )
+    from hgraphstorage_spark.pipeline.text import _n_tokens, readability_scores
 
     # five certified-machinery branches each consume the text column;
     # without a persist each one re-reads the parquet (6 source scans
     # measured) — track() materializes the base once, branches read
     # cache (released via the r3 registry / bench _release_state)
     docs = track(_t(spark, sf_dir, "documents"))
-    # narrow variant: identical metrics/pass flag (aliased oracles),
-    # zero shuffle instead of a (doc, token) histogram shuffle + join
-    passes = quality_filter_narrow(docs).select("doc_id", "passes")
+    # HISTOGRAM quality_filter kept on purpose (r12 interleaved A/B under
+    # clean-GC conditions, min-of-4 each: histogram 7.24 s, narrow
+    # persisted 7.74, narrow unpersisted 8.92 for the whole datasheet) —
+    # inside this composition the docs base is already cached, so the
+    # histogram's one (doc, token) shuffle is cheaper than re-running the
+    # narrow variant's fused per-row metric expressions over cached text;
+    # outputs are identical either way (the registry aliases the oracles)
+    passes = quality_filter(docs).select("doc_id", "passes")
     i = F.col("doc_id")
     ph_suffix = (
         F.when(i % 5 == 0, F.lit(" free money now"))
@@ -3749,16 +3750,16 @@ def q_domain_quality(spark, sf_dir):
     onto the synthetic crawl URLs, aggregated per registrable host;
     blocked = ≥2 docs passing under 50%. Oracle composes the
     quality_filter replay with the synthetic-domain arithmetic."""
+    from hgraphstorage_spark.pipeline import quality_filter
     from hgraphstorage_spark.pipeline.dedup import domain_quality
-    from hgraphstorage_spark.pipeline.text import quality_filter_narrow
 
     docs = _with_synthetic_urls(_t(spark, sf_dir, "documents"))
-    # the narrow variant computes the IDENTICAL metrics + pass flag
-    # (same oracle SQL — the registry aliases their oracles) in one
-    # zero-shuffle projection; the histogram variant paid a
-    # (doc, token)-keyed shuffle plus a metrics join back, and its two
-    # internal consumers scanned documents twice (r12 sweep)
-    qf = quality_filter_narrow(docs).select("doc_id", "passes")
+    # HISTOGRAM quality_filter kept on purpose (r12 matched A/B: 0.83 s
+    # histogram vs 1.12 s with the zero-shuffle narrow variant) — the
+    # narrow variant's fused per-row metric expressions cost more here
+    # than the histogram's (doc, token) shuffle + metrics join; outputs
+    # identical either way (the registry aliases the oracles)
+    qf = quality_filter(docs).select("doc_id", "passes")
     return _canon(
         domain_quality(
             docs.join(qf, "doc_id"), passes_col="passes", min_docs=2, threshold=0.5

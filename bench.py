@@ -650,6 +650,19 @@ def _release_state(spark) -> None:
     it = jmap.values().iterator()
     while it.hasNext():
         it.next().unpersist(False)
+    # r12 measurement fix (guide §1, declared in OPTIMIZATION_r12.md):
+    # Spark's ContextCleaner reclaims shuffle files, broadcast blocks and
+    # checkpoint state only after the DRIVER's GC collects their weak
+    # references — and with a mostly-idle multi-GB heap the JVM can go
+    # the whole bench without a single full GC, so that state accumulates
+    # across the ~250 timed executions and taxes whatever runs last
+    # (measured: 8 identical datasheet runs walked 8.1 → 26.0 s with no
+    # GC, flat 7.2 → 5.8 s with one; the r12 "contended" record's own
+    # sentinel was the victim, drift 3.73 with zero external load). One
+    # explicit System.gc() per release — OUTSIDE every timer — lets the
+    # cleaner actually run, so each op is measured from the clean session
+    # a real per-job deployment would give it.
+    spark.sparkContext._jvm.System.gc()
 
 
 def main() -> None:
