@@ -604,6 +604,33 @@ def _ensure_scale_dir(spark, src_dir: str, dst_dir: str) -> bool:
     return True
 
 
+# r13 (VERDICT r12 "what's wrong" #2): the scalar spin probe is BLIND to
+# memory-bandwidth co-tenancy — the r12 record carried a ~1.3x uniform
+# dilation of memory-heavy ops under a flat CPU sentinel and near-zero
+# load average. This second probe sums a fixed 256 MiB float64 array
+# (far beyond LLC, one saturated memory stream); identical work every
+# call, so drift between calls measures BANDWIDTH contention the spin
+# probe cannot see. Readings ride alongside every sentinel reading; the
+# record reports both drifts, and `contended` trips on EITHER.
+_MEMBW_VALS: list[float] = []
+_MEMBW_ARR = None
+
+
+def _membw_sec() -> float:
+    global _MEMBW_ARR
+    import numpy as np
+
+    if _MEMBW_ARR is None:
+        _MEMBW_ARR = np.ones(32 * 1024 * 1024)  # 256 MiB, pages touched here
+        float(_MEMBW_ARR.sum())  # untimed first pass
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(_MEMBW_ARR.sum())
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def _sentinel_sec(spark) -> float:
     """Fixed ALL-CORES CPU-bound calibration job (a sum over 1.6B longs
     in 32 equal partitions — the same 32-way parallel shape every timed
@@ -631,6 +658,7 @@ def _sentinel_sec(spark) -> float:
         t0 = time.perf_counter()
         spark.range(0, 1_600_000_000, 1, 32).selectExpr("sum(id)").collect()
         best = min(best, time.perf_counter() - t0)
+    _MEMBW_VALS.append(_membw_sec())
     return round(best, 3)
 
 
@@ -779,6 +807,7 @@ def main() -> None:
         if attempt > 0 and time.perf_counter() - loop_t0 > ATTEMPT_BUDGET_SEC:
             attempt_summaries[-1]["budget_exhausted"] = True
             break
+        att_m0 = len(_MEMBW_VALS)
         att_sent = [_sentinel_sec(spark)]
         for label, key, names, runs in _GRADED:
             got = _section(
@@ -804,15 +833,30 @@ def main() -> None:
             / max(ordered[0], 1e-9),
             3,
         )
+        # membw drift for THIS attempt, same second-highest/min
+        # convention (one isolated spike never flags an attempt)
+        mord = sorted(_MEMBW_VALS[att_m0:])
+        att_membw_drift = round(
+            (
+                (mord[-2] if len(mord) >= 3 else mord[-1]) / max(mord[0], 1e-9)
+            )
+            if mord
+            else 1.0,
+            3,
+        )
         sent_vals.extend(att_sent)
         attempt_summaries.append(
             {
                 "drift_ratio": att_drift,
                 "max_single_ratio": round(ordered[-1] / max(ordered[0], 1e-9), 3),
+                "membw_drift_ratio": att_membw_drift,
                 "n_readings": len(att_sent),
             }
         )
-        if att_drift < 1.5:
+        # a clean attempt needs BOTH probes flat: the spin probe sees CPU
+        # steal, the membw probe sees the bandwidth co-tenancy that
+        # uniformly dilated the r12 record under a flat spin reading
+        if att_drift < 1.5 and att_membw_drift < 1.5:
             break
 
     timings = sections["queries"]
@@ -973,6 +1017,7 @@ def main() -> None:
     # attempt's readings); the run-wide max across all attempts is
     # reported alongside so discarded contended attempts stay visible.
     drift = last_attempt_drift
+    membw_drift = attempt_summaries[-1].get("membw_drift_ratio", 1.0)
     sentinel = {
         "start_sec": sent_vals[0],
         "end_sec": sent_vals[-1],
@@ -980,7 +1025,12 @@ def main() -> None:
         "max_sec": max(sent_vals),
         "n_readings": len(sent_vals),
         "drift_ratio": drift,
-        "contended": drift >= 1.5,
+        # r13: the bandwidth probe (see _membw_sec) — trips `contended`
+        # on the r12-style uniform dilation the spin probe missed
+        "membw_drift_ratio": membw_drift,
+        "membw_min_sec": round(min(_MEMBW_VALS), 4) if _MEMBW_VALS else None,
+        "membw_max_sec": round(max(_MEMBW_VALS), 4) if _MEMBW_VALS else None,
+        "contended": drift >= 1.5 or membw_drift >= 1.5,
         "run_drift_ratio": round(max(sent_vals) / max(min(sent_vals), 1e-9), 3),
         "attempts": attempt_summaries,
         "retimed_sections": retimed_sections,
@@ -1157,6 +1207,7 @@ def main() -> None:
                 # bench_last_full.json): graded drift = LAST attempt
                 "sentinel": {
                     "drift_ratio": sentinel["drift_ratio"],
+                    "membw_drift_ratio": sentinel["membw_drift_ratio"],
                     "contended": sentinel["contended"],
                     "run_drift_ratio": sentinel["run_drift_ratio"],
                     "n_attempts": len(attempt_summaries),

@@ -529,7 +529,15 @@ def aggregate_messages(
     PageRank, SSSP) is a loop over exactly this primitive."""
     if msg_to_dst is None and msg_to_src is None:
         raise ValueError("at least one of msg_to_dst / msg_to_src is required")
-    nodes = snap.nodes
+    from hgraphstorage_spark.pipeline.state import track
+
+    # the node frame is consumed by BOTH triplet joins (src + dst
+    # hydration); unpersisted, each join replays the 6-way dimension-table
+    # union — every node table scanned once per reference (r12 sweep's one
+    # residual duplicate-compute lead). Nodes are narrow (id, label), so
+    # persisting costs little width while both joins read one
+    # materialization.
+    nodes = track(snap.nodes)
     edges = snap.edges
     triplet = (
         edges.select(F.struct(*edges.columns).alias("edge"))
@@ -1224,11 +1232,17 @@ def modularity(snap: GraphSnapshot, communities: DataFrame) -> DataFrame:
     # replays the snapshot's edge/community derivation from the raw
     # tables (r12 duplicate-compute sweep — this op is
     # derivation-dominated). Both frames are narrow (two 8-byte ids /
-    # id+community); localCheckpoint (module idiom) materializes each
-    # once and every branch reads the stored partitions.
-    e = snap.edges.select("src", "dst").localCheckpoint(eager=False)
+    # id+community). track(persist) rather than localCheckpoint (r12
+    # ADVICE): these frames are not iterative state, so lineage
+    # truncation buys nothing, while the registry makes the blocks
+    # deterministically releasable by a long-lived service (and a
+    # recomputable persist survives executor decommission, which a
+    # localCheckpoint does not).
+    from hgraphstorage_spark.pipeline.state import track
+
+    e = track(snap.edges.select("src", "dst"))
     m_frame = e.agg(F.count(F.lit(1)).alias("_m"))
-    comm = communities.select("id", "community").localCheckpoint(eager=False)
+    comm = track(communities.select("id", "community"))
     ca = comm.select(F.col("id").alias("src"), F.col("community").alias("_ca"))
     cb = comm.select(F.col("id").alias("dst"), F.col("community").alias("_cb"))
     lc = (

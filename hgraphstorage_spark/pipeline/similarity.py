@@ -410,9 +410,19 @@ def embedding_near_dup_lsh(
     else:
         bucket_src = prepped
         sig = lambda t: signature_bits(F.col("v"), dims, bits, seed=t * 1000)  # noqa: E731
+    # Narrow the shuffled projection (guide §2.3 / §8: shuffle a
+    # lightweight proxy, not the payload): the per-bucket GEMM prefilter
+    # needs only the NORMALIZED direction of each vector, so the 8-table
+    # explode + applyInPandas shuffle carries a float32 unit vector (4
+    # bytes/dim) instead of the raw float64 payload (8 bytes/dim) — the
+    # exact-verify branches read the full-precision `v`/`nrm` from the
+    # persisted prep, which never crosses this shuffle. Zero-norm vectors
+    # become NaN rows (0/0) exactly as under the old per-bucket
+    # normalization, and NaN >= t is False either way.
+    vn = F.transform(F.col("v"), lambda x: (x / F.col("nrm")).cast("float"))
     buckets = bucket_src.select(
         "vid",
-        "v",
+        vn.alias("vn"),
         F.explode(
             F.array(
                 *[
@@ -421,13 +431,15 @@ def embedding_near_dup_lsh(
                 ]
             )
         ).alias("tb"),
-    ).select("vid", "v", "tb.table_id", "tb.bucket")
+    ).select("vid", "vn", "tb.table_id", "tb.bucket")
 
-    # slack covers BLAS float-summation-order drift AND the round-6
-    # half-ULP of the exact keep rule (round(s,6) >= thr admits true
-    # cosine down to thr - 5e-7): a pair the oracle keeps must reach the
-    # exact re-score, so the prefilter cannot cut tighter than that
-    eps = 5.1e-7
+    # slack covers (a) the round-6 half-ULP of the exact keep rule
+    # (round(s,6) >= thr admits true cosine down to thr - 5e-7) and
+    # (b) float32 normalization + GEMM error (<= ~1e-5 relative at 64
+    # dims; 2e-4 is a 20x margin). The prefilter may only ever ADMIT
+    # extra candidates — the exact float64 re-score below keeps the
+    # output identical to the unfiltered formula.
+    eps = 2.0e-4
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         # per-(table, bucket) BLAS: one small normalized GEMM instead of
@@ -441,12 +453,11 @@ def embedding_near_dup_lsh(
             return pd.DataFrame(
                 {"vec_a": pd.array([], dtype="int64"), "vec_b": pd.array([], dtype="int64")}
             )
-        A = np.vstack(pdf["v"].to_numpy())
-        with np.errstate(divide="ignore", invalid="ignore"):
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-        S = An @ An.T
+        A = np.vstack(pdf["vn"].to_numpy()).astype(np.float32, copy=False)
+        S = A @ A.T
         ids = pdf["vid"].to_numpy()
-        ia, ib = np.where(S >= threshold - eps)
+        with np.errstate(invalid="ignore"):
+            ia, ib = np.where(S >= np.float32(threshold - eps))
         keep = ids[ia] < ids[ib]
         return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep]})
 
@@ -839,9 +850,23 @@ def semantic_dedup(
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
         ).withColumn("nrm", _norm(F.col("v")))
     )
-    clustered = assign.join(prepped, "vec_id")
-    # same prefilter slack rationale as embedding_near_dup_lsh
-    eps = 5.1e-7
+    # Narrow the per-cluster shuffle (guide §2.3/§8, same fix as
+    # embedding_near_dup_lsh): the GEMM prefilter needs only the
+    # normalized DIRECTION, so the applyInPandas shuffle carries a
+    # float32 unit vector (4 B/dim) instead of the raw float64 payload
+    # plus an entirely-unused `nrm` column; the exact float64 verify
+    # below reads `v`/`nrm` from the persisted prep, which never crosses
+    # this shuffle. Zero-norm vectors become NaN rows (0/0) exactly as
+    # under the old per-cluster normalization; NaN >= t is False either
+    # way.
+    vn = F.transform(F.col("v"), lambda x: (x / F.col("nrm")).cast("float"))
+    clustered = assign.join(prepped.select("vec_id", vn.alias("vn")), "vec_id")
+    # slack covers the round-6 half-ULP of the exact keep rule plus
+    # float32 normalization + GEMM error (<= ~1e-5 at 64 dims; 20x
+    # margin) — the prefilter may only ADMIT extra candidates, the exact
+    # re-score keeps the output identical (same rationale as
+    # embedding_near_dup_lsh)
+    eps = 2.0e-4
 
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -850,12 +875,11 @@ def semantic_dedup(
             return pd.DataFrame(
                 {"vec_a": pd.array([], dtype="int64"), "vec_b": pd.array([], dtype="int64")}
             )
-        A = np.vstack(pdf["v"].to_numpy())
-        with np.errstate(divide="ignore", invalid="ignore"):
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-        S = An @ An.T
+        A = np.vstack(pdf["vn"].to_numpy()).astype(np.float32, copy=False)
+        S = A @ A.T
         ids = pdf["vec_id"].to_numpy()
-        ia, ib = np.where(S >= threshold - eps)
+        with np.errstate(invalid="ignore"):
+            ia, ib = np.where(S >= np.float32(threshold - eps))
         keep = ids[ia] < ids[ib]
         return pd.DataFrame({"vec_a": ids[ia][keep], "vec_b": ids[ib][keep]})
 
@@ -1015,9 +1039,12 @@ def pq_build(
     # reference re-derives the anchor sample from the raw corpus (the
     # ivfpq_build lesson, r12 sweep). m*ksub rows → persist; `codes`
     # stays lazy (single consumer in-session; the deployment path
-    # writes it to parquet anyway).
-    cb = track(
-        _pq_default_codebook(base, m, ksub, "v", seed_salt)
+    # writes it to parquet anyway). A CALLER-SUPPLIED codebook passes
+    # through unpersisted (r12 ADVICE): it is the caller's artifact —
+    # usually already materialized — and pinning it in this registry
+    # would hold storage the caller may manage itself.
+    cb = (
+        track(_pq_default_codebook(base, m, ksub, "v", seed_salt))
         if codebook is None
         else _normalize_codebook(codebook)
     )

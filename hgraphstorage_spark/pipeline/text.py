@@ -430,7 +430,13 @@ def quality_filter_narrow(
     )
     df = (
         docs.select(F.col(id_col), toks.alias("_toks"))
-        .select(id_col, "_toks", F.size("_toks").alias("_n"))
+        # greatest(size, 0): size(NULL array) is -1 under non-ANSI Spark,
+        # so a NULL-text doc would report n_tokens = -1 where the
+        # histogram variant's left-join/coalesce yields 0 (r12 ADVICE;
+        # `passes` was already false either way — this aligns the
+        # reported count; the test corpora carry no NULL text, verified,
+        # so no declared output changes)
+        .select(id_col, "_toks", F.greatest(F.size("_toks"), F.lit(0)).alias("_n"))
         .withColumn("_total_len", F.aggregate("_toks", F.lit(0), lambda acc, x: acc + F.length(x)))
         .withColumn("_stats", _ngram_run_stats(F.array_sort("_toks")))
     )

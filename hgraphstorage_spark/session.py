@@ -42,6 +42,19 @@ def get_spark(app_name: str = "hgraphstorage_spark", shuffle_partitions: int | N
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # Pin the heap (-Xms == -Xmx): G1 UNCOMMITS heap pages back to
+        # the OS after a full GC, so any explicit/periodic GC makes the
+        # next allocation-heavy job re-fault and re-zero pages inside
+        # its own runtime (measured r13, tools/gc_tax_probe.py: ~+0.4 s
+        # on sub-second queries right after a System.gc() with an
+        # unpinned heap; flat with the pin). Standard long-lived-server
+        # JVM hygiene, same flag cluster-side. (AlwaysPreTouch was
+        # measured too — it removes first-touch cost but costs ~40 s of
+        # session startup, so it stays off; first-touch is paid once.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .config("spark.ui.enabled", "false")
         # bucketed tables (operators.bucketing) go through the catalog;
         # keep the warehouse out of the repo tree

@@ -6,6 +6,26 @@ import pytest
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")  # small local runs for tests
 
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite (r12 VERDICT task 2): the full suite outgrew the
+    driver's verify budget (44 min → `tests_ok: false` on an apparent
+    timeout, a standing correctness-gate risk). Depth tests carry
+    @pytest.mark.slow and are SKIPPED by default — visibly, as 's'
+    rows — so the default `pytest tests/` completes inside the budget
+    while keeping every oracle-parity pin, the 51-row driver-hash
+    replica, and the semantics tests in the default tier. The slow tier
+    runs with SPARK_GRAFT_SLOW_TESTS=1 (or an explicit -m expression)."""
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS") == "1" or config.option.markexpr:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier (SPARK_GRAFT_SLOW_TESTS=1 to run)"
+    )
+    for item in items:
+        if item.get_closest_marker("slow"):
+            item.add_marker(skip)
+
+
 from hgraphstorage_spark import GraphEngine
 from hgraphstorage_spark.session import get_spark
 

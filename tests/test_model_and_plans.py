@@ -214,10 +214,15 @@ class TestNewOperatorPlans:
         # the load_tpch_graph derivation legitimately unions per-label
         # frames, so pin the replay via scan counts: the union-per-
         # direction form scanned customer/supplier 6x each; one triplet
-        # pass + explode leaves the derivation's own 3 (nodes, edges,
-        # and the second join side)
+        # pass + explode leaves the derivation's own 3. The r13
+        # node-frame persist serves BOTH triplet joins from one cached
+        # materialization — the plan string still prints the cached
+        # child's FileScan under each InMemoryTableScan, so the honest
+        # pin is: string-count unchanged at <=3, plus two cache-served
+        # node-join branches (the physical fill runs once).
         assert plan.count("customer.parquet") <= 3
         assert plan.count("supplier.parquet") <= 3
+        assert plan.count("InMemoryTableScan") >= 2
         assert "explode" in plan.lower()
 
     def test_semantic_dedup_persists_fanout_frames(self, spark):
@@ -230,6 +235,33 @@ class TestNewOperatorPlans:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         plan = executed_plan(semantic_dedup(emb, nlist=4, iterations=2))
         assert "InMemoryTableScan" in plan
+
+    def test_cluster_pair_shuffles_carry_float32_proxy_not_payload(self, spark):
+        """r13 narrow-shuffle fix (guide §2.3): the applyInPandas GEMM
+        prefilter stages of semantic_dedup and embedding_near_dup_lsh
+        must ship the normalized float32 proxy (`vn`), never the raw
+        float64 payload `v` (+ nrm) — the exact verify reads full
+        precision from the persisted prep outside the shuffle."""
+        import re
+
+        from hgraphstorage_spark.pipeline.similarity import (
+            embedding_near_dup_lsh,
+            semantic_dedup,
+        )
+        from hgraphstorage_spark.plans.audit import executed_plan
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        for df in (
+            semantic_dedup(emb, nlist=4, iterations=2),
+            embedding_near_dup_lsh(emb, threshold=0.35, bits=4, tables=2),
+        ):
+            plan = executed_plan(df)
+            lines = [ln for ln in plan.splitlines() if "FlatMapGroupsInPandas" in ln]
+            assert lines, plan[:500]
+            for ln in lines:
+                assert "vn#" in ln, ln
+                assert "nrm#" not in ln, ln
+                assert not re.search(r"\bv#\d", ln), ln
 
     def test_embedding_outliers_scores_computed_once(self, spark):
         """The (vec_id, score) frame feeds the percentile aggregate AND
