@@ -5254,14 +5254,14 @@ def q_cms_tokens(spark, sf_dir):
     toks = docs.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), WS_RE)).alias("token")
     ).filter(F.length("token") > 0)
-    from hgraphstorage_spark.pipeline.state import track
-
     sketch = count_min_sketch(toks, "token", width=64, depth=4)
-    # `top` fans out to the estimate probe AND the final join;
-    # unpersisted, each branch replays vocabulary()'s tokenize + two
-    # aggregations from the raw corpus (r12 duplicate-compute sweep).
-    # 20 rows → persist.
-    top = track(vocabulary(docs, top_k=20).select("token", "n_total"))
+    # NOT persisted: the r12 sweep flagged `top`'s two consumers as a
+    # duplicate-compute lead, but the r13 watch A/B (VERDICT r12 task 8;
+    # two interleaved matched passes, tpch_q1 control flat) measured the
+    # 20-row persist 10-20% SLOWER (1.41/1.53 s vs 1.30/1.23 s) — the
+    # replayed branch is cheaper than the materialization barrier, the
+    # bm25 counter-example again.
+    top = vocabulary(docs, top_k=20).select("token", "n_total")
     est = cms_estimate(sketch, top, "token", width=64, depth=4)
     return top.join(est, "token").select("token", "n_total", "est")
 

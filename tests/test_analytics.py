@@ -46,6 +46,7 @@ class TestConnectedComponents:
 
 
 class TestAlternatingComponents:
+    @pytest.mark.slow
     def test_equals_hashmin_on_mixed_graph(self, spark):
         """Path (high diameter — the case HashMin handles in O(diameter)
         rounds and alternating in O(log n)), a clique, and an isolated
@@ -80,6 +81,7 @@ class TestAlternatingComponents:
 
 
 class TestPageRank:
+    @pytest.mark.slow
     def test_ranks_sum_to_one_and_order(self, two_component_engine):
         ranks = {r["id"]: r["rank"] for r in pagerank(two_component_engine.current, iterations=15).collect()}
         assert abs(sum(ranks.values()) - 1.0) < 1e-6
@@ -87,6 +89,7 @@ class TestPageRank:
         assert ranks[2] > ranks[1]
         assert ranks[3] > ranks[1]
 
+    @pytest.mark.slow
     def test_star_graph_center_wins(self, spark):
         eng = GraphEngine(spark)
         eng.add_nodes([("N", {}) for _ in range(5)])
@@ -130,6 +133,7 @@ class TestTriangleCount:
 
 
 class TestShortestPaths:
+    @pytest.mark.slow
     def test_multi_landmark(self, two_component_engine):
         from hgraphstorage_spark.analytics import shortest_paths
 
@@ -150,6 +154,7 @@ class TestShortestPaths:
 
 
 class TestLabelPropagation:
+    @pytest.mark.slow
     def test_two_cliques_with_bridge(self, spark):
         from hgraphstorage_spark.analytics import label_propagation
 
@@ -200,6 +205,7 @@ class TestKCore:
 
 
 class TestPersonalizedPageRank:
+    @pytest.mark.slow
     def test_mass_stays_in_seed_cone(self, spark):
         """Chain 1->2->3 with an isolated node 4: PPR from 1 gives node 4
         exactly zero and keeps total mass ~1 (dangling returns to seed)."""
@@ -216,6 +222,7 @@ class TestPersonalizedPageRank:
         # rounds as the returned dangling mass cycles): seed outranks tail
         assert pr[1] > pr[3] > 0
 
+    @pytest.mark.slow
     def test_uniform_unchanged(self, spark):
         """reset_to=None must equal the classic formulation exactly (the
         shared oracle pins this; here: ranks positive everywhere)."""
@@ -295,6 +302,7 @@ class TestRandomWalks:
         else:
             assert nodes_at[1] == 2 and nodes_at[2] == 4
 
+    @pytest.mark.slow
     def test_salt_changes_choices_but_not_start(self, spark):
         from hgraphstorage_spark.analytics import random_walks
         from hgraphstorage_spark.snapshot import GraphSnapshot
@@ -348,6 +356,7 @@ class TestStronglyConnectedComponents:
         got = {r["id"]: r["scc"] for r in strongly_connected_components(snap).collect()}
         assert got == {i: i for i in range(1, 6)}
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("seed", [7, 23, 99])
     def test_matches_bruteforce_on_random_digraphs(self, spark, seed):
         """Cross-check against an independent definition: mutual
@@ -486,6 +495,7 @@ class TestBetweenness:
         assert got[1] == 12.0
         assert all(got.get(v, 0.0) == 0.0 for v in (2, 3, 4, 5))
 
+    @pytest.mark.slow
     def test_landmark_subset_is_partial_sum(self, spark, two_component_engine):
         from hgraphstorage_spark.analytics import betweenness
 
@@ -669,6 +679,7 @@ class TestHITS:
 
 
 class TestHyperBall:
+    @pytest.mark.slow
     def test_convergence_monotonicity_and_scale(self, spark):
         """On a path graph 1->2->3->4: NF is nondecreasing per round,
         round 0 estimates ~n nodes (each ball = itself), convergence at
@@ -714,6 +725,7 @@ class TestHyperBall:
         # each ball reaches both nodes
         assert got[1] < both[1]
 
+    @pytest.mark.slow
     def test_centrality_structure_on_forest(self, spark):
         """hyperball_centrality on the depth-2 location forest
         (sf0.001): a region's ball never grows -> EXACTLY 0.0; nations

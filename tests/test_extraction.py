@@ -114,6 +114,7 @@ class TestBlockClassification:
         assert "Trailing Heading" not in ctx["content"]  # footer/edge after
         assert "Home" not in ctx["content"] and "Copyright" not in ctx["content"]
 
+    @pytest.mark.slow
     def test_context_is_superset_of_context_free(self, spark):
         """Promotion only ever ADDS blocks: context-free kept lines are a
         subset of the context pass's, on every fixture page."""

@@ -14,7 +14,10 @@ These tests pin the relationship between the modes so neither can drift:
   line with hyperplane-LSH theory (~0.52 at bits=5, tables=8, t=0.35).
 """
 
+
 from __future__ import annotations
+
+import pytest
 
 import duckdb
 from pyspark.sql import functions as F
@@ -124,6 +127,7 @@ def _variant_corpus(spark, copies: int = 4):
     )
 
 
+@pytest.mark.slow
 def test_minhash_modes_statistical_agreement_20k_docs(spark):
     """At 20k documents the two hash families must find statistically the
     SAME verified pair set: the exact-Jaccard verify is mode-independent,
@@ -177,6 +181,7 @@ def test_minhash_modes_identical_plan_shape(spark):
     assert shape_xx == shape_md5
 
 
+@pytest.mark.slow
 def test_embed_lsh_modes_statistical_agreement(spark):
     """Embedding LSH at 10k vectors: both plane families are sound
     (exact re-score), so compare recall mode-vs-mode — pair counts within
@@ -209,6 +214,7 @@ def test_embed_lsh_modes_statistical_agreement(spark):
     assert len(xx & md5) > 0
 
 
+@pytest.mark.slow
 def test_simhash_pairs_modes_agree_20k_docs(spark):
     """Large-N evidence for the banded SimHash pair op at ~20k docs.
     Unlike MinHash (whose exact-Jaccard verify is mode-independent),

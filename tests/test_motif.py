@@ -57,6 +57,7 @@ class TestMotif:
         )
         assert [r["a"]["id"] for r in df.collect()] == [5]
 
+    @pytest.mark.slow
     def test_disconnected_pattern_cartesian(self, motif_engine):
         rows = find_motif(motif_engine.committed, "(a)-[e1]->(a); (c)-[e2]->(d)").collect()
         # self-loop (1 match) × every edge (5) = 5 rows

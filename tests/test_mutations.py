@@ -74,6 +74,7 @@ class TestCrud:
 
 
 class TestCompaction:
+    @pytest.mark.slow
     def test_long_mutation_session_compacts_and_preserves_state(self, spark):
         """Row-at-a-time sessions cross the COMPACT_EVERY threshold: the
         staged plan is materialized, and every row (nodes, edges, props)

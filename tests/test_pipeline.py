@@ -279,6 +279,7 @@ class TestEmbeddingNearDup:
             assert r["vec_a"] < r["vec_b"]
             assert float(r["score"]) >= 0.3
 
+    @pytest.mark.slow
     def test_lsh_subset_of_exact_with_recall(self, spark):
         from hgraphstorage_spark.pipeline import (
             embedding_near_dup_exact,
@@ -1951,6 +1952,7 @@ class TestFlaggedTerms:
         }
         assert legacy[1]["n_tokens"] == 1 and legacy[1]["n_flagged"] == 0
 
+    @pytest.mark.slow
     def test_gate_runs_on_unrounded_ratio(self, spark):
         """Round-8 advice pin: one flagged token among 3M has ratio
         ~3.3e-7, which ROUNDS to 0.000000 in the reported DECIMAL —
@@ -3454,6 +3456,7 @@ def test_mp4_probe_round_trip_and_malformed():
     assert parse_media_header(ftyp + moov) == ("mp4", None, None, 2000)
 
 
+@pytest.mark.slow
 def test_ann_recall_report_properties(spark):
     """recall in [0,1] per probe query; probing ALL lists makes IVF
     exhaustive, so recall must be exactly 1.0."""

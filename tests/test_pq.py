@@ -2,7 +2,10 @@
 against an independent numpy/Decimal reference, determinism, and plan
 shape."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import hashlib
 from decimal import ROUND_HALF_UP, Decimal
@@ -217,6 +220,7 @@ def test_train_zero_iterations_reproduces_default(spark):
     assert default == via_cb
 
 
+@pytest.mark.slow
 def test_trained_codebook_recall_geq_sampled(spark):
     """Two Lloyd rounds per subspace must not LOSE recall vs the
     zero-round sampled anchors (averaged over several queries so one

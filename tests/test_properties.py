@@ -2,7 +2,10 @@
 (``STMGraph/test/.../TypesSpec.hs:37-78``): value serialization round-trips
 and traversal-algebra laws."""
 
+
 from __future__ import annotations
+
+import pytest
 
 import json
 
@@ -65,6 +68,7 @@ edge_lists = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=edge_lists)
 def test_both_is_in_plus_out(spark, edges):
@@ -81,6 +85,7 @@ def test_both_is_in_plus_out(spark, edges):
     assert both == sorted(inn + out)
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=edge_lists)
 def test_has_then_out_subset_of_out(spark, edges):
@@ -98,6 +103,7 @@ def test_has_then_out_subset_of_out(spark, edges):
     assert all(filtered[k] <= full[k] for k in filtered)
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=edge_lists)
 def test_oute_then_out_equals_out(spark, edges):
@@ -166,6 +172,7 @@ asof_events = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(rows=asof_events)
 def test_asof_equals_naive_argmax(spark, rows):
@@ -311,6 +318,7 @@ substr_corpora = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=substr_corpora)
 def test_exact_substring_matches_bruteforce(spark, texts):
@@ -348,6 +356,7 @@ def test_exact_substring_matches_bruteforce(spark, texts):
 # --- Brandes law: layered Spark betweenness == reference Brandes ------------
 
 
+@pytest.mark.slow
 @settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
 @given(edges=edge_lists)
 def test_betweenness_matches_reference_brandes(spark, edges):
@@ -463,6 +472,7 @@ bp_corpora = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=bp_corpora)
 def test_boilerplate_dedup_matches_bruteforce(spark, texts):
@@ -511,6 +521,7 @@ cont_corpora = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=cont_corpora)
 def test_containment_pairs_match_bruteforce(spark, texts):
@@ -549,6 +560,7 @@ def test_containment_pairs_match_bruteforce(spark, texts):
 # --- hot-shingle cap law: capped output ⊆ uncapped output -------------------
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=cont_corpora, cap=st.integers(1, 4))
 def test_max_doc_freq_capped_subset_of_uncapped(spark, texts, cap):
@@ -585,6 +597,7 @@ cms_items = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(items=cms_items)
 def test_cms_never_undercounts_any_width(spark, items):
@@ -607,6 +620,7 @@ def test_cms_never_undercounts_any_width(spark, items):
             assert est[x] >= n
 
 
+@pytest.mark.slow
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(items=cms_items)
 def test_hll_register_law_max_of_parts(spark, items):
@@ -628,6 +642,7 @@ def test_hll_register_law_max_of_parts(spark, items):
     split=st.integers(0, 59),
     k=st.integers(1, 16),
 )
+@pytest.mark.slow
 def test_quantile_sketch_merge_law_any_split(spark, vals, split, k):
     """Bottom-k register law: for ANY split of the rows (ids globally
     distinct) and ANY k, merge(sketch(A), sketch(B)) == sketch(A++B)
@@ -662,6 +677,7 @@ _html_frag = st.lists(
 )
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(frags=_html_frag)
 def test_context_pass_is_superset_on_random_pages(spark, frags):
