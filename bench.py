@@ -709,7 +709,21 @@ def _scale_c8_child() -> None:
     entry_mod._graph(spark, scale_dir)
     spark.read.parquet(f"{scale_dir}/documents.parquet").count()
     spark.read.parquet(f"{scale_dir}/embeddings.parquet").count()
-    _release_state(spark)
+    # same warm-up convention as the parent's timed sections: python
+    # workers + one untimed sf0.001 execution per op, so the first timed
+    # op doesn't carry the whole JVM's JIT/codegen cold cost (run 2
+    # measured crawl_frontier — the first op — 6.1x its c32 wall while
+    # the child sentinel was clean; the tail ops read plausibly)
+    spark.range(64).repartition(8).groupBy("id").applyInPandas(
+        lambda p: p, "id long"
+    ).write.format("noop").mode("overwrite").save()
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in SCALE_OPS:
+        try:
+            _execute(queries[name](spark, warm_dir))
+        except Exception:
+            pass
+        _release_state(spark)
     sent = [_sentinel_sec(spark)]
     out: dict = {}
     for name in SCALE_OPS:
