@@ -16,6 +16,8 @@ Python UDF, no driver-side loops.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -409,7 +411,7 @@ def embedding_near_dup_lsh(
         sig = lambda t: quantized_bucket("_qv", dims, bits, seed=t * 1000)  # noqa: E731
     else:
         bucket_src = prepped
-        sig = lambda t: signature_bits(F.col("v"), dims, bits, seed=t * 1000)  # noqa: E731
+        sig = lambda t: signature_bits("v", dims, bits, seed=t * 1000)  # noqa: E731
     # Narrow the shuffled projection (guide §2.3 / §8: shuffle a
     # lightweight proxy, not the payload): the per-bucket GEMM prefilter
     # needs only the NORMALIZED direction of each vector, so the 8-table
@@ -507,7 +509,7 @@ def quantize_fixed_point(vec: Column) -> Column:
     return F.transform(vec, lambda x: F.floor(x.cast("double") * PLANE_SCALE).cast("long"))
 
 
-def quantized_bucket(qv: str, dims: int, bits: int, seed: int = 0) -> Column:
+def quantized_bucket(qv: str, dims: int, bits: int, seed: int = 0, engine: str = "arrow") -> Column:
     """Integer-exact random-hyperplane bucket for ``plane_mode="md5"``:
     bit p = sign(Σ_d qv[d]·plane(seed+p, d)) over the fixed-point vector.
 
@@ -531,16 +533,91 @@ def quantized_bucket(qv: str, dims: int, bits: int, seed: int = 0) -> Column:
     IMPORTANT: pass the NAME of a materialized ATTRIBUTE (own
     projection), not an inline expression — no CSE inside HOF lambdas,
     so an inline quantize expression would be re-evaluated per fold
-    element."""
-    parts = []
-    for p in range(bits):
-        arr = ",".join(str(md5_plane_int(seed + p, d)) for d in range(dims))
-        parts.append(
-            f"(CASE WHEN aggregate(sequence(0,{dims - 1}), 0L,"
-            f" (acc, d) -> acc + element_at({qv}, d+1) * element_at(array({arr}), d+1))"
-            f" > 0 THEN {1 << p}L ELSE 0L END)"
+    element.
+
+    r13: evaluated as ONE vectorized Arrow UDF over the quantized
+    vector instead of the `aggregate`-HOF-per-bit SQL expression:
+    higher-order functions are CodegenFallback, so the fold ran
+    interpreted — per (row, bit, dim) lambda binding dominated the LSH
+    ops' wall (guide §4.2: hand whole batches to native code). The
+    int64 GEMM against the same md5 plane matrix is EXACT in any
+    summation order (|term| < 2^41, |sum| < 2^47 — no overflow), so
+    the bucket is bit-identical to the fold by integer associativity;
+    pinned by test_lsh_modes::test_quantized_bucket_stable's pure-
+    Python replay. The SQL-fold form remains available via
+    ``engine="sql"`` (the expression the DuckDB oracle mirrors)."""
+    if engine == "sql":
+        parts = []
+        for p in range(bits):
+            arr = ",".join(str(md5_plane_int(seed + p, d)) for d in range(dims))
+            parts.append(
+                f"(CASE WHEN aggregate(sequence(0,{dims - 1}), 0L,"
+                f" (acc, d) -> acc + element_at({qv}, d+1) * element_at(array({arr}), d+1))"
+                f" > 0 THEN {1 << p}L ELSE 0L END)"
+            )
+        return F.expr("(" + " + ".join(parts) + ")")
+    import numpy as np
+
+    # plane matrix (dims x bits) of md5-derived ints — driver-side
+    # constants, shipped inside the UDF closure (a few KB)
+    P = np.array(
+        [[md5_plane_int(seed + p, d) for p in range(bits)] for d in range(dims)],
+        dtype=np.int64,
+    )
+    weights = np.array([1 << p for p in range(bits)], dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _bucket(qvs: pd.Series) -> pd.Series:
+        if len(qvs) == 0:
+            return pd.Series([], dtype="int64")
+        mask = qvs.isna().to_numpy()
+        vals = qvs.to_numpy()
+        fill = np.zeros(dims, dtype=np.int64)
+        A = np.vstack(
+            [(fill if m else np.asarray(v, dtype=np.int64)[:dims]) for v, m in zip(vals, mask)]
         )
-    return F.expr("(" + " + ".join(parts) + ")")
+        S = A @ P  # exact int64 dot products
+        out = ((S > 0).astype(np.int64) * weights).sum(axis=1)
+        # a NULL array folds to a NULL sum, whose CASE lands in the
+        # ELSE 0L branch per bit — bucket 0, reproduced by the zero fill
+        return pd.Series(out, dtype="int64")
+
+    return _bucket(F.col(qv))
+
+
+_PLANE_MATRIX_CACHE: dict = {}
+
+
+def _xxhash_plane_matrix(dims: int, bits: int, seed: int):
+    """(dims x bits) float64 matrix of `_plane_component` values for the
+    Arrow signature path — fetched ONCE per (dims, bits, seed) per
+    process by constant-folding the SAME xxhash64 expressions the HOF
+    fold evaluates (a 1-row collect of pure literals; no input data is
+    involved, this is hash-family constant derivation, not result
+    caching). Collecting from the JVM rather than reimplementing
+    xxhash64 in Python guarantees the two paths share one hash family
+    bit-for-bit."""
+    key = (dims, bits, seed)
+    m = _PLANE_MATRIX_CACHE.get(key)
+    if m is None:
+        import numpy as np
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        cols = [
+            _plane_component(
+                F.lit(seed + p).cast("int"), F.lit(d).cast("int")
+            ).alias(f"c_{p}_{d}")
+            for p in range(bits)
+            for d in range(dims)
+        ]
+        row = spark.range(1).select(*cols).collect()[0]
+        m = np.array(
+            [[row[f"c_{p}_{d}"] for p in range(bits)] for d in range(dims)],
+            dtype=np.float64,
+        )
+        _PLANE_MATRIX_CACHE[key] = m
+    return m
 
 
 def _plane_component(plane: Column, dim: Column) -> Column:
@@ -552,16 +629,58 @@ def _plane_component(plane: Column, dim: Column) -> Column:
     return (h % 1_000_003).cast("double") / 1_000_003.0
 
 
-def signature_bits(vec: Column, dims: int, bits: int, seed: int = 0) -> Column:
+def signature_bits(vec: "Column | str", dims: int, bits: int, seed: int = 0) -> Column:
     """Random-hyperplane signature: bit i = sign(dot(vec, plane_i)).
     Different `seed`s give independent plane sets (hash tables).
 
-    Two nested folds over runtime sequences (planes × dims) rather than
-    bits·dims unrolled product terms: the expression tree — and the
-    one-time optimizer/Janino wall it costs — stays O(1) in both
-    parameters. The inner fold's ascending-dim float addition order
-    matches the unrolled form bit-for-bit.
+    Pass the NAME of the vector column (string) for the fast path: one
+    vectorized Arrow UDF (guide §4.2) that accumulates the per-bit dot
+    products as ``dims`` rank-1 numpy updates — ``acc += V[:, d] ⊗
+    P[d, :]`` for d ascending — so every (row, plane) dot performs the
+    IDENTICAL sequence of IEEE multiply-then-add operations as the
+    nested-HOF fold below (same ascending-dim left fold from 0.0, both
+    strict float64), and the signature is bit-identical (pinned by
+    test_lsh_modes::test_signature_unrolled_equals_fold). The plane
+    matrix is fetched ONCE per (dims, bits, seed) per process from the
+    JVM itself (a 1-row constant-fold collect of the same
+    xxhash64 % 1000003 / 1000003.0 expressions the fold evaluates), so
+    the hash family cannot drift between the two paths.
+
+    Why not the fold for the hot paths: higher-order functions are
+    CodegenFallback, so the nested fold runs interpreted — per (row,
+    bit, dim) lambda binding plus a fresh xxhash64 per element. The
+    Column-argument form keeps the fold for callers that only hold a
+    derived Column (and as the reference implementation).
     """
+    if isinstance(vec, str):
+        import numpy as np
+
+        P = _xxhash_plane_matrix(dims, bits, seed)  # (dims x bits) float64
+        weights = np.array([1 << p for p in range(bits)], dtype=np.int64)
+
+        @F.pandas_udf("long")
+        def _sig(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int64")
+            mask = vs.isna().to_numpy()
+            fill = np.zeros(dims, dtype=np.float64)
+            A = np.vstack(
+                [
+                    (fill if m else np.asarray(v, dtype=np.float64)[:dims])
+                    for v, m in zip(vs.to_numpy(), mask)
+                ]
+            )
+            # ascending-dim rank-1 accumulation: per (row, plane) this is
+            # exactly acc = acc + (x_d * p_d) in float64, d = 0..dims-1 —
+            # the fold's operation sequence, vectorized across rows/planes
+            acc = np.zeros((A.shape[0], bits), dtype=np.float64)
+            for d in range(dims):
+                acc += np.multiply.outer(A[:, d], P[d])
+            out = ((acc > 0).astype(np.int64) * weights).sum(axis=1)
+            # NULL array: the fold's NULL sums skip every bitwiseOR — 0
+            return pd.Series(out, dtype="int64")
+
+        return _sig(F.col(vec))
     one = F.lit(1).cast("long")
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(bits - 1)),
@@ -689,7 +808,7 @@ def lsh_bucket_topk(
         with_sig = embeddings.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("_vec"),
-            signature_bits(F.col(vec_col), dims, bits).alias("bucket"),
+            signature_bits(vec_col, dims, bits).alias("bucket"),
         )
     q = with_sig.filter(F.col("vec_id") == query_id).select(
         F.col("_vec").alias("_qvec"), F.col("bucket").alias("_qbucket")

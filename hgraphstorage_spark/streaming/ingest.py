@@ -594,7 +594,7 @@ def stream_embed_dedup(
         from hgraphstorage_spark.pipeline.similarity import signature_bits
 
         with_sig = embs.withColumn(
-            "_sig", signature_bits(F.col(vec_col), dims=dims, bits=bits, seed=seed)
+            "_sig", signature_bits(vec_col, dims=dims, bits=bits, seed=seed)
         )
     out_cols = embs.columns
     if with_sig.isStreaming:

@@ -102,6 +102,42 @@ def test_quantized_bucket_stable(spark):
     out2 = [r.b for r in emb.select(quantized_bucket("_qv", 64, 5, seed=0).alias("b")).collect()]
     assert out1 == out2
     assert all(0 <= b < 32 for b in out1)
+    # semantic pin for the r13 unrolled form: replay the bucket in pure
+    # Python from the SAME plane ints and quantized vectors (integer dot
+    # products are order-free and exact, so any engine — or any refactor
+    # of the generated SQL — must reproduce these exact buckets)
+    qvs = [r.q for r in emb.select(F.col("_qv").alias("q")).collect()]
+    want = []
+    for q in qvs:
+        b = 0
+        for p in range(5):
+            s = sum(q[d] * md5_plane_int(p, d) for d in range(64))
+            if s > 0:
+                b += 1 << p
+        want.append(b)
+    assert out1 == want
+
+
+def test_signature_unrolled_equals_fold(spark):
+    """The r13 Arrow signature path (string-name arg) must be bit-identical
+    to the nested-HOF fold (Column arg): same xxhash64 planes (fetched from
+    the JVM itself), same ascending-dim IEEE multiply-add sequence per
+    (row, plane), same sign rule."""
+    from hgraphstorage_spark.pipeline.similarity import signature_bits
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    for seed in (0, 3000):
+        got = emb.select(
+            "vec_id",
+            signature_bits("v", dims=64, bits=5, seed=seed).alias("s_unrolled"),
+            signature_bits(F.col("v"), dims=64, bits=5, seed=seed).alias("s_fold"),
+        ).collect()
+        assert len(got) > 0
+        for r in got:
+            assert r.s_unrolled == r.s_fold, (seed, r.vec_id)
 
 
 # -- large-N evidence (VERDICT r3 task 5): the driver-checked md5 mode must
