@@ -844,13 +844,72 @@ def label_centroids(
 
 
 def _assign_to_centroids(
-    frame: DataFrame, cent_rows: DataFrame, id_col: str, vec_col: str, out_col: str
+    frame: DataFrame, cent_rows: DataFrame, id_col: str, vec_col: str, out_col: str,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Broadcast-centroid cosine argmax, ties to the smaller centroid id
     — the ONE assignment rule shared by ``kmeans_iterations`` (training)
     and ``topic_assign`` (the persisted-model apply path), so the
     tie-break can never silently diverge between them (review catch).
-    ``cent_rows``: (cid, cvec). Returns (vec_id, <out_col>)."""
+    ``cent_rows``: (cid, cvec). Returns (vec_id, <out_col>).
+
+    r13 default is one vectorized Arrow projection (guide §4.2) instead
+    of explode×k + cosine-HOF + a vec_id-keyed shuffle: the k centroid
+    vectors (bounded — nlist/n_topics rows) are collected once at build
+    and the per-row cosines accumulate as ascending-dim rank-1 numpy
+    updates, replaying the `cosine` fold's exact IEEE multiply-add
+    sequence per (row, centroid); the argmax replays `max_by(cid,
+    struct(csim, -cid))` — centroids scanned cid-ascending and
+    `np.argmax` keeps the FIRST maximum, with NaN greatest exactly like
+    Spark's double ordering. Bit-identical assignments wherever the
+    reference is defined (pinned by
+    test_pipeline.py::test_assign_to_centroids_arrow_equals_sql); the
+    one divergence is zero-norm vectors, where the SQL fold raises
+    DIVIDE_BY_ZERO under ANSI (Spark 4 default) while the Arrow path
+    keeps NaN-cosine semantics (NaN greatest, ties to smallest cid).
+    The explode+max_by form stays under ``engine="sql"`` as the
+    reference.
+    Removes one Exchange (the groupBy(vec_id) of n·k rows) from every
+    Lloyd round and every topic routing."""
+    if engine == "arrow":
+        import numpy as np
+
+        rows = sorted(cent_rows.select("cid", "cvec").collect(), key=lambda r: r.cid)
+        if rows:
+            cids = np.array([r.cid for r in rows], dtype=np.int64)
+            C = np.array([[float(x) for x in r.cvec] for r in rows], dtype=np.float64)
+            dims = C.shape[1]
+            cn_sq = np.zeros(len(rows), dtype=np.float64)
+            for d in range(dims):
+                cn_sq += C[:, d] * C[:, d]
+            cn = np.sqrt(cn_sq)
+
+            @F.pandas_udf("long")
+            def _assign(vs: pd.Series) -> pd.Series:
+                if len(vs) == 0:
+                    return pd.Series([], dtype="int64")
+                A = np.vstack([np.asarray(v, dtype=np.float64) for v in vs.to_numpy()])
+                if A.shape[1] != dims:
+                    raise ValueError(
+                        f"vector dims {A.shape[1]} != centroid dims {dims}"
+                    )
+                acc = np.zeros((A.shape[0], len(cids)), dtype=np.float64)
+                rn_sq = np.zeros(A.shape[0], dtype=np.float64)
+                for d in range(dims):
+                    xd = A[:, d]
+                    acc += np.multiply.outer(xd, C[:, d])
+                    rn_sq += xd * xd
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    csim = acc / (np.sqrt(rn_sq)[:, None] * cn[None, :])
+                return pd.Series(cids[np.argmax(csim, axis=1)], dtype="int64")
+
+            return frame.select(
+                F.col(id_col).alias("vec_id"), _assign(F.col(vec_col)).alias(out_col)
+            )
+        # no centroids: the explode form yields no rows — reproduce that
+        return frame.select(F.col(id_col).alias("vec_id")).limit(0).withColumn(
+            out_col, F.lit(None).cast("long")
+        )
     cents = cent_rows.groupBy().agg(F.collect_list(F.struct("cid", "cvec")).alias("cents"))
     return (
         frame.crossJoin(F.broadcast(cents))
@@ -895,6 +954,7 @@ def kmeans_iterations(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_engine: str = "arrow",
 ) -> DataFrame:
     """Lloyd k-means over cosine similarity: deterministic init (the
     ``nlist`` smallest-id vectors), then ``iterations`` rounds of
@@ -914,11 +974,15 @@ def kmeans_iterations(
         .limit(nlist)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
     )
-    assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col, "list_id")
+    assigned = _assign_to_centroids(
+        embeddings, cents, id_col, vec_col, "list_id", engine=assign_engine
+    )
     vecs = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     for _ in range(iterations - 1):
         new_cents = _centroid_update(assigned, vecs, "list_id").localCheckpoint()
-        assigned = _assign_to_centroids(embeddings, new_cents, id_col, vec_col, "list_id")
+        assigned = _assign_to_centroids(
+            embeddings, new_cents, id_col, vec_col, "list_id", engine=assign_engine
+        )
     return assigned
 
 
@@ -1922,7 +1986,8 @@ def topic_clusters(
         )
     )
     assigned = kmeans_iterations(
-        vecs, nlist=n_topics, iterations=iterations, id_col="doc_id", vec_col="v"
+        vecs, nlist=n_topics, iterations=iterations, id_col="doc_id", vec_col="v",
+        assign_engine="sql",
     )
     return assigned.select(F.col("vec_id").alias(id_col), F.col("list_id").alias("topic"))
 
@@ -1996,7 +2061,8 @@ def topic_model(
         tfidf_apply(docs, idf, d, scale, text_col, id_col, hash_mode, tf_frame=tf)
     )
     assigned = kmeans_iterations(
-        vecs, nlist=n_topics, iterations=iterations, id_col="doc_id", vec_col="v"
+        vecs, nlist=n_topics, iterations=iterations, id_col="doc_id", vec_col="v",
+        assign_engine="sql",
     )
     cents = _centroid_update(
         assigned, vecs.select(F.col("doc_id").alias("vec_id"), F.col("v").alias("_v")), "list_id"
@@ -2027,6 +2093,8 @@ def topic_assign(
 
     vecs = tfidf_apply(docs, idf_table, d, scale, text_col, id_col, hash_mode)
     cent_rows = centroids.select(F.col("topic").alias("cid"), "cvec")
-    return _assign_to_centroids(vecs, cent_rows, "doc_id", "v", "topic").select(
+    return _assign_to_centroids(
+        vecs, cent_rows, "doc_id", "v", "topic", engine="sql"
+    ).select(
         F.col("vec_id").alias(id_col), "topic"
     )

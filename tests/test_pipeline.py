@@ -4348,3 +4348,50 @@ class TestFIMTransform:
         assert 60 <= len(half) <= 140 and len(full) == 200
         # monotone: the half-rate set is a subset of the full-rate set
         assert half <= full
+
+
+class TestAssignToCentroidsArrow:
+    def test_assign_to_centroids_arrow_equals_sql(self, spark):
+        """The r13 Arrow assignment path must reproduce the explode+max_by
+        form row-for-row: same IEEE cosine bits (ascending-dim fold order),
+        NaN-greatest ordering (zero vectors), first-max = smallest-cid ties."""
+        from hgraphstorage_spark.pipeline.similarity import _assign_to_centroids
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = (
+            emb.orderBy(F.col("vec_id").asc()).limit(6)
+            .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+        )
+        a = _assign_to_centroids(emb, cents, "vec_id", "embedding", "list_id")
+        s = _assign_to_centroids(emb, cents, "vec_id", "embedding", "list_id", engine="sql")
+        assert bag(a) == bag(s)
+
+        # adversarial ties: exact duplicates of a centroid (csim tie across
+        # duplicate centroids must break to the smaller cid in both paths)
+        rows = [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (4, [1.0, 0.0, 0.0, 0.0]),   # exactly on centroids 10 and 11
+            (5, [0.5, 0.5, 0.0, 0.0]),
+        ]
+        cent = [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [1.0, 0.0, 0.0, 0.0]),  # duplicate centroid -> csim tie
+            (12, [0.0, 1.0, 0.0, 0.0]),
+        ]
+        vf = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        cf = spark.createDataFrame(cent, "cid long, cvec array<double>")
+        a2 = _assign_to_centroids(vf, cf, "vec_id", "v", "list_id")
+        s2 = _assign_to_centroids(vf, cf, "vec_id", "v", "list_id", engine="sql")
+        assert bag(a2) == bag(s2)
+        assert {r.vec_id: r.list_id for r in a2.collect()}[4] == 10
+
+        # zero-norm vectors: the SQL fold raises DIVIDE_BY_ZERO under ANSI
+        # (Spark 4 default), so the reference is undefined there; the Arrow
+        # path keeps numpy's NaN cosines, where NaN sorts greatest and ties
+        # break to the smallest cid — pin that documented behavior
+        zf = spark.createDataFrame(
+            [(3, [0.0, 0.0, 0.0, 0.0])], "vec_id long, v array<double>"
+        )
+        az = _assign_to_centroids(zf, cf, "vec_id", "v", "list_id")
+        assert [r.list_id for r in az.collect()] == [10]
