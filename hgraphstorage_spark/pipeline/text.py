@@ -7,6 +7,7 @@ so a SQL oracle can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve in module globals
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1965,16 +1966,26 @@ def vocab_drift(
 
 def _tf_frame(
     docs: DataFrame, d: int, text_col: str, id_col: str, hash_mode: str,
-    persist: bool = True,
+    persist: bool = True, engine: str = "sql",
 ) -> DataFrame:
     """(doc_id, _tf ARRAY<DOUBLE>[d]) — the shared per-doc bucket-count
     fold behind the TF-IDF family. Zero shuffle: tokens hash to buckets
     in their own projection (no-CSE-in-HOF rule), then fold into the
-    d-vector inside codegen. Zero-token docs are excluded. ``persist``
-    (default) cuts lineage for multi-branch consumers — without it the
-    O(d·tokens) tokenize+fold re-runs per branch; single-consumer
-    callers (tfidf_apply, incl. streaming micro-batches where a cached
-    frame would leak across batches) pass False."""
+    d-vector. Zero-token docs are excluded. ``persist`` (default) cuts
+    lineage for multi-branch consumers — without it the O(d·tokens)
+    tokenize+fold re-runs per branch; single-consumer callers
+    (tfidf_apply, incl. streaming micro-batches where a cached frame
+    would leak across batches) pass False.
+
+    ``engine="arrow"`` (default) replaces the aggregate-fold with one
+    vectorized bincount per Arrow batch. Higher-order functions are
+    CodegenFallback — the fold ran interpreted, rebuilding a d-element
+    array per token (O(d·tokens) lambda dispatches per doc). The bucket
+    hashes stay JVM-side (xxhash64/md5 in codegen); only the int array
+    crosses the boundary, and counts are exact small integers, so the
+    float64 result is bit-identical to the fold (pinned by
+    test_tf_frame_arrow_equals_fold). ``engine="sql"`` keeps the fold —
+    the reference form the DuckDB oracle mirrors."""
     from hgraphstorage_spark.pipeline.dedup import _parallel, md5_long
     from hgraphstorage_spark.pipeline.state import track
 
@@ -1989,11 +2000,39 @@ def _tf_frame(
         F.col(id_col).alias("doc_id"),
         F.transform(toks, lambda t: bucket(t).cast("int")).alias("_bs"),
     )
-    tf = F.aggregate(
-        F.col("_bs"),
-        F.array_repeat(F.lit(0.0), d),
-        lambda acc, b: F.transform(acc, lambda x, i: x + F.when(i == b, 1.0).otherwise(0.0)),
-    )
+    if engine == "arrow":
+        import numpy as np
+
+        @F.pandas_udf("array<double>")
+        def _counts(bs: pd.Series) -> pd.Series:
+            arrs = bs.to_numpy()
+            n = len(arrs)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            lens = np.fromiter(
+                (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=n
+            )
+            if int(lens.sum()):
+                flat = np.concatenate(
+                    [np.asarray(a, dtype=np.int64) for a in arrs if a is not None and len(a)]
+                )
+                rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+                out = (
+                    np.bincount(rows * d + flat, minlength=n * d)
+                    .astype(np.float64)
+                    .reshape(n, d)
+                )
+            else:
+                out = np.zeros((n, d), dtype=np.float64)
+            return pd.Series(list(out))
+
+        tf = _counts(F.col("_bs"))
+    else:
+        tf = F.aggregate(
+            F.col("_bs"),
+            F.array_repeat(F.lit(0.0), d),
+            lambda acc, b: F.transform(acc, lambda x, i: x + F.when(i == b, 1.0).otherwise(0.0)),
+        )
     out = bucketed.filter(F.size("_bs") > 0).select("doc_id", tf.alias("_tf"))
     return track(out) if persist else out
 

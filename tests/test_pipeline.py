@@ -4395,3 +4395,68 @@ class TestAssignToCentroidsArrow:
         )
         az = _assign_to_centroids(zf, cf, "vec_id", "v", "list_id")
         assert [r.list_id for r in az.collect()] == [10]
+
+
+class TestWithSignatureArrow:
+    def test_with_signature_arrow_equals_fold(self, spark):
+        """The r13 Arrow k-permutation min must reproduce the nested
+        transform+array_min fold exactly: every permutation value is
+        integer arithmetic < 2^37 mod a 31-bit prime, so there is no
+        float anywhere to diverge. Real corpus, both hash modes, plus
+        empty/NULL shingle arrays (array_min(empty) is a NULL element
+        per permutation)."""
+        from hgraphstorage_spark.pipeline.dedup import _with_signature, shingle_hashes
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for mode in ("xxhash64", "md5"):
+            sh = shingle_hashes(docs, "text", "doc_id", 5, mode)
+            a = _with_signature(sh, 16, mode).select("doc_id", "sig")
+            s = _with_signature(sh, 16, mode, engine="sql").select("doc_id", "sig")
+            assert bag(a) == bag(s)
+
+        adv = spark.createDataFrame(
+            [(1, [7, 11, 13]), (2, []), (3, None), (4, [0])],
+            "doc_id long, sh array<long>",
+        )
+        a = _with_signature(adv, 8, "xxhash64").select("doc_id", "sig")
+        s = _with_signature(adv, 8, "xxhash64", engine="sql").select("doc_id", "sig")
+        ra, rs = bag(a), bag(s)
+        assert ra == rs
+        by_id = {r[0]: r[1] for r in ra}
+        assert by_id[2] == [None] * 8 and by_id[3] == [None] * 8
+
+
+class TestTfFrameArrow:
+    def test_tf_frame_arrow_equals_fold(self, spark):
+        """The r13 Arrow bincount path must reproduce the aggregate-fold
+        bit-for-bit: counts are exact small integers in float64, and the
+        bucket hashes stay JVM-side in both engines, so the only thing
+        that could diverge is the counting itself. Both hash modes, real
+        corpus + adversarial rows (NULL / empty / whitespace-only text
+        must be excluded identically; d=1 collapses every token to one
+        bucket)."""
+        from hgraphstorage_spark.pipeline.text import _tf_frame
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        for mode in ("xxhash64", "md5"):
+            a = _tf_frame(docs, 64, "text", "doc_id", mode, persist=False)
+            s = _tf_frame(docs, 64, "text", "doc_id", mode, persist=False, engine="sql")
+            assert bag(a) == bag(s)
+
+        adv = spark.createDataFrame(
+            [
+                (1, "the quick brown fox the fox"),
+                (2, None),
+                (3, ""),
+                (4, " \t\n"),
+                (5, "x"),
+                (6, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+            ],
+            "doc_id long, text string",
+        )
+        for d in (1, 8):
+            a = _tf_frame(adv, d, "text", "doc_id", "xxhash64", persist=False)
+            s = _tf_frame(adv, d, "text", "doc_id", "xxhash64", persist=False, engine="sql")
+            ra, rs = bag(a), bag(s)
+            assert ra == rs
+            assert {r[0] for r in ra} == {1, 5, 6}  # NULL/empty/ws-only excluded
